@@ -1,0 +1,97 @@
+"""End-to-end extraction jobs: plan → run → write, with skew handling,
+metrics and resume.
+
+The job shape (SURVEY §4): scan → fused narrow extraction → write.
+Zero shuffles on the main path. Optional knobs for the 100 TB design
+point:
+
+- ``salt_partitions``: repartition by ``xxhash64(url)`` — breaks source
+  skew (one giant warc bucket) before the CPU-heavy stage; on a real
+  cluster the Iceberg table is already written bucketed by url-hash so
+  this shuffle disappears (scan-time bucketing).
+- ``size_ordered``: ``repartitionByRange(length(html))`` — co-batches
+  similar-sized documents, the analog of the reference's gear batching
+  (reference: deploy/py_infer/src/data_process/utils/gear_utils.py:11-35),
+  so one multi-MB page doesn't stall an otherwise-tiny Arrow batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from mindocr_spark import extract_core as core
+from mindocr_spark.operators.stages import extract_stage
+from mindocr_spark.operators.registry import build_pipeline
+
+
+def prepare_input(
+    pages: DataFrame,
+    salt_partitions: int | None = None,
+    size_ordered: bool = False,
+) -> DataFrame:
+    if salt_partitions:
+        pages = pages.repartition(salt_partitions, F.xxhash64("url"))
+    if size_ordered:
+        n = pages.sparkSession.sparkContext.defaultParallelism * 2
+        pages = pages.repartitionByRange(n, F.length("html"))
+    return pages
+
+
+def run_extraction(
+    pages: DataFrame,
+    params: core.ExtractParams = core.DEFAULT_PARAMS,
+    staged: bool = False,
+    salt_partitions: int | None = None,
+    size_ordered: bool = False,
+) -> DataFrame:
+    """The flagship query: extract main content for every page."""
+    pages = prepare_input(pages, salt_partitions, size_ordered)
+    if staged:
+        return build_pipeline(params=params)(pages)
+    return extract_stage(pages, params)
+
+
+def extraction_metrics(result: DataFrame, run_id: str) -> DataFrame:
+    """Per-partition metrics — the partial+final aggregation shape of the
+    reference's DetMetric/AllReduce (reference:
+    mindocr/metrics/det_metrics.py:79-156) and its per-module profiling
+    (deploy/py_infer/src/parallel/parallel_pipeline.py:89-104).
+
+    Declarative: one groupBy over spark_partition_id — Catalyst does the
+    map-side partial agg; no accumulator plumbing needed.
+    """
+    return (
+        result.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("total_bytes").alias("bytes_in"),
+            F.sum(F.length("extracted_text")).alias("chars_out"),
+            F.avg("boilerplate_ratio").alias("boilerplate_ratio"),
+            F.sum(F.col("failed").cast("long")).alias("failures"),
+            F.sum("n_blocks").alias("blocks"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+    )
+
+
+def write_results(
+    result: DataFrame,
+    path: str,
+    metrics_path: str | None = None,
+    run_id: str = "run-0",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """Sink. On a real cluster: Iceberg write-audit-publish (stage to a
+    branch, validate metrics, then fast-forward) — here: parquet with an
+    explicit metrics table alongside (same commit discipline, minus the
+    catalog)."""
+    w = result.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    if metrics_path:
+        # metrics computed on the *written* data so they describe the commit
+        spark = result.sparkSession
+        written = spark.read.parquet(path)
+        extraction_metrics(written, run_id).write.mode("append").parquet(metrics_path)
