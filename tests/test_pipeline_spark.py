@@ -1,0 +1,107 @@
+"""Spark-side parity + plumbing tests: fused ≡ staged ≡ in-process spec,
+failure isolation, metrics aggregation, plan shape."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mindocr_spark.corpus import generate_page, pages_dataframe
+from mindocr_spark.extract_core import extract_document
+from mindocr_spark.operators.pipeline import extraction_metrics, run_extraction
+
+N = 120
+
+
+@pytest.fixture(scope="module")
+def golden():
+    out = {}
+    for i in range(N):
+        p = generate_page(42, i)
+        out[p["url"]] = (p, extract_document(p["html"]))
+    return out
+
+
+def test_fused_byte_identical(spark, golden):
+    res = run_extraction(pages_dataframe(spark, N, seed=42)).collect()
+    assert len(res) == N
+    for r in res:
+        _, g = golden[r["url"]]
+        assert r["extracted_text"].encode() == g.extracted_text.encode()
+        assert r["n_blocks"] == g.n_blocks
+        assert r["boilerplate_ratio"] == g.boilerplate_ratio
+        got_spans = [
+            (s["block_id"], s["node_start"], s["node_end"],
+             s["char_start"], s["char_end"], s["score"]) for s in r["spans"]
+        ]
+        assert got_spans == g.spans
+        assert not r["failed"]
+
+
+def test_staged_equals_fused(spark):
+    pages = pages_dataframe(spark, 60, seed=42)
+    fused = {r["url"]: r for r in run_extraction(pages).collect()}
+    staged = {r["url"]: r for r in run_extraction(pages, staged=True).collect()}
+    assert fused.keys() == staged.keys()
+    for u in fused:
+        assert fused[u]["extracted_text"] == staged[u]["extracted_text"]
+        assert fused[u]["spans"] == staged[u]["spans"]
+
+
+def test_failure_isolation(spark):
+    # a None html row must not kill the job; it flows through failed=true
+    pdf = pd.DataFrame(
+        {
+            "url": ["https://ok.example/1", "https://broken.example/2"],
+            "warc_ts": pd.to_datetime(["2024-01-01", "2024-01-02"]),
+            "html": [b"<body><p>The quick brown fox jumps over the lazy dog "
+                     b"and runs to the river bank today.</p></body>", None],
+            "text": ["", ""],
+            "lang": ["en", "en"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    res = {r["url"]: r for r in run_extraction(df).collect()}
+    assert len(res) == 2
+    assert not res["https://ok.example/1"]["failed"]
+    assert res["https://ok.example/1"]["extracted_text"].startswith("The quick")
+    bad = res["https://broken.example/2"]
+    assert bad["failed"] and bad["extracted_text"] == ""
+
+
+def test_metrics_aggregation(spark):
+    res = run_extraction(pages_dataframe(spark, 80, seed=42))
+    m = extraction_metrics(res, run_id="t").collect()
+    assert sum(r["docs"] for r in m) == 80
+    assert all(r["failures"] == 0 for r in m)
+    total_blocks = sum(r["blocks"] for r in m)
+    assert total_blocks >= 80  # every page has ≥1 content block
+
+
+def test_plan_is_narrow_and_pruned(spark):
+    """The production plan must have no shuffle (Exchange) and must not
+    read the held-out `text` column past the scan."""
+    plan = run_extraction(
+        pages_dataframe(spark, 10, seed=42)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_salting_repartitions(spark):
+    df = run_extraction(pages_dataframe(spark, 50, seed=42), salt_partitions=7)
+    assert df.rdd.getNumPartitions() == 7
+    assert df.count() == 50
+
+
+def test_parquet_roundtrip(spark, tmp_path):
+    from mindocr_spark.operators.pipeline import write_results
+
+    res_path = str(tmp_path / "results")
+    met_path = str(tmp_path / "metrics")
+    write_results(
+        run_extraction(pages_dataframe(spark, 40, seed=42)),
+        res_path, metrics_path=met_path, run_id="r1",
+    )
+    back = spark.read.parquet(res_path)
+    assert back.count() == 40
+    met = spark.read.parquet(met_path)
+    assert met.agg(F.sum("docs")).collect()[0][0] == 40
