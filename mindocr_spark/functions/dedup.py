@@ -1,0 +1,275 @@
+"""dedup — exact and near-duplicate detection at corpus scale.
+
+Five detectors, ordered by cost, all shuffle-on-key relational plans
+(the only Python is one Arrow-batched pandas UDF folding token hashes
+into a simhash). Design point: 10^12 docs — every plan is
+groupBy/join on a derived key (content hash, shingle, band bucket),
+never an all-pairs comparison; the all-pairs work only happens *within*
+a bucket, which is the LSH contract.
+
+- :func:`exact_dup_clusters` — md5-groupBy (cost: one shuffle).
+- :func:`ngram_jaccard_pairs` — exact word-shingle Jaccard via
+  shingle-key equi-join (cost: shuffle on shingle; exact, for bounded
+  shingle frequency).
+- :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — MinHash +
+  banded LSH candidate generation (the scale path: cost independent of
+  pair count).
+- :func:`simhash_col` / :func:`simhash_pairs` — 64-bit simhash with
+  banded hamming-distance candidate join.
+- embedding near-dup lives in :mod:`mindocr_spark.functions.similarity`.
+
+The reference's analog of "the same content appearing twice" is its
+golden-eval key-set equality join (reference:
+deploy/eval_utils/eval_pipeline.py:104-107); the hash-family trick
+mirrors how it snaps variable shapes onto a small set of gears
+(reference: deploy/py_infer/src/data_process/utils/gear_utils.py:11-35).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from mindocr_spark.functions.text import fingerprint_md5, word_shingles
+
+# --------------------------------------------------------------------------
+# 1. Exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dup_clusters(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(id, fingerprint, cluster_size, cluster_rep, is_dup) — one shuffle
+    on the content hash; at 100 TB this is a straight hash-partitioned
+    window, no skew (md5 keys are uniform by construction)."""
+    fp = df.select(id_col, fingerprint_md5(text_col).alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    return fp.select(
+        id_col,
+        "fingerprint",
+        F.count("*").over(w).alias("cluster_size"),
+        F.min(id_col).over(w).alias("cluster_rep"),
+        (F.count("*").over(w) > 1).alias("is_dup"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. Exact n-gram Jaccard (relational)
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(df: DataFrame, k: int = 3, threshold: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """All pairs with word-k-shingle Jaccard ≥ threshold.
+
+    Plan: distinct (doc, shingle) → self-equi-join on shingle → pair
+    intersection counts → join per-doc shingle counts → Jaccard.
+    Exact-but-bounded: cost is Σ_shingle freq², so it is the
+    *verification* stage; candidate *generation* at scale is
+    :func:`minhash_lsh_pairs`. Jaccard is one IEEE division of two exact
+    ints, rounded — bit-identical to the SQL oracle.
+    """
+    sh = word_shingles(df, k=k, text_col=text_col, id_col=id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b", "n_inter", "n_a", "n_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .where(F.round(jac, 6) >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# 3. MinHash + banded LSH (the scale path)
+# --------------------------------------------------------------------------
+
+#: Pinned universal-hash family over a Mersenne prime: h_i(x) =
+#: (a_i·x + b_i) mod p. Parameters derive from i by fixed odd constants —
+#: no RNG, so signatures are reproducible across runs/engines. p = 2^31-1
+#: keeps a·x < 2^62 (no 64-bit overflow under ANSI arithmetic).
+_MERSENNE_31 = (1 << 31) - 1
+
+
+def _perm_table(spark, n_perm: int) -> DataFrame:
+    return spark.range(n_perm).select(
+        F.col("id").cast("int").alias("perm"),
+        (F.col("id") * 2 + 1).alias("a"),
+        (F.col("id") * 7919 + 12345).alias("b"),
+    )
+
+
+def minhash_signatures(df: DataFrame, n_perm: int = 64, k: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, perm, minh): MinHash signature as a tall relation.
+
+    Plan: shingles → xxhash64 → broadcast-join the tiny perm table
+    (n_perm rows) → groupBy(doc, perm).min — Catalyst does map-side
+    partial min, so the shuffle carries ≤ docs×n_perm rows regardless of
+    shingle count. Everything stays JVM-side.
+    """
+    sh = word_shingles(df, k=k, text_col=text_col, id_col=id_col)
+    hashed = sh.select(
+        id_col, F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_31)).alias("h")
+    )
+    perms = _perm_table(df.sparkSession, n_perm)
+    return (
+        hashed.join(F.broadcast(perms))
+        .select(
+            id_col, "perm",
+            F.pmod(F.col("a") * F.col("h") + F.col("b"), F.lit(_MERSENNE_31)).alias("hv"),
+        )
+        .groupBy(id_col, "perm")
+        .agg(F.min("hv").alias("minh"))
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, n_perm: int = 64, bands: int = 16,
+                      k: int = 3, threshold: float = 0.5,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-dup pairs via banded LSH + signature-overlap estimate.
+
+    With n_perm=64, bands=16 (rows r=4) the collision threshold is
+    (1/16)^(1/4) ≈ 0.5. Plan: signatures → band buckets (groupBy concat)
+    → self-join on (band, bucket_hash) → distinct pairs → join signatures
+    twice → est_jaccard = matching perms / n_perm. No all-pairs stage;
+    bucket joins are the only quadratic work (AQE skew-split handles a
+    degenerate hot bucket).
+    Returns (id_a, id_b, n_match, est_jaccard ≥ threshold).
+    """
+    rows_per_band = n_perm // bands
+    sig = minhash_signatures(df, n_perm=n_perm, k=k,
+                             text_col=text_col, id_col=id_col)
+    banded = (
+        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.xxhash64(
+                F.concat_ws(",", F.sort_array(F.collect_list(
+                    F.concat_ws(":", F.col("perm"), F.col("minh"))
+                )))
+            ).alias("bucket")
+        )
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), on=["band", "bucket"])
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), "perm", F.col("minh").alias("mh_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), "perm", F.col("minh").alias("mh_b"))
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "perm"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum((F.col("mh_a") == F.col("mh_b")).cast("int")).alias("n_match"))
+        .withColumn(
+            "est_jaccard",
+            F.round(F.col("n_match").cast("double") / F.lit(float(n_perm)), 6),
+        )
+    )
+    return est.where(F.col("est_jaccard") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# 4. SimHash
+# --------------------------------------------------------------------------
+
+
+@pandas_udf("long")
+def _simhash_fold(hashes: pd.Series) -> pd.Series:
+    """Fold an array<long> of token hashes into a 64-bit simhash.
+
+    Arrow-batched; numpy bit-bank accumulation per doc (the per-batch
+    loop shape of the reference's postprocess,
+    reference: mindocr/postprocess/det_db_postprocess.py:77-85).
+    """
+    import numpy as np
+
+    out = []
+    for arr in hashes:
+        if arr is None or len(arr) == 0:
+            out.append(0)
+            continue
+        h = np.asarray(arr, dtype=np.uint64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int64
+        )
+        votes = (2 * bits - 1).sum(axis=0)
+        sim = np.uint64(0)
+        for j in np.nonzero(votes > 0)[0]:
+            sim |= np.uint64(1) << np.uint64(j)
+        out.append(int(sim.astype(np.int64)))
+    return pd.Series(out, dtype="int64")
+
+
+def simhash_col(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash): token hashes computed JVM-side (xxhash64 inside a
+    higher-order transform), folded per doc by one Arrow-batched UDF."""
+    from mindocr_spark.functions.text import tokens_col
+
+    toks = df.select(
+        id_col,
+        F.transform(tokens_col(text_col), lambda w: F.xxhash64(w)).alias("th"),
+    )
+    return toks.select(id_col, _simhash_fold("th").alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    Banded candidate join (pigeonhole: ≤3 differing bits over 4 16-bit
+    chunks ⇒ ≥1 chunk identical) → exact hamming via bit_count(xor).
+    Scales like LSH: shuffle on chunk value, never all-pairs.
+    """
+    sims = simhash_col(df, text_col=text_col, id_col=id_col)
+    chunks = sims.select(
+        id_col, "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk"),
+                    F.shiftrightunsigned("simhash", 16 * i)
+                    .bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.chunk", "c.val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, on=["chunk", "val"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

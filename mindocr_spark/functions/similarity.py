@@ -1,0 +1,227 @@
+"""similarity — embedding similarity search over array<float> columns.
+
+Two tiers, per the scale doctrine:
+
+- :func:`cosine_topk` — brute-force exact top-k: broadcast the (small)
+  query set against the full corpus; dot products via `zip_with` +
+  `aggregate` higher-order functions — pure JVM expressions, no Python,
+  no shuffle except the final per-query top-k.
+- :func:`lsh_topk` — random-hyperplane LSH bucketing (pinned
+  deterministic hyperplanes): each vector lands in one sign-bit bucket
+  (plus its single-bit-flip neighbours for recall), candidates join on
+  bucket, exact cosine re-rank within bucket. Cost scales with bucket
+  occupancy, not corpus size — the 100 TB path.
+- :func:`embedding_neardup_pairs` — all pairs with cosine ≥ τ via the
+  same bucket join (dedup by embedding).
+
+The reference's nearest analog is its char-dict broadcast lookup
+(broadcast small state against a big stream, SURVEY §1.4) and the
+IoU-based GT⋈pred matcher (per-key local matching after an equi-join,
+reference: mindocr/metrics/det_metrics.py:28-76).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# --------------------------------------------------------------------------
+# Vector expressions (JVM higher-order functions — no UDF)
+# --------------------------------------------------------------------------
+
+
+def vec_double(c: Column | str) -> Column:
+    """array<float> → array<double> (pin precision before any arithmetic
+    so results are bit-identical to the float64 oracle)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right fold — deterministic association order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# --------------------------------------------------------------------------
+# Brute-force exact top-k (baseline; also the in-bucket re-ranker)
+# --------------------------------------------------------------------------
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact top-k neighbours of each query vector (excluding itself).
+
+    Plan: broadcast-join queries × corpus (the query side is small by
+    contract) → JVM-side cosine → per-query top-k via window rank.
+    Ordering key is (rounded cosine desc, neighbour id asc): fully
+    deterministic and engine-independent.
+    Returns (query_id, neighbor_id, cos_sim, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), vec_double(vec_col).alias("qv")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), vec_double(vec_col).alias("cv")
+    )
+    sim = F.round(cosine(F.col("qv"), F.col("cv")), round_to)
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+# --------------------------------------------------------------------------
+# Random-hyperplane LSH (deterministic planes) — the ANN scale path
+# --------------------------------------------------------------------------
+
+
+def _planes(dim: int, n_bits: int) -> list[list[float]]:
+    """Pinned pseudo-random hyperplanes: plane[i][j] derives from a fixed
+    integer hash (no RNG state), identical across runs and engines."""
+    import hashlib
+
+    planes = []
+    for i in range(n_bits):
+        row = []
+        for j in range(dim):
+            h = int.from_bytes(
+                hashlib.md5(f"plane:{i}:{j}".encode()).digest()[:8], "big"
+            )
+            row.append((h / float(1 << 63)) - 1.0)  # ∈ [-1, 1)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id of a vector: bit i = [vec·plane_i ≥ 0]."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(v) for v in p])
+        bit = (dot(vec, plane) >= 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate top-k: corpus bucketed once by sign-bit LSH; each query
+    probes its own bucket plus all single-bit-flip neighbours
+    (multi-probe, recall ≫ single-bucket), exact cosine re-rank inside.
+
+    Cost: |corpus| bucket assignments (narrow) + a join whose width is
+    bucket occupancy × (n_bits+1) probes — independent of corpus size
+    per query. Returns (query_id, neighbor_id, cos_sim, rank).
+    """
+    planes = _planes(dim, n_bits)
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), vec_double(vec_col).alias("cv")
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), vec_double(vec_col).alias("qv")
+    ).withColumn("qbucket", lsh_bucket(F.col("qv"), planes))
+    probes = F.array(
+        F.col("qbucket"),
+        *[
+            F.col("qbucket").bitwiseXOR(F.lit(1 << i)).cast("long")
+            for i in range(n_bits)
+        ],
+    )
+    q_probed = q.select(
+        "query_id", "qv", F.explode(probes).alias("bucket")
+    )
+    sim = F.round(cosine(F.col("qv"), F.col("cv")), round_to)
+    scored = (
+        F.broadcast(q_probed)
+        .join(c, on="bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    exact: bool = False,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold. exact=True does the all-pairs join
+    (oracle-checkable, small corpora); default is the LSH-bucketed plan
+    (identical output whenever near-dups are truly near: cos ≥ 0.95
+    pairs collide in ≥1 probe bucket with overwhelming probability).
+    Returns (id_a, id_b, cos_sim)."""
+    c = embeddings.select(
+        F.col(id_col).alias("id"), vec_double(vec_col).alias("v")
+    )
+    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), round_to)
+    if exact:
+        pairs = c.alias("a").join(c.alias("b"), F.col("a.id") < F.col("b.id"))
+    else:
+        planes = _planes(dim, n_bits)
+        b = c.withColumn("bucket", lsh_bucket(F.col("v"), planes))
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("long")
+                for i in range(n_bits)
+            ],
+        )
+        bp = b.select("id", "v", F.explode(probes).alias("pbucket"))
+        pairs = (
+            bp.alias("a")
+            .join(b.alias("b"), F.col("a.pbucket") == F.col("b.bucket"))
+            .where(F.col("a.id") < F.col("b.id"))
+        )
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            sim.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .distinct()
+    )

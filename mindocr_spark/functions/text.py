@@ -1,0 +1,184 @@
+"""text — language-ID, quality scoring, token stats, fingerprinting.
+
+The training-data-pipeline operators a 100 TB corpus needs around the
+extraction core. All expressions are JVM-side built-ins so they run
+inside whole-stage codegen on the scan (no Python, no shuffle); each has
+an exact ANSI-SQL equivalent used by the DuckDB correctness oracle.
+
+Reference lineage: the cls stage (language/orientation tagging,
+reference: mindocr/postprocess/cls_postprocess.py:15-27) → :func:`lang_id_col`;
+the rec metrics (exact-match + normalized Levenshtein, reference:
+mindocr/metrics/rec_metrics.py:11-152) → :func:`rec_metrics`;
+the per-doc validity filters (reference: mindocr/data/det_dataset.py:137-138,
+rec_lmdb_dataset.py:106-119) → :func:`quality_cols` + downstream filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# --------------------------------------------------------------------------
+# Normalization (the SQL twin of extract_core.normalize_ws for ASCII text)
+# --------------------------------------------------------------------------
+
+
+def normalize_col(c: Column | str) -> Column:
+    """Whitespace-collapse + trim — `extract_core.normalize_ws` for
+    SQL-reachable columns (JVM regex; identical on ASCII input)."""
+    return F.trim(F.regexp_replace(F.col(c) if isinstance(c, str) else c, r"\s+", " "))
+
+
+# --------------------------------------------------------------------------
+# Token stats
+# --------------------------------------------------------------------------
+
+
+def tokens_col(c: Column | str) -> Column:
+    """Whitespace tokenization → array<string> (empty array for blank text)."""
+    norm = normalize_col(c)
+    return F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc token counts: n_tokens, n_distinct_tokens, n_chars_norm."""
+    toks = tokens_col(text_col)
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length(normalize_col(text_col)).alias("n_chars_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring (length / punctuation / stopword / case ratios)
+# --------------------------------------------------------------------------
+
+#: Tiny pinned English stopword marker set for the quality ratio — chosen
+#: so the same regex runs identically under Java regex and RE2 (DuckDB).
+_STOP_RE = r"\b(the|a|an|and|of|to|in|is|it|for|on|with)\b"
+_PUNCT_RE = r"[.,;:!?]"
+_UPPER_RE = r"[A-Z]"
+
+
+def quality_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features. Counts are exact ints; the two ratios are
+    single IEEE divisions of those ints (bit-identical across engines)."""
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks)
+    stop_hits = F.regexp_count(F.col(text_col), F.lit(_STOP_RE))
+    punct = F.regexp_count(F.col(text_col), F.lit(_PUNCT_RE))
+    upper = F.regexp_count(F.col(text_col), F.lit(_UPPER_RE))
+    avg_tok = F.try_divide(
+        F.length(F.array_join(toks, "")).cast("double"), n_tokens.cast("double")
+    )
+    return df.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_hits.alias("stop_hits"),
+        punct.alias("n_punct"),
+        upper.alias("n_upper"),
+        F.round(avg_tok, 6).alias("avg_token_len"),
+        F.round(
+            F.try_divide(stop_hits.cast("double"), n_tokens.cast("double")), 6
+        ).alias("stop_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language ID (n-gram / marker-word heuristic)
+# --------------------------------------------------------------------------
+
+#: Marker regexes per language. CJK presence dominates; else the richer
+#: marker count wins (ties broken by the fixed en > de > es order).
+_CJK_ID_RE = r"[一-鿿]"
+_DE_RE = r"\b(der|die|das|und|ist|nicht|ein|mit|von|zu)\b"
+_ES_RE = r"\b(el|la|los|las|es|y|de|que|en|un|una|por)\b"
+_EN_RE = r"\b(the|and|is|of|to|in|that|it|for|was)\b"
+
+
+def lang_id_col(c: Column | str) -> Column:
+    """Deterministic heuristic language tag: zh / de / es / en / unknown."""
+    col = F.col(c) if isinstance(c, str) else c
+    cjk = F.regexp_count(col, F.lit(_CJK_ID_RE))
+    en = F.regexp_count(col, F.lit(_EN_RE))
+    de = F.regexp_count(col, F.lit(_DE_RE))
+    es = F.regexp_count(col, F.lit(_ES_RE))
+    best = F.greatest(en, de, es)
+    return (
+        F.when(cjk > 0, F.lit("zh"))
+        .when(best == 0, F.lit("unknown"))
+        .when(en == best, F.lit("en"))
+        .when(de == best, F.lit("de"))
+        .otherwise(F.lit("es"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Fingerprinting
+# --------------------------------------------------------------------------
+
+
+def fingerprint_md5(c: Column | str) -> Column:
+    """Canonical content fingerprint: md5 of the lower-cased normalized
+    text — the exact-dedup key. md5 is bit-identical everywhere."""
+    return F.md5(F.lower(normalize_col(c)).cast("binary"))
+
+
+def word_shingles(df: DataFrame, k: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Distinct word k-shingles per doc via posexplode + window lead —
+    fully relational (scales by shuffle on the shingle key, no UDF).
+
+    Returns (id_col, shingle).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(id_col, F.posexplode(tokens_col(text_col)).alias("pos", "w"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, k)]
+    sh = toks.select(
+        id_col, F.concat_ws(" ", *parts).alias("shingle"),
+        parts[-1].alias("_last"),
+    ).where(F.col("_last").isNotNull())
+    return sh.select(id_col, "shingle").distinct()
+
+
+def rolling_fingerprints(df: DataFrame, k: int = 8, text_col: str = "text",
+                         id_col: str = "doc_id", keep_every: int = 16) -> DataFrame:
+    """Rolling-hash document fingerprints (winnowing-style sample): hash
+    every k-char gram of the normalized text, keep grams whose hash ≡ 0
+    (mod keep_every) — a content-defined sample robust to edits.
+    Pure built-ins: sequence → explode → substring → xxhash64.
+    """
+    norm = F.lower(normalize_col(text_col))
+    grams = df.select(
+        id_col,
+        norm.alias("_t"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(0)))
+        ).alias("i"),
+    ).select(id_col, F.xxhash64(F.substring("_t", F.col("i"), k)).alias("h"))
+    return grams.where(F.pmod("h", F.lit(keep_every)) == 0).distinct()
+
+
+# --------------------------------------------------------------------------
+# Evaluation metrics (RecMetric analog)
+# --------------------------------------------------------------------------
+
+
+def rec_metrics(pairs: DataFrame, pred_col: str = "pred",
+                label_col: str = "label") -> DataFrame:
+    """Per-pair exact match + normalized edit distance, with built-in
+    `levenshtein` (the reference computes this via rapidfuzz,
+    reference: mindocr/metrics/rec_metrics.py:122). Per-row doubles only —
+    aggregate with exact int sums downstream."""
+    lev = F.levenshtein(F.col(pred_col), F.col(label_col))
+    denom = F.greatest(F.length(pred_col), F.length(label_col), F.lit(1))
+    return pairs.withColumn("lev", lev).withColumn(
+        "exact", (F.col(pred_col) == F.col(label_col)).cast("int")
+    ).withColumn(
+        "norm_ed", F.round(F.lit(1.0) - lev.cast("double") / denom.cast("double"), 6)
+    )

@@ -1,0 +1,146 @@
+"""multimodal — opaque binary payload columns with typed metadata.
+
+The reference's whole input path is "bytes → decode → fixed-shape
+features" (reference: mindocr/data/transforms/general_transforms.py:25-64
+``DecodeImage``; LMDB byte payloads, mindocr/data/rec_lmdb_dataset.py:169-181).
+Here the same plumbing is generalized to any media payload: an opaque
+``payload: binary`` column plus a ``media_meta`` struct, processed by
+Arrow-batched ``mapInPandas`` stages whose *Spark-side* contract (schema,
+batch shape, partitioning, failure semantics) is real and tested, while
+the codec itself is stubbed:
+
+- real decoders (PIL/cv2/ffmpeg) are NOT in this container — the
+  ``decode=`` hook raises :class:`NotImplementedError` unless a
+  deterministic fake is injected (tests inject :func:`fake_decode`);
+- everything around the codec — skew-aware size bucketing, per-batch
+  vectorized feature extraction, `skip`-style failure flagging — is the
+  production code path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_META_DDL = (
+    "media_meta struct<kind:string,width:int,height:int,n_frames:int,"
+    "sample_rate:int,codec:string>"
+)
+
+FEATURES_SCHEMA = (
+    "id bigint, kind string, n_bytes bigint, checksum string, "
+    "mean_intensity double, feature array<float>, failed boolean"
+)
+
+
+def real_decode(payload: bytes, kind: str) -> np.ndarray:
+    """The codec boundary. Wire in PIL/cv2/soundfile/ffmpeg here on a
+    cluster with media libs installed."""
+    raise NotImplementedError(
+        "media codecs are not available in this environment; "
+        "inject decode=fake_decode for plumbing tests"
+    )
+
+
+def fake_decode(payload: bytes, kind: str) -> np.ndarray:
+    """Deterministic stand-in decoder: bytes → uint8 tensor whose shape
+    depends on `kind` — exercises the exact batch/shape plumbing the real
+    codec would."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if kind == "image":
+        side = max(1, int(len(arr) ** 0.5))
+        return arr[: side * side].reshape(side, side)
+    if kind == "audio":
+        return arr.astype(np.float32) / 255.0
+    if kind == "video":
+        frame = max(1, len(arr) // 4)
+        return arr[: frame * 4].reshape(4, frame)
+    return arr
+
+
+def extract_media_features(
+    df: DataFrame,
+    decode: Callable[[bytes, str], np.ndarray] = real_decode,
+    feat_dim: int = 8,
+) -> DataFrame:
+    """(id, payload, media_meta) → per-item features.
+
+    One narrow ``mapInPandas``: decode (codec hook) → vectorized numpy
+    feature summary (histogram-ish projection to feat_dim) per item in
+    the Arrow batch. Failures flag ``failed=true`` and flow through (the
+    reference's skip=True contract,
+    reference: deploy/py_infer/src/parallel/datatype/process_data.py:7-26).
+    """
+    import hashlib
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rid, payload, meta in zip(pdf["id"], pdf["payload"], pdf["media_meta"]):
+                kind = (meta or {}).get("kind", "unknown")
+                b = bytes(payload or b"")
+                row = dict(
+                    id=rid, kind=kind, n_bytes=len(b),
+                    checksum=hashlib.md5(b).hexdigest(),
+                    mean_intensity=0.0,
+                    feature=[0.0] * feat_dim, failed=False,
+                )
+                try:
+                    tensor = decode(b, kind)
+                    flat = np.asarray(tensor, dtype=np.float64).ravel()
+                    if flat.size:
+                        row["mean_intensity"] = float(np.round(flat.mean(), 6))
+                        hist, _ = np.histogram(
+                            flat, bins=feat_dim,
+                            range=(0.0, max(float(flat.max()), 1.0)),
+                        )
+                        row["feature"] = (
+                            hist / max(flat.size, 1)
+                        ).astype(np.float32).tolist()
+                except NotImplementedError:
+                    row["failed"] = True
+                except Exception:
+                    row["failed"] = True
+                out.append(row)
+            if out:
+                yield pd.DataFrame(out)
+
+    return df.select("id", "payload", "media_meta").mapInPandas(
+        fn, schema=FEATURES_SCHEMA
+    )
+
+
+def size_bucketed(df: DataFrame, target_partitions: int) -> DataFrame:
+    """Range-partition by payload size before the decode stage — the
+    gear-batching analog (reference:
+    deploy/py_infer/src/data_process/utils/gear_utils.py:11-35): co-batches
+    similar-sized media so a 4K video doesn't stall a thumbnail batch."""
+    return df.repartitionByRange(target_partitions, F.length("payload"))
+
+
+def synth_media_table(spark, n: int = 64, seed: int = 7) -> DataFrame:
+    """Deterministic fake media corpus for plumbing tests: payload bytes
+    derive from (seed, id) via JVM-side expressions (no Python)."""
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    base = spark.range(n).select(
+        F.col("id"),
+        kinds.getItem(F.pmod(F.col("id"), F.lit(3)).cast("int")).alias("kind"),
+    )
+    payload = F.repeat(
+        F.concat(F.md5(F.concat_ws(":", F.lit(seed), F.col("id"))), F.lit("|")),
+        (F.pmod(F.col("id") * 37 + seed, F.lit(29)) + 2).cast("int"),
+    ).cast("binary")
+    return base.select(
+        "id",
+        payload.alias("payload"),
+        F.struct(
+            F.col("kind"),
+            F.lit(64).alias("width"), F.lit(64).alias("height"),
+            F.lit(4).alias("n_frames"), F.lit(16000).alias("sample_rate"),
+            F.lit("fake").alias("codec"),
+        ).alias("media_meta"),
+    )

@@ -1,0 +1,123 @@
+"""pages — build and persist the canonical `pages` input table.
+
+Two provenances for the same `input_hint` schema
+``(url string, warc_ts timestamp, html binary, text string, lang string)``:
+
+- :func:`mindocr_spark.corpus.pages_dataframe` — the fully synthetic
+  long-tailed corpus (skew tail, charsets, entities) used for golden
+  fixtures and benchmarking.
+- :func:`pages_from_documents` (here) — wraps the driver-provided
+  ``documents`` parquet table into deterministic HTML pages **using only
+  JVM-side SQL expressions** (``concat`` of literals — no Python in the
+  loop), so the whole page synthesis stays inside whole-stage codegen and
+  the correctness oracle can reproduce the expected extraction in ANSI
+  SQL.
+
+This mirrors the reference's dataset converters, which normalize eight
+external formats into one canonical contract
+(reference: tools/dataset_converters/convert.py:32-54).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: Fixed lead paragraph injected before the document body. Stopword-rich
+#: and ≥200 chars so its node score saturates, giving the body node a
+#: high-scoring neighbour under the score-smoothing pass (the FPN analog)
+#: — this makes "extraction recovers anchor + body exactly" provable for
+#: any body ≥150 chars, which is what the SQL oracle asserts.
+PAGES_TEMPLATE_ANCHOR = (
+    "This is the lead paragraph of the page and it is here so that the "
+    "main content of the document has a stable neighbourhood for the "
+    "score smoothing to work with and it will be part of the extracted "
+    "text of every page in this corpus."
+)
+
+#: Unix seconds of 2024-01-01T00:00:00Z — warc_ts epoch for synthesized pages.
+_TS_EPOCH = 1704067200
+
+
+def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents(doc_id, text, lang, ...) → pages(url, warc_ts, html, text, lang).
+
+    The HTML template is pure chrome (header/nav/aside/footer — all
+    link-dense or inside negative-ancestor tags, so every chrome node
+    scores 0 under the extraction spec) around ``<p>ANCHOR</p><p>{text}</p>``.
+    For bodies ≥150 normalized chars the spec provably extracts exactly
+    ``ANCHOR + "\\n" + text`` (single block), giving a byte-identical SQL
+    oracle on the untouched `documents` table.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    html_str = F.concat(
+        F.lit(
+            '<!DOCTYPE html><html><head><meta charset="utf-8"><title>Doc '
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            "</title><style>.m{max-width:60em}</style>"
+            "<script>var p=1;track();</script></head><body>"
+            "<!-- synthesized page -->"
+            '<header><a href="/">Home</a></header>'
+            '<nav><ul><li><a href="/products">Products</a></li>'
+            '<li><a href="/about">About</a></li>'
+            '<li><a href="/contact">Contact</a></li></ul></nav>'
+            "<main><article><p>"
+        ),
+        F.lit(PAGES_TEMPLATE_ANCHOR),
+        F.lit("</p><p>"),
+        F.col("text"),
+        F.lit(
+            "</p></article></main>"
+            '<aside><h3>Related</h3><ul><li><a href="/p/1">related reading one</a></li>'
+            '<li><a href="/p/2">related reading two</a></li></ul></aside>'
+            "<footer><p>&copy; 2024 Example Inc. "
+            '<a href="/terms">Terms</a> <a href="/privacy">Privacy</a></p></footer>'
+            "</body></html>"
+        ),
+    )
+    return docs.select(
+        F.concat(
+            F.lit("https://docs.example/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(_TS_EPOCH) + F.col("doc_id")).alias("warc_ts"),
+        html_str.cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("doc_id"),
+    )
+
+
+def read_pages(spark: SparkSession, path: str) -> DataFrame:
+    """Scan the pages table. On a cluster this is
+    ``spark.read.format("iceberg").load(tbl)`` with bucket(16, warc_ts) +
+    bucket(64, xxhash64(url)) partition pruning; locally plain parquet —
+    the plan downstream is identical (SURVEY §4)."""
+    return spark.read.parquet(path)
+
+
+def write_pages_partitioned(
+    pages: DataFrame, path: str, ts_buckets: int = 16, url_buckets: int = 8
+) -> None:
+    """Persist pages with the scale-out layout from the north rule:
+    partitioned by a warc_ts day bucket, salted within each partition by
+    url-hash so one hot crawl-day cannot produce a straggler task.
+
+    Iceberg's ``bucket(N, warc_ts)`` + ``bucket(M, url)`` transforms are
+    emulated with explicit derived columns (parquet has no hidden
+    partitioning); the physical layout — and the skew behavior — is the
+    same.
+    """
+    (
+        pages.withColumn(
+            "ts_bucket", F.pmod(F.xxhash64(F.col("warc_ts")), F.lit(ts_buckets))
+        )
+        .repartition(ts_buckets * url_buckets,
+                     F.col("ts_bucket"), F.pmod(F.xxhash64("url"), F.lit(url_buckets)))
+        .write.mode("overwrite")
+        .partitionBy("ts_bucket")
+        .parquet(path)
+    )

@@ -1,0 +1,51 @@
+"""incremental — exactly-once incremental extraction over a growing
+pages directory.
+
+``readStream`` over the parquet `pages` layout → the same fused
+extraction stage the batch job uses → parquet sink with checkpointed
+file-source progress. `trigger(availableNow=True)` gives the reference's
+bounded-stream semantics (drain everything currently available, then
+stop — the StopSign analog, reference:
+deploy/py_infer/src/parallel/parallel_pipeline.py:35-36) while the
+checkpoint dir carries resume state: re-running after new files land
+processes ONLY the new files. This is the micro-batch flavour of the
+north rule's "resumable from checkpoint"; the partition-lineage flavour
+for batch jobs lives in :mod:`mindocr_spark.sources.lineage`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from mindocr_spark.corpus import PAGES_SCHEMA_DDL
+from mindocr_spark.operators.stages import extract_stage
+
+
+def incremental_extract(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain all unprocessed page files into the results sink, then stop.
+
+    Blocking; idempotent across restarts (file-source checkpoint tracks
+    consumed files, parquet sink commits atomically per micro-batch).
+    """
+    reader = (
+        spark.readStream.schema(PAGES_SCHEMA_DDL)
+        .option("latestFirst", "false")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.parquet(pages_dir)
+    result = extract_stage(pages)
+    (
+        result.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
