@@ -45,8 +45,12 @@ def _epoch_sec(ts_col: str):
 
 def _extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pages(from documents) → fused extraction, with doc_id recovered
-    from the url for oracle joins."""
-    pages = pages_from_documents(spark, sf_dir)
+    from the url for oracle joins. The documents parquet is a single
+    small file (1 input split) — repartition to the session parallelism
+    so the CPU-bound extraction stage uses every core."""
+    pages = pages_from_documents(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     res = run_extraction(pages.drop("doc_id"))
     return res.withColumn(
         "doc_id", F.element_at(F.split("url", "/"), -1).cast("bigint")

@@ -1,0 +1,103 @@
+"""bench — headline-query benchmark harness.
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "docs_per_sec": ..., "cpus": ...}
+
+The flagship measurement is extraction throughput (docs/sec) over a
+deterministic synthetic Common-Crawl-style corpus (the north-rule
+metric); the rest of the suite times the operator families. Execution is
+forced with the noop sink (no driver collect, no pruning shortcut).
+
+Scaling evidence (north rule: thr(4N)/(4·thr(N)) ≥ 0.8) is produced by
+running this file twice: SPARK_GRAFT_CPUS=8 and =32 — see BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: Pages in the synthetic flagship corpus (long-tailed sizes, skew tail).
+CORPUS_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "24000"))
+
+
+def _force(df) -> int:
+    """Execute the full plan without materializing to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from mindocr_spark.session import get_spark
+    from mindocr_spark.corpus import pages_dataframe
+    from mindocr_spark.operators.pipeline import run_extraction
+
+    import __spark_entry__ as E
+
+    spark = get_spark(app="mindocr_spark_bench", cores=cpus,
+                      shuffle_partitions=cpus)
+
+    # sf label from the dir name (e.g. .../sf0.1 → 0.1)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    timings: dict[str, float] = {}
+
+    # -- flagship: synthetic-corpus extraction (the north-rule metric) ----
+    corpus = pages_dataframe(spark, CORPUS_ROWS, seed=42,
+                             partitions=cpus * 4).cache()
+    n_docs = corpus.count()  # materialize cache so timing is extraction-only
+    t0 = time.perf_counter()
+    _force(run_extraction(corpus))
+    t_extract = time.perf_counter() - t0
+    timings["extract_corpus"] = round(t_extract, 3)
+    docs_per_sec = round(n_docs / t_extract, 1)
+    corpus.unpersist()
+
+    # -- headline operator queries over the sf tables ---------------------
+    headline = [
+        "extract_fulltext",     # pages-from-documents end-to-end extraction
+        "agg_partial_final",    # scan-heavy partial+final aggregation
+        "multi_join_revenue",   # multi-way join
+        "topk_per_group",       # window top-k
+        "sessionize",           # stateful window
+        "minhash_lsh",          # dedup scale path
+        "ngram_jaccard",        # dedup exact verify path
+        "ann_cosine_topk",      # similarity search
+        "simhash_neardup",      # simhash + banded hamming
+    ]
+    qs = E.queries()
+    for name in headline:
+        t0 = time.perf_counter()
+        _force(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline suite wall time (extraction + operator queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "docs_per_sec": docs_per_sec,
+        "corpus_rows": n_docs,
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -71,7 +71,10 @@ def ngram_jaccard_pairs(df: DataFrame, k: int = 3, threshold: float = 0.5,
     :func:`minhash_lsh_pairs`. Jaccard is one IEEE division of two exact
     ints, rounded — bit-identical to the SQL oracle.
     """
-    sh = word_shingles(df, k=k, text_col=text_col, id_col=id_col)
+    # The shingle relation feeds three consumers (sizes, both join sides);
+    # persist so the parse+window subtree runs once, not 3× (at cluster
+    # scale this is a staged intermediate table).
+    sh = word_shingles(df, k=k, text_col=text_col, id_col=id_col).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -155,8 +158,10 @@ def minhash_lsh_pairs(df: DataFrame, n_perm: int = 64, bands: int = 16,
     Returns (id_a, id_b, n_match, est_jaccard ≥ threshold).
     """
     rows_per_band = n_perm // bands
+    # signatures feed the band bucketing AND both sides of the estimate
+    # join — persist the ≤ docs×n_perm relation once.
     sig = minhash_signatures(df, n_perm=n_perm, k=k,
-                             text_col=text_col, id_col=id_col)
+                             text_col=text_col, id_col=id_col).persist()
     banded = (
         sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
         .groupBy(id_col, "band")
@@ -167,6 +172,7 @@ def minhash_lsh_pairs(df: DataFrame, n_perm: int = 64, bands: int = 16,
                 )))
             ).alias("bucket")
         )
+        .persist()
     )
     cand = (
         banded.alias("x")
@@ -245,7 +251,9 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "text",
     chunks ⇒ ≥1 chunk identical) → exact hamming via bit_count(xor).
     Scales like LSH: shuffle on chunk value, never all-pairs.
     """
-    sims = simhash_col(df, text_col=text_col, id_col=id_col)
+    # one Arrow-batched fold, then the chunk relation joins itself —
+    # persist so the UDF stage runs once.
+    sims = simhash_col(df, text_col=text_col, id_col=id_col).persist()
     chunks = sims.select(
         id_col, "simhash",
         F.explode(
@@ -258,7 +266,7 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "text",
                 for i in range(4)
             ])
         ).alias("c"),
-    ).select(id_col, "simhash", "c.chunk", "c.val")
+    ).select(id_col, "simhash", "c.chunk", "c.val").persist()
     a = chunks.alias("a")
     b = chunks.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

@@ -14,8 +14,10 @@ from pyspark.sql import SparkSession
 
 #: Arrow batch size — plays the role of the reference's dataset
 #: ``batch_size`` (reference: mindocr/data/builder.py:186-195): each
-#: mapInPandas invocation sees ≤ this many documents.
-ARROW_BATCH = 256
+#: mapInPandas invocation sees ≤ this many documents. Larger batches
+#: amortize JVM↔python Arrow IPC (the dominant overhead at high
+#: parallelism); smaller batches bound worker memory for huge pages.
+ARROW_BATCH = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "1024"))
 
 
 def get_spark(
