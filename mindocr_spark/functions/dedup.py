@@ -112,11 +112,20 @@ _MERSENNE_31 = (1 << 31) - 1
 
 
 def _perm_table(spark, n_perm: int) -> DataFrame:
-    return spark.range(n_perm).select(
-        F.col("id").cast("int").alias("perm"),
-        (F.col("id") * 2 + 1).alias("a"),
-        (F.col("id") * 7919 + 12345).alias("b"),
-    )
+    """(perm, a, b) universal-hash parameters, a ∈ [1, p-1], b ∈ [0, p-1],
+    derived from md5 of the perm index — full-range multipliers (tiny
+    sequential multipliers correlate the permutations and wreck the
+    Jaccard estimate), pinned and engine-independent."""
+    import hashlib
+
+    def _c(tag: str, i: int, lo: int) -> int:
+        h = int.from_bytes(
+            hashlib.md5(f"minhash:{tag}:{i}".encode()).digest()[:8], "big"
+        )
+        return h % (_MERSENNE_31 - lo) + lo
+
+    rows = [(i, _c("a", i, 1), _c("b", i, 0)) for i in range(n_perm)]
+    return spark.createDataFrame(rows, "perm int, a bigint, b bigint")
 
 
 def minhash_signatures(df: DataFrame, n_perm: int = 64, k: int = 3,

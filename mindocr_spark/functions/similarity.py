@@ -100,9 +100,10 @@ def cosine_topk(
 # --------------------------------------------------------------------------
 
 
-def _planes(dim: int, n_bits: int) -> list[list[float]]:
+def _planes(dim: int, n_bits: int, table: int = 0) -> list[list[float]]:
     """Pinned pseudo-random hyperplanes: plane[i][j] derives from a fixed
-    integer hash (no RNG state), identical across runs and engines."""
+    integer hash (no RNG state), identical across runs and engines.
+    Each `table` index yields an independent plane set (multi-table LSH)."""
     import hashlib
 
     planes = []
@@ -110,7 +111,7 @@ def _planes(dim: int, n_bits: int) -> list[list[float]]:
         row = []
         for j in range(dim):
             h = int.from_bytes(
-                hashlib.md5(f"plane:{i}:{j}".encode()).digest()[:8], "big"
+                hashlib.md5(f"plane:{table}:{i}:{j}".encode()).digest()[:8], "big"
             )
             row.append((h / float(1 << 63)) - 1.0)  # ∈ [-1, 1)
         planes.append(row)
@@ -133,39 +134,56 @@ def lsh_topk(
     k: int = 5,
     n_bits: int = 8,
     dim: int = 64,
+    n_tables: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: corpus bucketed once by sign-bit LSH; each query
-    probes its own bucket plus all single-bit-flip neighbours
-    (multi-probe, recall ≫ single-bucket), exact cosine re-rank inside.
+    """Approximate top-k: multi-table sign-bit LSH. The corpus is bucketed
+    once per table; each query probes its own bucket plus all
+    single-bit-flip neighbours (multi-probe) in every table; candidates
+    union across tables; exact cosine re-rank inside.
 
-    Cost: |corpus| bucket assignments (narrow) + a join whose width is
-    bucket occupancy × (n_bits+1) probes — independent of corpus size
-    per query. Returns (query_id, neighbor_id, cos_sim, rank).
+    Cost: n_tables × |corpus| bucket assignments (narrow, one pass) + a
+    join whose width is bucket occupancy × (n_bits+1) × n_tables probes —
+    independent of corpus size per query. Recall rises as
+    1-(1-r₁)^n_tables. Returns (query_id, neighbor_id, cos_sim, rank).
     """
-    planes = _planes(dim, n_bits)
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), vec_double(vec_col).alias("cv")
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), vec_double(vec_col).alias("qv")
-    ).withColumn("qbucket", lsh_bucket(F.col("qv"), planes))
-    probes = F.array(
-        F.col("qbucket"),
-        *[
-            F.col("qbucket").bitwiseXOR(F.lit(1 << i)).cast("long")
+    )
+    # one pass computes every table's bucket: (table, bucket) exploded
+    c_buckets = c.select(
+        "neighbor_id", "cv",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(F.col("cv"), _planes(dim, n_bits, t)).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ])).alias("tb"),
+    ).select("neighbor_id", "cv", "tb.tbl", "tb.bucket")
+    probe_structs = []
+    for t in range(n_tables):
+        qb = lsh_bucket(F.col("qv"), _planes(dim, n_bits, t))
+        probe_structs.append(F.struct(F.lit(t).alias("tbl"), qb.alias("bucket")))
+        probe_structs += [
+            F.struct(
+                F.lit(t).alias("tbl"),
+                qb.bitwiseXOR(F.lit(1 << i)).cast("long").alias("bucket"),
+            )
             for i in range(n_bits)
-        ],
-    )
+        ]
     q_probed = q.select(
-        "query_id", "qv", F.explode(probes).alias("bucket")
-    )
+        "query_id", "qv", F.explode(F.array(*probe_structs)).alias("tb")
+    ).select("query_id", "qv", "tb.tbl", "tb.bucket")
     sim = F.round(cosine(F.col("qv"), F.col("cv")), round_to)
     scored = (
         F.broadcast(q_probed)
-        .join(c, on="bucket")
+        .join(c_buckets, on=["tbl", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("cos_sim"))
         .distinct()

@@ -1,0 +1,73 @@
+"""Dedup operator goldens: planted duplicates with known relationships."""
+
+import pytest
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs to the river "
+    "where it finds an old boat left by travelers on their way home"
+)
+NEAR = BASE.replace("old boat", "new boat")   # 1-word edit → high jaccard
+OTHER = "completely different content about spark catalyst optimizer plans"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, BASE), (3, NEAR), (4, OTHER)],
+        "doc_id bigint, text string",
+    )
+
+
+def test_exact_dup_clusters(spark, docs):
+    from mindocr_spark.functions.dedup import exact_dup_clusters
+
+    out = {r["doc_id"]: r for r in exact_dup_clusters(docs).collect()}
+    assert out[1]["cluster_size"] == 2 and out[1]["is_dup"]
+    assert out[2]["cluster_rep"] == 1
+    assert not out[3]["is_dup"] and not out[4]["is_dup"]
+
+
+def test_ngram_jaccard_planted_pair(spark, docs):
+    from mindocr_spark.functions.dedup import ngram_jaccard_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r for r in
+             ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 2)]["jaccard"] == 1.0          # exact dup
+    assert 0.5 <= pairs[(1, 3)]["jaccard"] < 1.0    # near dup
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_minhash_estimates_track_exact_jaccard(spark, docs):
+    from mindocr_spark.functions.dedup import minhash_lsh_pairs
+
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in
+           minhash_lsh_pairs(docs, threshold=0.3).collect()}
+    assert est[(1, 2)] == 1.0                        # identical signatures
+    assert (1, 3) in est and est[(1, 3)] >= 0.5      # near dup caught by LSH
+    assert (1, 4) not in est
+
+
+def test_minhash_signature_shape(spark, docs):
+    from mindocr_spark.functions.dedup import minhash_signatures
+
+    sig = minhash_signatures(docs, n_perm=16)
+    assert sig.count() == 4 * 16
+    # signature of identical docs identical
+    rows = sig.where("doc_id in (1,2)").collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["perm"], set()).add(r["minh"])
+    assert all(len(v) == 1 for v in by.values())
+
+
+def test_simhash_identical_and_near(spark, docs):
+    from mindocr_spark.functions.dedup import simhash_col, simhash_pairs
+
+    sims = {r["doc_id"]: r["simhash"] for r in simhash_col(docs).collect()}
+    assert sims[1] == sims[2]
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_pairs(docs, max_hamming=16).collect()}
+    assert pairs[(1, 2)] == 0
+    assert pairs.get((1, 3), 99) <= 16               # near dup within radius
+    assert (1, 4) not in pairs or pairs[(1, 4)] > 16

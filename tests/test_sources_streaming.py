@@ -1,0 +1,90 @@
+"""Sources (golden TSV round-trip, lineage resume) + incremental
+streaming extraction with checkpoint resume."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def tmpdirs(tmp_path):
+    return {k: str(tmp_path / k) for k in
+            ("pages", "out", "ckpt", "tsv", "lineage")}
+
+
+def _corpus(spark, n, start=0):
+    from mindocr_spark.corpus import generate_batch, PAGES_SCHEMA_DDL
+
+    return spark.createDataFrame(
+        generate_batch(42, range(start, start + n)), PAGES_SCHEMA_DDL
+    )
+
+
+def test_golden_tsv_roundtrip(spark, tmpdirs):
+    from mindocr_spark.operators.stages import extract_stage
+    from mindocr_spark.sources.golden_tsv import read_golden_tsv, write_golden_tsv
+
+    result = extract_stage(_corpus(spark, 24))
+    write_golden_tsv(result, tmpdirs["tsv"])
+    back = read_golden_tsv(spark, tmpdirs["tsv"])
+    orig = {r["url"]: r for r in result.collect()}
+    rt = {r["url"]: r for r in back.collect()}
+    assert set(orig) == set(rt)
+    for url in orig:
+        assert rt[url]["extracted_text"] == orig[url]["extracted_text"]
+        assert len(rt[url]["spans"] or []) == len(orig[url]["spans"])
+
+
+def test_incremental_streaming_resume(spark, tmpdirs):
+    """availableNow drains what exists; a second run after new files land
+    processes ONLY the new files (file-source checkpoint) — the
+    north-rule resume-from-checkpoint behavior, micro-batch flavour."""
+    from mindocr_spark.streaming import incremental_extract
+
+    _corpus(spark, 20).write.mode("append").parquet(tmpdirs["pages"])
+    incremental_extract(spark, tmpdirs["pages"], tmpdirs["out"], tmpdirs["ckpt"])
+    n1 = spark.read.parquet(tmpdirs["out"]).count()
+    assert n1 == 20
+
+    _corpus(spark, 15, start=1000).write.mode("append").parquet(tmpdirs["pages"])
+    incremental_extract(spark, tmpdirs["pages"], tmpdirs["out"], tmpdirs["ckpt"])
+    out = spark.read.parquet(tmpdirs["out"])
+    assert out.count() == 35                      # 20 old + 15 new, no reprocess
+    assert out.select("url").distinct().count() == 35
+
+
+def test_lineage_resume_filter(spark, tmpdirs):
+    from mindocr_spark.sources.lineage import (
+        committed_partition_keys,
+        record_commit,
+        resume_filter,
+    )
+
+    pages = _corpus(spark, 30).withColumn(
+        "ts_bucket", F.pmod(F.xxhash64("url"), F.lit(4))
+    )
+    # nothing committed yet → everything pending
+    committed = committed_partition_keys(spark, tmpdirs["lineage"])
+    assert resume_filter(pages, committed).count() == 30
+
+    # commit bucket 1, resume skips exactly its rows
+    n_b1 = pages.where("ts_bucket = 1").count()
+    record_commit(spark, tmpdirs["lineage"], "run-1", 1,
+                  docs=n_b1, bytes_in=0, chars_out=0, failures=0, wall_ms=5)
+    committed = committed_partition_keys(spark, tmpdirs["lineage"])
+    pending = resume_filter(pages, committed)
+    assert pending.count() == 30 - n_b1
+    assert pending.where("ts_bucket = 1").count() == 0
+
+
+def test_write_pages_partitioned_layout(spark, tmp_path):
+    from mindocr_spark.sources.pages import read_pages, write_pages_partitioned
+
+    path = str(tmp_path / "pp")
+    write_pages_partitioned(_corpus(spark, 40), path, ts_buckets=4)
+    # hive-style bucket dirs exist and the scan sees every row
+    buckets = [d for d in os.listdir(path) if d.startswith("ts_bucket=")]
+    assert 1 <= len(buckets) <= 4
+    assert read_pages(spark, path).count() == 40
