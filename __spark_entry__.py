@@ -112,8 +112,10 @@ def q_agg_partial_final(spark, sf_dir):
     DECIMAL-exact sums so the value-hash matches the oracle bit-for-bit."""
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
+    # NTZ-literal comparison: tz-independent AND parquet-pushable (an
+    # expression like timestampdiff(...) <= N would disable pushdown)
     return (
-        li.where(_epoch_sec("l_shipdate") <= 904694400)
+        li.where(F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ'1998-09-02 00:00:00'"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
@@ -481,6 +483,47 @@ def q_embedding_neardup(spark, sf_dir):
 
 
 # ==========================================================================
+# Layout / PDF block path (det→layout second payload)
+# ==========================================================================
+
+
+def q_layout_reading_order(spark, sf_dir):
+    """2-D blocks → chrome filter → containment NMS → newspaper reading
+    order (the sorted_boxes + lanms capabilities over PDF-style geometry)."""
+    from mindocr_spark.operators.layout import (
+        CHROME_KINDS,
+        reading_order,
+        suppress_contained,
+        synth_layout_blocks,
+    )
+
+    blocks = synth_layout_blocks(spark, sf_dir)
+    content = suppress_contained(blocks.where(~F.col("kind").isin(*CHROME_KINDS)))
+    return (
+        reading_order(content)
+        .select(
+            "doc_id",
+            F.col("rn").cast("bigint").alias("rn"),
+            F.col("page").cast("int").alias("page"),
+            "x0",
+            F.substring("text", 1, 10).alias("snippet"),
+        )
+        .orderBy("doc_id", "rn")
+    )
+
+
+def q_layout_assemble(spark, sf_dir):
+    """Full layout path: blocks → per-doc assembled text."""
+    from mindocr_spark.operators.layout import assemble_document, synth_layout_blocks
+
+    return (
+        assemble_document(synth_layout_blocks(spark, sf_dir))
+        .select("doc_id", "doc_text", F.col("n_blocks").cast("bigint").alias("n_blocks"))
+        .orderBy("doc_id")
+    )
+
+
+# ==========================================================================
 # Multimodal plumbing
 # ==========================================================================
 
@@ -541,6 +584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash_neardup": q_simhash_neardup,
+        "layout_reading_order": q_layout_reading_order,
+        "layout_assemble": q_layout_assemble,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -772,6 +817,33 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
             WHERE round(CAST(n_inter AS DOUBLE) / CAST(x.n + y.n - n_inter AS DOUBLE), 6) >= 0.1
             ORDER BY id_a, id_b
+        """,
+        "layout_reading_order": """
+            WITH ch AS (
+              SELECT doc_id, length(text) AS L, length(text) // 4 AS q, text
+              FROM documents)
+            SELECT doc_id, rn, page, x0, snippet FROM (
+              SELECT doc_id, CAST(1 AS BIGINT) AS rn, 1 AS page, 36.0 AS x0,
+                     substr(text, 1, 10) AS snippet FROM ch
+              UNION ALL
+              SELECT doc_id, 2, 1, 318.0, substr(text, q + 1, 10) FROM ch
+              UNION ALL
+              SELECT doc_id, 3, 2, 36.0, substr(text, 2 * q + 1, 10) FROM ch
+              UNION ALL
+              SELECT doc_id, 4, 2, 318.0, substr(text, 3 * q + 1, 10) FROM ch
+            ) ORDER BY doc_id, rn
+        """,
+        "layout_assemble": """
+            WITH ch AS (
+              SELECT doc_id, length(text) AS L, length(text) // 4 AS q, text
+              FROM documents)
+            SELECT doc_id,
+                   substr(text, 1, q) || chr(10) || chr(10)
+                   || substr(text, q + 1, q) || chr(10) || chr(10)
+                   || substr(text, 2 * q + 1, q) || chr(10) || chr(10)
+                   || substr(text, 3 * q + 1, L - 3 * q) AS doc_text,
+                   CAST(4 AS BIGINT) AS n_blocks
+            FROM ch ORDER BY doc_id
         """,
         "ann_cosine_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

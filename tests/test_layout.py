@@ -1,0 +1,87 @@
+"""Layout block path: NMS suppression, reading order, assembly goldens."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def blocks(spark):
+    rows = [
+        # doc 1, page 1: header + two columns + a contained duplicate + footer
+        (1, 1, 36.0, 0.0, 576.0, 40.0, "header", "HEADER"),
+        (1, 1, 36.0, 50.0, 294.0, 760.0, "para", "left column"),
+        (1, 1, 40.0, 60.0, 200.0, 200.0, "para", "CONTAINED"),
+        (1, 1, 318.0, 50.0, 576.0, 760.0, "para", "right column"),
+        (1, 1, 36.0, 770.0, 576.0, 792.0, "footer", "FOOTER"),
+        # doc 1, page 2: single block
+        (1, 2, 36.0, 50.0, 576.0, 760.0, "para", "second page"),
+        # doc 2: out-of-order input (right col listed first)
+        (2, 1, 318.0, 50.0, 576.0, 760.0, "para", "B"),
+        (2, 1, 36.0, 50.0, 294.0, 760.0, "para", "A"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_id bigint, page int, x0 double, y0 double, x1 double, "
+        "y1 double, kind string, text string",
+    )
+
+
+def test_suppress_contained(spark, blocks):
+    from mindocr_spark.operators.layout import suppress_contained
+
+    out = suppress_contained(blocks)
+    texts = {r["text"] for r in out.collect()}
+    assert "CONTAINED" not in texts
+    assert {"left column", "right column", "second page"} <= texts
+    # chrome untouched by NMS (separate concern)
+    assert "HEADER" in texts
+
+
+def test_reading_order_newspaper(spark, blocks):
+    from mindocr_spark.operators.layout import reading_order
+
+    content = blocks.where("kind = 'para' and text != 'CONTAINED'")
+    ordered = {
+        (r["doc_id"], r["rn"]): r["text"]
+        for r in reading_order(content).collect()
+    }
+    assert ordered[(1, 1)] == "left column"
+    assert ordered[(1, 2)] == "right column"
+    assert ordered[(1, 3)] == "second page"     # page 2 after page 1
+    assert ordered[(2, 1)] == "A"               # input order irrelevant
+    assert ordered[(2, 2)] == "B"
+
+
+def test_assemble_document_golden(spark, blocks):
+    from mindocr_spark.operators.layout import assemble_document
+
+    out = {r["doc_id"]: r for r in assemble_document(blocks).collect()}
+    assert out[1]["doc_text"] == "left column\n\nright column\n\nsecond page"
+    assert out[1]["n_blocks"] == 3              # chrome + contained dropped
+    assert out[2]["doc_text"] == "A\n\nB"
+
+
+def test_parse_pdf_is_stubbed():
+    from mindocr_spark.operators.layout import parse_pdf
+
+    with pytest.raises(NotImplementedError):
+        parse_pdf(b"%PDF-1.4")
+
+
+def test_synth_blocks_roundtrip(spark, sf_dir):
+    """Assembled synthetic layout equals the source text re-joined from
+    its quarters (the generate-then-recover pattern)."""
+    from mindocr_spark.operators.layout import assemble_document, synth_layout_blocks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    sub = synth_layout_blocks(spark, sf_dir).join(
+        docs.select("doc_id"), "doc_id"
+    )
+    out = {r["doc_id"]: r["doc_text"] for r in assemble_document(sub).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        L = len(r["text"])
+        q = L // 4
+        expect = "\n\n".join(
+            [r["text"][:q], r["text"][q:2 * q], r["text"][2 * q:3 * q],
+             r["text"][3 * q:]]
+        )
+        assert out[r["doc_id"]] == expect

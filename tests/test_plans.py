@@ -1,0 +1,102 @@
+"""Physical-plan assertions — the scale-discipline lock.
+
+The 100 TB design depends on properties the small-SF result checks can't
+see: column pruning at the scan, predicate pushdown into parquet,
+broadcast joins for dims, no shuffle on the fused extraction path.
+These tests pin them via `.explain("formatted")` so a regression that
+silently de-optimizes the plan (e.g. an expression that blocks
+pushdown) fails CI, mirroring how the reference pins its executor
+topology in config (reference: deploy/py_infer/src/parallel/
+parallel_pipeline.py:39-67).
+"""
+
+import re
+
+import pytest
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def sf(sf_dir):
+    return sf_dir
+
+
+def test_extraction_scan_prunes_columns(spark, tmp_path):
+    """The pages scan must read exactly (url, warc_ts, html, lang) —
+    never `text` (the 100 TB ground-truth column)."""
+    from mindocr_spark.corpus import pages_dataframe
+    from mindocr_spark.operators.stages import extract_stage
+
+    path = str(tmp_path / "pages")
+    pages_dataframe(spark, 50).write.parquet(path)
+    plan = _plan(extract_stage(spark.read.parquet(path)))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"url", "warc_ts", "html", "lang"}
+
+
+def test_extraction_path_has_no_shuffle(spark, tmp_path):
+    """Fused extraction is one narrow stage: scan → mapInPandas. Zero
+    Exchange operators (SURVEY §4's zero-shuffle main path)."""
+    from mindocr_spark.corpus import pages_dataframe
+    from mindocr_spark.operators.stages import extract_stage
+
+    path = str(tmp_path / "pages2")
+    pages_dataframe(spark, 50).write.parquet(path)
+    plan = _plan(extract_stage(spark.read.parquet(path)))
+    assert "Exchange" not in plan
+
+
+def test_q1_filter_pushed_to_parquet(spark, sf):
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_agg_partial_final(spark, sf))
+    assert re.search(r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate", plan), plan
+
+
+def test_broadcast_join_strategy(spark, sf):
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_broadcast_dict_join(spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_multi_join_uses_broadcast_for_dims(spark, sf):
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_multi_join_revenue(spark, sf))
+    # nation + region are broadcast; no cartesian anywhere
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_token_stats_stays_in_codegen(spark, sf):
+    """Text-analysis queries must be pure JVM expressions — no python
+    workers (BatchEvalPython/ArrowEvalPython) in the plan."""
+    import __spark_entry__ as E
+
+    for q in ("token_stats", "quality_scores", "lang_id", "exact_dedup"):
+        plan = _plan(E.queries()[q](spark, sf))
+        # no BatchEvalPython/ArrowEvalPython: pure JVM expressions
+        # (AQE's formatted plan hides WholeStageCodegen spans pre-exec,
+        # so absence-of-python is the checkable invariant)
+        assert "EvalPython" not in plan, q
+
+
+def test_minhash_agg_is_partial_final(spark, sf):
+    """The signature min-agg must do map-side partial aggregation
+    (HashAggregate appears before AND after the exchange)."""
+    from mindocr_spark.functions.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    plan = _plan(minhash_signatures(docs))
+    first_ex = plan.find("Exchange")
+    assert first_ex > 0
+    assert "HashAggregate" in plan[:first_ex]  # partial agg before shuffle
