@@ -482,6 +482,65 @@ def q_embedding_neardup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_deterministic_sample(spark, sf_dir):
+    """Content-hash sampling (the sample_ratio scan option, reference:
+    det_dataset.py:112-158) made reproducible across engines: md5-bucket
+    instead of RNG."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.where(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+                .isin("0", "1"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+#: Pinned char dict (str2idx analog — reference: rec_transforms.py:222-246;
+#: the reference ships 94-char en_dict.txt, mindocr/utils/dict/).
+_CHAR_DICT = "abcdefghijklmnopqrstuvwxyz "
+
+
+def q_char_dict_encode(spark, sf_dir):
+    """Text → char-index sequence via broadcast dict; OOD chars skipped
+    (RecCTCLabelEncode, reference: rec_transforms.py:104-132)."""
+    d = _t(spark, sf_dir, "documents")
+    idx = F.expr(
+        "transform(split(substring(lower(text), 1, 20), ''), "
+        f"c -> instr('{_CHAR_DICT}', c))"
+    )
+    kept = F.filter(idx, lambda i: i > 0)
+    return d.select(
+        "doc_id", F.concat_ws(",", kept).alias("idx_str")
+    ).orderBy("doc_id")
+
+
+def q_argmax_cls(spark, sf_dir):
+    """Argmax over a score vector (ClsPostprocess, reference:
+    cls_postprocess.py:15-27): class = position of max logit."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.array_position(F.col("embedding"), F.array_max("embedding"))
+        .cast("bigint").alias("argmax_idx"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("max_val"),
+    ).orderBy("vec_id")
+
+
+def q_ctc_collapse(spark, sf_dir):
+    """The CTC decode semantics (dedupe consecutive repeats → drop blank
+    → join; reference: rec_postprocess.py:92-158) as pure array
+    expressions, with 'the' as the blank token."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    dedup = F.filter(
+        toks, lambda x, i: (i == 0) | (x != F.element_at(toks, i))
+    )
+    no_blank = F.filter(dedup, lambda x: x != "the")
+    return d.select(
+        "doc_id", F.concat_ws(" ", no_blank).alias("collapsed")
+    ).orderBy("doc_id")
+
+
 # ==========================================================================
 # Layout / PDF block path (det→layout second payload)
 # ==========================================================================
@@ -584,6 +643,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash_neardup": q_simhash_neardup,
+        "deterministic_sample": q_deterministic_sample,
+        "char_dict_encode": q_char_dict_encode,
+        "argmax_cls": q_argmax_cls,
+        "ctc_collapse": q_ctc_collapse,
         "layout_reading_order": q_layout_reading_order,
         "layout_assemble": q_layout_assemble,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -817,6 +880,42 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
             WHERE round(CAST(n_inter AS DOUBLE) / CAST(x.n + y.n - n_inter AS DOUBLE), 6) >= 0.1
             ORDER BY id_a, id_b
+        """,
+        "deterministic_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+            ORDER BY doc_id
+        """,
+        "char_dict_encode": f"""
+            SELECT doc_id,
+                   array_to_string(
+                     list_filter(
+                       list_transform(
+                         string_split(substr(lower(text), 1, 20), ''),
+                         c -> strpos('{_CHAR_DICT}', c)),
+                       i -> i > 0),
+                     ',') AS idx_str
+            FROM documents ORDER BY doc_id
+        """,
+        "argmax_cls": """
+            SELECT vec_id,
+                   CAST(list_position(embedding,
+                        list_aggregate(embedding, 'max')) AS BIGINT) AS argmax_idx,
+                   round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) AS max_val
+            FROM embeddings ORDER BY vec_id
+        """,
+        "ctc_collapse": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS l
+              FROM documents)
+            SELECT doc_id,
+                   array_to_string(
+                     list_filter(
+                       list_filter(l, (x, i) -> i = 1 OR x != l[i - 1]),
+                       x -> x != 'the'),
+                     ' ') AS collapsed
+            FROM t ORDER BY doc_id
         """,
         "layout_reading_order": """
             WITH ch AS (

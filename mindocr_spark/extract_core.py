@@ -97,6 +97,10 @@ STOPWORDS = frozenset(
 )
 
 _TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)(/?)>")
+_RAW_CLOSE_RES = {
+    name: re.compile(rf"</{name}\s*>", re.IGNORECASE)
+    for name in ("script", "style", "noscript", "template")
+}
 _ENTITY_RE = re.compile(r"&(#x?[0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]*);")
 _WS_RE = re.compile(r"\s+", re.UNICODE)
 _CHARSET_RE = re.compile(rb"""charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""")
@@ -173,6 +177,8 @@ def _entity_sub(m: re.Match) -> str:
 def decode_entities(text: str) -> str:
     """Decode the pinned entity set + numeric refs. Unknown entities pass
     through verbatim (determinism: no dependence on html.entities)."""
+    if "&" not in text:  # fast path: no entity can match
+        return text
     return _ENTITY_RE.sub(_entity_sub, text)
 
 
@@ -225,7 +231,8 @@ def _finish_block(doc: ParsedDoc, buf: list[str], link_chars: list[int],
         return
     words = _WORD_RE.findall(text)
     stops = sum(1 for w in words if w.lower() in STOPWORDS)
-    cjk = len(_CJK_RE.findall(text))
+    # ASCII fast path: the CJK regex cannot match ASCII text
+    cjk = 0 if text.isascii() else len(_CJK_RE.findall(text))
     doc.tag_path.append("/".join(path) if path else "")
     doc.node_text.append(text)
     doc.depth.append(len(path))
@@ -271,22 +278,23 @@ def parse_html(html: bytes) -> ParsedDoc:
             if frag and head_depth == 0:
                 if not buf:
                     block_path = list(stack)
-                dec = normalize_ws(decode_entities(frag))
-                if dec:
-                    buf.append(decode_entities(frag))
+                e = decode_entities(frag)
+                # non-empty after ws-collapse ⟺ has a non-ws char
+                if e and not e.isspace():
+                    buf.append(e)
                     if a_depth > 0:
-                        link_chars[0] += len(dec)
+                        link_chars[0] += len(normalize_ws(e))
             break
         if lt > i:
             frag = text[i:lt]
             if head_depth == 0:
-                dec = normalize_ws(decode_entities(frag))
-                if dec:
+                e = decode_entities(frag)
+                if e and not e.isspace():
                     if not buf:
                         block_path = list(stack)
-                    buf.append(decode_entities(frag))
+                    buf.append(e)
                     if a_depth > 0:
-                        link_chars[0] += len(dec)
+                        link_chars[0] += len(normalize_ws(e))
         i = lt
         # comment
         if text.startswith("<!--", i):
@@ -315,8 +323,7 @@ def parse_html(html: bytes) -> ParsedDoc:
 
         if not closing and name in RAW_TEXT_TAGS:
             # skip raw content up to the matching close tag
-            close = re.compile(rf"</{name}\s*>", re.IGNORECASE)
-            cm = close.search(text, i)
+            cm = _RAW_CLOSE_RES[name].search(text, i)
             i = n if cm is None else cm.end()
             continue
 
