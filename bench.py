@@ -80,10 +80,16 @@ def main() -> None:
         "simhash_neardup",      # simhash + banded hamming
     ]
     qs = E.queries()
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     for name in headline:
-        t0 = time.perf_counter()
-        _force(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(repeats):
+            spark.catalog.clearCache()  # drop persisted intermediates
+            t0 = time.perf_counter()
+            _force(qs[name](spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

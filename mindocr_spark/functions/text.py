@@ -129,21 +129,30 @@ def fingerprint_md5(c: Column | str) -> Column:
 
 def word_shingles(df: DataFrame, k: int = 3, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
-    """Distinct word k-shingles per doc via posexplode + window lead —
-    fully relational (scales by shuffle on the shingle key, no UDF).
+    """Distinct word k-shingles per doc — fully NARROW generation:
+    tokens → slice/transform array expressions → explode. No window, no
+    shuffle until the consumer groups on the shingle key (at 100 TB the
+    old window-lead formulation would shuffle+sort every token by doc).
 
     Returns (id_col, shingle).
     """
-    from pyspark.sql import Window
-
-    toks = df.select(id_col, F.posexplode(tokens_col(text_col)).alias("pos", "w"))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, k)]
-    sh = toks.select(
-        id_col, F.concat_ws(" ", *parts).alias("shingle"),
-        parts[-1].alias("_last"),
-    ).where(F.col("_last").isNotNull())
-    return sh.select(id_col, "shingle").distinct()
+    # bind tokens to a column FIRST: referencing the split expression
+    # inside the transform lambda would re-evaluate it per element
+    # (quadratic per doc)
+    with_toks = df.select(id_col, tokens_col(text_col).alias("_toks"))
+    toks = F.col("_toks")
+    shingles = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # array_distinct makes (doc, shingle) unique per row — no shuffle-
+    # backed DataFrame distinct needed
+    return with_toks.select(
+        id_col, F.explode(F.array_distinct(shingles)).alias("shingle")
+    )
 
 
 def rolling_fingerprints(df: DataFrame, k: int = 8, text_col: str = "text",
