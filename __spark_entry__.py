@@ -474,6 +474,17 @@ def q_ann_lsh_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN (approximate — rows-only check; recall vs exact
+    asserted in tests/test_similarity.py)."""
+    from mindocr_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 20), k=5).select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("bigint").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
 def q_embedding_neardup(spark, sf_dir):
     from mindocr_spark.functions.similarity import embedding_neardup_pairs
 
@@ -651,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_assemble": q_layout_assemble,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_features": q_multimodal_features,
     }

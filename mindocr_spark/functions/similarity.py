@@ -197,6 +197,75 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    centroid_stride: int = 25,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: the corpus is partitioned into inverted lists by
+    nearest centroid; each query probes its `n_probe` closest lists and
+    re-ranks exactly inside them.
+
+    Centroids are a deterministic 1/`centroid_stride` subsample of the
+    corpus (id % stride == 0) — the pinned stand-in for a k-means pass
+    (which would just be a Spark job refining these seeds). Assignment
+    is a broadcast pass: corpus × centroids → `max_by(cid, cos)` — one
+    narrow stage + one partial-agg shuffle, never all-pairs. Probe cost
+    per query: n_probe lists ≈ n_probe·stride vectors.
+    Returns (query_id, neighbor_id, cos_sim, rank).
+    """
+    cent = embeddings.where(F.pmod(F.col(id_col), F.lit(centroid_stride)) == 0).select(
+        F.col(id_col).alias("cid"), vec_double(vec_col).alias("cent")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), vec_double(vec_col).alias("cv")
+    )
+    assign = (
+        c.join(F.broadcast(cent))
+        .groupBy("neighbor_id")
+        .agg(
+            F.max_by("cid", cosine(F.col("cv"), F.col("cent"))).alias("cid"),
+            F.first("cv").alias("cv"),
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), vec_double(vec_col).alias("qv")
+    )
+    qc = (
+        q.join(F.broadcast(cent))
+        .withColumn("ccos", cosine(F.col("qv"), F.col("cent")))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("ccos").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .where(F.col("crank") <= n_probe)
+        .select("query_id", "qv", "cid")
+    )
+    sim = F.round(cosine(F.col("qv"), F.col("cv")), round_to)
+    scored = (
+        F.broadcast(qc)
+        .join(assign, on="cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

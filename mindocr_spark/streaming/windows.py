@@ -1,0 +1,126 @@
+"""windows — watermarked windowed aggregation + custom stateful
+operators over unbounded streams.
+
+The reference's bounded producer/consumer pipeline has no late-data
+notion (its queues preserve arrival order, parallel_pipeline.py:29-37);
+the unbounded generalization needs exactly these two Spark primitives:
+
+- :func:`windowed_counts_stream` — tumbling-window counts with a
+  watermark: late events beyond the watermark are dropped, state is
+  bounded (the streaming twin of `q_windowed_counts`).
+- :func:`running_session_stats` — applyInPandasWithState: a custom
+  per-key stateful operator (running session count with gap timeout) —
+  the streaming re-expression of the CollectNode's per-doc partial-state
+  bookkeeping (reference: collect_node.py:72-99, `image_sub_remaining`
+  counters held until a doc completes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark, path: str, max_files: int | None = None) -> DataFrame:
+    r = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files:
+        r = r.option("maxFilesPerTrigger", max_files)
+    return r.parquet(path)
+
+
+def windowed_counts_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling-window per-type counts with bounded state: the watermark
+    lets Spark finalize+evict windows older than max(event time) −
+    watermark; events arriving later than that are dropped (late-data
+    policy). State size is O(active windows), not O(stream)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+_SESSION_STATE = "last_sec long, n_sessions int"
+_SESSION_OUT = "user_id bigint, n_events int, n_sessions int"
+
+SESSION_GAP_SEC = 1800
+
+
+def _session_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user running sessionization: counts sessions split by >30 min
+    gaps across micro-batches — state carries (last event sec, session
+    count) between triggers."""
+    last_sec, n_sessions = state.get if state.exists else (None, 0)
+    n_events = 0
+    for pdf in pdfs:
+        secs = (
+            pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000_000
+        ).sort_values()
+        for s in secs:
+            s = int(s)
+            if last_sec is None or s - last_sec > SESSION_GAP_SEC:
+                n_sessions += 1
+            last_sec = s
+            n_events += 1
+    state.update((last_sec, n_sessions))
+    yield pd.DataFrame(
+        [dict(user_id=key[0], n_events=n_events, n_sessions=n_sessions)]
+    )
+
+
+def running_session_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running (events, sessions)
+    emitted each micro-batch. Arrow-batched state function; state is one
+    tuple per user — bounded and shuffle-partitioned by key."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=_SESSION_OUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stream_to_parquet(df: DataFrame, path: str, checkpoint: str,
+                          output_mode: str = "update") -> None:
+    """Drain the stream into parquet via foreachBatch, tagging rows with
+    the micro-batch id. foreachBatch supports checkpoint recovery (the
+    memory sink does not) AND update-mode output; the latest row per key
+    = max(batch_id)."""
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(path)
+
+    (
+        df.writeStream.foreachBatch(write_batch)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

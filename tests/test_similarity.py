@@ -64,6 +64,24 @@ def test_embedding_neardup_finds_planted_pair(spark, emb):
     assert (3, 7) in lsh_pairs  # true near-dups collide in probe buckets
 
 
+def test_ivf_topk_recall(spark, emb):
+    from mindocr_spark.functions.similarity import cosine_topk, ivf_topk
+
+    df, vecs = emb
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             cosine_topk(df, df.where("vec_id < 10"), k=3).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in
+              ivf_topk(df, df.where("vec_id < 10"), k=3,
+                       centroid_stride=10, n_probe=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4  # 3 of 6 lists probed on random gaussians
+    # the planted near-dup pair shares a list with overwhelming margin
+    top7 = [r["neighbor_id"] for r in
+            ivf_topk(df, df.where("vec_id = 7"), k=1,
+                     centroid_stride=10, n_probe=3).collect()]
+    assert top7 == [3]
+
+
 def test_vector_expressions_deterministic_order(spark):
     """dot() folds left→right: association order is pinned (the engine's
     byte-determinism discipline extends to float accumulation)."""
