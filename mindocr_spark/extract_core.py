@@ -211,6 +211,8 @@ class ParsedDoc:
     cjk_chars: list[int] = field(default_factory=list)
     in_negative: list[bool] = field(default_factory=list)  # nav/footer/... ancestor
     heading: list[bool] = field(default_factory=list)
+    src_start: list[int] = field(default_factory=list)  # char offset in decoded source
+    src_end: list[int] = field(default_factory=list)    # exclusive
     total_text_chars: int = 0   # all normalized text incl. boilerplate
     total_bytes: int = 0
     encoding: str = "utf-8"
@@ -221,7 +223,8 @@ class ParsedDoc:
 
 
 def _finish_block(doc: ParsedDoc, buf: list[str], link_chars: list[int],
-                  path: list[str], neg_depth: int, heading: bool) -> None:
+                  path: list[str], neg_depth: int, heading: bool,
+                  src: list[int] | None = None) -> None:
     raw = "".join(buf)
     text = normalize_ws(raw)
     buf.clear()
@@ -229,6 +232,11 @@ def _finish_block(doc: ParsedDoc, buf: list[str], link_chars: list[int],
     link_chars[0] = 0
     if not text:
         return
+    # source-space provenance (the rescale-back contract, reference:
+    # mindocr/postprocess/det_base_postprocess.py:108-147): char offsets
+    # of this block's first/last text fragment in the DECODED source
+    doc.src_start.append(src[0] if src else 0)
+    doc.src_end.append(src[1] if src else 0)
     words = _WORD_RE.findall(text)
     stops = sum(1 for w in words if w.lower() in STOPWORDS)
     # ASCII fast path: the CJK regex cannot match ASCII text
@@ -269,6 +277,7 @@ def parse_html(html: bytes) -> ParsedDoc:
     head_depth = 0                 # inside <head> (content skipped)
     block_heading = False          # current block opened by h1..h6
     block_path: list[str] = []     # tag path at block start
+    block_src = [0, 0]             # decoded-source char span of current block
 
     i, n = 0, len(text)
     while i < n:
@@ -281,7 +290,10 @@ def parse_html(html: bytes) -> ParsedDoc:
                 e = decode_entities(frag)
                 # non-empty after ws-collapse ⟺ has a non-ws char
                 if e and not e.isspace():
+                    if not buf:
+                        block_src[0] = i
                     buf.append(e)
+                    block_src[1] = n
                     if a_depth > 0:
                         link_chars[0] += len(normalize_ws(e))
             break
@@ -292,7 +304,9 @@ def parse_html(html: bytes) -> ParsedDoc:
                 if e and not e.isspace():
                     if not buf:
                         block_path = list(stack)
+                        block_src[0] = i
                     buf.append(e)
+                    block_src[1] = lt
                     if a_depth > 0:
                         link_chars[0] += len(normalize_ws(e))
         i = lt
@@ -312,7 +326,9 @@ def parse_html(html: bytes) -> ParsedDoc:
             if head_depth == 0:
                 if not buf:
                     block_path = list(stack)
+                    block_src[0] = i
                 buf.append("<")
+                block_src[1] = i + 1
                 if a_depth > 0:
                     link_chars[0] += 1
             i += 1
@@ -329,7 +345,8 @@ def parse_html(html: bytes) -> ParsedDoc:
 
         is_block = name in BLOCK_TAGS
         if is_block and buf:
-            _finish_block(doc, buf, link_chars, block_path, neg_depth, block_heading)
+            _finish_block(doc, buf, link_chars, block_path, neg_depth,
+                          block_heading, block_src)
             block_heading = False
 
         if closing:
@@ -360,7 +377,8 @@ def parse_html(html: bytes) -> ParsedDoc:
             if is_block:
                 block_heading = name in ("h1", "h2", "h3", "h4", "h5", "h6")
     if buf:
-        _finish_block(doc, buf, link_chars, block_path, neg_depth, block_heading)
+        _finish_block(doc, buf, link_chars, block_path, neg_depth,
+                      block_heading, block_src)
     return doc
 
 
@@ -508,8 +526,11 @@ class Extraction:
     tools/infer/text/predict_system.py:131-152)."""
 
     extracted_text: str
-    # (block_id, node_start, node_end, char_start, char_end, score)
-    spans: list[tuple[int, int, int, int, int, float]]
+    # (block_id, node_start, node_end, char_start, char_end,
+    #  src_start, src_end, score) — char_* index the OUTPUT text, src_*
+    # index the decoded SOURCE document (the rescale-back provenance,
+    # reference: mindocr/postprocess/det_base_postprocess.py:108-147)
+    spans: list[tuple[int, int, int, int, int, int, int, float]]
     n_blocks: int
     boilerplate_ratio: float
     n_nodes: int
@@ -530,7 +551,7 @@ def assemble_text(
     mindocr/postprocess/det_base_postprocess.py:108-123).
     """
     parts: list[str] = []
-    spans: list[tuple[int, int, int, int, int, float]] = []
+    spans: list[tuple[int, int, int, int, int, int, int, float]] = []
     pos = 0
     for bid, (s, e, score) in enumerate(blocks):
         block_text = "\n".join(doc.node_text[s:e])
@@ -539,7 +560,9 @@ def assemble_text(
         start = pos
         pos += len(block_text)
         parts.append(block_text)
-        spans.append((bid, s, e, start, pos, round(score, 6)))
+        src_s = doc.src_start[s] if doc.src_start else 0
+        src_e = doc.src_end[e - 1] if doc.src_end else 0
+        spans.append((bid, s, e, start, pos, src_s, src_e, round(score, 6)))
     text = "\n\n".join(parts)
     total = doc.total_text_chars
     ratio = 1.0 - (len(text) / total) if total > 0 else 0.0

@@ -33,7 +33,8 @@ from mindocr_spark import extract_core as core
 
 SPANS_DDL = (
     "array<struct<block_id:int,node_start:int,node_end:int,"
-    "char_start:bigint,char_end:bigint,score:double>>"
+    "char_start:bigint,char_end:bigint,src_start:bigint,src_end:bigint,"
+    "score:double>>"
 )
 
 PARSE_SCHEMA = (
@@ -41,7 +42,7 @@ PARSE_SCHEMA = (
     "tag_path array<string>, node_text array<string>, depth array<int>, "
     "text_len array<int>, link_text_len array<int>, n_words array<int>, "
     "stop_words array<int>, cjk_chars array<int>, in_negative array<boolean>, "
-    "heading array<boolean>, "
+    "heading array<boolean>, src_start array<bigint>, src_end array<bigint>, "
     "provenance struct<total_bytes:bigint,n_nodes:int,encoding:string,"
     "total_text_chars:bigint>, failed boolean"
 )
@@ -64,6 +65,7 @@ def _empty_parse_row(url, ts, lang, nbytes: int) -> dict:
         url=url, warc_ts=ts, lang=lang,
         tag_path=[], node_text=[], depth=[], text_len=[], link_text_len=[],
         n_words=[], stop_words=[], cjk_chars=[], in_negative=[], heading=[],
+        src_start=[], src_end=[],
         provenance=dict(total_bytes=nbytes, n_nodes=0, encoding="utf-8",
                         total_text_chars=0),
         failed=True,
@@ -93,6 +95,7 @@ def parse_stage(df, params: core.ExtractParams = core.DEFAULT_PARAMS):
                         link_text_len=d.link_text_len, n_words=d.n_words,
                         stop_words=d.stop_words, cjk_chars=d.cjk_chars,
                         in_negative=d.in_negative, heading=d.heading,
+                        src_start=d.src_start, src_end=d.src_end,
                         provenance=dict(
                             total_bytes=d.total_bytes, n_nodes=d.n_nodes,
                             encoding=d.encoding,
@@ -194,6 +197,8 @@ def assemble_stage(df, params: core.ExtractParams = core.DEFAULT_PARAMS):
     def fn_row(r: dict) -> dict:
         doc = core.ParsedDoc(
             node_text=list(r["node_text"]), text_len=list(r["text_len"]),
+            src_start=[int(x) for x in r["src_start"]],
+            src_end=[int(x) for x in r["src_end"]],
         )
         doc.total_text_chars = int(r["provenance"]["total_text_chars"])
         doc.total_bytes = int(r["provenance"]["total_bytes"])
@@ -208,8 +213,9 @@ def assemble_stage(df, params: core.ExtractParams = core.DEFAULT_PARAMS):
             extracted_text=ex.extracted_text,
             spans=[
                 dict(block_id=b, node_start=s, node_end=e,
-                     char_start=cs, char_end=ce, score=sc)
-                for b, s, e, cs, ce, sc in ex.spans
+                     char_start=cs, char_end=ce, src_start=ss, src_end=se,
+                     score=sc)
+                for b, s, e, cs, ce, ss, se, sc in ex.spans
             ],
             n_blocks=ex.n_blocks, boilerplate_ratio=ex.boilerplate_ratio,
             n_nodes=int(r["provenance"]["n_nodes"]),
@@ -246,8 +252,9 @@ def extract_stage(df, params: core.ExtractParams = core.DEFAULT_PARAMS):
                         extracted_text=ex.extracted_text,
                         spans=[
                             dict(block_id=b, node_start=s, node_end=e,
-                                 char_start=cs, char_end=ce, score=sc)
-                            for b, s, e, cs, ce, sc in ex.spans
+                                 char_start=cs, char_end=ce, src_start=ss,
+                                 src_end=se, score=sc)
+                            for b, s, e, cs, ce, ss, se, sc in ex.spans
                         ],
                         n_blocks=ex.n_blocks,
                         boilerplate_ratio=ex.boilerplate_ratio,

@@ -21,6 +21,8 @@ _SPAN_SCHEMA = T.ArrayType(
             T.StructField("node_end", T.IntegerType()),
             T.StructField("char_start", T.LongType()),
             T.StructField("char_end", T.LongType()),
+            T.StructField("src_start", T.LongType()),
+            T.StructField("src_end", T.LongType()),
             T.StructField("score", T.DoubleType()),
         ]
     )

@@ -175,7 +175,11 @@ class TestAssemble:
             "It was a cold day and the wind was blowing from the north "
             "across the valley as they walked home."
         )
-        assert ex.spans == [(0, 2, 5, 0, 237, 0.677292)]
+        assert ex.spans == [(0, 2, 5, 0, 237, 153, 403, 0.677292)]
+        # src offsets index the decoded source document
+        src_text, _ = core.sniff_decode(PAGE)
+        assert src_text[153:403].startswith("The quick brown fox story")
+        assert src_text[153:403].endswith("as they walked home.")
         assert ex.n_blocks == 1
         assert ex.boilerplate_ratio == 0.070588
         assert ex.n_nodes == 6
@@ -188,8 +192,10 @@ class TestAssemble:
         doc.total_text_chars = 9
         ex = core.assemble_text(doc, [(0, 2, 0.9), (2, 3, 0.8)])
         assert ex.extracted_text == "aaa\nbbb\n\nccc"
-        assert ex.spans == [(0, 0, 2, 0, 7, 0.9), (1, 2, 3, 9, 12, 0.8)]
-        for _, _, _, cs, ce, _ in ex.spans:
+        assert ex.spans == [
+            (0, 0, 2, 0, 7, 0, 0, 0.9), (1, 2, 3, 9, 12, 0, 0, 0.8)
+        ]
+        for _, _, _, cs, ce, _, _, _ in ex.spans:
             pass
         assert ex.extracted_text[9:12] == "ccc"
 

@@ -31,7 +31,8 @@ def test_fused_byte_identical(spark, golden):
         assert r["boilerplate_ratio"] == g.boilerplate_ratio
         got_spans = [
             (s["block_id"], s["node_start"], s["node_end"],
-             s["char_start"], s["char_end"], s["score"]) for s in r["spans"]
+             s["char_start"], s["char_end"], s["src_start"], s["src_end"],
+             s["score"]) for s in r["spans"]
         ]
         assert got_spans == g.spans
         assert not r["failed"]
