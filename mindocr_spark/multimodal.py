@@ -114,6 +114,91 @@ def extract_media_features(
     )
 
 
+RESIZE_SCHEMA = (
+    "id bigint, kind string, out_h int, out_w int, tensor_bytes bigint, "
+    "failed boolean"
+)
+
+FRAMES_SCHEMA = (
+    "id bigint, frame_idx int, frame_bytes bigint, checksum string, "
+    "failed boolean"
+)
+
+
+def resize_media(
+    df: DataFrame,
+    out_h: int = 32,
+    out_w: int = 32,
+    decode: Callable[[bytes, str], np.ndarray] = real_decode,
+) -> DataFrame:
+    """Decode → resize to (out_h, out_w) — the `DetResize` analog for
+    media payloads (reference: mindocr/data/transforms/det_transforms.py:
+    322-497). Resize itself is nearest-neighbor index math in numpy
+    (deterministic, no interpolation library); the codec is the
+    injectable stub."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rid, payload, meta in zip(pdf["id"], pdf["payload"], pdf["media_meta"]):
+                kind = (meta or {}).get("kind", "unknown")
+                row = dict(id=rid, kind=kind, out_h=out_h, out_w=out_w,
+                           tensor_bytes=0, failed=False)
+                try:
+                    t = decode(bytes(payload or b""), kind)
+                    t = np.atleast_2d(np.asarray(t))
+                    ys = (np.arange(out_h) * t.shape[0]) // out_h
+                    xs = (np.arange(out_w) * t.shape[1]) // out_w
+                    resized = t[np.ix_(ys, xs)]
+                    row["tensor_bytes"] = int(resized.nbytes)
+                except Exception:
+                    row["failed"] = True
+                out.append(row)
+            if out:
+                yield pd.DataFrame(out)
+
+    return df.select("id", "payload", "media_meta").mapInPandas(
+        fn, schema=RESIZE_SCHEMA
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 2,
+    decode: Callable[[bytes, str], np.ndarray] = real_decode,
+) -> DataFrame:
+    """Frame sampling for video payloads: decode → take every Nth frame
+    → one OUTPUT ROW PER FRAME (the det→rec region fan-out shape applied
+    to media; reference: deploy/py_infer/src/parallel/module/processor/
+    rec_pre_node.py:51-72 fans one doc into many messages)."""
+    import hashlib
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rid, payload, meta in zip(pdf["id"], pdf["payload"], pdf["media_meta"]):
+                kind = (meta or {}).get("kind", "unknown")
+                try:
+                    t = np.atleast_2d(np.asarray(decode(bytes(payload or b""), kind)))
+                    for fi in range(0, t.shape[0], every_n):
+                        frame = t[fi]
+                        out.append(dict(
+                            id=rid, frame_idx=fi,
+                            frame_bytes=int(frame.nbytes),
+                            checksum=hashlib.md5(frame.tobytes()).hexdigest(),
+                            failed=False,
+                        ))
+                except Exception:
+                    out.append(dict(id=rid, frame_idx=-1, frame_bytes=0,
+                                    checksum="", failed=True))
+            if out:
+                yield pd.DataFrame(out)
+
+    return df.select("id", "payload", "media_meta").mapInPandas(
+        fn, schema=FRAMES_SCHEMA
+    )
+
+
 def size_bucketed(df: DataFrame, target_partitions: int) -> DataFrame:
     """Range-partition by payload size before the decode stage — the
     gear-batching analog (reference:

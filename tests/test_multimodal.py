@@ -48,6 +48,42 @@ def test_media_failure_flows_through(spark):
     assert all(r["n_bytes"] > 0 for r in rows)  # metadata still populated
 
 
+def test_resize_media_shapes(spark):
+    from mindocr_spark.multimodal import fake_decode, resize_media, synth_media_table
+
+    media = synth_media_table(spark, n=9, seed=7)
+    rows = resize_media(media, out_h=8, out_w=8, decode=fake_decode).collect()
+    assert len(rows) == 9
+    assert all(not r["failed"] for r in rows)
+    # 8x8 tensors; bytes depend on the decoded dtype per kind
+    expect = {"image": 64, "video": 64, "audio": 256}  # uint8 vs float32
+    assert all(r["tensor_bytes"] == expect[r["kind"]] for r in rows)
+
+
+def test_sample_frames_fanout(spark):
+    from mindocr_spark.multimodal import fake_decode, sample_frames, synth_media_table
+
+    media = synth_media_table(spark, n=6, seed=7).where("id % 3 = 2")  # videos
+    rows = sample_frames(media, every_n=2, decode=fake_decode).collect()
+    # fake video decode yields 4 frames → every 2nd = frames 0 and 2
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 2] for v in by_id.values())
+    assert all(not r["failed"] for r in rows)
+    # deterministic frame checksums
+    rows2 = sample_frames(media, every_n=2, decode=fake_decode).collect()
+    assert {(r["id"], r["frame_idx"], r["checksum"]) for r in rows} == \
+           {(r["id"], r["frame_idx"], r["checksum"]) for r in rows2}
+
+
+def test_resize_with_real_codec_flags_failed(spark):
+    from mindocr_spark.multimodal import resize_media, synth_media_table
+
+    rows = resize_media(synth_media_table(spark, n=4, seed=7)).collect()
+    assert all(r["failed"] for r in rows)  # real codec stubbed
+
+
 def test_size_bucketing_partitions(spark):
     from mindocr_spark.multimodal import size_bucketed, synth_media_table
 
