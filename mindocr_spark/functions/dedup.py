@@ -171,14 +171,15 @@ def minhash_lsh_pairs(df: DataFrame, n_perm: int = 64, bands: int = 16,
     # join — persist the ≤ docs×n_perm relation once.
     sig = minhash_signatures(df, n_perm=n_perm, k=k,
                              text_col=text_col, id_col=id_col).persist()
+    # band bucket = XOR of per-row hashes: order-insensitive, constant
+    # memory per group (collect_list+sort would buffer whole bands), and
+    # the (perm, minh) set fully determines the 64-bit bucket
     banded = (
         sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
         .groupBy(id_col, "band")
         .agg(
-            F.xxhash64(
-                F.concat_ws(",", F.sort_array(F.collect_list(
-                    F.concat_ws(":", F.col("perm"), F.col("minh"))
-                )))
+            F.expr(
+                "bit_xor(xxhash64(concat_ws(':', perm, minh)))"
             ).alias("bucket")
         )
         .persist()
