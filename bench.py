@@ -92,7 +92,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline suite wall time (extraction + operator queries)",
         "value": total,
         "unit": "sec",
@@ -101,7 +101,14 @@ def main() -> None:
         "docs_per_sec": docs_per_sec,
         "corpus_rows": n_docs,
         "cpus": cpus,
-    }))
+    }
+    # attach the latest N→4N scaling-gate evidence (tools/scaling_bench.py)
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "SCALING.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            out["scaling"] = json.load(f)
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -139,6 +139,8 @@ def orchestrate() -> int:
     }
     print(json.dumps(summary))
     _write_bench_md(results, summary, lo, hi)
+    with open(os.path.join(ROOT, "SCALING.json"), "w") as f:
+        json.dump(summary, f)
     return 0 if summary["gate"] == "PASS" else 2
 
 
