@@ -393,13 +393,16 @@ def q_rolling_fingerprint(spark, sf_dir):
     (engine-portable twin of functions.text.rolling_fingerprints)."""
     d = _t(spark, sf_dir, "documents")
     norm = F.lower(F.col("text"))
-    grams = d.select(
-        "doc_id",
-        norm.alias("_t"),
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.length(norm) - 7, F.lit(0)))
-        ).alias("i"),
-    ).select("doc_id", F.md5(F.substring("_t", F.col("i"), 8).cast("binary")).alias("fp"))
+    grams = (
+        d.select("doc_id", norm.alias("_t"))
+        # short-text guard: Spark's sequence(1, 0) is DESCENDING [1, 0]
+        .where(F.length("_t") >= 8)
+        .select(
+            "doc_id", "_t",
+            F.explode(F.sequence(F.lit(1), F.length("_t") - 7)).alias("i"),
+        )
+        .select("doc_id", F.md5(F.substring("_t", F.col("i"), 8).cast("binary")).alias("fp"))
+    )
     return (
         grams.where(F.substring("fp", 1, 1) == "0")
         .groupBy("doc_id")
@@ -542,7 +545,9 @@ def q_ctc_collapse(spark, sf_dir):
     → join; reference: rec_postprocess.py:92-158) as pure array
     expressions, with 'the' as the blank token."""
     d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    from mindocr_spark.functions.text import WS_CLASS
+
+    toks = F.split(F.trim(F.regexp_replace("text", WS_CLASS, " ")), " ")
     dedup = F.filter(
         toks, lambda x, i: (i == 0) | (x != F.element_at(toks, i))
     )
@@ -802,25 +807,33 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "token_stats": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')) AS norm
+              FROM documents)
             SELECT doc_id,
-                   CAST(len(string_split_regex(trim(regexp_replace(text,'\s+',' ','g')),' ')) AS INT) AS n_tokens,
-                   CAST(len(list_distinct(string_split_regex(trim(regexp_replace(text,'\s+',' ','g')),' '))) AS INT) AS n_distinct_tokens,
-                   CAST(length(trim(regexp_replace(text,'\s+',' ','g'))) AS INT) AS n_chars_norm
-            FROM documents ORDER BY doc_id
+                   CAST(CASE WHEN norm = '' THEN 0
+                        ELSE len(string_split(norm,' ')) END AS INT) AS n_tokens,
+                   CAST(CASE WHEN norm = '' THEN 0
+                        ELSE len(list_distinct(string_split(norm,' '))) END AS INT) AS n_distinct_tokens,
+                   CAST(length(norm) AS INT) AS n_chars_norm
+            FROM t ORDER BY doc_id
         """,
         "quality_scores": r"""
             WITH q AS (
               SELECT doc_id,
-                     len(string_split(trim(regexp_replace(text,'\s+',' ','g')),' ')) AS nt,
+                     CASE WHEN trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')) = '' THEN 0
+                          ELSE len(string_split(trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')),' '))
+                     END AS nt,
                      len(regexp_extract_all(text, '\b(the|a|an|and|of|to|in|is|it|for|on|with)\b')) AS sh,
                      len(regexp_extract_all(text, '[.,;:!?]')) AS np,
                      len(regexp_extract_all(text, '[A-Z]')) AS nu,
-                     length(replace(trim(regexp_replace(text,'\s+',' ','g')),' ','')) AS nc
+                     length(replace(trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')),' ','')) AS nc
               FROM documents)
             SELECT doc_id, CAST(nt AS INT) AS n_tokens, CAST(sh AS INT) AS stop_hits,
                    CAST(np AS INT) AS n_punct, CAST(nu AS INT) AS n_upper,
-                   round(CAST(nc AS DOUBLE)/CAST(nt AS DOUBLE), 6) AS avg_token_len,
-                   round(CAST(sh AS DOUBLE)/CAST(nt AS DOUBLE), 6) AS stop_ratio
+                   round(CAST(nc AS DOUBLE)/CAST(nullif(nt, 0) AS DOUBLE), 6) AS avg_token_len,
+                   round(CAST(sh AS DOUBLE)/CAST(nullif(nt, 0) AS DOUBLE), 6) AS stop_ratio
             FROM q ORDER BY doc_id
         """,
         "lang_id": r"""
@@ -862,7 +875,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": r"""
             WITH f AS (
               SELECT doc_id,
-                     md5(lower(trim(regexp_replace(text,'\s+',' ','g')))) AS fingerprint
+                     md5(lower(trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')))) AS fingerprint
               FROM documents)
             SELECT doc_id, fingerprint,
                    COUNT(*) OVER (PARTITION BY fingerprint) AS cluster_size,
@@ -872,8 +885,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard": r"""
             WITH w AS (
-              SELECT doc_id, unnest(string_split(trim(regexp_replace(text,'\s+',' ','g')),' ')) AS word,
-                     generate_subscripts(string_split(trim(regexp_replace(text,'\s+',' ','g')),' '), 1) AS pos
+              SELECT doc_id, unnest(string_split(trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')),' ')) AS word,
+                     generate_subscripts(string_split(trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')),' '), 1) AS pos
               FROM documents),
             sh0 AS (
               SELECT doc_id,
@@ -919,7 +932,7 @@ def oracle_sql() -> dict[str, str]:
         "ctc_collapse": r"""
             WITH t AS (
               SELECT doc_id,
-                     string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS l
+                     string_split(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ') AS l
               FROM documents)
             SELECT doc_id,
                    array_to_string(
@@ -935,13 +948,14 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT doc_id, rn, page, x0, snippet FROM (
               SELECT doc_id, CAST(1 AS BIGINT) AS rn, 1 AS page, 36.0 AS x0,
-                     substr(text, 1, 10) AS snippet FROM ch
+                     substr(text, 1, least(q, 10)) AS snippet FROM ch
               UNION ALL
-              SELECT doc_id, 2, 1, 318.0, substr(text, q + 1, 10) FROM ch
+              SELECT doc_id, 2, 1, 318.0, substr(text, q + 1, least(q, 10)) FROM ch
               UNION ALL
-              SELECT doc_id, 3, 2, 36.0, substr(text, 2 * q + 1, 10) FROM ch
+              SELECT doc_id, 3, 2, 36.0, substr(text, 2 * q + 1, least(q, 10)) FROM ch
               UNION ALL
-              SELECT doc_id, 4, 2, 318.0, substr(text, 3 * q + 1, 10) FROM ch
+              SELECT doc_id, 4, 2, 318.0,
+                     substr(text, 3 * q + 1, least(L - 3 * q, 10)) FROM ch
             ) ORDER BY doc_id, rn
         """,
         "layout_assemble": """

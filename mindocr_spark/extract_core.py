@@ -367,6 +367,19 @@ def parse_html(html: bytes) -> ParsedDoc:
         else:
             if name in VOID_TAGS or self_close:
                 continue
+            # HTML5 optional end tag: <body> implicitly closes an open
+            # <head> (a crawled page may legally omit </head>; without
+            # this the whole body would be skipped as head content)
+            if name == "body" and head_depth > 0 and "head" in stack:
+                while stack:
+                    top = stack.pop()
+                    if top in NEGATIVE_ANCESTORS:
+                        neg_depth -= 1
+                    if top == "a":
+                        a_depth -= 1
+                    if top == "head":
+                        head_depth -= 1
+                        break
             stack.append(name)
             if name in NEGATIVE_ANCESTORS:
                 neg_depth += 1
@@ -565,7 +578,9 @@ def assemble_text(
         spans.append((bid, s, e, start, pos, src_s, src_e, round(score, 6)))
     text = "\n\n".join(parts)
     total = doc.total_text_chars
-    ratio = 1.0 - (len(text) / total) if total > 0 else 0.0
+    # clamp: join separators are counted in len(text) but not in
+    # total_text_chars, so a chrome-free page could otherwise dip below 0
+    ratio = max(0.0, 1.0 - (len(text) / total)) if total > 0 else 0.0
     return Extraction(
         extracted_text=text,
         spans=spans,

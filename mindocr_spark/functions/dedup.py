@@ -257,25 +257,34 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
-    Banded candidate join (pigeonhole: ≤3 differing bits over 4 16-bit
-    chunks ⇒ ≥1 chunk identical) → exact hamming via bit_count(xor).
-    Scales like LSH: shuffle on chunk value, never all-pairs.
+    Banded candidate join with n_chunks = max_hamming + 1 chunks
+    (pigeonhole: ≤ max_hamming differing bits over max_hamming+1 chunks
+    ⇒ ≥1 chunk identical — recall is EXACT for the requested radius) →
+    exact hamming via bit_count(xor). Scales like LSH: shuffle on chunk
+    value, never all-pairs. Bigger radii mean narrower chunks and hotter
+    buckets; the standard dedup radius is ≤3 (4×16-bit chunks).
     """
+    # ≥2 chunks (a single 64-bit "chunk" would overflow the signed mask);
+    # capped at 16 → the exact-recall guarantee holds for radii ≤ 15
+    n_chunks = max(2, min(max_hamming + 1, 16))
+    width = 64 // n_chunks
     # one Arrow-batched fold, then the chunk relation joins itself —
     # persist so the UDF stage runs once.
     sims = simhash_col(df, text_col=text_col, id_col=id_col).persist()
+    chunk_structs = []
+    for i in range(n_chunks):
+        lo = i * width
+        hi = 64 if i == n_chunks - 1 else lo + width
+        mask = (1 << (hi - lo)) - 1
+        chunk_structs.append(
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftrightunsigned("simhash", lo)
+                .bitwiseAND(F.lit(mask)).alias("val"),
+            )
+        )
     chunks = sims.select(
-        id_col, "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("chunk"),
-                    F.shiftrightunsigned("simhash", 16 * i)
-                    .bitwiseAND(F.lit(0xFFFF)).alias("val"),
-                )
-                for i in range(4)
-            ])
-        ).alias("c"),
+        id_col, "simhash", F.explode(F.array(*chunk_structs)).alias("c"),
     ).select(id_col, "simhash", "c.chunk", "c.val").persist()
     a = chunks.alias("a")
     b = chunks.alias("b")

@@ -22,10 +22,18 @@ from pyspark.sql import Column, DataFrame, functions as F
 # --------------------------------------------------------------------------
 
 
+#: Explicit ASCII whitespace class — Java's \s includes \x0B but RE2's
+#: (DuckDB's) does not; spelling the class out keeps every
+#: normalize-derived oracle engine-identical.
+WS_CLASS = r"[ \t\n\r\f\x0B]+"
+
+
 def normalize_col(c: Column | str) -> Column:
     """Whitespace-collapse + trim — `extract_core.normalize_ws` for
-    SQL-reachable columns (JVM regex; identical on ASCII input)."""
-    return F.trim(F.regexp_replace(F.col(c) if isinstance(c, str) else c, r"\s+", " "))
+    SQL-reachable columns (explicit char class; engine-identical)."""
+    return F.trim(
+        F.regexp_replace(F.col(c) if isinstance(c, str) else c, WS_CLASS, " ")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -163,13 +171,17 @@ def rolling_fingerprints(df: DataFrame, k: int = 8, text_col: str = "text",
     Pure built-ins: sequence → explode → substring → xxhash64.
     """
     norm = F.lower(normalize_col(text_col))
-    grams = df.select(
-        id_col,
-        norm.alias("_t"),
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(0)))
-        ).alias("i"),
-    ).select(id_col, F.xxhash64(F.substring("_t", F.col("i"), k)).alias("h"))
+    grams = (
+        df.select(id_col, norm.alias("_t"))
+        # guard short texts: Spark's sequence(1, 0) is the DESCENDING
+        # [1, 0], which would emit phantom grams
+        .where(F.length("_t") >= k)
+        .select(
+            id_col, "_t",
+            F.explode(F.sequence(F.lit(1), F.length("_t") - (k - 1))).alias("i"),
+        )
+        .select(id_col, F.xxhash64(F.substring("_t", F.col("i"), k)).alias("h"))
+    )
     return grams.where(F.pmod("h", F.lit(keep_every)) == 0).distinct()
 
 

@@ -35,6 +35,16 @@ def _iou_1d(a: tuple[int, int], b: tuple[int, int]) -> float:
     return inter / union if union > 0 else 0.0
 
 
+def _bounds(s) -> tuple[int, int]:
+    """Accept either (start, end) or the extraction schema's
+    (char_start, char_end) span structs — the engine's own outputs
+    compose into its own eval without an adapter."""
+    try:
+        return s["start"], s["end"]
+    except (KeyError, IndexError):
+        return s["char_start"], s["char_end"]
+
+
 def _greedy_match(pred, gt, iou_thresh: float) -> tuple[int, int, int]:
     """First-match greedy bipartite matching (the reference's loop,
     det_metrics.py:48-66): each gt claims the first unmatched pred with
@@ -42,10 +52,11 @@ def _greedy_match(pred, gt, iou_thresh: float) -> tuple[int, int, int]:
     matched_pred: set[int] = set()
     tp = 0
     for g in gt:
+        gb = _bounds(g)
         for i, p in enumerate(pred):
             if i in matched_pred:
                 continue
-            if _iou_1d((p["start"], p["end"]), (g["start"], g["end"])) >= iou_thresh:
+            if _iou_1d(_bounds(p), gb) >= iou_thresh:
                 matched_pred.add(i)
                 tp += 1
                 break

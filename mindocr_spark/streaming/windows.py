@@ -71,17 +71,22 @@ def _session_fn(
     gaps across micro-batches — state carries (last event sec, session
     count) between triggers."""
     last_sec, n_sessions = state.get if state.exists else (None, 0)
-    n_events = 0
+    # gather ALL Arrow chunks first, then sort once — a group can span
+    # chunks, and per-chunk sorting would process events out of time
+    # order (wrong session count, corrupted last_sec)
+    all_secs: list = []
     for pdf in pdfs:
-        secs = (
+        all_secs.append(
             pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000_000
-        ).sort_values()
-        for s in secs:
-            s = int(s)
-            if last_sec is None or s - last_sec > SESSION_GAP_SEC:
-                n_sessions += 1
-            last_sec = s
-            n_events += 1
+        )
+    secs = pd.concat(all_secs).sort_values() if all_secs else pd.Series([], dtype="int64")
+    n_events = 0
+    for s in secs:
+        s = int(s)
+        if last_sec is None or s - last_sec > SESSION_GAP_SEC:
+            n_sessions += 1
+        last_sec = s
+        n_events += 1
     state.update((last_sec, n_sessions))
     yield pd.DataFrame(
         [dict(user_id=key[0], n_events=n_events, n_sessions=n_sessions)]

@@ -71,3 +71,22 @@ def test_simhash_identical_and_near(spark, docs):
     assert pairs[(1, 2)] == 0
     assert pairs.get((1, 3), 99) <= 16               # near dup within radius
     assert (1, 4) not in pairs or pairs[(1, 4)] > 16
+
+
+def test_simhash_radius_recall_guarantee(spark):
+    """Pigeonhole banding must hold for the REQUESTED radius: a pair
+    differing in >3 bits spread across the old fixed 4 chunks was
+    silently dropped before the chunk count became max_hamming+1."""
+    from pyspark.sql import functions as F
+    from mindocr_spark.functions.dedup import simhash_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    # flip words scattered through the doc → bits differ across chunks
+    variant = base.replace("beta", "betX").replace("zeta", "zetX")
+    docs = spark.createDataFrame(
+        [(1, base), (2, variant)], "doc_id bigint, text string"
+    )
+    found = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs(docs, max_hamming=12).collect()}
+    assert (1, 2) in found          # radius-12 request honours radius-12 pairs
+    assert found[(1, 2)] <= 12

@@ -215,3 +215,25 @@ class TestDeterminism:
             e2 = core.extract_document(p2["html"])
             assert e1.extracted_text.encode() == e2.extracted_text.encode()
             assert e1.spans == e2.spans
+
+
+class TestReviewRegressions:
+    def test_implicit_head_close_html5(self):
+        """HTML5 allows omitting </head>; <body> must implicitly close it
+        or the entire page content is silently lost."""
+        html = (b"<html><head><title>t</title><meta charset='utf-8'>"
+                b"<body><p>" + b"The main article text is here and it is "
+                b"long enough to form a content block with the quick brown "
+                b"fox and the lazy dog in the river valley as it was before."
+                b"</p></body></html>")
+        ex = core.extract_document(html)
+        assert "main article text" in ex.extracted_text
+
+    def test_boilerplate_ratio_non_negative(self):
+        """Chrome-free multi-block pages must not drive the ratio below 0
+        (separators counted in output but not in total_text_chars)."""
+        doc = core.ParsedDoc(node_text=["aaa", "bbb"], text_len=[3, 3])
+        doc.total_text_chars = 6
+        ex = core.assemble_text(doc, [(0, 1, 0.9), (1, 2, 0.9)])
+        assert len(ex.extracted_text) > doc.total_text_chars
+        assert ex.boilerplate_ratio == 0.0
