@@ -17,7 +17,7 @@ from pyspark.sql import SparkSession
 #: mapInPandas invocation sees ≤ this many documents. Larger batches
 #: amortize JVM↔python Arrow IPC (the dominant overhead at high
 #: parallelism); smaller batches bound worker memory for huge pages.
-ARROW_BATCH = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "1024"))
+ARROW_BATCH = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "256"))  # measured best (BENCH.md method)
 
 
 def get_spark(
