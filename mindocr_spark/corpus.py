@@ -140,6 +140,14 @@ def generate_page(seed: int, idx: int) -> dict:
         f"<main><article><h1>{title}</h1>{body_paras}</article></main>"
         f"{_sidebar_html(r)}{footer}</body></html>"
     )
+    # adversarial quota (drawn AFTER all content rolls so earlier values
+    # are stable): real crawls omit optional end tags and contain tag soup
+    mut = r.random()
+    if mut < 0.04:
+        html_str = html_str.replace("</head>", "", 1)  # HTML5 implicit close
+    elif mut < 0.07:
+        # stray '<' in chrome (footer) — malformed-tag tolerance
+        html_str = html_str.replace("<footer><p>", "<footer><p>< ", 1)
     html = html_str.encode(encoding, errors="replace")
     return {
         "url": url,
