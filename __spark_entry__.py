@@ -440,6 +440,19 @@ def q_minhash_lsh(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_minhash_lsh_md5(spark, sf_dir):
+    """Engine-portable MinHash+LSH (md5 string-hash family) — the
+    oracle-checked twin of the xxhash64 scale path."""
+    from mindocr_spark.functions.dedup import minhash_lsh_pairs_md5
+
+    return minhash_lsh_pairs_md5(
+        _t(spark, sf_dir, "documents"), threshold=0.35
+    ).select(
+        "id_a", "id_b", F.col("n_match").cast("bigint").alias("n_match"),
+        "est_jaccard",
+    ).orderBy("id_a", "id_b")
+
+
 def q_simhash_neardup(spark, sf_dir):
     """SimHash banded hamming near-dups (no SQL oracle — xxhash64 + bit
     fold are engine-specific)."""
@@ -658,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "minhash_lsh_md5": q_minhash_lsh_md5,
         "simhash_neardup": q_simhash_neardup,
         "deterministic_sample": q_deterministic_sample,
         "char_dict_encode": q_char_dict_encode,
@@ -969,6 +983,44 @@ def oracle_sql() -> dict[str, str]:
                    || substr(text, 3 * q + 1, L - 3 * q) AS doc_text,
                    CAST(4 AS BIGINT) AS n_blocks
             FROM ch ORDER BY doc_id
+        """,
+        "minhash_lsh_md5": r"""
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')),' ')) AS word,
+                     generate_subscripts(string_split(trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')),' '), 1) AS pos
+              FROM documents),
+            sh0 AS (
+              SELECT doc_id,
+                     word || ' ' || lead(word,1) OVER (PARTITION BY doc_id ORDER BY pos)
+                          || ' ' || lead(word,2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle,
+                     lead(word,2) OVER (PARTITION BY doc_id ORDER BY pos) AS l2
+              FROM w),
+            sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE l2 IS NOT NULL),
+            perms AS (SELECT CAST(range AS INT) AS perm FROM range(32)),
+            sig AS (
+              SELECT doc_id, perm,
+                     min(md5(shingle || ':' || CAST(perm AS VARCHAR))) AS minh
+              FROM sh CROSS JOIN perms GROUP BY doc_id, perm),
+            banded AS (
+              SELECT doc_id, CAST(perm // 4 AS INT) AS band,
+                     md5(array_to_string(list(minh ORDER BY minh), ',')) AS bucket
+              FROM sig GROUP BY doc_id, band),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+              FROM banded x JOIN banded y USING (band, bucket)
+              WHERE x.doc_id < y.doc_id),
+            est AS (
+              SELECT id_a, id_b,
+                     SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END) AS n_match
+              FROM cand
+              JOIN sig a ON a.doc_id = id_a
+              JOIN sig b ON b.doc_id = id_b AND b.perm = a.perm
+              GROUP BY id_a, id_b)
+            SELECT id_a, id_b, CAST(n_match AS BIGINT) AS n_match,
+                   round(CAST(n_match AS DOUBLE) / 32.0, 6) AS est_jaccard
+            FROM est
+            WHERE round(CAST(n_match AS DOUBLE) / 32.0, 6) >= 0.35
+            ORDER BY id_a, id_b
         """,
         "ann_cosine_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

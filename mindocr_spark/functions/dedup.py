@@ -208,6 +208,67 @@ def minhash_lsh_pairs(df: DataFrame, n_perm: int = 64, bands: int = 16,
     return est.where(F.col("est_jaccard") >= threshold)
 
 
+def minhash_lsh_pairs_md5(
+    df: DataFrame, n_perm: int = 32, bands: int = 8, k: int = 3,
+    threshold: float = 0.35, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Engine-portable MinHash+LSH: the permutation family is
+    ``md5(shingle || ':' || perm)`` with the LEXICOGRAPHIC min as the
+    signature element — md5 and string ordering are bit-identical across
+    engines, so (unlike the xxhash64 scale path) this variant has an
+    exact ANSI-SQL oracle. Same banding/candidate/estimate plan shape.
+    Returns (id_a, id_b, n_match, est_jaccard ≥ threshold)."""
+    rows_per_band = n_perm // bands
+    sh = word_shingles(df, k=k, text_col=text_col, id_col=id_col)
+    perms = df.sparkSession.range(n_perm).select(
+        F.col("id").cast("int").alias("perm")
+    )
+    sig = (
+        sh.join(F.broadcast(perms))
+        .select(
+            id_col, "perm",
+            F.md5(F.concat_ws(":", F.col("shingle"), F.col("perm"))
+                  .cast("binary")).alias("h"),
+        )
+        .groupBy(id_col, "perm")
+        .agg(F.min("h").alias("minh"))
+        .persist()
+    )
+    banded = (
+        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.concat_ws(",", F.sort_array(F.collect_list("minh")))
+                .cast("binary")
+            ).alias("bucket")
+        )
+        .persist()
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), on=["band", "bucket"])
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), "perm", F.col("minh").alias("mh_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), "perm", F.col("minh").alias("mh_b"))
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "perm"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum((F.col("mh_a") == F.col("mh_b")).cast("int")).alias("n_match"))
+        .withColumn(
+            "est_jaccard",
+            F.round(F.col("n_match").cast("double") / F.lit(float(n_perm)), 6),
+        )
+    )
+    return est.where(F.col("est_jaccard") >= threshold)
+
+
 # --------------------------------------------------------------------------
 # 4. SimHash
 # --------------------------------------------------------------------------
