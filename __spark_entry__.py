@@ -491,8 +491,9 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF-bucketed ANN (approximate — rows-only check; recall vs exact
-    asserted in tests/test_similarity.py)."""
+    """IVF-bucketed ANN — deterministic assignment (rounded cosine keys
+    + cid tie-breaks) makes the whole inverted-list pipeline
+    oracle-checkable."""
     from mindocr_spark.functions.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1021,6 +1022,44 @@ def oracle_sql() -> dict[str, str]:
             FROM est
             WHERE round(CAST(n_match AS DOUBLE) / 32.0, 6) >= 0.35
             ORDER BY id_a, id_b
+        """,
+        "ann_ivf_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cent AS (SELECT vec_id AS cid, v AS cent FROM e WHERE vec_id % 25 = 0),
+            assign AS (
+              SELECT neighbor_id, cv, cid FROM (
+                SELECT e.vec_id AS neighbor_id, e.v AS cv, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         round(list_dot_product(e.v, c.cent)
+                               / (sqrt(list_dot_product(e.v, e.v))
+                                  * sqrt(list_dot_product(c.cent, c.cent))), 9) DESC,
+                         c.cid ASC) AS arank
+                FROM e CROSS JOIN cent c)
+              WHERE arank = 1),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+            qc AS (
+              SELECT query_id, qv, cid FROM (
+                SELECT q.query_id, q.qv, c.cid,
+                       row_number() OVER (PARTITION BY q.query_id ORDER BY
+                         round(list_dot_product(q.qv, c.cent)
+                               / (sqrt(list_dot_product(q.qv, q.qv))
+                                  * sqrt(list_dot_product(c.cent, c.cent))), 9) DESC,
+                         c.cid ASC) AS crank
+                FROM q CROSS JOIN cent c)
+              WHERE crank <= 3),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                     round(list_dot_product(qv, cv)
+                           / (sqrt(list_dot_product(qv, qv))
+                              * sqrt(list_dot_product(cv, cv))), 4) AS cos_sim
+              FROM qc JOIN assign USING (cid)
+              WHERE query_id != neighbor_id),
+            r AS (
+              SELECT query_id, neighbor_id, cos_sim,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+              FROM scored)
+            SELECT * FROM r WHERE rank <= 5 ORDER BY query_id, rank
         """,
         "ann_cosine_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -225,20 +225,29 @@ def ivf_topk(
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), vec_double(vec_col).alias("cv")
     )
+    # assignment key rounded to 9 decimals + cid tie-break: fully
+    # deterministic AND engine-stable (raw float argmax would be
+    # sensitive to 1e-16 association-order noise)
+    akey = F.round(cosine(F.col("cv"), F.col("cent")), 9)
     assign = (
         c.join(F.broadcast(cent))
-        .groupBy("neighbor_id")
-        .agg(
-            F.max_by("cid", cosine(F.col("cv"), F.col("cent"))).alias("cid"),
-            F.first("cv").alias("cv"),
+        .withColumn(
+            "arank",
+            F.row_number().over(
+                Window.partitionBy("neighbor_id").orderBy(
+                    akey.desc(), F.col("cid").asc()
+                )
+            ),
         )
+        .where(F.col("arank") == 1)
+        .select("neighbor_id", "cv", "cid")
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), vec_double(vec_col).alias("qv")
     )
     qc = (
         q.join(F.broadcast(cent))
-        .withColumn("ccos", cosine(F.col("qv"), F.col("cent")))
+        .withColumn("ccos", F.round(cosine(F.col("qv"), F.col("cent")), 9))
         .withColumn(
             "crank",
             F.row_number().over(
