@@ -691,6 +691,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _A = PAGES_TEMPLATE_ANCHOR  # no quotes inside; safe to inline in SQL
 
 
+def _lsh_ann_oracle() -> str:
+    """DuckDB oracle for q_ann_lsh_topk, generated from the SAME pinned
+    hyperplanes the Spark path uses (mindocr_spark.functions.similarity
+    ._planes). Feasible because sign decisions have huge margins
+    (min |dot| ≈ 5e-5 on this data ≫ float association noise)."""
+    from mindocr_spark.functions.similarity import _planes
+
+    n_bits, n_tables, dim = 8, 3, 64
+
+    def plane_lit(p):
+        return "[" + ",".join(repr(x) for x in p) + "]::DOUBLE[]"
+
+    def bucket_expr(vcol, t):
+        terms = [
+            f"(CASE WHEN list_dot_product({vcol}, {plane_lit(p)}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(_planes(dim, n_bits, t))
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    corpus_parts = [
+        f"SELECT vec_id AS neighbor_id, v AS cv, {t} AS tbl, "
+        f"{bucket_expr('v', t)} AS bucket FROM e"
+        for t in range(n_tables)
+    ]
+    probe_parts = []
+    for t in range(n_tables):
+        probes = [f"qb{t}"] + [f"xor(qb{t}, {1 << i})" for i in range(n_bits)]
+        probe_parts.append(
+            f"SELECT query_id, qv, {t} AS tbl, "
+            f"unnest([{', '.join(probes)}]) AS bucket FROM qb"
+        )
+    qb_cols = ", ".join(
+        f"{bucket_expr('qv', t)} AS qb{t}" for t in range(n_tables)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cb AS ({' UNION ALL '.join(corpus_parts)}),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        qb AS (SELECT query_id, qv, {qb_cols} FROM q),
+        probes AS ({' UNION ALL '.join(probe_parts)}),
+        scored AS (
+          SELECT DISTINCT query_id, neighbor_id,
+                 round(list_dot_product(qv, cv)
+                       / (sqrt(list_dot_product(qv, qv))
+                          * sqrt(list_dot_product(cv, cv))), 4) AS cos_sim
+          FROM probes JOIN cb USING (tbl, bucket)
+          WHERE query_id != neighbor_id),
+        r AS (
+          SELECT query_id, neighbor_id, cos_sim,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+          FROM scored)
+        SELECT * FROM r WHERE rank <= 5 ORDER BY query_id, rank
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     url = "'https://docs.example/' || source || '/' || CAST(doc_id AS VARCHAR)"
     return {
@@ -1023,6 +1080,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(CAST(n_match AS DOUBLE) / 32.0, 6) >= 0.35
             ORDER BY id_a, id_b
         """,
+        "ann_lsh_topk": _lsh_ann_oracle(),
         "ann_ivf_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             cent AS (SELECT vec_id AS cid, v AS cent FROM e WHERE vec_id % 25 = 0),

@@ -274,13 +274,14 @@ def minhash_lsh_pairs_md5(
 # --------------------------------------------------------------------------
 
 
-@pandas_udf("long")
-def _simhash_fold(hashes: pd.Series) -> pd.Series:
+def _simhash_fold_fn(hashes: pd.Series) -> pd.Series:
     """Fold an array<long> of token hashes into a 64-bit simhash.
 
     Arrow-batched; numpy bit-bank accumulation per doc (the per-batch
     loop shape of the reference's postprocess,
     reference: mindocr/postprocess/det_db_postprocess.py:77-85).
+    Wrapped into a pandas_udf lazily (decorating at module scope would
+    require an active SparkSession at import time).
     """
     import numpy as np
 
@@ -311,7 +312,8 @@ def simhash_col(df: DataFrame, text_col: str = "text",
         id_col,
         F.transform(tokens_col(text_col), lambda w: F.xxhash64(w)).alias("th"),
     )
-    return toks.select(id_col, _simhash_fold("th").alias("simhash"))
+    fold = pandas_udf(_simhash_fold_fn, "long")
+    return toks.select(id_col, fold("th").alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "text",
