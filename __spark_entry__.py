@@ -571,6 +571,37 @@ def q_ctc_collapse(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_attn_tokens(spark, sf_dir):
+    """GO/STOP sequence framing (RecAttnLabelEncode, reference:
+    rec_transforms.py:135-219): wrap the token sequence in sentinels."""
+    from mindocr_spark.functions.text import tokens_col
+
+    d = _t(spark, sf_dir, "documents")
+    seq = F.concat(
+        F.array(F.lit("<GO>")), tokens_col("text"), F.array(F.lit("<STOP>"))
+    )
+    return d.select(
+        "doc_id",
+        F.size(seq).cast("bigint").alias("seq_len"),
+        F.concat_ws(" ", seq).alias("framed"),
+    ).orderBy("doc_id")
+
+
+def q_approx_distinct(spark, sf_dir):
+    """Sketch aggregation (HLL++): approximate distinct users per event
+    type — rows-only (DuckDB's sketch differs); accuracy vs exact is
+    asserted in tests/test_sketches.py."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ==========================================================================
 # Layout / PDF block path (det→layout second payload)
 # ==========================================================================
@@ -674,6 +705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "minhash_lsh_md5": q_minhash_lsh_md5,
         "simhash_neardup": q_simhash_neardup,
+        "attn_tokens": q_attn_tokens,
+        "approx_distinct": q_approx_distinct,
         "deterministic_sample": q_deterministic_sample,
         "char_dict_encode": q_char_dict_encode,
         "argmax_cls": q_argmax_cls,
@@ -977,6 +1010,18 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
             WHERE round(CAST(n_inter AS DOUBLE) / CAST(x.n + y.n - n_inter AS DOUBLE), 6) >= 0.1
             ORDER BY id_a, id_b
+        """,
+        "attn_tokens": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')) AS norm
+              FROM documents)
+            SELECT doc_id,
+                   CAST(CASE WHEN norm = '' THEN 2
+                        ELSE len(string_split(norm,' ')) + 2 END AS BIGINT) AS seq_len,
+                   CASE WHEN norm = '' THEN '<GO> <STOP>'
+                        ELSE '<GO> ' || norm || ' <STOP>' END AS framed
+            FROM t ORDER BY doc_id
         """,
         "deterministic_sample": """
             SELECT doc_id, lang, n_chars FROM documents
