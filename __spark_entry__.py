@@ -571,6 +571,24 @@ def q_ctc_collapse(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_curate_pipeline(spark, sf_dir):
+    """The full curation composite (extract → lang/quality gates → exact
+    dedup) end-to-end, oracle-checked. MinHash near-dup removal is
+    disabled here (threshold > 1) because its xxhash64 family has no SQL
+    twin; the portable md5 variant is verified by `minhash_lsh_md5`."""
+    from mindocr_spark.curate import CurateConfig, curate
+
+    pages = pages_from_documents(spark, sf_dir).drop("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    curated, _funnel = curate(
+        pages, CurateConfig(min_chars=300, neardup_threshold=2.0)
+    )
+    return curated.select(
+        "url", "lang_pred", F.col("n_chars").cast("bigint").alias("n_chars")
+    ).orderBy("url")
+
+
 def q_attn_tokens(spark, sf_dir):
     """GO/STOP sequence framing (RecAttnLabelEncode, reference:
     rec_transforms.py:135-219): wrap the token sequence in sentinels."""
@@ -705,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "minhash_lsh_md5": q_minhash_lsh_md5,
         "simhash_neardup": q_simhash_neardup,
+        "curate_pipeline": q_curate_pipeline,
         "attn_tokens": q_attn_tokens,
         "approx_distinct": q_approx_distinct,
         "deterministic_sample": q_deterministic_sample,
@@ -1010,6 +1029,42 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
             WHERE round(CAST(n_inter AS DOUBLE) / CAST(x.n + y.n - n_inter AS DOUBLE), 6) >= 0.1
             ORDER BY id_a, id_b
+        """,
+        "curate_pipeline": f"""
+            WITH x AS (
+              SELECT 'https://docs.example/' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+                     '{_A}' || chr(10) || text AS etext
+              FROM documents
+              WHERE {_ANCHOR_LEN} + 1 + length(text) >= 300),
+            d AS (
+              SELECT url, etext,
+                     min(url) OVER (PARTITION BY
+                       md5(lower(trim(regexp_replace(etext,
+                           '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))))) AS rep
+              FROM x),
+            c AS (
+              SELECT url, lower(etext) AS lt, length(etext) AS n_chars
+              FROM d WHERE url = rep)
+            SELECT url,
+                   CASE WHEN len(regexp_extract_all(lt, '[一-鿿]')) > 0 THEN 'zh'
+                        WHEN greatest(
+                          len(regexp_extract_all(lt, '\\b(the|and|is|of|to|in|that|it|for|was)\\b')),
+                          len(regexp_extract_all(lt, '\\b(der|die|das|und|ist|nicht|ein|mit|von|zu)\\b')),
+                          len(regexp_extract_all(lt, '\\b(el|la|los|las|es|y|de|que|en|un|una|por)\\b'))) = 0
+                          THEN 'unknown'
+                        WHEN len(regexp_extract_all(lt, '\\b(the|and|is|of|to|in|that|it|for|was)\\b')) = greatest(
+                          len(regexp_extract_all(lt, '\\b(the|and|is|of|to|in|that|it|for|was)\\b')),
+                          len(regexp_extract_all(lt, '\\b(der|die|das|und|ist|nicht|ein|mit|von|zu)\\b')),
+                          len(regexp_extract_all(lt, '\\b(el|la|los|las|es|y|de|que|en|un|una|por)\\b')))
+                          THEN 'en'
+                        WHEN len(regexp_extract_all(lt, '\\b(der|die|das|und|ist|nicht|ein|mit|von|zu)\\b')) = greatest(
+                          len(regexp_extract_all(lt, '\\b(the|and|is|of|to|in|that|it|for|was)\\b')),
+                          len(regexp_extract_all(lt, '\\b(der|die|das|und|ist|nicht|ein|mit|von|zu)\\b')),
+                          len(regexp_extract_all(lt, '\\b(el|la|los|las|es|y|de|que|en|un|una|por)\\b')))
+                          THEN 'de'
+                        ELSE 'es' END AS lang_pred,
+                   CAST(n_chars AS BIGINT) AS n_chars
+            FROM c ORDER BY url
         """,
         "attn_tokens": r"""
             WITH t AS (

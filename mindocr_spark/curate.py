@@ -33,7 +33,7 @@ class CurateConfig:
     max_boilerplate: float = 0.95  # drop pages that are ~all chrome
     langs: tuple[str, ...] = ()    # keep-list; empty = all
     min_stop_ratio: float = 0.0    # prose-ness gate (0 disables)
-    neardup_threshold: float = 0.6  # MinHash est-jaccard removal cutoff
+    neardup_threshold: float = 0.6  # MinHash est-jaccard cutoff; >1 disables
 
 
 def curate(
@@ -60,37 +60,40 @@ def curate(
         tagged = tagged.where(F.col("lang_pred").isin(*cfg.langs))
     if cfg.min_stop_ratio > 0:
         q = quality_cols(
-            tagged.withColumn("doc_id", F.xxhash64("url")), text_col="text"
-        ).select("doc_id", "stop_ratio")
+            tagged.withColumnRenamed("url", "doc_id"), text_col="text"
+        ).select(F.col("doc_id").alias("url"), "stop_ratio")
         tagged = (
-            tagged.withColumn("doc_id", F.xxhash64("url"))
-            .join(q, "doc_id")
+            tagged.join(q, "url")
             .where(F.col("stop_ratio") >= cfg.min_stop_ratio)
-            .drop("doc_id", "stop_ratio")
+            .drop("stop_ratio")
         )
     tagged = tagged.persist()
 
-    # exact dedup: keep each cluster's representative (min url-hash —
-    # deterministic, no collect)
-    keyed = tagged.withColumn("doc_id", F.xxhash64("url"))
-    clusters = exact_dup_clusters(keyed, text_col="text", id_col="doc_id")
-    exact_kept = keyed.join(
-        clusters.where(F.col("doc_id") == F.col("cluster_rep")).select("doc_id"),
-        "doc_id",
+    # exact dedup: keep each cluster's representative — the
+    # lexicographically smallest url (engine-portable and deterministic;
+    # a hash-based rep would not be reproducible in the SQL oracle)
+    clusters = exact_dup_clusters(tagged, text_col="text", id_col="url")
+    exact_kept = tagged.join(
+        clusters.where(F.col("url") == F.col("cluster_rep")).select("url"),
+        "url",
     ).persist()
 
-    # near-dup removal: LSH candidates ≥ threshold; drop the higher id of
+    # near-dup removal: LSH candidates ≥ threshold; drop the higher url of
     # each pair (deterministic victim choice; transitive chains collapse
-    # toward the minimum id)
-    victims = (
-        minhash_lsh_pairs(
-            exact_kept, threshold=cfg.neardup_threshold,
-            text_col="text", id_col="doc_id",
+    # toward the minimum). threshold > 1 disables the pass entirely.
+    if cfg.neardup_threshold <= 1.0:
+        victims = (
+            minhash_lsh_pairs(
+                exact_kept, threshold=cfg.neardup_threshold,
+                text_col="text", id_col="url",
+            )
+            .select(F.col("id_b").alias("url"))
+            .distinct()
         )
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
-    )
-    curated = exact_kept.join(victims, "doc_id", "left_anti").select(
+        curated = exact_kept.join(victims, "url", "left_anti")
+    else:
+        curated = exact_kept
+    curated = curated.select(
         "url", "text", "lang_pred", F.length("text").alias("n_chars")
     )
 
