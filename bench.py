@@ -78,6 +78,8 @@ def main() -> None:
         "ngram_jaccard",        # dedup exact verify path
         "ann_cosine_topk",      # similarity search
         "simhash_neardup",      # simhash + banded hamming
+        "layout_assemble",      # 2-D layout block path
+        "curate_pipeline",      # end-to-end curation composite
     ]
     qs = E.queries()
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
