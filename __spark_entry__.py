@@ -43,18 +43,26 @@ def _epoch_sec(ts_col: str):
     )
 
 
+_extract_cache: dict = {}
+
+
 def _extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pages(from documents) → fused extraction, with doc_id recovered
     from the url for oracle joins. The documents parquet is a single
     small file (1 input split) — repartition to the session parallelism
-    so the CPU-bound extraction stage uses every core."""
+    so the CPU-bound extraction stage uses every core. Memoized+persisted
+    per (session, sf_dir): four driver queries share this subtree."""
+    key = (id(spark), sf_dir)
+    if key in _extract_cache:
+        return _extract_cache[key]
     pages = pages_from_documents(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism
     )
-    res = run_extraction(pages.drop("doc_id"))
-    return res.withColumn(
+    res = run_extraction(pages.drop("doc_id")).withColumn(
         "doc_id", F.element_at(F.split("url", "/"), -1).cast("bigint")
-    )
+    ).persist()
+    _extract_cache[key] = res
+    return res
 
 
 # ==========================================================================

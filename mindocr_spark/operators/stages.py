@@ -241,35 +241,45 @@ def extract_stage(df, params: core.ExtractParams = core.DEFAULT_PARAMS):
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: list[dict] = []
-            for url, ts, html, lang in zip(
-                pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]
-            ):
+            n = len(pdf)
+            if n == 0:
+                continue
+            # column-wise assembly: ~10x cheaper than a list of dicts
+            # for the conversion back to Arrow
+            texts = [""] * n
+            spans: list = [[]] * n
+            n_blocks = [0] * n
+            ratio = [0.0] * n
+            n_nodes = [0] * n
+            total_bytes = [0] * n
+            encoding = ["utf-8"] * n
+            failed = [False] * n
+            for i, html in enumerate(pdf["html"]):
                 try:
                     ex = core.extract_document(bytes(html), params)
-                    out.append(dict(
-                        url=url, warc_ts=ts, lang=lang,
-                        extracted_text=ex.extracted_text,
-                        spans=[
-                            dict(block_id=b, node_start=s, node_end=e,
-                                 char_start=cs, char_end=ce, src_start=ss,
-                                 src_end=se, score=sc)
-                            for b, s, e, cs, ce, ss, se, sc in ex.spans
-                        ],
-                        n_blocks=ex.n_blocks,
-                        boilerplate_ratio=ex.boilerplate_ratio,
-                        n_nodes=ex.n_nodes, total_bytes=ex.total_bytes,
-                        encoding=ex.encoding, failed=False,
-                    ))
+                    texts[i] = ex.extracted_text
+                    spans[i] = [
+                        dict(block_id=b, node_start=s, node_end=e,
+                             char_start=cs, char_end=ce, src_start=ss,
+                             src_end=se, score=sc)
+                        for b, s, e, cs, ce, ss, se, sc in ex.spans
+                    ]
+                    n_blocks[i] = ex.n_blocks
+                    ratio[i] = ex.boilerplate_ratio
+                    n_nodes[i] = ex.n_nodes
+                    total_bytes[i] = ex.total_bytes
+                    encoding[i] = ex.encoding
                 except Exception:
-                    out.append(dict(
-                        url=url, warc_ts=ts, lang=lang, extracted_text="",
-                        spans=[], n_blocks=0, boilerplate_ratio=0.0,
-                        n_nodes=0, total_bytes=len(html or b""),
-                        encoding="utf-8", failed=True,
-                    ))
-            if out:
-                yield pd.DataFrame(out)
+                    total_bytes[i] = len(html or b"")
+                    failed[i] = True
+            yield pd.DataFrame({
+                "url": pdf["url"].values, "warc_ts": pdf["warc_ts"].values,
+                "lang": pdf["lang"].values, "extracted_text": texts,
+                "spans": spans, "n_blocks": n_blocks,
+                "boilerplate_ratio": ratio, "n_nodes": n_nodes,
+                "total_bytes": total_bytes, "encoding": encoding,
+                "failed": failed,
+            })
 
     return df.select("url", "warc_ts", "html", "lang").mapInPandas(
         fn, schema=EXTRACT_SCHEMA
