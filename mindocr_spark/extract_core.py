@@ -127,6 +127,9 @@ class ExtractParams:
     max_gap: int = 1             # gap-merge distance in nodes (unclip analog)
     max_candidates: int = 1000   # top-k cap (det_db_postprocess.py:45)
     smooth: bool = True          # neighbourhood smoothing (FPN analog)
+    detector: str = "db"         # "db" (threshold+merge) | "pse" (kernel+expand)
+    pse_kernel_margin: float = 0.20  # kernel thresh = binary_thresh + margin
+    pse_expand_floor: float = 0.08   # expansion floor = binary_thresh - this
 
 
 DEFAULT_PARAMS = ExtractParams()
@@ -528,6 +531,87 @@ def detect_blocks(
     return blocks
 
 
+def detect_blocks_pse(
+    raw: np.ndarray,
+    smoothed: np.ndarray,
+    text_len: list[int] | np.ndarray,
+    params: ExtractParams = DEFAULT_PARAMS,
+) -> list[tuple[int, int, float]]:
+    """PSE-style detector: high-confidence KERNELS expanded outward to a
+    lower floor — the 1-D analog of progressive scale expansion
+    (reference: mindocr/postprocess/det_pse_postprocess.py:13-130, BFS
+    label growth over shrunken kernels; pse.pyx). Compared to the DB
+    detector, kernels resist bridging two separate articles through a
+    mediocre gap, while expansion still recovers their full extent.
+
+    1. kernels: runs where smoothed ≥ binary_thresh + pse_kernel_margin
+       AND raw ≥ raw_floor;
+    2. expansion: each kernel grows left/right while smoothed ≥
+       binary_thresh − pse_expand_floor AND raw ≥ raw_floor (first-come
+       growth, left-to-right — deterministic like the BFS queue order);
+    3. same gap-merge / score / min-size / top-k policy as the DB path.
+    """
+    n = int(smoothed.size)
+    if n == 0:
+        return []
+    hi = params.binary_thresh + params.pse_kernel_margin
+    lo = params.binary_thresh - params.pse_expand_floor
+    eligible = raw >= params.raw_floor
+    kernel_mask = (smoothed >= hi) & eligible
+    grow_mask = (smoothed >= lo) & eligible
+
+    taken = np.zeros(n, dtype=bool)
+    runs: list[list[int]] = []
+    i = 0
+    while i < n:
+        if kernel_mask[i] and not taken[i]:
+            s = i
+            e = i
+            while e + 1 < n and kernel_mask[e + 1]:
+                e += 1
+            # expand to the growth floor, stopping at already-claimed nodes
+            while s - 1 >= 0 and grow_mask[s - 1] and not taken[s - 1]:
+                s -= 1
+            while e + 1 < n and grow_mask[e + 1] and not taken[e + 1]:
+                e += 1
+            taken[s:e + 1] = True
+            runs.append([s, e + 1])
+            i = e + 1
+        else:
+            i += 1
+
+    merged: list[list[int]] = []
+    for r in runs:
+        if merged and r[0] - merged[-1][1] <= params.max_gap:
+            merged[-1][1] = r[1]
+        else:
+            merged.append(r)
+
+    tl = np.asarray(text_len, dtype=np.int64)
+    blocks: list[tuple[int, int, float]] = []
+    for s, e in merged:
+        mean_score = float(np.mean(raw[s:e]))
+        if mean_score < params.block_thresh:
+            continue
+        if int(tl[s:e].sum()) < params.min_block_chars:
+            continue
+        blocks.append((s, e, mean_score))
+    if len(blocks) > params.max_candidates:
+        blocks = sorted(blocks, key=lambda b: (-b[2], b[0]))[: params.max_candidates]
+        blocks.sort(key=lambda b: b[0])
+    return blocks
+
+
+#: Pluggable detector registry (the reference's postprocess registry
+#: pattern, mindocr/postprocess/builder.py:19-45): DBPostprocess ↔ "db",
+#: PSEPostprocess ↔ "pse".
+DETECTORS = {"db": detect_blocks, "pse": detect_blocks_pse}
+
+
+def run_detector(raw, smoothed, text_len, params: ExtractParams = DEFAULT_PARAMS):
+    return DETECTORS[params.detector](raw, smoothed, text_len, params)
+
+
 # --------------------------------------------------------------------------
 # Stage D — assemble: reading-order span assembly (CTC decode + sorted_boxes)
 # --------------------------------------------------------------------------
@@ -602,7 +686,7 @@ def extract_document(html: bytes, params: ExtractParams = DEFAULT_PARAMS) -> Ext
     the per-doc body of the Spark batch path — one implementation)."""
     doc = parse_html(html)
     raw, smoothed = score_nodes(doc, params)
-    blocks = detect_blocks(raw, smoothed, doc.text_len, params)
+    blocks = run_detector(raw, smoothed, doc.text_len, params)
     return assemble_text(doc, blocks, params)
 
 

@@ -174,7 +174,7 @@ def score_stage(df, params: core.ExtractParams = core.DEFAULT_PARAMS):
 
 def detect_stage(df, params: core.ExtractParams = core.DEFAULT_PARAMS):
     def fn_row(r: dict) -> dict:
-        blocks = core.detect_blocks(
+        blocks = core.run_detector(
             np.asarray(r["raw_score"], dtype=np.float64),
             np.asarray(r["smoothed_score"], dtype=np.float64),
             np.asarray(r["text_len"], dtype=np.int64),

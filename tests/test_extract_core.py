@@ -237,3 +237,48 @@ class TestReviewRegressions:
         ex = core.assemble_text(doc, [(0, 1, 0.9), (1, 2, 0.9)])
         assert len(ex.extracted_text) > doc.total_text_chars
         assert ex.boilerplate_ratio == 0.0
+
+
+class TestPSEDetector:
+    """Alternative detector (PSE kernel+expand) behind the registry —
+    the reference's pluggable-postprocess pattern
+    (mindocr/postprocess/builder.py:19-45)."""
+
+    P = core.ExtractParams(detector="pse", min_block_chars=1)
+
+    def _run(self, raw, sm=None, tl=None, params=None):
+        raw = np.asarray(raw, dtype=np.float64)
+        sm = raw if sm is None else np.asarray(sm, dtype=np.float64)
+        tl = np.full(raw.size, 100) if tl is None else np.asarray(tl)
+        return core.detect_blocks_pse(raw, sm, tl, params or self.P)
+
+    def test_kernel_expands_to_floor(self):
+        # kernel at idx 2 (0.9 ≥ 0.5); expands over 0.3s (≥ 0.22 floor)
+        out = self._run([0.1, 0.3, 0.9, 0.3, 0.1])
+        assert [b[:2] for b in out] == [(1, 4)]
+
+    def test_no_kernel_no_block(self):
+        # all nodes above the floor but none reaches kernel strength
+        assert self._run([0.4, 0.4, 0.4]) == []
+
+    def test_kernels_do_not_bridge_weak_gap(self):
+        # two kernels separated by sub-floor nodes stay separate
+        out = self._run([0.9, 0.1, 0.1, 0.9])
+        assert [b[:2] for b in out] == [(0, 1), (3, 4)]
+
+    def test_registry_dispatch_end_to_end(self):
+        ex_db = core.extract_document(PAGE)
+        ex_pse = core.extract_document(
+            PAGE, core.ExtractParams(detector="pse")
+        )
+        # on a clean page both detectors recover the same main content
+        assert ex_pse.extracted_text == ex_db.extracted_text
+
+    def test_unknown_detector_raises(self):
+        import pytest as _pytest
+
+        with _pytest.raises(KeyError):
+            core.run_detector(
+                np.array([0.5]), np.array([0.5]), [10],
+                core.ExtractParams(detector="nope"),
+            )
