@@ -51,8 +51,10 @@ def _extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the url for oracle joins. The documents parquet is a single
     small file (1 input split) — repartition to the session parallelism
     so the CPU-bound extraction stage uses every core. Memoized+persisted
-    per (session, sf_dir): four driver queries share this subtree."""
-    key = (id(spark), sf_dir)
+    per (session, sf_dir): four driver queries share this subtree.
+    Keyed by the session OBJECT (a strong ref — id() could be recycled
+    after a session is stopped and garbage-collected)."""
+    key = (spark, sf_dir)
     if key in _extract_cache:
         return _extract_cache[key]
     pages = pages_from_documents(spark, sf_dir).repartition(
@@ -603,8 +605,11 @@ def q_attn_tokens(spark, sf_dir):
     from mindocr_spark.functions.text import tokens_col
 
     d = _t(spark, sf_dir, "documents")
+    # coalesce: concat propagates NULL while the oracle's CASE does not
     seq = F.concat(
-        F.array(F.lit("<GO>")), tokens_col("text"), F.array(F.lit("<STOP>"))
+        F.array(F.lit("<GO>")),
+        tokens_col(F.coalesce(F.col("text"), F.lit(""))),
+        F.array(F.lit("<STOP>")),
     )
     return d.select(
         "doc_id",
@@ -1077,7 +1082,7 @@ def oracle_sql() -> dict[str, str]:
         "attn_tokens": r"""
             WITH t AS (
               SELECT doc_id,
-                     trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')) AS norm
+                     trim(regexp_replace(coalesce(text, ''),'[ \t\n\r\f\x0B]+',' ','g')) AS norm
               FROM documents)
             SELECT doc_id,
                    CAST(CASE WHEN norm = '' THEN 2

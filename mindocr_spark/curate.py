@@ -59,9 +59,9 @@ def curate(
     if cfg.langs:
         tagged = tagged.where(F.col("lang_pred").isin(*cfg.langs))
     if cfg.min_stop_ratio > 0:
-        q = quality_cols(
-            tagged.withColumnRenamed("url", "doc_id"), text_col="text"
-        ).select(F.col("doc_id").alias("url"), "stop_ratio")
+        q = quality_cols(tagged, text_col="text", id_col="url").select(
+            "url", "stop_ratio"
+        )
         tagged = (
             tagged.join(q, "url")
             .where(F.col("stop_ratio") >= cfg.min_stop_ratio)

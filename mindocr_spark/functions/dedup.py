@@ -153,35 +153,19 @@ def minhash_signatures(df: DataFrame, n_perm: int = 64, k: int = 3,
     )
 
 
-def minhash_lsh_pairs(df: DataFrame, n_perm: int = 64, bands: int = 16,
-                      k: int = 3, threshold: float = 0.5,
-                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Candidate near-dup pairs via banded LSH + signature-overlap estimate.
-
-    With n_perm=64, bands=16 (rows r=4) the collision threshold is
-    (1/16)^(1/4) ≈ 0.5. Plan: signatures → band buckets (groupBy concat)
-    → self-join on (band, bucket_hash) → distinct pairs → join signatures
-    twice → est_jaccard = matching perms / n_perm. No all-pairs stage;
-    bucket joins are the only quadratic work (AQE skew-split handles a
-    degenerate hot bucket).
-    Returns (id_a, id_b, n_match, est_jaccard ≥ threshold).
-    """
+def _lsh_pairs_from_signatures(sig: DataFrame, bucket_agg, n_perm: int,
+                               bands: int, threshold: float,
+                               id_col: str) -> DataFrame:
+    """Shared LSH tail: signatures → band buckets → candidate self-join
+    → signature-overlap estimate. Both minhash variants (xxhash64 scale
+    path, md5 portable twin) differ ONLY in the signature hash and the
+    bucket aggregate — keep the candidate/estimate plan in one place."""
     rows_per_band = n_perm // bands
-    # signatures feed the band bucketing AND both sides of the estimate
-    # join — persist the ≤ docs×n_perm relation once.
-    sig = minhash_signatures(df, n_perm=n_perm, k=k,
-                             text_col=text_col, id_col=id_col).persist()
-    # band bucket = XOR of per-row hashes: order-insensitive, constant
-    # memory per group (collect_list+sort would buffer whole bands), and
-    # the (perm, minh) set fully determines the 64-bit bucket
+    sig = sig.persist()  # feeds banding AND both sides of the estimate join
     banded = (
         sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
         .groupBy(id_col, "band")
-        .agg(
-            F.expr(
-                "bit_xor(xxhash64(concat_ws(':', perm, minh)))"
-            ).alias("bucket")
-        )
+        .agg(bucket_agg.alias("bucket"))
         .persist()
     )
     cand = (
@@ -208,6 +192,30 @@ def minhash_lsh_pairs(df: DataFrame, n_perm: int = 64, bands: int = 16,
     return est.where(F.col("est_jaccard") >= threshold)
 
 
+def minhash_lsh_pairs(df: DataFrame, n_perm: int = 64, bands: int = 16,
+                      k: int = 3, threshold: float = 0.5,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-dup pairs via banded LSH + signature-overlap estimate.
+
+    With n_perm=64, bands=16 (rows r=4) the collision threshold is
+    (1/16)^(1/4) ≈ 0.5. Plan: signatures → band buckets → self-join on
+    (band, bucket) → distinct pairs → join signatures twice →
+    est_jaccard = matching perms / n_perm. No all-pairs stage; bucket
+    joins are the only quadratic work (AQE skew-split handles a
+    degenerate hot bucket).
+    Returns (id_a, id_b, n_match, est_jaccard ≥ threshold).
+    """
+    sig = minhash_signatures(df, n_perm=n_perm, k=k,
+                             text_col=text_col, id_col=id_col)
+    # band bucket = XOR of per-row hashes: order-insensitive, constant
+    # memory per group (collect_list+sort would buffer whole bands), and
+    # the (perm, minh) set fully determines the 64-bit bucket
+    bucket_agg = F.expr("bit_xor(xxhash64(concat_ws(':', perm, minh)))")
+    return _lsh_pairs_from_signatures(
+        sig, bucket_agg, n_perm, bands, threshold, id_col
+    )
+
+
 def minhash_lsh_pairs_md5(
     df: DataFrame, n_perm: int = 32, bands: int = 8, k: int = 3,
     threshold: float = 0.35, text_col: str = "text", id_col: str = "doc_id",
@@ -218,7 +226,6 @@ def minhash_lsh_pairs_md5(
     engines, so (unlike the xxhash64 scale path) this variant has an
     exact ANSI-SQL oracle. Same banding/candidate/estimate plan shape.
     Returns (id_a, id_b, n_match, est_jaccard ≥ threshold)."""
-    rows_per_band = n_perm // bands
     sh = word_shingles(df, k=k, text_col=text_col, id_col=id_col)
     perms = df.sparkSession.range(n_perm).select(
         F.col("id").cast("int").alias("perm")
@@ -232,41 +239,13 @@ def minhash_lsh_pairs_md5(
         )
         .groupBy(id_col, "perm")
         .agg(F.min("h").alias("minh"))
-        .persist()
     )
-    banded = (
-        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.concat_ws(",", F.sort_array(F.collect_list("minh")))
-                .cast("binary")
-            ).alias("bucket")
-        )
-        .persist()
+    bucket_agg = F.md5(
+        F.concat_ws(",", F.sort_array(F.collect_list("minh"))).cast("binary")
     )
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), on=["band", "bucket"])
-        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-        .select(
-            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
-        )
-        .distinct()
+    return _lsh_pairs_from_signatures(
+        sig, bucket_agg, n_perm, bands, threshold, id_col
     )
-    sa = sig.select(F.col(id_col).alias("id_a"), "perm", F.col("minh").alias("mh_a"))
-    sb = sig.select(F.col(id_col).alias("id_b"), "perm", F.col("minh").alias("mh_b"))
-    est = (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "perm"])
-        .groupBy("id_a", "id_b")
-        .agg(F.sum((F.col("mh_a") == F.col("mh_b")).cast("int")).alias("n_match"))
-        .withColumn(
-            "est_jaccard",
-            F.round(F.col("n_match").cast("double") / F.lit(float(n_perm)), 6),
-        )
-    )
-    return est.where(F.col("est_jaccard") >= threshold)
 
 
 # --------------------------------------------------------------------------

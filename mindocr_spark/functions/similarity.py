@@ -227,20 +227,20 @@ def ivf_topk(
     )
     # assignment key rounded to 9 decimals + cid tie-break: fully
     # deterministic AND engine-stable (raw float argmax would be
-    # sensitive to 1e-16 association-order noise)
-    akey = F.round(cosine(F.col("cv"), F.col("cent")), 9)
+    # sensitive to 1e-16 association-order noise). max_by over a struct
+    # keeps map-side PARTIAL aggregation — a window here would shuffle
+    # the full corpus×centroids cross product.
+    akey = F.struct(
+        F.round(cosine(F.col("cv"), F.col("cent")), 9).alias("cos"),
+        (-F.col("cid")).alias("neg_cid"),
+    )
     assign = (
         c.join(F.broadcast(cent))
-        .withColumn(
-            "arank",
-            F.row_number().over(
-                Window.partitionBy("neighbor_id").orderBy(
-                    akey.desc(), F.col("cid").asc()
-                )
-            ),
+        .groupBy("neighbor_id")
+        .agg(
+            F.max_by("cid", akey).alias("cid"),
+            F.first("cv").alias("cv"),  # identical across the group
         )
-        .where(F.col("arank") == 1)
-        .select("neighbor_id", "cv", "cid")
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), vec_double(vec_col).alias("qv")

@@ -49,11 +49,12 @@ def tokens_col(c: Column | str) -> Column:
     )
 
 
-def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def token_stats(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
     """Per-doc token counts: n_tokens, n_distinct_tokens, n_chars_norm."""
     toks = tokens_col(text_col)
     return df.select(
-        "doc_id",
+        id_col,
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
         F.length(normalize_col(text_col)).alias("n_chars_norm"),
@@ -71,7 +72,8 @@ _PUNCT_RE = r"[.,;:!?]"
 _UPPER_RE = r"[A-Z]"
 
 
-def quality_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_cols(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
     """Per-doc quality features. Counts are exact ints; the two ratios are
     single IEEE divisions of those ints (bit-identical across engines)."""
     toks = tokens_col(text_col)
@@ -83,7 +85,7 @@ def quality_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.length(F.array_join(toks, "")).cast("double"), n_tokens.cast("double")
     )
     return df.select(
-        "doc_id",
+        id_col,
         n_tokens.alias("n_tokens"),
         stop_hits.alias("stop_hits"),
         punct.alias("n_punct"),
