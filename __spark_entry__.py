@@ -463,6 +463,14 @@ def q_minhash_lsh_md5(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_simhash_md5(spark, sf_dir):
+    """Engine-portable simhash signatures (md5 token hashes, hex output)
+    — the oracle-checked twin of the xxhash64 scale path."""
+    from mindocr_spark.functions.dedup import simhash_md5_col
+
+    return simhash_md5_col(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 def q_simhash_neardup(spark, sf_dir):
     """SimHash banded hamming near-dups (no SQL oracle — xxhash64 + bit
     fold are engine-specific)."""
@@ -735,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "minhash_lsh_md5": q_minhash_lsh_md5,
+        "simhash_md5": q_simhash_md5,
         "simhash_neardup": q_simhash_neardup,
         "curate_pipeline": q_curate_pipeline,
         "attn_tokens": q_attn_tokens,
@@ -754,6 +763,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _A = PAGES_TEMPLATE_ANCHOR  # no quotes inside; safe to inline in SQL
+
+
+def _simhash_md5_oracle() -> str:
+    """Generated oracle for q_simhash_md5: per-token md5 bit votes folded
+    into a hex simhash with pure integer/char arithmetic (no 64-bit
+    value ever materialized — signed-overflow-safe in any engine)."""
+    hexd = "0123456789abcdef"
+
+    def bit(j: int) -> str:
+        p = 16 - j // 4  # 1-based hex char holding bit j (LSB = j 0)
+        return (
+            f"((strpos('{hexd}', substr(h, {p}, 1)) - 1) >> {j % 4}) & 1"
+        )
+
+    votes = ",\n".join(
+        f"SUM(CASE WHEN ({bit(j)}) = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(64)
+    )
+    nibbles = []
+    for p in range(1, 17):  # output chars, MSB first
+        base = 4 * (16 - p)
+        digit = " + ".join(
+            f"(CASE WHEN v{base + k} > 0 THEN {1 << k} ELSE 0 END)"
+            for k in range(4)
+        )
+        nibbles.append(f"substr('{hexd}', 1 + ({digit}), 1)")
+    assemble = " || ".join(nibbles)
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 unnest(string_split(trim(regexp_replace(text,
+                        '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ')) AS w
+          FROM documents),
+        m AS (SELECT doc_id, md5(w) AS h FROM t),
+        v AS (SELECT doc_id, {votes} FROM m GROUP BY doc_id)
+        SELECT doc_id, {assemble} AS simhash_hex
+        FROM v ORDER BY doc_id
+    """
 
 
 def _lsh_ann_oracle() -> str:
@@ -1193,6 +1240,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(CAST(n_match AS DOUBLE) / 32.0, 6) >= 0.35
             ORDER BY id_a, id_b
         """,
+        "simhash_md5": _simhash_md5_oracle(),
         "ann_lsh_topk": _lsh_ann_oracle(),
         "ann_ivf_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -295,6 +295,47 @@ def simhash_col(df: DataFrame, text_col: str = "text",
     return toks.select(id_col, fold("th").alias("simhash"))
 
 
+def _simhash_md5_fold_fn(hex_hashes: pd.Series) -> pd.Series:
+    """Fold arrays of md5-hex token hashes (first 16 hex chars = 64 bits)
+    into a simhash, emitted as 16-char lowercase hex — string output
+    sidesteps signed-64 overflow in SQL engines."""
+    import numpy as np
+
+    out = []
+    for arr in hex_hashes:
+        if arr is None or len(arr) == 0:
+            out.append("0" * 16)
+            continue
+        h = np.array([int(x[:16], 16) for x in arr], dtype=np.uint64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int64
+        )
+        votes = (2 * bits - 1).sum(axis=0)
+        sim = 0
+        for j in np.nonzero(votes > 0)[0]:
+            sim |= 1 << int(j)
+        out.append(format(sim, "016x"))
+    return pd.Series(out, dtype="object")
+
+
+def simhash_md5_col(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash_hex): engine-portable simhash — token hashes are
+    md5 (bit-identical everywhere), the bit-vote fold has an exact
+    ANSI-SQL twin (bit extraction from hex digits). The xxhash64 variant
+    (:func:`simhash_col`) remains the faster scale path."""
+    from mindocr_spark.functions.text import tokens_col
+
+    toks = df.select(
+        id_col,
+        F.transform(
+            tokens_col(text_col), lambda w: F.md5(w.cast("binary"))
+        ).alias("th"),
+    )
+    fold = pandas_udf(_simhash_md5_fold_fn, "string")
+    return toks.select(id_col, fold("th").alias("simhash_hex"))
+
+
 def simhash_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.

@@ -90,3 +90,15 @@ def test_simhash_radius_recall_guarantee(spark):
              for r in simhash_pairs(docs, max_hamming=12).collect()}
     assert (1, 2) in found          # radius-12 request honours radius-12 pairs
     assert found[(1, 2)] <= 12
+
+
+def test_simhash_md5_portable_twin(spark, docs):
+    from mindocr_spark.functions.dedup import simhash_md5_col
+
+    sims = {r["doc_id"]: r["simhash_hex"] for r in simhash_md5_col(docs).collect()}
+    assert sims[1] == sims[2]                       # identical docs
+    assert len(sims[1]) == 16 and sims[1] != sims[4]
+    # hamming distance of the near pair is small relative to the far pair
+    def ham(a, b):
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+    assert ham(sims[1], sims[3]) < ham(sims[1], sims[4])
