@@ -106,3 +106,19 @@ def test_parquet_roundtrip(spark, tmp_path):
     assert back.count() == 40
     met = spark.read.parquet(met_path)
     assert met.agg(F.sum("docs")).collect()[0][0] == 40
+
+
+def test_registry_param_overrides(spark):
+    """The YAML-shaped stage list: dict entries override ExtractParams
+    per stage (the reference's {OpName: {params}} contract,
+    transforms_factory.py:18-52) — e.g. swapping in the PSE detector."""
+    from mindocr_spark.corpus import pages_dataframe
+    from mindocr_spark.operators.registry import build_pipeline
+
+    pages = pages_dataframe(spark, 30, seed=42)
+    plan = ["parse", "score", {"detect": {"detector": "pse"}}, "assemble"]
+    out = {r["url"]: r["extracted_text"] for r in build_pipeline(plan)(pages).collect()}
+    base = {r["url"]: r["extracted_text"] for r in build_pipeline()(pages).collect()}
+    assert set(out) == set(base)
+    # clean synthetic pages: both detectors recover the same content
+    assert out == base
