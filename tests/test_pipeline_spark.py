@@ -122,3 +122,36 @@ def test_registry_param_overrides(spark):
     assert set(out) == set(base)
     # clean synthetic pages: both detectors recover the same content
     assert out == base
+
+
+def test_staged_fused_adversarial_parity(spark):
+    """Staged and fused paths agree byte-for-byte on adversarial tag
+    soup (not just the clean corpus): misnesting, raw-text traps,
+    entities, omitted </head>, stray '<', empty bodies."""
+    frags = [
+        b"<html><head><title>t</title><body><p>no head close "
+        b"but the content here is long enough to score as a block with "
+        b"the and of to in it for was words repeated the and of to.</p>",
+        b"<div><p>one</div></p><p>two the and of to in it for was the "
+        b"and of to in it for was the and of to in it for was)</p>",
+        b"<body><p>3 < 5 &amp; x &#65; &bogus; the and of to in it for "
+        b"was the and of to in it for was the and of to in it</p></body>",
+        b"<body><script>var x='<p>no</p>';</script><p>" + b"y" * 300 + b"</p>",
+        b"<body><nav><a href='/'>only chrome</a></nav></body>",
+        b"",
+        b"<p>" + "山水风月天地人间".encode() * 30 + b"</p>",
+    ]
+    rows = [
+        (f"u{i}", None, h, "", "en") for i, h in enumerate(frags)
+    ]
+    from mindocr_spark.corpus import PAGES_SCHEMA_DDL
+    from mindocr_spark.operators.pipeline import run_extraction
+
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA_DDL)
+    fused = {r["url"]: r for r in run_extraction(pages).collect()}
+    staged = {r["url"]: r for r in run_extraction(pages, staged=True).collect()}
+    assert fused.keys() == staged.keys()
+    for u in fused:
+        assert fused[u]["extracted_text"] == staged[u]["extracted_text"], u
+        assert fused[u]["spans"] == staged[u]["spans"], u
+        assert fused[u]["boilerplate_ratio"] == staged[u]["boilerplate_ratio"], u
