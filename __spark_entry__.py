@@ -29,6 +29,50 @@ _CHROME_CHARS = 101
 _ANCHOR_LEN = len(PAGES_TEMPLATE_ANCHOR)  # 230
 
 
+_pyfiles_added: set = set()
+
+
+def _ensure_worker_imports(spark: SparkSession) -> None:
+    """Ship mindocr_spark to python workers via addPyFile.
+
+    mapInPandas/pandas_udf closures reference mindocr_spark by module
+    name; workers are separate processes that do NOT inherit the
+    driver's sys.path mutations, so a driver running from a foreign cwd
+    (without PYTHONPATH) would hit ModuleNotFoundError in every UDF.
+    addPyFile places the zip on every worker's sys.path before
+    deserialization — the spark-submit --py-files mechanism, applied
+    programmatically."""
+    sc = spark.sparkContext
+    if id(sc) in _pyfiles_added:
+        return
+    import os
+    import zipfile
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join("/tmp", f"mindocr_spark_pyfiles_{os.getpid()}.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as z:
+            pkg = os.path.join(root, "mindocr_spark")
+            for dirpath, _dirs, files in os.walk(pkg):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, root))
+    sc.addPyFile(zip_path)
+    _pyfiles_added.add(id(sc))
+
+
+def _q(fn):
+    """Query wrapper: guarantee worker-side imports before any job."""
+    def wrapped(spark, sf_dir):
+        _ensure_worker_imports(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -712,53 +756,54 @@ def q_multimodal_features(spark, sf_dir):
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full main-content
     extraction over the synthesized pages corpus."""
+    _ensure_worker_imports(spark)
     return q_extract_fulltext(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "extract_fulltext": q_extract_fulltext,
-        "extract_spans": q_extract_spans,
-        "extract_boilerplate": q_extract_boilerplate,
-        "extract_metrics_by_lang": q_extract_metrics_by_lang,
-        "agg_partial_final": q_agg_partial_final,
-        "fanout_regroup": q_fanout_regroup,
-        "reading_order": q_reading_order,
-        "topk_per_group": q_topk_per_group,
-        "multi_join_revenue": q_multi_join_revenue,
-        "broadcast_dict_join": q_broadcast_dict_join,
-        "union_sources": q_union_sources,
-        "except_keys": q_except_keys,
-        "interval_overlap": q_interval_overlap,
-        "sessionize": q_sessionize,
-        "json_extract": q_json_extract,
-        "windowed_counts": q_windowed_counts,
-        "skew_salted_agg": q_skew_salted_agg,
-        "token_stats": q_token_stats,
-        "quality_scores": q_quality_scores,
-        "lang_id": q_lang_id,
-        "rec_metrics_pairs": q_rec_metrics_pairs,
-        "rolling_fingerprint": q_rolling_fingerprint,
-        "exact_dedup": q_exact_dedup,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_lsh": q_minhash_lsh,
-        "minhash_lsh_md5": q_minhash_lsh_md5,
-        "simhash_md5": q_simhash_md5,
-        "simhash_neardup": q_simhash_neardup,
-        "curate_pipeline": q_curate_pipeline,
-        "attn_tokens": q_attn_tokens,
-        "approx_distinct": q_approx_distinct,
-        "deterministic_sample": q_deterministic_sample,
-        "char_dict_encode": q_char_dict_encode,
-        "argmax_cls": q_argmax_cls,
-        "ctc_collapse": q_ctc_collapse,
-        "layout_reading_order": q_layout_reading_order,
-        "layout_assemble": q_layout_assemble,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "embedding_neardup": q_embedding_neardup,
-        "multimodal_features": q_multimodal_features,
+        "extract_fulltext": _q(q_extract_fulltext),
+        "extract_spans": _q(q_extract_spans),
+        "extract_boilerplate": _q(q_extract_boilerplate),
+        "extract_metrics_by_lang": _q(q_extract_metrics_by_lang),
+        "agg_partial_final": _q(q_agg_partial_final),
+        "fanout_regroup": _q(q_fanout_regroup),
+        "reading_order": _q(q_reading_order),
+        "topk_per_group": _q(q_topk_per_group),
+        "multi_join_revenue": _q(q_multi_join_revenue),
+        "broadcast_dict_join": _q(q_broadcast_dict_join),
+        "union_sources": _q(q_union_sources),
+        "except_keys": _q(q_except_keys),
+        "interval_overlap": _q(q_interval_overlap),
+        "sessionize": _q(q_sessionize),
+        "json_extract": _q(q_json_extract),
+        "windowed_counts": _q(q_windowed_counts),
+        "skew_salted_agg": _q(q_skew_salted_agg),
+        "token_stats": _q(q_token_stats),
+        "quality_scores": _q(q_quality_scores),
+        "lang_id": _q(q_lang_id),
+        "rec_metrics_pairs": _q(q_rec_metrics_pairs),
+        "rolling_fingerprint": _q(q_rolling_fingerprint),
+        "exact_dedup": _q(q_exact_dedup),
+        "ngram_jaccard": _q(q_ngram_jaccard),
+        "minhash_lsh": _q(q_minhash_lsh),
+        "minhash_lsh_md5": _q(q_minhash_lsh_md5),
+        "simhash_md5": _q(q_simhash_md5),
+        "simhash_neardup": _q(q_simhash_neardup),
+        "curate_pipeline": _q(q_curate_pipeline),
+        "attn_tokens": _q(q_attn_tokens),
+        "approx_distinct": _q(q_approx_distinct),
+        "deterministic_sample": _q(q_deterministic_sample),
+        "char_dict_encode": _q(q_char_dict_encode),
+        "argmax_cls": _q(q_argmax_cls),
+        "ctc_collapse": _q(q_ctc_collapse),
+        "layout_reading_order": _q(q_layout_reading_order),
+        "layout_assemble": _q(q_layout_assemble),
+        "ann_cosine_topk": _q(q_ann_cosine_topk),
+        "ann_lsh_topk": _q(q_ann_lsh_topk),
+        "ann_ivf_topk": _q(q_ann_ivf_topk),
+        "embedding_neardup": _q(q_embedding_neardup),
+        "multimodal_features": _q(q_multimodal_features),
     }
 
 
