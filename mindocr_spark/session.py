@@ -45,4 +45,31 @@ def get_spark(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
+
+
+_shipped: set = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """addPyFile the package zip so python workers can unpickle
+    mindocr_spark closures regardless of the driver's cwd/PYTHONPATH
+    (workers do not inherit driver sys.path mutations)."""
+    sc = spark.sparkContext
+    if id(sc) in _shipped:
+        return
+    import zipfile
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = os.path.join("/tmp", f"mindocr_spark_pkg_{os.getpid()}.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as z:
+            pkg = os.path.join(root, "mindocr_spark")
+            for dirpath, _dirs, files in os.walk(pkg):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, root))
+    sc.addPyFile(zip_path)
+    _shipped.add(id(sc))
