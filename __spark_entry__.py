@@ -29,9 +29,6 @@ _CHROME_CHARS = 101
 _ANCHOR_LEN = len(PAGES_TEMPLATE_ANCHOR)  # 230
 
 
-_pyfiles_added: set = set()
-
-
 def _ensure_worker_imports(spark: SparkSession) -> None:
     """Ship mindocr_spark to python workers via addPyFile.
 
@@ -39,27 +36,11 @@ def _ensure_worker_imports(spark: SparkSession) -> None:
     name; workers are separate processes that do NOT inherit the
     driver's sys.path mutations, so a driver running from a foreign cwd
     (without PYTHONPATH) would hit ModuleNotFoundError in every UDF.
-    addPyFile places the zip on every worker's sys.path before
-    deserialization — the spark-submit --py-files mechanism, applied
-    programmatically."""
-    sc = spark.sparkContext
-    if id(sc) in _pyfiles_added:
-        return
-    import os
-    import zipfile
+    Delegates to session._ship_package: one content-hash-named zip,
+    dedupe keyed on applicationId (not id(sc), which can be recycled)."""
+    from mindocr_spark.session import _ship_package
 
-    root = os.path.dirname(os.path.abspath(__file__))
-    zip_path = os.path.join("/tmp", f"mindocr_spark_pyfiles_{os.getpid()}.zip")
-    if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w") as z:
-            pkg = os.path.join(root, "mindocr_spark")
-            for dirpath, _dirs, files in os.walk(pkg):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(dirpath, f)
-                        z.write(full, os.path.relpath(full, root))
-    sc.addPyFile(zip_path)
-    _pyfiles_added.add(id(sc))
+    _ship_package(spark)
 
 
 def _q(fn):
@@ -835,16 +816,24 @@ def _simhash_md5_oracle() -> str:
         )
         nibbles.append(f"substr('{hexd}', 1 + ({digit}), 1)")
     assemble = " || ".join(nibbles)
+    # blank-doc guard: DuckDB string_split('', ' ') yields [''] (one empty
+    # token) while Spark's tokens_col yields [] and the fold emits all-zero
+    # hex — route empty/whitespace-only docs around the vote CTE entirely
     return f"""
-        WITH t AS (
+        WITH n AS (
           SELECT doc_id,
-                 unnest(string_split(trim(regexp_replace(text,
-                        '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ')) AS w
+                 trim(regexp_replace(coalesce(text, ''),
+                      '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS norm
           FROM documents),
+        t AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS w
+              FROM n WHERE norm != ''),
         m AS (SELECT doc_id, md5(w) AS h FROM t),
         v AS (SELECT doc_id, {votes} FROM m GROUP BY doc_id)
-        SELECT doc_id, {assemble} AS simhash_hex
-        FROM v ORDER BY doc_id
+        SELECT doc_id, {assemble} AS simhash_hex FROM v
+        UNION ALL
+        SELECT doc_id, '0000000000000000' AS simhash_hex
+        FROM n WHERE norm = ''
+        ORDER BY doc_id
     """
 
 

@@ -80,7 +80,12 @@ def reading_order(blocks: DataFrame, col_split: float = COL_SPLIT) -> DataFrame:
     """Assign the newspaper reading order: per doc, by (page, column,
     y0, x0) where column = 0 left of `col_split` else 1. Adds `rn`."""
     col = (F.col("x0") >= col_split).cast("int").alias("col_idx")
-    w = Window.partitionBy("doc_id").orderBy("page", "col_idx", "y0", "x0")
+    # (y1, x1, kind, text) tie-breakers make the order TOTAL: two blocks
+    # tied on the geometric keys would otherwise get nondeterministic
+    # row_number, breaking byte-determinism of assemble_document
+    w = Window.partitionBy("doc_id").orderBy(
+        "page", "col_idx", "y0", "x0", "y1", "x1", "kind", "text"
+    )
     return blocks.withColumn("col_idx", col).withColumn(
         "rn", F.row_number().over(w)
     )

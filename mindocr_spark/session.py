@@ -52,24 +52,46 @@ def get_spark(
 _shipped: set = set()
 
 
-def _ship_package(spark: SparkSession) -> None:
-    """addPyFile the package zip so python workers can unpickle
-    mindocr_spark closures regardless of the driver's cwd/PYTHONPATH
-    (workers do not inherit driver sys.path mutations)."""
-    sc = spark.sparkContext
-    if id(sc) in _shipped:
-        return
+def _pkg_zip_path() -> str:
+    """Build (or reuse) the package zip, NAMED BY A CONTENT HASH of the
+    sources: a stale zip from a recycled PID or another checkout can
+    never ship divergent worker code — a different source tree hashes to
+    a different path and is rebuilt."""
+    import hashlib
     import zipfile
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    zip_path = os.path.join("/tmp", f"mindocr_spark_pkg_{os.getpid()}.zip")
+    pkg = os.path.join(root, "mindocr_spark")
+    files = sorted(
+        os.path.join(dirpath, f)
+        for dirpath, _dirs, fs in os.walk(pkg)
+        for f in fs
+        if f.endswith(".py")
+    )
+    h = hashlib.md5()
+    for full in files:
+        h.update(os.path.relpath(full, root).encode())
+        with open(full, "rb") as fh:
+            h.update(fh.read())
+    zip_path = os.path.join("/tmp", f"mindocr_spark_pkg_{h.hexdigest()[:16]}.zip")
     if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w") as z:
-            pkg = os.path.join(root, "mindocr_spark")
-            for dirpath, _dirs, files in os.walk(pkg):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(dirpath, f)
-                        z.write(full, os.path.relpath(full, root))
-    sc.addPyFile(zip_path)
-    _shipped.add(id(sc))
+        tmp = f"{zip_path}.tmp{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for full in files:
+                z.write(full, os.path.relpath(full, root))
+        os.replace(tmp, zip_path)  # atomic: concurrent builders converge
+    return zip_path
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """addPyFile the package zip so python workers can unpickle
+    mindocr_spark closures regardless of the driver's cwd/PYTHONPATH
+    (workers do not inherit driver sys.path mutations). Dedupe is keyed
+    on applicationId — an id() key could be recycled after a stopped
+    SparkContext is garbage-collected, silently skipping the ship."""
+    sc = spark.sparkContext
+    key = (sc.applicationId, sc.startTime)
+    if key in _shipped:
+        return
+    sc.addPyFile(_pkg_zip_path())
+    _shipped.add(key)

@@ -114,12 +114,15 @@ def run_stream_to_parquet(df: DataFrame, path: str, checkpoint: str,
     """Drain the stream into parquet via foreachBatch, tagging rows with
     the micro-batch id. foreachBatch supports checkpoint recovery (the
     memory sink does not) AND update-mode output; the latest row per key
-    = max(batch_id)."""
+    = max(batch_id).
+
+    Writes are IDEMPOTENT: foreachBatch is at-least-once, so a replayed
+    micro-batch after a crash overwrites its own `batch_id=N` directory
+    instead of appending duplicates; readers of `path` get `batch_id`
+    back as a discovered partition column."""
 
     def write_batch(bdf: DataFrame, batch_id: int) -> None:
-        bdf.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(path)
+        bdf.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
 
     (
         df.writeStream.foreachBatch(write_batch)
