@@ -466,13 +466,18 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (scale path; no SQL oracle —
-    pinned custom hash family)."""
+    """MinHash+LSH near-dup candidate PAIRS from the xxhash64 scale
+    path. The xxhash64 signatures have no SQL twin, but the pair SET
+    does: both the xxhash64 and the engine-portable md5 permutation
+    families concentrate their Jaccard estimates around the true value,
+    and the 0.35 threshold sits in the wide gap between near-dup
+    clusters and unrelated docs — so the oracle checks this scale path's
+    output against the md5 family's pair list computed in DuckDB."""
     from mindocr_spark.functions.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), threshold=0.35
-    ).orderBy("id_a", "id_b")
+    ).select("id_a", "id_b").orderBy("id_a", "id_b")
 
 
 def q_minhash_lsh_md5(spark, sf_dir):
@@ -497,12 +502,17 @@ def q_simhash_md5(spark, sf_dir):
 
 
 def q_simhash_neardup(spark, sf_dir):
-    """SimHash banded hamming near-dups (no SQL oracle — xxhash64 + bit
-    fold are engine-specific)."""
-    from mindocr_spark.functions.dedup import simhash_pairs
+    """SimHash banded hamming near-dups — the hex-span banded plan over
+    the engine-portable md5 simhash. Pigeonhole gives EXACT recall at
+    the radius, so the exact SQL oracle (same spans + nibble-xor
+    hamming) provably matches. The xxhash64 variant (simhash_pairs) is
+    the identical plan with a faster hash family, covered by pytest."""
+    from mindocr_spark.functions.dedup import simhash_pairs_md5
 
-    return simhash_pairs(
+    return simhash_pairs_md5(
         _t(spark, sf_dir, "documents"), max_hamming=8
+    ).select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
     ).orderBy("id_a", "id_b")
 
 
@@ -790,11 +800,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _A = PAGES_TEMPLATE_ANCHOR  # no quotes inside; safe to inline in SQL
 
+#: md5 MinHash+LSH CTE chain ending in est(id_a, id_b, n_match) — shared
+#: by the minhash_lsh_md5 oracle (full estimate columns) and the
+#: minhash_lsh oracle (pair list only: the xxhash64 scale path finds the
+#: same pair set, which is what makes it cross-engine checkable).
+_MINHASH_MD5_CTES = r"""w AS (
+              SELECT doc_id, unnest(string_split(trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')),' ')) AS word,
+                     generate_subscripts(string_split(trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')),' '), 1) AS pos
+              FROM documents),
+            sh0 AS (
+              SELECT doc_id,
+                     word || ' ' || lead(word,1) OVER (PARTITION BY doc_id ORDER BY pos)
+                          || ' ' || lead(word,2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle,
+                     lead(word,2) OVER (PARTITION BY doc_id ORDER BY pos) AS l2
+              FROM w),
+            sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE l2 IS NOT NULL),
+            perms AS (SELECT CAST(range AS INT) AS perm FROM range(32)),
+            sig AS (
+              SELECT doc_id, perm,
+                     min(md5(shingle || ':' || CAST(perm AS VARCHAR))) AS minh
+              FROM sh CROSS JOIN perms GROUP BY doc_id, perm),
+            banded AS (
+              SELECT doc_id, CAST(perm // 4 AS INT) AS band,
+                     md5(array_to_string(list(minh ORDER BY minh), ',')) AS bucket
+              FROM sig GROUP BY doc_id, band),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+              FROM banded x JOIN banded y USING (band, bucket)
+              WHERE x.doc_id < y.doc_id),
+            est AS (
+              SELECT id_a, id_b,
+                     SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END) AS n_match
+              FROM cand
+              JOIN sig a ON a.doc_id = id_a
+              JOIN sig b ON b.doc_id = id_b AND b.perm = a.perm
+              GROUP BY id_a, id_b)"""
 
-def _simhash_md5_oracle() -> str:
-    """Generated oracle for q_simhash_md5: per-token md5 bit votes folded
-    into a hex simhash with pure integer/char arithmetic (no 64-bit
-    value ever materialized — signed-overflow-safe in any engine)."""
+
+def _simhash_hex_ctes() -> str:
+    """CTE chain ending in s(doc_id, h): the md5 simhash hex per doc —
+    per-token md5 bit votes folded into a hex string with pure
+    integer/char arithmetic (no 64-bit value ever materialized —
+    signed-overflow-safe in any engine). Shared by the signature oracle
+    (q_simhash_md5) and the near-dup pairs oracle (q_simhash_neardup)."""
     hexd = "0123456789abcdef"
 
     def bit(j: int) -> str:
@@ -820,7 +868,7 @@ def _simhash_md5_oracle() -> str:
     # token) while Spark's tokens_col yields [] and the fold emits all-zero
     # hex — route empty/whitespace-only docs around the vote CTE entirely
     return f"""
-        WITH n AS (
+        n AS (
           SELECT doc_id,
                  trim(regexp_replace(coalesce(text, ''),
                       '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS norm
@@ -828,12 +876,55 @@ def _simhash_md5_oracle() -> str:
         t AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS w
               FROM n WHERE norm != ''),
         m AS (SELECT doc_id, md5(w) AS h FROM t),
-        v AS (SELECT doc_id, {votes} FROM m GROUP BY doc_id)
-        SELECT doc_id, {assemble} AS simhash_hex FROM v
-        UNION ALL
-        SELECT doc_id, '0000000000000000' AS simhash_hex
-        FROM n WHERE norm = ''
-        ORDER BY doc_id
+        v AS (SELECT doc_id, {votes} FROM m GROUP BY doc_id),
+        s AS (
+          SELECT doc_id, {assemble} AS h FROM v
+          UNION ALL
+          SELECT doc_id, '0000000000000000' AS h FROM n WHERE norm = '')
+    """
+
+
+def _simhash_md5_oracle() -> str:
+    return f"""
+        WITH {_simhash_hex_ctes()}
+        SELECT doc_id, h AS simhash_hex FROM s ORDER BY doc_id
+    """
+
+
+def _simhash_pairs_oracle(max_hamming: int = 8) -> str:
+    """Oracle for q_simhash_neardup: candidates via the SAME hex-span
+    equi-joins the Spark plan uses (pigeonhole ⇒ exact recall, so this
+    equals all-pairs), hamming via per-nibble xor popcounts."""
+    from mindocr_spark.functions.dedup import _hex_spans
+
+    hexd = "0123456789abcdef"
+    n_chunks = max(2, min(max_hamming + 1, 16))
+    cand = "\n              UNION ALL\n              ".join(
+        f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM s a JOIN s b "
+        f"ON substr(a.h, {st}, {ln}) = substr(b.h, {st}, {ln}) "
+        f"AND a.doc_id < b.doc_id"
+        for st, ln in _hex_spans(n_chunks)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(strpos('{hexd}', substr(ha, {p}, 1)) - 1, "
+        f"strpos('{hexd}', substr(hb, {p}, 1)) - 1))"
+        for p in range(1, 17)
+    )
+    return f"""
+        WITH {_simhash_hex_ctes()},
+        cand AS (
+          SELECT DISTINCT id_a, id_b FROM (
+              {cand}
+          )),
+        scored AS (
+          SELECT id_a, id_b, CAST({ham} AS BIGINT) AS hamming
+          FROM (SELECT c.id_a, c.id_b, a.h AS ha, b.h AS hb
+                FROM cand c
+                JOIN s a ON a.doc_id = c.id_a
+                JOIN s b ON b.doc_id = c.id_b))
+        SELECT id_a, id_b, hamming FROM scored
+        WHERE hamming <= {max_hamming}
+        ORDER BY id_a, id_b
     """
 
 
@@ -1236,38 +1327,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(4 AS BIGINT) AS n_blocks
             FROM ch ORDER BY doc_id
         """,
-        "minhash_lsh_md5": r"""
-            WITH w AS (
-              SELECT doc_id, unnest(string_split(trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')),' ')) AS word,
-                     generate_subscripts(string_split(trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')),' '), 1) AS pos
-              FROM documents),
-            sh0 AS (
-              SELECT doc_id,
-                     word || ' ' || lead(word,1) OVER (PARTITION BY doc_id ORDER BY pos)
-                          || ' ' || lead(word,2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle,
-                     lead(word,2) OVER (PARTITION BY doc_id ORDER BY pos) AS l2
-              FROM w),
-            sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE l2 IS NOT NULL),
-            perms AS (SELECT CAST(range AS INT) AS perm FROM range(32)),
-            sig AS (
-              SELECT doc_id, perm,
-                     min(md5(shingle || ':' || CAST(perm AS VARCHAR))) AS minh
-              FROM sh CROSS JOIN perms GROUP BY doc_id, perm),
-            banded AS (
-              SELECT doc_id, CAST(perm // 4 AS INT) AS band,
-                     md5(array_to_string(list(minh ORDER BY minh), ',')) AS bucket
-              FROM sig GROUP BY doc_id, band),
-            cand AS (
-              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-              FROM banded x JOIN banded y USING (band, bucket)
-              WHERE x.doc_id < y.doc_id),
-            est AS (
-              SELECT id_a, id_b,
-                     SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END) AS n_match
-              FROM cand
-              JOIN sig a ON a.doc_id = id_a
-              JOIN sig b ON b.doc_id = id_b AND b.perm = a.perm
-              GROUP BY id_a, id_b)
+        "minhash_lsh": f"""
+            WITH {_MINHASH_MD5_CTES}
+            SELECT id_a, id_b FROM est
+            WHERE round(CAST(n_match AS DOUBLE) / 32.0, 6) >= 0.35
+            ORDER BY id_a, id_b
+        """,
+        "minhash_lsh_md5": f"""
+            WITH {_MINHASH_MD5_CTES}
             SELECT id_a, id_b, CAST(n_match AS BIGINT) AS n_match,
                    round(CAST(n_match AS DOUBLE) / 32.0, 6) AS est_jaccard
             FROM est
@@ -1275,10 +1342,39 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "simhash_md5": _simhash_md5_oracle(),
+        "simhash_neardup": _simhash_pairs_oracle(max_hamming=8),
         "ann_lsh_topk": _lsh_ann_oracle(),
         "ann_ivf_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            cent AS (SELECT vec_id AS cid, v AS cent FROM e WHERE vec_id % 25 = 0),
+            pp AS (
+              SELECT least(65536, greatest(1,
+                       CAST(ceil(sqrt(COUNT(*))) AS BIGINT))) AS k,
+                     greatest(1, COUNT(*) // least(65536, greatest(1,
+                       CAST(ceil(sqrt(COUNT(*))) AS BIGINT)))) AS stride
+              FROM e),
+            cent0 AS (
+              SELECT vec_id AS cid, v AS cent FROM e, pp
+              WHERE vec_id % stride = 0),
+            a0 AS (
+              SELECT neighbor_id, cv, cid FROM (
+                SELECT e.vec_id AS neighbor_id, e.v AS cv, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         round(list_dot_product(e.v, c.cent)
+                               / (sqrt(list_dot_product(e.v, e.v))
+                                  * sqrt(list_dot_product(c.cent, c.cent))), 9) DESC,
+                         c.cid ASC) AS arank
+                FROM e CROSS JOIN cent0 c)
+              WHERE arank = 1),
+            comp AS (
+              SELECT cid, unnest(cv) AS comp,
+                     generate_subscripts(cv, 1) AS pos
+              FROM a0),
+            m AS (
+              SELECT cid, pos,
+                     round(CAST(SUM(CAST(comp AS DECIMAL(28,9))) AS DOUBLE)
+                           / CAST(COUNT(*) AS DOUBLE), 6) AS mv
+              FROM comp GROUP BY cid, pos),
+            cent AS (SELECT cid, list(mv ORDER BY pos) AS cent FROM m GROUP BY cid),
             assign AS (
               SELECT neighbor_id, cv, cid FROM (
                 SELECT e.vec_id AS neighbor_id, e.v AS cv, c.cid,

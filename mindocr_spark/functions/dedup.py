@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 
+from mindocr_spark.cache import tracked_persist
 from mindocr_spark.functions.text import fingerprint_md5, word_shingles
 
 # --------------------------------------------------------------------------
@@ -61,7 +62,8 @@ def exact_dup_clusters(df: DataFrame, text_col: str = "text",
 
 
 def ngram_jaccard_pairs(df: DataFrame, k: int = 3, threshold: float = 0.5,
-                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                        text_col: str = "text", id_col: str = "doc_id",
+                        max_shingle_freq: int = 10_000) -> DataFrame:
     """All pairs with word-k-shingle Jaccard ≥ threshold.
 
     Plan: distinct (doc, shingle) → self-equi-join on shingle → pair
@@ -70,14 +72,32 @@ def ngram_jaccard_pairs(df: DataFrame, k: int = 3, threshold: float = 0.5,
     *verification* stage; candidate *generation* at scale is
     :func:`minhash_lsh_pairs`. Jaccard is one IEEE division of two exact
     ints, rounded — bit-identical to the SQL oracle.
+
+    `max_shingle_freq` is the standard document-frequency cap: a shingle
+    appearing in more than this many docs (a viral boilerplate phrase)
+    is excluded from the self-join, bounding join width at freq² per
+    shingle instead of corpus-quadratic. Capped shingles still count in
+    the per-doc sizes, so surviving pairs' Jaccard is a (tight) lower
+    bound; pairs similar ONLY through viral shingles are dropped — the
+    same pairs LSH candidate generation would never surface. The default
+    changes nothing below 10k-doc shingle frequency.
     """
     # The shingle relation feeds three consumers (sizes, both join sides);
     # persist so the parse+window subtree runs once, not 3× (at cluster
     # scale this is a staged intermediate table).
-    sh = word_shingles(df, k=k, text_col=text_col, id_col=id_col).persist()
+    sh = tracked_persist(word_shingles(df, k=k, text_col=text_col, id_col=id_col))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # df-cap: one count window on the same shingle key the join shuffles
+    # on (the exchange is reused), dropping hot posting lists before they
+    # explode quadratically
+    freq_w = Window.partitionBy("shingle")
+    joinable = (
+        sh.withColumn("_df", F.count("*").over(freq_w))
+        .where(F.col("_df") <= max_shingle_freq)
+        .drop("_df")
+    )
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     inter = (
         a.join(b, on="shingle")
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -161,13 +181,13 @@ def _lsh_pairs_from_signatures(sig: DataFrame, bucket_agg, n_perm: int,
     path, md5 portable twin) differ ONLY in the signature hash and the
     bucket aggregate — keep the candidate/estimate plan in one place."""
     rows_per_band = n_perm // bands
-    sig = sig.persist()  # feeds banding AND both sides of the estimate join
+    sig = tracked_persist(sig)  # feeds banding AND both sides of the estimate join
     banded = (
         sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
         .groupBy(id_col, "band")
         .agg(bucket_agg.alias("bucket"))
-        .persist()
     )
+    banded = tracked_persist(banded)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), on=["band", "bucket"])
@@ -336,8 +356,24 @@ def simhash_md5_col(df: DataFrame, text_col: str = "text",
     return toks.select(id_col, fold("th").alias("simhash_hex"))
 
 
+def _bucket_capped(chunks: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Hot-bucket guard shared by both simhash pair joins: drop
+    (chunk, val) buckets larger than the cap before the self-join.
+    Degenerate values (e.g. the all-zero simhash of empty/near-empty
+    docs) otherwise form one giant bucket with quadratic in-bucket cost.
+    Count window runs on the same key the join shuffles on (exchange
+    reuse); recall for capped buckets falls back to the other chunks."""
+    bw = Window.partitionBy("chunk", "val")
+    return (
+        chunks.withColumn("_bf", F.count("*").over(bw))
+        .where(F.col("_bf") <= max_bucket_size)
+        .drop("_bf")
+    )
+
+
 def simhash_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  max_bucket_size: int = 100_000) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
     Banded candidate join with n_chunks = max_hamming + 1 chunks
@@ -346,6 +382,11 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "text",
     exact hamming via bit_count(xor). Scales like LSH: shuffle on chunk
     value, never all-pairs. Bigger radii mean narrower chunks and hotter
     buckets; the standard dedup radius is ≤3 (4×16-bit chunks).
+
+    `max_bucket_size` bounds any one (chunk, value) bucket; a capped
+    bucket weakens the exact-recall guarantee only for pairs whose ONLY
+    clean chunk was the capped one. Default changes nothing below 100k
+    docs per bucket.
     """
     # ≥2 chunks (a single 64-bit "chunk" would overflow the signed mask);
     # capped at 16 → the exact-recall guarantee holds for radii ≤ 15
@@ -353,7 +394,7 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "text",
     width = 64 // n_chunks
     # one Arrow-batched fold, then the chunk relation joins itself —
     # persist so the UDF stage runs once.
-    sims = simhash_col(df, text_col=text_col, id_col=id_col).persist()
+    sims = tracked_persist(simhash_col(df, text_col=text_col, id_col=id_col))
     chunk_structs = []
     for i in range(n_chunks):
         lo = i * width
@@ -366,12 +407,84 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "text",
                 .bitwiseAND(F.lit(mask)).alias("val"),
             )
         )
-    chunks = sims.select(
-        id_col, "simhash", F.explode(F.array(*chunk_structs)).alias("c"),
-    ).select(id_col, "simhash", "c.chunk", "c.val").persist()
+    chunks = tracked_persist(_bucket_capped(
+        sims.select(
+            id_col, "simhash", F.explode(F.array(*chunk_structs)).alias("c"),
+        ).select(id_col, "simhash", "c.chunk", "c.val"),
+        max_bucket_size,
+    ))
     a = chunks.alias("a")
     b = chunks.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, on=["chunk", "val"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def _hex_spans(n_chunks: int) -> list[tuple[int, int]]:
+    """Partition the 16 hex chars of a 64-bit simhash into n_chunks
+    contiguous (start, length) spans, 1-based — the nibble-aligned
+    analog of the bit chunks above."""
+    base, extra = divmod(16, n_chunks)
+    spans, pos = [], 1
+    for i in range(n_chunks):
+        length = base + (1 if i < extra else 0)
+        spans.append((pos, length))
+        pos += length
+    return spans
+
+
+def simhash_pairs_md5(df: DataFrame, max_hamming: int = 8,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      max_bucket_size: int = 100_000) -> DataFrame:
+    """Engine-portable twin of :func:`simhash_pairs`: the SAME banded
+    candidate-join plan over the md5 simhash (:func:`simhash_md5_col`),
+    with hex-substring spans as the chunks and the 64-bit value carried
+    as two 32-bit halves (hi, lo via conv) to stay inside signed-64
+    arithmetic. Pigeonhole over max_hamming+1 nibble-aligned spans keeps
+    recall EXACT for the radius, so the pair set provably equals the
+    all-pairs result — which is what the ANSI-SQL oracle computes.
+    Returns (id_a, id_b, hamming ≤ max_hamming).
+    """
+    n_chunks = max(2, min(max_hamming + 1, 16))
+    sims = (
+        simhash_md5_col(df, text_col=text_col, id_col=id_col)
+        .select(
+            id_col, "simhash_hex",
+            F.conv(F.substring("simhash_hex", 1, 8), 16, 10)
+            .cast("long").alias("hi"),
+            F.conv(F.substring("simhash_hex", 9, 8), 16, 10)
+            .cast("long").alias("lo"),
+        )
+    )
+    sims = tracked_persist(sims)
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("chunk"),
+            F.substring("simhash_hex", start, length).alias("val"),
+        )
+        for i, (start, length) in enumerate(_hex_spans(n_chunks))
+    ]
+    chunks = tracked_persist(_bucket_capped(
+        sims.select(
+            id_col, "hi", "lo", F.explode(F.array(*chunk_structs)).alias("c"),
+        ).select(id_col, "hi", "lo", "c.chunk", "c.val"),
+        max_bucket_size,
+    ))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    ham = (
+        F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
+        + F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
+    )
     return (
         a.join(b, on=["chunk", "val"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from mindocr_spark.cache import tracked_persist
+
 # --------------------------------------------------------------------------
 # Vector expressions (JVM higher-order functions — no UDF)
 # --------------------------------------------------------------------------
@@ -197,44 +199,32 @@ def lsh_topk(
     )
 
 
-def ivf_topk(
-    embeddings: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    centroid_stride: int = 25,
-    n_probe: int = 3,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    round_to: int = 4,
-) -> DataFrame:
-    """IVF-style ANN: the corpus is partitioned into inverted lists by
-    nearest centroid; each query probes its `n_probe` closest lists and
-    re-ranks exactly inside them.
+def ivf_centroid_plan(n: int, max_centroids: int = 65_536) -> tuple[int, int]:
+    """(k, stride) for the IVF seed grid from a corpus-count stats pass:
+    k ≈ ceil(√n) CAPPED at `max_centroids` (broadcastable at any corpus
+    size — 65k × 64-dim doubles ≈ 33 MB), stride = n // k. Exact integer
+    arithmetic so the SQL oracle reproduces it (`ceil(sqrt(n))` there)."""
+    import math
 
-    Centroids are a deterministic 1/`centroid_stride` subsample of the
-    corpus (id % stride == 0) — the pinned stand-in for a k-means pass
-    (which would just be a Spark job refining these seeds). Assignment
-    is a broadcast pass: corpus × centroids → `max_by(cid, cos)` — one
-    narrow stage + one partial-agg shuffle, never all-pairs. Probe cost
-    per query: n_probe lists ≈ n_probe·stride vectors.
-    Returns (query_id, neighbor_id, cos_sim, rank).
-    """
-    cent = embeddings.where(F.pmod(F.col(id_col), F.lit(centroid_stride)) == 0).select(
-        F.col(id_col).alias("cid"), vec_double(vec_col).alias("cent")
-    )
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), vec_double(vec_col).alias("cv")
-    )
-    # assignment key rounded to 9 decimals + cid tie-break: fully
-    # deterministic AND engine-stable (raw float argmax would be
-    # sensitive to 1e-16 association-order noise). max_by over a struct
-    # keeps map-side PARTIAL aggregation — a window here would shuffle
-    # the full corpus×centroids cross product.
+    k = math.isqrt(max(n, 1))
+    if k * k < n:
+        k += 1
+    k = min(max_centroids, max(1, k))
+    return k, max(1, n // k)
+
+
+def _ivf_assign(c: DataFrame, cent: DataFrame) -> DataFrame:
+    """corpus × broadcast(centroids) → nearest-centroid assignment.
+    Key rounded to 9 decimals + cid tie-break: fully deterministic AND
+    engine-stable (raw float argmax would be sensitive to 1e-16
+    association-order noise). max_by over a struct keeps map-side
+    PARTIAL aggregation — a window here would shuffle the full
+    corpus×centroids cross product."""
     akey = F.struct(
         F.round(cosine(F.col("cv"), F.col("cent")), 9).alias("cos"),
         (-F.col("cid")).alias("neg_cid"),
     )
-    assign = (
+    return (
         c.join(F.broadcast(cent))
         .groupBy("neighbor_id")
         .agg(
@@ -242,6 +232,67 @@ def ivf_topk(
             F.first("cv").alias("cv"),  # identical across the group
         )
     )
+
+
+def _lloyd_step(assign: DataFrame) -> DataFrame:
+    """One Lloyd refinement as a Spark job: new centroid = component-wise
+    mean of its assigned vectors. Means go through exact DECIMAL sums,
+    one IEEE division, round(·, 6) — bit-identical to the SQL oracle
+    (the DECIMAL discipline of every aggregate in this engine). Empty
+    clusters simply drop out."""
+    comp = assign.select("cid", F.posexplode("cv").alias("pos", "comp"))
+    means = comp.groupBy("cid", "pos").agg(
+        F.round(
+            F.sum(F.col("comp").cast("decimal(28,9)")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("mv")
+    )
+    return means.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+            lambda s: s.getField("mv"),
+        ).alias("cent")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    max_centroids: int = 65_536,
+    lloyd_iters: int = 1,
+) -> DataFrame:
+    """IVF ANN: the corpus is partitioned into inverted lists by nearest
+    centroid; each query probes its `n_probe` closest lists and re-ranks
+    exactly inside them.
+
+    Centroid seeds are a deterministic id-grid subsample whose COUNT is
+    bounded by :func:`ivf_centroid_plan` — k ≈ ceil(√n), capped at
+    `max_centroids` so the broadcast stays ≤ tens of MB no matter how
+    large the corpus grows (a fixed stride would grow the broadcast
+    linearly with n and OOM long before 100 TB). `lloyd_iters` Lloyd
+    refinement passes (assign → component-mean) run as ordinary Spark
+    jobs, making this a real sampled k-means IVF rather than a raw
+    subsample. Probe cost per query ≈ n_probe · n/k vectors.
+    Returns (query_id, neighbor_id, cos_sim, rank).
+    """
+    n = embeddings.count()  # the tuning-pass action (stats, not data)
+    _k, stride = ivf_centroid_plan(n, max_centroids)
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), vec_double(vec_col).alias("cv")
+    )
+    cent = embeddings.where(
+        F.pmod(F.col(id_col), F.lit(stride)) == 0
+    ).select(F.col(id_col).alias("cid"), vec_double(vec_col).alias("cent"))
+    for _ in range(lloyd_iters):
+        cent = _lloyd_step(_ivf_assign(c, cent))
+    cent = tracked_persist(cent)  # diamond: feeds corpus assign AND query probe
+    assign = _ivf_assign(c, cent)
     q = queries.select(
         F.col(id_col).alias("query_id"), vec_double(vec_col).alias("qv")
     )
@@ -275,20 +326,38 @@ def ivf_topk(
     )
 
 
+def neardup_bits_plan(n: int, lo: int = 4, hi: int = 24) -> int:
+    """LSH bit count from a corpus-count stats pass: n_bits ≈ log2(n)+2
+    keeps expected bucket occupancy n/2^bits ≈ 1/4 — in-bucket join work
+    stays ~linear in n instead of the n²/2^const blowup of a fixed bit
+    count. Clamped to [lo, hi]."""
+    import math
+
+    return max(lo, min(hi, int(math.log2(max(n, 2))) + 2))
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    n_bits: int = 8,
+    n_bits: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
     exact: bool = False,
+    n_tables: int = 2,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold. exact=True does the all-pairs join
     (oracle-checkable, small corpora); default is the LSH-bucketed plan
     (identical output whenever near-dups are truly near: cos ≥ 0.95
     pairs collide in ≥1 probe bucket with overwhelming probability).
+
+    n_bits defaults to :func:`neardup_bits_plan` of the corpus count —
+    bucket occupancy stays bounded as the corpus grows (a fixed 8 bits
+    meant n/256 per bucket ⇒ quadratic in-bucket joins at scale). The
+    recall lost to narrower buckets is recovered by `n_tables`
+    independent plane sets (multi-table LSH, the lsh_topk pattern) plus
+    single-bit-flip probing within each table.
     Returns (id_a, id_b, cos_sim)."""
     c = embeddings.select(
         F.col(id_col).alias("id"), vec_double(vec_col).alias("v")
@@ -297,8 +366,22 @@ def embedding_neardup_pairs(
     if exact:
         pairs = c.alias("a").join(c.alias("b"), F.col("a.id") < F.col("b.id"))
     else:
-        planes = _planes(dim, n_bits)
-        b = c.withColumn("bucket", lsh_bucket(F.col("v"), planes))
+        if n_bits is None:
+            n_bits = neardup_bits_plan(embeddings.count())
+        # one pass computes every table's bucket; probes = own bucket +
+        # all single-bit flips, per table
+        b = c.select(
+            "id", "v",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    lsh_bucket(F.col("v"), _planes(dim, n_bits, t))
+                    .alias("bucket"),
+                )
+                for t in range(n_tables)
+            ])).alias("tb"),
+        ).select("id", "v", "tb.tbl", "tb.bucket")
+        b = tracked_persist(b)
         probes = F.array(
             F.col("bucket"),
             *[
@@ -306,10 +389,14 @@ def embedding_neardup_pairs(
                 for i in range(n_bits)
             ],
         )
-        bp = b.select("id", "v", F.explode(probes).alias("pbucket"))
+        bp = b.select("id", "v", "tbl", F.explode(probes).alias("pbucket"))
         pairs = (
             bp.alias("a")
-            .join(b.alias("b"), F.col("a.pbucket") == F.col("b.bucket"))
+            .join(
+                b.alias("b"),
+                (F.col("a.tbl") == F.col("b.tbl"))
+                & (F.col("a.pbucket") == F.col("b.bucket")),
+            )
             .where(F.col("a.id") < F.col("b.id"))
         )
     return (

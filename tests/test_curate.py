@@ -48,7 +48,52 @@ def test_curate_near_dup_removed(spark, raw_pages):
     assert (("https://dup.example/near" in urls) + bool(orig5)) == 1
 
 
-def test_curate_lang_filter(spark, raw_pages):
+def test_curate_build_is_lazy(spark, raw_pages, monkeypatch):
+    """Building the pipeline (including the funnel) must trigger ZERO
+    Spark actions — counts/collects during plan construction were a 5×
+    eager-job cost at build time."""
+    from pyspark.sql import DataFrame
+    from mindocr_spark.curate import CurateConfig, curate
+
+    def boom(name):
+        def _fail(self, *a, **kw):
+            raise AssertionError(f"eager {name}() during curate build")
+        return _fail
+
+    for action in ("count", "collect", "toPandas", "toLocalIterator"):
+        monkeypatch.setattr(DataFrame, action, boom(action))
+    curated, funnel = curate(raw_pages, CurateConfig(min_chars=50))
+    # both results are plain lazy DataFrames
+    assert curated.columns == ["url", "text", "lang_pred", "n_chars"]
+    assert funnel.columns == ["stage_idx", "stage", "docs"]
+
+
+def test_curate_scoped_unpersists(spark, raw_pages):
+    from mindocr_spark.curate import CurateConfig, curate, curate_scoped
+
+    def n_cached():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    # a plan DISTINCT from every other test's (Spark's CacheManager is
+    # keyed by logical plan — identical plans share cache entries, so an
+    # unpersist here would otherwise release a neighbouring test's cache)
+    pages = raw_pages.where("url NOT LIKE '%/junk'")
+    before = n_cached()
+    with curate_scoped(pages, CurateConfig(min_chars=50)) as (curated, funnel):
+        stages = {r["stage"]: r["docs"] for r in funnel.collect()}
+        assert stages["input"] == 62
+        assert n_cached() > before          # intermediates were cached
+    assert n_cached() == before             # ...and released on exit
+
+    # the _track hook gives manual callers the same handle
+    track = []
+    pages2 = raw_pages.where("url NOT LIKE '%/near'")
+    _c, funnel2 = curate(pages2, CurateConfig(min_chars=50), _track=track)
+    funnel2.collect()
+    assert track and all(df.is_cached for df in track)
+    for df in track:
+        df.unpersist()
+    assert n_cached() == before
     from mindocr_spark.curate import CurateConfig, curate
 
     curated, _ = curate(raw_pages, CurateConfig(min_chars=50, langs=("en",)))

@@ -92,6 +92,63 @@ def test_simhash_radius_recall_guarantee(spark):
     assert found[(1, 2)] <= 12
 
 
+def test_ngram_viral_shingle_cap_bounds_join(spark):
+    """A boilerplate phrase shared by every doc must not explode the
+    shingle self-join: with the df-cap, pairs similar ONLY through the
+    viral shingle disappear while genuinely-similar pairs survive."""
+    from mindocr_spark.functions.dedup import ngram_jaccard_pairs
+
+    viral = "subscribe to our newsletter today"
+    rows = [(i, f"{viral} unique words number {i} here") for i in range(20)]
+    rows += [(100, f"{viral} shared tail of twin docs"),
+             (101, f"{viral} shared tail of twin docs")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # cap of 3 excludes every shingle of the viral prefix (freq ≥ 20)
+    capped = {(r["id_a"], r["id_b"]) for r in
+              ngram_jaccard_pairs(docs, threshold=0.1,
+                                  max_shingle_freq=3).collect()}
+    assert (100, 101) in capped             # twins share sub-cap shingles
+    assert not any(a < 100 and b < 100 for a, b in capped
+                   if (a, b) != (100, 101))  # viral-only pairs dropped
+    # uncapped: every doc pairs with every other through the viral prefix
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.1).count()
+    assert uncapped > len(capped)
+
+
+def test_simhash_hot_bucket_cap(spark):
+    """Degenerate chunk values (empty docs → simhash 0) form one giant
+    bucket; the cap drops that bucket's join while normal pairs keep
+    their exact-recall guarantee through uncapped chunks."""
+    from mindocr_spark.functions.dedup import simhash_pairs
+
+    rows = [(i, "   ") for i in range(30)]            # all-zero simhash
+    rows += [(100, BASE), (101, BASE)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             simhash_pairs(docs, max_hamming=3, max_bucket_size=10).collect()}
+    assert (100, 101) in pairs              # real pair unaffected by cap
+    assert not any(a < 100 for a, _b in pairs)  # degenerate bucket capped
+
+
+def test_simhash_md5_banded_equals_all_pairs(spark, docs):
+    """The hex-span banded join has EXACT recall ≤ radius (pigeonhole
+    over max_hamming+1 nibble-aligned spans): the pair set must equal
+    the brute-force all-pairs hamming computation."""
+    from mindocr_spark.functions.dedup import simhash_md5_col, simhash_pairs_md5
+
+    r = 8
+    sims = {row["doc_id"]: int(row["simhash_hex"], 16)
+            for row in simhash_md5_col(docs).collect()}
+    brute = {
+        (a, b, bin(sims[a] ^ sims[b]).count("1"))
+        for a in sims for b in sims
+        if a < b and bin(sims[a] ^ sims[b]).count("1") <= r
+    }
+    banded = {(row["id_a"], row["id_b"], row["hamming"])
+              for row in simhash_pairs_md5(docs, max_hamming=r).collect()}
+    assert banded == brute
+
+
 def test_simhash_md5_portable_twin(spark, docs):
     from mindocr_spark.functions.dedup import simhash_md5_col
 

@@ -71,15 +71,49 @@ def test_ivf_topk_recall(spark, emb):
     exact = {(r["query_id"], r["neighbor_id"]) for r in
              cosine_topk(df, df.where("vec_id < 10"), k=3).collect()}
     approx = {(r["query_id"], r["neighbor_id"]) for r in
-              ivf_topk(df, df.where("vec_id < 10"), k=3,
-                       centroid_stride=10, n_probe=3).collect()}
+              ivf_topk(df, df.where("vec_id < 10"), k=3, n_probe=3).collect()}
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.4  # 3 of 6 lists probed on random gaussians
+    assert recall >= 0.4  # n_probe of ~√n lists probed on random gaussians
     # the planted near-dup pair shares a list with overwhelming margin
     top7 = [r["neighbor_id"] for r in
-            ivf_topk(df, df.where("vec_id = 7"), k=1,
-                     centroid_stride=10, n_probe=3).collect()]
+            ivf_topk(df, df.where("vec_id = 7"), k=1, n_probe=3).collect()]
     assert top7 == [3]
+
+
+def test_ivf_centroid_count_bounded():
+    """The centroid grid stays O(√n) and hard-capped as the corpus grows
+    — the broadcast can never scale with corpus size (the fixed-stride
+    formulation broadcast n/stride centroids, an OOM at 100 TB)."""
+    import math
+    from mindocr_spark.functions.similarity import ivf_centroid_plan
+
+    for n in (100, 10_000, 1_000_000, 10**9, 10**12):
+        k, stride = ivf_centroid_plan(n)
+        assert k <= 65_536
+        assert k <= math.isqrt(n) + 1
+        # seed count over contiguous ids = ceil(n / stride) ≈ k, never
+        # more than ~2k (stride = n // k rounds down)
+        n_seeds = -(-n // stride)
+        assert n_seeds <= 2 * k + 1
+
+
+def test_neardup_bits_scale_with_corpus(spark, emb):
+    """Adaptive n_bits keeps expected bucket occupancy ~constant as the
+    corpus grows, and the planted pair is still found at the auto bits."""
+    from mindocr_spark.functions.similarity import (
+        embedding_neardup_pairs,
+        neardup_bits_plan,
+    )
+
+    occ = [n / (1 << neardup_bits_plan(n)) for n in (10**4, 10**5, 10**6, 10**7)]
+    assert max(occ) <= 1.0  # ~n/4n per bucket, not growing with n
+    # beyond the recall clamp (24 bits) occupancy grows again — that is
+    # the explicit recall/width tradeoff, raised via the hi parameter
+    assert neardup_bits_plan(10**12) == 24
+    df, _ = emb
+    auto_pairs = {(r["id_a"], r["id_b"]) for r in
+                  embedding_neardup_pairs(df, threshold=0.97, dim=16).collect()}
+    assert (3, 7) in auto_pairs
 
 
 def test_vector_expressions_deterministic_order(spark):
