@@ -717,6 +717,26 @@ def q_layout_assemble(spark, sf_dir):
     )
 
 
+def q_layout_from_bytes(spark, sf_dir):
+    """End-to-end bytes→regions→text over the REAL second-payload codec:
+    PDF 1.4 bytes (written distributed from documents) → xref walk +
+    content-stream tokenize (mindocr_spark.pdf.parse_pdf) → containment
+    NMS → newspaper reading order → assembly. The reference's full
+    bytes-in pipeline contract (reference:
+    tools/infer/text/predict_system.py:77-109, deploy/py_infer/src/
+    parallel/parallel_pipeline.py:39-67); oracle reconstructs the
+    assembled text directly from documents (writer+parser are exact
+    inverses, proven per-byte in tests/test_pdf.py)."""
+    from mindocr_spark.operators.layout import assemble_document
+    from mindocr_spark.pdf import pdf_blocks, synth_pdf_table
+
+    return (
+        assemble_document(pdf_blocks(synth_pdf_table(spark, sf_dir)))
+        .select("doc_id", "doc_text", F.col("n_blocks").cast("bigint").alias("n_blocks"))
+        .orderBy("doc_id")
+    )
+
+
 # ==========================================================================
 # Multimodal plumbing
 # ==========================================================================
@@ -790,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ctc_collapse": _q(q_ctc_collapse),
         "layout_reading_order": _q(q_layout_reading_order),
         "layout_assemble": _q(q_layout_assemble),
+        "layout_from_bytes": _q(q_layout_from_bytes),
         "ann_cosine_topk": _q(q_ann_cosine_topk),
         "ann_lsh_topk": _q(q_ann_lsh_topk),
         "ann_ivf_topk": _q(q_ann_ivf_topk),
@@ -1316,6 +1337,18 @@ def oracle_sql() -> dict[str, str]:
             ) ORDER BY doc_id, rn
         """,
         "layout_assemble": """
+            WITH ch AS (
+              SELECT doc_id, length(text) AS L, length(text) // 4 AS q, text
+              FROM documents)
+            SELECT doc_id,
+                   substr(text, 1, q) || chr(10) || chr(10)
+                   || substr(text, q + 1, q) || chr(10) || chr(10)
+                   || substr(text, 2 * q + 1, q) || chr(10) || chr(10)
+                   || substr(text, 3 * q + 1, L - 3 * q) AS doc_text,
+                   CAST(4 AS BIGINT) AS n_blocks
+            FROM ch ORDER BY doc_id
+        """,
+        "layout_from_bytes": """
             WITH ch AS (
               SELECT doc_id, length(text) AS L, length(text) // 4 AS q, text
               FROM documents)

@@ -38,11 +38,12 @@ CHROME_KINDS = ("header", "footer", "pageno")
 
 
 def parse_pdf(payload: bytes) -> list[dict]:
-    """The PDF codec boundary (pdfminer/poppler not in this container)."""
-    raise NotImplementedError(
-        "PDF parsing requires an external library; feed a blocks table "
-        "(doc_id, page, x0, y0, x1, y1, kind, text) instead"
-    )
+    """bytes → layout blocks. Real pure-python PDF 1.4-subset parser
+    (xref walk + content-stream tokenizer) in :mod:`mindocr_spark.pdf`;
+    kept here as the codec entry point the block pipeline consumes."""
+    from mindocr_spark.pdf import parse_pdf as _parse
+
+    return _parse(payload)
 
 
 def suppress_contained(blocks: DataFrame) -> DataFrame:
