@@ -124,6 +124,25 @@ def q_extract_boilerplate(spark, sf_dir):
     )
 
 
+def q_warc_extract(spark, sf_dir):
+    """External-format ingestion end-to-end: the corpus serialized as
+    real WARC/1.0 files (distributed writer), ingested back through the
+    byte-level WARC/HTTP parser (binaryFile scan → mapInPandas), then
+    run through the FULL extraction pipeline — the dataset-converter
+    capability (reference: tools/dataset_converters/convert.py:32-54)
+    verified against the same byte-identical oracle as the direct path.
+    warc_sec additionally proves WARC-Date round-trips exactly."""
+    from mindocr_spark.sources.warc import read_warc, synth_warc_dir
+
+    pages = read_warc(spark, synth_warc_dir(spark, sf_dir))
+    return run_extraction(pages).select(
+        "url",
+        F.unix_timestamp("warc_ts").alias("warc_sec"),
+        "extracted_text",
+        F.col("n_blocks").cast("bigint").alias("n_blocks"),
+    ).orderBy("url")
+
+
 def q_extract_metrics_by_lang(spark, sf_dir):
     """Per-stage metrics aggregation (DetMetric/AllReduce shape)."""
     return (
@@ -759,6 +778,32 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_multimodal_real_codec(spark, sf_dir):
+    """The REAL codec path: deterministic BMP/WAV payloads decoded by
+    the stdlib byte parsers in multimodal.real_decode (struct-unpacked
+    BMP rows, wave-module PCM frames — the DecodeImage contract,
+    reference: mindocr/data/transforms/general_transforms.py:25-64).
+    Decoded statistics (mean intensity, payload sizes) have an exact
+    integer-arithmetic SQL oracle even though the payloads are real
+    file bytes."""
+    from mindocr_spark.multimodal import (
+        extract_media_features,
+        real_decode,
+        synth_real_media_table,
+    )
+
+    media = synth_real_media_table(spark, n=64)
+    return (
+        extract_media_features(media, decode=real_decode)
+        .select(
+            "id", "kind",
+            F.col("n_bytes").cast("bigint").alias("n_bytes"),
+            "mean_intensity", "failed",
+        )
+        .orderBy("id")
+    )
+
+
 # ==========================================================================
 # Contract surface
 # ==========================================================================
@@ -777,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_spans": _q(q_extract_spans),
         "extract_boilerplate": _q(q_extract_boilerplate),
         "extract_metrics_by_lang": _q(q_extract_metrics_by_lang),
+        "warc_extract": _q(q_warc_extract),
         "agg_partial_final": _q(q_agg_partial_final),
         "fanout_regroup": _q(q_fanout_regroup),
         "reading_order": _q(q_reading_order),
@@ -816,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q(q_ann_ivf_topk),
         "embedding_neardup": _q(q_embedding_neardup),
         "multimodal_features": _q(q_multimodal_features),
+        "multimodal_real_codec": _q(q_multimodal_real_codec),
     }
 
 
@@ -1033,6 +1080,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, COUNT(*) AS n_docs,
                    CAST(SUM({_ANCHOR_LEN} + 1 + length(text)) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "warc_extract": f"""
+            SELECT {url} AS url,
+                   CAST(1704067200 + doc_id AS BIGINT) AS warc_sec,
+                   '{_A}' || chr(10) || text AS extracted_text,
+                   CAST(1 AS BIGINT) AS n_blocks
+            FROM documents ORDER BY url
         """,
         "agg_partial_final": """
             SELECT l_returnflag, l_linestatus,
@@ -1469,6 +1523,40 @@ def oracle_sql() -> dict[str, str]:
                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
                         4) >= 0.4
             ORDER BY id_a, id_b
+        """,
+        "multimodal_real_codec": """
+            WITH ids AS (SELECT range AS id FROM range(64)),
+            img AS (SELECT id, id % 5 + 3 AS side FROM ids WHERE id % 2 = 0),
+            pix AS (
+              SELECT i.id, i.side, x.range AS x, y.range AS y, c.range AS c
+              FROM img i, range(7) x, range(7) y, range(3) c
+              WHERE x.range < i.side AND y.range < i.side),
+            imean AS (
+              SELECT id, max(side) AS side,
+                     round_even(avg(CAST((id*7 + x*3 + y*11 + c*29) % 256
+                                    AS DOUBLE)), 6) AS mean_intensity
+              FROM pix GROUP BY id),
+            img_out AS (
+              SELECT id, 'image' AS kind,
+                     CAST(54 + side * (((3*side + 3) // 4) * 4) AS BIGINT) AS n_bytes,
+                     mean_intensity
+              FROM imean),
+            aud AS (SELECT id, (id % 7 + 2) * 8 AS n FROM ids WHERE id % 2 = 1),
+            smp AS (
+              SELECT a.id, a.n, t.range AS t
+              FROM aud a, range(64) t WHERE t.range < a.n),
+            amean AS (
+              SELECT id, max(n) AS n,
+                     round_even(avg(CAST(((id*13 + t*17) % 256 - 128) * 137
+                                    AS DOUBLE)), 6) AS mean_intensity
+              FROM smp GROUP BY id),
+            aud_out AS (
+              SELECT id, 'audio' AS kind,
+                     CAST(44 + 2 * n AS BIGINT) AS n_bytes, mean_intensity
+              FROM amean)
+            SELECT id, kind, n_bytes, mean_intensity, false AS failed
+            FROM (SELECT * FROM img_out UNION ALL SELECT * FROM aud_out)
+            ORDER BY id
         """,
         "multimodal_features": """
             SELECT CAST(range AS BIGINT) AS id,

@@ -1,0 +1,267 @@
+"""warc — external-format ingestion: WARC files → the pages contract.
+
+The reference ships converters normalizing eight public dataset formats
+into its canonical TSV contract (reference:
+tools/dataset_converters/convert.py:32-54). The graft's external format
+is Common Crawl's: WARC/1.0. This module has a real pure-stdlib parser
+for the response-record subset — header-block scan, Content-Length-
+delimited payloads, embedded HTTP/1.1 response parse (status, headers,
+body) — plus a deterministic distributed writer used to synthesize
+fixture WARCs from the documents corpus, and the Spark ingestion stage
+(binaryFile scan → mapInPandas parse → pages schema).
+
+Writer and parser are independent code paths; the ingested pages then
+run the full extraction pipeline, so the WARC path is verified
+end-to-end against the same byte-identical oracle as the direct path.
+
+Time discipline: WARC-Date is formatted from / parsed to EPOCH SECONDS
+(UTC, ISO-8601 Z); timestamps cross the Python/JVM boundary only as
+tz-aware instants, so an unknown driver session timezone cannot skew
+them.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_CRLF = b"\r\n"
+
+#: Ingested-pages schema: warc_ts as a tz-aware instant (timestamp),
+#: lang recovered from the HTTP Content-Language header.
+WARC_PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, lang string, "
+    "http_status int, warc_file string"
+)
+
+
+# --------------------------------------------------------------------------
+# Record formatting (deterministic writer)
+# --------------------------------------------------------------------------
+
+
+def _iso(ts_sec: int) -> str:
+    import datetime as dt
+
+    return dt.datetime.fromtimestamp(
+        int(ts_sec), dt.timezone.utc
+    ).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def format_response_record(url: str, ts_sec: int, html: bytes,
+                           lang: str) -> bytes:
+    """One WARC/1.0 response record wrapping an HTTP/1.1 response."""
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=utf-8\r\n"
+        + f"Content-Language: {lang}\r\n".encode()
+        + f"Content-Length: {len(html)}\r\n".encode()
+        + _CRLF + html
+    )
+    import hashlib
+
+    rec_id = hashlib.md5(f"{url}:{ts_sec}".encode()).hexdigest()
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        + f"WARC-Target-URI: {url}\r\n".encode()
+        + f"WARC-Date: {_iso(ts_sec)}\r\n".encode()
+        + f"WARC-Record-ID: <urn:uuid:{rec_id}>\r\n".encode()
+        + b"Content-Type: application/http; msgtype=response\r\n"
+        + f"Content-Length: {len(http)}\r\n".encode()
+        + _CRLF
+    )
+    return head + http + _CRLF + _CRLF
+
+
+def _warcinfo(filename: str) -> bytes:
+    body = b"software: mindocr-spark-warc-writer/1.0\r\nformat: WARC File Format 1.0\r\n"
+    return (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: warcinfo\r\n"
+        + f"WARC-Filename: {filename}\r\n".encode()
+        + f"WARC-Date: {_iso(0)}\r\n".encode()
+        + b"Content-Type: application/warc-fields\r\n"
+        + f"Content-Length: {len(body)}\r\n".encode()
+        + _CRLF + body + _CRLF + _CRLF
+    )
+
+
+# --------------------------------------------------------------------------
+# Parser (real byte-level WARC walk)
+# --------------------------------------------------------------------------
+
+_TS_RE = re.compile(r"(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})Z")
+
+
+def _parse_iso(s: str) -> int:
+    import calendar
+
+    m = _TS_RE.fullmatch(s.strip())
+    if not m:
+        raise ValueError(f"bad WARC-Date: {s!r}")
+    y, mo, d, h, mi, se = (int(x) for x in m.groups())
+    return calendar.timegm((y, mo, d, h, mi, se))
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    for line in block.split(_CRLF):
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            headers[k.strip().lower().decode("latin-1")] = (
+                v.strip().decode("latin-1")
+            )
+    return headers
+
+
+def parse_warc(payload: bytes) -> list[dict]:
+    """Walk a WARC/1.0 file: version line → header block → exactly
+    Content-Length payload bytes → CRLF CRLF separator. Response records
+    get their HTTP envelope parsed (status line, headers, body = html);
+    other record types (warcinfo, request, metadata) are skipped.
+    Returns [{url, ts_sec, html, lang, http_status}, ...] in file order.
+    """
+    out: list[dict] = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        if payload[pos:pos + 5] != b"WARC/":
+            raise ValueError(f"expected WARC version line at byte {pos}")
+        head_end = payload.index(_CRLF + _CRLF, pos)
+        headers = _parse_headers(payload[pos:head_end])
+        length = int(headers["content-length"])
+        body_start = head_end + 4
+        body = payload[body_start:body_start + length]
+        if payload[body_start + length:body_start + length + 4] != _CRLF + _CRLF:
+            raise ValueError("record not terminated by CRLF CRLF")
+        pos = body_start + length + 4
+        if headers.get("warc-type") != "response":
+            continue
+        # embedded HTTP/1.1 response
+        http_head_end = body.index(_CRLF + _CRLF)
+        http_lines = body[:http_head_end]
+        status_line = http_lines.split(_CRLF, 1)[0]
+        status = int(status_line.split(b" ")[1])
+        http_headers = _parse_headers(http_lines.split(_CRLF, 1)[1])
+        html = body[http_head_end + 4:]
+        declared = http_headers.get("content-length")
+        if declared is not None and int(declared) != len(html):
+            raise ValueError("HTTP Content-Length mismatch")
+        out.append(dict(
+            url=headers["warc-target-uri"],
+            ts_sec=_parse_iso(headers["warc-date"]),
+            html=html,
+            lang=http_headers.get("content-language", "unknown"),
+            http_status=status,
+        ))
+    return out
+
+
+# --------------------------------------------------------------------------
+# Spark stages: distributed writer + ingestion scan
+# --------------------------------------------------------------------------
+
+
+def write_warc_dir(pages: DataFrame, out_dir: str, n_files: int = 8) -> int:
+    """pages(url, warc_ts, html, lang, doc_id) → `n_files` .warc files
+    under out_dir, written DISTRIBUTED (one group per file via
+    applyInPandas — the converter-sink shape; no driver collect).
+    Record order inside a file is pinned (sorted by url) so the files
+    are bit-reproducible. Returns the number of records written."""
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    # epoch seconds JVM-side: tz-proof hand-off into the python writer
+    src = pages.select(
+        "url", F.unix_timestamp("warc_ts").alias("ts_sec"), "html", "lang",
+        F.pmod(F.xxhash64("url"), F.lit(n_files)).alias("file_id"),
+    )
+
+    def write_group(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        fid = int(key[0])
+        name = f"part-{fid:05d}.warc"
+        pdf = pdf.sort_values("url")
+        buf = bytearray(_warcinfo(name))
+        for r in pdf.itertuples():
+            buf += format_response_record(
+                r.url, int(r.ts_sec), bytes(r.html), r.lang
+            )
+        tmp = os.path.join(out_dir, f".{name}.tmp{os.getpid()}")
+        with open(tmp, "wb") as fh:
+            fh.write(bytes(buf))
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pd.DataFrame({"file_id": [fid], "n_records": [len(pdf)]})
+
+    written = (
+        src.groupBy("file_id")
+        .applyInPandas(write_group, schema="file_id int, n_records bigint")
+        .agg(F.sum("n_records").alias("n"))
+        .collect()[0]["n"]
+    )
+    return int(written)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Ingest a directory of WARC files into the pages contract:
+    binaryFile scan (one row per file — files are the parallelism unit,
+    as in real Common Crawl processing where a crawl is ~64k WARC files)
+    → mapInPandas record parse. Parse failures surface as a single
+    failed row per file (url = file path, http_status = -1), the
+    skip-flag discipline."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(f"{path}/*.warc")
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    for rec in parse_warc(bytes(content)):
+                        rows.append(dict(
+                            url=rec["url"],
+                            warc_ts=pd.Timestamp(rec["ts_sec"], unit="s",
+                                                 tz="UTC"),
+                            html=rec["html"],
+                            lang=rec["lang"],
+                            http_status=rec["http_status"],
+                            warc_file=fpath,
+                        ))
+                except Exception:
+                    rows.append(dict(
+                        url=fpath, warc_ts=pd.Timestamp(0, unit="s", tz="UTC"),
+                        html=b"", lang="unknown", http_status=-1,
+                        warc_file=fpath,
+                    ))
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return files.select("path", "content").mapInPandas(
+        parse, schema=WARC_PAGES_SCHEMA
+    )
+
+
+def synth_warc_dir(spark: SparkSession, sf_dir: str,
+                   n_files: int = 8) -> str:
+    """Idempotent fixture-WARC synthesis for a testdata sf dir: the
+    pages corpus serialized as WARC files under /tmp, keyed by sf_dir
+    (built once, reused across queries/sessions)."""
+    import hashlib
+
+    from mindocr_spark.sources.pages import pages_from_documents
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out_dir = f"/tmp/mindocr_warc_{key}"
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if not os.path.exists(marker):
+        pages = pages_from_documents(spark, sf_dir).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        write_warc_dir(pages, out_dir, n_files=n_files)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return out_dir
