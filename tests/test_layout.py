@@ -60,11 +60,16 @@ def test_assemble_document_golden(spark, blocks):
     assert out[2]["doc_text"] == "A\n\nB"
 
 
-def test_parse_pdf_is_stubbed():
+def test_parse_pdf_is_real():
+    """The codec entry point delegates to the real PDF parser (round
+    trip + adversarial coverage in tests/test_pdf.py)."""
     from mindocr_spark.operators.layout import parse_pdf
+    from mindocr_spark.pdf import build_pdf
 
-    with pytest.raises(NotImplementedError):
-        parse_pdf(b"%PDF-1.4")
+    blocks = parse_pdf(build_pdf("entry point delegation text", "Report 0"))
+    assert [b for b in blocks if b["kind"] == "para"]
+    with pytest.raises(ValueError):
+        parse_pdf(b"%PDF-1.4")  # header alone is not a parsable document
 
 
 def test_synth_blocks_roundtrip(spark, sf_dir):
