@@ -79,6 +79,8 @@ def main() -> None:
         "ann_cosine_topk",      # similarity search
         "simhash_neardup",      # simhash + banded hamming
         "layout_assemble",      # 2-D layout block path
+        "layout_from_bytes",    # real PDF bytes → blocks → assembly
+        "warc_extract",         # WARC ingestion → full extraction
         "curate_pipeline",      # end-to-end curation composite
     ]
     qs = E.queries()

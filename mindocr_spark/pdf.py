@@ -229,28 +229,30 @@ def _stream_data(obj: bytes) -> bytes:
     return obj[data_start:data_start + length]
 
 
+#: One alternation matches either a complete literal string or a
+#: non-string token; a single C-level scan lexes the whole stream, and
+#: operator matching can never fire inside string bytes (document text
+#: containing 'ET'/'Tm' etc. is safe).
+_TOKEN_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)|[^\s(]+", re.S)
+
+
 def _tokenize(content: bytes):
-    """Content-stream lexer: ('str', raw) for literal strings (consumed
-    as a unit — operator scanning can never fire inside string bytes,
-    so document text containing 'ET'/'Tm' etc. is safe), ('op', tok)
-    for everything else."""
-    i, n = 0, len(content)
-    while i < n:
-        c = content[i:i + 1]
-        if c == b"(":
-            m = _STRING_RE.match(content, i)
-            if not m:
-                raise ValueError("unterminated string literal")
-            yield ("str", m.group(0))
-            i = m.end()
-        elif c in _WS:
-            i += 1
+    """Content-stream lexer: ('str', raw) for literal strings,
+    ('op', tok) for everything else."""
+    pos = 0
+    for m in _TOKEN_RE.finditer(content):
+        if content[pos:m.start()].strip():
+            # the only byte neither alternation can start on is the "("
+            # of an unterminated string literal
+            raise ValueError("unterminated string literal")
+        tok = m.group(0)
+        if tok.startswith(b"("):
+            yield ("str", tok)
         else:
-            j = i
-            while j < n and content[j:j + 1] not in _WS + b"(":
-                j += 1
-            yield ("op", content[i:j])
-            i = j
+            yield ("op", tok)
+        pos = m.end()
+    if content[pos:].strip():
+        raise ValueError("unterminated string literal")
 
 
 def _parse_content(content: bytes) -> list[tuple[float, float, list[str]]]:
