@@ -143,6 +143,29 @@ def q_warc_extract(spark, sf_dir):
     ).orderBy("url")
 
 
+def q_extract_east(spark, sf_dir):
+    """Third detector family end-to-end: the EAST-style proposal +
+    locality-aware-merge detector (extract_core.detect_blocks_east,
+    reference: mindocr/postprocess/det_east_postprocess.py:13-150)
+    behind the same registry and pipeline. On the clean corpus it
+    provably recovers the same blocks as the DB detector, so it shares
+    the byte-identical extraction oracle."""
+    from mindocr_spark import extract_core as core
+
+    pages = pages_from_documents(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    res = run_extraction(
+        pages.drop("doc_id"), core.ExtractParams(detector="east")
+    ).withColumn(
+        "doc_id", F.element_at(F.split("url", "/"), -1).cast("bigint")
+    )
+    return res.select(
+        "doc_id", "url", "extracted_text",
+        F.col("n_blocks").cast("bigint").alias("n_blocks"),
+    ).orderBy("doc_id")
+
+
 def q_extract_metrics_by_lang(spark, sf_dir):
     """Per-stage metrics aggregation (DetMetric/AllReduce shape)."""
     return (
@@ -823,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_boilerplate": _q(q_extract_boilerplate),
         "extract_metrics_by_lang": _q(q_extract_metrics_by_lang),
         "warc_extract": _q(q_warc_extract),
+        "extract_east": _q(q_extract_east),
         "agg_partial_final": _q(q_agg_partial_final),
         "fanout_regroup": _q(q_fanout_regroup),
         "reading_order": _q(q_reading_order),
@@ -1080,6 +1104,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, COUNT(*) AS n_docs,
                    CAST(SUM({_ANCHOR_LEN} + 1 + length(text)) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "extract_east": f"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, {url} AS url,
+                   '{_A}' || chr(10) || text AS extracted_text,
+                   CAST(1 AS BIGINT) AS n_blocks
+            FROM documents ORDER BY doc_id
         """,
         "warc_extract": f"""
             SELECT {url} AS url,

@@ -127,9 +127,11 @@ class ExtractParams:
     max_gap: int = 1             # gap-merge distance in nodes (unclip analog)
     max_candidates: int = 1000   # top-k cap (det_db_postprocess.py:45)
     smooth: bool = True          # neighbourhood smoothing (FPN analog)
-    detector: str = "db"         # "db" (threshold+merge) | "pse" (kernel+expand)
+    detector: str = "db"         # "db" | "pse" | "east" (proposal+lanms)
     pse_kernel_margin: float = 0.20  # kernel thresh = binary_thresh + margin
     pse_expand_floor: float = 0.08   # expansion floor = binary_thresh - this
+    east_reach: int = 1          # per-node proposal reach (geometry regression
+                                 # analog): each firing node claims ±reach nodes
 
 
 DEFAULT_PARAMS = ExtractParams()
@@ -602,10 +604,72 @@ def detect_blocks_pse(
     return blocks
 
 
+def detect_blocks_east(
+    raw: np.ndarray,
+    smoothed: np.ndarray,
+    text_len: list[int] | np.ndarray,
+    params: ExtractParams = DEFAULT_PARAMS,
+) -> list[tuple[int, int, float]]:
+    """EAST-style detector: per-node interval PROPOSALS merged by
+    locality-aware NMS — the 1-D analog of EAST's per-pixel quad
+    regression + lanms (reference:
+    mindocr/postprocess/det_east_postprocess.py:13-150, lanms at L69).
+
+    1. proposals: every node with smoothed ≥ binary_thresh AND raw ≥
+       raw_floor regresses an interval [i−reach, i+reach], CLIPPED to
+       nodes passing the raw floor — geometry beyond the firing node
+       itself, the way an EAST pixel predicts a quad larger than the
+       pixel (sub-binarization BOUNDARY nodes can enter a block's
+       extent, which the db/pse run detectors never allow; hard-chrome
+       nodes below the floor still cannot);
+    2. locality-aware merge: proposals arrive in reading order; each is
+       merged into the current group while it overlaps or sits within
+       max_gap of it (the single ordered pass that makes lanms linear,
+       vs. global NMS's quadratic pairwise suppression);
+    3. the shared score / min-size / top-k policy, scored on the raw map
+       over the FULL merged extent (claimed boundary nodes included —
+       regressed geometry pays for what it claims).
+    """
+    n = int(smoothed.size)
+    if n == 0:
+        return []
+    reach = max(0, int(params.east_reach))
+    eligible = raw >= params.raw_floor
+    firing = np.nonzero((smoothed >= params.binary_thresh) & eligible)[0]
+    merged: list[list[int]] = []
+    for i in firing:
+        i = int(i)
+        s = i
+        while s - 1 >= 0 and i - (s - 1) <= reach and eligible[s - 1]:
+            s -= 1
+        e = i + 1
+        while e < n and e - i <= reach and eligible[e]:
+            e += 1
+        if merged and s - merged[-1][1] <= params.max_gap:
+            merged[-1][1] = max(merged[-1][1], e)
+        else:
+            merged.append([s, e])
+
+    tl = np.asarray(text_len, dtype=np.int64)
+    blocks: list[tuple[int, int, float]] = []
+    for s, e in merged:
+        mean_score = float(np.mean(raw[s:e]))
+        if mean_score < params.block_thresh:
+            continue
+        if int(tl[s:e].sum()) < params.min_block_chars:
+            continue
+        blocks.append((s, e, mean_score))
+    if len(blocks) > params.max_candidates:
+        blocks = sorted(blocks, key=lambda b: (-b[2], b[0]))[: params.max_candidates]
+        blocks.sort(key=lambda b: b[0])
+    return blocks
+
+
 #: Pluggable detector registry (the reference's postprocess registry
 #: pattern, mindocr/postprocess/builder.py:19-45): DBPostprocess ↔ "db",
-#: PSEPostprocess ↔ "pse".
-DETECTORS = {"db": detect_blocks, "pse": detect_blocks_pse}
+#: PSEPostprocess ↔ "pse", EASTPostprocess ↔ "east".
+DETECTORS = {"db": detect_blocks, "pse": detect_blocks_pse,
+             "east": detect_blocks_east}
 
 
 def run_detector(raw, smoothed, text_len, params: ExtractParams = DEFAULT_PARAMS):

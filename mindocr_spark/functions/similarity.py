@@ -234,6 +234,42 @@ def _ivf_assign(c: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+def _ivf_assign_fast(c: DataFrame, cent: DataFrame) -> DataFrame:
+    """Vectorized nearest-centroid assignment: the centroid matrix is
+    collected (bounded by ivf_centroid_plan — ≤65k rows) and each Arrow
+    batch does ONE numpy matmul instead of per-pair fold expressions
+    (~10× over the HOF-cosine path at 50k×224). BLAS reduction order is
+    not pinned, so ties at 1e-16 could differ across builds — this is
+    the production/scale path; the oracle-checked queries use the exact
+    `_ivf_assign`."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(cent.collect(), key=lambda r: r["cid"])
+    # bounded: ≤ max_centroids rows (the plan cap); cid-sorted so
+    # argmax's first-wins tie rule matches the exact path's smallest-cid
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    m = np.array([r["cent"] for r in rows], dtype=np.float64)
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+
+    def fn(batches):
+        for pdf in batches:
+            v = np.array(list(pdf["cv"]), dtype=np.float64)
+            vn = v / np.maximum(
+                np.linalg.norm(v, axis=1, keepdims=True), 1e-300
+            )
+            best = np.argmax(np.round(vn @ mn.T, 9), axis=1)
+            yield pd.DataFrame({
+                "neighbor_id": pdf["neighbor_id"],
+                "cid": cids[best],
+                "cv": pdf["cv"],
+            })
+
+    return c.mapInPandas(
+        fn, schema="neighbor_id bigint, cid bigint, cv array<double>"
+    )
+
+
 def _lloyd_step(assign: DataFrame) -> DataFrame:
     """One Lloyd refinement as a Spark job: new centroid = component-wise
     mean of its assigned vectors. Means go through exact DECIMAL sums,
@@ -266,6 +302,7 @@ def ivf_topk(
     round_to: int = 4,
     max_centroids: int = 65_536,
     lloyd_iters: int = 1,
+    assign_mode: str = "exact",
 ) -> DataFrame:
     """IVF ANN: the corpus is partitioned into inverted lists by nearest
     centroid; each query probes its `n_probe` closest lists and re-ranks
@@ -279,10 +316,16 @@ def ivf_topk(
     refinement passes (assign → component-mean) run as ordinary Spark
     jobs, making this a real sampled k-means IVF rather than a raw
     subsample. Probe cost per query ≈ n_probe · n/k vectors.
-    Returns (query_id, neighbor_id, cos_sim, rank).
+
+    assign_mode: "exact" (pinned fold-order HOF cosines — bit-stable,
+    the oracle path) or "fast" (one numpy matmul per Arrow batch against
+    the collected centroid matrix — the production path at large n,
+    ~10× cheaper, tie behavior identical but BLAS association order is
+    not pinned). Returns (query_id, neighbor_id, cos_sim, rank).
     """
     n = embeddings.count()  # the tuning-pass action (stats, not data)
     _k, stride = ivf_centroid_plan(n, max_centroids)
+    assign_fn = _ivf_assign if assign_mode == "exact" else _ivf_assign_fast
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), vec_double(vec_col).alias("cv")
     )
@@ -290,9 +333,9 @@ def ivf_topk(
         F.pmod(F.col(id_col), F.lit(stride)) == 0
     ).select(F.col(id_col).alias("cid"), vec_double(vec_col).alias("cent"))
     for _ in range(lloyd_iters):
-        cent = _lloyd_step(_ivf_assign(c, cent))
+        cent = _lloyd_step(assign_fn(c, cent))
     cent = tracked_persist(cent)  # diamond: feeds corpus assign AND query probe
-    assign = _ivf_assign(c, cent)
+    assign = assign_fn(c, cent)
     q = queries.select(
         F.col(id_col).alias("query_id"), vec_double(vec_col).alias("qv")
     )

@@ -282,3 +282,67 @@ class TestPSEDetector:
                 np.array([0.5]), np.array([0.5]), [10],
                 core.ExtractParams(detector="nope"),
             )
+
+
+class TestEASTDetector:
+    """Third detector family (EAST proposal + locality-aware merge)
+    behind the registry (reference:
+    mindocr/postprocess/det_east_postprocess.py:13-150)."""
+
+    P = core.ExtractParams(detector="east", min_block_chars=1,
+                           block_thresh=0.2)
+
+    def _run(self, raw, sm=None, tl=None, params=None):
+        raw = np.asarray(raw, dtype=np.float64)
+        sm = raw if sm is None else np.asarray(sm, dtype=np.float64)
+        tl = np.full(raw.size, 100) if tl is None else np.asarray(tl)
+        return core.detect_blocks_east(raw, sm, tl, params or self.P)
+
+    def test_reach_claims_boundary_nodes(self):
+        # only idx 2 fires (0.9), but reach=1 regresses [1, 4) — the
+        # sub-threshold boundary nodes enter the extent (db would not
+        # include them: its runs stop at the thresholded nodes)
+        out = self._run([0.05, 0.2, 0.9, 0.2, 0.05])
+        assert [b[:2] for b in out] == [(1, 4)]
+        db = core.detect_blocks(
+            np.array([0.05, 0.2, 0.9, 0.2, 0.05]),
+            np.array([0.05, 0.2, 0.9, 0.2, 0.05]),
+            np.full(5, 100),
+            core.ExtractParams(min_block_chars=1, block_thresh=0.2),
+        )
+        assert [b[:2] for b in db] == [(2, 3)]
+
+    def test_locality_merge_bridges_overlapping_proposals(self):
+        # firing nodes 1 and 3: proposals [0,3) and [2,5) overlap → one
+        # block spanning both (lanms single ordered pass)
+        out = self._run([0.15, 0.8, 0.15, 0.8, 0.15])
+        assert [b[:2] for b in out] == [(0, 5)]
+
+    def test_distant_proposals_stay_separate(self):
+        out = self._run([0.8, 0.05, 0.05, 0.05, 0.05, 0.05, 0.8])
+        assert [b[:2] for b in out] == [(0, 1), (6, 7)]  # sub-floor gap
+
+    def test_score_pays_for_claimed_extent(self):
+        # the regressed extent includes weak-but-eligible nodes → mean
+        # over the FULL extent can fail block_thresh even though the
+        # firing node is hot; sub-floor nodes are never claimed
+        out = self._run(
+            [0.15, 0.15, 0.9, 0.15, 0.15],
+            params=core.ExtractParams(detector="east", min_block_chars=1,
+                                      block_thresh=0.5),
+        )
+        assert out == []
+        out2 = self._run(
+            [0.0, 0.0, 0.9, 0.0, 0.0],
+            params=core.ExtractParams(detector="east", min_block_chars=1,
+                                      block_thresh=0.5),
+        )
+        assert [b[:2] for b in out2] == [(2, 3)]  # chrome not claimable
+
+    def test_registry_dispatch_end_to_end(self):
+        ex_db = core.extract_document(PAGE)
+        ex_east = core.extract_document(
+            PAGE, core.ExtractParams(detector="east")
+        )
+        # on a clean page all detector families recover the same content
+        assert ex_east.extracted_text == ex_db.extracted_text

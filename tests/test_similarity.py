@@ -80,6 +80,21 @@ def test_ivf_topk_recall(spark, emb):
     assert top7 == [3]
 
 
+def test_ivf_fast_assignment_matches_exact(spark, emb):
+    """The numpy-matmul production assignment and the pinned-fold exact
+    assignment agree wherever margins exceed float noise — on these
+    vectors, everywhere."""
+    from mindocr_spark.functions.similarity import ivf_topk
+
+    df, _ = emb
+    exact = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in
+             ivf_topk(df, df.where("vec_id < 10"), k=3).collect()}
+    fast = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in
+            ivf_topk(df, df.where("vec_id < 10"), k=3,
+                     assign_mode="fast").collect()}
+    assert exact == fast
+
+
 def test_ivf_centroid_count_bounded():
     """The centroid grid stays O(√n) and hard-capped as the corpus grows
     — the broadcast can never scale with corpus size (the fixed-stride
