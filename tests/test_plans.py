@@ -100,3 +100,47 @@ def test_minhash_agg_is_partial_final(spark, sf):
     first_ex = plan.find("Exchange")
     assert first_ex > 0
     assert "HashAggregate" in plan[:first_ex]  # partial agg before shuffle
+
+
+def test_pdf_blocks_path_is_narrow(spark, sf):
+    """bytes → blocks (synth + parse) is scan → two mapInPandas stages:
+    zero Exchange until the layout regroup."""
+    from mindocr_spark.pdf import pdf_blocks, synth_pdf_table
+
+    plan = _plan(pdf_blocks(synth_pdf_table(spark, sf)))
+    assert "Exchange" not in plan
+    # the documents scan reads only what the writer needs
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}
+
+
+def test_warc_ingest_is_narrow(spark, tmp_path):
+    """WARC scan → parse is narrow; downstream extraction fuses into the
+    same stage (no Exchange anywhere before a sink)."""
+    from pyspark.sql import functions as F
+    from mindocr_spark.operators.pipeline import run_extraction
+    from mindocr_spark.sources.warc import read_warc, write_warc_dir
+
+    rows = [(f"https://n.example/{i}", 1704067200 + i,
+             b"<html><body>n</body></html>", "en") for i in range(4)]
+    pages = spark.createDataFrame(
+        rows, "url string, sec bigint, html binary, lang string"
+    ).select("url", F.timestamp_seconds("sec").alias("warc_ts"),
+             "html", "lang")
+    out = str(tmp_path / "warc")
+    write_warc_dir(pages, out, n_files=2)
+    plan = _plan(run_extraction(read_warc(spark, out)))
+    assert "Exchange" not in plan
+
+
+def test_layout_assemble_single_shuffle_from_blocks(spark, sf):
+    """From a materialized blocks table, NMS is a key-partitioned join
+    and the assembly is ONE aggregation — no cartesian, no extra
+    exchanges beyond the join/agg pair's."""
+    from mindocr_spark.operators.layout import assemble_document
+    from mindocr_spark.pdf import pdf_blocks, synth_pdf_table
+
+    plan = _plan(assemble_document(pdf_blocks(synth_pdf_table(spark, sf))))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
