@@ -205,16 +205,19 @@ def write_warc_dir(pages: DataFrame, out_dir: str, n_files: int = 8) -> int:
     return int(written)
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """Ingest a directory of WARC files into the pages contract:
-    binaryFile scan (one row per file — files are the parallelism unit,
-    as in real Common Crawl processing where a crawl is ~64k WARC files)
-    → mapInPandas record parse. Parse failures surface as a single
-    failed row per file (url = file path, http_status = -1), the
-    skip-flag discipline."""
+def read_warc(spark: SparkSession, path: str,
+              files: list[str] | None = None) -> DataFrame:
+    """Ingest WARC files into the pages contract: binaryFile scan (one
+    row per file — files are the parallelism unit, as in real Common
+    Crawl processing where a crawl is ~64k WARC files) → mapInPandas
+    record parse. Parse failures surface as a single failed row per
+    file (url = file path, http_status = -1), the skip-flag discipline.
+    `files` restricts the scan to an explicit list (the incremental
+    ingester's pending set)."""
     import pandas as pd
 
-    files = spark.read.format("binaryFile").load(f"{path}/*.warc")
+    reader = spark.read.format("binaryFile")
+    files_df = reader.load(files) if files else reader.load(f"{path}/*.warc")
 
     def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -240,9 +243,79 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             if rows:
                 yield pd.DataFrame(rows)
 
-    return files.select("path", "content").mapInPandas(
+    return files_df.select("path", "content").mapInPandas(
         parse, schema=WARC_PAGES_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental ingestion (exactly-once per WARC file)
+# --------------------------------------------------------------------------
+
+WARC_LINEAGE_SCHEMA = "warc_file string, n_pages bigint, run_id string"
+
+
+def ingest_warc_incremental(
+    spark: SparkSession,
+    warc_dir: str,
+    pages_out: str,
+    lineage_path: str,
+    run_id: str = "run-0",
+) -> list[str]:
+    """Exactly-once incremental WARC→pages conversion. The unit of
+    commit is ONE WARC FILE (the converter-resume flavour of the
+    lineage discipline in :mod:`mindocr_spark.sources.lineage`):
+
+    1. pending = listed .warc files anti-joined against committed
+       lineage (the committed set is tiny — one row per file);
+    2. pending files' pages are written partitioned by `warc_file`
+       with DYNAMIC partition overwrite — a crash-replayed file
+       rewrites its own partition instead of appending duplicates;
+    3. one lineage row per newly ingested file is appended AFTER the
+       data commit (re-appended rows after a step-3 crash are
+       deduplicated by the distinct read in step 1).
+
+    Returns the basenames ingested this run ([] when up to date).
+    """
+    listed = spark.read.format("binaryFile").load(f"{warc_dir}/*.warc").select(
+        "path", F.element_at(F.split("path", "/"), -1).alias("warc_file")
+    )
+    try:
+        done = (
+            spark.read.schema(WARC_LINEAGE_SCHEMA).parquet(lineage_path)
+            .select("warc_file").distinct()
+        )
+    except Exception:
+        done = spark.createDataFrame([], "warc_file string")
+    pending = [
+        (r["path"], r["warc_file"])
+        for r in listed.join(F.broadcast(done), "warc_file", "left_anti")
+        .collect()  # bookkeeping-sized relation: one row per file
+    ]
+    if not pending:
+        return []
+    pages = read_warc(spark, warc_dir, files=[p for p, _b in pending]).select(
+        "url", "warc_ts", "html", "lang", "http_status",
+        F.element_at(F.split("warc_file", "/"), -1).alias("warc_file"),
+    )
+    (
+        pages.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("warc_file")
+        .parquet(pages_out)
+    )
+    basenames = sorted(b for _p, b in pending)
+    counts = {
+        r["warc_file"]: r["n"]
+        for r in spark.read.parquet(pages_out)
+        .where(F.col("warc_file").isin(basenames))
+        .groupBy("warc_file").agg(F.count("*").alias("n")).collect()
+    }
+    spark.createDataFrame(
+        [(b, int(counts.get(b, 0)), run_id) for b in basenames],
+        WARC_LINEAGE_SCHEMA,
+    ).write.mode("append").parquet(lineage_path)
+    return basenames
 
 
 def synth_warc_dir(spark: SparkSession, sf_dir: str,

@@ -99,3 +99,55 @@ def test_warc_distributed_roundtrip(spark, tmp_path):
             .collect()}
     for url, sec, *_ in rows:
         assert secs[url] == sec
+
+
+def test_incremental_ingest_exactly_once(spark, tmp_path):
+    """File-grain exactly-once: new files ingest once, replay after a
+    lost lineage commit overwrites instead of duplicating."""
+    from pyspark.sql import functions as F
+    from mindocr_spark.sources.warc import (
+        format_response_record,
+        ingest_warc_incremental,
+        _warcinfo,
+    )
+
+    warc_dir = tmp_path / "in"
+    warc_dir.mkdir()
+
+    def put(name, ids):
+        buf = bytearray(_warcinfo(name))
+        for i in ids:
+            buf += format_response_record(
+                f"https://inc.example/{i}", 1704067200 + i,
+                f"<html><body>doc {i}</body></html>".encode(), "en")
+        (warc_dir / name).write_bytes(bytes(buf))
+
+    put("a.warc", range(0, 5))
+    put("b.warc", range(5, 8))
+    pages_out = str(tmp_path / "pages")
+    lineage = str(tmp_path / "lineage")
+
+    got = ingest_warc_incremental(spark, str(warc_dir), pages_out, lineage)
+    assert got == ["a.warc", "b.warc"]
+    assert spark.read.parquet(pages_out).count() == 8
+    # idempotent: nothing pending on re-run
+    assert ingest_warc_incremental(spark, str(warc_dir), pages_out, lineage) == []
+
+    # a new file lands → only it is ingested
+    put("c.warc", range(8, 10))
+    assert ingest_warc_incremental(
+        spark, str(warc_dir), pages_out, lineage) == ["c.warc"]
+    df = spark.read.parquet(pages_out)
+    assert df.count() == 10
+    assert df.select("url").distinct().count() == 10
+
+    # crash replay: lineage lost AFTER data commit → re-ingest overwrites
+    # per-file partitions, never duplicates
+    import shutil
+    shutil.rmtree(lineage)
+    assert sorted(ingest_warc_incremental(
+        spark, str(warc_dir), pages_out, lineage)) == [
+        "a.warc", "b.warc", "c.warc"]
+    df = spark.read.parquet(pages_out)
+    assert df.count() == 10
+    assert df.select("url").distinct().count() == 10
