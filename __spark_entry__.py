@@ -768,13 +768,19 @@ def q_layout_from_bytes(spark, sf_dir):
     tools/infer/text/predict_system.py:77-109, deploy/py_infer/src/
     parallel/parallel_pipeline.py:39-67); oracle reconstructs the
     assembled text directly from documents (writer+parser are exact
-    inverses, proven per-byte in tests/test_pdf.py)."""
-    from mindocr_spark.operators.layout import assemble_document
-    from mindocr_spark.pdf import pdf_blocks, synth_pdf_table
+    inverses, proven per-byte in tests/test_pdf.py).
+
+    Runs the FUSED single-stage plan (zero shuffles — all of a doc's
+    blocks come from one payload row, so per-doc NMS/order/assembly
+    belongs inside the parse stage, like the fused HTML extraction);
+    the relational block operators are proven equal in tests/test_pdf
+    and exercised by layout_assemble/layout_reading_order."""
+    from mindocr_spark.pdf import pdf_extract_fused, synth_pdf_table
 
     return (
-        assemble_document(pdf_blocks(synth_pdf_table(spark, sf_dir)))
-        .select("doc_id", "doc_text", F.col("n_blocks").cast("bigint").alias("n_blocks"))
+        pdf_extract_fused(synth_pdf_table(spark, sf_dir))
+        .select("doc_id", "doc_text",
+                F.col("n_blocks").cast("bigint").alias("n_blocks"))
         .orderBy("doc_id")
     )
 

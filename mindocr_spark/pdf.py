@@ -164,6 +164,8 @@ _WS = b" \n\r\t"
 
 
 def _unescape(raw: bytes) -> bytes:
+    if b"\\" not in raw:  # overwhelmingly common: plain line, no walk
+        return raw
     out = bytearray()
     i = 0
     while i < len(raw):
@@ -357,6 +359,62 @@ def synth_pdf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     return docs.mapInPandas(gen, schema="doc_id bigint, pdf binary")
+
+
+def _assemble_blocks(blocks: list[dict], col_split: float = 306.0,
+                     sep: str = "\n\n") -> tuple[str, int]:
+    """Per-document layout assembly over PARSED blocks: chrome filter →
+    containment NMS → newspaper reading order → text join. Semantics
+    identical to the relational operators in
+    :mod:`mindocr_spark.operators.layout` (suppress_contained /
+    reading_order / assemble_document) — proven equal by pytest — but
+    runs inside the parse stage when all of a document's blocks come
+    from ONE payload row, so the whole bytes→text path is a single
+    narrow stage (zero shuffles), exactly like the fused HTML
+    extraction. The relational operators remain the path for blocks
+    arriving as a distributed table."""
+    paras = [b for b in blocks if b["kind"] not in ("header", "footer", "pageno")]
+
+    def contained(a: dict, b: dict) -> bool:
+        return (
+            a["page"] == b["page"]
+            and a["x0"] >= b["x0"] and a["y0"] >= b["y0"]
+            and a["x1"] <= b["x1"] and a["y1"] <= b["y1"]
+            and (a["x1"] - a["x0"]) * (a["y1"] - a["y0"])
+            < (b["x1"] - b["x0"]) * (b["y1"] - b["y0"])
+        )
+
+    kept = [a for a in paras if not any(contained(a, b) for b in paras)]
+    kept.sort(key=lambda b: (b["page"], b["x0"] >= col_split, b["y0"],
+                             b["x0"], b["y1"], b["x1"], b["kind"], b["text"]))
+    return sep.join(b["text"] for b in kept), len(kept)
+
+
+def pdf_extract_fused(df: DataFrame, payload_col: str = "pdf",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(id, pdf bytes) → (doc_id, doc_text, n_blocks) in ONE narrow
+    mapInPandas stage: parse + NMS + reading order + assembly per doc.
+    Parse failures yield (doc_id, '', 0, failed=true)."""
+    import pandas as pd
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf_batch in batches:
+            rows = []
+            for rid, payload in zip(pdf_batch[id_col], pdf_batch[payload_col]):
+                try:
+                    text, n = _assemble_blocks(parse_pdf(bytes(payload)))
+                    rows.append(dict(doc_id=rid, doc_text=text,
+                                     n_blocks=n, failed=False))
+                except Exception:
+                    rows.append(dict(doc_id=rid, doc_text="", n_blocks=0,
+                                     failed=True))
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        fn, schema="doc_id bigint, doc_text string, n_blocks bigint, "
+                   "failed boolean"
+    )
 
 
 def pdf_blocks(df: DataFrame, payload_col: str = "pdf",

@@ -96,6 +96,30 @@ def test_pdf_xref_offsets_are_real():
         parse_pdf(bytes(pdf))
 
 
+def test_pdf_fused_equals_relational(spark):
+    """The fused single-stage assembly must equal the relational
+    suppress_contained → reading_order → assemble_document pipeline on
+    identical parsed blocks (same NMS and ordering semantics)."""
+    from mindocr_spark.operators.layout import assemble_document
+    from mindocr_spark.pdf import pdf_blocks, pdf_extract_fused, build_pdf
+
+    texts = {i: ADVERSARIAL[i % len(ADVERSARIAL)] + f" twin {i}"
+             for i in range(10)}
+    df = spark.createDataFrame(
+        [(i, build_pdf(t, f"Report {i}")) for i, t in texts.items()],
+        "doc_id bigint, pdf binary",
+    )
+    rel = {r["doc_id"]: (r["doc_text"], r["n_blocks"]) for r in
+           assemble_document(pdf_blocks(df)).collect()}
+    fused = {r["doc_id"]: (r["doc_text"], r["n_blocks"]) for r in
+             pdf_extract_fused(df).collect()}
+    assert rel == fused
+    # failure path: junk payload flows through flagged, not crashing
+    junk = spark.createDataFrame([(99, b"not a pdf")], "doc_id bigint, pdf binary")
+    row = pdf_extract_fused(junk).collect()[0]
+    assert row["failed"] and row["doc_text"] == "" and row["n_blocks"] == 0
+
+
 def test_pdf_blocks_spark_stage(spark):
     """Distributed parse matches the driver-side parse, and the full
     layout pipeline assembles the exact document text."""

@@ -26,6 +26,10 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--pages", required=True)
+    p.add_argument("--input-format", choices=("parquet", "warc"),
+                   default="parquet",
+                   help="parquet pages dir (default) or a dir of .warc "
+                        "files ingested through sources.warc.read_warc")
     p.add_argument("--out", required=True)
     p.add_argument("--lineage", default=None)
     p.add_argument("--metrics", default=None)
@@ -57,9 +61,15 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     from mindocr_spark.operators.pipeline import run_extraction, write_results
-    from mindocr_spark.sources.pages import read_pages
 
-    pages = read_pages(spark, args.pages)
+    if args.input_format == "warc":
+        from mindocr_spark.sources.warc import read_warc
+
+        pages = read_warc(spark, args.pages)
+    else:
+        from mindocr_spark.sources.pages import read_pages
+
+        pages = read_pages(spark, args.pages)
     salt = args.salt_partitions
     size_ordered = False
     if args.auto_tune:
