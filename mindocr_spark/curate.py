@@ -56,8 +56,13 @@ def curate(
     """
     from mindocr_spark.cache import _collect_into, tracked_persist as _persist
 
-    track = _track if _track is not None else []
-    with _collect_into(track):
+    if _track is None:
+        # no explicit tracker: leave the AMBIENT scope (if any) in place
+        # so `with persist_scope(): curate(...)` still collects every
+        # nested persist — overriding it here would route them into a
+        # throwaway list and leak them
+        return _curate_build(pages, cfg, params, _persist)
+    with _collect_into(_track):
         return _curate_build(pages, cfg, params, _persist)
 
 

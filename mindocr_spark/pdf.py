@@ -31,7 +31,7 @@ from __future__ import annotations
 import re
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 PAGE_W = 612.0
 PAGE_H = 792.0
@@ -158,9 +158,7 @@ _UNESCAPES = {b"\\": b"\\", b"(": b"(", b")": b")",
               b"n": b"\n", b"r": b"\r", b"t": b"\t",
               b"b": b"\b", b"f": b"\f"}
 
-_STRING_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)", re.S)
 _REF_RE = re.compile(rb"(\d+) 0 R")
-_WS = b" \n\r\t"
 
 
 def _unescape(raw: bytes) -> bytes:
@@ -188,9 +186,10 @@ def _unescape(raw: bytes) -> bytes:
     return bytes(out)
 
 
-def _xref_offsets(payload: bytes) -> dict[int, int]:
-    """startxref → xref table → {obj_num: byte offset}. 20-byte entry
-    rows per the PDF 1.4 spec subset (single section, f/n flags)."""
+def _xref_offsets(payload: bytes) -> tuple[dict[int, int], int]:
+    """startxref → xref table → ({obj_num: byte offset}, xref_off).
+    20-byte entry rows per the PDF 1.4 spec subset (single section,
+    f/n flags)."""
     sx = payload.rfind(b"startxref")
     if sx < 0:
         raise ValueError("no startxref")
@@ -208,27 +207,53 @@ def _xref_offsets(payload: bytes) -> dict[int, int]:
         if flag == b"n":
             offsets[start + i] = int(off)
         pos += 20
-    return offsets
+    return offsets, xref_off
 
 
-def _obj_at(payload: bytes, off: int) -> bytes:
-    end = payload.index(b"endobj", off)
-    body_start = payload.index(b"obj", off) + 3
-    return payload[body_start:end]
+_OBJ_HEAD_RE = re.compile(rb"(\d+) \d+ obj\s*")
+_STREAM_KW_RE = re.compile(rb"\s*stream(\r\n|\n)")
 
 
-def _stream_data(obj: bytes) -> bytes:
-    m = re.search(rb"/Length (\d+)", obj)
+def _obj_at(payload: bytes, off: int) -> tuple[bytes, bytes | None]:
+    """Parse the object at an xref offset → (dict_bytes, stream_data).
+
+    STRUCTURAL parse, never a sentinel scan: the object header must sit
+    exactly at the offset, the dictionary is consumed by <<…>> nesting,
+    and stream data is taken as exactly /Length bytes — so document
+    text containing 'endobj', '/Root N 0 R', or any other PDF keyword
+    inside a stream can never truncate or hijack the walk (the
+    round-trip contract holds for arbitrary content)."""
+    m = _OBJ_HEAD_RE.match(payload, off)
     if not m:
+        raise ValueError(f"no object header at xref offset {off}")
+    p = m.end()
+    if payload[p:p + 2] != b"<<":
+        raise ValueError("unsupported non-dictionary object")
+    depth, i = 0, p
+    n = len(payload)
+    while i < n:
+        two = payload[i:i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                break
+        else:
+            i += 1
+    if depth != 0:
+        raise ValueError("unbalanced dictionary")
+    dict_bytes = payload[p:i]
+    sm = _STREAM_KW_RE.match(payload, i)
+    if not sm:
+        return dict_bytes, None
+    lm = re.search(rb"/Length (\d+)", dict_bytes)
+    if not lm:
         raise ValueError("stream without /Length")
-    length = int(m.group(1))
-    s = obj.index(b"stream")
-    data_start = s + len(b"stream")
-    if obj[data_start:data_start + 2] == b"\r\n":
-        data_start += 2
-    elif obj[data_start:data_start + 1] == b"\n":
-        data_start += 1
-    return obj[data_start:data_start + length]
+    data_start = sm.end()
+    return dict_bytes, payload[data_start:data_start + int(lm.group(1))]
 
 
 #: One alternation matches either a complete literal string or a
@@ -308,17 +333,24 @@ def parse_pdf(payload: bytes) -> list[dict]:
     """
     if not payload.startswith(b"%PDF-"):
         raise ValueError("not a PDF payload")
-    offsets = _xref_offsets(payload)
-    root_m = re.search(rb"/Root (\d+) 0 R", payload)
-    catalog = _obj_at(payload, offsets[int(root_m.group(1))])
+    offsets, xref_off = _xref_offsets(payload)
+    # /Root lookup restricted to the trailer region (after the xref
+    # table) — a whole-payload search could match '/Root N 0 R' inside a
+    # document's text stream
+    root_m = re.search(rb"/Root (\d+) 0 R", payload[xref_off:])
+    if not root_m:
+        raise ValueError("trailer without /Root")
+    catalog, _ = _obj_at(payload, offsets[int(root_m.group(1))])
     pages_ref = int(re.search(rb"/Pages (\d+) 0 R", catalog).group(1))
-    pages_obj = _obj_at(payload, offsets[pages_ref])
+    pages_obj, _ = _obj_at(payload, offsets[pages_ref])
     kids = re.search(rb"/Kids \[(.*?)\]", pages_obj, re.S).group(1)
     blocks: list[dict] = []
     for page_idx, kid_m in enumerate(_REF_RE.finditer(kids), start=1):
-        page_obj = _obj_at(payload, offsets[int(kid_m.group(1))])
+        page_obj, _ = _obj_at(payload, offsets[int(kid_m.group(1))])
         cont_ref = int(re.search(rb"/Contents (\d+) 0 R", page_obj).group(1))
-        content = _stream_data(_obj_at(payload, offsets[cont_ref]))
+        _cdict, content = _obj_at(payload, offsets[cont_ref])
+        if content is None:
+            raise ValueError("page /Contents is not a stream object")
         for tm_x, tm_y, lines in _parse_content(content):
             y0_top = PAGE_H - tm_y
             width = CHAR_W * max((len(ln) for ln in lines), default=0)

@@ -107,14 +107,22 @@ def _parse_iso(s: str) -> int:
     return calendar.timegm((y, mo, d, h, mi, se))
 
 
+def _hdr_decode(b: bytes) -> str:
+    """Header values are UTF-8 per WARC/1.0 (the writer encodes them as
+    UTF-8); latin-1 is the lossless fallback for raw legacy bytes —
+    decoding everything as latin-1 would mojibake non-ASCII URLs."""
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        return b.decode("latin-1")
+
+
 def _parse_headers(block: bytes) -> dict[str, str]:
     headers: dict[str, str] = {}
     for line in block.split(_CRLF):
         if b":" in line:
             k, v = line.split(b":", 1)
-            headers[k.strip().lower().decode("latin-1")] = (
-                v.strip().decode("latin-1")
-            )
+            headers[k.strip().lower().decode("latin-1")] = _hdr_decode(v.strip())
     return headers
 
 
@@ -213,11 +221,17 @@ def read_warc(spark: SparkSession, path: str,
     record parse. Parse failures surface as a single failed row per
     file (url = file path, http_status = -1), the skip-flag discipline.
     `files` restricts the scan to an explicit list (the incremental
-    ingester's pending set)."""
+    ingester's pending set); an EMPTY list means "nothing pending" and
+    yields zero rows — it must not fall back to the full directory."""
     import pandas as pd
 
+    if files is not None and not files:
+        return spark.createDataFrame([], WARC_PAGES_SCHEMA)
     reader = spark.read.format("binaryFile")
-    files_df = reader.load(files) if files else reader.load(f"{path}/*.warc")
+    files_df = (
+        reader.load(files) if files is not None
+        else reader.load(f"{path}/*.warc")
+    )
 
     def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -321,14 +335,27 @@ def ingest_warc_incremental(
 def synth_warc_dir(spark: SparkSession, sf_dir: str,
                    n_files: int = 8) -> str:
     """Idempotent fixture-WARC synthesis for a testdata sf dir: the
-    pages corpus serialized as WARC files under /tmp, keyed by sf_dir
-    (built once, reused across queries/sessions)."""
+    pages corpus serialized as WARC files under /tmp. The cache key is
+    a CONTENT HASH of (sf_dir + this module + the pages template
+    module), so editing the record framing or page synthesis
+    invalidates stale fixtures instead of silently reusing bytes built
+    by older code (the pkg-zip staleness lesson applied here too)."""
     import hashlib
 
+    from mindocr_spark.sources import pages as pages_mod
     from mindocr_spark.sources.pages import pages_from_documents
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    out_dir = f"/tmp/mindocr_warc_{key}"
+    h = hashlib.md5(sf_dir.encode())
+    for mod_file in (__file__, pages_mod.__file__):
+        try:
+            with open(mod_file, "rb") as fh:
+                h.update(fh.read())
+        except OSError:
+            # zipimported module: the zip's own name is already a
+            # content hash (session._pkg_zip_path), so the path is an
+            # equivalent staleness key
+            h.update(mod_file.encode())
+    out_dir = f"/tmp/mindocr_warc_{h.hexdigest()[:10]}"
     marker = os.path.join(out_dir, "_COMPLETE")
     if not os.path.exists(marker):
         pages = pages_from_documents(spark, sf_dir).repartition(

@@ -94,6 +94,27 @@ def test_curate_scoped_unpersists(spark, raw_pages):
     for df in track:
         df.unpersist()
     assert n_cached() == before
+
+
+def test_curate_inside_ambient_persist_scope(spark, raw_pages):
+    """curate() without _track must hand its nested persists to an
+    ambient persist_scope, not swallow them into a throwaway list."""
+    from mindocr_spark.cache import persist_scope
+    from mindocr_spark.curate import CurateConfig, curate
+
+    def n_cached():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    pages = raw_pages.where("url NOT LIKE '%/exact'")  # distinct plan
+    before = n_cached()
+    with persist_scope():
+        _curated, funnel = curate(pages, CurateConfig(min_chars=50))
+        funnel.collect()
+        assert n_cached() > before
+    assert n_cached() == before
+
+
+def test_curate_lang_filter(spark, raw_pages):
     from mindocr_spark.curate import CurateConfig, curate
 
     curated, _ = curate(raw_pages, CurateConfig(min_chars=50, langs=("en",)))

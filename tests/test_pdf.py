@@ -22,6 +22,9 @@ ADVERSARIAL = [
     "operators inside text: ET BT Tj Tm T* 1 0 0 1 50 700 Tm endstream " * 3,
     "unicode 中文內容 混排 and ümlauts €uro signs " * 5,
     "tabs\tand\rcarriage returns embedded " * 6,
+    # structural keywords in content must not truncate/hijack the walk
+    "see endobj for details and 4 0 obj references " * 4,
+    "trailer says /Root 4 0 R then startxref 99 xref 0 8 stream " * 4,
 ]
 
 

@@ -55,13 +55,35 @@ def test_warc_rejects_corruption():
         parse_warc(good[:-2])                      # truncated terminator
     with pytest.raises(ValueError):
         parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")     # no WARC version line
-    # declared HTTP Content-Length must match the actual body
-    bad = good.replace(b"Content-Length: 31\r\n\r\nHTTP",
-                       b"Content-Length: 31\r\n\r\nHTTP", 1)
+    # declared HTTP Content-Length must match the actual body: shrink
+    # the html's declared length (keeping the WARC record framing valid
+    # by padding the WARC Content-Length back up is unnecessary — the
+    # mismatch is detected before the record terminator check)
+    html_len = len(RECORDS[0][2])
+    bad = good.replace(
+        f"Content-Length: {html_len}\r\n\r\n<html><body>alpha".encode(),
+        f"Content-Length: {html_len - 1}\r\n\r\n<html><body>alpha".encode(),
+        1,
+    )
+    assert bad != good  # the tampering actually landed
+    with pytest.raises(ValueError, match="Content-Length mismatch"):
+        parse_warc(bad)
+    # content bytes themselves are opaque — same-length edits parse fine
     mism = bytearray(good)
     i = mism.index(b"<html><body>alpha")
-    mism[i:i + 5] = b"<HTML"  # same length — fine
-    parse_warc(bytes(mism))   # still parses (content is opaque)
+    mism[i:i + 5] = b"<HTML"
+    parse_warc(bytes(mism))
+
+
+def test_warc_non_ascii_headers_roundtrip():
+    """UTF-8 URLs / langs in WARC headers must survive exactly (a
+    latin-1-only parse would mojibake them)."""
+    url = "https://例え.jp/ünïcode/path?q=日本語"
+    rec = format_response_record(url, 1704067200,
+                                 b"<html><body>x</body></html>", "ja")
+    got = parse_warc(rec)
+    assert got[0]["url"] == url
+    assert got[0]["lang"] == "ja"
 
 
 def test_warc_distributed_roundtrip(spark, tmp_path):

@@ -92,7 +92,10 @@ def main():
         neardup_bits_plan,
     )
 
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # default 16: the host's memory subsystem saturates above ~16 vCPUs
+    # for these workloads (BENCH.md pure-python control) — local[32]
+    # would thrash past the wall and distort the measured ratios
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
     spark = get_spark(app="pressure_bench", cores=cpus,
                       shuffle_partitions=cpus)
     out: dict = {"n_docs": N_DOCS, "n_vecs": N_VECS, "cpus": cpus}
