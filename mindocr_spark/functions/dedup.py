@@ -131,11 +131,11 @@ def ngram_jaccard_pairs(df: DataFrame, k: int = 3, threshold: float = 0.5,
 _MERSENNE_31 = (1 << 31) - 1
 
 
-def _perm_table(spark, n_perm: int) -> DataFrame:
-    """(perm, a, b) universal-hash parameters, a ∈ [1, p-1], b ∈ [0, p-1],
-    derived from md5 of the perm index — full-range multipliers (tiny
-    sequential multipliers correlate the permutations and wreck the
-    Jaccard estimate), pinned and engine-independent."""
+def _perm_consts(n_perm: int) -> list[tuple[int, int]]:
+    """Pinned (a_i, b_i) universal-hash parameters, a ∈ [1, p-1],
+    b ∈ [0, p-1], derived from md5 of the perm index — full-range
+    multipliers (tiny sequential multipliers correlate the permutations
+    and wreck the Jaccard estimate), engine-independent."""
     import hashlib
 
     def _c(tag: str, i: int, lo: int) -> int:
@@ -144,33 +144,37 @@ def _perm_table(spark, n_perm: int) -> DataFrame:
         )
         return h % (_MERSENNE_31 - lo) + lo
 
-    rows = [(i, _c("a", i, 1), _c("b", i, 0)) for i in range(n_perm)]
-    return spark.createDataFrame(rows, "perm int, a bigint, b bigint")
+    return [(_c("a", i, 1), _c("b", i, 0)) for i in range(n_perm)]
 
 
 def minhash_signatures(df: DataFrame, n_perm: int = 64, k: int = 3,
                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, perm, minh): MinHash signature as a tall relation.
 
-    Plan: shingles → xxhash64 → broadcast-join the tiny perm table
-    (n_perm rows) → groupBy(doc, perm).min — Catalyst does map-side
-    partial min, so the shuffle carries ≤ docs×n_perm rows regardless of
-    shingle count. Everything stays JVM-side.
+    Plan: shingles → xxhash64 → ONE groupBy(doc) computing all n_perm
+    permutation minima as separate aggregate expressions (min_0..min_63
+    over the same row set) → stack() back to the tall shape. The naive
+    formulation broadcast-joined an n_perm-row table BEFORE the agg,
+    expanding every shingle row n_perm-fold ahead of the shuffle
+    (~20M intermediate rows at sf0.1); here map-side partial aggregation
+    sees only the shingle rows and the shuffle carries one wide row per
+    doc. Identical values (min over the same set), everything JVM-side.
     """
     sh = word_shingles(df, k=k, text_col=text_col, id_col=id_col)
     hashed = sh.select(
         id_col, F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_31)).alias("h")
     )
-    perms = _perm_table(df.sparkSession, n_perm)
-    return (
-        hashed.join(F.broadcast(perms))
-        .select(
-            id_col, "perm",
-            F.pmod(F.col("a") * F.col("h") + F.col("b"), F.lit(_MERSENNE_31)).alias("hv"),
-        )
-        .groupBy(id_col, "perm")
-        .agg(F.min("hv").alias("minh"))
-    )
+    mins = hashed.groupBy(id_col).agg(*[
+        F.min(
+            F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE_31))
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(_perm_consts(n_perm))
+    ])
+    stack_args = ", ".join(f"{i}, m{i}" for i in range(n_perm))
+    return mins.select(
+        id_col,
+        F.expr(f"stack({n_perm}, {stack_args}) as (perm, minh)"),
+    ).select(id_col, F.col("perm").cast("int").alias("perm"), "minh")
 
 
 def _lsh_pairs_from_signatures(sig: DataFrame, bucket_agg, n_perm: int,
@@ -247,19 +251,20 @@ def minhash_lsh_pairs_md5(
     exact ANSI-SQL oracle. Same banding/candidate/estimate plan shape.
     Returns (id_a, id_b, n_match, est_jaccard ≥ threshold)."""
     sh = word_shingles(df, k=k, text_col=text_col, id_col=id_col)
-    perms = df.sparkSession.range(n_perm).select(
-        F.col("id").cast("int").alias("perm")
-    )
-    sig = (
-        sh.join(F.broadcast(perms))
-        .select(
-            id_col, "perm",
-            F.md5(F.concat_ws(":", F.col("shingle"), F.col("perm"))
-                  .cast("binary")).alias("h"),
-        )
-        .groupBy(id_col, "perm")
-        .agg(F.min("h").alias("minh"))
-    )
+    # same one-groupBy/many-mins plan as minhash_signatures: no n_perm×
+    # row expansion before the shuffle
+    mins = sh.groupBy(id_col).agg(*[
+        F.min(
+            F.md5(F.concat_ws(":", F.col("shingle"), F.lit(str(i)))
+                  .cast("binary"))
+        ).alias(f"m{i}")
+        for i in range(n_perm)
+    ])
+    stack_args = ", ".join(f"{i}, m{i}" for i in range(n_perm))
+    sig = mins.select(
+        id_col,
+        F.expr(f"stack({n_perm}, {stack_args}) as (perm, minh)"),
+    ).select(id_col, F.col("perm").cast("int").alias("perm"), "minh")
     bucket_agg = F.md5(
         F.concat_ws(",", F.sort_array(F.collect_list("minh"))).cast("binary")
     )
