@@ -76,3 +76,18 @@ def test_end_to_end_extraction_eval(spark, sf_dir):
     )
     r = det_metric(res, res).collect()[0]
     assert r["fp"] == 0 and r["fn"] == 0 and r["fscore"] == 1.0
+
+
+def test_multi_corpus_eval_harness(spark, sf_dir):
+    """The multi-dataset eval capability (reference:
+    tools/benchmarking/multi_dataset_eval.py): per-corpus golden eval —
+    byte-identical extraction must score exact_rate 1.0 with no missing
+    keys on the synthesized corpus."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from multi_corpus_eval import eval_corpus
+
+    r = eval_corpus(spark, sf_dir)
+    assert r["n_missing"] == 0 and r["n_failed"] == 0
+    assert r["exact_rate"] == 1.0
+    assert r["n_docs"] > 0

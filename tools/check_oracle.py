@@ -35,10 +35,21 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    import os
+
     import __spark_entry__ as entrymod
     from mindocr_spark.session import get_spark
 
-    spark = get_spark(app="oracle_check", cores=8, shuffle_partitions=16)
+    # the driver's session tz / ansi mode are unknown — probe under
+    # hostile settings with SPARK_GRAFT_ORACLE_TZ=Asia/Tokyo
+    # SPARK_GRAFT_ORACLE_ANSI=true before shipping tz-sensitive queries
+    extra = {}
+    if os.environ.get("SPARK_GRAFT_ORACLE_TZ"):
+        extra["spark.sql.session.timeZone"] = os.environ["SPARK_GRAFT_ORACLE_TZ"]
+    if os.environ.get("SPARK_GRAFT_ORACLE_ANSI"):
+        extra["spark.sql.ansi.enabled"] = os.environ["SPARK_GRAFT_ORACLE_ANSI"]
+    spark = get_spark(app="oracle_check", cores=8, shuffle_partitions=16,
+                      extra=extra)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
