@@ -92,6 +92,28 @@ def test_simhash_radius_recall_guarantee(spark):
     assert found[(1, 2)] <= 12
 
 
+def test_simhash_jvm_fold_matches_numpy_reference(spark):
+    """The pure-JVM bit-vote fold must be value-identical to the numpy
+    reference fold (_simhash_fold_fn) over adversarial token sets —
+    including ties, empty docs, and sign-bit (bit 63) votes."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from mindocr_spark.functions.dedup import _simhash_fold_fn, simhash_col
+    from mindocr_spark.functions.text import tokens_col
+
+    rows = [(1, BASE), (2, NEAR), (3, OTHER), (4, ""), (5, "   "),
+            (6, "one"), (7, "a b a b"), (8, "中文 内容 混排 test")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["simhash"] for r in simhash_col(docs).collect()}
+    hashes = docs.select(
+        "doc_id",
+        F.transform(tokens_col("text"), lambda w: F.xxhash64(w)).alias("th"),
+    ).collect()
+    for r in hashes:
+        want = int(_simhash_fold_fn(pd.Series([r["th"]])).iloc[0])
+        assert got[r["doc_id"]] == want, r["doc_id"]
+
+
 def test_ngram_viral_shingle_cap_bounds_join(spark):
     """A boilerplate phrase shared by every doc must not explode the
     shingle self-join: with the df-cap, pairs similar ONLY through the
