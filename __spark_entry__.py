@@ -143,6 +143,23 @@ def q_warc_extract(spark, sf_dir):
     ).orderBy("url")
 
 
+def q_jsonl_extract(spark, sf_dir):
+    """External-format ingestion #2: JSON-lines crawl dump (base64
+    payloads, epoch-second timestamps, all-JVM to_json/from_json path —
+    zero Python in the ingest) → full extraction, same byte-identical
+    oracle as the WARC and direct paths (the reference's 8-converter
+    family, tools/dataset_converters/convert.py:32-54)."""
+    from mindocr_spark.sources.jsonl import read_jsonl_pages, synth_jsonl_dir
+
+    pages = read_jsonl_pages(spark, synth_jsonl_dir(spark, sf_dir))
+    return run_extraction(pages).select(
+        "url",
+        F.unix_timestamp("warc_ts").alias("warc_sec"),
+        "extracted_text",
+        F.col("n_blocks").cast("bigint").alias("n_blocks"),
+    ).orderBy("url")
+
+
 def q_extract_east(spark, sf_dir):
     """Third detector family end-to-end: the EAST-style proposal +
     locality-aware-merge detector (extract_core.detect_blocks_east,
@@ -852,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_boilerplate": _q(q_extract_boilerplate),
         "extract_metrics_by_lang": _q(q_extract_metrics_by_lang),
         "warc_extract": _q(q_warc_extract),
+        "jsonl_extract": _q(q_jsonl_extract),
         "extract_east": _q(q_extract_east),
         "agg_partial_final": _q(q_agg_partial_final),
         "fanout_regroup": _q(q_fanout_regroup),
@@ -1110,6 +1128,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, COUNT(*) AS n_docs,
                    CAST(SUM({_ANCHOR_LEN} + 1 + length(text)) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "jsonl_extract": f"""
+            SELECT {url} AS url,
+                   CAST(1704067200 + doc_id AS BIGINT) AS warc_sec,
+                   '{_A}' || chr(10) || text AS extracted_text,
+                   CAST(1 AS BIGINT) AS n_blocks
+            FROM documents ORDER BY url
         """,
         "extract_east": f"""
             SELECT CAST(doc_id AS BIGINT) AS doc_id, {url} AS url,

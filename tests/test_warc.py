@@ -173,3 +173,50 @@ def test_incremental_ingest_exactly_once(spark, tmp_path):
     df = spark.read.parquet(pages_out)
     assert df.count() == 10
     assert df.select("url").distinct().count() == 10
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    """JSON-lines converter: write → read restores the pages contract
+    byte-exactly (base64 payload, epoch-second timestamp)."""
+    from pyspark.sql import functions as F
+    from mindocr_spark.sources.jsonl import read_jsonl_pages, write_jsonl_pages
+
+    rows = [
+        (f"https://j.example/p/{i}", 1704067200 + i,
+         f"<html><body>doc {i} with ünïcode 中文</body></html>".encode(),
+         ["en", "zh"][i % 2])
+        for i in range(20)
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, sec bigint, html binary, lang string"
+    ).select("url", F.timestamp_seconds("sec").alias("warc_ts"),
+             "html", "lang")
+    out = str(tmp_path / "jsonl")
+    write_jsonl_pages(pages, out, n_files=3)
+    back = {r["url"]: r for r in
+            read_jsonl_pages(spark, out)
+            .withColumn("sec", F.unix_timestamp("warc_ts")).collect()}
+    assert len(back) == 20
+    for url, sec, html, lang in rows:
+        assert bytes(back[url]["html"]) == html
+        assert back[url]["lang"] == lang
+        assert back[url]["sec"] == sec
+
+
+def test_jsonl_malformed_lines_survive(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from mindocr_spark.sources.jsonl import read_jsonl_pages
+
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "part-0.txt").write_text(
+        '{"url":"https://ok.example/1","warc_sec":5,'
+        '"html_b64":"PGh0bWw+","lang":"en"}\n'
+        "this is not json at all\n"
+        '{"broken": \n'
+    )
+    df = read_jsonl_pages(spark, str(p))
+    ok = df.where(F.col("url").isNotNull()).collect()
+    assert len(ok) == 1 and bytes(ok[0]["html"]) == b"<html>"
+    # malformed lines surface as null-url rows, not a dead scan
+    assert df.count() >= 1
