@@ -81,17 +81,60 @@ def write_results(
     metrics_path: str | None = None,
     run_id: str = "run-0",
     partition_by: tuple[str, ...] = (),
+    metrics_granularity: str = "partition",
 ) -> None:
     """Sink. On a real cluster: Iceberg write-audit-publish (stage to a
     branch, validate metrics, then fast-forward) — here: parquet with an
     explicit metrics table alongside (same commit discipline, minus the
-    catalog)."""
+    catalog).
+
+    metrics_granularity:
+    - "partition": metrics re-aggregated from the WRITTEN data (one
+      extra scan; per-partition rows — the audit that describes exactly
+      what was committed);
+    - "global": metrics harvested via ``DataFrame.observe`` DURING the
+      write job itself — zero extra passes (the observed plan executes
+      exactly once, so the counters are exact); one row with
+      partition_id = -1. At 100 TB the free global row is the
+      every-run default and the per-partition audit is the
+      deep-inspection mode.
+    """
+    if metrics_path and metrics_granularity == "global":
+        from pyspark.sql import Observation
+
+        obs = Observation(f"extract_metrics_{run_id}")
+        result = result.observe(
+            obs,
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("total_bytes").alias("bytes_in"),
+            F.sum(F.length("extracted_text")).alias("chars_out"),
+            F.avg("boilerplate_ratio").alias("boilerplate_ratio"),
+            F.sum(F.col("failed").cast("long")).alias("failures"),
+            F.sum("n_blocks").alias("blocks"),
+        )
     w = result.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
-    if metrics_path:
+    if not metrics_path:
+        return
+    spark = result.sparkSession
+    if metrics_granularity == "global":
+        g = obs.get
+        spark.createDataFrame(
+            [(
+                -1, int(g["docs"]), int(g["bytes_in"] or 0),
+                int(g["chars_out"] or 0),
+                float(g["boilerplate_ratio"] or 0.0),
+                int(g["failures"] or 0), int(g["blocks"] or 0), run_id,
+            )],
+            "partition_id int, docs bigint, bytes_in bigint, "
+            "chars_out bigint, boilerplate_ratio double, failures bigint, "
+            "blocks bigint, run_id string",
+        ).write.mode("append").parquet(metrics_path)
+    else:
         # metrics computed on the *written* data so they describe the commit
-        spark = result.sparkSession
         written = spark.read.parquet(path)
-        extraction_metrics(written, run_id).write.mode("append").parquet(metrics_path)
+        extraction_metrics(written, run_id).write.mode("append").parquet(
+            metrics_path
+        )

@@ -17,6 +17,8 @@ FAST_QUERIES = [
     "exact_dedup",           # dedup
     "windowed_counts",       # timestamp handling
     "layout_assemble",       # 2-D layout path
+    "layout_from_bytes",     # real PDF codec end-to-end
+    "multimodal_real_codec", # real BMP/WAV codecs
 ]
 
 

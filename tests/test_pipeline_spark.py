@@ -155,3 +155,34 @@ def test_staged_fused_adversarial_parity(spark):
         assert fused[u]["extracted_text"] == staged[u]["extracted_text"], u
         assert fused[u]["spans"] == staged[u]["spans"], u
         assert fused[u]["boilerplate_ratio"] == staged[u]["boilerplate_ratio"], u
+
+
+def test_write_results_observed_global_metrics(spark, tmp_path):
+    """metrics_granularity='global' harvests exact counters from the
+    write job itself (DataFrame.observe — zero extra scans) and they
+    must equal the per-partition audit's totals."""
+    from pyspark.sql import functions as F
+    from mindocr_spark.corpus import pages_dataframe
+    from mindocr_spark.operators.pipeline import run_extraction, write_results
+
+    pages = pages_dataframe(spark, 40, seed=11)
+    res = run_extraction(pages)
+    out_g, m_g = str(tmp_path / "out_g"), str(tmp_path / "m_g")
+    out_p, m_p = str(tmp_path / "out_p"), str(tmp_path / "m_p")
+    write_results(res, out_g, metrics_path=m_g, run_id="rg",
+                  metrics_granularity="global")
+    write_results(res, out_p, metrics_path=m_p, run_id="rp")
+    g = spark.read.parquet(m_g).collect()[0]
+    assert g["partition_id"] == -1 and g["run_id"] == "rg"
+    totals = (
+        spark.read.parquet(m_p)
+        .agg(F.sum("docs").alias("docs"), F.sum("bytes_in").alias("bytes_in"),
+             F.sum("chars_out").alias("chars_out"),
+             F.sum("failures").alias("failures"),
+             F.sum("blocks").alias("blocks"))
+        .collect()[0]
+    )
+    for k in ("docs", "bytes_in", "chars_out", "failures", "blocks"):
+        assert g[k] == totals[k], k
+    # and the written data agrees
+    assert g["docs"] == spark.read.parquet(out_g).count()
