@@ -106,12 +106,15 @@ def main() -> None:
         "corpus_rows": n_docs,
         "cpus": cpus,
     }
-    # attach the latest N→4N scaling-gate evidence (tools/scaling_bench.py)
-    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "SCALING.json")
-    if os.path.exists(scaling_path):
-        with open(scaling_path) as f:
-            out["scaling"] = json.load(f)
+    # attach the latest scaling-gate evidence (tools/scaling_bench.py):
+    # extraction at N→4N, plus the dedup plan family's gate
+    here = os.path.dirname(os.path.abspath(__file__))
+    for key, fname in (("scaling", "SCALING.json"),
+                       ("scaling_dedup", "SCALING_DEDUP.json")):
+        path = os.path.join(here, fname)
+        if os.path.exists(path):
+            with open(path) as f:
+                out[key] = json.load(f)
     print(json.dumps(out))
     spark.stop()
 

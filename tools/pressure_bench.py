@@ -34,15 +34,22 @@ VIRAL = "subscribe to our newsletter today please"
 VOCAB = [f"w{i:03d}" for i in range(500)]
 
 
-def synth_docs(spark, n):
+def synth_docs(spark, n, dup_every: int = 100):
+    """Deterministic viral-prefix corpus; every `dup_every`-th id PAIR
+    (ids k, k+1 for k ≡ 0 mod dup_every) shares its text — planted
+    duplicates so dedup outputs are non-empty and digests meaningful."""
     from pyspark.sql import functions as F
 
     vocab = F.array(*[F.lit(w) for w in VOCAB])
+    eff_id = F.when(
+        F.pmod(F.col("id"), F.lit(dup_every)) < 2,
+        F.col("id") - F.pmod(F.col("id"), F.lit(dup_every)),
+    ).otherwise(F.col("id"))
     words = F.transform(
         F.sequence(F.lit(0), F.lit(79)),
         lambda j: F.element_at(
             vocab,
-            (F.pmod(F.xxhash64(F.concat(F.col("id").cast("string"),
+            (F.pmod(F.xxhash64(F.concat(eff_id.cast("string"),
                                         F.lit(":"), j.cast("string"))),
                     F.lit(500)) + 1).cast("int"),
         ),
@@ -166,12 +173,13 @@ def main():
         )
 
     print(json.dumps(out))
-    bench_md = os.path.join(ROOT, "BENCH.md")
-    with open(bench_md, "a") as fh:
-        fh.write(
-            "\n## Pressure bench (10× sf0.1 synthetic, viral-prefix corpus)\n\n"
-            "```json\n" + json.dumps(out, indent=2) + "\n```\n"
-        )
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scaling_bench import upsert_bench_section
+
+    upsert_bench_section(
+        "Pressure bench (10× sf0.1 synthetic, viral-prefix corpus)",
+        "```json\n" + json.dumps(out, indent=2) + "\n```",
+    )
     spark.stop()
 
 
