@@ -60,13 +60,19 @@ def synth_docs(spark, n, dup_every: int = 100):
     )
 
 
-def synth_vecs(spark, n, dim=64):
+def synth_vecs(spark, n, dim=64, dup_every: int = 100):
+    """Random-ish vectors; ids k, k+1 (k ≡ 0 mod dup_every) are
+    identical — planted cos=1.0 near-dups for the recall cross-check."""
     from pyspark.sql import functions as F
 
+    eff_id = F.when(
+        F.pmod(F.col("id"), F.lit(dup_every)) < 2,
+        F.col("id") - F.pmod(F.col("id"), F.lit(dup_every)),
+    ).otherwise(F.col("id"))
     vec = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda j: (
-            F.pmod(F.xxhash64(F.concat(F.col("id").cast("string"),
+            F.pmod(F.xxhash64(F.concat(eff_id.cast("string"),
                                        F.lit("|"), j.cast("string"))),
                    F.lit(2_000_001)).cast("double") / F.lit(1_000_000.5)
             - F.lit(1.0)
