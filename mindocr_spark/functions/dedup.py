@@ -170,6 +170,11 @@ def minhash_signatures(df: DataFrame, n_perm: int = 64, k: int = 3,
         ).alias(f"m{i}")
         for i, (a, b) in enumerate(_perm_consts(n_perm))
     ])
+    return _stack_tall(mins, n_perm, id_col)
+
+
+def _stack_tall(mins: DataFrame, n_perm: int, id_col: str) -> DataFrame:
+    """(id, m0..m{n-1}) wide → (id, perm, minh) tall via stack()."""
     stack_args = ", ".join(f"{i}, m{i}" for i in range(n_perm))
     return mins.select(
         id_col,
@@ -260,11 +265,7 @@ def minhash_lsh_pairs_md5(
         ).alias(f"m{i}")
         for i in range(n_perm)
     ])
-    stack_args = ", ".join(f"{i}, m{i}" for i in range(n_perm))
-    sig = mins.select(
-        id_col,
-        F.expr(f"stack({n_perm}, {stack_args}) as (perm, minh)"),
-    ).select(id_col, F.col("perm").cast("int").alias("perm"), "minh")
+    sig = _stack_tall(mins, n_perm, id_col)
     bucket_agg = F.md5(
         F.concat_ws(",", F.sort_array(F.collect_list("minh"))).cast("binary")
     )

@@ -99,6 +99,11 @@ def write_results(
       every-run default and the per-partition audit is the
       deep-inspection mode.
     """
+    if metrics_granularity not in ("partition", "global"):
+        raise ValueError(
+            f"metrics_granularity must be 'partition' or 'global', "
+            f"got {metrics_granularity!r}"
+        )
     if metrics_path and metrics_granularity == "global":
         from pyspark.sql import Observation
 

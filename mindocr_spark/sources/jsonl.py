@@ -60,27 +60,17 @@ def read_jsonl_pages(spark: SparkSession, path: str) -> DataFrame:
 def synth_jsonl_dir(spark: SparkSession, sf_dir: str,
                     n_files: int = 8) -> str:
     """Idempotent fixture-JSONL synthesis for a testdata sf dir,
-    content-hash-keyed like the WARC fixture cache."""
-    import hashlib
-    import os
-
+    content-hash-keyed (see sources.content_keyed_fixture_dir)."""
+    from mindocr_spark.sources import content_keyed_fixture_dir
     from mindocr_spark.sources import pages as pages_mod
     from mindocr_spark.sources.pages import pages_from_documents
 
-    h = hashlib.md5(sf_dir.encode())
-    for mod_file in (__file__, pages_mod.__file__):
-        try:
-            with open(mod_file, "rb") as fh:
-                h.update(fh.read())
-        except OSError:
-            h.update(mod_file.encode())
-    out_dir = f"/tmp/mindocr_jsonl_{h.hexdigest()[:10]}"
-    marker = os.path.join(out_dir, "_SYNTH_COMPLETE")
-    if not os.path.exists(marker):
+    def build(out_dir: str) -> None:
         pages = pages_from_documents(spark, sf_dir).repartition(
             spark.sparkContext.defaultParallelism
         )
         write_jsonl_pages(pages, out_dir, n_files=n_files)
-        with open(marker, "w") as fh:
-            fh.write("ok")
-    return out_dir
+
+    return content_keyed_fixture_dir(
+        "mindocr_jsonl", sf_dir, (__file__, pages_mod.__file__), build
+    )

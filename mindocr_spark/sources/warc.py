@@ -335,33 +335,18 @@ def ingest_warc_incremental(
 def synth_warc_dir(spark: SparkSession, sf_dir: str,
                    n_files: int = 8) -> str:
     """Idempotent fixture-WARC synthesis for a testdata sf dir: the
-    pages corpus serialized as WARC files under /tmp. The cache key is
-    a CONTENT HASH of (sf_dir + this module + the pages template
-    module), so editing the record framing or page synthesis
-    invalidates stale fixtures instead of silently reusing bytes built
-    by older code (the pkg-zip staleness lesson applied here too)."""
-    import hashlib
-
+    pages corpus serialized as WARC files under /tmp, content-hash-keyed
+    (see sources.content_keyed_fixture_dir)."""
+    from mindocr_spark.sources import content_keyed_fixture_dir
     from mindocr_spark.sources import pages as pages_mod
     from mindocr_spark.sources.pages import pages_from_documents
 
-    h = hashlib.md5(sf_dir.encode())
-    for mod_file in (__file__, pages_mod.__file__):
-        try:
-            with open(mod_file, "rb") as fh:
-                h.update(fh.read())
-        except OSError:
-            # zipimported module: the zip's own name is already a
-            # content hash (session._pkg_zip_path), so the path is an
-            # equivalent staleness key
-            h.update(mod_file.encode())
-    out_dir = f"/tmp/mindocr_warc_{h.hexdigest()[:10]}"
-    marker = os.path.join(out_dir, "_COMPLETE")
-    if not os.path.exists(marker):
+    def build(out_dir: str) -> None:
         pages = pages_from_documents(spark, sf_dir).repartition(
             spark.sparkContext.defaultParallelism
         )
         write_warc_dir(pages, out_dir, n_files=n_files)
-        with open(marker, "w") as fh:
-            fh.write("ok")
-    return out_dir
+
+    return content_keyed_fixture_dir(
+        "mindocr_warc", sf_dir, (__file__, pages_mod.__file__), build
+    )

@@ -92,14 +92,25 @@ def test_simhash_radius_recall_guarantee(spark):
     assert found[(1, 2)] <= 12
 
 
-def test_simhash_jvm_fold_matches_numpy_reference(spark):
-    """The pure-JVM bit-vote fold must be value-identical to the numpy
-    reference fold (_simhash_fold_fn) over adversarial token sets —
-    including ties, empty docs, and sign-bit (bit 63) votes."""
-    import pandas as pd
+def test_simhash_fold_matches_independent_reference(spark):
+    """The production numpy fold must be value-identical to an
+    INDEPENDENT pure-python bit-vote fold (no numpy, no shared code)
+    over adversarial token sets — ties, empty docs, and sign-bit
+    (bit 63) votes. Catches fold bugs a self-comparison cannot."""
     from pyspark.sql import functions as F
-    from mindocr_spark.functions.dedup import _simhash_fold_fn, simhash_col
+    from mindocr_spark.functions.dedup import simhash_col
     from mindocr_spark.functions.text import tokens_col
+
+    def reference_fold(hashes):
+        if not hashes:
+            return 0
+        unsigned = [h % (1 << 64) for h in hashes]  # two's-complement view
+        sim = 0
+        for j in range(64):
+            votes = sum(1 if (u >> j) & 1 else -1 for u in unsigned)
+            if votes > 0:
+                sim |= 1 << j
+        return sim - (1 << 64) if sim >= (1 << 63) else sim  # back to i64
 
     rows = [(1, BASE), (2, NEAR), (3, OTHER), (4, ""), (5, "   "),
             (6, "one"), (7, "a b a b"), (8, "中文 内容 混排 test")]
@@ -110,8 +121,8 @@ def test_simhash_jvm_fold_matches_numpy_reference(spark):
         F.transform(tokens_col("text"), lambda w: F.xxhash64(w)).alias("th"),
     ).collect()
     for r in hashes:
-        want = int(_simhash_fold_fn(pd.Series([r["th"]])).iloc[0])
-        assert got[r["doc_id"]] == want, r["doc_id"]
+        assert got[r["doc_id"]] == reference_fold(list(r["th"] or [])), \
+            r["doc_id"]
 
 
 def test_ngram_viral_shingle_cap_bounds_join(spark):

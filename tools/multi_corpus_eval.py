@@ -50,25 +50,25 @@ def eval_corpus(spark, sf_dir: str) -> dict:
         .alias("label"),
     )
     joined = pred.join(gt, "url", "full_outer")
-    # key-set equality: rows missing on either side are eval failures
-    missing = joined.where(
-        F.col("pred").isNull() | F.col("label").isNull()
-    ).count()
-    both = joined.where(
-        F.col("pred").isNotNull() & F.col("label").isNotNull()
-    )
-    agg = rec_metrics(both).agg(
-        F.count("*").alias("n"),
-        F.sum("exact").alias("n_exact"),
-        F.sum(F.col("norm_ed").cast("decimal(18,6)"))
-        .cast("double").alias("sum_ned"),
-        F.sum(F.col("failed").cast("long")).alias("n_failed"),
+    # ONE job for everything (re-running the extraction lineage per
+    # aggregate is the diamond-recomputation trap): the missing-key
+    # count (key-set equality check) folds into the same aggregation
+    # as the metrics, guarded so null-side rows contribute nothing.
+    both = F.col("pred").isNotNull() & F.col("label").isNotNull()
+    agg = rec_metrics(joined).agg(
+        F.sum(both.cast("long")).alias("n"),
+        F.sum((~both).cast("long")).alias("n_missing"),
+        F.sum(F.when(both, F.col("exact")).otherwise(0)).alias("n_exact"),
+        F.sum(F.when(both, F.col("norm_ed")).otherwise(0.0)
+              .cast("decimal(18,6)")).cast("double").alias("sum_ned"),
+        F.sum(F.coalesce(F.col("failed").cast("long"), F.lit(0)))
+        .alias("n_failed"),
     ).collect()[0]
     n = int(agg["n"])
     return dict(
         corpus=os.path.basename(sf_dir.rstrip("/")),
         n_docs=n,
-        n_missing=int(missing),
+        n_missing=int(agg["n_missing"]),
         n_failed=int(agg["n_failed"]),
         exact_rate=round(int(agg["n_exact"]) / max(n, 1), 6),
         avg_norm_ed=round(float(agg["sum_ned"] or 0.0) / max(n, 1), 6),
