@@ -57,12 +57,16 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # -- flagship: synthetic-corpus extraction (the north-rule metric) ----
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     corpus = pages_dataframe(spark, CORPUS_ROWS, seed=42,
                              partitions=cpus * 4).cache()
     n_docs = corpus.count()  # materialize cache so timing is extraction-only
-    t0 = time.perf_counter()
-    _force(run_extraction(corpus))
-    t_extract = time.perf_counter() - t0
+    t_extract = None  # best-of: the noisy-host discipline (BENCH.md)
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _force(run_extraction(corpus))
+        dt = time.perf_counter() - t0
+        t_extract = dt if t_extract is None or dt < t_extract else t_extract
     timings["extract_corpus"] = round(t_extract, 3)
     docs_per_sec = round(n_docs / t_extract, 1)
     corpus.unpersist()
@@ -84,7 +88,6 @@ def main() -> None:
         "curate_pipeline",      # end-to-end curation composite
     ]
     qs = E.queries()
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     for name in headline:
         best = None
         for _ in range(repeats):
