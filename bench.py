@@ -26,7 +26,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 #: Pages in the synthetic flagship corpus (long-tailed sizes, skew tail).
-CORPUS_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "24000"))
+# 48k rows ≈ 2-4 s of extraction at 32 cores: long enough that the
+# throughput measurement isn't dominated by job-setup jitter on a noisy
+# host, short enough to keep the suite interactive.
+CORPUS_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "48000"))
 
 
 def _force(df) -> int:
