@@ -49,3 +49,41 @@ def incremental_extract(
         .start()
         .awaitTermination()
     )
+
+
+def incremental_extract_jsonl(
+    spark: SparkSession,
+    jsonl_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming ingest of the JSON-lines crawl-dump format
+    (:mod:`mindocr_spark.sources.jsonl`): JSON is a native Structured
+    Streaming file source (binaryFile is not, which is why the WARC
+    flavour uses the lineage anti-join instead), so newly-landed dump
+    files flow straight through base64-decode → fused extraction →
+    parquet sink with file-source checkpoint resume. availableNow
+    drains everything currently unprocessed, then stops."""
+    from pyspark.sql import functions as F
+
+    from mindocr_spark.sources.jsonl import JSONL_SCHEMA
+
+    reader = spark.readStream.schema(JSONL_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.json(jsonl_dir).select(
+        "url",
+        F.timestamp_seconds("warc_sec").alias("warc_ts"),
+        F.unbase64("html_b64").alias("html"),
+        "lang",
+    )
+    result = extract_stage(pages)
+    (
+        result.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -88,3 +88,37 @@ def test_write_pages_partitioned_layout(spark, tmp_path):
     buckets = [d for d in os.listdir(path) if d.startswith("ts_bucket=")]
     assert 1 <= len(buckets) <= 4
     assert read_pages(spark, path).count() == 40
+
+
+def test_incremental_jsonl_stream_resumes(spark, tmp_path):
+    """Streaming JSONL ingest: availableNow drains what's there; a new
+    dump file later is processed exactly once via the checkpoint."""
+    from pyspark.sql import functions as F
+    from mindocr_spark.corpus import PAGES_SCHEMA_DDL, generate_batch
+    from mindocr_spark.sources.jsonl import write_jsonl_pages
+    from mindocr_spark.streaming.incremental import incremental_extract_jsonl
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    rows = generate_batch(5, range(12))
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA_DDL).select(
+        "url", "warc_ts", "html", "lang"
+    )
+    write_jsonl_pages(pages.where(F.col("url").rlike("/[0-5]$")), src + "/b0")
+    incremental_extract_jsonl(spark, src + "/*", out, ckpt)
+    first = spark.read.parquet(out)
+    n_first = first.count()
+    assert 0 < n_first < 12
+    assert first.where(F.col("failed")).count() == 0
+
+    # second dump lands → only the new files are processed
+    write_jsonl_pages(pages.where(~F.col("url").rlike("/[0-5]$")), src + "/b1")
+    incremental_extract_jsonl(spark, src + "/*", out, ckpt)
+    final = spark.read.parquet(out)
+    assert final.count() == 12
+    assert final.select("url").distinct().count() == 12   # exactly once
+    # extracted text matches the batch path byte-for-byte
+    from mindocr_spark.operators.pipeline import run_extraction
+    batch = {r["url"]: r["extracted_text"]
+             for r in run_extraction(pages).collect()}
+    for r in final.collect():
+        assert r["extracted_text"] == batch[r["url"]]
