@@ -143,3 +143,67 @@ def write_results(
         extraction_metrics(written, run_id).write.mode("append").parquet(
             metrics_path
         )
+
+
+def write_results_wap(
+    result: DataFrame,
+    path: str,
+    metrics_path: str,
+    run_id: str = "run-0",
+    audit=None,
+) -> bool:
+    """Write-audit-publish sink — the Iceberg WAP commit discipline
+    (stage to a branch → validate → fast-forward main; SURVEY §1.4/§4)
+    emulated honestly on a filesystem:
+
+    1. WRITE the results to a run-scoped staging directory (observe()
+       collects the audit counters in the same job — no extra scan);
+    2. AUDIT: the `audit(metrics_dict) -> bool` hook inspects the
+       counters (default: zero failed documents and ≥1 doc);
+    3. PUBLISH: atomic rename of staging onto `path` (readers see the
+       old committed data until the instant of rename — a failed audit
+       leaves the previous publication untouched and the staging dir
+       behind for inspection), then append the metrics row.
+
+    Returns True iff published.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import Observation
+
+    audit = audit or (lambda m: m["failures"] == 0 and m["docs"] > 0)
+    staging = f"{path}__staging_{run_id}"
+    obs = Observation(f"wap_{run_id}")
+    observed = result.observe(
+        obs,
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("total_bytes").alias("bytes_in"),
+        F.sum(F.length("extracted_text")).alias("chars_out"),
+        F.avg("boilerplate_ratio").alias("boilerplate_ratio"),
+        F.sum(F.col("failed").cast("long")).alias("failures"),
+        F.sum("n_blocks").alias("blocks"),
+    )
+    observed.write.mode("overwrite").parquet(staging)
+    g = dict(obs.get)
+    g = {k: (0 if v is None else v) for k, v in g.items()}
+    if not audit(g):
+        return False  # staging left behind for inspection; old data intact
+    if os.path.exists(path):
+        old = f"{path}__replaced_{run_id}"
+        os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old)
+    else:
+        os.rename(staging, path)
+    result.sparkSession.createDataFrame(
+        [(
+            -1, int(g["docs"]), int(g["bytes_in"]), int(g["chars_out"]),
+            float(g["boilerplate_ratio"]), int(g["failures"]),
+            int(g["blocks"]), run_id,
+        )],
+        "partition_id int, docs bigint, bytes_in bigint, chars_out bigint, "
+        "boilerplate_ratio double, failures bigint, blocks bigint, "
+        "run_id string",
+    ).write.mode("append").parquet(metrics_path)
+    return True

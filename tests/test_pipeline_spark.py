@@ -186,3 +186,40 @@ def test_write_results_observed_global_metrics(spark, tmp_path):
         assert g[k] == totals[k], k
     # and the written data agrees
     assert g["docs"] == spark.read.parquet(out_g).count()
+
+
+def test_write_audit_publish(spark, tmp_path):
+    """WAP sink: a failing audit must leave the previous publication
+    untouched; a passing one atomically replaces it and records the
+    audit counters."""
+    from pyspark.sql import functions as F
+    from mindocr_spark.corpus import pages_dataframe
+    from mindocr_spark.operators.pipeline import run_extraction, write_results_wap
+
+    out, metrics = str(tmp_path / "out"), str(tmp_path / "metrics")
+    good = run_extraction(pages_dataframe(spark, 20, seed=3))
+    assert write_results_wap(good, out, metrics, run_id="r1")
+    v1 = spark.read.parquet(out).count()
+    assert v1 == 20
+    assert spark.read.parquet(metrics).count() == 1
+
+    # a batch with unparsable payloads → failed docs → audit rejects
+    bad_pages = pages_dataframe(spark, 6, seed=4).withColumn(
+        "html", F.lit(b"\xff\xfe not html at all \x00")
+    )
+    bad = run_extraction(bad_pages)
+    # (the parser is total; force a failure signal via the failed flag
+    # by asserting on whatever the pipeline reports)
+    published = write_results_wap(
+        bad, out, metrics, run_id="r2",
+        audit=lambda m: m["docs"] >= 10,   # audit: too few docs → reject
+    )
+    assert not published
+    assert spark.read.parquet(out).count() == v1       # old data intact
+    assert spark.read.parquet(metrics).count() == 1    # no metrics row
+
+    # healthy rerun publishes over the old data atomically
+    good2 = run_extraction(pages_dataframe(spark, 30, seed=5))
+    assert write_results_wap(good2, out, metrics, run_id="r3")
+    assert spark.read.parquet(out).count() == 30
+    assert spark.read.parquet(metrics).count() == 2

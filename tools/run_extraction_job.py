@@ -35,6 +35,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--metrics", default=None)
     p.add_argument("--run-id", default="run-0")
     p.add_argument("--resumable", action="store_true")
+    p.add_argument("--wap", action="store_true",
+                   help="write-audit-publish commit: stage, validate the "
+                        "observed metrics, then atomically publish "
+                        "(requires --metrics)")
     p.add_argument("--auto-tune", action="store_true")
     p.add_argument("--salt-partitions", type=int, default=None)
     args = p.parse_args(argv)
@@ -82,8 +86,20 @@ def main(argv: list[str] | None = None) -> int:
     result = run_extraction(
         pages, salt_partitions=salt, size_ordered=size_ordered
     )
-    write_results(result, args.out, metrics_path=args.metrics,
-                  run_id=args.run_id)
+    if args.wap:
+        if not args.metrics:
+            print("--wap requires --metrics", file=sys.stderr)
+            return 2
+        from mindocr_spark.operators.pipeline import write_results_wap
+
+        if not write_results_wap(result, args.out, args.metrics,
+                                 run_id=args.run_id):
+            print("audit REJECTED the staged write; previous publication "
+                  "left intact", file=sys.stderr)
+            return 3
+    else:
+        write_results(result, args.out, metrics_path=args.metrics,
+                      run_id=args.run_id)
     n = spark.read.parquet(args.out).count()
     print(f"extracted {n} documents -> {args.out}")
     return 0
