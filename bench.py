@@ -60,7 +60,7 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # -- flagship: synthetic-corpus extraction (the north-rule metric) ----
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     corpus = pages_dataframe(spark, CORPUS_ROWS, seed=42,
                              partitions=cpus * 4).cache()
     n_docs = corpus.count()  # materialize cache so timing is extraction-only

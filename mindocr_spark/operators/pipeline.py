@@ -105,18 +105,7 @@ def write_results(
             f"got {metrics_granularity!r}"
         )
     if metrics_path and metrics_granularity == "global":
-        from pyspark.sql import Observation
-
-        obs = Observation(f"extract_metrics_{run_id}")
-        result = result.observe(
-            obs,
-            F.count(F.lit(1)).alias("docs"),
-            F.sum("total_bytes").alias("bytes_in"),
-            F.sum(F.length("extracted_text")).alias("chars_out"),
-            F.avg("boilerplate_ratio").alias("boilerplate_ratio"),
-            F.sum(F.col("failed").cast("long")).alias("failures"),
-            F.sum("n_blocks").alias("blocks"),
-        )
+        result, obs = _observe_metrics(result, run_id)
     w = result.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
@@ -125,24 +114,49 @@ def write_results(
         return
     spark = result.sparkSession
     if metrics_granularity == "global":
-        g = obs.get
-        spark.createDataFrame(
-            [(
-                -1, int(g["docs"]), int(g["bytes_in"] or 0),
-                int(g["chars_out"] or 0),
-                float(g["boilerplate_ratio"] or 0.0),
-                int(g["failures"] or 0), int(g["blocks"] or 0), run_id,
-            )],
-            "partition_id int, docs bigint, bytes_in bigint, "
-            "chars_out bigint, boilerplate_ratio double, failures bigint, "
-            "blocks bigint, run_id string",
-        ).write.mode("append").parquet(metrics_path)
+        _append_metrics_row(spark, _harvest(obs), run_id, metrics_path)
     else:
         # metrics computed on the *written* data so they describe the commit
         written = spark.read.parquet(path)
         extraction_metrics(written, run_id).write.mode("append").parquet(
             metrics_path
         )
+
+
+def _observe_metrics(result: DataFrame, run_id: str):
+    """Attach the extraction-metrics observation (the single source of
+    the audited counter list — write_results global mode and the WAP
+    sink share it so the two can never drift)."""
+    from pyspark.sql import Observation
+
+    obs = Observation(f"extract_metrics_{run_id}")
+    return result.observe(
+        obs,
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("total_bytes").alias("bytes_in"),
+        F.sum(F.length("extracted_text")).alias("chars_out"),
+        F.avg("boilerplate_ratio").alias("boilerplate_ratio"),
+        F.sum(F.col("failed").cast("long")).alias("failures"),
+        F.sum("n_blocks").alias("blocks"),
+    ), obs
+
+
+def _harvest(obs) -> dict:
+    return {k: (0 if v is None else v) for k, v in dict(obs.get).items()}
+
+
+def _append_metrics_row(spark, g: dict, run_id: str,
+                        metrics_path: str) -> None:
+    spark.createDataFrame(
+        [(
+            -1, int(g["docs"]), int(g["bytes_in"]), int(g["chars_out"]),
+            float(g["boilerplate_ratio"]), int(g["failures"]),
+            int(g["blocks"]), run_id,
+        )],
+        "partition_id int, docs bigint, bytes_in bigint, chars_out bigint, "
+        "boilerplate_ratio double, failures bigint, blocks bigint, "
+        "run_id string",
+    ).write.mode("append").parquet(metrics_path)
 
 
 def write_results_wap(
@@ -154,39 +168,51 @@ def write_results_wap(
 ) -> bool:
     """Write-audit-publish sink — the Iceberg WAP commit discipline
     (stage to a branch → validate → fast-forward main; SURVEY §1.4/§4)
-    emulated honestly on a filesystem:
+    emulated on a LOCAL filesystem (object-store/HDFS paths are
+    rejected: dir renames are not atomic there — that is exactly what
+    an Iceberg catalog provides on a real cluster):
 
     1. WRITE the results to a run-scoped staging directory (observe()
        collects the audit counters in the same job — no extra scan);
     2. AUDIT: the `audit(metrics_dict) -> bool` hook inspects the
-       counters (default: zero failed documents and ≥1 doc);
-    3. PUBLISH: atomic rename of staging onto `path` (readers see the
-       old committed data until the instant of rename — a failed audit
-       leaves the previous publication untouched and the staging dir
-       behind for inspection), then append the metrics row.
+       counters (default: zero failed documents and ≥1 doc); a failed
+       audit leaves the previous publication untouched and the staging
+       dir behind for inspection;
+    3. PUBLISH: swap-by-rename. The swap is two renames, so a crash in
+       between can leave `path` absent with the old data parked at
+       `{path}__replaced_{run_id}` — the next call SELF-HEALS by
+       restoring the single parked directory before doing anything
+       else, and stale staging/replaced leftovers from this run_id are
+       cleared up front so retries are idempotent.
 
     Returns True iff published.
     """
+    import glob
     import os
     import shutil
 
-    from pyspark.sql import Observation
+    if "://" in path:
+        raise NotImplementedError(
+            "write_results_wap emulates WAP with local directory renames; "
+            "for object stores / HDFS use a real Iceberg catalog "
+            "(write_results works on any Spark-supported URI)"
+        )
+    path = path.rstrip("/")  # a trailing slash would nest staging inside
+    # self-heal: a crash between the publish renames leaves exactly one
+    # parked __replaced_* dir and no published path — restore it
+    parked = glob.glob(f"{path}__replaced_*")
+    if not os.path.exists(path) and len(parked) == 1:
+        os.rename(parked[0], path)
+    # idempotent retry: clear this run's leftovers
+    for leftover in (f"{path}__staging_{run_id}", f"{path}__replaced_{run_id}"):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
 
     audit = audit or (lambda m: m["failures"] == 0 and m["docs"] > 0)
     staging = f"{path}__staging_{run_id}"
-    obs = Observation(f"wap_{run_id}")
-    observed = result.observe(
-        obs,
-        F.count(F.lit(1)).alias("docs"),
-        F.sum("total_bytes").alias("bytes_in"),
-        F.sum(F.length("extracted_text")).alias("chars_out"),
-        F.avg("boilerplate_ratio").alias("boilerplate_ratio"),
-        F.sum(F.col("failed").cast("long")).alias("failures"),
-        F.sum("n_blocks").alias("blocks"),
-    )
+    observed, obs = _observe_metrics(result, run_id)
     observed.write.mode("overwrite").parquet(staging)
-    g = dict(obs.get)
-    g = {k: (0 if v is None else v) for k, v in g.items()}
+    g = _harvest(obs)
     if not audit(g):
         return False  # staging left behind for inspection; old data intact
     if os.path.exists(path):
@@ -196,14 +222,5 @@ def write_results_wap(
         shutil.rmtree(old)
     else:
         os.rename(staging, path)
-    result.sparkSession.createDataFrame(
-        [(
-            -1, int(g["docs"]), int(g["bytes_in"]), int(g["chars_out"]),
-            float(g["boilerplate_ratio"]), int(g["failures"]),
-            int(g["blocks"]), run_id,
-        )],
-        "partition_id int, docs bigint, bytes_in bigint, chars_out bigint, "
-        "boilerplate_ratio double, failures bigint, blocks bigint, "
-        "run_id string",
-    ).write.mode("append").parquet(metrics_path)
+    _append_metrics_row(result.sparkSession, g, run_id, metrics_path)
     return True

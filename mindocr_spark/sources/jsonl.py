@@ -41,20 +41,25 @@ def write_jsonl_pages(pages: DataFrame, out_dir: str,
     )
 
 
+def decode_jsonl_pages(raw: DataFrame) -> DataFrame:
+    """JSONL columns → the pages contract (base64 → binary, epoch
+    seconds → timestamp). THE single decode projection — shared by the
+    batch reader and the streaming ingest so the round-trip invariant
+    lives in one place."""
+    return raw.select(
+        "url",
+        F.timestamp_seconds("warc_sec").alias("warc_ts"),
+        F.unbase64("html_b64").alias("html"),
+        "lang",
+    )
+
+
 def read_jsonl_pages(spark: SparkSession, path: str) -> DataFrame:
     """JSON-lines dump → pages(url, warc_ts, html, lang). Schema-first
     read (no inference pass over 100 TB); malformed lines surface as
     null url rows (PERMISSIVE mode) rather than killing the scan —
     filterable by the caller, the skip-flag discipline."""
-    return (
-        spark.read.schema(JSONL_SCHEMA).json(path)
-        .select(
-            "url",
-            F.timestamp_seconds("warc_sec").alias("warc_ts"),
-            F.unbase64("html_b64").alias("html"),
-            "lang",
-        )
-    )
+    return decode_jsonl_pages(spark.read.schema(JSONL_SCHEMA).json(path))
 
 
 def synth_jsonl_dir(spark: SparkSession, sf_dir: str,

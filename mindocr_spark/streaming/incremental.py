@@ -39,8 +39,13 @@ def incremental_extract(
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    pages = reader.parquet(pages_dir)
-    result = extract_stage(pages)
+    _drain_to_parquet(extract_stage(reader.parquet(pages_dir)),
+                      out_dir, checkpoint_dir)
+
+
+def _drain_to_parquet(result, out_dir: str, checkpoint_dir: str) -> None:
+    """Shared availableNow sink: drain everything unprocessed into the
+    parquet sink with file-source checkpoint resume, then stop."""
     (
         result.writeStream.format("parquet")
         .option("path", out_dir)
@@ -65,25 +70,10 @@ def incremental_extract_jsonl(
     files flow straight through base64-decode → fused extraction →
     parquet sink with file-source checkpoint resume. availableNow
     drains everything currently unprocessed, then stops."""
-    from pyspark.sql import functions as F
-
-    from mindocr_spark.sources.jsonl import JSONL_SCHEMA
+    from mindocr_spark.sources.jsonl import JSONL_SCHEMA, decode_jsonl_pages
 
     reader = spark.readStream.schema(JSONL_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    pages = reader.json(jsonl_dir).select(
-        "url",
-        F.timestamp_seconds("warc_sec").alias("warc_ts"),
-        F.unbase64("html_b64").alias("html"),
-        "lang",
-    )
-    result = extract_stage(pages)
-    (
-        result.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    pages = decode_jsonl_pages(reader.json(jsonl_dir))
+    _drain_to_parquet(extract_stage(pages), out_dir, checkpoint_dir)

@@ -223,3 +223,39 @@ def test_write_audit_publish(spark, tmp_path):
     assert write_results_wap(good2, out, metrics, run_id="r3")
     assert spark.read.parquet(out).count() == 30
     assert spark.read.parquet(metrics).count() == 2
+
+
+def test_wap_crash_recovery_and_path_guards(spark, tmp_path):
+    """A crash between the publish renames parks the old data at
+    __replaced_*; the next WAP call self-heals before doing anything.
+    Non-local URIs and trailing slashes are guarded."""
+    import os
+    import pytest
+    from mindocr_spark.corpus import pages_dataframe
+    from mindocr_spark.operators.pipeline import run_extraction, write_results_wap
+
+    out, metrics = str(tmp_path / "out"), str(tmp_path / "metrics")
+    assert write_results_wap(
+        run_extraction(pages_dataframe(spark, 20, seed=3)), out, metrics,
+        run_id="r1")
+
+    # simulate the crash window: old data renamed away, new never landed
+    os.rename(out, out + "__replaced_rX")
+    # self-heal + publish (trailing slash must not nest the staging dir)
+    assert write_results_wap(
+        run_extraction(pages_dataframe(spark, 30, seed=5)), out + "/",
+        metrics, run_id="r2")
+    assert spark.read.parquet(out).count() == 30
+
+    # crash again, then a REJECTED audit: restore must still happen and
+    # the restored data must survive the rejection
+    os.rename(out, out + "__replaced_rY")
+    assert not write_results_wap(
+        run_extraction(pages_dataframe(spark, 10, seed=6)), out, metrics,
+        run_id="r3", audit=lambda m: False)
+    assert spark.read.parquet(out).count() == 30
+
+    with pytest.raises(NotImplementedError):
+        write_results_wap(
+            run_extraction(pages_dataframe(spark, 5, seed=7)),
+            "s3://bucket/results", metrics, run_id="r4")
