@@ -517,25 +517,36 @@ def q_exact_dedup(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
+    """Exact shingle-Jaccard verification pairs, with the production
+    df-cap (max_shingle_freq) passed EXPLICITLY and mirrored in the SQL
+    oracle's HAVING clause — the verified and production configurations
+    are the same plan, cap included."""
     from mindocr_spark.functions.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), k=3, threshold=0.1
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.1,
+        max_shingle_freq=10_000,
     ).orderBy("id_a", "id_b")
 
 
 def q_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidate PAIRS from the xxhash64 scale
-    path. The xxhash64 signatures have no SQL twin, but the pair SET
-    does: both the xxhash64 and the engine-portable md5 permutation
-    families concentrate their Jaccard estimates around the true value,
-    and the 0.35 threshold sits in the wide gap between near-dup
-    clusters and unrelated docs — so the oracle checks this scale path's
-    output against the md5 family's pair list computed in DuckDB."""
+    path. STATISTICAL cross-check, not an exact oracle: the xxhash64
+    signatures have no SQL twin, so the pair SET is compared against
+    the engine-portable md5 family computed in DuckDB. To make the two
+    families differ ONLY in their hash function, every structural
+    parameter is aligned — n_perm=32, bands=8 (r=4 rows/band, so the
+    same band-collision probability curve) and the same quantized
+    cutoff n_match ≥ ceil(0.35·32) = 12 matching permutations.
+    Assumption (holds on this synthetic corpus at every SF): no pair's
+    true Jaccard falls close enough to the collision threshold for two
+    equally-parameterized independent hash families to disagree. The
+    production 64/16 configuration is covered by tests/test_dedup.py.
+    """
     from mindocr_spark.functions.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.35
+        _t(spark, sf_dir, "documents"), n_perm=32, bands=8, threshold=0.35
     ).select("id_a", "id_b").orderBy("id_a", "id_b")
 
 
@@ -721,18 +732,30 @@ def q_attn_tokens(spark, sf_dir):
 
 
 def q_approx_distinct(spark, sf_dir):
-    """Sketch aggregation (HLL++): approximate distinct users per event
-    type — rows-only (DuckDB's sketch differs); accuracy vs exact is
-    asserted in tests/test_sketches.py."""
+    """Sketch aggregation (HLL++) made oracle-checkable: the sketch
+    VALUE differs per engine, so the checked surface is (a) the exact
+    distinct count alongside it and (b) `within_tol` — whether the
+    Spark sketch lands within 5× its configured rsd of exact. The
+    oracle asserts within_tol = TRUE, so sketch-accuracy regressions
+    turn the row red; the raw sketch value and tighter accuracy curves
+    stay in tests/test_sketches.py."""
     e = _t(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.count("*").alias("n"),
-        )
-        .orderBy("event_type")
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count("*").alias("n"),
     )
+    tol = (
+        F.abs(F.col("approx_users") - F.col("exact_users")).cast("double")
+        / F.col("exact_users").cast("double")
+        <= 0.10
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        tol.alias("within_tol"),
+    ).orderBy("event_type")
 
 
 # ==========================================================================
@@ -1246,6 +1269,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY 1 ORDER BY hour_bucket
         """,
+        # the sketch value is engine-specific; the oracle checks the
+        # exact counts and ASSERTS the sketch's 10% accuracy envelope
+        # (within_tol must come back TRUE from the Spark side)
+        "approx_distinct": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+                   TRUE AS within_tol
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
         "skew_salted_agg": """
             SELECT l_returnflag, COUNT(*) AS n,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
@@ -1341,9 +1373,16 @@ def oracle_sql() -> dict[str, str]:
               FROM w),
             sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE l2 IS NOT NULL),
             sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            -- the production df-cap, mirrored: shingles in > 10000 docs
+            -- are excluded from the pair join (sizes stay uncapped)
+            joinable AS (
+              SELECT doc_id, shingle FROM sh
+              WHERE shingle IN (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING COUNT(*) <= 10000)),
             inter AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-              FROM sh a JOIN sh b USING (shingle)
+              FROM joinable a JOIN joinable b USING (shingle)
               WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
             SELECT id_a, id_b, n_inter, x.n AS n_a, y.n AS n_b,
                    round(CAST(n_inter AS DOUBLE) / CAST(x.n + y.n - n_inter AS DOUBLE), 6) AS jaccard

@@ -303,6 +303,7 @@ def ivf_topk(
     max_centroids: int = 65_536,
     lloyd_iters: int = 1,
     assign_mode: str = "exact",
+    n: int | None = None,
 ) -> DataFrame:
     """IVF ANN: the corpus is partitioned into inverted lists by nearest
     centroid; each query probes its `n_probe` closest lists and re-ranks
@@ -322,8 +323,16 @@ def ivf_topk(
     the collected centroid matrix — the production path at large n,
     ~10× cheaper, tie behavior identical but BLAS association order is
     not pinned). Returns (query_id, neighbor_id, cos_sim, rank).
+
+    Execution shape: INDEX BUILD is eager (corpus count unless a
+    precomputed `n` is passed, Lloyd passes as Spark jobs, then the
+    final ≤`max_centroids`-row centroid table collected to a local
+    relation — bounded by construction, and it removes both the
+    cent diamond and any persist whose lifetime would outlive the
+    call); the QUERY plan returned is fully lazy.
     """
-    n = embeddings.count()  # the tuning-pass action (stats, not data)
+    if n is None:
+        n = embeddings.count()  # the tuning-pass action (stats, not data)
     _k, stride = ivf_centroid_plan(n, max_centroids)
     assign_fn = _ivf_assign if assign_mode == "exact" else _ivf_assign_fast
     c = embeddings.select(
@@ -334,7 +343,11 @@ def ivf_topk(
     ).select(F.col(id_col).alias("cid"), vec_double(vec_col).alias("cent"))
     for _ in range(lloyd_iters):
         cent = _lloyd_step(assign_fn(c, cent))
-    cent = tracked_persist(cent)  # diamond: feeds corpus assign AND query probe
+    # pin the built index as a local relation: feeds corpus assign AND
+    # query probe without a persisted diamond (nothing to unpersist)
+    cent = embeddings.sparkSession.createDataFrame(
+        cent.collect(), schema="cid bigint, cent array<double>"
+    )
     assign = assign_fn(c, cent)
     q = queries.select(
         F.col(id_col).alias("query_id"), vec_double(vec_col).alias("qv")

@@ -159,68 +159,208 @@ def _append_metrics_row(spark, g: dict, run_id: str,
     ).write.mode("append").parquet(metrics_path)
 
 
+class _FS:
+    """Thin wrapper over the Hadoop FileSystem API resolved for a URI —
+    the same abstraction spark itself uses for every path, so the WAP
+    commit protocol below works verbatim on file://, hdfs:// and
+    s3a:// (any scheme the cluster's Hadoop conf knows). Only four
+    primitives, all object-store-native: create-once small-file write,
+    full small-file read, directory listing, recursive delete. NO
+    renames anywhere — commit atomicity comes from single-file
+    creation (an object-store PUT), not from rename."""
+
+    def __init__(self, spark: "SparkSession", path: str):
+        jvm = spark._jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._io = jvm.org.apache.commons.io.IOUtils
+        self.fs = self._Path(path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        out = self.fs.create(self._Path(path), True)
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+
+    def read_bytes(self, path: str) -> bytes:
+        stream = self.fs.open(self._Path(path))
+        try:
+            return bytes(self._io.toByteArray(stream))
+        finally:
+            stream.close()
+
+    def list_names(self, path: str) -> list[str]:
+        p = self._Path(path)
+        if not self.fs.exists(p):
+            return []
+        return [s.getPath().getName() for s in self.fs.listStatus(p)]
+
+    def exists(self, path: str) -> bool:
+        return self.fs.exists(self._Path(path))
+
+    def delete(self, path: str) -> None:
+        self.fs.delete(self._Path(path), True)
+
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "_data"
+
+
+def _manifest_seq(name: str) -> int | None:
+    """manifest-<seq>-<run_id>.json → seq (None if not a manifest)."""
+    if not (name.startswith("manifest-") and name.endswith(".json")):
+        return None
+    try:
+        return int(name.split("-")[1])
+    except (IndexError, ValueError):
+        return None
+
+
+def _load_manifests(fs: _FS, path: str) -> list[dict]:
+    """All VALID manifests under `path`, ascending seq. A manifest is
+    valid iff it parses as JSON and its embedded md5 matches its body —
+    a torn create (crash mid-write on a filesystem without atomic
+    creates) fails the checksum and is treated as never-committed."""
+    import hashlib
+    import json
+
+    out = []
+    mdir = f"{path}/{_MANIFEST_DIR}"
+    for name in fs.list_names(mdir):
+        if _manifest_seq(name) is None:
+            continue
+        try:
+            doc = json.loads(fs.read_bytes(f"{mdir}/{name}"))
+            body = {k: v for k, v in doc.items() if k != "md5"}
+            digest = hashlib.md5(
+                json.dumps(body, sort_keys=True).encode()
+            ).hexdigest()
+            if digest == doc.get("md5"):
+                out.append(doc)
+        except Exception:
+            continue  # torn or foreign file → not a commit
+    return sorted(out, key=lambda d: d["seq"])
+
+
+def resolve_published(spark: "SparkSession", path: str) -> str | None:
+    """The currently-committed data directory of a WAP table, or None if
+    nothing has ever been published. Readers resolve through the
+    highest-seq valid manifest — a publish in flight is invisible until
+    its manifest file appears, so there is no window where the table
+    is absent (the concurrent-reader hole of a rename-swap)."""
+    manifests = _load_manifests(_FS(spark, path), path)
+    if not manifests:
+        return None
+    return f"{path}/{_DATA_DIR}/{manifests[-1]['data_dir']}"
+
+
+def read_published(spark: "SparkSession", path: str) -> DataFrame:
+    data = resolve_published(spark, path)
+    if data is None:
+        raise FileNotFoundError(f"no committed WAP snapshot under {path}")
+    return spark.read.parquet(data)
+
+
 def write_results_wap(
     result: DataFrame,
     path: str,
     metrics_path: str,
     run_id: str = "run-0",
     audit=None,
+    keep_snapshots: int = 2,
 ) -> bool:
     """Write-audit-publish sink — the Iceberg WAP commit discipline
     (stage to a branch → validate → fast-forward main; SURVEY §1.4/§4)
-    emulated on a LOCAL filesystem (object-store/HDFS paths are
-    rejected: dir renames are not atomic there — that is exactly what
-    an Iceberg catalog provides on a real cluster):
+    as a manifest-pointer protocol with NO renames, so it is
+    object-store-safe (commit = the atomic appearance of one small
+    immutable file, the same primitive Delta's _delta_log and Iceberg's
+    metadata pointer rely on):
 
-    1. WRITE the results to a run-scoped staging directory (observe()
-       collects the audit counters in the same job — no extra scan);
+    1. WRITE the results to an immutable run-scoped data directory
+       ``{path}/_data/{run_id}`` (observe() collects the audit counters
+       in the same job — no extra scan);
     2. AUDIT: the `audit(metrics_dict) -> bool` hook inspects the
        counters (default: zero failed documents and ≥1 doc); a failed
-       audit leaves the previous publication untouched and the staging
-       dir behind for inspection;
-    3. PUBLISH: swap-by-rename. The swap is two renames, so a crash in
-       between can leave `path` absent with the old data parked at
-       `{path}__replaced_{run_id}` — the next call SELF-HEALS by
-       restoring the single parked directory before doing anything
-       else, and stale staging/replaced leftovers from this run_id are
-       cleared up front so retries are idempotent.
+       audit writes NO manifest — readers keep resolving the previous
+       snapshot, and the staged directory is left for inspection (it is
+       garbage-collected by the next successful publish);
+    3. COMMIT: append the metrics row (audit record first — a crash
+       after this point can at worst leave a metrics row for an
+       uncommitted run, never committed data with no audit trail), then
+       create ``{path}/_manifests/manifest-<seq>-<run_id>.json`` with an
+       embedded md5 self-checksum. Readers (:func:`resolve_published`)
+       take the highest-seq manifest whose checksum verifies, so a torn
+       manifest write is simply not a commit;
+    4. GC: data directories not referenced by the newest
+       ``keep_snapshots`` manifests are deleted (the retained tail keeps
+       in-flight readers of the previous snapshot alive), as are stale
+       manifests beyond the tail.
+
+    Contract: SINGLE WRITER — seq allocation is max-existing+1 with no
+    compare-and-swap, so two concurrent writers could both claim a seq
+    (a real catalog arbitrates this; one writer per table here).
+    Readers are unrestricted and never block. Retrying a crashed run_id
+    is idempotent: the data dir is rewritten in overwrite mode and the
+    retry commits under a fresh seq.
+
+    Crash matrix: during stage → orphan data dir, no manifest, readers
+    untouched, swept later; during manifest create → checksum fails,
+    treated as never-committed, seq burned; after manifest create →
+    committed. No intermediate state is ever visible to a reader.
 
     Returns True iff published.
     """
-    import glob
-    import os
-    import shutil
+    import json
 
-    if "://" in path:
-        raise NotImplementedError(
-            "write_results_wap emulates WAP with local directory renames; "
-            "for object stores / HDFS use a real Iceberg catalog "
-            "(write_results works on any Spark-supported URI)"
-        )
-    path = path.rstrip("/")  # a trailing slash would nest staging inside
-    # self-heal: a crash between the publish renames leaves exactly one
-    # parked __replaced_* dir and no published path — restore it
-    parked = glob.glob(f"{path}__replaced_*")
-    if not os.path.exists(path) and len(parked) == 1:
-        os.rename(parked[0], path)
-    # idempotent retry: clear this run's leftovers
-    for leftover in (f"{path}__staging_{run_id}", f"{path}__replaced_{run_id}"):
-        if os.path.exists(leftover):
-            shutil.rmtree(leftover)
-
+    path = path.rstrip("/")
+    spark = result.sparkSession
+    fs = _FS(spark, path)
     audit = audit or (lambda m: m["failures"] == 0 and m["docs"] > 0)
-    staging = f"{path}__staging_{run_id}"
+
+    data_dir = f"{path}/{_DATA_DIR}/{run_id}"
     observed, obs = _observe_metrics(result, run_id)
-    observed.write.mode("overwrite").parquet(staging)
+    observed.write.mode("overwrite").parquet(data_dir)
     g = _harvest(obs)
     if not audit(g):
-        return False  # staging left behind for inspection; old data intact
-    if os.path.exists(path):
-        old = f"{path}__replaced_{run_id}"
-        os.rename(path, old)
-        os.rename(staging, path)
-        shutil.rmtree(old)
-    else:
-        os.rename(staging, path)
-    _append_metrics_row(result.sparkSession, g, run_id, metrics_path)
+        return False  # no manifest written; previous snapshot still live
+
+    # seq = max over ALL manifest file names (valid or torn) + 1, so a
+    # torn file never collides with a retry's commit
+    mdir = f"{path}/{_MANIFEST_DIR}"
+    seqs = [s for s in map(_manifest_seq, fs.list_names(mdir)) if s is not None]
+    seq = (max(seqs) + 1) if seqs else 1
+
+    # audit record BEFORE the commit point
+    _append_metrics_row(spark, g, run_id, metrics_path)
+
+    body = {
+        "seq": seq,
+        "run_id": run_id,
+        "data_dir": run_id,
+        "counters": {k: (float(v) if k == "boilerplate_ratio" else int(v))
+                     for k, v in g.items()},
+    }
+    import hashlib
+
+    body["md5"] = hashlib.md5(
+        json.dumps(body, sort_keys=True).encode()
+    ).hexdigest()
+    fs.write_bytes(f"{mdir}/manifest-{seq:010d}-{run_id}.json",
+                   json.dumps(body).encode())
+
+    # GC: drop data dirs not referenced by the newest keep_snapshots
+    # manifests (orphans from crashed/rejected runs included) and stale
+    # manifest files beyond the retained tail
+    manifests = _load_manifests(fs, path)
+    live = {m["data_dir"] for m in manifests[-keep_snapshots:]}
+    for name in fs.list_names(f"{path}/{_DATA_DIR}"):
+        if name not in live:
+            fs.delete(f"{path}/{_DATA_DIR}/{name}")
+    live_seqs = {m["seq"] for m in manifests[-keep_snapshots:]}
+    for name in fs.list_names(mdir):
+        s = _manifest_seq(name)
+        if s is not None and s not in live_seqs:
+            fs.delete(f"{mdir}/{name}")
     return True

@@ -25,11 +25,17 @@ LINEAGE_SCHEMA = (
 
 
 def committed_partition_keys(spark: SparkSession, lineage_path: str) -> DataFrame:
-    """Distinct committed partition keys (empty DataFrame if no lineage yet)."""
-    try:
-        lin = spark.read.schema(LINEAGE_SCHEMA).parquet(lineage_path)
-    except Exception:
+    """Distinct committed partition keys (empty DataFrame if no lineage yet).
+
+    Existence is probed through the Hadoop FS API, not by attempting the
+    read — a failed DataFrameReader.load logs a full Java stack trace
+    (it polluted every fresh-lineage bench tail) and can mask real read
+    errors behind the blanket except."""
+    from mindocr_spark.operators.pipeline import _FS
+
+    if not _FS(spark, lineage_path).exists(lineage_path):
         return spark.createDataFrame([], "partition_key bigint")
+    lin = spark.read.schema(LINEAGE_SCHEMA).parquet(lineage_path)
     return lin.select("partition_key").distinct()
 
 

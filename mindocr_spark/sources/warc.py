@@ -141,12 +141,27 @@ def parse_warc(payload: bytes) -> list[dict]:
             raise ValueError(f"expected WARC version line at byte {pos}")
         head_end = payload.index(_CRLF + _CRLF, pos)
         headers = _parse_headers(payload[pos:head_end])
-        length = int(headers["content-length"])
+        # Untrusted-input hardening: an absent or negative Content-Length
+        # would make body_start+length wrap via negative slicing (the
+        # CRLF-CRLF terminator check can then pass against bytes near
+        # EOF and pos can go backwards — an unbounded walk on crafted
+        # or corrupt crawl data). Reject instead of trusting.
+        raw_len = headers.get("content-length")
+        if raw_len is None:
+            raise ValueError(f"record at byte {pos} missing Content-Length")
+        length = int(raw_len)
+        if length < 0:
+            raise ValueError(
+                f"record at byte {pos} has negative Content-Length {length}"
+            )
         body_start = head_end + 4
         body = payload[body_start:body_start + length]
         if payload[body_start + length:body_start + length + 4] != _CRLF + _CRLF:
             raise ValueError("record not terminated by CRLF CRLF")
-        pos = body_start + length + 4
+        new_pos = body_start + length + 4
+        if new_pos <= pos:
+            raise ValueError(f"record walk did not advance at byte {pos}")
+        pos = new_pos
         if headers.get("warc-type") != "response":
             continue
         # embedded HTTP/1.1 response

@@ -189,73 +189,108 @@ def test_write_results_observed_global_metrics(spark, tmp_path):
 
 
 def test_write_audit_publish(spark, tmp_path):
-    """WAP sink: a failing audit must leave the previous publication
-    untouched; a passing one atomically replaces it and records the
-    audit counters."""
+    """WAP sink (manifest-pointer protocol): a failing audit must leave
+    the previous snapshot resolvable and write no manifest and no
+    metrics row; a passing one commits a new snapshot with its audit
+    record appended BEFORE the commit point."""
     from pyspark.sql import functions as F
     from mindocr_spark.corpus import pages_dataframe
-    from mindocr_spark.operators.pipeline import run_extraction, write_results_wap
+    from mindocr_spark.operators.pipeline import (
+        read_published,
+        resolve_published,
+        run_extraction,
+        write_results_wap,
+    )
 
     out, metrics = str(tmp_path / "out"), str(tmp_path / "metrics")
+    assert resolve_published(spark, out) is None
     good = run_extraction(pages_dataframe(spark, 20, seed=3))
     assert write_results_wap(good, out, metrics, run_id="r1")
-    v1 = spark.read.parquet(out).count()
-    assert v1 == 20
+    assert read_published(spark, out).count() == 20
     assert spark.read.parquet(metrics).count() == 1
 
-    # a batch with unparsable payloads → failed docs → audit rejects
-    bad_pages = pages_dataframe(spark, 6, seed=4).withColumn(
-        "html", F.lit(b"\xff\xfe not html at all \x00")
-    )
-    bad = run_extraction(bad_pages)
-    # (the parser is total; force a failure signal via the failed flag
-    # by asserting on whatever the pipeline reports)
     published = write_results_wap(
-        bad, out, metrics, run_id="r2",
+        run_extraction(pages_dataframe(spark, 6, seed=4)), out, metrics,
+        run_id="r2",
         audit=lambda m: m["docs"] >= 10,   # audit: too few docs → reject
     )
     assert not published
-    assert spark.read.parquet(out).count() == v1       # old data intact
+    assert read_published(spark, out).count() == 20    # old snapshot live
     assert spark.read.parquet(metrics).count() == 1    # no metrics row
+    # rejected staging dir left behind for inspection
+    assert (tmp_path / "out" / "_data" / "r2").exists()
 
-    # healthy rerun publishes over the old data atomically
+    # healthy rerun commits a new snapshot (trailing slash tolerated)
     good2 = run_extraction(pages_dataframe(spark, 30, seed=5))
-    assert write_results_wap(good2, out, metrics, run_id="r3")
-    assert spark.read.parquet(out).count() == 30
+    assert write_results_wap(good2, out + "/", metrics, run_id="r3")
+    assert read_published(spark, out).count() == 30
     assert spark.read.parquet(metrics).count() == 2
+    # GC swept the rejected r2 staging dir; r1 retained (keep_snapshots=2)
+    assert not (tmp_path / "out" / "_data" / "r2").exists()
+    assert (tmp_path / "out" / "_data" / "r1").exists()
+
+    # a third commit rotates r1 out of the retained tail
+    assert write_results_wap(
+        run_extraction(pages_dataframe(spark, 10, seed=6)), out, metrics,
+        run_id="r4")
+    assert read_published(spark, out).count() == 10
+    assert not (tmp_path / "out" / "_data" / "r1").exists()
+    assert (tmp_path / "out" / "_data" / "r3").exists()
 
 
-def test_wap_crash_recovery_and_path_guards(spark, tmp_path):
-    """A crash between the publish renames parks the old data at
-    __replaced_*; the next WAP call self-heals before doing anything.
-    Non-local URIs and trailing slashes are guarded."""
+def test_wap_crash_recovery_no_renames(spark, tmp_path, monkeypatch):
+    """Crash matrix of the manifest-pointer commit: a torn manifest
+    (bad checksum) is not a commit; an orphan staged dir never becomes
+    visible; retrying a crashed run_id commits cleanly. The whole
+    protocol does NO python-side renames (object-store-safe), proven by
+    poisoning os.rename/os.replace for the duration."""
+    import json
     import os
-    import pytest
+    import shutil
     from mindocr_spark.corpus import pages_dataframe
-    from mindocr_spark.operators.pipeline import run_extraction, write_results_wap
+    from mindocr_spark.operators.pipeline import (
+        read_published,
+        run_extraction,
+        write_results_wap,
+    )
 
     out, metrics = str(tmp_path / "out"), str(tmp_path / "metrics")
+
+    def _no_rename(*a, **k):
+        raise AssertionError("WAP commit protocol must not rename")
+
+    monkeypatch.setattr(os, "rename", _no_rename)
+    monkeypatch.setattr(os, "replace", _no_rename)
+    monkeypatch.setattr(shutil, "move", _no_rename)
+
     assert write_results_wap(
         run_extraction(pages_dataframe(spark, 20, seed=3)), out, metrics,
         run_id="r1")
+    assert read_published(spark, out).count() == 20
 
-    # simulate the crash window: old data renamed away, new never landed
-    os.rename(out, out + "__replaced_rX")
-    # self-heal + publish (trailing slash must not nest the staging dir)
+    mdir = tmp_path / "out" / "_manifests"
+    # crash DURING manifest create: torn file (truncated json) at a
+    # higher seq — readers must ignore it and keep resolving r1
+    committed = json.loads((mdir / sorted(os.listdir(mdir))[-1]).read_text())
+    (mdir / "manifest-0000000099-rX.json").write_text(
+        json.dumps({"seq": 99, "run_id": "rX", "data_dir": "rX"})[:40]
+    )
+    assert read_published(spark, out).count() == 20
+
+    # crash DURING stage: orphan data dir with no manifest → invisible
+    (tmp_path / "out" / "_data" / "rY").mkdir(parents=True)
+    assert read_published(spark, out).count() == 20
+
+    # retry of the crashed run commits under a seq ABOVE the torn one
     assert write_results_wap(
-        run_extraction(pages_dataframe(spark, 30, seed=5)), out + "/",
-        metrics, run_id="r2")
-    assert spark.read.parquet(out).count() == 30
-
-    # crash again, then a REJECTED audit: restore must still happen and
-    # the restored data must survive the rejection
-    os.rename(out, out + "__replaced_rY")
-    assert not write_results_wap(
-        run_extraction(pages_dataframe(spark, 10, seed=6)), out, metrics,
-        run_id="r3", audit=lambda m: False)
-    assert spark.read.parquet(out).count() == 30
-
-    with pytest.raises(NotImplementedError):
-        write_results_wap(
-            run_extraction(pages_dataframe(spark, 5, seed=7)),
-            "s3://bucket/results", metrics, run_id="r4")
+        run_extraction(pages_dataframe(spark, 30, seed=5)), out, metrics,
+        run_id="rX")
+    assert read_published(spark, out).count() == 30
+    new = json.loads(
+        (mdir / sorted(os.listdir(mdir))[-1]).read_text()
+    )
+    assert new["seq"] > 99 and new["run_id"] == "rX"
+    assert new["seq"] > committed["seq"]
+    # GC swept the orphan stage dir and the torn manifest
+    assert not (tmp_path / "out" / "_data" / "rY").exists()
+    assert not (mdir / "manifest-0000000099-rX.json").exists()

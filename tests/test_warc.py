@@ -75,6 +75,28 @@ def test_warc_rejects_corruption():
     parse_warc(bytes(mism))
 
 
+def test_warc_rejects_hostile_framing():
+    """Untrusted-crawl hardening: a crafted negative or absent
+    Content-Length must raise, never drive the walk backwards (the
+    negative-slice trick could satisfy the terminator check against
+    bytes near EOF and loop forever)."""
+    good = _build_file()
+    warc_cl = good.index(b"Content-Length: ")
+    cl_end = good.index(b"\r\n", warc_cl)
+    # negative WARC Content-Length
+    neg = good[:warc_cl] + b"Content-Length: -8" + good[cl_end:]
+    with pytest.raises(ValueError, match="negative Content-Length"):
+        parse_warc(neg)
+    # absent WARC Content-Length
+    absent = good[:warc_cl] + b"X-Nope: 1" + good[cl_end:]
+    with pytest.raises(ValueError, match="missing Content-Length"):
+        parse_warc(absent)
+    # non-numeric
+    junk = good[:warc_cl] + b"Content-Length: 12abc" + good[cl_end:]
+    with pytest.raises(ValueError):
+        parse_warc(junk)
+
+
 def test_warc_non_ascii_headers_roundtrip():
     """UTF-8 URLs / langs in WARC headers must survive exactly (a
     latin-1-only parse would mojibake them)."""

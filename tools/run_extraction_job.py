@@ -90,17 +90,21 @@ def main(argv: list[str] | None = None) -> int:
         if not args.metrics:
             print("--wap requires --metrics", file=sys.stderr)
             return 2
-        from mindocr_spark.operators.pipeline import write_results_wap
+        from mindocr_spark.operators.pipeline import (
+            read_published,
+            write_results_wap,
+        )
 
         if not write_results_wap(result, args.out, args.metrics,
                                  run_id=args.run_id):
             print("audit REJECTED the staged write; previous publication "
                   "left intact", file=sys.stderr)
             return 3
+        n = read_published(spark, args.out).count()
     else:
         write_results(result, args.out, metrics_path=args.metrics,
                       run_id=args.run_id)
-    n = spark.read.parquet(args.out).count()
+        n = spark.read.parquet(args.out).count()
     print(f"extracted {n} documents -> {args.out}")
     return 0
 
