@@ -586,6 +586,46 @@ def q_simhash_neardup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental cross-corpus dedup, exact-oracled end to end: the
+    even-doc_id half of `documents` is committed as increment 1 through
+    the REAL DedupLog (manifest-commit state: fingerprints + md5
+    MinHash signatures + LSH band buckets, mindocr_spark/dedup_state.py),
+    then the odd half is flagged against that committed state. The md5
+    signature family (n_perm=32, bands=8, k=3 — the same parameters as
+    the minhash_lsh_md5 oracle) is bit-reproducible in DuckDB, so every
+    flag — within-batch rep, exact-cross, LSH near-cross, kept — is an
+    exact cross-engine check, state round-trip included."""
+    from mindocr_spark.functions import dedup as dedup_mod
+    from mindocr_spark.functions import text as text_mod
+    from mindocr_spark import dedup_state as ds_mod
+    from mindocr_spark.dedup_state import (
+        DedupLog, MinHashParams, cross_corpus_flags, dedup_increment,
+    )
+    from mindocr_spark.sources import content_keyed_fixture_dir
+
+    p = MinHashParams(family="md5", n_perm=32, bands=8, k=3)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+
+    def build(out_dir):
+        dedup_increment(a, DedupLog(spark, out_dir), "inc-a",
+                        params=p, threshold=0.35)
+
+    root = content_keyed_fixture_dir(
+        "dedupstate", sf_dir,
+        (ds_mod.__file__, dedup_mod.__file__, text_mod.__file__),
+        build,
+    )
+    flags = cross_corpus_flags(
+        b, DedupLog(spark, root), p, threshold=0.35, id_col="doc_id"
+    )
+    return flags.select(
+        "doc_id", "is_rep", "exact_cross", "near_cross", "kept"
+    ).orderBy("doc_id")
+
+
 # ==========================================================================
 # Similarity search
 # ==========================================================================
@@ -918,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_md5": _q(q_minhash_lsh_md5),
         "simhash_md5": _q(q_simhash_md5),
         "simhash_neardup": _q(q_simhash_neardup),
+        "incremental_dedup": _q(q_incremental_dedup),
         "curate_pipeline": _q(q_curate_pipeline),
         "attn_tokens": _q(q_attn_tokens),
         "approx_distinct": _q(q_approx_distinct),
@@ -939,30 +980,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _A = PAGES_TEMPLATE_ANCHOR  # no quotes inside; safe to inline in SQL
 
-#: md5 MinHash+LSH CTE chain ending in est(id_a, id_b, n_match) — shared
-#: by the minhash_lsh_md5 oracle (full estimate columns) and the
-#: minhash_lsh oracle (pair list only: the xxhash64 scale path finds the
-#: same pair set, which is what makes it cross-engine checkable).
-_MINHASH_MD5_CTES = r"""w AS (
+def _md5_sig_ctes(rel: str, tag: str = "") -> str:
+    """CTE chain producing sig{tag}(doc_id, perm, minh) and
+    banded{tag}(doc_id, band, bucket) — the engine-portable md5 MinHash
+    family (n_perm=32, 8 bands of 4 rows) over relation `rel`(doc_id,
+    text). Requires a `perms` CTE in scope. Shared by the minhash
+    oracles and the incremental_dedup oracle (which instantiates it
+    once per sub-corpus)."""
+    return rf"""w{tag} AS (
               SELECT doc_id, unnest(string_split(trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')),' ')) AS word,
                      generate_subscripts(string_split(trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')),' '), 1) AS pos
-              FROM documents),
-            sh0 AS (
+              FROM {rel}),
+            sh0{tag} AS (
               SELECT doc_id,
                      word || ' ' || lead(word,1) OVER (PARTITION BY doc_id ORDER BY pos)
                           || ' ' || lead(word,2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle,
                      lead(word,2) OVER (PARTITION BY doc_id ORDER BY pos) AS l2
-              FROM w),
-            sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE l2 IS NOT NULL),
-            perms AS (SELECT CAST(range AS INT) AS perm FROM range(32)),
-            sig AS (
+              FROM w{tag}),
+            sh{tag} AS (SELECT DISTINCT doc_id, shingle FROM sh0{tag} WHERE l2 IS NOT NULL),
+            sig{tag} AS (
               SELECT doc_id, perm,
                      min(md5(shingle || ':' || CAST(perm AS VARCHAR))) AS minh
-              FROM sh CROSS JOIN perms GROUP BY doc_id, perm),
-            banded AS (
+              FROM sh{tag} CROSS JOIN perms GROUP BY doc_id, perm),
+            banded{tag} AS (
               SELECT doc_id, CAST(perm // 4 AS INT) AS band,
                      md5(array_to_string(list(minh ORDER BY minh), ',')) AS bucket
-              FROM sig GROUP BY doc_id, band),
+              FROM sig{tag} GROUP BY doc_id, band)"""
+
+
+#: md5 MinHash+LSH CTE chain ending in est(id_a, id_b, n_match) — shared
+#: by the minhash_lsh_md5 oracle (full estimate columns) and the
+#: minhash_lsh oracle (pair list only: the xxhash64 scale path finds the
+#: same pair set, which is what makes it cross-engine checkable).
+_MINHASH_MD5_CTES = (
+    "perms AS (SELECT CAST(range AS INT) AS perm FROM range(32)),\n            "
+    + _md5_sig_ctes("documents")
+    + r""",
             cand AS (
               SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
               FROM banded x JOIN banded y USING (band, bucket)
@@ -974,6 +1027,13 @@ _MINHASH_MD5_CTES = r"""w AS (
               JOIN sig a ON a.doc_id = id_a
               JOIN sig b ON b.doc_id = id_b AND b.perm = a.perm
               GROUP BY id_a, id_b)"""
+)
+
+#: The fingerprint normalization of functions.text.fingerprint_md5,
+#: DuckDB-side (also inlined in the exact_dedup / curate oracles).
+_FP_SQL = (
+    r"md5(lower(trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g'))))"
+)
 
 
 def _simhash_hex_ctes() -> str:
@@ -1527,6 +1587,45 @@ def oracle_sql() -> dict[str, str]:
             FROM est
             WHERE round(CAST(n_match AS DOUBLE) / 32.0, 6) >= 0.35
             ORDER BY id_a, id_b
+        """,
+        "incremental_dedup": f"""
+            WITH perms AS (SELECT CAST(range AS INT) AS perm FROM range(32)),
+            a AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+            b AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+            afp AS (SELECT doc_id, {_FP_SQL} AS fp FROM a),
+            arep AS (
+              SELECT doc_id, fp FROM (
+                SELECT doc_id, fp,
+                       min(doc_id) OVER (PARTITION BY fp) AS rep
+                FROM afp)
+              WHERE doc_id = rep),
+            acorp AS (SELECT a.doc_id, a.text FROM a JOIN arep USING (doc_id)),
+            bflags AS (
+              SELECT doc_id, fp,
+                     doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_rep
+              FROM (SELECT doc_id, {_FP_SQL} AS fp FROM b)),
+            {_md5_sig_ctes("acorp", "_a")},
+            {_md5_sig_ctes("b", "_b")},
+            cand AS (
+              SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
+              FROM banded_b x JOIN banded_a y USING (band, bucket)),
+            est AS (
+              SELECT new_id, old_id,
+                     SUM(CASE WHEN sb.minh = sa.minh THEN 1 ELSE 0 END) AS n_match
+              FROM cand
+              JOIN sig_b sb ON sb.doc_id = cand.new_id
+              JOIN sig_a sa ON sa.doc_id = cand.old_id AND sa.perm = sb.perm
+              GROUP BY new_id, old_id),
+            near AS (
+              SELECT DISTINCT new_id FROM est
+              WHERE round(CAST(n_match AS DOUBLE) / 32.0, 6) >= 0.35)
+            SELECT f.doc_id, f.is_rep,
+                   f.fp IN (SELECT fp FROM arep) AS exact_cross,
+                   f.doc_id IN (SELECT new_id FROM near) AS near_cross,
+                   (f.is_rep
+                    AND f.fp NOT IN (SELECT fp FROM arep)
+                    AND f.doc_id NOT IN (SELECT new_id FROM near)) AS kept
+            FROM bflags f ORDER BY f.doc_id
         """,
         "simhash_md5": _simhash_md5_oracle(),
         "simhash_neardup": _simhash_pairs_oracle(max_hamming=8),

@@ -1,0 +1,390 @@
+"""dedup_state — incremental cross-corpus deduplication.
+
+A continuously-ingesting pipeline must dedup each new increment against
+the ALREADY-COMMITTED corpus, not just within its own batch. The
+committed side is represented by a log-structured state table (the
+same manifest-pointer commit protocol as the WAP sink — commit = the
+atomic appearance of one checksummed manifest file, object-store-safe,
+no renames) holding three components per committed doc:
+
+- ``fingerprints`` (id, fingerprint)      — exact content addressing
+- ``signatures``   (id, perm, minh)       — tall MinHash signatures
+- ``bands``        (id, band, bucket)     — precomputed LSH band keys
+
+Bands are stored precomputed so each increment's candidate join is
+new-bands ⋈ committed-bands on (band, bucket) — at a 10^12-doc
+committed corpus, recomputing bands from signatures would cost a full
+shuffle over the whole state per increment; here the committed side is
+a pre-keyed scan. On a real cluster the state table is bucketed by
+its join key ((band, bucket) for bands, fingerprint for fingerprints)
+so the increment join is shuffle-free on the big side.
+
+Reference analog: resume-from-committed-state discipline
+(reference: tools/train.py:111-122) and CollectNode's completeness
+bookkeeping against already-collected results (reference:
+deploy/py_infer/src/parallel/module/common/collect_node.py:72-99).
+
+Semantics: the committed corpus is IMMUTABLE — when a new doc
+collides (exact fingerprint match, or any LSH-estimated Jaccard ≥
+threshold against a committed doc), the NEW doc is always the victim.
+Within-increment dedup runs first (the existing batch passes), then
+the survivors are filtered cross-corpus, and only the final survivors'
+corpus rows + state rows are appended — all in ONE manifest commit, so
+a crash anywhere leaves either the full increment or none of it, and
+a committed run_id replays as a no-op (no doc deduped twice or
+missed).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from mindocr_spark.functions.dedup import (
+    band_buckets,
+    bucket_agg_md5,
+    bucket_agg_xxhash64,
+    minhash_signatures,
+    minhash_signatures_md5,
+)
+from mindocr_spark.functions.text import fingerprint_md5
+from mindocr_spark.operators.pipeline import _FS, _manifest_seq
+
+_COMPONENTS = ("corpus", "fingerprints", "signatures", "bands")
+
+
+@dataclass(frozen=True)
+class MinHashParams:
+    """The signature family an incremental corpus is committed under.
+    MUST stay fixed for the lifetime of a state table (signatures from
+    different families never match); the params are recorded in every
+    manifest and verified on each commit."""
+
+    family: str = "xxhash64"  # or "md5" (engine-portable, oracle-able)
+    n_perm: int = 64
+    bands: int = 16
+    k: int = 3
+
+    def signatures(self, df: DataFrame, text_col: str,
+                   id_col: str) -> DataFrame:
+        """Tall (id, perm, minh-as-string) signatures. minh is cast to
+        string so both families share one state schema (equality, the
+        only operation the estimate join needs, is preserved)."""
+        if self.family == "md5":
+            sig = minhash_signatures_md5(
+                df, n_perm=self.n_perm, k=self.k,
+                text_col=text_col, id_col=id_col,
+            )
+        elif self.family == "xxhash64":
+            sig = minhash_signatures(
+                df, n_perm=self.n_perm, k=self.k,
+                text_col=text_col, id_col=id_col,
+            )
+        else:
+            raise ValueError(f"unknown minhash family {self.family!r}")
+        return sig.withColumn("minh", F.col("minh").cast("string"))
+
+    def band_buckets(self, sig: DataFrame, id_col: str) -> DataFrame:
+        agg = (bucket_agg_md5() if self.family == "md5"
+               else bucket_agg_xxhash64())
+        return band_buckets(
+            sig, self.n_perm, self.bands, agg, id_col
+        ).withColumn("bucket", F.col("bucket").cast("string"))
+
+
+class DedupLog:
+    """Log-structured committed dedup state under one root directory::
+
+        root/_manifests/manifest-<seq>-<run_id>.json   (checksummed)
+        root/_increments/<run_id>/{corpus,fingerprints,signatures,bands}
+
+    Each manifest records the CUMULATIVE list of committed run_ids plus
+    the MinHash params; readers resolve the highest-seq valid manifest
+    and scan the union of its increments. Same single-writer contract
+    and crash matrix as write_results_wap: an increment directory with
+    no manifest is invisible and swept by a later commit."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.fs = _FS(spark, self.root)
+
+    # -- manifest plumbing (shares the WAP protocol's validity rules) --
+
+    def _manifests(self) -> list[dict]:
+        from mindocr_spark.operators.pipeline import _load_manifests
+
+        return _load_manifests(self.fs, self.root)
+
+    def current(self) -> dict | None:
+        m = self._manifests()
+        return m[-1] if m else None
+
+    def committed_runs(self) -> list[str]:
+        cur = self.current()
+        return list(cur["increments"]) if cur else []
+
+    def params(self) -> MinHashParams | None:
+        cur = self.current()
+        return MinHashParams(**cur["params"]) if cur else None
+
+    # -- readers --
+
+    def read(self, component: str) -> DataFrame | None:
+        """Union of a component across every committed increment (None
+        if the log is empty). One multi-path parquet scan — partition
+        pruning and pushdown apply as usual."""
+        runs = self.committed_runs()
+        if not runs:
+            return None
+        paths = [
+            f"{self.root}/_increments/{r}/{component}" for r in runs
+        ]
+        return self.spark.read.parquet(*paths)
+
+    # -- commit --
+
+    def commit_increment(
+        self,
+        run_id: str,
+        frames: dict[str, DataFrame],
+        params: MinHashParams,
+        counters: dict | None = None,
+    ) -> bool:
+        """Write one increment (all four components) and commit it with
+        a single manifest — the whole increment appears atomically or
+        not at all. Returns False (no-op) if run_id is already
+        committed: the crash-replay contract is that re-running a
+        finished increment changes nothing."""
+        if set(frames) != set(_COMPONENTS):
+            raise ValueError(f"frames must be exactly {_COMPONENTS}")
+        cur = self.current()
+        if cur is not None:
+            if run_id in cur["increments"]:
+                return False
+            if cur["params"] != params.__dict__:
+                raise ValueError(
+                    f"state at {self.root} is committed under "
+                    f"{cur['params']}; cannot append with "
+                    f"{params.__dict__} (signatures would never match)"
+                )
+        inc = f"{self.root}/_increments/{run_id}"
+        for name, df in frames.items():
+            df.write.mode("overwrite").parquet(f"{inc}/{name}")
+
+        import hashlib
+
+        mdir = f"{self.root}/_manifests"
+        seqs = [s for s in map(_manifest_seq, self.fs.list_names(mdir))
+                if s is not None]
+        seq = (max(seqs) + 1) if seqs else 1
+        body = {
+            "seq": seq,
+            "run_id": run_id,
+            "increments": (cur["increments"] if cur else []) + [run_id],
+            "params": dict(params.__dict__),
+            "counters": counters or {},
+        }
+        body["md5"] = hashlib.md5(
+            json.dumps(body, sort_keys=True).encode()
+        ).hexdigest()
+        self.fs.write_bytes(
+            f"{mdir}/manifest-{seq:010d}-{run_id}.json",
+            json.dumps(body).encode(),
+        )
+        # GC: orphan increment dirs (crashed runs that never committed)
+        # and superseded manifests — every committed increment stays
+        # live forever (the log is the table), so only never-committed
+        # leftovers are swept
+        live_runs = set(body["increments"])
+        for name in self.fs.list_names(f"{self.root}/_increments"):
+            if name not in live_runs and name != run_id:
+                self.fs.delete(f"{self.root}/_increments/{name}")
+        for name in self.fs.list_names(mdir):
+            s = _manifest_seq(name)
+            if s is not None and s != seq:
+                self.fs.delete(f"{mdir}/{name}")
+        return True
+
+
+def state_frames(
+    docs: DataFrame,
+    params: MinHashParams,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict[str, DataFrame]:
+    """The four state components for a batch of (about-to-be-committed)
+    docs. `corpus` keeps every input column; the id column is
+    normalized to `id` in the three index components so heterogeneous
+    corpora (url-keyed pages, doc_id-keyed documents) share one state
+    schema."""
+    idc = F.col(id_col).cast("string").alias("id")
+    sig = params.signatures(docs, text_col, id_col)
+    return {
+        "corpus": docs,
+        "fingerprints": docs.select(
+            idc, fingerprint_md5(text_col).alias("fingerprint")
+        ),
+        "signatures": sig.select(idc, "perm", "minh"),
+        "bands": params.band_buckets(sig, id_col).select(
+            idc, "band", "bucket"
+        ),
+    }
+
+
+def cross_corpus_flags(
+    new_docs: DataFrame,
+    log: DedupLog,
+    params: MinHashParams,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Annotate every new doc with its dedup verdict against BOTH the
+    batch and the committed corpus:
+
+    - ``is_rep``      — smallest-id representative of its exact
+                        fingerprint cluster WITHIN the increment;
+    - ``exact_cross`` — fingerprint already committed;
+    - ``near_cross``  — some committed doc's LSH-estimated Jaccard ≥
+                        threshold (candidates from the new-bands ⋈
+                        committed-bands key join — never all-pairs);
+    - ``kept``        — is_rep ∧ ¬exact_cross ∧ ¬near_cross.
+
+    Empty state (first increment) ⇒ only the within-batch pass applies.
+    The returned frame keeps all input columns plus the flags.
+    """
+    from mindocr_spark.cache import tracked_persist
+
+    fp = new_docs.withColumn("fingerprint", fingerprint_md5(text_col))
+    w = Window.partitionBy("fingerprint")
+    flagged = fp.withColumn(
+        "is_rep", F.col(id_col) == F.min(id_col).over(w)
+    )
+
+    state_fp = log.read("fingerprints")
+    if state_fp is None:
+        return (
+            flagged.withColumn("exact_cross", F.lit(False))
+            .withColumn("near_cross", F.lit(False))
+            .withColumn("kept", F.col("is_rep"))
+        )
+
+    committed_fps = state_fp.select("fingerprint").distinct()
+    flagged = flagged.join(
+        committed_fps.withColumn("exact_cross", F.lit(True)),
+        "fingerprint", "left",
+    ).fillna(False, ["exact_cross"])
+
+    # near-dup candidates: key-partitioned join on (band, bucket); the
+    # committed side is a pre-keyed scan of the state's bands component
+    sig = tracked_persist(params.signatures(new_docs, text_col, id_col))
+    new_bands = params.band_buckets(sig, id_col)
+    cand = (
+        new_bands.withColumnRenamed(id_col, "new_id")
+        .join(
+            log.read("bands").withColumnRenamed("id", "old_id"),
+            on=["band", "bucket"],
+        )
+        .select(F.col("new_id").cast("string").alias("new_id"), "old_id")
+        .distinct()
+    )
+    state_sig = log.read("signatures")
+    est = (
+        cand.join(
+            sig.select(
+                F.col(id_col).cast("string").alias("new_id"),
+                "perm", F.col("minh").alias("mh_new"),
+            ),
+            "new_id",
+        )
+        .join(
+            state_sig.select(
+                F.col("id").alias("old_id"), "perm",
+                F.col("minh").alias("mh_old"),
+            ),
+            ["old_id", "perm"],
+        )
+        .groupBy("new_id", "old_id")
+        .agg(F.sum((F.col("mh_new") == F.col("mh_old")).cast("int"))
+             .alias("n_match"))
+        .withColumn(
+            "est_jaccard",
+            F.round(
+                F.col("n_match").cast("double") / F.lit(float(params.n_perm)),
+                6,
+            ),
+        )
+    )
+    near_ids = (
+        est.where(F.col("est_jaccard") >= threshold)
+        .select(F.col("new_id")).distinct()
+        .withColumn("near_cross", F.lit(True))
+    )
+    flagged = flagged.join(
+        near_ids.withColumnRenamed("new_id", "__nid"),
+        flagged[id_col].cast("string") == F.col("__nid"),
+        "left",
+    ).drop("__nid").fillna(False, ["near_cross"])
+    return flagged.withColumn(
+        "kept",
+        F.col("is_rep") & ~F.col("exact_cross") & ~F.col("near_cross"),
+    )
+
+
+def dedup_increment(
+    docs: DataFrame,
+    log: DedupLog,
+    run_id: str,
+    params: MinHashParams = MinHashParams(),
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> bool:
+    """One increment end-to-end: flag → filter survivors → append
+    corpus + state in one manifest commit. Returns False if `run_id`
+    was already committed (idempotent replay)."""
+    from mindocr_spark.cache import persist_scope
+
+    if run_id in log.committed_runs():
+        return False
+    committed_params = log.params()
+    if committed_params is not None:
+        params = committed_params  # the log's family always wins
+    with persist_scope():
+        flags = cross_corpus_flags(
+            docs, log, params, threshold=threshold,
+            text_col=text_col, id_col=id_col,
+        )
+        survivors = flags.where("kept").select(*docs.columns)
+        return log.commit_increment(
+            run_id, state_frames(survivors, params, text_col, id_col), params
+        )
+
+
+def curate_increment(
+    pages: DataFrame,
+    log: DedupLog,
+    run_id: str,
+    cfg=None,
+    params: MinHashParams = MinHashParams(),
+    threshold: float = 0.5,
+) -> bool:
+    """The production composition: full within-batch curation
+    (extract → lang/quality gates → exact + near dedup, curate.py) and
+    THEN the cross-corpus pass against the committed log — the batch
+    passes bound the within-increment work, the state join bounds the
+    cross-corpus work, and the commit is one atomic manifest."""
+    from mindocr_spark.cache import persist_scope
+    from mindocr_spark.curate import CurateConfig, curate
+
+    if run_id in log.committed_runs():
+        return False
+    with persist_scope():
+        curated, _funnel = curate(pages, cfg or CurateConfig())
+        return dedup_increment(
+            curated, log, run_id, params=params, threshold=threshold,
+            text_col="text", id_col="url",
+        )

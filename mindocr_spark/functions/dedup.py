@@ -182,6 +182,35 @@ def _stack_tall(mins: DataFrame, n_perm: int, id_col: str) -> DataFrame:
     ).select(id_col, F.col("perm").cast("int").alias("perm"), "minh")
 
 
+def band_buckets(sig: DataFrame, n_perm: int, bands: int, bucket_agg,
+                 id_col: str = "doc_id") -> DataFrame:
+    """(id, band, bucket): LSH band buckets from a tall signature
+    relation — one groupBy per doc×band; the bucket value is the
+    order-insensitive fold of the band's (perm, minh) set."""
+    rows_per_band = n_perm // bands
+    return (
+        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(bucket_agg.alias("bucket"))
+    )
+
+
+def bucket_agg_xxhash64():
+    """Band bucket for the xxhash64 family: XOR of per-row hashes —
+    order-insensitive, constant memory per group (collect_list+sort
+    would buffer whole bands), and the (perm, minh) set fully
+    determines the 64-bit bucket."""
+    return F.expr("bit_xor(xxhash64(concat_ws(':', perm, minh)))")
+
+
+def bucket_agg_md5():
+    """Band bucket for the engine-portable md5 family: md5 over the
+    sorted minh list — bit-identical in any engine."""
+    return F.md5(
+        F.concat_ws(",", F.sort_array(F.collect_list("minh"))).cast("binary")
+    )
+
+
 def _lsh_pairs_from_signatures(sig: DataFrame, bucket_agg, n_perm: int,
                                bands: int, threshold: float,
                                id_col: str) -> DataFrame:
@@ -189,14 +218,10 @@ def _lsh_pairs_from_signatures(sig: DataFrame, bucket_agg, n_perm: int,
     → signature-overlap estimate. Both minhash variants (xxhash64 scale
     path, md5 portable twin) differ ONLY in the signature hash and the
     bucket aggregate — keep the candidate/estimate plan in one place."""
-    rows_per_band = n_perm // bands
     sig = tracked_persist(sig)  # feeds banding AND both sides of the estimate join
-    banded = (
-        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(bucket_agg.alias("bucket"))
+    banded = tracked_persist(
+        band_buckets(sig, n_perm, bands, bucket_agg, id_col)
     )
-    banded = tracked_persist(banded)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), on=["band", "bucket"])
@@ -236,12 +261,8 @@ def minhash_lsh_pairs(df: DataFrame, n_perm: int = 64, bands: int = 16,
     """
     sig = minhash_signatures(df, n_perm=n_perm, k=k,
                              text_col=text_col, id_col=id_col)
-    # band bucket = XOR of per-row hashes: order-insensitive, constant
-    # memory per group (collect_list+sort would buffer whole bands), and
-    # the (perm, minh) set fully determines the 64-bit bucket
-    bucket_agg = F.expr("bit_xor(xxhash64(concat_ws(':', perm, minh)))")
     return _lsh_pairs_from_signatures(
-        sig, bucket_agg, n_perm, bands, threshold, id_col
+        sig, bucket_agg_xxhash64(), n_perm, bands, threshold, id_col
     )
 
 
@@ -255,9 +276,21 @@ def minhash_lsh_pairs_md5(
     engines, so (unlike the xxhash64 scale path) this variant has an
     exact ANSI-SQL oracle. Same banding/candidate/estimate plan shape.
     Returns (id_a, id_b, n_match, est_jaccard ≥ threshold)."""
+    sig = minhash_signatures_md5(df, n_perm=n_perm, k=k,
+                                 text_col=text_col, id_col=id_col)
+    return _lsh_pairs_from_signatures(
+        sig, bucket_agg_md5(), n_perm, bands, threshold, id_col
+    )
+
+
+def minhash_signatures_md5(df: DataFrame, n_perm: int = 32, k: int = 3,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """(id, perm, minh): the engine-portable md5 signature family —
+    minh = lexicographic min of md5(shingle || ':' || perm). Same
+    one-groupBy/many-mins plan as minhash_signatures: no n_perm× row
+    expansion before the shuffle."""
     sh = word_shingles(df, k=k, text_col=text_col, id_col=id_col)
-    # same one-groupBy/many-mins plan as minhash_signatures: no n_perm×
-    # row expansion before the shuffle
     mins = sh.groupBy(id_col).agg(*[
         F.min(
             F.md5(F.concat_ws(":", F.col("shingle"), F.lit(str(i)))
@@ -265,13 +298,7 @@ def minhash_lsh_pairs_md5(
         ).alias(f"m{i}")
         for i in range(n_perm)
     ])
-    sig = _stack_tall(mins, n_perm, id_col)
-    bucket_agg = F.md5(
-        F.concat_ws(",", F.sort_array(F.collect_list("minh"))).cast("binary")
-    )
-    return _lsh_pairs_from_signatures(
-        sig, bucket_agg, n_perm, bands, threshold, id_col
-    )
+    return _stack_tall(mins, n_perm, id_col)
 
 
 # --------------------------------------------------------------------------
