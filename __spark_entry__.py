@@ -586,6 +586,53 @@ def q_simhash_neardup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_quality_repetition(spark, sf_dir):
+    """Gopher/C4 repetition-quality signals, exact-oracled. The corpus
+    text is single-line word soup, so the query first builds a
+    deterministic multi-line variant (the same text-quarters device the
+    layout oracles use) with PLANTED repetition: doc_id%3==0 repeats
+    its first quarter as line 2, %5==0 ends line 3 with '...', %4==0
+    appends symbol chatter — every signal (dup_line_frac,
+    n_ellipsis_lines, symbol_word_ratio, top-2-gram share) then takes
+    non-trivial values that DuckDB reproduces bit-for-bit."""
+    from mindocr_spark.functions.text import (
+        repetition_line_cols,
+        top_2gram_cols,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("q", F.expr("length(text) div 4"))
+        .withColumn("q1", F.expr("substr(text, 1, q)"))
+        .withColumn("q2", F.expr("substr(text, q + 1, q)"))
+        .withColumn("q3", F.expr("substr(text, 2 * q + 1, q)"))
+        .withColumn(
+            "q4", F.expr("substr(text, 3 * q + 1, length(text) - 3 * q)")
+        )
+    )
+    line2 = F.when(F.col("doc_id") % 3 == 0, F.col("q1")).otherwise(F.col("q2"))
+    line3 = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("q3"), F.lit("..."))
+    ).otherwise(F.col("q3"))
+    line4 = F.when(
+        F.col("doc_id") % 4 == 0, F.concat(F.col("q4"), F.lit(" @ # @"))
+    ).otherwise(F.col("q4"))
+    lined = d.select(
+        "doc_id",
+        F.concat_ws("\n", F.col("q1"), line2, line3, line4).alias("text"),
+    )
+    rep = repetition_line_cols(lined).select(
+        "doc_id",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        "dup_line_frac",
+        F.col("n_ellipsis_lines").cast("bigint").alias("n_ellipsis_lines"),
+        "symbol_word_ratio",
+    )
+    top = top_2gram_cols(lined)
+    return rep.join(top, "doc_id").orderBy("doc_id")
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental cross-corpus dedup, exact-oracled end to end: the
     even-doc_id half of `documents` is committed as increment 1 through
@@ -959,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_md5": _q(q_simhash_md5),
         "simhash_neardup": _q(q_simhash_neardup),
         "incremental_dedup": _q(q_incremental_dedup),
+        "quality_repetition": _q(q_quality_repetition),
         "curate_pipeline": _q(q_curate_pipeline),
         "attn_tokens": _q(q_attn_tokens),
         "approx_distinct": _q(q_approx_distinct),
@@ -1587,6 +1635,83 @@ def oracle_sql() -> dict[str, str]:
             FROM est
             WHERE round(CAST(n_match AS DOUBLE) / 32.0, 6) >= 0.35
             ORDER BY id_a, id_b
+        """,
+        "quality_repetition": r"""
+            WITH base AS (
+              SELECT doc_id, text, length(text) // 4 AS q FROM documents),
+            lined AS (
+              SELECT doc_id,
+                     substr(text, 1, q) || chr(10)
+                     || CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, q)
+                             ELSE substr(text, q + 1, q) END || chr(10)
+                     || substr(text, 2 * q + 1, q)
+                     || CASE WHEN doc_id % 5 = 0 THEN '...' ELSE '' END
+                     || chr(10)
+                     || substr(text, 3 * q + 1, length(text) - 3 * q)
+                     || CASE WHEN doc_id % 4 = 0 THEN ' @ # @' ELSE '' END
+                     AS text
+              FROM base),
+            ln AS (
+              SELECT doc_id,
+                     list_filter(
+                       list_transform(string_split(text, chr(10)),
+                                      l -> trim(l)),
+                       l -> l != '') AS lines
+              FROM lined),
+            lc AS (
+              SELECT doc_id, len(lines) AS n_lines,
+                     len(list_distinct(lines)) AS n_distinct,
+                     len(list_filter(lines, l -> ends_with(l, '...')))
+                       AS n_ellipsis
+              FROM ln),
+            tok AS (
+              SELECT doc_id,
+                     CASE WHEN trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')) = '' THEN 0
+                          ELSE len(string_split(trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')),' '))
+                     END AS n_tokens,
+                     len(regexp_extract_all(text, '[#$%&*+<=>@^_|~]')) AS n_sym,
+                     length(trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g'))) AS n_chars
+              FROM lined),
+            w AS (
+              SELECT doc_id, unnest(string_split(trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')),' ')) AS word,
+                     generate_subscripts(string_split(trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')),' '), 1) AS pos
+              FROM lined),
+            g0 AS (
+              SELECT doc_id,
+                     word || ' ' || lead(word,1) OVER (PARTITION BY doc_id ORDER BY pos) AS gram,
+                     lead(word,1) OVER (PARTITION BY doc_id ORDER BY pos) AS l1
+              FROM w),
+            fr AS (
+              SELECT doc_id, gram, COUNT(*) AS freq
+              FROM g0 WHERE l1 IS NOT NULL GROUP BY doc_id, gram),
+            top AS (
+              SELECT doc_id, gram, freq FROM (
+                SELECT doc_id, gram, freq,
+                       row_number() OVER (PARTITION BY doc_id
+                         ORDER BY freq DESC, gram ASC) AS rn
+                FROM fr)
+              WHERE rn = 1)
+            SELECT l.doc_id,
+                   CAST(l.n_lines AS BIGINT) AS n_lines,
+                   CASE WHEN l.n_lines = 0 THEN 0.0
+                        ELSE round(CAST(l.n_lines - l.n_distinct AS DOUBLE)
+                                   / CAST(l.n_lines AS DOUBLE), 6)
+                   END AS dup_line_frac,
+                   CAST(l.n_ellipsis AS BIGINT) AS n_ellipsis_lines,
+                   CASE WHEN t.n_tokens = 0 THEN 0.0
+                        ELSE round(CAST(t.n_sym AS DOUBLE)
+                                   / CAST(t.n_tokens AS DOUBLE), 6)
+                   END AS symbol_word_ratio,
+                   coalesce(top.gram, '') AS top_2gram,
+                   CAST(coalesce(top.freq, 0) AS BIGINT) AS top_2gram_freq,
+                   CASE WHEN top.gram IS NULL THEN 0.0
+                        ELSE round(CAST(top.freq * length(top.gram) AS DOUBLE)
+                                   / CAST(t.n_chars AS DOUBLE), 6)
+                   END AS top_2gram_share
+            FROM lc l
+            JOIN tok t USING (doc_id)
+            LEFT JOIN top USING (doc_id)
+            ORDER BY l.doc_id
         """,
         "incremental_dedup": f"""
             WITH perms AS (SELECT CAST(range AS INT) AS perm FROM range(32)),

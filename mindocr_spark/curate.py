@@ -24,7 +24,12 @@ from pyspark.sql import DataFrame, functions as F
 
 from mindocr_spark import extract_core as core
 from mindocr_spark.functions.dedup import exact_dup_clusters, minhash_lsh_pairs
-from mindocr_spark.functions.text import lang_id_col, quality_cols
+from mindocr_spark.functions.text import (
+    lang_id_col,
+    quality_cols,
+    repetition_line_cols,
+    top_2gram_cols,
+)
 from mindocr_spark.operators.pipeline import run_extraction
 
 
@@ -35,6 +40,12 @@ class CurateConfig:
     langs: tuple[str, ...] = ()    # keep-list; empty = all
     min_stop_ratio: float = 0.0    # prose-ness gate (0 disables)
     neardup_threshold: float = 0.6  # MinHash est-jaccard cutoff; >1 disables
+    # Gopher/C4-style repetition gates (≥ 1.0 disables each). The two
+    # line/symbol gates are pure row expressions (free on the scan);
+    # the top-2-gram gate adds one (doc, gram) keyed shuffle.
+    max_dup_line_frac: float = 1.0
+    max_symbol_word_ratio: float = 1.0
+    max_top2gram_share: float = 1.0
 
 
 def curate(
@@ -88,6 +99,31 @@ def _curate_build(pages, cfg, params, _persist):
             tagged.join(q, "url")
             .where(F.col("stop_ratio") >= cfg.min_stop_ratio)
             .drop("stop_ratio")
+        )
+    # repetition gates (Gopher/C4): the line/symbol signals are row
+    # expressions fused into the same narrow stage; the top-2-gram
+    # share costs one (doc, gram) shuffle and is joined back only when
+    # its gate is enabled
+    if cfg.max_dup_line_frac < 1.0 or cfg.max_symbol_word_ratio < 1.0:
+        rep = repetition_line_cols(tagged, text_col="text", id_col="url")
+        if cfg.max_dup_line_frac < 1.0:
+            rep = rep.where(F.col("dup_line_frac") <= cfg.max_dup_line_frac)
+        if cfg.max_symbol_word_ratio < 1.0:
+            rep = rep.where(
+                F.col("symbol_word_ratio") <= cfg.max_symbol_word_ratio
+            )
+        tagged = rep.drop(
+            "n_lines", "dup_line_frac", "n_ellipsis_lines",
+            "symbol_word_ratio",
+        )
+    if cfg.max_top2gram_share < 1.0:
+        shares = top_2gram_cols(tagged, text_col="text", id_col="url").select(
+            "url", "top_2gram_share"
+        )
+        tagged = (
+            tagged.join(shares, "url")
+            .where(F.col("top_2gram_share") <= cfg.max_top2gram_share)
+            .drop("top_2gram_share")
         )
     tagged = _persist(tagged)
 

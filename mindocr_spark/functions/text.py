@@ -15,7 +15,7 @@ rec_lmdb_dataset.py:106-119) → :func:`quality_cols` + downstream filter.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # --------------------------------------------------------------------------
 # Normalization (the SQL twin of extract_core.normalize_ws for ASCII text)
@@ -94,6 +94,115 @@ def quality_cols(df: DataFrame, text_col: str = "text",
         F.round(
             F.try_divide(stop_hits.cast("double"), n_tokens.cast("double")), 6
         ).alias("stop_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Repetition quality (Gopher/C4-style curation gates)
+# --------------------------------------------------------------------------
+
+#: Symbol class for the symbol-to-word ratio — literal inside a class in
+#: both Java regex and RE2 (^ not first, no escapes needed).
+_SYMBOL_RE = r"[#$%&*+<=>@^_|~]"
+
+
+def repetition_line_cols(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Row-local repetition features (NO shuffle — pure codegen
+    expressions over the line/token arrays), the Gopher repetition
+    signals and C4 line heuristics:
+
+    - ``dup_line_frac``     — fraction of non-empty trimmed lines that
+      are repeats of another line in the same doc;
+    - ``n_ellipsis_lines``  — lines ending in "..." (the C4 gate);
+    - ``symbol_word_ratio`` — symbol chars per whitespace token.
+
+    Exact-int counts + one IEEE division each, round 6 — bit-identical
+    to the SQL oracle."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    dup_frac = F.coalesce(
+        F.round(
+            F.try_divide(
+                (n_lines - n_distinct).cast("double"), n_lines.cast("double")
+            ),
+            6,
+        ),
+        F.lit(0.0),
+    )
+    n_tokens = F.size(tokens_col(text_col))
+    symbols = F.regexp_count(F.col(text_col), F.lit(_SYMBOL_RE))
+    sym_ratio = F.coalesce(
+        F.round(
+            F.try_divide(symbols.cast("double"), n_tokens.cast("double")), 6
+        ),
+        F.lit(0.0),
+    )
+    return df.select(
+        *df.columns,
+        n_lines.alias("n_lines"),
+        dup_frac.alias("dup_line_frac"),
+        F.size(F.filter(lines, lambda l: l.endswith("...")))
+        .alias("n_ellipsis_lines"),
+        sym_ratio.alias("symbol_word_ratio"),
+    )
+
+
+def top_2gram_cols(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """The Gopher top-n-gram character-share signal for n=2: the most
+    frequent word 2-gram per doc (ties broken lexicographically) and
+    the fraction of normalized characters its repeats account for.
+
+    Plan: narrow gram explode → one groupBy on (doc, gram) → per-doc
+    top-1 window → broadcast-size join back. The only shuffle is the
+    (doc, gram) agg — the same key-partitioned shape as shingle
+    generation, linear in corpus size at any scale. Docs with < 2
+    tokens get ('', 0, 0.0)."""
+    with_toks = df.select(id_col, tokens_col(text_col).alias("_toks"),
+                          F.length(normalize_col(text_col)).alias("_nc"))
+    toks = F.col("_toks")
+    grams_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    freq = (
+        with_toks.select(id_col, F.explode(grams_arr).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("freq").desc(), F.col("gram").asc()
+    )
+    top = (
+        freq.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, "gram", "freq")
+    )
+    share = F.round(
+        F.try_divide(
+            (F.col("freq") * F.length("gram")).cast("double"),
+            F.col("_nc").cast("double"),
+        ),
+        6,
+    )
+    return (
+        with_toks.select(id_col, "_nc")
+        .join(top, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("gram"), F.lit("")).alias("top_2gram"),
+            F.coalesce(F.col("freq"), F.lit(0)).cast("bigint")
+            .alias("top_2gram_freq"),
+            F.coalesce(share, F.lit(0.0)).alias("top_2gram_share"),
+        )
     )
 
 

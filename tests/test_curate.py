@@ -119,3 +119,92 @@ def test_curate_lang_filter(spark, raw_pages):
 
     curated, _ = curate(raw_pages, CurateConfig(min_chars=50, langs=("en",)))
     assert {r["lang_pred"] for r in curated.collect()} == {"en"}
+
+
+def test_repetition_signal_functions(spark):
+    """Unit semantics of the Gopher/C4 repetition signals on planted
+    docs — exact expected values."""
+    from mindocr_spark.functions.text import (
+        repetition_line_cols,
+        top_2gram_cols,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "good unique line one\nanother fine line\nthird line"),
+         (2, "same line\nsame line\nsame line\nsame line"),
+         (3, "@ # @ @ # @ @ #"),
+         (4, "spam spam spam spam spam spam spam spam"),
+         (5, "ends with dots...\nplain line")],
+        "doc_id bigint, text string")
+    rep = {r["doc_id"]: r for r in repetition_line_cols(docs).collect()}
+    assert rep[1]["dup_line_frac"] == 0.0
+    assert rep[2]["dup_line_frac"] == 0.75          # 3 of 4 lines repeats
+    assert rep[3]["symbol_word_ratio"] == 1.0       # 8 symbols / 8 tokens
+    assert rep[5]["n_ellipsis_lines"] == 1
+    top = {r["doc_id"]: r for r in top_2gram_cols(docs).collect()}
+    assert top[4]["top_2gram"] == "spam spam"
+    assert top[4]["top_2gram_freq"] == 7
+    # 7 repeats × 9 chars over 39 normalized chars
+    assert top[4]["top_2gram_share"] == round(7 * 9 / 39, 6)
+    # < 2 tokens ⇒ sentinel values, not NULLs
+    one = spark.createDataFrame([(9, "single")], "doc_id bigint, text string")
+    t9 = top_2gram_cols(one).collect()[0]
+    assert (t9["top_2gram"], t9["top_2gram_freq"], t9["top_2gram_share"]) \
+        == ("", 0, 0.0)
+
+
+def test_curate_repetition_gates(spark):
+    """Planted repetitive pages are removed by the CurateConfig
+    repetition gates and survive without them."""
+    from mindocr_spark.corpus import generate_batch, PAGES_SCHEMA_DDL
+    from mindocr_spark.curate import CurateConfig, curate
+
+    rows = generate_batch(7, range(20))
+    para = ("the quick brown fox jumps over the lazy dog near the "
+            "river bend today")
+    rep_html = ("<html><body><h1>Repetitive page title here</h1>"
+                + f"<p>{para}</p>" * 8 + "</body></html>").encode()
+    spam_html = ("<html><body><h1>Spam title words</h1><p>"
+                 + "buy now " * 60 + "</p></body></html>").encode()
+    planted = [
+        dict(rows[0], url="https://bad.example/rep", html=rep_html, text=""),
+        dict(rows[1], url="https://bad.example/spam", html=spam_html,
+             text=""),
+    ]
+    pages = spark.createDataFrame(rows + planted, PAGES_SCHEMA_DDL)
+
+    open_cfg = CurateConfig(min_chars=50, neardup_threshold=2.0)
+    urls_open = {r["url"] for r in curate(pages, open_cfg)[0].collect()}
+    assert {"https://bad.example/rep", "https://bad.example/spam"} <= urls_open
+
+    gated = CurateConfig(
+        min_chars=50, neardup_threshold=2.0,
+        max_dup_line_frac=0.5, max_top2gram_share=0.3,
+    )
+    urls_gated = {r["url"] for r in curate(pages, gated)[0].collect()}
+    assert "https://bad.example/rep" not in urls_gated     # dup-line gate
+    assert "https://bad.example/spam" not in urls_gated    # top-2gram gate
+    # every OTHER removed page must genuinely exceed a gate threshold
+    # (organic word-soup pages can legitimately trip the 2-gram gate)
+    removed = urls_open - urls_gated
+    assert {"https://bad.example/rep", "https://bad.example/spam"} <= removed
+    others = removed - {"https://bad.example/rep", "https://bad.example/spam"}
+    if others:
+        from mindocr_spark.functions.text import (
+            repetition_line_cols,
+            top_2gram_cols,
+        )
+
+        curated_open, _ = curate(pages, open_cfg)
+        texts = curated_open.where(F.col("url").isin(*others)).select(
+            "url", "text"
+        )
+        sig = {
+            r["url"]: r
+            for r in repetition_line_cols(texts, id_col="url")
+            .join(top_2gram_cols(texts, id_col="url"), "url")
+            .collect()
+        }
+        for u in others:
+            assert (sig[u]["dup_line_frac"] > 0.5
+                    or sig[u]["top_2gram_share"] > 0.3), (u, sig[u])
