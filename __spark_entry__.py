@@ -586,6 +586,28 @@ def q_simhash_neardup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_direction_norm(spark, sf_dir):
+    """Direction-conditional payload rewrite (Rotate90IfVertical's
+    detect-then-rewrite shape, reference: rec_transforms.py:446-468),
+    exact-oracled: doc_id%7==0 docs are deterministically transliterated
+    into RTL script (translate over the 11 most frequent letters — both
+    engines), detection (RTL chars > ASCII letters) then flips exactly
+    those docs' token order while every other doc passes through
+    byte-identical."""
+    from mindocr_spark.functions.text import direction_norm_cols
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.translate("text", "aeiounstrlh", "אבגדהוזחטיכ"),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return direction_norm_cols(d).select(
+        "doc_id", "is_rtl", "text_dir"
+    ).orderBy("doc_id")
+
+
 def q_quality_repetition(spark, sf_dir):
     """Gopher/C4 repetition-quality signals, exact-oracled. The corpus
     text is single-line word soup, so the query first builds a
@@ -1007,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": _q(q_simhash_neardup),
         "incremental_dedup": _q(q_incremental_dedup),
         "quality_repetition": _q(q_quality_repetition),
+        "direction_norm": _q(q_direction_norm),
         "curate_pipeline": _q(q_curate_pipeline),
         "attn_tokens": _q(q_attn_tokens),
         "approx_distinct": _q(q_approx_distinct),
@@ -1635,6 +1658,28 @@ def oracle_sql() -> dict[str, str]:
             FROM est
             WHERE round(CAST(n_match AS DOUBLE) / 32.0, 6) >= 0.35
             ORDER BY id_a, id_b
+        """,
+        "direction_norm": r"""
+            WITH src AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN translate(text, 'aeiounstrlh', 'אבגדהוזחטיכ')
+                          ELSE text END AS text
+              FROM documents),
+            c AS (
+              SELECT doc_id, text,
+                     len(regexp_extract_all(text, '[֐-׿؀-ۿ]')) AS rtl,
+                     len(regexp_extract_all(text, '[A-Za-z]')) AS ltr,
+                     trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')) AS norm
+              FROM src)
+            SELECT doc_id, rtl > ltr AS is_rtl,
+                   CASE WHEN rtl > ltr THEN
+                     CASE WHEN norm = '' THEN ''
+                          ELSE array_to_string(
+                                 list_reverse(string_split(norm, ' ')), ' ')
+                     END
+                   ELSE text END AS text_dir
+            FROM c ORDER BY doc_id
         """,
         "quality_repetition": r"""
             WITH base AS (

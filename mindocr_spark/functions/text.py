@@ -236,6 +236,42 @@ def lang_id_col(c: Column | str) -> Column:
 
 
 # --------------------------------------------------------------------------
+# Direction normalization (conditional payload rewrite)
+# --------------------------------------------------------------------------
+
+#: Hebrew + Arabic blocks as LITERAL characters (U+0590–U+05FF,
+#: U+0600–U+06FF) — literal chars in a class parse identically in Java
+#: regex and RE2, unlike \uXXXX escapes.
+_RTL_CLASS = "[֐-׿؀-ۿ]"
+
+
+def direction_norm_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Conditional direction normalization — the Rotate90IfVertical
+    analog (reference: mindocr/data/transforms/rec_transforms.py:446-468,
+    which DETECTS a property of the payload, then conditionally REWRITES
+    it; SURVEY §2.8 maps it to a conditional scalar transform):
+
+    - DETECT: a doc is RTL-dominant when it has more RTL-script chars
+      (Hebrew/Arabic blocks) than ASCII letters;
+    - REWRITE: RTL-dominant text gets its token order reversed
+      (visual → logical order normalization); LTR text passes through
+      byte-identical.
+
+    Adds ``is_rtl`` and ``text_dir``. Pure codegen expressions with an
+    exact SQL twin."""
+    col = F.col(text_col)
+    rtl = F.regexp_count(col, F.lit(_RTL_CLASS))
+    ltr = F.regexp_count(col, F.lit("[A-Za-z]"))
+    is_rtl = rtl > ltr
+    flipped = F.concat_ws(" ", F.reverse(tokens_col(text_col)))
+    return df.select(
+        *df.columns,
+        is_rtl.alias("is_rtl"),
+        F.when(is_rtl, flipped).otherwise(col).alias("text_dir"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Fingerprinting
 # --------------------------------------------------------------------------
 
