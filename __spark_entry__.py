@@ -164,12 +164,17 @@ def q_extract_east(spark, sf_dir):
     """Third detector family end-to-end: the EAST-style proposal +
     locality-aware-merge detector (extract_core.detect_blocks_east,
     reference: mindocr/postprocess/det_east_postprocess.py:13-150)
-    behind the same registry and pipeline. On the clean corpus it
-    provably recovers the same blocks as the DB detector, so it shares
-    the byte-identical extraction oracle."""
+    behind the same registry and pipeline — run on the EAST-DIVERGENT
+    corpus family (pages_from_documents_east), where EAST's regressed
+    geometry claims a sub-binarization boundary node the DB run
+    detector provably excludes. The oracle reconstructs EAST's OWN
+    output (… + buffer + tail), not DB's (… + buffer), so this row
+    exercises the detector's divergent behaviour; the db≠east
+    divergence itself is pinned by tests/test_extract_core.py."""
     from mindocr_spark import extract_core as core
+    from mindocr_spark.sources.pages import pages_from_documents_east
 
-    pages = pages_from_documents(spark, sf_dir).repartition(
+    pages = pages_from_documents_east(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism
     )
     res = run_extraction(
@@ -1051,6 +1056,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _A = PAGES_TEMPLATE_ANCHOR  # no quotes inside; safe to inline in SQL
 
+from mindocr_spark.sources.pages import (  # noqa: E402
+    PAGES_EAST_BUFFER as _EAST_BUFFER,
+    PAGES_EAST_TAIL as _EAST_TAIL,
+)
+
 def _md5_sig_ctes(rel: str, tag: str = "") -> str:
     """CTE chain producing sig{tag}(doc_id, perm, minh) and
     banded{tag}(doc_id, band, bucket) — the engine-portable md5 MinHash
@@ -1292,7 +1302,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_east": f"""
             SELECT CAST(doc_id AS BIGINT) AS doc_id, {url} AS url,
-                   '{_A}' || chr(10) || text AS extracted_text,
+                   '{_A}' || chr(10) || text || chr(10) || '{_EAST_BUFFER}'
+                     || chr(10) || '{_EAST_TAIL}' AS extracted_text,
                    CAST(1 AS BIGINT) AS n_blocks
             FROM documents ORDER BY doc_id
         """,

@@ -91,6 +91,74 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The EAST-divergent template's extra content nodes (both pinned,
+#: zero STOPWORDS, link-free). BUFFER (156 chars) scores raw ≈ 0.551 —
+#: enough to fire (its smoothed mean stays ≥ binary_thresh even next to
+#: a worst-case raw-0.2 body); TAIL (20 chars) scores raw ≈ 0.245 —
+#: ABOVE raw_floor (0.12) but with smoothed ≈ (0.551+0.245+0)/3 ≈ 0.265
+#: BELOW binary_thresh (0.30). The DB run detector therefore excludes
+#: the tail while EAST's reach-1 proposal from the buffer claims it:
+#: the two detectors provably diverge by exactly "\n" + TAIL per page.
+PAGES_EAST_BUFFER = (
+    "Colophon appendix errata addendum footnote marginalia glossary "
+    "bibliography citation register catalogue lexicon corpus archive "
+    "manuscript folio quire vellum"
+)
+PAGES_EAST_TAIL = "Errata slip appended"
+
+
+def pages_from_documents_east(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EAST-divergent corpus family: pages_from_documents plus two
+    pinned trailing content nodes (``PAGES_EAST_BUFFER``,
+    ``PAGES_EAST_TAIL``) engineered so proposal+merge detection (EAST)
+    legitimately differs from threshold+run detection (DB) — EAST's
+    regressed geometry claims the sub-binarization boundary node, DB
+    never can. Gives `extract_east` an oracle that exercises its
+    DIVERGENT behaviour instead of sharing DB's."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    html_str = F.concat(
+        F.lit(
+            '<!DOCTYPE html><html><head><meta charset="utf-8"><title>Doc '
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            "</title><style>.m{max-width:60em}</style>"
+            "<script>var p=1;track();</script></head><body>"
+            "<!-- synthesized page -->"
+            '<header><a href="/">Home</a></header>'
+            '<nav><ul><li><a href="/products">Products</a></li>'
+            '<li><a href="/about">About</a></li>'
+            '<li><a href="/contact">Contact</a></li></ul></nav>'
+            "<main><article><p>"
+        ),
+        F.lit(PAGES_TEMPLATE_ANCHOR),
+        F.lit("</p><p>"),
+        F.col("text"),
+        F.lit(
+            "</p><p>" + PAGES_EAST_BUFFER + "</p><p>" + PAGES_EAST_TAIL
+            + "</p></article></main>"
+            '<aside><h3>Related</h3><ul><li><a href="/p/1">related reading one</a></li>'
+            '<li><a href="/p/2">related reading two</a></li></ul></aside>'
+            "<footer><p>&copy; 2024 Example Inc. "
+            '<a href="/terms">Terms</a> <a href="/privacy">Privacy</a></p></footer>'
+            "</body></html>"
+        ),
+    )
+    return docs.select(
+        F.concat(
+            F.lit("https://docs.example/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(_TS_EPOCH) + F.col("doc_id")).alias("warc_ts"),
+        html_str.cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("doc_id"),
+    )
+
+
 def read_pages(spark: SparkSession, path: str) -> DataFrame:
     """Scan the pages table. On a cluster this is
     ``spark.read.format("iceberg").load(tbl)`` with bucket(16, warc_ts) +

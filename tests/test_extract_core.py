@@ -346,3 +346,41 @@ class TestEASTDetector:
         )
         # on a clean page all detector families recover the same content
         assert ex_east.extracted_text == ex_db.extracted_text
+
+
+def test_east_divergent_family():
+    """On the EAST-divergent template the proposal+merge detector must
+    claim the sub-binarization TAIL node that threshold+run detection
+    provably excludes — the corpus family where east ≠ db, exercised
+    per-byte (reference: EASTPostprocess geometry regression beyond the
+    firing pixel, mindocr/postprocess/det_east_postprocess.py:13-150)."""
+    from mindocr_spark import extract_core as core
+    from mindocr_spark.sources.pages import (
+        PAGES_EAST_BUFFER,
+        PAGES_EAST_TAIL,
+        PAGES_TEMPLATE_ANCHOR,
+    )
+
+    body = ("the quick brown fox jumps over a lazy dog and runs to the "
+            "river where it finds an old boat that was left by travelers "
+            "who were on their way to the mountains in search of gold")
+    html = (
+        '<!DOCTYPE html><html><head><meta charset="utf-8"><title>Doc 1'
+        "</title></head><body>"
+        '<header><a href="/">Home</a></header>'
+        '<nav><ul><li><a href="/products">Products</a></li>'
+        '<li><a href="/about">About</a></li></ul></nav>'
+        "<main><article><p>" + PAGES_TEMPLATE_ANCHOR + "</p><p>" + body
+        + "</p><p>" + PAGES_EAST_BUFFER + "</p><p>" + PAGES_EAST_TAIL
+        + "</p></article></main>"
+        '<aside><h3>Related</h3><ul><li><a href="/p/1">related one</a>'
+        "</li></ul></aside></body></html>"
+    ).encode()
+
+    db = core.extract_document(html, core.ExtractParams(detector="db"))
+    east = core.extract_document(html, core.ExtractParams(detector="east"))
+    expected_db = (PAGES_TEMPLATE_ANCHOR + "\n" + body + "\n"
+                   + PAGES_EAST_BUFFER)
+    assert db.extracted_text == expected_db
+    assert east.extracted_text == expected_db + "\n" + PAGES_EAST_TAIL
+    assert db.extracted_text != east.extracted_text
