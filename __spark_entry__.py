@@ -591,6 +591,63 @@ def q_simhash_neardup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_multimodal_video(spark, sf_dir):
+    """Real video codec end-to-end: synthesized RIFF/AVI payloads
+    (uncompressed 24-bit DIB frames from an integer pixel formula) →
+    the stdlib AVI parser → frame sampling fan-out. Byte exactness is
+    verified CROSS-PATH inside Spark: the expected per-frame md5 is
+    rebuilt from the pixel formula with pure JVM expressions
+    (sequence→hex→unhex→md5) and compared against the Python codec's
+    digest — `bytes_match` must come back TRUE for every sampled frame,
+    which the oracle pins alongside the exact frame inventory (DuckDB
+    has no blob md5, so the digest equality lives in-engine)."""
+    from mindocr_spark.multimodal import sample_frames, synth_real_video_table
+
+    frames = sample_frames(synth_real_video_table(spark, 64), every_n=2)
+
+    side = F.col("id") % 5 + 3
+    row_bytes = side * side * 3
+    exp = spark.range(64).select(
+        "id",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("id") % 4 + 2) - 1, F.lit(2))
+        ).alias("frame_idx"),
+        side.alias("side"),
+        row_bytes.alias("n_b"),
+    )
+
+    s3 = F.col("side") * 3
+    def pix(k):
+        y = (k / s3).cast("long")
+        x = ((k % s3) / 3).cast("long")
+        c = k % 3
+        return F.pmod(
+            F.col("id") * 7 + F.col("frame_idx") * 53 + x * 3 + y * 11
+            + c * 29,
+            F.lit(256),
+        )
+
+    hexstr = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_b") - 1),
+            lambda k: F.lpad(F.hex(pix(k)), 2, "0"),
+        ),
+        "",
+    )
+    exp = exp.select("id", "frame_idx", F.md5(F.unhex(hexstr)).alias("expected"))
+    return (
+        frames.join(exp, ["id", "frame_idx"], "left")
+        .select(
+            "id",
+            F.col("frame_idx").cast("bigint").alias("frame_idx"),
+            F.col("frame_bytes").cast("bigint").alias("frame_bytes"),
+            (F.col("checksum") == F.col("expected")).alias("bytes_match"),
+            "failed",
+        )
+        .orderBy("id", "frame_idx")
+    )
+
+
 def q_direction_norm(spark, sf_dir):
     """Direction-conditional payload rewrite (Rotate90IfVertical's
     detect-then-rewrite shape, reference: rec_transforms.py:446-468),
@@ -1051,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q(q_embedding_neardup),
         "multimodal_features": _q(q_multimodal_features),
         "multimodal_real_codec": _q(q_multimodal_real_codec),
+        "multimodal_video": _q(q_multimodal_video),
     }
 
 
@@ -1669,6 +1727,17 @@ def oracle_sql() -> dict[str, str]:
             FROM est
             WHERE round(CAST(n_match AS DOUBLE) / 32.0, 6) >= 0.35
             ORDER BY id_a, id_b
+        """,
+        "multimodal_video": """
+            WITH ids AS (SELECT range AS id FROM range(64)),
+            p AS (SELECT id, id % 4 + 2 AS nf, id % 5 + 3 AS side FROM ids),
+            fr AS (
+              SELECT id, side, unnest(range(0, nf, 2)) AS frame_idx FROM p)
+            SELECT CAST(id AS BIGINT) AS id,
+                   CAST(frame_idx AS BIGINT) AS frame_idx,
+                   CAST(side * side * 3 AS BIGINT) AS frame_bytes,
+                   TRUE AS bytes_match, FALSE AS failed
+            FROM fr ORDER BY id, frame_idx
         """,
         "direction_norm": r"""
             WITH src AS (

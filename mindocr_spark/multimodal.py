@@ -92,6 +92,130 @@ def _decode_bmp(data: bytes) -> np.ndarray:
     return img
 
 
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(n, h, w, 3) uint8 RGB → RIFF AVI bytes with uncompressed 24-bit
+    DIB ('00db') frames — the canonical hdrl(avih, strl(strh,strf)) +
+    movi + idx1 layout, rows bottom-up BGR padded to 4 bytes (the same
+    DIB pixel framing as :func:`encode_bmp`). Independent twin of the
+    decoder so round-tripping through real container bytes is a genuine
+    codec test."""
+    import struct
+
+    n, h, w, _ = frames.shape
+    row = ((3 * w + 3) // 4) * 4
+    frame_size = row * h
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, frame_size * fps, 0, 0x10, n, 0, 1,
+        frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIi4H", b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n,
+        frame_size, -1 & 0xFFFFFFFF, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+
+    movi_frames = []
+    for f in range(n):
+        body = bytearray()
+        for y in range(h - 1, -1, -1):                # bottom-up
+            line = frames[f, y, :, ::-1].tobytes()    # RGB → BGR
+            body += line + b"\x00" * (row - len(line))
+        movi_frames.append(chunk(b"00db", bytes(body)))
+    movi = lst(b"movi", b"".join(movi_frames))
+
+    idx, off = [], 4  # offsets are relative to the 'movi' fourcc
+    for fc in movi_frames:
+        idx.append(struct.pack("<4sIII", b"00db", 0x10, off, frame_size))
+        off += len(fc)
+    idx1 = chunk(b"idx1", b"".join(idx))
+
+    riff = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _walk_riff(data: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_size) for each chunk in
+    [start, end) — the word-aligned RIFF walk. Framing is validated the
+    same way the WARC walker is: sizes must stay in bounds and the
+    cursor must strictly advance (hostile container hardening)."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        fourcc = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = pos + 8
+        if size > end - body:
+            raise ValueError(f"RIFF chunk at {pos} overruns its parent")
+        yield fourcc, body, size
+        new_pos = body + size + (size & 1)
+        if new_pos <= pos:
+            raise ValueError(f"RIFF walk did not advance at {pos}")
+        pos = new_pos
+
+
+def _decode_avi(data: bytes) -> np.ndarray:
+    """STRUCTURAL RIFF/AVI parse (chunk walk, never sentinel scans) →
+    (n_frames, h, w, 3) uint8 RGB. Only uncompressed 24-bit DIB
+    ('00db'/'00dc' with biCompression=0) video is supported — the same
+    honest-subset policy as the BMP/WAV codecs."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF AVI payload")
+    w = h = bpp = comp = None
+    frames: list[bytes] = []
+
+    def scan_list(start: int, end: int, depth: int = 0) -> None:
+        nonlocal w, h, bpp, comp
+        if depth > 16:  # real AVIs nest ~3 deep; crafted input must not
+            raise ValueError("RIFF LIST nesting too deep")
+        for fourcc, body, size in _walk_riff(data, start, end):
+            if fourcc == b"LIST":
+                scan_list(body + 4, body + size, depth + 1)
+            elif fourcc == b"strf" and w is None:
+                if size < 40:
+                    raise ValueError("strf too small for BITMAPINFOHEADER")
+                _, w, h, _, bpp, comp = struct.unpack(
+                    "<IiiHHI", data[body:body + 20]
+                )
+            elif fourcc in (b"00db", b"00dc"):
+                frames.append(data[body:body + size])
+
+    # clamp to the ACTUAL byte count: a truncated file whose RIFF size
+    # field still declares the full length must fail the chunk walk,
+    # not silently slice short payloads
+    scan_list(12, min(8 + struct.unpack("<I", data[4:8])[0], len(data)))
+    if w is None:
+        raise ValueError("AVI without a strf stream format")
+    if bpp != 24 or comp != 0:
+        raise ValueError("only uncompressed 24-bit DIB AVI supported")
+    top_down, h = h < 0, abs(h)
+    row = ((3 * w + 3) // 4) * 4
+    out = np.zeros((len(frames), h, w, 3), np.uint8)
+    for f, fr in enumerate(frames):
+        if len(fr) < row * h:
+            raise ValueError(f"frame {f} truncated")
+        for r in range(h):
+            line = np.frombuffer(
+                fr[r * row:r * row + 3 * w], np.uint8
+            ).reshape(w, 3)
+            out[f, r if top_down else h - 1 - r] = line[:, ::-1]  # BGR→RGB
+    return out
+
+
 def _decode_wav(data: bytes) -> np.ndarray:
     import io
     import wave
@@ -107,18 +231,21 @@ def _decode_wav(data: bytes) -> np.ndarray:
 
 
 def real_decode(payload: bytes, kind: str) -> np.ndarray:
-    """The codec boundary, REAL for the formats the stdlib can decode:
+    """The codec boundary, REAL for every kind this engine claims:
     BMP (24-bit BI_RGB → (h, w, 3) uint8 RGB) for images, WAV (16-bit
-    PCM → int16 samples) for audio — exercising the exact batch/schema
-    plumbing with genuine byte parsing (the reference's DecodeImage does
-    cv2.imdecode, reference:
-    mindocr/data/transforms/general_transforms.py:25-64). Video still
-    needs an external codec (ffmpeg) — that one seam stays
-    NotImplementedError, injectable on a cluster with media libs."""
+    PCM → int16 samples) for audio, RIFF/AVI (uncompressed 24-bit DIB
+    frames → (n, h, w, 3) uint8 RGB) for video — exercising the exact
+    batch/schema plumbing with genuine byte parsing (the reference's
+    DecodeImage does cv2.imdecode, reference:
+    mindocr/data/transforms/general_transforms.py:25-64). Compressed
+    codecs (JPEG/H.264/…) still need external libs — inject a decoder
+    through the ``decode=`` hook on a cluster that has them."""
     if kind == "image":
         return _decode_bmp(payload)
     if kind == "audio":
         return _decode_wav(payload)
+    if kind == "video":
+        return _decode_avi(payload)
     raise NotImplementedError(
         f"no stdlib codec for kind={kind!r}; wire in ffmpeg/cv2 here "
         "or inject decode=fake_decode for plumbing tests"
@@ -321,6 +448,39 @@ def synth_real_media_table(spark, n: int = 64) -> DataFrame:
                     meta = dict(kind=kind, width=0, height=0, n_frames=ns,
                                 sample_rate=16000, codec="pcm16")
                 rows.append(dict(id=i, payload=payload, media_meta=meta))
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(
+        gen, schema=f"id bigint, payload binary, {MEDIA_META_DDL}"
+    )
+
+
+def synth_real_video_table(spark, n: int = 64) -> DataFrame:
+    """Deterministic REAL-AVI video corpus: n_frames = id%4+2, square
+    side = id%5+3, pixel[f,y,x,c] = (id·7 + f·53 + x·3 + y·11 + c·29)
+    mod 256 — integer formulas a SQL oracle reproduces exactly (down to
+    per-frame md5 over the raw RGB bytes), while the payloads are real
+    RIFF/AVI container bytes."""
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                nf, side = i % 4 + 2, i % 5 + 3
+                f, y, x, c = np.meshgrid(
+                    np.arange(nf), np.arange(side), np.arange(side),
+                    np.arange(3), indexing="ij",
+                )
+                pix = ((i * 7 + f * 53 + x * 3 + y * 11 + c * 29) % 256
+                       ).astype(np.uint8)
+                rows.append(dict(
+                    id=i, payload=encode_avi(pix),
+                    media_meta=dict(kind="video", width=side, height=side,
+                                    n_frames=nf, sample_rate=0, codec="avi"),
+                ))
             if rows:
                 yield pd.DataFrame(rows)
 

@@ -134,3 +134,30 @@ def test_wav_decoder_total_on_garbage(data):
         _decode_wav(data)
     except (ValueError, EOFError, wave.Error):
         pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(1, 4), st.integers(1, 9), st.integers(1, 9),
+    st.integers(0, 2**32 - 1),
+)
+def test_avi_roundtrip_property(n, h, w, seed):
+    from mindocr_spark.multimodal import _decode_avi, encode_avi
+
+    rng = np.random.default_rng(seed)
+    fr = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+    out = _decode_avi(encode_avi(fr))
+    assert out.shape == fr.shape and (out == fr).all()
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=600))
+def test_avi_parse_total(data):
+    """The AVI parser must be TOTAL on arbitrary bytes: ValueError-family
+    rejection or a successful parse, never a crash or hang."""
+    from mindocr_spark.multimodal import _decode_avi
+
+    try:
+        _decode_avi(data)
+    except (ValueError, struct_error, IndexError):
+        pass

@@ -5,12 +5,15 @@ import hashlib
 import pytest
 
 
-def test_real_decode_video_is_stubbed():
-    """Video decode needs ffmpeg — that seam stays NotImplementedError;
-    image/audio are real stdlib codecs now (see the roundtrip tests)."""
+def test_real_decode_unknown_kind_is_guarded():
+    """Every claimed kind (image/audio/video) now has a REAL stdlib
+    codec; only unknown kinds hit the injectable NotImplementedError
+    seam. Garbage video bytes fail the structural parse, not silently."""
     from mindocr_spark.multimodal import real_decode
 
     with pytest.raises(NotImplementedError):
+        real_decode(b"xx", "3d-pointcloud")
+    with pytest.raises(ValueError):
         real_decode(b"xx", "video")
 
 
@@ -129,8 +132,14 @@ def test_real_decode_dispatch_and_failures():
     assert aud.tolist() == [1, -1]
     with pytest.raises(ValueError):
         real_decode(b"not a bmp", "image")
-    with pytest.raises(NotImplementedError):
-        real_decode(b"whatever", "video")    # genuinely external codec
+    vid = real_decode(
+        __import__("mindocr_spark.multimodal", fromlist=["encode_avi"])
+        .encode_avi(np.full((2, 3, 3, 3), 7, np.uint8)),
+        "video",
+    )
+    assert vid.shape == (2, 3, 3, 3)
+    with pytest.raises(ValueError):
+        real_decode(b"whatever bytes here", "video")  # structural parse
 
 
 def test_real_media_features_spark(spark):
@@ -162,3 +171,62 @@ def test_real_media_features_spark(spark):
             flat = ((((i * 13 + t * 17) % 256) - 128) * 137).astype(np.float64)
             assert rows[i]["kind"] == "audio"
         assert rows[i]["mean_intensity"] == float(np.round(flat.mean(), 6))
+
+
+def test_avi_roundtrip_exact():
+    """Real RIFF/AVI container: encode → structural parse recovers every
+    frame bit-exactly across shapes (incl. rows needing DIB padding)."""
+    import numpy as np
+    from mindocr_spark.multimodal import _decode_avi, encode_avi
+
+    rng = np.random.default_rng(3)
+    for n, h, w in [(1, 3, 3), (4, 5, 7), (2, 8, 2), (3, 1, 1)]:
+        fr = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+        out = _decode_avi(encode_avi(fr))
+        assert out.shape == fr.shape
+        assert (out == fr).all()
+
+
+def test_avi_rejects_hostile_framing():
+    import numpy as np
+    import pytest
+    from mindocr_spark.multimodal import _decode_avi, encode_avi
+
+    rng = np.random.default_rng(5)
+    good = encode_avi(rng.integers(0, 256, (2, 4, 4, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="RIFF AVI"):
+        _decode_avi(b"RIFF" + good[4:8] + b"WAVE" + good[12:])
+    with pytest.raises(ValueError):
+        _decode_avi(good[:20])          # no strf reachable
+    with pytest.raises(ValueError):
+        _decode_avi(good[:-10])         # truncation must fail the walk
+    # frame chunk truncated mid-pixel-data
+    cut = good[: good.index(b"00db") + 8 + 5]
+    with pytest.raises(ValueError):
+        _decode_avi(cut)
+
+
+def test_sample_frames_real_avi(spark):
+    """The video fan-out runs on REAL container bytes end-to-end: one
+    output row per sampled frame, checksums = md5 of the formula's
+    pixel bytes."""
+    import hashlib
+    import numpy as np
+    from mindocr_spark.multimodal import sample_frames, synth_real_video_table
+
+    rows = sample_frames(synth_real_video_table(spark, 12), every_n=2).collect()
+    assert not any(r["failed"] for r in rows)
+    by_key = {(r["id"], r["frame_idx"]): r for r in rows}
+    for i in range(12):
+        nf, side = i % 4 + 2, i % 5 + 3
+        for fi in range(0, nf, 2):
+            f, y, x, c = np.meshgrid(
+                [fi], np.arange(side), np.arange(side), np.arange(3),
+                indexing="ij",
+            )
+            pix = ((i * 7 + f * 53 + x * 3 + y * 11 + c * 29) % 256
+                   ).astype(np.uint8)[0]
+            r = by_key[(i, fi)]
+            assert r["frame_bytes"] == side * side * 3
+            assert r["checksum"] == hashlib.md5(pix.tobytes()).hexdigest()
+    assert len(rows) == sum(len(range(0, i % 4 + 2, 2)) for i in range(12))
