@@ -89,6 +89,10 @@ def main() -> None:
         "layout_from_bytes",    # real PDF bytes → blocks → assembly
         "warc_extract",         # WARC ingestion → full extraction
         "curate_pipeline",      # end-to-end curation composite
+        # round-3 additions (appended so r02 diffs stay query-for-query)
+        "incremental_dedup",    # cross-corpus dedup vs committed state
+        "quality_repetition",   # Gopher/C4 repetition signals
+        "multimodal_video",     # real AVI decode + frame fan-out
     ]
     qs = E.queries()
     for name in headline:

@@ -144,3 +144,60 @@ def test_layout_assemble_single_shuffle_from_blocks(spark, sf):
     plan = _plan(assemble_document(pdf_blocks(synth_pdf_table(spark, sf))))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repetition_line_signals_stay_narrow(spark, tmp_path):
+    """The row-local repetition signals (dup-line fraction, ellipsis,
+    symbol ratio) must fuse into the scan stage — zero Exchange; only
+    the top-2-gram share is allowed its one keyed shuffle."""
+    from mindocr_spark.functions.text import (
+        repetition_line_cols,
+        top_2gram_cols,
+    )
+
+    path = str(tmp_path / "docs_rep")
+    spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f")], "doc_id bigint, text string"
+    ).write.parquet(path)
+    docs = spark.read.parquet(path)
+    assert "Exchange" not in _plan(repetition_line_cols(docs))
+    # top-2-gram: exactly one shuffle key family — (doc, gram) agg +
+    # the per-doc window/join it feeds; no cartesian anywhere
+    plan = _plan(top_2gram_cols(docs))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_incremental_dedup_joins_are_keyed(spark, tmp_path):
+    """Every cross-corpus join in the incremental flag pass must be an
+    equi-join (SortMerge/BroadcastHash on real keys) — a cartesian or
+    nested-loop would be corpus-quadratic at 10^12 docs."""
+    from mindocr_spark.dedup_state import (
+        DedupLog, MinHashParams, cross_corpus_flags, dedup_increment,
+    )
+
+    log = DedupLog(spark, str(tmp_path / "state"))
+    p = MinHashParams(n_perm=8, bands=2)
+    a = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id bigint, text string",
+    )
+    assert dedup_increment(a, log, "r1", params=p, threshold=0.35)
+    b = spark.createDataFrame(
+        [(2, "alpha beta gamma delta epsilon zeta eta iota")],
+        "doc_id bigint, text string",
+    )
+    plan = _plan(cross_corpus_flags(b, log, p, threshold=0.35))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_direction_norm_stays_narrow(spark, tmp_path):
+    from mindocr_spark.functions.text import direction_norm_cols
+
+    path = str(tmp_path / "docs_dir")
+    spark.createDataFrame(
+        [(1, "a b c")], "doc_id bigint, text string"
+    ).write.parquet(path)
+    assert "Exchange" not in _plan(
+        direction_norm_cols(spark.read.parquet(path))
+    )
