@@ -244,20 +244,40 @@ def _load_manifests(fs: _FS, path: str) -> list[dict]:
     return sorted(out, key=lambda d: d["seq"])
 
 
-def resolve_published(spark: "SparkSession", path: str) -> str | None:
-    """The currently-committed data directory of a WAP table, or None if
-    nothing has ever been published. Readers resolve through the
+def list_snapshots(spark: "SparkSession", path: str) -> list[dict]:
+    """Committed snapshots of a WAP table, ascending seq — each entry is
+    the manifest body (seq, run_id, counters, …). Only snapshots whose
+    data directories survive GC (`keep_snapshots`) are time-travelable;
+    older manifests are swept with their data."""
+    return _load_manifests(_FS(spark, path), path)
+
+
+def resolve_published(spark: "SparkSession", path: str,
+                      seq: int | None = None) -> str | None:
+    """The committed data directory of a WAP table (None if nothing has
+    ever been published). By default readers resolve through the
     highest-seq valid manifest — a publish in flight is invisible until
-    its manifest file appears, so there is no window where the table
-    is absent (the concurrent-reader hole of a rename-swap)."""
+    its manifest file appears, so there is no window where the table is
+    absent (the concurrent-reader hole of a rename-swap). Passing `seq`
+    time-travels to that snapshot (it must be within the retained GC
+    window)."""
     manifests = _load_manifests(_FS(spark, path), path)
     if not manifests:
         return None
+    if seq is not None:
+        for m in manifests:
+            if m["seq"] == seq:
+                return f"{path}/{_DATA_DIR}/{m['data_dir']}"
+        raise LookupError(
+            f"no committed snapshot seq={seq} under {path} "
+            f"(retained: {[m['seq'] for m in manifests]})"
+        )
     return f"{path}/{_DATA_DIR}/{manifests[-1]['data_dir']}"
 
 
-def read_published(spark: "SparkSession", path: str) -> DataFrame:
-    data = resolve_published(spark, path)
+def read_published(spark: "SparkSession", path: str,
+                   seq: int | None = None) -> DataFrame:
+    data = resolve_published(spark, path, seq)
     if data is None:
         raise FileNotFoundError(f"no committed WAP snapshot under {path}")
     return spark.read.parquet(data)

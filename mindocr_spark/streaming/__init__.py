@@ -7,6 +7,9 @@ Spark re-expression is `availableNow` triggered Structured Streaming:
 process everything new since the last checkpoint, then stop.
 """
 
-from mindocr_spark.streaming.incremental import incremental_extract
+from mindocr_spark.streaming.incremental import (
+    incremental_curate_stream,
+    incremental_extract,
+)
 
-__all__ = ["incremental_extract"]
+__all__ = ["incremental_curate_stream", "incremental_extract"]

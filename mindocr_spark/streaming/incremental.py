@@ -56,6 +56,65 @@ def _drain_to_parquet(result, out_dir: str, checkpoint_dir: str) -> None:
     )
 
 
+def incremental_curate_stream(
+    spark: SparkSession,
+    pages_dir: str,
+    state_root: str,
+    checkpoint_dir: str,
+    cfg=None,
+    threshold: float = 0.5,
+    params=None,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming ingestion with EXACTLY-ONCE cross-corpus dedup: each
+    micro-batch of newly-landed page files runs the full curation
+    funnel and is then deduplicated against the ALREADY-COMMITTED
+    corpus before being appended to it — the r3 synthesis of the
+    streaming ingest path and the dedup-state log.
+
+    Exactly-once comes from composing two idempotence layers:
+
+    - the file-source checkpoint guarantees each page file enters
+      exactly one micro-batch (batch replayed after a crash ⇒ same
+      batch_id, same files);
+    - ``curate_increment`` commits under ``run_id = batch-<batch_id>``,
+      and a committed run_id replays as a no-op — so a crash between
+      the dedup commit and the checkpoint advance cannot double-commit
+      the batch (the foreachBatch at-least-once window, closed by the
+      log's idempotent manifest commit).
+
+    availableNow semantics: drain everything unprocessed, then stop.
+    Readers consume the corpus through ``DedupLog(...).read("corpus")``.
+    """
+    from mindocr_spark.dedup_state import (
+        DedupLog, MinHashParams, curate_increment,
+    )
+
+    params = params or MinHashParams()
+    log = DedupLog(spark, state_root)
+
+    def commit_batch(batch_df, batch_id: int) -> None:
+        curate_increment(
+            batch_df, log, f"batch-{batch_id}", cfg=cfg,
+            params=params, threshold=threshold,
+        )
+
+    reader = (
+        spark.readStream.schema(PAGES_SCHEMA_DDL)
+        .option("latestFirst", "false")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    (
+        reader.parquet(pages_dir)
+        .writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def incremental_extract_jsonl(
     spark: SparkSession,
     jsonl_dir: str,

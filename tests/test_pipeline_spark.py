@@ -237,6 +237,15 @@ def test_write_audit_publish(spark, tmp_path):
     assert not (tmp_path / "out" / "_data" / "r1").exists()
     assert (tmp_path / "out" / "_data" / "r3").exists()
 
+    # time travel within the retained window; beyond it → LookupError
+    from mindocr_spark.operators.pipeline import list_snapshots
+
+    snaps = list_snapshots(spark, out)
+    assert [s["run_id"] for s in snaps] == ["r3", "r4"]
+    assert read_published(spark, out, seq=snaps[0]["seq"]).count() == 30
+    with pytest.raises(LookupError):
+        read_published(spark, out, seq=1)
+
 
 def test_wap_crash_recovery_no_renames(spark, tmp_path, monkeypatch):
     """Crash matrix of the manifest-pointer commit: a torn manifest

@@ -122,3 +122,53 @@ def test_incremental_jsonl_stream_resumes(spark, tmp_path):
              for r in run_extraction(pages).collect()}
     for r in final.collect():
         assert r["extracted_text"] == batch[r["url"]]
+
+
+def test_incremental_curate_stream_exactly_once(spark, tmp_path):
+    """Streaming ingest + cross-corpus dedup: each micro-batch is
+    curated and committed against the already-committed corpus; planted
+    cross-batch duplicates are dropped; replaying batches (fresh
+    checkpoint ⇒ same files re-enter as batch-0) is a strict no-op
+    because the dedup log's run_id commit is idempotent."""
+    from mindocr_spark.curate import CurateConfig
+    from mindocr_spark.dedup_state import DedupLog
+    from mindocr_spark.streaming import incremental_curate_stream
+
+    pages_dir = str(tmp_path / "pages")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    cfg = CurateConfig(min_chars=50, neardup_threshold=2.0)
+
+    _corpus(spark, 20).write.mode("append").parquet(pages_dir)
+    incremental_curate_stream(spark, pages_dir, state, ckpt, cfg=cfg,
+                              threshold=0.35)
+    log = DedupLog(spark, state)
+    assert log.committed_runs() == ["batch-0"]
+    n1 = log.read("corpus").count()
+    assert n1 > 0
+
+    # second drop: 5 NEW pages + 5 exact copies of already-committed
+    # pages under different urls — only the new ones may land
+    from mindocr_spark.corpus import generate_batch, PAGES_SCHEMA_DDL
+
+    dup_rows = [dict(r, url=r["url"] + "?mirror=1")
+                for r in generate_batch(42, range(5))]
+    new_rows = generate_batch(42, range(20, 25))
+    spark.createDataFrame(new_rows + dup_rows, PAGES_SCHEMA_DDL).write.mode(
+        "append"
+    ).parquet(pages_dir)
+    incremental_curate_stream(spark, pages_dir, state, ckpt, cfg=cfg,
+                              threshold=0.35)
+    assert log.committed_runs() == ["batch-0", "batch-1"]
+    n2 = log.read("corpus").count()
+    assert n1 < n2 <= n1 + 5  # mirrors deduped cross-corpus
+    texts = [r["text"] for r in log.read("corpus").collect()]
+    assert len(texts) == len(set(texts))  # no duplicate content committed
+
+    # replay window: a FRESH checkpoint re-delivers every file as
+    # batch-0, whose run_id is already committed ⇒ no-op
+    incremental_curate_stream(spark, pages_dir, state,
+                              str(tmp_path / "ckpt2"), cfg=cfg,
+                              threshold=0.35)
+    assert log.committed_runs() == ["batch-0", "batch-1"]
+    assert log.read("corpus").count() == n2

@@ -4,12 +4,16 @@ The driver ships sf{0.001,0.01,0.1}; the sf1 REHEARSAL (VERDICT r2 #3)
 needs a 10× tier to prove no query grows super-linearly. This tool
 derives it deterministically from sf0.1 (no RNG, no external data):
 
-- ``documents``: 10 replicas. Replica k>0 interleaves a ``k<k>`` marker
-  token before every 3rd word, so EVERY word-3-shingle contains a
-  replica marker — cross-replica Jaccard is exactly 0 and the near-dup
-  pair structure of each replica mirrors the source tier instead of
-  exploding into 10-clone clusters (a naive copy would square the LSH
-  bucket work and measure a synthetic pathology, not scaling).
+- ``documents``: 10 replicas. Replica k>0 maps every word w → w~k — a
+  per-replica VOCABULARY BIJECTION, so every shingle maps bijectively
+  too: cross-replica Jaccard is exactly 0 while each replica's
+  intra-corpus pair structure is EXACTLY the source tier's (pairs,
+  Jaccards, cluster sizes all identical), i.e. every text operator's
+  output grows exactly linearly. (A naive copy would clone every doc
+  into a 10-dup cluster and square the LSH bucket work; a marker-
+  interleaving scheme shrinks shingle entropy to 2 effective words and
+  manufactures spurious low-Jaccard pairs — both measure synthetic
+  pathologies, not scaling.)
 - ``embeddings``: 10 replicas; replica k rotates each vector by k
   components (norm-preserving, neighbor-scrambling).
 - ``events``: 10 replicas; ids offset, timestamps shifted k days.
@@ -50,22 +54,19 @@ def main() -> int:
         "documents embeddings").split()}
 
     emit("documents", f"""
-        SELECT doc_id + k * {OFF} AS doc_id,
-               CASE WHEN k = 0 THEN text
-                    ELSE array_to_string(
-                      list_transform(string_split(text, ' '),
-                        (w, i) -> CASE WHEN i % 3 = 1
-                                  THEN 'k' || k || ' ' || w ELSE w END),
-                      ' ')
-               END AS text,
-               lang, source,
-               CAST(length(CASE WHEN k = 0 THEN text
-                    ELSE array_to_string(
-                      list_transform(string_split(text, ' '),
-                        (w, i) -> CASE WHEN i % 3 = 1
-                                  THEN 'k' || k || ' ' || w ELSE w END),
-                      ' ') END) AS BIGINT) AS n_chars
-        FROM {t['documents']} CROSS JOIN reps
+        WITH scaled AS (
+          SELECT doc_id + k * {OFF} AS doc_id,
+                 CASE WHEN k = 0 THEN text
+                      ELSE array_to_string(
+                        list_transform(string_split(text, ' '),
+                                       w -> w || '~' || k),
+                        ' ')
+                 END AS text,
+                 lang, source
+          FROM {t['documents']} CROSS JOIN reps)
+        SELECT doc_id, text, lang, source,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM scaled
     """)
     emit("embeddings", f"""
         SELECT vec_id + k * {OFF} AS vec_id,
