@@ -34,6 +34,17 @@ def content_keyed_fixture_dir(
     import os
 
     h = hashlib.md5(sf_dir.encode())
+    # key on the source TABLES' identity too (name/size/mtime): the same
+    # path can be regenerated with different contents (the sf1 rehearsal
+    # does exactly that), and a path-only key would silently serve
+    # fixtures built from the old data
+    try:
+        for name in sorted(os.listdir(sf_dir)):
+            if name.endswith(".parquet"):
+                st = os.stat(os.path.join(sf_dir, name))
+                h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    except OSError:
+        pass
     for mod_file in modules:
         try:
             with open(mod_file, "rb") as fh:
