@@ -725,8 +725,10 @@ def q_incremental_dedup(spark, sf_dir):
     then the odd half is flagged against that committed state. The md5
     signature family (n_perm=32, bands=8, k=3 — the same parameters as
     the minhash_lsh_md5 oracle) is bit-reproducible in DuckDB, so every
-    flag — within-batch rep, exact-cross, LSH near-cross, kept — is an
-    exact cross-engine check, state round-trip included."""
+    flag — within-batch exact rep, within-batch LSH near victim,
+    exact-cross, LSH near-cross, kept — is an exact cross-engine check,
+    state round-trip included (the oracle rebuilds increment 1's
+    survivor set, within-batch near pass included, from scratch)."""
     from mindocr_spark.functions import dedup as dedup_mod
     from mindocr_spark.functions import text as text_mod
     from mindocr_spark import dedup_state as ds_mod
@@ -744,16 +746,22 @@ def q_incremental_dedup(spark, sf_dir):
         dedup_increment(a, DedupLog(spark, out_dir), "inc-a",
                         params=p, threshold=0.35)
 
+    from mindocr_spark.operators import pipeline as pipeline_mod
+
     root = content_keyed_fixture_dir(
         "dedupstate", sf_dir,
-        (ds_mod.__file__, dedup_mod.__file__, text_mod.__file__),
+        # pipeline_mod implements the manifest protocol the DedupLog
+        # commits through — a format change must invalidate the cache
+        (ds_mod.__file__, dedup_mod.__file__, text_mod.__file__,
+         pipeline_mod.__file__),
         build,
     )
     flags = cross_corpus_flags(
         b, DedupLog(spark, root), p, threshold=0.35, id_col="doc_id"
     )
     return flags.select(
-        "doc_id", "is_rep", "exact_cross", "near_cross", "kept"
+        "doc_id", "is_rep", "near_batch", "exact_cross", "near_cross",
+        "kept",
     ).orderBy("doc_id")
 
 
@@ -1849,13 +1857,45 @@ def oracle_sql() -> dict[str, str]:
                        min(doc_id) OVER (PARTITION BY fp) AS rep
                 FROM afp)
               WHERE doc_id = rep),
-            acorp AS (SELECT a.doc_id, a.text FROM a JOIN arep USING (doc_id)),
+            {_md5_sig_ctes("a", "_a0")},
+            acand AS (
+              SELECT DISTINCT x.doc_id AS lo_id, y.doc_id AS hi_id
+              FROM banded_a0 x JOIN banded_a0 y USING (band, bucket)
+              WHERE x.doc_id < y.doc_id),
+            aest AS (
+              SELECT lo_id, hi_id,
+                     SUM(CASE WHEN sl.minh = sh.minh THEN 1 ELSE 0 END) AS n_match
+              FROM acand
+              JOIN sig_a0 sl ON sl.doc_id = acand.lo_id
+              JOIN sig_a0 sh ON sh.doc_id = acand.hi_id AND sh.perm = sl.perm
+              GROUP BY lo_id, hi_id),
+            avict AS (
+              SELECT DISTINCT hi_id FROM aest
+              WHERE round(CAST(n_match AS DOUBLE) / 32.0, 6) >= 0.35),
+            acorp AS (
+              SELECT a.doc_id, a.text FROM a JOIN arep USING (doc_id)
+              WHERE a.doc_id NOT IN (SELECT hi_id FROM avict)),
+            acfp AS (SELECT doc_id, {_FP_SQL} AS fp FROM acorp),
             bflags AS (
               SELECT doc_id, fp,
                      doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_rep
               FROM (SELECT doc_id, {_FP_SQL} AS fp FROM b)),
             {_md5_sig_ctes("acorp", "_a")},
             {_md5_sig_ctes("b", "_b")},
+            bcand AS (
+              SELECT DISTINCT x.doc_id AS lo_id, y.doc_id AS hi_id
+              FROM banded_b x JOIN banded_b y USING (band, bucket)
+              WHERE x.doc_id < y.doc_id),
+            best AS (
+              SELECT lo_id, hi_id,
+                     SUM(CASE WHEN sl.minh = sh.minh THEN 1 ELSE 0 END) AS n_match
+              FROM bcand
+              JOIN sig_b sl ON sl.doc_id = bcand.lo_id
+              JOIN sig_b sh ON sh.doc_id = bcand.hi_id AND sh.perm = sl.perm
+              GROUP BY lo_id, hi_id),
+            bnear AS (
+              SELECT DISTINCT hi_id FROM best
+              WHERE round(CAST(n_match AS DOUBLE) / 32.0, 6) >= 0.35),
             cand AS (
               SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
               FROM banded_b x JOIN banded_a y USING (band, bucket)),
@@ -1870,10 +1910,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT new_id FROM est
               WHERE round(CAST(n_match AS DOUBLE) / 32.0, 6) >= 0.35)
             SELECT f.doc_id, f.is_rep,
-                   f.fp IN (SELECT fp FROM arep) AS exact_cross,
+                   f.doc_id IN (SELECT hi_id FROM bnear) AS near_batch,
+                   f.fp IN (SELECT fp FROM acfp) AS exact_cross,
                    f.doc_id IN (SELECT new_id FROM near) AS near_cross,
                    (f.is_rep
-                    AND f.fp NOT IN (SELECT fp FROM arep)
+                    AND f.doc_id NOT IN (SELECT hi_id FROM bnear)
+                    AND f.fp NOT IN (SELECT fp FROM acfp)
                     AND f.doc_id NOT IN (SELECT new_id FROM near)) AS kept
             FROM bflags f ORDER BY f.doc_id
         """,

@@ -40,11 +40,14 @@ class CurateConfig:
     langs: tuple[str, ...] = ()    # keep-list; empty = all
     min_stop_ratio: float = 0.0    # prose-ness gate (0 disables)
     neardup_threshold: float = 0.6  # MinHash est-jaccard cutoff; >1 disables
-    # Gopher/C4-style repetition gates (≥ 1.0 disables each). The two
-    # line/symbol gates are pure row expressions (free on the scan);
-    # the top-2-gram gate adds one (doc, gram) keyed shuffle.
+    # Gopher/C4-style repetition gates. dup_line_frac and top2gram_share
+    # are bounded in [0,1] so ≥ 1.0 disables them; symbol_word_ratio
+    # legitimately exceeds 1 (symbol-soup docs), so its disable sentinel
+    # is inf — any finite threshold, including ≥ 1.0, is enforced. The
+    # two line/symbol gates are pure row expressions (free on the
+    # scan); the top-2-gram gate adds one (doc, gram) keyed shuffle.
     max_dup_line_frac: float = 1.0
-    max_symbol_word_ratio: float = 1.0
+    max_symbol_word_ratio: float = float("inf")
     max_top2gram_share: float = 1.0
 
 
@@ -104,11 +107,14 @@ def _curate_build(pages, cfg, params, _persist):
     # expressions fused into the same narrow stage; the top-2-gram
     # share costs one (doc, gram) shuffle and is joined back only when
     # its gate is enabled
-    if cfg.max_dup_line_frac < 1.0 or cfg.max_symbol_word_ratio < 1.0:
+    import math
+
+    symbol_gate = math.isfinite(cfg.max_symbol_word_ratio)
+    if cfg.max_dup_line_frac < 1.0 or symbol_gate:
         rep = repetition_line_cols(tagged, text_col="text", id_col="url")
         if cfg.max_dup_line_frac < 1.0:
             rep = rep.where(F.col("dup_line_frac") <= cfg.max_dup_line_frac)
-        if cfg.max_symbol_word_ratio < 1.0:
+        if symbol_gate:
             rep = rep.where(
                 F.col("symbol_word_ratio") <= cfg.max_symbol_word_ratio
             )

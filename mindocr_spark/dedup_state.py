@@ -86,11 +86,13 @@ class MinHashParams:
             raise ValueError(f"unknown minhash family {self.family!r}")
         return sig.withColumn("minh", F.col("minh").cast("string"))
 
+    def bucket_agg(self):
+        return (bucket_agg_md5() if self.family == "md5"
+                else bucket_agg_xxhash64())
+
     def band_buckets(self, sig: DataFrame, id_col: str) -> DataFrame:
-        agg = (bucket_agg_md5() if self.family == "md5"
-               else bucket_agg_xxhash64())
         return band_buckets(
-            sig, self.n_perm, self.bands, agg, id_col
+            sig, self.n_perm, self.bands, self.bucket_agg(), id_col
         ).withColumn("bucket", F.col("bucket").cast("string"))
 
 
@@ -220,8 +222,13 @@ def state_frames(
     normalized to `id` in the three index components so heterogeneous
     corpora (url-keyed pages, doc_id-keyed documents) share one state
     schema."""
+    from mindocr_spark.cache import tracked_persist
+
     idc = F.col(id_col).cast("string").alias("id")
-    sig = params.signatures(docs, text_col, id_col)
+    # sig feeds both the signatures and the bands components — persist
+    # it or the shingle+minhash groupBy runs once per consumer (callers
+    # run under dedup_increment's persist_scope, which owns release)
+    sig = tracked_persist(params.signatures(docs, text_col, id_col))
     return {
         "corpus": docs,
         "fingerprints": docs.select(
@@ -247,16 +254,30 @@ def cross_corpus_flags(
 
     - ``is_rep``      — smallest-id representative of its exact
                         fingerprint cluster WITHIN the increment;
+    - ``near_batch``  — LSH-estimated Jaccard ≥ threshold against some
+                        SMALLER-id doc of the same increment (greedy
+                        min-id-survives rule, applied per candidate
+                        pair — the same victim rule as the cross pass,
+                        which makes the corpus approximately batching-
+                        independent: the pair {base, near} yields the
+                        same survivor whether the two arrive together
+                        or in separate increments. Chains a~b~c where
+                        a≁c remain greedy — b and c both drop in one
+                        batch, while split batches would keep c — the
+                        standard greedy/connected-component gap every
+                        single-pass LSH dedup has);
     - ``exact_cross`` — fingerprint already committed;
     - ``near_cross``  — some committed doc's LSH-estimated Jaccard ≥
                         threshold (candidates from the new-bands ⋈
                         committed-bands key join — never all-pairs);
-    - ``kept``        — is_rep ∧ ¬exact_cross ∧ ¬near_cross.
+    - ``kept``        — is_rep ∧ ¬near_batch ∧ ¬exact_cross ∧
+                        ¬near_cross.
 
-    Empty state (first increment) ⇒ only the within-batch pass applies.
+    Empty state (first increment) ⇒ only the within-batch passes apply.
     The returned frame keeps all input columns plus the flags.
     """
     from mindocr_spark.cache import tracked_persist
+    from mindocr_spark.functions.dedup import _lsh_pairs_from_signatures
 
     fp = new_docs.withColumn("fingerprint", fingerprint_md5(text_col))
     w = Window.partitionBy("fingerprint")
@@ -264,12 +285,30 @@ def cross_corpus_flags(
         "is_rep", F.col(id_col) == F.min(id_col).over(w)
     )
 
+    # one signature pass feeds the within-batch self-join, the cross
+    # candidate join and the estimate join
+    sig = tracked_persist(params.signatures(new_docs, text_col, id_col))
+
+    # within-batch near pass: the shared LSH tail (band self-join →
+    # estimate), victim = the larger id of each ≥-threshold pair
+    batch_pairs = _lsh_pairs_from_signatures(
+        sig, params.bucket_agg(), params.n_perm, params.bands,
+        threshold, id_col,
+    )
+    nb = (
+        batch_pairs.select(F.col("id_b").alias("__nbid")).distinct()
+        .withColumn("near_batch", F.lit(True))
+    )
+    flagged = flagged.join(
+        nb, flagged[id_col] == F.col("__nbid"), "left"
+    ).drop("__nbid").fillna(False, ["near_batch"])
+
     state_fp = log.read("fingerprints")
     if state_fp is None:
         return (
             flagged.withColumn("exact_cross", F.lit(False))
             .withColumn("near_cross", F.lit(False))
-            .withColumn("kept", F.col("is_rep"))
+            .withColumn("kept", F.col("is_rep") & ~F.col("near_batch"))
         )
 
     committed_fps = state_fp.select("fingerprint").distinct()
@@ -280,7 +319,6 @@ def cross_corpus_flags(
 
     # near-dup candidates: key-partitioned join on (band, bucket); the
     # committed side is a pre-keyed scan of the state's bands component
-    sig = tracked_persist(params.signatures(new_docs, text_col, id_col))
     new_bands = params.band_buckets(sig, id_col)
     cand = (
         new_bands.withColumnRenamed(id_col, "new_id")
@@ -330,7 +368,8 @@ def cross_corpus_flags(
     ).drop("__nid").fillna(False, ["near_cross"])
     return flagged.withColumn(
         "kept",
-        F.col("is_rep") & ~F.col("exact_cross") & ~F.col("near_cross"),
+        F.col("is_rep") & ~F.col("near_batch")
+        & ~F.col("exact_cross") & ~F.col("near_cross"),
     )
 
 
@@ -353,12 +392,18 @@ def dedup_increment(
     committed_params = log.params()
     if committed_params is not None:
         params = committed_params  # the log's family always wins
+    from mindocr_spark.cache import tracked_persist
+
     with persist_scope():
         flags = cross_corpus_flags(
             docs, log, params, threshold=threshold,
             text_col=text_col, id_col=id_col,
         )
-        survivors = flags.where("kept").select(*docs.columns)
+        # four component writes consume plans rooted here — persist so
+        # the window + cross joins + estimate agg run once, not 4×
+        survivors = tracked_persist(
+            flags.where("kept").select(*docs.columns)
+        )
         return log.commit_increment(
             run_id, state_frames(survivors, params, text_col, id_col), params
         )

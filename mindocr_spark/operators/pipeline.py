@@ -321,9 +321,13 @@ def write_results_wap(
     Contract: SINGLE WRITER — seq allocation is max-existing+1 with no
     compare-and-swap, so two concurrent writers could both claim a seq
     (a real catalog arbitrates this; one writer per table here).
-    Readers are unrestricted and never block. Retrying a crashed run_id
-    is idempotent: the data dir is rewritten in overwrite mode and the
-    retry commits under a fresh seq.
+    Readers are unrestricted and never block. Retrying a run_id is
+    idempotent BOTH ways: a run_id that already COMMITTED returns True
+    without touching storage (its data dir is live — rewriting it would
+    yank bytes out from under readers of the current snapshot, and a
+    second manifest would alias the same data_dir); a run_id that
+    CRASHED before its manifest appeared left only an orphan stage dir,
+    which the retry overwrites and commits under a fresh seq.
 
     Crash matrix: during stage → orphan data dir, no manifest, readers
     untouched, swept later; during manifest create → checksum fails,
@@ -338,6 +342,12 @@ def write_results_wap(
     spark = result.sparkSession
     fs = _FS(spark, path)
     audit = audit or (lambda m: m["failures"] == 0 and m["docs"] > 0)
+
+    # idempotent replay: a run_id with a committed manifest is done —
+    # its data dir may be the one readers currently resolve, so the
+    # retry must not restage (mode("overwrite") would delete live data)
+    if any(m["run_id"] == run_id for m in _load_manifests(fs, path)):
+        return True
 
     data_dir = f"{path}/{_DATA_DIR}/{run_id}"
     observed, obs = _observe_metrics(result, run_id)

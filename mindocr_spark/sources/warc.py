@@ -242,10 +242,13 @@ def read_warc(spark: SparkSession, path: str,
 
     if files is not None and not files:
         return spark.createDataFrame([], WARC_PAGES_SCHEMA)
+    # pathGlobFilter on the directory, not a glob in the path: a glob
+    # path makes Spark's FileStreamSink metadata probe log a benign but
+    # noisy FileNotFoundException stack trace on every scan
     reader = spark.read.format("binaryFile")
     files_df = (
         reader.load(files) if files is not None
-        else reader.load(f"{path}/*.warc")
+        else reader.option("pathGlobFilter", "*.warc").load(path)
     )
 
     def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -306,7 +309,9 @@ def ingest_warc_incremental(
 
     Returns the basenames ingested this run ([] when up to date).
     """
-    listed = spark.read.format("binaryFile").load(f"{warc_dir}/*.warc").select(
+    listed = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "*.warc"
+    ).load(warc_dir).select(
         "path", F.element_at(F.split("path", "/"), -1).alias("warc_file")
     )
     try:

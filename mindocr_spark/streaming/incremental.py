@@ -83,6 +83,20 @@ def incremental_curate_stream(
       the batch (the foreachBatch at-least-once window, closed by the
       log's idempotent manifest commit).
 
+    run_id namespacing: batch ids restart at 0 whenever the checkpoint
+    is reset (or a second stream points at the same state_root), so a
+    bare ``batch-<id>`` run_id would collide with an already-committed
+    one and the replayed-plus-NEW files of the fresh batch-0 would be
+    silently swallowed by the idempotence no-op — permanent data loss.
+    Each checkpoint therefore carries its own stream identity (a
+    create-once ``_graft_stream_id`` file inside the checkpoint dir,
+    same lifetime as the batch counter it qualifies) and commits under
+    ``<stream_id>-batch-<id>``: a replay of the SAME checkpoint's batch
+    reuses the same run_id (exactly-once preserved), while a reset
+    checkpoint gets a fresh id — its re-delivered old files are dropped
+    by the cross-corpus exact-fingerprint pass, and genuinely new files
+    commit.
+
     availableNow semantics: drain everything unprocessed, then stop.
     Readers consume the corpus through ``DedupLog(...).read("corpus")``.
     """
@@ -92,10 +106,11 @@ def incremental_curate_stream(
 
     params = params or MinHashParams()
     log = DedupLog(spark, state_root)
+    stream_id = _checkpoint_stream_id(spark, checkpoint_dir)
 
     def commit_batch(batch_df, batch_id: int) -> None:
         curate_increment(
-            batch_df, log, f"batch-{batch_id}", cfg=cfg,
+            batch_df, log, f"{stream_id}-batch-{batch_id}", cfg=cfg,
             params=params, threshold=threshold,
         )
 
@@ -113,6 +128,26 @@ def incremental_curate_stream(
         .start()
         .awaitTermination()
     )
+
+
+def _checkpoint_stream_id(spark: SparkSession, checkpoint_dir: str) -> str:
+    """Stable identity for one checkpoint lineage: read the create-once
+    ``_graft_stream_id`` file inside the checkpoint dir, minting it on
+    first start. It lives and dies WITH the batch counter — same
+    checkpoint ⇒ same id across restarts; wiped/reset checkpoint ⇒
+    fresh id, so restarted batch numbering never aliases a previous
+    lineage's committed run_ids."""
+    import uuid
+
+    from mindocr_spark.operators.pipeline import _FS
+
+    fs = _FS(spark, checkpoint_dir)
+    marker = f"{checkpoint_dir.rstrip('/')}/_graft_stream_id"
+    if fs.exists(marker):
+        return fs.read_bytes(marker).decode("ascii").strip()
+    sid = uuid.uuid4().hex[:12]
+    fs.write_bytes(marker, sid.encode("ascii"))
+    return sid
 
 
 def incremental_extract_jsonl(

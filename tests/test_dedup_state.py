@@ -64,6 +64,35 @@ def test_two_increments_cross_corpus(spark, tmp_path):
     assert {r["doc_id"] for r in log.read("corpus").collect()} == corpus
 
 
+def test_within_batch_near_dedup(spark, tmp_path):
+    """Near-duplicates arriving in the SAME increment dedup exactly as
+    if they had arrived in separate increments — the corpus must not
+    depend on how docs were batched."""
+    from mindocr_spark.dedup_state import (
+        DedupLog, MinHashParams, dedup_increment,
+    )
+
+    p = MinHashParams()
+
+    # one batch: BASE and its near-dup together
+    log1 = DedupLog(spark, str(tmp_path / "one"))
+    assert dedup_increment(
+        _docs(spark, [(1, BASE), (2, NEAR), (3, OTHER)]),
+        log1, "run-a", params=p, threshold=0.35,
+    )
+    together = {r["doc_id"] for r in log1.read("corpus").collect()}
+
+    # two batches: BASE committed first, near-dup arrives later
+    log2 = DedupLog(spark, str(tmp_path / "two"))
+    assert dedup_increment(_docs(spark, [(1, BASE), (3, OTHER)]),
+                           log2, "run-a", params=p, threshold=0.35)
+    assert dedup_increment(_docs(spark, [(2, NEAR)]),
+                           log2, "run-b", params=p, threshold=0.35)
+    split = {r["doc_id"] for r in log2.read("corpus").collect()}
+
+    assert together == split == {1, 3}  # min-id survivor either way
+
+
 def test_crash_replay_exactly_once(spark, tmp_path):
     """Crash between the increment write and the manifest commit: the
     increment is invisible, the retry commits it exactly once, and no

@@ -246,6 +246,17 @@ def test_write_audit_publish(spark, tmp_path):
     with pytest.raises(LookupError):
         read_published(spark, out, seq=1)
 
+    # retrying an ALREADY-COMMITTED run_id is a pure no-op: True, no
+    # restage (the live data dir must not be rewritten under readers),
+    # no second manifest aliasing the same data_dir, no metrics row
+    n_metrics = spark.read.parquet(metrics).count()
+    assert write_results_wap(
+        run_extraction(pages_dataframe(spark, 5, seed=7)), out, metrics,
+        run_id="r4")
+    assert read_published(spark, out).count() == 10   # r4's original bytes
+    assert [s["run_id"] for s in list_snapshots(spark, out)] == ["r3", "r4"]
+    assert spark.read.parquet(metrics).count() == n_metrics
+
 
 def test_wap_crash_recovery_no_renames(spark, tmp_path, monkeypatch):
     """Crash matrix of the manifest-pointer commit: a torn manifest

@@ -143,7 +143,9 @@ def test_incremental_curate_stream_exactly_once(spark, tmp_path):
     incremental_curate_stream(spark, pages_dir, state, ckpt, cfg=cfg,
                               threshold=0.35)
     log = DedupLog(spark, state)
-    assert log.committed_runs() == ["batch-0"]
+    runs = log.committed_runs()
+    assert len(runs) == 1 and runs[0].endswith("-batch-0")
+    sid = runs[0].split("-batch-")[0]
     n1 = log.read("corpus").count()
     assert n1 > 0
 
@@ -159,16 +161,36 @@ def test_incremental_curate_stream_exactly_once(spark, tmp_path):
     ).parquet(pages_dir)
     incremental_curate_stream(spark, pages_dir, state, ckpt, cfg=cfg,
                               threshold=0.35)
-    assert log.committed_runs() == ["batch-0", "batch-1"]
+    # the SAME checkpoint keeps its stream id across restarts
+    assert log.committed_runs() == [f"{sid}-batch-0", f"{sid}-batch-1"]
     n2 = log.read("corpus").count()
     assert n1 < n2 <= n1 + 5  # mirrors deduped cross-corpus
     texts = [r["text"] for r in log.read("corpus").collect()]
     assert len(texts) == len(set(texts))  # no duplicate content committed
 
     # replay window: a FRESH checkpoint re-delivers every file as
-    # batch-0, whose run_id is already committed ⇒ no-op
+    # batch-0 under a FRESH stream id (never aliasing the committed
+    # run_ids); the re-delivered docs are all cross-corpus duplicates,
+    # so the corpus is byte-for-byte unchanged
     incremental_curate_stream(spark, pages_dir, state,
                               str(tmp_path / "ckpt2"), cfg=cfg,
                               threshold=0.35)
-    assert log.committed_runs() == ["batch-0", "batch-1"]
+    runs = log.committed_runs()
+    assert len(runs) == 3 and runs[2].endswith("-batch-0")
+    assert runs[2].split("-batch-")[0] != sid
     assert log.read("corpus").count() == n2
+
+    # checkpoint reset WITH genuinely new files: a bare batch-counter
+    # run_id would collide with the committed batch-0 and silently
+    # swallow the new pages forever; the stream-id namespace means they
+    # commit, while the re-delivered old pages still dedup away
+    spark.createDataFrame(
+        generate_batch(42, range(30, 38)), PAGES_SCHEMA_DDL
+    ).write.mode("append").parquet(pages_dir)
+    incremental_curate_stream(spark, pages_dir, state,
+                              str(tmp_path / "ckpt3"), cfg=cfg,
+                              threshold=0.35)
+    n3 = log.read("corpus").count()
+    assert n3 > n2  # the new pages landed
+    texts = [r["text"] for r in log.read("corpus").collect()]
+    assert len(texts) == len(set(texts))  # and nothing committed twice
