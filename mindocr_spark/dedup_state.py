@@ -102,11 +102,20 @@ class DedupLog:
         root/_manifests/manifest-<seq>-<run_id>.json   (checksummed)
         root/_increments/<run_id>/{corpus,fingerprints,signatures,bands}
 
-    Each manifest records the CUMULATIVE list of committed run_ids plus
-    the MinHash params; readers resolve the highest-seq valid manifest
-    and scan the union of its increments. Same single-writer contract
-    and crash matrix as write_results_wap: an increment directory with
-    no manifest is invisible and swept by a later commit."""
+    Each manifest records TWO run lists: ``increments`` — the LIVE
+    directories readers scan — and ``all_runs``, the cumulative ledger
+    of every run_id ever committed. They coincide until
+    :meth:`compact` folds many live increments into one consolidated
+    directory: the ledger keeps growing (so replaying an absorbed
+    run_id stays a no-op) while the live list shrinks back to one
+    entry. Without compaction a streaming pipeline committing
+    thousands of micro-batches leaves thousands of small parquet
+    directories that EVERY subsequent increment's candidate join must
+    union-scan — the classic small-files decay of log-structured
+    tables, fixed the same way Iceberg/Delta fix it (rewrite + atomic
+    pointer swing). Same single-writer contract and crash matrix as
+    write_results_wap: an increment directory with no manifest is
+    invisible and swept by a later commit."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -125,6 +134,16 @@ class DedupLog:
         return m[-1] if m else None
 
     def committed_runs(self) -> list[str]:
+        """Every run_id ever committed (the idempotence ledger) —
+        compaction absorbs directories, never history."""
+        cur = self.current()
+        if cur is None:
+            return []
+        return list(cur.get("all_runs", cur["increments"]))
+
+    def live_increments(self) -> list[str]:
+        """The increment directories readers actually scan — shrinks
+        when :meth:`compact` folds them together."""
         cur = self.current()
         return list(cur["increments"]) if cur else []
 
@@ -135,10 +154,10 @@ class DedupLog:
     # -- readers --
 
     def read(self, component: str) -> DataFrame | None:
-        """Union of a component across every committed increment (None
-        if the log is empty). One multi-path parquet scan — partition
+        """Union of a component across every LIVE increment (None if
+        the log is empty). One multi-path parquet scan — partition
         pruning and pushdown apply as usual."""
-        runs = self.committed_runs()
+        runs = self.live_increments()
         if not runs:
             return None
         paths = [
@@ -164,7 +183,7 @@ class DedupLog:
             raise ValueError(f"frames must be exactly {_COMPONENTS}")
         cur = self.current()
         if cur is not None:
-            if run_id in cur["increments"]:
+            if run_id in self.committed_runs():
                 return False
             if cur["params"] != params.__dict__:
                 raise ValueError(
@@ -175,9 +194,31 @@ class DedupLog:
         inc = f"{self.root}/_increments/{run_id}"
         for name, df in frames.items():
             df.write.mode("overwrite").parquet(f"{inc}/{name}")
+        self._commit_manifest(
+            run_id,
+            increments=(cur["increments"] if cur else []) + [run_id],
+            params=params,
+            counters=counters,
+        )
+        return True
 
+    def _commit_manifest(
+        self,
+        run_id: str,
+        increments: list[str],
+        params: MinHashParams,
+        counters: dict | None = None,
+    ) -> None:
+        """Publish a new snapshot: one checksummed create-once manifest
+        naming the live increment set, then sweep everything the new
+        snapshot doesn't reference (never-committed orphan dirs,
+        compaction-absorbed dirs, superseded manifests). The commit
+        point is the single file create — a crash before it leaves the
+        previous snapshot intact; a crash after it leaves sweepable
+        garbage the next commit collects."""
         import hashlib
 
+        cur = self.current()
         mdir = f"{self.root}/_manifests"
         seqs = [s for s in map(_manifest_seq, self.fs.list_names(mdir))
                 if s is not None]
@@ -185,7 +226,8 @@ class DedupLog:
         body = {
             "seq": seq,
             "run_id": run_id,
-            "increments": (cur["increments"] if cur else []) + [run_id],
+            "increments": list(increments),
+            "all_runs": self.committed_runs() + [run_id],
             "params": dict(params.__dict__),
             "counters": counters or {},
         }
@@ -196,18 +238,51 @@ class DedupLog:
             f"{mdir}/manifest-{seq:010d}-{run_id}.json",
             json.dumps(body).encode(),
         )
-        # GC: orphan increment dirs (crashed runs that never committed)
-        # and superseded manifests — every committed increment stays
-        # live forever (the log is the table), so only never-committed
-        # leftovers are swept
         live_runs = set(body["increments"])
         for name in self.fs.list_names(f"{self.root}/_increments"):
-            if name not in live_runs and name != run_id:
+            if name not in live_runs:
                 self.fs.delete(f"{self.root}/_increments/{name}")
         for name in self.fs.list_names(mdir):
             s = _manifest_seq(name)
             if s is not None and s != seq:
                 self.fs.delete(f"{mdir}/{name}")
+
+    def compact(self, target_partitions: int | None = None) -> bool:
+        """Fold every live increment into ONE consolidated increment
+        and swing the manifest pointer to it — same data, one directory
+        per component, committed atomically (readers see either the old
+        increment set or the compacted one, never a mix). Returns False
+        when there is nothing to fold (0 or 1 live increments).
+
+        The compacted run_id is derived from the manifest seq (unique
+        per log lifetime, never collides with the caller's namespace);
+        the absorbed run_ids stay on the ``all_runs`` ledger so
+        replaying any of them remains a no-op. `target_partitions`
+        coalesces each component on write — at streaming micro-batch
+        scale the per-increment files are tiny and the default
+        partitioning would preserve the small-files problem inside the
+        compacted directory.
+
+        Crash matrix: during the consolidated write → orphan dir, old
+        snapshot intact, swept by the next commit; after the manifest
+        create → the absorbed dirs are garbage, swept by the sweep
+        below it or the next commit."""
+        cur = self.current()
+        if cur is None or len(cur["increments"]) <= 1:
+            return False
+        run_id = f"compact-{cur['seq'] + 1:010d}"
+        inc = f"{self.root}/_increments/{run_id}"
+        for name in _COMPONENTS:
+            df = self.read(name)
+            if target_partitions is not None:
+                df = df.coalesce(target_partitions)
+            df.write.mode("overwrite").parquet(f"{inc}/{name}")
+        self._commit_manifest(
+            run_id,
+            increments=[run_id],
+            params=self.params(),
+            counters={"compacted": cur["increments"]},
+        )
         return True
 
 

@@ -65,6 +65,8 @@ def incremental_curate_stream(
     threshold: float = 0.5,
     params=None,
     max_files_per_trigger: int | None = None,
+    compact_every: int | None = None,
+    compact_partitions: int | None = None,
 ) -> None:
     """Streaming ingestion with EXACTLY-ONCE cross-corpus dedup: each
     micro-batch of newly-landed page files runs the full curation
@@ -97,6 +99,16 @@ def incremental_curate_stream(
     by the cross-corpus exact-fingerprint pass, and genuinely new files
     commit.
 
+    compact_every: every micro-batch appends one increment directory,
+    and every LATER batch's cross-corpus join union-scans all of them —
+    unbounded, a long-running stream decays into a small-files scan.
+    With ``compact_every=N``, whenever the live increment count reaches
+    N the log is folded into one consolidated increment
+    (``DedupLog.compact``, itself an atomic manifest swing, crash-safe
+    under the same matrix as the commits) before the next batch, so the
+    committed side of the candidate join stays O(1) directories. The
+    run-id ledger is preserved — exactly-once replay is unaffected.
+
     availableNow semantics: drain everything unprocessed, then stop.
     Readers consume the corpus through ``DedupLog(...).read("corpus")``.
     """
@@ -109,6 +121,8 @@ def incremental_curate_stream(
     stream_id = _checkpoint_stream_id(spark, checkpoint_dir)
 
     def commit_batch(batch_df, batch_id: int) -> None:
+        if compact_every and len(log.live_increments()) >= compact_every:
+            log.compact(target_partitions=compact_partitions)
         curate_increment(
             batch_df, log, f"{stream_id}-batch-{batch_id}", cfg=cfg,
             params=params, threshold=threshold,

@@ -133,6 +133,92 @@ def test_crash_replay_exactly_once(spark, tmp_path):
     assert {r["doc_id"] for r in fresh.read("corpus").collect()} == {1, 2, 11}
 
 
+def test_compact_folds_increments(spark, tmp_path):
+    """Compaction folds N live increment dirs into one with identical
+    state, keeps the run-id ledger (absorbed run_ids still replay as
+    no-ops), and later increments dedup against the compacted state
+    exactly as against the original."""
+    from mindocr_spark.dedup_state import (
+        DedupLog, MinHashParams, dedup_increment,
+    )
+
+    log = DedupLog(spark, str(tmp_path / "state"))
+    p = MinHashParams()
+    assert dedup_increment(_docs(spark, [(1, BASE)]), log, "run-a",
+                           params=p, threshold=0.35)
+    assert dedup_increment(_docs(spark, [(2, OTHER)]), log, "run-b",
+                           params=p, threshold=0.35)
+    assert dedup_increment(_docs(spark, [(3, THIRD)]), log, "run-c",
+                           params=p, threshold=0.35)
+    assert len(log.live_increments()) == 3
+    before = {
+        c: {tuple(r) for r in log.read(c).collect()}
+        for c in ("corpus", "fingerprints", "signatures", "bands")
+    }
+
+    assert log.compact(target_partitions=1)
+    assert len(log.live_increments()) == 1
+    assert log.live_increments()[0].startswith("compact-")
+    after = {
+        c: {tuple(r) for r in log.read(c).collect()}
+        for c in ("corpus", "fingerprints", "signatures", "bands")
+    }
+    assert before == after  # byte-equal state, one directory
+
+    # the ledger survives: every absorbed run_id still replays no-op
+    assert set(log.committed_runs()) >= {"run-a", "run-b", "run-c"}
+    assert not dedup_increment(_docs(spark, [(9, THIRD)]), log, "run-b",
+                               params=p, threshold=0.35)
+
+    # cross-corpus verdicts are unchanged by compaction: exact dup of
+    # committed BASE drops, near-dup drops, fresh doc lands
+    assert dedup_increment(
+        _docs(spark, [(10, BASE), (11, NEAR),
+                      (12, "wholly new words never seen before in any "
+                           "committed document of this little corpus")]),
+        log, "run-d", params=p, threshold=0.35,
+    )
+    assert {r["doc_id"] for r in log.read("corpus").collect()} \
+        == {1, 2, 3, 12}
+
+    # nothing to fold after a fresh compact + one increment → compact
+    # again folds 2 → 1; a single-increment log refuses
+    assert log.compact()
+    assert not log.compact()
+
+
+def test_compact_crash_is_invisible(spark, tmp_path):
+    """A crash during compaction's manifest create leaves the previous
+    snapshot fully intact; the retry succeeds."""
+    from mindocr_spark.dedup_state import (
+        DedupLog, MinHashParams, dedup_increment,
+    )
+
+    root = str(tmp_path / "state")
+    log = DedupLog(spark, root)
+    p = MinHashParams()
+    assert dedup_increment(_docs(spark, [(1, BASE)]), log, "run-a",
+                           params=p, threshold=0.35)
+    assert dedup_increment(_docs(spark, [(2, OTHER)]), log, "run-b",
+                           params=p, threshold=0.35)
+
+    real_write = log.fs.write_bytes
+
+    def _boom(path, data):
+        raise OSError("simulated crash before compaction manifest")
+
+    log.fs.write_bytes = _boom
+    with pytest.raises(OSError):
+        log.compact()
+    log.fs.write_bytes = real_write
+
+    fresh = DedupLog(spark, root)
+    assert fresh.live_increments() == ["run-a", "run-b"]
+    assert {r["doc_id"] for r in fresh.read("corpus").collect()} == {1, 2}
+    assert fresh.compact()
+    assert {r["doc_id"] for r in fresh.read("corpus").collect()} == {1, 2}
+
+
 def test_family_mismatch_refused(spark, tmp_path):
     from mindocr_spark.dedup_state import (
         DedupLog, MinHashParams, dedup_increment, state_frames,

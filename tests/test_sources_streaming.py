@@ -194,3 +194,42 @@ def test_incremental_curate_stream_exactly_once(spark, tmp_path):
     assert n3 > n2  # the new pages landed
     texts = [r["text"] for r in log.read("corpus").collect()]
     assert len(texts) == len(set(texts))  # and nothing committed twice
+
+
+def test_incremental_curate_stream_compacts(spark, tmp_path):
+    """compact_every bounds the live increment count of a long-running
+    stream (the small-files decay of a per-micro-batch log) without
+    changing the committed corpus or the exactly-once ledger."""
+    from mindocr_spark.curate import CurateConfig
+    from mindocr_spark.dedup_state import DedupLog
+    from mindocr_spark.streaming import incremental_curate_stream
+
+    pages_dir = str(tmp_path / "pages")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    cfg = CurateConfig(min_chars=50, neardup_threshold=2.0)
+
+    def drain():
+        incremental_curate_stream(spark, pages_dir, state, ckpt, cfg=cfg,
+                                  threshold=0.35, compact_every=2)
+
+    for start in (0, 100, 200, 300):
+        _corpus(spark, 6, start=start).write.mode("append").parquet(pages_dir)
+        drain()
+
+    log = DedupLog(spark, state)
+    # 4 batches committed, but folding kicked in whenever 2 increments
+    # were live — the scan side never exceeds compact_every dirs
+    assert len(log.live_increments()) <= 2
+    batch_runs = [r for r in log.committed_runs() if "-batch-" in r]
+    assert len(batch_runs) == 4  # the ledger keeps every batch
+    texts = [r["text"] for r in log.read("corpus").collect()]
+    assert len(texts) == len(set(texts))  # corpus is still dedup-clean
+    n = len(texts)
+
+    # replay window: fresh checkpoint re-delivers everything; the
+    # compacted state still drops every re-delivered doc
+    incremental_curate_stream(spark, pages_dir, state,
+                              str(tmp_path / "ckpt2"), cfg=cfg,
+                              threshold=0.35, compact_every=2)
+    assert log.read("corpus").count() == n
