@@ -40,15 +40,17 @@ class CurateConfig:
     langs: tuple[str, ...] = ()    # keep-list; empty = all
     min_stop_ratio: float = 0.0    # prose-ness gate (0 disables)
     neardup_threshold: float = 0.6  # MinHash est-jaccard cutoff; >1 disables
-    # Gopher/C4-style repetition gates. dup_line_frac and top2gram_share
-    # are bounded in [0,1] so ≥ 1.0 disables them; symbol_word_ratio
-    # legitimately exceeds 1 (symbol-soup docs), so its disable sentinel
-    # is inf — any finite threshold, including ≥ 1.0, is enforced. The
-    # two line/symbol gates are pure row expressions (free on the
-    # scan); the top-2-gram gate adds one (doc, gram) keyed shuffle.
+    # Gopher/C4-style repetition gates. dup_line_frac is bounded in
+    # [0,1] so ≥ 1.0 disables it; symbol_word_ratio and top2gram_share
+    # both legitimately exceed 1 (symbol-soup docs; share =
+    # freq·len(gram)/n_chars on heavily repetitive text), so their
+    # disable sentinel is inf — any finite threshold, including ≥ 1.0,
+    # is enforced. The two line/symbol gates are pure row expressions
+    # (free on the scan); the top-2-gram gate adds one (doc, gram)
+    # keyed shuffle.
     max_dup_line_frac: float = 1.0
     max_symbol_word_ratio: float = float("inf")
-    max_top2gram_share: float = 1.0
+    max_top2gram_share: float = float("inf")
 
 
 def curate(
@@ -122,7 +124,7 @@ def _curate_build(pages, cfg, params, _persist):
             "n_lines", "dup_line_frac", "n_ellipsis_lines",
             "symbol_word_ratio",
         )
-    if cfg.max_top2gram_share < 1.0:
+    if math.isfinite(cfg.max_top2gram_share):
         shares = top_2gram_cols(tagged, text_col="text", id_col="url").select(
             "url", "top_2gram_share"
         )

@@ -37,7 +37,6 @@ missed).
 
 from __future__ import annotations
 
-import json
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -199,6 +198,7 @@ class DedupLog:
             increments=(cur["increments"] if cur else []) + [run_id],
             params=params,
             counters=counters,
+            cur=cur,
         )
         return True
 
@@ -208,40 +208,35 @@ class DedupLog:
         increments: list[str],
         params: MinHashParams,
         counters: dict | None = None,
+        cur: dict | None = None,
     ) -> None:
         """Publish a new snapshot: one checksummed create-once manifest
-        naming the live increment set, then sweep everything the new
-        snapshot doesn't reference (never-committed orphan dirs,
-        compaction-absorbed dirs, superseded manifests). The commit
-        point is the single file create — a crash before it leaves the
-        previous snapshot intact; a crash after it leaves sweepable
-        garbage the next commit collects."""
-        import hashlib
+        (via the shared WAP-protocol writer) naming the live increment
+        set, then sweep everything the new snapshot doesn't reference
+        (never-committed orphan dirs, compaction-absorbed dirs,
+        superseded manifests). The commit point is the single file
+        create — a crash before it leaves the previous snapshot intact;
+        a crash after it leaves sweepable garbage the next commit
+        collects. `cur` is the caller's already-loaded current manifest
+        (every caller has one in hand; re-reading here would triple the
+        small-object reads per streaming micro-batch on an object
+        store)."""
+        from mindocr_spark.operators.pipeline import _write_manifest
 
-        cur = self.current()
-        mdir = f"{self.root}/_manifests"
-        seqs = [s for s in map(_manifest_seq, self.fs.list_names(mdir))
-                if s is not None]
-        seq = (max(seqs) + 1) if seqs else 1
-        body = {
-            "seq": seq,
-            "run_id": run_id,
+        prior_runs = (
+            list(cur.get("all_runs", cur["increments"])) if cur else []
+        )
+        seq = _write_manifest(self.fs, self.root, run_id, {
             "increments": list(increments),
-            "all_runs": self.committed_runs() + [run_id],
+            "all_runs": prior_runs + [run_id],
             "params": dict(params.__dict__),
             "counters": counters or {},
-        }
-        body["md5"] = hashlib.md5(
-            json.dumps(body, sort_keys=True).encode()
-        ).hexdigest()
-        self.fs.write_bytes(
-            f"{mdir}/manifest-{seq:010d}-{run_id}.json",
-            json.dumps(body).encode(),
-        )
-        live_runs = set(body["increments"])
+        })
+        live_runs = set(increments)
         for name in self.fs.list_names(f"{self.root}/_increments"):
             if name not in live_runs:
                 self.fs.delete(f"{self.root}/_increments/{name}")
+        mdir = f"{self.root}/_manifests"
         for name in self.fs.list_names(mdir):
             s = _manifest_seq(name)
             if s is not None and s != seq:
@@ -280,8 +275,9 @@ class DedupLog:
         self._commit_manifest(
             run_id,
             increments=[run_id],
-            params=self.params(),
+            params=MinHashParams(**cur["params"]),
             counters={"compacted": cur["increments"]},
+            cur=cur,
         )
         return True
 
@@ -353,6 +349,19 @@ def cross_corpus_flags(
     """
     from mindocr_spark.cache import tracked_persist
     from mindocr_spark.functions.dedup import _lsh_pairs_from_signatures
+
+    # a family/shape mismatch would not fail loudly — the (band,
+    # bucket) join keys simply never match and every cross-corpus
+    # duplicate silently reports kept=True — so refuse it here, the
+    # same check commit_increment applies on the write side
+    committed_params = log.params()
+    if committed_params is not None and committed_params != params:
+        raise ValueError(
+            f"state at {log.root} is committed under "
+            f"{committed_params.__dict__}; flags computed with "
+            f"{params.__dict__} would never match it — pass the "
+            f"log's params (log.params())"
+        )
 
     fp = new_docs.withColumn("fingerprint", fingerprint_md5(text_col))
     w = Window.partitionBy("fingerprint")

@@ -204,10 +204,17 @@ def _decode_avi(data: bytes) -> np.ndarray:
         raise ValueError("only uncompressed 24-bit DIB AVI supported")
     top_down, h = h < 0, abs(h)
     row = ((3 * w + 3) // 4) * 4
-    out = np.zeros((len(frames), h, w, 3), np.uint8)
+    # validate every frame BEFORE sizing the output buffer: its shape
+    # comes from attacker-controlled strf fields, and a tiny hostile
+    # payload declaring w=h=100000 would otherwise force a multi-GB
+    # allocation (executor OOM) before any per-frame check runs. Once
+    # all frames carry row*h real bytes, the allocation is bounded by
+    # the payload size itself.
     for f, fr in enumerate(frames):
         if len(fr) < row * h:
             raise ValueError(f"frame {f} truncated")
+    out = np.zeros((len(frames), h, w, 3), np.uint8)
+    for f, fr in enumerate(frames):
         for r in range(h):
             line = np.frombuffer(
                 fr[r * row:r * row + 3 * w], np.uint8

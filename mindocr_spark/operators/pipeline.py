@@ -145,6 +145,18 @@ def _harvest(obs) -> dict:
     return {k: (0 if v is None else v) for k, v in dict(obs.get).items()}
 
 
+def _metrics_row_exists(spark, metrics_path: str, run_id: str) -> bool:
+    """Whether the metrics sink already carries a row for run_id — one
+    bookkeeping-sized filtered scan (run_id pushdown applies), used to
+    make the WAP audit-record append idempotent under crash-retry."""
+    if not _FS(spark, metrics_path).exists(metrics_path):
+        return False
+    return (
+        spark.read.parquet(metrics_path)
+        .where(F.col("run_id") == run_id).limit(1).count() > 0
+    )
+
+
 def _append_metrics_row(spark, g: dict, run_id: str,
                         metrics_path: str) -> None:
     spark.createDataFrame(
@@ -216,6 +228,31 @@ def _manifest_seq(name: str) -> int | None:
         return int(name.split("-")[1])
     except (IndexError, ValueError):
         return None
+
+
+def _write_manifest(fs: _FS, path: str, run_id: str, fields: dict) -> int:
+    """The single WRITE-side implementation of the manifest protocol:
+    seq allocated as max over ALL manifest file names (valid or torn —
+    so a torn file never collides with a retry's commit) + 1, body
+    checksummed with a sorted-JSON md5, one create-once file named
+    ``manifest-<seq>-<run_id>.json``. Every manifest writer (the WAP
+    sink and the DedupLog) goes through here so the naming / seq /
+    checksum scheme can never drift between writers; `_load_manifests`
+    is the matching read side. Returns the allocated seq."""
+    import hashlib
+    import json
+
+    mdir = f"{path}/{_MANIFEST_DIR}"
+    seqs = [s for s in map(_manifest_seq, fs.list_names(mdir))
+            if s is not None]
+    seq = (max(seqs) + 1) if seqs else 1
+    body = {"seq": seq, "run_id": run_id, **fields}
+    body["md5"] = hashlib.md5(
+        json.dumps(body, sort_keys=True).encode()
+    ).hexdigest()
+    fs.write_bytes(f"{mdir}/manifest-{seq:010d}-{run_id}.json",
+                   json.dumps(body).encode())
+    return seq
 
 
 def _load_manifests(fs: _FS, path: str) -> list[dict]:
@@ -336,8 +373,6 @@ def write_results_wap(
 
     Returns True iff published.
     """
-    import json
-
     path = path.rstrip("/")
     spark = result.sparkSession
     fs = _FS(spark, path)
@@ -356,29 +391,19 @@ def write_results_wap(
     if not audit(g):
         return False  # no manifest written; previous snapshot still live
 
-    # seq = max over ALL manifest file names (valid or torn) + 1, so a
-    # torn file never collides with a retry's commit
-    mdir = f"{path}/{_MANIFEST_DIR}"
-    seqs = [s for s in map(_manifest_seq, fs.list_names(mdir)) if s is not None]
-    seq = (max(seqs) + 1) if seqs else 1
+    # audit record BEFORE the commit point, idempotent per run_id: the
+    # retry of a crash that landed between this append and the manifest
+    # create must not leave a duplicate metrics row (consumers count /
+    # join metrics by run_id)
+    if not _metrics_row_exists(spark, metrics_path, run_id):
+        _append_metrics_row(spark, g, run_id, metrics_path)
 
-    # audit record BEFORE the commit point
-    _append_metrics_row(spark, g, run_id, metrics_path)
-
-    body = {
-        "seq": seq,
-        "run_id": run_id,
+    _write_manifest(fs, path, run_id, {
         "data_dir": run_id,
         "counters": {k: (float(v) if k == "boilerplate_ratio" else int(v))
                      for k, v in g.items()},
-    }
-    import hashlib
-
-    body["md5"] = hashlib.md5(
-        json.dumps(body, sort_keys=True).encode()
-    ).hexdigest()
-    fs.write_bytes(f"{mdir}/manifest-{seq:010d}-{run_id}.json",
-                   json.dumps(body).encode())
+    })
+    mdir = f"{path}/{_MANIFEST_DIR}"
 
     # GC: drop data dirs not referenced by the newest keep_snapshots
     # manifests (orphans from crashed/rejected runs included) and stale

@@ -38,16 +38,15 @@ PAGES_TEMPLATE_ANCHOR = (
 _TS_EPOCH = 1704067200
 
 
-def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents(doc_id, text, lang, ...) → pages(url, warc_ts, html, text, lang).
-
-    The HTML template is pure chrome (header/nav/aside/footer — all
-    link-dense or inside negative-ancestor tags, so every chrome node
-    scores 0 under the extraction spec) around ``<p>ANCHOR</p><p>{text}</p>``.
-    For bodies ≥150 normalized chars the spec provably extracts exactly
-    ``ANCHOR + "\\n" + text`` (single block), giving a byte-identical SQL
-    oracle on the untouched `documents` table.
-    """
+def _pages_from_documents_template(
+    spark: SparkSession, sf_dir: str, extra_nodes: str = ""
+) -> DataFrame:
+    """Shared chrome builder for every documents→pages corpus family.
+    The chrome bytes are pinned by the extraction oracles (ANCHOR_LEN /
+    CHROME_CHARS invariants in __spark_entry__), so there must be
+    exactly ONE copy of the template: a variant family contributes only
+    `extra_nodes`, the literal HTML inserted after the body paragraph
+    inside <article>."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     html_str = F.concat(
         F.lit(
@@ -68,7 +67,7 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</p><p>"),
         F.col("text"),
         F.lit(
-            "</p></article></main>"
+            "</p>" + extra_nodes + "</article></main>"
             '<aside><h3>Related</h3><ul><li><a href="/p/1">related reading one</a></li>'
             '<li><a href="/p/2">related reading two</a></li></ul></aside>'
             "<footer><p>&copy; 2024 Example Inc. "
@@ -89,6 +88,19 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang"),
         F.col("doc_id"),
     )
+
+
+def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents(doc_id, text, lang, ...) → pages(url, warc_ts, html, text, lang).
+
+    The HTML template is pure chrome (header/nav/aside/footer — all
+    link-dense or inside negative-ancestor tags, so every chrome node
+    scores 0 under the extraction spec) around ``<p>ANCHOR</p><p>{text}</p>``.
+    For bodies ≥150 normalized chars the spec provably extracts exactly
+    ``ANCHOR + "\\n" + text`` (single block), giving a byte-identical SQL
+    oracle on the untouched `documents` table.
+    """
+    return _pages_from_documents_template(spark, sf_dir)
 
 
 #: The EAST-divergent template's extra content nodes (both pinned,
@@ -115,47 +127,10 @@ def pages_from_documents_east(spark: SparkSession, sf_dir: str) -> DataFrame:
     regressed geometry claims the sub-binarization boundary node, DB
     never can. Gives `extract_east` an oracle that exercises its
     DIVERGENT behaviour instead of sharing DB's."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    html_str = F.concat(
-        F.lit(
-            '<!DOCTYPE html><html><head><meta charset="utf-8"><title>Doc '
-        ),
-        F.col("doc_id").cast("string"),
-        F.lit(
-            "</title><style>.m{max-width:60em}</style>"
-            "<script>var p=1;track();</script></head><body>"
-            "<!-- synthesized page -->"
-            '<header><a href="/">Home</a></header>'
-            '<nav><ul><li><a href="/products">Products</a></li>'
-            '<li><a href="/about">About</a></li>'
-            '<li><a href="/contact">Contact</a></li></ul></nav>'
-            "<main><article><p>"
-        ),
-        F.lit(PAGES_TEMPLATE_ANCHOR),
-        F.lit("</p><p>"),
-        F.col("text"),
-        F.lit(
-            "</p><p>" + PAGES_EAST_BUFFER + "</p><p>" + PAGES_EAST_TAIL
-            + "</p></article></main>"
-            '<aside><h3>Related</h3><ul><li><a href="/p/1">related reading one</a></li>'
-            '<li><a href="/p/2">related reading two</a></li></ul></aside>'
-            "<footer><p>&copy; 2024 Example Inc. "
-            '<a href="/terms">Terms</a> <a href="/privacy">Privacy</a></p></footer>'
-            "</body></html>"
-        ),
-    )
-    return docs.select(
-        F.concat(
-            F.lit("https://docs.example/"),
-            F.col("source"),
-            F.lit("/"),
-            F.col("doc_id").cast("string"),
-        ).alias("url"),
-        F.timestamp_seconds(F.lit(_TS_EPOCH) + F.col("doc_id")).alias("warc_ts"),
-        html_str.cast("binary").alias("html"),
-        F.col("text"),
-        F.col("lang"),
-        F.col("doc_id"),
+    return _pages_from_documents_template(
+        spark, sf_dir,
+        extra_nodes=("<p>" + PAGES_EAST_BUFFER + "</p><p>"
+                     + PAGES_EAST_TAIL + "</p>"),
     )
 
 

@@ -241,6 +241,25 @@ def test_family_mismatch_refused(spark, tmp_path):
     assert log.params() == xx
 
 
+def test_cross_corpus_flags_params_guard(spark, tmp_path):
+    """Reading the state with a different signature family must raise:
+    mismatched band keys would silently never match and every
+    cross-corpus duplicate would report kept=True."""
+    from mindocr_spark.dedup_state import (
+        DedupLog, MinHashParams, cross_corpus_flags, dedup_increment,
+    )
+
+    log = DedupLog(spark, str(tmp_path / "state"))
+    assert dedup_increment(_docs(spark, [(1, BASE)]), log, "run-a",
+                           params=MinHashParams(), threshold=0.35)
+    with pytest.raises(ValueError, match="committed under"):
+        cross_corpus_flags(
+            _docs(spark, [(2, NEAR)]), log,
+            MinHashParams(family="md5", n_perm=32, bands=8),
+            threshold=0.35, id_col="doc_id",
+        )
+
+
 def test_curate_increment_end_to_end(spark, tmp_path):
     """Full composition: raw pages → curate → cross-corpus dedup →
     committed log, two increments, idempotent replay."""

@@ -206,6 +206,27 @@ def test_avi_rejects_hostile_framing():
         _decode_avi(cut)
 
 
+def test_avi_huge_dims_rejected_before_allocation():
+    """A tiny hostile payload whose strf declares w=h=100000 must fail
+    the per-frame length check BEFORE the output buffer is sized from
+    those attacker-controlled fields — otherwise ~70 bytes of input
+    force a ~30 GB allocation (executor OOM-kill, not a caught
+    ValueError)."""
+    import struct
+
+    import numpy as np
+    import pytest
+    from mindocr_spark.multimodal import _decode_avi, encode_avi
+
+    rng = np.random.default_rng(7)
+    good = encode_avi(rng.integers(0, 256, (2, 4, 4, 3), dtype=np.uint8))
+    bad = bytearray(good)
+    i = good.index(b"strf") + 8  # BITMAPINFOHEADER: biSize, biWidth, biHeight
+    bad[i + 4:i + 12] = struct.pack("<ii", 100_000, 100_000)
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_avi(bytes(bad))
+
+
 def test_sample_frames_real_avi(spark):
     """The video fan-out runs on REAL container bytes end-to-end: one
     output row per sampled frame, checksums = md5 of the formula's

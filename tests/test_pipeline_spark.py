@@ -258,6 +258,38 @@ def test_write_audit_publish(spark, tmp_path):
     assert spark.read.parquet(metrics).count() == n_metrics
 
 
+def test_wap_metrics_idempotent_across_retry(spark, tmp_path, monkeypatch):
+    """Crash between the audit-record append and the manifest create:
+    the audit row is already down (the before-commit discipline), so
+    the retry must NOT append a second metrics row for the same
+    run_id — consumers count/join metrics by run_id."""
+    from mindocr_spark.corpus import pages_dataframe
+    from mindocr_spark.operators import pipeline as P
+
+    out, metrics = str(tmp_path / "out"), str(tmp_path / "metrics")
+
+    def _boom(*a, **k):
+        raise OSError("simulated crash before manifest create")
+
+    monkeypatch.setattr(P, "_write_manifest", _boom)
+    with pytest.raises(OSError):
+        P.write_results_wap(
+            P.run_extraction(pages_dataframe(spark, 10, seed=3)),
+            out, metrics, run_id="r1")
+    monkeypatch.undo()
+
+    # nothing committed, but the audit row landed before the crash
+    assert P.resolve_published(spark, out) is None
+    assert spark.read.parquet(metrics).where("run_id = 'r1'").count() == 1
+
+    # the retry publishes and the metrics sink still holds ONE r1 row
+    assert P.write_results_wap(
+        P.run_extraction(pages_dataframe(spark, 10, seed=3)),
+        out, metrics, run_id="r1")
+    assert P.read_published(spark, out).count() == 10
+    assert spark.read.parquet(metrics).where("run_id = 'r1'").count() == 1
+
+
 def test_wap_crash_recovery_no_renames(spark, tmp_path, monkeypatch):
     """Crash matrix of the manifest-pointer commit: a torn manifest
     (bad checksum) is not a commit; an orphan staged dir never becomes

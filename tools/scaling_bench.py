@@ -295,15 +295,17 @@ def _write_bench_md(results, summary, lo, hi) -> None:
         "`BENCH_r{N}.json` (see `bench.py`).",
         "",
     ]
-    # preserve the auxiliary sections other tools maintain
+    # preserve EVERY section this writer does not own — an allow-list
+    # here once silently deleted a newly-added section (the sf1
+    # rehearsal) on the next scaling run
     preserved = ""
     if os.path.exists(path):
         import re
 
         old = open(path).read()
-        for m in re.finditer(r"\n## (Pressure bench|Dedup-path scaling)"
-                             r".*?(?=\n## |\Z)", old, re.S):
-            preserved += m.group(0)
+        for m in re.finditer(r"\n## .*?(?=\n## |\Z)", old, re.S):
+            if not m.group(0).startswith("\n## Why N=4"):
+                preserved += m.group(0)
     with open(path, "w") as f:
         f.write("\n".join(lines) + preserved)
 
