@@ -521,6 +521,44 @@ def q_exact_dedup(spark, sf_dir):
     return exact_dup_clusters(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+#: Shared boilerplate block for the paragraph-dedup corpus — ≥ 30 chars
+#: so it participates in dedup; injected on every third doc so it has a
+#: viral (many-occurrence) profile distinct from the pairwise
+#: predecessor-text repeats.
+_PARA_BOILERPLATE = ("subscribe to our newsletter for updates and "
+                     "follow us on social media channels")
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-level exact paragraph dedup (the CCNet/C4 line-dedup
+    family). Paragraph-structured docs are built IN-QUERY from the
+    documents table — each doc = its own text ⊕ its predecessor's text
+    ⊕ a shared boilerplate block on every third doc — so repeated
+    paragraphs occur both pairwise (every predecessor text repeats
+    once) and virally (the boilerplate repeats across a third of the
+    corpus), and the first-occurrence-wins (min (id, ord)) rule is
+    exercised across docs. The oracle rebuilds the same corpus and the
+    same rule in SQL. reference: collect_node.py:72-99 (drop
+    already-collected crops of a doc instead of re-emitting)."""
+    from mindocr_spark.functions.dedup import paragraph_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    prev = docs.select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        F.col("text").alias("prev_text"),
+    )
+    built = docs.join(prev, "doc_id", "left").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.col("prev_text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_PARA_BOILERPLATE)),
+        ).alias("text"),
+    )
+    return paragraph_dedup(built, min_para_chars=30).orderBy("doc_id")
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact shingle-Jaccard verification pairs, with the production
     df-cap (max_shingle_freq) passed EXPLICITLY and mirrored in the SQL
@@ -1092,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_metrics_pairs": _q(q_rec_metrics_pairs),
         "rolling_fingerprint": _q(q_rolling_fingerprint),
         "exact_dedup": _q(q_exact_dedup),
+        "paragraph_dedup": _q(q_paragraph_dedup),
         "ngram_jaccard": _q(q_ngram_jaccard),
         "minhash_lsh": _q(q_minhash_lsh),
         "minhash_lsh_md5": _q(q_minhash_lsh_md5),
@@ -1567,6 +1606,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(doc_id) OVER (PARTITION BY fingerprint) AS BIGINT) AS cluster_rep,
                    COUNT(*) OVER (PARTITION BY fingerprint) > 1 AS is_dup
             FROM f ORDER BY doc_id
+        """,
+        "paragraph_dedup": f"""
+            WITH prev AS (
+              SELECT doc_id + 1 AS doc_id, text AS prev_text
+              FROM documents),
+            built AS (
+              SELECT d.doc_id,
+                     concat_ws(chr(10), d.text, p.prev_text,
+                               CASE WHEN d.doc_id % 3 = 0
+                                    THEN '{_PARA_BOILERPLATE}' END) AS text
+              FROM documents d LEFT JOIN prev p USING (doc_id)),
+            lists AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ps FROM built),
+            paras AS (
+              SELECT doc_id,
+                     CAST(generate_subscripts(ps, 1) - 1 AS BIGINT) AS ord,
+                     unnest(ps) AS para
+              FROM lists),
+            keyed AS (
+              SELECT doc_id, ord, para, md5(para) AS ph,
+                     {{'i': doc_id, 'o': ord}} AS occ
+              FROM paras),
+            firsts AS (
+              SELECT ph, min(occ) AS first_occ FROM keyed
+              WHERE length(para) >= 30 GROUP BY ph),
+            kept AS (
+              SELECT k.doc_id, k.ord, k.para
+              FROM keyed k LEFT JOIN firsts f USING (ph)
+              WHERE length(k.para) < 30 OR k.occ = f.first_occ)
+            SELECT b.doc_id,
+                   coalesce(s.text, '') AS text
+            FROM built b LEFT JOIN (
+              SELECT doc_id, string_agg(para, chr(10) ORDER BY ord) AS text
+              FROM kept GROUP BY doc_id) s USING (doc_id)
+            ORDER BY b.doc_id
         """,
         "ngram_jaccard": r"""
             WITH w AS (

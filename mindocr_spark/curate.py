@@ -23,7 +23,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 
 from mindocr_spark import extract_core as core
-from mindocr_spark.functions.dedup import exact_dup_clusters, minhash_lsh_pairs
+from mindocr_spark.functions.dedup import (
+    exact_dup_clusters,
+    minhash_lsh_pairs,
+    paragraph_dedup,
+)
 from mindocr_spark.functions.text import (
     lang_id_col,
     quality_cols,
@@ -51,6 +55,15 @@ class CurateConfig:
     max_dup_line_frac: float = 1.0
     max_symbol_word_ratio: float = float("inf")
     max_top2gram_share: float = float("inf")
+    # CCNet/C4-style corpus-level paragraph dedup: rewrite every doc,
+    # dropping each repeated paragraph everywhere but its first
+    # (url, position) occurrence — the cross-doc boilerplate-line
+    # remover. Costs one shuffle on the paragraph hash (min-aggregate,
+    # skew-safe under viral boilerplate) + one rebuild groupBy. After
+    # the rewrite the min_chars gate re-applies: a doc hollowed out to
+    # below the floor drops.
+    dedup_paragraphs: bool = False
+    min_para_chars: int = 30
 
 
 def curate(
@@ -132,6 +145,20 @@ def _curate_build(pages, cfg, params, _persist):
             tagged.join(shares, "url")
             .where(F.col("top_2gram_share") <= cfg.max_top2gram_share)
             .drop("top_2gram_share")
+        )
+    # corpus-level paragraph dedup BEFORE exact dedup: removing shared
+    # boilerplate paragraphs can make two docs byte-identical, and the
+    # exact pass downstream then collapses them
+    if cfg.dedup_paragraphs:
+        rebuilt = paragraph_dedup(
+            tagged.select("url", "text"), text_col="text", id_col="url",
+            min_para_chars=cfg.min_para_chars,
+        ).withColumnRenamed("text", "__pd_text")
+        tagged = (
+            tagged.drop("text")
+            .join(rebuilt, "url")
+            .withColumnRenamed("__pd_text", "text")
+            .where(F.length("text") >= cfg.min_chars)
         )
     tagged = _persist(tagged)
 

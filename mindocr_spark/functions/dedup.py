@@ -56,6 +56,69 @@ def exact_dup_clusters(df: DataFrame, text_col: str = "text",
     )
 
 
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_para_chars: int = 30,
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet/C4-style CORPUS-LEVEL exact paragraph dedup: split every
+    doc on `sep`, drop each repeated paragraph everywhere except its
+    first occurrence (ordered by (id, position) — deterministic and
+    batching-independent), and rebuild the doc texts. Paragraphs
+    shorter than `min_para_chars` (headings, separators) never
+    participate — they are always kept in place. Returns
+    (id_col, text_col) with the rebuilt text; a doc whose every
+    paragraph was dropped comes back as the empty string, not a lost
+    row. `id_col` may be any orderable type (int doc ids, string
+    urls): the occurrence rank is a struct min, which both Spark and
+    DuckDB order field-wise (exactly tuple order).
+
+    100 TB plan: one shuffle on the paragraph hash with a MIN
+    aggregate — map-side partial aggregation collapses a viral
+    boilerplate paragraph's 10^9 occurrences before the exchange,
+    where a window/row_number formulation would funnel every
+    occurrence of the hot key into a single task — then an equi-join
+    back on the hash and one groupBy(id) to reassemble. No all-pairs
+    anywhere; skew-safe by construction.
+
+    The reference's analog is crop-level dedup bookkeeping: CollectNode
+    drops already-collected crops of a doc rather than re-emitting them
+    (reference: deploy/py_infer/src/parallel/module/common/
+    collect_node.py:72-99)."""
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("ord", "para"),
+    )
+    occ = F.struct(F.col(id_col).alias("i"), F.col("ord").alias("o"))
+    keyed = paras.withColumn("ph", F.md5("para")).withColumn("occ", occ)
+    firsts = (
+        keyed.where(F.length("para") >= min_para_chars)
+        .groupBy("ph")
+        .agg(F.min("occ").alias("first_occ"))
+    )
+    kept = keyed.join(firsts, "ph", "left").where(
+        (F.length("para") < min_para_chars)
+        | (F.col("occ") == F.col("first_occ"))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ord", "para"))),
+                lambda x: x["para"],
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    # row preservation: a doc whose EVERY paragraph was dropped has no
+    # group in `rebuilt` — re-anchor on the input ids so it comes back
+    # as the empty string instead of silently vanishing
+    return docs.select(id_col).join(rebuilt, id_col, "left").select(
+        id_col, F.coalesce(text_col, F.lit("")).alias(text_col)
+    )
+
+
 # --------------------------------------------------------------------------
 # 2. Exact n-gram Jaccard (relational)
 # --------------------------------------------------------------------------

@@ -208,3 +208,45 @@ def test_curate_repetition_gates(spark):
         for u in others:
             assert (sig[u]["dup_line_frac"] > 0.5
                     or sig[u]["top_2gram_share"] > 0.3), (u, sig[u])
+
+
+def test_curate_paragraph_dedup_gate(spark):
+    """dedup_paragraphs strips a cross-page boilerplate paragraph
+    everywhere but its first (url, position) occurrence, while each
+    page's unique content survives."""
+    from mindocr_spark.corpus import generate_batch, PAGES_SCHEMA_DDL
+    from mindocr_spark.curate import CurateConfig, curate
+
+    rows = generate_batch(11, range(20))
+    boiler = ("subscribe to the village newsletter for weekly updates "
+              "about ferret husbandry and competitive cheese rolling")
+    uniq = {
+        "a": ("completely unique first page content about medieval "
+              "aqueduct engineering and its maintenance guilds"),
+        "b": ("another entirely unique page describing antarctic "
+              "lichen photography expeditions in great detail"),
+    }
+
+    def page(tag):
+        html = (f"<html><body><article><p>{uniq[tag]}</p>"
+                f"<p>{boiler}</p></article></body></html>").encode()
+        return dict(rows[0], url=f"https://bp.example/{tag}", html=html,
+                    text="")
+
+    pages = spark.createDataFrame(
+        rows + [page("a"), page("b")], PAGES_SCHEMA_DDL
+    )
+    base = dict(min_chars=50, neardup_threshold=2.0)
+
+    texts = {r["url"]: r["text"] for r in
+             curate(pages, CurateConfig(**base))[0].collect()}
+    assert boiler in texts["https://bp.example/a"]
+    assert boiler in texts["https://bp.example/b"]  # gate off: kept twice
+
+    texts = {r["url"]: r["text"] for r in
+             curate(pages, CurateConfig(**base, dedup_paragraphs=True))[0]
+             .collect()}
+    assert boiler in texts["https://bp.example/a"]      # first occurrence
+    assert boiler not in texts["https://bp.example/b"]  # deduped away
+    assert uniq["a"] in texts["https://bp.example/a"]
+    assert uniq["b"] in texts["https://bp.example/b"]

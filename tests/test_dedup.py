@@ -192,3 +192,67 @@ def test_simhash_md5_portable_twin(spark, docs):
     def ham(a, b):
         return bin(int(a, 16) ^ int(b, 16)).count("1")
     assert ham(sims[1], sims[3]) < ham(sims[1], sims[4])
+
+
+LONG_A = ("alpha paragraph with enough characters to participate in the "
+          "corpus level dedup pass")
+LONG_B = ("beta paragraph that is also comfortably beyond the minimum "
+          "participation length")
+LONG_C = ("gamma paragraph bringing genuinely new content to the later "
+          "documents of the corpus")
+HDR = "## header"  # < 30 chars → never participates
+
+
+def test_paragraph_dedup_first_occurrence(spark):
+    """Corpus-level paragraph dedup: a repeated paragraph survives only
+    at its smallest (id, ord) occurrence — across docs AND within one
+    doc; short paragraphs always stay in place; a doc whose every
+    paragraph drops comes back as an empty row, not a lost row."""
+    from mindocr_spark.functions.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "\n".join([LONG_A, HDR, LONG_B, LONG_A])),  # self-repeat
+            (2, "\n".join([LONG_B, LONG_C])),               # B seen in 1
+            (3, LONG_A),                                    # fully dropped
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in paragraph_dedup(docs).collect()}
+    assert out[1] == "\n".join([LONG_A, HDR, LONG_B])
+    assert out[2] == LONG_C
+    assert out[3] == ""
+    assert set(out) == {1, 2, 3}  # row preserved even when hollowed out
+
+
+def test_paragraph_dedup_string_ids_tuple_order(spark):
+    """String ids must order as TUPLES (struct-min): url 'a' < 'a/b',
+    so 'a' keeps the shared paragraph. A padded-string-concat occurrence
+    key would invert this ('/' sorts before ':') and hand the paragraph
+    to the wrong survivor."""
+    from mindocr_spark.functions.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [("a", LONG_A), ("a/b", LONG_A)], "url string, text string"
+    )
+    out = {r["url"]: r["text"]
+           for r in paragraph_dedup(docs, id_col="url").collect()}
+    assert out["a"] == LONG_A
+    assert out["a/b"] == ""
+
+
+def test_paragraph_dedup_plan_is_aggregate_not_window(spark):
+    """The first-occurrence rule must compile to a partial-aggregate
+    min on the paragraph hash, NOT a window/row_number — a window
+    funnels every occurrence of a viral boilerplate paragraph into one
+    task (the hot-key straggler at web scale)."""
+    from mindocr_spark.functions.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, LONG_A), (2, LONG_A)], "doc_id bigint, text string"
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        paragraph_dedup(docs)._jdf.queryExecution(), "formatted"
+    )
+    assert "Window" not in plan
+    assert "partial_min" in plan or "partial" in plan.lower()
