@@ -454,6 +454,41 @@ def q_quality_scores(spark, sf_dir):
     return quality_cols(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing (emails / IPv4 / +CC phones → sentinel tokens with
+    exact pre-redaction counts). The word-soup documents carry no PII,
+    so the corpus is built IN-QUERY: every doc gains a doc_id-derived
+    email, every second doc an IP, every fifth a phone number — the
+    oracle rebuilds the same corpus and applies the same patterns with
+    RE2, pinning the Java-regex/RE2 dialect agreement."""
+    from mindocr_spark.functions.text import redact_pii_cols
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    built = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "",
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com now"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" server 10.0."),
+                    (F.col("doc_id") % 250).cast("string"),
+                    F.lit(".17 up"),
+                ),
+            ),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit(" call +44 20 7946 0958 today")),
+        ).alias("text"),
+    )
+    return redact_pii_cols(built).select(
+        "doc_id", "text", "n_emails", "n_ips", "n_phones"
+    ).orderBy("doc_id")
+
+
 def q_lang_id(spark, sf_dir):
     from mindocr_spark.functions.text import lang_id_col
 
@@ -1126,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_agg": _q(q_skew_salted_agg),
         "token_stats": _q(q_token_stats),
         "quality_scores": _q(q_quality_scores),
+        "pii_redact": _q(q_pii_redact),
         "lang_id": _q(q_lang_id),
         "rec_metrics_pairs": _q(q_rec_metrics_pairs),
         "rolling_fingerprint": _q(q_rolling_fingerprint),
@@ -1371,6 +1407,8 @@ def _lsh_ann_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from mindocr_spark.functions import text as _text_pii
+
     url = "'https://docs.example/' || source || '/' || CAST(doc_id AS VARCHAR)"
     return {
         "extract_fulltext": f"""
@@ -1560,6 +1598,38 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sh AS DOUBLE)/CAST(nullif(nt, 0) AS DOUBLE), 6) AS stop_ratio
             FROM q ORDER BY doc_id
         """,
+        "pii_redact": (
+            """
+            WITH built AS (
+              SELECT doc_id,
+                     concat_ws('', text,
+                       ' contact user', CAST(doc_id AS VARCHAR),
+                       '@example.com now',
+                       CASE WHEN doc_id % 2 = 0
+                            THEN ' server 10.0.' ||
+                                 CAST(doc_id % 250 AS VARCHAR) || '.17 up'
+                       END,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN ' call +44 20 7946 0958 today'
+                       END) AS text
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '__EMAIL__', '<EMAIL>', 'g'),
+                     '__IP__', '<IP>', 'g'),
+                     '__PHONE__', '<PHONE>', 'g') AS text,
+                   CAST(len(regexp_extract_all(text, '__EMAIL__')) AS INT)
+                     AS n_emails,
+                   CAST(len(regexp_extract_all(text, '__IP__')) AS INT)
+                     AS n_ips,
+                   CAST(len(regexp_extract_all(text, '__PHONE__')) AS INT)
+                     AS n_phones
+            FROM built ORDER BY doc_id
+            """
+            .replace("__EMAIL__", _text_pii.__dict__["_EMAIL_RE"])
+            .replace("__IP__", _text_pii.__dict__["_IPV4_RE"])
+            .replace("__PHONE__", _text_pii.__dict__["_PHONE_RE"])
+        ),
         "lang_id": r"""
             WITH c AS (
               SELECT doc_id,

@@ -64,6 +64,10 @@ class CurateConfig:
     # below the floor drops.
     dedup_paragraphs: bool = False
     min_para_chars: int = 30
+    # scrub emails / IPv4 / +CC phones to sentinel tokens before any
+    # dedup pass (so docs differing only in PII collapse as the
+    # duplicates they are). Pure row expressions — free on the scan.
+    redact_pii: bool = False
 
 
 def curate(
@@ -145,6 +149,14 @@ def _curate_build(pages, cfg, params, _persist):
             tagged.join(shares, "url")
             .where(F.col("top_2gram_share") <= cfg.max_top2gram_share)
             .drop("top_2gram_share")
+        )
+    # PII scrubbing BEFORE any dedup: two docs differing only in an
+    # email address are the same training document
+    if cfg.redact_pii:
+        from mindocr_spark.functions.text import redact_pii_cols
+
+        tagged = redact_pii_cols(tagged, text_col="text").drop(
+            "n_emails", "n_ips", "n_phones"
         )
     # corpus-level paragraph dedup BEFORE exact dedup: removing shared
     # boilerplate paragraphs can make two docs byte-identical, and the

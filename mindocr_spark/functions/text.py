@@ -207,6 +207,43 @@ def top_2gram_cols(df: DataFrame, text_col: str = "text",
 
 
 # --------------------------------------------------------------------------
+# PII redaction (curation-stage scrubbing)
+# --------------------------------------------------------------------------
+
+#: Portable patterns — plain classes/quantifiers only, no lookaround or
+#: backrefs, so Java regex (Spark, whole-stage codegen) and RE2 (DuckDB
+#: oracle) match identically. Conservative by design: the phone pattern
+#: requires an international +CC prefix so running digit strings in
+#: ordinary prose are never mangled.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4_RE = r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b"
+_PHONE_RE = r"\+[0-9]{1,3}( [0-9]{1,4}){2,6}"
+
+
+def redact_pii_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails / IPv4 addresses / international phone numbers to
+    sentinel tokens (``<EMAIL>``, ``<IP>``, ``<PHONE>``) — the standard
+    pre-release curation stage of an LLM training corpus. Rewrites
+    `text_col` in place and appends exact pre-redaction counts
+    (n_emails, n_ips, n_phones) so downstream gates can drop
+    PII-saturated docs instead of shipping them scrubbed.
+
+    Entirely JVM-side regexp expressions fused into the scan's narrow
+    stage — zero shuffles, zero Python. Redaction order is email → IP →
+    phone; counts are taken on the ORIGINAL text."""
+    t = F.col(text_col)
+    red = F.regexp_replace(t, _EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, _IPV4_RE, "<IP>")
+    red = F.regexp_replace(red, _PHONE_RE, "<PHONE>")
+    return (
+        df.withColumn("n_emails", F.regexp_count(t, F.lit(_EMAIL_RE)))
+        .withColumn("n_ips", F.regexp_count(t, F.lit(_IPV4_RE)))
+        .withColumn("n_phones", F.regexp_count(t, F.lit(_PHONE_RE)))
+        .withColumn(text_col, red)
+    )
+
+
+# --------------------------------------------------------------------------
 # Language ID (n-gram / marker-word heuristic)
 # --------------------------------------------------------------------------
 

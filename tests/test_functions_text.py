@@ -97,3 +97,67 @@ def test_word_shingles_and_rolling_fp(spark):
     fps = rolling_fingerprints(_docs(spark, [(1, long_text)]), k=8)
     n = fps.count()
     assert 1 <= n < 505  # nonempty but a strict sample
+
+
+def test_redact_pii_cols(spark):
+    from mindocr_spark.functions.text import redact_pii_cols
+
+    rows = [
+        (1, "reach me at jane.doe+spam@sub.example.co.uk or not at all"),
+        (2, "servers 10.0.3.17 and 192.168.001.2 answered"),
+        (3, "call +44 20 7946 0958 or +1 555 0100 now"),
+        (4, "no pii here just words and the number 12345"),
+        (5, "combo a@b.io at 8.8.8.8 via +33 1 42 68 53 00"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in redact_pii_cols(df).collect()}
+
+    assert out[1]["text"] == "reach me at <EMAIL> or not at all"
+    assert out[1]["n_emails"] == 1 and out[1]["n_ips"] == 0
+
+    assert out[2]["text"] == "servers <IP> and <IP> answered"
+    assert out[2]["n_ips"] == 2
+
+    assert out[3]["text"] == "call <PHONE> or <PHONE> now"
+    assert out[3]["n_phones"] == 2
+
+    assert out[4]["text"] == rows[3][1]  # untouched
+    assert (out[4]["n_emails"], out[4]["n_ips"], out[4]["n_phones"]) \
+        == (0, 0, 0)
+
+    assert out[5]["text"] == "combo <EMAIL> at <IP> via <PHONE>"
+    assert (out[5]["n_emails"], out[5]["n_ips"], out[5]["n_phones"]) \
+        == (1, 1, 1)
+
+
+def test_curate_redact_pii_collapses_pii_only_variants(spark):
+    """Two pages identical except for their contact email must collapse
+    to one doc when redact_pii is on (scrub-then-dedup ordering)."""
+    from mindocr_spark.corpus import generate_batch, PAGES_SCHEMA_DDL
+    from mindocr_spark.curate import CurateConfig, curate
+
+    rows = generate_batch(13, range(10))
+    body = ("a long enough prose paragraph about the annual migration "
+            "of garden snails across the village green in autumn")
+
+    def page(tag, email):
+        html = (f"<html><body><article><p>{body} write to "
+                f"{email}</p></article></body></html>").encode()
+        return dict(rows[0], url=f"https://pii.example/{tag}",
+                    html=html, text="")
+
+    pages = spark.createDataFrame(
+        rows + [page("a", "ann@example.com"), page("b", "bob@example.org")],
+        PAGES_SCHEMA_DDL,
+    )
+    base = dict(min_chars=50, neardup_threshold=2.0)
+
+    urls = {r["url"] for r in curate(pages, CurateConfig(**base))[0].collect()}
+    assert {"https://pii.example/a", "https://pii.example/b"} <= urls
+
+    out = {r["url"]: r["text"] for r in
+           curate(pages, CurateConfig(**base, redact_pii=True))[0].collect()}
+    assert "https://pii.example/a" in out          # smallest url survives
+    assert "https://pii.example/b" not in out      # PII-only variant gone
+    assert "<EMAIL>" in out["https://pii.example/a"]
+    assert "ann@example.com" not in out["https://pii.example/a"]
