@@ -116,10 +116,18 @@ class DedupLog:
     write_results_wap: an increment directory with no manifest is
     invisible and swept by a later commit."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str,
+                 keep_manifests: int = 8):
+        """`keep_manifests` is the snapshot-retention window (Iceberg
+        expire-snapshots semantics): the newest K manifests survive
+        each commit, and every increment directory ANY retained
+        manifest references stays on disk — so compaction-absorbed
+        dirs linger until the manifests naming them age out, and
+        ``read(..., seq=...)`` time-travels anywhere in the window."""
         self.spark = spark
         self.root = root.rstrip("/")
         self.fs = _FS(spark, self.root)
+        self.keep_manifests = max(1, keep_manifests)
 
     # -- manifest plumbing (shares the WAP protocol's validity rules) --
 
@@ -152,11 +160,28 @@ class DedupLog:
 
     # -- readers --
 
-    def read(self, component: str) -> DataFrame | None:
+    def snapshots(self) -> list[dict]:
+        """Retained snapshots, ascending seq — each entry is a manifest
+        body (seq, run_id, increments, all_runs, params, counters)."""
+        return self._manifests()
+
+    def read(self, component: str,
+             seq: int | None = None) -> DataFrame | None:
         """Union of a component across every LIVE increment (None if
         the log is empty). One multi-path parquet scan — partition
-        pruning and pushdown apply as usual."""
-        runs = self.live_increments()
+        pruning and pushdown apply as usual. Passing `seq` time-travels
+        to that snapshot's increment set; it must be inside the
+        retained window (LookupError otherwise)."""
+        if seq is None:
+            runs = self.live_increments()
+        else:
+            by_seq = {m["seq"]: m for m in self._manifests()}
+            if seq not in by_seq:
+                raise LookupError(
+                    f"no retained snapshot seq={seq} under {self.root} "
+                    f"(retained: {sorted(by_seq)})"
+                )
+            runs = list(by_seq[seq]["increments"])
         if not runs:
             return None
         paths = [
@@ -212,34 +237,43 @@ class DedupLog:
     ) -> None:
         """Publish a new snapshot: one checksummed create-once manifest
         (via the shared WAP-protocol writer) naming the live increment
-        set, then sweep everything the new snapshot doesn't reference
-        (never-committed orphan dirs, compaction-absorbed dirs,
-        superseded manifests). The commit point is the single file
+        set, then expire everything outside the retention window —
+        manifests older than the newest `keep_manifests`, and any
+        increment directory NO retained manifest references (orphans
+        from crashed runs, compaction-absorbed dirs whose naming
+        manifests have aged out). The commit point is the single file
         create — a crash before it leaves the previous snapshot intact;
         a crash after it leaves sweepable garbage the next commit
         collects. `cur` is the caller's already-loaded current manifest
         (every caller has one in hand; re-reading here would triple the
         small-object reads per streaming micro-batch on an object
         store)."""
-        from mindocr_spark.operators.pipeline import _write_manifest
+        from mindocr_spark.operators.pipeline import (
+            _load_manifests,
+            _write_manifest,
+        )
 
         prior_runs = (
             list(cur.get("all_runs", cur["increments"])) if cur else []
         )
-        seq = _write_manifest(self.fs, self.root, run_id, {
+        _write_manifest(self.fs, self.root, run_id, {
             "increments": list(increments),
             "all_runs": prior_runs + [run_id],
             "params": dict(params.__dict__),
             "counters": counters or {},
         })
-        live_runs = set(increments)
+        retained = _load_manifests(self.fs, self.root)[
+            -self.keep_manifests:
+        ]
+        referenced = {r for m in retained for r in m["increments"]}
         for name in self.fs.list_names(f"{self.root}/_increments"):
-            if name not in live_runs:
+            if name not in referenced:
                 self.fs.delete(f"{self.root}/_increments/{name}")
+        live_seqs = {m["seq"] for m in retained}
         mdir = f"{self.root}/_manifests"
         for name in self.fs.list_names(mdir):
             s = _manifest_seq(name)
-            if s is not None and s != seq:
+            if s is not None and s not in live_seqs:
                 self.fs.delete(f"{mdir}/{name}")
 
     def compact(self, target_partitions: int | None = None) -> bool:

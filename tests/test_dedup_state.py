@@ -187,6 +187,56 @@ def test_compact_folds_increments(spark, tmp_path):
     assert not log.compact()
 
 
+def test_dedup_log_time_travel(spark, tmp_path):
+    """Snapshot retention: the last keep_manifests manifests are
+    readable by seq (corpus-as-of-increment-N), older ones expire with
+    their now-unreferenced directories; compaction-absorbed dirs stay
+    readable until the manifests naming them age out."""
+    from mindocr_spark.dedup_state import (
+        DedupLog, MinHashParams, dedup_increment,
+    )
+
+    root = str(tmp_path / "state")
+    log = DedupLog(spark, root, keep_manifests=2)
+    p = MinHashParams()
+    for run, doc in (("run-a", (1, BASE)), ("run-b", (2, OTHER)),
+                     ("run-c", (3, THIRD))):
+        assert dedup_increment(_docs(spark, [doc]), log, run,
+                               params=p, threshold=0.35)
+
+    seqs = [s["seq"] for s in log.snapshots()]
+    assert seqs == [2, 3]  # window of 2: seq 1 expired
+    assert {r["doc_id"] for r in log.read("corpus", seq=2).collect()} \
+        == {1, 2}
+    assert {r["doc_id"] for r in log.read("corpus", seq=3).collect()} \
+        == {1, 2, 3}
+    with pytest.raises(LookupError, match="retained"):
+        log.read("corpus", seq=1)
+
+    # compaction: the pre-compaction snapshot stays time-travelable
+    # (its absorbed dirs are still referenced by a retained manifest)
+    assert log.compact()
+    assert {r["doc_id"] for r in log.read("corpus", seq=3).collect()} \
+        == {1, 2, 3}
+    assert {r["doc_id"] for r in log.read("corpus").collect()} \
+        == {1, 2, 3}
+
+    # one more commit ages the pre-compaction manifest out; the
+    # absorbed dirs are swept with it, the compacted state lives on
+    assert dedup_increment(_docs(spark, [(4, "a wholly new document "
+                                             "with fresh vocabulary "
+                                             "throughout")]),
+                           log, "run-d", params=p, threshold=0.35)
+    with pytest.raises(LookupError):
+        log.read("corpus", seq=3)
+    import os
+    assert sorted(os.listdir(f"{root}/_increments")) == sorted(
+        [log.live_increments()[0], "run-d"]
+    )
+    assert {r["doc_id"] for r in log.read("corpus").collect()} \
+        == {1, 2, 3, 4}
+
+
 def test_compact_crash_is_invisible(spark, tmp_path):
     """A crash during compaction's manifest create leaves the previous
     snapshot fully intact; the retry succeeds."""
