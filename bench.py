@@ -93,6 +93,9 @@ def main() -> None:
         "incremental_dedup",    # cross-corpus dedup vs committed state
         "quality_repetition",   # Gopher/C4 repetition signals
         "multimodal_video",     # real AVI decode + frame fan-out
+        # round-3 late additions (appended for the same reason)
+        "paragraph_dedup",      # CCNet/C4 corpus-level paragraph dedup
+        "pii_redact",           # PII scrubbing (codegen regex path)
     ]
     qs = E.queries()
     for name in headline:

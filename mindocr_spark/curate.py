@@ -160,19 +160,28 @@ def _curate_build(pages, cfg, params, _persist):
         )
     # corpus-level paragraph dedup BEFORE exact dedup: removing shared
     # boilerplate paragraphs can make two docs byte-identical, and the
-    # exact pass downstream then collapses them
+    # exact pass downstream then collapses them. `gated` snapshots the
+    # post-gate (pre-paragraph-dedup) frame so the funnel attributes
+    # hollow-doc drops to this pass, not to the lang/quality gates.
+    gated = tagged
     if cfg.dedup_paragraphs:
+        # consumed by paragraph_dedup's scan, the join-back, and the
+        # funnel count — persist, or the gate joins above re-run per
+        # consumer
+        gated = _persist(gated)
         rebuilt = paragraph_dedup(
-            tagged.select("url", "text"), text_col="text", id_col="url",
+            gated.select("url", "text"), text_col="text", id_col="url",
             min_para_chars=cfg.min_para_chars,
         ).withColumnRenamed("text", "__pd_text")
         tagged = (
-            tagged.drop("text")
+            gated.drop("text")
             .join(rebuilt, "url")
             .withColumnRenamed("__pd_text", "text")
             .where(F.length("text") >= cfg.min_chars)
         )
     tagged = _persist(tagged)
+    if not cfg.dedup_paragraphs:
+        gated = tagged
 
     # exact dedup: keep each cluster's representative — the
     # lexicographically smallest url (engine-portable and deterministic;
@@ -202,13 +211,18 @@ def _curate_build(pages, cfg, params, _persist):
         "url", "text", "lang_pred", F.length("text").alias("n_chars")
     )
 
-    funnel = _funnel(
+    stages = [
         ("input", pages),
         ("extracted_ok", ok),
-        ("lang_quality", tagged),
+        ("lang_quality", gated),
+    ]
+    if cfg.dedup_paragraphs:
+        stages.append(("paragraph_dedup", tagged))
+    stages += [
         ("exact_dedup", exact_kept),
         ("near_dedup", curated),
-    )
+    ]
+    funnel = _funnel(*stages)
     return curated, funnel
 
 

@@ -128,13 +128,30 @@ class DedupLog:
         self.root = root.rstrip("/")
         self.fs = _FS(spark, self.root)
         self.keep_manifests = max(1, keep_manifests)
+        # Retained-manifest cache. The log is single-writer (same
+        # contract as write_results_wap), so this instance's own
+        # commits are the only way the window changes — load once,
+        # then maintain the cache in _commit_manifest instead of
+        # re-listing + checksum-reading every retained manifest per
+        # commit (K small-object GETs per streaming micro-batch on an
+        # object store). A foreign writer on the same root invalidates
+        # the contract, not the cache; use refresh() after one.
+        self._mcache: list[dict] | None = None
 
     # -- manifest plumbing (shares the WAP protocol's validity rules) --
 
     def _manifests(self) -> list[dict]:
         from mindocr_spark.operators.pipeline import _load_manifests
 
-        return _load_manifests(self.fs, self.root)
+        if self._mcache is None:
+            self._mcache = _load_manifests(self.fs, self.root)
+        return self._mcache
+
+    def refresh(self) -> None:
+        """Drop the manifest cache (re-read on next access) — for the
+        rare multi-process hand-off where another DedupLog instance
+        committed to this root."""
+        self._mcache = None
 
     def current(self) -> dict | None:
         m = self._manifests()
@@ -247,24 +264,26 @@ class DedupLog:
         collects. `cur` is the caller's already-loaded current manifest
         (every caller has one in hand; re-reading here would triple the
         small-object reads per streaming micro-batch on an object
-        store)."""
-        from mindocr_spark.operators.pipeline import (
-            _load_manifests,
-            _write_manifest,
-        )
+        store). The retained window for the expiry sweep comes from
+        the instance cache plus the manifest just written — no
+        re-list/re-read of manifest bodies at commit time."""
+        from mindocr_spark.operators.pipeline import _write_manifest
 
         prior_runs = (
             list(cur.get("all_runs", cur["increments"])) if cur else []
         )
-        _write_manifest(self.fs, self.root, run_id, {
+        prior_manifests = self._manifests()
+        body = {
             "increments": list(increments),
             "all_runs": prior_runs + [run_id],
             "params": dict(params.__dict__),
             "counters": counters or {},
-        })
-        retained = _load_manifests(self.fs, self.root)[
-            -self.keep_manifests:
-        ]
+        }
+        seq = _write_manifest(self.fs, self.root, run_id, body)
+        self._mcache = (
+            prior_manifests + [{"seq": seq, "run_id": run_id, **body}]
+        )[-self.keep_manifests:]
+        retained = self._mcache
         referenced = {r for m in retained for r in m["increments"]}
         for name in self.fs.list_names(f"{self.root}/_increments"):
             if name not in referenced:

@@ -87,12 +87,24 @@ def paragraph_dedup(
     drops already-collected crops of a doc rather than re-emitting them
     (reference: deploy/py_infer/src/parallel/module/common/
     collect_node.py:72-99)."""
+    # F.split takes a Java REGEX; `sep` is a literal separator (and the
+    # DuckDB oracle splits literally) — escape it so a metachar sep
+    # ("." , "||") splits on the literal string, matching array_join.
+    import re
+
     paras = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("ord", "para"),
+        F.posexplode(
+            F.split(F.col(text_col), re.escape(sep))
+        ).alias("ord", "para"),
     )
     occ = F.struct(F.col(id_col).alias("i"), F.col("ord").alias("o"))
-    keyed = paras.withColumn("ph", F.md5("para")).withColumn("occ", occ)
+    # keyed feeds `firsts`, `kept` AND the row-preservation anchor —
+    # persist or the explode+md5 (and the whole input lineage) runs
+    # once per consumer
+    keyed = tracked_persist(
+        paras.withColumn("ph", F.md5("para")).withColumn("occ", occ)
+    )
     firsts = (
         keyed.where(F.length("para") >= min_para_chars)
         .groupBy("ph")
@@ -113,8 +125,11 @@ def paragraph_dedup(
     )
     # row preservation: a doc whose EVERY paragraph was dropped has no
     # group in `rebuilt` — re-anchor on the input ids so it comes back
-    # as the empty string instead of silently vanishing
-    return docs.select(id_col).join(rebuilt, id_col, "left").select(
+    # as the empty string instead of silently vanishing. Anchor off the
+    # persisted `keyed` (every doc has ≥1 paragraph row) rather than
+    # re-scanning the input lineage a third time.
+    anchor = keyed.select(id_col).distinct()
+    return anchor.join(rebuilt, id_col, "left").select(
         id_col, F.coalesce(text_col, F.lit("")).alias(text_col)
     )
 

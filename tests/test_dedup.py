@@ -255,4 +255,7 @@ def test_paragraph_dedup_plan_is_aggregate_not_window(spark):
         paragraph_dedup(docs)._jdf.queryExecution(), "formatted"
     )
     assert "Window" not in plan
-    assert "partial_min" in plan or "partial" in plan.lower()
+    # specifically the first-occurrence MIN on the paragraph hash must
+    # be a combinable partial aggregate — the rebuild stage's
+    # partial_collect_list alone must NOT satisfy this test
+    assert "partial_min" in plan
