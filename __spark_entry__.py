@@ -607,6 +607,44 @@ def q_ngram_jaccard(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_dup_components(spark, sf_dir):
+    """Transitive duplicate clusters: connected components over the
+    exact shingle-Jaccard pair graph (threshold 0.1 — same edges as
+    `ngram_jaccard`), labelling every document with the min doc_id
+    reachable through any chain of near-dup pairs plus its cluster
+    size. This is the transitive-closure step production LLM dedup
+    runs over candidate pairs (RefinedWeb/SlimPajama style); at sf0.01
+    the graph has 476 components with clusters up to size 3, so the
+    closure is genuinely exercised. The oracle recomputes the same
+    labels with a recursive CTE (min-label reachability), which is
+    exact because min-propagation is deterministic. EAGER: label
+    propagation is iterative (one Spark job per pass until converged).
+    reference: collect_node.py:72-99 (fold per-crop results to one
+    canonical per-image representative)."""
+    from mindocr_spark.functions.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, k=3, threshold=0.1, max_shingle_freq=10_000,
+    )
+    comp = connected_components(
+        pairs, vertices=docs.select("doc_id"), id_col="doc_id",
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("id").alias("doc_id"), "component", "cluster_size"
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidate PAIRS from the xxhash64 scale
     path. STATISTICAL cross-check, not an exact oracle: the xxhash64
@@ -1168,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q(q_exact_dedup),
         "paragraph_dedup": _q(q_paragraph_dedup),
         "ngram_jaccard": _q(q_ngram_jaccard),
+        "dup_components": _q(q_dup_components),
         "minhash_lsh": _q(q_minhash_lsh),
         "minhash_lsh_md5": _q(q_minhash_lsh_md5),
         "simhash_md5": _q(q_simhash_md5),
@@ -1741,6 +1780,52 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
             WHERE round(CAST(n_inter AS DOUBLE) / CAST(x.n + y.n - n_inter AS DOUBLE), 6) >= 0.1
             ORDER BY id_a, id_b
+        """,
+        # same edge CTEs as ngram_jaccard (threshold 0.1), then
+        # transitive closure as a recursive CTE: from (v,v) seeds,
+        # propagate a label c across an edge to y whenever c < y — the
+        # component min (smaller than every member) reaches every node,
+        # and min(comp) per node is exactly the Spark min-label
+        # propagation fixpoint.
+        "dup_components": r"""
+            WITH RECURSIVE w AS (
+              SELECT doc_id, unnest(string_split(trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')),' ')) AS word,
+                     generate_subscripts(string_split(trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')),' '), 1) AS pos
+              FROM documents),
+            sh0 AS (
+              SELECT doc_id,
+                     word || ' ' || lead(word,1) OVER (PARTITION BY doc_id ORDER BY pos)
+                          || ' ' || lead(word,2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle,
+                     lead(word,2) OVER (PARTITION BY doc_id ORDER BY pos) AS l2
+              FROM w),
+            sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE l2 IS NOT NULL),
+            sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            joinable AS (
+              SELECT doc_id, shingle FROM sh
+              WHERE shingle IN (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING COUNT(*) <= 10000)),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM joinable a JOIN joinable b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+            pairs AS (
+              SELECT id_a, id_b
+              FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+              WHERE round(CAST(n_inter AS DOUBLE) / CAST(x.n + y.n - n_inter AS DOUBLE), 6) >= 0.1),
+            sym AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs WHERE id_a <> id_b
+              UNION SELECT id_b, id_a FROM pairs WHERE id_a <> id_b),
+            cc(id, comp) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT s.dst, c.comp FROM cc c JOIN sym s ON s.src = c.id
+              WHERE c.comp < s.dst),
+            lab AS (SELECT id AS doc_id, min(comp) AS component FROM cc GROUP BY id),
+            szc AS (SELECT component, COUNT(*) AS cluster_size FROM lab GROUP BY component)
+            SELECT doc_id, component, cluster_size
+            FROM lab JOIN szc USING (component)
+            ORDER BY doc_id
         """,
         "curate_pipeline": f"""
             WITH x AS (

@@ -96,6 +96,7 @@ def main() -> None:
         # round-3 late additions (appended for the same reason)
         "paragraph_dedup",      # CCNet/C4 corpus-level paragraph dedup
         "pii_redact",           # PII scrubbing (codegen regex path)
+        "dup_components",       # transitive dup clusters (iterative CC)
     ]
     qs = E.queries()
     for name in headline:

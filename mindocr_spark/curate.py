@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from mindocr_spark import extract_core as core
 from mindocr_spark.functions.dedup import (
+    connected_components,
     exact_dup_clusters,
     minhash_lsh_pairs,
     paragraph_dedup,
@@ -68,6 +69,15 @@ class CurateConfig:
     # dedup pass (so docs differing only in PII collapse as the
     # duplicates they are). Pure row expressions — free on the scan.
     redact_pii: bool = False
+    # transitive near-dup collapse: instead of dropping the larger url
+    # of each candidate pair (which leaves a chain member alive when it
+    # is only ever the SMALLER side of its pairs), run connected
+    # components over the pair graph and keep exactly one doc — the
+    # min url — per component. NOTE: this pass is EAGER (min-label
+    # propagation is iterative; the driver loop runs one Spark job per
+    # pass until the labels converge), so with it enabled curate() is
+    # no longer a zero-action build.
+    neardup_transitive: bool = False
 
 
 def curate(
@@ -192,18 +202,26 @@ def _curate_build(pages, cfg, params, _persist):
         "url",
     ))
 
-    # near-dup removal: LSH candidates ≥ threshold; drop the higher url of
-    # each pair (deterministic victim choice; transitive chains collapse
-    # toward the minimum). threshold > 1 disables the pass entirely.
+    # near-dup removal: LSH candidates ≥ threshold; by default drop the
+    # higher url of each pair (deterministic victim choice). threshold
+    # > 1 disables the pass entirely. With neardup_transitive, collapse
+    # whole connected components of the pair graph to their min url
+    # instead — the pairwise rule misses a chain member that is only
+    # ever the smaller side of its pairs (see connected_components).
     if cfg.neardup_threshold <= 1.0:
-        victims = (
-            minhash_lsh_pairs(
-                exact_kept, threshold=cfg.neardup_threshold,
-                text_col="text", id_col="url",
-            )
-            .select(F.col("id_b").alias("url"))
-            .distinct()
+        pairs = minhash_lsh_pairs(
+            exact_kept, threshold=cfg.neardup_threshold,
+            text_col="text", id_col="url",
         )
+        if cfg.neardup_transitive:
+            comp = connected_components(
+                pairs, src_col="id_a", dst_col="id_b",
+            )
+            victims = comp.where(
+                F.col("id") != F.col("component")
+            ).select(F.col("id").alias("url"))
+        else:
+            victims = pairs.select(F.col("id_b").alias("url")).distinct()
         curated = exact_kept.join(victims, "url", "left_anti")
     else:
         curated = exact_kept

@@ -614,3 +614,92 @@ def simhash_pairs_md5(df: DataFrame, max_hamming: int = 8,
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# 6. Connected components (transitive duplicate clusters)
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, component) labels for the undirected graph given by
+    ``edges`` — ``component`` is the MINIMUM id reachable from each
+    node, so two docs share a component iff they are connected through
+    any chain of near-dup pairs. This is the transitive-closure step
+    every production LLM dedup pipeline runs over its candidate pairs
+    (RefinedWeb / SlimPajama style): a pairwise victim rule leaves
+    chain members alive whenever a doc is only ever the *smaller* side
+    of its pairs; component collapse keeps exactly one doc per cluster.
+
+    Algorithm: iterative min-label propagation. Each pass every node
+    takes the min of its own label and its neighbors' labels; the
+    driver loop stops when a pass changes nothing. Deterministic —
+    exact MIN over ids, no randomness, so it has an exact recursive-CTE
+    SQL twin.
+
+    100 TB plan: per pass, one equi-join of the (persisted, symmetric)
+    edge list with the label table and one map-side-combinable MIN
+    aggregate — both hash-partitioned on node id, no all-pairs stage.
+    Pass count is the graph DIAMETER, and near-dup graphs are unions of
+    near-cliques (LSH band collisions), so it converges in a handful of
+    passes; `max_iter` guards pathological chains (a path graph of
+    length > max_iter raises rather than returning partial labels —
+    for adversarial diameters, switch to large-star/small-star which
+    contracts in O(log n) passes). Superseded label tables are
+    unpersisted inside the loop; the returned table follows the
+    tracked_persist discipline (ambient persist_scope releases it).
+
+    Reference analog: CollectNode folds per-crop results into one
+    per-image group before emitting — the same gather-to-a-canonical-
+    representative shape (reference: deploy/py_infer/src/parallel/
+    module/common/collect_node.py:72-99)."""
+    a, b = F.col(src_col), F.col(dst_col)
+    sym = tracked_persist(
+        edges.select(a.alias("src"), b.alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .union(
+            edges.select(b.alias("src"), a.alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+        )
+        .distinct()
+    )
+    if vertices is not None:
+        nodes = vertices.select(F.col(id_col).alias("id")).distinct()
+    else:
+        nodes = (
+            edges.select(a.alias("id"))
+            .union(edges.select(b.alias("id")))
+            .distinct()
+        )
+    labels = tracked_persist(
+        nodes.select("id", F.col("id").alias("component"))
+    )
+    for _ in range(max_iter):
+        neigh = sym.join(
+            labels.select(F.col("id").alias("src"), "component"), "src"
+        ).select(F.col("dst").alias("id"), "component")
+        new = tracked_persist(
+            labels.unionByName(neigh)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        changed = new.join(
+            labels.select("id", F.col("component").alias("prev")), "id"
+        ).where(F.col("component") != F.col("prev"))
+        done = changed.isEmpty()
+        labels.unpersist()
+        labels = new
+        if done:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} passes "
+        f"(graph diameter exceeds max_iter; raise it or use a "
+        f"star-contraction variant)"
+    )

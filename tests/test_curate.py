@@ -250,3 +250,24 @@ def test_curate_paragraph_dedup_gate(spark):
     assert boiler not in texts["https://bp.example/b"]  # deduped away
     assert uniq["a"] in texts["https://bp.example/a"]
     assert uniq["b"] in texts["https://bp.example/b"]
+
+
+def test_curate_neardup_transitive(spark, raw_pages):
+    """neardup_transitive collapses each near-dup component to its min
+    url: the planted near pair still yields exactly one survivor, and
+    transitive survivors are a subset of the pairwise run's (component
+    collapse can only drop more — a chain member that is only ever the
+    smaller side of its pairs escapes the pairwise rule but not this
+    one)."""
+    from mindocr_spark.curate import CurateConfig, curate
+
+    pw, _ = curate(raw_pages, CurateConfig(min_chars=50,
+                                           neardup_threshold=0.5))
+    tr, _ = curate(raw_pages, CurateConfig(min_chars=50,
+                                           neardup_threshold=0.5,
+                                           neardup_transitive=True))
+    pw_urls = {r["url"] for r in pw.collect()}
+    tr_urls = {r["url"] for r in tr.collect()}
+    assert tr_urls <= pw_urls
+    orig5 = [u for u in tr_urls if u.endswith("/p/5")]
+    assert (("https://dup.example/near" in tr_urls) + bool(orig5)) == 1

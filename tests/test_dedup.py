@@ -259,3 +259,62 @@ def test_paragraph_dedup_plan_is_aggregate_not_window(spark):
     # be a combinable partial aggregate — the rebuild stage's
     # partial_collect_list alone must NOT satisfy this test
     assert "partial_min" in plan
+
+
+class TestConnectedComponents:
+    def test_chain_transitive_vs_pairwise(self, spark):
+        """Edges (1,3),(2,3): the pairwise drop-id_b rule keeps {1,2}
+        (3 is the only id_b), but 1-3-2 is one component — transitive
+        collapse keeps only the min, 1."""
+        from mindocr_spark.functions.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 3), (2, 3)], "id_a bigint, id_b bigint"
+        )
+        out = {
+            r["id"]: r["component"]
+            for r in connected_components(edges).collect()
+        }
+        assert out == {1: 1, 2: 1, 3: 1}
+        survivors = {i for i, c in out.items() if i == c}
+        pairwise_survivors = {1, 2}  # what drop-every-id_b leaves alive
+        assert survivors == {1} != pairwise_survivors
+
+    def test_string_ids_isolated_and_self_loops(self, spark):
+        from mindocr_spark.functions.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [("b", "a"), ("c", "b"), ("e", "e")], "id_a string, id_b string"
+        )
+        verts = spark.createDataFrame(
+            [("a",), ("b",), ("c",), ("e",), ("z",)], "doc_id string"
+        )
+        out = {
+            r["id"]: r["component"]
+            for r in connected_components(edges, vertices=verts).collect()
+        }
+        # chain collapses to lexicographic min; self-loop and isolated
+        # vertices label themselves
+        assert out == {"a": "a", "b": "a", "c": "a", "e": "e", "z": "z"}
+
+    def test_max_iter_guard_raises(self, spark):
+        """A path graph of diameter 4 cannot converge in one pass —
+        partial labels must raise, never be returned silently."""
+        from mindocr_spark.functions.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a bigint, id_b bigint"
+        )
+        with pytest.raises(RuntimeError, match="converge"):
+            connected_components(edges, max_iter=1)
+
+    def test_empty_edges(self, spark):
+        from mindocr_spark.functions.dedup import connected_components
+
+        edges = spark.createDataFrame([], "id_a bigint, id_b bigint")
+        verts = spark.createDataFrame([(7,), (9,)], "doc_id bigint")
+        out = {
+            r["id"]: r["component"]
+            for r in connected_components(edges, vertices=verts).collect()
+        }
+        assert out == {7: 7, 9: 9}
