@@ -489,6 +489,43 @@ def q_pii_redact(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+#: Decomposed-Unicode suffixes for the NFC corpus (combining marks that
+#: NFC composes): e+U+0301 → é, A+U+030A → Å, o+U+0308 → ö. The third
+#: case is ALREADY composed (must pass through unchanged) and the
+#: fourth adds nothing.
+_NFC_SUFFIXES = (
+    " cafe\u0301 menu",               # e + U+0301 -> \u00e9 under NFC
+    " A\u030angstro\u0308m units",    # A + U+030A, o + U+0308
+    " caf\u00e9 composed",            # already-composed: must not change
+    "",
+)
+
+
+def q_nfc_normalize(spark, sf_dir):
+    """Unicode NFC canonicalization (the C4/CCNet text-fixing stage).
+    The word-soup documents are pure ASCII, so decomposed sequences
+    are planted IN-QUERY: doc_id%4 selects a suffix with combining
+    marks (composed by NFC), an already-composed é (unchanged), or
+    nothing. The oracle rebuilds the same corpus and applies DuckDB's
+    utf8proc nfc_normalize — exact because both engines implement the
+    same Unicode normalization spec (pinned by a unit test comparing
+    the two on adversarial sequences)."""
+    from mindocr_spark.functions.text import unicode_normalize_cols
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in _NFC_SUFFIXES]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    built = docs.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    return unicode_normalize_cols(built).select(
+        "doc_id", "text", "was_normalized",
+        F.length("text").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
 def q_lang_id(spark, sf_dir):
     from mindocr_spark.functions.text import lang_id_col
 
@@ -1200,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q(q_token_stats),
         "quality_scores": _q(q_quality_scores),
         "pii_redact": _q(q_pii_redact),
+        "nfc_normalize": _q(q_nfc_normalize),
         "lang_id": _q(q_lang_id),
         "rec_metrics_pairs": _q(q_rec_metrics_pairs),
         "rolling_fingerprint": _q(q_rolling_fingerprint),
@@ -1669,6 +1707,25 @@ def oracle_sql() -> dict[str, str]:
             .replace("__IP__", _text_pii.__dict__["_IPV4_RE"])
             .replace("__PHONE__", _text_pii.__dict__["_PHONE_RE"])
         ),
+        # the suffix literals are injected from the SAME Python
+        # constants the Spark query uses, so the two corpora can never
+        # drift; nfc_normalize is utf8proc's NFC, unicodedata's twin
+        "nfc_normalize": f"""
+            WITH built AS (
+              SELECT doc_id,
+                     text || CASE CAST(doc_id % 4 AS INT)
+                       WHEN 0 THEN '{_NFC_SUFFIXES[0]}'
+                       WHEN 1 THEN '{_NFC_SUFFIXES[1]}'
+                       WHEN 2 THEN '{_NFC_SUFFIXES[2]}'
+                       ELSE '' END AS text
+              FROM documents)
+            SELECT doc_id,
+                   nfc_normalize(text) AS text,
+                   (nfc_normalize(text) <> text) AS was_normalized,
+                   CAST(length(nfc_normalize(text)) AS INT)
+                     AS n_chars
+            FROM built ORDER BY doc_id
+        """,
         "lang_id": r"""
             WITH c AS (
               SELECT doc_id,

@@ -97,6 +97,7 @@ def main() -> None:
         "paragraph_dedup",      # CCNet/C4 corpus-level paragraph dedup
         "pii_redact",           # PII scrubbing (codegen regex path)
         "dup_components",       # transitive dup clusters (iterative CC)
+        "nfc_normalize",        # Unicode canonicalization (Arrow UDF)
     ]
     qs = E.queries()
     for name in headline:

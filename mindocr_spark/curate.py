@@ -69,6 +69,11 @@ class CurateConfig:
     # dedup pass (so docs differing only in PII collapse as the
     # duplicates they are). Pure row expressions — free on the scan.
     redact_pii: bool = False
+    # canonicalize text to Unicode NFC before every gate and dedup
+    # pass (composed vs decomposed encodings of the same glyphs stop
+    # defeating byte-level fingerprints). One Arrow-batched pandas UDF
+    # in the narrow post-extraction stage — no shuffle.
+    nfc_normalize: bool = False
     # transitive near-dup collapse: instead of dropping the larger url
     # of each candidate pair (which leaves a chain member alive when it
     # is only ever the SMALLER side of its pairs), run connected
@@ -120,6 +125,16 @@ def _curate_build(pages, cfg, params, _persist):
         & (F.length("text") >= cfg.min_chars)
         & (F.col("boilerplate_ratio") <= cfg.max_boilerplate)
     )
+    # Unicode canonicalization FIRST: every downstream signal (lang
+    # n-grams, quality ratios, fingerprints, shingles) reads the
+    # canonical bytes, and exact dedup collapses composed/decomposed
+    # encodings of the same text
+    if cfg.nfc_normalize:
+        from mindocr_spark.functions.text import unicode_normalize_cols
+
+        ok = unicode_normalize_cols(ok, text_col="text").drop(
+            "was_normalized"
+        )
     tagged = ok.withColumn("lang_pred", lang_id_col(F.lower(F.col("text"))))
     if cfg.langs:
         tagged = tagged.where(F.col("lang_pred").isin(*cfg.langs))

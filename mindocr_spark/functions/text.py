@@ -15,6 +15,8 @@ rec_lmdb_dataset.py:106-119) → :func:`quality_cols` + downstream filter.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # --------------------------------------------------------------------------
@@ -240,6 +242,53 @@ def redact_pii_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("n_ips", F.regexp_count(t, F.lit(_IPV4_RE)))
         .withColumn("n_phones", F.regexp_count(t, F.lit(_PHONE_RE)))
         .withColumn(text_col, red)
+    )
+
+
+# --------------------------------------------------------------------------
+# Unicode normalization (curation-stage text fixing)
+# --------------------------------------------------------------------------
+
+
+def unicode_normalize_cols(df: DataFrame, text_col: str = "text",
+                           form: str = "NFC") -> DataFrame:
+    """Normalize `text_col` to a canonical Unicode form (default NFC) —
+    the standard C4/CCNet text-fixing stage. Crawled pages mix
+    composed and decomposed encodings of the same glyph ("é" as U+00E9
+    vs "e"+U+0301); without canonicalization, byte-level fingerprints
+    treat them as different documents and exact dedup silently
+    under-collapses. Rewrites `text_col` in place and appends a
+    `was_normalized` flag (the doc's bytes changed).
+
+    Spark has no built-in Unicode-normalize expression, so this is the
+    one sanctioned Python path: an Arrow-batched pandas UDF
+    (``Series.str.normalize`` — vectorized unicodedata over each Arrow
+    batch, never per-row Python). It stays inside the scan's narrow
+    stage: zero shuffles. The cross-engine oracle is exact because
+    Python's unicodedata and DuckDB's utf8proc implement the same
+    Unicode normalization spec.
+
+    Reference analog: NormalizeImage's canonical-value rewrite before
+    any downstream op consumes the payload (reference:
+    mindocr/data/transforms/general_transforms.py:82-118)."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.str.normalize(form)
+
+    t = F.col(text_col)
+    normed = F.when(t.isNull(), t).otherwise(_norm(t))
+    return (
+        df.withColumn("__norm_text", normed)
+        .withColumn(
+            "was_normalized",
+            F.coalesce(F.col("__norm_text") != t, F.lit(False)),
+        )
+        .withColumn(text_col, F.col("__norm_text"))
+        .drop("__norm_text")
     )
 
 

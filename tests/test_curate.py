@@ -271,3 +271,40 @@ def test_curate_neardup_transitive(spark, raw_pages):
     assert tr_urls <= pw_urls
     orig5 = [u for u in tr_urls if u.endswith("/p/5")]
     assert (("https://dup.example/near" in tr_urls) + bool(orig5)) == 1
+
+
+def test_curate_nfc_normalize_collapses_encoding_twins(spark):
+    """Two pages whose extracted text differs ONLY in composed vs
+    decomposed encodings of the same glyphs are distinct byte strings
+    to exact dedup — with nfc_normalize on, they canonicalize to the
+    same bytes and collapse to one survivor."""
+    from mindocr_spark.corpus import generate_batch, PAGES_SCHEMA_DDL
+    from mindocr_spark.curate import CurateConfig, curate
+
+    rows = generate_batch(13, range(20))
+    body = ("the café on the corner serves excellent petit "
+            "déjeuner to its loyal visitors every single morning")
+    decomposed = body.replace("é", "é")
+
+    def page(tag, text):
+        html = (f"<html><body><article><p>{text}</p>"
+                f"</article></body></html>").encode()
+        return dict(rows[0], url=f"https://nfc.example/{tag}", html=html,
+                    text="")
+
+    pages = spark.createDataFrame(
+        rows + [page("composed", body), page("decomposed", decomposed)],
+        PAGES_SCHEMA_DDL,
+    )
+    base = dict(min_chars=50, neardup_threshold=2.0)
+
+    off = {r["url"] for r in curate(pages, CurateConfig(**base))[0]
+           .collect()}
+    assert {"https://nfc.example/composed",
+            "https://nfc.example/decomposed"} <= off  # distinct bytes
+
+    on = {r["url"] for r in
+          curate(pages, CurateConfig(**base, nfc_normalize=True))[0]
+          .collect()}
+    assert len(on & {"https://nfc.example/composed",
+                     "https://nfc.example/decomposed"}) == 1

@@ -161,3 +161,63 @@ def test_curate_redact_pii_collapses_pii_only_variants(spark):
     assert "https://pii.example/b" not in out      # PII-only variant gone
     assert "<EMAIL>" in out["https://pii.example/a"]
     assert "ann@example.com" not in out["https://pii.example/a"]
+
+
+class TestUnicodeNormalize:
+    def test_known_pairs_and_flags(self, spark):
+        from mindocr_spark.functions.text import unicode_normalize_cols
+
+        rows = [
+            (1, "café"),          # decomposed → composed
+            (2, "café"),           # already composed → unchanged
+            (3, "Ångström"),
+            (4, None),                  # null passthrough
+            (5, "plain ascii"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r["doc_id"]: r for r in
+               unicode_normalize_cols(df).collect()}
+        assert out[1]["text"] == "café" and out[1]["was_normalized"]
+        assert out[2]["text"] == "café" and not out[2]["was_normalized"]
+        assert out[3]["text"] == "Ångström"
+        assert out[3]["was_normalized"]
+        assert out[4]["text"] is None and not out[4]["was_normalized"]
+        assert out[5]["text"] == "plain ascii"
+        assert not out[5]["was_normalized"]
+
+    def test_invalid_form_raises(self, spark):
+        from mindocr_spark.functions.text import unicode_normalize_cols
+
+        df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+        with pytest.raises(ValueError, match="normalization form"):
+            unicode_normalize_cols(df, form="NFX")
+
+    def test_engine_parity_with_duckdb(self, spark):
+        """The oracle's exactness claim: Python unicodedata (the Spark
+        path) and DuckDB's utf8proc produce identical NFC output on
+        adversarial sequences — multiple combining marks, Hangul jamo,
+        compatibility chars NFC must NOT touch, and singletons."""
+        import duckdb
+
+        cases = [
+            "é̂",            # two combining marks
+            "ẛ̣",             # long s with dot above + dot below
+            "각",       # Hangul jamo → precomposed syllable
+            "ﬁne",                 # ligature fi: NFC keeps it
+            "Å",                   # ANGSTROM SIGN → Å (singleton)
+            "q̣̇",            # reorderable combining marks
+            "",
+        ]
+        from mindocr_spark.functions.text import unicode_normalize_cols
+
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cases)],
+            "doc_id bigint, text string",
+        )
+        got = {r["doc_id"]: r["text"]
+               for r in unicode_normalize_cols(df).collect()}
+        for i, c in enumerate(cases):
+            want = duckdb.execute(
+                "select nfc_normalize(?)", [c]
+            ).fetchone()[0]
+            assert got[i] == want, (i, c)
