@@ -526,6 +526,68 @@ def q_nfc_normalize(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _built_url_corpus(spark, sf_dir):
+    """Shared URL-variant corpus for the url_* queries: every 5
+    consecutive doc_ids are the SAME page (pid = doc_id div 5) spelled
+    5 ways — www+default-port+tracking-params+fragment, plain http,
+    reordered params + click id, an m. subdomain (NOT a duplicate),
+    and an IPv4 host. A third of the pids live under a co.uk
+    registrable domain to exercise the public-suffix rule."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pid = F.expr("doc_id div 5")
+    v = F.col("doc_id") % 5
+    dom = F.concat(
+        F.lit("site"), (pid % 7).cast("string"),
+        F.when(pid % 3 == 0, F.lit(".co.uk"))
+        .otherwise(F.lit(".example.com")),
+    )
+    p = pid.cast("string")
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("https://WWW."), dom, F.lit(":443/p/"), p,
+            F.lit("/?utm_source=feed&b=2&a=1#top")))
+        .when(v == 1, F.concat(
+            F.lit("http://"), dom, F.lit("/p/"), p, F.lit("?a=1&b=2")))
+        .when(v == 2, F.concat(
+            F.lit("https://"), dom, F.lit("/p/"), p,
+            F.lit("?b=2&a=1&gclid=xyz")))
+        .when(v == 3, F.concat(
+            F.lit("https://m."), dom, F.lit("/p/"), p))
+        .otherwise(F.concat(
+            F.lit("http://10.0."), (pid % 250).cast("string"),
+            F.lit(".17/p/"), p))
+    )
+    return docs.select("doc_id", "text", url.alias("url"))
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization + URL-level dedup (the layer a web corpus
+    applies BEFORE content hashing: Common Crawl's index is keyed by
+    canonical URL). Three of each page's five spellings must collapse
+    onto one canonical key (cluster of 3, lexicographic-min rep); the
+    m. subdomain and IP spellings stay singletons. All shared-constant
+    regex expressions — the oracle injects the same patterns."""
+    from mindocr_spark.functions.urls import url_dedup_flags
+
+    return url_dedup_flags(_built_url_corpus(spark, sf_dir)).select(
+        "doc_id", "url", "host", "registered_domain", "canonical_url",
+        "url_cluster_size", "url_rep", "is_url_dup",
+    ).orderBy("doc_id")
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-registered-domain corpus statistics (page counts, distinct
+    canonical URLs, total/mean extracted chars) — the aggregation
+    behind per-domain caps (C4's ≤N pages/domain) and blocklist
+    decisions. One map-side-combinable groupBy on the domain key;
+    mean goes through DECIMAL for bit-exact oracle parity."""
+    from mindocr_spark.functions.urls import domain_stats
+
+    return domain_stats(_built_url_corpus(spark, sf_dir)).orderBy(
+        "registered_domain"
+    )
+
+
 def q_lang_id(spark, sf_dir):
     from mindocr_spark.functions.text import lang_id_col
 
@@ -1238,6 +1300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q(q_quality_scores),
         "pii_redact": _q(q_pii_redact),
         "nfc_normalize": _q(q_nfc_normalize),
+        "url_canonicalize": _q(q_url_canonicalize),
+        "domain_stats": _q(q_domain_stats),
         "lang_id": _q(q_lang_id),
         "rec_metrics_pairs": _q(q_rec_metrics_pairs),
         "rolling_fingerprint": _q(q_rolling_fingerprint),
@@ -1485,6 +1549,7 @@ def _lsh_ann_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from mindocr_spark.functions import text as _text_pii
+    from mindocr_spark.functions import urls as _urls_mod
 
     url = "'https://docs.example/' || source || '/' || CAST(doc_id AS VARCHAR)"
     return {
@@ -1706,6 +1771,138 @@ def oracle_sql() -> dict[str, str]:
             .replace("__EMAIL__", _text_pii.__dict__["_EMAIL_RE"])
             .replace("__IP__", _text_pii.__dict__["_IPV4_RE"])
             .replace("__PHONE__", _text_pii.__dict__["_PHONE_RE"])
+        ),
+        # URL corpus + canonicalization: every regex below is injected
+        # from the mindocr_spark.functions.urls constants the Spark
+        # expressions compile, so the dialects cannot drift
+        "url_canonicalize": (
+            """
+            WITH built AS (
+              SELECT doc_id, text,
+                     'site' || CAST((doc_id // 5) % 7 AS VARCHAR) ||
+                       CASE WHEN (doc_id // 5) % 3 = 0 THEN '.co.uk'
+                            ELSE '.example.com' END AS dom,
+                     doc_id // 5 AS pid, doc_id % 5 AS v
+              FROM documents),
+            urls AS (
+              SELECT doc_id, text,
+                CASE v
+                  WHEN 0 THEN 'https://WWW.' || dom || ':443/p/' || CAST(pid AS VARCHAR) || '/?utm_source=feed&b=2&a=1#top'
+                  WHEN 1 THEN 'http://' || dom || '/p/' || CAST(pid AS VARCHAR) || '?a=1&b=2'
+                  WHEN 2 THEN 'https://' || dom || '/p/' || CAST(pid AS VARCHAR) || '?b=2&a=1&gclid=xyz'
+                  WHEN 3 THEN 'https://m.' || dom || '/p/' || CAST(pid AS VARCHAR)
+                  ELSE 'http://10.0.' || CAST(pid % 250 AS VARCHAR) || '.17/p/' || CAST(pid AS VARCHAR)
+                END AS url
+              FROM built),
+            parts AS (
+              SELECT doc_id, text, url,
+                regexp_replace(regexp_replace(
+                  lower(regexp_extract(url, '__HOST__', 1)),
+                  '^www\\.', ''), ':(80|443)$', '') AS host,
+                regexp_replace(regexp_extract(url, '__PATH__', 1),
+                               '/$', '') AS path,
+                regexp_extract(url, '__QUERY__', 1) AS q
+              FROM urls),
+            canon0 AS (
+              SELECT *, array_to_string(list_sort(list_filter(
+                string_split(q, '&'),
+                x -> x <> '' AND NOT regexp_matches(x, '__TRACK__'))),
+                '&') AS kept
+              FROM parts),
+            canon AS (
+              SELECT doc_id, text, url, host,
+                CASE WHEN regexp_matches(host, '__IP__') THEN host
+                     WHEN regexp_extract(host, '__CC__', 1) <> ''
+                       THEN regexp_extract(host, '__CC__', 1)
+                     WHEN regexp_extract(host, '__DOM2__', 1) <> ''
+                       THEN regexp_extract(host, '__DOM2__', 1)
+                     ELSE host END AS registered_domain,
+                CASE WHEN host = '' THEN url
+                     ELSE host || path ||
+                       CASE WHEN kept <> '' THEN '?' || kept
+                            ELSE '' END END AS canonical_url
+              FROM canon0),
+            reps AS (
+              SELECT canonical_url, COUNT(*) AS url_cluster_size,
+                     min(url) AS url_rep
+              FROM canon GROUP BY canonical_url)
+            SELECT doc_id, url, host, registered_domain, canonical_url,
+                   url_cluster_size, url_rep,
+                   (url <> url_rep) AS is_url_dup
+            FROM canon JOIN reps USING (canonical_url)
+            ORDER BY doc_id
+            """
+            .replace("__HOST__", _urls_mod.URL_HOST_RE)
+            .replace("__PATH__", _urls_mod.URL_PATH_RE)
+            .replace("__QUERY__", _urls_mod.URL_QUERY_RE)
+            .replace("__TRACK__", _urls_mod.TRACKING_PARAM_RE)
+            .replace("__IP__", _urls_mod.IPV4_HOST_RE)
+            .replace("__CC__", _urls_mod.REGDOM_CC_RE)
+            .replace("__DOM2__", _urls_mod.REGDOM_RE)
+        ),
+        "domain_stats": (
+            """
+            WITH built AS (
+              SELECT doc_id, text,
+                     'site' || CAST((doc_id // 5) % 7 AS VARCHAR) ||
+                       CASE WHEN (doc_id // 5) % 3 = 0 THEN '.co.uk'
+                            ELSE '.example.com' END AS dom,
+                     doc_id // 5 AS pid, doc_id % 5 AS v
+              FROM documents),
+            urls AS (
+              SELECT doc_id, text,
+                CASE v
+                  WHEN 0 THEN 'https://WWW.' || dom || ':443/p/' || CAST(pid AS VARCHAR) || '/?utm_source=feed&b=2&a=1#top'
+                  WHEN 1 THEN 'http://' || dom || '/p/' || CAST(pid AS VARCHAR) || '?a=1&b=2'
+                  WHEN 2 THEN 'https://' || dom || '/p/' || CAST(pid AS VARCHAR) || '?b=2&a=1&gclid=xyz'
+                  WHEN 3 THEN 'https://m.' || dom || '/p/' || CAST(pid AS VARCHAR)
+                  ELSE 'http://10.0.' || CAST(pid % 250 AS VARCHAR) || '.17/p/' || CAST(pid AS VARCHAR)
+                END AS url
+              FROM built),
+            parts AS (
+              SELECT doc_id, text, url,
+                regexp_replace(regexp_replace(
+                  lower(regexp_extract(url, '__HOST__', 1)),
+                  '^www\\.', ''), ':(80|443)$', '') AS host,
+                regexp_replace(regexp_extract(url, '__PATH__', 1),
+                               '/$', '') AS path,
+                regexp_extract(url, '__QUERY__', 1) AS q
+              FROM urls),
+            canon0 AS (
+              SELECT *, array_to_string(list_sort(list_filter(
+                string_split(q, '&'),
+                x -> x <> '' AND NOT regexp_matches(x, '__TRACK__'))),
+                '&') AS kept
+              FROM parts),
+            canon AS (
+              SELECT doc_id, text, url, host,
+                CASE WHEN regexp_matches(host, '__IP__') THEN host
+                     WHEN regexp_extract(host, '__CC__', 1) <> ''
+                       THEN regexp_extract(host, '__CC__', 1)
+                     WHEN regexp_extract(host, '__DOM2__', 1) <> ''
+                       THEN regexp_extract(host, '__DOM2__', 1)
+                     ELSE host END AS registered_domain,
+                CASE WHEN host = '' THEN url
+                     ELSE host || path ||
+                       CASE WHEN kept <> '' THEN '?' || kept
+                            ELSE '' END END AS canonical_url
+              FROM canon0)
+            SELECT registered_domain,
+                   COUNT(*) AS n_pages,
+                   COUNT(DISTINCT canonical_url) AS n_canonical,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+                   round(CAST(SUM(length(text)) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS mean_chars
+            FROM canon GROUP BY registered_domain
+            ORDER BY registered_domain
+            """
+            .replace("__HOST__", _urls_mod.URL_HOST_RE)
+            .replace("__PATH__", _urls_mod.URL_PATH_RE)
+            .replace("__QUERY__", _urls_mod.URL_QUERY_RE)
+            .replace("__TRACK__", _urls_mod.TRACKING_PARAM_RE)
+            .replace("__IP__", _urls_mod.IPV4_HOST_RE)
+            .replace("__CC__", _urls_mod.REGDOM_CC_RE)
+            .replace("__DOM2__", _urls_mod.REGDOM_RE)
         ),
         # the suffix literals are injected from the SAME Python
         # constants the Spark query uses, so the two corpora can never

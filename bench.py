@@ -98,6 +98,8 @@ def main() -> None:
         "pii_redact",           # PII scrubbing (codegen regex path)
         "dup_components",       # transitive dup clusters (iterative CC)
         "nfc_normalize",        # Unicode canonicalization (Arrow UDF)
+        "url_canonicalize",     # URL normal form + URL-level dedup
+        "domain_stats",         # per-registered-domain aggregation
     ]
     qs = E.queries()
     for name in headline:

@@ -1,0 +1,160 @@
+"""urls — URL canonicalization and domain analytics for web corpora.
+
+The same document is crawled at many URL spellings: scheme variants
+(http/https), case-folded hosts, ``www.`` prefixes, default ports,
+tracking query parameters (``utm_*``, click ids) and fragments. A
+web-scale pipeline dedups *by canonical URL* before it ever hashes
+content (Common Crawl's own index is keyed this way), and reports
+per-registered-domain statistics for curation decisions (domain
+blocklists, per-domain caps à la C4's ``≤ N pages per domain``).
+
+Everything here is whole-stage-codegen JVM expressions built from
+regexes shared verbatim with the SQL oracle (the PII-redaction
+discipline: one Python constant feeds both engines, so they cannot
+drift). No UDFs, no shuffles except the domain aggregation's one
+map-side-combinable groupBy.
+
+Reference analog: `get_image_paths`' canonical path handling — one
+normal form before any downstream keying (reference:
+mindocr/data/utils.py and tools/infer/text/utils.py path
+normalization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Host part of an absolute URL: after ``scheme://``, up to the first
+#: ``/``, ``?`` or ``#``. Plain classes/quantifiers only — identical
+#: under Java regex and RE2.
+URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+#: Path part: everything after the host up to ``?`` or ``#``.
+URL_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+#: Query string (without the ``?``), up to ``#``.
+URL_QUERY_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*[^?#]*\?([^#]*)"
+#: Tracking parameters stripped during canonicalization: the
+#: standard analytics/click-id families. Anchored at the parameter
+#: name, matched against each ``k=v`` pair.
+TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)="
+#: Registrable domain under a 2-letter ccTLD whose second-level label
+#: acts as a public suffix (co.uk, com.au, ac.jp, ...). A deliberately
+#: small, pinned subset of the Public Suffix List — deterministic and
+#: documented, NOT a full PSL mirror.
+REGDOM_CC_RE = r"([^.]+\.(co|com|net|org|ac|gov|edu)\.[A-Za-z][A-Za-z])$"
+#: Fallback registrable domain: the last two host labels.
+REGDOM_RE = r"([^.]+\.[^.]+)$"
+#: Literal IPv4 hosts pass through registered_domain unchanged.
+IPV4_HOST_RE = r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$"
+
+
+def url_host(url: Column | str) -> Column:
+    """Lowercased host, ``www.`` prefix and default ``:80``/``:443``
+    port stripped — empty string for non-absolute inputs."""
+    h = F.lower(F.regexp_extract(F.col(url) if isinstance(url, str) else url,
+                                 URL_HOST_RE, 1))
+    h = F.regexp_replace(h, r"^www\.", "")
+    return F.regexp_replace(h, r":(80|443)$", "")
+
+
+def registered_domain(host: Column) -> Column:
+    """Registrable domain from a host: the last two labels, or the
+    last THREE when a 2-letter ccTLD sits under a public second-level
+    label (``news.bbc.co.uk`` → ``bbc.co.uk`` but ``a.b.example.com``
+    → ``example.com``). IP hosts and single-label hosts pass through
+    unchanged. Pure shared-regex extraction — the SQL oracle applies
+    the same three constants, so the engines cannot drift."""
+    cc = F.regexp_extract(host, REGDOM_CC_RE, 1)
+    two = F.regexp_extract(host, REGDOM_RE, 1)
+    return (
+        F.when(host.rlike(IPV4_HOST_RE), host)
+        .when(cc != "", cc)
+        .when(two != "", two)
+        .otherwise(host)
+    )
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Scheme-free canonical form: normalized host + path (trailing
+    ``/`` stripped, bare ``/`` kept as empty) + ``?`` + the sorted,
+    tracking-stripped query (omitted when nothing survives). Fragments
+    never participate. Two spellings of the same page — http vs https,
+    ``WWW.X.COM:443`` vs ``x.com``, reordered params, ``utm_*`` noise —
+    map to one key, which is what URL-level dedup joins on."""
+    c = F.col(url) if isinstance(url, str) else url
+    host = url_host(c)
+    path = F.regexp_replace(
+        F.regexp_extract(c, URL_PATH_RE, 1), r"/$", ""
+    )
+    q = F.regexp_extract(c, URL_QUERY_RE, 1)
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(q, "&"),
+                lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+            )
+        ),
+        "&",
+    )
+    canon = F.concat(
+        host, path,
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
+    )
+    # a non-absolute input has no host: it is its own canonical form
+    # (every malformed string collapsing onto "" would falsely cluster
+    # all of them as one duplicate group)
+    return F.when(host == "", c).otherwise(canon)
+
+
+def url_cols(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Append ``host``, ``registered_domain`` and ``canonical_url`` —
+    all fused into the scan's narrow stage."""
+    c = F.col(url_col)
+    host = url_host(c)
+    return (
+        df.withColumn("host", host)
+        .withColumn("registered_domain", registered_domain(host))
+        .withColumn("canonical_url", canonical_url(c))
+    )
+
+
+def url_dedup_flags(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL-level dedup: group by canonical form, keep the
+    lexicographically smallest original spelling as the cluster
+    representative. One map-side-combinable shuffle on the canonical
+    key (uniform — it is effectively a hash of the page identity).
+    Returns the input plus (canonical_url, url_cluster_size, url_rep,
+    is_url_dup)."""
+    with_canon = url_cols(df, url_col)
+    reps = with_canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("url_cluster_size"),
+        F.min(url_col).alias("url_rep"),
+    )
+    return (
+        with_canon.join(reps, "canonical_url")
+        .withColumn("is_url_dup", F.col(url_col) != F.col("url_rep"))
+    )
+
+
+def domain_stats(df: DataFrame, url_col: str = "url",
+                 text_col: str = "text") -> DataFrame:
+    """Per-registered-domain corpus statistics: page count, distinct
+    canonical URLs, total/mean text chars. The curation consumer is
+    per-domain capping and blocklisting (C4 keeps ≤ N pages per
+    domain; boilerplate farms show up as huge domains with tiny mean
+    length). One groupBy on the domain key; the mean is ONE IEEE
+    division of two exact integers (then round 6) so the oracle hash
+    matches bit-for-bit."""
+    parts = url_cols(df, url_col)
+    return (
+        parts.groupBy("registered_domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("canonical_url").alias("n_canonical"),
+            F.sum(F.length(text_col)).alias("total_chars"),
+            F.round(
+                F.sum(F.length(text_col)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_chars"),
+        )
+    )

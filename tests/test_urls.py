@@ -1,0 +1,83 @@
+"""URL canonicalization / registered-domain / domain-stats goldens."""
+
+import pytest
+
+
+CASES = [
+    # (url, host, registered_domain, canonical_url)
+    ("https://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+     "example.com", "example.com", "example.com/a/b?a=1&b=2"),
+    ("http://example.com/a/b?a=1&b=2",
+     "example.com", "example.com", "example.com/a/b?a=1&b=2"),
+    ("https://news.bbc.co.uk/story/1",
+     "news.bbc.co.uk", "bbc.co.uk", "news.bbc.co.uk/story/1"),
+    ("http://10.0.0.17:80/x",
+     "10.0.0.17", "10.0.0.17", "10.0.0.17/x"),
+    ("https://sub.deep.example.org/",
+     "sub.deep.example.org", "example.org", "sub.deep.example.org"),
+    ("https://single/", "single", "single", "single"),
+    # non-absolute: no host, canonical = the raw string (NOT "")
+    ("not-a-url", "", "", "not-a-url"),
+    ("https://example.com/a/b?gclid=zzz&a=1&b=2",
+     "example.com", "example.com", "example.com/a/b?a=1&b=2"),
+    # all params tracking → no query part at all
+    ("https://example.com/p?utm_source=a&utm_medium=b&fbclid=c",
+     "example.com", "example.com", "example.com/p"),
+]
+
+
+@pytest.fixture(scope="module")
+def url_df(spark):
+    return spark.createDataFrame(
+        [(i, u, "x" * (10 + i)) for i, (u, _, _, _) in enumerate(CASES)],
+        "doc_id bigint, url string, text string",
+    )
+
+
+def test_url_cols_goldens(spark, url_df):
+    from mindocr_spark.functions.urls import url_cols
+
+    got = {r["doc_id"]: r for r in url_cols(url_df).collect()}
+    for i, (u, host, dom, canon) in enumerate(CASES):
+        assert got[i]["host"] == host, u
+        assert got[i]["registered_domain"] == dom, u
+        assert got[i]["canonical_url"] == canon, u
+
+
+def test_url_dedup_flags(spark, url_df):
+    from mindocr_spark.functions.urls import url_dedup_flags
+
+    got = {r["url"]: r for r in url_dedup_flags(url_df).collect()}
+    trio = [u for u, _, _, c in CASES if c == "example.com/a/b?a=1&b=2"]
+    assert len(trio) == 3
+    for u in trio:
+        assert got[u]["url_cluster_size"] == 3
+        assert got[u]["url_rep"] == min(trio)
+    assert sum(got[u]["is_url_dup"] for u in trio) == 2
+    assert got["not-a-url"]["url_cluster_size"] == 1  # no ""-cluster
+
+
+def test_domain_stats(spark, url_df):
+    from mindocr_spark.functions.urls import domain_stats
+
+    got = {r["registered_domain"]: r
+           for r in domain_stats(url_df).collect()}
+    ex = got["example.com"]
+    assert ex["n_pages"] == 4
+    assert ex["n_canonical"] == 2       # the trio collapses to one key
+    assert ex["total_chars"] == sum(
+        10 + i for i, (_, _, d, _) in enumerate(CASES)
+        if d == "example.com"
+    )
+    assert got["bbc.co.uk"]["n_pages"] == 1
+
+
+def test_url_expressions_stay_codegen(spark, url_df):
+    """The whole URL layer must be JVM expressions — no Python eval
+    nodes of any kind in the plan."""
+    from mindocr_spark.functions.urls import url_dedup_flags
+
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        url_dedup_flags(url_df)._jdf.queryExecution(), "formatted"
+    )
+    assert "EvalPython" not in plan    # neither Batch- nor ArrowEval
