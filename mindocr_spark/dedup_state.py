@@ -128,30 +128,38 @@ class DedupLog:
         self.root = root.rstrip("/")
         self.fs = _FS(spark, self.root)
         self.keep_manifests = max(1, keep_manifests)
-        # Retained-manifest cache. The log is single-writer (same
-        # contract as write_results_wap), so this instance's own
-        # commits are the only way the window changes — load once,
-        # then maintain the cache in _commit_manifest instead of
-        # re-listing + checksum-reading every retained manifest per
-        # commit (K small-object GETs per streaming micro-batch on an
-        # object store). A foreign writer on the same root invalidates
-        # the contract, not the cache; use refresh() after one.
+        # Retained-manifest cache, validated by a names-only directory
+        # listing: manifest BODIES are re-fetched (K small-object GETs
+        # + md5 verification per access on an object store — the cost
+        # that matters for a per-micro-batch commit loop) only when the
+        # listing differs from the cached snapshot. One LIST per access
+        # is the price of staying correct when several DedupLog
+        # instances point at the same root (a reader constructed before
+        # another instance's commit must see that commit).
         self._mcache: list[dict] | None = None
+        self._mnames: list[str] | None = None
 
     # -- manifest plumbing (shares the WAP protocol's validity rules) --
+
+    def _list_manifest_names(self) -> list[str]:
+        return sorted(
+            n for n in self.fs.list_names(f"{self.root}/_manifests")
+            if _manifest_seq(n) is not None
+        )
 
     def _manifests(self) -> list[dict]:
         from mindocr_spark.operators.pipeline import _load_manifests
 
-        if self._mcache is None:
+        names = self._list_manifest_names()
+        if self._mcache is None or names != self._mnames:
             self._mcache = _load_manifests(self.fs, self.root)
+            self._mnames = names
         return self._mcache
 
     def refresh(self) -> None:
-        """Drop the manifest cache (re-read on next access) — for the
-        rare multi-process hand-off where another DedupLog instance
-        committed to this root."""
+        """Drop the manifest cache (re-read on next access)."""
         self._mcache = None
+        self._mnames = None
 
     def current(self) -> dict | None:
         m = self._manifests()
@@ -283,7 +291,7 @@ class DedupLog:
         self._mcache = (
             prior_manifests + [{"seq": seq, "run_id": run_id, **body}]
         )[-self.keep_manifests:]
-        retained = self._mcache
+        retained = list(self._mcache)
         referenced = {r for m in retained for r in m["increments"]}
         for name in self.fs.list_names(f"{self.root}/_increments"):
             if name not in referenced:
@@ -294,6 +302,9 @@ class DedupLog:
             s = _manifest_seq(name)
             if s is not None and s not in live_seqs:
                 self.fs.delete(f"{mdir}/{name}")
+        # snapshot the post-sweep listing so the cache validates clean
+        # on the next access instead of re-reading every body
+        self._mnames = self._list_manifest_names()
 
     def compact(self, target_partitions: int | None = None) -> bool:
         """Fold every live increment into ONE consolidated increment
