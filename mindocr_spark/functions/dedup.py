@@ -670,14 +670,17 @@ def connected_components(
         )
         .distinct()
     )
-    if vertices is not None:
-        nodes = vertices.select(F.col(id_col).alias("id")).distinct()
-    else:
-        nodes = (
-            edges.select(a.alias("id"))
-            .union(edges.select(b.alias("id")))
-            .distinct()
-        )
+    # Propagation runs over EDGE-ENDPOINT nodes only: a doc with no
+    # near-dup pair can never change its label, so shuffling all 10^12
+    # corpus labels per pass would be pure waste — the pair graph's
+    # node set is a tiny fraction of the corpus. Isolated vertices are
+    # anchored back in (component = self) after convergence, one
+    # left-join outside the loop.
+    nodes = (
+        edges.select(a.alias("id"))
+        .union(edges.select(b.alias("id")))
+        .distinct()
+    )
     labels = tracked_persist(
         nodes.select("id", F.col("id").alias("component"))
     )
@@ -697,9 +700,16 @@ def connected_components(
         labels.unpersist()
         labels = new
         if done:
-            return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} passes "
-        f"(graph diameter exceeds max_iter; raise it or use a "
-        f"star-contraction variant)"
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"passes (graph diameter exceeds max_iter; raise it or "
+            f"use a star-contraction variant)"
+        )
+    if vertices is None:
+        return labels
+    verts = vertices.select(F.col(id_col).alias("id")).distinct()
+    return verts.join(labels, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
     )
