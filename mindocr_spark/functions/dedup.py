@@ -661,11 +661,15 @@ def connected_components(
     representative shape (reference: deploy/py_infer/src/parallel/
     module/common/collect_node.py:72-99)."""
     a, b = F.col(src_col), F.col(dst_col)
+    # The raw edge projection feeds sym (both directions) AND the node
+    # set — persist it so the (possibly expensive) pair-generation
+    # subtree upstream evaluates exactly once.
+    raw = tracked_persist(edges.select(a.alias("src"), b.alias("dst")))
     sym = tracked_persist(
-        edges.select(a.alias("src"), b.alias("dst"))
-        .where(F.col("src") != F.col("dst"))
+        raw.where(F.col("src") != F.col("dst"))
         .union(
-            edges.select(b.alias("src"), a.alias("dst"))
+            raw.select(F.col("dst").alias("src"),
+                       F.col("src").alias("dst"))
             .where(F.col("src") != F.col("dst"))
         )
         .distinct()
@@ -677,8 +681,8 @@ def connected_components(
     # anchored back in (component = self) after convergence, one
     # left-join outside the loop.
     nodes = (
-        edges.select(a.alias("id"))
-        .union(edges.select(b.alias("id")))
+        raw.select(F.col("src").alias("id"))
+        .union(raw.select(F.col("dst").alias("id")))
         .distinct()
     )
     labels = tracked_persist(
