@@ -579,8 +579,9 @@ def q_domain_stats(spark, sf_dir):
     """Per-registered-domain corpus statistics (page counts, distinct
     canonical URLs, total/mean extracted chars) — the aggregation
     behind per-domain caps (C4's ≤N pages/domain) and blocklist
-    decisions. One map-side-combinable groupBy on the domain key;
-    mean goes through DECIMAL for bit-exact oracle parity."""
+    decisions. One map-side-combinable groupBy on the domain key; the
+    mean is a single IEEE division of two exact integer aggregates
+    (then round 6), identical on both engines."""
     from mindocr_spark.functions.urls import domain_stats
 
     return domain_stats(_built_url_corpus(spark, sf_dir)).orderBy(
@@ -1547,6 +1548,75 @@ def _lsh_ann_oracle() -> str:
     """
 
 
+
+
+#: Shared CTE prefix for the two URL oracles — ONE copy of the corpus
+#: construction + canonicalization chain (mirrors _built_url_corpus and
+#: mindocr_spark/functions/urls.py); regex placeholders are bound by
+#: _bind_url_patterns so the two oracles can never drift apart.
+_URL_ORACLE_CTE = """
+            built AS (
+              SELECT doc_id, text,
+                     'site' || CAST((doc_id // 5) % 7 AS VARCHAR) ||
+                       CASE WHEN (doc_id // 5) % 3 = 0 THEN '.co.uk'
+                            ELSE '.example.com' END AS dom,
+                     doc_id // 5 AS pid, doc_id % 5 AS v
+              FROM documents),
+            urls AS (
+              SELECT doc_id, text,
+                CASE v
+                  WHEN 0 THEN 'https://WWW.' || dom || ':443/p/' || CAST(pid AS VARCHAR) || '/?utm_source=feed&b=2&a=1#top'
+                  WHEN 1 THEN 'http://' || dom || '/p/' || CAST(pid AS VARCHAR) || '?a=1&b=2'
+                  WHEN 2 THEN 'https://' || dom || '/p/' || CAST(pid AS VARCHAR) || '?b=2&a=1&gclid=xyz'
+                  WHEN 3 THEN 'https://m.' || dom || '/p/' || CAST(pid AS VARCHAR)
+                  ELSE 'http://10.0.' || CAST(pid % 250 AS VARCHAR) || '.17/p/' || CAST(pid AS VARCHAR)
+                END AS url
+              FROM built),
+            parts AS (
+              SELECT doc_id, text, url,
+                regexp_replace(regexp_replace(
+                  lower(regexp_extract(url, '__HOST__', 1)),
+                  '^www\\.', ''), ':(80|443)$', '') AS host,
+                regexp_replace(regexp_extract(url, '__PATH__', 1),
+                               '/$', '') AS path,
+                regexp_extract(url, '__QUERY__', 1) AS q
+              FROM urls),
+            canon0 AS (
+              SELECT *, array_to_string(list_sort(list_filter(
+                string_split(q, '&'),
+                x -> x <> '' AND NOT regexp_matches(x, '__TRACK__'))),
+                '&') AS kept
+              FROM parts),
+            canon AS (
+              SELECT doc_id, text, url, host,
+                CASE WHEN regexp_matches(host, '__IP__') THEN host
+                     WHEN regexp_extract(host, '__CC__', 1) <> ''
+                       THEN regexp_extract(host, '__CC__', 1)
+                     WHEN regexp_extract(host, '__DOM2__', 1) <> ''
+                       THEN regexp_extract(host, '__DOM2__', 1)
+                     ELSE host END AS registered_domain,
+                CASE WHEN host = '' THEN url
+                     ELSE host || path ||
+                       CASE WHEN kept <> '' THEN '?' || kept
+                            ELSE '' END END AS canonical_url
+              FROM canon0)"""
+
+
+def _bind_url_patterns(sql: str) -> str:
+    from mindocr_spark.functions import urls as _u
+
+    return (
+        sql
+        .replace("__HOST__", _u.URL_HOST_RE)
+        .replace("__PATH__", _u.URL_PATH_RE)
+        .replace("__QUERY__", _u.URL_QUERY_RE)
+        .replace("__TRACK__", _u.TRACKING_PARAM_RE)
+        .replace("__IP__", _u.IPV4_HOST_RE)
+        .replace("__CC__", _u.REGDOM_CC_RE)
+        .replace("__DOM2__", _u.REGDOM_RE)
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from mindocr_spark.functions import text as _text_pii
     from mindocr_spark.functions import urls as _urls_mod
@@ -1775,53 +1845,8 @@ def oracle_sql() -> dict[str, str]:
         # URL corpus + canonicalization: every regex below is injected
         # from the mindocr_spark.functions.urls constants the Spark
         # expressions compile, so the dialects cannot drift
-        "url_canonicalize": (
-            """
-            WITH built AS (
-              SELECT doc_id, text,
-                     'site' || CAST((doc_id // 5) % 7 AS VARCHAR) ||
-                       CASE WHEN (doc_id // 5) % 3 = 0 THEN '.co.uk'
-                            ELSE '.example.com' END AS dom,
-                     doc_id // 5 AS pid, doc_id % 5 AS v
-              FROM documents),
-            urls AS (
-              SELECT doc_id, text,
-                CASE v
-                  WHEN 0 THEN 'https://WWW.' || dom || ':443/p/' || CAST(pid AS VARCHAR) || '/?utm_source=feed&b=2&a=1#top'
-                  WHEN 1 THEN 'http://' || dom || '/p/' || CAST(pid AS VARCHAR) || '?a=1&b=2'
-                  WHEN 2 THEN 'https://' || dom || '/p/' || CAST(pid AS VARCHAR) || '?b=2&a=1&gclid=xyz'
-                  WHEN 3 THEN 'https://m.' || dom || '/p/' || CAST(pid AS VARCHAR)
-                  ELSE 'http://10.0.' || CAST(pid % 250 AS VARCHAR) || '.17/p/' || CAST(pid AS VARCHAR)
-                END AS url
-              FROM built),
-            parts AS (
-              SELECT doc_id, text, url,
-                regexp_replace(regexp_replace(
-                  lower(regexp_extract(url, '__HOST__', 1)),
-                  '^www\\.', ''), ':(80|443)$', '') AS host,
-                regexp_replace(regexp_extract(url, '__PATH__', 1),
-                               '/$', '') AS path,
-                regexp_extract(url, '__QUERY__', 1) AS q
-              FROM urls),
-            canon0 AS (
-              SELECT *, array_to_string(list_sort(list_filter(
-                string_split(q, '&'),
-                x -> x <> '' AND NOT regexp_matches(x, '__TRACK__'))),
-                '&') AS kept
-              FROM parts),
-            canon AS (
-              SELECT doc_id, text, url, host,
-                CASE WHEN regexp_matches(host, '__IP__') THEN host
-                     WHEN regexp_extract(host, '__CC__', 1) <> ''
-                       THEN regexp_extract(host, '__CC__', 1)
-                     WHEN regexp_extract(host, '__DOM2__', 1) <> ''
-                       THEN regexp_extract(host, '__DOM2__', 1)
-                     ELSE host END AS registered_domain,
-                CASE WHEN host = '' THEN url
-                     ELSE host || path ||
-                       CASE WHEN kept <> '' THEN '?' || kept
-                            ELSE '' END END AS canonical_url
-              FROM canon0),
+        "url_canonicalize": _bind_url_patterns(f"""
+            WITH {_URL_ORACLE_CTE},
             reps AS (
               SELECT canonical_url, COUNT(*) AS url_cluster_size,
                      min(url) AS url_rep
@@ -1831,62 +1856,9 @@ def oracle_sql() -> dict[str, str]:
                    (url <> url_rep) AS is_url_dup
             FROM canon JOIN reps USING (canonical_url)
             ORDER BY doc_id
-            """
-            .replace("__HOST__", _urls_mod.URL_HOST_RE)
-            .replace("__PATH__", _urls_mod.URL_PATH_RE)
-            .replace("__QUERY__", _urls_mod.URL_QUERY_RE)
-            .replace("__TRACK__", _urls_mod.TRACKING_PARAM_RE)
-            .replace("__IP__", _urls_mod.IPV4_HOST_RE)
-            .replace("__CC__", _urls_mod.REGDOM_CC_RE)
-            .replace("__DOM2__", _urls_mod.REGDOM_RE)
-        ),
-        "domain_stats": (
-            """
-            WITH built AS (
-              SELECT doc_id, text,
-                     'site' || CAST((doc_id // 5) % 7 AS VARCHAR) ||
-                       CASE WHEN (doc_id // 5) % 3 = 0 THEN '.co.uk'
-                            ELSE '.example.com' END AS dom,
-                     doc_id // 5 AS pid, doc_id % 5 AS v
-              FROM documents),
-            urls AS (
-              SELECT doc_id, text,
-                CASE v
-                  WHEN 0 THEN 'https://WWW.' || dom || ':443/p/' || CAST(pid AS VARCHAR) || '/?utm_source=feed&b=2&a=1#top'
-                  WHEN 1 THEN 'http://' || dom || '/p/' || CAST(pid AS VARCHAR) || '?a=1&b=2'
-                  WHEN 2 THEN 'https://' || dom || '/p/' || CAST(pid AS VARCHAR) || '?b=2&a=1&gclid=xyz'
-                  WHEN 3 THEN 'https://m.' || dom || '/p/' || CAST(pid AS VARCHAR)
-                  ELSE 'http://10.0.' || CAST(pid % 250 AS VARCHAR) || '.17/p/' || CAST(pid AS VARCHAR)
-                END AS url
-              FROM built),
-            parts AS (
-              SELECT doc_id, text, url,
-                regexp_replace(regexp_replace(
-                  lower(regexp_extract(url, '__HOST__', 1)),
-                  '^www\\.', ''), ':(80|443)$', '') AS host,
-                regexp_replace(regexp_extract(url, '__PATH__', 1),
-                               '/$', '') AS path,
-                regexp_extract(url, '__QUERY__', 1) AS q
-              FROM urls),
-            canon0 AS (
-              SELECT *, array_to_string(list_sort(list_filter(
-                string_split(q, '&'),
-                x -> x <> '' AND NOT regexp_matches(x, '__TRACK__'))),
-                '&') AS kept
-              FROM parts),
-            canon AS (
-              SELECT doc_id, text, url, host,
-                CASE WHEN regexp_matches(host, '__IP__') THEN host
-                     WHEN regexp_extract(host, '__CC__', 1) <> ''
-                       THEN regexp_extract(host, '__CC__', 1)
-                     WHEN regexp_extract(host, '__DOM2__', 1) <> ''
-                       THEN regexp_extract(host, '__DOM2__', 1)
-                     ELSE host END AS registered_domain,
-                CASE WHEN host = '' THEN url
-                     ELSE host || path ||
-                       CASE WHEN kept <> '' THEN '?' || kept
-                            ELSE '' END END AS canonical_url
-              FROM canon0)
+        """),
+        "domain_stats": _bind_url_patterns(f"""
+            WITH {_URL_ORACLE_CTE}
             SELECT registered_domain,
                    COUNT(*) AS n_pages,
                    COUNT(DISTINCT canonical_url) AS n_canonical,
@@ -1895,15 +1867,7 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(COUNT(*) AS DOUBLE), 6) AS mean_chars
             FROM canon GROUP BY registered_domain
             ORDER BY registered_domain
-            """
-            .replace("__HOST__", _urls_mod.URL_HOST_RE)
-            .replace("__PATH__", _urls_mod.URL_PATH_RE)
-            .replace("__QUERY__", _urls_mod.URL_QUERY_RE)
-            .replace("__TRACK__", _urls_mod.TRACKING_PARAM_RE)
-            .replace("__IP__", _urls_mod.IPV4_HOST_RE)
-            .replace("__CC__", _urls_mod.REGDOM_CC_RE)
-            .replace("__DOM2__", _urls_mod.REGDOM_RE)
-        ),
+        """),
         # the suffix literals are injected from the SAME Python
         # constants the Spark query uses, so the two corpora can never
         # drift; nfc_normalize is utf8proc's NFC, unicodedata's twin

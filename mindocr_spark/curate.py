@@ -120,21 +120,24 @@ def _curate_build(pages, cfg, params, _persist):
         "boilerplate_ratio", "failed",
     ))
 
-    ok = extracted.where(
+    # Unicode canonicalization FIRST — before even the length gate:
+    # NFC can change character counts in both directions, so gating on
+    # pre-canonical bytes would admit or drop a page based on its
+    # crawl encoding, the exact divergence this option neutralizes.
+    # Every downstream signal (min_chars, lang n-grams, quality
+    # ratios, fingerprints, shingles) reads the canonical bytes.
+    src = extracted
+    if cfg.nfc_normalize:
+        from mindocr_spark.functions.text import unicode_normalize_cols
+
+        src = unicode_normalize_cols(extracted, text_col="text").drop(
+            "was_normalized"
+        )
+    ok = src.where(
         (~F.col("failed"))
         & (F.length("text") >= cfg.min_chars)
         & (F.col("boilerplate_ratio") <= cfg.max_boilerplate)
     )
-    # Unicode canonicalization FIRST: every downstream signal (lang
-    # n-grams, quality ratios, fingerprints, shingles) reads the
-    # canonical bytes, and exact dedup collapses composed/decomposed
-    # encodings of the same text
-    if cfg.nfc_normalize:
-        from mindocr_spark.functions.text import unicode_normalize_cols
-
-        ok = unicode_normalize_cols(ok, text_col="text").drop(
-            "was_normalized"
-        )
     tagged = ok.withColumn("lang_pred", lang_id_col(F.lower(F.col("text"))))
     if cfg.langs:
         tagged = tagged.where(F.col("lang_pred").isin(*cfg.langs))

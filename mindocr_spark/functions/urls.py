@@ -123,15 +123,25 @@ def url_dedup_flags(df: DataFrame, url_col: str = "url") -> DataFrame:
     representative. One map-side-combinable shuffle on the canonical
     key (uniform — it is effectively a hash of the page identity).
     Returns the input plus (canonical_url, url_cluster_size, url_rep,
-    is_url_dup)."""
+    is_url_dup). Row-preserving: a NULL url has a NULL canonical key,
+    which an inner join would silently drop — NULL-url rows come back
+    as their own singleton non-dup instead of vanishing."""
     with_canon = url_cols(df, url_col)
     reps = with_canon.groupBy("canonical_url").agg(
         F.count(F.lit(1)).alias("url_cluster_size"),
         F.min(url_col).alias("url_rep"),
     )
     return (
-        with_canon.join(reps, "canonical_url")
-        .withColumn("is_url_dup", F.col(url_col) != F.col("url_rep"))
+        with_canon.join(reps, "canonical_url", "left")
+        .withColumn(
+            "url_cluster_size",
+            F.coalesce(F.col("url_cluster_size"), F.lit(1)),
+        )
+        .withColumn("url_rep", F.coalesce("url_rep", url_col))
+        .withColumn(
+            "is_url_dup",
+            F.coalesce(F.col(url_col) != F.col("url_rep"), F.lit(False)),
+        )
     )
 
 

@@ -81,3 +81,20 @@ def test_url_expressions_stay_codegen(spark, url_df):
         url_dedup_flags(url_df)._jdf.queryExecution(), "formatted"
     )
     assert "EvalPython" not in plan    # neither Batch- nor ArrowEval
+
+
+def test_url_dedup_preserves_null_urls(spark):
+    """A NULL url has a NULL canonical key — an inner join would drop
+    the row silently. It must come back as its own singleton non-dup."""
+    from mindocr_spark.functions.urls import url_dedup_flags
+
+    df = spark.createDataFrame(
+        [(1, "https://example.com/a", "t1"), (2, None, "t2"),
+         (3, None, "t3")],
+        "doc_id bigint, url string, text string",
+    )
+    out = {r["doc_id"]: r for r in url_dedup_flags(df).collect()}
+    assert set(out) == {1, 2, 3}
+    for i in (2, 3):
+        assert out[i]["url_cluster_size"] == 1
+        assert not out[i]["is_url_dup"]
