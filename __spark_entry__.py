@@ -589,6 +589,24 @@ def q_domain_stats(spark, sf_dir):
     )
 
 
+def q_domain_cap(spark, sf_dir):
+    """Per-domain page cap (C4's ≤N pages/domain anti-spam gate) over
+    the shared URL-variant corpus: the `max_pages`
+    lexicographically-smallest urls per registered domain survive,
+    computed with the salted two-phase top-N (phase 1 ranks within
+    (domain, url-hash salt) so a spam farm splits across tasks; phase
+    2 re-ranks the bounded survivor set). The oracle is a single
+    row_number over the domain — same selection, different physical
+    strategy, which is exactly what the cross-engine check pins."""
+    from mindocr_spark.functions.urls import domain_cap
+
+    return domain_cap(
+        _built_url_corpus(spark, sf_dir), max_pages=3,
+    ).select(
+        "doc_id", "url", "registered_domain", "domain_rank"
+    ).orderBy("doc_id")
+
+
 def q_lang_id(spark, sf_dir):
     from mindocr_spark.functions.text import lang_id_col
 
@@ -1303,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_normalize": _q(q_nfc_normalize),
         "url_canonicalize": _q(q_url_canonicalize),
         "domain_stats": _q(q_domain_stats),
+        "domain_cap": _q(q_domain_cap),
         "lang_id": _q(q_lang_id),
         "rec_metrics_pairs": _q(q_rec_metrics_pairs),
         "rolling_fingerprint": _q(q_rolling_fingerprint),
@@ -1855,6 +1874,18 @@ def oracle_sql() -> dict[str, str]:
                    url_cluster_size, url_rep,
                    (url <> url_rep) AS is_url_dup
             FROM canon JOIN reps USING (canonical_url)
+            ORDER BY doc_id
+        """),
+        "domain_cap": _bind_url_patterns(f"""
+            WITH {_URL_ORACLE_CTE},
+            ranked AS (
+              SELECT doc_id, url, registered_domain,
+                     row_number() OVER (PARTITION BY registered_domain
+                                        ORDER BY url) AS domain_rank
+              FROM canon)
+            SELECT doc_id, url, registered_domain,
+                   CAST(domain_rank AS INT) AS domain_rank
+            FROM ranked WHERE domain_rank <= 3
             ORDER BY doc_id
         """),
         "domain_stats": _bind_url_patterns(f"""

@@ -100,6 +100,7 @@ def main() -> None:
         "nfc_normalize",        # Unicode canonicalization (Arrow UDF)
         "url_canonicalize",     # URL normal form + URL-level dedup
         "domain_stats",         # per-registered-domain aggregation
+        "domain_cap",           # salted two-phase per-domain top-N
     ]
     qs = E.queries()
     for name in headline:

@@ -65,6 +65,10 @@ class CurateConfig:
     # below the floor drops.
     dedup_paragraphs: bool = False
     min_para_chars: int = 30
+    # keep at most N pages per registered domain (C4's anti-spam gate;
+    # 0 disables). Salted two-phase top-N — a spam farm's pages split
+    # across salt tasks instead of funneling into one straggler.
+    max_pages_per_domain: int = 0
     # scrub emails / IPv4 / +CC phones to sentinel tokens before any
     # dedup pass (so docs differing only in PII collapse as the
     # duplicates they are). Pure row expressions — free on the scan.
@@ -178,6 +182,15 @@ def _curate_build(pages, cfg, params, _persist):
             .where(F.col("top_2gram_share") <= cfg.max_top2gram_share)
             .drop("top_2gram_share")
         )
+    # per-domain cap BEFORE dedup: a spam farm's pages should never
+    # reach the dedup passes (they'd bloat signature state), and the
+    # cap's deterministic min-url selection keeps the oracle exact
+    if cfg.max_pages_per_domain > 0:
+        from mindocr_spark.functions.urls import domain_cap
+
+        tagged = domain_cap(
+            tagged, cfg.max_pages_per_domain, url_col="url"
+        ).drop("registered_domain", "domain_rank")
     # PII scrubbing BEFORE any dedup: two docs differing only in an
     # email address are the same training document
     if cfg.redact_pii:

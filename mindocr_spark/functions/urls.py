@@ -22,7 +22,7 @@ normalization).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 #: Host part of an absolute URL: after ``scheme://``, up to the first
 #: ``/``, ``?`` or ``#``. Plain classes/quantifiers only — identical
@@ -167,4 +167,38 @@ def domain_stats(df: DataFrame, url_col: str = "url",
                 6,
             ).alias("mean_chars"),
         )
+    )
+
+
+def domain_cap(df: DataFrame, max_pages: int, url_col: str = "url",
+               n_salts: int = 16) -> DataFrame:
+    """Keep at most `max_pages` pages per registered domain — the
+    C4-style anti-spam gate (a boilerplate farm contributes 10^9 URLs
+    under one domain; uncapped, it dominates the corpus). Selection is
+    deterministic: the `max_pages` lexicographically-smallest urls per
+    domain survive. Requires distinct url values (true of a crawl
+    table keyed by url); equal urls would make the cut arbitrary.
+
+    Skew-safe two-phase top-N: a single window over the domain key
+    funnels the spam farm's every page into ONE task (the classic
+    hot-key straggler). Phase 1 ranks within (domain, url-hash salt) —
+    the hot domain splits across `n_salts` tasks, each keeping its
+    local top `max_pages`. Phase 2 re-ranks the ≤ n_salts·max_pages
+    survivors per domain, a bounded relation no matter how large the
+    domain. Returns the capped rows plus (registered_domain,
+    domain_rank)."""
+    parts = url_cols(df, url_col)
+    salted = parts.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy("registered_domain", "__salt").orderBy(url_col)
+    local = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= max_pages)
+    )
+    w2 = Window.partitionBy("registered_domain").orderBy(url_col)
+    return (
+        local.withColumn("domain_rank", F.row_number().over(w2))
+        .where(F.col("domain_rank") <= max_pages)
+        .drop("__salt", "__r1", "host", "canonical_url")
     )

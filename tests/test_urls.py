@@ -98,3 +98,80 @@ def test_url_dedup_preserves_null_urls(spark):
     for i in (2, 3):
         assert out[i]["url_cluster_size"] == 1
         assert not out[i]["is_url_dup"]
+
+
+class TestDomainCap:
+    def test_keeps_min_urls_per_domain(self, spark):
+        from mindocr_spark.functions.urls import domain_cap
+
+        rows = [(i, f"https://farm.example.com/p/{i:04d}", "t")
+                for i in range(30)]
+        rows += [(100, "https://ok.example.org/a", "t"),
+                 (101, "https://ok.example.org/b", "t")]
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, url string, text string"
+        )
+        out = domain_cap(df, max_pages=5).collect()
+        by_dom = {}
+        for r in out:
+            by_dom.setdefault(r["registered_domain"], []).append(r["url"])
+        assert sorted(by_dom["example.com"]) == [
+            f"https://farm.example.com/p/{i:04d}" for i in range(5)
+        ]
+        assert len(by_dom["example.org"]) == 2  # under the cap: all kept
+
+    def test_salted_equals_single_window(self, spark):
+        """The two-phase salted plan must select the exact same rows
+        as the textbook single window — for every salt count."""
+        from pyspark.sql import Window, functions as F
+        from mindocr_spark.functions.urls import domain_cap, url_cols
+
+        rows = [(i, f"https://d{i % 3}.example.com/x/{i * 37 % 100:02d}",
+                 "t") for i in range(60)]
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, url string, text string"
+        )
+        w = Window.partitionBy("registered_domain").orderBy("url")
+        want = {
+            (r["doc_id"], r["domain_rank"])
+            for r in url_cols(df)
+            .withColumn("domain_rank", F.row_number().over(w))
+            .where(F.col("domain_rank") <= 4).collect()
+        }
+        for n_salts in (1, 2, 16):
+            got = {
+                (r["doc_id"], r["domain_rank"])
+                for r in domain_cap(df, max_pages=4,
+                                    n_salts=n_salts).collect()
+            }
+            assert got == want, n_salts
+
+
+def test_curate_domain_cap_gate(spark):
+    """max_pages_per_domain keeps only the N smallest urls of the
+    shared synthetic domain while leaving smaller domains alone."""
+    from mindocr_spark.corpus import generate_batch, PAGES_SCHEMA_DDL
+    from mindocr_spark.curate import CurateConfig, curate
+
+    rows = generate_batch(7, range(30))
+    # plant a big shared domain: 8 distinct pages under spamfarm.example
+    for i in range(8):
+        rows[i] = dict(rows[i], url=f"https://spamfarm.example/p/{i}")
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA_DDL)
+    base = dict(min_chars=50, neardup_threshold=2.0)
+
+    uncapped = {r["url"] for r in curate(pages, CurateConfig(**base))[0]
+                .collect()}
+    capped = {r["url"] for r in
+              curate(pages, CurateConfig(**base, max_pages_per_domain=5))[0]
+              .collect()}
+    assert capped <= uncapped
+    from mindocr_spark.functions.urls import url_host, registered_domain
+    from pyspark.sql import functions as F
+
+    doms = {}
+    for u in capped:
+        d = u.split("/")[2]
+        doms[d] = doms.get(d, 0) + 1
+    assert all(v <= 5 for v in doms.values())
+    assert len(capped) < len(uncapped)  # the big synthetic domain was cut
