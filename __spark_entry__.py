@@ -607,6 +607,28 @@ def q_domain_cap(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+#: Blocklist for the blocklist_filter query — one high-volume
+#: registrable domain and one ccTLD domain from the URL-variant corpus.
+_BLOCKED_DOMAINS = ("example.com", "site1.co.uk")
+
+
+def q_blocklist_filter(spark, sf_dir):
+    """Domain-blocklist gate: broadcast LEFT ANTI join of the page scan
+    against a small blocked-domains relation, matching at the
+    REGISTERED domain (one `evil.example.com` entry catches every
+    subdomain spelling). The plan never shuffles the big side — the
+    textbook broadcast case for a 10^5-row list against a 10^12-page
+    table. Oracle: NOT IN over the same registrable-domain expression."""
+    from mindocr_spark.functions.urls import apply_blocklist
+
+    blocked = spark.createDataFrame(
+        [(d,) for d in _BLOCKED_DOMAINS], "registered_domain string"
+    )
+    return apply_blocklist(
+        _built_url_corpus(spark, sf_dir), blocked
+    ).select("doc_id", "url").orderBy("doc_id")
+
+
 def q_lang_id(spark, sf_dir):
     from mindocr_spark.functions.text import lang_id_col
 
@@ -1322,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": _q(q_url_canonicalize),
         "domain_stats": _q(q_domain_stats),
         "domain_cap": _q(q_domain_cap),
+        "blocklist_filter": _q(q_blocklist_filter),
         "lang_id": _q(q_lang_id),
         "rec_metrics_pairs": _q(q_rec_metrics_pairs),
         "rolling_fingerprint": _q(q_rolling_fingerprint),
@@ -1876,6 +1899,12 @@ def oracle_sql() -> dict[str, str]:
             FROM canon JOIN reps USING (canonical_url)
             ORDER BY doc_id
         """),
+        "blocklist_filter": _bind_url_patterns(f"""
+            WITH {_URL_ORACLE_CTE}
+            SELECT doc_id, url FROM canon
+            WHERE registered_domain NOT IN {_BLOCKED_DOMAINS!r}
+            ORDER BY doc_id
+        """.replace('"', "'")),
         "domain_cap": _bind_url_patterns(f"""
             WITH {_URL_ORACLE_CTE},
             ranked AS (

@@ -101,6 +101,7 @@ def main() -> None:
         "url_canonicalize",     # URL normal form + URL-level dedup
         "domain_stats",         # per-registered-domain aggregation
         "domain_cap",           # salted two-phase per-domain top-N
+        "blocklist_filter",     # broadcast anti-join domain blocklist
     ]
     qs = E.queries()
     for name in headline:

@@ -202,3 +202,30 @@ def domain_cap(df: DataFrame, max_pages: int, url_col: str = "url",
         .where(F.col("domain_rank") <= max_pages)
         .drop("__salt", "__r1", "host", "canonical_url")
     )
+
+
+def apply_blocklist(df: DataFrame, blocked: DataFrame,
+                    url_col: str = "url") -> DataFrame:
+    """Drop every page whose REGISTERED DOMAIN appears in `blocked`
+    (one column: ``registered_domain``) — the curation blocklist gate
+    (adult/spam/malware domain lists). Matching at the registrable
+    domain means ``evil.example.com`` and ``www.evil.example.com`` are
+    both caught by one ``evil.example.com`` entry.
+
+    Plan: broadcast LEFT ANTI join — blocklists are small (10^5-10^6
+    rows, a few MB) against a 10^12-page scan, the textbook broadcast
+    case; no shuffle of the big side."""
+    b = F.broadcast(
+        blocked.select(
+            F.col("registered_domain").alias("__blocked_dom")
+        ).distinct()
+    )
+    parts = url_cols(df, url_col)
+    return (
+        parts.join(
+            b,
+            parts["registered_domain"] == b["__blocked_dom"],
+            "left_anti",
+        )
+        .drop("host", "registered_domain", "canonical_url")
+    )

@@ -175,3 +175,25 @@ def test_curate_domain_cap_gate(spark):
         doms[d] = doms.get(d, 0) + 1
     assert all(v <= 5 for v in doms.values())
     assert len(capped) < len(uncapped)  # the big synthetic domain was cut
+
+
+def test_apply_blocklist_broadcast_anti_join(spark):
+    """Blocklist matches at the registered domain (subdomains caught),
+    and the plan broadcasts the list — no shuffle of the page side."""
+    from mindocr_spark.functions.urls import apply_blocklist
+
+    pages = spark.createDataFrame(
+        [(1, "https://evil.example.net/a", "t"),
+         (2, "https://www.sub.evil.example.net/b", "t"),
+         (3, "https://fine.example.org/c", "t")],
+        "doc_id bigint, url string, text string",
+    )
+    blocked = spark.createDataFrame(
+        [("example.net",)], "registered_domain string"
+    )
+    out = apply_blocklist(pages, blocked)
+    assert {r["doc_id"] for r in out.collect()} == {3}
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
