@@ -747,6 +747,24 @@ def q_ngram_jaccard(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (the GPT-3-style 13-gram collision
+    check): every 11th document's text plays the EVAL BENCHMARK; any
+    training doc sharing a distinct 13-word-shingle with any benchmark
+    item is flagged contaminated. The benchmark shingle set is
+    broadcast — the corpus side never shuffles for the probe (plan
+    pinned by pytest); the only exchange is the per-doc hit count.
+    The oracle rebuilds both shingle sets with DuckDB list functions
+    and intersects them exactly."""
+    from mindocr_spark.functions.dedup import decontaminate_flags
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    benchmark = docs.where(F.col("doc_id") % 11 == 0).select("text")
+    return decontaminate_flags(
+        docs, benchmark, k=13,
+    ).orderBy("doc_id")
+
+
 def q_dup_components(spark, sf_dir):
     """Transitive duplicate clusters: connected components over the
     exact shingle-Jaccard pair graph (threshold 0.1 — same edges as
@@ -1352,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q(q_paragraph_dedup),
         "ngram_jaccard": _q(q_ngram_jaccard),
         "dup_components": _q(q_dup_components),
+        "decontaminate": _q(q_decontaminate),
         "minhash_lsh": _q(q_minhash_lsh),
         "minhash_lsh_md5": _q(q_minhash_lsh_md5),
         "simhash_md5": _q(q_simhash_md5),
@@ -2058,6 +2077,31 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
             WHERE round(CAST(n_inter AS DOUBLE) / CAST(x.n + y.n - n_inter AS DOUBLE), 6) >= 0.1
             ORDER BY id_a, id_b
+        """,
+        # tokens mirror the ngram_jaccard `w` CTE; 13-shingles built
+        # with DuckDB list functions (1-based inclusive slices)
+        "decontaminate": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')),' ') AS toks
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle
+              FROM (SELECT doc_id, unnest(list_transform(
+                      generate_series(1, greatest(len(toks) - 12, 0)),
+                      i -> array_to_string(toks[i:i+12], ' '))) AS shingle
+                    FROM t)),
+            bench AS (
+              SELECT DISTINCT shingle FROM sh WHERE doc_id % 11 = 0),
+            hits AS (
+              SELECT s.doc_id, COUNT(*) AS n
+              FROM sh s JOIN bench USING (shingle)
+              GROUP BY s.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(n, 0) AS n_contaminated_shingles,
+                   (COALESCE(n, 0) >= 1) AS is_contaminated
+            FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+            ORDER BY d.doc_id
         """,
         # same edge CTEs as ngram_jaccard (threshold 0.1), then
         # transitive closure as a recursive CTE: from (v,v) seeds,

@@ -102,6 +102,7 @@ def main() -> None:
         "domain_stats",         # per-registered-domain aggregation
         "domain_cap",           # salted two-phase per-domain top-N
         "blocklist_filter",     # broadcast anti-join domain blocklist
+        "decontaminate",        # eval-set 13-gram contamination check
     ]
     qs = E.queries()
     for name in headline:

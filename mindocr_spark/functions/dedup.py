@@ -717,3 +717,69 @@ def connected_components(
     return verts.join(labels, "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("component")
     )
+
+
+# --------------------------------------------------------------------------
+# 7. Benchmark decontamination (eval-set n-gram overlap)
+# --------------------------------------------------------------------------
+
+
+def decontaminate_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 13,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Flag training documents that overlap an evaluation benchmark —
+    the standard decontamination pass (GPT-3 used 13-gram collision,
+    Llama-family pipelines the same family of checks): any doc sharing
+    at least `min_hits` distinct word `k`-shingles with ANY benchmark
+    item is contaminated and must not be trained on.
+
+    Returns every input doc with (n_contaminated_shingles,
+    is_contaminated) — flag-style (like :func:`exact_dup_clusters`) so
+    the caller chooses drop vs audit, and no row ever vanishes.
+
+    100 TB plan: benchmarks are SMALL (10^4-10^6 items, a few hundred
+    MB of shingles) against a 10^12-doc corpus — so the benchmark
+    shingle set is BROADCAST and the corpus side never shuffles for
+    the probe; the only exchange is the per-doc hit-count groupBy on
+    the uniform doc id. A shingle-key equi-join (shuffling the corpus
+    shingles) would move ~10^14 rows to probe a relation that fits in
+    memory. k=13 makes incidental collisions in natural text
+    vanishingly rare, so `min_hits=1` is the standard setting.
+
+    Reference analog: the golden-eval key-set equality join —
+    membership of a sample in the held-out set decides its handling
+    (reference: deploy/eval_utils/eval_pipeline.py:104-107)."""
+    from mindocr_spark.functions.text import word_shingles
+
+    doc_sh = word_shingles(docs, k=k, text_col=text_col, id_col=id_col)
+    bench_sh = F.broadcast(
+        word_shingles(
+            benchmark.select(F.col(bench_text_col).alias("text")),
+            k=k, text_col="text", id_col="text",
+        ).select("shingle").distinct()
+    )
+    hits = (
+        doc_sh.join(bench_sh, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                "n_contaminated_shingles", F.lit(0)
+            ).alias("n_contaminated_shingles"),
+            (
+                F.coalesce("n_contaminated_shingles", F.lit(0))
+                >= min_hits
+            ).alias("is_contaminated"),
+        )
+    )

@@ -318,3 +318,47 @@ class TestConnectedComponents:
             for r in connected_components(edges, vertices=verts).collect()
         }
         assert out == {7: 7, 9: 9}
+
+
+class TestDecontaminate:
+    def test_planted_contamination(self, spark):
+        """A training doc containing a benchmark passage verbatim is
+        flagged; unrelated docs are not; rows are preserved."""
+        from mindocr_spark.functions.dedup import decontaminate_flags
+
+        bench_passage = ("which river is longest in the western basin "
+                         "region according to the survey of nineteen "
+                         "eighty four exactly")
+        docs = spark.createDataFrame(
+            [(1, f"intro text {bench_passage} outro text"),
+             (2, "completely unrelated content about catalyst plans "
+                 "and shuffle partitions in distributed query engines "
+                 "running on large clusters"),
+             (3, "short")],
+            "doc_id bigint, text string",
+        )
+        benchmark = spark.createDataFrame(
+            [(f"question: {bench_passage}?",)], "text string"
+        )
+        out = {r["doc_id"]: r for r in
+               decontaminate_flags(docs, benchmark, k=13).collect()}
+        assert set(out) == {1, 2, 3}
+        assert out[1]["is_contaminated"]
+        assert out[1]["n_contaminated_shingles"] >= 1
+        assert not out[2]["is_contaminated"]
+        assert not out[3]["is_contaminated"]      # < k tokens: no shingles
+
+    def test_benchmark_side_is_broadcast(self, spark):
+        """The probe must broadcast the benchmark shingles — the
+        corpus side never shuffles for the membership check."""
+        from mindocr_spark.functions.dedup import decontaminate_flags
+
+        docs = spark.createDataFrame(
+            [(1, "a " * 20)], "doc_id bigint, text string"
+        )
+        bench = spark.createDataFrame([("b " * 20,)], "text string")
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            decontaminate_flags(docs, bench)._jdf.queryExecution(),
+            "formatted",
+        )
+        assert "BroadcastHashJoin" in plan
