@@ -613,12 +613,14 @@ _BLOCKED_DOMAINS = ("example.com", "site1.co.uk")
 
 
 def q_blocklist_filter(spark, sf_dir):
-    """Domain-blocklist gate: broadcast LEFT ANTI join of the page scan
-    against a small blocked-domains relation, matching at the
-    REGISTERED domain (one `evil.example.com` entry catches every
-    subdomain spelling). The plan never shuffles the big side — the
-    textbook broadcast case for a 10^5-row list against a 10^12-page
-    table. Oracle: NOT IN over the same registrable-domain expression."""
+    """Domain-blocklist gate: broadcast LEFT ANTI joins of the page
+    scan against a small blocked-domains relation, matching at exact
+    normalized host AND at the registered domain (a domain-level entry
+    like `example.com` blocks every subdomain under it; a
+    hostname-level entry blocks that host exactly). The plan never
+    shuffles the big side — the textbook broadcast case for a
+    10^5-row list against a 10^12-page table. Oracle: NOT IN at both
+    granularities over the same shared expressions."""
     from mindocr_spark.functions.urls import apply_blocklist
 
     blocked = spark.createDataFrame(
@@ -1918,12 +1920,15 @@ def oracle_sql() -> dict[str, str]:
             FROM canon JOIN reps USING (canonical_url)
             ORDER BY doc_id
         """),
+        # IN-list built by explicit join (a tuple repr would render a
+        # trailing comma for 1-element lists and break the SQL)
         "blocklist_filter": _bind_url_patterns(f"""
             WITH {_URL_ORACLE_CTE}
             SELECT doc_id, url FROM canon
-            WHERE registered_domain NOT IN {_BLOCKED_DOMAINS!r}
+            WHERE host NOT IN ({", ".join("'%s'" % d for d in _BLOCKED_DOMAINS)})
+              AND registered_domain NOT IN ({", ".join("'%s'" % d for d in _BLOCKED_DOMAINS)})
             ORDER BY doc_id
-        """.replace('"', "'")),
+        """),
         "domain_cap": _bind_url_patterns(f"""
             WITH {_URL_ORACLE_CTE},
             ranked AS (

@@ -184,12 +184,18 @@ def _curate_build(pages, cfg, params, _persist):
         )
     # per-domain cap BEFORE dedup: a spam farm's pages should never
     # reach the dedup passes (they'd bloat signature state), and the
-    # cap's deterministic min-url selection keeps the oracle exact
+    # cap's deterministic min-url selection keeps the oracle exact.
+    # `pre_cap` snapshots the quality-gated frame so the funnel
+    # attributes cap drops to this pass, not to the quality gates.
+    pre_cap = tagged
     if cfg.max_pages_per_domain > 0:
         from mindocr_spark.functions.urls import domain_cap
 
+        # consumed by the cap's ranking scan, the join-back, and the
+        # funnel count
+        pre_cap = _persist(pre_cap)
         tagged = domain_cap(
-            tagged, cfg.max_pages_per_domain, url_col="url"
+            pre_cap, cfg.max_pages_per_domain, url_col="url"
         ).drop("registered_domain", "domain_rank")
     # PII scrubbing BEFORE any dedup: two docs differing only in an
     # email address are the same training document
@@ -263,8 +269,13 @@ def _curate_build(pages, cfg, params, _persist):
     stages = [
         ("input", pages),
         ("extracted_ok", ok),
-        ("lang_quality", gated),
     ]
+    if cfg.max_pages_per_domain > 0:
+        # attribute cap drops to their own stage (gated is the
+        # post-cap frame; PII redaction between them preserves rows)
+        stages += [("lang_quality", pre_cap), ("domain_cap", gated)]
+    else:
+        stages.append(("lang_quality", gated))
     if cfg.dedup_paragraphs:
         stages.append(("paragraph_dedup", tagged))
     stages += [

@@ -185,47 +185,80 @@ def domain_cap(df: DataFrame, max_pages: int, url_col: str = "url",
     the hot domain splits across `n_salts` tasks, each keeping its
     local top `max_pages`. Phase 2 re-ranks the ≤ n_salts·max_pages
     survivors per domain, a bounded relation no matter how large the
-    domain. Returns the capped rows plus (registered_domain,
-    domain_rank)."""
-    parts = url_cols(df, url_col)
-    salted = parts.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_salts))
+    domain. The ranking runs over a NARROW (url, domain) projection —
+    full rows (document text) never pass through the window
+    exchanges; survivors join back on the url key.
+
+    Rows whose url is NULL or non-absolute (no host) are EXEMPT from
+    the cap and pass through with NULL registered_domain/domain_rank:
+    they cannot be attributed to any domain, and grouping them under
+    one ''-pseudo-domain would silently drop all but `max_pages` of
+    them (the false-cluster failure canonical_url guards against).
+    Returns the capped rows plus (registered_domain, domain_rank)."""
+    c = F.col(url_col)
+    host = url_host(c)
+    eligible = df.where(c.isNotNull() & (host != ""))
+    exempt = (
+        df.where(c.isNull() | (host == ""))
+        .withColumn("registered_domain", F.lit(None).cast("string"))
+        .withColumn("domain_rank", F.lit(None).cast("int"))
     )
-    w1 = Window.partitionBy("registered_domain", "__salt").orderBy(url_col)
+    narrow = eligible.select(
+        c.alias("__url"),
+        registered_domain(url_host(c)).alias("registered_domain"),
+    )
+    salted = narrow.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col("__url")), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy("registered_domain", "__salt").orderBy("__url")
     local = (
         salted.withColumn("__r1", F.row_number().over(w1))
         .where(F.col("__r1") <= max_pages)
     )
-    w2 = Window.partitionBy("registered_domain").orderBy(url_col)
-    return (
+    w2 = Window.partitionBy("registered_domain").orderBy("__url")
+    survivors = (
         local.withColumn("domain_rank", F.row_number().over(w2))
         .where(F.col("domain_rank") <= max_pages)
-        .drop("__salt", "__r1", "host", "canonical_url")
+        .select("__url", "registered_domain", "domain_rank")
     )
+    kept = eligible.join(
+        survivors, eligible[url_col] == survivors["__url"]
+    ).drop("__url")
+    return kept.unionByName(exempt)
 
 
 def apply_blocklist(df: DataFrame, blocked: DataFrame,
                     url_col: str = "url") -> DataFrame:
-    """Drop every page whose REGISTERED DOMAIN appears in `blocked`
-    (one column: ``registered_domain``) — the curation blocklist gate
-    (adult/spam/malware domain lists). Matching at the registrable
-    domain means ``evil.example.com`` and ``www.evil.example.com`` are
-    both caught by one ``evil.example.com`` entry.
+    """Drop every page matching a blocklist entry — the curation
+    blocklist gate (adult/spam/malware domain lists). An entry matches
+    at TWO granularities: exact normalized HOST (a hostname-level
+    entry like ``evil.example.com`` blocks that host and its ``www.``
+    spelling, not the whole registrable domain) and REGISTERED domain
+    (a domain-level entry like ``example.net`` blocks every subdomain
+    under it). Entries are normalized the same way page hosts are
+    (lowercase, ``www.``/default-port strip), so mixed-case or
+    www-prefixed list entries are never silent no-ops.
 
-    Plan: broadcast LEFT ANTI join — blocklists are small (10^5-10^6
-    rows, a few MB) against a 10^12-page scan, the textbook broadcast
-    case; no shuffle of the big side."""
+    Plan: two broadcast LEFT ANTI equi-joins — blocklists are small
+    (10^5-10^6 rows, a few MB) against a 10^12-page scan, the textbook
+    broadcast case; the big side never shuffles. (Arbitrary-depth
+    wildcard entries — blocking every descendant of a SUBDOMAIN —
+    would need a host-suffix explode; not implemented.)"""
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(F.col("registered_domain"))),
+                         r"^www\.", ""),
+        r":(80|443)$", "",
+    )
     b = F.broadcast(
-        blocked.select(
-            F.col("registered_domain").alias("__blocked_dom")
-        ).distinct()
+        blocked.select(norm.alias("__blocked")).distinct()
     )
     parts = url_cols(df, url_col)
+    by_host = parts.join(
+        b, parts["host"] == b["__blocked"], "left_anti"
+    )
     return (
-        parts.join(
-            b,
-            parts["registered_domain"] == b["__blocked_dom"],
-            "left_anti",
+        by_host.join(
+            b, by_host["registered_domain"] == b["__blocked"], "left_anti"
         )
         .drop("host", "registered_domain", "canonical_url")
     )

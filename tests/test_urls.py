@@ -166,9 +166,6 @@ def test_curate_domain_cap_gate(spark):
               curate(pages, CurateConfig(**base, max_pages_per_domain=5))[0]
               .collect()}
     assert capped <= uncapped
-    from mindocr_spark.functions.urls import url_host, registered_domain
-    from pyspark.sql import functions as F
-
     doms = {}
     for u in capped:
         d = u.split("/")[2]
@@ -197,3 +194,41 @@ def test_apply_blocklist_broadcast_anti_join(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_domain_cap_exempts_malformed_and_null_urls(spark):
+    """Hostless and NULL urls cannot be attributed to a domain — they
+    must pass through uncapped (NULL rank), never be silently dropped
+    as one ''-pseudo-domain."""
+    from mindocr_spark.functions.urls import domain_cap
+
+    rows = [(i, f"relative/path/{i}", "t") for i in range(10)]
+    rows += [(100 + i, None, "t") for i in range(5)]
+    rows += [(200, "https://real.example.com/a", "t")]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, url string, text string"
+    )
+    out = {r["doc_id"]: r for r in domain_cap(df, max_pages=2).collect()}
+    assert len(out) == 16                      # nothing vanished
+    for i in list(range(10)) + [100, 101, 102, 103, 104]:
+        assert out[i]["domain_rank"] is None   # exempt, not ranked
+    assert out[200]["domain_rank"] == 1
+
+
+def test_apply_blocklist_hostname_entry_blocks_host_not_domain(spark):
+    """A hostname-level entry blocks that exact normalized host (and
+    its www spelling), NOT the whole registrable domain; mixed-case
+    entries are normalized rather than becoming silent no-ops."""
+    from mindocr_spark.functions.urls import apply_blocklist
+
+    pages = spark.createDataFrame(
+        [(1, "https://evil.example.net/a", "t"),
+         (2, "https://www.evil.example.net/b", "t"),
+         (3, "https://fine.example.net/c", "t")],
+        "doc_id bigint, url string, text string",
+    )
+    blocked = spark.createDataFrame(
+        [("EVIL.example.net",)], "registered_domain string"
+    )
+    out = {r["doc_id"] for r in apply_blocklist(pages, blocked).collect()}
+    assert out == {3}
