@@ -47,13 +47,22 @@ REGDOM_RE = r"([^.]+\.[^.]+)$"
 IPV4_HOST_RE = r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$"
 
 
-def url_host(url: Column | str) -> Column:
-    """Lowercased host, ``www.`` prefix and default ``:80``/``:443``
-    port stripped — empty string for non-absolute inputs."""
-    h = F.lower(F.regexp_extract(F.col(url) if isinstance(url, str) else url,
-                                 URL_HOST_RE, 1))
-    h = F.regexp_replace(h, r"^www\.", "")
+def normalize_host(h: Column) -> Column:
+    """The ONE host normal form — lowercase, ``www.`` prefix and
+    default ``:80``/``:443`` port stripped. Shared by page-side host
+    extraction and blocklist-entry normalization so the two can never
+    drift (an entry normalized differently from page hosts is a
+    silent no-op)."""
+    h = F.regexp_replace(F.lower(h), r"^www\.", "")
     return F.regexp_replace(h, r":(80|443)$", "")
+
+
+def url_host(url: Column | str) -> Column:
+    """Normalized host — empty string for non-absolute inputs."""
+    return normalize_host(
+        F.regexp_extract(F.col(url) if isinstance(url, str) else url,
+                         URL_HOST_RE, 1)
+    )
 
 
 def registered_domain(host: Column) -> Column:
@@ -175,9 +184,11 @@ def domain_cap(df: DataFrame, max_pages: int, url_col: str = "url",
     """Keep at most `max_pages` pages per registered domain — the
     C4-style anti-spam gate (a boilerplate farm contributes 10^9 URLs
     under one domain; uncapped, it dominates the corpus). Selection is
-    deterministic: the `max_pages` lexicographically-smallest urls per
-    domain survive. Requires distinct url values (true of a crawl
-    table keyed by url); equal urls would make the cut arbitrary.
+    deterministic: the `max_pages` lexicographically-smallest DISTINCT
+    urls per domain survive (ranking runs over the distinct url set,
+    so rows sharing a url all carry the same rank and can never be
+    cross-multiplied by the survivor join — output rows ≤ input rows
+    always).
 
     Skew-safe two-phase top-N: a single window over the domain key
     funnels the spam farm's every page into ONE task (the classic
@@ -195,8 +206,14 @@ def domain_cap(df: DataFrame, max_pages: int, url_col: str = "url",
     one ''-pseudo-domain would silently drop all but `max_pages` of
     them (the false-cluster failure canonical_url guards against).
     Returns the capped rows plus (registered_domain, domain_rank)."""
+    from mindocr_spark.cache import tracked_persist
+
     c = F.col(url_col)
     host = url_host(c)
+    # df feeds eligible (twice: ranking scan + join-back) and exempt —
+    # persist, or the caller's upstream lineage evaluates 3× (no-op if
+    # the caller already persisted it)
+    df = tracked_persist(df)
     eligible = df.where(c.isNotNull() & (host != ""))
     exempt = (
         df.where(c.isNull() | (host == ""))
@@ -206,7 +223,7 @@ def domain_cap(df: DataFrame, max_pages: int, url_col: str = "url",
     narrow = eligible.select(
         c.alias("__url"),
         registered_domain(url_host(c)).alias("registered_domain"),
-    )
+    ).distinct()
     salted = narrow.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col("__url")), F.lit(n_salts))
     )
@@ -244,13 +261,14 @@ def apply_blocklist(df: DataFrame, blocked: DataFrame,
     broadcast case; the big side never shuffles. (Arbitrary-depth
     wildcard entries — blocking every descendant of a SUBDOMAIN —
     would need a host-suffix explode; not implemented.)"""
-    norm = F.regexp_replace(
-        F.regexp_replace(F.lower(F.trim(F.col("registered_domain"))),
-                         r"^www\.", ""),
-        r":(80|443)$", "",
-    )
+    norm = normalize_host(F.trim(F.col("registered_domain")))
     b = F.broadcast(
-        blocked.select(norm.alias("__blocked")).distinct()
+        blocked.select(norm.alias("__blocked"))
+        # a blank/whitespace line (routine in real blocklist files)
+        # normalizes to '' — which would match every hostless/malformed
+        # page's host='' and silently delete them all
+        .where(F.col("__blocked").isNotNull() & (F.col("__blocked") != ""))
+        .distinct()
     )
     parts = url_cols(df, url_col)
     by_host = parts.join(

@@ -232,3 +232,38 @@ def test_apply_blocklist_hostname_entry_blocks_host_not_domain(spark):
     )
     out = {r["doc_id"] for r in apply_blocklist(pages, blocked).collect()}
     assert out == {3}
+
+
+def test_domain_cap_duplicate_urls_no_amplification(spark):
+    """Rows sharing a url must never be cross-multiplied by the
+    survivor join: output rows <= input rows, one rank per distinct
+    url."""
+    from mindocr_spark.functions.urls import domain_cap
+
+    df = spark.createDataFrame(
+        [(1, "https://a.example.com/x", "t1"),
+         (2, "https://a.example.com/x", "t2"),   # duplicate url
+         (3, "https://a.example.com/y", "t3")],
+        "doc_id bigint, url string, text string",
+    )
+    out = domain_cap(df, max_pages=5).collect()
+    assert len(out) == 3
+    ranks = {r["url"]: r["domain_rank"] for r in out}
+    assert ranks["https://a.example.com/x"] == 1
+    assert ranks["https://a.example.com/y"] == 2
+
+
+def test_apply_blocklist_ignores_blank_entries(spark):
+    """A blank/whitespace blocklist line must not nuke every
+    hostless/malformed-url page."""
+    from mindocr_spark.functions.urls import apply_blocklist
+
+    pages = spark.createDataFrame(
+        [(1, "relative/path", "t"), (2, "https://ok.example.org/a", "t")],
+        "doc_id bigint, url string, text string",
+    )
+    blocked = spark.createDataFrame(
+        [("",), ("   ",)], "registered_domain string"
+    )
+    out = {r["doc_id"] for r in apply_blocklist(pages, blocked).collect()}
+    assert out == {1, 2}
