@@ -1096,6 +1096,31 @@ def q_deterministic_sample(spark, sf_dir):
     )
 
 
+#: Per-language keep fractions for the stratified_sample query —
+#: down-weight the dominant language, keep a minority one whole, halve
+#: the rest (the DCLM/FineWeb-style rebalancing mix).
+_STRATA_FRACTIONS = {"en": 0.25, "zh": 1.0}
+_STRATA_DEFAULT = 0.5
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum down-sampling (corpus rebalancing):
+    membership depends only on md5(doc_id) against per-language
+    thresholds — no RNG, so the kept set is identical across runs,
+    engines, and partitionings (the property crash-resume needs). One
+    codegen CASE over the hash prefix; no join, no shuffle. The oracle
+    compares against thresholds produced by the SAME
+    hash_sample_threshold helper."""
+    from mindocr_spark.functions.text import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        _STRATA_FRACTIONS,
+        stratum_col="lang",
+        default_fraction=_STRATA_DEFAULT,
+    ).select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
 #: Pinned char dict (str2idx analog — reference: rec_transforms.py:222-246;
 #: the reference ships 94-char en_dict.txt, mindocr/utils/dict/).
 _CHAR_DICT = "abcdefghijklmnopqrstuvwxyz "
@@ -1384,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attn_tokens": _q(q_attn_tokens),
         "approx_distinct": _q(q_approx_distinct),
         "deterministic_sample": _q(q_deterministic_sample),
+        "stratified_sample": _q(q_stratified_sample),
         "char_dict_encode": _q(q_char_dict_encode),
         "argmax_cls": _q(q_argmax_cls),
         "ctc_collapse": _q(q_ctc_collapse),
@@ -1678,6 +1704,23 @@ def _bind_url_patterns(sql: str) -> str:
         .replace("__CC__", _u.REGDOM_CC_RE)
         .replace("__DOM2__", _u.REGDOM_RE)
     )
+
+
+def _strata_sql_cases(t8) -> str:
+    """WHEN/ELSE arms of the stratified_sample oracle's CASE, built
+    from the same fraction dict and threshold helper the Spark
+    expression uses."""
+    h = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+
+    def arm(fr):
+        t = t8(fr)
+        return "TRUE" if t is None else f"{h} < '{t}'"
+
+    whens = " ".join(
+        f"WHEN lang = '{v}' THEN {arm(fr)}"
+        for v, fr in _STRATA_FRACTIONS.items()
+    )
+    return f"{whens} ELSE {arm(_STRATA_DEFAULT)}"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2205,6 +2248,15 @@ def oracle_sql() -> dict[str, str]:
         "deterministic_sample": """
             SELECT doc_id, lang, n_chars FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+            ORDER BY doc_id
+        """,
+        # thresholds come from the SAME hash_sample_threshold helper
+        # the Spark expression compiles — byte-identical constants
+        "stratified_sample": f"""
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE CASE
+              {_strata_sql_cases(_text_pii.hash_sample_threshold)}
+            END
             ORDER BY doc_id
         """,
         "char_dict_encode": f"""

@@ -103,6 +103,7 @@ def main() -> None:
         "domain_cap",           # salted two-phase per-domain top-N
         "blocklist_filter",     # broadcast anti-join domain blocklist
         "decontaminate",        # eval-set 13-gram contamination check
+        "stratified_sample",    # deterministic per-language rebalance
     ]
     qs = E.queries()
     for name in headline:

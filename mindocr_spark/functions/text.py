@@ -436,3 +436,63 @@ def rec_metrics(pairs: DataFrame, pred_col: str = "pred",
     ).withColumn(
         "norm_ed", F.round(F.lit(1.0) - lev.cast("double") / denom.cast("double"), 6)
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling (corpus rebalancing)
+# --------------------------------------------------------------------------
+
+
+def hash_sample_threshold(fraction: float) -> str | None:
+    """8-hex-digit threshold for md5-prefix sampling: a row whose
+    ``md5(id)[:8] < threshold`` is kept, which selects `fraction` of a
+    uniform hash space. Returns None for fraction ≥ 1 (keep all);
+    fractions ≤ 0 map to the impossible threshold ``"00000000"``
+    (drop all). The SQL oracle calls this same function, so the two
+    engines compare against byte-identical constants."""
+    if fraction >= 1.0:
+        return None
+    if fraction <= 0.0:
+        return "00000000"
+    return format(int(fraction * 16 ** 8), "08x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_fraction: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-stratum down-sampling — the corpus REBALANCING
+    step (down-weight the dominant language / source à la DCLM and
+    FineWeb mixing) made reproducible: membership depends only on
+    md5(id), never on an RNG, so the same row is kept on every run, on
+    every engine, under any partitioning — and a re-run after a crash
+    selects the identical subset (the property the resume discipline
+    needs).
+
+    `fractions` maps stratum value → keep fraction; unlisted strata
+    use `default_fraction`. The per-stratum thresholds compile to one
+    whole-stage-codegen CASE over the hash prefix — no join, no
+    shuffle, no RNG. Fractions are quantized to 1/16^8 (≈ 6e-10).
+
+    Reference analog: the sample_ratio scan option
+    (reference: mindocr/data/det_dataset.py:112-158), which slices a
+    deterministic prefix of the shuffled file list."""
+    h = F.substring(
+        F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8
+    )
+
+    def keep(fr: float):
+        t = hash_sample_threshold(fr)
+        return F.lit(True) if t is None else (h < F.lit(t))
+
+    expr = None
+    for value, fr in fractions.items():
+        cond = F.col(stratum_col) == value
+        expr = (F.when(cond, keep(fr)) if expr is None
+                else expr.when(cond, keep(fr)))
+    if expr is None:
+        return df.where(keep(default_fraction))
+    return df.where(expr.otherwise(keep(default_fraction)))

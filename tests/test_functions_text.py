@@ -221,3 +221,47 @@ class TestUnicodeNormalize:
                 "select nfc_normalize(?)", [c]
             ).fetchone()[0]
             assert got[i] == want, (i, c)
+
+
+class TestStratifiedSample:
+    def test_fractions_and_determinism(self, spark):
+        from mindocr_spark.functions.text import stratified_sample
+
+        rows = [(i, "en" if i % 2 == 0 else "de") for i in range(2000)]
+        df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+        out = stratified_sample(
+            df, {"en": 0.25}, default_fraction=0.75
+        )
+        kept = [(r["doc_id"], r["lang"]) for r in out.collect()]
+        # deterministic: identical kept set on re-run
+        again = [(r["doc_id"], r["lang"]) for r in stratified_sample(
+            df, {"en": 0.25}, default_fraction=0.75).collect()]
+        assert sorted(kept) == sorted(again)
+        n_en = sum(1 for _, l in kept if l == "en")
+        n_de = sum(1 for _, l in kept if l == "de")
+        # 1000 docs per stratum: rates land near the targets
+        assert 0.18 <= n_en / 1000 <= 0.32
+        assert 0.68 <= n_de / 1000 <= 0.82
+
+    def test_edge_fractions(self, spark):
+        from mindocr_spark.functions.text import stratified_sample
+
+        df = spark.createDataFrame(
+            [(i, "en") for i in range(100)], "doc_id bigint, lang string"
+        )
+        assert stratified_sample(df, {"en": 1.0}).count() == 100
+        assert stratified_sample(df, {"en": 0.0}).count() == 0
+        # unlisted stratum → default
+        assert stratified_sample(df, {"zz": 0.0}).count() == 100
+
+    def test_no_shuffle_no_python(self, spark):
+        from mindocr_spark.functions.text import stratified_sample
+
+        df = spark.createDataFrame(
+            [(1, "en")], "doc_id bigint, lang string"
+        )
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            stratified_sample(df, {"en": 0.5})._jdf.queryExecution(),
+            "formatted",
+        )
+        assert "Exchange" not in plan and "EvalPython" not in plan
