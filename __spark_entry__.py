@@ -1717,7 +1717,7 @@ def _strata_sql_cases(t8) -> str:
         return "TRUE" if t is None else f"{h} < '{t}'"
 
     whens = " ".join(
-        f"WHEN lang = '{v}' THEN {arm(fr)}"
+        "WHEN lang = '%s' THEN %s" % (v.replace("'", "''"), arm(fr))
         for v, fr in _STRATA_FRACTIONS.items()
     )
     return f"{whens} ELSE {arm(_STRATA_DEFAULT)}"

@@ -476,6 +476,9 @@ def stratified_sample(
     use `default_fraction`. The per-stratum thresholds compile to one
     whole-stage-codegen CASE over the hash prefix — no join, no
     shuffle, no RNG. Fractions are quantized to 1/16^8 (≈ 6e-10).
+    Rows with a NULL id are EXEMPT (always kept): their membership is
+    undefined, and a NULL hash comparison would silently drop them —
+    the same exemption discipline as `urls.domain_cap`.
 
     Reference analog: the sample_ratio scan option
     (reference: mindocr/data/det_dataset.py:112-158), which slices a
@@ -493,6 +496,6 @@ def stratified_sample(
         cond = F.col(stratum_col) == value
         expr = (F.when(cond, keep(fr)) if expr is None
                 else expr.when(cond, keep(fr)))
-    if expr is None:
-        return df.where(keep(default_fraction))
-    return df.where(expr.otherwise(keep(default_fraction)))
+    sampled = (keep(default_fraction) if expr is None
+               else expr.otherwise(keep(default_fraction)))
+    return df.where(F.col(id_col).isNull() | sampled)

@@ -181,14 +181,17 @@ def domain_stats(df: DataFrame, url_col: str = "url",
 
 def domain_cap(df: DataFrame, max_pages: int, url_col: str = "url",
                n_salts: int = 16) -> DataFrame:
-    """Keep at most `max_pages` pages per registered domain — the
-    C4-style anti-spam gate (a boilerplate farm contributes 10^9 URLs
-    under one domain; uncapped, it dominates the corpus). Selection is
-    deterministic: the `max_pages` lexicographically-smallest DISTINCT
-    urls per domain survive (ranking runs over the distinct url set,
-    so rows sharing a url all carry the same rank and can never be
-    cross-multiplied by the survivor join — output rows ≤ input rows
-    always).
+    """Keep at most `max_pages` DISTINCT page urls per registered
+    domain — the C4-style anti-spam gate (a boilerplate farm
+    contributes 10^9 URLs under one domain; uncapped, it dominates the
+    corpus). Selection is deterministic: the `max_pages`
+    lexicographically-smallest distinct urls per domain survive;
+    ranking runs over the distinct url set, so rows sharing a url all
+    carry the same rank and can never be cross-multiplied by the
+    survivor join (output rows ≤ input rows always). The cap bounds
+    PAGES, not fetch-rows: rows that repeat a surviving url all pass —
+    run URL-level or exact dedup (curate does both downstream) to
+    collapse re-fetches of the same page.
 
     Skew-safe two-phase top-N: a single window over the domain key
     funnels the spam farm's every page into ONE task (the classic
@@ -206,14 +209,13 @@ def domain_cap(df: DataFrame, max_pages: int, url_col: str = "url",
     one ''-pseudo-domain would silently drop all but `max_pages` of
     them (the false-cluster failure canonical_url guards against).
     Returns the capped rows plus (registered_domain, domain_rank)."""
-    from mindocr_spark.cache import tracked_persist
-
     c = F.col(url_col)
     host = url_host(c)
     # df feeds eligible (twice: ranking scan + join-back) and exempt —
-    # persist, or the caller's upstream lineage evaluates 3× (no-op if
-    # the caller already persisted it)
-    df = tracked_persist(df)
+    # a caller with expensive upstream lineage should pass a PERSISTED
+    # frame (curate persists pre_cap); persisting here would leak
+    # cached storage for every call made outside a persist_scope
+    # (the driver-contract/bench invocations).
     eligible = df.where(c.isNotNull() & (host != ""))
     exempt = (
         df.where(c.isNull() | (host == ""))

@@ -265,3 +265,13 @@ class TestStratifiedSample:
             "formatted",
         )
         assert "Exchange" not in plan and "EvalPython" not in plan
+
+    def test_null_id_rows_exempt(self, spark):
+        from mindocr_spark.functions.text import stratified_sample
+
+        df = spark.createDataFrame(
+            [(None, "en"), (1, "en")], "doc_id bigint, lang string"
+        )
+        out = stratified_sample(df, {"en": 0.0}).collect()
+        # fraction-0 drops hashable rows; the NULL id is exempt
+        assert [r["doc_id"] for r in out] == [None]
