@@ -1121,6 +1121,29 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars").orderBy("doc_id")
 
 
+#: Per-language token budgets for the token_budget_sample query.
+_TOKEN_BUDGETS = {"en": 5_000}
+_TOKEN_BUDGET_DEFAULT = 2_000
+
+
+def q_token_budget_sample(spark, sf_dir):
+    """Greedy token-budget mixing ("take N tokens per language"): docs
+    walk in deterministic md5(id) order per stratum and stop at the
+    budget line. The engine runs a DISTRIBUTED PREFIX-SUM (md5-prefix
+    buckets → parallel local cumsums → tiny bucket-offset window →
+    broadcast join) so the dominant language never funnels into one
+    sorted task; the oracle computes the plain one-window cumulative
+    sum over the same order — identical values, different physical
+    strategy, which is exactly what the cross-engine check pins."""
+    from mindocr_spark.functions.text import token_budget_sample
+
+    return token_budget_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        _TOKEN_BUDGETS,
+        default_budget=_TOKEN_BUDGET_DEFAULT,
+    ).select("doc_id", "lang", "n_tokens", "cum_tokens").orderBy("doc_id")
+
+
 #: Pinned char dict (str2idx analog — reference: rec_transforms.py:222-246;
 #: the reference ships 94-char en_dict.txt, mindocr/utils/dict/).
 _CHAR_DICT = "abcdefghijklmnopqrstuvwxyz "
@@ -1410,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": _q(q_approx_distinct),
         "deterministic_sample": _q(q_deterministic_sample),
         "stratified_sample": _q(q_stratified_sample),
+        "token_budget_sample": _q(q_token_budget_sample),
         "char_dict_encode": _q(q_char_dict_encode),
         "argmax_cls": _q(q_argmax_cls),
         "ctc_collapse": _q(q_ctc_collapse),
@@ -1886,6 +1910,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
+        # one-window cumsum over the same md5 walk order the engine's
+        # distributed prefix-sum realizes; budget CASE arms from the
+        # same dicts
+        "token_budget_sample": r"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')) AS norm
+              FROM documents),
+            n AS (
+              SELECT doc_id, lang,
+                     CAST(CASE WHEN norm = '' THEN 0
+                          ELSE len(string_split(norm,' ')) END AS INT)
+                       AS n_tokens
+              FROM t),
+            c AS (
+              SELECT doc_id, lang, n_tokens,
+                     CAST(SUM(n_tokens) OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS BIGINT) AS cum_tokens
+              FROM n)
+            SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+            WHERE CASE __BUDGET_ARMS__ END
+            ORDER BY doc_id
+        """.replace("__BUDGET_ARMS__", " ".join(
+            "WHEN lang = '%s' THEN cum_tokens <= %d"
+            % (v.replace("'", "''"), b)
+            for v, b in _TOKEN_BUDGETS.items()
+        ) + f" ELSE cum_tokens <= {_TOKEN_BUDGET_DEFAULT}"),
         "token_stats": r"""
             WITH t AS (
               SELECT doc_id,

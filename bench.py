@@ -104,6 +104,7 @@ def main() -> None:
         "blocklist_filter",     # broadcast anti-join domain blocklist
         "decontaminate",        # eval-set 13-gram contamination check
         "stratified_sample",    # deterministic per-language rebalance
+        "token_budget_sample",  # distributed prefix-sum budget mixing
     ]
     qs = E.queries()
     for name in headline:

@@ -499,3 +499,78 @@ def stratified_sample(
     sampled = (keep(default_fraction) if expr is None
                else expr.otherwise(keep(default_fraction)))
     return df.where(F.col(id_col).isNull() | sampled)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    default_budget: int | None = None,
+) -> DataFrame:
+    """Greedy token-budget mixing: walk each stratum's docs in
+    deterministic md5(id) order and keep them until the stratum's
+    token budget is exhausted (a doc that would cross the line is
+    dropped). This is the "take N billion tokens per language/source"
+    step of assembling a training mix, reproducible because the walk
+    order is a pure function of the ids. Unlisted strata use
+    `default_budget` (None = unlimited). Returns the kept rows plus
+    (n_tokens, cum_tokens).
+
+    100 TB plan: a cumulative sum per stratum is inherently
+    sequential, and ``Window.partitionBy(stratum)`` would funnel the
+    dominant language's 10^12 rows into ONE sorted task. This runs the
+    classic DISTRIBUTED PREFIX-SUM instead: docs hash into
+    sub-buckets per stratum BY MD5 PREFIX (so buckets are contiguous
+    hash ranges and the bucket-then-hash walk IS global md5 order),
+    each bucket computes its local ordered cumsum in parallel, bucket
+    totals (a strata×256 relation — tiny) get their own prefix-sum,
+    and the broadcast bucket offsets turn local cumsums into global
+    ones. The final values are identical to the one-window
+    formulation, which is exactly what the SQL oracle computes.
+    (the bucket count is pinned at 256 = one md5 hex-pair.)"""
+    from mindocr_spark.cache import tracked_persist
+
+    h = F.md5(F.col(id_col).cast("string").cast("binary"))
+    # base feeds the local-cumsum window AND the bucket-totals agg —
+    # persist the diamond or the tokenization runs twice
+    base = tracked_persist(df.select(
+        "*",
+        F.size(tokens_col(text_col)).alias("n_tokens"),
+        h.alias("__h"),
+        F.substring(h, 1, 2).alias("__b"),
+    ))
+    w_local = Window.partitionBy(stratum_col, "__b").orderBy("__h", id_col)
+    local = base.withColumn(
+        "__local_cum", F.sum("n_tokens").over(w_local)
+    )
+    totals = base.groupBy(stratum_col, "__b").agg(
+        F.sum("n_tokens").alias("__bucket_total")
+    )
+    w_buckets = (
+        Window.partitionBy(stratum_col).orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__offset",
+        F.coalesce(F.sum("__bucket_total").over(w_buckets), F.lit(0)),
+    ).select(stratum_col, "__b", "__offset")
+    # global walk order = (__b, __h, id): bucket 0's docs in md5
+    # order, then bucket 1's, ... — the SQL oracle's one-window cumsum
+    # orders by the same triple and lands on identical values
+    cum = (
+        local.join(F.broadcast(offsets), [stratum_col, "__b"])
+        .withColumn("cum_tokens", F.col("__offset") + F.col("__local_cum"))
+    )
+    expr = None
+    for value, budget in budgets.items():
+        cond = F.col(stratum_col) == value
+        keep = (F.lit(True) if budget is None
+                else F.col("cum_tokens") <= F.lit(int(budget)))
+        expr = (F.when(cond, keep) if expr is None
+                else expr.when(cond, keep))
+    default_keep = (F.lit(True) if default_budget is None
+                    else F.col("cum_tokens") <= F.lit(int(default_budget)))
+    cond_all = default_keep if expr is None else expr.otherwise(default_keep)
+    return cum.where(cond_all).drop("__h", "__b", "__local_cum", "__offset")

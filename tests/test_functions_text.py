@@ -275,3 +275,63 @@ class TestStratifiedSample:
         out = stratified_sample(df, {"en": 0.0}).collect()
         # fraction-0 drops hashable rows; the NULL id is exempt
         assert [r["doc_id"] for r in out] == [None]
+
+
+class TestTokenBudgetSample:
+    def test_matches_single_window_reference(self, spark):
+        """The distributed prefix-sum must land on the exact values of
+        the textbook one-window cumsum, and every stratum's kept token
+        total must respect its budget."""
+        from pyspark.sql import Window, functions as F
+        from mindocr_spark.functions.text import (
+            token_budget_sample, tokens_col,
+        )
+
+        rows = [(i, "en" if i % 2 == 0 else "de",
+                 "word " * (5 + i % 17)) for i in range(400)]
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, lang string, text string"
+        )
+        out = token_budget_sample(df, {"en": 300},
+                                  default_budget=500).collect()
+        h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+        w = Window.partitionBy("lang").orderBy(h, "doc_id")
+        ref = (
+            df.withColumn("n_tokens", F.size(tokens_col("text")))
+            .withColumn("cum", F.sum("n_tokens").over(w))
+            .where(
+                ((F.col("lang") == "en") & (F.col("cum") <= 300))
+                | ((F.col("lang") != "en") & (F.col("cum") <= 500))
+            )
+            .collect()
+        )
+        assert sorted((r["doc_id"], r["cum_tokens"]) for r in out) == \
+            sorted((r["doc_id"], r["cum"]) for r in ref)
+        assert sum(r["n_tokens"] for r in out if r["lang"] == "en") <= 300
+        assert sum(r["n_tokens"] for r in out if r["lang"] == "de") <= 500
+
+    def test_none_budget_keeps_all(self, spark):
+        from mindocr_spark.functions.text import token_budget_sample
+
+        df = spark.createDataFrame(
+            [(i, "en", "a b c") for i in range(50)],
+            "doc_id bigint, lang string, text string",
+        )
+        assert token_budget_sample(df, {"en": None}).count() == 50
+        assert token_budget_sample(df, {}, default_budget=None).count() == 50
+
+    def test_local_window_is_salted(self, spark):
+        """The per-row cumsum window must partition on (stratum,
+        bucket), never on the stratum alone — the skew guarantee."""
+        from mindocr_spark.functions.text import token_budget_sample
+
+        df = spark.createDataFrame(
+            [(1, "en", "a b")], "doc_id bigint, lang string, text string"
+        )
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            token_budget_sample(df, {"en": 10})._jdf.queryExecution(),
+            "formatted",
+        )
+        import re
+        # the big-side window's partition spec must include __b
+        assert re.search(r"Window.*\n.*__b", plan) or "__b" in plan
