@@ -1926,19 +1926,26 @@ def oracle_sql() -> dict[str, str]:
               FROM t),
             c AS (
               SELECT doc_id, lang, n_tokens,
-                     CAST(SUM(n_tokens) OVER (
-                       PARTITION BY lang
-                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-                     ) AS BIGINT) AS cum_tokens
+                     CASE WHEN doc_id IS NULL OR lang IS NULL THEN NULL
+                          ELSE CAST(SUM(n_tokens) OVER (
+                            PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                          ) AS BIGINT) END AS cum_tokens
               FROM n)
             SELECT doc_id, lang, n_tokens, cum_tokens FROM c
-            WHERE CASE __BUDGET_ARMS__ END
+            WHERE doc_id IS NULL OR lang IS NULL
+               OR CASE __BUDGET_ARMS__ END
             ORDER BY doc_id
         """.replace("__BUDGET_ARMS__", " ".join(
-            "WHEN lang = '%s' THEN cum_tokens <= %d"
-            % (v.replace("'", "''"), b)
+            "WHEN lang = '%s' THEN %s" % (
+                v.replace("'", "''"),
+                "TRUE" if b is None else "cum_tokens <= %d" % int(b),
+            )
             for v, b in _TOKEN_BUDGETS.items()
-        ) + f" ELSE cum_tokens <= {_TOKEN_BUDGET_DEFAULT}"),
+        ) + " ELSE " + (
+            "TRUE" if _TOKEN_BUDGET_DEFAULT is None
+            else f"cum_tokens <= {int(_TOKEN_BUDGET_DEFAULT)}"
+        )),
         "token_stats": r"""
             WITH t AS (
               SELECT doc_id,
@@ -2305,9 +2312,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         # thresholds come from the SAME hash_sample_threshold helper
         # the Spark expression compiles — byte-identical constants
+        # the "doc_id IS NULL OR" guard mirrors the engine's NULL-id
+        # exemption (the shipped corpora have no NULL ids; the guard
+        # keeps the two contracts aligned anyway)
         "stratified_sample": f"""
             SELECT doc_id, lang, n_chars FROM documents
-            WHERE CASE
+            WHERE doc_id IS NULL OR CASE
               {_strata_sql_cases(_text_pii.hash_sample_threshold)}
             END
             ORDER BY doc_id

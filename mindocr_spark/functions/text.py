@@ -516,7 +516,11 @@ def token_budget_sample(
     step of assembling a training mix, reproducible because the walk
     order is a pure function of the ids. Unlisted strata use
     `default_budget` (None = unlimited). Returns the kept rows plus
-    (n_tokens, cum_tokens).
+    (n_tokens, cum_tokens). Rows with a NULL id or NULL stratum are
+    EXEMPT (always kept, cum_tokens NULL): their walk position /
+    stratum is undefined, and the offset equi-join would otherwise
+    silently drop them — the same exemption discipline as
+    :func:`stratified_sample` and `urls.domain_cap`.
 
     100 TB plan: a cumulative sum per stratum is inherently
     sequential, and ``Window.partitionBy(stratum)`` would funnel the
@@ -530,17 +534,28 @@ def token_budget_sample(
     ones. The final values are identical to the one-window
     formulation, which is exactly what the SQL oracle computes.
     (the bucket count is pinned at 256 = one md5 hex-pair.)"""
-    from mindocr_spark.cache import tracked_persist
-
     h = F.md5(F.col(id_col).cast("string").cast("binary"))
-    # base feeds the local-cumsum window AND the bucket-totals agg —
-    # persist the diamond or the tokenization runs twice
-    base = tracked_persist(df.select(
+    # the frame below feeds the local-cumsum window AND the
+    # bucket-totals agg — a caller with expensive upstream lineage
+    # should pass a PERSISTED frame; persisting here would leak cached
+    # storage for calls made outside a persist_scope (the
+    # driver-contract/bench invocations — the domain_cap precedent)
+    withtok = df.select(
         "*",
         F.size(tokens_col(text_col)).alias("n_tokens"),
         h.alias("__h"),
         F.substring(h, 1, 2).alias("__b"),
-    ))
+    )
+    base = withtok.where(
+        F.col(id_col).isNotNull() & F.col(stratum_col).isNotNull()
+    )
+    exempt = (
+        withtok.where(
+            F.col(id_col).isNull() | F.col(stratum_col).isNull()
+        )
+        .withColumn("cum_tokens", F.lit(None).cast("bigint"))
+        .drop("__h", "__b")
+    )
     w_local = Window.partitionBy(stratum_col, "__b").orderBy("__h", id_col)
     local = base.withColumn(
         "__local_cum", F.sum("n_tokens").over(w_local)
@@ -573,4 +588,5 @@ def token_budget_sample(
     default_keep = (F.lit(True) if default_budget is None
                     else F.col("cum_tokens") <= F.lit(int(default_budget)))
     cond_all = default_keep if expr is None else expr.otherwise(default_keep)
-    return cum.where(cond_all).drop("__h", "__b", "__local_cum", "__offset")
+    kept = cum.where(cond_all).drop("__h", "__b", "__local_cum", "__offset")
+    return kept.unionByName(exempt)

@@ -333,5 +333,23 @@ class TestTokenBudgetSample:
             "formatted",
         )
         import re
-        # the big-side window's partition spec must include __b
-        assert re.search(r"Window.*\n.*__b", plan) or "__b" in plan
+        # the n_tokens cumsum's windowspecdefinition must partition on
+        # (stratum, __b) — a bare-stratum spec is the hot-key straggler
+        assert re.search(
+            r"sum\(n_tokens#\d+\) windowspecdefinition\("
+            r"lang#\d+, __b#\d+,", plan
+        ), "big-side cumsum window lost its __b salt"
+
+    def test_null_id_or_stratum_rows_exempt(self, spark):
+        from mindocr_spark.functions.text import token_budget_sample
+
+        df = spark.createDataFrame(
+            [(None, "en", "a b c"), (1, None, "a b"), (2, "en", "x y z")],
+            "doc_id bigint, lang string, text string",
+        )
+        out = {(r["doc_id"], r["lang"]): r for r in
+               token_budget_sample(df, {"en": 1}).collect()}
+        # budget of 1 token drops the only hashable en doc (3 tokens
+        # > 1); the NULL-keyed rows pass through with NULL cum
+        assert set(out) == {(None, "en"), (1, None)}
+        assert all(r["cum_tokens"] is None for r in out.values())
