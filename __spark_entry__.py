@@ -1144,6 +1144,50 @@ def q_token_budget_sample(spark, sf_dir):
     ).select("doc_id", "lang", "n_tokens", "cum_tokens").orderBy("doc_id")
 
 
+from mindocr_spark.functions.search import (  # noqa: E402
+    BM25_B as _BM25_B,
+    BM25_K1 as _BM25_K1,
+)
+
+#: Pinned keyword queries for the BM25 retrieval query (terms drawn
+#: from the synthetic corpus vocabulary; 'spill' is deliberately
+#: absent from the corpus — a zero-df term must simply not contribute).
+_BM25_QUERIES = {
+    0: ["hash", "merge"],
+    1: ["table", "scan"],
+    2: ["window", "sort", "spill"],
+}
+_BM25_K = 5
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Inverted-index keyword retrieval: BM25-score a pinned query set
+    against the corpus and keep the top-5 docs per query. The corpus
+    side is tokenized scan-side and semi-joined against the BROADCAST
+    query vocabulary before anything shuffles; df/N/avgdl are tiny
+    aggregates; every float step is either correctly-rounded IEEE with
+    pinned association or a round(·,9)-quantized ln, and per-term
+    scores sum as DECIMAL — so the DuckDB twin lands on identical
+    values (the ANN-IVF discipline)."""
+    from mindocr_spark.functions.search import bm25_topk
+
+    return (
+        bm25_topk(
+            _t(spark, sf_dir, "documents").select("doc_id", "text"),
+            _BM25_QUERIES,
+            k=_BM25_K,
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            "n_terms_hit",
+            F.col("score").cast("double").alias("score"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 #: Pinned char dict (str2idx analog — reference: rec_transforms.py:222-246;
 #: the reference ships 94-char en_dict.txt, mindocr/utils/dict/).
 _CHAR_DICT = "abcdefghijklmnopqrstuvwxyz "
@@ -1434,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": _q(q_deterministic_sample),
         "stratified_sample": _q(q_stratified_sample),
         "token_budget_sample": _q(q_token_budget_sample),
+        "bm25_topk": _q(q_bm25_topk),
         "char_dict_encode": _q(q_char_dict_encode),
         "argmax_cls": _q(q_argmax_cls),
         "ctc_collapse": _q(q_ctc_collapse),
@@ -1946,6 +1991,67 @@ def oracle_sql() -> dict[str, str]:
             "TRUE" if _TOKEN_BUDGET_DEFAULT is None
             else f"cum_tokens <= {int(_TOKEN_BUDGET_DEFAULT)}"
         )),
+        "bm25_topk": r"""
+            WITH qt(query_id, term) AS (VALUES __QT__),
+            t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')) AS norm
+              FROM documents),
+            dls AS (
+              SELECT doc_id, norm,
+                     CASE WHEN norm = '' THEN 0
+                          ELSE len(string_split(norm,' ')) END AS dl
+              FROM t),
+            stats AS (
+              SELECT count(*) AS n_docs,
+                     round(CAST(sum(dl) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE), 9) AS avgdl
+              FROM dls),
+            base AS (
+              SELECT doc_id, dl, unnest(string_split(norm,' ')) AS term
+              FROM dls WHERE norm <> ''),
+            tf AS (
+              SELECT term, doc_id, count(*) AS tf, max(dl) AS dl
+              FROM base JOIN (SELECT DISTINCT term FROM qt) USING (term)
+              GROUP BY term, doc_id),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            scored AS (
+              SELECT q.query_id, tf.doc_id,
+                     CAST(round(
+                       round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                                / (CAST(df AS DOUBLE) + 0.5) + 1.0), 9)
+                       * round((CAST(tf AS DOUBLE) * __K1P1__)
+                               / (CAST(tf AS DOUBLE)
+                                  + __K1__ * (__OMB__ + __B__
+                                      * (CAST(dl AS DOUBLE) / avgdl))), 9)
+                     , 9) AS DECIMAL(28,9)) AS tscore
+              FROM tf JOIN dft USING (term) CROSS JOIN stats
+              JOIN qt q USING (term)),
+            pd AS (
+              SELECT query_id, doc_id, count(*) AS n_terms_hit,
+                     SUM(tscore) AS score
+              FROM scored GROUP BY query_id, doc_id),
+            rk AS (
+              SELECT query_id, doc_id, n_terms_hit, score,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC) AS rank
+              FROM pd)
+            SELECT query_id, doc_id,
+                   CAST(n_terms_hit AS BIGINT) AS n_terms_hit,
+                   CAST(score AS DOUBLE) AS score,
+                   CAST(rank AS BIGINT) AS rank
+            FROM rk WHERE rank <= __K__
+            ORDER BY query_id, rank
+        """.replace("__QT__", ", ".join(
+            "(%d, '%s')" % (qid, t.replace("'", "''"))
+            for qid, t in sorted(
+                {(int(q), t) for q, ts in _BM25_QUERIES.items() for t in ts}
+            )
+        )).replace("__K1P1__", repr(_BM25_K1 + 1.0))
+         .replace("__K1__", repr(_BM25_K1))
+         .replace("__OMB__", repr(1.0 - _BM25_B))
+         .replace("__B__", repr(_BM25_B))
+         .replace("__K__", str(_BM25_K)),
         "token_stats": r"""
             WITH t AS (
               SELECT doc_id,

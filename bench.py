@@ -105,6 +105,7 @@ def main() -> None:
         "decontaminate",        # eval-set 13-gram contamination check
         "stratified_sample",    # deterministic per-language rebalance
         "token_budget_sample",  # distributed prefix-sum budget mixing
+        "bm25_topk",            # inverted-index BM25 retrieval
     ]
     qs = E.queries()
     for name in headline:

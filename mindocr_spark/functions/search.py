@@ -1,0 +1,165 @@
+"""search — inverted-index keyword retrieval (BM25) over the corpus.
+
+Full-text retrieval is the query-side twin of the curation operators:
+once a 10^12-doc corpus is extracted and deduped, "find the documents
+about X" is an inverted-index problem, and BM25 is the standard
+relevance score (the Lucene/Elasticsearch default). This module builds
+the posting-list relation and scores a small set of keyword queries
+against it, Spark-first:
+
+- the corpus side is tokenized scan-side (whole-stage codegen split,
+  no Python) and immediately SEMI-FILTERED against the broadcast query
+  vocabulary, so the explode → match step never shuffles the 10^12-doc
+  relation — only rows containing a query term survive to the first
+  aggregation;
+- term frequencies come from one map-side-combinable groupBy on
+  (query_id, doc_id, term); document frequencies from one tiny per-term
+  agg over the matched postings;
+- corpus stats (N, avgdl) are a 1-row aggregate cross-joined back in
+  (broadcast, keeps the whole plan lazy — no driver-side action);
+- the final top-k is a per-query row_number over the df-bounded
+  candidate set (queries are few; candidates per query are at most
+  Σ df(term), never the corpus).
+
+Cross-engine determinism: every floating-point step is either
+correctly-rounded IEEE (+ - * /) written with identical association in
+both engines, or a transcendental (ln) immediately quantized with
+round(·, 9); per-term scores are quantized and summed as
+DECIMAL(28,9), which is exact and order-independent — the same
+discipline as the ANN-IVF centroid oracle.
+
+Reference lineage: the reference's retrieval surface is the det→rec
+crop ranking by drop_score (reference: tools/infer/text/predict_system.py
+filters results by score); BM25 is the corpus-scale analog of "rank
+matches by relevance, keep the top k".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .text import tokens_col
+
+#: Lucene-default BM25 parameters, pinned as module constants so the
+#: SQL oracle and the Spark plan compile the same literals.
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def query_terms_df(spark, queries: dict[int, list[str]]) -> DataFrame:
+    """(query_id, term) local relation from a {query_id: [terms]} dict.
+    Duplicate terms within one query are collapsed (standard bag-of-
+    words query semantics score each distinct term once)."""
+    rows = sorted(
+        {(int(qid), t) for qid, terms in queries.items() for t in terms}
+    )
+    return spark.createDataFrame(rows, schema="query_id int, term string")
+
+
+def postings(docs: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """The inverted-index posting relation: (term, doc_id, tf, dl).
+
+    One narrow explode + one map-side-combinable groupBy on
+    (term, doc_id) — hash-partitioned on the term key, which is the
+    layout a reusable on-disk index wants (bucket by term → a keyword
+    lookup scans one bucket). dl (doc token length) rides along via
+    max() since it is constant per doc."""
+    toks = tokens_col(text_col)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(toks).alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+    )
+
+
+def bm25_topk(docs: DataFrame, queries: dict[int, list[str]], k: int = 5,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Score `queries` (query_id → list of terms) against `docs` with
+    BM25 and return the top-`k` docs per query:
+    (query_id, doc_id, n_terms_hit, score DECIMAL(38,9)).
+
+    score(q, d) = Σ_t round( round(idf(t), 9) · round(tfn(t, d), 9), 9)
+      idf(t)    = ln( (N − df + 0.5) / (df + 0.5) + 1 )      [Lucene]
+      tfn(t, d) = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    100 TB plan: tokenization and dl are scan-side codegen; the explode
+    output is semi-joined against the BROADCAST query vocabulary before
+    anything shuffles, so the corpus-side shuffle moves only rows that
+    contain a query term. df/N/avgdl are tiny aggregates. Ties break on
+    doc_id so the top-k is deterministic.
+    """
+    spark = docs.sparkSession
+    qt = query_terms_df(spark, queries)
+
+    toks = tokens_col(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+    # broadcast vocabulary filter BEFORE the tf groupBy: the 10^12-row
+    # side sheds every non-matching token without shuffling
+    vocab = qt.select("term").distinct()
+    matched = base.join(F.broadcast(vocab), "term")
+
+    tf = matched.groupBy("term", "doc_id").agg(
+        F.count("*").alias("tf"), F.max("dl").alias("dl")
+    )
+    df_t = tf.groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    stats = docs.select(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens_col(text_col))).alias("sum_dl"),
+    ).withColumn(
+        "avgdl",
+        F.round(
+            F.col("sum_dl").cast("double") / F.col("n_docs").cast("double"),
+            9,
+        ),
+    )
+
+    nd = F.col("n_docs").cast("double")
+    dfd = F.col("df").cast("double")
+    idf = F.round(
+        F.log((nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)) + F.lit(1.0)), 9
+    )
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    tfn = F.round(
+        tfd * F.lit(BM25_K1 + 1.0)
+        / (
+            tfd
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (dld / F.col("avgdl")))
+        ),
+        9,
+    )
+
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(stats))
+        .join(F.broadcast(qt), "term")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(idf * tfn, 9).cast("decimal(28,9)").alias("tscore"),
+        )
+    )
+    per_doc = scored.groupBy("query_id", "doc_id").agg(
+        F.count("*").alias("n_terms_hit"),
+        F.sum("tscore").alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "n_terms_hit", "score", "rank")
+    )

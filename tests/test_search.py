@@ -1,0 +1,133 @@
+"""BM25 inverted-index retrieval — exact-math goldens + plan shape."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _bm25_expected(corpus, query_terms, k1=1.2, b=0.75):
+    """Straight-line reference: same quantization discipline as the
+    engine (round idf and tfn to 9, round product to 9, exact sum)."""
+    toks = {d: t.split() for d, t in corpus}
+    n = len(corpus)
+    avgdl = round(sum(len(v) for v in toks.values()) / n, 9)
+    df = {}
+    for t in set(query_terms):
+        df[t] = sum(1 for v in toks.values() if t in v)
+    out = {}
+    for d, v in toks.items():
+        s = 0.0
+        hits = 0
+        for t in set(query_terms):
+            tf = v.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            idf = round(math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0), 9)
+            tfn = round(
+                tf * (k1 + 1.0)
+                / (tf + k1 * ((1.0 - b) + b * (len(v) / avgdl))),
+                9,
+            )
+            s += round(idf * tfn, 9)
+            hits += 1
+        if hits:
+            out[d] = (hits, round(s, 9))
+    return out
+
+
+def test_bm25_scores_match_straight_line_reference(spark):
+    from mindocr_spark.functions.search import bm25_topk
+
+    corpus = [
+        (1, "hash join hash probe build"),
+        (2, "sort merge join spill"),
+        (3, "table scan filter project"),
+        (4, "hash agg hash hash"),
+    ]
+    got = {
+        r["doc_id"]: (r["n_terms_hit"], float(r["score"]))
+        for r in bm25_topk(
+            _docs(spark, corpus), {7: ["hash", "join"]}, k=10
+        ).collect()
+    }
+    exp = _bm25_expected(corpus, ["hash", "join"])
+    assert set(got) == set(exp)
+    for d in exp:
+        assert got[d][0] == exp[d][0]
+        assert got[d][1] == pytest.approx(exp[d][1], abs=1e-9)
+
+
+def test_bm25_rank_order_and_ties(spark):
+    from mindocr_spark.functions.search import bm25_topk
+
+    # docs 2 and 3 are identical → identical scores → doc_id tiebreak
+    corpus = [(1, "x x x y"), (2, "x y z"), (3, "x y z"), (4, "a b c")]
+    rows = bm25_topk(_docs(spark, corpus), {0: ["x"]}, k=2).collect()
+    ranked = sorted((r["rank"], r["doc_id"]) for r in rows)
+    assert len(rows) == 2
+    # doc 1 has the highest tf; between the tied 2/3, doc 2 wins
+    assert ranked[0][1] == 1 and ranked[1][1] == 2
+
+
+def test_bm25_zero_df_term_contributes_nothing(spark):
+    from mindocr_spark.functions.search import bm25_topk
+
+    corpus = [(1, "alpha beta"), (2, "beta gamma")]
+    with_ghost = bm25_topk(
+        _docs(spark, corpus), {0: ["beta", "zzz_absent"]}, k=5
+    ).collect()
+    without = bm25_topk(_docs(spark, corpus), {0: ["beta"]}, k=5).collect()
+    assert sorted((r["doc_id"], float(r["score"])) for r in with_ghost) == \
+        sorted((r["doc_id"], float(r["score"])) for r in without)
+
+
+def test_bm25_duplicate_query_terms_collapse(spark):
+    from mindocr_spark.functions.search import bm25_topk
+
+    corpus = [(1, "q q r"), (2, "r s")]
+    dup = bm25_topk(_docs(spark, corpus), {0: ["q", "q"]}, k=5).collect()
+    single = bm25_topk(_docs(spark, corpus), {0: ["q"]}, k=5).collect()
+    assert [(r["doc_id"], float(r["score"])) for r in dup] == \
+        [(r["doc_id"], float(r["score"])) for r in single]
+
+
+def test_bm25_blank_docs_do_not_poison_avgdl(spark):
+    from mindocr_spark.functions.search import bm25_topk
+
+    # blank text must count as dl=0 (not 1) in avgdl, like tokens_col
+    corpus = [(1, "k k"), (2, "   "), (3, "")]
+    rows = bm25_topk(_docs(spark, corpus), {0: ["k"]}, k=5).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    # n=3, df=1, avgdl = 2/3 rounded
+    avgdl = round(2 / 3, 9)
+    idf = round(math.log((3 - 1 + 0.5) / (1 + 0.5) + 1.0), 9)
+    tfn = round(2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * (2 / avgdl))), 9)
+    assert float(rows[0]["score"]) == pytest.approx(
+        round(idf * tfn, 9), abs=1e-9
+    )
+
+
+def test_bm25_plan_broadcasts_vocab_no_python(spark):
+    from mindocr_spark.functions.search import bm25_topk
+
+    plan = bm25_topk(
+        _docs(spark, [(1, "a b"), (2, "b c")]), {0: ["b"]}, k=3
+    )._jdf.queryExecution().executedPlan().toString()
+    # the corpus-side vocabulary filter must be a broadcast join, and
+    # nothing in the plan may drop to per-row Python
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_postings_relation_shape(spark):
+    from mindocr_spark.functions.search import postings
+
+    rows = postings(_docs(spark, [(1, "a b a"), (2, "b")])).collect()
+    idx = {(r["term"], r["doc_id"]): (r["tf"], r["dl"]) for r in rows}
+    assert idx == {("a", 1): (2, 3), ("b", 1): (1, 3), ("b", 2): (1, 1)}
