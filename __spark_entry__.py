@@ -1144,6 +1144,30 @@ def q_token_budget_sample(spark, sf_dir):
     ).select("doc_id", "lang", "n_tokens", "cum_tokens").orderBy("doc_id")
 
 
+#: Training-sequence length for the sequence_pack query — small enough
+#: that the synthetic docs (≈30-60 tokens) pack several per sequence
+#: AND regularly straddle boundaries, so both branches are exercised.
+_PACK_SEQ_LEN = 128
+
+
+def q_sequence_pack(spark, sf_dir):
+    """Concat-and-chunk packing bookkeeping: per document, which
+    fixed-length training sequence(s) its tokens land in when each
+    language's docs are concatenated in deterministic md5(id) order.
+    Runs the shared distributed prefix-sum (parallel per-md5-bucket
+    cumsums — never one global sorted task); the oracle is the plain
+    one-window cumsum + identical integer math."""
+    from mindocr_spark.functions.text import sequence_pack
+
+    return sequence_pack(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        seq_len=_PACK_SEQ_LEN,
+    ).select(
+        "doc_id", "lang", "n_tokens", "cum_tokens",
+        "seq_first", "seq_last", "seq_offset", "n_seqs",
+    ).orderBy("doc_id")
+
+
 from mindocr_spark.functions.search import (  # noqa: E402
     BM25_B as _BM25_B,
     BM25_K1 as _BM25_K1,
@@ -1479,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q(q_stratified_sample),
         "token_budget_sample": _q(q_token_budget_sample),
         "bm25_topk": _q(q_bm25_topk),
+        "sequence_pack": _q(q_sequence_pack),
         "char_dict_encode": _q(q_char_dict_encode),
         "argmax_cls": _q(q_argmax_cls),
         "ctc_collapse": _q(q_ctc_collapse),
@@ -1991,6 +2016,44 @@ def oracle_sql() -> dict[str, str]:
             "TRUE" if _TOKEN_BUDGET_DEFAULT is None
             else f"cum_tokens <= {int(_TOKEN_BUDGET_DEFAULT)}"
         )),
+        "sequence_pack": r"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')) AS norm
+              FROM documents),
+            n AS (
+              SELECT doc_id, lang,
+                     CAST(CASE WHEN norm = '' THEN 0
+                          ELSE len(string_split(norm,' ')) END AS INT)
+                       AS n_tokens
+              FROM t),
+            c AS (
+              SELECT doc_id, lang, n_tokens,
+                     CASE WHEN doc_id IS NULL OR lang IS NULL THEN NULL
+                          ELSE CAST(SUM(n_tokens) OVER (
+                            PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                          ) AS BIGINT) END AS cum_tokens
+              FROM n),
+            p AS (
+              SELECT doc_id, lang, n_tokens, cum_tokens,
+                     CASE WHEN cum_tokens IS NOT NULL AND n_tokens > 0
+                          THEN CAST(floor((cum_tokens - n_tokens)
+                                          / __L__) AS BIGINT) END AS seq_first,
+                     CASE WHEN cum_tokens IS NOT NULL AND n_tokens > 0
+                          THEN CAST(floor((cum_tokens - 1)
+                                          / __L__) AS BIGINT) END AS seq_last
+              FROM c)
+            SELECT doc_id, lang, n_tokens, cum_tokens, seq_first, seq_last,
+                   CASE WHEN seq_first IS NOT NULL
+                        THEN CAST((cum_tokens - n_tokens)
+                                  - seq_first * __L__ AS BIGINT)
+                   END AS seq_offset,
+                   CASE WHEN seq_first IS NOT NULL
+                        THEN CAST(seq_last - seq_first + 1 AS BIGINT)
+                   END AS n_seqs
+            FROM p ORDER BY doc_id
+        """.replace("__L__", str(int(_PACK_SEQ_LEN))),
         "bm25_topk": r"""
             WITH qt(query_id, term) AS (VALUES __QT__),
             t AS (

@@ -106,6 +106,7 @@ def main() -> None:
         "stratified_sample",    # deterministic per-language rebalance
         "token_budget_sample",  # distributed prefix-sum budget mixing
         "bm25_topk",            # inverted-index BM25 retrieval
+        "sequence_pack",        # concat-and-chunk packing bookkeeping
     ]
     qs = E.queries()
     for name in headline:

@@ -534,12 +534,43 @@ def token_budget_sample(
     ones. The final values are identical to the one-window
     formulation, which is exactly what the SQL oracle computes.
     (the bucket count is pinned at 256 = one md5 hex-pair.)"""
+    cum, exempt = _stratified_token_cumsum(df, stratum_col, id_col, text_col)
+    expr = None
+    for value, budget in budgets.items():
+        cond = F.col(stratum_col) == value
+        keep = (F.lit(True) if budget is None
+                else F.col("cum_tokens") <= F.lit(int(budget)))
+        expr = (F.when(cond, keep) if expr is None
+                else expr.when(cond, keep))
+    default_keep = (F.lit(True) if default_budget is None
+                    else F.col("cum_tokens") <= F.lit(int(default_budget)))
+    cond_all = default_keep if expr is None else expr.otherwise(default_keep)
+    kept = cum.where(cond_all).drop("__h", "__b", "__local_cum", "__offset")
+    return kept.unionByName(exempt)
+
+
+def _stratified_token_cumsum(
+    df: DataFrame, stratum_col: str, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared distributed prefix-sum over the deterministic md5(id)
+    walk (the machinery behind :func:`token_budget_sample` and
+    :func:`sequence_pack`): returns ``(cum, exempt)`` where `cum`
+    carries (n_tokens, cum_tokens) for every row with a non-NULL
+    (id, stratum) — in global (md5-bucket, md5, id) walk order, values
+    identical to the one-window formulation — plus the internal
+    ``__h/__b/__local_cum/__offset`` columns the caller must drop, and
+    `exempt` holds the NULL-id/NULL-stratum rows with cum_tokens NULL.
+
+    See token_budget_sample's docstring for the 100 TB rationale: a
+    plain Window.partitionBy(stratum) funnels the dominant stratum
+    into ONE sorted task; md5-prefix sub-buckets (pinned at 256 = one
+    hex pair) cumsum in parallel and a tiny bucket-offset window +
+    broadcast join globalize the sums."""
     h = F.md5(F.col(id_col).cast("string").cast("binary"))
-    # the frame below feeds the local-cumsum window AND the
-    # bucket-totals agg — a caller with expensive upstream lineage
-    # should pass a PERSISTED frame; persisting here would leak cached
-    # storage for calls made outside a persist_scope (the
-    # driver-contract/bench invocations — the domain_cap precedent)
+    # this frame feeds the local-cumsum window AND the bucket-totals
+    # agg — a caller with expensive upstream lineage should pass a
+    # PERSISTED frame; persisting here would leak cached storage for
+    # calls made outside a persist_scope (the domain_cap precedent)
     withtok = df.select(
         "*",
         F.size(tokens_col(text_col)).alias("n_tokens"),
@@ -576,17 +607,76 @@ def token_budget_sample(
     # orders by the same triple and lands on identical values
     cum = (
         local.join(F.broadcast(offsets), [stratum_col, "__b"])
-        .withColumn("cum_tokens", F.col("__offset") + F.col("__local_cum"))
+        .withColumn(
+            "cum_tokens",
+            (F.col("__offset") + F.col("__local_cum")).cast("bigint"),
+        )
     )
-    expr = None
-    for value, budget in budgets.items():
-        cond = F.col(stratum_col) == value
-        keep = (F.lit(True) if budget is None
-                else F.col("cum_tokens") <= F.lit(int(budget)))
-        expr = (F.when(cond, keep) if expr is None
-                else expr.when(cond, keep))
-    default_keep = (F.lit(True) if default_budget is None
-                    else F.col("cum_tokens") <= F.lit(int(default_budget)))
-    cond_all = default_keep if expr is None else expr.otherwise(default_keep)
-    kept = cum.where(cond_all).drop("__h", "__b", "__local_cum", "__offset")
-    return kept.unionByName(exempt)
+    return cum, exempt
+
+
+def sequence_pack(
+    df: DataFrame,
+    seq_len: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing bookkeeping (the GPT-style
+    training-prep step): conceptually, each stratum's documents are
+    concatenated in deterministic md5(id) order into one token stream
+    that is then chopped into fixed `seq_len` windows; this computes,
+    per document, exactly which training sequence(s) its tokens land
+    in — without materializing the stream:
+
+    - ``seq_first`` / ``seq_last``: 0-based indices of the first/last
+      sequence the doc's token span [cum−n, cum) touches,
+    - ``seq_offset``: the doc's start position inside seq_first,
+    - ``n_seqs``: how many sequences the doc spans (>1 = the doc is
+      split across a sequence boundary).
+
+    Zero-token docs occupy no span: their packing columns are NULL
+    (they are reported, never silently dropped). NULL-id/NULL-stratum
+    rows are EXEMPT with NULL packing columns — the
+    :func:`token_budget_sample` discipline.
+
+    Everything after the shared distributed prefix-sum
+    (:func:`_stratified_token_cumsum` — parallel per-md5-bucket
+    cumsums, never one global sorted task) is exact integer
+    arithmetic, so the SQL oracle's one-window formulation lands on
+    identical values. At 10^12 docs this is one shuffle for the
+    bucket cumsum plus a broadcast — the packing math itself is
+    scan-local codegen."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    cum, exempt = _stratified_token_cumsum(df, stratum_col, id_col, text_col)
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    has_span = F.col("n_tokens") > 0
+    L = F.lit(int(seq_len))
+    packed = (
+        cum.withColumn(
+            "seq_first",
+            F.when(has_span, F.floor(start / L)).cast("bigint"),
+        )
+        .withColumn(
+            "seq_last",
+            F.when(
+                has_span, F.floor((F.col("cum_tokens") - 1) / L)
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "seq_offset",
+            F.when(has_span, start - F.col("seq_first") * L).cast("bigint"),
+        )
+        .withColumn(
+            "n_seqs",
+            F.when(
+                has_span, F.col("seq_last") - F.col("seq_first") + 1
+            ).cast("bigint"),
+        )
+        .drop("__h", "__b", "__local_cum", "__offset")
+    )
+    null_pack = exempt
+    for c in ("seq_first", "seq_last", "seq_offset", "n_seqs"):
+        null_pack = null_pack.withColumn(c, F.lit(None).cast("bigint"))
+    return packed.unionByName(null_pack)

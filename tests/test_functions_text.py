@@ -353,3 +353,103 @@ class TestTokenBudgetSample:
         # > 1); the NULL-keyed rows pass through with NULL cum
         assert set(out) == {(None, "en"), (1, None)}
         assert all(r["cum_tokens"] is None for r in out.values())
+
+
+class TestSequencePack:
+    def test_matches_single_window_reference(self, spark):
+        """Packing spans must equal the textbook formulation: one
+        window cumsum per stratum, then integer chunk math."""
+        from pyspark.sql import Window, functions as F
+        from mindocr_spark.functions.text import sequence_pack, tokens_col
+
+        rows = [(i, "en" if i % 3 else "de",
+                 "tok " * (3 + i % 11)) for i in range(200)]
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, lang string, text string"
+        )
+        L = 32
+        out = {r["doc_id"]: r for r in sequence_pack(df, L).collect()}
+        h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+        w = Window.partitionBy("lang").orderBy(h, "doc_id")
+        ref = (
+            df.withColumn("n", F.size(tokens_col("text")))
+            .withColumn("cum", F.sum("n").over(w))
+            .collect()
+        )
+        assert len(out) == len(ref)
+        for r in ref:
+            got = out[r["doc_id"]]
+            start = r["cum"] - r["n"]
+            assert got["cum_tokens"] == r["cum"]
+            assert got["seq_first"] == start // L
+            assert got["seq_last"] == (r["cum"] - 1) // L
+            assert got["seq_offset"] == start % L
+            assert got["n_seqs"] == (r["cum"] - 1) // L - start // L + 1
+
+    def test_spans_tile_the_stream_exactly(self, spark):
+        """Adjacent docs' spans must abut: doc k+1 starts where doc k
+        ended, and a doc crossing a boundary reports n_seqs > 1."""
+        from mindocr_spark.functions.text import sequence_pack
+
+        df = spark.createDataFrame(
+            [(i, "en", "w " * 10) for i in range(40)],
+            "doc_id bigint, lang string, text string",
+        )
+        rows = sorted(
+            sequence_pack(df, 16).collect(), key=lambda r: r["cum_tokens"]
+        )
+        prev_end = 0
+        crossers = 0
+        for r in rows:
+            assert r["cum_tokens"] - r["n_tokens"] == prev_end
+            prev_end = r["cum_tokens"]
+            if r["n_seqs"] > 1:
+                crossers += 1
+        # 10-token docs into 16-token sequences: crossers must exist
+        assert crossers > 0
+
+    def test_zero_token_and_null_rows_get_null_spans(self, spark):
+        from mindocr_spark.functions.text import sequence_pack
+
+        df = spark.createDataFrame(
+            [(1, "en", "a b"), (2, "en", "   "), (None, "en", "x"),
+             (3, None, "y")],
+            "doc_id bigint, lang string, text string",
+        )
+        out = {(r["doc_id"], r["lang"]): r
+               for r in sequence_pack(df, 8).collect()}
+        assert len(out) == 4  # nothing vanishes
+        assert out[(1, "en")]["n_seqs"] == 1
+        for key in [(2, "en"), (None, "en"), (3, None)]:
+            assert out[key]["seq_first"] is None
+            assert out[key]["n_seqs"] is None
+        # the zero-token doc still has a cum position; NULL-keyed don't
+        assert out[(2, "en")]["cum_tokens"] is not None
+        assert out[(None, "en")]["cum_tokens"] is None
+
+    def test_rejects_nonpositive_seq_len(self, spark):
+        import pytest
+        from mindocr_spark.functions.text import sequence_pack
+
+        df = spark.createDataFrame(
+            [(1, "en", "a")], "doc_id bigint, lang string, text string"
+        )
+        with pytest.raises(ValueError):
+            sequence_pack(df, 0)
+
+    def test_cumsum_window_is_salted(self, spark):
+        """sequence_pack inherits the distributed prefix-sum: the
+        big-side window must partition on (stratum, __b)."""
+        import re
+        from mindocr_spark.functions.text import sequence_pack
+
+        df = spark.createDataFrame(
+            [(1, "en", "a b")], "doc_id bigint, lang string, text string"
+        )
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            sequence_pack(df, 8)._jdf.queryExecution(), "formatted"
+        )
+        assert re.search(
+            r"sum\(n_tokens#\d+\) windowspecdefinition\("
+            r"lang#\d+, __b#\d+,", plan
+        ), "big-side cumsum window lost its __b salt"
