@@ -1144,6 +1144,23 @@ def q_token_budget_sample(spark, sf_dir):
     ).select("doc_id", "lang", "n_tokens", "cum_tokens").orderBy("doc_id")
 
 
+def q_lm_logppl(spark, sf_dir):
+    """CCNet-style LM quality gate: train a Laplace-smoothed unigram
+    LM on the clean reference slice (lang='en' documents — the
+    Wikipedia analog) with one groupBy, then score EVERY document by
+    mean negative log-probability via one broadcast token join. Every
+    ln argument is a correctly-rounded integer division (identical
+    doubles in both engines), ln is round(·,9)-quantized, per-doc sums
+    run as DECIMAL — the BM25/ANN-IVF determinism discipline."""
+    from mindocr_spark.functions.lm import unigram_counts, unigram_logppl
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = unigram_counts(docs.where(F.col("lang") == "en"))
+    return unigram_logppl(docs.select("doc_id", "text"), lm).orderBy(
+        "doc_id"
+    )
+
+
 #: Training-sequence length for the sequence_pack query — small enough
 #: that the synthetic docs (≈30-60 tokens) pack several per sequence
 #: AND regularly straddle boundaries, so both branches are exercised.
@@ -1504,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": _q(q_token_budget_sample),
         "bm25_topk": _q(q_bm25_topk),
         "sequence_pack": _q(q_sequence_pack),
+        "lm_logppl": _q(q_lm_logppl),
         "char_dict_encode": _q(q_char_dict_encode),
         "argmax_cls": _q(q_argmax_cls),
         "ctc_collapse": _q(q_ctc_collapse),
@@ -2016,6 +2034,47 @@ def oracle_sql() -> dict[str, str]:
             "TRUE" if _TOKEN_BUDGET_DEFAULT is None
             else f"cum_tokens <= {int(_TOKEN_BUDGET_DEFAULT)}"
         )),
+        "lm_logppl": r"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')) AS norm
+              FROM documents),
+            ref AS (
+              SELECT unnest(string_split(norm,' ')) AS token
+              FROM t WHERE lang = 'en' AND norm <> ''),
+            lm AS (SELECT token, count(*) AS cnt FROM ref GROUP BY token),
+            stats AS (
+              SELECT sum(cnt) AS lm_total, count(*) + 1 AS lm_v FROM lm),
+            toks AS (
+              SELECT doc_id, unnest(string_split(norm,' ')) AS token
+              FROM t WHERE norm <> ''),
+            sc AS (
+              SELECT doc_id,
+                     CASE WHEN lm.cnt IS NULL THEN 1 ELSE 0 END AS is_oov,
+                     CAST(round(-ln(CAST(COALESCE(lm.cnt, 0) + 1 AS DOUBLE)
+                                    / CAST(lm_total + lm_v AS DOUBLE)), 9)
+                          AS DECIMAL(28,9)) AS nlp
+              FROM toks LEFT JOIN lm USING (token) CROSS JOIN stats),
+            agg AS (
+              SELECT doc_id, SUM(is_oov) AS n_oov, SUM(nlp) AS s
+              FROM sc GROUP BY doc_id),
+            base AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN norm = '' THEN 0
+                          ELSE len(string_split(norm,' ')) END AS INT)
+                       AS n_tokens
+              FROM t)
+            SELECT b.doc_id, b.n_tokens,
+                   CAST(COALESCE(a.n_oov, 0) AS BIGINT) AS n_oov,
+                   CAST(COALESCE(a.s, CAST(0 AS DECIMAL(28,9)))
+                        AS DOUBLE) AS neg_logprob_sum,
+                   CASE WHEN b.n_tokens > 0
+                        THEN CAST(a.s AS DOUBLE)
+                             / CAST(b.n_tokens AS DOUBLE)
+                   END AS logppl
+            FROM base b LEFT JOIN agg a USING (doc_id)
+            ORDER BY b.doc_id
+        """,
         "sequence_pack": r"""
             WITH t AS (
               SELECT doc_id, lang,

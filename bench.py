@@ -107,6 +107,7 @@ def main() -> None:
         "token_budget_sample",  # distributed prefix-sum budget mixing
         "bm25_topk",            # inverted-index BM25 retrieval
         "sequence_pack",        # concat-and-chunk packing bookkeeping
+        "lm_logppl",            # CCNet-style unigram LM perplexity gate
     ]
     qs = E.queries()
     for name in headline:

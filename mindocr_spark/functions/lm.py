@@ -1,0 +1,119 @@
+"""lm — n-gram language-model scoring (the CCNet perplexity filter).
+
+CCNet's signature quality gate scores every crawled document against a
+language model trained on a clean reference corpus (Wikipedia) and
+keeps the low-perplexity head. This module is that gate, Spark-first
+and exactly cross-engine checkable: a unigram LM with add-one (Laplace)
+smoothing, trained with one map-side-combinable groupBy and applied
+with one token-key join.
+
+Model:  p(t) = (c(t) + 1) / (total + V)      V = |vocab| + 1 (unseen)
+Score:  logppl(d) = −(Σ_{t∈d} ln p(t)) / |d|   (lower = more fluent)
+
+100 TB shape: TRAINING is one groupBy on the token key over the
+reference corpus (reference corpora are the small side — Wikipedia is
+~10^10 tokens, and the count table collapses to the vocabulary, a few
+million rows). SCORING joins the corpus' exploded tokens against that
+vocabulary: BROADCAST when the vocab fits (the common case — a few
+million rows is tens of MB), else a shuffle join on the uniform token
+key (`broadcast_lm=False`); either way the 10^12-doc side shuffles at
+most once and OOV tokens survive via the left join (they price at the
+unseen-mass 1/(total+V), and are counted in `n_oov`).
+
+Determinism discipline (the BM25/ANN-IVF pattern): every ln argument is
+a correctly-rounded division of exact integers — identical doubles in
+both engines — ln is quantized with round(·,9), per-doc sums run as
+DECIMAL(28,9) (exact, order-independent), and the final mean is one
+correctly-rounded double division, rounded for display.
+
+Reference lineage: the drop_score gate (reference:
+tools/infer/text/predict_system.py — filter results below a model
+confidence) is the per-item analog; CCNet applies the same
+keep-the-confident-head rule with an LM as the scorer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import tokens_col
+
+
+def unigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Train side: (token, cnt) over the reference corpus — one
+    map-side-combinable groupBy on the token key (uniform; no skew
+    treatment needed beyond what AQE provides)."""
+    return (
+        docs.select(F.explode(tokens_col(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def unigram_logppl(
+    docs: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Score `docs` against a trained `lm` (token, cnt) relation:
+    (id, n_tokens, n_oov, neg_logprob_sum, logppl).
+
+    Zero-token docs report NULL logppl (0 tokens has no mean) but are
+    never dropped — gates downstream must treat NULL as "no evidence",
+    the skip-propagation discipline."""
+    stats = lm.select(
+        # empty LM: sum() is NULL → coalesce to 0 so scoring degrades
+        # to the uniform unseen-mass model instead of NULLing out
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("lm_total"),
+        (F.count("*") + F.lit(1)).alias("lm_v"),
+    )
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens_col(text_col)).alias("token"),
+    )
+    lm_side = F.broadcast(lm) if broadcast_lm else lm
+    denom = (F.col("lm_total") + F.col("lm_v")).cast("double")
+    p = (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1)).cast("double") / denom
+    scored = (
+        toks.join(lm_side, "token", "left")
+        .join(F.broadcast(stats))
+        .select(
+            "__id",
+            F.col("cnt").isNull().cast("int").alias("is_oov"),
+            F.round(-F.log(p), 9).cast("decimal(28,9)").alias("nlp"),
+        )
+        .groupBy("__id")
+        .agg(
+            F.sum("is_oov").alias("n_oov"),
+            F.sum("nlp").alias("neg_logprob_sum"),
+        )
+    )
+    base = docs.select(
+        F.col(id_col).alias("__id"),
+        F.size(tokens_col(text_col)).alias("n_tokens"),
+    )
+    return (
+        base.join(scored, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            F.coalesce(F.col("n_oov"), F.lit(0)).cast("bigint").alias("n_oov"),
+            # exact decimal sum, then one correctly-rounded conversion
+            # for the output surface (decimal→pandas dtypes differ
+            # between engines; double is unambiguous)
+            F.coalesce(
+                F.col("neg_logprob_sum"), F.lit(0).cast("decimal(28,9)")
+            ).cast("double").alias("neg_logprob_sum"),
+            # no final round: both operands are bit-identical across
+            # engines and IEEE division is correctly rounded, so the
+            # quotient is already deterministic (a round(·,9) here
+            # would re-introduce engine-specific tie behavior)
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("neg_logprob_sum").cast("double")
+                / F.col("n_tokens").cast("double"),
+            ).alias("logppl"),
+        )
+    )
