@@ -1144,6 +1144,42 @@ def q_token_budget_sample(spark, sf_dir):
     ).select("doc_id", "lang", "n_tokens", "cum_tokens").orderBy("doc_id")
 
 
+def q_link_graph(spark, sf_dir):
+    """Web-graph layer: extract every <a href> from the linked corpus
+    family's raw HTML (one codegen regexp_extract_all), resolve
+    against the page URL, and aggregate per-registered-domain in-link
+    stats. The oracle never parses HTML — it reproduces the same edge
+    set from the untouched documents table's doc_id/source arithmetic,
+    so the two engines agree only if extraction, resolution, domain
+    normalization, AND aggregation are all right."""
+    from mindocr_spark.functions.links import (
+        domain_link_stats,
+        extract_links,
+    )
+    from mindocr_spark.sources.pages import pages_from_documents_linked
+
+    pages = pages_from_documents_linked(spark, sf_dir)
+    return domain_link_stats(extract_links(pages)).orderBy("dst_domain")
+
+
+def q_domain_pagerank(spark, sf_dir):
+    """Domain-authority ranking: 3 fixed power iterations of PageRank
+    over the weighted domain graph extracted from raw HTML. Ranks stay
+    DOUBLE with no rounding anywhere — every step is a correctly-
+    rounded IEEE op in pinned association order, and the per-node
+    incoming sum is a left fold over the src-sorted contribution list
+    in BOTH engines (F.aggregate ↔ list_reduce), so the oracle match
+    is bit-exact."""
+    from mindocr_spark.functions.links import (
+        domain_pagerank,
+        extract_links,
+    )
+    from mindocr_spark.sources.pages import pages_from_documents_linked
+
+    edges = extract_links(pages_from_documents_linked(spark, sf_dir))
+    return domain_pagerank(edges, iters=3, damping=0.85).orderBy("domain")
+
+
 def q_lm_logppl(spark, sf_dir):
     """CCNet-style LM quality gate: train a Laplace-smoothed unigram
     LM on the clean reference slice (lang='en' documents — the
@@ -1522,6 +1558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q(q_bm25_topk),
         "sequence_pack": _q(q_sequence_pack),
         "lm_logppl": _q(q_lm_logppl),
+        "link_graph": _q(q_link_graph),
+        "domain_pagerank": _q(q_domain_pagerank),
         "char_dict_encode": _q(q_char_dict_encode),
         "argmax_cls": _q(q_argmax_cls),
         "ctc_collapse": _q(q_ctc_collapse),
@@ -1544,6 +1582,75 @@ from mindocr_spark.sources.pages import (  # noqa: E402
     PAGES_EAST_BUFFER as _EAST_BUFFER,
     PAGES_EAST_TAIL as _EAST_TAIL,
 )
+
+#: Edge multiset of the linked corpus family, derived from the
+#: untouched documents table by pure doc_id/source arithmetic (the
+#: engine extracts the SAME edges from raw HTML — that asymmetry is
+#: the oracle's strength). selfe = 8 chrome links (header, 3 nav,
+#: 2 aside, 2 footer) + 1 per-row relative ref, all resolving to the
+#: page's own domain.
+_LINKED_EDGE_CTES = r"""d AS (
+              SELECT doc_id, source,
+                     source || CAST(doc_id % 13 AS VARCHAR) || '.example'
+                       AS src_dom
+              FROM documents),
+            selfe AS (
+              SELECT src_dom AS dst_dom, src_dom
+              FROM d CROSS JOIN range(9)),
+            mirror AS (
+              SELECT 'mirror' || CAST(doc_id % 7 AS VARCHAR) || '.example'
+                       AS dst_dom,
+                     src_dom
+              FROM d),
+            archive AS (
+              SELECT 'docs.example' AS dst_dom, src_dom FROM d),
+            e AS (
+              SELECT * FROM selfe
+              UNION ALL SELECT * FROM mirror
+              UNION ALL SELECT * FROM archive)"""
+
+
+def _pagerank_oracle(iters: int = 3, damping: str = "0.85") -> str:
+    """Unrolled power-iteration twin of `domain_pagerank`: the same
+    pinned association order, the same src-sorted left fold
+    (list_reduce ↔ F.aggregate; the 0.0 init is a no-op because
+    +0.0 + x == x in IEEE for the positive contributions here)."""
+    parts = [
+        "WITH " + _LINKED_EDGE_CTES,
+        """,
+            g AS (
+              SELECT src_dom, dst_dom, count(*) AS w
+              FROM e GROUP BY src_dom, dst_dom),
+            nodes AS (
+              SELECT src_dom AS dom FROM e
+              UNION SELECT dst_dom FROM e),
+            params AS (SELECT count(*) AS n FROM nodes),
+            out_w AS (SELECT src_dom, sum(w) AS ow FROM g GROUP BY src_dom),
+            it0 AS (
+              SELECT dom, 1.0 / p.n AS rank
+              FROM nodes CROSS JOIN params p)""",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+            it{k}c AS (
+              SELECT g.dst_dom,
+                     list(r.rank * (CAST(g.w AS DOUBLE)
+                                    / CAST(o.ow AS DOUBLE))
+                          ORDER BY g.src_dom) AS cs
+              FROM g JOIN out_w o USING (src_dom)
+              JOIN it{k - 1} r ON r.dom = g.src_dom
+              GROUP BY g.dst_dom),
+            it{k} AS (
+              SELECT n.dom,
+                     (1.0 - {damping}) / p.n
+                       + {damping} * COALESCE(
+                           list_reduce(c.cs, (a, b) -> a + b), 0.0) AS rank
+              FROM nodes n CROSS JOIN params p
+              LEFT JOIN it{k}c c ON c.dst_dom = n.dom)""")
+    parts.append(f"""
+            SELECT dom AS domain, rank FROM it{iters} ORDER BY domain""")
+    return "".join(parts)
+
 
 def _md5_sig_ctes(rel: str, tag: str = "") -> str:
     """CTE chain producing sig{tag}(doc_id, perm, minh) and
@@ -2034,6 +2141,17 @@ def oracle_sql() -> dict[str, str]:
             "TRUE" if _TOKEN_BUDGET_DEFAULT is None
             else f"cum_tokens <= {int(_TOKEN_BUDGET_DEFAULT)}"
         )),
+        "link_graph": "WITH " + _LINKED_EDGE_CTES + r"""
+            SELECT dst_dom AS dst_domain,
+                   CAST(count(*) AS BIGINT) AS n_inlinks,
+                   CAST(count(DISTINCT src_dom) AS BIGINT) AS n_src_domains,
+                   CAST(SUM(CASE WHEN src_dom = dst_dom THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_self,
+                   CAST(SUM(CASE WHEN src_dom <> dst_dom THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_external
+            FROM e GROUP BY dst_dom ORDER BY dst_domain
+        """,
+        "domain_pagerank": _pagerank_oracle(iters=3, damping="0.85"),
         "lm_logppl": r"""
             WITH t AS (
               SELECT doc_id, lang,

@@ -39,15 +39,20 @@ _TS_EPOCH = 1704067200
 
 
 def _pages_from_documents_template(
-    spark: SparkSession, sf_dir: str, extra_nodes: str = ""
+    spark: SparkSession, sf_dir: str, extra_nodes: str = "",
+    extra_nodes_col=None,
 ) -> DataFrame:
     """Shared chrome builder for every documents→pages corpus family.
     The chrome bytes are pinned by the extraction oracles (ANCHOR_LEN /
     CHROME_CHARS invariants in __spark_entry__), so there must be
     exactly ONE copy of the template: a variant family contributes only
-    `extra_nodes`, the literal HTML inserted after the body paragraph
-    inside <article>."""
+    `extra_nodes` (literal HTML) or `extra_nodes_col` (a per-row string
+    Column — the linked family's deterministic outlink block), inserted
+    after the body paragraph inside <article>."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tail_nodes = (
+        extra_nodes_col if extra_nodes_col is not None else F.lit(extra_nodes)
+    )
     html_str = F.concat(
         F.lit(
             '<!DOCTYPE html><html><head><meta charset="utf-8"><title>Doc '
@@ -66,8 +71,10 @@ def _pages_from_documents_template(
         F.lit(PAGES_TEMPLATE_ANCHOR),
         F.lit("</p><p>"),
         F.col("text"),
+        F.lit("</p>"),
+        tail_nodes,
         F.lit(
-            "</p>" + extra_nodes + "</article></main>"
+            "</article></main>"
             '<aside><h3>Related</h3><ul><li><a href="/p/1">related reading one</a></li>'
             '<li><a href="/p/2">related reading two</a></li></ul></aside>'
             "<footer><p>&copy; 2024 Example Inc. "
@@ -131,6 +138,51 @@ def pages_from_documents_east(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir,
         extra_nodes=("<p>" + PAGES_EAST_BUFFER + "</p><p>"
                      + PAGES_EAST_TAIL + "</p>"),
+    )
+
+
+def pages_from_documents_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The link-graph corpus family: every page carries a deterministic
+    per-row outlink block (a mirror link on a 7-way host ring, an
+    absolute archive link into the hot ``docs.example`` domain — the
+    skew driver — and one extra relative link), and the page URL itself
+    is spread over a 13-way host ring per source. All of it is pure
+    doc_id/source arithmetic in JVM concat expressions, so the link
+    graph the engine extracts from raw HTML is reproducible from the
+    untouched documents table by the SQL oracle — without the oracle
+    ever parsing HTML."""
+    did = F.col("doc_id")
+    refs = F.concat(
+        F.lit('<p class="refs">See <a href="https://mirror'),
+        F.pmod(did, F.lit(7)).cast("string"),
+        F.lit(".example/p/"),
+        F.floor(did / 2).cast("string"),
+        F.lit('">mirror</a> and <a href="https://docs.example/'),
+        F.col("source"),
+        F.lit("/"),
+        (did * 2).cast("string"),
+        F.lit('">archive</a> and <a href="/p/'),
+        F.pmod(did, F.lit(1000)).cast("string"),
+        F.lit('">local</a>.</p>'),
+    )
+    pages = _pages_from_documents_template(
+        spark, sf_dir, extra_nodes_col=refs
+    )
+    # the template's projection drops `source`; recover it from the
+    # template URL (https://docs.example/{source}/{doc_id}) rather than
+    # widening the shared projection every extraction oracle pins
+    src = F.regexp_extract(
+        F.col("url"), r"^https://docs\.example/([^/]+)/", 1
+    )
+    return pages.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            src,
+            F.pmod(F.col("doc_id"), F.lit(13)).cast("string"),
+            F.lit(".example/d/"),
+            F.col("doc_id").cast("string"),
+        ),
     )
 
 

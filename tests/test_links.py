@@ -1,0 +1,118 @@
+"""Link-graph extraction, domain stats, and PageRank — goldens + plan."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _pages(spark, rows):
+    df = spark.createDataFrame(rows, "url string, html string")
+    return df.withColumn("html", F.col("html").cast("binary"))
+
+
+def test_extract_links_resolution_forms(spark):
+    from mindocr_spark.functions.links import extract_links
+
+    pages = _pages(spark, [
+        ("https://a.example/p/1",
+         '<a href="/x">r</a><a href="https://b.example/y">a</a>'
+         '<a href="rel">b</a>'),
+    ])
+    out = {r["href"]: r for r in extract_links(pages).collect()}
+    assert out["/x"]["dst_url"] == "https://a.example/x"
+    assert out["https://b.example/y"]["dst_url"] == "https://b.example/y"
+    assert out["rel"]["dst_url"] == "https://a.example/rel"
+    assert out["/x"]["src_domain"] == "a.example"
+    assert out["https://b.example/y"]["dst_domain"] == "b.example"
+
+
+def test_extract_links_no_anchor_page_contributes_nothing(spark):
+    from mindocr_spark.functions.links import extract_links
+
+    pages = _pages(spark, [("https://a.example/", "<p>no links</p>")])
+    assert extract_links(pages).count() == 0
+
+
+def test_domain_link_stats_golden(spark):
+    from mindocr_spark.functions.links import (
+        domain_link_stats, extract_links,
+    )
+
+    pages = _pages(spark, [
+        ("https://a.example/1", '<a href="/s">s</a><a href="https://hub.example/z">h</a>'),
+        ("https://b.example/1", '<a href="https://hub.example/z">h</a>'),
+    ])
+    stats = {r["dst_domain"]: r
+             for r in domain_link_stats(extract_links(pages)).collect()}
+    hub = stats["hub.example"]
+    assert hub["n_inlinks"] == 2
+    assert hub["n_src_domains"] == 2
+    assert hub["n_self"] == 0 and hub["n_external"] == 2
+    a = stats["a.example"]
+    assert a["n_inlinks"] == 1 and a["n_self"] == 1
+
+
+def test_pagerank_two_node_closed_form(spark):
+    """A→B with a B self-loop: hand-derivable one-iteration ranks."""
+    from mindocr_spark.functions.links import domain_pagerank
+
+    edges = spark.createDataFrame(
+        [("a.example", "b.example"), ("b.example", "b.example")],
+        "src_domain string, dst_domain string",
+    )
+    ranks = {r["domain"]: r["rank"]
+             for r in domain_pagerank(edges, iters=1, damping=0.85).collect()}
+    n = 2
+    base = (1.0 - 0.85) / n
+    # A receives nothing; B receives all of A's mass and its own
+    assert ranks["a.example"] == pytest.approx(base, rel=0)
+    expected_b = base + 0.85 * ((0.5 * 1.0) + (0.5 * 1.0))
+    assert ranks["b.example"] == pytest.approx(expected_b, rel=1e-15)
+
+
+def test_pagerank_mass_conservation_without_dangling(spark):
+    """With no dangling nodes, total rank mass stays 1 (up to fp)."""
+    from mindocr_spark.functions.links import domain_pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
+        "src_domain string, dst_domain string",
+    )
+    ranks = domain_pagerank(edges, iters=3).collect()
+    assert sum(r["rank"] for r in ranks) == pytest.approx(1.0, rel=1e-12)
+
+
+def test_pagerank_weighted_edges_and_ordering(spark):
+    """Heavier edges carry more mass: two links a→b vs one a→c."""
+    from mindocr_spark.functions.links import domain_pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("a", "c"), ("b", "a"), ("c", "a")],
+        "src_domain string, dst_domain string",
+    )
+    ranks = {r["domain"]: r["rank"]
+             for r in domain_pagerank(edges, iters=2).collect()}
+    assert ranks["b"] > ranks["c"]
+
+
+def test_linked_corpus_family_href_inventory(spark, sf_dir):
+    """Every page of the linked family carries exactly 11 anchors: 8
+    chrome + mirror + archive + local ref; host ring spreads urls."""
+    from mindocr_spark.functions.links import extract_links
+    from mindocr_spark.sources.pages import pages_from_documents_linked
+
+    pages = pages_from_documents_linked(spark, sf_dir).limit(50)
+    per_page = (
+        extract_links(pages).groupBy("src_url")
+        .count().select("count").distinct().collect()
+    )
+    assert [r["count"] for r in per_page] == [11]
+
+
+def test_extract_links_plan_stays_jvm_side(spark):
+    from mindocr_spark.functions.links import extract_links
+
+    plan = extract_links(
+        _pages(spark, [("https://a.example/", '<a href="/x">x</a>')])
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
