@@ -1083,6 +1083,21 @@ def q_embedding_neardup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup: k-means-cluster the embedding corpus (the shared IVF
+    index — id-grid seeds + one Lloyd pass), then flag vectors with a
+    same-cluster neighbor at cosine ≥ 0.4 and a smaller id. Candidate
+    generation is the cluster equi-join — quadratic work only inside
+    clusters of size ≈ √n (the published SemDeDup recipe). The oracle
+    replays the identical index build (shared CTE chain with
+    ann_ivf_topk) so assignment AND pairing must both agree."""
+    from mindocr_spark.functions.similarity import semdedup_flags
+
+    return semdedup_flags(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    ).orderBy("vec_id")
+
+
 def q_deterministic_sample(spark, sf_dir):
     """Content-hash sampling (the sample_ratio scan option, reference:
     det_dataset.py:112-158) made reproducible across engines: md5-bucket
@@ -1570,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q(q_ann_lsh_topk),
         "ann_ivf_topk": _q(q_ann_ivf_topk),
         "embedding_neardup": _q(q_embedding_neardup),
+        "semdedup": _q(q_semdedup),
         "multimodal_features": _q(q_multimodal_features),
         "multimodal_real_codec": _q(q_multimodal_real_codec),
         "multimodal_video": _q(q_multimodal_video),
@@ -1582,6 +1598,52 @@ from mindocr_spark.sources.pages import (  # noqa: E402
     PAGES_EAST_BUFFER as _EAST_BUFFER,
     PAGES_EAST_TAIL as _EAST_TAIL,
 )
+
+#: Shared IVF index build (exact-assign, lloyd_iters=1) ending in
+#: assign(neighbor_id, cv, cid) — the DuckDB twin of
+#: `similarity.build_ivf_index`. Used by the ann_ivf_topk AND
+#: semdedup oracles so the two can never drift from one another.
+_IVF_INDEX_CTES = """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            pp AS (
+              SELECT least(65536, greatest(1,
+                       CAST(ceil(sqrt(COUNT(*))) AS BIGINT))) AS k,
+                     greatest(1, COUNT(*) // least(65536, greatest(1,
+                       CAST(ceil(sqrt(COUNT(*))) AS BIGINT)))) AS stride
+              FROM e),
+            cent0 AS (
+              SELECT vec_id AS cid, v AS cent FROM e, pp
+              WHERE vec_id % stride = 0),
+            a0 AS (
+              SELECT neighbor_id, cv, cid FROM (
+                SELECT e.vec_id AS neighbor_id, e.v AS cv, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         round(list_dot_product(e.v, c.cent)
+                               / (sqrt(list_dot_product(e.v, e.v))
+                                  * sqrt(list_dot_product(c.cent, c.cent))), 9) DESC,
+                         c.cid ASC) AS arank
+                FROM e CROSS JOIN cent0 c)
+              WHERE arank = 1),
+            comp AS (
+              SELECT cid, unnest(cv) AS comp,
+                     generate_subscripts(cv, 1) AS pos
+              FROM a0),
+            m AS (
+              SELECT cid, pos,
+                     round(CAST(SUM(CAST(comp AS DECIMAL(28,9))) AS DOUBLE)
+                           / CAST(COUNT(*) AS DOUBLE), 6) AS mv
+              FROM comp GROUP BY cid, pos),
+            cent AS (SELECT cid, list(mv ORDER BY pos) AS cent FROM m GROUP BY cid),
+            assign AS (
+              SELECT neighbor_id, cv, cid FROM (
+                SELECT e.vec_id AS neighbor_id, e.v AS cv, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         round(list_dot_product(e.v, c.cent)
+                               / (sqrt(list_dot_product(e.v, e.v))
+                                  * sqrt(list_dot_product(c.cent, c.cent))), 9) DESC,
+                         c.cid ASC) AS arank
+                FROM e CROSS JOIN cent c)
+              WHERE arank = 1)"""
+
 
 #: Edge multiset of the linked corpus family, derived from the
 #: untouched documents table by pure doc_id/source arithmetic (the
@@ -2939,47 +3001,20 @@ def oracle_sql() -> dict[str, str]:
         "simhash_md5": _simhash_md5_oracle(),
         "simhash_neardup": _simhash_pairs_oracle(max_hamming=8),
         "ann_lsh_topk": _lsh_ann_oracle(),
-        "ann_ivf_topk": """
-            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            pp AS (
-              SELECT least(65536, greatest(1,
-                       CAST(ceil(sqrt(COUNT(*))) AS BIGINT))) AS k,
-                     greatest(1, COUNT(*) // least(65536, greatest(1,
-                       CAST(ceil(sqrt(COUNT(*))) AS BIGINT)))) AS stride
-              FROM e),
-            cent0 AS (
-              SELECT vec_id AS cid, v AS cent FROM e, pp
-              WHERE vec_id % stride = 0),
-            a0 AS (
-              SELECT neighbor_id, cv, cid FROM (
-                SELECT e.vec_id AS neighbor_id, e.v AS cv, c.cid,
-                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                         round(list_dot_product(e.v, c.cent)
-                               / (sqrt(list_dot_product(e.v, e.v))
-                                  * sqrt(list_dot_product(c.cent, c.cent))), 9) DESC,
-                         c.cid ASC) AS arank
-                FROM e CROSS JOIN cent0 c)
-              WHERE arank = 1),
-            comp AS (
-              SELECT cid, unnest(cv) AS comp,
-                     generate_subscripts(cv, 1) AS pos
-              FROM a0),
-            m AS (
-              SELECT cid, pos,
-                     round(CAST(SUM(CAST(comp AS DECIMAL(28,9))) AS DOUBLE)
-                           / CAST(COUNT(*) AS DOUBLE), 6) AS mv
-              FROM comp GROUP BY cid, pos),
-            cent AS (SELECT cid, list(mv ORDER BY pos) AS cent FROM m GROUP BY cid),
-            assign AS (
-              SELECT neighbor_id, cv, cid FROM (
-                SELECT e.vec_id AS neighbor_id, e.v AS cv, c.cid,
-                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                         round(list_dot_product(e.v, c.cent)
-                               / (sqrt(list_dot_product(e.v, e.v))
-                                  * sqrt(list_dot_product(c.cent, c.cent))), 9) DESC,
-                         c.cid ASC) AS arank
-                FROM e CROSS JOIN cent c)
-              WHERE arank = 1),
+        "semdedup": "WITH " + _IVF_INDEX_CTES + """,
+            pairs AS (
+              SELECT y.neighbor_id AS id_b
+              FROM assign x JOIN assign y USING (cid)
+              WHERE x.neighbor_id < y.neighbor_id
+                AND round(list_dot_product(x.cv, y.cv)
+                          / (sqrt(list_dot_product(x.cv, x.cv))
+                             * sqrt(list_dot_product(y.cv, y.cv))), 4)
+                    >= 0.4)
+            SELECT a.neighbor_id AS vec_id, a.cid,
+                   a.neighbor_id IN (SELECT id_b FROM pairs) AS is_dup
+            FROM assign a ORDER BY vec_id
+        """,
+        "ann_ivf_topk": "WITH " + _IVF_INDEX_CTES + """,
             q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
             qc AS (
               SELECT query_id, qv, cid FROM (

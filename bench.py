@@ -110,6 +110,7 @@ def main() -> None:
         "lm_logppl",            # CCNet-style unigram LM perplexity gate
         "link_graph",           # href extraction + per-domain in-links
         "domain_pagerank",      # 3-iteration domain PageRank
+        "semdedup",             # embedding-cluster semantic dedup
     ]
     qs = E.queries()
     for name in headline:

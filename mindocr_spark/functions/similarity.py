@@ -292,6 +292,109 @@ def _lloyd_step(assign: DataFrame) -> DataFrame:
     )
 
 
+def build_ivf_index(
+    embeddings: DataFrame,
+    n: int | None = None,
+    max_centroids: int = 65_536,
+    lloyd_iters: int = 1,
+    assign_mode: str = "exact",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Shared IVF index build (behind :func:`ivf_topk` and
+    :func:`semdedup_flags`): deterministic id-grid centroid seeds
+    bounded by :func:`ivf_centroid_plan`, `lloyd_iters` refinement
+    passes as Spark jobs, and the final ≤`max_centroids`-row centroid
+    table pinned as a LOCAL relation (no persisted diamond — nothing
+    to unpersist). Returns ``(c, cent, assign_fn)`` where `c` is the
+    normalized (neighbor_id, cv) corpus projection, `cent` the local
+    centroid relation, and `assign_fn` the chosen assignment kernel.
+    The build is eager (one count unless `n` is passed, Lloyd passes,
+    one bounded collect); plans composed on the RESULT stay lazy."""
+    if n is None:
+        n = embeddings.count()  # the tuning-pass action (stats, not data)
+    _k, stride = ivf_centroid_plan(n, max_centroids)
+    assign_fn = _ivf_assign if assign_mode == "exact" else _ivf_assign_fast
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), vec_double(vec_col).alias("cv")
+    )
+    cent = embeddings.where(
+        F.pmod(F.col(id_col), F.lit(stride)) == 0
+    ).select(F.col(id_col).alias("cid"), vec_double(vec_col).alias("cent"))
+    for _ in range(lloyd_iters):
+        cent = _lloyd_step(assign_fn(c, cent))
+    # pin the built index as a local relation: feeds corpus assign AND
+    # query probe without a persisted diamond (nothing to unpersist)
+    cent = embeddings.sparkSession.createDataFrame(
+        cent.collect(), schema="cid bigint, cent array<double>"
+    )
+    return c, cent, assign_fn
+
+
+def semdedup_flags(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    max_centroids: int = 65_536,
+    lloyd_iters: int = 1,
+    assign_mode: str = "exact",
+    n: int | None = None,
+) -> DataFrame:
+    """SemDeDup (semantic dedup over embeddings): k-means-cluster the
+    corpus with the shared IVF index, compare pairs ONLY within a
+    cluster, and flag every vector that has a same-cluster neighbor
+    with cosine ≥ `threshold` and a smaller id — the min-id survivor
+    rule, which makes the kept set independent of batching/partition
+    order (the `cross_corpus_flags` discipline). Returns
+    (id, cid, is_dup) for EVERY input vector — flag-style, no row
+    vanishes.
+
+    100 TB shape: candidate generation is the cid equi-join — never
+    all-pairs; in-cluster work is bounded by cluster size ≈ n/k with
+    k ≈ √n from `ivf_centroid_plan` (the published SemDeDup recipe:
+    cluster first, pay quadratic cost only inside clusters). The
+    cosine is the shared pinned-fold HOF; rounding to `round_to`
+    before the threshold keeps the pair set engine-portable."""
+    c, cent, assign_fn = build_ivf_index(
+        embeddings, n=n, max_centroids=max_centroids,
+        lloyd_iters=lloyd_iters, assign_mode=assign_mode,
+        id_col=id_col, vec_col=vec_col,
+    )
+    assign = assign_fn(c, cent)
+    lo = assign.select(
+        F.col("cid"),
+        F.col("neighbor_id").alias("id_a"),
+        F.col("cv").alias("va"),
+    )
+    hi = assign.select(
+        F.col("cid"),
+        F.col("neighbor_id").alias("id_b"),
+        F.col("cv").alias("vb"),
+    )
+    dup_ids = (
+        lo.join(hi, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.round(cosine(F.col("va"), F.col("vb")), round_to)
+            >= F.lit(threshold)
+        )
+        .select(F.col("id_b").alias("__dup_id"))
+        .distinct()
+    )
+    return (
+        assign.join(
+            dup_ids, assign["neighbor_id"] == dup_ids["__dup_id"], "left"
+        )
+        .select(
+            F.col("neighbor_id").alias(id_col),
+            "cid",
+            F.col("__dup_id").isNotNull().alias("is_dup"),
+        )
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -331,22 +434,10 @@ def ivf_topk(
     cent diamond and any persist whose lifetime would outlive the
     call); the QUERY plan returned is fully lazy.
     """
-    if n is None:
-        n = embeddings.count()  # the tuning-pass action (stats, not data)
-    _k, stride = ivf_centroid_plan(n, max_centroids)
-    assign_fn = _ivf_assign if assign_mode == "exact" else _ivf_assign_fast
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), vec_double(vec_col).alias("cv")
-    )
-    cent = embeddings.where(
-        F.pmod(F.col(id_col), F.lit(stride)) == 0
-    ).select(F.col(id_col).alias("cid"), vec_double(vec_col).alias("cent"))
-    for _ in range(lloyd_iters):
-        cent = _lloyd_step(assign_fn(c, cent))
-    # pin the built index as a local relation: feeds corpus assign AND
-    # query probe without a persisted diamond (nothing to unpersist)
-    cent = embeddings.sparkSession.createDataFrame(
-        cent.collect(), schema="cid bigint, cent array<double>"
+    c, cent, assign_fn = build_ivf_index(
+        embeddings, n=n, max_centroids=max_centroids,
+        lloyd_iters=lloyd_iters, assign_mode=assign_mode,
+        id_col=id_col, vec_col=vec_col,
     )
     assign = assign_fn(c, cent)
     q = queries.select(

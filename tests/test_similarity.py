@@ -145,3 +145,65 @@ def test_vector_expressions_deterministic_order(spark):
     b = [np.float64(np.float32(x)) for x in (1.0, 2.0, 3.0)]
     expect = ((0.0 + a[0] * b[0]) + a[1] * b[1]) + a[2] * b[2]
     assert v == expect
+
+
+def test_semdedup_flags_planted_neardup_min_id_survives(spark, emb):
+    """The planted 3≈7 pair must land in one cluster and flag only the
+    HIGHER id (min-id survivor rule); every input row is reported."""
+    from mindocr_spark.functions.similarity import semdedup_flags
+
+    df, _ = emb
+    out = {r["vec_id"]: r for r in
+           semdedup_flags(df, threshold=0.97).collect()}
+    assert len(out) == 60  # flag-style: nothing vanishes
+    assert out[3]["cid"] == out[7]["cid"]
+    assert not out[3]["is_dup"] and out[7]["is_dup"]
+
+
+def test_semdedup_never_compares_across_clusters(spark):
+    """Two identical vectors forced into different clusters must NOT
+    flag each other — in-cluster pairing is the SemDeDup contract
+    (recall is the clustering's job, not the pair join's)."""
+    import numpy as np
+    from mindocr_spark.functions.similarity import (
+        build_ivf_index, semdedup_flags,
+    )
+
+    rng = np.random.RandomState(3)
+    # two tight orthogonal-ish blobs; ids interleaved so the id-grid
+    # seeds hit both blobs
+    a = rng.randn(16); a /= np.linalg.norm(a)
+    b = np.roll(a, 8) * -1.0
+    rows = []
+    for i in range(40):
+        base = a if i % 2 == 0 else b
+        v = base + rng.randn(16) * 0.01
+        rows.append((int(i), [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    _, cent, assign_fn = build_ivf_index(df)
+    flags = semdedup_flags(df, threshold=0.999).collect()
+    by_id = {r["vec_id"]: r for r in flags}
+    # sanity: the blobs landed in >1 cluster
+    assert len({r["cid"] for r in flags}) >= 2
+    # identical-threshold pairs exist only within a blob; any flagged
+    # vec must share a cluster with a smaller-id same-blob vec
+    for r in flags:
+        if r["is_dup"]:
+            assert any(
+                o["vec_id"] < r["vec_id"] and o["cid"] == r["cid"]
+                for o in flags
+            )
+
+
+def test_semdedup_threshold_one_point_oh_flags_only_exact(spark):
+    from mindocr_spark.functions.similarity import semdedup_flags
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),   # exact copy of 1
+        (3, [0.9, 0.1, 0.0, 0.0]),   # near but not exact
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r["vec_id"]: r["is_dup"]
+           for r in semdedup_flags(df, threshold=1.0).collect()}
+    assert out == {1: False, 2: True, 3: False}
