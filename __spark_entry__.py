@@ -1159,6 +1159,46 @@ def q_token_budget_sample(spark, sf_dir):
     ).select("doc_id", "lang", "n_tokens", "cum_tokens").orderBy("doc_id")
 
 
+from mindocr_spark.functions.classifier import (  # noqa: E402
+    hashed_weights as _hashed_weights,
+)
+from mindocr_spark.functions.text import (  # noqa: E402
+    blockword_pattern as _blockword_pattern,
+)
+
+#: Pinned blockword list for the C4-style badwords gate ('spill' is
+#: absent from the corpus vocabulary — the zero-hit word must simply
+#: not fire).
+_BLOCKWORDS = ("slow", "batch", "spill")
+
+
+def q_blockword_filter(spark, sf_dir):
+    """C4's badwords gate, flag-style: one whole-stage-codegen
+    whole-word regex count over lower(text) — zero joins, zero
+    shuffles, no row vanishes. The oracle compiles the SAME pattern
+    via blockword_pattern, so the two engines share one alternation
+    byte-for-byte."""
+    from mindocr_spark.functions.text import blockword_flags
+
+    return blockword_flags(
+        _t(spark, sf_dir, "documents"), _BLOCKWORDS
+    ).orderBy("doc_id")
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Model-based quality gate (FineWeb-Edu shape): hashed
+    bag-of-words linear scoring — token → md5-prefix bucket →
+    broadcast weight lookup → exact DECIMAL per-doc sum → one
+    correctly-rounded mean. The stub weight table is the injectable
+    seam for real exported classifier weights; the plumbing
+    (schema, joins, aggregation) is the production path."""
+    from mindocr_spark.functions.classifier import quality_classifier_score
+
+    return quality_classifier_score(
+        _t(spark, sf_dir, "documents"), threshold=0.0
+    ).orderBy("doc_id")
+
+
 def q_link_graph(spark, sf_dir):
     """Web-graph layer: extract every <a href> from the linked corpus
     family's raw HTML (one codegen regexp_extract_all), resolve
@@ -1575,6 +1615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_logppl": _q(q_lm_logppl),
         "link_graph": _q(q_link_graph),
         "domain_pagerank": _q(q_domain_pagerank),
+        "blockword_filter": _q(q_blockword_filter),
+        "quality_classifier": _q(q_quality_classifier),
         "char_dict_encode": _q(q_char_dict_encode),
         "argmax_cls": _q(q_argmax_cls),
         "ctc_collapse": _q(q_ctc_collapse),
@@ -2214,6 +2256,52 @@ def oracle_sql() -> dict[str, str]:
             FROM e GROUP BY dst_dom ORDER BY dst_domain
         """,
         "domain_pagerank": _pagerank_oracle(iters=3, damping="0.85"),
+        "blockword_filter": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text), '__PAT__'))
+                        AS BIGINT) AS n_blockword_hits,
+                   len(regexp_extract_all(lower(text), '__PAT__')) > 0
+                     AS has_blockword
+            FROM documents ORDER BY doc_id
+        """.replace("__PAT__", _blockword_pattern(_BLOCKWORDS)
+                    .replace("'", "''")),
+        "quality_classifier": r"""
+            WITH w(bucket, w) AS (VALUES __W__),
+            t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')) AS norm
+              FROM documents),
+            tok0 AS (
+              SELECT doc_id, unnest(string_split(norm,' ')) AS tok
+              FROM t WHERE norm <> ''),
+            toks AS (
+              SELECT doc_id, substr(md5(tok), 1, 2) AS bucket FROM tok0),
+            sums AS (
+              SELECT doc_id, SUM(CAST(w AS DECIMAL(28,9))) AS logit
+              FROM toks JOIN w USING (bucket) GROUP BY doc_id),
+            base AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN norm = '' THEN 0
+                          ELSE len(string_split(norm,' ')) END AS INT)
+                       AS n_tokens
+              FROM t)
+            SELECT b.doc_id, b.n_tokens,
+                   CAST(COALESCE(s.logit, CAST(0 AS DECIMAL(28,9)))
+                        AS DOUBLE) AS logit_sum,
+                   CASE WHEN b.n_tokens > 0
+                        THEN CAST(s.logit AS DOUBLE)
+                             / CAST(b.n_tokens AS DOUBLE)
+                   END AS score,
+                   CASE WHEN b.n_tokens > 0
+                        THEN (CAST(s.logit AS DOUBLE)
+                              / CAST(b.n_tokens AS DOUBLE)) >= 0.0
+                        ELSE FALSE END AS keep
+            FROM base b LEFT JOIN sums s USING (doc_id)
+            ORDER BY b.doc_id
+        """.replace("__W__", ", ".join(
+            "('%s', CAST('%s' AS DECIMAL(10,3)))" % (b, wt)
+            for b, wt in _hashed_weights()
+        )),
         "lm_logppl": r"""
             WITH t AS (
               SELECT doc_id, lang,

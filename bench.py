@@ -111,6 +111,7 @@ def main() -> None:
         "link_graph",           # href extraction + per-domain in-links
         "domain_pagerank",      # 3-iteration domain PageRank
         "semdedup",             # embedding-cluster semantic dedup
+        "quality_classifier",   # hashed-linear model scoring
     ]
     qs = E.queries()
     for name in headline:

@@ -209,6 +209,51 @@ def top_2gram_cols(df: DataFrame, text_col: str = "text",
 
 
 # --------------------------------------------------------------------------
+# Blockword gate (C4's badwords filter)
+# --------------------------------------------------------------------------
+
+
+def blockword_pattern(words: tuple[str, ...] | list[str]) -> str:
+    """Compile a blockword list to the ONE whole-word alternation both
+    engines run (Java regex and RE2 agree on ``\\b`` and plain
+    alternations; matching on lower(text) instead of ``(?i)`` keeps
+    case folding engine-identical). Words are regex-escaped and
+    length-sorted so a longer word wins over its own prefix."""
+    import re as _re
+
+    toks = sorted({w.lower() for w in words if w}, key=lambda w: (-len(w), w))
+    if not toks:
+        raise ValueError("empty blockword list")
+    return r"\b(" + "|".join(_re.escape(w) for w in toks) + r")\b"
+
+
+def blockword_flags(df: DataFrame, words: tuple[str, ...] | list[str],
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """C4-style badwords gate, flag-style: (id, n_blockword_hits,
+    has_blockword). The list compiles to one whole-stage-codegen regex
+    count on the scan — zero joins, zero shuffles, no row vanishes
+    (dropping is the caller's policy decision).
+
+    100 TB note: a regex alternation is the right shape up to a few
+    thousand words (C4's list is ~450); for vocabulary-scale lists
+    switch to the broadcast token semi-join (`lm.unigram_logppl`'s
+    join shape) — the gate's OUTPUT contract stays identical.
+
+    Reference analog: the label charset filter that drops samples
+    containing out-of-dictionary characters (reference:
+    mindocr/data/rec_lmdb_dataset.py:106-119) — a membership test
+    against a pinned list deciding keep/drop."""
+    pat = blockword_pattern(words)
+    hits = F.regexp_count(F.lower(F.col(text_col)), F.lit(pat))
+    return df.select(
+        id_col,
+        hits.cast("bigint").alias("n_blockword_hits"),
+        (hits > 0).alias("has_blockword"),
+    )
+
+
+# --------------------------------------------------------------------------
 # PII redaction (curation-stage scrubbing)
 # --------------------------------------------------------------------------
 

@@ -1,0 +1,119 @@
+"""Blockword gate + hashed-linear quality classifier goldens."""
+
+import hashlib
+
+import pytest
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+class TestBlockwords:
+    def test_whole_word_matching_and_counts(self, spark):
+        from mindocr_spark.functions.text import blockword_flags
+
+        rows = [
+            (1, "the casino is open"),        # hit
+            (2, "casinos are plural"),        # no hit: \b(casino)\b
+            (3, "CASINO in caps and casino"),  # two hits via lower()
+            (4, "clean text here"),
+        ]
+        out = {r["doc_id"]: r for r in blockword_flags(
+            _docs(spark, rows), ("casino", "jackpot")
+        ).collect()}
+        assert len(out) == 4  # flag-style: nothing vanishes
+        assert out[1]["n_blockword_hits"] == 1 and out[1]["has_blockword"]
+        assert out[2]["n_blockword_hits"] == 0
+        assert out[3]["n_blockword_hits"] == 2
+        assert not out[4]["has_blockword"]
+
+    def test_longer_word_wins_over_prefix(self, spark):
+        from mindocr_spark.functions.text import blockword_flags
+
+        # 'spam' is a prefix of 'spammer': alternation is length-sorted
+        # so 'spammer' matches as ONE hit, not as 'spam' + tail
+        out = blockword_flags(
+            _docs(spark, [(1, "a spammer spams spam")]),
+            ("spam", "spammer"),
+        ).collect()[0]
+        assert out["n_blockword_hits"] == 2  # 'spammer' + bare 'spam'
+
+    def test_regex_metachars_escaped(self, spark):
+        from mindocr_spark.functions.text import blockword_flags
+
+        out = blockword_flags(
+            _docs(spark, [(1, "price is $9.99 today"), (2, "price is 9X99")]),
+            ("9.99",),
+        ).collect()
+        got = {r["doc_id"]: r["n_blockword_hits"] for r in out}
+        # the dot must be literal: 9X99 may not match
+        assert got[1] == 1 and got[2] == 0
+
+    def test_empty_list_rejected(self, spark):
+        from mindocr_spark.functions.text import blockword_pattern
+
+        with pytest.raises(ValueError):
+            blockword_pattern(())
+
+
+class TestQualityClassifier:
+    def test_score_matches_straight_line_reference(self, spark):
+        from mindocr_spark.functions.classifier import (
+            hashed_weights, quality_classifier_score,
+        )
+
+        w = {b: float(wt) for b, wt in hashed_weights()}
+        rows = [(1, "alpha beta gamma"), (2, "delta"), (3, "alpha alpha")]
+        out = {r["doc_id"]: r for r in quality_classifier_score(
+            _docs(spark, rows)
+        ).collect()}
+        for doc_id, text in rows:
+            toks = text.split()
+            expect = sum(
+                w[hashlib.md5(t.encode()).hexdigest()[:2]] for t in toks
+            )
+            r = out[doc_id]
+            assert r["n_tokens"] == len(toks)
+            assert float(r["logit_sum"]) == pytest.approx(expect, abs=1e-9)
+            assert float(r["score"]) == pytest.approx(
+                expect / len(toks), rel=1e-12
+            )
+            assert r["keep"] == (float(r["score"]) >= 0.0)
+
+    def test_zero_token_doc_scores_null_keep_false(self, spark):
+        from mindocr_spark.functions.classifier import (
+            quality_classifier_score,
+        )
+
+        out = {r["doc_id"]: r for r in quality_classifier_score(
+            _docs(spark, [(1, "ok text"), (2, "   ")])
+        ).collect()}
+        assert len(out) == 2
+        assert out[2]["score"] is None and out[2]["keep"] is False
+        assert float(out[2]["logit_sum"]) == 0.0
+
+    def test_injected_weights_override_stub(self, spark):
+        """The weight table is the model seam: injecting all-positive
+        weights must flip every doc to keep."""
+        from mindocr_spark.functions.classifier import (
+            N_BUCKETS, quality_classifier_score,
+        )
+
+        weights = [(format(i, "02x"), "1.000") for i in range(N_BUCKETS)]
+        rows = quality_classifier_score(
+            _docs(spark, [(1, "x y z"), (2, "q")]), weights=weights
+        ).collect()
+        assert all(r["keep"] for r in rows)
+        assert all(float(r["score"]) == 1.0 for r in rows)
+
+    def test_plan_broadcasts_weights_no_python(self, spark):
+        from mindocr_spark.functions.classifier import (
+            quality_classifier_score,
+        )
+
+        plan = quality_classifier_score(
+            _docs(spark, [(1, "a b")])
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
