@@ -1199,6 +1199,19 @@ def q_quality_classifier(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_robots_flags(spark, sf_dir):
+    """Politeness gate: parse <meta name="robots"> directives out of
+    raw HTML and flag noindex/nofollow pages, whole-token semantics
+    (content="all" never trips it). The oracle re-derives the planted
+    directive quota from doc_id arithmetic without touching HTML."""
+    from mindocr_spark.functions.links import robots_flags
+    from mindocr_spark.sources.pages import pages_from_documents_robots
+
+    return robots_flags(
+        pages_from_documents_robots(spark, sf_dir)
+    ).orderBy("url")
+
+
 def q_link_graph(spark, sf_dir):
     """Web-graph layer: extract every <a href> from the linked corpus
     family's raw HTML (one codegen regexp_extract_all), resolve
@@ -1616,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": _q(q_link_graph),
         "domain_pagerank": _q(q_domain_pagerank),
         "blockword_filter": _q(q_blockword_filter),
+        "robots_flags": _q(q_robots_flags),
         "quality_classifier": _q(q_quality_classifier),
         "char_dict_encode": _q(q_char_dict_encode),
         "argmax_cls": _q(q_argmax_cls),
@@ -2256,6 +2270,18 @@ def oracle_sql() -> dict[str, str]:
             FROM e GROUP BY dst_dom ORDER BY dst_domain
         """,
         "domain_pagerank": _pagerank_oracle(iters=3, damping="0.85"),
+        "robots_flags": r"""
+            SELECT 'https://docs.example/' || source || '/'
+                     || CAST(doc_id AS VARCHAR) AS url,
+                   CASE doc_id % 17
+                        WHEN 0 THEN 'noindex,nofollow'
+                        WHEN 5 THEN 'nofollow'
+                        WHEN 11 THEN 'all'
+                        ELSE '' END AS robots_content,
+                   doc_id % 17 = 0 AS noindex,
+                   doc_id % 17 IN (0, 5) AS nofollow
+            FROM documents ORDER BY url
+        """,
         "blockword_filter": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(lower(text), '__PAT__'))

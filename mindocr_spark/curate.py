@@ -56,6 +56,10 @@ class CurateConfig:
     max_dup_line_frac: float = 1.0
     max_symbol_word_ratio: float = float("inf")
     max_top2gram_share: float = float("inf")
+    # C4's badwords gate: drop any doc containing a whole-word match
+    # from this list (empty = disabled). Compiles to one codegen regex
+    # predicate on the scan — no join, no shuffle.
+    blockwords: tuple[str, ...] = ()
     # CCNet/C4-style corpus-level paragraph dedup: rewrite every doc,
     # dropping each repeated paragraph everywhere but its first
     # (url, position) occurrence — the cross-doc boilerplate-line
@@ -181,6 +185,19 @@ def _curate_build(pages, cfg, params, _persist):
             tagged.join(shares, "url")
             .where(F.col("top_2gram_share") <= cfg.max_top2gram_share)
             .drop("top_2gram_share")
+        )
+    # blockword gate (C4's badwords filter): one codegen whole-word
+    # alternation applied directly as a row predicate — no join, fused
+    # into the same narrow stage as the other row-expression gates
+    if cfg.blockwords:
+        from mindocr_spark.functions.text import blockword_pattern
+
+        tagged = tagged.where(
+            F.regexp_count(
+                F.lower(F.col("text")),
+                F.lit(blockword_pattern(cfg.blockwords)),
+            )
+            == 0
         )
     # per-domain cap BEFORE dedup: a spam farm's pages should never
     # reach the dedup passes (they'd bloat signature state), and the

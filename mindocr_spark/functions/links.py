@@ -81,6 +81,43 @@ def extract_links(
     )
 
 
+#: meta-robots extraction pattern (the corpus writes the canonical
+#: double-quoted order; a production crawler also checks the
+#: X-Robots-Tag HTTP header — that seam lives in sources/warc.py's
+#: header parse).
+ROBOTS_META_RE = r'<meta name="robots" content="([^"]*)"'
+
+#: whole-token match inside a comma-separated directive list.
+_DIRECTIVE_RE = r"(^|,)[ \t]*{tok}[ \t]*(,|$)"
+
+
+def robots_flags(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Politeness gate: extract the ``<meta name="robots">`` directive
+    and flag noindex/nofollow pages — flag-style (a pipeline must be
+    able to COUNT excluded pages for its metrics; dropping is the
+    caller's one-line filter). Directives are matched as whole tokens
+    in the comma-list, so ``content="all"`` or a hypothetical
+    ``noindexing`` never trips the gate. One codegen regex pass, zero
+    shuffles; pages without the meta report empty content and false
+    flags."""
+    html_s = F.col(html_col).cast("string")
+    content = F.lower(
+        F.regexp_extract(html_s, ROBOTS_META_RE, 1)
+    )
+
+    def has(tok: str):
+        return content.rlike(_DIRECTIVE_RE.format(tok=tok))
+
+    return pages.select(
+        F.col(url_col).alias("url"),
+        content.alias("robots_content"),
+        has("noindex").alias("noindex"),
+        has("nofollow").alias("nofollow"),
+    )
+
+
 def domain_pagerank(
     edges: DataFrame, iters: int = 3, damping: float = 0.85
 ) -> DataFrame:

@@ -40,7 +40,7 @@ _TS_EPOCH = 1704067200
 
 def _pages_from_documents_template(
     spark: SparkSession, sf_dir: str, extra_nodes: str = "",
-    extra_nodes_col=None,
+    extra_nodes_col=None, head_extra_col=None,
 ) -> DataFrame:
     """Shared chrome builder for every documents→pages corpus family.
     The chrome bytes are pinned by the extraction oracles (ANCHOR_LEN /
@@ -48,15 +48,18 @@ def _pages_from_documents_template(
     exactly ONE copy of the template: a variant family contributes only
     `extra_nodes` (literal HTML) or `extra_nodes_col` (a per-row string
     Column — the linked family's deterministic outlink block), inserted
-    after the body paragraph inside <article>."""
+    after the body paragraph inside <article>, and/or `head_extra_col`
+    (a per-row string Column inserted in <head> after the charset meta
+    — the robots family's directive meta)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     tail_nodes = (
         extra_nodes_col if extra_nodes_col is not None else F.lit(extra_nodes)
     )
+    head_extra = head_extra_col if head_extra_col is not None else F.lit("")
     html_str = F.concat(
-        F.lit(
-            '<!DOCTYPE html><html><head><meta charset="utf-8"><title>Doc '
-        ),
+        F.lit('<!DOCTYPE html><html><head><meta charset="utf-8">'),
+        head_extra,
+        F.lit("<title>Doc "),
         F.col("doc_id").cast("string"),
         F.lit(
             "</title><style>.m{max-width:60em}</style>"
@@ -184,6 +187,23 @@ def pages_from_documents_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").cast("string"),
         ),
     )
+
+
+def pages_from_documents_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The robots-directive corpus family: a deterministic quota of
+    pages carries a ``<meta name="robots">`` directive — doc_id ≡ 0
+    (mod 17) → ``noindex,nofollow``, ≡ 5 (mod 17) → ``nofollow``,
+    ≡ 11 (mod 17) → ``all`` (an explicit opt-in that must NOT trip the
+    gate) — pure doc_id arithmetic, so the SQL oracle reproduces the
+    expected flags without parsing HTML."""
+    m = F.pmod(F.col("doc_id"), F.lit(17))
+    head = (
+        F.when(m == 0, F.lit('<meta name="robots" content="noindex,nofollow">'))
+        .when(m == 5, F.lit('<meta name="robots" content="nofollow">'))
+        .when(m == 11, F.lit('<meta name="robots" content="all">'))
+        .otherwise(F.lit(""))
+    )
+    return _pages_from_documents_template(spark, sf_dir, head_extra_col=head)
 
 
 def read_pages(spark: SparkSession, path: str) -> DataFrame:

@@ -308,3 +308,42 @@ def test_curate_nfc_normalize_collapses_encoding_twins(spark):
           .collect()}
     assert len(on & {"https://nfc.example/composed",
                      "https://nfc.example/decomposed"}) == 1
+
+
+def test_curate_blockword_gate(spark):
+    """A planted badword page drops when blockwords are configured and
+    survives otherwise; whole-word semantics protect substrings."""
+    from mindocr_spark.corpus import generate_batch, PAGES_SCHEMA_DDL
+    from mindocr_spark.curate import CurateConfig, curate
+
+    rows = generate_batch(11, range(15))
+    filler = ("the quick brown fox jumps over the lazy dog and then "
+              "walks along the river for a while before resting ")
+    bad_html = ("<html><body><h1>Gambling page</h1><p>"
+                + filler + "visit our casino for jackpot wins "
+                + filler + "</p></body></html>").encode()
+    sub_html = ("<html><body><h1>Linguistics page</h1><p>"
+                + filler + "the word casinos is plural here "
+                + filler + "</p></body></html>").encode()
+    planted = [
+        dict(rows[0], url="https://bad.example/gamble", html=bad_html,
+             text=""),
+        dict(rows[1], url="https://ok.example/plural", html=sub_html,
+             text=""),
+    ]
+    pages = spark.createDataFrame(rows + planted, PAGES_SCHEMA_DDL)
+
+    open_cfg = CurateConfig(min_chars=50, neardup_threshold=2.0)
+    urls_open = {r["url"] for r in curate(pages, open_cfg)[0].collect()}
+    assert "https://bad.example/gamble" in urls_open
+
+    gated = CurateConfig(
+        min_chars=50, neardup_threshold=2.0,
+        blockwords=("casino", "jackpot"),
+    )
+    urls_gated = {r["url"] for r in curate(pages, gated)[0].collect()}
+    assert "https://bad.example/gamble" not in urls_gated
+    # whole-word: 'casinos' must NOT trip the 'casino' entry
+    assert "https://ok.example/plural" in urls_gated
+    # and nothing else is affected by the gate
+    assert urls_open - urls_gated == {"https://bad.example/gamble"}

@@ -116,3 +116,26 @@ def test_extract_links_plan_stays_jvm_side(spark):
         _pages(spark, [("https://a.example/", '<a href="/x">x</a>')])
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_robots_flags_whole_token_semantics(spark):
+    from mindocr_spark.functions.links import robots_flags
+
+    pages = _pages(spark, [
+        ("u1", '<head><meta name="robots" content="noindex,nofollow"></head>'),
+        ("u2", '<head><meta name="robots" content="nofollow"></head>'),
+        ("u3", '<head><meta name="robots" content="all"></head>'),
+        ("u4", '<head><meta name="robots" content="noindexing"></head>'),
+        ("u5", "<head></head>"),
+        ("u6", '<head><meta name="robots" content="NOINDEX"></head>'),
+        ("u7", '<head><meta name="robots" content="noodp, noindex"></head>'),
+    ])
+    out = {r["url"]: r for r in robots_flags(pages).collect()}
+    assert out["u1"]["noindex"] and out["u1"]["nofollow"]
+    assert not out["u2"]["noindex"] and out["u2"]["nofollow"]
+    assert not out["u3"]["noindex"] and not out["u3"]["nofollow"]
+    assert not out["u4"]["noindex"]  # whole-token: 'noindexing' ≠ 'noindex'
+    assert out["u5"]["robots_content"] == "" and not out["u5"]["noindex"]
+    assert out["u6"]["noindex"]      # case-insensitive
+    assert out["u7"]["noindex"]      # spaced comma list
+    assert len(out) == 7             # flag-style: nothing vanishes
