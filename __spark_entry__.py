@@ -1163,8 +1163,34 @@ from mindocr_spark.functions.classifier import (  # noqa: E402
     hashed_weights as _hashed_weights,
 )
 from mindocr_spark.functions.text import (  # noqa: E402
+    BPE_PRETOKEN_RE as _BPE_PRETOKEN_RE,
     blockword_pattern as _blockword_pattern,
 )
+
+def q_bpe_token_stats(spark, sf_dir):
+    """Tokenizer-free BPE-ish training-token estimate: disjoint-class
+    pretokenizer regex (alternation order cannot differ between
+    engines), alpha runs priced at ceil(len/4) (exact — 4 is a power
+    of two), digit runs per char, punctuation at 1. One codegen
+    regexp_extract_all, no shuffle."""
+    from mindocr_spark.functions.text import bpe_token_cols
+
+    return bpe_token_cols(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-document keyword extraction: top-3 terms by tf·idf with
+    idf = round(ln(N/df), 9). Unlike BM25 (whose query vocabulary is
+    broadcast), this joins the postings against the FULL document-
+    frequency relation — the honest at-scale shape for corpus-wide
+    keyword tagging: one shuffle on the term key (uniform), one on
+    the doc key for the window."""
+    from mindocr_spark.functions.search import tfidf_topk_terms
+
+    return tfidf_topk_terms(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), k=3
+    ).orderBy("doc_id", "rank")
+
 
 #: Pinned blockword list for the C4-style badwords gate ('spill' is
 #: absent from the corpus vocabulary — the zero-hit word must simply
@@ -1630,6 +1656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_pagerank": _q(q_domain_pagerank),
         "blockword_filter": _q(q_blockword_filter),
         "robots_flags": _q(q_robots_flags),
+        "bpe_token_stats": _q(q_bpe_token_stats),
+        "tfidf_keywords": _q(q_tfidf_keywords),
         "quality_classifier": _q(q_quality_classifier),
         "char_dict_encode": _q(q_char_dict_encode),
         "argmax_cls": _q(q_argmax_cls),
@@ -2270,6 +2298,60 @@ def oracle_sql() -> dict[str, str]:
             FROM e GROUP BY dst_dom ORDER BY dst_domain
         """,
         "domain_pagerank": _pagerank_oracle(iters=3, damping="0.85"),
+        "bpe_token_stats": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '__BPE_RE__') AS units
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(list_filter(units,
+                        x -> regexp_matches(x, '^[A-Za-z]'))) AS BIGINT)
+                     AS n_words,
+                   CAST(len(list_filter(units,
+                        x -> regexp_matches(x, '^[0-9]'))) AS BIGINT)
+                     AS n_digit_runs,
+                   CAST(len(list_filter(units,
+                        x -> NOT regexp_matches(x, '^[A-Za-z0-9]')))
+                     AS BIGINT) AS n_punct,
+                   CAST(COALESCE(list_aggregate(list_transform(units,
+                        x -> CASE
+                             WHEN regexp_matches(x, '^[A-Za-z]')
+                               THEN CAST(ceil(length(x) / 4) AS BIGINT)
+                             WHEN regexp_matches(x, '^[0-9]')
+                               THEN CAST(length(x) AS BIGINT)
+                             ELSE 1 END), 'sum'), 0) AS BIGINT)
+                     AS n_bpe_tokens
+            FROM u ORDER BY doc_id
+        """.replace("__BPE_RE__", _BPE_PRETOKEN_RE.replace("'", "''")),
+        "tfidf_keywords": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')) AS norm
+              FROM documents),
+            base AS (
+              SELECT doc_id, unnest(string_split(norm,' ')) AS term
+              FROM t WHERE norm <> ''),
+            tf AS (
+              SELECT term, doc_id, count(*) AS tf
+              FROM base GROUP BY term, doc_id),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            nd AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT doc_id, term, tf, df,
+                     round(CAST(tf AS DOUBLE)
+                           * round(ln(CAST(n_docs AS DOUBLE)
+                                      / CAST(df AS DOUBLE)), 9), 9)
+                       AS score
+              FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+            rk AS (
+              SELECT doc_id, term, tf, df, score,
+                     CAST(row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+              FROM scored)
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df, score, rank
+            FROM rk WHERE rank <= 3 ORDER BY doc_id, rank
+        """,
         "robots_flags": r"""
             SELECT 'https://docs.example/' || source || '/'
                      || CAST(doc_id AS VARCHAR) AS url,

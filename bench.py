@@ -112,6 +112,10 @@ def main() -> None:
         "domain_pagerank",      # 3-iteration domain PageRank
         "semdedup",             # embedding-cluster semantic dedup
         "quality_classifier",   # hashed-linear model scoring
+        "tfidf_keywords",       # full-vocabulary keyword tagging
+        "blockword_filter",     # C4 badwords codegen gate
+        "robots_flags",         # meta-robots politeness flags
+        "bpe_token_stats",      # BPE-ish token estimator
     ]
     qs = E.queries()
     for name in headline:

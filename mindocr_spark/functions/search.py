@@ -77,6 +77,51 @@ def postings(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def tfidf_topk_terms(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-document keyword extraction: the top-`k` terms by tf·idf
+    with idf = round(ln(N/df), 9) → (doc_id, term, tf, df, score,
+    rank). Zero-token docs contribute no keywords (no postings — an
+    empty doc has no top terms; row preservation is the caller's
+    left-join if needed).
+
+    100 TB shape: unlike :func:`bm25_topk` (broadcast query
+    vocabulary), keyword tagging needs the FULL document-frequency
+    relation — so this is two honest shuffles: postings groupBy on the
+    uniform term key (map-side combinable; the df side collapses to
+    vocabulary cardinality before the join back), then the per-doc
+    top-k window on the uniform doc key. Both keys are uniform — no
+    skew treatment needed."""
+    p = postings(docs, id_col=id_col, text_col=text_col)
+    dfq = p.groupBy("term").agg(F.count("*").alias("df"))
+    nd = docs.select(F.count("*").alias("n_docs"))
+    idf = F.round(
+        F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        9,
+    )
+    scored = (
+        p.join(dfq, "term")
+        .join(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf").cast("double") * idf, 9).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(w).cast("bigint")
+        )
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
 def bm25_topk(docs: DataFrame, queries: dict[int, list[str]], k: int = 5,
               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Score `queries` (query_id → list of terms) against `docs` with

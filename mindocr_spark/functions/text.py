@@ -209,6 +209,63 @@ def top_2gram_cols(df: DataFrame, text_col: str = "text",
 
 
 # --------------------------------------------------------------------------
+# BPE-ish token estimation (training-budget accounting)
+# --------------------------------------------------------------------------
+
+#: Disjoint pretokenizer classes (GPT-2-style, simplified): alpha runs,
+#: digit runs, single non-alnum marks. Classes are DISJOINT so
+#: alternation order cannot differ between Java regex and RE2 — the
+#: engine-parity discipline for shared patterns.
+BPE_PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0B]"
+
+#: Average BPE-vocab token length for alpha runs (GPT-2's empirical
+#: ~4 chars/token) — the "BPE-ish" estimate divisor.
+BPE_CHARS_PER_TOKEN = 4
+
+
+def bpe_token_cols(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Tokenizer-free training-token estimate: pretokenize with the
+    disjoint-class regex, then price each unit the way a BPE vocab
+    does — alpha runs at ceil(len/4) subtokens, digit runs per char
+    (digits rarely merge), punctuation at 1. Exact integer math over
+    one codegen `regexp_extract_all` (no shuffle), so the estimate is
+    engine-identical — unlike a real tokenizer, which would be a
+    Python UDF in the hot path. Returns
+    (id, n_words, n_digit_runs, n_punct, n_bpe_tokens).
+
+    This is the token accounting a mixing/budget step wants when the
+    final tokenizer is not yet fixed; `token_budget_sample` accepts
+    whichever count the caller puts in its text column's stead."""
+    units = F.regexp_extract_all(
+        F.col(text_col), F.lit(BPE_PRETOKEN_RE), F.lit(0)
+    )
+    is_alpha = lambda u: u.rlike("^[A-Za-z]")          # noqa: E731
+    is_digit = lambda u: u.rlike("^[0-9]")             # noqa: E731
+    price = lambda u: (                                 # noqa: E731
+        F.when(
+            is_alpha(u),
+            F.ceil(F.length(u) / F.lit(BPE_CHARS_PER_TOKEN)),
+        )
+        .when(is_digit(u), F.length(u))
+        .otherwise(F.lit(1))
+        .cast("bigint")
+    )
+    return df.select(
+        id_col,
+        F.size(F.filter(units, is_alpha)).cast("bigint").alias("n_words"),
+        F.size(F.filter(units, is_digit)).cast("bigint")
+        .alias("n_digit_runs"),
+        F.size(
+            F.filter(units, lambda u: ~is_alpha(u) & ~is_digit(u))
+        ).cast("bigint").alias("n_punct"),
+        F.aggregate(
+            units, F.lit(0).cast("bigint"), lambda acc, u: acc + price(u)
+        ).alias("n_bpe_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Blockword gate (C4's badwords filter)
 # --------------------------------------------------------------------------
 

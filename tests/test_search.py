@@ -131,3 +131,58 @@ def test_postings_relation_shape(spark):
     rows = postings(_docs(spark, [(1, "a b a"), (2, "b")])).collect()
     idx = {(r["term"], r["doc_id"]): (r["tf"], r["dl"]) for r in rows}
     assert idx == {("a", 1): (2, 3), ("b", 1): (1, 3), ("b", 2): (1, 1)}
+
+
+def test_tfidf_keywords_golden(spark):
+    """Hand-computed tf·idf top-k: rarer terms outrank common ones."""
+    import math
+    from mindocr_spark.functions.search import tfidf_topk_terms
+
+    corpus = [
+        (1, "common rare common common unique"),
+        (2, "common other other"),
+        (3, "common filler words"),
+    ]
+    out = [(r["doc_id"], r["rank"], r["term"], float(r["score"]))
+           for r in tfidf_topk_terms(_docs(spark, corpus), k=2).collect()]
+    by_doc = {}
+    for d, rk, t, s in out:
+        by_doc.setdefault(d, []).append((rk, t, s))
+    # doc 1: 'common' tf=3 but idf=ln(3/3)=0 → score 0; rare/unique
+    # (tf=1, idf=ln 3) outrank it; tie broken by term asc
+    d1 = sorted(by_doc[1])
+    assert [t for _, t, _ in d1] == ["rare", "unique"]
+    assert d1[0][2] == pytest.approx(round(math.log(3), 9), abs=1e-9)
+    # doc 2: 'other' tf=2 · ln(3/1) beats 'common' tf=1 · 0
+    assert sorted(by_doc[2])[0][1] == "other"
+
+
+def test_tfidf_empty_doc_contributes_no_keywords(spark):
+    from mindocr_spark.functions.search import tfidf_topk_terms
+
+    out = tfidf_topk_terms(
+        _docs(spark, [(1, "a b"), (2, "   ")]), k=5
+    ).collect()
+    assert {r["doc_id"] for r in out} == {1}
+
+
+def test_bpe_token_pricing(spark):
+    from mindocr_spark.functions.text import bpe_token_cols
+
+    rows = [
+        (1, "hello world"),        # 5/4→2 + 5/4→2 = 4
+        (2, "a"),                  # 1/4→1
+        (3, "abcdefgh"),           # 8/4→2
+        (4, "x 1234 !"),           # 1 + 4 digits + 1 punct = 6
+        (5, ""),                   # nothing
+        (6, "price:$9.99"),        # price(2) + :$. (3) + 9(1) + 99(2) = 8
+    ]
+    out = {r["doc_id"]: r for r in bpe_token_cols(
+        spark.createDataFrame(rows, "doc_id bigint, text string")
+    ).collect()}
+    assert out[1]["n_bpe_tokens"] == 4 and out[1]["n_words"] == 2
+    assert out[2]["n_bpe_tokens"] == 1
+    assert out[3]["n_bpe_tokens"] == 2
+    assert out[4]["n_bpe_tokens"] == 6 and out[4]["n_digit_runs"] == 1
+    assert out[5]["n_bpe_tokens"] == 0 and out[5]["n_punct"] == 0
+    assert out[6]["n_bpe_tokens"] == 8 and out[6]["n_punct"] == 3
