@@ -1291,6 +1291,32 @@ def q_lm_logppl(spark, sf_dir):
     )
 
 
+#: Interpolation weight for the bigram LM query.
+_LM_LAMBDA = 0.7
+
+
+def q_lm_bigram_logppl(spark, sf_dir):
+    """Interpolated-bigram LM gate (the CCNet-faithful scorer):
+    p = λ·p_bi + (1−λ)·p_uni per token, unigram-only at document
+    start. Three broadcast token joins; same determinism discipline
+    as lm_logppl (pinned association, round(ln,9), DECIMAL sums,
+    un-rounded final mean)."""
+    from mindocr_spark.functions.lm import (
+        bigram_counts,
+        bigram_logppl,
+        unigram_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("lang") == "en")
+    return bigram_logppl(
+        docs.select("doc_id", "text"),
+        unigram_counts(ref),
+        bigram_counts(ref),
+        lam=_LM_LAMBDA,
+    ).orderBy("doc_id")
+
+
 #: Training-sequence length for the sequence_pack query — small enough
 #: that the synthetic docs (≈30-60 tokens) pack several per sequence
 #: AND regularly straddle boundaries, so both branches are exercised.
@@ -1652,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q(q_bm25_topk),
         "sequence_pack": _q(q_sequence_pack),
         "lm_logppl": _q(q_lm_logppl),
+        "lm_bigram_logppl": _q(q_lm_bigram_logppl),
         "link_graph": _q(q_link_graph),
         "domain_pagerank": _q(q_domain_pagerank),
         "blockword_filter": _q(q_blockword_filter),
@@ -2451,6 +2478,84 @@ def oracle_sql() -> dict[str, str]:
             FROM base b LEFT JOIN agg a USING (doc_id)
             ORDER BY b.doc_id
         """,
+        "lm_bigram_logppl": r"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')) AS norm
+              FROM documents),
+            reft AS (
+              SELECT doc_id,
+                     unnest(string_split(norm,' ')) AS word,
+                     generate_subscripts(string_split(norm,' '), 1) AS pos
+              FROM t WHERE lang = 'en' AND norm <> ''),
+            uni AS (
+              SELECT word AS token, count(*) AS cnt
+              FROM reft GROUP BY word),
+            refb AS (
+              SELECT word AS w2,
+                     lag(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+              FROM reft),
+            bi AS (
+              SELECT w1, w2, count(*) AS cnt
+              FROM refb WHERE w1 IS NOT NULL GROUP BY w1, w2),
+            stats AS (
+              SELECT COALESCE(sum(cnt), 0) AS lm_total,
+                     count(*) + 1 AS lm_v
+              FROM uni),
+            toks AS (
+              SELECT doc_id,
+                     unnest(string_split(norm,' ')) AS word,
+                     generate_subscripts(string_split(norm,' '), 1) AS pos
+              FROM t WHERE norm <> ''),
+            seq AS (
+              SELECT doc_id, word AS w2,
+                     lag(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+              FROM toks),
+            j AS (
+              SELECT s.doc_id, s.w1, s.w2,
+                     u.cnt AS cw, p.cnt AS cp, b.cnt AS cbi,
+                     lm_total, lm_v
+              FROM seq s
+              LEFT JOIN uni u ON u.token = s.w2
+              LEFT JOIN uni p ON p.token = s.w1
+              LEFT JOIN bi b ON b.w1 = s.w1 AND b.w2 = s.w2
+              CROSS JOIN stats),
+            sc AS (
+              SELECT doc_id,
+                     CASE WHEN cbi IS NOT NULL THEN 1 ELSE 0 END AS is_hit,
+                     CAST(round(-ln(
+                       CASE WHEN w1 IS NULL
+                       THEN CAST(COALESCE(cw, 0) + 1 AS DOUBLE)
+                            / CAST(lm_total + lm_v AS DOUBLE)
+                       ELSE __LAM__ * (CASE WHEN cp IS NOT NULL AND cp > 0
+                              THEN CAST(COALESCE(cbi, 0) AS DOUBLE)
+                                   / CAST(cp AS DOUBLE)
+                              ELSE 0.0 END)
+                            + __LAMC__ * (CAST(COALESCE(cw, 0) + 1 AS DOUBLE)
+                                   / CAST(lm_total + lm_v AS DOUBLE))
+                       END), 9) AS DECIMAL(28,9)) AS nlp
+              FROM j),
+            agg AS (
+              SELECT doc_id, SUM(is_hit) AS hits, SUM(nlp) AS s
+              FROM sc GROUP BY doc_id),
+            base AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN norm = '' THEN 0
+                          ELSE len(string_split(norm,' ')) END AS INT)
+                       AS n_tokens
+              FROM t)
+            SELECT b.doc_id, b.n_tokens,
+                   CAST(COALESCE(a.hits, 0) AS BIGINT) AS n_bigram_hits,
+                   CAST(COALESCE(a.s, CAST(0 AS DECIMAL(28,9)))
+                        AS DOUBLE) AS neg_logprob_sum,
+                   CASE WHEN b.n_tokens > 0
+                        THEN CAST(a.s AS DOUBLE)
+                             / CAST(b.n_tokens AS DOUBLE)
+                   END AS logppl
+            FROM base b LEFT JOIN agg a USING (doc_id)
+            ORDER BY b.doc_id
+        """.replace("__LAM__", repr(_LM_LAMBDA))
+         .replace("__LAMC__", repr(1.0 - _LM_LAMBDA)),
         "sequence_pack": r"""
             WITH t AS (
               SELECT doc_id, lang,

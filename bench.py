@@ -108,6 +108,7 @@ def main() -> None:
         "bm25_topk",            # inverted-index BM25 retrieval
         "sequence_pack",        # concat-and-chunk packing bookkeeping
         "lm_logppl",            # CCNet-style unigram LM perplexity gate
+        "lm_bigram_logppl",     # interpolated bigram LM scorer
         "link_graph",           # href extraction + per-domain in-links
         "domain_pagerank",      # 3-iteration domain PageRank
         "semdedup",             # embedding-cluster semantic dedup

@@ -140,10 +140,18 @@ def domain_pagerank(
     contribution list (F.aggregate is a left fold; the SQL oracle's
     list_reduce folds the same list in the same order) — so the two
     engines produce bit-identical ranks with no rounding anywhere."""
-    g = edges.groupBy("src_domain", "dst_domain").agg(
-        F.count("*").alias("w")
+    from mindocr_spark.cache import tracked_persist
+
+    # the page→domain collapse is the one corpus-sized subtree; every
+    # iteration joins against it, so persist it once (tracked: an
+    # ambient persist_scope releases it — the connected_components
+    # discipline) instead of re-deriving the edge extraction per pass
+    g = tracked_persist(
+        edges.groupBy("src_domain", "dst_domain").agg(
+            F.count("*").alias("w")
+        )
     )
-    nodes = (
+    nodes = tracked_persist(
         edges.select(F.col("src_domain").alias("domain"))
         .union(edges.select(F.col("dst_domain").alias("domain")))
         .distinct()
@@ -152,6 +160,10 @@ def domain_pagerank(
     gw = g.join(out_w, "src_domain")
     # the tuning-pass action (domain count — bookkeeping-sized)
     n = nodes.count()
+    if n == 0:
+        raise ValueError(
+            "domain_pagerank: empty edge relation (no domains to rank)"
+        )
     r0 = 1.0 / n
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(r0))

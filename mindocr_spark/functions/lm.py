@@ -50,6 +50,124 @@ def unigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Train side: (w1, w2, cnt) adjacent-pair counts over the
+    reference corpus — posexplode + per-doc lag window + one groupBy.
+    The window partitions on doc_id (docs are bounded — no skew); the
+    groupBy key is the uniform bigram."""
+    from pyspark.sql import Window
+
+    # the row id must be assigned BEFORE the explode (projected in the
+    # same select, each exploded row would get its own id and no
+    # bigram would ever form); nondeterministic exprs block projection
+    # collapse, so the two-step shape is stable under the optimizer
+    base = docs.select(
+        F.monotonically_increasing_id().alias("__doc"),
+        F.col(text_col).alias("__text"),
+    )
+    toks = base.select(
+        "__doc", F.posexplode(tokens_col("__text")).alias("pos", "w2")
+    )
+    w = Window.partitionBy("__doc").orderBy("pos")
+    return (
+        toks.withColumn("w1", F.lag("w2").over(w))
+        .where(F.col("w1").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def bigram_logppl(
+    docs: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Interpolated-bigram scoring (the CCNet-faithful upgrade of
+    :func:`unigram_logppl`): per token,
+
+        p = λ·p_bi(w|prev) + (1−λ)·p_uni(w)      [prev exists]
+        p = p_uni(w)                              [first token]
+        p_bi = c(prev,w)/c(prev)   (0 when prev is unseen)
+        p_uni = (c(w)+1)/(total+V)
+
+    (1−λ)·p_uni > 0 keeps every token finite — no extra smoothing
+    needed on the bigram term. Returns (id, n_tokens,
+    n_bigram_hits, neg_logprob_sum, logppl); NULL logppl for
+    zero-token docs, rows preserved.
+
+    Scale shape: three token-key joins (uni on w, uni on prev, bi on
+    the pair) — BROADCAST when the reference vocabulary fits (the
+    common case), shuffle joins on uniform keys otherwise. The
+    per-doc lag window partitions on the doc id — bounded rows per
+    partition, no skew. Determinism: same discipline as unigram
+    (correctly-rounded divisions in pinned association, round(ln,9),
+    DECIMAL sums, un-rounded final mean)."""
+    from pyspark.sql import Window
+
+    stats = uni.select(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("lm_total"),
+        (F.count("*") + F.lit(1)).alias("lm_v"),
+    )
+    mb = F.broadcast if broadcast_lm else (lambda d: d)
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokens_col(text_col)).alias("pos", "w2"),
+    )
+    w = Window.partitionBy("__id").orderBy("pos")
+    seq = toks.withColumn("w1", F.lag("w2").over(w))
+    uni_w = uni.select(F.col("token").alias("w2"), F.col("cnt").alias("cw"))
+    uni_p = uni.select(F.col("token").alias("w1"), F.col("cnt").alias("cp"))
+    bi_c = bi.select("w1", "w2", F.col("cnt").alias("cbi"))
+    joined = (
+        seq.join(mb(uni_w), "w2", "left")
+        .join(mb(uni_p), "w1", "left")
+        .join(mb(bi_c), ["w1", "w2"], "left")
+        .join(F.broadcast(stats))
+    )
+    denom = (F.col("lm_total") + F.col("lm_v")).cast("double")
+    puni = (
+        (F.coalesce(F.col("cw"), F.lit(0)) + F.lit(1)).cast("double") / denom
+    )
+    pbi = F.when(
+        F.col("cp").isNotNull() & (F.col("cp") > 0),
+        F.coalesce(F.col("cbi"), F.lit(0)).cast("double")
+        / F.col("cp").cast("double"),
+    ).otherwise(F.lit(0.0))
+    p = F.when(F.col("w1").isNull(), puni).otherwise(
+        F.lit(lam) * pbi + F.lit(1.0 - lam) * puni
+    )
+    scored = joined.select(
+        "__id",
+        F.col("cbi").isNotNull().cast("int").alias("is_hit"),
+        F.round(-F.log(p), 9).cast("decimal(28,9)").alias("nlp"),
+    ).groupBy("__id").agg(
+        F.sum("is_hit").alias("n_bigram_hits"),
+        F.sum("nlp").alias("neg_logprob_sum"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("__id"),
+        F.size(tokens_col(text_col)).alias("n_tokens"),
+    )
+    return base.join(scored, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        F.coalesce(F.col("n_bigram_hits"), F.lit(0)).cast("bigint")
+        .alias("n_bigram_hits"),
+        F.coalesce(
+            F.col("neg_logprob_sum"), F.lit(0).cast("decimal(28,9)")
+        ).cast("double").alias("neg_logprob_sum"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("neg_logprob_sum").cast("double")
+            / F.col("n_tokens").cast("double"),
+        ).alias("logppl"),
+    )
+
+
 def unigram_logppl(
     docs: DataFrame,
     lm: DataFrame,

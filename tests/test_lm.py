@@ -97,3 +97,84 @@ def test_plan_broadcasts_lm_no_python(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def _expected_bigram_logppl(lm_corpus_docs, doc, lam=0.7, quant=9):
+    """Straight-line interpolated-bigram reference with the engine's
+    quantization discipline."""
+    uni, bi = {}, {}
+    for d in lm_corpus_docs:
+        toks = d.split()
+        for t in toks:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    total = sum(uni.values())
+    v = len(uni) + 1
+    toks = doc.split()
+    s, hits = 0.0, 0
+    for i, t in enumerate(toks):
+        puni = (uni.get(t, 0) + 1) / (total + v)
+        if i == 0:
+            p = puni
+        else:
+            prev = toks[i - 1]
+            cp = uni.get(prev, 0)
+            pbi = (bi.get((prev, t), 0) / cp) if cp > 0 else 0.0
+            if (prev, t) in bi:
+                hits += 1
+            p = lam * pbi + (1.0 - lam) * puni
+        s += round(-math.log(p), quant)
+    return len(toks), hits, s, (s / len(toks) if toks else None)
+
+
+def test_bigram_logppl_matches_straight_line_reference(spark):
+    from mindocr_spark.functions.lm import (
+        bigram_counts, bigram_logppl, unigram_counts,
+    )
+
+    lm_docs = ["the cat sat on the mat", "the cat ran home"]
+    ref = _docs(spark, list(enumerate(lm_docs)))
+    uni, bi = unigram_counts(ref), bigram_counts(ref)
+    probe = [
+        (1, "the cat sat"),      # all bigrams seen
+        (2, "the zebra sat"),    # unseen prev→w transitions
+        (3, "mat the cat"),      # 'mat the' unseen, 'the cat' seen
+    ]
+    got = {r["doc_id"]: r for r in bigram_logppl(
+        _docs(spark, probe), uni, bi
+    ).collect()}
+    for doc_id, text in probe:
+        n, hits, s, mean = _expected_bigram_logppl(lm_docs, text)
+        r = got[doc_id]
+        assert r["n_tokens"] == n
+        assert r["n_bigram_hits"] == hits, text
+        assert float(r["neg_logprob_sum"]) == pytest.approx(s, abs=1e-9)
+        assert float(r["logppl"]) == pytest.approx(mean, rel=1e-12)
+    # fluent per-corpus text scores lower than the OOV-transition one
+    assert got[1]["logppl"] < got[2]["logppl"]
+
+
+def test_bigram_logppl_first_token_is_unigram_only(spark):
+    """A single-token doc must score exactly its unigram nlp."""
+    from mindocr_spark.functions.lm import (
+        bigram_counts, bigram_logppl, unigram_counts, unigram_logppl,
+    )
+
+    ref = _docs(spark, [(9, "a b a c")])
+    uni, bi = unigram_counts(ref), bigram_counts(ref)
+    one = _docs(spark, [(1, "a")])
+    big = bigram_logppl(one, uni, bi).collect()[0]
+    unis = unigram_logppl(one, uni).collect()[0]
+    assert float(big["logppl"]) == float(unis["logppl"])
+    assert big["n_bigram_hits"] == 0
+
+
+def test_bigram_counts_exact(spark):
+    from mindocr_spark.functions.lm import bigram_counts
+
+    out = {(r["w1"], r["w2"]): r["cnt"] for r in bigram_counts(
+        _docs(spark, [(1, "a b a b"), (2, "b a")])
+    ).collect()}
+    # doc boundaries must NOT form bigrams: no ('b','b') from doc1→doc2
+    assert out == {("a", "b"): 2, ("b", "a"): 2}
