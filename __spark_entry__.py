@@ -2447,7 +2447,9 @@ def oracle_sql() -> dict[str, str]:
               FROM t WHERE lang = 'en' AND norm <> ''),
             lm AS (SELECT token, count(*) AS cnt FROM ref GROUP BY token),
             stats AS (
-              SELECT sum(cnt) AS lm_total, count(*) + 1 AS lm_v FROM lm),
+              SELECT COALESCE(sum(cnt), 0) AS lm_total,
+                     count(*) + 1 AS lm_v
+              FROM lm),
             toks AS (
               SELECT doc_id, unnest(string_split(norm,' ')) AS token
               FROM t WHERE norm <> ''),

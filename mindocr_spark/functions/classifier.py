@@ -68,8 +68,14 @@ def quality_classifier_score(
     Zero-token docs score NULL and keep=false (no evidence ≠ keep —
     the curation gates downstream drop them on min_chars anyway)."""
     spark = df.sparkSession
+    if weights is None:
+        weights = hashed_weights()
+    elif not weights:
+        # an empty export is a caller bug — silently substituting the
+        # stub table would score real corpora with fake weights
+        raise ValueError("empty classifier weight table")
     w = spark.createDataFrame(
-        [(b, wt) for b, wt in (weights or hashed_weights())],
+        list(weights),
         "bucket string, w_str string",
     ).select("bucket", F.col("w_str").cast("decimal(10,3)").alias("w"))
     toks = df.select(

@@ -38,17 +38,33 @@ from .urls import registered_domain, url_host
 #: form.)
 HREF_RE = r'<a href="([^"]*)"'
 
-#: Absolute-URL detector (any scheme).
+#: Absolute hierarchical URL (any scheme followed by ://).
 _ABS_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
+#: Any scheme-prefixed href (mailto:, javascript:, tel:, data:, …) —
+#: non-hierarchical forms are NOT web edges.
+_SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.-]*:"
 
 
 def resolve_href(href: Column, origin: Column) -> Column:
-    """RFC-3986-lite resolution: absolute hrefs pass through,
-    root-relative join the origin, anything else joins origin + '/'
-    (the corpus emits only absolute and root-relative forms; the
-    catch-all keeps hostile inputs from becoming NULL edges)."""
+    """RFC-3986-lite resolution against ``origin``
+    (``scheme://host``): absolute hierarchical hrefs pass through,
+    scheme-relative ``//host/…`` take the origin's scheme,
+    root-relative ``/…`` and bare relative paths join the origin.
+    NULL (→ no edge) for the forms that are not document-to-document
+    web edges: other-scheme hrefs (mailto:/javascript:/tel:/data:),
+    fragment-only ``#…``, and query-only ``?…`` — attributing those
+    to the page's own domain would inflate self-link counts on real
+    crawl HTML (this module's production shape)."""
+    scheme = F.regexp_extract(origin, r"^([A-Za-z][A-Za-z0-9+.-]*:)", 1)
     return (
         F.when(href.rlike(_ABS_RE), href)
+        .when(href.startswith("//"), F.concat(scheme, href))
+        .when(
+            href.rlike(_SCHEME_RE)
+            | href.startswith("#")
+            | href.startswith("?"),
+            F.lit(None).cast("string"),
+        )
         .when(href.startswith("/"), F.concat(origin, href))
         .otherwise(F.concat(origin, F.lit("/"), href))
     )
@@ -78,7 +94,7 @@ def extract_links(
         dst.alias("dst_url"),
         registered_domain(url_host("src_url")).alias("src_domain"),
         registered_domain(url_host(dst)).alias("dst_domain"),
-    )
+    ).where(F.col("dst_url").isNotNull())  # non-edge hrefs (mailto:, #…)
 
 
 #: meta-robots extraction pattern (the corpus writes the canonical

@@ -50,23 +50,21 @@ def unigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def bigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def bigram_counts(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
     """Train side: (w1, w2, cnt) adjacent-pair counts over the
     reference corpus — posexplode + per-doc lag window + one groupBy.
-    The window partitions on doc_id (docs are bounded — no skew); the
-    groupBy key is the uniform bigram."""
+    The window partitions on the caller's `id_col` (docs are bounded —
+    no skew); the groupBy key is the uniform bigram. Requiring the
+    real document id (instead of synthesizing one with
+    monotonically_increasing_id) keeps the plan free of
+    nondeterministic expressions, whose re-evaluation on stage retry
+    could change ids mid-plan."""
     from pyspark.sql import Window
 
-    # the row id must be assigned BEFORE the explode (projected in the
-    # same select, each exploded row would get its own id and no
-    # bigram would ever form); nondeterministic exprs block projection
-    # collapse, so the two-step shape is stable under the optimizer
-    base = docs.select(
-        F.monotonically_increasing_id().alias("__doc"),
-        F.col(text_col).alias("__text"),
-    )
-    toks = base.select(
-        "__doc", F.posexplode(tokens_col("__text")).alias("pos", "w2")
+    toks = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(tokens_col(text_col)).alias("pos", "w2"),
     )
     w = Window.partitionBy("__doc").orderBy("pos")
     return (

@@ -357,12 +357,17 @@ def semdedup_flags(
     cluster first, pay quadratic cost only inside clusters). The
     cosine is the shared pinned-fold HOF; rounding to `round_to`
     before the threshold keeps the pair set engine-portable."""
+    from mindocr_spark.cache import tracked_persist
+
     c, cent, assign_fn = build_ivf_index(
         embeddings, n=n, max_centroids=max_centroids,
         lloyd_iters=lloyd_iters, assign_mode=assign_mode,
         id_col=id_col, vec_col=vec_col,
     )
-    assign = assign_fn(c, cent)
+    # assign feeds lo, hi, AND the output left join — persist it
+    # (tracked: an ambient persist_scope releases it) or the dominant
+    # corpus×centroid scoring stage recomputes three times per action
+    assign = tracked_persist(assign_fn(c, cent))
     lo = assign.select(
         F.col("cid"),
         F.col("neighbor_id").alias("id_a"),

@@ -275,13 +275,24 @@ def blockword_pattern(words: tuple[str, ...] | list[str]) -> str:
     engines run (Java regex and RE2 agree on ``\\b`` and plain
     alternations; matching on lower(text) instead of ``(?i)`` keeps
     case folding engine-identical). Words are regex-escaped and
-    length-sorted so a longer word wins over its own prefix."""
+    length-sorted so a longer word wins over its own prefix.
+
+    ``\\b`` anchors are attached PER ALTERNATIVE and only at edges
+    that are word characters: a ``\\b`` next to a non-word edge (real
+    badword lists contain punctuation-edged entries) can never match
+    — anchoring it there would make the entry a silent no-op."""
     import re as _re
 
     toks = sorted({w.lower() for w in words if w}, key=lambda w: (-len(w), w))
     if not toks:
         raise ValueError("empty blockword list")
-    return r"\b(" + "|".join(_re.escape(w) for w in toks) + r")\b"
+
+    def arm(w: str) -> str:
+        pre = r"\b" if _re.match(r"\w", w[0]) else ""
+        suf = r"\b" if _re.match(r"\w", w[-1]) else ""
+        return pre + _re.escape(w) + suf
+
+    return "(" + "|".join(arm(w) for w in toks) + ")"
 
 
 def blockword_flags(df: DataFrame, words: tuple[str, ...] | list[str],

@@ -117,3 +117,24 @@ class TestQualityClassifier:
         )._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_blockword_punctuation_edged_entries_still_match(spark):
+    """Entries starting/ending in non-word chars must not get a dead
+    \\b anchor: 'a$$' has no word boundary before a space."""
+    from mindocr_spark.functions.text import blockword_flags
+
+    rows = [(1, "win big a$$ here"), (2, "class beginning"), (3, "$$$ cash")]
+    out = {r["doc_id"]: r["n_blockword_hits"] for r in blockword_flags(
+        _docs(spark, rows), ("a$$", "$$$")
+    ).collect()}
+    assert out[1] == 1      # punctuation-tailed entry fires
+    assert out[2] == 0      # 'a$$' must not match inside 'class' (\b holds)
+    assert out[3] == 1      # all-punctuation entry fires
+
+
+def test_classifier_rejects_empty_weight_table(spark):
+    from mindocr_spark.functions.classifier import quality_classifier_score
+
+    with pytest.raises(ValueError):
+        quality_classifier_score(_docs(spark, [(1, "x")]), weights=[])

@@ -139,3 +139,26 @@ def test_robots_flags_whole_token_semantics(spark):
     assert out["u6"]["noindex"]      # case-insensitive
     assert out["u7"]["noindex"]      # spaced comma list
     assert len(out) == 7             # flag-style: nothing vanishes
+
+
+def test_resolve_href_non_edge_and_scheme_relative_forms(spark):
+    """Scheme-relative hrefs take the origin's scheme; mailto:/
+    javascript:/fragment-only/query-only hrefs are NOT web edges and
+    must produce no row (not a self-link to the page's own domain)."""
+    from mindocr_spark.functions.links import extract_links
+
+    pages = _pages(spark, [
+        ("https://a.example/p",
+         '<a href="//cdn.example/lib.js">c</a>'
+         '<a href="mailto:x@y.example">m</a>'
+         '<a href="javascript:void(0)">j</a>'
+         '<a href="#section">f</a>'
+         '<a href="?page=2">q</a>'
+         '<a href="/ok">k</a>'),
+    ])
+    out = {r["href"]: r for r in extract_links(pages).collect()}
+    # only the scheme-relative and root-relative anchors survive
+    assert set(out) == {"//cdn.example/lib.js", "/ok"}
+    cdn = out["//cdn.example/lib.js"]
+    assert cdn["dst_url"] == "https://cdn.example/lib.js"
+    assert cdn["dst_domain"] == "cdn.example"  # NOT a.example self-link
