@@ -201,3 +201,22 @@ def test_direction_norm_stays_narrow(spark, tmp_path):
     assert "Exchange" not in _plan(
         direction_norm_cols(spark.read.parquet(path))
     )
+
+
+def test_no_per_row_python_across_entire_query_suite(spark):
+    """Sweeping guarantee over ALL driver-contract queries: no plan
+    may contain a per-row Python eval node (BatchEvalPython). Arrow
+    batch nodes (ArrowEvalPython / mapInPandas FlatMapsInPandas) are
+    the sanctioned Python seams — extraction, NFC normalization,
+    multimodal codecs — and stay allowed; row-at-a-time Python in any
+    hot path is the one-way door this test keeps shut."""
+    import __spark_entry__ as E
+
+    sf_dir = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, fn in E.queries().items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan(
+        ).toString()
+        if "BatchEvalPython" in plan:
+            offenders[name] = True
+    assert not offenders, f"per-row Python UDFs in: {sorted(offenders)}"
