@@ -91,6 +91,24 @@ class CurateConfig:
     # pass until the labels converge), so with it enabled curate() is
     # no longer a zero-action build.
     neardup_transitive: bool = False
+    # model-based quality gate (FineWeb-Edu/DCLM shape): keep docs the
+    # hashed-linear classifier scores ≥ this threshold (None disables).
+    # Weights come from classifier_weights (None = the deterministic
+    # stub table — swap in a real export, same relation shape); scoring
+    # is one broadcast weight join + exact DECIMAL sums, and NULL-score
+    # docs (zero tokens) drop — "no evidence" does not pass a
+    # model gate.
+    min_classifier_score: float | None = None
+    classifier_weights: tuple | None = None
+    # CCNet-style LM perplexity gate: keep docs with unigram
+    # logppl ≤ this bound, scored against an LM trained on the
+    # post-quality-gate slice whose lang_pred is in lm_ref_langs (the
+    # in-corpus stand-in for CCNet's Wikipedia reference — training is
+    # one groupBy, scoring one broadcast token join; deterministic
+    # given the input batch). None disables; NULL-logppl (zero-token)
+    # docs drop.
+    max_lm_logppl: float | None = None
+    lm_ref_langs: tuple[str, ...] = ("en",)
 
 
 def curate(
@@ -198,6 +216,47 @@ def _curate_build(pages, cfg, params, _persist):
                 F.lit(blockword_pattern(cfg.blockwords)),
             )
             == 0
+        )
+    # model-based quality gate (classifier score ≥ threshold): one
+    # broadcast weight join; joined back on url like the other
+    # relation-producing gates
+    if cfg.min_classifier_score is not None:
+        from mindocr_spark.functions.classifier import (
+            quality_classifier_score,
+        )
+
+        cls_scores = quality_classifier_score(
+            tagged, weights=cfg.classifier_weights,
+            threshold=cfg.min_classifier_score,
+            text_col="text", id_col="url",
+        ).select("url", "score")
+        tagged = (
+            tagged.join(cls_scores, "url")
+            .where(F.col("score") >= cfg.min_classifier_score)
+            .drop("score")
+        )
+    # LM perplexity gate (CCNet shape): train on the reference-lang
+    # slice of the gated batch, score everything, keep the fluent head
+    if cfg.max_lm_logppl is not None:
+        from mindocr_spark.functions.lm import (
+            unigram_counts, unigram_logppl,
+        )
+
+        # the LM trains on a slice of `tagged` and scores `tagged` —
+        # a diamond over the (cheap-by-now) gated frame; persist so
+        # the gate subtree evaluates once per consumer
+        tagged = _persist(tagged)
+        lm = unigram_counts(
+            tagged.where(F.col("lang_pred").isin(*cfg.lm_ref_langs)),
+            text_col="text",
+        )
+        ppl = unigram_logppl(
+            tagged, lm, id_col="url", text_col="text"
+        ).select("url", "logppl")
+        tagged = (
+            tagged.join(ppl, "url")
+            .where(F.col("logppl") <= cfg.max_lm_logppl)
+            .drop("logppl")
         )
     # per-domain cap BEFORE dedup: a spam farm's pages should never
     # reach the dedup passes (they'd bloat signature state), and the

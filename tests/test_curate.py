@@ -347,3 +347,63 @@ def test_curate_blockword_gate(spark):
     assert "https://ok.example/plural" in urls_gated
     # and nothing else is affected by the gate
     assert urls_open - urls_gated == {"https://bad.example/gamble"}
+
+
+def test_curate_classifier_gate(spark):
+    """An injected all-negative weight table drops everything; the
+    stub table with a low threshold keeps the corpus — the model gate
+    plumbing is real and the weights are the seam."""
+    from mindocr_spark.corpus import generate_batch, PAGES_SCHEMA_DDL
+    from mindocr_spark.curate import CurateConfig, curate
+    from mindocr_spark.functions.classifier import N_BUCKETS
+
+    pages = spark.createDataFrame(
+        generate_batch(13, range(12)), PAGES_SCHEMA_DDL
+    )
+    open_cfg = CurateConfig(min_chars=50, neardup_threshold=2.0)
+    n_open = curate(pages, open_cfg)[0].count()
+    assert n_open > 0
+
+    neg = tuple((format(i, "02x"), "-1.000") for i in range(N_BUCKETS))
+    nuked = CurateConfig(
+        min_chars=50, neardup_threshold=2.0,
+        min_classifier_score=0.0, classifier_weights=neg,
+    )
+    assert curate(pages, nuked)[0].count() == 0
+
+    lenient = CurateConfig(
+        min_chars=50, neardup_threshold=2.0,
+        min_classifier_score=-10.0,
+    )
+    assert curate(pages, lenient)[0].count() == n_open
+
+
+def test_curate_lm_perplexity_gate(spark):
+    """A word-soup page scores higher logppl against the batch's own
+    English LM than organic pages and drops first as the bound
+    tightens."""
+    from pyspark.sql import functions as F
+    from mindocr_spark.corpus import generate_batch, PAGES_SCHEMA_DDL
+    from mindocr_spark.curate import CurateConfig, curate
+
+    rows = generate_batch(17, range(15))
+    soup = ("<html><body><h1>Gibberish page title</h1><p>"
+            + " ".join(f"zqxj{i}w" for i in range(80))
+            + "</p></body></html>").encode()
+    planted = [dict(rows[0], url="https://bad.example/soup", html=soup,
+                    text="")]
+    pages = spark.createDataFrame(rows + planted, PAGES_SCHEMA_DDL)
+
+    open_cfg = CurateConfig(min_chars=50, neardup_threshold=2.0)
+    open_out, _ = curate(pages, open_cfg)
+    assert open_out.where(
+        F.col("url") == "https://bad.example/soup"
+    ).count() == 1
+
+    gated = CurateConfig(
+        min_chars=50, neardup_threshold=2.0, max_lm_logppl=7.5,
+    )
+    kept, _ = curate(pages, gated)
+    urls = {r["url"] for r in kept.collect()}
+    assert "https://bad.example/soup" not in urls
+    assert len(urls) > 0  # organic pages survive the bound
