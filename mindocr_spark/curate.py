@@ -109,6 +109,11 @@ class CurateConfig:
     # docs drop.
     max_lm_logppl: float | None = None
     lm_ref_langs: tuple[str, ...] = ("en",)
+    # crawl politeness: drop pages whose <meta name="robots"> carries
+    # a noindex directive BEFORE extraction — excluded pages never pay
+    # the parse cost (one codegen regex predicate on the raw html,
+    # whole-token match, zero shuffles).
+    respect_robots_noindex: bool = False
 
 
 def curate(
@@ -141,7 +146,24 @@ def curate(
 
 
 def _curate_build(pages, cfg, params, _persist):
-    extracted = _persist(run_extraction(pages, params).select(
+    if cfg.respect_robots_noindex:
+        # politeness gate BEFORE extraction: excluded pages never pay
+        # the parse cost; whole-token directive match, pure codegen
+        from mindocr_spark.functions.links import (
+            ROBOTS_META_RE, _DIRECTIVE_RE,
+        )
+
+        content = F.lower(
+            F.regexp_extract(
+                F.col("html").cast("string"), ROBOTS_META_RE, 1
+            )
+        )
+        indexable = pages.where(
+            ~content.rlike(_DIRECTIVE_RE.format(tok="noindex"))
+        )
+    else:
+        indexable = pages
+    extracted = _persist(run_extraction(indexable, params).select(
         "url", F.col("extracted_text").alias("text"),
         "boilerplate_ratio", "failed",
     ))

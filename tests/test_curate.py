@@ -407,3 +407,37 @@ def test_curate_lm_perplexity_gate(spark):
     urls = {r["url"] for r in kept.collect()}
     assert "https://bad.example/soup" not in urls
     assert len(urls) > 0  # organic pages survive the bound
+
+
+def test_curate_respects_robots_noindex(spark):
+    from pyspark.sql import functions as F
+    from mindocr_spark.corpus import generate_batch, PAGES_SCHEMA_DDL
+    from mindocr_spark.curate import CurateConfig, curate
+
+    rows = generate_batch(19, range(10))
+    body = ("<p>" + "the quick brown fox jumps over the lazy dog and "
+            "keeps going down the long road for quite a while now " * 3
+            + "</p>")
+    noidx = ("<html><head><meta name=\"robots\" content=\"noindex\">"
+             "</head><body><h1>Hidden page</h1>" + body
+             + "</body></html>").encode()
+    allow = ("<html><head><meta name=\"robots\" content=\"all\">"
+             "</head><body><h1>Open page</h1>" + body
+             + "</body></html>").encode()
+    planted = [
+        dict(rows[0], url="https://x.example/hidden", html=noidx, text=""),
+        dict(rows[1], url="https://x.example/open", html=allow, text=""),
+    ]
+    pages = spark.createDataFrame(rows + planted, PAGES_SCHEMA_DDL)
+
+    open_cfg = CurateConfig(min_chars=50, neardup_threshold=2.0)
+    urls_open = {r["url"] for r in curate(pages, open_cfg)[0].collect()}
+    assert {"https://x.example/hidden", "https://x.example/open"} <= urls_open
+
+    polite = CurateConfig(
+        min_chars=50, neardup_threshold=2.0, respect_robots_noindex=True,
+    )
+    urls = {r["url"] for r in curate(pages, polite)[0].collect()}
+    assert "https://x.example/hidden" not in urls
+    assert "https://x.example/open" in urls   # content="all" passes
+    assert urls_open - urls == {"https://x.example/hidden"}
