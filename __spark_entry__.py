@@ -1274,6 +1274,58 @@ def q_domain_pagerank(spark, sf_dir):
     return domain_pagerank(edges, iters=3, damping=0.85).orderBy("domain")
 
 
+def q_anchor_text(spark, sf_dir):
+    """Anchor-text corpus: extract every plain-text <a href>…</a> with
+    its visible text from raw HTML (ONE regexp_extract_all scan pass
+    keeps href and text together), resolve against the page URL, and
+    aggregate the inbound (dst_domain, anchor) profile — what the web
+    *calls* each target, the classic search/corpus relevance signal.
+    The oracle never parses HTML: it reproduces the full joint
+    distribution (chrome anchors + the cite block's vocab arithmetic)
+    from the untouched documents table."""
+    from mindocr_spark.functions.links import (
+        anchor_text_profile,
+        extract_anchors,
+    )
+    from mindocr_spark.sources.pages import pages_from_documents_anchored
+
+    pages = pages_from_documents_anchored(spark, sf_dir)
+    return anchor_text_profile(extract_anchors(pages)).orderBy(
+        "dst_domain", "anchor"
+    )
+
+
+def q_page_metadata(spark, sf_dir):
+    """Head-metadata extraction: title / meta-description /
+    rel=canonical out of raw HTML in three codegen regex passes over
+    one scan. The oracle re-derives the planted description quota and
+    canonical pointers from doc_id arithmetic without parsing HTML."""
+    from mindocr_spark.functions.links import page_metadata
+    from mindocr_spark.sources.pages import pages_from_documents_meta
+
+    return page_metadata(pages_from_documents_meta(spark, sf_dir)).orderBy(
+        "url"
+    )
+
+
+def q_redirect_resolve(spark, sf_dir):
+    """rel=canonical chain resolution by POINTER DOUBLING: chains up
+    to 2^k hops resolve in k self-joins instead of one corpus-sized
+    shuffle per hop. The meta corpus plants chains of length 0-3
+    (doc d → d-1 while d%4 != 0), so the oracle's closed form is
+    final = d - d%4 at d%4 hops — the engines agree only if
+    extraction, the doubling composition, AND the hop accounting are
+    all right."""
+    from mindocr_spark.functions.links import (
+        page_metadata,
+        resolve_canonical_chains,
+    )
+    from mindocr_spark.sources.pages import pages_from_documents_meta
+
+    meta = page_metadata(pages_from_documents_meta(spark, sf_dir))
+    return resolve_canonical_chains(meta, max_hops=8).orderBy("url")
+
+
 def q_lm_logppl(spark, sf_dir):
     """CCNet-style LM quality gate: train a Laplace-smoothed unigram
     LM on the clean reference slice (lang='en' documents — the
@@ -1680,6 +1732,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_logppl": _q(q_lm_logppl),
         "lm_bigram_logppl": _q(q_lm_bigram_logppl),
         "link_graph": _q(q_link_graph),
+        "anchor_text": _q(q_anchor_text),
+        "page_metadata": _q(q_page_metadata),
+        "redirect_resolve": _q(q_redirect_resolve),
         "domain_pagerank": _q(q_domain_pagerank),
         "blockword_filter": _q(q_blockword_filter),
         "robots_flags": _q(q_robots_flags),
@@ -2323,6 +2378,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN src_dom <> dst_dom THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_external
             FROM e GROUP BY dst_dom ORDER BY dst_domain
+        """,
+        "anchor_text": r"""
+            WITH v(i, w) AS (VALUES
+                (0,'tutorial'),(1,'reference'),(2,'handbook'),(3,'primer'),
+                (4,'manual'),(5,'roadmap'),(6,'compendium'),(7,'cookbook')),
+            chrome(anchor) AS (VALUES
+                ('Home'),('Products'),('About'),('Contact'),
+                ('related reading one'),('related reading two'),
+                ('Terms'),('Privacy')),
+            a AS (
+              SELECT 'docs.example' AS dst_domain, chrome.anchor, doc_id
+              FROM documents CROSS JOIN chrome
+              UNION ALL
+              SELECT 'mirror' || CAST(doc_id % 7 AS VARCHAR) || '.example',
+                     v.w, doc_id
+              FROM documents JOIN v ON v.i = doc_id % 8
+              UNION ALL
+              SELECT 'docs.example', 'official ' || v.w, doc_id
+              FROM documents JOIN v ON v.i = (doc_id + 3) % 8)
+            SELECT dst_domain, anchor,
+                   CAST(count(*) AS BIGINT) AS n_links,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages
+            FROM a GROUP BY dst_domain, anchor
+            ORDER BY dst_domain, anchor
+        """,
+        "page_metadata": r"""
+            SELECT 'https://docs.example/d/' || CAST(doc_id AS VARCHAR)
+                     AS url,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                   CASE WHEN doc_id % 5 = 2 THEN ''
+                        ELSE 'Document ' || CAST(doc_id AS VARCHAR)
+                             || ' from ' || source || ' in ' || lang
+                   END AS description,
+                   CASE WHEN doc_id % 4 = 0 THEN NULL
+                        ELSE 'https://docs.example/d/'
+                             || CAST(doc_id - 1 AS VARCHAR)
+                   END AS canonical_url
+            FROM documents ORDER BY url
+        """,
+        "redirect_resolve": r"""
+            SELECT 'https://docs.example/d/' || CAST(doc_id AS VARCHAR)
+                     AS url,
+                   'https://docs.example/d/'
+                     || CAST(doc_id - doc_id % 4 AS VARCHAR) AS final_url,
+                   CAST(doc_id % 4 AS BIGINT) AS n_hops
+            FROM documents ORDER BY url
         """,
         "domain_pagerank": _pagerank_oracle(iters=3, damping="0.85"),
         "bpe_token_stats": r"""

@@ -97,6 +97,77 @@ def extract_links(
     ).where(F.col("dst_url").isNotNull())  # non-edge hrefs (mailto:, #…)
 
 
+#: Simple-anchor pattern: href attribute plus the visible anchor text,
+#: for anchors whose content is plain text (no nested markup). The
+#: anchor-TEXT corpus (inbound link descriptions per target — the
+#: classic web-search / web-corpus signal) only needs this shape; a
+#: page's markup-nested anchors still contribute to the EDGE relation
+#: via :func:`extract_links`, which matches the href alone.
+ANCHOR_RE = r'<a href="([^"]*)">([^<]*)</a>'
+
+
+def extract_anchors(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """pages → anchor relation (src_url, src_domain, dst_url,
+    dst_domain, anchor): every plain-text ``<a href>…</a>`` with its
+    visible text, href resolved against the page URL, non-web-edge
+    hrefs (mailto:, #…) dropped — the raw material of an anchor-text
+    corpus (inbound descriptions are a target page's strongest
+    independent relevance signal).
+
+    100 TB shape: identical to :func:`extract_links` — one codegen
+    ``regexp_extract_all`` over the scanned html (group 0 keeps the
+    full tag so href and text come out of ONE scan pass), a narrow
+    explode, two per-row ``regexp_extract``s, zero shuffles. Anchor
+    text is whitespace-normalized (the only transform a downstream
+    aggregation key needs).
+
+    Reference lineage: det→rec hand-off — detect the anchored region,
+    then *recognize* its text payload
+    (reference: tools/infer/text/predict_system.py:72-90); here both
+    steps are one regex family over the same scan."""
+    html_s = F.col(html_col).cast("string")
+    origin = F.regexp_extract(
+        F.col(url_col), r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1
+    )
+    e = pages.select(
+        F.col(url_col).alias("src_url"),
+        origin.alias("__origin"),
+        F.explode(
+            F.regexp_extract_all(html_s, F.lit(ANCHOR_RE), F.lit(0))
+        ).alias("tag"),
+    )
+    href = F.regexp_extract(F.col("tag"), ANCHOR_RE, 1)
+    text = F.regexp_extract(F.col("tag"), ANCHOR_RE, 2)
+    dst = resolve_href(href, F.col("__origin"))
+    return e.select(
+        "src_url",
+        registered_domain(url_host("src_url")).alias("src_domain"),
+        dst.alias("dst_url"),
+        registered_domain(url_host(dst)).alias("dst_domain"),
+        F.trim(F.regexp_replace(text, r"\s+", " ")).alias("anchor"),
+    ).where(F.col("dst_url").isNotNull() & (F.length("anchor") > 0))
+
+
+def anchor_text_profile(anchors: DataFrame) -> DataFrame:
+    """Per-(destination domain, anchor text) inbound profile:
+    (dst_domain, anchor, n_links, n_pages) — the aggregation that
+    turns the anchor relation into a target-side description corpus
+    (what the web *calls* each domain).
+
+    One shuffle on (dst_domain, anchor); both aggregates are map-side
+    combinable (count_distinct(src_url) rewrites to a two-level
+    partial over (dst, anchor, src)), so a viral anchor phrase
+    pointing at a hot domain collapses to one row per upstream task
+    before the exchange — the same heavy-tail discipline as
+    :func:`domain_link_stats`."""
+    return anchors.groupBy("dst_domain", "anchor").agg(
+        F.count("*").alias("n_links"),
+        F.count_distinct("src_url").alias("n_pages"),
+    )
+
+
 #: meta-robots extraction pattern (the corpus writes the canonical
 #: double-quoted order; a production crawler also checks the
 #: X-Robots-Tag HTTP header — that seam lives in sources/warc.py's
@@ -132,6 +203,88 @@ def robots_flags(
         has("noindex").alias("noindex"),
         has("nofollow").alias("nofollow"),
     )
+
+
+#: head-metadata patterns (the corpus writes the canonical
+#: double-quoted attribute order, like ROBOTS_META_RE).
+TITLE_RE = r"<title>([^<]*)</title>"
+DESC_META_RE = r'<meta name="description" content="([^"]*)"'
+CANONICAL_RE = r'<link rel="canonical" href="([^"]*)"'
+
+
+def page_metadata(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Head-metadata extraction: (url, title, description,
+    canonical_url) from raw HTML — the per-page record an index /
+    dedup layer keys on (rel=canonical is the crawl-side duplicate
+    signal; title/description feed snippet and quality features).
+    Absent fields come back as empty string (title/description — a
+    COUNTable miss) or NULL (canonical_url — "this page IS
+    canonical", the join-friendly encoding). Three codegen regex
+    passes over one scan, zero shuffles, no Python."""
+    html_s = F.col(html_col).cast("string")
+    canon = F.regexp_extract(html_s, CANONICAL_RE, 1)
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.regexp_extract(html_s, TITLE_RE, 1).alias("title"),
+        F.regexp_extract(html_s, DESC_META_RE, 1).alias("description"),
+        F.when(canon != "", canon).alias("canonical_url"),
+    )
+
+
+def resolve_canonical_chains(
+    meta: DataFrame, max_hops: int = 8
+) -> DataFrame:
+    """Resolve rel=canonical POINTER CHAINS to their final target:
+    (url, final_url, n_hops). A page with no canonical link (or whose
+    target was not crawled) is its own final target at 0 hops; a chain
+    a→b→c ends at the first page that declares no canonical.
+
+    100 TB shape: POINTER DOUBLING, not step-at-a-time chasing — each
+    round joins the partial resolution onto itself, so chains up to
+    2^k hops resolve in k self-joins (`max_hops=8` → 3 shuffle
+    rounds), where the naive walk would pay one corpus-sized shuffle
+    per hop. Cycles (a→b→a — real crawls have them) cannot loop: after
+    k rounds a cycle member has walked 2^k hops and stops when the
+    round budget ends, still-open rows are reported resolved-so-far
+    with ``n_hops`` exposing the truncation.
+
+    Reference lineage: iterative refinement with a fixed round budget —
+    the PSE progressive-expansion discipline
+    (reference: mindocr/postprocess/det_pse_postprocess.py:53-78)."""
+    cur = meta.select(
+        "url",
+        F.coalesce("canonical_url", "url").alias("final_url"),
+        F.when(F.col("canonical_url").isNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("bigint")
+        .alias("n_hops"),
+        F.col("canonical_url").isNotNull().alias("open"),
+    )
+    rounds = max(1, (max_hops - 1).bit_length())
+    for _ in range(rounds):
+        nxt = cur.select(
+            F.col("url").alias("t_url"),
+            F.col("final_url").alias("t_final"),
+            F.col("n_hops").alias("t_hops"),
+            F.col("open").alias("t_open"),
+        )
+        j = cur.join(nxt, cur["final_url"] == nxt["t_url"], "left")
+        hit = F.col("open") & F.col("t_url").isNotNull()
+        cur = j.select(
+            "url",
+            F.when(hit, F.col("t_final"))
+            .otherwise(F.col("final_url"))
+            .alias("final_url"),
+            F.when(hit, F.col("n_hops") + F.col("t_hops"))
+            .otherwise(F.col("n_hops"))
+            .alias("n_hops"),
+            # a miss means the target was never crawled: the chain is
+            # as resolved as it can get — close it
+            F.when(hit, F.col("t_open")).otherwise(F.lit(False)).alias("open"),
+        )
+    return cur.drop("open")
 
 
 def domain_pagerank(

@@ -189,6 +189,92 @@ def pages_from_documents_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Pinned anchor-text vocabulary for the anchored corpus family — the
+#: word an inbound link *calls* its target, drawn by doc_id arithmetic
+#: so the SQL oracle reproduces the full (domain, anchor) joint
+#: distribution without parsing HTML.
+ANCHOR_VOCAB = (
+    "tutorial", "reference", "handbook", "primer",
+    "manual", "roadmap", "compendium", "cookbook",
+)
+
+
+def pages_from_documents_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The anchor-text corpus family: every page cites two targets with
+    deterministic visible anchor text — a mirror-ring link whose anchor
+    is ``ANCHOR_VOCAB[doc_id % 8]`` and a hot-domain archive link whose
+    anchor is ``'official ' + ANCHOR_VOCAB[(doc_id+3) % 8]`` — pure
+    doc_id arithmetic in JVM concat expressions, so the inbound
+    anchor-text profile the engine extracts from raw HTML is
+    reproducible from the untouched documents table by the SQL
+    oracle."""
+    did = F.col("doc_id")
+    vocab = F.array(*[F.lit(w) for w in ANCHOR_VOCAB])
+    w1 = F.element_at(vocab, (F.pmod(did, F.lit(8)) + 1).cast("int"))
+    w2 = F.element_at(vocab, (F.pmod(did + 3, F.lit(8)) + 1).cast("int"))
+    refs = F.concat(
+        F.lit('<p class="cite">Read the <a href="https://mirror'),
+        F.pmod(did, F.lit(7)).cast("string"),
+        F.lit(".example/p/"),
+        F.floor(did / 2).cast("string"),
+        F.lit('">'),
+        w1,
+        F.lit('</a> and the <a href="https://docs.example/'),
+        F.col("source"),
+        F.lit("/"),
+        (did * 2).cast("string"),
+        F.lit('">official '),
+        w2,
+        F.lit("</a>.</p>"),
+    )
+    return _pages_from_documents_template(
+        spark, sf_dir, extra_nodes_col=refs
+    )
+
+
+def pages_from_documents_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The head-metadata corpus family: a deterministic quota of pages
+    carries a ``<meta name="description">`` (all but doc_id ≡ 2 mod 5 —
+    the miss path must be exercised) and a ``<link rel="canonical">``
+    pointing ONE doc back (doc_id ≡ 1,2,3 mod 4 → doc_id−1; ≡ 0 mod 4 →
+    none), so canonical chains of length 0–3 exist and the final target
+    of doc d is provably ``d − d%4``. Page URLs are source-free
+    (``docs.example/d/{doc_id}``) so the canonical href is row-local
+    doc_id arithmetic — reproducible by the SQL oracle without HTML."""
+    did = F.col("doc_id")
+    desc = F.when(
+        F.pmod(did, F.lit(5)) == 2, F.lit("")
+    ).otherwise(
+        F.concat(
+            F.lit('<meta name="description" content="Document '),
+            did.cast("string"),
+            F.lit(" from "),
+            F.col("source"),
+            F.lit(" in "),
+            F.col("lang"),
+            F.lit('">'),
+        )
+    )
+    canon = F.when(
+        F.pmod(did, F.lit(4)) == 0, F.lit("")
+    ).otherwise(
+        F.concat(
+            F.lit('<link rel="canonical" href="https://docs.example/d/'),
+            (did - 1).cast("string"),
+            F.lit('">'),
+        )
+    )
+    pages = _pages_from_documents_template(
+        spark, sf_dir, head_extra_col=F.concat(desc, canon)
+    )
+    return pages.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://docs.example/d/"), F.col("doc_id").cast("string")
+        ),
+    )
+
+
 def pages_from_documents_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The robots-directive corpus family: a deterministic quota of
     pages carries a ``<meta name="robots">`` directive — doc_id ≡ 0
