@@ -1326,6 +1326,75 @@ def q_redirect_resolve(spark, sf_dir):
     return resolve_canonical_chains(meta, max_hops=8).orderBy("url")
 
 
+#: dup_survivor's planted spam tail — stopword-free so the degraded
+#: copy's stop_ratio drops strictly below the original's.
+_SPAM_SUFFIX = " $$$ click here buy now limited offer deal $$$"
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Exact-substring dedup (the suffix-array family): content-defined
+    1/16 sample of character 40-grams, min-id survivor rule. The
+    corpus plants 'quote' docs — exact 150-char excerpts of earlier
+    docs — which must flag as duplicates while their sources stay
+    survivors; the oracle recomputes the identical sample in SQL."""
+    from mindocr_spark.functions.dedup import substring_dup_flags
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    quotes = docs.where(
+        (F.pmod("doc_id", F.lit(5)) == 2) & (F.length("text") >= 150)
+    ).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.substring("text", 1, 150).alias("text"),
+    )
+    return substring_dup_flags(docs.unionAll(quotes), k=40).orderBy(
+        "doc_id"
+    )
+
+
+def q_dup_survivor(spark, sf_dir):
+    """Quality-aware survivor selection over prefix-fingerprint
+    clusters: degraded near-copies (original text + a stopword-free
+    spam tail) share the original's 200-char prefix, and the KEPT doc
+    per cluster is the highest-stop_ratio member (tie: min id) — the
+    curation-grade 'keep the cleanest copy' policy, as a struct-MIN
+    aggregate both engines order field-wise."""
+    from mindocr_spark.functions.dedup import prefix_dup_survivors
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    spam = docs.where(F.pmod("doc_id", F.lit(6)) == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(_SPAM_SUFFIX)).alias("text"),
+    )
+    return prefix_dup_survivors(
+        docs.unionAll(spam), prefix_chars=200
+    ).orderBy("doc_id")
+
+
+def q_cdx_index(spark, sf_dir):
+    """Capture-index (CDX) build: SURT sort key + md5 content digest +
+    payload byte length per fetched page, zero shuffles. The oracle
+    rebuilds the EXACT page bytes in SQL from the shared template
+    constants (pages_html_sql_expr) and checks digest and length — a
+    whole-page byte-identity proof, not just a schema check."""
+    from mindocr_spark.functions.crawl import cdx_index
+    from mindocr_spark.sources.pages import pages_from_documents
+
+    return cdx_index(pages_from_documents(spark, sf_dir)).orderBy("urlkey")
+
+
+def q_crawl_delta(spark, sf_dir):
+    """Snapshot-to-snapshot crawl delta: full-outer join of two crawl
+    snapshots' (url, digest) projections → added / removed / changed /
+    same per url — the recrawl scheduler's input. The snapshots differ
+    by deterministic doc_id quotas, so the oracle's status is closed-
+    form arithmetic while Spark diffs real page bytes."""
+    from mindocr_spark.functions.crawl import crawl_delta
+    from mindocr_spark.sources.pages import pages_snapshots
+
+    old, new = pages_snapshots(spark, sf_dir)
+    return crawl_delta(old, new).orderBy("url")
+
+
 def q_lm_logppl(spark, sf_dir):
     """CCNet-style LM quality gate: train a Laplace-smoothed unigram
     LM on the clean reference slice (lang='en' documents — the
@@ -1735,6 +1804,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text": _q(q_anchor_text),
         "page_metadata": _q(q_page_metadata),
         "redirect_resolve": _q(q_redirect_resolve),
+        "cdx_index": _q(q_cdx_index),
+        "substring_dedup": _q(q_substring_dedup),
+        "dup_survivor": _q(q_dup_survivor),
+        "crawl_delta": _q(q_crawl_delta),
         "domain_pagerank": _q(q_domain_pagerank),
         "blockword_filter": _q(q_blockword_filter),
         "robots_flags": _q(q_robots_flags),
@@ -2174,6 +2247,11 @@ def oracle_sql() -> dict[str, str]:
     from mindocr_spark.functions import text as _text_pii
     from mindocr_spark.functions import urls as _urls_mod
 
+    from mindocr_spark.sources.pages import (
+        SNAPSHOT_UPDATE_NODE as _UPD,
+        pages_html_sql_expr as _html_expr,
+    )
+
     url = "'https://docs.example/' || source || '/' || CAST(doc_id AS VARCHAR)"
     return {
         "extract_fulltext": f"""
@@ -2402,6 +2480,95 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages
             FROM a GROUP BY dst_domain, anchor
             ORDER BY dst_domain, anchor
+        """,
+        "substring_dedup": r"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000, substr(text, 1, 150)
+              FROM documents WHERE doc_id % 5 = 2 AND length(text) >= 150),
+            pos AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(1, greatest(length(text) - 39, 0)))
+                       AS i
+              FROM corpus),
+            g AS (
+              SELECT DISTINCT doc_id, md5(substr(text, i, 40)) AS gh
+              FROM pos WHERE substr(md5(substr(text, i, 40)), 1, 1) = '0'),
+            stats AS (
+              SELECT gh, min(doc_id) AS g_min, count(*) AS g_n
+              FROM g GROUP BY gh),
+            per AS (
+              SELECT g.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_grams,
+                     CAST(sum(CASE WHEN s.g_n > 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_shared_grams,
+                     bool_or(s.g_n > 1 AND s.g_min < g.doc_id) AS is_dup
+              FROM g JOIN stats s USING (gh) GROUP BY g.doc_id)
+            SELECT c.doc_id,
+                   coalesce(p.n_grams, 0) AS n_grams,
+                   coalesce(p.n_shared_grams, 0) AS n_shared_grams,
+                   coalesce(p.is_dup, FALSE) AS is_dup
+            FROM corpus c LEFT JOIN per p USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "dup_survivor": r"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000,
+                     text || '__SPAM_SUFFIX__'
+              FROM documents WHERE doc_id % 6 = 0),
+            qf AS (
+              SELECT doc_id,
+                     CASE WHEN trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')) = '' THEN 0
+                          ELSE len(string_split(trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')),' '))
+                     END AS nt,
+                     len(regexp_extract_all(text, '\b(the|a|an|and|of|to|in|is|it|for|on|with)\b')) AS sh
+              FROM corpus),
+            q AS (
+              SELECT doc_id,
+                     coalesce(round(CAST(sh AS DOUBLE)
+                              / CAST(nullif(nt, 0) AS DOUBLE), 6), 0.0) AS sr
+              FROM qf),
+            keyed AS (
+              SELECT c.doc_id, md5(substr(c.text, 1, 200)) AS cluster_key,
+                     q.sr
+              FROM corpus c JOIN q USING (doc_id)),
+            best AS (
+              SELECT cluster_key, CAST(count(*) AS BIGINT) AS cluster_size,
+                     min({'nq': 1.0 - sr, 'i': doc_id}) AS b
+              FROM keyed GROUP BY cluster_key)
+            SELECT k.doc_id, k.cluster_key, b.cluster_size,
+                   struct_extract(b.b, 'i') AS survivor_id,
+                   struct_extract(b.b, 'i') = k.doc_id AS is_survivor
+            FROM keyed k JOIN best b USING (cluster_key)
+            ORDER BY doc_id
+        """.replace("__SPAM_SUFFIX__", _SPAM_SUFFIX),
+        "cdx_index": f"""
+            WITH h AS (
+              SELECT {url} AS url, {_html_expr()} AS html
+              FROM documents)
+            SELECT 'example,docs)' || substr(url, 21) AS urlkey,
+                   url,
+                   md5(html) AS digest,
+                   CAST(strlen(html) AS BIGINT) AS length,
+                   'text/html' AS mime
+            FROM h ORDER BY urlkey
+        """,
+        "crawl_delta": f"""
+            WITH s AS (
+              SELECT {url} AS url,
+                     doc_id % 11 <> 0 AS in_old,
+                     doc_id % 7 <> 0 AS in_new,
+                     doc_id % 5 = 0 AS upd
+              FROM documents)
+            SELECT url,
+                   CASE WHEN NOT in_old THEN 'added'
+                        WHEN NOT in_new THEN 'removed'
+                        WHEN upd THEN 'changed'
+                        ELSE 'same' END AS status
+            FROM s WHERE in_old OR in_new ORDER BY url
         """,
         "page_metadata": r"""
             SELECT 'https://docs.example/d/' || CAST(doc_id AS VARCHAR)

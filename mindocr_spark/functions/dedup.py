@@ -56,6 +56,138 @@ def exact_dup_clusters(df: DataFrame, text_col: str = "text",
     )
 
 
+def substring_dup_flags(
+    docs: DataFrame,
+    k: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication flags (the suffix-array dedup family
+    of "Deduplicating Training Data Makes Language Models Better",
+    re-expressed for a shuffle engine): hash every character k-gram,
+    keep a CONTENT-DEFINED 1/16 sample (md5 leading nibble = '0' — the
+    :func:`rolling_fingerprints` discipline), and flag any doc that
+    shares a sampled k-char run with an EARLIER doc (min-id survivor
+    rule). Returns (id, n_grams, n_shared_grams, is_dup) for EVERY
+    input doc.
+
+    Content-defined selection is the load-bearing choice: whether a
+    gram is kept depends only on its BYTES, so a substring shared by
+    two docs is sampled in both or neither — no fixed-stride phase
+    misalignment. A shared run of length L ≥ k contains L−k+1 grams
+    and is missed only if none is selected: p_miss = (15/16)^(L−k+1)
+    (≈2% at L=k+60, ≈10⁻⁵ at L=k+160). Caught pairs are exact
+    byte-equal substrings.
+
+    100 TB shape: the per-position md5 is map-side codegen CPU
+    (embarrassingly parallel, no exchange); only the 1/16 sample —
+    ~len/16 rows of 32-byte hashes per doc — ever shuffles. One
+    groupBy(gram hash) computing (min_id, n_docs), both map-side
+    combinable so a viral boilerplate gram collapses to one row per
+    upstream task, then one equi-join back and one groupBy(id). Same
+    two-shuffle discipline as :func:`paragraph_dedup`."""
+    text = F.col(text_col)
+    g = (
+        docs.select(F.col(id_col), text.alias("_t"))
+        # sequence(1, 0) is the DESCENDING [1, 0] — guard short texts
+        .where(F.length("_t") >= k)
+        .select(
+            id_col,
+            "_t",
+            F.explode(
+                F.sequence(F.lit(1), F.length("_t") - (k - 1))
+            ).alias("i"),
+        )
+        .select(
+            id_col,
+            F.md5(F.substring("_t", F.col("i"), k).cast("binary")).alias("gh"),
+        )
+        .where(F.substring("gh", 1, 1) == "0")
+    )
+    doc_grams = g.distinct()
+    stats = doc_grams.groupBy("gh").agg(
+        F.min(id_col).alias("g_min_id"),
+        F.count("*").alias("g_n_docs"),  # post-distinct: distinct docs
+    )
+    per_doc = (
+        doc_grams.join(stats, "gh")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("g_n_docs") > 1).cast("bigint")).alias(
+                "n_shared_grams"
+            ),
+            F.max(
+                (F.col("g_n_docs") > 1) & (F.col("g_min_id") < F.col(id_col))
+            ).alias("is_dup"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
+def prefix_dup_survivors(
+    docs: DataFrame,
+    prefix_chars: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware survivor selection over prefix-fingerprint
+    clusters: cluster on the md5 of the first `prefix_chars`
+    characters (the cheap truncation-robust fingerprint — a page
+    re-crawled with an appended footer or spam tail keeps its prefix),
+    then keep the HIGHEST-QUALITY member per cluster (stop_ratio
+    descending, doc id ascending on ties) instead of the blind min-id
+    rule — the curation-grade survivor policy: when near-copies
+    differ, keep the cleanest one.
+
+    Returns (id, cluster_key, cluster_size, survivor_id, is_survivor)
+    for every input doc. One shuffle: the per-cluster argmax is a
+    struct-MIN aggregate ((−stop_ratio, id) — field-wise comparison in
+    both engines), map-side combinable, so a viral prefix cluster
+    collapses before the exchange; the flags come back via one
+    equi-join on the cluster key."""
+    from mindocr_spark.functions.text import quality_cols
+
+    q = quality_cols(docs, text_col=text_col, id_col=id_col).select(
+        id_col, F.coalesce("stop_ratio", F.lit(0.0)).alias("__sr")
+    )
+    keyed = (
+        docs.select(
+            id_col,
+            F.md5(
+                F.col(text_col).substr(1, prefix_chars).cast("binary")
+            ).alias("cluster_key"),
+        )
+        .join(q, id_col)
+    )
+    best = keyed.groupBy("cluster_key").agg(
+        F.count("*").alias("cluster_size"),
+        # 1.0 − sr, not −sr: negation maps 0.0 to −0.0, whose total
+        # ordering vs 0.0 is an engine-specific corner
+        F.min(F.struct((F.lit(1.0) - F.col("__sr")).alias("nq"),
+                       F.col(id_col).alias("i"))).alias("__best"),
+    )
+    return (
+        keyed.join(best, "cluster_key")
+        .select(
+            id_col,
+            "cluster_key",
+            "cluster_size",
+            F.col("__best.i").alias("survivor_id"),
+            (F.col("__best.i") == F.col(id_col)).alias("is_survivor"),
+        )
+    )
+
+
 def paragraph_dedup(
     docs: DataFrame,
     text_col: str = "text",

@@ -38,6 +38,50 @@ PAGES_TEMPLATE_ANCHOR = (
 _TS_EPOCH = 1704067200
 
 
+#: The documents→pages chrome, split at every variable insertion point.
+#: Module-level constants (not inline literals) because TWO consumers
+#: must agree on the exact bytes: the JVM concat below AND the CDX
+#: oracle's SQL reconstruction (md5/length of the full page). None of
+#: the pieces contains a single quote, so each embeds verbatim in a
+#: SQL string literal.
+CHROME_HEAD = '<!DOCTYPE html><html><head><meta charset="utf-8">'
+CHROME_TITLE_OPEN = "<title>Doc "
+CHROME_AFTER_TITLE = (
+    "</title><style>.m{max-width:60em}</style>"
+    "<script>var p=1;track();</script></head><body>"
+    "<!-- synthesized page -->"
+    '<header><a href="/">Home</a></header>'
+    '<nav><ul><li><a href="/products">Products</a></li>'
+    '<li><a href="/about">About</a></li>'
+    '<li><a href="/contact">Contact</a></li></ul></nav>'
+    "<main><article><p>"
+)
+CHROME_BODY_SEP = "</p><p>"
+CHROME_BODY_CLOSE = "</p>"
+CHROME_TAIL = (
+    "</article></main>"
+    '<aside><h3>Related</h3><ul><li><a href="/p/1">related reading one</a></li>'
+    '<li><a href="/p/2">related reading two</a></li></ul></aside>'
+    "<footer><p>&copy; 2024 Example Inc. "
+    '<a href="/terms">Terms</a> <a href="/privacy">Privacy</a></p></footer>'
+    "</body></html>"
+)
+
+
+def pages_html_sql_expr(extra_nodes_sql: str = "''") -> str:
+    """The DuckDB SQL expression rebuilding the EXACT html string the
+    plain documents→pages template synthesizes for a row of
+    ``documents`` — the oracle device for whole-page digests (CDX,
+    crawl deltas). `extra_nodes_sql` is a SQL expression for a variant
+    family's extra content nodes (default: none)."""
+    return (
+        f"'{CHROME_HEAD}{CHROME_TITLE_OPEN}' || CAST(doc_id AS VARCHAR)"
+        f" || '{CHROME_AFTER_TITLE}{PAGES_TEMPLATE_ANCHOR}"
+        f"{CHROME_BODY_SEP}' || text || '{CHROME_BODY_CLOSE}'"
+        f" || {extra_nodes_sql} || '{CHROME_TAIL}'"
+    )
+
+
 def _pages_from_documents_template(
     spark: SparkSession, sf_dir: str, extra_nodes: str = "",
     extra_nodes_col=None, head_extra_col=None,
@@ -273,6 +317,33 @@ def pages_from_documents_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("https://docs.example/d/"), F.col("doc_id").cast("string")
         ),
     )
+
+
+#: The snapshot family's changed-content marker node (pinned: the
+#: crawl-delta oracle needs only its EXISTENCE — any byte difference
+#: changes the digest).
+SNAPSHOT_UPDATE_NODE = '<p class="upd">updated content</p>'
+
+
+def pages_snapshots(spark: SparkSession, sf_dir: str):
+    """Two crawl snapshots of the same site, derived deterministically
+    from the documents table: snapshot A misses doc_id ≡ 0 (mod 11)
+    (not yet discovered), snapshot B misses doc_id ≡ 0 (mod 7) (page
+    gone) and carries an extra content node on doc_id ≡ 0 (mod 5)
+    (page changed). Returns ``(old, new)``; the closed-form status per
+    doc is: absent both ↔ 77 | 0, added ↔ 11 | 0, removed ↔ 7 | 0,
+    changed ↔ 5 | 0, else same — pure arithmetic for the SQL oracle."""
+    did = F.col("doc_id")
+    old = _pages_from_documents_template(spark, sf_dir).where(
+        F.pmod(did, F.lit(11)) != 0
+    )
+    upd = F.when(
+        F.pmod(did, F.lit(5)) == 0, F.lit(SNAPSHOT_UPDATE_NODE)
+    ).otherwise(F.lit(""))
+    new = _pages_from_documents_template(
+        spark, sf_dir, extra_nodes_col=upd
+    ).where(F.pmod(did, F.lit(7)) != 0)
+    return old, new
 
 
 def pages_from_documents_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
