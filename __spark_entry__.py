@@ -1238,6 +1238,23 @@ def q_robots_flags(spark, sf_dir):
     ).orderBy("url")
 
 
+def q_robots_gate(spark, sf_dir):
+    """Fetch-side politeness: a real robots.txt interpreter — comment/
+    blank stripping, User-agent group attribution (a specialbot group
+    a ``*`` evaluation must ignore), LONGEST-match Allow/Disallow with
+    allow-wins ties, empty robots ⇒ allow-all, Crawl-delay surfacing.
+    The corpus plants every rule outcome by doc_id arithmetic, so the
+    oracle's verdict is a closed form — the engines agree only if the
+    parse, the group attribution, AND the longest-match argmax are all
+    right (/private/pub/ pages match BOTH a Disallow and a longer
+    Allow)."""
+    from mindocr_spark.functions.crawl import robots_gate
+    from mindocr_spark.sources.pages import robots_corpus
+
+    pages, robots = robots_corpus(spark, sf_dir)
+    return robots_gate(pages, robots, ua="*").orderBy("url")
+
+
 def q_link_graph(spark, sf_dir):
     """Web-graph layer: extract every <a href> from the linked corpus
     family's raw HTML (one codegen regexp_extract_all), resolve
@@ -1811,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_pagerank": _q(q_domain_pagerank),
         "blockword_filter": _q(q_blockword_filter),
         "robots_flags": _q(q_robots_flags),
+        "robots_gate": _q(q_robots_gate),
         "bpe_token_stats": _q(q_bpe_token_stats),
         "tfidf_keywords": _q(q_tfidf_keywords),
         "quality_classifier": _q(q_quality_classifier),
@@ -2658,6 +2676,37 @@ def oracle_sql() -> dict[str, str]:
                    doc_id % 17 = 0 AS noindex,
                    doc_id % 17 IN (0, 5) AS nofollow
             FROM documents ORDER BY url
+        """,
+        "robots_gate": r"""
+            WITH d AS (
+              SELECT doc_id, doc_id % 7 AS site,
+                     CASE doc_id % 5 WHEN 0 THEN 'docs' WHEN 1 THEN 'private'
+                          WHEN 2 THEN 'tmp' WHEN 3 THEN 'private/pub'
+                          ELSE 'media' END AS sec,
+                     doc_id % 5 AS m
+              FROM documents)
+            SELECT 'https://site' || CAST(site AS VARCHAR) || '.example/'
+                     || sec || '/page-' || CAST(doc_id AS VARCHAR)
+                     || '.html' AS url,
+                   'site' || CAST(site AS VARCHAR) || '.example' AS host,
+                   '/' || sec || '/page-' || CAST(doc_id AS VARCHAR)
+                     || '.html' AS path,
+                   CASE WHEN site = 5 THEN TRUE
+                        WHEN m = 1 THEN FALSE
+                        WHEN m = 2 AND site % 2 = 0 THEN FALSE
+                        ELSE TRUE END AS allowed,
+                   CASE WHEN site = 5 THEN NULL
+                        WHEN m = 1 THEN 'disallow'
+                        WHEN m = 3 THEN 'allow'
+                        WHEN m = 2 AND site % 2 = 0 THEN 'disallow'
+                   END AS rule_type,
+                   CASE WHEN site = 5 THEN NULL
+                        WHEN m = 1 THEN '/private/'
+                        WHEN m = 3 THEN '/private/pub/'
+                        WHEN m = 2 AND site % 2 = 0 THEN '/tmp/'
+                   END AS matched_prefix,
+                   CASE WHEN site IN (1, 4) THEN 2.0 END AS crawl_delay
+            FROM d ORDER BY url
         """,
         "blockword_filter": r"""
             SELECT doc_id,

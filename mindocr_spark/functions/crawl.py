@@ -83,3 +83,151 @@ def crawl_delta(
         .otherwise(F.lit("changed"))
         .alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt — fetch-side politeness (the crawl-layer gate, as opposed to
+# the page-side <meta name="robots"> flags in functions/links.py)
+# ---------------------------------------------------------------------------
+
+def parse_robots(
+    robots: DataFrame,
+    ua: str = "*",
+    domain_col: str = "domain",
+    txt_col: str = "robots_txt",
+) -> tuple[DataFrame, DataFrame]:
+    """Parse a (domain, robots_txt) relation into the RULE relation the
+    fetch gate joins against, for one requesting user-agent: rules =
+    (domain, rule_type ∈ allow/disallow, path_prefix, prefix_len) and
+    delays = (domain, crawl_delay).
+
+    Group attribution follows RFC 9309's shape with one documented
+    simplification: a rule belongs to the MOST RECENT ``User-agent``
+    line above it (consecutive UA lines sharing one group-record is
+    not modeled — the corpus families never emit them), and only the
+    group matching `ua` exactly (or ``*``) survives. Comments (``#``…)
+    are stripped, blank lines skipped, field names case-insensitive,
+    and an EMPTY Disallow value — the classic "allow everything"
+    idiom — drops out of the rule set entirely.
+
+    100 TB shape: per-domain robots bodies are tiny (the protocol
+    caps at 500 KiB) and the whole parse is codegen regex + ONE
+    window over (domain, line_no) — partition-local after a single
+    shuffle on domain, which the downstream gate join needs anyway.
+    No Python.
+
+    Reference lineage: the reference's per-source config blocks select
+    which transform pipeline applies to which dataset
+    (reference: configs/rec/crnn/crnn_icdar15.yaml, tools/infer/text/
+    config.py:23-60); UA-group selection is the crawl-layer analog of
+    that per-source dispatch.
+    """
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(txt_col), "\n")).alias("line_no", "raw"),
+    )
+    clean = F.trim(F.regexp_replace(F.col("raw"), "#.*", ""))
+    parsed = lines.select(
+        "domain",
+        "line_no",
+        F.lower(
+            F.trim(F.regexp_extract(clean, r"(?i)^user-agent:\s*(\S+)", 1))
+        ).alias("ua_decl"),
+        F.lower(
+            F.regexp_extract(clean, r"(?i)^(allow|disallow|crawl-delay):", 1)
+        ).alias("kind"),
+        F.trim(
+            F.regexp_extract(
+                clean, r"(?i)^(?:allow|disallow|crawl-delay):\s*(\S*)", 1
+            )
+        ).alias("value"),
+    )
+    w = (
+        Window.partitionBy("domain")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sect = parsed.withColumn(
+        "cur_ua",
+        F.last(
+            F.when(F.col("ua_decl") != "", F.col("ua_decl")), ignorenulls=True
+        ).over(w),
+    )
+    mine = (F.col("cur_ua") == ua.lower()) | (F.col("cur_ua") == "*")
+    rules = sect.where(
+        F.col("kind").isin("allow", "disallow")
+        & mine
+        & (F.col("value") != "")
+    ).select(
+        "domain",
+        F.col("kind").alias("rule_type"),
+        F.col("value").alias("path_prefix"),
+        F.length("value").alias("prefix_len"),
+    )
+    delays = (
+        sect.where((F.col("kind") == "crawl-delay") & mine)
+        .groupBy("domain")
+        .agg(F.min(F.col("value").cast("double")).alias("crawl_delay"))
+    )
+    return rules, delays
+
+
+def robots_gate(
+    pages: DataFrame,
+    robots: DataFrame,
+    ua: str = "*",
+    url_col: str = "url",
+) -> DataFrame:
+    """Evaluate robots.txt fetch permission per page: (url, host,
+    path, allowed, rule_type, matched_prefix, crawl_delay). Standard
+    longest-match semantics: among the requesting UA's rules whose
+    path_prefix is a prefix of the page path, the LONGEST wins; on an
+    exact length tie Allow wins; no matching rule (or no robots.txt
+    at all) means allowed.
+
+    100 TB shape: rules and delays join on host — the rules side is
+    ~rules-per-domain × domains (bounded by the 500 KiB protocol cap,
+    in practice a few rows per domain), so the join is a classic
+    small-dim equi-join; the longest-match argmax is ONE map-side-
+    combinable max(struct(prefix_len, allow_wins, …)) per url, so a
+    hot domain's million pages never amplify — each carries only its
+    own matched-rule row into the aggregate. No Python anywhere.
+    """
+    rules, delays = parse_robots(robots, ua=ua)
+    p = pages.select(
+        F.col(url_col).alias("url"),
+        url_host(url_col).alias("host"),
+        F.regexp_extract(
+            F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)?", 1
+        ).alias("path"),
+    )
+    best = (
+        p.join(rules, p["host"] == rules["domain"])
+        .where(F.col("path").startswith(F.col("path_prefix")))
+        .groupBy("url")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("prefix_len").alias("l"),
+                    (F.col("rule_type") == "allow").cast("int").alias("a"),
+                    F.col("rule_type").alias("t"),
+                    F.col("path_prefix").alias("p"),
+                )
+            ).alias("b")
+        )
+    )
+    return (
+        p.join(best, "url", "left")
+        .join(delays, p["host"] == delays["domain"], "left")
+        .select(
+            "url",
+            "host",
+            "path",
+            F.coalesce(F.col("b.a") == 1, F.lit(True)).alias("allowed"),
+            F.col("b.t").alias("rule_type"),
+            F.col("b.p").alias("matched_prefix"),
+            "crawl_delay",
+        )
+    )

@@ -393,3 +393,72 @@ def write_pages_partitioned(
         .partitionBy("ts_bucket")
         .parquet(path)
     )
+
+
+def robots_corpus(spark: SparkSession, sf_dir: str):
+    """The robots.txt (fetch-politeness) corpus family: (pages, robots).
+
+    Pages spread each document over 7 sites × 5 path sections by pure
+    doc_id arithmetic — site = doc_id mod 7, section = element mod 5 of
+    (docs, private, tmp, private/pub, media) — so the gate verdict has
+    a closed form the SQL oracle reproduces without parsing anything:
+
+    * every site's ``*`` group disallows ``/private/`` but allows the
+      LONGER ``/private/pub/`` (the longest-match tiebreak is the
+      load-bearing semantics being tested),
+    * even sites additionally disallow ``/tmp/``,
+    * sites 1 and 4 declare ``Crawl-delay: 2``,
+    * site 3 carries a ``specialbot`` group disallowing everything —
+      which a ``*`` evaluation must IGNORE (group attribution test),
+    * site 5's robots.txt is EMPTY (no rules ⇒ everything allowed),
+    * every body has a comment line and blank lines to strip.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    site = F.pmod(F.col("doc_id"), F.lit(7))
+    sec = F.element_at(
+        F.array(
+            F.lit("docs"), F.lit("private"), F.lit("tmp"),
+            F.lit("private/pub"), F.lit("media"),
+        ),
+        (F.pmod(F.col("doc_id"), F.lit(5)) + 1).cast("int"),
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"), site.cast("string"), F.lit(".example/"),
+            sec, F.lit("/page-"), F.col("doc_id").cast("string"),
+            F.lit(".html"),
+        ).alias("url"),
+    )
+    s = F.col("site")
+    robots = (
+        spark.range(7)
+        .select(F.col("id").alias("site"))
+        .select(
+            F.concat(
+                F.lit("site"), s.cast("string"), F.lit(".example")
+            ).alias("domain"),
+            F.when(s == 5, F.lit("")).otherwise(
+                F.concat(
+                    F.lit("# robots for site "), s.cast("string"),
+                    F.lit("\n"),
+                    F.when(
+                        s == 3,
+                        F.lit("User-agent: specialbot\nDisallow: /\n\n"),
+                    ).otherwise(F.lit("")),
+                    F.lit(
+                        "User-agent: *\n"
+                        "Disallow: /private/\n"
+                        "Allow: /private/pub/\n"
+                    ),
+                    F.when(
+                        F.pmod(s, F.lit(2)) == 0, F.lit("Disallow: /tmp/\n")
+                    ).otherwise(F.lit("")),
+                    F.when(
+                        (s == 1) | (s == 4), F.lit("Crawl-delay: 2\n")
+                    ).otherwise(F.lit("")),
+                )
+            ).alias("robots_txt"),
+        )
+    )
+    return pages, robots

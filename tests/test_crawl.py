@@ -71,3 +71,71 @@ def test_cdx_plan_is_scan_only(spark):
     df = cdx_index(pages_from_documents(spark, "/root/testdata/sf0.001"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_robots_gate_semantics(spark):
+    """Unit goldens for the robots.txt interpreter: longest-match with
+    allow-wins ties, group attribution (foreign UA group ignored),
+    empty robots = allow-all, comment/blank stripping, empty-Disallow
+    idiom, crawl-delay surfacing, and no-robots-at-all = allowed."""
+    from mindocr_spark.functions.crawl import robots_gate
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.example",
+                "# comment\n"
+                "User-agent: specialbot\nDisallow: /\n"
+                "\n"
+                "User-agent: *\n"
+                "Disallow: /private/\n"
+                "Allow: /private/pub/\n"
+                "Crawl-delay: 2\n",
+            ),
+            ("b.example", ""),  # empty body: allow everything
+            ("c.example", "User-agent: *\nDisallow:\n"),  # empty value idiom
+        ],
+        "domain string, robots_txt string",
+    )
+    pages = spark.createDataFrame(
+        [
+            ("https://a.example/private/x.html",),
+            ("https://a.example/private/pub/x.html",),
+            ("https://a.example/docs/x.html",),
+            ("https://b.example/anything",),
+            ("https://c.example/anything",),
+            ("https://norobots.example/x",),
+        ],
+        "url string",
+    )
+    got = {r["url"]: r for r in robots_gate(pages, robots).collect()}
+    a_priv = got["https://a.example/private/x.html"]
+    assert (a_priv["allowed"], a_priv["matched_prefix"]) == (False, "/private/")
+    a_pub = got["https://a.example/private/pub/x.html"]
+    assert (a_pub["allowed"], a_pub["rule_type"]) == (True, "allow")
+    assert got["https://a.example/docs/x.html"]["allowed"] is True
+    assert a_priv["crawl_delay"] == 2.0
+    assert got["https://b.example/anything"]["allowed"] is True
+    assert got["https://c.example/anything"]["allowed"] is True
+    assert got["https://norobots.example/x"]["allowed"] is True
+    assert got["https://norobots.example/x"]["crawl_delay"] is None
+
+
+def test_robots_specific_ua_group(spark):
+    """A named UA must pick up ITS group's rules (plus the * group)."""
+    from mindocr_spark.functions.crawl import robots_gate
+
+    robots = spark.createDataFrame(
+        [("a.example",
+          "User-agent: mybot\nDisallow: /mine/\n\n"
+          "User-agent: *\nDisallow: /all/\n")],
+        "domain string, robots_txt string",
+    )
+    pages = spark.createDataFrame(
+        [("https://a.example/mine/x",), ("https://a.example/all/x",)],
+        "url string",
+    )
+    got = {r["url"]: r["allowed"]
+           for r in robots_gate(pages, robots, ua="mybot").collect()}
+    assert got == {"https://a.example/mine/x": False,
+                   "https://a.example/all/x": False}
