@@ -526,6 +526,48 @@ def q_nfc_normalize(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+#: Mojibake corpus constants. The broken form IS the fixed form's
+#: UTF-8 bytes reinterpreted as Latin-1 — computed, not hand-typed, so
+#: the pair can never drift. Every accent is chosen so its UTF-8
+#: continuation byte lands in A0–BF (printable Latin-1), keeping the
+#: broken literal embeddable in the SQL oracle verbatim.
+_MOJI_FIXED_SUFFIX = " café résumé naïve señor"
+_MOJI_BROKEN_SUFFIX = _MOJI_FIXED_SUFFIX.encode("utf-8").decode("latin-1")
+#: CJK tail for the detected-but-unrepairable arm: not representable in
+#: Latin-1, so the guarded rewrite must refuse to touch the doc.
+_MOJI_CJK_TAIL = " 汉"
+
+
+def q_mojibake_repair(spark, sf_dir):
+    """Mojibake detect + guarded repair (the encoding-fixing curation
+    stage). The word-soup documents are pure ASCII, so the fault is
+    planted IN-QUERY by doc_id%9: a UTF-8-as-Latin-1 double-encoded
+    suffix (must be repaired to the true glyphs), the same suffix in
+    NATIVE form (accented chars that must NOT trip the detector), and
+    a broken suffix plus a CJK char (detected, but the Latin-1
+    reinterpretation doesn't exist — the guard must refuse). The
+    oracle states each arm's verdict in closed form from the shared
+    suffix constants, so detection, the safety guard, AND the
+    byte-level rewrite must all agree."""
+    from mindocr_spark.functions.text import mojibake_cols
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.pmod(F.col("doc_id"), F.lit(9))
+    suffix = (
+        F.when(m == 0, F.lit(_MOJI_BROKEN_SUFFIX))
+        .when(m == 4, F.lit(_MOJI_FIXED_SUFFIX))
+        .when(m == 7, F.lit(_MOJI_BROKEN_SUFFIX + _MOJI_CJK_TAIL))
+        .otherwise(F.lit(""))
+    )
+    built = docs.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    return mojibake_cols(built).select(
+        "doc_id", "text", "moji_detected", "moji_fixed",
+        F.length("text").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
 def _built_url_corpus(spark, sf_dir):
     """Shared URL-variant corpus for the url_* queries: every 5
     consecutive doc_ids are the SAME page (pid = doc_id div 5) spelled
@@ -1788,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q(q_quality_scores),
         "pii_redact": _q(q_pii_redact),
         "nfc_normalize": _q(q_nfc_normalize),
+        "mojibake_repair": _q(q_mojibake_repair),
         "url_canonicalize": _q(q_url_canonicalize),
         "domain_stats": _q(q_domain_stats),
         "domain_cap": _q(q_domain_cap),
@@ -3101,6 +3144,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(nfc_normalize(text)) AS INT)
                      AS n_chars
             FROM built ORDER BY doc_id
+        """,
+        # closed-form mojibake verdicts: the broken/fixed suffix pair
+        # is injected from the SAME Python constants the Spark query
+        # plants, so the corpora can never drift; m=0 repairs to the
+        # fixed form, m=4 (native accents) and m=7 (CJK blocks the
+        # Latin-1 reinterpretation) keep their bytes
+        "mojibake_repair": f"""
+            WITH d AS (
+              SELECT doc_id, text, CAST(doc_id % 9 AS INT) AS m
+              FROM documents),
+            b AS (
+              SELECT doc_id,
+                     CASE WHEN m IN (0, 4) THEN text || '{_MOJI_FIXED_SUFFIX}'
+                          WHEN m = 7
+                            THEN text || '{_MOJI_BROKEN_SUFFIX}{_MOJI_CJK_TAIL}'
+                          ELSE text END AS text,
+                     m IN (0, 7) AS moji_detected,
+                     m = 0 AS moji_fixed
+              FROM d)
+            SELECT doc_id, text, moji_detected, moji_fixed,
+                   CAST(length(text) AS INT) AS n_chars
+            FROM b ORDER BY doc_id
         """,
         "lang_id": r"""
             WITH c AS (

@@ -82,6 +82,12 @@ class CurateConfig:
     # defeating byte-level fingerprints). One Arrow-batched pandas UDF
     # in the narrow post-extraction stage — no shuffle.
     nfc_normalize: bool = False
+    # repair mojibake (UTF-8 bytes decoded as Latin-1 upstream) before
+    # every gate and dedup pass, and before NFC — broken and clean
+    # encodings of the same page collapse as the duplicates they are.
+    # Guarded codegen rewrite (applies only when provably safe);
+    # pure row expressions, no shuffle.
+    fix_mojibake: bool = False
     # transitive near-dup collapse: instead of dropping the larger url
     # of each candidate pair (which leaves a chain member alive when it
     # is only ever the SMALLER side of its pairs), run connected
@@ -168,17 +174,25 @@ def _curate_build(pages, cfg, params, _persist):
         "boilerplate_ratio", "failed",
     ))
 
-    # Unicode canonicalization FIRST — before even the length gate:
-    # NFC can change character counts in both directions, so gating on
-    # pre-canonical bytes would admit or drop a page based on its
-    # crawl encoding, the exact divergence this option neutralizes.
-    # Every downstream signal (min_chars, lang n-grams, quality
-    # ratios, fingerprints, shingles) reads the canonical bytes.
+    # Encoding repair FIRST, canonicalization SECOND — both before the
+    # length gate. Mojibake repair must precede NFC: the rewrite turns
+    # broken byte sequences back into the real glyphs, and only THEN
+    # does canonical-form normalization mean anything. Gating on
+    # pre-repair bytes would admit or drop a page based on its crawl
+    # encoding, the exact divergence these options neutralize. Every
+    # downstream signal (min_chars, lang n-grams, quality ratios,
+    # fingerprints, shingles) reads the repaired, canonical bytes.
     src = extracted
+    if cfg.fix_mojibake:
+        from mindocr_spark.functions.text import mojibake_cols
+
+        src = mojibake_cols(src, text_col="text").drop(
+            "moji_detected", "moji_fixed"
+        )
     if cfg.nfc_normalize:
         from mindocr_spark.functions.text import unicode_normalize_cols
 
-        src = unicode_normalize_cols(extracted, text_col="text").drop(
+        src = unicode_normalize_cols(src, text_col="text").drop(
             "was_normalized"
         )
     ok = src.where(

@@ -406,6 +406,60 @@ def unicode_normalize_cols(df: DataFrame, text_col: str = "text",
 
 
 # --------------------------------------------------------------------------
+# Mojibake detection + repair (curation-stage encoding fixing)
+# --------------------------------------------------------------------------
+
+#: Classic UTF-8-read-as-Latin-1 signature: a character whose code
+#: point equals a UTF-8 LEAD byte (C2–F4) immediately followed by one
+#: whose code point is a CONTINUATION byte (80–BF). Genuine Latin text
+#: essentially never puts a C1-control/NBSP-range char right after
+#: Ã/Â/â-class letters, so this is the standard high-precision trigger
+#: (the ftfy heuristic family). \uXXXX escapes parse identically in
+#: Java regex and RE2.
+MOJIBAKE_SIG_RE = "[\\u00c2-\\u00f4][\\u0080-\\u00bf]"
+#: Every char representable in ISO-8859-1 — the precondition for
+#: reinterpreting the string's code points as bytes at all.
+_LATIN1_RE = "^[\\x00-\\u00ff]*$"
+
+
+def mojibake_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Detect and repair mojibake — UTF-8 page bytes that were decoded
+    as Latin-1 somewhere upstream ("café" crawled as "cafÃ©"), the
+    classic encoding fault of a web corpus. Rewrites `text_col` in
+    place and appends ``moji_detected`` (signature present) and
+    ``moji_fixed`` (rewrite applied).
+
+    A doc is repaired only when the fix is PROVABLY safe: (1) the
+    mojibake signature fires, (2) every char is Latin-1-representable
+    (otherwise the reinterpretation doesn't exist — Spark's ``encode``
+    raises on unmappable chars, so the encode is gated behind this
+    check), and (3) the resulting byte string is valid UTF-8
+    (``is_valid_utf8`` — otherwise ``decode`` would raise). Repair =
+    ``decode(encode(text, ISO-8859-1), UTF-8)``, one pass (the standard
+    fix; doubly-double-encoded text repairs one layer per run).
+    Detected-but-unsafe docs keep their bytes and surface
+    ``moji_detected`` for a quarantine gate.
+
+    Entirely JVM-side codegen expressions on the scan — zero shuffles,
+    zero Python. Reference analog: DecodeImage's charset-sniff +
+    canonical re-decode before any downstream op reads the payload
+    (reference: mindocr/data/transforms/general_transforms.py:25-64).
+    """
+    t = F.col(text_col)
+    detected = t.rlike(MOJIBAKE_SIG_RE)
+    enc = F.when(t.rlike(_LATIN1_RE), F.encode(t, "ISO-8859-1"))
+    fixable = detected & F.coalesce(F.is_valid_utf8(enc), F.lit(False))
+    return (
+        df.withColumn("moji_detected", detected)
+        .withColumn("moji_fixed", fixable)
+        .withColumn(
+            text_col,
+            F.when(fixable, F.decode(enc, "UTF-8")).otherwise(t),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Language ID (n-gram / marker-word heuristic)
 # --------------------------------------------------------------------------
 

@@ -441,3 +441,40 @@ def test_curate_respects_robots_noindex(spark):
     assert "https://x.example/hidden" not in urls
     assert "https://x.example/open" in urls   # content="all" passes
     assert urls_open - urls == {"https://x.example/hidden"}
+
+
+def test_curate_fix_mojibake_collapses_encoding_twins(spark):
+    """A page crawled clean and the same page crawled through a
+    Latin-1 mis-decode are distinct byte strings to exact dedup — with
+    fix_mojibake on, the broken copy repairs to the clean bytes and the
+    pair collapses to one survivor."""
+    from mindocr_spark.corpus import generate_batch, PAGES_SCHEMA_DDL
+    from mindocr_spark.curate import CurateConfig, curate
+
+    rows = generate_batch(17, range(20))
+    body = ("the caf\u00e9 on the corner serves excellent petit "
+            "d\u00e9jeuner to its loyal visitors every single morning")
+    broken = body.encode("utf-8").decode("latin-1")
+
+    def page(tag, text):
+        html = (f"<html><body><article><p>{text}</p>"
+                f"</article></body></html>").encode()
+        return dict(rows[0], url=f"https://moji.example/{tag}", html=html,
+                    text="")
+
+    pages = spark.createDataFrame(
+        rows + [page("clean", body), page("broken", broken)],
+        PAGES_SCHEMA_DDL,
+    )
+    base = dict(min_chars=50, neardup_threshold=2.0)
+
+    off = {r["url"] for r in curate(pages, CurateConfig(**base))[0]
+           .collect()}
+    assert {"https://moji.example/clean",
+            "https://moji.example/broken"} <= off  # distinct bytes
+
+    on = {r["url"] for r in
+          curate(pages, CurateConfig(**base, fix_mojibake=True))[0]
+          .collect()}
+    assert len(on & {"https://moji.example/clean",
+                     "https://moji.example/broken"}) == 1

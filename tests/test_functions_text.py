@@ -453,3 +453,60 @@ class TestSequencePack:
             r"sum\(n_tokens#\d+\) windowspecdefinition\("
             r"lang#\d+, __b#\d+,", plan
         ), "big-side cumsum window lost its __b salt"
+
+
+class TestMojibake:
+    """Guarded mojibake detect/repair: rewrite only when provably safe."""
+
+    def _run(self, spark, texts):
+        from mindocr_spark.functions.text import mojibake_cols
+
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        return mojibake_cols(df).collect()
+
+    def test_repairs_double_encoded_text(self, spark):
+        orig = "café résumé naïve señor straße"
+        broken = orig.encode("utf-8").decode("latin-1")
+        [r] = self._run(spark, ["body " + broken])
+        assert (r["moji_detected"], r["moji_fixed"]) == (True, True)
+        assert r["text"] == "body " + orig
+
+    def test_unrepairable_keeps_bytes(self, spark):
+        """Signature present but a CJK char blocks the Latin-1
+        reinterpretation: detected, NOT fixed, bytes untouched."""
+        broken = "é".encode("utf-8").decode("latin-1")
+        t = f"body {broken} 汉"
+        [r] = self._run(spark, [t])
+        assert (r["moji_detected"], r["moji_fixed"]) == (True, False)
+        assert r["text"] == t
+
+    def test_invalid_utf8_reinterpretation_refused(self, spark):
+        """A lead-byte char followed by a NON-continuation char after a
+        genuine signature elsewhere: the whole-string decode would
+        throw, so the guard must refuse (is_valid_utf8 arm)."""
+        broken = "é".encode("utf-8").decode("latin-1")
+        t = f"{broken} then lone Ã dangling"
+        [r] = self._run(spark, [t])
+        assert (r["moji_detected"], r["moji_fixed"]) == (True, False)
+        assert r["text"] == t
+
+    def test_native_accents_pass_through(self, spark):
+        for t in ["native é accents à la carte", "straße naïve señor",
+                  "plain ascii", ""]:
+            [r] = self._run(spark, [t])
+            assert (r["moji_detected"], r["moji_fixed"]) == (False, False)
+            assert r["text"] == t
+
+    def test_null_text_survives(self, spark):
+        [r] = self._run(spark, [None])
+        assert r["text"] is None
+        assert not r["moji_detected"]
+
+    def test_one_pass_per_run(self, spark):
+        """Doubly-double-encoded text repairs exactly one layer."""
+        orig = "café"
+        once = orig.encode("utf-8").decode("latin-1")
+        twice = once.encode("utf-8").decode("latin-1")
+        [r] = self._run(spark, [twice])
+        assert r["moji_fixed"]
+        assert r["text"] == once
