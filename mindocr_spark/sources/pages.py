@@ -462,3 +462,104 @@ def robots_corpus(spark: SparkSession, sf_dir: str):
         )
     )
     return pages, robots
+
+
+def pages_from_documents_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The structured-data corpus family: a deterministic quota of
+    pages carries schema.org JSON-LD ``<script>`` blocks in <head>,
+    all fields pure doc_id arithmetic so the SQL oracle states every
+    extracted entity in closed form — doc_id mod 6 selects:
+
+    * 1, 5 → one Article (headline "Doc {id}", author "Author
+      {id mod 13}", datePublished 2024-01-{id mod 28 + 1}),
+    * 2 → one Product (name "Product {id}", price {id mod 997}),
+    * 4 → BOTH blocks, Article then Product (multi-block explode
+      order is load-bearing),
+    * 3 → a MALFORMED block (truncated JSON — must yield a NULL-field
+      row, never an error),
+    * 0 → none.
+
+    The chrome's own ``<script>var p=1;…</script>`` sits on every page
+    as a non-JSON-LD decoy the carrier regex must ignore.
+    """
+    did = F.col("doc_id")
+    day = F.lpad((F.pmod(did, F.lit(28)) + 1).cast("string"), 2, "0")
+    article = F.concat(
+        F.lit('<script type="application/ld+json">'
+              '{"@context":"https://schema.org","@type":"Article",'
+              '"headline":"Doc '),
+        did.cast("string"),
+        F.lit('","author":"Author '),
+        F.pmod(did, F.lit(13)).cast("string"),
+        F.lit('","datePublished":"2024-01-'),
+        day,
+        F.lit('"}</script>'),
+    )
+    product = F.concat(
+        F.lit('<script type="application/ld+json">'
+              '{"@context":"https://schema.org","@type":"Product",'
+              '"name":"Product '),
+        did.cast("string"),
+        F.lit('","price":'),
+        F.pmod(did, F.lit(997)).cast("string"),
+        F.lit("}</script>"),
+    )
+    malformed = F.lit(
+        '<script type="application/ld+json">'
+        '{"@type":"Article","headline":</script>'
+    )
+    m = F.pmod(did, F.lit(6))
+    head = (
+        F.when(m.isin(1, 5), article)
+        .when(m == 2, product)
+        .when(m == 3, malformed)
+        .when(m == 4, F.concat(article, product))
+        .otherwise(F.lit(""))
+    )
+    return _pages_from_documents_template(spark, sf_dir, head_extra_col=head)
+
+
+def pages_from_documents_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HTML-table corpus family: a deterministic quota of pages
+    carries ``<table>`` markup inside <article>, every cell pure doc_id
+    arithmetic — doc_id mod 5 selects:
+
+    * 1 → one 2-column table with a ``<th>`` header row plus two data
+      rows (w{id}/{id mod 50}, x{id}/{id mod 31}),
+    * 2 → TWO tables (a 1×1, then a 1-column table with a header) —
+      table_idx order is load-bearing,
+    * 3 → a RAGGED table (row 0 has two cells, row 1 has one — col_idx
+      must not invent a phantom cell),
+    * 0, 4 → none.
+
+    The chrome's nav/aside/footer lists are the decoys the table regex
+    must ignore.
+    """
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    t1 = F.concat(
+        F.lit("<table><tr><th>item</th><th>qty</th></tr><tr><td>w"),
+        ds, F.lit("</td><td>"), F.pmod(did, F.lit(50)).cast("string"),
+        F.lit("</td></tr><tr><td>x"),
+        ds, F.lit("</td><td>"), F.pmod(did, F.lit(31)).cast("string"),
+        F.lit("</td></tr></table>"),
+    )
+    t2 = F.concat(
+        F.lit("<table><tr><td>solo "), ds,
+        F.lit("</td></tr></table><table><tr><th>k</th></tr><tr><td>v"),
+        ds, F.lit("</td></tr></table>"),
+    )
+    t3 = F.concat(
+        F.lit("<table><tr><td>a"), ds, F.lit("</td><td>b"), ds,
+        F.lit("</td></tr><tr><td>c"), ds, F.lit("</td></tr></table>"),
+    )
+    m = F.pmod(did, F.lit(5))
+    nodes = (
+        F.when(m == 1, t1)
+        .when(m == 2, t2)
+        .when(m == 3, t3)
+        .otherwise(F.lit(""))
+    )
+    return _pages_from_documents_template(
+        spark, sf_dir, extra_nodes_col=nodes
+    )
