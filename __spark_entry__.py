@@ -1297,6 +1297,55 @@ def q_robots_gate(spark, sf_dir):
     return robots_gate(pages, robots, ua="*").orderBy("url")
 
 
+def q_sitemap_parse(spark, sf_dir):
+    """Sitemap-protocol parsing: per-domain sitemap.xml bodies →
+    declared-URL relation (domain, loc, lastmod, changefreq), optional
+    fields NULL. The corpus assembles real XML from doc_id arithmetic,
+    so the oracle states the parsed relation in closed form without
+    touching XML."""
+    from mindocr_spark.functions.crawl import parse_sitemaps
+    from mindocr_spark.sources.pages import sitemap_corpus
+
+    _, sitemaps = sitemap_corpus(spark, sf_dir)
+    return parse_sitemaps(sitemaps).orderBy("domain", "loc")
+
+
+def q_sitemap_coverage(spark, sf_dir):
+    """Crawl-coverage accounting: reconcile the site-DECLARED url
+    inventory against the CRAWLED inventory with one url-grain
+    full-outer join — uncrawled / undeclared / stale / fresh verdicts
+    per url (staleness by lexicographic ISO-date compare, no timestamp
+    parsing). Every verdict is doc_id arithmetic in the oracle."""
+    from mindocr_spark.functions.crawl import (
+        parse_sitemaps, sitemap_coverage,
+    )
+    from mindocr_spark.sources.pages import sitemap_corpus
+
+    pages, sitemaps = sitemap_corpus(spark, sf_dir)
+    return sitemap_coverage(
+        parse_sitemaps(sitemaps), pages, as_of="2024-01-01"
+    ).orderBy("url")
+
+
+def q_fetch_schedule(spark, sf_dir):
+    """Politeness-aware fetch planning, COMPOSED over the robots gate:
+    the robots.txt verdicts (allowed + crawl_delay) feed a per-host
+    crawl round — the first floor(60s / delay) urls per host get slots
+    at (seq−1)·delay. Ranking is the skew-safe two-phase shape (salted
+    local rank, then exact rank over bounded survivors); the oracle is
+    the plain single-window twin over the closed-form allowed set, so
+    the gate verdicts, the two-phase equivalence, the capacity floor,
+    AND the slot arithmetic must all agree."""
+    from mindocr_spark.functions.crawl import fetch_schedule, robots_gate
+    from mindocr_spark.sources.pages import robots_corpus
+
+    pages, robots = robots_corpus(spark, sf_dir)
+    frontier = robots_gate(pages, robots, ua="*").where(F.col("allowed"))
+    return fetch_schedule(frontier, round_seconds=60.0).orderBy(
+        "host", "seq"
+    )
+
+
 def q_jsonld_extract(spark, sf_dir):
     """schema.org JSON-LD extraction: pull every structured-data
     script block out of raw HTML (one codegen regexp_extract_all, the
@@ -1903,6 +1952,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blockword_filter": _q(q_blockword_filter),
         "robots_flags": _q(q_robots_flags),
         "robots_gate": _q(q_robots_gate),
+        "sitemap_parse": _q(q_sitemap_parse),
+        "sitemap_coverage": _q(q_sitemap_coverage),
+        "fetch_schedule": _q(q_fetch_schedule),
         "jsonld_extract": _q(q_jsonld_extract),
         "table_extract": _q(q_table_extract),
         "bpe_token_stats": _q(q_bpe_token_stats),
@@ -2783,6 +2835,83 @@ def oracle_sql() -> dict[str, str]:
                    END AS matched_prefix,
                    CASE WHEN site IN (1, 4) THEN 2.0 END AS crawl_delay
             FROM d ORDER BY url
+        """,
+        # the parsed sitemap relation in closed form: page entries for
+        # doc_id % 3 != 2, draft entries for doc_id % 10 = 7
+        "sitemap_parse": r"""
+            WITH d AS (
+              SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS s
+              FROM documents)
+            SELECT 'site' || s || '.example' AS domain,
+                   'https://site' || s || '.example/page-'
+                     || CAST(doc_id AS VARCHAR) || '.html' AS loc,
+                   '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR),
+                                      2, '0') AS lastmod,
+                   CASE WHEN doc_id % 2 = 0 THEN 'daily'
+                        ELSE 'weekly' END AS changefreq
+            FROM d WHERE doc_id % 3 <> 2
+            UNION ALL
+            SELECT 'site' || s || '.example',
+                   'https://site' || s || '.example/draft-'
+                     || CAST(doc_id AS VARCHAR) || '.html',
+                   '2024-02-01', 'monthly'
+            FROM d WHERE doc_id % 10 = 7
+            ORDER BY domain, loc
+        """,
+        # coverage verdicts: every crawled page row (undeclared when
+        # doc_id % 3 = 2, else stale unless doc_id % 28 = 0) plus the
+        # never-crawled draft entries
+        "sitemap_coverage": r"""
+            WITH d AS (
+              SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS s
+              FROM documents)
+            SELECT 'https://site' || s || '.example/page-'
+                     || CAST(doc_id AS VARCHAR) || '.html' AS url,
+                   doc_id % 3 <> 2 AS in_sitemap,
+                   TRUE AS crawled,
+                   CASE WHEN doc_id % 3 <> 2
+                        THEN '2024-01-'
+                          || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                   END AS lastmod,
+                   CASE WHEN doc_id % 3 = 2 THEN 'undeclared'
+                        WHEN doc_id % 28 <> 0 THEN 'stale'
+                        ELSE 'fresh' END AS status
+            FROM d
+            UNION ALL
+            SELECT 'https://site' || s || '.example/draft-'
+                     || CAST(doc_id AS VARCHAR) || '.html',
+                   TRUE, FALSE, '2024-02-01', 'uncrawled'
+            FROM d WHERE doc_id % 10 = 7
+            ORDER BY url
+        """,
+        # single-window twin of the two-phase schedule over the
+        # closed-form robots-allowed set; capacity = floor(60/delay)
+        "fetch_schedule": r"""
+            WITH d AS (
+              SELECT doc_id, doc_id % 7 AS site,
+                     CASE doc_id % 5 WHEN 0 THEN 'docs' WHEN 1 THEN 'private'
+                          WHEN 2 THEN 'tmp' WHEN 3 THEN 'private/pub'
+                          ELSE 'media' END AS sec,
+                     doc_id % 5 AS m
+              FROM documents),
+            f AS (
+              SELECT 'https://site' || CAST(site AS VARCHAR) || '.example/'
+                       || sec || '/page-' || CAST(doc_id AS VARCHAR)
+                       || '.html' AS url,
+                     'site' || CAST(site AS VARCHAR) || '.example' AS host,
+                     CASE WHEN site IN (1, 4) THEN CAST(2.0 AS DOUBLE)
+                          ELSE CAST(1.0 AS DOUBLE) END AS delay,
+                     CASE WHEN site IN (1, 4) THEN 30 ELSE 60 END AS cap
+              FROM d
+              WHERE site = 5 OR NOT (m = 1 OR (m = 2 AND site % 2 = 0))),
+            r AS (
+              SELECT url, host, delay, cap,
+                     CAST(row_number() OVER (
+                       PARTITION BY host ORDER BY url) AS INT) AS seq
+              FROM f)
+            SELECT url, host, seq, delay AS crawl_delay,
+                   (seq - 1) * delay AS fetch_at_s
+            FROM r WHERE seq <= cap ORDER BY host, seq
         """,
         # closed-form JSON-LD entities from the planted doc_id quota:
         # Article / Product / both-in-order / malformed-to-NULL

@@ -19,7 +19,7 @@ layer analog of that keyed record discipline.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .urls import url_host
 
@@ -229,5 +229,165 @@ def robots_gate(
             F.col("b.t").alias("rule_type"),
             F.col("b.p").alias("matched_prefix"),
             "crawl_delay",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sitemap.xml — declared-URL inventory and crawl-coverage accounting
+# ---------------------------------------------------------------------------
+
+#: Sitemap-protocol entry / field patterns (sitemaps.org). Non-greedy
+#: bodies; shared constants so the corpus writer and both engines pin
+#: the same bytes.
+SITEMAP_URL_RE = r"<url>(.*?)</url>"
+_LOC_RE = r"<loc>(.*?)</loc>"
+_LASTMOD_RE = r"<lastmod>(.*?)</lastmod>"
+_CHANGEFREQ_RE = r"<changefreq>(.*?)</changefreq>"
+
+
+def parse_sitemaps(
+    sitemaps: DataFrame,
+    domain_col: str = "domain",
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Parse per-domain sitemap.xml bodies into the declared-URL
+    relation (domain, loc, lastmod, changefreq) — the crawl frontier's
+    site-declared side. Optional fields come back NULL, not ''.
+
+    100 TB shape: one codegen ``regexp_extract_all`` per domain body
+    (the protocol caps a sitemap file at 50k URLs / 50 MB) + a narrow
+    explode + row-local field taps — no Python, no shuffle; the
+    downstream coverage join picks its own key.
+    """
+    e = sitemaps.select(
+        F.col(domain_col).alias("domain"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(xml_col), F.lit(SITEMAP_URL_RE), F.lit(1)
+            )
+        ).alias("__e"),
+    )
+    b = F.col("__e")
+
+    def field(pat: str):
+        return F.nullif(F.regexp_extract(b, pat, 1), F.lit(""))
+
+    return e.select(
+        "domain",
+        F.regexp_extract(b, _LOC_RE, 1).alias("loc"),
+        field(_LASTMOD_RE).alias("lastmod"),
+        field(_CHANGEFREQ_RE).alias("changefreq"),
+    )
+
+
+def sitemap_coverage(
+    declared: DataFrame,
+    pages: DataFrame,
+    as_of: str,
+    url_col: str = "url",
+) -> DataFrame:
+    """Reconcile the site-DECLARED url inventory (`declared` =
+    :func:`parse_sitemaps` output) against the CRAWLED inventory
+    (`pages`): one row per url in either side with
+    (url, in_sitemap, crawled, lastmod, status) where status is
+
+    * ``uncrawled``  — declared but never fetched (frontier backlog),
+    * ``undeclared`` — fetched but absent from the sitemap (discovered
+      via links; also the spider-trap signal),
+    * ``stale``      — fetched, and the sitemap's lastmod is after
+      `as_of` (the crawl date) — refetch candidates,
+    * ``fresh``      — fetched and up to date.
+
+    `as_of` is an ISO ``yyyy-mm-dd`` string compared lexicographically
+    (the ISO form orders correctly as bytes — no timestamp parsing, so
+    the comparison is engine- and timezone-independent).
+
+    100 TB shape: ONE full-outer equi-join on the uniform url key —
+    both sides pre-collapse to url grain, so the join carries no
+    payload columns and no skew (a url appears once per side).
+    """
+    s = declared.select(
+        F.col("loc").alias("url"), "lastmod", F.lit(True).alias("__s")
+    ).dropDuplicates(["url"])
+    p = (
+        pages.select(F.col(url_col).alias("url"))
+        .dropDuplicates(["url"])
+        .withColumn("__p", F.lit(True))
+    )
+    j = s.join(p, "url", "full_outer")
+    in_sitemap = F.coalesce(F.col("__s"), F.lit(False))
+    crawled = F.coalesce(F.col("__p"), F.lit(False))
+    return j.select(
+        "url",
+        in_sitemap.alias("in_sitemap"),
+        crawled.alias("crawled"),
+        "lastmod",
+        F.when(~crawled, F.lit("uncrawled"))
+        .when(~in_sitemap, F.lit("undeclared"))
+        .when(F.col("lastmod") > as_of, F.lit("stale"))
+        .otherwise(F.lit("fresh"))
+        .alias("status"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fetch scheduling — politeness-aware per-host crawl rounds
+# ---------------------------------------------------------------------------
+
+def fetch_schedule(
+    frontier: DataFrame,
+    round_seconds: float = 3600.0,
+    default_delay: float = 1.0,
+    url_col: str = "url",
+    host_col: str = "host",
+    delay_col: str = "crawl_delay",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Turn a crawl frontier (url, host, crawl_delay) into one
+    politeness round's fetch plan: per host, the first
+    ``floor(round_seconds / delay)`` urls (lexicographic order —
+    deterministic across runs/partitionings) get a slot, the i-th at
+    ``fetch_at_s = (i−1)·delay`` from the host's round start. Returns
+    (url, host, seq, crawl_delay, fetch_at_s); urls beyond the round's
+    per-host capacity are NOT emitted — they are next round's frontier
+    (``frontier − schedule``, an anti-join).
+
+    Per-host ordering is a semantic requirement (politeness serializes
+    fetches within a host), so a window over the host key is inherent —
+    and hosts are heavy-tailed. Skew-safe two-phase ranking, the
+    :func:`mindocr_spark.functions.urls.domain_cap` discipline:
+    phase 1 ranks within (host, url-hash salt) and keeps each salt's
+    local capacity — a 10^9-url host splits across `n_salts` tasks —
+    then phase 2 ranks the ≤ n_salts·capacity bounded survivors.
+    Capacity is bounded by the politeness budget itself
+    (round_seconds / delay), so the phase-2 partitions stay small no
+    matter how hot the host.
+    """
+    delay = F.coalesce(F.col(delay_col), F.lit(default_delay))
+    cap = F.greatest(
+        F.lit(1), F.floor(F.lit(round_seconds) / delay).cast("int")
+    )
+    narrow = frontier.select(
+        F.col(url_col).alias("url"),
+        F.col(host_col).alias("host"),
+        delay.alias("crawl_delay"),
+        cap.alias("__cap"),
+        F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_salts)).alias("__salt"),
+    )
+    w1 = Window.partitionBy("host", "__salt").orderBy("url")
+    local = narrow.withColumn("__r1", F.row_number().over(w1)).where(
+        F.col("__r1") <= F.col("__cap")
+    )
+    w2 = Window.partitionBy("host").orderBy("url")
+    return (
+        local.withColumn("seq", F.row_number().over(w2))
+        .where(F.col("seq") <= F.col("__cap"))
+        .select(
+            "url",
+            "host",
+            "seq",
+            "crawl_delay",
+            ((F.col("seq") - 1) * F.col("crawl_delay")).alias("fetch_at_s"),
         )
     )

@@ -563,3 +563,81 @@ def pages_from_documents_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pages_from_documents_template(
         spark, sf_dir, extra_nodes_col=nodes
     )
+
+
+def sitemap_corpus(spark: SparkSession, sf_dir: str):
+    """The sitemap (crawl-coverage) corpus family: (pages, sitemaps).
+
+    Pages spread over 7 sites by doc_id arithmetic (one crawled page
+    per doc). Each site's sitemap.xml declares, in closed form:
+
+    * every page whose doc_id ≢ 2 (mod 3) — so ≡ 2 pages are crawled
+      but UNDECLARED — with ``lastmod`` 2024-01-{doc_id mod 28 + 1}
+      (> 2024-01-01, i.e. STALE, unless doc_id ≡ 0 mod 28) and
+      ``changefreq`` daily/weekly by doc_id parity,
+    * a ``draft-{doc_id}.html`` entry for doc_id ≡ 7 (mod 10) that was
+      never crawled (UNCRAWLED), lastmod 2024-02-01, monthly.
+
+    The XML is assembled per site with one groupBy + sorted
+    concat (corpus construction, not the operator under test); every
+    field is doc_id arithmetic so the SQL oracle states the parsed
+    relation and the coverage verdicts without touching XML.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    site = F.pmod(did, F.lit(7))
+    page_url = F.concat(
+        F.lit("https://site"), site.cast("string"),
+        F.lit(".example/page-"), did.cast("string"), F.lit(".html"),
+    )
+    pages = docs.select("doc_id", page_url.alias("url"))
+    day = F.lpad((F.pmod(did, F.lit(28)) + 1).cast("string"), 2, "0")
+    page_entry = F.when(
+        F.pmod(did, F.lit(3)) != 2,
+        F.concat(
+            F.lit("<url><loc>"), page_url,
+            F.lit("</loc><lastmod>2024-01-"), day,
+            F.lit("</lastmod><changefreq>"),
+            F.when(F.pmod(did, F.lit(2)) == 0, F.lit("daily"))
+            .otherwise(F.lit("weekly")),
+            F.lit("</changefreq></url>"),
+        ),
+    )
+    draft_entry = F.when(
+        F.pmod(did, F.lit(10)) == 7,
+        F.concat(
+            F.lit("<url><loc>https://site"), site.cast("string"),
+            F.lit(".example/draft-"), did.cast("string"),
+            F.lit(".html</loc><lastmod>2024-02-01</lastmod>"
+                  "<changefreq>monthly</changefreq></url>"),
+        ),
+    )
+    entries = docs.select(
+        site.alias("site"),
+        F.explode(
+            F.filter(
+                F.array(page_entry, draft_entry),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("entry"),
+    )
+    sitemaps = (
+        entries.groupBy("site")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.concat_ws(
+                    "", F.sort_array(F.collect_list("entry"))
+                ),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml")
+        )
+        .select(
+            F.concat(
+                F.lit("site"), F.col("site").cast("string"),
+                F.lit(".example"),
+            ).alias("domain"),
+            "sitemap_xml",
+        )
+    )
+    return pages, sitemaps

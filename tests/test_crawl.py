@@ -139,3 +139,96 @@ def test_robots_specific_ua_group(spark):
            for r in robots_gate(pages, robots, ua="mybot").collect()}
     assert got == {"https://a.example/mine/x": False,
                    "https://a.example/all/x": False}
+
+
+def test_sitemap_parse_fields(spark):
+    from mindocr_spark.functions.crawl import parse_sitemaps
+
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>https://a.example/p1</loc>"
+        "<lastmod>2024-03-05</lastmod>"
+        "<changefreq>daily</changefreq></url>"
+        "<url><loc>https://a.example/p2</loc></url>"
+        "</urlset>"
+    )
+    sm = spark.createDataFrame(
+        [("a.example", xml)], "domain string, sitemap_xml string"
+    )
+    got = {r["loc"]: r for r in parse_sitemaps(sm).collect()}
+    assert got["https://a.example/p1"]["lastmod"] == "2024-03-05"
+    assert got["https://a.example/p1"]["changefreq"] == "daily"
+    assert got["https://a.example/p2"]["lastmod"] is None  # optional
+    assert got["https://a.example/p2"]["changefreq"] is None
+
+
+def test_sitemap_coverage_statuses(spark):
+    from mindocr_spark.functions.crawl import sitemap_coverage
+
+    declared = spark.createDataFrame(
+        [
+            ("a.example", "u/fresh", "2024-01-01", None),
+            ("a.example", "u/stale", "2024-01-09", None),
+            ("a.example", "u/uncrawled", "2024-02-01", None),
+        ],
+        "domain string, loc string, lastmod string, changefreq string",
+    )
+    pages = spark.createDataFrame(
+        [("u/fresh",), ("u/stale",), ("u/undeclared",)], "url string"
+    )
+    got = {r["url"]: r["status"]
+           for r in sitemap_coverage(declared, pages,
+                                     as_of="2024-01-01").collect()}
+    assert got == {
+        "u/fresh": "fresh", "u/stale": "stale",
+        "u/uncrawled": "uncrawled", "u/undeclared": "undeclared",
+    }
+
+
+def test_fetch_schedule_slots_and_capacity(spark):
+    """Capacity floor, slot arithmetic, and the delay default."""
+    from mindocr_spark.functions.crawl import fetch_schedule
+
+    frontier = spark.createDataFrame(
+        [(f"h1/u{i}", "h1", 2.0) for i in range(5)]
+        + [(f"h2/u{i}", "h2", None) for i in range(3)],
+        "url string, host string, crawl_delay double",
+    )
+    got = fetch_schedule(frontier, round_seconds=6.0).collect()
+    h1 = sorted((r["seq"], r["fetch_at_s"]) for r in got
+                if r["host"] == "h1")
+    assert h1 == [(1, 0.0), (2, 2.0), (3, 4.0)]  # cap = floor(6/2) = 3
+    h2 = sorted((r["seq"], r["fetch_at_s"], r["crawl_delay"])
+                for r in got if r["host"] == "h2")
+    assert h2 == [(1, 0.0, 1.0), (2, 1.0, 1.0), (3, 2.0, 1.0)]
+
+
+def test_fetch_schedule_two_phase_equals_single_window(spark):
+    """The salted two-phase ranking must select exactly the
+    single-window schedule, at any salt count."""
+    from pyspark.sql import Window, functions as F
+    from mindocr_spark.functions.crawl import fetch_schedule
+
+    frontier = spark.createDataFrame(
+        [(f"hot/u{i:03d}", "hot", 1.0) for i in range(100)]
+        + [(f"cold/u{i:03d}", "cold", 5.0) for i in range(10)],
+        "url string, host string, crawl_delay double",
+    )
+    w = Window.partitionBy("host").orderBy("url")
+    ref = {
+        (r["url"], r["seq"])
+        for r in frontier.withColumn("seq", F.row_number().over(w))
+        .where(
+            F.col("seq")
+            <= F.floor(60.0 / F.col("crawl_delay")).cast("int")
+        )
+        .collect()
+    }
+    for n_salts in (1, 4, 16):
+        got = {
+            (r["url"], r["seq"])
+            for r in fetch_schedule(
+                frontier, round_seconds=60.0, n_salts=n_salts
+            ).collect()
+        }
+        assert got == ref, f"n_salts={n_salts}"
