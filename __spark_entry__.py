@@ -160,6 +160,24 @@ def q_jsonl_extract(spark, sf_dir):
     ).orderBy("url")
 
 
+def q_wet_export(spark, sf_dir):
+    """Derived-format EXPORT end-to-end: the real extraction output
+    serialized as Common-Crawl-style WET files (WARC/1.0 conversion
+    records, distributed one-group-per-file writer), then ingested back
+    through the byte-level parser over the shared hardened record walk
+    — extracted text and timestamps must survive byte-identical,
+    checked against the same closed-form oracle as the direct
+    extraction path."""
+    from mindocr_spark.sources.wet import read_wet, synth_wet_dir
+
+    docs = read_wet(spark, synth_wet_dir(spark, sf_dir))
+    return docs.select(
+        "url",
+        F.unix_timestamp("warc_ts").alias("warc_sec"),
+        "text",
+    ).orderBy("url")
+
+
 def q_extract_east(spark, sf_dir):
     """Third detector family end-to-end: the EAST-style proposal +
     locality-aware-merge detector (extract_core.detect_blocks_east,
@@ -1892,6 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_metrics_by_lang": _q(q_extract_metrics_by_lang),
         "warc_extract": _q(q_warc_extract),
         "jsonl_extract": _q(q_jsonl_extract),
+        "wet_export": _q(q_wet_export),
         "extract_east": _q(q_extract_east),
         "agg_partial_final": _q(q_agg_partial_final),
         "fanout_regroup": _q(q_fanout_regroup),
@@ -2430,6 +2449,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1704067200 + doc_id AS BIGINT) AS warc_sec,
                    '{_A}' || chr(10) || text AS extracted_text,
                    CAST(1 AS BIGINT) AS n_blocks
+            FROM documents ORDER BY url
+        """,
+        "wet_export": f"""
+            SELECT {url} AS url,
+                   CAST(1704067200 + doc_id AS BIGINT) AS warc_sec,
+                   '{_A}' || chr(10) || text AS text
             FROM documents ORDER BY url
         """,
         "extract_east": f"""

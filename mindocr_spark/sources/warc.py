@@ -126,14 +126,16 @@ def _parse_headers(block: bytes) -> dict[str, str]:
     return headers
 
 
-def parse_warc(payload: bytes) -> list[dict]:
-    """Walk a WARC/1.0 file: version line → header block → exactly
-    Content-Length payload bytes → CRLF CRLF separator. Response records
-    get their HTTP envelope parsed (status line, headers, body = html);
-    other record types (warcinfo, request, metadata) are skipped.
-    Returns [{url, ts_sec, html, lang, http_status}, ...] in file order.
-    """
-    out: list[dict] = []
+def walk_warc_records(payload: bytes):
+    """The hardened WARC/1.0 record walk shared by every derived-format
+    parser (response WARCs here, conversion WETs in sources/wet.py):
+    version line → header block → exactly Content-Length payload bytes
+    → CRLF CRLF separator, yielding (headers, body) per record in file
+    order. Untrusted-input hardening: an absent or negative
+    Content-Length would make body_start+length wrap via negative
+    slicing (the CRLF-CRLF terminator check can then pass against bytes
+    near EOF and pos can go backwards — an unbounded walk on crafted or
+    corrupt crawl data). Reject instead of trusting."""
     pos = 0
     n = len(payload)
     while pos < n:
@@ -141,11 +143,6 @@ def parse_warc(payload: bytes) -> list[dict]:
             raise ValueError(f"expected WARC version line at byte {pos}")
         head_end = payload.index(_CRLF + _CRLF, pos)
         headers = _parse_headers(payload[pos:head_end])
-        # Untrusted-input hardening: an absent or negative Content-Length
-        # would make body_start+length wrap via negative slicing (the
-        # CRLF-CRLF terminator check can then pass against bytes near
-        # EOF and pos can go backwards — an unbounded walk on crafted
-        # or corrupt crawl data). Reject instead of trusting.
         raw_len = headers.get("content-length")
         if raw_len is None:
             raise ValueError(f"record at byte {pos} missing Content-Length")
@@ -162,6 +159,17 @@ def parse_warc(payload: bytes) -> list[dict]:
         if new_pos <= pos:
             raise ValueError(f"record walk did not advance at byte {pos}")
         pos = new_pos
+        yield headers, body
+
+
+def parse_warc(payload: bytes) -> list[dict]:
+    """Walk a WARC/1.0 file (shared hardened walk). Response records
+    get their HTTP envelope parsed (status line, headers, body = html);
+    other record types (warcinfo, request, metadata) are skipped.
+    Returns [{url, ts_sec, html, lang, http_status}, ...] in file order.
+    """
+    out: list[dict] = []
+    for headers, body in walk_warc_records(payload):
         if headers.get("warc-type") != "response":
             continue
         # embedded HTTP/1.1 response
