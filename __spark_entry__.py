@@ -586,6 +586,23 @@ def q_mojibake_repair(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (long-doc training prep / retrieval
+    chunking): boundaries where a k-gram's md5 opens with a zero
+    nibble, chunks tiling each document exactly — all JVM higher-order
+    functions on the scan, zero shuffles. nibbles=1 here so the test
+    corpus yields multi-chunk docs (~16-char expected chunks; the
+    production default is 2 → ~256). The oracle runs the same md5
+    rule through DuckDB list comprehension — the boundary rule, the
+    tiling arithmetic, AND the per-chunk digests must all agree."""
+    from mindocr_spark.functions.text import cdc_chunks
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return cdc_chunks(docs, k=8, nibbles=1).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
 def _built_url_corpus(spark, sf_dir):
     """Shared URL-variant corpus for the url_* queries: every 5
     consecutive doc_ids are the SAME page (pid = doc_id div 5) spelled
@@ -1930,6 +1947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q(q_pii_redact),
         "nfc_normalize": _q(q_nfc_normalize),
         "mojibake_repair": _q(q_mojibake_repair),
+        "cdc_chunks": _q(q_cdc_chunks),
         "url_canonicalize": _q(q_url_canonicalize),
         "domain_stats": _q(q_domain_stats),
         "domain_cap": _q(q_domain_cap),
@@ -3388,6 +3406,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(nfc_normalize(text)) AS INT)
                      AS n_chars
             FROM built ORDER BY doc_id
+        """,
+        "cdc_chunks": r"""
+            WITH d AS (
+              SELECT doc_id, text, length(text) AS n
+              FROM documents WHERE text IS NOT NULL),
+            b AS (
+              SELECT doc_id, text, n,
+                     CASE WHEN n - 7 >= 2 THEN list_filter(
+                            range(2, n - 7 + 1),
+                            i -> substr(md5(substr(text, CAST(i AS INT), 8)),
+                                        1, 1) = '0')
+                          ELSE CAST([] AS BIGINT[]) END AS bs
+              FROM d),
+            z AS (
+              SELECT doc_id, text,
+                     unnest(list_zip(list_concat([1], bs),
+                                     list_concat(bs, [n + 1]),
+                                     range(1, len(bs) + 2))) AS u
+              FROM b)
+            SELECT doc_id, CAST(u[3] - 1 AS INT) AS chunk_idx,
+                   CAST(u[1] AS INT) AS chunk_start,
+                   CAST(u[2] - u[1] AS INT) AS chunk_len,
+                   md5(substr(text, CAST(u[1] AS INT),
+                              CAST(u[2] - u[1] AS INT))) AS chunk_md5
+            FROM z ORDER BY doc_id, chunk_idx
         """,
         # closed-form mojibake verdicts: the broken/fixed suffix pair
         # is injected from the SAME Python constants the Spark query

@@ -585,6 +585,77 @@ def rolling_fingerprints(df: DataFrame, k: int = 8, text_col: str = "text",
     return grams.where(F.pmod("h", F.lit(keep_every)) == 0).distinct()
 
 
+def cdc_chunks(df: DataFrame, k: int = 8, nibbles: int = 2,
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Content-defined chunking (the FastCDC/rsync family, re-expressed
+    for a shuffle engine): split each document at positions whose
+    k-char gram's md5 starts with `nibbles` zero hex digits — an
+    expected chunk length of 16^nibbles chars (~256 at the default).
+    Returns one row per chunk: (id, chunk_idx, chunk_start, chunk_len,
+    chunk_md5), tiling the document exactly.
+
+    Content-defined is the load-bearing property: a boundary depends
+    only on the local bytes, so an insertion early in a document shifts
+    ONE chunk's identity instead of re-cutting every downstream chunk —
+    which is what makes chunk-grain dedup/retrieval stable under edits
+    (the :func:`rolling_fingerprints` discipline, promoted from
+    sampled grams to a full tiling). The standard training-prep /
+    retrieval-chunking step for long documents.
+
+    100 TB shape: the whole op is JVM higher-order functions on the
+    scan — ``filter(sequence(...))`` finds boundaries, one
+    ``arrays_zip`` + posexplode tiles them — zero shuffles, zero
+    Python, no groupBy anywhere; the per-doc work is linear in doc
+    length. Docs with NULL text contribute no rows (a chunk relation
+    has no use for NULL rows). Exact SQL twin via DuckDB list
+    comprehension over the same md5 rule.
+
+    Reference lineage: crop_text_region slices the payload into
+    per-region sub-images keyed (image, region idx) for downstream
+    stages (reference: mindocr/data/utils/crop.py, tools/infer/text/
+    predict_system.py:104-131); CDC chunking is the text analog with
+    content-defined instead of detector-defined boundaries.
+    """
+    if k <= 0 or nibbles <= 0:
+        raise ValueError(f"k and nibbles must be positive, got {k}, {nibbles}")
+    t = F.col(text_col)
+    n = F.length(t)
+    prefix = "0" * nibbles
+    # boundary candidates start at 2: a boundary at 1 would open an
+    # empty zeroth chunk. sequence() is DESCENDING when end < start
+    # (phantom positions), so short docs get an explicit empty array.
+    bs = F.when(
+        n - (k - 1) >= 2,
+        F.filter(
+            F.sequence(F.lit(2), n - (k - 1)),
+            lambda i: F.md5(
+                F.substr(t, i, F.lit(k)).cast("binary")
+            ).startswith(prefix),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    spans = F.arrays_zip(
+        F.concat(F.array(F.lit(1)), bs).alias("s"),
+        F.concat(bs, F.array((n + 1).cast("int"))).alias("e"),
+    )
+    c = df.where(t.isNotNull()).select(
+        id_col,
+        t.alias("__t"),
+        F.posexplode(spans).alias("chunk_idx", "__span"),
+    )
+    start = F.col("__span.s")
+    length = F.col("__span.e") - start
+    return c.select(
+        id_col,
+        "chunk_idx",
+        start.alias("chunk_start"),
+        length.alias("chunk_len"),
+        F.md5(
+            F.substr(F.col("__t"), start, length).cast("binary")
+        ).alias("chunk_md5"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Evaluation metrics (RecMetric analog)
 # --------------------------------------------------------------------------

@@ -510,3 +510,81 @@ class TestMojibake:
         [r] = self._run(spark, [twice])
         assert r["moji_fixed"]
         assert r["text"] == once
+
+
+class TestCdcChunks:
+    def _run(self, spark, texts, **kw):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id bigint, text string",
+        )
+        from mindocr_spark.functions.text import cdc_chunks
+
+        return cdc_chunks(df, **kw).collect()
+
+    def test_chunks_tile_the_document_exactly(self, spark):
+        text = "the quick brown fox jumps over the lazy dog " * 8
+        rows = sorted(self._run(spark, [text], nibbles=1),
+                      key=lambda r: r["chunk_idx"])
+        assert rows[0]["chunk_start"] == 1
+        for a, b in zip(rows, rows[1:]):
+            assert b["chunk_start"] == a["chunk_start"] + a["chunk_len"]
+        assert sum(r["chunk_len"] for r in rows) == len(text)
+        assert len(rows) > 1  # the rule actually fired
+
+    def test_chunk_digests_match_python(self, spark):
+        import hashlib
+
+        text = "content defined chunking stays stable under edits " * 5
+        for r in self._run(spark, [text], nibbles=1):
+            seg = text[r["chunk_start"] - 1:
+                       r["chunk_start"] - 1 + r["chunk_len"]]
+            assert r["chunk_md5"] == hashlib.md5(seg.encode()).hexdigest()
+
+    def test_edit_shifts_one_chunk_not_all(self, spark):
+        """The content-defined property: inserting bytes early changes
+        the edited chunk's identity but every LATER chunk's digest
+        survives (positions shift, identities do not)."""
+        base = "alpha beta gamma delta epsilon zeta eta theta iota " * 6
+        edited = base[:3] + "XYZ" + base[3:]
+        got = self._run(spark, [base, edited], nibbles=1)
+        d0 = [r["chunk_md5"] for r in sorted(
+            (r for r in got if r["doc_id"] == 0),
+            key=lambda r: r["chunk_idx"])]
+        d1 = [r["chunk_md5"] for r in sorted(
+            (r for r in got if r["doc_id"] == 1),
+            key=lambda r: r["chunk_idx"])]
+        assert len(d0) > 4
+        assert d0[0] != d1[0]  # the edited region re-identifies
+        # every chunk past the edit's neighborhood survives: the digest
+        # lists share a common suffix covering all but the first ≤3
+        # chunks of either doc (the edit may create/destroy ONE
+        # boundary near it, merging or splitting a local chunk)
+        common = 0
+        while (common < min(len(d0), len(d1))
+               and d0[-1 - common] == d1[-1 - common]):
+            common += 1
+        assert common >= len(d0) - 3 and common >= len(d1) - 3
+
+    def test_short_and_null_docs(self, spark):
+        rows = self._run(spark, ["tiny", None], nibbles=1)
+        assert [(r["doc_id"], r["chunk_idx"], r["chunk_start"],
+                 r["chunk_len"]) for r in rows] == [(0, 0, 1, 4)]
+
+    def test_rejects_bad_params(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError):
+            self._run(spark, ["x"], k=0)
+        with pytest.raises(ValueError):
+            self._run(spark, ["x"], nibbles=0)
+
+    def test_plan_is_scan_only(self, spark):
+        from mindocr_spark.functions.text import cdc_chunks
+
+        df = spark.range(3).selectExpr(
+            "id AS doc_id", "repeat('word soup ', 40) AS text"
+        )
+        plan = cdc_chunks(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
