@@ -1680,6 +1680,35 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+#: Pinned phrases for positional search: two frequent corpus bigrams,
+#: a trigram with a DUPLICATE token (slot semantics, not bag-of-words),
+#: and a phrase whose second token never occurs ('spill' is absent from
+#: the corpus vocabulary — the query must yield zero rows, not error).
+_PHRASES = {
+    0: ["table", "hash"],
+    1: ["slow", "query"],
+    2: ["table", "table", "key"],
+    3: ["fast", "spill"],
+}
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase retrieval over POSITIONAL postings: slot j's
+    positions shift by −j and the phrase's start set is the
+    intersection of all shifted lists — the classic Lucene positional
+    plan, with the corpus side semi-joined against the broadcast
+    phrase vocabulary before anything shuffles. The oracle counts
+    consecutive token runs directly via DuckDB list comprehension, so
+    the tokenization, the postings, the shift-intersect plan, AND the
+    occurrence counts must all agree."""
+    from mindocr_spark.functions.search import phrase_search
+
+    return phrase_search(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        _PHRASES,
+    ).orderBy("query_id", "doc_id")
+
+
 #: Pinned char dict (str2idx analog — reference: rec_transforms.py:222-246;
 #: the reference ships 94-char en_dict.txt, mindocr/utils/dict/).
 _CHAR_DICT = "abcdefghijklmnopqrstuvwxyz "
@@ -1974,6 +2003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q(q_stratified_sample),
         "token_budget_sample": _q(q_token_budget_sample),
         "bm25_topk": _q(q_bm25_topk),
+        "phrase_search": _q(q_phrase_search),
         "sequence_pack": _q(q_sequence_pack),
         "lm_logppl": _q(q_lm_logppl),
         "lm_bigram_logppl": _q(q_lm_bigram_logppl),
@@ -3180,6 +3210,33 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY b.doc_id
         """.replace("__LAM__", repr(_LM_LAMBDA))
          .replace("__LAMC__", repr(1.0 - _LM_LAMBDA)),
+        # consecutive-run counts per pinned phrase via list
+        # comprehension over the shared tokenization; arms generated
+        # from the SAME _PHRASES constant the Spark query uses
+        "phrase_search": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g'))
+                       AS norm
+              FROM documents),
+            tok AS (
+              SELECT doc_id, string_split(norm, ' ') AS toks
+              FROM t WHERE norm <> ''),
+            c AS (__ARMS__)
+            SELECT query_id, doc_id, n_occurrences
+            FROM c WHERE n_occurrences >= 1
+            ORDER BY query_id, doc_id
+        """.replace("__ARMS__", " UNION ALL ".join(
+            "SELECT %d AS query_id, doc_id, CAST(len(list_filter("
+            "range(1, len(toks) - %d + 2), i -> %s)) AS INT)"
+            " AS n_occurrences FROM tok WHERE len(toks) >= %d"
+            % (qid, len(terms),
+               " AND ".join(
+                   "toks[i+%d] = '%s'" % (j, t.replace("'", "''"))
+                   for j, t in enumerate(terms)),
+               len(terms))
+            for qid, terms in sorted(_PHRASES.items())
+        )),
         "sequence_pack": r"""
             WITH t AS (
               SELECT doc_id, lang,

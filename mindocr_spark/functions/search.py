@@ -208,3 +208,95 @@ def bm25_topk(docs: DataFrame, queries: dict[int, list[str]], k: int = 5,
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "n_terms_hit", "score", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Positional postings + exact phrase search
+# --------------------------------------------------------------------------
+
+
+def phrase_query_df(spark, phrases: dict[int, list[str]]) -> DataFrame:
+    """(query_id, slot, term, m) local relation from {query_id:
+    [tokens]} — slots keep duplicate terms (a phrase is a SEQUENCE,
+    not a bag; ["table", "table", "key"] needs both table slots)."""
+    rows = []
+    for qid, terms in sorted(phrases.items()):
+        if not terms:
+            raise ValueError(f"phrase {qid} is empty")
+        for j, t in enumerate(terms):
+            rows.append((int(qid), j, t, len(terms)))
+    return spark.createDataFrame(
+        rows, schema="query_id int, slot int, term string, m int"
+    )
+
+
+def positional_postings(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """The POSITIONAL inverted-index relation: (term, doc_id,
+    positions) with token offsets sorted ascending — what phrase and
+    proximity queries consume (the Lucene positions-enabled field
+    analog of :func:`postings`).
+
+    One narrow posexplode + one groupBy on the COMPOSITE (term,
+    doc_id) key: the doc id in the key splits a stopword-grade hot
+    term across reducers — posting-list construction has no hot-key
+    straggler — and each position list is bounded by its own doc's
+    length."""
+    toks = tokens_col(text_col)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(toks).alias("pos", "term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+    )
+
+
+def phrase_search(docs: DataFrame, phrases: dict[int, list[str]],
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Exact phrase matching over positional postings: for each pinned
+    phrase, every doc containing the token sequence CONSECUTIVELY,
+    with its occurrence count — (query_id, doc_id, n_occurrences),
+    matches only.
+
+    The classic positional-intersection plan: slot j's positions shift
+    by −j, and the phrase's start positions are the intersection of
+    all shifted lists. Docs missing ANY slot term drop before the
+    intersection (size(ps) = m guard).
+
+    100 TB shape: the BM25 discipline — the corpus side is semi-joined
+    against the BROADCAST phrase vocabulary right after the explode,
+    so only rows whose term appears in some phrase reach the postings
+    groupBy (and its key includes doc_id: no hot-term straggler). The
+    per-(query, doc) intersection is JVM ``array_intersect`` over
+    doc-length-bounded arrays — no Python anywhere."""
+    q = phrase_query_df(docs.sparkSession, phrases)
+    matched = positional_postings(docs, id_col=id_col, text_col=text_col) \
+        .join(F.broadcast(q), "term")
+    g = matched.select(
+        "query_id",
+        "doc_id",
+        "m",
+        F.struct(
+            F.col("slot"),
+            F.transform(
+                F.col("positions"), lambda p: p - F.col("slot")
+            ).alias("shifted"),
+        ).alias("sp"),
+    ).groupBy("query_id", "doc_id", "m").agg(
+        F.sort_array(F.collect_list("sp")).alias("ps")
+    )
+    occ = F.aggregate(
+        F.slice(F.col("ps"), 2, F.size("ps") - 1),
+        F.col("ps")[0]["shifted"],
+        lambda acc, x: F.array_intersect(acc, x["shifted"]),
+    )
+    return (
+        g.where(F.size("ps") == F.col("m"))
+        .select(
+            "query_id", "doc_id", F.size(occ).alias("n_occurrences")
+        )
+        .where(F.col("n_occurrences") >= 1)
+    )

@@ -186,3 +186,45 @@ def test_bpe_token_pricing(spark):
     assert out[4]["n_bpe_tokens"] == 6 and out[4]["n_digit_runs"] == 1
     assert out[5]["n_bpe_tokens"] == 0 and out[5]["n_punct"] == 0
     assert out[6]["n_bpe_tokens"] == 8 and out[6]["n_punct"] == 3
+
+
+class TestPhraseSearch:
+    def _run(self, spark, texts, phrases):
+        from mindocr_spark.functions.search import phrase_search
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id bigint, text string",
+        )
+        return {
+            (r["query_id"], r["doc_id"]): r["n_occurrences"]
+            for r in phrase_search(df, phrases).collect()
+        }
+
+    def test_counts_and_misses(self, spark):
+        got = self._run(
+            spark,
+            ["the cat sat on the cat mat", "cat the dog", "no match here"],
+            {0: ["the", "cat"], 1: ["cat", "mat"], 2: ["dog", "cat"]},
+        )
+        assert got == {(0, 0): 2, (1, 0): 1}
+
+    def test_overlapping_runs_and_duplicate_slots(self, spark):
+        got = self._run(
+            spark, ["a a a a b"], {0: ["a", "a"], 1: ["a", "a", "b"]}
+        )
+        assert got == {(0, 0): 3, (1, 0): 1}  # overlaps count
+
+    def test_absent_term_yields_no_rows_not_error(self, spark):
+        assert self._run(spark, ["x y z"], {0: ["x", "zz"]}) == {}
+
+    def test_vocabulary_join_is_broadcast(self, spark):
+        from mindocr_spark.functions.search import phrase_search
+
+        df = spark.range(5).selectExpr(
+            "id AS doc_id", "'alpha beta gamma' AS text"
+        )
+        plan = phrase_search(df, {0: ["alpha", "beta"]}) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
