@@ -1569,6 +1569,26 @@ def q_crawl_delta(spark, sf_dir):
     return crawl_delta(old, new).orderBy("url")
 
 
+def q_revisit_policy(spark, sf_dir):
+    """Adaptive recrawl scheduling COMPOSED over the snapshot delta:
+    per site section (the url's source segment), change statistics and
+    a fast/medium/slow revisit bucket — change_rate counts only urls
+    present in both snapshots. One map-side-combinable groupBy; exact
+    integer counts + one IEEE division. The oracle re-derives every
+    count from the snapshots' doc_id quota arithmetic (11-miss, 7-miss,
+    5-changed) without diffing any bytes."""
+    from mindocr_spark.functions.crawl import crawl_delta, revisit_policy
+    from mindocr_spark.sources.pages import pages_snapshots
+
+    old, new = pages_snapshots(spark, sf_dir)
+    section = F.regexp_extract(
+        F.col("url"), r"^https://docs\.example/([^/]+)/", 1
+    )
+    return revisit_policy(
+        crawl_delta(old, new), key=section
+    ).orderBy("section")
+
+
 def q_lm_logppl(spark, sf_dir):
     """CCNet-style LM quality gate: train a Laplace-smoothed unigram
     LM on the clean reference slice (lang='en' documents — the
@@ -2015,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": _q(q_substring_dedup),
         "dup_survivor": _q(q_dup_survivor),
         "crawl_delta": _q(q_crawl_delta),
+        "revisit_policy": _q(q_revisit_policy),
         "domain_pagerank": _q(q_domain_pagerank),
         "blockword_filter": _q(q_blockword_filter),
         "robots_flags": _q(q_robots_flags),
@@ -2810,6 +2831,38 @@ def oracle_sql() -> dict[str, str]:
                      || CAST(doc_id - doc_id % 4 AS VARCHAR) AS final_url,
                    CAST(doc_id % 4 AS BIGINT) AS n_hops
             FROM documents ORDER BY url
+        """,
+        # per-section delta counts re-derived from the snapshot quota
+        # arithmetic: old misses 11|doc_id, new misses 7|doc_id,
+        # changed = 5|doc_id among both-present
+        "revisit_policy": r"""
+            WITH s AS (
+              SELECT source,
+                     CAST(sum(CASE WHEN doc_id % 7 <> 0 AND doc_id % 11 <> 0
+                              AND doc_id % 5 <> 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_same,
+                     CAST(sum(CASE WHEN doc_id % 7 <> 0 AND doc_id % 11 <> 0
+                              AND doc_id % 5 = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_changed,
+                     CAST(sum(CASE WHEN doc_id % 11 = 0 AND doc_id % 7 <> 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+                     CAST(sum(CASE WHEN doc_id % 7 = 0 AND doc_id % 11 <> 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+              FROM documents GROUP BY source),
+            r AS (
+              SELECT *,
+                     CASE WHEN n_changed + n_same > 0
+                          THEN CAST(n_changed AS DOUBLE)
+                               / CAST(n_changed + n_same AS DOUBLE)
+                     END AS change_rate
+              FROM s)
+            SELECT source AS section, n_same, n_changed, n_added,
+                   n_removed, change_rate,
+                   CASE WHEN change_rate IS NULL THEN 'unknown'
+                        WHEN change_rate >= 0.5 THEN 'fast'
+                        WHEN change_rate >= 0.1 THEN 'medium'
+                        ELSE 'slow' END AS revisit
+            FROM r ORDER BY section
         """,
         "domain_pagerank": _pagerank_oracle(iters=3, damping="0.85"),
         "bpe_token_stats": r"""

@@ -391,3 +391,57 @@ def fetch_schedule(
             ((F.col("seq") - 1) * F.col("crawl_delay")).alias("fetch_at_s"),
         )
     )
+
+
+def revisit_policy(
+    deltas: DataFrame,
+    key,
+    fast_rate: float = 0.5,
+    slow_rate: float = 0.1,
+) -> DataFrame:
+    """Adaptive recrawl scheduling from snapshot deltas: aggregate
+    :func:`crawl_delta` statuses per `key` (a grouping Column — site
+    section, domain, …) into change statistics and a revisit bucket —
+    the standard freshness-driven crawler policy (sections that churn
+    get recrawled fast, static archives slow):
+
+    * ``change_rate`` = changed / (changed + same) over urls present
+      in BOTH snapshots (adds/removes are discovery/death events, not
+      content churn),
+    * ``revisit`` = fast (rate ≥ fast_rate) / medium (≥ slow_rate) /
+      slow, or ``unknown`` when no url survived both snapshots.
+
+    100 TB shape: one groupBy on the section key with every aggregate
+    a conditional count — fully map-side combinable, so a billion-page
+    section reaches its reducer as one partial row per upstream task.
+    change_rate is exact integer counts + ONE correctly-rounded IEEE
+    division (engine-identical, the quality_scores discipline).
+    """
+    k = F.col(key) if isinstance(key, str) else key
+
+    def n(status: str):
+        return F.sum(
+            F.when(F.col("status") == status, 1).otherwise(0)
+        ).alias(f"n_{status}")
+
+    g = deltas.groupBy(k.alias("section")).agg(
+        n("same"), n("changed"), n("added"), n("removed")
+    )
+    both = F.col("n_changed") + F.col("n_same")
+    rate = F.when(
+        both > 0,
+        F.col("n_changed").cast("double") / both.cast("double"),
+    )
+    return g.select(
+        "section",
+        "n_same",
+        "n_changed",
+        "n_added",
+        "n_removed",
+        rate.alias("change_rate"),
+        F.when(rate.isNull(), F.lit("unknown"))
+        .when(rate >= fast_rate, F.lit("fast"))
+        .when(rate >= slow_rate, F.lit("medium"))
+        .otherwise(F.lit("slow"))
+        .alias("revisit"),
+    )

@@ -232,3 +232,30 @@ def test_fetch_schedule_two_phase_equals_single_window(spark):
             ).collect()
         }
         assert got == ref, f"n_salts={n_salts}"
+
+
+def test_revisit_policy_buckets(spark):
+    """Bucket thresholds, both-snapshot-only rate basis, and the
+    unknown arm (a section with no url surviving both snapshots)."""
+    from pyspark.sql import functions as F
+    from mindocr_spark.functions.crawl import revisit_policy
+
+    deltas = spark.createDataFrame(
+        [("hot/a", "changed"), ("hot/b", "changed"), ("hot/c", "same"),
+         ("hot/d", "added"),   # discovery, not churn
+         ("mid/a", "changed"), ("mid/b", "same"), ("mid/c", "same"),
+         ("mid/d", "same"), ("mid/e", "same"),
+         ("cold/a", "same"), ("cold/b", "same"), ("cold/c", "removed"),
+         ("new/a", "added"), ("new/b", "removed")],
+        "url string, status string",
+    )
+    key = F.split(F.col("url"), "/")[0]
+    got = {r["section"]: r for r in revisit_policy(deltas, key).collect()}
+    assert got["hot"]["revisit"] == "fast"
+    assert got["hot"]["change_rate"] == 2 / 3
+    assert got["hot"]["n_added"] == 1
+    assert got["mid"]["revisit"] == "medium"
+    assert got["cold"]["revisit"] == "slow"
+    assert got["cold"]["change_rate"] == 0.0
+    assert got["new"]["revisit"] == "unknown"
+    assert got["new"]["change_rate"] is None
