@@ -586,6 +586,17 @@ def q_mojibake_repair(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_lexical_diversity(spark, sf_dir):
+    """Lexical diversity (the Gopher unique-words gate family):
+    type-token ratio from exact distinct/total token counts + one IEEE
+    division — pure codegen on the scan, engine-identical."""
+    from mindocr_spark.functions.text import lexical_diversity_cols
+
+    return lexical_diversity_cols(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).orderBy("doc_id")
+
+
 def q_cdc_chunks(spark, sf_dir):
     """Content-defined chunking (long-doc training prep / retrieval
     chunking): boundaries where a k-gram's md5 opens with a zero
@@ -1997,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_normalize": _q(q_nfc_normalize),
         "mojibake_repair": _q(q_mojibake_repair),
         "cdc_chunks": _q(q_cdc_chunks),
+        "lexical_diversity": _q(q_lexical_diversity),
         "url_canonicalize": _q(q_url_canonicalize),
         "domain_stats": _q(q_domain_stats),
         "domain_cap": _q(q_domain_cap),
@@ -3516,6 +3528,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(nfc_normalize(text)) AS INT)
                      AS n_chars
             FROM built ORDER BY doc_id
+        """,
+        "lexical_diversity": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g'))
+                       AS norm
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     CASE WHEN norm = '' THEN 0
+                          ELSE CAST(len(string_split(norm, ' ')) AS INT)
+                     END AS n_tokens,
+                     CASE WHEN norm = '' THEN 0
+                          ELSE CAST(len(list_distinct(
+                                 string_split(norm, ' '))) AS INT)
+                     END AS n_types
+              FROM t)
+            SELECT doc_id, n_tokens, n_types,
+                   CASE WHEN n_tokens > 0
+                        THEN CAST(n_types AS DOUBLE)
+                             / CAST(n_tokens AS DOUBLE)
+                   END AS ttr
+            FROM s ORDER BY doc_id
         """,
         "cdc_chunks": r"""
             WITH d AS (

@@ -99,6 +99,28 @@ def quality_cols(df: DataFrame, text_col: str = "text",
     )
 
 
+def lexical_diversity_cols(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Lexical-diversity features (the Gopher "fraction of unique
+    words" gate family): n_tokens, n_types (distinct tokens), and
+    type-token ratio — low TTR is the keyword-stuffing / template-spam
+    signature that length and stopword gates miss. Counts are exact
+    ints (``array_distinct`` over the token array — row-local, linear);
+    the ratio is one IEEE division; NULL for zero-token docs (no
+    evidence, not 0 diversity). Pure codegen on the scan."""
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks)
+    n_types = F.size(F.array_distinct(toks))
+    return df.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        n_types.alias("n_types"),
+        F.try_divide(
+            n_types.cast("double"), n_tokens.cast("double")
+        ).alias("ttr"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Repetition quality (Gopher/C4-style curation gates)
 # --------------------------------------------------------------------------

@@ -588,3 +588,19 @@ class TestCdcChunks:
         plan = cdc_chunks(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_lexical_diversity_golden(spark):
+    from mindocr_spark.functions.text import lexical_diversity_cols
+
+    df = spark.createDataFrame(
+        [(0, "buy buy buy now buy buy"), (1, "all words here differ"),
+         (2, ""), (3, None)],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in lexical_diversity_cols(df).collect()}
+    assert (got[0]["n_tokens"], got[0]["n_types"]) == (6, 2)
+    assert got[0]["ttr"] == 2 / 6
+    assert got[1]["ttr"] == 1.0
+    assert got[2]["n_tokens"] == 0 and got[2]["ttr"] is None
+    assert got[3]["ttr"] is None
