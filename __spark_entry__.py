@@ -178,6 +178,24 @@ def q_wet_export(spark, sf_dir):
     ).orderBy("url")
 
 
+def q_http_gate(spark, sf_dir):
+    """Ingest-side fetch gating end-to-end: the corpus serialized with
+    a planted HTTP-status / Content-Type quota (404 / 301 / 503 /
+    application/pdf arms), ingested through the byte-level WARC parser
+    — which must recover status AND media type from the embedded HTTP
+    envelope — then classified by the fetch gate (2xx AND text/html).
+    Flag-style: excluded records stay countable. The oracle states
+    every verdict from doc_id arithmetic."""
+    from mindocr_spark.sources.warc import (
+        http_gate, read_warc, synth_warc_dir_mixed,
+    )
+
+    pages = read_warc(spark, synth_warc_dir_mixed(spark, sf_dir))
+    return http_gate(pages).select(
+        "url", "http_status", "mime", "fetch_ok"
+    ).orderBy("url")
+
+
 def q_extract_east(spark, sf_dir):
     """Third detector family end-to-end: the EAST-style proposal +
     locality-aware-merge detector (extract_core.detect_blocks_east,
@@ -1988,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": _q(q_warc_extract),
         "jsonl_extract": _q(q_jsonl_extract),
         "wet_export": _q(q_wet_export),
+        "http_gate": _q(q_http_gate),
         "extract_east": _q(q_extract_east),
         "agg_partial_final": _q(q_agg_partial_final),
         "fanout_regroup": _q(q_fanout_regroup),
@@ -2531,6 +2550,19 @@ def oracle_sql() -> dict[str, str]:
                    '{_A}' || chr(10) || text AS extracted_text,
                    CAST(1 AS BIGINT) AS n_blocks
             FROM documents ORDER BY url
+        """,
+        "http_gate": f"""
+            WITH d AS (
+              SELECT doc_id, source, CAST(doc_id % 8 AS INT) AS m
+              FROM documents)
+            SELECT 'https://docs.example/' || source || '/'
+                     || CAST(doc_id AS VARCHAR) AS url,
+                   CASE m WHEN 1 THEN 404 WHEN 2 THEN 301
+                        WHEN 5 THEN 503 ELSE 200 END AS http_status,
+                   CASE WHEN m = 3 THEN 'application/pdf'
+                        ELSE 'text/html' END AS mime,
+                   m NOT IN (1, 2, 3, 5) AS fetch_ok
+            FROM d ORDER BY url
         """,
         "wet_export": f"""
             SELECT {url} AS url,

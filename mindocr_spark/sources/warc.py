@@ -34,7 +34,7 @@ _CRLF = b"\r\n"
 #: lang recovered from the HTTP Content-Language header.
 WARC_PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, lang string, "
-    "http_status int, warc_file string"
+    "http_status int, mime string, warc_file string"
 )
 
 
@@ -52,11 +52,18 @@ def _iso(ts_sec: int) -> str:
 
 
 def format_response_record(url: str, ts_sec: int, html: bytes,
-                           lang: str) -> bytes:
-    """One WARC/1.0 response record wrapping an HTTP/1.1 response."""
+                           lang: str, status: int = 200,
+                           reason: str = "OK",
+                           content_type: str =
+                           "text/html; charset=utf-8") -> bytes:
+    """One WARC/1.0 response record wrapping an HTTP/1.1 response.
+    Defaults produce byte-identical records to the original 200-only
+    writer; the mixed-status fixture family passes status/reason/
+    content_type to plant the non-2xx / non-HTML arms a real crawl
+    ingest must classify."""
     http = (
-        b"HTTP/1.1 200 OK\r\n"
-        b"Content-Type: text/html; charset=utf-8\r\n"
+        f"HTTP/1.1 {status} {reason}\r\n".encode()
+        + f"Content-Type: {content_type}\r\n".encode()
         + f"Content-Language: {lang}\r\n".encode()
         + f"Content-Length: {len(html)}\r\n".encode()
         + _CRLF + html
@@ -188,6 +195,9 @@ def parse_warc(payload: bytes) -> list[dict]:
             html=html,
             lang=http_headers.get("content-language", "unknown"),
             http_status=status,
+            # media type only (parameters like charset stripped): the
+            # fetch-gate key a crawl classifier filters on
+            mime=http_headers.get("content-type", "").split(";")[0].strip(),
         ))
     return out
 
@@ -197,18 +207,30 @@ def parse_warc(payload: bytes) -> list[dict]:
 # --------------------------------------------------------------------------
 
 
-def write_warc_dir(pages: DataFrame, out_dir: str, n_files: int = 8) -> int:
+#: Status-line reasons the mixed-status fixture writer emits.
+_REASONS = {200: "OK", 301: "Moved Permanently", 404: "Not Found",
+            503: "Service Unavailable"}
+
+
+def write_warc_dir(pages: DataFrame, out_dir: str, n_files: int = 8,
+                   status_col: str | None = None,
+                   mime_col: str | None = None) -> int:
     """pages(url, warc_ts, html, lang, doc_id) → `n_files` .warc files
     under out_dir, written DISTRIBUTED (one group per file via
     applyInPandas — the converter-sink shape; no driver collect).
     Record order inside a file is pinned (sorted by url) so the files
-    are bit-reproducible. Returns the number of records written."""
+    are bit-reproducible. `status_col`/`mime_col` name optional per-row
+    HTTP status / Content-Type columns (default: 200 text/html — the
+    original writer, byte-identical). Returns the records written."""
     import pandas as pd
 
     os.makedirs(out_dir, exist_ok=True)
     # epoch seconds JVM-side: tz-proof hand-off into the python writer
     src = pages.select(
         "url", F.unix_timestamp("warc_ts").alias("ts_sec"), "html", "lang",
+        (F.col(status_col) if status_col else F.lit(200)).alias("st_"),
+        (F.col(mime_col) if mime_col
+         else F.lit("text/html; charset=utf-8")).alias("ct_"),
         F.pmod(F.xxhash64("url"), F.lit(n_files)).alias("file_id"),
     )
 
@@ -219,7 +241,10 @@ def write_warc_dir(pages: DataFrame, out_dir: str, n_files: int = 8) -> int:
         buf = bytearray(_warcinfo(name))
         for r in pdf.itertuples():
             buf += format_response_record(
-                r.url, int(r.ts_sec), bytes(r.html), r.lang
+                r.url, int(r.ts_sec), bytes(r.html), r.lang,
+                status=int(r.st_),
+                reason=_REASONS.get(int(r.st_), "Unknown"),
+                content_type=r.ct_,
             )
         tmp = os.path.join(out_dir, f".{name}.tmp{os.getpid()}")
         with open(tmp, "wb") as fh:
@@ -272,13 +297,14 @@ def read_warc(spark: SparkSession, path: str,
                             html=rec["html"],
                             lang=rec["lang"],
                             http_status=rec["http_status"],
+                            mime=rec["mime"],
                             warc_file=fpath,
                         ))
                 except Exception:
                     rows.append(dict(
                         url=fpath, warc_ts=pd.Timestamp(0, unit="s", tz="UTC"),
                         html=b"", lang="unknown", http_status=-1,
-                        warc_file=fpath,
+                        mime=None, warc_file=fpath,
                     ))
             if rows:
                 yield pd.DataFrame(rows)
@@ -378,3 +404,48 @@ def synth_warc_dir(spark: SparkSession, sf_dir: str,
     return content_keyed_fixture_dir(
         "mindocr_warc", sf_dir, (__file__, pages_mod.__file__), build
     )
+
+
+def synth_warc_dir_mixed(spark: SparkSession, sf_dir: str,
+                         n_files: int = 8) -> str:
+    """Mixed-status fixture WARCs: the pages corpus with a planted
+    HTTP-status / Content-Type quota — doc_id mod 8 selects 404 (1),
+    301 (2), application/pdf (3), 503 (5), else 200 text/html — so the
+    ingest-side fetch gate has every arm to classify, in closed form
+    for the SQL oracle."""
+    from mindocr_spark.sources import content_keyed_fixture_dir
+    from mindocr_spark.sources import pages as pages_mod
+    from mindocr_spark.sources.pages import pages_from_documents
+
+    def build(out_dir: str) -> None:
+        m = F.pmod(F.col("doc_id"), F.lit(8))
+        pages = pages_from_documents(spark, sf_dir).select(
+            "*",
+            (F.when(m == 1, 404).when(m == 2, 301).when(m == 5, 503)
+             .otherwise(200)).alias("status"),
+            F.when(m == 3, F.lit("application/pdf"))
+            .otherwise(F.lit("text/html; charset=utf-8")).alias("ctype"),
+        ).repartition(spark.sparkContext.defaultParallelism)
+        write_warc_dir(pages, out_dir, n_files=n_files,
+                       status_col="status", mime_col="ctype")
+
+    return content_keyed_fixture_dir(
+        "mindocr_warc_mixed", sf_dir, (__file__, pages_mod.__file__), build
+    )
+
+
+def http_gate(pages: DataFrame, ok_statuses: tuple[int, ...] = (200,),
+              mime_prefixes: tuple[str, ...] = ("text/html",)) -> DataFrame:
+    """The ingest-side fetch gate a crawl classifier runs before
+    extraction: flag each ingested record ``fetch_ok`` when its HTTP
+    status is in `ok_statuses` AND its media type matches a prefix in
+    `mime_prefixes`. Flag-style (no row vanishes — excluded records
+    stay countable for the metrics table); one codegen row predicate,
+    free on the scan."""
+    ok = F.col("http_status").isin(*[int(s) for s in ok_statuses])
+    mime_ok = F.lit(False)
+    for p in mime_prefixes:
+        mime_ok = mime_ok | F.coalesce(
+            F.col("mime").startswith(p), F.lit(False)
+        )
+    return pages.withColumn("fetch_ok", ok & mime_ok)

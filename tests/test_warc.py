@@ -242,3 +242,38 @@ def test_jsonl_malformed_lines_survive(spark, tmp_path):
     assert len(ok) == 1 and bytes(ok[0]["html"]) == b"<html>"
     # malformed lines surface as null-url rows, not a dead scan
     assert df.count() >= 1
+
+
+def test_mixed_status_record_roundtrip():
+    """Non-200 statuses and non-HTML media types survive the
+    writer→parser loop; mime strips parameters."""
+    from mindocr_spark.sources.warc import (
+        format_response_record, parse_warc,
+    )
+
+    recs = (
+        format_response_record("u/a", 5, b"<h1>gone</h1>", "en",
+                               status=404, reason="Not Found")
+        + format_response_record("u/b", 6, b"%PDF-1.4", "en",
+                                 content_type="application/pdf")
+        + format_response_record("u/c", 7, b"<p>x</p>", "en")
+    )
+    got = {r["url"]: r for r in parse_warc(recs)}
+    assert got["u/a"]["http_status"] == 404
+    assert got["u/b"]["mime"] == "application/pdf"
+    assert got["u/c"]["mime"] == "text/html"  # charset param stripped
+    assert got["u/c"]["http_status"] == 200
+
+
+def test_http_gate_flags(spark):
+    from mindocr_spark.sources.warc import http_gate
+
+    pages = spark.createDataFrame(
+        [("a", 200, "text/html"), ("b", 404, "text/html"),
+         ("c", 200, "application/pdf"), ("d", 200, None),
+         ("e", 301, "text/html")],
+        "url string, http_status int, mime string",
+    )
+    got = {r["url"]: r["fetch_ok"] for r in http_gate(pages).collect()}
+    assert got == {"a": True, "b": False, "c": False,
+                   "d": False, "e": False}
