@@ -117,6 +117,19 @@ def main() -> None:
         "blockword_filter",     # C4 badwords codegen gate
         "robots_flags",         # meta-robots politeness flags
         "bpe_token_stats",      # BPE-ish token estimator
+        # round-3 final batch (appended for the same reason)
+        "robots_gate",          # robots.txt longest-match fetch gate
+        "fetch_schedule",       # politeness-aware per-host crawl round
+        "sitemap_coverage",     # declared-vs-crawled reconciliation
+        "revisit_policy",       # delta-driven recrawl buckets
+        "http_gate",            # WARC status/mime ingest gate
+        "wet_export",           # extraction → WET files → re-ingest
+        "mojibake_repair",      # guarded encoding repair (codegen)
+        "jsonld_extract",       # schema.org structured data
+        "table_extract",        # HTML tables → cell relation
+        "cdc_chunks",           # content-defined chunking (HOF path)
+        "phrase_search",        # positional-postings phrase retrieval
+        "lexical_diversity",    # type-token ratio gate features
     ]
     qs = E.queries()
     for name in headline:
