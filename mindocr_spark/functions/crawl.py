@@ -104,8 +104,9 @@ def parse_robots(
     Group attribution follows RFC 9309's shape with one documented
     simplification: a rule belongs to the MOST RECENT ``User-agent``
     line above it (consecutive UA lines sharing one group-record is
-    not modeled — the corpus families never emit them), and only the
-    group matching `ua` exactly (or ``*``) survives. Comments (``#``…)
+    not modeled — the corpus families never emit them); group selection
+    is EXCLUSIVE per RFC 9309 — the group matching `ua` exactly when
+    the domain declares one, else the ``*`` group. Comments (``#``…)
     are stripped, blank lines skipped, field names case-insensitive,
     and an EMPTY Disallow value — the classic "allow everything"
     idiom — drops out of the rule set entirely.
@@ -122,8 +123,6 @@ def parse_robots(
     config.py:23-60); UA-group selection is the crawl-layer analog of
     that per-source dispatch.
     """
-    from pyspark.sql import Window
-
     lines = robots.select(
         F.col(domain_col).alias("domain"),
         F.posexplode(F.split(F.col(txt_col), "\n")).alias("line_no", "raw"),
@@ -155,7 +154,24 @@ def parse_robots(
             F.when(F.col("ua_decl") != "", F.col("ua_decl")), ignorenulls=True
         ).over(w),
     )
-    mine = (F.col("cur_ua") == ua.lower()) | (F.col("cur_ua") == "*")
+    # RFC 9309 group selection is EXCLUSIVE: when a domain declares a
+    # group for this UA, only that group applies — the '*' group is the
+    # fallback for domains without one, never a merge partner (merging
+    # would let a '*' Allow override the bot's own group's Disallow).
+    # A declared-but-empty specific group therefore means allow-all.
+    spec = (
+        parsed.where(
+            (F.col("ua_decl") == ua.lower()) & F.lit(ua != "*")
+        )
+        .select("domain")
+        .distinct()
+        .withColumn("__spec", F.lit(True))
+    )
+    sect = sect.join(spec, "domain", "left")
+    mine = F.when(
+        F.coalesce(F.col("__spec"), F.lit(False)),
+        F.col("cur_ua") == ua.lower(),
+    ).otherwise(F.col("cur_ua") == "*")
     rules = sect.where(
         F.col("kind").isin("allow", "disallow")
         & mine
@@ -196,12 +212,16 @@ def robots_gate(
     own matched-rule row into the aggregate. No Python anywhere.
     """
     rules, delays = parse_robots(robots, ua=ua)
+    raw_path = F.regexp_extract(
+        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)?", 1
+    )
     p = pages.select(
         F.col(url_col).alias("url"),
         url_host(url_col).alias("host"),
-        F.regexp_extract(
-            F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)?", 1
-        ).alias("path"),
+        # RFC 9309: an authority-only URL ('https://host') is the path
+        # '/' — otherwise even a blanket 'Disallow: /' misses the root
+        F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+        .alias("path"),
     )
     best = (
         p.join(rules, p["host"] == rules["domain"])
@@ -364,7 +384,15 @@ def fetch_schedule(
     (round_seconds / delay), so the phase-2 partitions stay small no
     matter how hot the host.
     """
-    delay = F.coalesce(F.col(delay_col), F.lit(default_delay))
+    # hostile-input guard: 'Crawl-delay: 0' exists in the wild, and an
+    # unguarded round/0.0 is Infinity — CAST(Inf AS INT) aborts the job
+    # under ANSI mode and silently becomes Int.MaxValue otherwise. A
+    # non-positive declared delay clamps to the default (politeness
+    # floor), bounding capacity by the round budget.
+    declared = F.col(delay_col)
+    delay = F.when(
+        declared.isNotNull() & (declared > 0), declared
+    ).otherwise(F.lit(default_delay))
     cap = F.greatest(
         F.lit(1), F.floor(F.lit(round_seconds) / delay).cast("int")
     )

@@ -231,7 +231,8 @@ def phrase_query_df(spark, phrases: dict[int, list[str]]) -> DataFrame:
 
 
 def positional_postings(docs: DataFrame, id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        vocab: DataFrame | None = None) -> DataFrame:
     """The POSITIONAL inverted-index relation: (term, doc_id,
     positions) with token offsets sorted ascending — what phrase and
     proximity queries consume (the Lucene positions-enabled field
@@ -241,14 +242,23 @@ def positional_postings(docs: DataFrame, id_col: str = "doc_id",
     doc_id) key: the doc id in the key splits a stopword-grade hot
     term across reducers — posting-list construction has no hot-key
     straggler — and each position list is bounded by its own doc's
-    length."""
+    length.
+
+    `vocab` (a 1-column `term` relation, broadcast) semi-filters the
+    token stream BEFORE the groupBy — the BM25 discipline: when the
+    consumer only needs a known term set (phrase queries), the
+    10^12-row corpus side sheds every non-matching token scan-side and
+    never shuffles it."""
     toks = tokens_col(text_col)
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(toks).alias("pos", "term"),
+    )
+    if vocab is not None:
+        t = t.join(F.broadcast(vocab.select("term").distinct()),
+                   "term", "left_semi")
     return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.posexplode(toks).alias("pos", "term"),
-        )
-        .groupBy("term", "doc_id")
+        t.groupBy("term", "doc_id")
         .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
     )
 
@@ -273,8 +283,9 @@ def phrase_search(docs: DataFrame, phrases: dict[int, list[str]],
     per-(query, doc) intersection is JVM ``array_intersect`` over
     doc-length-bounded arrays — no Python anywhere."""
     q = phrase_query_df(docs.sparkSession, phrases)
-    matched = positional_postings(docs, id_col=id_col, text_col=text_col) \
-        .join(F.broadcast(q), "term")
+    matched = positional_postings(
+        docs, id_col=id_col, text_col=text_col, vocab=q
+    ).join(F.broadcast(q), "term")
     g = matched.select(
         "query_id",
         "doc_id",

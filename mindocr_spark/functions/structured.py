@@ -31,9 +31,10 @@ from pyspark.sql import DataFrame, functions as F
 
 #: The JSON-LD carrier tag. Shared constant — Java regex and RE2 read
 #: the identical byte string, and the test corpus writes exactly this
-#: shape. Non-greedy body: stops at the FIRST closing tag, so a page's
-#: other scripts can never bleed into the capture.
-JSONLD_SCRIPT_RE = r'<script type="application/ld\+json">(.*?)</script>'
+#: shape. Non-greedy body with (?s): pretty-printed multi-line blocks —
+#: the dominant real-world form — match too, and the capture stops at
+#: the FIRST closing tag, so a page's other scripts can never bleed in.
+JSONLD_SCRIPT_RE = r'(?s)<script type="application/ld\+json">(.*?)</script>'
 
 
 def extract_jsonld(
@@ -81,9 +82,9 @@ def extract_jsonld(
 #: family writes. (Attribute-tolerant variants would widen the open
 #: tags to ``<table[^>]*>``; the oracle corpus pins the bare form so
 #: the closed-form SQL twin stays exact.)
-TABLE_RE = r"<table>(.*?)</table>"
-TR_RE = r"<tr>(.*?)</tr>"
-CELL_RE = r"<t[dh]>(.*?)</t[dh]>"
+TABLE_RE = r"(?s)<table>(.*?)</table>"
+TR_RE = r"(?s)<tr>(.*?)</tr>"
+CELL_RE = r"(?s)<t[dh]>(.*?)</t[dh]>"
 
 
 def extract_tables(

@@ -105,18 +105,18 @@ def lexical_diversity_cols(df: DataFrame, text_col: str = "text",
     words" gate family): n_tokens, n_types (distinct tokens), and
     type-token ratio — low TTR is the keyword-stuffing / template-spam
     signature that length and stopword gates miss. Counts are exact
-    ints (``array_distinct`` over the token array — row-local, linear);
-    the ratio is one IEEE division; NULL for zero-token docs (no
-    evidence, not 0 diversity). Pure codegen on the scan."""
-    toks = tokens_col(text_col)
-    n_tokens = F.size(toks)
-    n_types = F.size(F.array_distinct(toks))
-    return df.select(
+    ints; the ratio is one IEEE division; NULL for zero-token docs (no
+    evidence, not 0 diversity). Pure codegen on the scan. The counts
+    are :func:`token_stats`'s own columns (one tokenization definition
+    in this module), re-aliased to the gate's vocabulary."""
+    s = token_stats(df, text_col=text_col, id_col=id_col)
+    return s.select(
         id_col,
-        n_tokens.alias("n_tokens"),
-        n_types.alias("n_types"),
+        "n_tokens",
+        F.col("n_distinct_tokens").alias("n_types"),
         F.try_divide(
-            n_types.cast("double"), n_tokens.cast("double")
+            F.col("n_distinct_tokens").cast("double"),
+            F.col("n_tokens").cast("double"),
         ).alias("ttr"),
     )
 

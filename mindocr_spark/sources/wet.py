@@ -173,12 +173,14 @@ def synth_wet_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
     """Idempotent fixture-WET synthesis: run the REAL extraction
     pipeline over the documents→pages corpus and serialize its output
     as WET files under /tmp (content-hash-keyed)."""
+    from mindocr_spark.operators import pipeline as pipeline_mod
     from mindocr_spark.operators.pipeline import run_extraction
     from mindocr_spark.sources import content_keyed_fixture_dir
-    from mindocr_spark.sources import pages as pages_mod
-    from mindocr_spark.sources.pages import pages_from_documents
+    from mindocr_spark.sources import pages as pages_mod, warc as warc_mod
 
     def build(out_dir: str) -> None:
+        from mindocr_spark.sources.pages import pages_from_documents
+
         pages = pages_from_documents(spark, sf_dir).repartition(
             spark.sparkContext.defaultParallelism
         )
@@ -187,6 +189,12 @@ def synth_wet_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
         )
         write_wet_dir(docs, out_dir, n_files=n_files)
 
+    # the key must cover every module the built BYTES depend on:
+    # extraction output (pipeline + its extract_core import chain is
+    # versioned through pipeline's file), the WARC framing primitives,
+    # and the page template
     return content_keyed_fixture_dir(
-        "mindocr_wet", sf_dir, (__file__, pages_mod.__file__), build
+        "mindocr_wet", sf_dir,
+        (__file__, pages_mod.__file__, warc_mod.__file__,
+         pipeline_mod.__file__), build
     )

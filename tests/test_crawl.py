@@ -121,24 +121,73 @@ def test_robots_gate_semantics(spark):
     assert got["https://norobots.example/x"]["crawl_delay"] is None
 
 
-def test_robots_specific_ua_group(spark):
-    """A named UA must pick up ITS group's rules (plus the * group)."""
+def test_robots_specific_ua_group_is_exclusive(spark):
+    """RFC 9309 group selection: when a domain declares a group for
+    the requesting UA, ONLY that group applies — the * group neither
+    adds rules nor overrides them; domains without a specific group
+    fall back to *; a declared-but-EMPTY specific group = allow-all."""
     from mindocr_spark.functions.crawl import robots_gate
 
     robots = spark.createDataFrame(
         [("a.example",
           "User-agent: mybot\nDisallow: /mine/\n\n"
-          "User-agent: *\nDisallow: /all/\n")],
+          "User-agent: *\nDisallow: /all/\nAllow: /mine/deep/\n"),
+         ("b.example", "User-agent: *\nDisallow: /all/\n"),
+         ("c.example", "User-agent: mybot\n\nUser-agent: *\nDisallow: /\n")],
         "domain string, robots_txt string",
     )
     pages = spark.createDataFrame(
-        [("https://a.example/mine/x",), ("https://a.example/all/x",)],
+        [("https://a.example/mine/x",),
+         ("https://a.example/mine/deep/x",),  # * Allow must NOT override
+         ("https://a.example/all/x",),        # * rules don't apply to mybot
+         ("https://b.example/all/x",),        # no mybot group → * applies
+         ("https://c.example/anything",)],    # empty mybot group → allow-all
         "url string",
     )
     got = {r["url"]: r["allowed"]
            for r in robots_gate(pages, robots, ua="mybot").collect()}
-    assert got == {"https://a.example/mine/x": False,
-                   "https://a.example/all/x": False}
+    assert got == {
+        "https://a.example/mine/x": False,
+        "https://a.example/mine/deep/x": False,
+        "https://a.example/all/x": True,
+        "https://b.example/all/x": False,
+        "https://c.example/anything": True,
+    }
+
+
+def test_robots_root_url_means_slash_path(spark):
+    """An authority-only URL is the path '/' — a blanket Disallow: /
+    must match the site root."""
+    from mindocr_spark.functions.crawl import robots_gate
+
+    robots = spark.createDataFrame(
+        [("a.example", "User-agent: *\nDisallow: /\n")],
+        "domain string, robots_txt string",
+    )
+    pages = spark.createDataFrame(
+        [("https://a.example",), ("https://a.example/",)], "url string"
+    )
+    got = {r["url"]: (r["allowed"], r["path"])
+           for r in robots_gate(pages, robots).collect()}
+    assert got == {"https://a.example": (False, "/"),
+                   "https://a.example/": (False, "/")}
+
+
+def test_fetch_schedule_nonpositive_delay_clamps_to_default(spark):
+    """'Crawl-delay: 0' in the wild must not produce Infinity capacity
+    (ANSI cast abort / simultaneous fetches) — it clamps to the
+    politeness default."""
+    from mindocr_spark.functions.crawl import fetch_schedule
+
+    frontier = spark.createDataFrame(
+        [(f"h/u{i}", "h", 0.0) for i in range(5)],
+        "url string, host string, crawl_delay double",
+    )
+    got = sorted(
+        (r["seq"], r["fetch_at_s"], r["crawl_delay"])
+        for r in fetch_schedule(frontier, round_seconds=3.0).collect()
+    )
+    assert got == [(1, 0.0, 1.0), (2, 1.0, 1.0), (3, 2.0, 1.0)]
 
 
 def test_sitemap_parse_fields(spark):

@@ -228,3 +228,22 @@ class TestPhraseSearch:
             ._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_phrase_vocab_semifilter_precedes_postings_groupby(spark):
+    """The broadcast vocabulary semi-join must run BEFORE the postings
+    aggregation — the corpus token stream sheds non-phrase terms
+    scan-side instead of shuffling the full vocabulary into position
+    lists. In the executed plan the LeftSemi join therefore sits BELOW
+    (deeper than) the first partial aggregate."""
+    from mindocr_spark.functions.search import phrase_search
+
+    df = spark.range(5).selectExpr(
+        "id AS doc_id", "'alpha beta gamma delta' AS text"
+    )
+    plan = phrase_search(df, {0: ["alpha", "beta"]}) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    first_agg = plan.index("HashAggregate")
+    semi = plan.index("LeftSemi")
+    assert semi > first_agg, "semi-join must be below the aggregate"

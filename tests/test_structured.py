@@ -99,3 +99,21 @@ def test_structured_plans_are_scan_only(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_multiline_blocks_and_tables_match(spark):
+    """Real-world pretty-printed (multi-line) JSON-LD and tables must
+    extract — the patterns carry (?s)."""
+    from mindocr_spark.functions.structured import (
+        extract_jsonld, extract_tables,
+    )
+
+    html = (
+        '<script type="application/ld+json">\n{\n  "@type": "Article",\n'
+        '  "headline": "Multi"\n}\n</script>'
+        "<table>\n<tr>\n<td>a</td>\n<td>b</td>\n</tr>\n</table>"
+    )
+    [j] = extract_jsonld(_pages(spark, [("u", html)])).collect()
+    assert (j["ld_type"], j["name"]) == ("Article", "Multi")
+    cells = extract_tables(_pages(spark, [("u", html)])).collect()
+    assert sorted(r["cell"] for r in cells) == ["a", "b"]
