@@ -178,6 +178,23 @@ def q_wet_export(spark, sf_dir):
     ).orderBy("url")
 
 
+def q_wat_export(spark, sf_dir):
+    """Derived-format export #2 — WAT metadata records (the third
+    member of the WARC/WET/WAT triple): per-capture title / digest /
+    length / anchor count computed JVM-side (page bytes never reach
+    the Python writer), serialized as JSON metadata records, ingested
+    back through the shared hardened walk. The oracle rebuilds the
+    digest and length from the page template's SQL expression and
+    states title/anchor count in closed form."""
+    from mindocr_spark.sources.wat import read_wat, synth_wat_dir
+
+    return read_wat(spark, synth_wat_dir(spark, sf_dir)).select(
+        "url",
+        F.unix_timestamp("warc_ts").alias("warc_sec"),
+        "title", "digest", "length", "n_anchors",
+    ).orderBy("url")
+
+
 def q_http_gate(spark, sf_dir):
     """Ingest-side fetch gating end-to-end: the corpus serialized with
     a planted HTTP-status / Content-Type quota (404 / 301 / 503 /
@@ -2007,6 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_extract": _q(q_jsonl_extract),
         "wet_export": _q(q_wet_export),
         "http_gate": _q(q_http_gate),
+        "wat_export": _q(q_wat_export),
         "extract_east": _q(q_extract_east),
         "agg_partial_final": _q(q_agg_partial_final),
         "fanout_regroup": _q(q_fanout_regroup),
@@ -2550,6 +2568,21 @@ def oracle_sql() -> dict[str, str]:
                    '{_A}' || chr(10) || text AS extracted_text,
                    CAST(1 AS BIGINT) AS n_blocks
             FROM documents ORDER BY url
+        """,
+        # title and the 8 chrome anchors are template constants; digest
+        # and length rebuild from the SAME SQL expression the CDX
+        # oracle uses
+        "wat_export": f"""
+            WITH h AS (
+              SELECT doc_id, {url} AS url, {_html_expr()} AS html
+              FROM documents)
+            SELECT url,
+                   CAST(1704067200 + doc_id AS BIGINT) AS warc_sec,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                   md5(html) AS digest,
+                   CAST(strlen(html) AS BIGINT) AS length,
+                   CAST(8 AS INT) AS n_anchors
+            FROM h ORDER BY url
         """,
         "http_gate": f"""
             WITH d AS (

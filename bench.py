@@ -124,6 +124,7 @@ def main() -> None:
         "revisit_policy",       # delta-driven recrawl buckets
         "http_gate",            # WARC status/mime ingest gate
         "wet_export",           # extraction → WET files → re-ingest
+        "wat_export",           # JVM-side metadata → WAT files → re-ingest
         "mojibake_repair",      # guarded encoding repair (codegen)
         "jsonld_extract",       # schema.org structured data
         "table_extract",        # HTML tables → cell relation

@@ -74,3 +74,42 @@ def test_wet_corrupt_file_yields_failure_row_not_abort(spark, tmp_path):
     assert by_ok["https://w.example/ok"]["text"] == "fine"
     [fail] = [r for r in rows if r["text"] is None]
     assert fail["url"].endswith("part-zzzzz.warc.wet")
+
+
+def test_wat_record_roundtrip_and_corruption():
+    import json
+    import pytest
+    from mindocr_spark.sources.wat import (
+        format_metadata_record, parse_wat,
+    )
+
+    body = json.dumps({"url": "u/x", "title": "T", "digest": "d",
+                       "length": 5, "n_anchors": 2}, sort_keys=True).encode()
+    recs = format_metadata_record("u/x", 1704067201, body)
+    [e] = parse_wat(recs)
+    assert (e["url"], e["title"], e["n_anchors"], e["ts_sec"]) == (
+        "u/x", "T", 2, 1704067201)
+    with pytest.raises(ValueError):
+        parse_wat(recs[:-2])
+
+
+def test_wat_write_ingest_parity(spark, tmp_path):
+    from mindocr_spark.sources.wat import read_wat, write_wat_dir
+
+    pages = spark.createDataFrame(
+        [(f"https://w.example/{i}", i,
+          bytearray(f'<title>T{i}</title><a href="/x">x</a>'.encode()))
+         for i in range(20)],
+        "url string, ts bigint, html binary",
+    ).selectExpr("url", "timestamp_seconds(ts) AS warc_ts", "html")
+    assert write_wat_dir(pages, str(tmp_path), n_files=3) == 20
+    got = {r["url"]: r for r in read_wat(spark, str(tmp_path)).collect()}
+    assert len(got) == 20
+    r = got["https://w.example/7"]
+    assert r["title"] == "T7"
+    assert r["n_anchors"] == 1
+    import hashlib
+
+    assert r["digest"] == hashlib.md5(
+        '<title>T7</title><a href="/x">x</a>'.encode()
+    ).hexdigest()
