@@ -1458,6 +1458,21 @@ def q_table_extract(spark, sf_dir):
     ).orderBy("url", "table_idx", "row_idx", "col_idx")
 
 
+def q_link_density(spark, sf_dir):
+    """Page-level link-density features (the Boilerpipe-family spam /
+    nav-hub signal, cheapest to gate BEFORE the parse): anchor count,
+    visible anchor-text chars (one codegen regexp_extract_all + an
+    aggregate fold), html length, and their ratio. The oracle derives
+    the expected anchor inventory from the SAME chrome template
+    constants the corpus builder concatenates — no drift possible."""
+    from mindocr_spark.functions.links import link_density_cols
+    from mindocr_spark.sources.pages import pages_from_documents
+
+    return link_density_cols(
+        pages_from_documents(spark, sf_dir)
+    ).orderBy("url")
+
+
 def q_link_graph(spark, sf_dir):
     """Web-graph layer: extract every <a href> from the linked corpus
     family's raw HTML (one codegen regexp_extract_all), resolve
@@ -2077,6 +2092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_logppl": _q(q_lm_logppl),
         "lm_bigram_logppl": _q(q_lm_bigram_logppl),
         "link_graph": _q(q_link_graph),
+        "link_density": _q(q_link_density),
         "anchor_text": _q(q_anchor_text),
         "page_metadata": _q(q_page_metadata),
         "redirect_resolve": _q(q_redirect_resolve),
@@ -2535,6 +2551,16 @@ def oracle_sql() -> dict[str, str]:
         pages_html_sql_expr as _html_expr,
     )
 
+    import re as _re
+    from mindocr_spark.sources.pages import (
+        CHROME_AFTER_TITLE as _CH_MID, CHROME_TAIL as _CH_TAIL,
+    )
+
+    _chrome_anchors = _re.findall(
+        r'<a href="[^"]*">([^<]*)</a>', _CH_MID + _CH_TAIL
+    )
+    _n_anch = len(_chrome_anchors)
+    _anch_chars = sum(len(a) for a in _chrome_anchors)
     url = "'https://docs.example/' || source || '/' || CAST(doc_id AS VARCHAR)"
     return {
         "extract_fulltext": f"""
@@ -2572,6 +2598,21 @@ def oracle_sql() -> dict[str, str]:
         # title and the 8 chrome anchors are template constants; digest
         # and length rebuild from the SAME SQL expression the CDX
         # oracle uses
+        # anchor inventory derived from the SAME chrome constants the
+        # corpus concatenates (every plain-template page carries exactly
+        # the chrome anchors; the word-soup body has none)
+        "link_density": f"""
+            WITH h AS (
+              SELECT {url} AS url, {_html_expr()} AS html
+              FROM documents)
+            SELECT url,
+                   CAST({_n_anch} AS INT) AS n_anchors,
+                   CAST({_anch_chars} AS INT) AS anchor_chars,
+                   CAST(strlen(html) AS INT) AS html_chars,
+                   CAST({_anch_chars} AS DOUBLE)
+                     / CAST(strlen(html) AS DOUBLE) AS link_char_ratio
+            FROM h ORDER BY url
+        """,
         "wat_export": f"""
             WITH h AS (
               SELECT doc_id, {url} AS url, {_html_expr()} AS html

@@ -131,6 +131,7 @@ def main() -> None:
         "cdc_chunks",           # content-defined chunking (HOF path)
         "phrase_search",        # positional-postings phrase retrieval
         "lexical_diversity",    # type-token ratio gate features
+        "link_density",         # page-level link-density spam signal
     ]
     qs = E.queries()
     for name in headline:

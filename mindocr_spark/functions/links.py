@@ -388,3 +388,32 @@ def domain_link_stats(edges: DataFrame) -> DataFrame:
         F.sum(self_edge).alias("n_self"),
         F.sum(F.lit(1) - self_edge).alias("n_external"),
     )
+
+
+def link_density_cols(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Page-level link-density features — the Boilerpipe-family spam /
+    navigation-page signal at PAGE grain (the extraction core already
+    scores link density per BLOCK; link farms and nav hubs are
+    cheapest to drop before the parse): ``n_anchors``, ``anchor_chars``
+    (visible anchor-text length), ``html_chars``, and
+    ``link_char_ratio`` = anchor_chars / html_chars. Exact-int counts
+    (one codegen ``regexp_extract_all`` + an aggregate fold) and one
+    IEEE division — zero shuffles, zero Python, NULL ratio for empty
+    payloads."""
+    html_s = F.col(html_col).cast("string")
+    texts = F.regexp_extract_all(html_s, F.lit(ANCHOR_RE), F.lit(2))
+    anchor_chars = F.aggregate(
+        texts, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    n_html = F.length(html_s)
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.size(texts).alias("n_anchors"),
+        anchor_chars.alias("anchor_chars"),
+        n_html.alias("html_chars"),
+        F.try_divide(
+            anchor_chars.cast("double"), n_html.cast("double")
+        ).alias("link_char_ratio"),
+    )

@@ -162,3 +162,34 @@ def test_resolve_href_non_edge_and_scheme_relative_forms(spark):
     cdn = out["//cdn.example/lib.js"]
     assert cdn["dst_url"] == "https://cdn.example/lib.js"
     assert cdn["dst_domain"] == "cdn.example"  # NOT a.example self-link
+
+
+def test_link_density_golden(spark):
+    from mindocr_spark.functions.links import link_density_cols
+
+    html = ('<p>body text here</p><a href="/x">Go</a>'
+            '<a href="/y">There</a>')
+    df = spark.createDataFrame(
+        [("u", bytearray(html.encode())), ("empty", bytearray(b""))],
+        "url string, html binary",
+    )
+    got = {r["url"]: r for r in link_density_cols(df).collect()}
+    r = got["u"]
+    assert (r["n_anchors"], r["anchor_chars"]) == (2, 7)  # Go + There
+    assert r["html_chars"] == len(html)
+    assert r["link_char_ratio"] == 7 / len(html)
+    e = got["empty"]
+    assert (e["n_anchors"], e["anchor_chars"]) == (0, 0)
+    assert e["link_char_ratio"] is None
+
+
+def test_link_density_plan_is_scan_only(spark):
+    from mindocr_spark.functions.links import link_density_cols
+    from mindocr_spark.sources.pages import pages_from_documents
+
+    df = link_density_cols(
+        pages_from_documents(spark, "/root/testdata/sf0.001")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
