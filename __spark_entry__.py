@@ -1111,6 +1111,71 @@ def q_quality_repetition(spark, sf_dir):
     return rep.join(top, "doc_id").orderBy("doc_id")
 
 
+def q_code_math(spark, sf_dir):
+    """Code/math content-type routing signals (StarCoder/RedPajama
+    family): fenced blocks, indented-line fraction, C-family symbol
+    density, LaTeX markers → is_code / is_math flags. The word-soup
+    corpus carries none of these, so the corpus is built IN-QUERY with
+    doc_id-derived arms — %3 gains a fenced code block with a varying
+    number of indented `int v = {1}; run();` lines (symbol density
+    crosses the threshold only at %4==3), %5==1 an indent-only block
+    (code via indentation, no fences), %7 LaTeX commands (+display math
+    on even ids), %11==3 a lone `$$` that must NOT trip is_math. The
+    oracle rebuilds the identical corpus and recomputes every signal
+    with the SAME regex constants under RE2 — the dialect agreement is
+    part of the check (the PII/blockword discipline)."""
+    from mindocr_spark.functions.text import code_math_cols
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    code_block = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.lit("\n```\n"),
+            F.repeat(
+                F.lit("    int v = {1}; run();\n"),
+                (did % 4 + 1).cast("int"),
+            ),
+            F.lit("```"),
+        ),
+    )
+    indent_tail = F.when(
+        did % 5 == 1,
+        F.lit("\n    indented note one\n\tindented note two"),
+    )
+    math_tail = F.when(
+        did % 7 == 0,
+        F.concat_ws(
+            "",
+            F.lit(" \\frac{a}{b} plus \\sum x"),
+            F.when(did % 2 == 0, F.lit(" and $$ y $$")),
+        ),
+    )
+    dollar_tail = F.when(did % 11 == 3, F.lit(" price $$ tag"))
+    built = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "", F.col("text"), code_block, indent_tail, math_tail,
+            dollar_tail,
+        ).alias("text"),
+    )
+    return code_math_cols(built).orderBy("doc_id")
+
+
+def q_token_entropy(spark, sf_dir):
+    """Unigram token-entropy gate features: −Σ p·ln p over each doc's
+    token distribution (the Gopher symbol-distribution family — sees
+    the SHAPE of the frequency distribution where TTR only sees its
+    support). Exactness is the ln-quantization discipline: one IEEE
+    division per term, ln rounded at 9, terms quantized at 12 and
+    summed as DECIMAL, one final cast to double — bit-identical to the
+    DuckDB list-comprehension twin."""
+    from mindocr_spark.functions.text import entropy_cols
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return entropy_cols(docs).orderBy("doc_id")
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental cross-corpus dedup, exact-oracled end to end: the
     even-doc_id half of `documents` is committed as increment 1 through
@@ -1287,6 +1352,10 @@ from mindocr_spark.functions.classifier import (  # noqa: E402
 )
 from mindocr_spark.functions.text import (  # noqa: E402
     BPE_PRETOKEN_RE as _BPE_PRETOKEN_RE,
+    CODE_FENCE_RE as _CODE_FENCE_RE,
+    CODE_SYMBOL_RE as _CODE_SYMBOL_RE,
+    INDENT_LINE_RE as _INDENT_LINE_RE,
+    LATEX_RE as _LATEX_RE,
     blockword_pattern as _blockword_pattern,
 )
 
@@ -2079,6 +2148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": _q(q_simhash_neardup),
         "incremental_dedup": _q(q_incremental_dedup),
         "quality_repetition": _q(q_quality_repetition),
+        "code_math_detect": _q(q_code_math),
+        "token_entropy": _q(q_token_entropy),
         "direction_norm": _q(q_direction_norm),
         "curate_pipeline": _q(q_curate_pipeline),
         "attn_tokens": _q(q_attn_tokens),
@@ -4147,6 +4218,100 @@ def oracle_sql() -> dict[str, str]:
             JOIN tok t USING (doc_id)
             LEFT JOIN top USING (doc_id)
             ORDER BY l.doc_id
+        """,
+        # code/math routing signals: the oracle rebuilds the planted
+        # corpus and recomputes every count with the SAME regex
+        # constants (rendered below) under RE2
+        "code_math_detect": r"""
+            WITH built AS (
+              SELECT doc_id,
+                     concat_ws('', text,
+                       CASE WHEN doc_id % 3 = 0 THEN
+                         chr(10) || '```' || chr(10)
+                         || repeat('    int v = {1}; run();' || chr(10),
+                                   CAST(doc_id % 4 + 1 AS INT))
+                         || '```'
+                       END,
+                       CASE WHEN doc_id % 5 = 1 THEN
+                         chr(10) || '    indented note one' || chr(10)
+                         || chr(9) || 'indented note two'
+                       END,
+                       CASE WHEN doc_id % 7 = 0 THEN
+                         concat_ws('', ' \frac{a}{b} plus \sum x',
+                           CASE WHEN doc_id % 2 = 0
+                                THEN ' and $$ y $$' END)
+                       END,
+                       CASE WHEN doc_id % 11 = 3
+                            THEN ' price $$ tag' END
+                     ) AS text
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '__FENCE__')) AS nf,
+                     len(regexp_extract_all(text, '__SYM__')) AS ns,
+                     len(regexp_extract_all(text, '__LATEX__')) AS nl,
+                     len(list_filter(string_split(text, chr(10)),
+                         l -> regexp_matches(l, '__INDENT__'))) AS ni,
+                     len(string_split(text, chr(10))) AS nlines
+              FROM built),
+            s AS (
+              SELECT doc_id, nf, ns, nl, ni, nlines,
+                     coalesce(round(CAST(ni AS DOUBLE)
+                                    / CAST(nlines AS DOUBLE), 6),
+                              0.0) AS ifrac
+              FROM c)
+            SELECT doc_id,
+                   CAST(nf AS INT) AS n_code_fences,
+                   CAST(ni AS INT) AS n_indented_lines,
+                   CAST(nlines AS INT) AS n_lines,
+                   ifrac AS indent_frac,
+                   CAST(ns AS INT) AS n_code_symbols,
+                   CAST(nl AS INT) AS n_latex,
+                   (nf >= 2 OR ifrac >= 0.3 OR ns >= 10) AS is_code,
+                   (nl >= 2) AS is_math
+            FROM s ORDER BY doc_id
+        """.replace("__FENCE__", _CODE_FENCE_RE)
+           .replace("__SYM__", _CODE_SYMBOL_RE)
+           .replace("__LATEX__", _LATEX_RE)
+           .replace("__INDENT__", _INDENT_LINE_RE),
+        # unigram token entropy: list-comprehension twin of the HOF
+        # fold — p = c/n IEEE division, ln quantized round(·,9), terms
+        # quantized at 12, DECIMAL sum, one final double cast
+        "token_entropy": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g'))
+                       AS norm
+              FROM documents),
+            tok AS (
+              SELECT doc_id,
+                     CASE WHEN norm = '' THEN CAST([] AS VARCHAR[])
+                          ELSE string_split(norm, ' ') END AS toks
+              FROM t),
+            c AS (
+              SELECT doc_id, len(toks) AS n,
+                     len(list_distinct(toks)) AS d,
+                     list_transform(list_distinct(toks),
+                       tt -> len(list_filter(toks, x -> x = tt))) AS cnts
+              FROM tok),
+            u AS (
+              SELECT doc_id,
+                     unnest(list_transform(cnts, cc ->
+                       CAST(round(
+                         (CAST(cc AS DOUBLE) / CAST(n AS DOUBLE))
+                         * round(ln(CAST(cc AS DOUBLE)
+                                    / CAST(n AS DOUBLE)), 9),
+                         12) AS DECIMAL(28,12)))) AS term
+              FROM c),
+            s AS (
+              SELECT doc_id, SUM(term) AS ent FROM u GROUP BY doc_id)
+            SELECT c.doc_id,
+                   CAST(c.n AS INT) AS n_tokens,
+                   CAST(c.d AS INT) AS n_types,
+                   CASE WHEN c.n > 0
+                        THEN CAST(-s.ent AS DOUBLE) END AS token_entropy
+            FROM c LEFT JOIN s USING (doc_id)
+            ORDER BY c.doc_id
         """,
         "incremental_dedup": f"""
             WITH perms AS (SELECT CAST(range AS INT) AS perm FROM range(32)),

@@ -132,6 +132,9 @@ def main() -> None:
         "phrase_search",        # positional-postings phrase retrieval
         "lexical_diversity",    # type-token ratio gate features
         "link_density",         # page-level link-density spam signal
+        # round-3 session-B additions (appended for the same reason)
+        "code_math_detect",     # code/LaTeX content-type routing gate
+        "token_entropy",        # unigram-distribution entropy gate
     ]
     qs = E.queries()
     for name in headline:

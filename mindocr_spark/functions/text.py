@@ -121,6 +121,137 @@ def lexical_diversity_cols(df: DataFrame, text_col: str = "text",
     )
 
 
+def entropy_cols(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Unigram token entropy (the Gopher-family symbol-distribution
+    gate): Shannon entropy −Σ p·ln p over the doc's token frequency
+    distribution. Near-zero entropy is the keyword-stuffing /
+    single-token-spam signature; abnormally high entropy at short
+    length flags random-string noise. TTR (``lexical_diversity_cols``)
+    only sees SUPPORT (how many types); entropy sees the SHAPE of the
+    distribution — "a a a a b" and "a a b b a" have equal TTR but
+    different entropy.
+
+    Cross-engine exactness discipline: p = c/n is one IEEE division
+    (identical in both engines), each term is p·round(ln p, 9)
+    quantized at 12 and summed as DECIMAL (exact, order-independent),
+    and only the final value is cast back to double — the
+    BM25/PageRank ln-quantization rule. NULL entropy for zero-token
+    docs (no evidence, not 0 disorder).
+
+    100 TB shape: row-local higher-order functions over the token
+    array — zero shuffles, zero Python, O(types·tokens) per row (docs
+    are curation-gate sized; for book-length outliers the explode +
+    groupBy(doc, token) shape is the fallback, at the price of a
+    shuffle on the doc key).
+    """
+    with_toks = df.select(id_col, tokens_col(text_col).alias("_toks"))
+    toks = F.col("_toks")
+    n = F.size(toks)
+
+    def term(c):
+        p = c.cast("double") / n.cast("double")
+        return (
+            F.round(p * F.round(F.log(p), 9), 12).cast("decimal(28,12)")
+        )
+
+    terms = F.transform(
+        F.array_distinct(toks),
+        lambda t: term(F.size(F.filter(toks, lambda x: x == t))),
+    )
+    ent = F.aggregate(
+        terms,
+        F.lit(0).cast("decimal(28,12)"),
+        lambda a, x: (a + x).cast("decimal(28,12)"),
+    )
+    return with_toks.select(
+        id_col,
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+        F.when(n > 0, (-ent).cast("double")).alias("token_entropy"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Code / math content detection (content-type routing signals)
+# --------------------------------------------------------------------------
+
+#: Shared Java-regex/RE2 patterns for the code/math signals — every one
+#: is rendered verbatim into the SQL oracle, so the dialect agreement is
+#: part of what the oracle checks (the blockword/PII discipline).
+CODE_FENCE_RE = r"```"
+INDENT_LINE_RE = r"^(    |\t)"
+CODE_SYMBOL_RE = r"[{};]"
+LATEX_RE = r"\\(frac|sum|int|sqrt|begin|end|alpha|cdot)|\$\$"
+
+
+def code_math_cols(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_fences: int = 2,
+    min_indent_frac: float = 0.3,
+    min_code_symbols: int = 10,
+    min_latex: int = 2,
+) -> DataFrame:
+    """Code / math content-type signals (the StarCoder/RedPajama-family
+    routing gate: prose curation thresholds misfire on code and LaTeX,
+    so pipelines detect and route these docs before quality gating):
+
+    - ``n_code_fences``    — markdown fence markers (the explicit signal);
+    - ``n_indented_lines`` / ``n_lines`` / ``indent_frac`` — the
+      indentation-block signature of pasted code;
+    - ``n_code_symbols``   — ``{ } ;`` occurrences (C-family density);
+    - ``n_latex``          — LaTeX command / display-math markers;
+    - ``is_code`` / ``is_math`` — threshold verdicts (flag-style: no row
+      vanishes; the curation funnel decides the routing).
+
+    100 TB shape: pure codegen regex counts + one line-array filter per
+    row — zero shuffles, zero Python, fused into the scan. Counts are
+    exact ints; ``indent_frac`` is one IEEE division rounded half-away
+    at 6 (engine-identical). NULL text is treated as empty (a routing
+    gate must emit a verdict for every row — and Spark's ``size(NULL)``
+    is -1 outside ANSI mode, which would poison the fraction).
+    Reference lineage: the cls stage routes payload variants to
+    different downstream handling
+    (reference: mindocr/postprocess/cls_postprocess.py:8-32); this is
+    the corpus-curation analog of that detect-then-route stage.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    n_indented = F.size(
+        F.filter(lines, lambda l: l.rlike(INDENT_LINE_RE))
+    )
+    indent_frac = F.coalesce(
+        F.round(
+            F.try_divide(
+                n_indented.cast("double"), n_lines.cast("double")
+            ),
+            6,
+        ),
+        F.lit(0.0),
+    )
+    n_fences = F.regexp_count(t, F.lit(CODE_FENCE_RE))
+    n_syms = F.regexp_count(t, F.lit(CODE_SYMBOL_RE))
+    n_latex = F.regexp_count(t, F.lit(LATEX_RE))
+    return df.select(
+        id_col,
+        n_fences.alias("n_code_fences"),
+        n_indented.alias("n_indented_lines"),
+        n_lines.alias("n_lines"),
+        indent_frac.alias("indent_frac"),
+        n_syms.alias("n_code_symbols"),
+        n_latex.alias("n_latex"),
+        (
+            (n_fences >= F.lit(min_fences))
+            | (indent_frac >= F.lit(min_indent_frac))
+            | (n_syms >= F.lit(min_code_symbols))
+        ).alias("is_code"),
+        (n_latex >= F.lit(min_latex)).alias("is_math"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Repetition quality (Gopher/C4-style curation gates)
 # --------------------------------------------------------------------------

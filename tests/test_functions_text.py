@@ -604,3 +604,107 @@ def test_lexical_diversity_golden(spark):
     assert got[1]["ttr"] == 1.0
     assert got[2]["n_tokens"] == 0 and got[2]["ttr"] is None
     assert got[3]["ttr"] is None
+
+
+class TestCodeMath:
+    def _run(self, spark, rows):
+        from mindocr_spark.functions.text import code_math_cols
+
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        return {r["doc_id"]: r for r in code_math_cols(df).collect()}
+
+    def test_fenced_block_golden(self, spark):
+        got = self._run(spark, [
+            (1, "intro\n```\n    x = 1;\n    y = {2};\n```\nend"),
+        ])[1]
+        assert got["n_code_fences"] == 2
+        assert got["n_lines"] == 6
+        assert got["n_indented_lines"] == 2
+        assert got["indent_frac"] == round(2 / 6, 6)
+        assert got["n_code_symbols"] == 4  # ; ; { }
+        assert got["is_code"] is True and got["is_math"] is False
+
+    def test_indent_only_and_symbol_density(self, spark):
+        got = self._run(spark, [
+            (1, "a\n    b\n\tc\n    d"),          # 3/4 indented
+            (2, "if (x) { y(); } done;"),           # 4 symbols < 10
+            (3, "m { n }; o { p }; q { r }; s {}"),  # 8 braces + 3 semis
+        ])
+        assert got[1]["indent_frac"] == 0.75 and got[1]["is_code"] is True
+        assert got[1]["n_code_fences"] == 0
+        assert got[2]["n_code_symbols"] == 4 and got[2]["is_code"] is False
+        assert got[3]["n_code_symbols"] == 11 and got[3]["is_code"] is True
+
+    def test_latex_thresholds(self, spark):
+        got = self._run(spark, [
+            (1, r"x \frac{a}{b} and \sum y"),   # 2 markers -> math
+            (2, "price $$ alone"),               # 1 marker  -> not math
+            (3, r"\sqrt of $$ x $$"),            # 1 + 2 -> math
+            (4, "plain prose only"),
+        ])
+        assert got[1]["n_latex"] == 2 and got[1]["is_math"] is True
+        assert got[2]["n_latex"] == 1 and got[2]["is_math"] is False
+        assert got[3]["n_latex"] == 3 and got[3]["is_math"] is True
+        assert got[4]["is_math"] is False and got[4]["is_code"] is False
+
+    def test_null_and_empty_text_get_verdicts(self, spark):
+        got = self._run(spark, [(1, None), (2, "")])
+        for d in (1, 2):
+            assert got[d]["is_code"] is False and got[d]["is_math"] is False
+            assert got[d]["indent_frac"] == 0.0
+
+    def test_scan_only_plan(self, spark):
+        from mindocr_spark.functions.text import code_math_cols
+
+        df = spark.createDataFrame(
+            [(1, "a\n    b")], "doc_id bigint, text string"
+        )
+        plan = (
+            code_math_cols(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+class TestTokenEntropy:
+    def _run(self, spark, rows):
+        from mindocr_spark.functions.text import entropy_cols
+
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        return {r["doc_id"]: r for r in entropy_cols(df).collect()}
+
+    def test_goldens(self, spark):
+        got = self._run(spark, [
+            (1, "a a b b"),       # uniform over 2 types -> ln 2
+            (2, "x x x x"),       # single type -> 0
+            (3, "a a a b"),       # skewed 3:1
+            (4, ""),              # no evidence -> NULL
+            (5, None),
+        ])
+        # expected values follow the exact quantization pipeline:
+        # p*round(ln p, 9) rounded at 12, summed exactly
+        assert got[1]["token_entropy"] == pytest.approx(0.693147181, abs=1e-12)
+        assert got[2]["token_entropy"] == 0.0
+        assert got[3]["token_entropy"] == pytest.approx(
+            0.215761554 + 0.34657359025, abs=1e-12
+        )
+        assert got[4]["token_entropy"] is None
+        assert got[5]["token_entropy"] is None
+        assert got[1]["n_types"] == 2 and got[1]["n_tokens"] == 4
+
+    def test_shape_beats_ttr(self, spark):
+        # equal TTR (2 types / 5 tokens) but different distribution
+        # shape: 4:1 is more ordered than 3:2 — entropy must order them
+        got = self._run(spark, [(1, "a a a a b"), (2, "a a a b b")])
+        assert got[1]["n_types"] == got[2]["n_types"]
+        assert got[1]["token_entropy"] < got[2]["token_entropy"]
+
+    def test_scan_only_plan(self, spark):
+        from mindocr_spark.functions.text import entropy_cols
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+        plan = (
+            entropy_cols(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
