@@ -1162,6 +1162,33 @@ def q_code_math(spark, sf_dir):
     return code_math_cols(built).orderBy("doc_id")
 
 
+def q_feed_parse(spark, sf_dir):
+    """RSS/Atom feed parsing — the third leg of crawl discovery
+    (robots politeness, sitemap inventory, feed freshness). Both wire
+    grammars normalize into one item relation; RSS RFC-822 dates map
+    month names to the ISO normal form through a pinned table. Every
+    field is doc_id arithmetic in the oracle — the XML never has to be
+    parsed twice."""
+    from mindocr_spark.functions.crawl import parse_feeds
+    from mindocr_spark.sources.pages import feed_corpus
+
+    _, feeds = feed_corpus(spark, sf_dir)
+    return parse_feeds(feeds).orderBy("domain", "link")
+
+
+def q_feed_discovery(spark, sf_dir):
+    """Feed-driven frontier discovery: feed items whose link is not in
+    the crawled inventory. The plan is the broadcast semi-join-down /
+    anti-join-up pair (the 10^12-page side is touched once, map-only);
+    the oracle is the closed-form NOT-crawled set (doc_id % 4 != 0
+    links are new posts)."""
+    from mindocr_spark.functions.crawl import feed_discovery, parse_feeds
+    from mindocr_spark.sources.pages import feed_corpus
+
+    pages, feeds = feed_corpus(spark, sf_dir)
+    return feed_discovery(parse_feeds(feeds), pages).orderBy("link")
+
+
 def q_token_entropy(spark, sf_dir):
     """Unigram token-entropy gate features: −Σ p·ln p over each doc's
     token distribution (the Gopher symbol-distribution family — sees
@@ -2150,6 +2177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_repetition": _q(q_quality_repetition),
         "code_math_detect": _q(q_code_math),
         "token_entropy": _q(q_token_entropy),
+        "feed_parse": _q(q_feed_parse),
+        "feed_discovery": _q(q_feed_discovery),
         "direction_norm": _q(q_direction_norm),
         "curate_pipeline": _q(q_curate_pipeline),
         "attn_tokens": _q(q_attn_tokens),
@@ -4274,6 +4303,60 @@ def oracle_sql() -> dict[str, str]:
            .replace("__SYM__", _CODE_SYMBOL_RE)
            .replace("__LATEX__", _LATEX_RE)
            .replace("__INDENT__", _INDENT_LINE_RE),
+        # parsed feed relation in closed form: even sites RSS, odd
+        # Atom; title omitted at %13==5, date at %17==3; month names
+        # exercise the full RFC-822 map
+        "feed_parse": r"""
+            WITH d AS (
+              SELECT doc_id, doc_id % 6 AS site,
+                     CAST(doc_id % 6 AS VARCHAR) AS s,
+                     CAST(doc_id % 12 + 1 AS INT) AS m1,
+                     lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS dd
+              FROM documents)
+            SELECT 'blog' || s || '.example' AS domain,
+                   CASE WHEN site % 2 = 0 THEN 'rss'
+                        ELSE 'atom' END AS kind,
+                   CASE WHEN doc_id % 13 = 5 THEN NULL
+                        ELSE 'Post ' || CAST(doc_id AS VARCHAR)
+                   END AS title,
+                   'https://blog' || s || '.example/'
+                     || CASE WHEN doc_id % 4 = 0 THEN 'page-'
+                             ELSE 'post-' END
+                     || CAST(doc_id AS VARCHAR) || '.html' AS link,
+                   CASE WHEN doc_id % 17 = 3 THEN NULL
+                        WHEN site % 2 = 0 THEN
+                          'Mon, ' || dd || ' '
+                          || list_extract(['Jan','Feb','Mar','Apr','May',
+                                           'Jun','Jul','Aug','Sep','Oct',
+                                           'Nov','Dec'], m1)
+                          || ' 2024 06:00:00 GMT'
+                        ELSE '2024-'
+                          || lpad(CAST(m1 AS VARCHAR), 2, '0')
+                          || '-' || dd || 'T06:00:00Z'
+                   END AS published,
+                   CASE WHEN doc_id % 17 = 3 THEN NULL
+                        ELSE '2024-'
+                          || lpad(CAST(m1 AS VARCHAR), 2, '0')
+                          || '-' || dd
+                   END AS published_date
+            FROM d ORDER BY domain, link
+        """,
+        # discovery = feed links never crawled: the post-* arm
+        "feed_discovery": r"""
+            SELECT 'blog' || CAST(doc_id % 6 AS VARCHAR)
+                     || '.example' AS domain,
+                   'https://blog' || CAST(doc_id % 6 AS VARCHAR)
+                     || '.example/post-' || CAST(doc_id AS VARCHAR)
+                     || '.html' AS link,
+                   CASE WHEN doc_id % 17 = 3 THEN NULL
+                        ELSE '2024-'
+                          || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+                          || '-'
+                          || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                   END AS published_date
+            FROM documents WHERE doc_id % 4 <> 0
+            ORDER BY link
+        """,
         # unigram token entropy: list-comprehension twin of the HOF
         # fold — p = c/n IEEE division, ln quantized round(·,9), terms
         # quantized at 12, DECIMAL sum, one final double cast

@@ -135,6 +135,7 @@ def main() -> None:
         # round-3 session-B additions (appended for the same reason)
         "code_math_detect",     # code/LaTeX content-type routing gate
         "token_entropy",        # unigram-distribution entropy gate
+        "feed_discovery",       # RSS/Atom parse + frontier anti-join
     ]
     qs = E.queries()
     for name in headline:

@@ -473,3 +473,132 @@ def revisit_policy(
         .otherwise(F.lit("slow"))
         .alias("revisit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RSS / Atom feed parsing — the third leg of the discovery triple
+# (robots.txt politeness, sitemap inventory, feed freshness)
+# ---------------------------------------------------------------------------
+
+#: Shared Java-regex/RE2 patterns (rendered verbatim into the SQL
+#: oracle). (?s) makes the record patterns span real-world multi-line
+#: item bodies; both engines support the inline flag.
+FEED_ITEM_RE = r"(?s)<item>(.*?)</item>"
+FEED_ENTRY_RE = r"(?s)<entry>(.*?)</entry>"
+FEED_TITLE_RE = r"<title>([^<]*)</title>"
+FEED_LINK_RSS_RE = r"<link>([^<]*)</link>"
+FEED_LINK_ATOM_RE = r'<link href="([^"]*)"'
+FEED_PUBDATE_RE = r"<pubDate>([^<]*)</pubDate>"
+FEED_UPDATED_RE = r"<updated>([^<]*)</updated>"
+#: RFC-822 date core (`02 Jan 2024`) inside an RSS pubDate.
+FEED_RFC822_RE = r"([0-9]{2}) ([A-Z][a-z]{2}) ([0-9]{4})"
+
+_MONTHS = ("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+           "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+
+
+def parse_feeds(
+    feeds: DataFrame,
+    domain_col: str = "domain",
+    xml_col: str = "feed_xml",
+) -> DataFrame:
+    """Parse RSS-2.0 / Atom feed bodies into the item relation
+    (domain, kind, title, link, published, published_date) — the
+    freshness-driven side of crawl discovery (feeds announce NEW urls
+    between sitemap refreshes). Both wire formats normalize into one
+    relation: ``kind`` records which grammar matched, ``published``
+    keeps the raw timestamp string, and ``published_date`` is the
+    ISO ``yyyy-mm-dd`` normal form (Atom dates are already ISO; RSS
+    RFC-822 dates map month names through a pinned table) so the
+    recrawl scheduler can order items lexicographically, the
+    tz-independent sitemap-coverage discipline.
+
+    100 TB shape: kind detection + record extraction are one codegen
+    ``regexp_extract_all`` per feed body (feeds are capped small by
+    convention, like sitemaps) + a narrow explode + row-local field
+    taps — no Python, no shuffle. Reference lineage: the same
+    grammar-dispatch shape as the label-format converters
+    (reference: tools/dataset_converters/convert.py:21-57), which
+    route each input family through its own parser into one canonical
+    relation.
+    """
+    kind = F.when(
+        F.col(xml_col).rlike(r"<rss[\s>]"), F.lit("rss")
+    ).when(F.col(xml_col).rlike(r"<feed[\s>]"), F.lit("atom"))
+    records = F.when(
+        kind == "rss",
+        F.regexp_extract_all(F.col(xml_col), F.lit(FEED_ITEM_RE), F.lit(1)),
+    ).otherwise(
+        F.regexp_extract_all(F.col(xml_col), F.lit(FEED_ENTRY_RE), F.lit(1))
+    )
+    e = feeds.select(
+        F.col(domain_col).alias("domain"),
+        kind.alias("kind"),
+        F.explode(records).alias("rec"),
+    )
+    r = F.col("rec")
+    is_rss = F.col("kind") == "rss"
+    published = F.when(
+        is_rss, F.regexp_extract(r, FEED_PUBDATE_RE, 1)
+    ).otherwise(F.regexp_extract(r, FEED_UPDATED_RE, 1))
+    published = F.nullif(published, F.lit(""))
+    # RSS RFC-822 "02 Jan 2024" -> 2024-01-02; Atom is ISO already
+    mon_name = F.regexp_extract(published, FEED_RFC822_RE, 2)
+    mon_idx = F.array_position(
+        F.array(*[F.lit(m) for m in _MONTHS]), mon_name
+    )
+    rss_date = F.when(
+        mon_idx > 0,
+        F.concat(
+            F.regexp_extract(published, FEED_RFC822_RE, 3),
+            F.lit("-"),
+            F.lpad(mon_idx.cast("string"), 2, "0"),
+            F.lit("-"),
+            F.regexp_extract(published, FEED_RFC822_RE, 1),
+        ),
+    )
+    iso_date = F.nullif(
+        F.substring(published, 1, 10), F.lit("")
+    )
+    return e.select(
+        "domain",
+        "kind",
+        F.nullif(F.regexp_extract(r, FEED_TITLE_RE, 1), F.lit(""))
+        .alias("title"),
+        F.nullif(
+            F.when(is_rss, F.regexp_extract(r, FEED_LINK_RSS_RE, 1))
+            .otherwise(F.regexp_extract(r, FEED_LINK_ATOM_RE, 1)),
+            F.lit(""),
+        ).alias("link"),
+        published.alias("published"),
+        F.when(is_rss, rss_date).otherwise(iso_date)
+        .alias("published_date"),
+    )
+
+
+def feed_discovery(
+    items: DataFrame, pages: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Feed-driven frontier discovery: feed items whose link is NOT in
+    the crawled inventory — the urls a freshness-driven crawler should
+    fetch next, with their announced publish dates for ordering.
+
+    100 TB shape: the feed side is tiny and the crawled side is the
+    10^12-page corpus, so the plan must never shuffle the big side for
+    an anti-join. Two steps: (1) semi-join the crawled inventory DOWN
+    with the BROADCAST feed-link set (the corpus sheds every
+    non-feed url map-side — same discipline as the BM25 vocabulary
+    semi-join), then (2) anti-join the feed links against that
+    bounded matched set. Both joins broadcast the small side; the big
+    table is touched once, map-only.
+    """
+    links = items.where(F.col("link").isNotNull()).select(
+        "domain", F.col("link").alias("url"), "published_date"
+    ).dropDuplicates(["url"])
+    crawled = pages.select(F.col(url_col).alias("url"))
+    matched = crawled.join(
+        F.broadcast(links.select("url")), "url", "left_semi"
+    ).dropDuplicates(["url"])
+    return links.join(F.broadcast(matched), "url", "left_anti").select(
+        "domain", F.col("url").alias("link"), "published_date"
+    )

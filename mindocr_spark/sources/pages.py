@@ -641,3 +641,110 @@ def sitemap_corpus(spark: SparkSession, sf_dir: str):
         )
     )
     return pages, sitemaps
+
+
+def feed_corpus(spark: SparkSession, sf_dir: str):
+    """The RSS/Atom feed (discovery) corpus family: (pages, feeds).
+
+    Pages spread over 6 blogs by doc_id arithmetic (one crawled page
+    per doc: ``page-{doc_id}.html``). Each blog publishes a feed —
+    EVEN sites RSS 2.0, ODD sites Atom — with one item per doc, in
+    closed form:
+
+    * link: ``page-{doc_id}.html`` for doc_id ≡ 0 (mod 4) (already
+      crawled — feed_discovery must exclude it), else
+      ``post-{doc_id}.html`` (new — a discovery candidate),
+    * title ``Post {doc_id}``, OMITTED when doc_id ≡ 5 (mod 13)
+      (optional-field → NULL arm),
+    * date: day = doc_id mod 28 + 1, month = doc_id mod 12 (exercises
+      the full RFC-822 month-name map) — RSS as
+      ``Mon, dd Mon 2024 06:00:00 GMT``, Atom as ISO
+      ``2024-mm-ddT06:00:00Z``; OMITTED when doc_id ≡ 3 (mod 17).
+
+    Every field is doc_id arithmetic, so the SQL oracle states the
+    parsed relation and the discovery set without touching XML.
+    """
+    months = ("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+              "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    site = F.pmod(did, F.lit(6))
+    domain = F.concat(F.lit("blog"), site.cast("string"),
+                      F.lit(".example"))
+    base = F.concat(F.lit("https://"), domain, F.lit("/"))
+    link = F.concat(
+        base,
+        F.when(did % 4 == 0, F.lit("page-")).otherwise(F.lit("post-")),
+        did.cast("string"), F.lit(".html"),
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(base, F.lit("page-"), did.cast("string"),
+                 F.lit(".html")).alias("url"),
+    )
+    dd = F.lpad((F.pmod(did, F.lit(28)) + 1).cast("string"), 2, "0")
+    mon_i = F.pmod(did, F.lit(12))
+    mon_name = F.element_at(
+        F.array(*[F.lit(m) for m in months]), (mon_i + 1).cast("int")
+    )
+    mm = F.lpad((mon_i + 1).cast("string"), 2, "0")
+    has_title = ~(did % 13 == 5)
+    has_date = ~(did % 17 == 3)
+    title_rss = F.when(
+        has_title,
+        F.concat(F.lit("<title>Post "), did.cast("string"),
+                 F.lit("</title>")),
+    ).otherwise(F.lit(""))
+    rss_entry = F.concat(
+        F.lit("<item>"), title_rss,
+        F.lit("<link>"), link, F.lit("</link>"),
+        F.when(
+            has_date,
+            F.concat(F.lit("<pubDate>Mon, "), dd, F.lit(" "), mon_name,
+                     F.lit(" 2024 06:00:00 GMT</pubDate>")),
+        ).otherwise(F.lit("")),
+        F.lit("</item>"),
+    )
+    atom_entry = F.concat(
+        F.lit("<entry>"), title_rss,
+        F.lit('<link href="'), link, F.lit('"/>'),
+        F.when(
+            has_date,
+            F.concat(F.lit("<updated>2024-"), mm, F.lit("-"), dd,
+                     F.lit("T06:00:00Z</updated>")),
+        ).otherwise(F.lit("")),
+        F.lit("</entry>"),
+    )
+    entries = docs.select(
+        site.alias("site"),
+        F.when(site % 2 == 0, rss_entry).otherwise(atom_entry)
+        .alias("entry"),
+    )
+    feeds = (
+        entries.groupBy("site")
+        .agg(
+            F.concat_ws(
+                "", F.sort_array(F.collect_list("entry"))
+            ).alias("body")
+        )
+        .select(
+            F.concat(F.lit("blog"), F.col("site").cast("string"),
+                     F.lit(".example")).alias("domain"),
+            F.when(
+                F.col("site") % 2 == 0,
+                F.concat(
+                    F.lit('<?xml version="1.0"?><rss version="2.0">'
+                          "<channel>"),
+                    F.col("body"), F.lit("</channel></rss>"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'),
+                    F.col("body"), F.lit("</feed>"),
+                )
+            )
+            .alias("feed_xml"),
+        )
+    )
+    return pages, feeds

@@ -308,3 +308,65 @@ def test_revisit_policy_buckets(spark):
     assert got["cold"]["change_rate"] == 0.0
     assert got["new"]["revisit"] == "unknown"
     assert got["new"]["change_rate"] is None
+
+
+def test_parse_feeds_both_grammars(spark):
+    from mindocr_spark.functions.crawl import parse_feeds
+
+    rss = (
+        '<?xml version="1.0"?><rss version="2.0"><channel>'
+        "<item>\n  <title>Hello</title>\n"
+        "  <link>https://a.example/p1.html</link>\n"
+        "  <pubDate>Mon, 05 Mar 2024 06:00:00 GMT</pubDate>\n</item>"
+        "<item><link>https://a.example/p2.html</link></item>"
+        "</channel></rss>"
+    )
+    atom = (
+        '<feed xmlns="http://www.w3.org/2005/Atom">'
+        "<entry><title>World</title>"
+        '<link href="https://b.example/q1.html"/>'
+        "<updated>2024-12-31T23:59:59Z</updated></entry>"
+        "</feed>"
+    )
+    feeds = spark.createDataFrame(
+        [("a.example", rss), ("b.example", atom)],
+        "domain string, feed_xml string",
+    )
+    rows = sorted(
+        parse_feeds(feeds).collect(), key=lambda r: (r["domain"], r["link"])
+    )
+    # multi-line item body (the (?s) flag) parses fully
+    assert rows[0]["kind"] == "rss" and rows[0]["title"] == "Hello"
+    assert rows[0]["published_date"] == "2024-03-05"  # month-name map
+    assert rows[0]["published"] == "Mon, 05 Mar 2024 06:00:00 GMT"
+    # optional fields come back NULL, not ''
+    assert rows[1]["title"] is None and rows[1]["published"] is None
+    assert rows[1]["published_date"] is None
+    assert rows[2]["kind"] == "atom" and rows[2]["title"] == "World"
+    assert rows[2]["link"] == "https://b.example/q1.html"
+    assert rows[2]["published_date"] == "2024-12-31"
+
+
+def test_feed_discovery_excludes_crawled_and_broadcasts(spark):
+    from mindocr_spark.functions.crawl import feed_discovery
+
+    items = spark.createDataFrame(
+        [("a.example", "rss", "t1", "https://a.example/new.html",
+          "raw", "2024-01-02"),
+         ("a.example", "rss", "t2", "https://a.example/old.html",
+          "raw", "2024-01-03"),
+         ("a.example", "rss", "t3", None, None, None)],
+        "domain string, kind string, title string, link string, "
+        "published string, published_date string",
+    )
+    pages = spark.createDataFrame(
+        [("https://a.example/old.html",), ("https://a.example/other.html",)],
+        "url string",
+    )
+    out = feed_discovery(items, pages)
+    rows = out.collect()
+    assert [r["link"] for r in rows] == ["https://a.example/new.html"]
+    # the 10^12-page side must hit broadcast joins only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
