@@ -1189,6 +1189,19 @@ def q_feed_discovery(spark, sf_dir):
     return feed_discovery(parse_feeds(feeds), pages).orderBy("link")
 
 
+def q_shingle_hotlist(spark, sf_dir):
+    """Corpus-wide heavy-hitter phrases: top-50 word 3-shingles by
+    document frequency, ties lexicographic — the discovery step the
+    viral-boilerplate caps and blockword lists are derived from. The
+    plan is one map-side-combinable groupBy + TakeOrderedAndProject
+    (no full sort); the oracle rebuilds the same counts over the
+    shared lead-window shingle CTE."""
+    from mindocr_spark.functions.dedup import shingle_hotlist
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return shingle_hotlist(docs, k=3, top=50)
+
+
 def q_token_entropy(spark, sf_dir):
     """Unigram token-entropy gate features: −Σ p·ln p over each doc's
     token distribution (the Gopher symbol-distribution family — sees
@@ -2179,6 +2192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": _q(q_token_entropy),
         "feed_parse": _q(q_feed_parse),
         "feed_discovery": _q(q_feed_discovery),
+        "shingle_hotlist": _q(q_shingle_hotlist),
         "direction_norm": _q(q_direction_norm),
         "curate_pipeline": _q(q_curate_pipeline),
         "attn_tokens": _q(q_attn_tokens),
@@ -4356,6 +4370,27 @@ def oracle_sql() -> dict[str, str]:
                    END AS published_date
             FROM documents WHERE doc_id % 4 <> 0
             ORDER BY link
+        """,
+        # heavy-hitter shingles: the shared lead-window shingle CTE
+        # (distinct per doc), grouped corpus-wide, top-50 with the
+        # lexicographic tiebreak
+        "shingle_hotlist": r"""
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')),' ')) AS word,
+                     generate_subscripts(string_split(trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')),' '), 1) AS pos
+              FROM documents),
+            sh0 AS (
+              SELECT doc_id,
+                     word || ' ' || lead(word,1) OVER (PARTITION BY doc_id ORDER BY pos)
+                          || ' ' || lead(word,2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle,
+                     lead(word,2) OVER (PARTITION BY doc_id ORDER BY pos) AS l2
+              FROM w),
+            sh AS (SELECT DISTINCT doc_id, shingle
+                   FROM sh0 WHERE l2 IS NOT NULL)
+            SELECT shingle, CAST(COUNT(*) AS BIGINT) AS doc_freq
+            FROM sh GROUP BY shingle
+            ORDER BY doc_freq DESC, shingle
+            LIMIT 50
         """,
         # unigram token entropy: list-comprehension twin of the HOF
         # fold — p = c/n IEEE division, ln quantized round(·,9), terms

@@ -136,6 +136,7 @@ def main() -> None:
         "code_math_detect",     # code/LaTeX content-type routing gate
         "token_entropy",        # unigram-distribution entropy gate
         "feed_discovery",       # RSS/Atom parse + frontier anti-join
+        "shingle_hotlist",      # corpus-wide heavy-hitter phrases
     ]
     qs = E.queries()
     for name in headline:

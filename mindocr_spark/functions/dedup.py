@@ -915,3 +915,40 @@ def decontaminate_flags(
             ).alias("is_contaminated"),
         )
     )
+
+
+def shingle_hotlist(
+    df: DataFrame,
+    k: int = 3,
+    top: int = 100,
+    min_doc_freq: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide heavy-hitter phrases: the `top` word k-shingles by
+    DOCUMENT frequency (each doc counts a shingle once), ties broken
+    lexicographically. This is the list the viral-boilerplate caps are
+    derived FROM — a curation team inspects the hotlist, then feeds it
+    into ``max_shingle_freq`` / blockword gates; it is also the C4
+    "policy phrase" discovery step.
+
+    100 TB shape: narrow shingle generation (the :func:`word_shingles`
+    no-window explode), ONE groupBy on the shingle key with a
+    map-side-combinable count, then a global top-k that Spark executes
+    as TakeOrderedAndProject (per-partition heaps + a driver-side
+    merge of `top` rows per partition — no full sort, no second
+    shuffle). The heavy hitters are by definition the high-frequency
+    keys, so the count itself is the skew absorber: a shingle in 10^9
+    docs reaches its reducer as one partial row per upstream task.
+    """
+    from .text import word_shingles
+
+    sh = word_shingles(df, k=k, text_col=text_col, id_col=id_col)
+    counts = sh.groupBy("shingle").agg(
+        F.count("*").cast("bigint").alias("doc_freq")
+    )
+    return (
+        counts.where(F.col("doc_freq") >= min_doc_freq)
+        .orderBy(F.desc("doc_freq"), "shingle")
+        .limit(top)
+    )

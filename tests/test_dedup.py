@@ -362,3 +362,53 @@ class TestDecontaminate:
             "formatted",
         )
         assert "BroadcastHashJoin" in plan
+
+
+class TestShingleHotlist:
+    def test_counts_and_tiebreak(self, spark):
+        from mindocr_spark.functions.dedup import shingle_hotlist
+
+        df = spark.createDataFrame(
+            [
+                (1, "x y z tail one"),
+                (2, "x y z tail two"),
+                (3, "x y z x y z"),   # repeats count ONCE per doc
+                (4, "a b c d"),
+            ],
+            "doc_id bigint, text string",
+        )
+        rows = shingle_hotlist(df, k=3, top=3).collect()
+        assert (rows[0]["shingle"], rows[0]["doc_freq"]) == ("x y z", 3)
+        assert rows[0]["doc_freq"] == 3  # doc 3's repeat not double-counted
+        # doc_freq-2 shingles ("y z tail") before the freq-1 tie block,
+        # which is lexicographic
+        assert rows[1] and rows[1]["shingle"] == "y z tail"
+        assert rows[2]["doc_freq"] == 1
+        all_f1 = [
+            r["shingle"]
+            for r in shingle_hotlist(df, k=3, top=100).collect()
+            if r["doc_freq"] == 1
+        ]
+        assert all_f1 == sorted(all_f1)
+
+    def test_min_doc_freq_floor(self, spark):
+        from mindocr_spark.functions.dedup import shingle_hotlist
+
+        df = spark.createDataFrame(
+            [(1, "p q r s"), (2, "p q r t")],
+            "doc_id bigint, text string",
+        )
+        rows = shingle_hotlist(df, k=3, top=10, min_doc_freq=2).collect()
+        assert [(r["shingle"], r["doc_freq"]) for r in rows] == [("p q r", 2)]
+
+    def test_topk_plan_has_no_global_sort_exchange(self, spark):
+        from mindocr_spark.functions.dedup import shingle_hotlist
+
+        df = spark.createDataFrame(
+            [(1, "a b c d")], "doc_id bigint, text string"
+        )
+        plan = (
+            shingle_hotlist(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "rangepartitioning" not in plan.lower()
