@@ -1202,6 +1202,44 @@ def q_shingle_hotlist(spark, sf_dir):
     return shingle_hotlist(docs, k=3, top=50)
 
 
+def q_outline_extract(spark, sf_dir):
+    """Heading-outline extraction: h1–h6 in document order with each
+    heading's hierarchical parent (nearest preceding smaller level —
+    resolved by one shared window, no self-join). The in-query corpus
+    plants closed-form arms: an h2 BEFORE any h1 at %5==2 (a root
+    non-h1), an optional h3 at %3==0, a skip-level h4 directly under
+    an h2 at %4==1 — so parent indices shift by arm presence and the
+    oracle states every (idx, level, parent) triple arithmetically."""
+    from mindocr_spark.functions.structured import extract_outline
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+
+    def h(level, label):
+        return F.concat(
+            F.lit(f"<h{level}>{label} "), ds, F.lit(f"</h{level}>")
+        )
+
+    parts = F.concat_ws(
+        "",
+        F.when(did % 5 == 2, h(2, "Preface")),
+        h(1, "Title"),
+        h(2, "Section A of"),
+        F.when(did % 3 == 0, h(3, "Sub A1 of")),
+        h(2, "Section B of"),
+        F.when(did % 4 == 1, h(4, "Deep B1 of")),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://o.example/p-"), ds, F.lit(".html"))
+        .alias("url"),
+        F.concat(
+            F.lit("<html><body>"), parts, F.lit("<p>body</p></body></html>")
+        ).alias("html"),
+    )
+    return extract_outline(pages).orderBy("url", "heading_idx")
+
+
 def q_token_entropy(spark, sf_dir):
     """Unigram token-entropy gate features: −Σ p·ln p over each doc's
     token distribution (the Gopher symbol-distribution family — sees
@@ -2193,6 +2231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_parse": _q(q_feed_parse),
         "feed_discovery": _q(q_feed_discovery),
         "shingle_hotlist": _q(q_shingle_hotlist),
+        "outline_extract": _q(q_outline_extract),
         "direction_norm": _q(q_direction_norm),
         "curate_pipeline": _q(q_curate_pipeline),
         "attn_tokens": _q(q_attn_tokens),
@@ -4370,6 +4409,40 @@ def oracle_sql() -> dict[str, str]:
                    END AS published_date
             FROM documents WHERE doc_id % 4 <> 0
             ORDER BY link
+        """,
+        # heading outline in closed form: arm presence (p = preface h2,
+        # a = h3, b = skip-level h4) shifts every later index
+        "outline_extract": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END AS p,
+                     CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS a,
+                     CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS b,
+                     'https://o.example/p-' || CAST(doc_id AS VARCHAR)
+                       || '.html' AS url,
+                     CAST(doc_id AS VARCHAR) AS s
+              FROM documents),
+            rows_ AS (
+              SELECT url, 0 AS heading_idx, 2 AS level,
+                     'Preface ' || s AS text,
+                     CAST(NULL AS INT) AS parent_idx
+              FROM d WHERE p = 1
+              UNION ALL
+              SELECT url, p, 1, 'Title ' || s, NULL FROM d
+              UNION ALL
+              SELECT url, p + 1, 2, 'Section A of ' || s, p FROM d
+              UNION ALL
+              SELECT url, p + 2, 3, 'Sub A1 of ' || s, p + 1
+              FROM d WHERE a = 1
+              UNION ALL
+              SELECT url, p + 2 + a, 2, 'Section B of ' || s, p FROM d
+              UNION ALL
+              SELECT url, p + 3 + a, 4, 'Deep B1 of ' || s, p + 2 + a
+              FROM d WHERE b = 1)
+            SELECT url, CAST(heading_idx AS INT) AS heading_idx,
+                   CAST(level AS INT) AS level, text,
+                   CAST(parent_idx AS INT) AS parent_idx
+            FROM rows_ ORDER BY url, heading_idx
         """,
         # heavy-hitter shingles: the shared lead-window shingle CTE
         # (distinct per doc), grouped corpus-wide, top-50 with the

@@ -137,6 +137,7 @@ def main() -> None:
         "token_entropy",        # unigram-distribution entropy gate
         "feed_discovery",       # RSS/Atom parse + frontier anti-join
         "shingle_hotlist",      # corpus-wide heavy-hitter phrases
+        "outline_extract",      # h1-h6 section hierarchy (one window)
     ]
     qs = E.queries()
     for name in headline:

@@ -27,7 +27,7 @@ provenance for re-assembly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 #: The JSON-LD carrier tag. Shared constant — Java regex and RE2 read
 #: the identical byte string, and the test corpus writes exactly this
@@ -131,4 +131,72 @@ def extract_tables(
             F.regexp_extract_all("__row", F.lit(CELL_RE), F.lit(1))
         ).alias("col_idx", "cell"),
         F.col("__row").startswith("<th>").alias("is_header"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heading outline — the document's section hierarchy
+# ---------------------------------------------------------------------------
+
+#: One pattern, two taps (level digit, inner text) — extracted twice and
+#: zipped; both calls see the same match sequence so the arrays align.
+HEADING_RE = r"(?s)<h([1-6])>(.*?)</h[1-6]>"
+
+
+def extract_outline(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """pages → heading relation (url, heading_idx, level, text,
+    parent_idx): every ``<h1>``–``<h6>`` in document order with its
+    hierarchical parent — the nearest PRECEDING heading of a smaller
+    level (NULL for roots, including an h2 that opens the page before
+    any h1). This is the section tree chunk-by-section training prep
+    wants, and the HTML twin of the reference's layout reading-order /
+    block-hierarchy assembly (reference:
+    deploy/py_infer/src/data_process/postprocess/layout_postprocess.py
+    sorted-region nesting): same idea — linearize regions, then
+    recover containment from order + rank.
+
+    Parent resolution without a self-join: one window per page
+    (partition url, order heading_idx, rows unbounded-preceding..-1)
+    computes, for each rank k in 1..5, the last index seen at level
+    ≤ k; a row at level L picks column k = L−1. All five aggregates
+    share ONE window spec — Spark evaluates them in a single Window
+    node after a single shuffle on the uniform url key, with per-page
+    row counts bounded by the page's own markup. Extraction itself is
+    codegen regex + one narrow posexplode, fused into the scan.
+    """
+    html_s = F.col(html_col).cast("string")
+    levels = F.regexp_extract_all(html_s, F.lit(HEADING_RE), F.lit(1))
+    texts = F.regexp_extract_all(html_s, F.lit(HEADING_RE), F.lit(2))
+    zipped = F.zip_with(
+        levels, texts,
+        lambda l, t: F.struct(l.alias("lv"), t.alias("tx")),
+    )
+    e = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(zipped).alias("heading_idx", "z"),
+    ).select(
+        "url",
+        "heading_idx",
+        F.col("z.lv").cast("int").alias("level"),
+        F.col("z.tx").alias("text"),
+    )
+    w = (
+        Window.partitionBy("url")
+        .orderBy("heading_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_at = {
+        k: F.max(
+            F.when(F.col("level") <= k, F.col("heading_idx"))
+        ).over(w)
+        for k in range(1, 6)
+    }
+    parent = F.when(F.col("level") == 1, F.lit(None).cast("int"))
+    for lv in range(2, 7):
+        parent = parent.when(F.col("level") == lv, last_at[lv - 1])
+    return e.select(
+        "url", "heading_idx", "level", "text",
+        parent.alias("parent_idx"),
     )

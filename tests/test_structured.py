@@ -117,3 +117,61 @@ def test_multiline_blocks_and_tables_match(spark):
     assert (j["ld_type"], j["name"]) == ("Article", "Multi")
     cells = extract_tables(_pages(spark, [("u", html)])).collect()
     assert sorted(r["cell"] for r in cells) == ["a", "b"]
+
+
+class TestExtractOutline:
+    def _run(self, spark, html):
+        from mindocr_spark.functions.structured import extract_outline
+
+        pages = spark.createDataFrame(
+            [("u", html)], "url string, html string"
+        )
+        return [
+            (r["heading_idx"], r["level"], r["text"], r["parent_idx"])
+            for r in extract_outline(pages)
+            .orderBy("heading_idx")
+            .collect()
+        ]
+
+    def test_nesting_and_skip_levels(self, spark):
+        html = (
+            "<html><body><h1>A</h1><h2>B</h2><h4>C</h4>"
+            "<h2>D</h2><h3>E</h3><h1>F</h1><h3>G</h3></body></html>"
+        )
+        assert self._run(spark, html) == [
+            (0, 1, "A", None),
+            (1, 2, "B", 0),
+            (2, 4, "C", 1),     # skip-level: parent is the h2
+            (3, 2, "D", 0),
+            (4, 3, "E", 3),     # binds to the NEAREST h2, not the first
+            (5, 1, "F", None),
+            (6, 3, "G", 5),     # resets after the new h1
+        ]
+
+    def test_root_h2_and_multiline(self, spark):
+        html = "<h2>Pre\nface</h2><h1>T</h1><h2>S</h2>"
+        assert self._run(spark, html) == [
+            (0, 2, "Pre\nface", None),  # no preceding smaller level
+            (1, 1, "T", None),
+            (2, 2, "S", 1),
+        ]
+
+    def test_headingless_page_contributes_nothing(self, spark):
+        assert self._run(spark, "<html><body><p>x</p></body></html>") == []
+
+    def test_single_shuffle_plan(self, spark):
+        from mindocr_spark.functions.structured import extract_outline
+
+        pages = spark.createDataFrame(
+            [("u", "<h1>A</h1>")], "url string, html string"
+        )
+        plan = (
+            extract_outline(pages)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # one Window node, one Exchange, no Python
+        assert plan.count("Window") == 1
+        assert plan.count("Exchange") == 1
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
