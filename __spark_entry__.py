@@ -1240,6 +1240,36 @@ def q_outline_extract(spark, sf_dir):
     return extract_outline(pages).orderBy("url", "heading_idx")
 
 
+def q_soft404(spark, sf_dir):
+    """Soft-404 detection (pages that 200 but mean 404 — what the
+    HTTP status gate cannot see). In-query corpus arms: %6==1/2 plant
+    error titles, %9==4 replaces the body with a thin error page
+    (soft404 via body+thin), %9==5 PREPENDS error phrasing to a long
+    body (body hit but NOT thin — must not flag). The oracle rebuilds
+    the corpus and recomputes both rlikes and the shared token count
+    under RE2."""
+    from mindocr_spark.functions.crawl import soft404_flags
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    built = docs.select(
+        F.concat(F.lit("https://s.example/p-"), did.cast("string"))
+        .alias("url"),
+        F.when(did % 6 == 1, F.lit("404 Not Found"))
+        .when(did % 6 == 2, F.lit("Oops - this page no longer exists"))
+        .otherwise(F.concat(F.lit("Doc "), did.cast("string")))
+        .alias("title"),
+        F.when(
+            did % 9 == 4, F.lit("the page you requested was not found")
+        )
+        .when(did % 9 == 5,
+              F.concat(F.lit("not found in our archive. "), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return soft404_flags(built, min_tokens=10).orderBy("url")
+
+
 def q_token_entropy(spark, sf_dir):
     """Unigram token-entropy gate features: −Σ p·ln p over each doc's
     token distribution (the Gopher symbol-distribution family — sees
@@ -1427,6 +1457,9 @@ def q_token_budget_sample(spark, sf_dir):
 
 from mindocr_spark.functions.classifier import (  # noqa: E402
     hashed_weights as _hashed_weights,
+)
+from mindocr_spark.functions.crawl import (  # noqa: E402
+    SOFT404_RE as _SOFT404_RE,
 )
 from mindocr_spark.functions.text import (  # noqa: E402
     BPE_PRETOKEN_RE as _BPE_PRETOKEN_RE,
@@ -2232,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_discovery": _q(q_feed_discovery),
         "shingle_hotlist": _q(q_shingle_hotlist),
         "outline_extract": _q(q_outline_extract),
+        "soft404_detect": _q(q_soft404),
         "direction_norm": _q(q_direction_norm),
         "curate_pipeline": _q(q_curate_pipeline),
         "attn_tokens": _q(q_attn_tokens),
@@ -4410,6 +4444,42 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id % 4 <> 0
             ORDER BY link
         """,
+        # soft-404 flags: corpus rebuilt, both rlikes + the shared
+        # token count recomputed with the SAME pattern constant
+        "soft404_detect": r"""
+            WITH built AS (
+              SELECT 'https://s.example/p-' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                     CASE WHEN doc_id % 6 = 1 THEN '404 Not Found'
+                          WHEN doc_id % 6 = 2
+                            THEN 'Oops - this page no longer exists'
+                          ELSE 'Doc ' || CAST(doc_id AS VARCHAR)
+                     END AS title,
+                     CASE WHEN doc_id % 9 = 4
+                            THEN 'the page you requested was not found'
+                          WHEN doc_id % 9 = 5
+                            THEN 'not found in our archive. ' || text
+                          ELSE text END AS text
+              FROM documents),
+            f AS (
+              SELECT url,
+                     regexp_matches(lower(title), '__PAT__') AS title_404,
+                     regexp_matches(lower(substr(coalesce(text, ''),
+                                                 1, 200)),
+                                    '__PAT__') AS body_404,
+                     CASE WHEN trim(regexp_replace(coalesce(text, ''),
+                            '[ \t\n\r\f\x0B]+',' ','g')) = '' THEN 0
+                          ELSE len(string_split(trim(regexp_replace(
+                            coalesce(text, ''),
+                            '[ \t\n\r\f\x0B]+',' ','g')),' '))
+                     END AS nt
+              FROM built)
+            SELECT url, title_404, body_404,
+                   CAST(nt AS INT) AS n_tokens,
+                   (nt < 10) AS thin,
+                   (title_404 OR (body_404 AND nt < 10)) AS is_soft404
+            FROM f ORDER BY url
+        """.replace("__PAT__", _SOFT404_RE.replace("'", "''")),
         # heading outline in closed form: arm presence (p = preface h2,
         # a = h3, b = skip-level h4) shifts every later index
         "outline_extract": r"""

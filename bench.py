@@ -138,6 +138,7 @@ def main() -> None:
         "feed_discovery",       # RSS/Atom parse + frontier anti-join
         "shingle_hotlist",      # corpus-wide heavy-hitter phrases
         "outline_extract",      # h1-h6 section hierarchy (one window)
+        "soft404_detect",       # soft-404 two-signal crawl hygiene
     ]
     qs = E.queries()
     for name in headline:

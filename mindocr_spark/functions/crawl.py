@@ -602,3 +602,64 @@ def feed_discovery(
     return links.join(F.broadcast(matched), "url", "left_anti").select(
         "domain", F.col("url").alias("link"), "published_date"
     )
+
+
+# ---------------------------------------------------------------------------
+# Soft-404 detection — crawl hygiene for pages that 200 but mean 404
+# ---------------------------------------------------------------------------
+
+#: Error-page phrasing, matched against lower() (the blockword
+#: case-folding discipline — never (?i)); rendered verbatim into the
+#: SQL oracle.
+SOFT404_RE = (
+    r"(404|not found|no longer (exists|available)"
+    r"|page (does not|doesn't) exist|nothing here)"
+)
+
+
+def soft404_flags(
+    df: DataFrame,
+    title_col: str = "title",
+    text_col: str = "text",
+    id_col: str = "url",
+    min_tokens: int = 30,
+    head_chars: int = 200,
+) -> DataFrame:
+    """Soft-404 detection: pages served with HTTP 200 whose CONTENT is
+    an error page — the crawl-corpus pollution the status gate
+    (`http_gate`) cannot see. Standard two-signal heuristic:
+
+    * ``title_404``  — error phrasing anywhere in the title,
+    * ``body_404``   — error phrasing in the first `head_chars` chars
+      of the extracted text (error pages lead with it),
+    * ``thin``       — fewer than `min_tokens` tokens,
+    * ``is_soft404`` — title says error, OR the body opens with error
+      phrasing AND the page is thin (a long article that merely
+      mentions "not found" is NOT an error page).
+
+    Flag-style: no row vanishes; the curation funnel or the recrawl
+    scheduler decides (soft-404s are also re-fetch candidates — the
+    page may exist again later).
+
+    100 TB shape: two codegen rlikes + the shared token count, fused
+    into the scan — zero shuffles, zero Python.
+    """
+    from .text import tokens_col
+
+    title_hit = F.coalesce(
+        F.lower(F.col(title_col)).rlike(SOFT404_RE), F.lit(False)
+    )
+    body_head = F.lower(
+        F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, head_chars)
+    )
+    body_hit = body_head.rlike(SOFT404_RE)
+    n_tokens = F.size(tokens_col(F.coalesce(F.col(text_col), F.lit(""))))
+    thin = n_tokens < min_tokens
+    return df.select(
+        id_col,
+        title_hit.alias("title_404"),
+        body_hit.alias("body_404"),
+        n_tokens.alias("n_tokens"),
+        thin.alias("thin"),
+        (title_hit | (body_hit & thin)).alias("is_soft404"),
+    )

@@ -370,3 +370,36 @@ def test_feed_discovery_excludes_crawled_and_broadcasts(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_soft404_two_signal_heuristic(spark):
+    from mindocr_spark.functions.crawl import soft404_flags
+
+    long_body = "word " * 40
+    df = spark.createDataFrame(
+        [
+            ("a", "404 Not Found", long_body),          # title alone flags
+            ("b", "Fine title", "nothing here sorry"),  # thin error body
+            ("c", "Fine title", "not found in archive. " + long_body),
+            ("d", "Fine title", long_body),             # clean
+            ("e", "Fine", long_body + " it was not found later"),
+            ("f", None, None),                          # null-safe
+        ],
+        "url string, title string, text string",
+    )
+    got = {r["url"]: r for r in soft404_flags(df, min_tokens=10).collect()}
+    assert got["a"]["is_soft404"] and got["a"]["title_404"]
+    assert got["b"]["is_soft404"] and got["b"]["thin"]
+    # long page that OPENS with error phrasing: body hit, not thin
+    assert got["c"]["body_404"] and not got["c"]["is_soft404"]
+    assert not got["d"]["is_soft404"]
+    # phrasing beyond the first 200 chars is invisible to body_404
+    assert not got["e"]["body_404"] and not got["e"]["is_soft404"]
+    # all-null page: thin, but no error phrasing -> NOT a soft404
+    assert got["f"]["thin"] and not got["f"]["is_soft404"]
+
+    # scan-only plan
+    plan = (
+        soft404_flags(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
