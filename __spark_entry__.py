@@ -1270,6 +1270,22 @@ def q_soft404(spark, sf_dir):
     return soft404_flags(built, min_tokens=10).orderBy("url")
 
 
+def q_shard_export(spark, sf_dir):
+    """Training-shard EXPORT end-to-end: the documents table serialized
+    as bit-reproducible JSONL shard files (md5-prefix shard assignment,
+    (md5(id), id) in-file order, one-group-per-file distributed
+    writer), then ingested back through the binaryFile line parser.
+    The oracle re-derives shard AND seq from doc_id arithmetic — so
+    the assignment function, the in-file ordering, and the JSON
+    round-trip fidelity of text/lang must all agree."""
+    from mindocr_spark.sources.shards import read_jsonl_shards, synth_shard_dir
+
+    docs = read_jsonl_shards(spark, synth_shard_dir(spark, sf_dir))
+    return docs.select(
+        "doc_id", "lang", "text", "shard", "seq"
+    ).orderBy("doc_id")
+
+
 def q_token_entropy(spark, sf_dir):
     """Unigram token-entropy gate features: −Σ p·ln p over each doc's
     token distribution (the Gopher symbol-distribution family — sees
@@ -2266,6 +2282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_hotlist": _q(q_shingle_hotlist),
         "outline_extract": _q(q_outline_extract),
         "soft404_detect": _q(q_soft404),
+        "shard_export": _q(q_shard_export),
         "direction_norm": _q(q_direction_norm),
         "curate_pipeline": _q(q_curate_pipeline),
         "attn_tokens": _q(q_attn_tokens),
@@ -4443,6 +4460,20 @@ def oracle_sql() -> dict[str, str]:
                    END AS published_date
             FROM documents WHERE doc_id % 4 <> 0
             ORDER BY link
+        """,
+        # shard export: shard and in-file seq re-derived from doc_id
+        # arithmetic; text/lang must survive the JSON round trip
+        "shard_export": r"""
+            WITH m AS (
+              SELECT doc_id, text, lang,
+                     md5(CAST(doc_id AS VARCHAR)) AS h
+              FROM documents)
+            SELECT doc_id, lang, text,
+                   substr(h, 1, 1) AS shard,
+                   CAST(row_number() OVER (
+                          PARTITION BY substr(h, 1, 1)
+                          ORDER BY h, doc_id) - 1 AS BIGINT) AS seq
+            FROM m ORDER BY doc_id
         """,
         # soft-404 flags: corpus rebuilt, both rlikes + the shared
         # token count recomputed with the SAME pattern constant

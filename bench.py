@@ -139,6 +139,7 @@ def main() -> None:
         "shingle_hotlist",      # corpus-wide heavy-hitter phrases
         "outline_extract",      # h1-h6 section hierarchy (one window)
         "soft404_detect",       # soft-404 two-signal crawl hygiene
+        "shard_export",         # JSONL shards -> re-ingest round trip
     ]
     qs = E.queries()
     for name in headline:

@@ -1,0 +1,169 @@
+"""shards — JSONL training-shard export / ingest (the last-mile
+artifact).
+
+Every LLM training stack consumes the curated corpus as numbered
+JSONL shards (one JSON object per line, one file per shard) — the
+handoff format between the curation engine and the trainer's data
+loader. This module is that boundary, kept bit-reproducible:
+
+* shard assignment is a pure function of the doc id (md5-prefix
+  bucket — the ``stratified_sample`` determinism rule), so reruns,
+  retries, and different cluster shapes produce the IDENTICAL shard
+  layout;
+* in-file order is pinned (md5(id), id), so each shard file is
+  byte-stable;
+* the writer is the one-group-per-file applyInPandas sink (no driver
+  collect — the ``wet.write_wet_dir`` shape), the reader a binaryFile
+  scan with per-file failure rows (skip-flag discipline, no job abort
+  on one corrupt shard).
+
+100 TB shape: one shuffle on the (uniform) shard key; file count is
+16^prefix_len — at web scale you pick prefix_len 3-4 (4k-64k shards,
+the Common-Crawl segment-count ballpark) so each file stays
+loader-sized. The md5 bucket is uniform by construction: no hot shard.
+
+Reference lineage: the reference's safe_list_writer persists per-rank
+result shards that are later merged by name
+(reference: mindocr/utils/evaluator.py + tools/eval.py:33-57); the
+shard id here is the same rank-file discipline made content-addressed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: Ingest contract for shard-backed corpora.
+SHARD_DOCS_SCHEMA = (
+    "doc_id bigint, text string, lang string, shard string, "
+    "seq bigint, shard_file string"
+)
+
+
+def shard_key(id_col, prefix_len: int = 1):
+    """md5-prefix shard bucket for an id column — a pure function of
+    the id (engine-portable: DuckDB states the same expression), so
+    shard layout is independent of partitioning, batching, and run
+    count. 16^prefix_len buckets, uniform by construction."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.substring(F.md5(c.cast("string")), 1, prefix_len)
+
+
+def write_jsonl_shards(
+    docs: DataFrame,
+    out_dir: str,
+    prefix_len: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> int:
+    """docs → ``shard-<key>.jsonl`` files under out_dir, one file per
+    md5-prefix bucket, written DISTRIBUTED (one group per file via
+    applyInPandas). Lines are ``{"id":…,"text":…,"lang":…}`` with
+    pinned key order and no-ASCII-escaping, sorted by (md5(id), id) —
+    bit-reproducible files. Returns the number of docs written."""
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    src = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.col(lang_col).alias("lang"),
+        shard_key(id_col, prefix_len).alias("shard"),
+        F.md5(F.col(id_col).cast("string")).alias("h"),
+    )
+
+    def write_group(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        skey = str(key[0])
+        name = f"shard-{skey}.jsonl"
+        pdf = pdf.sort_values(["h", "doc_id"])
+        lines = [
+            json.dumps(
+                {"id": int(r.doc_id), "text": r.text, "lang": r.lang},
+                ensure_ascii=False,
+                separators=(",", ":"),
+            )
+            for r in pdf.itertuples()
+        ]
+        tmp = os.path.join(out_dir, f".{name}.tmp{os.getpid()}")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write("\n".join(lines) + ("\n" if lines else ""))
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pd.DataFrame({"shard": [skey], "n_docs": [len(pdf)]})
+
+    written = (
+        src.groupBy("shard")
+        .applyInPandas(write_group, schema="shard string, n_docs bigint")
+        .agg(F.sum("n_docs").alias("n"))
+        .collect()[0]["n"]
+    )
+    return int(written or 0)
+
+
+def parse_jsonl_shard(payload: bytes, path: str) -> list[dict]:
+    """One shard file → row dicts with the shard key recovered from
+    the file name and ``seq`` = 0-based line number."""
+    shard = os.path.basename(path)
+    if shard.startswith("shard-") and shard.endswith(".jsonl"):
+        shard = shard[len("shard-"):-len(".jsonl")]
+    out: list[dict] = []
+    for i, line in enumerate(payload.decode("utf-8").splitlines()):
+        if not line.strip():
+            continue
+        obj = json.loads(line)
+        out.append(
+            dict(doc_id=int(obj["id"]), text=obj.get("text"),
+                 lang=obj.get("lang"), shard=shard, seq=i,
+                 shard_file=path)
+        )
+    return out
+
+
+def read_jsonl_shards(spark: SparkSession, path: str) -> DataFrame:
+    """Ingest shard files into SHARD_DOCS_SCHEMA: binaryFile scan (one
+    row per file — files are the parallelism unit, exactly how the
+    trainer's loader shards work) → mapInPandas line parse. A corrupt
+    shard yields ONE failure row (doc_id NULL, shard_file set) —
+    no row loss elsewhere, no job abort."""
+    import pandas as pd
+
+    files_df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "shard-*.jsonl")
+        .load(path)
+    )
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = ["doc_id", "text", "lang", "shard", "seq", "shard_file"]
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    rows.extend(parse_jsonl_shard(bytes(content), fpath))
+                except Exception:
+                    rows.append(dict(doc_id=None, text=None, lang=None,
+                                     shard=None, seq=None,
+                                     shard_file=fpath))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files_df.select("path", "content").mapInPandas(
+        parse, schema=SHARD_DOCS_SCHEMA
+    )
+
+
+def synth_shard_dir(spark: SparkSession, sf_dir: str,
+                    prefix_len: int = 1) -> str:
+    """Idempotent fixture-shard synthesis: export the documents table
+    as JSONL shards under /tmp (content-hash-keyed)."""
+    from mindocr_spark.sources import content_keyed_fixture_dir
+
+    def build(out_dir: str) -> None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        write_jsonl_shards(docs, out_dir, prefix_len=prefix_len)
+
+    return content_keyed_fixture_dir(
+        "mindocr_shards", sf_dir, (__file__,), build
+    )

@@ -1,0 +1,85 @@
+"""JSONL training-shard export/ingest — round-trip, reproducibility,
+and corruption discipline (the WET/WARC sink test pattern)."""
+
+import os
+
+import pytest
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+
+ROWS = [
+    (1, "plain ascii body", "en"),
+    (2, "unicode: café 山水 — dash", "zh"),
+    (3, 'quotes " and \\ backslash and\nnewline', "en"),
+    (4, None, "de"),
+    (5, "", "es"),
+]
+
+
+def test_round_trip_identity(spark, tmp_path):
+    from mindocr_spark.sources.shards import (
+        read_jsonl_shards, write_jsonl_shards,
+    )
+
+    out = str(tmp_path / "shards")
+    n = write_jsonl_shards(_docs(spark, ROWS), out)
+    assert n == 5
+    back = {
+        r["doc_id"]: r for r in read_jsonl_shards(spark, out).collect()
+    }
+    assert len(back) == 5
+    for doc_id, text, lang in ROWS:
+        assert back[doc_id]["text"] == text       # JSON fidelity, incl \n
+        assert back[doc_id]["lang"] == lang
+    # seq is dense 0..k-1 within each shard
+    by_shard = {}
+    for r in back.values():
+        by_shard.setdefault(r["shard"], []).append(r["seq"])
+    for seqs in by_shard.values():
+        assert sorted(seqs) == list(range(len(seqs)))
+
+
+def test_files_are_bit_reproducible(spark, tmp_path):
+    from mindocr_spark.sources.shards import write_jsonl_shards
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    # different partitioning must not change a single byte
+    write_jsonl_shards(_docs(spark, ROWS).repartition(7), a)
+    write_jsonl_shards(_docs(spark, ROWS).coalesce(1), b)
+    fa = sorted(os.listdir(a))
+    assert fa == sorted(os.listdir(b)) and fa
+    for name in fa:
+        assert (
+            open(os.path.join(a, name), "rb").read()
+            == open(os.path.join(b, name), "rb").read()
+        )
+
+
+def test_corrupt_shard_yields_failure_row_not_abort(spark, tmp_path):
+    from mindocr_spark.sources.shards import (
+        read_jsonl_shards, write_jsonl_shards,
+    )
+
+    out = str(tmp_path / "shards")
+    write_jsonl_shards(_docs(spark, ROWS), out)
+    bad = os.path.join(out, "shard-zz.jsonl")
+    with open(bad, "wb") as fh:
+        fh.write(b'{"id": 9, "text": "trunca')
+    rows = read_jsonl_shards(spark, out).collect()
+    failed = [r for r in rows if r["doc_id"] is None]
+    assert len(failed) == 1 and failed[0]["shard_file"].endswith("shard-zz.jsonl")
+    assert len([r for r in rows if r["doc_id"] is not None]) == 5
+
+
+def test_shard_assignment_is_pure_function_of_id(spark, tmp_path):
+    from mindocr_spark.sources.shards import shard_key
+    import hashlib
+
+    df = _docs(spark, ROWS).select(
+        "doc_id", shard_key("doc_id", 2).alias("s")
+    )
+    for r in df.collect():
+        assert r["s"] == hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:2]
