@@ -1286,6 +1286,37 @@ def q_shard_export(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_sentence_split(spark, sf_dir):
+    """Sentence segmentation with exact source offsets (the C4
+    sentence-level grain). The word-soup corpus has no terminators, so
+    the query builds a multi-sentence variant from text quarters:
+    '. ', '! ' (doubled to '!! ' at %3==1 — terminator runs stay
+    attached), '? ' separators, and at %5==0 a '...' run closing the
+    final quarter (otherwise it is the unterminated tail fragment).
+    The oracle re-runs the SAME tiling regex and window arithmetic in
+    DuckDB — segmentation, trimming, and offsets must all agree."""
+    from mindocr_spark.functions.text import sentence_split
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("q", F.expr("length(text) div 4"))
+    )
+    did = F.col("doc_id")
+    built = d.select(
+        "doc_id",
+        F.concat(
+            F.expr("substr(text, 1, q)"), F.lit(". "),
+            F.expr("substr(text, q + 1, q)"),
+            F.when(did % 3 == 1, F.lit("!! ")).otherwise(F.lit("! ")),
+            F.expr("substr(text, 2 * q + 1, q)"), F.lit("? "),
+            F.expr("substr(text, 3 * q + 1, length(text) - 3 * q)"),
+            F.when(did % 5 == 0, F.lit("...")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return sentence_split(built).orderBy("doc_id", "sent_idx")
+
+
 def q_token_entropy(spark, sf_dir):
     """Unigram token-entropy gate features: −Σ p·ln p over each doc's
     token distribution (the Gopher symbol-distribution family — sees
@@ -1481,6 +1512,7 @@ from mindocr_spark.functions.text import (  # noqa: E402
     BPE_PRETOKEN_RE as _BPE_PRETOKEN_RE,
     CODE_FENCE_RE as _CODE_FENCE_RE,
     CODE_SYMBOL_RE as _CODE_SYMBOL_RE,
+    SENTENCE_RE as _SENTENCE_RE,
     INDENT_LINE_RE as _INDENT_LINE_RE,
     LATEX_RE as _LATEX_RE,
     blockword_pattern as _blockword_pattern,
@@ -2283,6 +2315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outline_extract": _q(q_outline_extract),
         "soft404_detect": _q(q_soft404),
         "shard_export": _q(q_shard_export),
+        "sentence_split": _q(q_sentence_split),
         "direction_norm": _q(q_direction_norm),
         "curate_pipeline": _q(q_curate_pipeline),
         "attn_tokens": _q(q_attn_tokens),
@@ -4461,6 +4494,51 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id % 4 <> 0
             ORDER BY link
         """,
+        # sentence tiling: same regex + window arithmetic in DuckDB
+        "sentence_split": r"""
+            WITH base AS (
+              SELECT doc_id, text, length(text) // 4 AS q
+              FROM documents),
+            built AS (
+              SELECT doc_id,
+                     substr(text, 1, q) || '. '
+                     || substr(text, q + 1, q)
+                     || CASE WHEN doc_id % 3 = 1 THEN '!! '
+                             ELSE '! ' END
+                     || substr(text, 2 * q + 1, q) || '? '
+                     || substr(text, 3 * q + 1, length(text) - 3 * q)
+                     || CASE WHEN doc_id % 5 = 0 THEN '...'
+                             ELSE '' END AS text
+              FROM base),
+            segs AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '__PAT__', 1)) AS raw,
+                     generate_subscripts(
+                       regexp_extract_all(text, '__PAT__', 1), 1) - 1
+                       AS sent_idx
+              FROM built),
+            off AS (
+              SELECT doc_id, sent_idx, raw,
+                     coalesce(SUM(length(raw)) OVER (
+                       PARTITION BY doc_id ORDER BY sent_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS prev_len
+              FROM segs),
+            trimmed AS (
+              SELECT doc_id, sent_idx, raw, prev_len,
+                     length(regexp_extract(raw,
+                       '^[ \t\n\r\f\x0B]+', 0)) AS lead_ws,
+                     regexp_replace(raw,
+                       '^[ \t\n\r\f\x0B]+|[ \t\n\r\f\x0B]+$',
+                       '', 'g') AS sentence
+              FROM off)
+            SELECT doc_id, CAST(sent_idx AS INT) AS sent_idx, sentence,
+                   CAST(prev_len + 1 + lead_ws AS INT) AS char_start,
+                   CAST(prev_len + lead_ws + length(sentence) AS INT)
+                     AS char_end
+            FROM trimmed WHERE sentence <> ''
+            ORDER BY doc_id, sent_idx
+        """.replace("__PAT__", _SENTENCE_RE),
         # shard export: shard and in-file seq re-derived from doc_id
         # arithmetic; text/lang must survive the JSON round trip
         "shard_export": r"""

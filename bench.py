@@ -140,6 +140,7 @@ def main() -> None:
         "outline_extract",      # h1-h6 section hierarchy (one window)
         "soft404_detect",       # soft-404 two-signal crawl hygiene
         "shard_export",         # JSONL shards -> re-ingest round trip
+        "sentence_split",       # sentence grain with source offsets
     ]
     qs = E.queries()
     for name in headline:

@@ -1071,3 +1071,67 @@ def sequence_pack(
     for c in ("seq_first", "seq_last", "seq_offset", "n_seqs"):
         null_pack = null_pack.withColumn(c, F.lit(None).cast("bigint"))
     return packed.unionByName(null_pack)
+
+
+# --------------------------------------------------------------------------
+# Sentence segmentation (the C4 sentence-level grain)
+# --------------------------------------------------------------------------
+
+#: Sentence tiling without lookbehind (RE2 has none): a sentence is a
+#: run of non-terminators followed by one-or-more terminators, or the
+#: unterminated tail (\z — end of TEXT in both engines; $ would float
+#: before a final newline under Java). The alternation tiles the string
+#: completely, so raw-segment lengths give exact char offsets.
+SENTENCE_RE = r"([^.!?]*[.!?]+|[^.!?]+\z)"
+
+
+def sentence_split(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Sentence segmentation with exact source offsets: (id, sent_idx,
+    sentence, char_start, char_end) — the grain C4's sentence-level
+    dedup and policy filters operate at, with 1-based offsets into the
+    ORIGINAL text (the `extract_spans` provenance discipline, so a
+    downstream redaction can splice the source).
+
+    Terminator runs (``!!``, ``...``) stay attached to their sentence;
+    the unterminated tail is its own fragment; whitespace-only
+    fragments are dropped (their sent_idx is consumed — indices number
+    RAW segments, documented). Offsets come from one per-doc window
+    sum over raw-segment lengths; the sentence itself is the trimmed
+    segment with offsets advanced past leading whitespace — all exact
+    integer arithmetic.
+
+    100 TB shape: one codegen regexp_extract_all + narrow posexplode,
+    then ONE window on the uniform doc key (bounded per-doc rows) —
+    single shuffle, zero Python.
+    """
+    raw_arr = F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")),
+        F.lit(SENTENCE_RE), F.lit(1),
+    )
+    e = df.select(
+        id_col, F.posexplode(raw_arr).alias("sent_idx", "_raw")
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("sent_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_len = F.coalesce(F.sum(F.length("_raw")).over(w), F.lit(0))
+    # trim by the explicit whitespace CLASS (WS_CLASS), not trim():
+    # trim strips only spaces, and a tail "\n" fragment must drop
+    lead_ws = F.length(
+        F.regexp_extract(F.col("_raw"), "^" + WS_CLASS, 0)
+    )
+    sent = F.regexp_replace(
+        F.col("_raw"), f"^{WS_CLASS}|{WS_CLASS}$", ""
+    )
+    start = (prev_len + 1 + lead_ws).cast("int")
+    out = e.select(
+        id_col,
+        F.col("sent_idx"),
+        sent.alias("sentence"),
+        start.alias("char_start"),
+        (start + F.length(sent) - 1).cast("int").alias("char_end"),
+    )
+    return out.where(F.col("sentence") != "")

@@ -708,3 +708,53 @@ class TestTokenEntropy:
         )
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+class TestSentenceSplit:
+    def _run(self, spark, text):
+        from mindocr_spark.functions.text import sentence_split
+
+        df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+        return [
+            (r["sent_idx"], r["sentence"], r["char_start"], r["char_end"])
+            for r in sentence_split(df).orderBy("sent_idx").collect()
+        ]
+
+    def test_offsets_are_exact_source_spans(self, spark):
+        text = "Hi there. Second one!  Third?? tail bit"
+        got = self._run(spark, text)
+        assert got == [
+            (0, "Hi there.", 1, 9),
+            (1, "Second one!", 11, 21),
+            (2, "Third??", 24, 30),     # terminator run attached
+            (3, "tail bit", 32, 39),    # unterminated tail fragment
+        ]
+        # offsets really index the source
+        for _, sent, a, b in got:
+            assert text[a - 1:b] == sent
+
+    def test_trailing_newline_and_ellipsis(self, spark):
+        # \z (not $) keeps the final-newline fragment out of limbo:
+        # the tail "\n" trims to '' and is dropped, not mis-spanned
+        assert self._run(spark, "One. Two...\n") == [
+            (0, "One.", 1, 4),
+            (1, "Two...", 6, 11),
+        ]
+
+    def test_empty_and_null(self, spark):
+        from mindocr_spark.functions.text import sentence_split
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, None), (3, "   ")], "doc_id bigint, text string"
+        )
+        assert sentence_split(df).count() == 0
+
+    def test_single_shuffle_plan(self, spark):
+        from mindocr_spark.functions.text import sentence_split
+
+        df = spark.createDataFrame([(1, "a. b.")], "doc_id bigint, text string")
+        plan = (
+            sentence_split(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange") == 1
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
