@@ -1895,6 +1895,25 @@ def q_lm_logppl(spark, sf_dir):
     )
 
 
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet corpus tiering: per-language head/middle/tail buckets by
+    LM-perplexity percent_rank (ties share a rank, so equal ppl never
+    straddles a bucket). Composes the oracle-proven lm_logppl scorer;
+    the oracle extends the same SQL with DuckDB's percent_rank — the
+    scoring, the rank formula (rank−1)/(n−1), and the cut comparisons
+    must all agree bit-for-bit."""
+    from mindocr_spark.functions.lm import (
+        ppl_buckets, unigram_counts, unigram_logppl,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = unigram_counts(docs.where(F.col("lang") == "en"))
+    scored = unigram_logppl(docs.select("doc_id", "text"), lm).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return ppl_buckets(scored).orderBy("doc_id")
+
+
 #: Interpolation weight for the bigram LM query.
 _LM_LAMBDA = 0.7
 
@@ -2316,6 +2335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404_detect": _q(q_soft404),
         "shard_export": _q(q_shard_export),
         "sentence_split": _q(q_sentence_split),
+        "ppl_buckets": _q(q_ppl_buckets),
         "direction_norm": _q(q_direction_norm),
         "curate_pipeline": _q(q_curate_pipeline),
         "attn_tokens": _q(q_attn_tokens),
@@ -3539,6 +3559,58 @@ def oracle_sql() -> dict[str, str]:
                    END AS logppl
             FROM base b LEFT JOIN agg a USING (doc_id)
             ORDER BY b.doc_id
+        """,
+        # lm_logppl's CTE chain extended with percent_rank tiering
+        "ppl_buckets": r"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')) AS norm
+              FROM documents),
+            ref AS (
+              SELECT unnest(string_split(norm,' ')) AS token
+              FROM t WHERE lang = 'en' AND norm <> ''),
+            lm AS (SELECT token, count(*) AS cnt FROM ref GROUP BY token),
+            stats AS (
+              SELECT COALESCE(sum(cnt), 0) AS lm_total,
+                     count(*) + 1 AS lm_v
+              FROM lm),
+            toks AS (
+              SELECT doc_id, unnest(string_split(norm,' ')) AS token
+              FROM t WHERE norm <> ''),
+            sc AS (
+              SELECT doc_id,
+                     CAST(round(-ln(CAST(COALESCE(lm.cnt, 0) + 1 AS DOUBLE)
+                                    / CAST(lm_total + lm_v AS DOUBLE)), 9)
+                          AS DECIMAL(28,9)) AS nlp
+              FROM toks LEFT JOIN lm USING (token) CROSS JOIN stats),
+            agg AS (
+              SELECT doc_id, SUM(nlp) AS s FROM sc GROUP BY doc_id),
+            base AS (
+              SELECT doc_id, lang,
+                     CASE WHEN norm = '' THEN 0
+                          ELSE len(string_split(norm,' ')) END AS n_tokens
+              FROM t),
+            scored AS (
+              SELECT b.doc_id, b.lang,
+                     CASE WHEN b.n_tokens > 0
+                          THEN CAST(a.s AS DOUBLE)
+                               / CAST(b.n_tokens AS DOUBLE)
+                     END AS ppl
+              FROM base b LEFT JOIN agg a USING (doc_id)),
+            r AS (
+              SELECT doc_id, lang, ppl,
+                     percent_rank() OVER (PARTITION BY lang
+                                          ORDER BY ppl) AS pr
+              FROM scored WHERE ppl IS NOT NULL)
+            SELECT doc_id, lang, ppl, pr AS ppl_rank,
+                   CASE WHEN pr < 0.3333333333333333 THEN 'head'
+                        WHEN pr < 0.6666666666666666 THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM r
+            UNION ALL
+            SELECT doc_id, lang, ppl, CAST(NULL AS DOUBLE), 'unknown'
+            FROM scored WHERE ppl IS NULL
+            ORDER BY doc_id
         """,
         "lm_bigram_logppl": r"""
             WITH t AS (

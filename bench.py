@@ -141,6 +141,7 @@ def main() -> None:
         "soft404_detect",       # soft-404 two-signal crawl hygiene
         "shard_export",         # JSONL shards -> re-ingest round trip
         "sentence_split",       # sentence grain with source offsets
+        "ppl_buckets",          # CCNet head/middle/tail tiering
     ]
     qs = E.queries()
     for name in headline:

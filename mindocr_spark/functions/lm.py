@@ -34,7 +34,7 @@ keep-the-confident-head rule with an LM as the scorer.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .text import tokens_col
 
@@ -233,3 +233,76 @@ def unigram_logppl(
             ).alias("logppl"),
         )
     )
+
+
+def ppl_buckets(
+    scored: DataFrame,
+    ppl_col: str = "logppl",
+    part_col: str = "lang",
+    id_col: str = "doc_id",
+    cuts: tuple = (1.0 / 3.0, 2.0 / 3.0),
+    mode: str = "rank",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """CCNet's corpus tiering: split each language's documents into
+    head / middle / tail by LM perplexity rank (head = best-scoring
+    third — the slice CCNet trains on first and the dedup reference
+    slice). Adds (ppl_rank, ppl_bucket) to (id, part, ppl); NULL-ppl
+    docs (zero tokens — no evidence) bucket 'unknown' with NULL rank
+    and are never dropped.
+
+    Two modes, one semantic:
+
+    * ``mode="rank"`` — exact: percent_rank over one window per
+      language ((rank−1)/(n−1), ties share a rank so equal ppl can
+      never straddle a bucket). This is the oracle-checked path, and
+      also CCNet's own definition. CAVEAT at 10^12 docs: a window
+      partition is one task, so a dominant language funnels into a
+      single sorted reducer — use it per corpus SNAPSHOT, not per
+      increment.
+    * ``mode="threshold"`` — the scale path: per-language cut ppls
+      via approx_percentile (one tiny map-side-combinable aggregate),
+      broadcast back, bucket by comparison — map-only over the corpus,
+      no global sort anywhere. Rank is not materialized (NULL);
+      bucket boundaries are the quantile VALUES, so ties at the cut
+      fall into the lower bucket on both paths.
+    """
+    nn = scored.where(F.col(ppl_col).isNotNull())
+    nulls = scored.where(F.col(ppl_col).isNull()).select(
+        id_col, part_col, F.col(ppl_col).alias("ppl"),
+        F.lit(None).cast("double").alias("ppl_rank"),
+        F.lit("unknown").alias("ppl_bucket"),
+    )
+    if mode == "rank":
+        w = Window.partitionBy(part_col).orderBy(ppl_col)
+        pr = F.percent_rank().over(w)
+        bucket = (
+            F.when(pr < F.lit(cuts[0]), F.lit("head"))
+            .when(pr < F.lit(cuts[1]), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+        out = nn.select(
+            id_col, part_col, F.col(ppl_col).alias("ppl"),
+            pr.alias("ppl_rank"), bucket.alias("ppl_bucket"),
+        )
+    elif mode == "threshold":
+        th = nn.groupBy(part_col).agg(
+            F.percentile_approx(
+                ppl_col, F.array(*[F.lit(c) for c in cuts]), accuracy
+            ).alias("__cuts")
+        )
+        j = nn.join(F.broadcast(th), part_col)
+        p = F.col(ppl_col)
+        bucket = (
+            F.when(p <= F.col("__cuts")[0], F.lit("head"))
+            .when(p <= F.col("__cuts")[1], F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+        out = j.select(
+            id_col, part_col, p.alias("ppl"),
+            F.lit(None).cast("double").alias("ppl_rank"),
+            bucket.alias("ppl_bucket"),
+        )
+    else:
+        raise ValueError(f"unknown mode: {mode!r}")
+    return out.unionByName(nulls)

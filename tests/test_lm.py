@@ -178,3 +178,68 @@ def test_bigram_counts_exact(spark):
     ).collect()}
     # doc boundaries must NOT form bigrams: no ('b','b') from doc1→doc2
     assert out == {("a", "b"): 2, ("b", "a"): 2}
+
+
+class TestPplBuckets:
+    def _scored(self, spark):
+        rows = [
+            # lang a: 7 docs, distinct ppls 1..7 -> pr = k/6
+            *[(i, "a", float(i)) for i in range(1, 8)],
+            # lang b: ties at the low end share a rank (both head)
+            (10, "b", 1.0), (11, "b", 1.0), (12, "b", 5.0), (13, "b", 9.0),
+            # zero-token doc: NULL ppl
+            (20, "a", None),
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id bigint, lang string, logppl double"
+        )
+
+    def test_rank_mode_buckets(self, spark):
+        from mindocr_spark.functions.lm import ppl_buckets
+
+        got = {
+            r["doc_id"]: r
+            for r in ppl_buckets(self._scored(spark)).collect()
+        }
+        # lang a: pr = (rank-1)/6; pr exactly AT a cut (2/6, 4/6) is
+        # NOT < the cut -> next bucket
+        assert [got[i]["ppl_bucket"] for i in range(1, 8)] == [
+            "head", "head", "middle", "middle", "tail", "tail", "tail",
+        ]
+        assert got[1]["ppl_rank"] == 0.0 and got[7]["ppl_rank"] == 1.0
+        # ties: equal ppl never straddles a bucket
+        assert got[10]["ppl_bucket"] == got[11]["ppl_bucket"] == "head"
+        assert got[10]["ppl_rank"] == got[11]["ppl_rank"] == 0.0
+        # NULL ppl -> unknown, never dropped
+        assert got[20]["ppl_bucket"] == "unknown"
+        assert got[20]["ppl_rank"] is None
+
+    def test_threshold_mode_agrees_off_boundary(self, spark):
+        from mindocr_spark.functions.lm import ppl_buckets
+
+        scored = self._scored(spark).where(
+            "logppl is not null and lang = 'a'"
+        )
+        rank = {
+            r["doc_id"]: r["ppl_bucket"]
+            for r in ppl_buckets(scored, mode="rank").collect()
+        }
+        thr = {
+            r["doc_id"]: r["ppl_bucket"]
+            for r in ppl_buckets(scored, mode="threshold").collect()
+        }
+        # boundary docs (3: pr==cut; 5: at the 2/3 quantile value) may
+        # differ by definition; interior must agree
+        for d in (1, 2, 4, 6, 7):
+            assert rank[d] == thr[d], d
+
+    def test_threshold_mode_is_map_only_over_corpus(self, spark):
+        from mindocr_spark.functions.lm import ppl_buckets
+
+        plan = (
+            ppl_buckets(self._scored(spark), mode="threshold")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the corpus side joins the broadcast thresholds; no window sort
+        assert "BroadcastHashJoin" in plan
+        assert "Window" not in plan
