@@ -1914,6 +1914,78 @@ def q_ppl_buckets(spark, sf_dir):
     return ppl_buckets(scored).orderBy("doc_id")
 
 
+def q_corpus_rollup(spark, sf_dir):
+    """Dataset-card rollup: doc counts, token sums, and mean doc
+    length at EVERY grain of (lang, source) in one pass — Spark's
+    ROLLUP produces the per-(lang,source), per-lang, and grand-total
+    rows a corpus datasheet reports, with grouping() flags
+    distinguishing real NULL keys from subtotal rows. One shuffle,
+    map-side combinable partials at every grain (the partial+final
+    AllReduce discipline of §2.4); the mean is one IEEE division of
+    exact ints."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.when(
+            F.trim(F.regexp_replace("text", r"[ \t\n\r\f\x0B]+", " "))
+            == "",
+            F.array().cast("array<string>"),
+        ).otherwise(
+            F.split(
+                F.trim(
+                    F.regexp_replace("text", r"[ \t\n\r\f\x0B]+", " ")
+                ),
+                " ",
+            )
+        )
+    )
+    base = docs.select("lang", "source", toks.alias("nt"))
+    out = (
+        base.rollup("lang", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+            F.grouping("lang").cast("int").alias("lang_total"),
+            F.grouping("source").cast("int").alias("source_total"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens").cast("double")
+             / F.col("n_docs").cast("double")).alias("mean_tokens"),
+            "lang_total",
+            "source_total",
+        )
+    )
+    # null-proof ordering: Spark sorts NULLS FIRST, DuckDB NULLS LAST —
+    # coalesce the subtotal NULL keys so both engines agree
+    return out.orderBy(
+        "lang_total", "source_total",
+        F.coalesce("lang", F.lit("")), F.coalesce("source", F.lit("")),
+    )
+
+
+def q_lang_pivot(spark, sf_dir):
+    """Per-source language mix as a WIDE relation: pivot the lang key
+    into columns (doc counts per source × language) — the
+    corpus-datasheet cross-tab. Spark executes pivot as one groupBy
+    with conditional aggregates (map-side combinable, no extra
+    shuffle); the oracle states the same CASE-sum aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    langs = ["de", "en", "es", "fr", "zh"]
+    out = (
+        docs.groupBy("source")
+        .pivot("lang", langs)
+        .agg(F.count(F.lit(1)))
+    )
+    sel = [F.col("source")] + [
+        F.coalesce(F.col(lg), F.lit(0)).cast("bigint").alias(f"n_{lg}")
+        for lg in langs
+    ]
+    return out.select(*sel).orderBy("source")
+
+
 #: Interpolation weight for the bigram LM query.
 _LM_LAMBDA = 0.7
 
@@ -2336,6 +2408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_export": _q(q_shard_export),
         "sentence_split": _q(q_sentence_split),
         "ppl_buckets": _q(q_ppl_buckets),
+        "corpus_rollup": _q(q_corpus_rollup),
+        "lang_pivot": _q(q_lang_pivot),
         "direction_norm": _q(q_direction_norm),
         "curate_pipeline": _q(q_curate_pipeline),
         "attn_tokens": _q(q_attn_tokens),
@@ -3559,6 +3633,42 @@ def oracle_sql() -> dict[str, str]:
                    END AS logppl
             FROM base b LEFT JOIN agg a USING (doc_id)
             ORDER BY b.doc_id
+        """,
+        # ROLLUP twin with grouping() flags; ordering null-proofed
+        "corpus_rollup": r"""
+            WITH t AS (
+              SELECT lang, source,
+                     CASE WHEN trim(regexp_replace(text,
+                            '[ \t\n\r\f\x0B]+',' ','g')) = '' THEN 0
+                          ELSE len(string_split(trim(regexp_replace(text,
+                            '[ \t\n\r\f\x0B]+',' ','g')),' '))
+                     END AS nt
+              FROM documents)
+            SELECT lang, source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS n_tokens,
+                   CAST(sum(nt) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     AS mean_tokens,
+                   CAST(grouping(lang) AS INT) AS lang_total,
+                   CAST(grouping(source) AS INT) AS source_total
+            FROM t GROUP BY ROLLUP (lang, source)
+            ORDER BY lang_total, source_total,
+                     coalesce(lang, ''), coalesce(source, '')
+        """,
+        # pivot = conditional aggregation, stated directly
+        "lang_pivot": r"""
+            SELECT source,
+                   CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_de,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_en,
+                   CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_es,
+                   CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_fr,
+                   CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_zh
+            FROM documents GROUP BY source ORDER BY source
         """,
         # lm_logppl's CTE chain extended with percent_rank tiering
         "ppl_buckets": r"""

@@ -142,6 +142,7 @@ def main() -> None:
         "shard_export",         # JSONL shards -> re-ingest round trip
         "sentence_split",       # sentence grain with source offsets
         "ppl_buckets",          # CCNet head/middle/tail tiering
+        "corpus_rollup",        # dataset-card multi-grain ROLLUP
     ]
     qs = E.queries()
     for name in headline:

@@ -70,3 +70,48 @@ def test_entry_smoke(spark, entrymod):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert "extracted_text" in df.columns
+
+
+def test_corpus_rollup_subtotals_are_consistent(spark):
+    """The ROLLUP grains must agree with each other: per-lang rows sum
+    to the grand total, and grouping flags mark exactly the subtotal
+    rows (never real NULL keys)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    rows = E.queries()["corpus_rollup"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    grand = [r for r in rows if r["lang_total"] == 1]
+    assert len(grand) == 1 and grand[0]["source_total"] == 1
+    lang_rows = [
+        r for r in rows if r["lang_total"] == 0 and r["source_total"] == 1
+    ]
+    leaf = [r for r in rows if r["source_total"] == 0]
+    assert sum(r["n_docs"] for r in lang_rows) == grand[0]["n_docs"]
+    assert sum(r["n_tokens"] for r in leaf) == grand[0]["n_tokens"]
+    for r in leaf:
+        assert r["lang"] is not None and r["source"] is not None
+        assert r["mean_tokens"] == r["n_tokens"] / r["n_docs"]
+
+
+def test_lang_pivot_cross_tab_matches_groupby(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    piv = E.queries()["lang_pivot"](spark, "/root/testdata/sf0.001")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    long = {
+        (r["source"], r["lang"]): r["n"]
+        for r in docs.groupBy("source", "lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in piv.collect():
+        for lg in ("de", "en", "es", "fr", "zh"):
+            assert r[f"n_{lg}"] == long.get((r["source"], lg), 0)
