@@ -1914,6 +1914,40 @@ def q_ppl_buckets(spark, sf_dir):
     return ppl_buckets(scored).orderBy("doc_id")
 
 
+def q_asof_attribution(spark, sf_dir):
+    """Backward as-of join (the temporal-attribution primitive Spark
+    lacks as a built-in): every click attributes to the latest view
+    at-or-before it by the same user, via the union-and-carry plan —
+    one shuffle on the key, one ordered window, never a per-key
+    quadratic theta join. The right side is pre-deduped per (user, ts)
+    with a deterministic max-id rule (the operator's uniqueness
+    contract). The oracle is DuckDB's NATIVE ASOF LEFT JOIN — two
+    entirely different physical strategies must produce the identical
+    relation."""
+    from mindocr_spark.operators.joins import asof_join_backward
+
+    ev = _t(spark, sf_dir, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    j = asof_join_backward(clicks, views, key="user_id")
+    click_sec = _epoch_sec("ts")
+    view_sec = _epoch_sec("ts_matched")
+    return j.select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        click_sec.alias("click_sec"),
+        F.col("view_event_id_matched").alias("view_event_id"),
+        view_sec.alias("view_sec"),
+        (click_sec - view_sec).alias("lag_sec"),
+    ).orderBy("click_event_id")
+
+
 def q_corpus_rollup(spark, sf_dir):
     """Dataset-card rollup: doc counts, token sums, and mean doc
     length at EVERY grain of (lang, source) in one pass — Spark's
@@ -2410,6 +2444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": _q(q_ppl_buckets),
         "corpus_rollup": _q(q_corpus_rollup),
         "lang_pivot": _q(q_lang_pivot),
+        "asof_attribution": _q(q_asof_attribution),
         "direction_norm": _q(q_direction_norm),
         "curate_pipeline": _q(q_curate_pipeline),
         "attn_tokens": _q(q_attn_tokens),
@@ -3633,6 +3668,28 @@ def oracle_sql() -> dict[str, str]:
                    END AS logppl
             FROM base b LEFT JOIN agg a USING (doc_id)
             ORDER BY b.doc_id
+        """,
+        # the union-and-carry as-of plan vs DuckDB's NATIVE ASOF JOIN
+        "asof_attribution": r"""
+            WITH v AS (
+              SELECT user_id, ts, max(event_id) AS view_event_id
+              FROM events WHERE event_type = 'view'
+              GROUP BY user_id, ts),
+            c AS (
+              SELECT event_id, user_id, ts
+              FROM events WHERE event_type = 'click')
+            SELECT c.event_id AS click_event_id, c.user_id,
+                   CAST(epoch(date_trunc('second', c.ts)) AS BIGINT)
+                     AS click_sec,
+                   v.view_event_id,
+                   CAST(epoch(date_trunc('second', v.ts)) AS BIGINT)
+                     AS view_sec,
+                   CAST(epoch(date_trunc('second', c.ts)) AS BIGINT)
+                   - CAST(epoch(date_trunc('second', v.ts)) AS BIGINT)
+                     AS lag_sec
+            FROM c ASOF LEFT JOIN v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+            ORDER BY click_event_id
         """,
         # ROLLUP twin with grouping() flags; ordering null-proofed
         "corpus_rollup": r"""

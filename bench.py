@@ -143,6 +143,7 @@ def main() -> None:
         "sentence_split",       # sentence grain with source offsets
         "ppl_buckets",          # CCNet head/middle/tail tiering
         "corpus_rollup",        # dataset-card multi-grain ROLLUP
+        "asof_attribution",     # as-of join (union-and-carry plan)
     ]
     qs = E.queries()
     for name in headline:

@@ -1,0 +1,109 @@
+"""joins — join shapes Spark lacks as built-ins, re-expressed for a
+shuffle engine.
+
+The headline member is the backward as-of join (nearest earlier match
+per key), the temporal-attribution primitive every event pipeline
+needs: "which page view does this click belong to", "which snapshot
+was live when this capture happened". Spark has no ASOF JOIN; the
+naive theta-join (l.key = r.key AND l.ts >= r.ts → argmax) explodes
+quadratically inside each key. The distributed plan here is the
+union-and-carry trick:
+
+    tag both sides → union → ONE shuffle on the key → ONE ordered
+    window per key carrying the last right-side row forward →
+    keep the left rows.
+
+Cost is a single shuffle + sort of |L|+|R| rows — the same shape as
+sessionization, linear at any scale, no per-key quadratic work.
+
+Reference lineage: CollectNode re-associates asynchronous per-stage
+results to their source record by id ordering
+(reference: deploy/py_infer/src/parallel/module/common/collect_node.py:34-63);
+the as-of carry is that re-association generalized to a temporal key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    suffix: str = "_matched",
+    tolerance_sec: int | None = None,
+) -> DataFrame:
+    """For every left row, attach the right row with the greatest
+    ``right_ts`` ≤ ``left_ts`` within the same ``key`` (inclusive —
+    a right row AT the left timestamp matches, DuckDB/pandas
+    ``merge_asof`` semantics). Left rows with no earlier right row
+    keep NULLs; no left row is ever dropped.
+
+    CONTRACT: `right` must be unique per (key, right_ts) — dedup with
+    a deterministic rule first (e.g. groupBy(key, ts).agg(max(id))),
+    otherwise which same-timestamp row is carried would depend on
+    partition order. All right columns except `key` come back with
+    `suffix` appended.
+
+    ``tolerance_sec`` bounds the lookback: matches older than
+    ``left_ts − tolerance_sec`` are NULLed (standard attribution
+    windows), applied AFTER the carry so the plan is unchanged.
+
+    100 TB shape: one shuffle on the (uniform) key + one window sort
+    of |L|+|R| rows per key — never a per-key quadratic theta join.
+    Ties at identical timestamps order right-before-left so the
+    inclusive semantic holds; determinism inside the window ordering
+    comes from the uniqueness contract above.
+    """
+    rcols = [c for c in right.columns if c != key]
+    lstruct = F.struct(*[F.col(c) for c in left.columns]).alias("__l")
+    rstruct = F.struct(
+        *[F.col(c) for c in rcols]
+    ).alias("__r")
+    lu = left.select(
+        F.col(key).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        lstruct,
+        F.lit(None).cast(
+            right.select(rstruct).schema["__r"].dataType
+        ).alias("__r"),
+    )
+    ru = right.select(
+        F.col(key).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(
+            left.select(lstruct).schema["__l"].dataType
+        ).alias("__l"),
+        rstruct,
+    )
+    u = lu.unionByName(ru)
+    w = (
+        Window.partitionBy("__key")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = F.last("__r", ignorenulls=True).over(w)
+    out = u.withColumn("__m", carried).where(F.col("__side") == 1)
+    if tolerance_sec is not None:
+        in_window = (
+            F.col("__m").isNotNull()
+            & (
+                F.col("__ts")
+                <= F.col(f"__m.{right_ts}")
+                + F.expr(f"INTERVAL {int(tolerance_sec)} SECOND")
+            )
+        )
+        out = out.withColumn(
+            "__m", F.when(in_window, F.col("__m"))
+        )
+    sel: list[Column] = [
+        F.col(f"__l.{c}").alias(c) for c in left.columns
+    ] + [
+        F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in rcols
+    ]
+    return out.select(*sel)

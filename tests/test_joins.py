@@ -1,0 +1,111 @@
+"""asof_join_backward — goldens, semantics edges, plan shape, and a
+pandas.merge_asof cross-check (a third independent implementation)."""
+
+import datetime as dt
+
+import pytest
+
+
+def _t(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _t(10)), (2, 1, _t(3)), (3, 2, _t(7)), (4, 3, _t(5))],
+        "event_id bigint, user_id bigint, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [(100, 1, _t(5)), (200, 1, _t(10)), (300, 2, _t(9))],
+        "view_id bigint, user_id bigint, ts timestamp_ntz",
+    )
+    return left, right
+
+
+def test_backward_semantics_and_inclusive_tie(spark):
+    from mindocr_spark.operators.joins import asof_join_backward
+
+    left, right = _frames(spark)
+    got = {
+        r["event_id"]: r["view_id_matched"]
+        for r in asof_join_backward(left, right, key="user_id").collect()
+    }
+    assert got[1] == 200      # tie at t10 matches (inclusive)
+    assert got[2] is None     # nothing at-or-before t3
+    assert got[3] is None     # user 2's only view is LATER
+    assert got[4] is None     # key with no right rows at all
+    assert len(got) == 4      # no left row dropped
+
+
+def test_tolerance_window(spark):
+    from mindocr_spark.operators.joins import asof_join_backward
+
+    left, right = _frames(spark)
+    # user1 t10 matches view at t10 (lag 0) even at tolerance 0;
+    # a match older than the window NULLs out
+    l2 = spark.createDataFrame(
+        [(9, 1, _t(9))], "event_id bigint, user_id bigint, ts timestamp_ntz"
+    )
+    got = {
+        r["event_id"]: r["view_id_matched"]
+        for r in asof_join_backward(
+            left.unionByName(l2), right, key="user_id", tolerance_sec=2
+        ).collect()
+    }
+    assert got[1] == 200
+    assert got[9] is None     # nearest view t5 is 4s back > 2s window
+
+
+def test_matches_pandas_merge_asof(spark):
+    import numpy as np
+    import pandas as pd
+
+    from mindocr_spark.operators.joins import asof_join_backward
+
+    rng = np.random.RandomState(7)
+    lp = pd.DataFrame({
+        "event_id": np.arange(200),
+        "user_id": rng.randint(0, 5, 200),
+        "sec": rng.randint(0, 500, 200),
+    })
+    rp = pd.DataFrame({
+        "view_id": np.arange(1000, 1120),
+        "user_id": rng.randint(0, 5, 120),
+        "sec": rng.randint(0, 500, 120),
+    }).drop_duplicates(["user_id", "sec"])
+    base = dt.datetime(2024, 1, 1)
+    for df in (lp, rp):
+        df["ts"] = df["sec"].map(lambda s: base + dt.timedelta(seconds=int(s)))
+    left = spark.createDataFrame(
+        lp[["event_id", "user_id", "ts"]],
+        "event_id bigint, user_id bigint, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        rp[["view_id", "user_id", "ts"]],
+        "view_id bigint, user_id bigint, ts timestamp_ntz",
+    )
+    got = {
+        r["event_id"]: r["view_id_matched"]
+        for r in asof_join_backward(left, right, key="user_id").collect()
+    }
+    ref = pd.merge_asof(
+        lp.sort_values("ts"),
+        rp.sort_values("ts")[["view_id", "user_id", "ts"]],
+        on="ts", by="user_id", direction="backward",
+    )
+    for _, row in ref.iterrows():
+        expect = None if pd.isna(row["view_id"]) else int(row["view_id"])
+        assert got[int(row["event_id"])] == expect
+
+
+def test_single_shuffle_no_python(spark):
+    from mindocr_spark.operators.joins import asof_join_backward
+
+    left, right = _frames(spark)
+    plan = (
+        asof_join_backward(left, right, key="user_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan            # the carry replaces any join
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
