@@ -1948,6 +1948,28 @@ def q_asof_attribution(spark, sf_dir):
     ).orderBy("click_event_id")
 
 
+def q_snapshot_upsert(spark, sf_dir):
+    """Snapshot MERGE (Iceberg upsert semantics): recrawl captures win
+    per url, un-recrawled pages survive — via the keys-only broadcast
+    anti-join + union plan (the corpus payload is touched once,
+    map-only; never a full-outer join of two payload sides). Verified
+    at the whole-page digest grain: the oracle rebuilds BOTH page
+    variants from the shared template expression, so survivor
+    selection AND payload identity must agree byte-for-byte."""
+    from mindocr_spark.operators.joins import upsert_latest
+    from mindocr_spark.sources.pages import pages_snapshots
+
+    old, new = pages_snapshots(spark, sf_dir)
+    merged = upsert_latest(
+        old.withColumn("from_new", F.lit(False)),
+        new.withColumn("from_new", F.lit(True)),
+        key="url",
+    )
+    return merged.select(
+        "url", F.md5("html").alias("digest"), "from_new"
+    ).orderBy("url")
+
+
 def q_corpus_rollup(spark, sf_dir):
     """Dataset-card rollup: doc counts, token sums, and mean doc
     length at EVERY grain of (lang, source) in one pass — Spark's
@@ -2445,6 +2467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rollup": _q(q_corpus_rollup),
         "lang_pivot": _q(q_lang_pivot),
         "asof_attribution": _q(q_asof_attribution),
+        "snapshot_upsert": _q(q_snapshot_upsert),
         "direction_norm": _q(q_direction_norm),
         "curate_pipeline": _q(q_curate_pipeline),
         "attn_tokens": _q(q_attn_tokens),
@@ -3669,6 +3692,27 @@ def oracle_sql() -> dict[str, str]:
             FROM base b LEFT JOIN agg a USING (doc_id)
             ORDER BY b.doc_id
         """,
+        # upsert at digest grain: survivor choice + payload identity,
+        # both page variants rebuilt from the shared template expr
+        "snapshot_upsert": f"""
+            WITH s AS (
+              SELECT doc_id, {url} AS url, text, source,
+                     doc_id % 11 <> 0 AS in_old,
+                     doc_id % 7 <> 0 AS in_new
+              FROM documents)
+            SELECT url,
+                   md5(CASE WHEN in_new
+                       THEN {{NEW_HTML}}
+                       ELSE {{OLD_HTML}} END) AS digest,
+                   in_new AS from_new
+            FROM s WHERE in_old OR in_new ORDER BY url
+        """.format(
+            NEW_HTML=_html_expr(
+                "CASE WHEN doc_id % 5 = 0 THEN '"
+                + _UPD.replace("'", "''") + "' ELSE '' END"
+            ),
+            OLD_HTML=_html_expr(),
+        ),
         # the union-and-carry as-of plan vs DuckDB's NATIVE ASOF JOIN
         "asof_attribution": r"""
             WITH v AS (

@@ -144,6 +144,7 @@ def main() -> None:
         "ppl_buckets",          # CCNet head/middle/tail tiering
         "corpus_rollup",        # dataset-card multi-grain ROLLUP
         "asof_attribution",     # as-of join (union-and-carry plan)
+        "snapshot_upsert",      # MERGE: keys-only anti-join + union
     ]
     qs = E.queries()
     for name in headline:

@@ -107,3 +107,33 @@ def asof_join_backward(
         F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in rcols
     ]
     return out.select(*sel)
+
+
+def upsert_latest(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str = "url",
+    broadcast_keys: bool = True,
+) -> DataFrame:
+    """MERGE INTO semantics for snapshot maintenance (the Iceberg
+    upsert the north rule's committed-corpus discipline implies):
+    rows from `updates` win on key collision, `target` rows without
+    an update survive — "keep the latest capture per url".
+
+    The scale-correct plan is NOT a full-outer join (that shuffles
+    BOTH payload sides): survivors = target LEFT ANTI the update KEY
+    SET (33-byte keys, broadcast when `broadcast_keys` — a recrawl
+    increment is small next to the 10^12-row corpus, so the corpus is
+    touched once, map-only), then one union. For full-recrawl-sized
+    updates pass ``broadcast_keys=False`` to fall back to a shuffled
+    anti-join — still keys-only on the wire, never page payloads.
+
+    `updates` must carry every `target` column; extra update-side
+    columns are dropped. Output is the merged corpus, ready for the
+    WAP publish (`operators.pipeline.write_results_wap`).
+    """
+    keys = updates.select(key).dropDuplicates([key])
+    if broadcast_keys:
+        keys = F.broadcast(keys)
+    survivors = target.join(keys, key, "left_anti")
+    return survivors.unionByName(updates.select(*target.columns))

@@ -109,3 +109,49 @@ def test_single_shuffle_no_python(spark):
     assert plan.count("Exchange") == 1
     assert "Join" not in plan            # the carry replaces any join
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+class TestUpsertLatest:
+    def _frames(self, spark):
+        target = spark.createDataFrame(
+            [("a", "old-a"), ("b", "old-b"), ("c", "old-c")],
+            "url string, body string",
+        )
+        updates = spark.createDataFrame(
+            [("b", "new-b", 1), ("d", "new-d", 2)],
+            "url string, body string, extra int",
+        )
+        return target, updates
+
+    def test_merge_semantics(self, spark):
+        from mindocr_spark.operators.joins import upsert_latest
+
+        target, updates = self._frames(spark)
+        got = {
+            r["url"]: r["body"]
+            for r in upsert_latest(target, updates, key="url").collect()
+        }
+        # update wins, unmatched target survives, new keys insert,
+        # extra update-side columns are dropped
+        assert got == {"a": "old-a", "b": "new-b", "c": "old-c",
+                       "d": "new-d"}
+
+    def test_corpus_side_is_map_only(self, spark):
+        from mindocr_spark.operators.joins import upsert_latest
+
+        target, updates = self._frames(spark)
+        plan = (
+            upsert_latest(target, updates, key="url")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_shuffled_fallback(self, spark):
+        from mindocr_spark.operators.joins import upsert_latest
+
+        target, updates = self._frames(spark)
+        got = upsert_latest(
+            target, updates, key="url", broadcast_keys=False
+        )
+        assert got.count() == 4
