@@ -1948,6 +1948,18 @@ def q_asof_attribution(spark, sf_dir):
     ).orderBy("click_event_id")
 
 
+def q_length_histogram(spark, sf_dir):
+    """Token-length distribution in power-of-two buckets — the seq_len
+    planning statistic. bucket = floor(log2(n)) computed EXACTLY as
+    length(bin(n)) − 1 on both engines (no floating log: double log2
+    is off-by-one at powers of two); bounds are exact integer
+    shifts."""
+    from mindocr_spark.functions.text import length_histogram
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return length_histogram(docs)
+
+
 def q_snapshot_upsert(spark, sf_dir):
     """Snapshot MERGE (Iceberg upsert semantics): recrawl captures win
     per url, un-recrawled pages survive — via the keys-only broadcast
@@ -2468,6 +2480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_pivot": _q(q_lang_pivot),
         "asof_attribution": _q(q_asof_attribution),
         "snapshot_upsert": _q(q_snapshot_upsert),
+        "length_histogram": _q(q_length_histogram),
         "direction_norm": _q(q_direction_norm),
         "curate_pipeline": _q(q_curate_pipeline),
         "attn_tokens": _q(q_attn_tokens),
@@ -3691,6 +3704,35 @@ def oracle_sql() -> dict[str, str]:
                    END AS logppl
             FROM base b LEFT JOIN agg a USING (doc_id)
             ORDER BY b.doc_id
+        """,
+        # log2 buckets via length(bin(n)) - 1, bounds via << — all
+        # exact integer arithmetic
+        "length_histogram": r"""
+            WITH t AS (
+              SELECT CASE WHEN trim(regexp_replace(text,
+                       '[ \t\n\r\f\x0B]+',' ','g')) = '' THEN 0
+                     ELSE len(string_split(trim(regexp_replace(text,
+                       '[ \t\n\r\f\x0B]+',' ','g')),' ')) END AS nt
+              FROM documents),
+            b AS (
+              SELECT nt,
+                     CASE WHEN nt > 0 THEN length(bin(nt)) - 1
+                          ELSE -1 END AS bucket
+              FROM t),
+            g AS (
+              SELECT CAST(bucket AS INT) AS bucket,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(nt) AS BIGINT) AS sum_tokens
+              FROM b GROUP BY bucket)
+            SELECT bucket,
+                   CAST(CASE WHEN bucket >= 0
+                        THEN CAST(1 AS BIGINT) << bucket
+                        ELSE 0 END AS BIGINT) AS lo_tokens,
+                   CAST(CASE WHEN bucket >= 0
+                        THEN (CAST(1 AS BIGINT) << (bucket + 1)) - 1
+                        ELSE 0 END AS BIGINT) AS hi_tokens,
+                   n_docs, sum_tokens
+            FROM g ORDER BY bucket
         """,
         # upsert at digest grain: survivor choice + payload identity,
         # both page variants rebuilt from the shared template expr

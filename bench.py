@@ -145,6 +145,7 @@ def main() -> None:
         "corpus_rollup",        # dataset-card multi-grain ROLLUP
         "asof_attribution",     # as-of join (union-and-carry plan)
         "snapshot_upsert",      # MERGE: keys-only anti-join + union
+        "length_histogram",     # log2 token-length distribution
     ]
     qs = E.queries()
     for name in headline:

@@ -1135,3 +1135,44 @@ def sentence_split(df: DataFrame, text_col: str = "text",
         (start + F.length(sent) - 1).cast("int").alias("char_end"),
     )
     return out.where(F.col("sentence") != "")
+
+
+def length_histogram(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Corpus token-length distribution in power-of-two buckets — the
+    statistic that picks training seq_len and the packing strategy
+    (what fraction of docs fit one sequence, what long tail needs
+    chunking). bucket = floor(log2(n_tokens)) computed EXACTLY as
+    length(bin(n)) − 1 (no floating log — floor(log2) via doubles is
+    off-by-one at powers of two in either engine); [lo, hi] bounds are
+    exact integer shifts. Zero-token docs land in bucket −1 with
+    [0, 0].
+
+    100 TB shape: row-local bucket expression + ONE map-side-combinable
+    groupBy on a ~60-value key — no skew possible (the key domain is
+    log-bounded), one shuffle of ~60 rows per upstream task.
+    """
+    nt = F.size(tokens_col(text_col))
+    bucket = F.when(nt > 0, F.length(F.bin(nt)) - 1).otherwise(
+        F.lit(-1)
+    ).cast("int")
+    g = (
+        df.select(nt.alias("__nt"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("__nt").cast("bigint").alias("sum_tokens"),
+        )
+    )
+    lo = F.when(
+        F.col("bucket") >= 0,
+        F.expr("shiftleft(CAST(1 AS BIGINT), bucket)"),
+    ).otherwise(F.lit(0)).cast("bigint")
+    hi = F.when(
+        F.col("bucket") >= 0,
+        F.expr("shiftleft(CAST(1 AS BIGINT), bucket + 1)") - 1,
+    ).otherwise(F.lit(0)).cast("bigint")
+    return g.select(
+        "bucket", lo.alias("lo_tokens"), hi.alias("hi_tokens"),
+        "n_docs", "sum_tokens",
+    ).orderBy("bucket")

@@ -758,3 +758,30 @@ class TestSentenceSplit:
         )
         assert plan.count("Exchange") == 1
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+class TestLengthHistogram:
+    def test_power_of_two_boundaries_exact(self, spark):
+        from mindocr_spark.functions.text import length_histogram
+
+        # 1, 2 (=2^1), 3, 4 (=2^2), 7, 8 (=2^3) tokens, plus empty —
+        # exact bucketing AT powers of two is the trap double log2 fails
+        rows = [
+            (1, "a"), (2, "a b"), (3, "a b c"), (4, "a b c d"),
+            (7, " ".join("x" * 1 for _ in range(7))),
+            (8, " ".join("y" for _ in range(8))),
+            (9, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {
+            r["bucket"]: r for r in length_histogram(df).collect()
+        }
+        assert got[0]["n_docs"] == 1 and got[0]["lo_tokens"] == 1
+        assert got[0]["hi_tokens"] == 1
+        assert got[1]["n_docs"] == 2   # 2 and 3 tokens
+        assert (got[1]["lo_tokens"], got[1]["hi_tokens"]) == (2, 3)
+        assert got[2]["n_docs"] == 2   # 4 and 7
+        assert (got[2]["lo_tokens"], got[2]["hi_tokens"]) == (4, 7)
+        assert got[3]["n_docs"] == 1 and got[3]["lo_tokens"] == 8
+        assert got[-1]["n_docs"] == 1 and got[-1]["sum_tokens"] == 0
+        assert sum(r["n_docs"] for r in got.values()) == 7
