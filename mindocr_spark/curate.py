@@ -120,6 +120,22 @@ class CurateConfig:
     # the parse cost (one codegen regex predicate on the raw html,
     # whole-token match, zero shuffles).
     respect_robots_noindex: bool = False
+    # content-type routing: drop docs detected as code or LaTeX math —
+    # prose gates (stopwords, symbol ratios, repetition) misfire on
+    # them, so a prose corpus routes them out rather than letting the
+    # quality gates decide arbitrarily. Pure row expressions on the
+    # gated frame — no join, no shuffle.
+    skip_code_docs: bool = False
+    # unigram-entropy floor (the keyword-stuffing / single-token-spam
+    # shape that TTR misses; None disables). NULL entropy (zero-token
+    # docs) drops — no evidence does not pass a distribution gate.
+    min_token_entropy: float | None = None
+    # drop soft-404s at the body grain: extracted text that OPENS with
+    # error phrasing AND is thin (pages that 200 but mean 404 — what
+    # the status gate upstream cannot see). Title-based soft-404
+    # gating belongs at the crawl layer where the raw html is on the
+    # scan. Pure row predicate, no join.
+    drop_soft404: bool = False
 
 
 def curate(
@@ -253,6 +269,37 @@ def _curate_build(pages, cfg, params, _persist):
             )
             == 0
         )
+    # content-type routing (code/LaTeX out of the prose corpus): the
+    # detection signals join back on url like the other
+    # relation-producing gates
+    if cfg.skip_code_docs:
+        from mindocr_spark.functions.text import code_math_cols
+
+        cm = code_math_cols(tagged, text_col="text", id_col="url").select(
+            "url", "is_code", "is_math"
+        )
+        tagged = (
+            tagged.join(cm, "url")
+            .where(~F.col("is_code") & ~F.col("is_math"))
+            .drop("is_code", "is_math")
+        )
+    # unigram-entropy floor (NULL entropy drops with the >= predicate)
+    if cfg.min_token_entropy is not None:
+        from mindocr_spark.functions.text import entropy_cols
+
+        ent = entropy_cols(tagged, text_col="text", id_col="url").select(
+            "url", "token_entropy"
+        )
+        tagged = (
+            tagged.join(ent, "url")
+            .where(F.col("token_entropy") >= cfg.min_token_entropy)
+            .drop("token_entropy")
+        )
+    # soft-404 body gate: pure row predicate, fused into the stage
+    if cfg.drop_soft404:
+        from mindocr_spark.functions.crawl import soft404_body_predicate
+
+        tagged = tagged.where(~soft404_body_predicate("text"))
     # model-based quality gate (classifier score ≥ threshold): one
     # broadcast weight join; joined back on url like the other
     # relation-producing gates

@@ -663,3 +663,22 @@ def soft404_flags(
         thin.alias("thin"),
         (title_hit | (body_hit & thin)).alias("is_soft404"),
     )
+
+
+def soft404_body_predicate(
+    text_col: str = "text",
+    min_tokens: int = 30,
+    head_chars: int = 200,
+) -> Column:
+    """Row-local soft-404 predicate over extracted TEXT alone (no
+    title): error phrasing in the first `head_chars` chars AND thin
+    content — the curation-funnel form of :func:`soft404_flags`
+    (title-based gating belongs at the crawl layer, where the raw
+    html is already on the scan; re-reading 10^12 payloads for a
+    title tap would double the scan cost). Pure codegen, no join."""
+    from .text import tokens_col
+
+    body = F.coalesce(F.col(text_col), F.lit(""))
+    body_hit = F.lower(F.substring(body, 1, head_chars)).rlike(SOFT404_RE)
+    thin = F.size(tokens_col(body)) < min_tokens
+    return body_hit & thin

@@ -478,3 +478,53 @@ def test_curate_fix_mojibake_collapses_encoding_twins(spark):
           .collect()}
     assert len(on & {"https://moji.example/clean",
                      "https://moji.example/broken"}) == 1
+
+
+def test_curate_code_entropy_soft404_gates(spark):
+    """The three session-B gates: code/math routing, entropy floor,
+    and body-grain soft-404 — each drops exactly its planted page and
+    leaves the rest of the batch alone."""
+    from mindocr_spark.corpus import generate_batch, PAGES_SCHEMA_DDL
+    from mindocr_spark.curate import CurateConfig, curate
+
+    rows = generate_batch(17, range(15))
+    filler = ("the quick brown fox jumps over the lazy dog and then "
+              "walks along the river for a while before resting ")
+
+    def page(tag, body):
+        html = (f"<html><body><h1>{tag}</h1><p>{body}</p>"
+                "</body></html>").encode()
+        return dict(rows[0], url=f"https://g.example/{tag}", html=html,
+                    text="")
+
+    code_body = filler + " ``` " + "    int v = 1; { y(); } " * 6 + " ``` "
+    # near-degenerate distribution: entropy ≈ 0.16, far below any
+    # real page (the batch's own minimum is ln 2 ≈ 0.693)
+    stuffing = "buy " * 50 + "now once"
+    # thin in TOKENS (< 30) but long enough in chars to clear the
+    # baseline length/boilerplate gates
+    soft404_body = ("sorry this page was not found here "
+                    + "unavailability " * 18)
+    planted = [
+        page("code", code_body),
+        page("stuffed", stuffing),
+        page("gone", soft404_body),
+    ]
+    pages = spark.createDataFrame(rows + planted, PAGES_SCHEMA_DDL)
+    base = dict(min_chars=30, neardup_threshold=2.0)
+
+    open_urls = {r["url"] for r in
+                 curate(pages, CurateConfig(**base))[0].collect()}
+    for tag in ("code", "stuffed", "gone"):
+        assert f"https://g.example/{tag}" in open_urls
+
+    gated = CurateConfig(
+        **base, skip_code_docs=True, min_token_entropy=0.5,
+        drop_soft404=True,
+    )
+    gated_urls = {r["url"] for r in curate(pages, gated)[0].collect()}
+    assert "https://g.example/code" not in gated_urls
+    assert "https://g.example/stuffed" not in gated_urls
+    assert "https://g.example/gone" not in gated_urls
+    # the generated batch itself survives all three gates
+    assert len(open_urls) - len(gated_urls) == 3
