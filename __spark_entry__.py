@@ -1948,6 +1948,56 @@ def q_asof_attribution(spark, sf_dir):
     ).orderBy("click_event_id")
 
 
+def q_publication_date(spark, sf_dir):
+    """Publication-date extraction (trafilatura heuristic): <time
+    datetime> beats OpenGraph published_time beats the /yyyy/mm/dd/
+    URL convention. The in-query corpus plants each carrier with a
+    DIFFERENT year (2023 / 2024 / 2022) so the trust ordering is
+    value-checked, overlapping arms included; the oracle states every
+    (date, source) in closed form from doc_id arithmetic."""
+    from mindocr_spark.functions.links import publication_date_cols
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    mm = F.lpad((did % 12 + 1).cast("string"), 2, "0")
+    dd = F.lpad((did % 28 + 1).cast("string"), 2, "0")
+    url = F.concat(
+        F.lit("https://d.example/"),
+        F.when(
+            did % 4 == 2,
+            F.concat(F.lit("2022/"), mm, F.lit("/"), dd, F.lit("/")),
+        ).otherwise(F.lit("")),
+        F.lit("p-"), ds, F.lit(".html"),
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.coalesce(
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit('<meta property="article:published_time"'
+                          ' content="2024-'),
+                    mm, F.lit("-"), dd, F.lit('T08:00:00Z">'),
+                ),
+            ),
+            F.lit(""),
+        ),
+        F.lit("</head><body>"),
+        F.coalesce(
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit('<time datetime="2023-'), mm,
+                         F.lit("-"), dd, F.lit('">then</time>')),
+            ),
+            F.lit(""),
+        ),
+        F.col("text"), F.lit("</body></html>"),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return publication_date_cols(pages).orderBy("url")
+
+
 def q_length_histogram(spark, sf_dir):
     """Token-length distribution in power-of-two buckets — the seq_len
     planning statistic. bucket = floor(log2(n)) computed EXACTLY as
@@ -2481,6 +2531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": _q(q_asof_attribution),
         "snapshot_upsert": _q(q_snapshot_upsert),
         "length_histogram": _q(q_length_histogram),
+        "publication_date": _q(q_publication_date),
         "direction_norm": _q(q_direction_norm),
         "curate_pipeline": _q(q_curate_pipeline),
         "attn_tokens": _q(q_attn_tokens),
@@ -3704,6 +3755,34 @@ def oracle_sql() -> dict[str, str]:
                    END AS logppl
             FROM base b LEFT JOIN agg a USING (doc_id)
             ORDER BY b.doc_id
+        """,
+        # publication date in closed form: time_tag (2023) > meta
+        # (2024) > url path (2022); url gains the path segment only
+        # at %4==2
+        "publication_date": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') AS mm,
+                     lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS dd
+              FROM documents)
+            SELECT 'https://d.example/'
+                     || CASE WHEN doc_id % 4 = 2
+                             THEN '2022/' || mm || '/' || dd || '/'
+                             ELSE '' END
+                     || 'p-' || CAST(doc_id AS VARCHAR) || '.html'
+                     AS url,
+                   CASE WHEN doc_id % 5 = 0
+                          THEN '2023-' || mm || '-' || dd
+                        WHEN doc_id % 3 = 0
+                          THEN '2024-' || mm || '-' || dd
+                        WHEN doc_id % 4 = 2
+                          THEN '2022-' || mm || '-' || dd
+                   END AS published_date,
+                   CASE WHEN doc_id % 5 = 0 THEN 'time_tag'
+                        WHEN doc_id % 3 = 0 THEN 'meta_published'
+                        WHEN doc_id % 4 = 2 THEN 'url_path'
+                   END AS date_source
+            FROM d ORDER BY url
         """,
         # log2 buckets via length(bin(n)) - 1, bounds via << — all
         # exact integer arithmetic

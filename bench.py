@@ -146,6 +146,7 @@ def main() -> None:
         "asof_attribution",     # as-of join (union-and-carry plan)
         "snapshot_upsert",      # MERGE: keys-only anti-join + union
         "length_histogram",     # log2 token-length distribution
+        "publication_date",     # trafilatura-style date heuristic
     ]
     qs = E.queries()
     for name in headline:

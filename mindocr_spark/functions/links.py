@@ -417,3 +417,57 @@ def link_density_cols(
             anchor_chars.cast("double"), n_html.cast("double")
         ).alias("link_char_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Publication-date extraction (the trafilatura date heuristic)
+# ---------------------------------------------------------------------------
+
+#: The three date carriers, in trust order; shared with the SQL oracle.
+TIME_TAG_RE = r'<time[^>]*\sdatetime="([0-9]{4}-[0-9]{2}-[0-9]{2})'
+META_PUBLISHED_RE = (
+    r'<meta property="article:published_time"'
+    r' content="([0-9]{4}-[0-9]{2}-[0-9]{2})'
+)
+URL_DATE_RE = r"/([0-9]{4})/([0-9]{2})/([0-9]{2})/"
+
+
+def publication_date_cols(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Publication-date guess per page — the trafilatura/newspaper
+    heuristic every freshness-aware corpus needs (recency mixing,
+    dedup keep-newest, temporal splits): coalesce, in trust order,
+
+    1. ``<time datetime="...">`` (the in-content marker),
+    2. ``<meta property="article:published_time">`` (OpenGraph),
+    3. a ``/yyyy/mm/dd/`` segment in the URL path (the blog convention),
+
+    each as an ISO ``yyyy-mm-dd`` string (lexicographically ordered,
+    tz-free — the sitemap-coverage discipline), plus ``date_source``
+    naming which carrier won (NULL/NULL when none). Three codegen
+    regex taps over one scan — zero shuffles, zero Python.
+    """
+    html_s = F.col(html_col).cast("string")
+    t1 = F.nullif(F.regexp_extract(html_s, TIME_TAG_RE, 1), F.lit(""))
+    t2 = F.nullif(
+        F.regexp_extract(html_s, META_PUBLISHED_RE, 1), F.lit("")
+    )
+    u = F.col(url_col)
+    t3 = F.when(
+        u.rlike(URL_DATE_RE),
+        F.concat_ws(
+            "-",
+            F.regexp_extract(u, URL_DATE_RE, 1),
+            F.regexp_extract(u, URL_DATE_RE, 2),
+            F.regexp_extract(u, URL_DATE_RE, 3),
+        ),
+    )
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.coalesce(t1, t2, t3).alias("published_date"),
+        F.when(t1.isNotNull(), F.lit("time_tag"))
+        .when(t2.isNotNull(), F.lit("meta_published"))
+        .when(t3.isNotNull(), F.lit("url_path"))
+        .alias("date_source"),
+    )

@@ -143,3 +143,46 @@ def test_long_chain_needs_log_rounds(spark):
            for r in resolve_canonical_chains(meta, max_hops=8).collect()}
     assert got["n0"] == ("n7", 7)
     assert got["n4"] == ("n7", 3)
+
+
+class TestPublicationDate:
+    def _run(self, spark, rows):
+        from mindocr_spark.functions.links import publication_date_cols
+
+        pages = spark.createDataFrame(rows, "url string, html string")
+        return {
+            r["url"]: (r["published_date"], r["date_source"])
+            for r in publication_date_cols(pages).collect()
+        }
+
+    def test_trust_order_and_carriers(self, spark):
+        got = self._run(spark, [
+            # all three carriers present: time tag wins
+            ("https://x.example/2022/01/05/a",
+             '<time datetime="2023-03-09">t</time>'
+             '<meta property="article:published_time" '
+             'content="2024-06-01T00:00:00Z">'),
+            # meta beats url path
+            ("https://x.example/2022/01/05/b",
+             '<meta property="article:published_time" '
+             'content="2024-06-01T00:00:00Z">'),
+            # url path alone
+            ("https://x.example/2022/01/05/c", "<p>plain</p>"),
+            # nothing
+            ("https://x.example/d", "<p>plain</p>"),
+        ])
+        assert got["https://x.example/2022/01/05/a"] == (
+            "2023-03-09", "time_tag")
+        assert got["https://x.example/2022/01/05/b"] == (
+            "2024-06-01", "meta_published")
+        assert got["https://x.example/2022/01/05/c"] == (
+            "2022-01-05", "url_path")
+        assert got["https://x.example/d"] == (None, None)
+
+    def test_malformed_dates_do_not_match(self, spark):
+        got = self._run(spark, [
+            ("u1", '<time datetime="last tuesday">t</time>'),
+            ("https://x.example/2022/1/5/u2", "<p>short segs</p>"),
+        ])
+        assert got["u1"] == (None, None)
+        assert got["https://x.example/2022/1/5/u2"] == (None, None)
