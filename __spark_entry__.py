@@ -872,6 +872,36 @@ def q_ngram_jaccard(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_containment(spark, sf_dir):
+    """Directional containment near-dup pairs (Broder containment, the
+    excerpt/quote-page complement of Jaccard): every 7th document gets a
+    planted prefix EXCERPT (first half of its words, doc_id + 1_000_000)
+    unioned into the corpus; excerpt→parent containment is exactly 1.0
+    (a prefix's shingle set is a subset of its parent's) while the same
+    pair's Jaccard is ≈ 0.5 — invisible to `ngram_jaccard` at high
+    thresholds. Same df-capped shingle self-join plan as the Jaccard
+    verifier; the direction fan-out is 2× the verified-pair count only.
+    The oracle rebuilds the excerpt corpus and both directions exactly.
+    reference: deploy/py_infer/src/data_process/utils/constants.py-style
+    crop-inside-region subsumption, lifted to corpus scale."""
+    from mindocr_spark.functions.dedup import containment_pairs
+    from mindocr_spark.functions.text import tokens_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens_col("text")
+    n_take = F.greatest(
+        F.floor(F.size(toks) / F.lit(2)), F.lit(3)
+    ).cast("int")
+    excerpts = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.array_join(F.slice(toks, F.lit(1), n_take), " ").alias("text"),
+    )
+    corpus = docs.unionByName(excerpts)
+    return containment_pairs(
+        corpus, k=3, threshold=0.8, max_shingle_freq=10_000,
+    ).orderBy("sub_id", "sup_id")
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (the GPT-3-style 13-gram collision
     check): every 11th document's text plays the EVAL BENCHMARK; any
@@ -2508,6 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q(q_exact_dedup),
         "paragraph_dedup": _q(q_paragraph_dedup),
         "ngram_jaccard": _q(q_ngram_jaccard),
+        "containment": _q(q_containment),
         "dup_components": _q(q_dup_components),
         "decontaminate": _q(q_decontaminate),
         "minhash_lsh": _q(q_minhash_lsh),
@@ -4457,6 +4488,55 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
             WHERE round(CAST(n_inter AS DOUBLE) / CAST(x.n + y.n - n_inter AS DOUBLE), 6) >= 0.1
             ORDER BY id_a, id_b
+        """,
+        # excerpt corpus rebuilt exactly (DuckDB list slice is 1-based
+        # inclusive = Spark slice(x, 1, n)); then the ngram_jaccard
+        # shingle CTEs over the union, fanned out to both directions
+        "containment": r"""
+            WITH base AS (SELECT doc_id, text FROM documents),
+            t AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')),' ') AS toks
+              FROM documents WHERE doc_id % 7 = 0),
+            ex AS (
+              SELECT doc_id + 1000000 AS doc_id,
+                     array_to_string(toks[1:greatest(len(toks)//2, 3)], ' ') AS text
+              FROM t),
+            corpus AS (SELECT * FROM base UNION ALL SELECT * FROM ex),
+            w AS (
+              SELECT doc_id, unnest(string_split(trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')),' ')) AS word,
+                     generate_subscripts(string_split(trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')),' '), 1) AS pos
+              FROM corpus),
+            sh0 AS (
+              SELECT doc_id,
+                     word || ' ' || lead(word,1) OVER (PARTITION BY doc_id ORDER BY pos)
+                          || ' ' || lead(word,2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle,
+                     lead(word,2) OVER (PARTITION BY doc_id ORDER BY pos) AS l2
+              FROM w),
+            sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE l2 IS NOT NULL),
+            sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            joinable AS (
+              SELECT doc_id, shingle FROM sh
+              WHERE shingle IN (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING COUNT(*) <= 10000)),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM joinable a JOIN joinable b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+            both_dirs AS (
+              SELECT id_a AS sub_id, id_b AS sup_id, n_inter,
+                     x.n AS n_sub, y.n AS n_sup
+              FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+              UNION ALL
+              SELECT id_b AS sub_id, id_a AS sup_id, n_inter,
+                     y.n AS n_sub, x.n AS n_sup
+              FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id)
+            SELECT sub_id, sup_id, n_inter, n_sub, n_sup,
+                   round(CAST(n_inter AS DOUBLE) / CAST(n_sub AS DOUBLE), 6) AS containment
+            FROM both_dirs
+            WHERE round(CAST(n_inter AS DOUBLE) / CAST(n_sub AS DOUBLE), 6) >= 0.8
+            ORDER BY sub_id, sup_id
         """,
         # tokens mirror the ngram_jaccard `w` CTE; 13-shingles built
         # with DuckDB list functions (1-based inclusive slices)

@@ -330,6 +330,78 @@ def ngram_jaccard_pairs(df: DataFrame, k: int = 3, threshold: float = 0.5,
     )
 
 
+def containment_pairs(df: DataFrame, k: int = 3, threshold: float = 0.8,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      max_shingle_freq: int = 10_000) -> DataFrame:
+    """Directional near-superset pairs: sub ⊂ sup with shingle
+    containment |S(sub) ∩ S(sup)| / |S(sub)| ≥ threshold.
+
+    Jaccard misses the doc-contains-doc case entirely — a quote page, a
+    syndicated excerpt, or an aggregator embedding a full article inside
+    a longer page has high *containment* but low Jaccard (the union is
+    dominated by the superset). Containment is the standard complement
+    (Broder's resemblance vs containment, the same shingle machinery),
+    and at LLM-corpus scale it is how excerpt spam and wrapper pages are
+    caught after Jaccard dedup has run.
+
+    Plan: identical to :func:`ngram_jaccard_pairs` — distinct
+    (doc, shingle) → df-capped self-equi-join on shingle → pair
+    intersection counts — then each undirected pair fans out to its two
+    directions and is filtered on n_inter / n_sub. The direction
+    expansion is 2× the *verified pair* count (tiny), never the corpus.
+    The df-cap bounds join width exactly as in the Jaccard plan; capped
+    shingles still count in n_sub, so reported containment is a tight
+    lower bound.
+
+    Output: (sub_id, sup_id, n_inter, n_sub, n_sup, containment) — one
+    row per direction passing the threshold (mutual near-dups emit both
+    directions; that is the correct reading: each side is mostly inside
+    the other).
+
+    Reference lineage: the reference's crop-inside-region subsumption is
+    `suppress_contained` over detected boxes (reference:
+    mindocr/postprocess/det_east_postprocess.py lanms merge); this is
+    the corpus-level twin over shingle sets.
+    """
+    sh = tracked_persist(word_shingles(df, k=k, text_col=text_col, id_col=id_col))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    freq_w = Window.partitionBy("shingle")
+    joinable = (
+        sh.withColumn("_df", F.count("*").over(freq_w))
+        .where(F.col("_df") <= max_shingle_freq)
+        .drop("_df")
+    )
+    a = joinable.alias("a")
+    b = joinable.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    both = inter.join(sa, "id_a").join(sb, "id_b")
+    directed = both.select(
+        F.col("id_a").alias("sub_id"), F.col("id_b").alias("sup_id"),
+        "n_inter",
+        F.col("n_a").alias("n_sub"), F.col("n_b").alias("n_sup"),
+    ).unionByName(
+        both.select(
+            F.col("id_b").alias("sub_id"), F.col("id_a").alias("sup_id"),
+            "n_inter",
+            F.col("n_b").alias("n_sub"), F.col("n_a").alias("n_sup"),
+        )
+    )
+    cont = F.round(
+        F.col("n_inter").cast("double") / F.col("n_sub").cast("double"), 6
+    )
+    return directed.select(
+        "sub_id", "sup_id", "n_inter", "n_sub", "n_sup",
+        cont.alias("containment"),
+    ).where(F.col("containment") >= threshold)
+
+
 # --------------------------------------------------------------------------
 # 3. MinHash + banded LSH (the scale path)
 # --------------------------------------------------------------------------

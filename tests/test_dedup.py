@@ -38,6 +38,52 @@ def test_ngram_jaccard_planted_pair(spark, docs):
     assert (1, 4) not in pairs and (2, 4) not in pairs
 
 
+def test_containment_catches_excerpt_jaccard_misses(spark, docs):
+    """An excerpt (prefix) of a long doc has containment 1.0 inside its
+    parent but low Jaccard — the doc-contains-doc case ngram_jaccard_pairs
+    is blind to at high thresholds."""
+    from mindocr_spark.functions.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    excerpt = " ".join(BASE.split()[:13])   # first 13 of 27 words
+    corpus = docs.union(
+        spark.createDataFrame([(5, excerpt)], "doc_id bigint, text string")
+    )
+    cont = {(r["sub_id"], r["sup_id"]): r for r in
+            containment_pairs(corpus, threshold=0.8).collect()}
+    # excerpt fully inside parent (both copies), exactly 1.0
+    assert cont[(5, 1)]["containment"] == 1.0
+    assert cont[(5, 2)]["containment"] == 1.0
+    # the superset direction does NOT pass: parent is not inside excerpt
+    assert (1, 5) not in cont
+    # unrelated doc never pairs
+    assert all(4 not in pair for pair in cont)
+    # and Jaccard at the same threshold misses the excerpt entirely
+    jac = {(r["id_a"], r["id_b"]) for r in
+           ngram_jaccard_pairs(corpus, threshold=0.8).collect()}
+    assert (1, 5) not in jac and (5, 1) not in jac
+
+
+def test_containment_sizes_are_exact_shingle_counts(spark, docs):
+    from mindocr_spark.functions.dedup import containment_pairs
+    from mindocr_spark.functions.text import word_shingles
+
+    excerpt = " ".join(BASE.split()[:13])
+    corpus = docs.union(
+        spark.createDataFrame([(5, excerpt)], "doc_id bigint, text string")
+    )
+    n_by_doc = {r["doc_id"]: r["n"] for r in
+                word_shingles(corpus).groupBy("doc_id").count()
+                .withColumnRenamed("count", "n").collect()}
+    row = {(r["sub_id"], r["sup_id"]): r for r in
+           containment_pairs(corpus, threshold=0.8).collect()}[(5, 1)]
+    assert row["n_sub"] == n_by_doc[5]
+    assert row["n_sup"] == n_by_doc[1]
+    assert row["n_inter"] == n_by_doc[5]   # prefix ⊂ parent exactly
+
+
 def test_minhash_estimates_track_exact_jaccard(spark, docs):
     from mindocr_spark.functions.dedup import minhash_lsh_pairs
 
