@@ -1147,8 +1147,9 @@ def q_code_math(spark, sf_dir):
     density, LaTeX markers → is_code / is_math flags. The word-soup
     corpus carries none of these, so the corpus is built IN-QUERY with
     doc_id-derived arms — %3 gains a fenced code block with a varying
-    number of indented `int v = {1}; run();` lines (symbol density
-    crosses the threshold only at %4==3), %5==1 an indent-only block
+    number of indented `int v = {1}; run();` lines (4 symbols per line ×
+    %4+1 lines, so symbol density ≥ the threshold of 10 at %4 in {2,3}
+    and stays below it at %4 in {0,1}), %5==1 an indent-only block
     (code via indentation, no fences), %7 LaTeX commands (+display math
     on even ids), %11==3 a lone `$$` that must NOT trip is_math. The
     oracle rebuilds the identical corpus and recomputes every signal
@@ -2071,22 +2072,10 @@ def q_corpus_rollup(spark, sf_dir):
     map-side combinable partials at every grain (the partial+final
     AllReduce discipline of §2.4); the mean is one IEEE division of
     exact ints."""
+    from mindocr_spark.functions.text import tokens_col
+
     docs = _t(spark, sf_dir, "documents")
-    toks = F.size(
-        F.when(
-            F.trim(F.regexp_replace("text", r"[ \t\n\r\f\x0B]+", " "))
-            == "",
-            F.array().cast("array<string>"),
-        ).otherwise(
-            F.split(
-                F.trim(
-                    F.regexp_replace("text", r"[ \t\n\r\f\x0B]+", " ")
-                ),
-                " ",
-            )
-        )
-    )
-    base = docs.select("lang", "source", toks.alias("nt"))
+    base = docs.select("lang", "source", F.size(tokens_col("text")).alias("nt"))
     out = (
         base.rollup("lang", "source")
         .agg(
@@ -3092,9 +3081,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT url,
                    CAST({_n_anch} AS INT) AS n_anchors,
                    CAST({_anch_chars} AS INT) AS anchor_chars,
-                   CAST(strlen(html) AS INT) AS html_chars,
+                   CAST(length(html) AS INT) AS html_chars,
                    CAST({_anch_chars} AS DOUBLE)
-                     / CAST(strlen(html) AS DOUBLE) AS link_char_ratio
+                     / CAST(length(html) AS DOUBLE) AS link_char_ratio
             FROM h ORDER BY url
         """,
         "wat_export": f"""

@@ -269,31 +269,25 @@ def _curate_build(pages, cfg, params, _persist):
             )
             == 0
         )
-    # content-type routing (code/LaTeX out of the prose corpus): the
-    # detection signals join back on url like the other
-    # relation-producing gates
+    # content-type routing (code/LaTeX out of the prose corpus): pure
+    # row predicate from the SAME signal expressions code_math_cols
+    # verifies — fused into the narrow stage, no join
     if cfg.skip_code_docs:
-        from mindocr_spark.functions.text import code_math_cols
+        from mindocr_spark.functions.text import code_math_predicate
 
-        cm = code_math_cols(tagged, text_col="text", id_col="url").select(
-            "url", "is_code", "is_math"
-        )
-        tagged = (
-            tagged.join(cm, "url")
-            .where(~F.col("is_code") & ~F.col("is_math"))
-            .drop("is_code", "is_math")
-        )
-    # unigram-entropy floor (NULL entropy drops with the >= predicate)
+        tagged = tagged.where(~code_math_predicate("text"))
+    # unigram-entropy floor (NULL entropy drops with the >= predicate).
+    # The token array is BOUND in its own projection first — inlining
+    # tokens_col into the entropy lambdas would re-evaluate the split
+    # per element — then the helper columns drop; still join-free.
     if cfg.min_token_entropy is not None:
-        from mindocr_spark.functions.text import entropy_cols
+        from mindocr_spark.functions.text import entropy_expr, tokens_col
 
-        ent = entropy_cols(tagged, text_col="text", id_col="url").select(
-            "url", "token_entropy"
-        )
         tagged = (
-            tagged.join(ent, "url")
-            .where(F.col("token_entropy") >= cfg.min_token_entropy)
-            .drop("token_entropy")
+            tagged.withColumn("_ent_toks", tokens_col("text"))
+            .withColumn("_ent", entropy_expr(F.col("_ent_toks")))
+            .where(F.col("_ent") >= cfg.min_token_entropy)
+            .drop("_ent_toks", "_ent")
         )
     # soft-404 body gate: pure row predicate, fused into the stage
     if cfg.drop_soft404:

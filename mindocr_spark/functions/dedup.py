@@ -292,6 +292,36 @@ def ngram_jaccard_pairs(df: DataFrame, k: int = 3, threshold: float = 0.5,
     same pairs LSH candidate generation would never surface. The default
     changes nothing below 10k-doc shingle frequency.
     """
+    inter, sizes = _shingle_intersections(
+        df, k=k, text_col=text_col, id_col=id_col,
+        max_shingle_freq=max_shingle_freq,
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b", "n_inter", "n_a", "n_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .where(F.round(jac, 6) >= threshold)
+    )
+
+
+def _shingle_intersections(df: DataFrame, k: int, text_col: str,
+                           id_col: str, max_shingle_freq: int):
+    """The df-capped shingle-intersection core shared by
+    :func:`ngram_jaccard_pairs` and :func:`containment_pairs` — ONE
+    definition of the cap rule so the two dedup surfaces cannot drift.
+
+    Returns ``(inter, sizes)``: ``inter`` = (id_a, id_b, n_inter) with
+    id_a < id_b, ``sizes`` = (id_col, n_sh) per-doc distinct-shingle
+    counts (UNcapped — capped shingles still count toward sizes, so
+    downstream metrics are tight lower bounds)."""
     # The shingle relation feeds three consumers (sizes, both join sides);
     # persist so the parse+window subtree runs once, not 3× (at cluster
     # scale this is a staged intermediate table).
@@ -314,20 +344,7 @@ def ngram_jaccard_pairs(df: DataFrame, k: int = 3, threshold: float = 0.5,
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count("*").alias("n_inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("n_inter").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_inter")
-    ).cast("double")
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a", "id_b", "n_inter", "n_a", "n_b",
-            F.round(jac, 6).alias("jaccard"),
-        )
-        .where(F.round(jac, 6) >= threshold)
-    )
+    return inter, sizes
 
 
 def containment_pairs(df: DataFrame, k: int = 3, threshold: float = 0.8,
@@ -363,21 +380,9 @@ def containment_pairs(df: DataFrame, k: int = 3, threshold: float = 0.8,
     mindocr/postprocess/det_east_postprocess.py lanms merge); this is
     the corpus-level twin over shingle sets.
     """
-    sh = tracked_persist(word_shingles(df, k=k, text_col=text_col, id_col=id_col))
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    freq_w = Window.partitionBy("shingle")
-    joinable = (
-        sh.withColumn("_df", F.count("*").over(freq_w))
-        .where(F.col("_df") <= max_shingle_freq)
-        .drop("_df")
-    )
-    a = joinable.alias("a")
-    b = joinable.alias("b")
-    inter = (
-        a.join(b, on="shingle")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("n_inter"))
+    inter, sizes = _shingle_intersections(
+        df, k=k, text_col=text_col, id_col=id_col,
+        max_shingle_freq=max_shingle_freq,
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))

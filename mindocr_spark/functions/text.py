@@ -147,6 +147,21 @@ def entropy_cols(df: DataFrame, text_col: str = "text",
     """
     with_toks = df.select(id_col, tokens_col(text_col).alias("_toks"))
     toks = F.col("_toks")
+    return with_toks.select(
+        id_col,
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+        entropy_expr(toks).alias("token_entropy"),
+    )
+
+
+def entropy_expr(toks: Column) -> Column:
+    """The unigram-entropy expression over a PRE-BOUND token-array
+    column (NULL for zero-token docs). Callers MUST bind the token
+    array with a select/withColumn first — passing ``tokens_col(...)``
+    directly would re-evaluate the split per lambda element. Shared by
+    :func:`entropy_cols` and the curate entropy-floor gate so the
+    verified and production expressions are the same."""
     n = F.size(toks)
 
     def term(c):
@@ -164,12 +179,7 @@ def entropy_cols(df: DataFrame, text_col: str = "text",
         F.lit(0).cast("decimal(28,12)"),
         lambda a, x: (a + x).cast("decimal(28,12)"),
     )
-    return with_toks.select(
-        id_col,
-        n.alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_types"),
-        F.when(n > 0, (-ent).cast("double")).alias("token_entropy"),
-    )
+    return F.when(n > 0, (-ent).cast("double"))
 
 
 # --------------------------------------------------------------------------
@@ -217,6 +227,28 @@ def code_math_cols(
     (reference: mindocr/postprocess/cls_postprocess.py:8-32); this is
     the corpus-curation analog of that detect-then-route stage.
     """
+    s = _code_math_signals(text_col, min_fences, min_indent_frac,
+                           min_code_symbols, min_latex)
+    return df.select(
+        id_col,
+        s["n_code_fences"].alias("n_code_fences"),
+        s["n_indented_lines"].alias("n_indented_lines"),
+        s["n_lines"].alias("n_lines"),
+        s["indent_frac"].alias("indent_frac"),
+        s["n_code_symbols"].alias("n_code_symbols"),
+        s["n_latex"].alias("n_latex"),
+        s["is_code"].alias("is_code"),
+        s["is_math"].alias("is_math"),
+    )
+
+
+def _code_math_signals(text_col: str, min_fences: int,
+                       min_indent_frac: float, min_code_symbols: int,
+                       min_latex: int) -> dict[str, Column]:
+    """The code/math signal expressions, shared by
+    :func:`code_math_cols` (the oracle-checked surface) and
+    :func:`code_math_predicate` (the fused curate gate) — one
+    definition, two consumers."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.split(t, "\n")
     n_lines = F.size(lines)
@@ -235,21 +267,36 @@ def code_math_cols(
     n_fences = F.regexp_count(t, F.lit(CODE_FENCE_RE))
     n_syms = F.regexp_count(t, F.lit(CODE_SYMBOL_RE))
     n_latex = F.regexp_count(t, F.lit(LATEX_RE))
-    return df.select(
-        id_col,
-        n_fences.alias("n_code_fences"),
-        n_indented.alias("n_indented_lines"),
-        n_lines.alias("n_lines"),
-        indent_frac.alias("indent_frac"),
-        n_syms.alias("n_code_symbols"),
-        n_latex.alias("n_latex"),
-        (
+    return {
+        "n_code_fences": n_fences,
+        "n_indented_lines": n_indented,
+        "n_lines": n_lines,
+        "indent_frac": indent_frac,
+        "n_code_symbols": n_syms,
+        "n_latex": n_latex,
+        "is_code": (
             (n_fences >= F.lit(min_fences))
             | (indent_frac >= F.lit(min_indent_frac))
             | (n_syms >= F.lit(min_code_symbols))
-        ).alias("is_code"),
-        (n_latex >= F.lit(min_latex)).alias("is_math"),
-    )
+        ),
+        "is_math": n_latex >= F.lit(min_latex),
+    }
+
+
+def code_math_predicate(
+    text_col: str = "text",
+    min_fences: int = 2,
+    min_indent_frac: float = 0.3,
+    min_code_symbols: int = 10,
+    min_latex: int = 2,
+) -> Column:
+    """``is_code OR is_math`` as ONE row-local boolean Column, for
+    fusing the content-type routing gate directly into a ``where()``
+    (no join, no shuffle) — same signals and defaults as
+    :func:`code_math_cols`."""
+    s = _code_math_signals(text_col, min_fences, min_indent_frac,
+                           min_code_symbols, min_latex)
+    return s["is_code"] | s["is_math"]
 
 
 # --------------------------------------------------------------------------

@@ -664,8 +664,10 @@ def feed_corpus(spark: SparkSession, sf_dir: str):
     Every field is doc_id arithmetic, so the SQL oracle states the
     parsed relation and the discovery set without touching XML.
     """
-    months = ("Jan", "Feb", "Mar", "Apr", "May", "Jun",
-              "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+    # the parser's pinned month table — shared so corpus and parser
+    # cannot drift
+    from mindocr_spark.functions.crawl import _MONTHS as months
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     did = F.col("doc_id")
     site = F.pmod(did, F.lit(6))

@@ -528,3 +528,29 @@ def test_curate_code_entropy_soft404_gates(spark):
     assert "https://g.example/gone" not in gated_urls
     # the generated batch itself survives all three gates
     assert len(open_urls) - len(gated_urls) == 3
+
+
+def test_curate_code_entropy_gates_are_join_free(spark):
+    """The code-routing and entropy-floor gates are row predicates
+    fused into the funnel — enabling them must add ZERO joins to the
+    pre-dedup plan (they were once self-joins on url)."""
+    from mindocr_spark.corpus import generate_batch, PAGES_SCHEMA_DDL
+    from mindocr_spark.curate import CurateConfig, _curate_build
+
+    pages = spark.createDataFrame(
+        generate_batch(17, range(10)), PAGES_SCHEMA_DDL
+    )
+
+    from mindocr_spark.extract_core import ExtractParams
+
+    def n_joins(cfg):
+        curated, _ = _curate_build(pages, cfg, ExtractParams(), lambda df: df)
+        plan = curated._jdf.queryExecution().optimizedPlan().toString()
+        return plan.count("Join ")
+
+    base = CurateConfig(min_chars=30, neardup_threshold=2.0)
+    gated = CurateConfig(
+        min_chars=30, neardup_threshold=2.0,
+        skip_code_docs=True, min_token_entropy=0.5, drop_soft404=True,
+    )
+    assert n_joins(gated) == n_joins(base)

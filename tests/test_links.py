@@ -183,6 +183,22 @@ def test_link_density_golden(spark):
     assert e["link_char_ratio"] is None
 
 
+def test_link_density_counts_characters_not_bytes(spark):
+    """html_chars/anchor_chars are CODE-POINT counts: a multibyte page
+    must not inflate them (pins the oracle's length(), not strlen())."""
+    from mindocr_spark.functions.links import link_density_cols
+
+    html = '<p>例文テキスト</p><a href="/x">行く</a>'   # 3-byte chars
+    df = spark.createDataFrame(
+        [("u", bytearray(html.encode("utf-8")))], "url string, html binary",
+    )
+    r = link_density_cols(df).collect()[0]
+    assert r["html_chars"] == len(html)          # chars, ≠ byte length
+    assert len(html.encode("utf-8")) > len(html)  # fixture really multibyte
+    assert r["anchor_chars"] == 2                 # 行く
+    assert r["link_char_ratio"] == 2 / len(html)
+
+
 def test_link_density_plan_is_scan_only(spark):
     from mindocr_spark.functions.links import link_density_cols
     from mindocr_spark.sources.pages import pages_from_documents
