@@ -621,6 +621,87 @@ def q_mojibake_repair(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+#: Dehyphenation corpus arms (shared with the SQL oracle verbatim —
+#: they contain real newlines): a lowercase wrap that MUST be joined,
+#: a compound/acronym wrap that must keep its hyphen, and an
+#: extractor-spaces variant exercising the optional-space regex arms.
+_HYPH_JOIN_ARM = "\nthis exam-\nple shows hyphena-\ntion artifacts"
+_HYPH_KEEP_ARM = "\nsee the Well-\nKnown ISO-\n9001 standard"
+_HYPH_SPACE_ARM = "\na trailing- \n space case"
+
+
+def q_dehyphenate(spark, sf_dir):
+    """PDF line-wrap de-hyphenation (the print-artifact repair that
+    must run before tokenization/dedup or every wrapped word becomes
+    two garbage tokens). The word-soup corpus has no line wraps, so
+    the three artifact arms are planted IN-QUERY by doc_id%6: a
+    lowercase wrap (joined), a compound/acronym wrap (hyphen KEPT,
+    newline collapsed), and a wrap with extractor spaces around the
+    break. The oracle rebuilds the corpus from the same arm constants
+    and applies the same two regexes under RE2 — repair count and
+    rewritten text must both agree."""
+    from mindocr_spark.functions.text import dehyphenate_cols
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.pmod(F.col("doc_id"), F.lit(6))
+    suffix = (
+        F.when(m == 1, F.lit(_HYPH_JOIN_ARM))
+        .when(m == 3, F.lit(_HYPH_KEEP_ARM))
+        .when(m == 5, F.lit(_HYPH_SPACE_ARM))
+        .otherwise(F.lit(""))
+    )
+    built = docs.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    return dehyphenate_cols(built).select(
+        "doc_id", "text", "n_dehyphenated",
+        F.length("text").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+#: Script-mix injection snippets (shared with the SQL oracle): one
+#: word per non-Latin script, repeated doc_id-many times so the
+#: dominant script genuinely flips on long-repeat docs.
+_SCRIPT_ARMS = {
+    "cyrillic": " данные сеть",
+    "cjk": " 中文網頁データ",
+    "arabic": " مرحبا بالعالم",
+    "greek": " αβγ δέλτα",
+}
+
+
+def q_script_mix(spark, sf_dir):
+    """Unicode script-composition histogram (the CCNet multilingual
+    curation signal): per-script char counts, dominant script, and its
+    share. The ASCII word-soup is Latin-only, so non-Latin content is
+    planted IN-QUERY by doc_id%5 — each arm's snippet repeated
+    (doc_id%37) times, so the dominant script flips from latin to the
+    injected script exactly where the repeated count overtakes the
+    doc's Latin letters (both engines recount with the SAME literal
+    char-class regexes; the flip point is part of the check, not an
+    assumption)."""
+    from mindocr_spark.functions.text import script_mix_cols
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    m = F.pmod(did, F.lit(5))
+    reps = F.pmod(did, F.lit(37)).cast("int")
+    arm = (
+        F.when(m == 1, F.lit(_SCRIPT_ARMS["cyrillic"]))
+        .when(m == 2, F.lit(_SCRIPT_ARMS["cjk"]))
+        .when(m == 3, F.lit(_SCRIPT_ARMS["arabic"]))
+        .when(m == 4, F.lit(_SCRIPT_ARMS["greek"]))
+    )
+    built = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.coalesce(F.repeat(arm, reps), F.lit("")),
+        ).alias("text"),
+    )
+    return script_mix_cols(built).orderBy("doc_id")
+
+
 def q_lexical_diversity(spark, sf_dir):
     """Lexical diversity (the Gopher unique-words gate family):
     type-token ratio from exact distinct/total token counts + one IEEE
@@ -857,6 +938,38 @@ def q_paragraph_dedup(spark, sf_dir):
         ).alias("text"),
     )
     return paragraph_dedup(built, min_para_chars=30).orderBy("doc_id")
+
+
+def q_boilerplate_purge(spark, sf_dir):
+    """Global line-frequency boilerplate removal (the Dolma/CCNet
+    complement of paragraph dedup: a line in MORE than max_df distinct
+    docs is removed EVERYWHERE, first occurrence included). Same
+    paragraph corpus as `paragraph_dedup` — so the two rules are
+    directly contrasted on identical input: the viral boilerplate
+    block (df ≈ n/3) is purged from every doc here but keeps its first
+    occurrence there, while the pairwise predecessor repeats (df = 2)
+    survive the purge but lose their second occurrence there. The
+    oracle recomputes the df rule with count(DISTINCT doc_id) in
+    SQL."""
+    from mindocr_spark.functions.dedup import boilerplate_purge
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    prev = docs.select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        F.col("text").alias("prev_text"),
+    )
+    built = docs.join(prev, "doc_id", "left").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.col("prev_text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_PARA_BOILERPLATE)),
+        ).alias("text"),
+    )
+    return boilerplate_purge(
+        built, max_df=2, min_line_chars=30
+    ).orderBy("doc_id")
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -1543,6 +1656,8 @@ from mindocr_spark.functions.text import (  # noqa: E402
     BPE_PRETOKEN_RE as _BPE_PRETOKEN_RE,
     CODE_FENCE_RE as _CODE_FENCE_RE,
     CODE_SYMBOL_RE as _CODE_SYMBOL_RE,
+    DEHYPHEN_RE as _DEHYPHEN_RE,
+    SCRIPT_CLASSES as _SCRIPT_CLASSES,
     SENTENCE_RE as _SENTENCE_RE,
     INDENT_LINE_RE as _INDENT_LINE_RE,
     LATEX_RE as _LATEX_RE,
@@ -2173,6 +2288,22 @@ def q_sequence_pack(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_context_windows(spark, sf_dir):
+    """Stride context windows over long documents (the GPT-style
+    chunking complement of `sequence_pack`): window 64, stride 48 —
+    every doc longer than one window fans out to overlapping windows
+    with exact token offsets and the window text itself. The oracle
+    restates the window-count and slice arithmetic with
+    generate_series + 1-based inclusive list slices (integer math on
+    both sides, bit-identical)."""
+    from mindocr_spark.functions.text import context_windows
+
+    return context_windows(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        window=64, stride=48,
+    ).orderBy("doc_id", "win_idx")
+
+
 from mindocr_spark.functions.search import (  # noqa: E402
     BM25_B as _BM25_B,
     BM25_K1 as _BM25_K1,
@@ -2526,7 +2657,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": _q(q_rolling_fingerprint),
         "exact_dedup": _q(q_exact_dedup),
         "paragraph_dedup": _q(q_paragraph_dedup),
+        "boilerplate_purge": _q(q_boilerplate_purge),
         "ngram_jaccard": _q(q_ngram_jaccard),
+        "dehyphenate": _q(q_dehyphenate),
+        "script_mix": _q(q_script_mix),
+        "context_windows": _q(q_context_windows),
         "containment": _q(q_containment),
         "dup_components": _q(q_dup_components),
         "decontaminate": _q(q_decontaminate),
@@ -3035,6 +3170,18 @@ def oracle_sql() -> dict[str, str]:
     _n_anch = len(_chrome_anchors)
     _anch_chars = sum(len(a) for a in _chrome_anchors)
     url = "'https://docs.example/' || source || '/' || CAST(doc_id AS VARCHAR)"
+    # script-mix: per-script count expressions from the SAME literal
+    # char-class constants the engine compiles (dialect agreement is
+    # part of the check)
+    _script_counts = ",\n                   ".join(
+        f"CAST(len(regexp_extract_all(text, '{cls}')) AS INT) AS n_{name}"
+        for name, cls in _SCRIPT_CLASSES
+    )
+    _script_sum = " + ".join(f"n_{name}" for name, _ in _SCRIPT_CLASSES)
+    _script_label = " ".join(
+        f"WHEN n_{name} = best THEN '{name}'"
+        for name, _ in _SCRIPT_CLASSES
+    )
     return {
         "extract_fulltext": f"""
             SELECT CAST(doc_id AS BIGINT) AS doc_id, {url} AS url,
@@ -4447,6 +4594,124 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, string_agg(para, chr(10) ORDER BY ord) AS text
               FROM kept GROUP BY doc_id) s USING (doc_id)
             ORDER BY b.doc_id
+        """,
+        # same corpus as paragraph_dedup; the rule flips from
+        # first-occurrence-wins to df-threshold purge
+        "boilerplate_purge": f"""
+            WITH prev AS (
+              SELECT doc_id + 1 AS doc_id, text AS prev_text
+              FROM documents),
+            built AS (
+              SELECT d.doc_id,
+                     concat_ws(chr(10), d.text, p.prev_text,
+                               CASE WHEN d.doc_id % 3 = 0
+                                    THEN '{_PARA_BOILERPLATE}' END) AS text
+              FROM documents d LEFT JOIN prev p USING (doc_id)),
+            lists AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ps FROM built),
+            paras AS (
+              SELECT doc_id,
+                     CAST(generate_subscripts(ps, 1) - 1 AS BIGINT) AS ord,
+                     unnest(ps) AS para
+              FROM lists),
+            keyed AS (
+              SELECT doc_id, ord, para, md5(para) AS ph FROM paras),
+            dfreq AS (
+              SELECT ph, count(DISTINCT doc_id) AS line_df FROM keyed
+              WHERE length(para) >= 30 GROUP BY ph),
+            kept AS (
+              SELECT k.doc_id, k.ord, k.para
+              FROM keyed k LEFT JOIN dfreq f USING (ph)
+              WHERE length(k.para) < 30 OR f.line_df <= 2)
+            SELECT b.doc_id,
+                   coalesce(s.text, '') AS text
+            FROM built b LEFT JOIN (
+              SELECT doc_id, string_agg(para, chr(10) ORDER BY ord) AS text
+              FROM kept GROUP BY doc_id) s USING (doc_id)
+            ORDER BY b.doc_id
+        """,
+        # arm constants contain REAL newlines (legal inside SQL string
+        # literals); the two regexes are the engine's shared constants,
+        # backreferences in RE2 replacement syntax
+        "dehyphenate": rf"""
+            WITH built AS (
+              SELECT doc_id,
+                     text || CASE doc_id % 6
+                             WHEN 1 THEN '{_HYPH_JOIN_ARM}'
+                             WHEN 3 THEN '{_HYPH_KEEP_ARM}'
+                             WHEN 5 THEN '{_HYPH_SPACE_ARM}'
+                             ELSE '' END AS text
+              FROM documents),
+            fixed AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '{_DEHYPHEN_RE}')) AS INT)
+                       AS n_dehyphenated,
+                     regexp_replace(
+                       regexp_replace(text, '{_DEHYPHEN_RE}', '\1\2', 'g'),
+                       '([A-Za-z0-9])- ?\n ?([A-Za-z0-9])', '\1-\2', 'g') AS text
+              FROM built)
+            SELECT doc_id, text, n_dehyphenated,
+                   CAST(length(text) AS INT) AS n_chars
+            FROM fixed ORDER BY doc_id
+        """,
+        "script_mix": f"""
+            WITH built AS (
+              SELECT doc_id,
+                     text || coalesce(repeat(
+                       CASE doc_id % 5
+                       WHEN 1 THEN '{_SCRIPT_ARMS["cyrillic"]}'
+                       WHEN 2 THEN '{_SCRIPT_ARMS["cjk"]}'
+                       WHEN 3 THEN '{_SCRIPT_ARMS["arabic"]}'
+                       WHEN 4 THEN '{_SCRIPT_ARMS["greek"]}'
+                       END,
+                       CAST(doc_id % 37 AS INT)), '') AS text
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                   {_script_counts}
+              FROM built),
+            t AS (
+              SELECT *,
+                     CAST({_script_sum} AS INT) AS n_scripted,
+                     greatest({", ".join("n_" + n for n, _ in _SCRIPT_CLASSES)}) AS best
+              FROM c)
+            SELECT doc_id,
+                   {", ".join("n_" + n for n, _ in _SCRIPT_CLASSES)},
+                   n_scripted,
+                   CASE WHEN n_scripted = 0 THEN 'none'
+                        {_script_label}
+                        END AS main_script,
+                   CASE WHEN n_scripted = 0 THEN NULL
+                        ELSE round(CAST(best AS DOUBLE)
+                                   / CAST(n_scripted AS DOUBLE), 6)
+                        END AS main_share
+            FROM t ORDER BY doc_id
+        """,
+        # window/stride arithmetic restated with pure BIGINT math;
+        # DuckDB list slices are 1-based inclusive = Spark slice(x,s,n)
+        "context_windows": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')) AS norm
+              FROM documents),
+            toksrc AS (
+              SELECT doc_id, string_split(norm, ' ') AS toks,
+                     len(string_split(norm, ' ')) AS n
+              FROM t WHERE norm <> ''),
+            w AS (
+              SELECT doc_id, toks, n,
+                     unnest(generate_series(0,
+                       CASE WHEN n > 64 THEN (n - 64 + 47) // 48
+                            ELSE 0 END)) AS i
+              FROM toksrc)
+            SELECT doc_id,
+                   CAST(i AS INT) AS win_idx,
+                   CAST(i * 48 AS INT) AS tok_start,
+                   CAST(least(i * 48 + 64, n) AS INT) AS tok_end,
+                   CAST(least(i * 48 + 64, n) - i * 48 AS INT) AS n_win_tokens,
+                   array_to_string(toks[CAST(i * 48 + 1 AS BIGINT):CAST(i * 48 + 64 AS BIGINT)], ' ')
+                     AS window_text
+            FROM w ORDER BY doc_id, win_idx
         """,
         "ngram_jaccard": r"""
             WITH w AS (

@@ -147,6 +147,12 @@ def main() -> None:
         "snapshot_upsert",      # MERGE: keys-only anti-join + union
         "length_histogram",     # log2 token-length distribution
         "publication_date",     # trafilatura-style date heuristic
+        # round-3 session-C additions (appended for the same reason)
+        "containment",          # directional excerpt/superset dedup
+        "boilerplate_purge",    # global line-frequency purge
+        "context_windows",      # stride windows for training prep
+        "script_mix",           # Unicode script-composition signal
+        "dehyphenate",          # PDF line-wrap repair
     ]
     qs = E.queries()
     for name in headline:

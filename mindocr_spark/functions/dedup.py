@@ -219,6 +219,27 @@ def paragraph_dedup(
     drops already-collected crops of a doc rather than re-emitting them
     (reference: deploy/py_infer/src/parallel/module/common/
     collect_node.py:72-99)."""
+    keyed = _exploded_segments(docs, text_col, id_col, sep)
+    firsts = (
+        keyed.where(F.length("para") >= min_para_chars)
+        .groupBy("ph")
+        .agg(F.min("occ").alias("first_occ"))
+    )
+    kept = keyed.join(firsts, "ph", "left").where(
+        (F.length("para") < min_para_chars)
+        | (F.col("occ") == F.col("first_occ"))
+    )
+    return _rebuild_docs(kept, keyed, text_col, id_col, sep)
+
+
+def _exploded_segments(docs: DataFrame, text_col: str, id_col: str,
+                       sep: str) -> DataFrame:
+    """Split each doc on the literal `sep` and explode to one row per
+    segment: (id, ord, para, ph=md5(para), occ=(id, ord) struct).
+    Persisted — the relation always feeds multiple consumers (the
+    frequency/first-occurrence aggregate, the keep-join, AND the
+    row-preservation anchor). Shared by :func:`paragraph_dedup` and
+    :func:`boilerplate_purge`."""
     # F.split takes a Java REGEX; `sep` is a literal separator (and the
     # DuckDB oracle splits literally) — escape it so a metachar sep
     # ("." , "||") splits on the literal string, matching array_join.
@@ -231,21 +252,19 @@ def paragraph_dedup(
         ).alias("ord", "para"),
     )
     occ = F.struct(F.col(id_col).alias("i"), F.col("ord").alias("o"))
-    # keyed feeds `firsts`, `kept` AND the row-preservation anchor —
-    # persist or the explode+md5 (and the whole input lineage) runs
-    # once per consumer
-    keyed = tracked_persist(
+    return tracked_persist(
         paras.withColumn("ph", F.md5("para")).withColumn("occ", occ)
     )
-    firsts = (
-        keyed.where(F.length("para") >= min_para_chars)
-        .groupBy("ph")
-        .agg(F.min("occ").alias("first_occ"))
-    )
-    kept = keyed.join(firsts, "ph", "left").where(
-        (F.length("para") < min_para_chars)
-        | (F.col("occ") == F.col("first_occ"))
-    )
+
+
+def _rebuild_docs(kept: DataFrame, keyed: DataFrame, text_col: str,
+                  id_col: str, sep: str) -> DataFrame:
+    """Reassemble (id, text) from surviving segment rows, preserving
+    original order. A doc whose EVERY segment was dropped has no group
+    in the rebuild — re-anchor on the input ids so it comes back as the
+    empty string instead of silently vanishing. Anchor off the persisted
+    `keyed` (every doc has ≥1 segment row) rather than re-scanning the
+    input lineage a third time."""
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
@@ -255,15 +274,54 @@ def paragraph_dedup(
             sep,
         ).alias(text_col)
     )
-    # row preservation: a doc whose EVERY paragraph was dropped has no
-    # group in `rebuilt` — re-anchor on the input ids so it comes back
-    # as the empty string instead of silently vanishing. Anchor off the
-    # persisted `keyed` (every doc has ≥1 paragraph row) rather than
-    # re-scanning the input lineage a third time.
     anchor = keyed.select(id_col).distinct()
     return anchor.join(rebuilt, id_col, "left").select(
         id_col, F.coalesce(text_col, F.lit("")).alias(text_col)
     )
+
+
+def boilerplate_purge(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 2,
+    min_line_chars: int = 30,
+    sep: str = "\n",
+) -> DataFrame:
+    """Global line-frequency boilerplate removal (the Dolma/CCNet
+    complement of :func:`paragraph_dedup`): a line occurring in MORE
+    than `max_df` distinct documents is boilerplate (cookie banners,
+    footers, subscription prompts) and is removed from EVERY document —
+    including the first occurrence, which paragraph dedup would keep.
+    Lines shorter than `min_line_chars` never participate (headings,
+    list bullets, blank separators stay in place). Returns
+    (id_col, text_col) rebuilt in original order; all-boilerplate docs
+    come back as the empty string, not a lost row.
+
+    100 TB plan: one shuffle on the line hash with a two-phase distinct
+    count (partial (ph, id) dedup map-side collapses a viral banner's
+    per-doc repeats before the exchange), an equi-join back on the
+    hash, and one groupBy(id) reassembly — same skew-safe shape as
+    paragraph dedup, no windows, no all-pairs. The hot set (df >
+    max_df) is vanishingly small at any scale, so AQE broadcasts the
+    keep-join's build side.
+
+    Reference lineage: the chrome/boilerplate suppression the extraction
+    core applies WITHIN a page via link-density scoring
+    (reference: mindocr/postprocess/db_postprocess.py:13-150 analog,
+    extract_core.score_nodes); this is the corpus-frequency twin that
+    catches boilerplate invisible at single-page grain."""
+    keyed = _exploded_segments(docs, text_col, id_col, sep)
+    dfreq = (
+        keyed.where(F.length("para") >= min_line_chars)
+        .groupBy("ph")
+        .agg(F.count_distinct(F.col(id_col)).alias("line_df"))
+    )
+    kept = keyed.join(dfreq, "ph", "left").where(
+        (F.length("para") < min_line_chars)
+        | (F.col("line_df") <= max_df)
+    )
+    return _rebuild_docs(kept, keyed, text_col, id_col, sep)
 
 
 # --------------------------------------------------------------------------

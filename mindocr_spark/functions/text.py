@@ -660,6 +660,46 @@ def mojibake_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# De-hyphenation (PDF/print line-wrap repair)
+# --------------------------------------------------------------------------
+
+#: A lowercase letter, a hyphen, a line break (optional surrounding
+#: spaces — PDF extractors emit both "exam-\nple" and "exam- \nple"),
+#: then a lowercase letter: the print-era line-wrap artifact. Uppercase
+#: or digit continuations are NOT joined (Well-\nKnown, ISO-\n9001 are
+#: real hyphenated compounds split across lines, where deleting the
+#: hyphen corrupts). Shared verbatim with the SQL oracle.
+DEHYPHEN_RE = r"([a-z])- ?\n ?([a-z])"
+
+
+def dehyphenate_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repair line-wrap hyphenation in extracted PDF/print text
+    ("exam-\\nple" → "example") — the canonical PDF-extraction artifact
+    that breaks tokenization, dedup shingles, and quality scoring if
+    left in (every affected word becomes two garbage tokens). Rewrites
+    `text_col` in place and appends ``n_dehyphenated`` (exact repair
+    count). Conservative by construction: only a lowercase-to-lowercase
+    join across a line break is repaired; hyphenated compounds that
+    happen to wrap keep their hyphen (the newline is collapsed so the
+    compound reunites: "Well-\\nKnown" → "Well-Known").
+
+    One codegen ``regexp_count`` + two ``regexp_replace`` on the scan —
+    zero shuffles, zero Python. Reference analog: crop_text_region's
+    within-line reassembly before recognition
+    (reference: mindocr/data/transforms/det_transforms.py crop +
+    assemble stage)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.regexp_count(t, F.lit(DEHYPHEN_RE))
+    joined = F.regexp_replace(t, DEHYPHEN_RE, r"$1$2")
+    compounds = F.regexp_replace(
+        joined, r"([A-Za-z0-9])- ?\n ?([A-Za-z0-9])", r"$1-$2"
+    )
+    return df.withColumn("n_dehyphenated", n).withColumn(
+        text_col, compounds
+    )
+
+
+# --------------------------------------------------------------------------
 # Language ID (n-gram / marker-word heuristic)
 # --------------------------------------------------------------------------
 
@@ -685,6 +725,59 @@ def lang_id_col(c: Column | str) -> Column:
         .when(en == best, F.lit("en"))
         .when(de == best, F.lit("de"))
         .otherwise(F.lit("es"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Script-mix histogram (the CCNet script-composition signal)
+# --------------------------------------------------------------------------
+
+#: Script classes as LITERAL character ranges (not \p{Script=...},
+#: whose name syntax differs between Java regex and RE2; literal
+#: codepoints in a class parse identically in both). Rendered verbatim
+#: into the SQL oracle — dialect agreement is part of the check.
+SCRIPT_CLASSES: tuple[tuple[str, str], ...] = (
+    ("latin", "[A-Za-zÀ-ɏ]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("greek", "[Ͱ-Ͽ]"),
+    ("arabic", "[؀-ۿ]"),
+    ("cjk", "[一-鿿぀-ヿ가-힯]"),
+)
+
+
+def script_mix_cols(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document Unicode SCRIPT composition (the CCNet-family
+    multilingual curation signal `lang_id_col` cannot give: lang-id
+    names one language, script mix detects MIXED-script spam, wrong-
+    script injection, and transliteration noise): per-script character
+    counts, the dominant script's share of scripted characters, and a
+    `main_script` label (ties broken by the fixed SCRIPT_CLASSES
+    order; 'none' when no scripted characters at all).
+
+    100 TB shape: one codegen `regexp_count` per script class — pure
+    row expressions, zero shuffles, zero Python. Counts are exact
+    ints; the share is one IEEE division rounded at 6.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {name: F.regexp_count(t, F.lit(cls))
+              for name, cls in SCRIPT_CLASSES}
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    best = F.greatest(*counts.values())
+    label = F.when(total == 0, F.lit("none"))
+    for name, _ in SCRIPT_CLASSES:
+        label = label.when(counts[name] == best, F.lit(name))
+    share = F.round(
+        F.try_divide(best.cast("double"), total.cast("double")), 6
+    )
+    return df.select(
+        id_col,
+        *[counts[name].alias(f"n_{name}") for name, _ in SCRIPT_CLASSES],
+        total.alias("n_scripted"),
+        label.alias("main_script"),
+        share.alias("main_share"),
     )
 
 
@@ -1118,6 +1211,64 @@ def sequence_pack(
     for c in ("seq_first", "seq_last", "seq_offset", "n_seqs"):
         null_pack = null_pack.withColumn(c, F.lit(None).cast("bigint"))
     return packed.unionByName(null_pack)
+
+
+def context_windows(df: DataFrame, window: int = 64, stride: int = 48,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Fixed-length training CONTEXT WINDOWS with overlap — the long-
+    document complement of :func:`sequence_pack` (pack concatenates
+    short docs into sequences; this splits long docs into overlapping
+    windows so no span is ever cut off from its left context, the
+    standard GPT-style stride chunking). Window i covers tokens
+    [i·stride, min(i·stride + window, n)): full coverage, overlap
+    `window − stride`, the last window short but never empty, exactly
+    one window for docs with n ≤ window tokens. Zero-token docs emit
+    no windows (nothing to train on).
+
+    Output: (id_col, win_idx, tok_start, tok_end, n_win_tokens,
+    window_text). All integer arithmetic — both engines agree bit-wise.
+
+    100 TB shape: token bind → one row-local transform over a window-
+    index sequence → explode. Fully narrow (no shuffle, no Python);
+    output size is input·(1/stride) rows — pipelined straight into the
+    shard writer.
+    """
+    with_toks = df.select(id_col, tokens_col(text_col).alias("_toks"))
+    toks = F.col("_toks")
+    n = F.size(toks)
+    # extra windows past the first: ceil((n - window)/stride) via exact
+    # double division of small ints (floor of an exact-k quotient is k)
+    n_extra = F.when(
+        n > window,
+        F.floor(
+            (n - window + (stride - 1)).cast("double") / F.lit(float(stride))
+        ).cast("int"),
+    ).otherwise(F.lit(0))
+    wins = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_extra),
+            lambda i: F.struct(
+                i.alias("win_idx"),
+                (i * stride).alias("tok_start"),
+                F.least(i * stride + window, n).alias("tok_end"),
+                F.array_join(
+                    F.slice(toks, i * stride + 1, window), " "
+                ).alias("window_text"),
+            ),
+        ),
+    )
+    return with_toks.select(
+        id_col, F.explode(wins).alias("_w")
+    ).select(
+        id_col,
+        F.col("_w.win_idx").alias("win_idx"),
+        F.col("_w.tok_start").alias("tok_start"),
+        F.col("_w.tok_end").alias("tok_end"),
+        (F.col("_w.tok_end") - F.col("_w.tok_start")).alias("n_win_tokens"),
+        F.col("_w.window_text").alias("window_text"),
+    )
 
 
 # --------------------------------------------------------------------------

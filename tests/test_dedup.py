@@ -458,3 +458,64 @@ class TestShingleHotlist:
         )
         assert "TakeOrderedAndProject" in plan
         assert "rangepartitioning" not in plan.lower()
+
+
+class TestBoilerplatePurge:
+    BANNER = "accept our cookies to continue browsing this site today"
+
+    def _docs(self, spark):
+        unique = [
+            "the mountain trail winds upward through quiet pine forest",
+            "a river bends around the old stone bridge at dawn light",
+            "markets reopened quietly after the long holiday weekend here",
+        ]
+        rows = [
+            (i + 1, f"{u}\n{self.BANNER}\nok") for i, u in enumerate(unique)
+        ] + [(4, self.BANNER)]   # all-boilerplate doc
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_viral_line_removed_everywhere(self, spark):
+        from mindocr_spark.functions.dedup import boilerplate_purge
+
+        out = {r["doc_id"]: r["text"] for r in
+               boilerplate_purge(self._docs(spark), max_df=2).collect()}
+        # banner df=4 > 2 → gone from EVERY doc, first occurrence included
+        for i in (1, 2, 3):
+            assert self.BANNER not in out[i]
+            assert out[i].endswith("\nok")       # short line kept in place
+            assert out[i].count("\n") == 1       # unique line + ok
+        # all-boilerplate doc comes back empty, not lost
+        assert out[4] == ""
+        assert set(out) == {1, 2, 3, 4}
+
+    def test_df_at_threshold_survives(self, spark):
+        from mindocr_spark.functions.dedup import boilerplate_purge
+
+        shared = "this exact long sentence appears in just two documents"
+        df = spark.createDataFrame(
+            [(1, shared + "\nalpha"), (2, shared + "\nbeta"),
+             (3, "an unrelated third document with its own long text")],
+            "doc_id bigint, text string",
+        )
+        out = {r["doc_id"]: r["text"] for r in
+               boilerplate_purge(df, max_df=2).collect()}
+        # df == max_df is NOT boilerplate — both copies survive
+        assert out[1].startswith(shared) and out[2].startswith(shared)
+        assert out[3] == "an unrelated third document with its own long text"
+
+    def test_contrast_with_paragraph_dedup(self, spark):
+        """Same input, opposite rules: paragraph dedup keeps the first
+        banner occurrence; the purge keeps none."""
+        from mindocr_spark.functions.dedup import (
+            boilerplate_purge,
+            paragraph_dedup,
+        )
+
+        docs = self._docs(spark)
+        kept_first = {r["doc_id"]: r["text"] for r in
+                      paragraph_dedup(docs, min_para_chars=30).collect()}
+        purged = {r["doc_id"]: r["text"] for r in
+                  boilerplate_purge(docs, max_df=2).collect()}
+        assert self.BANNER in kept_first[1]          # first occurrence kept
+        assert self.BANNER not in kept_first[2]
+        assert all(self.BANNER not in t for t in purged.values())

@@ -785,3 +785,105 @@ class TestLengthHistogram:
         assert got[3]["n_docs"] == 1 and got[3]["lo_tokens"] == 8
         assert got[-1]["n_docs"] == 1 and got[-1]["sum_tokens"] == 0
         assert sum(r["n_docs"] for r in got.values()) == 7
+
+
+class TestContextWindows:
+    def test_window_arithmetic_golden(self, spark):
+        from mindocr_spark.functions.text import context_windows
+
+        toks170 = " ".join(f"t{i}" for i in range(170))
+        df = spark.createDataFrame(
+            [(1, "short doc here"), (2, toks170), (3, "")],
+            "doc_id bigint, text string",
+        )
+        out = context_windows(df, window=64, stride=48).collect()
+        by = {}
+        for r in out:
+            by.setdefault(r["doc_id"], []).append(r)
+        # n <= window: exactly one full-coverage window
+        assert len(by[1]) == 1
+        w = by[1][0]
+        assert (w["tok_start"], w["tok_end"], w["n_win_tokens"]) == (0, 3, 3)
+        assert w["window_text"] == "short doc here"
+        # n=170: ceil((170-64)/48)=3 extra → starts 0,48,96,144
+        wins = sorted(by[2], key=lambda r: r["win_idx"])
+        assert [w["tok_start"] for w in wins] == [0, 48, 96, 144]
+        assert [w["tok_end"] for w in wins] == [64, 112, 160, 170]
+        assert wins[0]["window_text"].split()[0] == "t0"
+        assert wins[1]["window_text"].split()[0] == "t48"
+        assert wins[-1]["n_win_tokens"] == 26   # short tail, never empty
+        # zero-token doc emits no windows
+        assert 3 not in by
+
+    def test_full_coverage_and_overlap(self, spark):
+        from mindocr_spark.functions.text import context_windows
+
+        n = 200
+        df = spark.createDataFrame(
+            [(1, " ".join(str(i) for i in range(n)))],
+            "doc_id bigint, text string",
+        )
+        wins = context_windows(df, window=64, stride=48).collect()
+        covered = set()
+        for w in wins:
+            covered |= set(range(w["tok_start"], w["tok_end"]))
+        assert covered == set(range(n))   # no token ever dropped
+
+    def test_plan_is_narrow(self, spark):
+        from mindocr_spark.functions.text import context_windows
+
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = (
+            context_windows(df.select("doc_id", "text"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+class TestScriptMix:
+    def test_counts_and_dominance(self, spark):
+        from mindocr_spark.functions.text import script_mix_cols
+
+        rows = [
+            (1, "hello world"),                     # latin only
+            (2, "привет мир hello"),                # cyrillic dominant
+            (3, "中文网页数据集 hi"),                  # cjk dominant
+            (4, "12345 !!!"),                       # no scripted chars
+            (5, "αβ ab"),                           # exact tie → latin first
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {r["doc_id"]: r for r in script_mix_cols(df).collect()}
+        assert got[1]["main_script"] == "latin" and got[1]["main_share"] == 1.0
+        assert got[2]["main_script"] == "cyrillic"
+        assert got[2]["n_cyrillic"] == 9 and got[2]["n_latin"] == 5
+        assert got[3]["main_script"] == "cjk" and got[3]["n_cjk"] == 7
+        assert got[4]["main_script"] == "none"
+        assert got[4]["n_scripted"] == 0 and got[4]["main_share"] is None
+        # tie: 2 greek vs 2 latin → SCRIPT_CLASSES order wins (latin)
+        assert got[5]["main_script"] == "latin" and got[5]["main_share"] == 0.5
+
+
+class TestDehyphenate:
+    def test_join_keep_and_count(self, spark):
+        from mindocr_spark.functions.text import dehyphenate_cols
+
+        rows = [
+            (1, "an exam-\nple of hyphena-\ntion"),
+            (2, "the Well-\nKnown ISO-\n9001 standard"),
+            (3, "spaced wrap- \n here"),
+            (4, "no artifacts at all"),
+            (5, "a real mid-sentence hyphen-word stays"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {r["doc_id"]: r for r in dehyphenate_cols(df).collect()}
+        assert got[1]["text"] == "an example of hyphenation"
+        assert got[1]["n_dehyphenated"] == 2
+        # compound/acronym wraps KEEP the hyphen, newline collapsed
+        assert got[2]["text"] == "the Well-Known ISO-9001 standard"
+        assert got[2]["n_dehyphenated"] == 0
+        assert got[3]["text"] == "spaced wraphere"
+        assert got[3]["n_dehyphenated"] == 1
+        assert got[4]["text"] == rows[3][1] and got[4]["n_dehyphenated"] == 0
+        # in-line hyphens (no newline) are never touched
+        assert got[5]["text"] == rows[4][1]
