@@ -764,6 +764,44 @@ def _built_url_corpus(spark, sf_dir):
     return docs.select("doc_id", "text", url.alias("url"))
 
 
+def q_grouped_split(spark, sf_dir):
+    """Leakage-safe train/val/test split at REGISTERED-DOMAIN grain
+    (page-grain splits leak: a site's near-duplicate pages straddle
+    train and eval). Runs over the shared URL-variant corpus so the
+    grouping is exercised against www/m./IP spellings and the co.uk
+    public-suffix rule; assignment is md5(domain)-prefix thresholding
+    against cumulative cutoffs from the SAME hash_sample_threshold
+    helper the oracle renders — deterministic, RNG-free, one codegen
+    CASE. The leakage property (one domain → one split) is pinned by
+    pytest."""
+    from mindocr_spark.functions.text import grouped_split
+    from mindocr_spark.functions.urls import url_cols
+
+    pages = url_cols(_built_url_corpus(spark, sf_dir)).select(
+        "doc_id", "url", "registered_domain"
+    )
+    return grouped_split(
+        pages, "registered_domain",
+        splits=(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    ).orderBy("doc_id")
+
+
+def q_oov_rate(spark, sf_dir):
+    """Tokenizer-coverage audit: the corpus's top-100 tokens by
+    frequency (ties token-ascending) play the vocabulary; every doc
+    reports token count, OOV count, and OOV rate. Vocabulary = one
+    groupBy + TopK (TakeOrderedAndProject, no global sort); the
+    per-doc pass joins exploded tokens against the BROADCAST
+    vocabulary. The oracle restates the identical top-K (same total
+    order) and the FILTER'd left-join count."""
+    from mindocr_spark.functions.text import oov_cols
+
+    return oov_cols(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        vocab_size=100,
+    ).orderBy("doc_id")
+
+
 def q_url_canonicalize(spark, sf_dir):
     """URL canonicalization + URL-level dedup (the layer a web corpus
     applies BEFORE content hashing: Common Crawl's index is keyed by
@@ -2649,6 +2687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": _q(q_cdc_chunks),
         "lexical_diversity": _q(q_lexical_diversity),
         "url_canonicalize": _q(q_url_canonicalize),
+        "grouped_split": _q(q_grouped_split),
+        "oov_rate": _q(q_oov_rate),
         "domain_stats": _q(q_domain_stats),
         "domain_cap": _q(q_domain_cap),
         "blocklist_filter": _q(q_blocklist_filter),
@@ -3170,6 +3210,9 @@ def oracle_sql() -> dict[str, str]:
     _n_anch = len(_chrome_anchors)
     _anch_chars = sum(len(a) for a in _chrome_anchors)
     url = "'https://docs.example/' || source || '/' || CAST(doc_id AS VARCHAR)"
+    from mindocr_spark.functions.text import (
+        hash_sample_threshold as _hash_thresh,
+    )
     # script-mix: per-script count expressions from the SAME literal
     # char-class constants the engine compiles (dialect agreement is
     # part of the check)
@@ -4424,6 +4467,47 @@ def oracle_sql() -> dict[str, str]:
             FROM canon GROUP BY registered_domain
             ORDER BY registered_domain
         """),
+        # thresholds rendered from the SAME hash_sample_threshold
+        # helper the Spark CASE compiles from (cumulative cutoffs)
+        "grouped_split": _bind_url_patterns(f"""
+            WITH {_URL_ORACLE_CTE}
+            SELECT doc_id, url, registered_domain,
+                   CASE WHEN substr(md5(registered_domain), 1, 8)
+                             < '{_hash_thresh(0.8)}' THEN 'train'
+                        WHEN substr(md5(registered_domain), 1, 8)
+                             < '{_hash_thresh(0.9)}' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM canon ORDER BY doc_id
+        """),
+        # identical top-K total order (cnt DESC, token ASC — token is
+        # unique so the order is total) + FILTER'd left-join counts
+        "oov_rate": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')) AS norm
+              FROM documents),
+            tok AS (
+              SELECT doc_id, unnest(string_split(norm, ' ')) AS token
+              FROM t WHERE norm <> ''),
+            vocab AS (
+              SELECT token FROM (
+                SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+                ORDER BY cnt DESC, token ASC LIMIT 100)),
+            pd AS (
+              SELECT k.doc_id, COUNT(*) AS n_tokens,
+                     COUNT(*) FILTER (WHERE v.token IS NULL) AS n_oov
+              FROM tok k LEFT JOIN vocab v ON k.token = v.token
+              GROUP BY k.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+                   CASE WHEN coalesce(n_tokens, 0) = 0 THEN NULL
+                        ELSE round(CAST(n_oov AS DOUBLE)
+                                   / CAST(n_tokens AS DOUBLE), 6)
+                        END AS oov_rate
+            FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+            ORDER BY d.doc_id
+        """,
         # the suffix literals are injected from the SAME Python
         # constants the Spark query uses, so the two corpora can never
         # drift; nfc_normalize is utf8proc's NFC, unicodedata's twin

@@ -153,6 +153,8 @@ def main() -> None:
         "context_windows",      # stride windows for training prep
         "script_mix",           # Unicode script-composition signal
         "dehyphenate",          # PDF line-wrap repair
+        "grouped_split",        # leakage-safe domain-grouped split
+        "oov_rate",             # tokenizer-coverage audit
     ]
     qs = E.queries()
     for name in headline:

@@ -19,6 +19,8 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from mindocr_spark.cache import tracked_persist
+
 # --------------------------------------------------------------------------
 # Normalization (the SQL twin of extract_core.normalize_ws for ASCII text)
 # --------------------------------------------------------------------------
@@ -986,6 +988,92 @@ def hash_sample_threshold(fraction: float) -> str | None:
     if fraction <= 0.0:
         return "00000000"
     return format(int(fraction * 16 ** 8), "08x")
+
+
+def grouped_split(
+    df: DataFrame,
+    group_col: str,
+    splits: tuple[tuple[str, float], ...] = (
+        ("train", 0.98), ("val", 0.01), ("test", 0.01),
+    ),
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment at GROUP grain: every row
+    whose `group_col` hashes into the same bucket lands in the same
+    split. Splitting at page grain leaks — near-duplicate pages of one
+    site straddle train and test, and the eval set is contaminated by
+    construction; splitting on the registered domain (the standard
+    grouping) keeps all of a site's correlated content on one side.
+
+    Membership is md5(group)-prefix thresholding against CUMULATIVE
+    fraction cutoffs (the :func:`hash_sample_threshold` discipline):
+    deterministic, RNG-free, identical on every engine and re-run.
+    The last split absorbs the remainder, so weights need not sum to
+    exactly 1. NULL groups fall to the last split (no hash evidence —
+    never into eval). One codegen CASE on the scan: no join, no
+    shuffle.
+    """
+    h = F.substring(F.md5(F.col(group_col).cast("string")), 1, 8)
+    col = None
+    cum = 0.0
+    for name, w in splits[:-1]:
+        cum += w
+        t = hash_sample_threshold(cum)
+        cond = h < F.lit(t if t is not None else "ffffffff~")
+        col = F.when(cond, name) if col is None else col.when(cond, name)
+    fallback = F.lit(splits[-1][0])
+    col = fallback if col is None else col.otherwise(fallback)
+    return df.withColumn(split_col, col)
+
+
+def oov_cols(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer-coverage analysis: the corpus's top-`vocab_size`
+    tokens by frequency (ties broken token-ascending — deterministic
+    on every engine) play the vocabulary; each document reports its
+    token count, OUT-OF-VOCABULARY token count, and OOV rate. High OOV
+    flags non-language junk, wrong-script content, and corpora a fixed
+    tokenizer will shred into bytes — the standard pre-tokenizer audit.
+
+    100 TB shape: vocabulary = one explode + one groupBy(token) with
+    map-side partials + TopK (TakeOrderedAndProject — never a global
+    sort); the per-doc pass joins exploded tokens against the
+    BROADCAST vocabulary (vocab_size rows) and re-aggregates on the
+    doc key. Zero-token docs report (0, 0, NULL rate) — never vanish.
+    """
+    with_toks = tracked_persist(
+        df.select(id_col, tokens_col(text_col).alias("_toks"))
+    )
+    tok = with_toks.select(id_col, F.explode("_toks").alias("token"))
+    vocab = (
+        tok.groupBy("token").agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(vocab_size)
+        .select("token", F.lit(1).alias("_inv"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("_inv").isNull(), 1)).alias("n_oov"),
+        )
+    )
+    anchored = with_toks.select(id_col).join(per_doc, id_col, "left")
+    n_tok = F.coalesce("n_tokens", F.lit(0)).cast("bigint")
+    n_oov = F.coalesce("n_oov", F.lit(0)).cast("bigint")
+    return anchored.select(
+        id_col,
+        n_tok.alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        F.round(
+            F.try_divide(n_oov.cast("double"), n_tok.cast("double")), 6
+        ).alias("oov_rate"),
+    )
 
 
 def stratified_sample(

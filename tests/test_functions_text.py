@@ -887,3 +887,75 @@ class TestDehyphenate:
         assert got[4]["text"] == rows[3][1] and got[4]["n_dehyphenated"] == 0
         # in-line hyphens (no newline) are never touched
         assert got[5]["text"] == rows[4][1]
+
+
+class TestGroupedSplit:
+    def test_leakage_safety_one_group_one_split(self, spark):
+        from mindocr_spark.functions.text import grouped_split
+
+        rows = [(i, f"dom{i % 17}.example") for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id bigint, dom string")
+        out = grouped_split(df, "dom").collect()
+        by_dom = {}
+        for r in out:
+            by_dom.setdefault(r["dom"], set()).add(r["split"])
+        # EVERY domain lands in exactly one split — the leakage property
+        assert all(len(s) == 1 for s in by_dom.values())
+        assert set().union(*by_dom.values()) <= {"train", "val", "test"}
+
+    def test_deterministic_and_null_to_last(self, spark):
+        from mindocr_spark.functions.text import grouped_split
+
+        df = spark.createDataFrame(
+            [(1, "a.example"), (2, None)], "doc_id bigint, dom string"
+        )
+        a = {r["doc_id"]: r["split"] for r in grouped_split(df, "dom").collect()}
+        b = {r["doc_id"]: r["split"] for r in grouped_split(df, "dom").collect()}
+        assert a == b                      # RNG-free, rerun-identical
+        assert a[2] == "test"              # NULL group → last split, never eval leakage into train
+
+    def test_fractions_roughly_honored(self, spark):
+        from mindocr_spark.functions.text import grouped_split
+
+        df = spark.createDataFrame(
+            [(i, f"d{i}.example") for i in range(2000)],
+            "doc_id bigint, dom string",
+        )
+        counts = {r["split"]: r["count"] for r in
+                  grouped_split(df, "dom").groupBy("split").count().collect()}
+        assert counts["train"] > 1800      # ≈ 0.98 of 2000
+        assert 0 < counts.get("val", 0) < 100
+        assert 0 < counts.get("test", 0) < 100
+
+
+class TestOovCols:
+    def test_golden_counts(self, spark):
+        from mindocr_spark.functions.text import oov_cols
+
+        rows = [
+            (1, "aa aa aa bb"),      # aa×3 bb×1
+            (2, "aa bb cc"),         # cc is rare
+            (3, "cc dd"),            # dd rarest
+            (4, ""),                 # zero tokens, must not vanish
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        # vocab_size=2 → vocab = {aa(4), bb(2)}; cc(2) ties bb but
+        # 'bb' < 'cc' wins the ascending tie-break
+        got = {r["doc_id"]: r for r in oov_cols(df, vocab_size=2).collect()}
+        assert (got[1]["n_tokens"], got[1]["n_oov"]) == (4, 0)
+        assert (got[2]["n_tokens"], got[2]["n_oov"]) == (3, 1)
+        assert (got[3]["n_tokens"], got[3]["n_oov"]) == (2, 2)
+        assert got[3]["oov_rate"] == 1.0
+        assert (got[4]["n_tokens"], got[4]["n_oov"]) == (0, 0)
+        assert got[4]["oov_rate"] is None
+        assert set(got) == {1, 2, 3, 4}
+
+    def test_vocab_join_is_broadcast(self, spark):
+        from mindocr_spark.functions.text import oov_cols
+
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = (
+            oov_cols(df.select("doc_id", "text"), vocab_size=50)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
