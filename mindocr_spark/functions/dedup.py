@@ -445,17 +445,27 @@ def containment_pairs(df: DataFrame, k: int = 3, threshold: float = 0.8,
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     both = inter.join(sa, "id_a").join(sb, "id_b")
+    # both directions from ONE pass over the verified pairs: a
+    # two-element explode, not a self-union (a union's two branches
+    # would re-execute the whole intersection subtree twice)
     directed = both.select(
-        F.col("id_a").alias("sub_id"), F.col("id_b").alias("sup_id"),
-        "n_inter",
-        F.col("n_a").alias("n_sub"), F.col("n_b").alias("n_sup"),
-    ).unionByName(
-        both.select(
-            F.col("id_b").alias("sub_id"), F.col("id_a").alias("sup_id"),
-            "n_inter",
-            F.col("n_b").alias("n_sub"), F.col("n_a").alias("n_sup"),
-        )
-    )
+        F.explode(F.array(
+            F.struct(
+                F.col("id_a").alias("sub_id"),
+                F.col("id_b").alias("sup_id"),
+                F.col("n_inter").alias("n_inter"),
+                F.col("n_a").alias("n_sub"),
+                F.col("n_b").alias("n_sup"),
+            ),
+            F.struct(
+                F.col("id_b").alias("sub_id"),
+                F.col("id_a").alias("sup_id"),
+                F.col("n_inter").alias("n_inter"),
+                F.col("n_b").alias("n_sub"),
+                F.col("n_a").alias("n_sup"),
+            ),
+        )).alias("_d")
+    ).select("_d.*")
     cont = F.round(
         F.col("n_inter").cast("double") / F.col("n_sub").cast("double"), 6
     )
