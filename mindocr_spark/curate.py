@@ -69,6 +69,18 @@ class CurateConfig:
     # below the floor drops.
     dedup_paragraphs: bool = False
     min_para_chars: int = 30
+    # global line-frequency boilerplate PURGE: a line (≥ min_para_chars)
+    # present in more than this many distinct docs is removed from
+    # EVERY doc — first occurrence included, the rule dedup_paragraphs
+    # cannot express (cookie banners, footers, subscription prompts).
+    # 0 disables. One shuffle on the line hash (two-phase distinct
+    # count) + one rebuild groupBy; min_chars re-applies after.
+    purge_boilerplate_df: int = 0
+    # join PDF/print line-wrap hyphenation before every gate and dedup
+    # pass ("exam-\nple" otherwise shingles as two garbage tokens);
+    # compound wraps keep their hyphen. Pure codegen regex rewrite on
+    # the scan — no join, no shuffle.
+    fix_hyphenation: bool = False
     # keep at most N pages per registered domain (C4's anti-spam gate;
     # 0 disables). Salted two-phase top-N — a spam farm's pages split
     # across salt tasks instead of funneling into one straggler.
@@ -210,6 +222,12 @@ def _curate_build(pages, cfg, params, _persist):
 
         src = unicode_normalize_cols(src, text_col="text").drop(
             "was_normalized"
+        )
+    if cfg.fix_hyphenation:
+        from mindocr_spark.functions.text import dehyphenate_cols
+
+        src = dehyphenate_cols(src, text_col="text").drop(
+            "n_dehyphenated"
         )
     ok = src.where(
         (~F.col("failed"))
@@ -358,29 +376,54 @@ def _curate_build(pages, cfg, params, _persist):
         tagged = redact_pii_cols(tagged, text_col="text").drop(
             "n_emails", "n_ips", "n_phones"
         )
-    # corpus-level paragraph dedup BEFORE exact dedup: removing shared
-    # boilerplate paragraphs can make two docs byte-identical, and the
+    # corpus-level line/paragraph rewrites BEFORE exact dedup: removing
+    # shared boilerplate can make two docs byte-identical, and the
     # exact pass downstream then collapses them. `gated` snapshots the
-    # post-gate (pre-paragraph-dedup) frame so the funnel attributes
-    # hollow-doc drops to this pass, not to the lang/quality gates.
+    # post-gate (pre-rewrite) frame so the funnel attributes hollow-doc
+    # drops to these passes, not to the lang/quality gates. Order:
+    # frequency PURGE first (a >df line is boilerplate wherever it
+    # sits), then first-occurrence paragraph dedup over what remains.
     gated = tagged
+    post_purge = None
+    if cfg.purge_boilerplate_df > 0:
+        from mindocr_spark.functions.dedup import boilerplate_purge
+
+        # consumed by the purge's scan, the join-back, and the funnel
+        gated = _persist(gated)
+        rebuilt = boilerplate_purge(
+            gated.select("url", "text"), text_col="text", id_col="url",
+            max_df=cfg.purge_boilerplate_df,
+            min_line_chars=cfg.min_para_chars,
+        ).withColumnRenamed("text", "__bp_text")
+        tagged = (
+            gated.drop("text")
+            .join(rebuilt, "url")
+            .withColumnRenamed("__bp_text", "text")
+            .where(F.length("text") >= cfg.min_chars)
+        )
     if cfg.dedup_paragraphs:
         # consumed by paragraph_dedup's scan, the join-back, and the
         # funnel count — persist, or the gate joins above re-run per
         # consumer
-        gated = _persist(gated)
+        src_pd = _persist(tagged)
+        if cfg.purge_boilerplate_df > 0:
+            post_purge = src_pd
+        else:
+            gated = src_pd
         rebuilt = paragraph_dedup(
-            gated.select("url", "text"), text_col="text", id_col="url",
+            src_pd.select("url", "text"), text_col="text", id_col="url",
             min_para_chars=cfg.min_para_chars,
         ).withColumnRenamed("text", "__pd_text")
         tagged = (
-            gated.drop("text")
+            src_pd.drop("text")
             .join(rebuilt, "url")
             .withColumnRenamed("__pd_text", "text")
             .where(F.length("text") >= cfg.min_chars)
         )
     tagged = _persist(tagged)
-    if not cfg.dedup_paragraphs:
+    if cfg.purge_boilerplate_df > 0 and not cfg.dedup_paragraphs:
+        post_purge = tagged
+    if cfg.purge_boilerplate_df == 0 and not cfg.dedup_paragraphs:
         gated = tagged
 
     # exact dedup: keep each cluster's representative — the
@@ -429,6 +472,8 @@ def _curate_build(pages, cfg, params, _persist):
         stages += [("lang_quality", pre_cap), ("domain_cap", gated)]
     else:
         stages.append(("lang_quality", gated))
+    if cfg.purge_boilerplate_df > 0:
+        stages.append(("boilerplate_purge", post_purge))
     if cfg.dedup_paragraphs:
         stages.append(("paragraph_dedup", tagged))
     stages += [

@@ -554,3 +554,101 @@ def test_curate_code_entropy_gates_are_join_free(spark):
         skip_code_docs=True, min_token_entropy=0.5, drop_soft404=True,
     )
     assert n_joins(gated) == n_joins(base)
+
+
+def test_curate_boilerplate_purge_and_hyphenation(spark):
+    """purge_boilerplate_df removes a viral banner line from EVERY page
+    (first occurrence included — the rule dedup_paragraphs can't
+    express), and fix_hyphenation rejoins wrapped words before gates."""
+    from mindocr_spark.corpus import generate_batch, PAGES_SCHEMA_DDL
+    from mindocr_spark.curate import CurateConfig, curate
+
+    rows = generate_batch(19, range(8))
+    banner = ("accept all cookies to keep browsing our excellent "
+              "website today thanks")
+    bodies = [
+        "the harbour opened before dawn and the boats went out in rows",
+        "a long treatise about compilers explains parsing in great depth",
+        "volunteers planted oak saplings along the northern ridge trail",
+    ]
+
+    def page(i, body):
+        # the wrap crosses a BLOCK boundary (blocks join with \n in the
+        # assembled text — the PDF/layout line-wrap shape; within-block
+        # whitespace is normalized away by extraction)
+        html = (f"<html><body><p>{body}</p><p>{banner}</p>"
+                f"<p>page {i} shows an exam-</p>"
+                f"<p>ple of hyphenation artifacts</p>"
+                "</body></html>").encode()
+        return dict(rows[0], url=f"https://bp.example/{i}", html=html,
+                    text="")
+
+    pages = spark.createDataFrame(
+        rows + [page(i, b) for i, b in enumerate(bodies)],
+        PAGES_SCHEMA_DDL,
+    )
+    cfg = CurateConfig(
+        min_chars=30, neardup_threshold=2.0,
+        purge_boilerplate_df=1, fix_hyphenation=True,
+    )
+    out, funnel = curate(pages, cfg)
+    texts = {r["url"]: r["text"] for r in out.collect()}
+    planted = {u: t for u, t in texts.items() if u.startswith("https://bp.")}
+    # ≥2 planted pages survive the generic gates — enough that the
+    # banner's doc frequency exceeds max_df=1 and the purge must fire
+    assert len(planted) >= 2
+    for t in planted.values():
+        assert banner not in t                  # purged everywhere
+        assert "example of hyphenation" in t    # wrap rejoined across blocks
+        assert "exam-" not in t
+    stages = {r["stage"]: r["docs"] for r in funnel.collect()}
+    assert "boilerplate_purge" in stages
+    # WITHOUT the purge the same banner survives in every planted page
+    open_out, _ = curate(pages, CurateConfig(
+        min_chars=30, neardup_threshold=2.0, fix_hyphenation=True,
+    ))
+    open_planted = [r["text"] for r in open_out.collect()
+                    if r["url"].startswith("https://bp.")]
+    assert open_planted and all(banner in t for t in open_planted)
+
+
+def test_curate_purge_composes_with_paragraph_dedup(spark):
+    """Purge (df rule) then paragraph dedup (first-occurrence rule) in
+    one funnel: the viral banner vanishes entirely; a twice-used
+    paragraph keeps exactly its first occurrence."""
+    from mindocr_spark.corpus import generate_batch, PAGES_SCHEMA_DDL
+    from mindocr_spark.curate import CurateConfig, curate
+
+    rows = generate_batch(23, range(8))
+    banner = ("subscribe to the newsletter for weekly updates and "
+              "exclusive offers")
+    twice = ("this paragraph is quoted by exactly one other page "
+             "in the corpus")
+
+    def page(i, extra):
+        html = (f"<html><body><p>unique opener number {i} with plenty "
+                f"of additional prose to pass the floor</p>"
+                f"<p>{banner}</p>{extra}</body></html>").encode()
+        return dict(rows[0], url=f"https://pq.example/{i}", html=html,
+                    text="")
+
+    pages = spark.createDataFrame(
+        rows + [
+            page(0, f"<p>{twice}</p>"),
+            page(1, f"<p>{twice}</p>"),
+            page(2, ""),
+        ],
+        PAGES_SCHEMA_DDL,
+    )
+    cfg = CurateConfig(
+        min_chars=30, neardup_threshold=2.0,
+        purge_boilerplate_df=2, dedup_paragraphs=True,
+    )
+    out, funnel = curate(pages, cfg)
+    texts = {r["url"]: r["text"] for r in out.collect()
+             if r["url"].startswith("https://pq.")}
+    assert all(banner not in t for t in texts.values())
+    keeps = [u for u, t in texts.items() if twice in t]
+    assert keeps == ["https://pq.example/0"]    # first occurrence only
+    stages = [r["stage"] for r in funnel.collect()]
+    assert "boilerplate_purge" in stages and "paragraph_dedup" in stages
