@@ -516,7 +516,25 @@ def embedding_neardup_pairs(
     )
     sim = F.round(cosine(F.col("a.v"), F.col("b.v")), round_to)
     if exact:
-        pairs = c.alias("a").join(c.alias("b"), F.col("a.id") < F.col("b.id"))
+        # The all-pairs verification baseline, made survivable at the
+        # 10k-row rehearsal tier without changing a single output bit:
+        # (1) norms are computed ONCE PER VECTOR and carried into the
+        # pair (cosine() would re-fold 2 extra aggregates per PAIR —
+        # n²/2 redundant norm folds; the division consumes the exact
+        # same float values, so results are bit-identical), and
+        # (2) the streamed side is repartitioned so the nested-loop
+        # join (a.id < b.id is non-equi) fans across cores instead of
+        # inheriting the scan's 1-2 file partitions.
+        nc = c.withColumn("nv", norm(F.col("v")))
+        pairs = (
+            nc.repartition(64).alias("a")
+            .join(F.broadcast(nc.alias("b")), F.col("a.id") < F.col("b.id"))
+        )
+        sim = F.round(
+            dot(F.col("a.v"), F.col("b.v"))
+            / (F.col("a.nv") * F.col("b.nv")),
+            round_to,
+        )
     else:
         if n_bits is None:
             n_bits = neardup_bits_plan(embeddings.count())
