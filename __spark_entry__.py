@@ -713,6 +713,18 @@ def q_lexical_diversity(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_readability(spark, sf_dir):
+    """Readability gating (the textbook-tier curation signal): Flesch
+    reading ease + FK grade from exact counts (words / terminator-run
+    sentences / vowel-group syllables) — two IEEE divisions in pinned
+    association order, rounded at 6, engine-identical."""
+    from mindocr_spark.functions.text import readability_cols
+
+    return readability_cols(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).orderBy("doc_id")
+
+
 def q_cdc_chunks(spark, sf_dir):
     """Content-defined chunking (long-doc training prep / retrieval
     chunking): boundaries where a k-gram's md5 opens with a zero
@@ -2686,6 +2698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_repair": _q(q_mojibake_repair),
         "cdc_chunks": _q(q_cdc_chunks),
         "lexical_diversity": _q(q_lexical_diversity),
+        "readability": _q(q_readability),
         "url_canonicalize": _q(q_url_canonicalize),
         "grouped_split": _q(q_grouped_split),
         "oov_rate": _q(q_oov_rate),
@@ -4549,6 +4562,49 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(n_tokens AS DOUBLE)
                    END AS ttr
             FROM s ORDER BY doc_id
+        """,
+        "readability": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(coalesce(text, ''),
+                          '[ \t\n\r\f\x0B]+', ' ', 'g')) AS norm
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     CASE WHEN norm = '' THEN 0
+                          ELSE CAST(len(string_split(norm, ' ')) AS INT)
+                     END AS n_tokens,
+                     CAST(len(regexp_extract_all(norm, '[.!?]+')) AS INT)
+                       AS n_term_runs,
+                     CAST(len(regexp_extract_all(lower(norm), '[aeiouy]+'))
+                       AS INT) AS n_syllables
+              FROM t),
+            r AS (
+              SELECT doc_id, n_tokens,
+                     CASE WHEN n_tokens > 0
+                          THEN greatest(1, n_term_runs)
+                          ELSE n_term_runs END AS n_sentences,
+                     n_syllables
+              FROM s),
+            d AS (
+              SELECT doc_id, n_tokens, n_sentences, n_syllables,
+                     CAST(n_tokens AS DOUBLE)
+                       / CAST(n_sentences AS DOUBLE) AS wps,
+                     CAST(n_syllables AS DOUBLE)
+                       / CAST(n_tokens AS DOUBLE) AS spw
+              FROM r)
+            SELECT doc_id, n_tokens, n_sentences, n_syllables,
+                   CASE WHEN n_tokens > 0 THEN
+                     round(CAST(206.835 AS DOUBLE)
+                           - CAST(1.015 AS DOUBLE) * wps
+                           - CAST(84.6 AS DOUBLE) * spw, 6)
+                   END AS flesch,
+                   CASE WHEN n_tokens > 0 THEN
+                     round(CAST(0.39 AS DOUBLE) * wps
+                           + CAST(11.8 AS DOUBLE) * spw
+                           - CAST(15.59 AS DOUBLE), 6)
+                   END AS fk_grade
+            FROM d ORDER BY doc_id
         """,
         "cdc_chunks": r"""
             WITH d AS (

@@ -184,6 +184,70 @@ def entropy_expr(toks: Column) -> Column:
     return F.when(n > 0, (-ent).cast("double"))
 
 
+#: Sentence-terminator runs ("!!", "...") count as ONE boundary; the
+#: class is spelled explicitly so Java regex and RE2 (DuckDB) agree.
+SENT_TERM_RE = r"[.!?]+"
+
+#: Deterministic syllable heuristic: one syllable per vowel-group run
+#: (y counts as a vowel). The classic dictionary-free approximation —
+#: exact for the Flesch formula's purpose (a monotone complexity
+#: signal), and bit-reproducible across engines, unlike NLP syllabifiers.
+SYLLABLE_RE = r"[aeiouy]+"
+
+
+def readability_cols(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Readability scoring (the pedagogy-tier curation gate: textbook /
+    Phi-style pipelines up-weight mid-readability prose and drop both
+    keyboard-mash and legalese tails): Flesch reading ease and
+    Flesch-Kincaid grade level from exact integer counts —
+
+    - ``n_tokens``     — words (the house whitespace tokenization);
+    - ``n_sentences``  — terminator-run count, clamped to ≥1 for any
+      non-empty doc (an unterminated fragment is one sentence);
+    - ``n_syllables``  — vowel-group runs in the lower-cased text (the
+      deterministic dictionary-free heuristic);
+    - ``flesch``  = 206.835 − 1.015·(words/sentence) − 84.6·(syllables/word)
+    - ``fk_grade`` = 0.39·(words/sentence) + 11.8·(syllables/word) − 15.59
+
+    Both scores are computed in a PINNED association order (left to
+    right as written) from two IEEE divisions of exact ints, then
+    rounded half-away at 6 — bit-identical across engines (the
+    quality_cols discipline). NULL scores for zero-token docs (no
+    evidence). NULL text is treated as empty (a gate must emit a
+    verdict row).
+
+    100 TB shape: two codegen regexp counts + the token split per row —
+    zero shuffles, zero Python, fused into the scan.
+
+    Reference lineage: score-then-threshold filtering of candidate
+    regions (reference: mindocr/postprocess/det_db_postprocess.py:93-121,
+    `box_thresh` scoring) — this is the corpus-curation analog at doc
+    grain.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    norm = normalize_col(txt)
+    toks = tokens_col(txt)
+    w = F.size(toks)
+    term_runs = F.regexp_count(norm, F.lit(SENT_TERM_RE))
+    sents = F.when(w > 0, F.greatest(F.lit(1), term_runs)).otherwise(term_runs)
+    syl = F.regexp_count(F.lower(norm), F.lit(SYLLABLE_RE))
+    wps = F.try_divide(w.cast("double"), sents.cast("double"))
+    spw = F.try_divide(syl.cast("double"), w.cast("double"))
+    return df.select(
+        id_col,
+        w.alias("n_tokens"),
+        sents.alias("n_sentences"),
+        syl.alias("n_syllables"),
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
+        ).alias("flesch"),
+        F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
+        ).alias("fk_grade"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Code / math content detection (content-type routing signals)
 # --------------------------------------------------------------------------

@@ -959,3 +959,50 @@ class TestOovCols:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastHashJoin" in plan
+
+
+class TestReadability:
+    def test_flesch_golden(self, spark):
+        from mindocr_spark.functions.text import readability_cols
+
+        # "The cat sat." — 3 words, 1 sentence, 3 syllable runs
+        # (e, a, a): wps=3, spw=1 → flesch = 206.835-1.015*3-84.6*1
+        df = _docs(spark, [(1, "The cat sat."),
+                           (2, "no terminator here"),
+                           (3, ""),
+                           (4, None)])
+        got = {r["doc_id"]: r for r in readability_cols(df).collect()}
+        r1 = got[1]
+        assert (r1["n_tokens"], r1["n_sentences"], r1["n_syllables"]) \
+            == (3, 1, 3)
+        assert r1["flesch"] == round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 6)
+        assert r1["fk_grade"] == round(0.39 * 3.0 + 11.8 * 1.0 - 15.59, 6)
+        # unterminated fragment counts as ONE sentence
+        assert got[2]["n_sentences"] == 1
+        # zero-token docs: zero counts, NULL scores (no evidence)
+        for k in (3, 4):
+            assert got[k]["n_tokens"] == 0
+            assert got[k]["n_sentences"] == 0
+            assert got[k]["flesch"] is None
+            assert got[k]["fk_grade"] is None
+
+    def test_terminator_runs_count_once(self, spark):
+        from mindocr_spark.functions.text import readability_cols
+
+        # "Wow!! Really...": runs "!!" and "..." → 2 sentences
+        df = _docs(spark, [(1, "Wow!! Really...")])
+        r = readability_cols(df).collect()[0]
+        assert r["n_sentences"] == 2
+        # syllable runs: o, ea, y → 3
+        assert r["n_syllables"] == 3
+
+    def test_scan_only_plan(self, spark):
+        from mindocr_spark.functions.text import readability_cols
+
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = (
+            readability_cols(df.select("doc_id", "text"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
