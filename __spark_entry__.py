@@ -1673,6 +1673,19 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars").orderBy("doc_id")
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-scaled mixture allocation (α=0.5 multilingual
+    rebalancing): per-language token counts → sqrt weights (IEEE
+    correctly-rounded, engine-identical) → DECIMAL-summed normalizer →
+    shares, boost, and a floored per-epoch token allocation."""
+    from mindocr_spark.functions.text import temperature_mix
+
+    return temperature_mix(
+        _t(spark, sf_dir, "documents").select("lang", "text"),
+        budget_tokens=100_000,
+    ).orderBy("lang")
+
+
 #: Per-language token budgets for the token_budget_sample query.
 _TOKEN_BUDGETS = {"en": 5_000}
 _TOKEN_BUDGET_DEFAULT = 2_000
@@ -2699,6 +2712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": _q(q_cdc_chunks),
         "lexical_diversity": _q(q_lexical_diversity),
         "readability": _q(q_readability),
+        "temperature_mix": _q(q_temperature_mix),
         "url_canonicalize": _q(q_url_canonicalize),
         "grouped_split": _q(q_grouped_split),
         "oov_rate": _q(q_oov_rate),
@@ -4605,6 +4619,40 @@ def oracle_sql() -> dict[str, str]:
                            - CAST(15.59 AS DOUBLE), 6)
                    END AS fk_grade
             FROM d ORDER BY doc_id
+        """,
+        "temperature_mix": r"""
+            WITH t AS (
+              SELECT coalesce(lang, 'und') AS lang,
+                     trim(regexp_replace(coalesce(text, ''),
+                          '[ \t\n\r\f\x0B]+', ' ', 'g')) AS norm
+              FROM documents),
+            d AS (
+              SELECT lang,
+                     CASE WHEN norm = '' THEN 0
+                          ELSE len(string_split(norm, ' ')) END AS n_tok
+              FROM t),
+            l AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_tok) AS BIGINT) AS n_tokens
+              FROM d GROUP BY lang),
+            w AS (
+              SELECT lang, n_docs, n_tokens,
+                     round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS wq
+              FROM l),
+            tot AS (
+              SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+                     CAST(sum(CAST(wq AS DECIMAL(38,6))) AS DOUBLE) AS s
+              FROM w)
+            SELECT lang, n_docs, n_tokens,
+                   round(CAST(n_tokens AS DOUBLE)
+                         / CAST(tot_tokens AS DOUBLE), 6) AS raw_share,
+                   round(wq / s, 6) AS temp_share,
+                   round((wq / s)
+                         / (CAST(n_tokens AS DOUBLE)
+                            / CAST(tot_tokens AS DOUBLE)), 6) AS boost,
+                   CAST(floor(CAST(100000 AS DOUBLE) * (wq / s))
+                     AS BIGINT) AS alloc_tokens
+            FROM w CROSS JOIN tot ORDER BY lang
         """,
         "cdc_chunks": r"""
             WITH d AS (

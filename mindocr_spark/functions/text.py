@@ -1232,6 +1232,75 @@ def token_budget_sample(
     return kept.unionByName(exempt)
 
 
+def temperature_mix(
+    df: DataFrame,
+    budget_tokens: int = 100_000,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled mixture allocation (the XLM-R / mT5
+    multilingual rebalancing step): per-stratum sampling weights
+    ``w_s ∝ n_tokens_s^α`` with α = 0.5, which up-weights tail
+    languages relative to their raw token share without letting any
+    head language dominate an epoch. α is FIXED at 0.5 because
+    ``sqrt`` is an IEEE-754 correctly-rounded operation — bit-identical
+    across engines — where a general ``pow``/``exp(α·ln)`` is only
+    faithfully rounded and may differ in the last ulp per libm.
+
+    Returns one row per stratum: exact ``n_docs`` / ``n_tokens``
+    counts, ``raw_share`` (proportional), ``temp_share`` (the α = 0.5
+    allocation), ``boost`` (temp/raw — >1 means the stratum is
+    up-sampled), and ``alloc_tokens`` (the stratum's slice of
+    `budget_tokens` per epoch, floored).
+
+    Cross-engine exactness: token counts are exact BIGINTs; each
+    weight is round(sqrt(n),6) and the normalizer is their
+    order-independent DECIMAL sum; every share is one IEEE division of
+    those identical values, rounded half-away at 6.
+
+    100 TB shape: ONE corpus-sized shuffle (the map-side-combinable
+    groupBy on the stratum key, stratum cardinality ~languages); the
+    normalizer is an agg over that tiny table broadcast-crossed back.
+    Reference lineage: per-dataset sample_ratio mixing in multi-source
+    loading (reference: mindocr/data/builder.py:42-78) — here the
+    ratios are DERIVED from the corpus instead of configured.
+    """
+    strat = F.coalesce(F.col(stratum_col), F.lit("und"))
+    per = (
+        df.select(strat.alias("stratum"),
+                  F.size(tokens_col(text_col)).alias("_nt"))
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").cast("bigint").alias("n_tokens"),
+        )
+    )
+    wq = F.round(F.sqrt(F.col("n_tokens").cast("double")), 6)
+    weighted = per.select("stratum", "n_docs", "n_tokens", wq.alias("_wq"))
+    totals = weighted.agg(
+        F.sum("n_tokens").cast("bigint").alias("_tot_tokens"),
+        F.sum(F.col("_wq").cast("decimal(38,6)"))
+        .cast("double").alias("_s"),
+    )
+    raw_share = F.col("n_tokens").cast("double") / F.col("_tot_tokens").cast(
+        "double"
+    )
+    temp_share = F.col("_wq") / F.col("_s")
+    return (
+        weighted.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("stratum").alias(stratum_col),
+            "n_docs",
+            "n_tokens",
+            F.round(raw_share, 6).alias("raw_share"),
+            F.round(temp_share, 6).alias("temp_share"),
+            F.round(temp_share / raw_share, 6).alias("boost"),
+            F.floor(F.lit(float(budget_tokens)) * temp_share)
+            .cast("bigint").alias("alloc_tokens"),
+        )
+    )
+
+
 def _stratified_token_cumsum(
     df: DataFrame, stratum_col: str, id_col: str, text_col: str
 ) -> tuple[DataFrame, DataFrame]:

@@ -1006,3 +1006,46 @@ class TestReadability:
         )
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestTemperatureMix:
+    def test_alpha_half_allocation_golden(self, spark):
+        from mindocr_spark.functions.text import temperature_mix
+
+        # en: 16 tokens, fr: 4, de: 1 → sqrt weights 4, 2, 1 (S=7)
+        rows = [(1, "en", "w " * 16), (2, "fr", "w " * 4), (3, "de", "w")]
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, lang string, text string"
+        ).select("lang", "text")
+        got = {r["lang"]: r for r in
+               temperature_mix(df, budget_tokens=7000).collect()}
+        assert got["en"]["n_tokens"] == 16
+        assert got["en"]["temp_share"] == round(4.0 / 7.0, 6)
+        assert got["de"]["temp_share"] == round(1.0 / 7.0, 6)
+        # tail language is boosted, head language damped
+        assert got["de"]["boost"] > 1.0 > got["en"]["boost"]
+        assert got["en"]["alloc_tokens"] == 4000
+        assert got["fr"]["alloc_tokens"] == 2000
+        assert got["de"]["alloc_tokens"] == 1000
+
+    def test_null_stratum_bucketed_as_und(self, spark):
+        from mindocr_spark.functions.text import temperature_mix
+
+        df = spark.createDataFrame(
+            [(1, None, "a b"), (2, "en", "a")],
+            "doc_id bigint, lang string, text string",
+        ).select("lang", "text")
+        langs = {r["lang"] for r in temperature_mix(df).collect()}
+        assert langs == {"und", "en"}
+
+    def test_shares_sum_to_one(self, spark):
+        from mindocr_spark.functions.text import temperature_mix
+
+        df = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("lang", "text")
+        rows = temperature_mix(df).collect()
+        assert abs(sum(r["temp_share"] for r in rows) - 1.0) < 1e-5
+        assert abs(sum(r["raw_share"] for r in rows) - 1.0) < 1e-5
+        # total allocation never exceeds the budget (floors round down)
+        assert sum(r["alloc_tokens"] for r in rows) <= 100_000
