@@ -1673,6 +1673,18 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars").orderBy("doc_id")
 
 
+def q_global_shuffle(spark, sf_dir):
+    """Epoch-seeded deterministic global shuffle: md5(epoch:id) order
+    key, hex-arithmetic shard bucket, rank within shard — the
+    resume-safe training-order permutation, engine-portable."""
+    from mindocr_spark.sources.shards import epoch_shuffle
+
+    return epoch_shuffle(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        epoch=7, n_shards=8,
+    ).orderBy("doc_id")
+
+
 def q_temperature_mix(spark, sf_dir):
     """Temperature-scaled mixture allocation (α=0.5 multilingual
     rebalancing): per-language token counts → sqrt weights (IEEE
@@ -2713,6 +2725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_diversity": _q(q_lexical_diversity),
         "readability": _q(q_readability),
         "temperature_mix": _q(q_temperature_mix),
+        "global_shuffle": _q(q_global_shuffle),
         "url_canonicalize": _q(q_url_canonicalize),
         "grouped_split": _q(q_grouped_split),
         "oov_rate": _q(q_oov_rate),
@@ -4653,6 +4666,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(CAST(100000 AS DOUBLE) * (wq / s))
                      AS BIGINT) AS alloc_tokens
             FROM w CROSS JOIN tot ORDER BY lang
+        """,
+        "global_shuffle": r"""
+            WITH h AS (
+              SELECT doc_id,
+                     md5('7:' || CAST(doc_id AS VARCHAR)) AS hh
+              FROM documents WHERE doc_id IS NOT NULL),
+            s AS (
+              SELECT doc_id, hh,
+                     ('0x' || substr(hh, 1, 8))::BIGINT % 8 AS shard
+              FROM h)
+            SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+                   CAST(row_number() OVER (
+                     PARTITION BY shard ORDER BY hh, doc_id) AS BIGINT)
+                     AS pos
+            FROM s ORDER BY doc_id
         """,
         "cdc_chunks": r"""
             WITH d AS (

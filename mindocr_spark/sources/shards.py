@@ -103,6 +103,66 @@ def write_jsonl_shards(
     return int(written or 0)
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic EPOCH-SEEDED global shuffle (the Megatron/T5 data-
+    loader discipline): every training epoch must present the corpus in
+    a different order, yet the order must be a pure function of
+    (epoch, id) so a resumed or re-run job replays the identical
+    sequence — an RNG shuffle breaks resume, a seedless hash gives
+    every epoch the same order.
+
+    Assignment: ``h = md5(epoch ':' id)``; ``shard = hexint(h[:8]) mod
+    n_shards`` (uniform by construction — no hot shard); ``pos`` =
+    rank within the shard by (h, id). Each epoch's permutation is
+    independent because the seed participates in the hash, and the
+    layout is engine-portable (md5 + hex arithmetic, stated verbatim
+    by the SQL oracle).
+
+    Rows with a NULL id are dropped (an unaddressable row cannot be
+    scheduled — unlike the sampling gates there is no safe "keep"
+    semantics for an ordering).
+
+    100 TB shape: one shuffle on the uniform shard key + a
+    sort-within-shard (the window below IS the physical
+    repartition-and-sort a shard writer needs — no global sort, no
+    driver collect). n_shards at web scale = the trainer's data-loader
+    worker count × files-per-worker.
+
+    Reference lineage: the per-epoch `shuffle` flag re-seeded from the
+    epoch counter in dataset building
+    (reference: mindocr/data/builder.py:42-78); here the permutation
+    is content-addressed instead of RNG-state-dependent."""
+    cid = F.col(id_col)
+    h = F.md5(
+        F.concat(F.lit(f"{int(epoch)}:"), cid.cast("string"))
+        .cast("binary")
+    )
+    keyed = df.where(cid.isNotNull()).select(
+        cid.alias(id_col),
+        h.alias("_h"),
+    )
+    shard = F.pmod(
+        F.conv(F.substring("_h", 1, 8), 16, 10).cast("bigint"),
+        F.lit(int(n_shards)),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return (
+        keyed.select(id_col, "_h", shard.alias("shard"))
+        .select(
+            id_col,
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+    )
+
+
 def parse_jsonl_shard(payload: bytes, path: str) -> list[dict]:
     """One shard file → row dicts with the shard key recovered from
     the file name and ``seq`` = 0-based line number."""

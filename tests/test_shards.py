@@ -83,3 +83,47 @@ def test_shard_assignment_is_pure_function_of_id(spark, tmp_path):
     )
     for r in df.collect():
         assert r["s"] == hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:2]
+
+
+class TestEpochShuffle:
+    def test_epochs_permute_differently_but_reproducibly(self, spark):
+        from mindocr_spark.sources.shards import epoch_shuffle
+
+        docs = spark.range(200).withColumnRenamed("id", "doc_id")
+        e1 = epoch_shuffle(docs, epoch=1, n_shards=4)
+        e1_again = epoch_shuffle(docs, epoch=1, n_shards=4)
+        e2 = epoch_shuffle(docs, epoch=2, n_shards=4)
+        k1 = [(r["doc_id"], r["shard"], r["pos"]) for r in
+              e1.orderBy("doc_id").collect()]
+        assert k1 == [(r["doc_id"], r["shard"], r["pos"]) for r in
+                      e1_again.orderBy("doc_id").collect()]
+        k2 = [(r["doc_id"], r["shard"], r["pos"]) for r in
+              e2.orderBy("doc_id").collect()]
+        assert k1 != k2  # a new epoch is a new permutation
+
+    def test_positions_are_dense_per_shard(self, spark):
+        from mindocr_spark.sources.shards import epoch_shuffle
+
+        docs = spark.range(100).withColumnRenamed("id", "doc_id")
+        out = epoch_shuffle(docs, epoch=3, n_shards=4).collect()
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        assert sum(len(v) for v in by_shard.values()) == 100
+        for shard, poss in by_shard.items():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+        # uniform hash: every shard is populated at this size
+        assert set(by_shard) == {0, 1, 2, 3}
+
+    def test_null_ids_dropped_and_single_shuffle(self, spark):
+        from mindocr_spark.sources.shards import epoch_shuffle
+        from pyspark.sql import functions as F
+
+        docs = spark.createDataFrame(
+            [(1,), (None,), (2,)], "doc_id bigint"
+        )
+        out = epoch_shuffle(docs, epoch=1, n_shards=2)
+        assert out.count() == 2
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1  # one shuffle on the shard key
+        assert "BatchEvalPython" not in plan
