@@ -1673,6 +1673,18 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars").orderBy("doc_id")
 
 
+def q_ngram_novelty(spark, sf_dir):
+    """Per-doc shingle novelty under crawl order: fraction of a doc's
+    distinct 3-shingles first seen in that doc — window-min over the
+    shingle key + one doc-key re-aggregation, no self-join, exact
+    counts, one rounded IEEE division."""
+    from mindocr_spark.functions.dedup import ngram_novelty
+
+    return ngram_novelty(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), k=3
+    ).orderBy("doc_id")
+
+
 def q_global_shuffle(spark, sf_dir):
     """Epoch-seeded deterministic global shuffle: md5(epoch:id) order
     key, hex-arithmetic shard bucket, rank within shard — the
@@ -2726,6 +2738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": _q(q_readability),
         "temperature_mix": _q(q_temperature_mix),
         "global_shuffle": _q(q_global_shuffle),
+        "ngram_novelty": _q(q_ngram_novelty),
         "url_canonicalize": _q(q_url_canonicalize),
         "grouped_split": _q(q_grouped_split),
         "oov_rate": _q(q_oov_rate),
@@ -4681,6 +4694,50 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY shard ORDER BY hh, doc_id) AS BIGINT)
                      AS pos
             FROM s ORDER BY doc_id
+        """,
+        "ngram_novelty": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split(trim(regexp_replace(
+                       coalesce(text, ''),
+                       '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ')) AS word,
+                     generate_subscripts(string_split(trim(regexp_replace(
+                       coalesce(text, ''),
+                       '[ \t\n\r\f\x0B]+', ' ', 'g')), ' '), 1) AS pos
+              FROM documents),
+            sh0 AS (
+              SELECT doc_id,
+                     word || ' '
+                       || lead(word, 1) OVER (PARTITION BY doc_id
+                                              ORDER BY pos)
+                       || ' '
+                       || lead(word, 2) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS shingle,
+                     lead(word, 2) OVER (PARTITION BY doc_id
+                                         ORDER BY pos) AS l2
+              FROM w),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle
+              FROM sh0 WHERE l2 IS NOT NULL),
+            f AS (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY shingle) AS first_doc
+              FROM sh),
+            p AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_shingles,
+                     CAST(sum(CASE WHEN first_doc = doc_id
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+              FROM f GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(p.n_shingles, 0) AS n_shingles,
+                   coalesce(p.n_novel, 0) AS n_novel,
+                   CASE WHEN p.n_shingles > 0 THEN
+                     round(CAST(p.n_novel AS DOUBLE)
+                           / CAST(p.n_shingles AS DOUBLE), 6)
+                   END AS novelty
+            FROM documents d LEFT JOIN p USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "cdc_chunks": r"""
             WITH d AS (

@@ -370,6 +370,54 @@ def ngram_jaccard_pairs(df: DataFrame, k: int = 3, threshold: float = 0.5,
     )
 
 
+def ngram_novelty(df: DataFrame, k: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-doc n-gram NOVELTY under crawl order (ascending id): the
+    fraction of a doc's distinct word-k-shingles whose FIRST corpus
+    occurrence is this doc. The memorization-risk / freshness signal —
+    a doc that is 95% previously-seen shingles is template re-spin or
+    near-copy even when no single pair crosses a dedup threshold, and
+    epoch-level novelty decay is the standard corpus-growth health
+    metric (the RefinedWeb/FineWeb "new content per crawl" curve).
+
+    Returns (id, n_shingles, n_novel, novelty) for EVERY input doc —
+    docs with fewer than k words report (0, 0, NULL): no evidence, not
+    zero novelty. Novelty is one IEEE division of exact ints, rounded
+    half-away at 6.
+
+    100 TB shape: two shuffles, both on uniform-ish keys — a window
+    min over the shingle key (no per-partition sort beyond the hash
+    partitioning; viral shingles are one partition's worth of rows,
+    not a join fanout — this is why it is a window and NOT a
+    groupBy+join back on the shingle key), then the map-side-combinable
+    re-aggregation on the doc key. No self-join anywhere: cost is
+    linear in total shingle occurrences, so no df-cap is needed
+    (contrast :func:`ngram_jaccard_pairs`).
+    """
+    sh = word_shingles(df, k=k, text_col=text_col, id_col=id_col)
+    first = F.min(id_col).over(Window.partitionBy("shingle"))
+    per = (
+        sh.select(id_col, (F.col(id_col) == first).cast("bigint")
+                  .alias("_novel"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("_novel").alias("n_novel"),
+        )
+    )
+    anchored = df.select(id_col).join(per, id_col, "left")
+    n_sh = F.coalesce("n_shingles", F.lit(0)).cast("bigint")
+    n_nov = F.coalesce("n_novel", F.lit(0)).cast("bigint")
+    return anchored.select(
+        id_col,
+        n_sh.alias("n_shingles"),
+        n_nov.alias("n_novel"),
+        F.round(
+            F.try_divide(n_nov.cast("double"), n_sh.cast("double")), 6
+        ).alias("novelty"),
+    )
+
+
 def _shingle_intersections(df: DataFrame, k: int, text_col: str,
                            id_col: str, max_shingle_freq: int):
     """The df-capped shingle-intersection core shared by

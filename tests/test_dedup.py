@@ -519,3 +519,43 @@ class TestBoilerplatePurge:
         assert self.BANNER in kept_first[1]          # first occurrence kept
         assert self.BANNER not in kept_first[2]
         assert all(self.BANNER not in t for t in purged.values())
+
+
+class TestNgramNovelty:
+    def test_first_occurrence_golden(self, spark):
+        from mindocr_spark.functions.dedup import ngram_novelty
+
+        # doc 1 introduces "a b c d" (shingles: "a b c", "b c d");
+        # doc 2 repeats "a b c" and adds "c x y" tail: shingles
+        # "a b c"(seen), "b c x"(new), "c x y"(new) → 2/3 novel;
+        # doc 3 is a verbatim copy of doc 1 → 0 novel; doc 4 too short.
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c x y"), (3, "a b c d"),
+             (4, "a b")],
+            "doc_id bigint, text string",
+        )
+        got = {r["doc_id"]: r for r in ngram_novelty(df, k=3).collect()}
+        assert (got[1]["n_shingles"], got[1]["n_novel"]) == (2, 2)
+        assert got[1]["novelty"] == 1.0
+        assert (got[2]["n_shingles"], got[2]["n_novel"]) == (3, 2)
+        assert got[2]["novelty"] == round(2 / 3, 6)
+        assert (got[3]["n_shingles"], got[3]["n_novel"]) == (2, 0)
+        assert got[3]["novelty"] == 0.0
+        # short doc: evidence-free NULL, never dropped
+        assert (got[4]["n_shingles"], got[4]["novelty"]) == (0, None)
+
+    def test_no_self_join_plan(self, spark):
+        from mindocr_spark.functions.dedup import ngram_novelty
+
+        df = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        plan = (
+            ngram_novelty(df)._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        # window-min + re-agg + anchor join; the only joins allowed
+        # are the left anchor join — never a shingle self-join
+        assert "BatchEvalPython" not in plan
+        assert plan.count("SortMergeJoin") + plan.count(
+            "BroadcastHashJoin") <= 1
