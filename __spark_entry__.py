@@ -1673,6 +1673,19 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars").orderBy("doc_id")
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weighting: hashed-bigram log-likelihood ratio of
+    the English slice vs the rest — 256-bucket smoothed distributions,
+    9-dp-quantized lns, DECIMAL per-doc sums; the training-free
+    target-similarity resampling score."""
+    from mindocr_spark.functions.classifier import dsir_logweights
+
+    return dsir_logweights(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        target=F.coalesce(F.col("lang"), F.lit("")) == "en",
+    ).orderBy("doc_id")
+
+
 def q_ngram_novelty(spark, sf_dir):
     """Per-doc shingle novelty under crawl order: fraction of a doc's
     distinct 3-shingles first seen in that doc — window-min over the
@@ -2739,6 +2752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": _q(q_temperature_mix),
         "global_shuffle": _q(q_global_shuffle),
         "ngram_novelty": _q(q_ngram_novelty),
+        "dsir_weights": _q(q_dsir_weights),
         "url_canonicalize": _q(q_url_canonicalize),
         "grouped_split": _q(q_grouped_split),
         "oov_rate": _q(q_oov_rate),
@@ -4737,6 +4751,62 @@ def oracle_sql() -> dict[str, str]:
                            / CAST(p.n_shingles AS DOUBLE), 6)
                    END AS novelty
             FROM documents d LEFT JOIN p USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "dsir_weights": r"""
+            WITH t AS (
+              SELECT doc_id, coalesce(lang, '') = 'en' AS tgt,
+                     trim(regexp_replace(coalesce(text, ''),
+                          '[ \t\n\r\f\x0B]+', ' ', 'g')) AS norm
+              FROM documents),
+            w AS (
+              SELECT doc_id, tgt,
+                     unnest(string_split(norm, ' ')) AS word,
+                     generate_subscripts(string_split(norm, ' '), 1)
+                       AS pos
+              FROM t WHERE norm <> ''),
+            g AS (
+              SELECT doc_id, tgt,
+                     word || ' ' || lead(word, 1) OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS bigram,
+                     lead(word, 1) OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS nxt
+              FROM w),
+            gg AS (
+              SELECT doc_id, tgt, substr(md5(bigram), 1, 2) AS bucket
+              FROM g WHERE nxt IS NOT NULL),
+            c AS (
+              SELECT bucket,
+                     CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END)
+                       AS BIGINT) AS c_t,
+                     CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END)
+                       AS BIGINT) AS c_r
+              FROM gg GROUP BY bucket),
+            tot AS (
+              SELECT CAST(sum(c_t) AS BIGINT) AS n_t,
+                     CAST(sum(c_r) AS BIGINT) AS n_r
+              FROM c),
+            lam AS (
+              SELECT bucket,
+                     round(ln(CAST(c_t + 1 AS DOUBLE)
+                              / CAST(n_t + 256 AS DOUBLE)), 9)
+                     - round(ln(CAST(c_r + 1 AS DOUBLE)
+                                / CAST(n_r + 256 AS DOUBLE)), 9)
+                       AS lam
+              FROM c CROSS JOIN tot),
+            s AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_grams,
+                     CAST(sum(CAST(lam AS DECIMAL(28,9))) AS DOUBLE)
+                       AS lw
+              FROM gg JOIN lam USING (bucket) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(s.n_grams, 0) AS n_grams,
+                   CASE WHEN s.n_grams > 0 THEN s.lw END AS logweight,
+                   CASE WHEN s.n_grams > 0 THEN
+                     round(s.lw / CAST(s.n_grams AS DOUBLE), 6)
+                   END AS avg_logweight
+            FROM documents d LEFT JOIN s USING (doc_id)
             ORDER BY d.doc_id
         """,
         "cdc_chunks": r"""

@@ -110,3 +110,114 @@ def quality_classifier_score(
             ).otherwise(F.lit(False)).alias("keep"),
         )
     )
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weighting (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every document by how much its
+    hashed-bigram distribution looks like a TARGET slice of the corpus
+    versus the RAW remainder, without training anything — the
+    importance estimator is two smoothed count distributions.
+
+    `target` is a boolean Column over `df`'s columns naming the target
+    slice (e.g. ``F.col("lang") == "en"``). Features are adjacent
+    word bigrams (every OCCURRENCE, not distinct — the estimator is a
+    distribution, so multiplicity is signal), hashed to 256 buckets by
+    md5 prefix (the `quality_classifier_score` bucket discipline).
+
+    Per bucket b: ``λ(b) = round(ln p_t(b), 9) − round(ln p_r(b), 9)``
+    with Laplace-smoothed ``p(b) = (c(b)+1)/(N+256)``. Per doc:
+    ``logweight = Σ_grams λ(bucket(gram))`` summed as DECIMAL over the
+    9-dp-quantized λ values — exact and order-independent — and
+    ``avg_logweight`` is one IEEE division. Docs with no bigram (< 2
+    tokens) report (0 grams, NULL weights): no evidence.
+
+    100 TB shape: the bucket table is 256 rows built by ONE map-side-
+    combinable groupBy over the gram stream and broadcast back; the
+    only other shuffle is the per-doc sum on the uniform id key.
+    Bigram generation is narrow (slice/transform — the word_shingles
+    shape). Swap the derived λ table for one exported from a held-out
+    target corpus and nothing else changes — the same injectable-seam
+    contract as the classifier weights.
+
+    Reference lineage: score-and-route on a lightweight model's scalar
+    (reference: mindocr/postprocess/cls_postprocess.py:15-27); DSIR is
+    that gate with the scorer derived from corpus statistics instead
+    of trained weights.
+    """
+    n_buckets = N_BUCKETS
+    with_toks = df.select(
+        F.col(id_col).alias("__id"),
+        target.alias("__tgt"),
+        tokens_col(text_col).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    grams_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = with_toks.select(
+        "__id", "__tgt", F.explode(grams_arr).alias("__g")
+    ).select(
+        "__id", "__tgt",
+        F.substring(F.md5(F.col("__g").cast("binary")), 1, 2)
+        .alias("bucket"),
+    )
+    counts = grams.groupBy("bucket").agg(
+        F.sum(F.col("__tgt").cast("bigint")).alias("c_t"),
+        F.sum((~F.col("__tgt")).cast("bigint")).alias("c_r"),
+    )
+    totals = counts.agg(
+        F.sum("c_t").cast("bigint").alias("n_t"),
+        F.sum("c_r").cast("bigint").alias("n_r"),
+    )
+    lam = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.round(
+                    F.log(
+                        (F.col("c_t") + 1).cast("double")
+                        / (F.col("n_t") + n_buckets).cast("double")
+                    ), 9
+                )
+                - F.round(
+                    F.log(
+                        (F.col("c_r") + 1).cast("double")
+                        / (F.col("n_r") + n_buckets).cast("double")
+                    ), 9
+                )
+            ).alias("lam"),
+        )
+    )
+    sums = (
+        grams.join(F.broadcast(lam), "bucket")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("lam").cast("decimal(28,9)")).alias("lw"),
+        )
+    )
+    avg = F.col("lw").cast("double") / F.col("n_grams").cast("double")
+    return (
+        with_toks.select("__id")
+        .join(sums, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("bigint")
+            .alias("n_grams"),
+            F.when(F.col("n_grams") > 0, F.col("lw").cast("double"))
+            .alias("logweight"),
+            F.when(F.col("n_grams") > 0, F.round(avg, 6))
+            .alias("avg_logweight"),
+        )
+    )

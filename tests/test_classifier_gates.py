@@ -138,3 +138,58 @@ def test_classifier_rejects_empty_weight_table(spark):
 
     with pytest.raises(ValueError):
         quality_classifier_score(_docs(spark, [(1, "x")]), weights=[])
+
+
+class TestDsirWeights:
+    def test_target_docs_score_higher(self, spark):
+        from pyspark.sql import functions as F
+        from mindocr_spark.functions.classifier import dsir_logweights
+
+        # target slice shares vocabulary; raw slice is disjoint — every
+        # target-vocab bigram must carry positive lambda and vice versa
+        rows = [
+            (1, "en", "the quick brown fox jumps over it"),
+            (2, "en", "the quick brown dog runs over it"),
+            (3, "de", "der schnelle braune fuchs springt darüber hin"),
+            (4, "de", "der schnelle braune hund läuft darüber hin"),
+            (5, "en", "the quick brown fox jumps over it"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, lang string, text string"
+        )
+        out = {r["doc_id"]: r for r in dsir_logweights(
+            df, target=F.col("lang") == "en"
+        ).collect()}
+        assert out[1]["avg_logweight"] > 0 > out[3]["avg_logweight"]
+        # identical text → identical weight (pure function of content)
+        assert out[1]["logweight"] == out[5]["logweight"]
+
+    def test_short_docs_null_not_dropped(self, spark):
+        from pyspark.sql import functions as F
+        from mindocr_spark.functions.classifier import dsir_logweights
+
+        df = spark.createDataFrame(
+            [(1, "en", "one"), (2, "en", ""), (3, "de", "a b")],
+            "doc_id bigint, lang string, text string",
+        )
+        out = {r["doc_id"]: r for r in dsir_logweights(
+            df, target=F.col("lang") == "en"
+        ).collect()}
+        assert set(out) == {1, 2, 3}
+        assert out[1]["n_grams"] == 0 and out[1]["logweight"] is None
+        assert out[2]["n_grams"] == 0
+        assert out[3]["n_grams"] == 1
+
+    def test_lambda_table_is_broadcast(self, spark):
+        from pyspark.sql import functions as F
+        from mindocr_spark.functions.classifier import dsir_logweights
+
+        df = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "lang", "text")
+        plan = (
+            dsir_logweights(df, target=F.col("lang") == "en")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "BatchEvalPython" not in plan
