@@ -1983,6 +1983,18 @@ def q_domain_pagerank(spark, sf_dir):
     return domain_pagerank(edges, iters=3, damping=0.85).orderBy("domain")
 
 
+def q_hits_scores(spark, sf_dir):
+    """HITS hubs/authorities over the extracted domain graph: 3
+    alternating L1-normalized half-steps; every reduction is an exact
+    DECIMAL sum of 9-dp-quantized terms, so the oracle match is
+    bit-exact without sorted folds."""
+    from mindocr_spark.functions.links import domain_hits, extract_links
+    from mindocr_spark.sources.pages import pages_from_documents_linked
+
+    edges = extract_links(pages_from_documents_linked(spark, sf_dir))
+    return domain_hits(edges, iters=3).orderBy("domain")
+
+
 def q_anchor_text(spark, sf_dir):
     """Anchor-text corpus: extract every plain-text <a href>…</a> with
     its visible text from raw HTML (ONE regexp_extract_all scan pass
@@ -2817,6 +2829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": _q(q_crawl_delta),
         "revisit_policy": _q(q_revisit_policy),
         "domain_pagerank": _q(q_domain_pagerank),
+        "hits_scores": _q(q_hits_scores),
         "blockword_filter": _q(q_blockword_filter),
         "robots_flags": _q(q_robots_flags),
         "robots_gate": _q(q_robots_gate),
@@ -2964,6 +2977,51 @@ def _pagerank_oracle(iters: int = 3, damping: str = "0.85") -> str:
               LEFT JOIN it{k}c c ON c.dst_dom = n.dom)""")
     parts.append(f"""
             SELECT dom AS domain, rank FROM it{iters} ORDER BY domain""")
+    return "".join(parts)
+
+
+def _hits_oracle(iters: int = 3) -> str:
+    """Unrolled alternating half-step twin of `links.domain_hits`:
+    round(w·val, 9) → DECIMAL(38,9) sums (order-independent, no fold
+    needed) → one IEEE division by the exact DECIMAL normalizer."""
+
+    def half(out: str, k: int, src_key: str, dst_key: str,
+             prev: str) -> str:
+        return f""",
+            {out}{k}u AS (
+              SELECT g.{src_key} AS dom,
+                     sum(CAST(round(CAST(g.w AS DOUBLE) * r.val, 9)
+                         AS DECIMAL(38,9))) AS u
+              FROM g JOIN {prev} r ON r.dom = g.{dst_key}
+              GROUP BY g.{src_key}),
+            {out}{k}s AS (SELECT sum(u) AS s FROM {out}{k}u),
+            {out}{k} AS (
+              SELECT n.dom,
+                     CAST(coalesce(u.u, 0) AS DOUBLE)
+                       / CAST(t.s AS DOUBLE) AS val
+              FROM nodes n
+              LEFT JOIN {out}{k}u u ON u.dom = n.dom
+              CROSS JOIN {out}{k}s t)"""
+
+    parts = [
+        "WITH " + _LINKED_EDGE_CTES,
+        """,
+            g AS (
+              SELECT src_dom, dst_dom, count(*) AS w
+              FROM e GROUP BY src_dom, dst_dom),
+            nodes AS (
+              SELECT src_dom AS dom FROM e
+              UNION SELECT dst_dom FROM e),
+            a0 AS (
+              SELECT dom, CAST(1.0 AS DOUBLE) AS val FROM nodes)""",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(half("h", k, "src_dom", "dst_dom", f"a{k - 1}"))
+        parts.append(half("a", k, "dst_dom", "src_dom", f"h{k}"))
+    parts.append(f"""
+            SELECT h.dom AS domain, h.val AS hub, a.val AS authority
+            FROM h{iters} h JOIN a{iters} a ON a.dom = h.dom
+            ORDER BY domain""")
     return "".join(parts)
 
 
@@ -3713,6 +3771,7 @@ def oracle_sql() -> dict[str, str]:
             FROM r ORDER BY section
         """,
         "domain_pagerank": _pagerank_oracle(iters=3, damping="0.85"),
+        "hits_scores": _hits_oracle(iters=3),
         "bpe_token_stats": r"""
             WITH u AS (
               SELECT doc_id,

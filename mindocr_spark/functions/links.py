@@ -373,6 +373,89 @@ def domain_pagerank(
     return ranks
 
 
+def _hits_half(
+    g: DataFrame, nodes: DataFrame, ranks: DataFrame,
+    group_key: str, rank_key: str,
+) -> DataFrame:
+    """One HITS half-step: fold the opposite side's scores through the
+    weighted edges onto `group_key`, then L1-normalize. Each
+    contribution is round(w·val, 9) summed as DECIMAL(38,9) — exact
+    and order-independent (no sorted-fold needed, unlike PageRank's
+    unquantized path) — and the normalizer is the exact DECIMAL total
+    of those sums, so both the per-node and global reductions are
+    independent of partitioning and evaluation order."""
+    c = g.join(ranks, g[rank_key] == ranks["domain"]).select(
+        F.col(group_key).alias("dom"),
+        F.round(F.col("w").cast("double") * F.col("val"), 9)
+        .cast("decimal(38,9)").alias("c"),
+    )
+    un = c.groupBy("dom").agg(F.sum("c").alias("u"))
+    tot = un.agg(F.sum("u").alias("s"))
+    return (
+        nodes.join(un, nodes["domain"] == un["dom"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "domain",
+            (
+                F.coalesce(F.col("u"), F.lit(0).cast("decimal(38,9)"))
+                .cast("double")
+                / F.col("s").cast("double")
+            ).alias("val"),
+        )
+    )
+
+
+def domain_hits(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """HITS hubs-and-authorities over the DOMAIN graph (Kleinberg's
+    complement to PageRank: an *authority* is linked by good hubs, a
+    *hub* links to good authorities — the pair separates link-farm
+    hubs from genuinely cited sources, which a single PageRank scalar
+    conflates; corpus curation uses the authority side as a trust
+    prior and the hub side as a directory/aggregator signal).
+
+    `iters` fixed alternating half-steps (h ← A·a, then a ← Aᵀ·h),
+    L1-normalized each half-step. L1 (not the textbook L2) keeps the
+    fixed-point semantics while making every reduction an exact
+    DECIMAL sum of 9-dp-quantized terms — order-independent, hence
+    bit-identical across engines and partitionings with no sorted-fold
+    machinery. Dangling sides score 0 (no outlinks → no hub mass).
+
+    100 TB shape: identical to :func:`domain_pagerank` — the page→
+    domain collapse is the only corpus-sized shuffle; each half-step
+    is one equi-join + one map-side-combinable groupBy at domain
+    cardinality, and the normalizer is a broadcast 1-row cross join
+    (never a collect).
+
+    Reference lineage: the det→rec mutual-refinement loop (detection
+    quality gates recognition input and vice versa,
+    reference: tools/infer/text/predict_system.py:49-74) — the same
+    two-role alternating refinement, here over the link graph."""
+    from mindocr_spark.cache import tracked_persist
+
+    g = tracked_persist(
+        edges.groupBy("src_domain", "dst_domain").agg(
+            F.count("*").alias("w")
+        )
+    )
+    nodes = tracked_persist(
+        edges.select(F.col("src_domain").alias("domain"))
+        .union(edges.select(F.col("dst_domain").alias("domain")))
+        .distinct()
+    )
+    auth = nodes.withColumn("val", F.lit(1.0))
+    hub = nodes.withColumn("val", F.lit(1.0))
+    for _ in range(iters):
+        hub = _hits_half(g, nodes, auth, "src_domain", "dst_domain")
+        auth = _hits_half(g, nodes, hub, "dst_domain", "src_domain")
+    return (
+        hub.select(F.col("domain"), F.col("val").alias("hub"))
+        .join(
+            auth.select(F.col("domain"), F.col("val").alias("authority")),
+            "domain",
+        )
+    )
+
+
 def domain_link_stats(edges: DataFrame) -> DataFrame:
     """Per-destination-domain in-link statistics:
     (dst_domain, n_inlinks, n_src_domains, n_self, n_external).

@@ -209,3 +209,46 @@ def test_link_density_plan_is_scan_only(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+class TestDomainHits:
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "src_domain string, dst_domain string"
+        )
+
+    def test_hub_and_authority_separate(self, spark):
+        from mindocr_spark.functions.links import domain_hits
+
+        # 'dir' links to both content sites (pure hub); 'a' and 'b'
+        # are linked-to only (pure authorities); no reciprocal links
+        edges = self._edges(spark, [
+            ("dir.x", "a.x"), ("dir.x", "b.x"), ("dir.x", "a.x"),
+        ])
+        got = {r["domain"]: r for r in domain_hits(edges, iters=2).collect()}
+        assert got["dir.x"]["hub"] == 1.0  # all hub mass
+        assert got["dir.x"]["authority"] == 0.0
+        assert got["a.x"]["hub"] == 0.0
+        # a.x has edge weight 2 of 3 → higher authority than b.x
+        assert got["a.x"]["authority"] > got["b.x"]["authority"] > 0
+
+    def test_l1_normalized_each_side(self, spark):
+        from mindocr_spark.functions.links import domain_hits
+
+        edges = self._edges(spark, [
+            ("a.x", "b.x"), ("b.x", "c.x"), ("c.x", "a.x"),
+            ("a.x", "c.x"),
+        ])
+        rows = domain_hits(edges, iters=3).collect()
+        assert abs(sum(r["hub"] for r in rows) - 1.0) < 1e-9
+        assert abs(sum(r["authority"] for r in rows) - 1.0) < 1e-9
+
+    def test_deterministic_across_partitionings(self, spark):
+        from mindocr_spark.functions.links import domain_hits
+
+        rows = [(f"s{i % 11}.x", f"d{i % 7}.x") for i in range(500)]
+        e1 = self._edges(spark, rows).repartition(1)
+        e32 = self._edges(spark, rows).repartition(32)
+        r1 = sorted(map(tuple, domain_hits(e1, iters=3).collect()))
+        r32 = sorted(map(tuple, domain_hits(e32, iters=3).collect()))
+        assert r1 == r32  # bit-identical: DECIMAL sums, no fold order
