@@ -4863,7 +4863,7 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(s.n_grams, 0) AS n_grams,
                    CASE WHEN s.n_grams > 0 THEN s.lw END AS logweight,
                    CASE WHEN s.n_grams > 0 THEN
-                     round(s.lw / CAST(s.n_grams AS DOUBLE), 6)
+                     round(s.lw / CAST(s.n_grams AS DOUBLE), 6) + 0.0
                    END AS avg_logweight
             FROM documents d LEFT JOIN s USING (doc_id)
             ORDER BY d.doc_id

@@ -155,6 +155,13 @@ def main() -> None:
         "dehyphenate",          # PDF line-wrap repair
         "grouped_split",        # leakage-safe domain-grouped split
         "oov_rate",             # tokenizer-coverage audit
+        # round-3 session-D additions (appended for the same reason)
+        "readability",          # Flesch/FK pedagogy-tier gate
+        "temperature_mix",      # alpha=0.5 multilingual allocation
+        "global_shuffle",       # epoch-seeded training-order shuffle
+        "ngram_novelty",        # first-occurrence shingle novelty
+        "dsir_weights",         # DSIR hashed-bigram importance
+        "hits_scores",          # HITS hubs/authorities (3 iters)
     ]
     qs = E.queries()
     for name in headline:

@@ -217,7 +217,10 @@ def dsir_logweights(
             .alias("n_grams"),
             F.when(F.col("n_grams") > 0, F.col("lw").cast("double"))
             .alias("logweight"),
-            F.when(F.col("n_grams") > 0, F.round(avg, 6))
+            # + 0.0 normalizes IEEE signed zero: a tiny negative mean
+            # rounds to -0.0 in DuckDB but +0.0 in Spark's round();
+            # adding +0.0 maps both to +0.0 and is exact for x ≠ 0
+            F.when(F.col("n_grams") > 0, F.round(avg, 6) + F.lit(0.0))
             .alias("avg_logweight"),
         )
     )
