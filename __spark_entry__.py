@@ -2489,6 +2489,18 @@ def q_phrase_search(spark, sf_dir):
     ).orderBy("query_id", "doc_id")
 
 
+def q_concordance(spark, sf_dir):
+    """KWIC concordance: every pinned-phrase occurrence with ±3 tokens
+    of context, edge-clamped — the shared positional-intersection core
+    exploded to the occurrence grain, context sliced JVM-side."""
+    from mindocr_spark.functions.search import concordance
+
+    return concordance(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        _PHRASES, window=3,
+    ).orderBy("query_id", "doc_id", "pos")
+
+
 #: Pinned char dict (str2idx analog — reference: rec_transforms.py:222-246;
 #: the reference ships 94-char en_dict.txt, mindocr/utils/dict/).
 _CHAR_DICT = "abcdefghijklmnopqrstuvwxyz "
@@ -2830,6 +2842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revisit_policy": _q(q_revisit_policy),
         "domain_pagerank": _q(q_domain_pagerank),
         "hits_scores": _q(q_hits_scores),
+        "concordance": _q(q_concordance),
         "blockword_filter": _q(q_blockword_filter),
         "robots_flags": _q(q_robots_flags),
         "robots_gate": _q(q_robots_gate),
@@ -4379,6 +4392,38 @@ def oracle_sql() -> dict[str, str]:
             "range(1, len(toks) - %d + 2), i -> %s)) AS INT)"
             " AS n_occurrences FROM tok WHERE len(toks) >= %d"
             % (qid, len(terms),
+               " AND ".join(
+                   "toks[i+%d] = '%s'" % (j, t.replace("'", "''"))
+                   for j, t in enumerate(terms)),
+               len(terms))
+            for qid, terms in sorted(_PHRASES.items())
+        )),
+        "concordance": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g'))
+                       AS norm
+              FROM documents),
+            tok AS (
+              SELECT doc_id, string_split(norm, ' ') AS toks
+              FROM t WHERE norm <> ''),
+            c AS (__ARMS__)
+            SELECT query_id, doc_id, CAST(pos AS INT) AS pos,
+                   coalesce(array_to_string(list_slice(
+                     toks, greatest(1, pos - 3), pos - 1), ' '), '')
+                     AS left_ctx,
+                   array_to_string(list_slice(
+                     toks, pos, pos + m - 1), ' ') AS phrase,
+                   coalesce(array_to_string(list_slice(
+                     toks, pos + m, least(len(toks), pos + m + 2)),
+                     ' '), '') AS right_ctx
+            FROM c ORDER BY query_id, doc_id, pos
+        """.replace("__ARMS__", " UNION ALL ".join(
+            "SELECT %d AS query_id, doc_id, toks, %d AS m,"
+            " unnest(list_filter(range(1, len(toks) - %d + 2),"
+            " i -> %s)) AS pos"
+            " FROM tok WHERE len(toks) >= %d"
+            % (qid, len(terms), len(terms),
                " AND ".join(
                    "toks[i+%d] = '%s'" % (j, t.replace("'", "''"))
                    for j, t in enumerate(terms)),

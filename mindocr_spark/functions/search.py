@@ -282,6 +282,25 @@ def phrase_search(docs: DataFrame, phrases: dict[int, list[str]],
     groupBy (and its key includes doc_id: no hot-term straggler). The
     per-(query, doc) intersection is JVM ``array_intersect`` over
     doc-length-bounded arrays — no Python anywhere."""
+    occ = phrase_occurrences(
+        docs, phrases, id_col=id_col, text_col=text_col
+    )
+    return (
+        occ.select(
+            "query_id", "doc_id", F.size("starts").alias("n_occurrences")
+        )
+        .where(F.col("n_occurrences") >= 1)
+    )
+
+
+def phrase_occurrences(docs: DataFrame, phrases: dict[int, list[str]],
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """The shared positional-intersection core: (query_id, doc_id, m,
+    starts) where `starts` is the sorted 0-based token offsets at
+    which the phrase begins. :func:`phrase_search` counts the list;
+    :func:`concordance` explodes it — one plan, two consumers, so the
+    occurrence semantics can never drift between them."""
     q = phrase_query_df(docs.sparkSession, phrases)
     matched = positional_postings(
         docs, id_col=id_col, text_col=text_col, vocab=q
@@ -307,7 +326,63 @@ def phrase_search(docs: DataFrame, phrases: dict[int, list[str]],
     return (
         g.where(F.size("ps") == F.col("m"))
         .select(
-            "query_id", "doc_id", F.size(occ).alias("n_occurrences")
+            "query_id", "doc_id", "m",
+            F.array_sort(occ).alias("starts"),
         )
-        .where(F.col("n_occurrences") >= 1)
+    )
+
+
+def concordance(docs: DataFrame, phrases: dict[int, list[str]],
+                window: int = 3, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """KWIC concordance (keyword-in-context): every phrase occurrence
+    with its ±`window` tokens of context — (query_id, doc_id, pos
+    [1-based token offset], left_ctx, phrase, right_ctx). The corpus-
+    inspection surface every curation decision review needs (what does
+    "click here to subscribe" actually look like in situ?), and the
+    provenance grain for phrase-level policy filters.
+
+    Context slices clamp at document edges (empty string, not NULL —
+    a margin-of-document hit has empty context, which IS the answer).
+
+    100 TB shape: occurrence generation is :func:`phrase_occurrences`
+    (broadcast-vocab semi-join before any shuffle — the corpus sheds
+    every non-matching token scan-side); the context join re-reads
+    ONLY matching docs' token arrays via one equi-join on the doc key
+    (occurrence cardinality ≪ corpus), then slicing is row-local JVM
+    array work.
+
+    Reference lineage: `crop_text_region` — every detected region is
+    cut out WITH its surrounding pixels for the downstream stage
+    (reference: deploy/py_infer/src/data_process/utils/cv_utils.py) —
+    the same hit-plus-context extraction at token grain."""
+    occ = phrase_occurrences(
+        docs, phrases, id_col=id_col, text_col=text_col
+    )
+    hits = occ.select(
+        "query_id", "doc_id", "m", F.explode("starts").alias("p0")
+    )
+    toks_df = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("_toks")
+    )
+    j = hits.join(toks_df, "doc_id")
+    pos = F.col("p0") + 1  # 1-based (the sentence_split offset rule)
+    m = F.col("m")
+    n = F.size("_toks")
+    start_l = F.greatest(F.lit(1), pos - window)
+    len_l = pos - start_l
+    len_r = F.least(F.lit(window), n - (pos + m - 1))
+    empty = F.lit("")
+    return j.select(
+        "query_id",
+        "doc_id",
+        pos.cast("int").alias("pos"),
+        F.when(
+            len_l > 0, F.array_join(F.slice("_toks", start_l, len_l), " ")
+        ).otherwise(empty).alias("left_ctx"),
+        F.array_join(F.slice("_toks", pos, m), " ").alias("phrase"),
+        F.when(
+            len_r > 0,
+            F.array_join(F.slice("_toks", pos + m, len_r), " "),
+        ).otherwise(empty).alias("right_ctx"),
     )

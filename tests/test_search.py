@@ -247,3 +247,58 @@ def test_phrase_vocab_semifilter_precedes_postings_groupby(spark):
     first_agg = plan.index("HashAggregate")
     semi = plan.index("LeftSemi")
     assert semi > first_agg, "semi-join must be below the aggregate"
+
+
+class TestConcordance:
+    def test_contexts_and_edge_clamping(self, spark):
+        from mindocr_spark.functions.search import concordance
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta target phrase gamma delta"),
+             (2, "target phrase tail"),
+             (3, "head words then target phrase")],
+            "doc_id bigint, text string",
+        )
+        out = concordance(df, {0: ["target", "phrase"]}, window=2)
+        got = {r["doc_id"]: r for r in out.collect()}
+        assert got[1]["pos"] == 3
+        assert got[1]["left_ctx"] == "alpha beta"
+        assert got[1]["phrase"] == "target phrase"
+        assert got[1]["right_ctx"] == "gamma delta"
+        # doc starts with the phrase: empty left context, not NULL
+        assert got[2]["left_ctx"] == ""
+        assert got[2]["right_ctx"] == "tail"
+        # doc ends with the phrase: empty right context
+        assert got[3]["right_ctx"] == ""
+        assert got[3]["left_ctx"] == "words then"
+
+    def test_multiple_occurrences_all_emitted(self, spark):
+        from mindocr_spark.functions.search import concordance
+
+        df = spark.createDataFrame(
+            [(1, "x a b y a b z")], "doc_id bigint, text string"
+        )
+        out = concordance(df, {0: ["a", "b"]}, window=1).collect()
+        assert sorted(r["pos"] for r in out) == [2, 5]
+        by_pos = {r["pos"]: r for r in out}
+        assert by_pos[2]["left_ctx"] == "x"
+        assert by_pos[2]["right_ctx"] == "y"
+        assert by_pos[5]["right_ctx"] == "z"
+
+    def test_search_and_concordance_agree(self, spark):
+        from mindocr_spark.functions.search import (
+            concordance, phrase_search,
+        )
+
+        df = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        phrases = {0: ["table", "hash"], 1: ["slow", "query"]}
+        counts = {
+            (r["query_id"], r["doc_id"]): r["n_occurrences"]
+            for r in phrase_search(df, phrases).collect()
+        }
+        kwic = concordance(df, phrases, window=3).collect()
+        from collections import Counter
+        kc = Counter((r["query_id"], r["doc_id"]) for r in kwic)
+        assert dict(kc) == counts  # one KWIC row per counted occurrence
