@@ -1673,6 +1673,28 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars").orderBy("doc_id")
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Per-language exact length-distribution report: min / p50 / p90
+    / p99 / max of n_chars — Spark percentile and DuckDB quantile_cont
+    interpolate identically ((n−1)·p linear), probed bit-exact."""
+    from mindocr_spark.functions.text import length_quantiles
+
+    return length_quantiles(
+        _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    ).orderBy("lang")
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Corpus-health Zipf fit: least-squares ln(freq)~ln(rank) over
+    the top-1000 vocabulary head — DECIMAL-quantized moments, pinned
+    closed-form arithmetic, one scalar row."""
+    from mindocr_spark.functions.lm import zipf_fit
+
+    return zipf_fit(
+        _t(spark, sf_dir, "documents").select("text"), max_rank=1000
+    )
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weighting: hashed-bigram log-likelihood ratio of
     the English slice vs the rest — 256-bucket smoothed distributions,
@@ -2777,6 +2799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_shuffle": _q(q_global_shuffle),
         "ngram_novelty": _q(q_ngram_novelty),
         "dsir_weights": _q(q_dsir_weights),
+        "length_quantiles": _q(q_length_quantiles),
+        "zipf_fit": _q(q_zipf_fit),
         "url_canonicalize": _q(q_url_canonicalize),
         "grouped_split": _q(q_grouped_split),
         "oov_rate": _q(q_oov_rate),
@@ -4912,6 +4936,62 @@ def oracle_sql() -> dict[str, str]:
                    END AS avg_logweight
             FROM documents d LEFT JOIN s USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "length_quantiles": r"""
+            SELECT coalesce(lang, 'und') AS lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(n_chars) AS BIGINT) AS min_len,
+                   quantile_cont(n_chars, 0.5) AS p50,
+                   quantile_cont(n_chars, 0.9) AS p90,
+                   quantile_cont(n_chars, 0.99) AS p99,
+                   CAST(max(n_chars) AS BIGINT) AS max_len
+            FROM documents GROUP BY coalesce(lang, 'und')
+            ORDER BY lang
+        """,
+        "zipf_fit": r"""
+            WITH t AS (
+              SELECT trim(regexp_replace(coalesce(text, ''),
+                          '[ \t\n\r\f\x0B]+', ' ', 'g')) AS norm
+              FROM documents),
+            words AS (
+              SELECT unnest(string_split(norm, ' ')) AS token
+              FROM t WHERE norm <> ''),
+            counts AS (
+              SELECT token, count(*) AS freq
+              FROM words GROUP BY token),
+            top AS (
+              SELECT token, freq
+              FROM counts ORDER BY freq DESC, token ASC LIMIT 1000),
+            ranked AS (
+              SELECT row_number() OVER (
+                       ORDER BY freq DESC, token ASC) AS r, freq
+              FROM top),
+            xy AS (
+              SELECT round(ln(CAST(r AS DOUBLE)), 9) AS x,
+                     round(ln(CAST(freq AS DOUBLE)), 9) AS y
+              FROM ranked),
+            s AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+                     CAST(sum(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+                     CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12)))
+                       AS DOUBLE) AS sxy,
+                     CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12)))
+                       AS DOUBLE) AS sxx
+              FROM xy),
+            fit AS (
+              SELECT n, sx, sy,
+                     (CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+                     (CAST(n AS DOUBLE) * sxx - sx * sx) AS denom
+              FROM s)
+            SELECT n AS n_types_fit,
+                   CASE WHEN n >= 2 AND denom <> 0.0 THEN
+                     round(slope, 6) + 0.0 END AS zipf_slope,
+                   CASE WHEN n >= 2 AND denom <> 0.0 THEN
+                     round((sy - slope * sx) / CAST(n AS DOUBLE), 6)
+                       + 0.0 END AS intercept
+            FROM fit
         """,
         "cdc_chunks": r"""
             WITH d AS (

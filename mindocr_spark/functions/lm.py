@@ -306,3 +306,74 @@ def ppl_buckets(
     else:
         raise ValueError(f"unknown mode: {mode!r}")
     return out.unionByName(nulls)
+
+
+def zipf_fit(
+    docs: DataFrame,
+    max_rank: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary head: least-squares
+    slope/intercept of ln(freq) against ln(rank) for the top
+    `max_rank` types — the classic corpus-health scalar. Natural text
+    sits near slope −1; template/spam-heavy corpora flatten the head
+    (slope → 0 over the boilerplate vocabulary) and machine-generated
+    noise steepens or breaks the line, so drift in this one number
+    flags contamination that per-doc gates can't see.
+
+    Determinism discipline: ranking ties break on the token (freq
+    DESC, token ASC); x = round(ln rank, 9), y = round(ln freq, 9);
+    Σx/Σy are exact DECIMAL(38,9) sums and Σxy/Σx² are DECIMAL(38,12)
+    sums of 12-dp-quantized IEEE products (order-independent); the
+    closed-form slope/intercept is pinned-association double
+    arithmetic over those identical operands, rounded at 6 with the
+    signed-zero normalization. One row out; NULL fit when fewer than
+    2 types (no line through one point).
+
+    100 TB shape: type counting is ONE map-side-combinable shuffle on
+    the (uniform) token key; the head selection is
+    TakeOrderedAndProject (distributed top-k, never a global sort);
+    ranking and the moment sums then run over ≤ max_rank rows.
+
+    Reference lineage: corpus-level character-frequency auditing
+    behind dictionary construction (reference:
+    mindocr/utils/dict/en_dict.txt generation discipline) — the same
+    head-of-distribution profile, fit instead of listed."""
+    from mindocr_spark.functions.text import tokens_col
+
+    counts = (
+        docs.select(F.explode(tokens_col(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = counts.orderBy(
+        F.col("freq").desc(), F.col("token").asc()
+    ).limit(max_rank)
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    ranked = top.select(
+        F.row_number().over(w).alias("r"), "freq"
+    )
+    x = F.round(F.log(F.col("r").cast("double")), 9)
+    y = F.round(F.log(F.col("freq").cast("double")), 9)
+    xy = ranked.select(x.alias("x"), y.alias("y"))
+    s = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,9)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,9)")).cast("double").alias("sy"),
+        F.sum(
+            F.round(F.col("x") * F.col("y"), 12).cast("decimal(38,12)")
+        ).cast("double").alias("sxy"),
+        F.sum(
+            F.round(F.col("x") * F.col("x"), 12).cast("decimal(38,12)")
+        ).cast("double").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    denom = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    intercept = (F.col("sy") - slope * F.col("sx")) / nd
+    ok = (F.col("n") >= 2) & (denom != 0.0)
+    return s.select(
+        F.col("n").alias("n_types_fit"),
+        F.when(ok, F.round(slope, 6) + F.lit(0.0)).alias("zipf_slope"),
+        F.when(ok, F.round(intercept, 6) + F.lit(0.0)).alias("intercept"),
+    )

@@ -1049,3 +1049,77 @@ class TestTemperatureMix:
         assert abs(sum(r["raw_share"] for r in rows) - 1.0) < 1e-5
         # total allocation never exceeds the budget (floors round down)
         assert sum(r["alloc_tokens"] for r in rows) <= 100_000
+
+
+class TestLengthQuantiles:
+    def test_interpolation_golden(self, spark):
+        from mindocr_spark.functions.text import length_quantiles
+
+        # 5 values per lang: p50 = middle, p90 = (n-1)*0.9 = 3.6 →
+        # v[3] + 0.6*(v[4]-v[3])
+        rows = [(i, "en", v) for i, v in enumerate([10, 20, 30, 40, 50])]
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, lang string, n_chars bigint"
+        )
+        r = length_quantiles(df).collect()[0]
+        assert (r["min_len"], r["max_len"], r["n_docs"]) == (10, 50, 5)
+        assert r["p50"] == 30.0
+        assert r["p90"] == 40 + 0.6 * 10
+        assert r["p99"] == 40 + 0.96 * 10
+
+    def test_null_stratum_and_single_row_group(self, spark):
+        from mindocr_spark.functions.text import length_quantiles
+
+        df = spark.createDataFrame(
+            [(1, None, 7), (2, "en", 3)],
+            "doc_id bigint, lang string, n_chars bigint",
+        )
+        got = {r["lang"]: r for r in length_quantiles(df).collect()}
+        assert got["und"]["p50"] == 7.0  # singleton: every quantile = v
+        assert got["und"]["p99"] == 7.0
+        assert set(got) == {"und", "en"}
+
+
+class TestZipfFit:
+    def test_perfect_zipf_recovers_slope(self, spark):
+        from mindocr_spark.functions.lm import zipf_fit
+
+        # construct freq(r) = 2^(10-r) over 8 types → ln f = ln(2^10)
+        # − r·ln2; x = ln r is NOT linear in r, so use freq = C/r
+        # exactly: freq(r) = 840/r for r in 1..8 gives integer freqs
+        words = []
+        for r, f in enumerate([840, 420, 280, 210, 168, 140, 120, 105], 1):
+            words += [f"w{r:02d}"] * f
+        df = spark.createDataFrame(
+            [(1, " ".join(words))], "doc_id bigint, text string"
+        )
+        row = zipf_fit(df, max_rank=100).collect()[0]
+        assert row["n_types_fit"] == 8
+        # exact power law slope −1: fit recovers it to rounding
+        assert abs(row["zipf_slope"] + 1.0) < 1e-4
+        # intercept ≈ ln 840
+        import math
+        assert abs(row["intercept"] - math.log(840)) < 1e-3
+
+    def test_degenerate_corpus_null_fit(self, spark):
+        from mindocr_spark.functions.lm import zipf_fit
+
+        df = spark.createDataFrame(
+            [(1, "same same same")], "doc_id bigint, text string"
+        )
+        row = zipf_fit(df).collect()[0]
+        assert row["n_types_fit"] == 1
+        assert row["zipf_slope"] is None and row["intercept"] is None
+
+    def test_head_selection_is_topk_not_global_sort(self, spark):
+        from mindocr_spark.functions.lm import zipf_fit
+
+        df = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("text")
+        plan = (
+            zipf_fit(df, max_rank=50)._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "BatchEvalPython" not in plan
