@@ -1673,6 +1673,17 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars").orderBy("doc_id")
 
 
+def q_bpe_merge_pairs(spark, sf_dir):
+    """Distributed BPE merge-learning step: corpus → vocabulary
+    collapse, frequency-weighted adjacent char-pair counts, top-50
+    merge candidates via TakeOrderedAndProject."""
+    from mindocr_spark.functions.text import bpe_merge_pairs
+
+    return bpe_merge_pairs(
+        _t(spark, sf_dir, "documents").select("text"), top_k=50
+    ).orderBy("rank")
+
+
 def q_length_quantiles(spark, sf_dir):
     """Per-language exact length-distribution report: min / p50 / p90
     / p99 / max of n_chars — Spark percentile and DuckDB quantile_cont
@@ -2800,6 +2811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": _q(q_ngram_novelty),
         "dsir_weights": _q(q_dsir_weights),
         "length_quantiles": _q(q_length_quantiles),
+        "bpe_merge_pairs": _q(q_bpe_merge_pairs),
         "zipf_fit": _q(q_zipf_fit),
         "url_canonicalize": _q(q_url_canonicalize),
         "grouped_split": _q(q_grouped_split),
@@ -4936,6 +4948,34 @@ def oracle_sql() -> dict[str, str]:
                    END AS avg_logweight
             FROM documents d LEFT JOIN s USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "bpe_merge_pairs": r"""
+            WITH t AS (
+              SELECT trim(regexp_replace(coalesce(text, ''),
+                          '[ \t\n\r\f\x0B]+', ' ', 'g')) AS norm
+              FROM documents),
+            wds AS (
+              SELECT unnest(string_split(norm, ' ')) AS word
+              FROM t WHERE norm <> ''),
+            wf AS (
+              SELECT word, count(*) AS freq FROM wds GROUP BY word),
+            p0 AS (
+              SELECT word, freq,
+                     unnest(generate_series(1, length(word) - 1)) AS i
+              FROM wf WHERE length(word) >= 2),
+            p AS (
+              SELECT substr(word, CAST(i AS INT), 2) AS pair, freq
+              FROM p0),
+            c AS (
+              SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+              FROM p GROUP BY pair),
+            top AS (
+              SELECT pair, n
+              FROM c ORDER BY n DESC, pair ASC LIMIT 50)
+            SELECT pair, n,
+                   CAST(row_number() OVER (ORDER BY n DESC, pair ASC)
+                     AS INT) AS rank
+            FROM top ORDER BY rank
         """,
         "length_quantiles": r"""
             SELECT coalesce(lang, 'und') AS lang,

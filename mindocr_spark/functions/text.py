@@ -1645,3 +1645,60 @@ def length_quantiles(
         F.col("_q")[2].alias("p99"),
         "max_len",
     )
+
+
+def bpe_merge_pairs(
+    df: DataFrame,
+    top_k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """One distributed BPE vocabulary-induction step (the Sennrich
+    merge-learning inner loop at corpus scale): count every adjacent
+    character pair, weighted by word frequency, and rank the top
+    merge candidates — (pair, n, rank). Tokenizer training over a
+    100 TB corpus starts exactly here; subsequent merge rounds re-run
+    the same plan over the re-segmented symbol stream.
+
+    Occurrences keep multiplicity within a word ("aaa" counts "aa"
+    twice — BPE counts positions, not types).
+
+    100 TB shape: the CORPUS collapses to the VOCABULARY first (one
+    map-side-combinable groupBy on the word key) — pair generation
+    then runs over vocab-cardinality rows × word length, orders of
+    magnitude below the token stream; pair counting is a second
+    map-side-combinable groupBy on the (dense, bounded — alphabet²)
+    pair key, and the head is TakeOrderedAndProject, never a global
+    sort. Ties rank by pair string ascending (deterministic; BMP
+    strings order identically in UTF-8 bytes and UTF-16 code units —
+    the tfidf tie-break precedent).
+
+    Reference lineage: character-dictionary construction for the
+    recognition head (reference: mindocr/utils/dict/ +
+    rec_transforms.py:222-246 str2idx) — the learned-merge
+    generalization of that fixed char vocabulary."""
+    words = (
+        df.select(F.explode(tokens_col(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = F.col("word")
+    pairs_arr = F.when(
+        F.length(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(w) - 1),
+            lambda i: F.substring(w, i, 2),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = words.select(
+        F.explode(pairs_arr).alias("pair"), "freq"
+    )
+    counts = pairs.groupBy("pair").agg(
+        F.sum("freq").cast("bigint").alias("n")
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(
+        top_k
+    )
+    rw = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return top.select(
+        "pair", "n", F.row_number().over(rw).cast("int").alias("rank")
+    )

@@ -1123,3 +1123,42 @@ class TestZipfFit:
         )
         assert "TakeOrderedAndProject" in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestBpeMergePairs:
+    def test_weighted_multiplicity_golden(self, spark):
+        from mindocr_spark.functions.text import bpe_merge_pairs
+
+        # "aaa" twice + "ab" once: pairs aa×2 per word occurrence ×2
+        # words = 4, ab = 1
+        df = spark.createDataFrame(
+            [(1, "aaa aaa ab")], "doc_id bigint, text string"
+        )
+        got = {r["pair"]: r for r in
+               bpe_merge_pairs(df, top_k=10).collect()}
+        assert got["aa"]["n"] == 4  # multiplicity within word counts
+        assert got["ab"]["n"] == 1
+        assert got["aa"]["rank"] == 1
+
+    def test_vocab_collapse_before_pairs(self, spark):
+        from mindocr_spark.functions.text import bpe_merge_pairs
+
+        # same word repeated 1000× must count via freq weighting, and
+        # the head must be TakeOrderedAndProject (no global sort)
+        df = spark.createDataFrame(
+            [(1, "zq " * 1000)], "doc_id bigint, text string"
+        )
+        out = bpe_merge_pairs(df, top_k=5)
+        r = out.collect()[0]
+        assert (r["pair"], r["n"]) == ("zq", 1000)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_single_char_words_contribute_nothing(self, spark):
+        from mindocr_spark.functions.text import bpe_merge_pairs
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e")], "doc_id bigint, text string"
+        )
+        assert bpe_merge_pairs(df).count() == 0
