@@ -1673,6 +1673,18 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars").orderBy("doc_id")
 
 
+def q_pmi_collocations(spark, sf_dir):
+    """Top-50 PMI collocations over adjacent-token pairs with a
+    min-count gate: one pinned IEEE expression per pair over exact
+    counts, round(ln, 9), deterministic pair-string tie-breaks."""
+    from mindocr_spark.functions.lm import pmi_collocations
+
+    return pmi_collocations(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        top_k=50, min_count=5,
+    ).orderBy("rank")
+
+
 def q_bpe_merge_pairs(spark, sf_dir):
     """Distributed BPE merge-learning step: corpus → vocabulary
     collapse, frequency-weighted adjacent char-pair counts, top-50
@@ -2812,6 +2824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q(q_dsir_weights),
         "length_quantiles": _q(q_length_quantiles),
         "bpe_merge_pairs": _q(q_bpe_merge_pairs),
+        "pmi_collocations": _q(q_pmi_collocations),
         "zipf_fit": _q(q_zipf_fit),
         "url_canonicalize": _q(q_url_canonicalize),
         "grouped_split": _q(q_grouped_split),
@@ -4948,6 +4961,52 @@ def oracle_sql() -> dict[str, str]:
                    END AS avg_logweight
             FROM documents d LEFT JOIN s USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "pmi_collocations": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(coalesce(text, ''),
+                          '[ \t\n\r\f\x0B]+', ' ', 'g')) AS norm
+              FROM documents),
+            w AS (
+              SELECT doc_id,
+                     unnest(string_split(norm, ' ')) AS word,
+                     generate_subscripts(string_split(norm, ' '), 1)
+                       AS pos
+              FROM t WHERE norm <> ''),
+            uni AS (
+              SELECT word, count(*) AS cnt FROM w GROUP BY word),
+            tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM uni),
+            big0 AS (
+              SELECT doc_id,
+                     lag(word, 1) OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS w1,
+                     word AS w2
+              FROM w),
+            big AS (
+              SELECT w1, w2, count(*) AS cnt
+              FROM big0 WHERE w1 IS NOT NULL GROUP BY w1, w2),
+            scored AS (
+              SELECT b.w1, b.w2,
+                     CAST(b.cnt AS BIGINT) AS n_pair,
+                     CAST(u1.cnt AS BIGINT) AS n_w1,
+                     CAST(u2.cnt AS BIGINT) AS n_w2,
+                     round(ln((CAST(b.cnt AS DOUBLE)
+                               * CAST(t.n AS DOUBLE))
+                              / (CAST(u1.cnt AS DOUBLE)
+                                 * CAST(u2.cnt AS DOUBLE))), 9) AS pmi
+              FROM big b
+              JOIN uni u1 ON u1.word = b.w1
+              JOIN uni u2 ON u2.word = b.w2
+              CROSS JOIN tot t
+              WHERE b.cnt >= 5),
+            top AS (
+              SELECT * FROM scored
+              ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 50)
+            SELECT w1, w2, n_pair, n_w1, n_w2, pmi,
+                   CAST(row_number() OVER (
+                     ORDER BY pmi DESC, w1 ASC, w2 ASC) AS INT) AS rank
+            FROM top ORDER BY rank
         """,
         "bpe_merge_pairs": r"""
             WITH t AS (

@@ -162,6 +162,10 @@ def main() -> None:
         "ngram_novelty",        # first-occurrence shingle novelty
         "dsir_weights",         # DSIR hashed-bigram importance
         "hits_scores",          # HITS hubs/authorities (3 iters)
+        "concordance",          # KWIC phrase-in-context
+        "length_quantiles",     # exact per-language p50/p90/p99
+        "zipf_fit",             # corpus-health Zipf slope
+        "bpe_merge_pairs",      # BPE merge induction step
     ]
     qs = E.queries()
     for name in headline:

@@ -377,3 +377,70 @@ def zipf_fit(
         F.when(ok, F.round(slope, 6) + F.lit(0.0)).alias("zipf_slope"),
         F.when(ok, F.round(intercept, 6) + F.lit(0.0)).alias("intercept"),
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    top_k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top collocations by pointwise mutual information — the
+    phrase-vocabulary / multi-word-expression discovery step
+    (tokenizer phrase merges, stopword-phrase blocklists, and NER
+    gazetteer seeding all start from this table):
+    ``pmi(x,y) = ln( c_xy · N / (c_x · c_y) )`` over adjacent-token
+    pairs, gated by `min_count` (PMI is noise for rare pairs — the
+    classic Church–Hanks caveat), ranked (pmi DESC, w1, w2 ASC).
+
+    Determinism: the PMI argument is ONE pinned IEEE expression over
+    exact counts — (c_xy·N)/(c_x·c_y) with both products and the
+    division in double — then round(ln, 9): engine-identical. Rank
+    ties break on the pair strings (BMP-safe — the tfidf precedent).
+
+    100 TB shape: unigram and bigram counting are map-side-combinable
+    shuffles on uniform keys; the two count joins key on the token —
+    vocabulary-sized relations, NOT broadcastable at web scale, so
+    they are honest shuffle joins that AQE sizes (docstring contract:
+    at small scale AQE broadcasts them automatically); the head is
+    TakeOrderedAndProject. Nothing touches the raw corpus twice.
+
+    Reference lineage: dictionary augmentation from corpus statistics
+    (reference: mindocr/utils/dict/ construction) — phrase-level
+    instead of character-level."""
+    uni = unigram_counts(docs, text_col=text_col)
+    bi = bigram_counts(docs, text_col=text_col, id_col=id_col)
+    n_tot = uni.agg(F.sum("cnt").cast("bigint").alias("n_tokens"))
+    c1 = uni.select(F.col("token").alias("w1"), F.col("cnt").alias("c1"))
+    c2 = uni.select(F.col("token").alias("w2"), F.col("cnt").alias("c2"))
+    scored = (
+        bi.where(F.col("cnt") >= min_count)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "w1", "w2",
+            F.col("cnt").cast("bigint").alias("n_pair"),
+            F.col("c1").cast("bigint").alias("n_w1"),
+            F.col("c2").cast("bigint").alias("n_w2"),
+            F.round(
+                F.log(
+                    (F.col("cnt").cast("double")
+                     * F.col("n_tokens").cast("double"))
+                    / (F.col("c1").cast("double")
+                       * F.col("c2").cast("double"))
+                ), 9
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(top_k)
+    rw = Window.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    return top.select(
+        "w1", "w2", "n_pair", "n_w1", "n_w2", "pmi",
+        F.row_number().over(rw).cast("int").alias("rank"),
+    )

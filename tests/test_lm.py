@@ -243,3 +243,48 @@ class TestPplBuckets:
         # the corpus side joins the broadcast thresholds; no window sort
         assert "BroadcastHashJoin" in plan
         assert "Window" not in plan
+
+
+class TestPmiCollocations:
+    def test_collocation_beats_frequent_pair(self, spark):
+        import math
+        from mindocr_spark.functions.lm import pmi_collocations
+
+        # "san francisco" always co-occurs (perfect collocation);
+        # "the cat" pairs are diluted by many other "the X" pairs
+        text = ("san francisco " * 6) + ("the cat " * 6) + ("the dog " * 6)
+        df = spark.createDataFrame(
+            [(1, text)], "doc_id bigint, text string"
+        )
+        rows = pmi_collocations(df, top_k=10, min_count=5).collect()
+        by_pair = {(r["w1"], r["w2"]): r for r in rows}
+        sf = by_pair[("san", "francisco")]
+        assert sf["rank"] == 1
+        # exact: c_xy=6, c_x=6, c_y=6, N=36 → pmi = ln(36·6/36)=ln 6
+        assert sf["pmi"] == round(math.log(6 * 36 / 36.0), 9)
+        assert sf["pmi"] > by_pair[("the", "cat")]["pmi"]
+
+    def test_min_count_gates_rare_pairs(self, spark):
+        from mindocr_spark.functions.lm import pmi_collocations
+
+        df = spark.createDataFrame(
+            [(1, "rare pair " + "common word " * 20)],
+            "doc_id bigint, text string",
+        )
+        rows = pmi_collocations(df, top_k=10, min_count=5).collect()
+        pairs = {(r["w1"], r["w2"]) for r in rows}
+        assert ("rare", "pair") not in pairs  # count 1 < 5
+        assert ("common", "word") in pairs
+
+    def test_head_is_topk_no_python(self, spark):
+        from mindocr_spark.functions.lm import pmi_collocations
+
+        df = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        plan = (
+            pmi_collocations(df, top_k=10)._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "BatchEvalPython" not in plan
