@@ -3056,14 +3056,12 @@ def _hits_oracle(iters: int = 3) -> str:
                          AS DECIMAL(38,9))) AS u
               FROM g JOIN {prev} r ON r.dom = g.{dst_key}
               GROUP BY g.{src_key}),
-            {out}{k}s AS (SELECT sum(u) AS s FROM {out}{k}u),
             {out}{k} AS (
               SELECT n.dom,
                      CAST(coalesce(u.u, 0) AS DOUBLE)
-                       / CAST(t.s AS DOUBLE) AS val
+                       / CAST(sum(u.u) OVER () AS DOUBLE) AS val
               FROM nodes n
-              LEFT JOIN {out}{k}u u ON u.dom = n.dom
-              CROSS JOIN {out}{k}s t)"""
+              LEFT JOIN {out}{k}u u ON u.dom = n.dom)"""
 
     parts = [
         "WITH " + _LINKED_EDGE_CTES,
