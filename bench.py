@@ -166,6 +166,7 @@ def main() -> None:
         "length_quantiles",     # exact per-language p50/p90/p99
         "zipf_fit",             # corpus-health Zipf slope
         "bpe_merge_pairs",      # BPE merge induction step
+        "pmi_collocations",     # PMI phrase discovery
     ]
     qs = E.queries()
     for name in headline:
