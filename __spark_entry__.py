@@ -1589,6 +1589,21 @@ def q_ann_cosine_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_bitext_mine(spark, sf_dir):
+    """Margin-based bitext mining: mutual nearest neighbour between
+    the even-id query slice and the odd-id target slice with an
+    absolute margin gate — broadcast query side, deterministic
+    (cos desc, id asc) tie-breaks, difference of rounded cosines."""
+    from mindocr_spark.functions.similarity import bitext_mine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return bitext_mine(
+        emb.where(F.col("vec_id") % 50 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+        min_margin=0.01,
+    ).orderBy("src_id")
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed ANN (approximate — rows-only check; recall vs exact
     is asserted in tests/test_similarity.py)."""
@@ -2911,6 +2926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_from_bytes": _q(q_layout_from_bytes),
         "ann_cosine_topk": _q(q_ann_cosine_topk),
         "ann_lsh_topk": _q(q_ann_lsh_topk),
+        "bitext_mine": _q(q_bitext_mine),
         "ann_ivf_topk": _q(q_ann_ivf_topk),
         "embedding_neardup": _q(q_embedding_neardup),
         "semdedup": _q(q_semdedup),
@@ -6159,6 +6175,47 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
               FROM scored)
             SELECT * FROM r WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "bitext_mine": """
+            WITH a AS (
+              SELECT vec_id AS src_id, embedding::DOUBLE[] AS av
+              FROM embeddings WHERE vec_id % 50 = 0),
+            b AS (
+              SELECT vec_id AS tgt_id, embedding::DOUBLE[] AS bv
+              FROM embeddings WHERE vec_id % 2 = 1),
+            scored AS (
+              SELECT src_id, tgt_id,
+                     round(list_dot_product(av, bv)
+                           / (sqrt(list_dot_product(av, av))
+                              * sqrt(list_dot_product(bv, bv))),
+                           4) AS cos_sim
+              FROM a CROSS JOIN b),
+            fwd AS (
+              SELECT src_id, tgt_id, cos_sim,
+                     row_number() OVER (PARTITION BY src_id
+                       ORDER BY cos_sim DESC, tgt_id ASC) AS r
+              FROM scored),
+            fwd1 AS (
+              SELECT src_id, tgt_id, cos_sim AS cos_fwd
+              FROM fwd WHERE r = 1),
+            fwd2 AS (
+              SELECT src_id, cos_sim AS cos_2nd
+              FROM fwd WHERE r = 2),
+            bwd1 AS (
+              SELECT tgt_id, src_id AS back_src FROM (
+                SELECT tgt_id, src_id,
+                       row_number() OVER (PARTITION BY tgt_id
+                         ORDER BY cos_sim DESC, src_id ASC) AS rb
+                FROM scored)
+              WHERE rb = 1)
+            SELECT f.src_id, f.tgt_id, f.cos_fwd,
+                   f.cos_fwd - s.cos_2nd AS margin
+            FROM fwd1 f
+            JOIN fwd2 s USING (src_id)
+            JOIN bwd1 w USING (tgt_id)
+            WHERE w.back_src = f.src_id
+              AND f.cos_fwd - s.cos_2nd >= CAST(0.01 AS DOUBLE)
+            ORDER BY f.src_id
         """,
         "ann_cosine_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

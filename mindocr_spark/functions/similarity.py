@@ -578,3 +578,82 @@ def embedding_neardup_pairs(
         .where(F.col("cos_sim") >= threshold)
         .distinct()
     )
+
+
+def bitext_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    min_margin: float = 0.01,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Margin-based bitext mining (the Artetxe–Schwenk / CCMatrix
+    parallel-corpus step): align source-side embeddings to target-side
+    embeddings by MUTUAL nearest neighbour with a margin criterion —
+    the standard recipe for harvesting translation pairs from two
+    monolingual crawls, and the same shape used to align any two
+    embedded modalities (caption↔image, query↔doc).
+
+    A pair (a, b) is emitted iff b is a's best target, a is b's best
+    source (mutuality kills hub vectors that are "everyone's
+    neighbour"), and ``cos1 − cos2 ≥ min_margin`` (the absolute-margin
+    variant: a best match barely above the runner-up is ambiguity,
+    not alignment; the difference of two already-rounded cosines is
+    exact, unlike the ratio variant which degenerates when cos2 ≤ 0).
+    Sources with fewer than 2 candidates are dropped (no runner-up →
+    no margin evidence).
+
+    Returns (src_id, tgt_id, cos_fwd, margin).
+
+    100 TB shape: this exact form carries the :func:`cosine_topk`
+    contract — the SOURCE side is broadcast-small (a query batch, a
+    language shard slice); both direction windows then partition on
+    uniform ids over the |src|×|tgt| scored relation. At corpus×corpus
+    scale swap the scored relation for :func:`lsh_topk` candidates
+    (bucketed, cost independent of corpus size) — the margin/mutual
+    tail is unchanged.
+
+    Reference lineage: the det→rec GT⋈pred mutual assignment —
+    `metrics.det_metric`'s greedy one-to-one matching (reference:
+    mindocr/metrics/det_metrics.py:61-93) — re-expressed as
+    mutual-NN over embeddings."""
+    a = src.select(
+        F.col(id_col).alias("src_id"), vec_double(vec_col).alias("av")
+    )
+    b = tgt.select(
+        F.col(id_col).alias("tgt_id"), vec_double(vec_col).alias("bv")
+    )
+    sim = F.round(cosine(F.col("av"), F.col("bv")), round_to)
+    scored = (
+        F.broadcast(a).join(b)
+        .select("src_id", "tgt_id", sim.alias("cos_sim"))
+    )
+    wf = Window.partitionBy("src_id").orderBy(
+        F.col("cos_sim").desc(), F.col("tgt_id").asc()
+    )
+    fwd = scored.withColumn("r", F.row_number().over(wf)).where(
+        F.col("r") <= 2
+    )
+    fwd1 = fwd.where(F.col("r") == 1).select(
+        "src_id", "tgt_id", F.col("cos_sim").alias("cos_fwd")
+    )
+    fwd2 = fwd.where(F.col("r") == 2).select(
+        "src_id", F.col("cos_sim").alias("cos_2nd")
+    )
+    wb = Window.partitionBy("tgt_id").orderBy(
+        F.col("cos_sim").desc(), F.col("src_id").asc()
+    )
+    bwd1 = (
+        scored.withColumn("rb", F.row_number().over(wb))
+        .where(F.col("rb") == 1)
+        .select("tgt_id", F.col("src_id").alias("back_src"))
+    )
+    margin = F.col("cos_fwd") - F.col("cos_2nd")
+    return (
+        fwd1.join(fwd2, "src_id")
+        .join(bwd1, "tgt_id")
+        .where(F.col("back_src") == F.col("src_id"))
+        .where(margin >= F.lit(min_margin))
+        .select("src_id", "tgt_id", "cos_fwd", margin.alias("margin"))
+    )

@@ -207,3 +207,64 @@ def test_semdedup_threshold_one_point_oh_flags_only_exact(spark):
     out = {r["vec_id"]: r["is_dup"]
            for r in semdedup_flags(df, threshold=1.0).collect()}
     assert out == {1: False, 2: True, 3: False}
+
+
+class TestBitextMine:
+    def _emb(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id bigint, embedding array<float>",
+        )
+
+    def test_mutual_and_margin_golden(self, spark):
+        from mindocr_spark.functions.similarity import bitext_mine
+
+        # src 1 aligns cleanly with tgt 10; src 2 is ambiguous
+        # (two equidistant targets -> margin 0, dropped)
+        src = self._emb(spark, [(1, [1, 0, 0]), (2, [0, 1, 1])])
+        tgt = self._emb(spark, [
+            (10, [0.9, 0.1, 0.0]),   # near src 1
+            (11, [0.0, 1.0, 0.0]),   # equidistant to src 2...
+            (12, [0.0, 0.0, 1.0]),   # ...as this one
+        ])
+        out = bitext_mine(src, tgt, min_margin=0.01).collect()
+        pairs = {(r["src_id"], r["tgt_id"]) for r in out}
+        assert pairs == {(1, 10)}
+        r = out[0]
+        assert r["margin"] > 0.5  # clean separation
+        assert 0.9 < r["cos_fwd"] <= 1.0
+
+    def test_mutuality_kills_hub_target(self, spark):
+        from mindocr_spark.functions.similarity import bitext_mine
+
+        # both sources' best target is the hub (20); only src 5 is the
+        # hub's best source, so src 6's pair must be rejected
+        src = self._emb(spark, [(5, [1, 0.0, 0]), (6, [0.9, 0.3, 0])])
+        tgt = self._emb(spark, [(20, [1, 0.05, 0]), (21, [0, 0, 1])])
+        out = bitext_mine(src, tgt, min_margin=0.0).collect()
+        pairs = {(r["src_id"], r["tgt_id"]) for r in out}
+        assert (5, 20) in pairs
+        assert (6, 20) not in pairs
+
+    def test_single_target_no_margin_evidence(self, spark):
+        from mindocr_spark.functions.similarity import bitext_mine
+
+        src = self._emb(spark, [(1, [1, 0])])
+        tgt = self._emb(spark, [(10, [1, 0])])
+        assert bitext_mine(src, tgt).count() == 0  # no runner-up
+
+    def test_broadcast_query_side(self, spark):
+        from mindocr_spark.functions.similarity import bitext_mine
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        plan = (
+            bitext_mine(
+                emb.where(F.col("vec_id") % 50 == 0),
+                emb.where(F.col("vec_id") % 2 == 1),
+            )._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        assert "BatchEvalPython" not in plan
