@@ -3060,8 +3060,10 @@ def _pagerank_oracle(iters: int = 3, damping: str = "0.85") -> str:
 
 def _hits_oracle(iters: int = 3) -> str:
     """Unrolled alternating half-step twin of `links.domain_hits`:
-    round(w·val, 9) → DECIMAL(38,9) sums (order-independent, no fold
-    needed) → one IEEE division by the exact DECIMAL normalizer."""
+    round(w·val, 9) → DECIMAL(38,9) sums over MEAN-1 internals
+    (scale-free quantization — see links._hits_half) → one IEEE
+    division by the exact DECIMAL normalizer, ×N; final /N restores
+    the L1 output contract."""
 
     def half(out: str, k: int, src_key: str, dst_key: str,
              prev: str) -> str:
@@ -3074,8 +3076,9 @@ def _hits_oracle(iters: int = 3) -> str:
               GROUP BY g.{src_key}),
             {out}{k} AS (
               SELECT n.dom,
-                     CAST(coalesce(u.u, 0) AS DOUBLE)
-                       / CAST(sum(u.u) OVER () AS DOUBLE) AS val
+                     (CAST(coalesce(u.u, 0) AS DOUBLE)
+                       / CAST(sum(u.u) OVER () AS DOUBLE))
+                       * CAST(count(*) OVER () AS DOUBLE) AS val
               FROM nodes n
               LEFT JOIN {out}{k}u u ON u.dom = n.dom)"""
 
@@ -3095,7 +3098,9 @@ def _hits_oracle(iters: int = 3) -> str:
         parts.append(half("h", k, "src_dom", "dst_dom", f"a{k - 1}"))
         parts.append(half("a", k, "dst_dom", "src_dom", f"h{k}"))
     parts.append(f"""
-            SELECT h.dom AS domain, h.val AS hub, a.val AS authority
+            SELECT h.dom AS domain,
+                   h.val / CAST(count(*) OVER () AS DOUBLE) AS hub,
+                   a.val / CAST(count(*) OVER () AS DOUBLE) AS authority
             FROM h{iters} h JOIN a{iters} a ON a.dom = h.dom
             ORDER BY domain""")
     return "".join(parts)
@@ -4818,12 +4823,12 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_tokens > 0 THEN
                      round(CAST(206.835 AS DOUBLE)
                            - CAST(1.015 AS DOUBLE) * wps
-                           - CAST(84.6 AS DOUBLE) * spw, 6)
+                           - CAST(84.6 AS DOUBLE) * spw, 6) + 0.0
                    END AS flesch,
                    CASE WHEN n_tokens > 0 THEN
                      round(CAST(0.39 AS DOUBLE) * wps
                            + CAST(11.8 AS DOUBLE) * spw
-                           - CAST(15.59 AS DOUBLE), 6)
+                           - CAST(15.59 AS DOUBLE), 6) + 0.0
                    END AS fk_grade
             FROM d ORDER BY doc_id
         """,
@@ -4851,14 +4856,21 @@ def oracle_sql() -> dict[str, str]:
                      CAST(sum(CAST(wq AS DECIMAL(38,6))) AS DOUBLE) AS s
               FROM w)
             SELECT lang, n_docs, n_tokens,
-                   round(CAST(n_tokens AS DOUBLE)
-                         / CAST(tot_tokens AS DOUBLE), 6) AS raw_share,
-                   round(wq / s, 6) AS temp_share,
-                   round((wq / s)
-                         / (CAST(n_tokens AS DOUBLE)
-                            / CAST(tot_tokens AS DOUBLE)), 6) AS boost,
-                   CAST(floor(CAST(100000 AS DOUBLE) * (wq / s))
-                     AS BIGINT) AS alloc_tokens
+                   CASE WHEN tot_tokens > 0 THEN
+                     round(CAST(n_tokens AS DOUBLE)
+                           / CAST(tot_tokens AS DOUBLE), 6)
+                   END AS raw_share,
+                   CASE WHEN s > 0 THEN round(wq / s, 6)
+                   END AS temp_share,
+                   CASE WHEN n_tokens > 0 AND s > 0 THEN
+                     round((wq / s)
+                           / (CAST(n_tokens AS DOUBLE)
+                              / CAST(tot_tokens AS DOUBLE)), 6)
+                   END AS boost,
+                   CASE WHEN s > 0 THEN
+                     CAST(floor(CAST(100000 AS DOUBLE) * (wq / s))
+                       AS BIGINT)
+                   END AS alloc_tokens
             FROM w CROSS JOIN tot ORDER BY lang
         """,
         "global_shuffle": r"""
@@ -5008,7 +5020,8 @@ def oracle_sql() -> dict[str, str]:
                      round(ln((CAST(b.cnt AS DOUBLE)
                                * CAST(t.n AS DOUBLE))
                               / (CAST(u1.cnt AS DOUBLE)
-                                 * CAST(u2.cnt AS DOUBLE))), 9) AS pmi
+                                 * CAST(u2.cnt AS DOUBLE))), 9) + 0.0
+                       AS pmi
               FROM big b
               JOIN uni u1 ON u1.word = b.w1
               JOIN uni u2 ON u2.word = b.w2
@@ -6188,7 +6201,7 @@ def oracle_sql() -> dict[str, str]:
                      round(list_dot_product(av, bv)
                            / (sqrt(list_dot_product(av, av))
                               * sqrt(list_dot_product(bv, bv))),
-                           4) AS cos_sim
+                           4) + 0.0 AS cos_sim
               FROM a CROSS JOIN b),
             fwd AS (
               SELECT src_id, tgt_id, cos_sim,

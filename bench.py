@@ -167,6 +167,7 @@ def main() -> None:
         "zipf_fit",             # corpus-health Zipf slope
         "bpe_merge_pairs",      # BPE merge induction step
         "pmi_collocations",     # PMI phrase discovery
+        "bitext_mine",          # mutual-NN margin alignment
     ]
     qs = E.queries()
     for name in headline:

@@ -153,7 +153,11 @@ def dsir_logweights(
     n_buckets = N_BUCKETS
     with_toks = df.select(
         F.col(id_col).alias("__id"),
-        target.alias("__tgt"),
+        # a NULL target verdict (e.g. F.col("lang") == "en" over a
+        # NULL lang) must land in the RAW remainder, not silently
+        # vanish from BOTH distributions — sum() skips NULLs, which
+        # would shrink n_t/n_r and skew every bucket's λ
+        F.coalesce(target.cast("boolean"), F.lit(False)).alias("__tgt"),
         tokens_col(text_col).alias("__toks"),
     )
     toks = F.col("__toks")
@@ -164,12 +168,20 @@ def dsir_logweights(
             lambda i: F.array_join(F.slice(toks, i, 2), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = with_toks.select(
-        "__id", "__tgt", F.explode(grams_arr).alias("__g")
-    ).select(
-        "__id", "__tgt",
-        F.substring(F.md5(F.col("__g").cast("binary")), 1, 2)
-        .alias("bucket"),
+    from mindocr_spark.cache import tracked_persist
+
+    # persisted: the gram stream feeds TWO different shuffles (bucket
+    # counts and per-doc sums) — exchange reuse cannot apply, and
+    # without the persist the corpus-sized tokenize+slice+md5 pass
+    # runs twice (the _shingle_intersections precedent)
+    grams = tracked_persist(
+        with_toks.select(
+            "__id", "__tgt", F.explode(grams_arr).alias("__g")
+        ).select(
+            "__id", "__tgt",
+            F.substring(F.md5(F.col("__g").cast("binary")), 1, 2)
+            .alias("bucket"),
+        )
     )
     counts = grams.groupBy("bucket").agg(
         F.sum(F.col("__tgt").cast("bigint")).alias("c_t"),

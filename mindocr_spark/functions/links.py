@@ -378,12 +378,20 @@ def _hits_half(
     group_key: str, rank_key: str,
 ) -> DataFrame:
     """One HITS half-step: fold the opposite side's scores through the
-    weighted edges onto `group_key`, then L1-normalize. Each
+    weighted edges onto `group_key`, then normalize to MEAN 1. Each
     contribution is round(w·val, 9) summed as DECIMAL(38,9) — exact
     and order-independent (no sorted-fold needed, unlike PageRank's
     unquantized path) — and the normalizer is the exact DECIMAL total
     of those sums, so both the per-node and global reductions are
     independent of partitioning and evaluation order.
+
+    Mean-1 (not L1) internal normalization is the SCALE-FREE choice:
+    iterate values stay O(1) at ANY domain cardinality, so the 9-dp
+    quantization always carries ~9 significant digits. L1-normalized
+    internals average 1/N — at web-scale N the quantization truncates
+    them, and pushing the scale up (15 dp was tried) exceeds double
+    precision and breaks cross-engine rounding in the last ulp. The
+    consumer divides by N once at output for the L1 contract.
 
     The normalizer is an UNPARTITIONED window sum over the same
     relation — NOT a separate aggregate branch cross-joined back: a
@@ -401,15 +409,20 @@ def _hits_half(
         .cast("decimal(38,9)").alias("c"),
     )
     un = c.groupBy("dom").agg(F.sum("c").alias("u"))
-    s = F.sum("u").over(Window.partitionBy())
+    w_all = Window.partitionBy()
+    s = F.sum("u").over(w_all)
+    n = F.count(F.lit(1)).over(w_all)
     return (
         nodes.join(un, nodes["domain"] == un["dom"], "left")
         .select(
             "domain",
             (
-                F.coalesce(F.col("u"), F.lit(0).cast("decimal(38,9)"))
-                .cast("double")
-                / s.cast("double")
+                (
+                    F.coalesce(F.col("u"), F.lit(0).cast("decimal(38,9)"))
+                    .cast("double")
+                    / s.cast("double")
+                )
+                * n.cast("double")
             ).alias("val"),
         )
     )
@@ -452,16 +465,26 @@ def domain_hits(edges: DataFrame, iters: int = 3) -> DataFrame:
         .union(edges.select(F.col("dst_domain").alias("domain")))
         .distinct()
     )
+    from pyspark.sql import Window
+
     auth = nodes.withColumn("val", F.lit(1.0))
     hub = nodes.withColumn("val", F.lit(1.0))
     for _ in range(iters):
         hub = _hits_half(g, nodes, auth, "src_domain", "dst_domain")
         auth = _hits_half(g, nodes, hub, "dst_domain", "src_domain")
+    # internals iterate at mean 1 (scale-free — see _hits_half); one
+    # division by N at output restores the L1 contract (sums to 1)
+    n = F.count(F.lit(1)).over(Window.partitionBy())
     return (
         hub.select(F.col("domain"), F.col("val").alias("hub"))
         .join(
             auth.select(F.col("domain"), F.col("val").alias("authority")),
             "domain",
+        )
+        .select(
+            "domain",
+            (F.col("hub") / n.cast("double")).alias("hub"),
+            (F.col("authority") / n.cast("double")).alias("authority"),
         )
     )
 

@@ -424,14 +424,16 @@ def pmi_collocations(
             F.col("cnt").cast("bigint").alias("n_pair"),
             F.col("c1").cast("bigint").alias("n_w1"),
             F.col("c2").cast("bigint").alias("n_w2"),
-            F.round(
+            # + 0.0: signed-zero normalization for near-zero negative
+            # PMI (the verify-skill round() divergence rule)
+            (F.round(
                 F.log(
                     (F.col("cnt").cast("double")
                      * F.col("n_tokens").cast("double"))
                     / (F.col("c1").cast("double")
                        * F.col("c2").cast("double"))
                 ), 9
-            ).alias("pmi"),
+            ) + F.lit(0.0)).alias("pmi"),
         )
     )
     top = scored.orderBy(

@@ -624,8 +624,15 @@ def bitext_mine(
     b = tgt.select(
         F.col(id_col).alias("tgt_id"), vec_double(vec_col).alias("bv")
     )
-    sim = F.round(cosine(F.col("av"), F.col("bv")), round_to)
-    scored = (
+    from mindocr_spark.cache import tracked_persist
+
+    # + 0.0: signed-zero normalization (a near-zero negative cosine
+    # rounds to -0.0 in DuckDB, +0.0 here — the verify-skill rule);
+    # persisted because BOTH direction windows consume the scored
+    # cross product under different exchanges (src_id vs tgt_id) —
+    # without it the dominant cosine pass executes twice
+    sim = F.round(cosine(F.col("av"), F.col("bv")), round_to) + F.lit(0.0)
+    scored = tracked_persist(
         F.broadcast(a).join(b)
         .select("src_id", "tgt_id", sim.alias("cos_sim"))
     )

@@ -239,12 +239,14 @@ def readability_cols(df: DataFrame, text_col: str = "text",
         w.alias("n_tokens"),
         sents.alias("n_sentences"),
         syl.alias("n_syllables"),
-        F.round(
+        # + 0.0 normalizes IEEE signed zero (both scores cross zero on
+        # real corpora; the verify-skill round() divergence rule)
+        (F.round(
             F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
-        ).alias("flesch"),
-        F.round(
+        ) + F.lit(0.0)).alias("flesch"),
+        (F.round(
             F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
-        ).alias("fk_grade"),
+        ) + F.lit(0.0)).alias("fk_grade"),
     )
 
 
@@ -1267,12 +1269,19 @@ def temperature_mix(
     """
     strat = F.coalesce(F.col(stratum_col), F.lit("und"))
     per = (
-        df.select(strat.alias("stratum"),
-                  F.size(tokens_col(text_col)).alias("_nt"))
+        df.select(
+            strat.alias("stratum"),
+            # coalesce NULL text: an all-NULL stratum must report
+            # exact 0 tokens (sum over all-NULL is NULL), not vanish
+            # from the shares — the readability "verdict row" rule
+            F.size(tokens_col(F.coalesce(F.col(text_col), F.lit(""))))
+            .alias("_nt"),
+        )
         .groupBy("stratum")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("_nt").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.sum("_nt"), F.lit(0)).cast("bigint")
+            .alias("n_tokens"),
         )
     )
     wq = F.round(F.sqrt(F.col("n_tokens").cast("double")), 6)
@@ -1282,10 +1291,15 @@ def temperature_mix(
         F.sum(F.col("_wq").cast("decimal(38,6)"))
         .cast("double").alias("_s"),
     )
-    raw_share = F.col("n_tokens").cast("double") / F.col("_tot_tokens").cast(
-        "double"
+    # try_divide: a zero-token stratum (or an empty corpus) must yield
+    # NULL shares, never an ANSI divide-by-zero abort or a NaN that
+    # diverges from the oracle's CASE guards
+    raw_share = F.try_divide(
+        F.col("n_tokens").cast("double"),
+        F.col("_tot_tokens").cast("double"),
     )
-    temp_share = F.col("_wq") / F.col("_s")
+    temp_share = F.try_divide(F.col("_wq"), F.col("_s"))
+    has_mass = F.col("n_tokens") > 0
     return (
         weighted.crossJoin(F.broadcast(totals))
         .select(
@@ -1294,7 +1308,9 @@ def temperature_mix(
             "n_tokens",
             F.round(raw_share, 6).alias("raw_share"),
             F.round(temp_share, 6).alias("temp_share"),
-            F.round(temp_share / raw_share, 6).alias("boost"),
+            F.when(
+                has_mass, F.round(F.try_divide(temp_share, raw_share), 6)
+            ).alias("boost"),
             F.floor(F.lit(float(budget_tokens)) * temp_share)
             .cast("bigint").alias("alloc_tokens"),
         )

@@ -193,3 +193,24 @@ class TestDsirWeights:
         )
         assert "BroadcastHashJoin" in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestDsirNullTarget:
+    def test_null_verdict_lands_in_raw_remainder(self, spark):
+        from pyspark.sql import functions as F
+        from mindocr_spark.functions.classifier import dsir_logweights
+
+        # NULL lang → NULL target verdict; those grams must count in
+        # the raw distribution (coalesce False), not vanish from both
+        df = spark.createDataFrame(
+            [(1, "en", "good clean text here"),
+             (2, None, "noisy spam junk words"),
+             (3, "de", "noisy spam junk words")],
+            "doc_id bigint, lang string, text string",
+        )
+        out_null = {r["doc_id"]: r for r in dsir_logweights(
+            df, target=F.col("lang") == "en").collect()}
+        # doc 2 (NULL lang) must score identically to doc 3 (raw):
+        # same text, same side of the distribution
+        assert out_null[2]["logweight"] == out_null[3]["logweight"]
+        assert out_null[2]["n_grams"] == 3

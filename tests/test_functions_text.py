@@ -1162,3 +1162,22 @@ class TestBpeMergePairs:
             [(1, "a b c d e")], "doc_id bigint, text string"
         )
         assert bpe_merge_pairs(df).count() == 0
+
+
+class TestTemperatureMixEdges:
+    def test_zero_token_stratum_null_boost_no_abort(self, spark):
+        from mindocr_spark.functions.text import temperature_mix
+
+        # a language whose docs are all empty/NULL text must report
+        # exact zero counts and NULL boost — never a divide-by-zero
+        df = spark.createDataFrame(
+            [(1, "xx", ""), (2, "xx", None), (3, "en", "a b c")],
+            "doc_id bigint, lang string, text string",
+        ).select("lang", "text")
+        got = {r["lang"]: r for r in temperature_mix(df).collect()}
+        assert got["xx"]["n_tokens"] == 0
+        assert got["xx"]["boost"] is None
+        assert got["xx"]["raw_share"] == 0.0
+        assert got["xx"]["temp_share"] == 0.0
+        assert got["xx"]["alloc_tokens"] == 0
+        assert got["en"]["boost"] is not None
