@@ -1688,6 +1688,22 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars").orderBy("doc_id")
 
 
+def q_quantile_gate(spark, sf_dir):
+    """Dynamic-threshold curation: keep the top 60% of docs by
+    classifier score, cutoff = the corpus's own 0.4 quantile computed
+    in ONE unpartitioned-window pass (exact interpolated percentile,
+    bit-identical cross-engine)."""
+    from mindocr_spark.functions.classifier import (
+        quality_classifier_score,
+        quantile_gate,
+    )
+
+    scored = quality_classifier_score(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", "score")
+    return quantile_gate(scored, keep_frac=0.6).orderBy("doc_id")
+
+
 def q_pmi_collocations(spark, sf_dir):
     """Top-50 PMI collocations over adjacent-token pairs with a
     min-count gate: one pinned IEEE expression per pair over exact
@@ -2840,6 +2856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": _q(q_length_quantiles),
         "bpe_merge_pairs": _q(q_bpe_merge_pairs),
         "pmi_collocations": _q(q_pmi_collocations),
+        "quantile_gate": _q(q_quantile_gate),
         "zipf_fit": _q(q_zipf_fit),
         "url_canonicalize": _q(q_url_canonicalize),
         "grouped_split": _q(q_grouped_split),
@@ -4126,6 +4143,45 @@ def oracle_sql() -> dict[str, str]:
                         ELSE FALSE END AS keep
             FROM base b LEFT JOIN sums s USING (doc_id)
             ORDER BY b.doc_id
+        """.replace("__W__", ", ".join(
+            "('%s', CAST('%s' AS DECIMAL(10,3)))" % (b, wt)
+            for b, wt in _hashed_weights()
+        )),
+        "quantile_gate": r"""
+            WITH w(bucket, w) AS (VALUES __W__),
+            t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g'))
+                       AS norm
+              FROM documents),
+            tok0 AS (
+              SELECT doc_id, unnest(string_split(norm,' ')) AS tok
+              FROM t WHERE norm <> ''),
+            toks AS (
+              SELECT doc_id, substr(md5(tok), 1, 2) AS bucket FROM tok0),
+            sums AS (
+              SELECT doc_id, SUM(CAST(w AS DECIMAL(28,9))) AS logit
+              FROM toks JOIN w USING (bucket) GROUP BY doc_id),
+            base AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN norm = '' THEN 0
+                          ELSE len(string_split(norm,' ')) END AS INT)
+                       AS n_tokens
+              FROM t),
+            scored AS (
+              SELECT b.doc_id,
+                     CASE WHEN b.n_tokens > 0
+                          THEN CAST(s.logit AS DOUBLE)
+                               / CAST(b.n_tokens AS DOUBLE)
+                     END AS score
+              FROM base b LEFT JOIN sums s USING (doc_id)),
+            g AS (
+              SELECT doc_id, score,
+                     quantile_cont(score, 0.4) OVER () AS threshold
+              FROM scored)
+            SELECT doc_id, score, threshold,
+                   coalesce(score >= threshold, FALSE) AS keep
+            FROM g ORDER BY doc_id
         """.replace("__W__", ", ".join(
             "('%s', CAST('%s' AS DECIMAL(10,3)))" % (b, wt)
             for b, wt in _hashed_weights()

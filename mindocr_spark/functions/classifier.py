@@ -236,3 +236,49 @@ def dsir_logweights(
             .alias("avg_logweight"),
         )
     )
+
+
+def quantile_gate(
+    scored: DataFrame,
+    keep_frac: float = 0.6,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dynamic-threshold curation gate (the FineWeb-Edu "keep the top
+    X% by classifier score" step): the cutoff is the corpus's own
+    (1−keep_frac) quantile, not a hand-tuned constant — so the gate
+    tracks score-distribution drift across crawls instead of silently
+    keeping 90% of one snapshot and 10% of the next.
+
+    Returns (id, score, threshold, keep) flag-style — no row vanishes;
+    NULL scores (no evidence) report keep=false and ride along with
+    the corpus-wide threshold. Keep is ``score ≥ threshold`` with the
+    exact interpolated quantile (the `length_quantiles` cross-engine
+    contract: Spark `percentile` ↔ DuckDB `quantile_cont` are
+    bit-identical at (n−1)·p linear interpolation).
+
+    The threshold is an UNPARTITIONED window aggregate — single pass,
+    no second branch over the (expensive, classifier-scored) input,
+    linear plan growth (the hits_scores lesson). 100 TB shape: the
+    exact window buffers all scores on one reducer — at 10^12 rows
+    swap `F.percentile` for `F.approx_percentile` (t-digest,
+    map-side combinable) exactly as in `length_quantiles`; schema and
+    consumers unchanged.
+
+    Reference lineage: `drop_score` filtering of recognition results
+    (reference: tools/infer/text/predict_system.py:103-118) — the
+    same score gate with the constant replaced by a corpus quantile."""
+    if not (0.0 < keep_frac <= 1.0):
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    from pyspark.sql import Window
+
+    q = 1.0 - keep_frac
+    thr = F.percentile(score_col, F.lit(q)).over(Window.partitionBy())
+    return scored.select(
+        id_col,
+        score_col,
+        thr.alias("threshold"),
+        F.coalesce(
+            F.col(score_col) >= thr, F.lit(False)
+        ).alias("keep"),
+    )

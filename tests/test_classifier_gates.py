@@ -214,3 +214,42 @@ class TestDsirNullTarget:
         # same text, same side of the distribution
         assert out_null[2]["logweight"] == out_null[3]["logweight"]
         assert out_null[2]["n_grams"] == 3
+
+
+class TestQuantileGate:
+    def test_keeps_exact_top_fraction(self, spark):
+        from mindocr_spark.functions.classifier import quantile_gate
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(1, 11)],
+            "doc_id bigint, score double",
+        )
+        out = quantile_gate(df, keep_frac=0.6).collect()
+        kept = {r["doc_id"] for r in out if r["keep"]}
+        # threshold = quantile 0.4 of 1..10 = 1 + 9*0.4 = 4.6 → keep 5..10
+        assert kept == {5, 6, 7, 8, 9, 10}
+        assert out[0]["threshold"] == 4.6
+
+    def test_null_scores_ride_along_not_kept(self, spark):
+        from mindocr_spark.functions.classifier import quantile_gate
+
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, None), (3, 3.0)],
+            "doc_id bigint, score double",
+        )
+        got = {r["doc_id"]: r for r in
+               quantile_gate(df, keep_frac=0.5).collect()}
+        assert set(got) == {1, 2, 3}  # flag-style: no row vanishes
+        assert got[2]["keep"] is False
+        # threshold from non-NULL scores only: quantile 0.5 of [1,3]=2
+        assert got[2]["threshold"] == 2.0
+
+    def test_bad_fraction_raises(self, spark):
+        import pytest as _pytest
+        from mindocr_spark.functions.classifier import quantile_gate
+
+        df = spark.createDataFrame([(1, 1.0)], "doc_id bigint, score double")
+        with _pytest.raises(ValueError):
+            quantile_gate(df, keep_frac=0.0)
+        with _pytest.raises(ValueError):
+            quantile_gate(df, keep_frac=1.5)
