@@ -168,6 +168,7 @@ def main() -> None:
         "bpe_merge_pairs",      # BPE merge induction step
         "pmi_collocations",     # PMI phrase discovery
         "bitext_mine",          # mutual-NN margin alignment
+        "quantile_gate",        # dynamic top-X%% score cutoff
     ]
     qs = E.queries()
     for name in headline:
