@@ -895,6 +895,62 @@ def q_lang_id(spark, sf_dir):
     )
 
 
+#: lang_verify corpus device: per-language stopword tails (exactly the
+#: STOPWORD_PROFILES word lists, space-joined) appended to each doc so
+#: the declared tag has real function-word evidence; the rotation maps
+#: each language to the WRONG tail planted on %9 docs.
+_LV_TAILS = (
+    ("de", "der die und nicht das ist"),
+    ("en", "and of to is was for"),
+    ("es", "el los que una con para de"),
+    ("fr", "le et les des dans pour de"),
+    ("zh", "的 了 是 我 不 在"),
+)
+_LV_ROT = (("de", "en"), ("en", "es"), ("es", "fr"), ("fr", "zh"),
+           ("zh", "de"))
+
+
+def _chain_case(src, pairs):
+    """Chained WHEN over literal (key, value) pairs (NULL on no match)."""
+    expr = None
+    for k, v in pairs:
+        expr = (F.when(src == k, F.lit(v)) if expr is None
+                else expr.when(src == k, F.lit(v)))
+    return expr
+
+
+def q_lang_verify(spark, sf_dir):
+    """Declared-language audit: stopword-profile hit counts vs the
+    `lang` column (upstream lang tags come from HTTP headers and
+    <html lang>, which lie). The word-soup corpus has no function
+    words, so the query plants them: every doc gets its declared
+    language's stopword tail ×3 — except %9 docs get the ROTATED
+    (wrong) language's tail (planted mislabels the audit must catch)
+    and %11 docs get no tail at all (zero evidence → NULL verdict,
+    never a guess). The es/fr profiles share the genuine stopword
+    'de', so fr-tailed docs credit BOTH profiles and the argmax +
+    language-ascending tie rule is exercised. The oracle rebuilds the
+    same corpus and tally from VALUES relations."""
+    from mindocr_spark.functions.text import lang_verify_cols
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    lang = F.col("lang")
+    tail_decl = _chain_case(lang, _LV_TAILS)
+    tail_rot = _chain_case(_chain_case(lang, _LV_ROT), _LV_TAILS)
+    tail = F.when(F.col("doc_id") % 9 == 0, tail_rot).otherwise(tail_decl)
+    built = d.select(
+        "doc_id", "lang",
+        F.when(F.col("doc_id") % 11 == 0, F.col("text")).otherwise(
+            F.concat_ws(" ", F.col("text"), tail, tail, tail)
+        ).alias("text"),
+    )
+    # BIGINT verdict (1/0/NULL): a nullable BOOLEAN stringifies as
+    # None vs nan across the engines' pandas bridges; ints don't
+    return lang_verify_cols(built).withColumn(
+        "lang_match", F.col("lang_match").cast("bigint")
+    ).orderBy("doc_id")
+
+
 def q_rec_metrics_pairs(spark, sf_dir):
     """RecMetric: exact match + normalized Levenshtein over pred/label
     pairs (reference: mindocr/metrics/rec_metrics.py:11-152)."""
@@ -1835,6 +1891,7 @@ from mindocr_spark.functions.text import (  # noqa: E402
     DEHYPHEN_RE as _DEHYPHEN_RE,
     SCRIPT_CLASSES as _SCRIPT_CLASSES,
     SENTENCE_RE as _SENTENCE_RE,
+    STOPWORD_PROFILES as _STOPWORD_PROFILES,
     INDENT_LINE_RE as _INDENT_LINE_RE,
     LATEX_RE as _LATEX_RE,
     blockword_pattern as _blockword_pattern,
@@ -2865,6 +2922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": _q(q_domain_cap),
         "blocklist_filter": _q(q_blocklist_filter),
         "lang_id": _q(q_lang_id),
+        "lang_verify": _q(q_lang_verify),
         "rec_metrics_pairs": _q(q_rec_metrics_pairs),
         "rolling_fingerprint": _q(q_rolling_fingerprint),
         "exact_dedup": _q(q_exact_dedup),
@@ -5238,6 +5296,52 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'es' END AS pred_lang
             FROM c ORDER BY doc_id
         """,
+        # lang_verify: profiles / tails / rotation rendered from the
+        # SAME constants the Spark query compiles (_LV_TAILS, _LV_ROT,
+        # functions.text.STOPWORD_PROFILES) — corpus and tally drift
+        # is impossible by construction
+        "lang_verify": """
+            WITH prof(profile_lang, word) AS (VALUES __PROF__),
+            tails(lang, tail) AS (VALUES __TAILS__),
+            rot(lang, rlang) AS (VALUES __ROT__),
+            built AS (
+              SELECT d.doc_id, d.lang,
+                     CASE WHEN d.doc_id % 11 = 0 THEN d.text
+                          ELSE d.text || ' ' || tl.tail || ' ' ||
+                               tl.tail || ' ' || tl.tail
+                     END AS text
+              FROM documents d
+              JOIN rot r ON r.lang = d.lang
+              JOIN tails tl ON tl.lang =
+                CASE WHEN d.doc_id % 9 = 0 THEN r.rlang ELSE d.lang END),
+            tok AS (
+              SELECT doc_id,
+                     unnest(string_split(trim(regexp_replace(lower(text),
+                       '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ')) AS word
+              FROM built),
+            hits AS (
+              SELECT doc_id, profile_lang, count(*) AS cnt
+              FROM tok JOIN prof USING (word)
+              GROUP BY doc_id, profile_lang),
+            best AS (
+              SELECT doc_id, min({'nc': -cnt, 'pl': profile_lang}) AS b
+              FROM hits GROUP BY doc_id)
+            SELECT d.doc_id, d.lang,
+                   struct_extract(b.b, 'pl') AS profile_lang,
+                   CAST(coalesce(-struct_extract(b.b, 'nc'), 0) AS BIGINT)
+                     AS profile_hits,
+                   CAST(struct_extract(b.b, 'pl') = d.lang AS BIGINT)
+                     AS lang_match
+            FROM built d LEFT JOIN best b USING (doc_id)
+            ORDER BY doc_id
+        """.replace("__PROF__", ", ".join(
+            f"('{lg}', '{w}')"
+            for lg, ws in _STOPWORD_PROFILES for w in ws
+        )).replace("__TAILS__", ", ".join(
+            f"('{lg}', '{tl}')" for lg, tl in _LV_TAILS
+        )).replace("__ROT__", ", ".join(
+            f"('{lg}', '{rl}')" for lg, rl in _LV_ROT
+        )),
         "rec_metrics_pairs": """
             SELECT a.doc_id AS doc_id,
                    CAST(levenshtein(substr(a.text,1,40), substr(b.text,1,40)) AS BIGINT) AS lev,

@@ -886,6 +886,84 @@ def direction_norm_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Stopword-profile language verification (the declared-lang audit)
+# --------------------------------------------------------------------------
+
+#: Per-language stopword profiles for declared-language verification.
+#: Deliberately small (the audit needs FUNCTION words, not vocabulary
+#: coverage) and deliberately overlapping: "de" is a genuine stopword
+#: of BOTH Spanish and French, so a token may credit several profiles —
+#: the join fan-out is bounded by the profile count, never the corpus.
+STOPWORD_PROFILES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("de", ("der", "die", "und", "nicht", "das", "ist")),
+    ("en", ("and", "of", "to", "is", "was", "for")),
+    ("es", ("el", "los", "que", "una", "con", "para", "de")),
+    ("fr", ("le", "et", "les", "des", "dans", "pour", "de")),
+    ("zh", ("的", "了", "是", "我", "不", "在")),
+)
+
+
+def lang_verify_cols(
+    df: DataFrame,
+    profiles: tuple[tuple[str, tuple[str, ...]], ...] = STOPWORD_PROFILES,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Verify each document's DECLARED language against its stopword
+    profile (the CCNet/crawler-metadata audit: upstream `lang` tags
+    come from HTTP headers and <html lang> attributes, which lie).
+    Each language's function-word hit count is tallied; the profile
+    argmax (ties broken language-ascending — a struct MIN both engines
+    order field-wise) becomes ``profile_lang``, and ``lang_match``
+    compares it to the declared tag. A doc with ZERO profile hits has
+    no evidence: NULL ``profile_lang`` and NULL ``lang_match`` (the
+    engine-wide "no evidence ≠ pass" discipline), never a guess.
+
+    100 TB shape: exploded tokens semi-joined against the BROADCAST
+    profile relation (tens of rows) BEFORE any aggregate — the groupBy
+    runs at matched-token cardinality, not corpus-token cardinality —
+    then one bounded per-doc argmax. Zero Python, two shuffles (hit
+    count + anchor join), no skew (the doc key is uniform)."""
+    rows = [(lang, w) for lang, ws in profiles for w in ws]
+    prof = df.sparkSession.createDataFrame(
+        rows, "profile_lang string, word string"
+    )
+    base = tracked_persist(
+        df.select(
+            id_col, lang_col, tokens_col(F.lower(F.col(text_col))).alias("_toks")
+        )
+    )
+    tok = base.select(id_col, F.explode("_toks").alias("word"))
+    hits = (
+        tok.join(F.broadcast(prof), "word")
+        .groupBy(id_col, "profile_lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    best = hits.groupBy(id_col).agg(
+        F.min(
+            F.struct(
+                (-F.col("cnt")).alias("nc"),
+                F.col("profile_lang").alias("pl"),
+            )
+        ).alias("_b")
+    )
+    anchored = base.select(id_col, lang_col).join(best, id_col, "left")
+    pred = F.col("_b.pl")
+    return anchored.select(
+        id_col,
+        F.col(lang_col).alias("lang"),
+        pred.alias("profile_lang"),
+        F.coalesce((-F.col("_b.nc")).cast("bigint"), F.lit(0)).alias(
+            "profile_hits"
+        ),
+        F.when(pred.isNotNull(), pred == F.col(lang_col)).alias(
+            "lang_match"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
 # Fingerprinting
 # --------------------------------------------------------------------------
 

@@ -1181,3 +1181,47 @@ class TestTemperatureMixEdges:
         assert got["xx"]["temp_share"] == 0.0
         assert got["xx"]["alloc_tokens"] == 0
         assert got["en"]["boost"] is not None
+
+
+class TestLangVerify:
+    """Stopword-profile declared-language audit (lang_verify_cols)."""
+
+    def _run(self, spark, rows):
+        from mindocr_spark.functions.text import lang_verify_cols
+
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string"
+        )
+        return {r["doc_id"]: r for r in lang_verify_cols(df).collect()}
+
+    def test_match_mismatch_and_no_evidence(self, spark):
+        out = self._run(spark, [
+            # genuine en: profile argmax = declared tag
+            (1, "this is and of to is was for sure", "en"),
+            # declared en but German function words dominate
+            (2, "der die und nicht das ist wirklich", "en"),
+            # no profile word at all -> NULL verdict, never a guess
+            (3, "quark blorp zzz", "fr"),
+        ])
+        assert out[1]["profile_lang"] == "en" and out[1]["lang_match"] is True
+        assert out[2]["profile_lang"] == "de" and out[2]["lang_match"] is False
+        assert out[3]["profile_lang"] is None
+        assert out[3]["profile_hits"] == 0
+        assert out[3]["lang_match"] is None
+
+    def test_shared_stopword_credits_both_but_argmax_wins(self, spark):
+        # 'de' is in BOTH es and fr profiles; the fr-only words decide
+        out = self._run(spark, [(1, "de le et les dans", "fr")])
+        assert out[1]["profile_lang"] == "fr"
+        assert out[1]["profile_hits"] == 5  # de+le+et+les+dans
+        assert out[1]["lang_match"] is True
+
+    def test_tie_breaks_language_ascending(self, spark):
+        # one es hit ('el') vs one fr hit ('le'): tie -> 'es' (asc)
+        out = self._run(spark, [(1, "el le", "fr")])
+        assert out[1]["profile_lang"] == "es"
+        assert out[1]["lang_match"] is False
+
+    def test_case_folding_and_counts(self, spark):
+        out = self._run(spark, [(1, "AND and Of OF foo", "en")])
+        assert out[1]["profile_hits"] == 4
