@@ -1046,6 +1046,36 @@ def q_paragraph_dedup(spark, sf_dir):
     return paragraph_dedup(built, min_para_chars=30).orderBy("doc_id")
 
 
+def q_within_doc_dedup(spark, sf_dir):
+    """WITHIN-doc repeated-line removal, contrasted on the same corpus
+    family as paragraph_dedup: each doc = its text ⊕ its predecessor's
+    text ⊕ (on %3 docs) the shared boilerplate ⊕ its text AGAIN ⊕ (on
+    %6 docs) the boilerplate AGAIN. The page-local rule drops the
+    second in-doc copy of the text line and the second in-doc
+    boilerplate copy, but KEEPS one boilerplate line in every %3 doc —
+    exactly where the corpus-level rule keeps it in only the first doc.
+    Oracle: same corpus, first-ord-per-(doc, line) rule in SQL."""
+    from mindocr_spark.functions.dedup import within_doc_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    prev = docs.select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        F.col("text").alias("prev_text"),
+    )
+    built = docs.join(prev, "doc_id", "left").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.col("prev_text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_PARA_BOILERPLATE)),
+            F.col("text"),
+            F.when(F.col("doc_id") % 6 == 0, F.lit(_PARA_BOILERPLATE)),
+        ).alias("text"),
+    )
+    return within_doc_dedup(built, min_para_chars=30).orderBy("doc_id")
+
+
 def q_boilerplate_purge(spark, sf_dir):
     """Global line-frequency boilerplate removal (the Dolma/CCNet
     complement of paragraph dedup: a line in MORE than max_df distinct
@@ -2927,6 +2957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": _q(q_rolling_fingerprint),
         "exact_dedup": _q(q_exact_dedup),
         "paragraph_dedup": _q(q_paragraph_dedup),
+        "within_doc_dedup": _q(q_within_doc_dedup),
         "boilerplate_purge": _q(q_boilerplate_purge),
         "ngram_jaccard": _q(q_ngram_jaccard),
         "dehyphenate": _q(q_dehyphenate),
@@ -5401,6 +5432,44 @@ def oracle_sql() -> dict[str, str]:
               SELECT k.doc_id, k.ord, k.para
               FROM keyed k LEFT JOIN firsts f USING (ph)
               WHERE length(k.para) < 30 OR k.occ = f.first_occ)
+            SELECT b.doc_id,
+                   coalesce(s.text, '') AS text
+            FROM built b LEFT JOIN (
+              SELECT doc_id, string_agg(para, chr(10) ORDER BY ord) AS text
+              FROM kept GROUP BY doc_id) s USING (doc_id)
+            ORDER BY b.doc_id
+        """,
+        # paragraph corpus + in-doc repeats; the rule narrows to
+        # first-occurrence-per-(doc, line)
+        "within_doc_dedup": f"""
+            WITH prev AS (
+              SELECT doc_id + 1 AS doc_id, text AS prev_text
+              FROM documents),
+            built AS (
+              SELECT d.doc_id,
+                     concat_ws(chr(10), d.text, p.prev_text,
+                               CASE WHEN d.doc_id % 3 = 0
+                                    THEN '{_PARA_BOILERPLATE}' END,
+                               d.text,
+                               CASE WHEN d.doc_id % 6 = 0
+                                    THEN '{_PARA_BOILERPLATE}' END) AS text
+              FROM documents d LEFT JOIN prev p USING (doc_id)),
+            lists AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ps FROM built),
+            paras AS (
+              SELECT doc_id,
+                     CAST(generate_subscripts(ps, 1) - 1 AS BIGINT) AS ord,
+                     unnest(ps) AS para
+              FROM lists),
+            keyed AS (
+              SELECT doc_id, ord, para, md5(para) AS ph FROM paras),
+            firsts AS (
+              SELECT doc_id, ph, min(ord) AS first_ord FROM keyed
+              WHERE length(para) >= 30 GROUP BY doc_id, ph),
+            kept AS (
+              SELECT k.doc_id, k.ord, k.para
+              FROM keyed k LEFT JOIN firsts f USING (doc_id, ph)
+              WHERE length(k.para) < 30 OR k.ord = f.first_ord)
             SELECT b.doc_id,
                    coalesce(s.text, '') AS text
             FROM built b LEFT JOIN (

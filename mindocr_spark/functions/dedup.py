@@ -232,6 +232,42 @@ def paragraph_dedup(
     return _rebuild_docs(kept, keyed, text_col, id_col, sep)
 
 
+def within_doc_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_para_chars: int = 30,
+    sep: str = "\n",
+) -> DataFrame:
+    """WITHIN-document repeated-line removal (the RefinedWeb/C4
+    page-local complement of :func:`paragraph_dedup`): a line repeated
+    inside the SAME doc keeps only its first occurrence; the same line
+    in a different doc is untouched — navigation chrome duplicated
+    down one page collapses while legitimately shared content (site
+    boilerplate handled by the corpus-level rules) survives here.
+    Lines shorter than `min_para_chars` never participate. Same
+    return contract as paragraph_dedup: (id, rebuilt text), hollowed
+    docs come back as '' not lost rows.
+
+    100 TB plan: identical shape to paragraph_dedup but the aggregate
+    key is (doc, line-hash) — the doc id in the key makes it uniform
+    by construction (no viral hot key is even possible), so this is
+    the cheapest dedup pass in the family: one skew-free shuffle +
+    the rebuild groupBy. reference: collect_node.py:72-99 (per-doc
+    bookkeeping dropping re-emitted crops of the SAME image)."""
+    keyed = _exploded_segments(docs, text_col, id_col, sep)
+    firsts = (
+        keyed.where(F.length("para") >= min_para_chars)
+        .groupBy(id_col, "ph")
+        .agg(F.min("ord").alias("first_ord"))
+    )
+    kept = keyed.join(firsts, [id_col, "ph"], "left").where(
+        (F.length("para") < min_para_chars)
+        | (F.col("ord") == F.col("first_ord"))
+    )
+    return _rebuild_docs(kept, keyed, text_col, id_col, sep)
+
+
 def _exploded_segments(docs: DataFrame, text_col: str, id_col: str,
                        sep: str) -> DataFrame:
     """Split each doc on the literal `sep` and explode to one row per

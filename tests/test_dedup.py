@@ -271,6 +271,28 @@ def test_paragraph_dedup_first_occurrence(spark):
     assert set(out) == {1, 2, 3}  # row preserved even when hollowed out
 
 
+def test_within_doc_dedup_page_local_rule(spark):
+    """Within-doc line dedup: the SECOND in-doc copy of a line drops,
+    the same line in a DIFFERENT doc is untouched (the page-local
+    rule), short lines are exempt, and a doc of only repeats hollows
+    to '' without losing its row."""
+    from mindocr_spark.functions.dedup import within_doc_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "\n".join([LONG_A, HDR, LONG_A, LONG_B])),  # in-doc repeat
+            (2, "\n".join([LONG_A, LONG_A])),  # cross-doc copy kept once
+            (3, "\n".join([HDR, HDR])),        # short lines always kept
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in within_doc_dedup(docs).collect()}
+    assert out[1] == "\n".join([LONG_A, HDR, LONG_B])
+    assert out[2] == LONG_A          # doc 2 keeps its own first copy
+    assert out[3] == "\n".join([HDR, HDR])
+    assert set(out) == {1, 2, 3}
+
+
 def test_paragraph_dedup_string_ids_tuple_order(spark):
     """String ids must order as TUPLES (struct-min): url 'a' < 'a/b',
     so 'a' keeps the shared paragraph. A padded-string-concat occurrence
