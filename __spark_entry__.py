@@ -1046,6 +1046,59 @@ def q_paragraph_dedup(spark, sf_dir):
     return paragraph_dedup(built, min_para_chars=30).orderBy("doc_id")
 
 
+#: span_dedup's viral three-sentence block — planted on every third doc
+#: so the C4 span rule has a many-occurrence family (first doc keeps
+#: it, every other loses exactly those three sentences).
+_SPAN_VIRAL = ("Alpha beta gamma. Delta epsilon zeta! Eta theta iota.")
+
+
+def q_span_dedup(spark, sf_dir):
+    """C4's three-sentence-span dedup over a sentence-tiled corpus:
+    each doc's quarters become four terminated sentences; %4==1 docs
+    additionally quote the FIRST THREE sentences of their predecessor
+    (a pairwise duplicated span — the quoting doc must lose it, the
+    quoted doc must keep it), and %3==0 docs append the shared viral
+    block (kept only in the min-id doc). The oracle rebuilds corpus,
+    segmentation, span hashing, first-occurrence rule, and the
+    covered-sentence removal in SQL."""
+    from mindocr_spark.functions.dedup import span_dedup
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("q", F.expr("length(text) div 4"))
+    )
+    base = d.select(
+        "doc_id",
+        F.concat(
+            F.expr("substr(text, 1, q)"), F.lit(". "),
+            F.expr("substr(text, q + 1, q)"), F.lit("! "),
+            F.expr("substr(text, 2 * q + 1, q)"), F.lit("? "),
+            F.expr("substr(text, 3 * q + 1, length(text) - 3 * q)"),
+            F.lit("."),
+        ).alias("core"),
+        F.concat(
+            F.expr("substr(text, 1, q)"), F.lit(". "),
+            F.expr("substr(text, q + 1, q)"), F.lit("! "),
+            F.expr("substr(text, 2 * q + 1, q)"), F.lit("?"),
+        ).alias("head3"),
+    )
+    prev = base.select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        F.col("head3").alias("prev_head"),
+    )
+    built = base.join(prev, "doc_id", "left").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("core"),
+            F.when(F.col("doc_id") % 4 == 1, F.col("prev_head")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_SPAN_VIRAL)),
+        ).alias("text"),
+    )
+    return span_dedup(built, n=3).orderBy("doc_id")
+
+
 def q_within_doc_dedup(spark, sf_dir):
     """WITHIN-doc repeated-line removal, contrasted on the same corpus
     family as paragraph_dedup: each doc = its text ⊕ its predecessor's
@@ -2958,6 +3011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q(q_exact_dedup),
         "paragraph_dedup": _q(q_paragraph_dedup),
         "within_doc_dedup": _q(q_within_doc_dedup),
+        "span_dedup": _q(q_span_dedup),
         "boilerplate_purge": _q(q_boilerplate_purge),
         "ngram_jaccard": _q(q_ngram_jaccard),
         "dehyphenate": _q(q_dehyphenate),
@@ -5439,6 +5493,97 @@ def oracle_sql() -> dict[str, str]:
               FROM kept GROUP BY doc_id) s USING (doc_id)
             ORDER BY b.doc_id
         """,
+        # span_dedup: sentence tiling (the sentence_split device), span
+        # hashing with the same U+001F joiner, first-occurrence rule,
+        # covered-sentence removal — all recomputed in SQL
+        "span_dedup": r"""
+            WITH base AS (
+              SELECT doc_id, text, length(text) // 4 AS q
+              FROM documents),
+            parts AS (
+              SELECT doc_id,
+                     substr(text, 1, q) || '. '
+                       || substr(text, q + 1, q) || '! '
+                       || substr(text, 2 * q + 1, q) || '? '
+                       || substr(text, 3 * q + 1, length(text) - 3 * q)
+                       || '.' AS core,
+                     substr(text, 1, q) || '. '
+                       || substr(text, q + 1, q) || '! '
+                       || substr(text, 2 * q + 1, q) || '?' AS head3
+              FROM base),
+            built AS (
+              SELECT p.doc_id,
+                     concat_ws(' ', p.core,
+                       CASE WHEN p.doc_id % 4 = 1 THEN pr.head3 END,
+                       CASE WHEN p.doc_id % 3 = 0 THEN '__VIRAL__' END)
+                       AS text
+              FROM parts p LEFT JOIN (
+                SELECT doc_id + 1 AS doc_id, head3 FROM parts) pr
+                USING (doc_id)),
+            segs AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '__PAT__', 1)) AS raw,
+                     generate_subscripts(
+                       regexp_extract_all(text, '__PAT__', 1), 1) AS si
+              FROM built),
+            snt AS (
+              SELECT doc_id, si,
+                     regexp_replace(raw,
+                       '^[ \t\n\r\f\x0B]+|[ \t\n\r\f\x0B]+$',
+                       '', 'g') AS sentence
+              FROM segs),
+            ranked AS (
+              SELECT doc_id,
+                     row_number() OVER (
+                       PARTITION BY doc_id ORDER BY si) AS rn,
+                     sentence
+              FROM snt WHERE sentence <> ''),
+            spans AS (
+              SELECT doc_id, rn,
+                     md5(sentence || chr(31)
+                         || lead(sentence, 1) OVER w || chr(31)
+                         || lead(sentence, 2) OVER w) AS sh,
+                     lead(sentence, 2) OVER w IS NOT NULL AS isfull,
+                     {'i': doc_id, 'o': rn} AS occ
+              FROM ranked WINDOW w AS (
+                PARTITION BY doc_id ORDER BY rn)),
+            fullspans AS (
+              SELECT doc_id, rn, sh, occ FROM spans WHERE isfull),
+            firsts AS (
+              SELECT sh, min(occ) AS first_occ
+              FROM fullspans GROUP BY sh),
+            dups AS (
+              SELECT o.doc_id, o.rn
+              FROM fullspans o JOIN firsts f USING (sh)
+              WHERE o.occ <> f.first_occ),
+            covered AS (
+              SELECT DISTINCT doc_id, rn FROM (
+                SELECT doc_id,
+                       unnest(generate_series(rn, rn + 2)) AS rn
+                FROM dups)),
+            kept AS (
+              SELECT r.doc_id, r.rn, r.sentence
+              FROM ranked r ANTI JOIN covered c
+                ON r.doc_id = c.doc_id AND r.rn = c.rn),
+            tot AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sents
+              FROM ranked GROUP BY doc_id),
+            reb AS (
+              SELECT doc_id,
+                     string_agg(sentence, ' ' ORDER BY rn) AS text,
+                     count(*) AS kept_n
+              FROM kept GROUP BY doc_id)
+            SELECT b.doc_id,
+                   coalesce(r.text, '') AS text,
+                   CAST(coalesce(t.n_sents, 0) AS BIGINT) AS n_sents,
+                   CAST(coalesce(t.n_sents, 0) - coalesce(r.kept_n, 0)
+                        AS BIGINT) AS n_removed
+            FROM built b
+            LEFT JOIN tot t USING (doc_id)
+            LEFT JOIN reb r USING (doc_id)
+            ORDER BY b.doc_id
+        """.replace("__PAT__", _SENTENCE_RE).replace(
+            "__VIRAL__", _SPAN_VIRAL),
         # paragraph corpus + in-doc repeats; the rule narrows to
         # first-occurrence-per-(doc, line)
         "within_doc_dedup": f"""

@@ -365,6 +365,94 @@ def boilerplate_purge(
 # --------------------------------------------------------------------------
 
 
+def span_dedup(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4's sentence-span dedup rule, single pass: any run of `n`
+    consecutive sentences that occurs more than once in the corpus
+    keeps only its FIRST occurrence (min (id, position) — the same
+    deterministic rule every dedup pass in this engine uses); every
+    sentence covered by a non-first duplicated span is removed, and
+    each doc's text is rebuilt as the space-joined surviving
+    sentences. Returns (id, text, n_sents, n_removed); a doc whose
+    every sentence drops comes back as '' with its counts, never a
+    lost row. Sentences are the :func:`~mindocr_spark.functions.text.
+    sentence_split` grain; the span key joins them with U+001F
+    (assumed absent from text — it is a C0 control).
+
+    100 TB plan: sentence ranking and span formation are two windows
+    on the SAME uniform doc key (one exchange, bounded per-doc rows);
+    the span-hash aggregate is one shuffle with a MIN partial — a
+    viral span's 10^9 occurrences collapse map-side, the same
+    skew-safety argument as paragraph_dedup; the covered-sentence set
+    is a distinct + anti-join on (doc, position). No all-pairs
+    anywhere. reference: the C4 dataset card's "three-sentence span"
+    discard rule, re-expressed as collect_node.py:72-99-style
+    first-occurrence bookkeeping at corpus scale."""
+    from mindocr_spark.functions.text import sentence_split
+
+    sents = sentence_split(docs, text_col=text_col, id_col=id_col)
+    w = Window.partitionBy(id_col).orderBy("sent_idx")
+    ranked = tracked_persist(
+        sents.select(
+            id_col, F.row_number().over(w).alias("rn"), "sentence"
+        )
+    )
+    wr = Window.partitionBy(id_col).orderBy("rn")
+    leads = [F.col("sentence")] + [
+        F.lead("sentence", i).over(wr) for i in range(1, n)
+    ]
+    spans = (
+        ranked.select(
+            id_col, "rn",
+            F.md5(F.concat_ws("\x1f", *leads)).alias("sh"),
+            leads[-1].isNotNull().alias("_full"),
+        )
+        .where("_full")
+        .withColumn(
+            "occ",
+            F.struct(F.col(id_col).alias("i"), F.col("rn").alias("o")),
+        )
+    )
+    firsts = spans.groupBy("sh").agg(F.min("occ").alias("first_occ"))
+    dups = spans.join(firsts, "sh").where(F.col("occ") != F.col("first_occ"))
+    covered = dups.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("rn"), F.col("rn") + F.lit(n - 1))
+        ).alias("rn"),
+    ).distinct()
+    kept = ranked.join(covered, [id_col, "rn"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "sentence"))),
+                lambda x: x["sentence"],
+            ),
+            " ",
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    totals = ranked.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    out = (
+        docs.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+    )
+    n_sents = F.coalesce("_n", F.lit(0)).cast("bigint")
+    return out.select(
+        id_col,
+        F.coalesce(text_col, F.lit("")).alias(text_col),
+        n_sents.alias("n_sents"),
+        (n_sents - F.coalesce("_kept", F.lit(0))).cast("bigint").alias(
+            "n_removed"
+        ),
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, k: int = 3, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
                         max_shingle_freq: int = 10_000) -> DataFrame:

@@ -293,6 +293,49 @@ def test_within_doc_dedup_page_local_rule(spark):
     assert set(out) == {1, 2, 3}
 
 
+def test_span_dedup_c4_rule(spark):
+    """C4 three-sentence-span rule: the quoting doc loses the repeated
+    span's sentences, the quoted doc keeps them; sentences outside any
+    duplicated span survive; counts are exact."""
+    from mindocr_spark.functions.dedup import span_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "One ring. Two towers! Three kings? Four winds."),
+            # doc 2 quotes doc 1's first three sentences, then its own
+            (2, "One ring. Two towers! Three kings? Own tail here."),
+            (3, "Totally unrelated. Fresh content! New stuff? Done."),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in span_dedup(docs, n=3).collect()}
+    assert out[1]["text"] == (
+        "One ring. Two towers! Three kings? Four winds."
+    )
+    assert out[1]["n_removed"] == 0
+    assert out[2]["text"] == "Own tail here."
+    assert out[2]["n_sents"] == 4 and out[2]["n_removed"] == 3
+    assert out[3]["n_removed"] == 0
+
+
+def test_span_dedup_overlapping_spans_and_hollow_doc(spark):
+    """A doc that IS a duplicated span hollows to '' but keeps its
+    row; overlapping duplicated spans remove the union of covered
+    sentences, not double-count."""
+    from mindocr_spark.functions.dedup import span_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Aa bb. Cc dd! Ee ff? Gg hh."),
+            (2, "Aa bb. Cc dd! Ee ff? Gg hh."),  # full dup: 2 spans
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in span_dedup(docs, n=3).collect()}
+    assert out[1]["n_removed"] == 0
+    assert out[2]["text"] == "" and out[2]["n_removed"] == 4
+
+
 def test_paragraph_dedup_string_ids_tuple_order(spark):
     """String ids must order as TUPLES (struct-min): url 'a' < 'a/b',
     so 'a' keeps the shared paragraph. A padded-string-concat occurrence
