@@ -1650,6 +1650,34 @@ def q_sentence_split(spark, sf_dir):
     return sentence_split(built).orderBy("doc_id", "sent_idx")
 
 
+def q_unigram_drift(spark, sf_dir):
+    """Snapshot-to-snapshot distribution drift: KL(new‖old) per
+    language over add-one-smoothed unigram distributions. The 'new'
+    snapshot drops every %10==9 doc (churn) and appends a drift
+    phrase to every %7 doc (novel vocabulary) — so every language
+    stratum takes a small positive KL the oracle reproduces term by
+    term under the shared ln-quantization discipline."""
+    from mindocr_spark.functions.text import unigram_drift
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    new = docs.where(F.col("doc_id") % 10 != 9).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" drifted vocabulary appears here now"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+        "lang",
+    )
+    return (
+        unigram_drift(docs, new, group_col="lang")
+        .withColumnRenamed("grp", "lang")
+        .orderBy("lang")
+    )
+
+
 def q_token_entropy(spark, sf_dir):
     """Unigram token-entropy gate features: −Σ p·ln p over each doc's
     token distribution (the Gopher symbol-distribution family — sees
@@ -3006,6 +3034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": _q(q_blocklist_filter),
         "lang_id": _q(q_lang_id),
         "lang_verify": _q(q_lang_verify),
+        "unigram_drift": _q(q_unigram_drift),
         "rec_metrics_pairs": _q(q_rec_metrics_pairs),
         "rolling_fingerprint": _q(q_rolling_fingerprint),
         "exact_dedup": _q(q_exact_dedup),
@@ -5427,6 +5456,58 @@ def oracle_sql() -> dict[str, str]:
         )).replace("__ROT__", ", ".join(
             f"('{lg}', '{rl}')" for lg, rl in _LV_ROT
         )),
+        # unigram_drift: same snapshot construction + smoothing +
+        # ln-quantization discipline, recomputed in SQL
+        "unigram_drift": r"""
+            WITH old_t AS (
+              SELECT lang AS grp,
+                     unnest(string_split(trim(regexp_replace(text,
+                       '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ')) AS token,
+                     0 AS side
+              FROM documents),
+            new_docs AS (
+              SELECT lang,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN text ||
+                            ' drifted vocabulary appears here now'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 10 <> 9),
+            new_t AS (
+              SELECT lang AS grp,
+                     unnest(string_split(trim(regexp_replace(text,
+                       '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ')) AS token,
+                     1 AS side
+              FROM new_docs),
+            allt AS (
+              SELECT * FROM old_t UNION ALL SELECT * FROM new_t),
+            counts AS (
+              SELECT grp, token,
+                     count(*) FILTER (WHERE side = 0) AS c_old,
+                     count(*) FILTER (WHERE side = 1) AS c_new
+              FROM allt GROUP BY grp, token),
+            tot AS (
+              SELECT grp, sum(c_old) AS n_old, sum(c_new) AS n_new,
+                     count(*) AS v
+              FROM counts GROUP BY grp),
+            terms AS (
+              SELECT c.grp, t.n_old, t.n_new, t.v,
+                     CAST(round(
+                       (CAST(c.c_new + 1 AS DOUBLE)
+                          / CAST(t.n_new + t.v AS DOUBLE))
+                       * round(ln(
+                           (CAST(c.c_new + 1 AS DOUBLE)
+                              / CAST(t.n_new + t.v AS DOUBLE))
+                           / (CAST(c.c_old + 1 AS DOUBLE)
+                              / CAST(t.n_old + t.v AS DOUBLE))), 9),
+                       12) AS DECIMAL(28,12)) AS term
+              FROM counts c JOIN tot t USING (grp))
+            SELECT grp AS lang,
+                   CAST(any_value(n_old) AS BIGINT) AS n_tokens_old,
+                   CAST(any_value(n_new) AS BIGINT) AS n_tokens_new,
+                   CAST(any_value(v) AS BIGINT) AS vocab_size,
+                   CAST(sum(term) AS DOUBLE) AS kl_drift
+            FROM terms GROUP BY grp ORDER BY lang
+        """,
         "rec_metrics_pairs": """
             SELECT a.doc_id AS doc_id,
                    CAST(levenshtein(substr(a.text,1,40), substr(b.text,1,40)) AS BIGINT) AS lev,

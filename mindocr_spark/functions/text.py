@@ -885,6 +885,72 @@ def direction_norm_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def unigram_drift(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Distribution drift between two corpus snapshots: KL(new‖old)
+    over add-one-smoothed unigram distributions on the UNION
+    vocabulary, per `group_col` stratum (or one 'all' row). The
+    training-data monitoring gate: a crawl increment whose token
+    distribution diverges from the committed corpus (spam floods,
+    template changes, language shifts) flags BEFORE it trains.
+    Returns (grp, n_tokens_old, n_tokens_new, vocab_size, kl_drift).
+
+    Exactness discipline: p = (c+1)/(n+V) is one IEEE division per
+    side, each term is p_new·round(ln(p_new/p_old), 9) quantized at 12
+    and summed as DECIMAL (order-independent), final cast to double —
+    the engine-wide ln-quantization rule.
+
+    100 TB shape: both sides explode to (grp, token, side) and meet in
+    ONE count aggregate with map-side partials (a viral token
+    collapses before the exchange); group totals are a second tiny
+    aggregate joined back (groups are few — broadcast); one final
+    DECIMAL sum per group. The per-(grp, token) relation is persisted
+    — it feeds both the totals and the terms."""
+    def side(df: DataFrame, tag: int) -> DataFrame:
+        g = (F.col(group_col) if group_col else F.lit("all")).alias("grp")
+        return df.select(g, tokens_col(text_col).alias("_t")).select(
+            "grp", F.explode("_t").alias("token"), F.lit(tag).alias("side")
+        )
+
+    counts = tracked_persist(
+        side(old, 0).unionAll(side(new, 1))
+        .groupBy("grp", "token")
+        .agg(
+            F.count(F.when(F.col("side") == 0, 1)).alias("c_old"),
+            F.count(F.when(F.col("side") == 1, 1)).alias("c_new"),
+        )
+    )
+    totals = counts.groupBy("grp").agg(
+        F.sum("c_old").alias("n_old"),
+        F.sum("c_new").alias("n_new"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    j = counts.join(F.broadcast(totals), "grp")
+    p_old = (F.col("c_old") + 1).cast("double") / (
+        F.col("n_old") + F.col("v")
+    ).cast("double")
+    p_new = (F.col("c_new") + 1).cast("double") / (
+        F.col("n_new") + F.col("v")
+    ).cast("double")
+    term = F.round(
+        p_new * F.round(F.log(p_new / p_old), 9), 12
+    ).cast("decimal(28,12)")
+    return (
+        j.select("grp", "n_old", "n_new", "v", term.alias("_term"))
+        .groupBy("grp")
+        .agg(
+            F.first("n_old").alias("n_tokens_old"),
+            F.first("n_new").alias("n_tokens_new"),
+            F.first("v").cast("bigint").alias("vocab_size"),
+            F.sum("_term").cast("double").alias("kl_drift"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Stopword-profile language verification (the declared-lang audit)
 # --------------------------------------------------------------------------

@@ -1225,3 +1225,41 @@ class TestLangVerify:
     def test_case_folding_and_counts(self, spark):
         out = self._run(spark, [(1, "AND and Of OF foo", "en")])
         assert out[1]["profile_hits"] == 4
+
+
+class TestUnigramDrift:
+    """KL(new||old) drift between snapshots (unigram_drift)."""
+
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string"
+        )
+
+    def test_identical_snapshots_zero_drift(self, spark):
+        from mindocr_spark.functions.text import unigram_drift
+
+        d = self._mk(spark, [(1, "a b c a", "en"), (2, "x y", "de")])
+        out = {r["grp"]: r for r in
+               unigram_drift(d, d, group_col="lang").collect()}
+        assert out["en"]["kl_drift"] == 0.0
+        assert out["de"]["kl_drift"] == 0.0
+        assert out["en"]["n_tokens_old"] == out["en"]["n_tokens_new"] == 4
+        assert out["en"]["vocab_size"] == 3
+
+    def test_novel_vocabulary_positive_drift(self, spark):
+        from mindocr_spark.functions.text import unigram_drift
+
+        old = self._mk(spark, [(1, "a a a b", "en")])
+        new = self._mk(spark, [(1, "a a a b zzz zzz", "en")])
+        r = unigram_drift(old, new, group_col="lang").collect()[0]
+        # union vocab includes zzz; old has 0 of them (smoothed)
+        assert r["vocab_size"] == 3
+        assert r["kl_drift"] > 0.0
+
+    def test_ungrouped_single_row(self, spark):
+        from mindocr_spark.functions.text import unigram_drift
+
+        old = self._mk(spark, [(1, "a b", "en"), (2, "c", "de")])
+        new = self._mk(spark, [(1, "a b c d", "fr")])
+        rows = unigram_drift(old, new).collect()
+        assert len(rows) == 1 and rows[0]["grp"] == "all"
