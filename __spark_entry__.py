@@ -2793,6 +2793,36 @@ def q_ctc_collapse(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_gate_attribution(spark, sf_dir):
+    """Per-doc rejection attribution over an ordered gate chain (the
+    funnel-observability complement of curate()'s survivor counts):
+    language keep-list → length floor → stop-ratio floor → blockword
+    scan, with a blockword planted on every 13th doc. first-failed
+    precedence, fail-on-NULL, n_failed counting all gates, and the
+    passed verdict are all recomputed as one SQL CASE chain."""
+    from mindocr_spark.curate import gate_attribution
+    from mindocr_spark.functions.text import blockword_pattern, quality_cols
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    built = docs.select(
+        "doc_id", "lang",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.col("text"), F.lit(" badword")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    q = quality_cols(built).select("doc_id", "stop_ratio")
+    d = built.join(q, "doc_id")
+    pat = blockword_pattern(("badword",))
+    gates = [
+        ("lang_keep", F.col("lang").isin("en", "de", "es", "fr")),
+        ("min_chars", F.length("text") >= F.lit(200)),
+        ("stop_ratio", F.col("stop_ratio") >= F.lit(0.04)),
+        ("blockwords", ~F.lower(F.col("text")).rlike(pat)),
+    ]
+    return gate_attribution(d, gates).orderBy("doc_id")
+
+
 def q_curate_pipeline(spark, sf_dir):
     """The full curation composite (extract → lang/quality gates → exact
     dedup) end-to-end, oracle-checked. MinHash near-dup removal is
@@ -3072,6 +3102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram": _q(q_length_histogram),
         "publication_date": _q(q_publication_date),
         "direction_norm": _q(q_direction_norm),
+        "gate_attribution": _q(q_gate_attribution),
         "curate_pipeline": _q(q_curate_pipeline),
         "attn_tokens": _q(q_attn_tokens),
         "approx_distinct": _q(q_approx_distinct),
@@ -5970,6 +6001,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, component, cluster_size
             FROM lab JOIN szc USING (component)
             ORDER BY doc_id
+        """,
+        # gate_attribution: gate predicates + CASE precedence chain
+        # recomputed in SQL (stop_ratio from the shared _STOP_RE device)
+        "gate_attribution": r"""
+            WITH built AS (
+              SELECT doc_id, lang,
+                     CASE WHEN doc_id % 13 = 0 THEN text || ' badword'
+                          ELSE text END AS text
+              FROM documents),
+            q AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text,
+                       '\b(the|a|an|and|of|to|in|is|it|for|on|with)\b'))
+                       AS sh,
+                     CASE WHEN trim(regexp_replace(text,
+                            '[ \t\n\r\f\x0B]+', ' ', 'g')) = '' THEN 0
+                          ELSE len(string_split(trim(regexp_replace(text,
+                            '[ \t\n\r\f\x0B]+', ' ', 'g')), ' '))
+                     END AS nt
+              FROM built),
+            g AS (
+              SELECT b.doc_id,
+                     b.lang IN ('en', 'de', 'es', 'fr') AS g1,
+                     length(b.text) >= 200 AS g2,
+                     coalesce(round(CAST(q.sh AS DOUBLE)
+                       / CAST(nullif(q.nt, 0) AS DOUBLE), 6)
+                       >= CAST(0.04 AS DOUBLE), FALSE) AS g3,
+                     NOT regexp_matches(lower(b.text),
+                       '(\bbadword\b)') AS g4
+              FROM built b JOIN q USING (doc_id))
+            SELECT doc_id,
+                   CASE WHEN NOT g1 THEN 'lang_keep'
+                        WHEN NOT g2 THEN 'min_chars'
+                        WHEN NOT g3 THEN 'stop_ratio'
+                        WHEN NOT g4 THEN 'blockwords' END
+                     AS first_failed_gate,
+                   CAST((CASE WHEN g1 THEN 0 ELSE 1 END)
+                      + (CASE WHEN g2 THEN 0 ELSE 1 END)
+                      + (CASE WHEN g3 THEN 0 ELSE 1 END)
+                      + (CASE WHEN g4 THEN 0 ELSE 1 END) AS BIGINT)
+                     AS n_failed,
+                   CAST(CASE WHEN g1 AND g2 AND g3 AND g4
+                             THEN 1 ELSE 0 END AS BIGINT) AS passed
+            FROM g ORDER BY doc_id
         """,
         "curate_pipeline": f"""
             WITH x AS (

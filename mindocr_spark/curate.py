@@ -484,6 +484,45 @@ def _curate_build(pages, cfg, params, _persist):
     return curated, funnel
 
 
+def gate_attribution(
+    df: DataFrame,
+    gates: list[tuple[str, "F.Column"]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc rejection attribution over an ORDERED gate list
+    [(name, pass_predicate), ...] — the funnel's survivor counts say
+    how many docs each stage dropped; this says WHY each individual
+    doc dropped and what it would ALSO have failed:
+
+    - ``first_failed_gate``: name of the first gate whose predicate is
+      not TRUE (NULL predicates FAIL — the engine-wide "no evidence ≠
+      pass" discipline), NULL when every gate passes;
+    - ``n_failed``: how many of the gates fail (each doc is evaluated
+      against ALL gates, not short-circuited — the signal a gate-
+      tuning pass needs: a gate whose failures are all also caught
+      later is removable);
+    - ``passed``: 1/0 all-gates verdict.
+
+    100 TB shape: the caller binds whatever signal columns the gates
+    reference (joins priced there); attribution itself is pure row
+    expressions — one codegen CASE chain, zero shuffles."""
+    names = [n for n, _ in gates]
+    passed = [F.coalesce(p, F.lit(False)) for _, p in gates]
+    first = F.lit(None).cast("string")
+    for name, p in reversed(list(zip(names, passed))):
+        first = F.when(~p, F.lit(name)).otherwise(first)
+    n_failed = None
+    for p in passed:
+        c = (~p).cast("int")
+        n_failed = c if n_failed is None else n_failed + c
+    return df.select(
+        id_col,
+        first.alias("first_failed_gate"),
+        n_failed.cast("bigint").alias("n_failed"),
+        (n_failed == 0).cast("bigint").alias("passed"),
+    )
+
+
 def _funnel(*stages: tuple[str, DataFrame]) -> DataFrame:
     """LAZY per-stage survivor counts: a union of single-row count
     aggregates, materialized in ONE job only when the caller collects

@@ -652,3 +652,34 @@ def test_curate_purge_composes_with_paragraph_dedup(spark):
     assert keeps == ["https://pq.example/0"]    # first occurrence only
     stages = [r["stage"] for r in funnel.collect()]
     assert "boilerplate_purge" in stages and "paragraph_dedup" in stages
+
+
+def test_gate_attribution_precedence_and_null_fail(spark):
+    """first_failed_gate takes the FIRST failing gate in order;
+    n_failed counts all failing gates (no short-circuit); a NULL
+    predicate fails ('no evidence never passes'); an all-pass doc
+    gets NULL attribution and passed=1."""
+    from pyspark.sql import functions as F
+
+    from mindocr_spark.curate import gate_attribution
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", 500, 0.1),    # passes everything
+            (2, "zz", 500, 0.1),    # fails lang only
+            (3, "zz", 10, None),    # fails lang + len + NULL ratio
+            (4, "en", 10, 0.0),     # fails len + ratio
+        ],
+        "doc_id bigint, lang string, n int, ratio double",
+    )
+    gates = [
+        ("lang", F.col("lang") == "en"),
+        ("len", F.col("n") >= 100),
+        ("ratio", F.col("ratio") > 0.05),
+    ]
+    out = {r["doc_id"]: r for r in gate_attribution(df, gates).collect()}
+    assert out[1]["first_failed_gate"] is None and out[1]["passed"] == 1
+    assert out[2]["first_failed_gate"] == "lang" and out[2]["n_failed"] == 1
+    assert out[3]["first_failed_gate"] == "lang" and out[3]["n_failed"] == 3
+    assert out[4]["first_failed_gate"] == "len" and out[4]["n_failed"] == 2
+    assert out[4]["passed"] == 0
