@@ -2620,6 +2620,27 @@ def q_lm_bigram_logppl(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_lm_kn_logppl(spark, sf_dir):
+    """Kneser-Ney bigram LM gate (the KenLM-family estimator): absolute
+    discounting + continuation probabilities, trained on the en slice
+    and scored over the whole corpus. Same scale/determinism shape as
+    the interpolated scorer; the oracle recomputes the left-context /
+    right-context type tables and the discounted mixture exactly."""
+    from mindocr_spark.functions.lm import (
+        bigram_counts,
+        kn_bigram_logppl,
+        unigram_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("lang") == "en")
+    return kn_bigram_logppl(
+        docs.select("doc_id", "text"),
+        unigram_counts(ref),
+        bigram_counts(ref),
+    ).orderBy("doc_id")
+
+
 #: Training-sequence length for the sequence_pack query — small enough
 #: that the synthetic docs (≈30-60 tokens) pack several per sequence
 #: AND regularly straddle boundaries, so both branches are exercised.
@@ -3065,6 +3086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q(q_lang_id),
         "lang_verify": _q(q_lang_verify),
         "unigram_drift": _q(q_unigram_drift),
+        "lm_kn_logppl": _q(q_lm_kn_logppl),
         "rec_metrics_pairs": _q(q_rec_metrics_pairs),
         "rolling_fingerprint": _q(q_rolling_fingerprint),
         "exact_dedup": _q(q_exact_dedup),
@@ -4698,6 +4720,94 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY b.doc_id
         """.replace("__LAM__", repr(_LM_LAMBDA))
          .replace("__LAMC__", repr(1.0 - _LM_LAMBDA)),
+        # Kneser-Ney: same train/score CTE skeleton as the bigram
+        # oracle + left/right context-type tables and the discounted
+        # continuation mixture (association pinned to ((D·nr)/cp)·pc)
+        "lm_kn_logppl": r"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')) AS norm
+              FROM documents),
+            reft AS (
+              SELECT doc_id,
+                     unnest(string_split(norm,' ')) AS word,
+                     generate_subscripts(string_split(norm,' '), 1) AS pos
+              FROM t WHERE lang = 'en' AND norm <> ''),
+            uni AS (
+              SELECT word AS token, count(*) AS cnt
+              FROM reft GROUP BY word),
+            refb AS (
+              SELECT word AS w2,
+                     lag(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+              FROM reft),
+            bi AS (
+              SELECT w1, w2, count(*) AS cnt
+              FROM refb WHERE w1 IS NOT NULL GROUP BY w1, w2),
+            left_t AS (
+              SELECT w2, count(*) AS n_left FROM bi GROUP BY w2),
+            right_t AS (
+              SELECT w1, count(*) AS n_right, sum(cnt) AS cp
+              FROM bi GROUP BY w1),
+            kstats AS (
+              SELECT (SELECT count(*) FROM bi) AS n_pairs,
+                     (SELECT count(*) + 1 FROM uni) AS lm_v),
+            toks AS (
+              SELECT doc_id,
+                     unnest(string_split(norm,' ')) AS word,
+                     generate_subscripts(string_split(norm,' '), 1) AS pos
+              FROM t WHERE norm <> ''),
+            seq AS (
+              SELECT doc_id, word AS w2,
+                     lag(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+              FROM toks),
+            j AS (
+              SELECT s.doc_id, s.w1, s.w2,
+                     l.n_left, r.n_right, r.cp, b.cnt AS cbi,
+                     n_pairs, lm_v
+              FROM seq s
+              LEFT JOIN left_t l ON l.w2 = s.w2
+              LEFT JOIN right_t r ON r.w1 = s.w1
+              LEFT JOIN bi b ON b.w1 = s.w1 AND b.w2 = s.w2
+              CROSS JOIN kstats),
+            sc AS (
+              SELECT doc_id,
+                     CASE WHEN cbi IS NOT NULL THEN 1 ELSE 0 END AS is_hit,
+                     CAST(round(-ln(
+                       CASE WHEN w1 IS NOT NULL AND cp IS NOT NULL
+                                 AND cp > 0
+                       THEN greatest(CAST(COALESCE(cbi, 0) AS DOUBLE)
+                                     - CAST(0.75 AS DOUBLE),
+                                     CAST(0 AS DOUBLE))
+                              / CAST(cp AS DOUBLE)
+                            + CAST(0.75 AS DOUBLE)
+                              * CAST(n_right AS DOUBLE)
+                              / CAST(cp AS DOUBLE)
+                              * (CAST(COALESCE(n_left, 0) + 1 AS DOUBLE)
+                                 / CAST(n_pairs + lm_v AS DOUBLE))
+                       ELSE CAST(COALESCE(n_left, 0) + 1 AS DOUBLE)
+                            / CAST(n_pairs + lm_v AS DOUBLE)
+                       END), 9) AS DECIMAL(28,9)) AS nlp
+              FROM j),
+            agg AS (
+              SELECT doc_id, SUM(is_hit) AS hits, SUM(nlp) AS s
+              FROM sc GROUP BY doc_id),
+            base AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN norm = '' THEN 0
+                          ELSE len(string_split(norm,' ')) END AS INT)
+                       AS n_tokens
+              FROM t)
+            SELECT b.doc_id, b.n_tokens,
+                   CAST(COALESCE(a.hits, 0) AS BIGINT) AS n_bigram_hits,
+                   CAST(COALESCE(a.s, CAST(0 AS DECIMAL(28,9)))
+                        AS DOUBLE) AS neg_logprob_sum,
+                   CASE WHEN b.n_tokens > 0
+                        THEN CAST(a.s AS DOUBLE)
+                             / CAST(b.n_tokens AS DOUBLE)
+                   END AS logppl
+            FROM base b LEFT JOIN agg a USING (doc_id)
+            ORDER BY b.doc_id
+        """,
         # consecutive-run counts per pinned phrase via list
         # comprehension over the shared tokenization; arms generated
         # from the SAME _PHRASES constant the Spark query uses

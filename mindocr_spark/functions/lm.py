@@ -166,6 +166,106 @@ def bigram_logppl(
     )
 
 
+def kn_bigram_logppl(
+    docs: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    discount: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Kneser-Ney bigram scoring — the KenLM-family estimator CCNet's
+    production gate actually runs (absolute discounting + CONTINUATION
+    probabilities, which ask "in how many contexts does w appear?"
+    instead of "how often?" — the estimator that stops 'Francisco'
+    from looking fluent everywhere just because 'San Francisco' is
+    frequent). Per token:
+
+        p(w|prev) = max(c(prev,w) − D, 0)/c(prev)
+                    + (D·N1+(prev,·)/c(prev)) · pc(w)    [c(prev) > 0]
+        p(w)      = pc(w)                                 [else / first]
+        pc(w)     = (N1+(·,w) + 1) / (N_pairs + V)
+
+    where N1+(·,w) = distinct left-contexts of w, N1+(prev,·) =
+    distinct continuations of prev, c(prev) = Σ c(prev,·) over the
+    bigram table, N_pairs = distinct bigram types, V = |vocab|+1. The
+    +1/+V add-one on pc keeps every token finite (unseen words price
+    at the unseen continuation mass) — deterministic, no tuning.
+    Returns the same shape as :func:`bigram_logppl`.
+
+    Scale shape: the bigram table feeds three derived aggregates
+    (left-context types, right-context types + totals, the pair count)
+    — it is PERSISTED here so the plan references the train-side
+    subtree once; scoring is the same three broadcast-or-uniform-key
+    joins as the interpolated scorer. Determinism: pinned association
+    ((D·nr)/cp)·pc, exact-int divisions, round(ln,9), DECIMAL sums."""
+    from mindocr_spark.cache import tracked_persist
+
+    bi = tracked_persist(bi)
+    left = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("n_left"))
+    right = bi.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("n_right"), F.sum("cnt").alias("cp")
+    )
+    stats = bi.agg(F.count(F.lit(1)).alias("n_pairs")).crossJoin(
+        uni.agg((F.count(F.lit(1)) + F.lit(1)).alias("lm_v"))
+    )
+    mb = F.broadcast if broadcast_lm else (lambda d: d)
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokens_col(text_col)).alias("pos", "w2"),
+    )
+    w = Window.partitionBy("__id").orderBy("pos")
+    seq = toks.withColumn("w1", F.lag("w2").over(w))
+    bi_c = bi.select("w1", "w2", F.col("cnt").alias("cbi"))
+    joined = (
+        seq.join(mb(left), "w2", "left")
+        .join(mb(right), "w1", "left")
+        .join(mb(bi_c), ["w1", "w2"], "left")
+        .join(F.broadcast(stats))
+    )
+    pc = (F.coalesce(F.col("n_left"), F.lit(0)) + F.lit(1)).cast(
+        "double"
+    ) / (F.col("n_pairs") + F.col("lm_v")).cast("double")
+    cp_d = F.col("cp").cast("double")
+    cbi_d = F.coalesce(F.col("cbi"), F.lit(0)).cast("double")
+    nr_d = F.col("n_right").cast("double")
+    seen = (
+        F.greatest(cbi_d - F.lit(discount), F.lit(0.0)) / cp_d
+        + F.lit(discount) * nr_d / cp_d * pc
+    )
+    p = F.when(
+        F.col("w1").isNotNull() & F.col("cp").isNotNull() & (F.col("cp") > 0),
+        seen,
+    ).otherwise(pc)
+    scored = joined.select(
+        "__id",
+        F.col("cbi").isNotNull().cast("int").alias("is_hit"),
+        F.round(-F.log(p), 9).cast("decimal(28,9)").alias("nlp"),
+    ).groupBy("__id").agg(
+        F.sum("is_hit").alias("n_bigram_hits"),
+        F.sum("nlp").alias("neg_logprob_sum"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("__id"),
+        F.size(tokens_col(text_col)).alias("n_tokens"),
+    )
+    return base.join(scored, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        F.coalesce(F.col("n_bigram_hits"), F.lit(0)).cast("bigint")
+        .alias("n_bigram_hits"),
+        F.coalesce(
+            F.col("neg_logprob_sum"), F.lit(0).cast("decimal(28,9)")
+        ).cast("double").alias("neg_logprob_sum"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("neg_logprob_sum").cast("double")
+            / F.col("n_tokens").cast("double"),
+        ).alias("logppl"),
+    )
+
+
 def unigram_logppl(
     docs: DataFrame,
     lm: DataFrame,

@@ -288,3 +288,94 @@ class TestPmiCollocations:
         )
         assert "TakeOrderedAndProject" in plan
         assert "BatchEvalPython" not in plan
+
+
+def _expected_kn_logppl(lm_docs, text, D=0.75):
+    """Independent pure-python Kneser-Ney reference (same quantization
+    discipline: round(ln,9), decimal sum, final IEEE mean)."""
+    from collections import Counter
+    from decimal import Decimal
+
+    import math
+
+    uni = Counter(w for d in lm_docs for w in d.split())
+    bi = Counter()
+    for d in lm_docs:
+        ws = d.split()
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] += 1
+    n_pairs = len(bi)
+    v = len(uni) + 1
+    n_left = Counter(b for _, b in bi)
+    n_right = Counter(a for a, _ in bi)
+    cp = Counter()
+    for (a, _), c in bi.items():
+        cp[a] += c
+
+    def pc(w):
+        return (n_left.get(w, 0) + 1) / (n_pairs + v)
+
+    toks = text.split()
+    s = Decimal(0)
+    hits = 0
+    for i, w in enumerate(toks):
+        prev = toks[i - 1] if i > 0 else None
+        if prev is not None and cp.get(prev, 0) > 0:
+            c = bi.get((prev, w), 0)
+            if c:
+                hits += 1
+            p = max(c - D, 0.0) / cp[prev] + D * n_right[prev] / cp[prev] * pc(w)
+        else:
+            p = pc(w)
+        s += Decimal(str(round(-math.log(p), 9)))
+    mean = float(s) / len(toks) if toks else None
+    return len(toks), hits, float(s), mean
+
+
+def test_kn_bigram_logppl_matches_reference(spark):
+    from mindocr_spark.functions.lm import (
+        bigram_counts, kn_bigram_logppl, unigram_counts,
+    )
+
+    lm_docs = ["the cat sat on the mat", "the cat ran home", "a cat sat"]
+    ref = _docs(spark, list(enumerate(lm_docs)))
+    uni, bi = unigram_counts(ref), bigram_counts(ref)
+    probe = [
+        (1, "the cat sat"),     # seen bigrams, discounted mass
+        (2, "the zebra sat"),   # unseen continuation under seen prev
+        (3, "zzz qqq"),         # fully OOV -> continuation floor
+        (4, "cat"),             # first token = continuation prob
+    ]
+    got = {r["doc_id"]: r for r in kn_bigram_logppl(
+        _docs(spark, probe), uni, bi
+    ).collect()}
+    for doc_id, text in probe:
+        n, hits, s, mean = _expected_kn_logppl(lm_docs, text)
+        r = got[doc_id]
+        assert r["n_tokens"] == n, text
+        assert r["n_bigram_hits"] == hits, text
+        assert float(r["neg_logprob_sum"]) == pytest.approx(s, abs=1e-9)
+        assert float(r["logppl"]) == pytest.approx(mean, rel=1e-12)
+    # KN ranks the in-corpus phrase as most fluent
+    assert got[1]["logppl"] < got[2]["logppl"] < got[3]["logppl"]
+
+
+def test_kn_continuation_beats_raw_frequency(spark):
+    """The KN signature: a word frequent in ONE context only ('mat'
+    after 'the the the...' boosts raw unigram) prices LOWER than a
+    word seen after many distinct contexts."""
+    from mindocr_spark.functions.lm import (
+        bigram_counts, kn_bigram_logppl, unigram_counts,
+    )
+
+    # 'uno' appears 4x but only ever after 'say'; 'duo' appears 3x
+    # after 3 DIFFERENT words -> higher continuation probability
+    lm_docs = ["say uno say uno say uno say uno",
+               "alpha duo beta duo gamma duo"]
+    ref = _docs(spark, list(enumerate(lm_docs)))
+    uni, bi = unigram_counts(ref), bigram_counts(ref)
+    probe = [(1, "uno"), (2, "duo")]  # single tokens: pure pc(w)
+    got = {r["doc_id"]: float(r["logppl"]) for r in kn_bigram_logppl(
+        _docs(spark, probe), uni, bi
+    ).collect()}
+    assert got[2] < got[1]
