@@ -2814,6 +2814,20 @@ def q_ctc_collapse(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_template_cluster(spark, sf_dir):
+    """Page-template clustering over the four-variant corpus family:
+    the opening-tag-sequence signature must collapse every page onto
+    exactly its structural variant (four clusters with closed-form
+    sizes) regardless of per-page text. Oracle: identical regex +
+    md5 signature + cluster-size join in SQL."""
+    from mindocr_spark.functions.structured import template_signature_cols
+    from mindocr_spark.sources.pages import pages_from_documents_variants
+
+    return template_signature_cols(
+        pages_from_documents_variants(spark, sf_dir)
+    ).orderBy("url")
+
+
 def q_gate_attribution(spark, sf_dir):
     """Per-doc rejection attribution over an ordered gate chain (the
     funnel-observability complement of curate()'s survivor counts):
@@ -3124,6 +3138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram": _q(q_length_histogram),
         "publication_date": _q(q_publication_date),
         "direction_norm": _q(q_direction_norm),
+        "template_cluster": _q(q_template_cluster),
         "gate_attribution": _q(q_gate_attribution),
         "curate_pipeline": _q(q_curate_pipeline),
         "attn_tokens": _q(q_attn_tokens),
@@ -3658,6 +3673,20 @@ def oracle_sql() -> dict[str, str]:
     _n_anch = len(_chrome_anchors)
     _anch_chars = sum(len(a) for a in _chrome_anchors)
     url = "'https://docs.example/' || source || '/' || CAST(doc_id AS VARCHAR)"
+    # template_cluster: the variant CASE + tag regex from the SAME
+    # constants the Spark family/function compile
+    from mindocr_spark.functions.structured import (
+        TEMPLATE_TAG_RE as _TPL_TAG_RE,
+    )
+    from mindocr_spark.sources.pages import (
+        TEMPLATE_VARIANTS as _TPL_V,
+    )
+
+    _tpl_case = (
+        f"CASE WHEN doc_id % 4 = 1 THEN '{_TPL_V[1]}' "
+        f"WHEN doc_id % 4 = 2 THEN '{_TPL_V[2]}' "
+        f"WHEN doc_id % 4 = 3 THEN '{_TPL_V[3]}' ELSE '' END"
+    )
     from mindocr_spark.functions.text import (
         hash_sample_threshold as _hash_thresh,
     )
@@ -6112,6 +6141,28 @@ def oracle_sql() -> dict[str, str]:
             FROM lab JOIN szc USING (component)
             ORDER BY doc_id
         """,
+        # template_cluster: whole-page bytes rebuilt via the shared
+        # chrome expression + the variant CASE; identical tag regex,
+        # signature md5 and cluster-size join in SQL
+        "template_cluster": f"""
+            WITH h AS (
+              SELECT {url} AS url,
+                     {_html_expr(_tpl_case)} AS html
+              FROM documents),
+            s AS (
+              SELECT url,
+                     md5(array_to_string(regexp_extract_all(
+                       lower(html), '__TAGRE__', 1), '>')) AS template_id,
+                     CAST(len(regexp_extract_all(
+                       lower(html), '__TAGRE__', 1)) AS BIGINT) AS n_tags
+              FROM h),
+            c AS (
+              SELECT template_id, count(*) AS template_pages
+              FROM s GROUP BY template_id)
+            SELECT s.url, s.template_id, s.n_tags,
+                   CAST(c.template_pages AS BIGINT) AS template_pages
+            FROM s JOIN c USING (template_id) ORDER BY s.url
+        """.replace("__TAGRE__", _TPL_TAG_RE),
         # gate_attribution: gate predicates + CASE precedence chain
         # recomputed in SQL (stop_ratio from the shared _STOP_RE device)
         "gate_attribution": r"""

@@ -200,3 +200,52 @@ def extract_outline(
         "url", "heading_idx", "level", "text",
         parent.alias("parent_idx"),
     )
+
+
+# --------------------------------------------------------------------------
+# Template clustering (page-structure signatures)
+# --------------------------------------------------------------------------
+
+#: Opening-tag capture for the structural signature: tag name at the
+#: start of an element (space, '>' or '/' follows). Closing tags,
+#: comments, doctype and attribute VALUES are excluded — the signature
+#: sees the page's element skeleton only, so two pages differing in
+#: text/ids/hrefs but sharing markup collapse to one template. Spelled
+#: as a shared constant: Java regex and RE2 read it identically.
+TEMPLATE_TAG_RE = r"<([a-z][a-z0-9]*)[ />]"
+
+
+def template_signature_cols(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Page-TEMPLATE clustering (the boilerplate-at-site-scale signal
+    text dedup cannot see): the md5 of a page's opening-tag sequence is
+    its structural signature; pages emitted by the same CMS template
+    (listing pages, tag archives, calendar spam) share a signature no
+    matter what text they carry, and a curation pass can cap or
+    down-weight the over-represented templates. Returns (url,
+    template_id, n_tags, template_pages) — per-page grain with the
+    cluster size joined back.
+
+    100 TB shape: the signature is one codegen regexp_extract_all +
+    array_join + md5 on the scan (zero Python); cluster sizes are one
+    groupBy on the signature key with map-side partials (a viral
+    template collapses before the exchange) joined back on the same
+    key. No all-pairs anywhere."""
+    from mindocr_spark.cache import tracked_persist
+
+    h = F.lower(F.col(html_col).cast("string"))
+    tags = F.regexp_extract_all(h, F.lit(TEMPLATE_TAG_RE), F.lit(1))
+    sigs = tracked_persist(pages.select(
+        url_col,
+        F.md5(F.array_join(tags, ">")).alias("template_id"),
+        F.size(tags).cast("bigint").alias("n_tags"),
+    ))
+    sizes = sigs.groupBy("template_id").agg(
+        F.count(F.lit(1)).alias("template_pages")
+    )
+    return sigs.join(sizes, "template_id").select(
+        url_col, "template_id", "n_tags", "template_pages"
+    )

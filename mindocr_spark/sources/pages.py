@@ -750,3 +750,34 @@ def feed_corpus(spark: SparkSession, sf_dir: str):
         )
     )
     return pages, feeds
+
+
+#: Structural variants for the template-cluster family — literal extra
+#: nodes (no per-doc interpolation: the SIGNATURE must depend on
+#: structure only). Shared constants: the Spark builder and the SQL
+#: oracle must emit identical bytes. None contains a single quote.
+TEMPLATE_VARIANTS = (
+    "",
+    "<div><p>promo offer</p></div>",
+    "<table><tr><td>spec</td></tr></table>",
+    "<ul><li>one</li><li>two</li></ul>",
+)
+
+
+def pages_from_documents_variants(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The template-cluster corpus family: doc_id mod 4 selects one of
+    four structural variants (plain chrome, a promo <div>, a spec
+    <table>, a list <ul>) inserted after the body paragraph — four
+    distinct page TEMPLATES over identical chrome, so the structural
+    signature must recover exactly four clusters with closed-form
+    sizes while the per-page text differs everywhere."""
+    m = F.pmod(F.col("doc_id"), F.lit(4))
+    extra = (
+        F.when(m == 1, F.lit(TEMPLATE_VARIANTS[1]))
+        .when(m == 2, F.lit(TEMPLATE_VARIANTS[2]))
+        .when(m == 3, F.lit(TEMPLATE_VARIANTS[3]))
+        .otherwise(F.lit(TEMPLATE_VARIANTS[0]))
+    )
+    return _pages_from_documents_template(spark, sf_dir, extra_nodes_col=extra)

@@ -175,3 +175,26 @@ class TestExtractOutline:
         assert plan.count("Window") == 1
         assert plan.count("Exchange") == 1
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_template_signature_clusters_by_structure_not_text(spark):
+    """Same markup + different text -> same template_id; one extra
+    element -> a different template_id; closing tags / comments /
+    doctype never contribute to the signature."""
+    from mindocr_spark.functions.structured import template_signature_cols
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", "<!DOCTYPE html><html><body><p>alpha</p></body></html>"),
+            ("u2", "<!DOCTYPE html><html><body><p>beta text</p></body></html>"),
+            ("u3", "<html><body><p>gamma</p><div>x</div></body></html>"),
+        ],
+        "url string, html string",
+    )
+    out = {r["url"]: r for r in template_signature_cols(pages).collect()}
+    assert out["u1"]["template_id"] == out["u2"]["template_id"]
+    assert out["u1"]["template_id"] != out["u3"]["template_id"]
+    assert out["u1"]["template_pages"] == 2
+    assert out["u3"]["template_pages"] == 1
+    assert out["u1"]["n_tags"] == 3  # html, body, p
+    assert out["u3"]["n_tags"] == 4
