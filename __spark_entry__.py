@@ -1905,6 +1905,24 @@ def q_length_quantiles(spark, sf_dir):
     ).orderBy("lang")
 
 
+def q_heaps_fit(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit over crawl order. The fixed
+    31-type soup vocabulary saturates immediately, so the query plants
+    one novel token per doc ('uniq{id}') — the growth curve then has
+    real shape and the β/ln K closed form is non-degenerate. Oracle:
+    the same first-occurrence novelty device, id-range checkpoints,
+    cumulative walk and regression in SQL."""
+    from mindocr_spark.functions.lm import heaps_fit
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" uniq"), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    return heaps_fit(docs)
+
+
 def q_zipf_fit(spark, sf_dir):
     """Corpus-health Zipf fit: least-squares ln(freq)~ln(rank) over
     the top-1000 vocabulary head — DECIMAL-quantized moments, pinned
@@ -3091,6 +3109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": _q(q_pmi_collocations),
         "quantile_gate": _q(q_quantile_gate),
         "zipf_fit": _q(q_zipf_fit),
+        "heaps_fit": _q(q_heaps_fit),
         "url_canonicalize": _q(q_url_canonicalize),
         "grouped_split": _q(q_grouped_split),
         "oov_rate": _q(q_oov_rate),
@@ -5515,6 +5534,64 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n >= 2 AND denom <> 0.0 THEN
                      round((sy - slope * sx) / CAST(n AS DOUBLE), 6)
                        + 0.0 END AS intercept
+            FROM fit
+        """,
+        # heaps_fit: first-occurrence novelty + id-range checkpoints +
+        # cumulative walk + the zipf regression discipline, in SQL
+        "heaps_fit": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     text || ' uniq' || CAST(doc_id AS VARCHAR) AS text
+              FROM documents),
+            mx AS (SELECT max(doc_id) AS m FROM d),
+            tk AS (
+              SELECT (doc_id * 64) // (m + 1) AS b, doc_id,
+                     string_split(trim(regexp_replace(text,
+                       '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ') AS ts
+              FROM d CROSS JOIN mx),
+            per AS (
+              SELECT b, doc_id, unnest(ts) AS token FROM tk),
+            firsts AS (
+              SELECT token, min(doc_id) AS fd FROM per GROUP BY token),
+            newb AS (
+              SELECT (fd * 64) // (m + 1) AS b, count(*) AS nv
+              FROM firsts CROSS JOIN mx GROUP BY 1),
+            tokb AS (
+              SELECT b, sum(len(ts)) AS nt FROM tk GROUP BY b),
+            bk AS (
+              SELECT t.b, t.nt, COALESCE(n.nv, 0) AS nv
+              FROM tokb t LEFT JOIN newb n USING (b)),
+            cum AS (
+              SELECT sum(nt) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS cn,
+                     sum(nv) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS cv
+              FROM bk),
+            xy AS (
+              SELECT round(ln(CAST(cn AS DOUBLE)), 9) AS x,
+                     round(ln(CAST(cv AS DOUBLE)), 9) AS y
+              FROM cum WHERE cn > 0 AND cv > 0),
+            s AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+                     CAST(sum(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+                     CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12)))
+                       AS DOUBLE) AS sxy,
+                     CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12)))
+                       AS DOUBLE) AS sxx
+              FROM xy),
+            fit AS (
+              SELECT n, sx, sy,
+                     (CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+                     (CAST(n AS DOUBLE) * sxx - sx * sx) AS denom
+              FROM s)
+            SELECT n AS n_points,
+                   CASE WHEN n >= 2 AND denom <> 0.0 THEN
+                     round(slope, 6) + 0.0 END AS heaps_beta,
+                   CASE WHEN n >= 2 AND denom <> 0.0 THEN
+                     round((sy - slope * sx) / CAST(n AS DOUBLE), 6)
+                       + 0.0 END AS ln_k
             FROM fit
         """,
         "cdc_chunks": r"""

@@ -479,6 +479,79 @@ def zipf_fit(
     )
 
 
+def heaps_fit(
+    docs: DataFrame,
+    n_checkpoints: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law fit — the vocabulary-GROWTH complement of
+    :func:`zipf_fit`: V(n) ≈ K·nᵝ, fit as ln V against ln n over
+    cumulative (tokens-seen, types-seen) checkpoints in crawl order.
+    Natural text grows at β ≈ 0.4-0.6; β → 0 flags a closed template
+    vocabulary (spam farms), β → 1 flags machine noise (every doc
+    novel tokens). Returns one row (n_points, heaps_beta, ln_k); NULL
+    fit under 2 usable checkpoints.
+
+    Scale shape — the naive "distinct count after every doc" is a
+    quadratic non-starter; this is the linear restatement: a type
+    contributes +1 exactly at its FIRST doc (one min-aggregate on the
+    uniform token key — the ngram_novelty device), docs bucket into
+    `n_checkpoints` id-range segments by pure arithmetic (one cheap
+    max-id aggregate, no global rank), per-bucket token/new-type sums
+    are map-side-combinable, and the cumulative walk + regression run
+    over ≤ n_checkpoints rows (driver-trivial). Determinism: the
+    zipf_fit discipline verbatim (round(ln,9) coords, DECIMAL moment
+    sums, pinned-association closed form, round 6 + signed-zero
+    normalization)."""
+    from mindocr_spark.functions.text import tokens_col
+
+    mx = docs.agg(F.max(id_col).alias("_mx"))
+    toks = docs.join(F.broadcast(mx)).select(
+        F.expr(f"({id_col} * {n_checkpoints}) div (_mx + 1)").alias("b"),
+        F.col(id_col).alias("_id"),
+        tokens_col(text_col).alias("_t"),
+    )
+    per_doc = toks.select("b", F.explode("_t").alias("token"), "_id")
+    firsts = per_doc.groupBy("token").agg(
+        F.min(F.struct("_id", "b")).alias("f")
+    )
+    new_b = firsts.groupBy(F.col("f.b").alias("b")).agg(
+        F.count(F.lit(1)).alias("new_types")
+    )
+    tok_b = toks.groupBy("b").agg(F.sum(F.size("_t")).alias("nt"))
+    bk = tok_b.join(new_b, "b", "left").select(
+        "b", "nt", F.coalesce("new_types", F.lit(0)).alias("nv")
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bk.select(
+        F.sum("nt").over(w).alias("cn"), F.sum("nv").over(w).alias("cv")
+    ).where((F.col("cn") > 0) & (F.col("cv") > 0))
+    x = F.round(F.log(F.col("cn").cast("double")), 9)
+    y = F.round(F.log(F.col("cv").cast("double")), 9)
+    s = cum.select(x.alias("x"), y.alias("y")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,9)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,9)")).cast("double").alias("sy"),
+        F.sum(
+            F.round(F.col("x") * F.col("y"), 12).cast("decimal(38,12)")
+        ).cast("double").alias("sxy"),
+        F.sum(
+            F.round(F.col("x") * F.col("x"), 12).cast("decimal(38,12)")
+        ).cast("double").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    denom = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    intercept = (F.col("sy") - slope * F.col("sx")) / nd
+    ok = (F.col("n") >= 2) & (denom != 0.0)
+    return s.select(
+        F.col("n").alias("n_points"),
+        F.when(ok, F.round(slope, 6) + F.lit(0.0)).alias("heaps_beta"),
+        F.when(ok, F.round(intercept, 6) + F.lit(0.0)).alias("ln_k"),
+    )
+
+
 def pmi_collocations(
     docs: DataFrame,
     top_k: int = 50,

@@ -379,3 +379,49 @@ def test_kn_continuation_beats_raw_frequency(spark):
         _docs(spark, probe), uni, bi
     ).collect()}
     assert got[2] < got[1]
+
+
+def test_heaps_fit_recovers_planted_exponent(spark):
+    """heaps_fit must reproduce the hand-computed least-squares fit
+    over the cumulative (tokens, types) checkpoints exactly (same
+    quantization discipline), with a sub-linear exponent."""
+    import math
+    from decimal import Decimal
+
+    from mindocr_spark.functions.lm import heaps_fit
+
+    rows = [
+        (0, "a b c d"),          # 4 tokens, 4 new types
+        (1, "a b e"),            # 3 tokens, 1 new type
+        (2, "a f g"),            # 3 tokens, 2 new types
+        (3, "a b c"),            # 3 tokens, 0 new types
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    r = heaps_fit(docs, n_checkpoints=4).collect()[0]
+    # checkpoints: one per doc (ids 0..3, buckets (id*4)//4 = id)
+    pts = [(4, 4), (7, 5), (10, 7), (13, 7)]
+    xs = [round(math.log(cn), 9) for cn, _ in pts]
+    ys = [round(math.log(cv), 9) for _, cv in pts]
+    n = len(pts)
+    sx, sy = float(sum(Decimal(str(v)) for v in xs)), float(
+        sum(Decimal(str(v)) for v in ys))
+    sxy = float(sum(Decimal(str(round(a * b, 12))) for a, b in zip(xs, ys)))
+    sxx = float(sum(Decimal(str(round(a * a, 12))) for a in xs))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    assert r["n_points"] == 4
+    assert float(r["heaps_beta"]) == round(slope, 6) + 0.0
+    assert float(r["ln_k"]) == round(intercept, 6) + 0.0
+    assert 0.0 < r["heaps_beta"] < 1.0
+
+
+def test_heaps_fit_degenerate_single_point_null(spark):
+    from mindocr_spark.functions.lm import heaps_fit
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a")], "doc_id bigint, text string"
+    )
+    # one checkpoint only -> no line
+    r = heaps_fit(docs, n_checkpoints=1).collect()[0]
+    assert r["n_points"] == 1
+    assert r["heaps_beta"] is None and r["ln_k"] is None
