@@ -169,6 +169,15 @@ def main() -> None:
         "pmi_collocations",     # PMI phrase discovery
         "bitext_mine",          # mutual-NN margin alignment
         "quantile_gate",        # dynamic top-X%% score cutoff
+        # round-3 session-E additions (appended for the same reason)
+        "lang_verify",          # stopword-profile declared-lang audit
+        "within_doc_dedup",     # page-local repeated-line removal
+        "span_dedup",           # C4 three-sentence-span rule
+        "unigram_drift",        # snapshot KL divergence monitor
+        "gate_attribution",     # first-failing-gate funnel forensics
+        "lm_kn_logppl",         # Kneser-Ney bigram LM gate
+        "template_cluster",     # page-structure signature clustering
+        "heaps_fit",            # vocabulary-growth corpus health
     ]
     qs = E.queries()
     for name in headline:
