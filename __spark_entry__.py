@@ -5543,9 +5543,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      text || ' uniq' || CAST(doc_id AS VARCHAR) AS text
               FROM documents),
-            mx AS (SELECT max(doc_id) AS m FROM d),
+            mx AS (
+              SELECT max(doc_id) AS m, min(doc_id) AS mn FROM d),
             tk AS (
-              SELECT (doc_id * 64) // (m + 1) AS b, doc_id,
+              SELECT ((doc_id - mn) * 64) // (m - mn + 1) AS b, doc_id,
                      string_split(trim(regexp_replace(text,
                        '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ') AS ts
               FROM d CROSS JOIN mx),
@@ -5554,7 +5555,8 @@ def oracle_sql() -> dict[str, str]:
             firsts AS (
               SELECT token, min(doc_id) AS fd FROM per GROUP BY token),
             newb AS (
-              SELECT (fd * 64) // (m + 1) AS b, count(*) AS nv
+              SELECT ((fd - mn) * 64) // (m - mn + 1) AS b,
+                     count(*) AS nv
               FROM firsts CROSS JOIN mx GROUP BY 1),
             tokb AS (
               SELECT b, sum(len(ts)) AS nt FROM tk GROUP BY b),
@@ -5666,14 +5668,17 @@ def oracle_sql() -> dict[str, str]:
             tails(lang, tail) AS (VALUES __TAILS__),
             rot(lang, rlang) AS (VALUES __ROT__),
             built AS (
+              -- LEFT joins + concat_ws: a doc whose lang is NULL or
+              -- outside the profile set keeps its bare text (the
+              -- Spark builder's NULL tail is skipped by concat_ws)
               SELECT d.doc_id, d.lang,
                      CASE WHEN d.doc_id % 11 = 0 THEN d.text
-                          ELSE d.text || ' ' || tl.tail || ' ' ||
-                               tl.tail || ' ' || tl.tail
+                          ELSE concat_ws(' ', d.text, tl.tail,
+                                         tl.tail, tl.tail)
                      END AS text
               FROM documents d
-              JOIN rot r ON r.lang = d.lang
-              JOIN tails tl ON tl.lang =
+              LEFT JOIN rot r ON r.lang = d.lang
+              LEFT JOIN tails tl ON tl.lang =
                 CASE WHEN d.doc_id % 9 = 0 THEN r.rlang ELSE d.lang END),
             tok AS (
               SELECT doc_id,
@@ -5707,7 +5712,7 @@ def oracle_sql() -> dict[str, str]:
         # ln-quantization discipline, recomputed in SQL
         "unigram_drift": r"""
             WITH old_t AS (
-              SELECT lang AS grp,
+              SELECT coalesce(lang, 'und') AS grp,
                      unnest(string_split(trim(regexp_replace(text,
                        '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ')) AS token,
                      0 AS side
@@ -5720,7 +5725,7 @@ def oracle_sql() -> dict[str, str]:
                           ELSE text END AS text
               FROM documents WHERE doc_id % 10 <> 9),
             new_t AS (
-              SELECT lang AS grp,
+              SELECT coalesce(lang, 'und') AS grp,
                      unnest(string_split(trim(regexp_replace(text,
                        '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ')) AS token,
                      1 AS side
@@ -6261,13 +6266,16 @@ def oracle_sql() -> dict[str, str]:
               FROM built),
             g AS (
               SELECT b.doc_id,
-                     b.lang IN ('en', 'de', 'es', 'fr') AS g1,
-                     length(b.text) >= 200 AS g2,
+                     -- every gate coalesces NULL to fail, exactly as
+                     -- gate_attribution does ("no evidence ≠ pass")
+                     coalesce(b.lang IN ('en', 'de', 'es', 'fr'),
+                              FALSE) AS g1,
+                     coalesce(length(b.text) >= 200, FALSE) AS g2,
                      coalesce(round(CAST(q.sh AS DOUBLE)
                        / CAST(nullif(q.nt, 0) AS DOUBLE), 6)
                        >= CAST(0.04 AS DOUBLE), FALSE) AS g3,
-                     NOT regexp_matches(lower(b.text),
-                       '(\bbadword\b)') AS g4
+                     coalesce(NOT regexp_matches(lower(b.text),
+                       '(\bbadword\b)'), FALSE) AS g4
               FROM built b JOIN q USING (doc_id))
             SELECT doc_id,
                    CASE WHEN NOT g1 THEN 'lang_keep'

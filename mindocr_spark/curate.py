@@ -506,6 +506,8 @@ def gate_attribution(
     100 TB shape: the caller binds whatever signal columns the gates
     reference (joins priced there); attribution itself is pure row
     expressions — one codegen CASE chain, zero shuffles."""
+    if not gates:
+        raise ValueError("empty gate list")
     names = [n for n, _ in gates]
     passed = [F.coalesce(p, F.lit(False)) for _, p in gates]
     first = F.lit(None).cast("string")

@@ -506,12 +506,21 @@ def heaps_fit(
     normalization)."""
     from mindocr_spark.functions.text import tokens_col
 
-    mx = docs.agg(F.max(id_col).alias("_mx"))
-    toks = docs.join(F.broadcast(mx)).select(
-        F.expr(f"({id_col} * {n_checkpoints}) div (_mx + 1)").alias("b"),
+    from mindocr_spark.cache import tracked_persist
+
+    # bucket on (id − min_id) over the ACTUAL id range — a shard whose
+    # ids start at 10^6 (offset ids are normal; make_sf_scale offsets
+    # replicas) must still spread across all checkpoints
+    mx = docs.agg(
+        F.max(id_col).alias("_mx"), F.min(id_col).alias("_mn")
+    )
+    toks = tracked_persist(docs.join(F.broadcast(mx)).select(
+        F.expr(
+            f"(({id_col} - _mn) * {n_checkpoints}) div (_mx - _mn + 1)"
+        ).alias("b"),
         F.col(id_col).alias("_id"),
         tokens_col(text_col).alias("_t"),
-    )
+    ))
     per_doc = toks.select("b", F.explode("_t").alias("token"), "_id")
     firsts = per_doc.groupBy("token").agg(
         F.min(F.struct("_id", "b")).alias("f")

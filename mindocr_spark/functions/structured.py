@@ -207,12 +207,17 @@ def extract_outline(
 # --------------------------------------------------------------------------
 
 #: Opening-tag capture for the structural signature: tag name at the
-#: start of an element (space, '>' or '/' follows). Closing tags,
-#: comments, doctype and attribute VALUES are excluded — the signature
-#: sees the page's element skeleton only, so two pages differing in
-#: text/ids/hrefs but sharing markup collapse to one template. Spelled
-#: as a shared constant: Java regex and RE2 read it identically.
-TEMPLATE_TAG_RE = r"<([a-z][a-z0-9]*)[ />]"
+#: start of an element (whitespace, '>' or '/' follows — real-world
+#: markup breaks attributes onto new lines, so the class spells out
+#: space/tab/CR/LF explicitly). Closing tags, comments, doctype and
+#: attribute VALUES are excluded, so two pages differing in
+#: text/ids/hrefs but sharing markup collapse to one template. A '<'
+#: followed by a letter inside inline script text can still contribute
+#: a phantom tag — the signature is a structural HEURISTIC, not a
+#: parser; phantom tags are deterministic per template, so clustering
+#: still holds. Shared constant: Java regex and RE2 read '\t\n\r'
+#: inside a class identically.
+TEMPLATE_TAG_RE = r"<([a-z][a-z0-9]*)[ \t\n\r/>]"
 
 
 def template_signature_cols(

@@ -911,7 +911,14 @@ def unigram_drift(
     DECIMAL sum per group. The per-(grp, token) relation is persisted
     — it feeds both the totals and the terms."""
     def side(df: DataFrame, tag: int) -> DataFrame:
-        g = (F.col(group_col) if group_col else F.lit("all")).alias("grp")
+        # NULL strata bucket as 'und' (the temperature_mix convention):
+        # a spam flood arriving with MISSING lang tags is exactly the
+        # drift this monitor exists for — an equi-join on a NULL key
+        # would silently drop the whole stratum
+        g = (
+            F.coalesce(F.col(group_col), F.lit("und"))
+            if group_col else F.lit("all")
+        ).alias("grp")
         return df.select(g, tokens_col(text_col).alias("_t")).select(
             "grp", F.explode("_t").alias("token"), F.lit(tag).alias("side")
         )

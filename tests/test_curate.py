@@ -683,3 +683,13 @@ def test_gate_attribution_precedence_and_null_fail(spark):
     assert out[3]["first_failed_gate"] == "lang" and out[3]["n_failed"] == 3
     assert out[4]["first_failed_gate"] == "len" and out[4]["n_failed"] == 2
     assert out[4]["passed"] == 0
+
+
+def test_gate_attribution_empty_gate_list_raises(spark):
+    import pytest as _pytest
+
+    from mindocr_spark.curate import gate_attribution
+
+    df = spark.createDataFrame([(1,)], "doc_id bigint")
+    with _pytest.raises(ValueError, match="empty gate list"):
+        gate_attribution(df, [])

@@ -1263,3 +1263,23 @@ class TestUnigramDrift:
         new = self._mk(spark, [(1, "a b c d", "fr")])
         rows = unigram_drift(old, new).collect()
         assert len(rows) == 1 and rows[0]["grp"] == "all"
+
+
+def test_unigram_drift_null_stratum_monitored_as_und(spark):
+    """Docs with a NULL group tag form their own 'und' stratum — the
+    missing-metadata flood is exactly what the monitor must see."""
+    from mindocr_spark.functions.text import unigram_drift
+
+    old = spark.createDataFrame(
+        [(1, "a b", None), (2, "x", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a b spamword spamword", None), (2, "x", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    out = {r["grp"]: r for r in
+           unigram_drift(old, new, group_col="lang").collect()}
+    assert "und" in out
+    assert out["und"]["kl_drift"] > 0.0
+    assert out["en"]["kl_drift"] == 0.0

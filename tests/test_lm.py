@@ -425,3 +425,20 @@ def test_heaps_fit_degenerate_single_point_null(spark):
     r = heaps_fit(docs, n_checkpoints=1).collect()[0]
     assert r["n_points"] == 1
     assert r["heaps_beta"] is None and r["ln_k"] is None
+
+
+def test_heaps_fit_invariant_under_id_offset(spark):
+    """Bucketing is (id - min_id)-relative: a shard whose ids start at
+    10^6 must produce the identical fit, not one collapsed checkpoint."""
+    from mindocr_spark.functions.lm import heaps_fit
+
+    rows = [(i, f"a b uniq{i}") for i in range(40)]
+    base = spark.createDataFrame(rows, "doc_id bigint, text string")
+    shifted = spark.createDataFrame(
+        [(i + 1_000_000, t) for i, t in rows], "doc_id bigint, text string"
+    )
+    rb = heaps_fit(base, n_checkpoints=8).collect()[0]
+    rs = heaps_fit(shifted, n_checkpoints=8).collect()[0]
+    assert rb["n_points"] == rs["n_points"] == 8
+    assert rb["heaps_beta"] == rs["heaps_beta"]
+    assert rb["ln_k"] == rs["ln_k"]

@@ -198,3 +198,22 @@ def test_template_signature_clusters_by_structure_not_text(spark):
     assert out["u3"]["template_pages"] == 1
     assert out["u1"]["n_tags"] == 3  # html, body, p
     assert out["u3"]["n_tags"] == 4
+
+
+def test_template_signature_whitespace_split_attributes(spark):
+    """Attributes broken onto their own line (real-world formatting)
+    must not change the structural signature."""
+    from mindocr_spark.functions.structured import template_signature_cols
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", '<html><body><div class="x"><p>t</p></div></body></html>'),
+            ("u2", '<html><body><div\n  class="x"><p>u</p></div></body></html>'),
+            ("u3", '<html><body><div\tclass="x"><p>v</p></div></body></html>'),
+        ],
+        "url string, html string",
+    )
+    out = {r["url"]: r for r in template_signature_cols(pages).collect()}
+    assert out["u1"]["template_id"] == out["u2"]["template_id"]
+    assert out["u1"]["template_id"] == out["u3"]["template_id"]
+    assert out["u1"]["template_pages"] == 3
