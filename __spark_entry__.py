@@ -2227,6 +2227,39 @@ def q_link_graph(spark, sf_dir):
     return domain_link_stats(extract_links(pages)).orderBy("dst_domain")
 
 
+def q_reciprocal_links(spark, sf_dir):
+    """Link-exchange (nepotistic linking) signal: distinct external
+    domain pairs from the linked family's REAL extracted edges, plus a
+    deterministic 'courtesy backlink' family (mirror{id%7} links back
+    to {source}{id%13} on every third doc) so reciprocity takes
+    non-trivial values the oracle reproduces from doc_id arithmetic
+    alone — per-domain out-neighbor counts, reciprocated counts, and
+    the reciprocity ratio."""
+    from mindocr_spark.functions.links import (
+        extract_links,
+        reciprocal_link_stats,
+    )
+    from mindocr_spark.sources.pages import pages_from_documents_linked
+
+    edges = extract_links(
+        pages_from_documents_linked(spark, sf_dir)
+    ).select("src_domain", "dst_domain")
+    docs = _t(spark, sf_dir, "documents")
+    back = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.concat(
+            F.lit("mirror"),
+            F.pmod("doc_id", F.lit(7)).cast("string"),
+            F.lit(".example"),
+        ).alias("src_domain"),
+        F.concat(
+            F.col("source"),
+            F.pmod("doc_id", F.lit(13)).cast("string"),
+            F.lit(".example"),
+        ).alias("dst_domain"),
+    )
+    return reciprocal_link_stats(edges.unionByName(back)).orderBy("domain")
+
+
 def q_domain_pagerank(spark, sf_dir):
     """Domain-authority ranking: 3 fixed power iterations of PageRank
     over the weighted domain graph extracted from raw HTML. Ranks stay
@@ -3171,6 +3204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_logppl": _q(q_lm_logppl),
         "lm_bigram_logppl": _q(q_lm_bigram_logppl),
         "link_graph": _q(q_link_graph),
+        "reciprocal_links": _q(q_reciprocal_links),
         "link_density": _q(q_link_density),
         "anchor_text": _q(q_anchor_text),
         "page_metadata": _q(q_page_metadata),
@@ -3973,6 +4007,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN src_dom <> dst_dom THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_external
             FROM e GROUP BY dst_dom ORDER BY dst_domain
+        """,
+        # reciprocal_links: the shared linked-edge CTEs + the courtesy
+        # backlink family, distinct-pair reversal join in SQL
+        "reciprocal_links": "WITH " + _LINKED_EDGE_CTES + r""",
+            back AS (
+              SELECT 'mirror' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example' AS src_dom,
+                     source || CAST(doc_id % 13 AS VARCHAR)
+                       || '.example' AS dst_dom
+              FROM documents WHERE doc_id % 3 = 0),
+            alle AS (
+              SELECT src_dom, dst_dom FROM e
+              UNION ALL SELECT src_dom, dst_dom FROM back),
+            pairs AS (
+              SELECT DISTINCT src_dom, dst_dom FROM alle
+              WHERE src_dom <> dst_dom),
+            j AS (
+              SELECT p.src_dom, r.src_dom IS NOT NULL AS rec
+              FROM pairs p LEFT JOIN pairs r
+                ON r.src_dom = p.dst_dom AND r.dst_dom = p.src_dom)
+            SELECT src_dom AS domain,
+                   CAST(count(*) AS BIGINT) AS n_out_domains,
+                   CAST(SUM(CASE WHEN rec THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_reciprocal,
+                   round(CAST(SUM(CASE WHEN rec THEN 1 ELSE 0 END)
+                         AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                     AS reciprocity
+            FROM j GROUP BY src_dom ORDER BY domain
         """,
         "anchor_text": r"""
             WITH v(i, w) AS (VALUES

@@ -252,3 +252,29 @@ class TestDomainHits:
         r1 = sorted(map(tuple, domain_hits(e1, iters=3).collect()))
         r32 = sorted(map(tuple, domain_hits(e32, iters=3).collect()))
         assert r1 == r32  # bit-identical: DECIMAL sums, no fold order
+
+
+def test_reciprocal_link_stats_ratio_and_self_exclusion(spark):
+    """Reciprocity counts DISTINCT external pairs only: multiplicity
+    never inflates it, self-edges never participate, and one-way
+    links score 0."""
+    from mindocr_spark.functions.links import reciprocal_link_stats
+
+    edges = spark.createDataFrame(
+        [
+            # a <-> b reciprocated (b->a listed twice: multiplicity)
+            ("a.com", "b.com"), ("b.com", "a.com"), ("b.com", "a.com"),
+            # a -> c one-way
+            ("a.com", "c.com"),
+            # self edge ignored entirely
+            ("c.com", "c.com"),
+        ],
+        "src_domain string, dst_domain string",
+    )
+    out = {r["domain"]: r for r in reciprocal_link_stats(edges).collect()}
+    assert out["a.com"]["n_out_domains"] == 2
+    assert out["a.com"]["n_reciprocal"] == 1
+    assert out["a.com"]["reciprocity"] == 0.5
+    assert out["b.com"]["n_out_domains"] == 1
+    assert out["b.com"]["reciprocity"] == 1.0
+    assert "c.com" not in out  # only a self-edge: no external out-links
