@@ -919,6 +919,42 @@ def _chain_case(src, pairs):
     return expr
 
 
+def q_url_templates(spark, sf_dir):
+    """Crawl-trap detection by URL path template: a calendar trap
+    family (%5 docs, two digit segments), a static page (%7), and a
+    blog family whose ids collide mod 199 (so n_urls > n_distinct
+    paths — revisits of one URL vs distinct URLs under one template
+    are different numbers and both are checked). The oracle rebuilds
+    the URLs and the digit-generalization rule in SQL."""
+    from mindocr_spark.functions.urls import url_template_stats
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pre = F.concat(F.lit("https://"), F.col("source"), F.lit(".example"))
+    url = (
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                pre, F.lit("/cal/2024/"),
+                (F.pmod(did, F.lit(12)) + 1).cast("string"),
+                F.lit("/"),
+                (F.pmod(did, F.lit(28)) + 1).cast("string"),
+                F.lit("/event"),
+            ),
+        )
+        .when(did % 7 == 0, F.concat(pre, F.lit("/about/team")))
+        .otherwise(
+            F.concat(
+                pre, F.lit("/blog/"),
+                F.pmod(did, F.lit(199)).cast("string"),
+            )
+        )
+    )
+    return url_template_stats(d.select(url.alias("url"))).orderBy(
+        "registered_domain", "path_template"
+    )
+
+
 def q_lang_verify(spark, sf_dir):
     """Declared-language audit: stopword-profile hit counts vs the
     `lang` column (upstream lang tags come from HTTP headers and
@@ -3151,6 +3187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": _q(q_blocklist_filter),
         "lang_id": _q(q_lang_id),
         "lang_verify": _q(q_lang_verify),
+        "url_templates": _q(q_url_templates),
         "unigram_drift": _q(q_unigram_drift),
         "lm_kn_logppl": _q(q_lm_kn_logppl),
         "rec_metrics_pairs": _q(q_rec_metrics_pairs),
@@ -5770,6 +5807,42 @@ def oracle_sql() -> dict[str, str]:
         )).replace("__ROT__", ", ".join(
             f"('{lg}', '{rl}')" for lg, rl in _LV_ROT
         )),
+        # url_templates: same URL construction + digit generalization
+        # + (domain, template) rollup in SQL
+        "url_templates": r"""
+            WITH u AS (
+              SELECT source,
+                     CASE WHEN doc_id % 5 = 0 THEN
+                            'https://' || source || '.example/cal/2024/'
+                            || CAST(doc_id % 12 + 1 AS VARCHAR) || '/'
+                            || CAST(doc_id % 28 + 1 AS VARCHAR)
+                            || '/event'
+                          WHEN doc_id % 7 = 0 THEN
+                            'https://' || source
+                            || '.example/about/team'
+                          ELSE 'https://' || source || '.example/blog/'
+                            || CAST(doc_id % 199 AS VARCHAR)
+                     END AS url
+              FROM documents),
+            p AS (
+              SELECT source || '.example' AS registered_domain,
+                     regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)',
+                       1) AS path
+              FROM u),
+            t AS (
+              SELECT registered_domain,
+                     regexp_replace(path, '[0-9]+', 'N', 'g')
+                       AS path_template,
+                     path
+              FROM p)
+            SELECT registered_domain, path_template,
+                   CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(count(DISTINCT path) AS BIGINT)
+                     AS n_distinct_paths
+            FROM t GROUP BY registered_domain, path_template
+            ORDER BY registered_domain, path_template
+        """,
         # unigram_drift: same snapshot construction + smoothing +
         # ln-quantization discipline, recomputed in SQL
         "unigram_drift": r"""

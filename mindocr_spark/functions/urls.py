@@ -282,3 +282,37 @@ def apply_blocklist(df: DataFrame, blocked: DataFrame,
         )
         .drop("host", "registered_domain", "canonical_url")
     )
+
+
+def url_template_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL path-TEMPLATE mining (the crawl-trap / infinite-space
+    detector): every digit run in the path generalizes to ``N``, and
+    URLs collapse onto (registered_domain, path_template) groups. A
+    calendar trap (``/cal/2024/01/03/…``) that spawns unbounded
+    distinct URLs collapses to ONE template row whose ``n_urls``
+    explodes while its neighbors stay flat — the scheduler input for
+    per-template crawl budgets, invisible at the per-URL or per-domain
+    grain. Returns (registered_domain, path_template, n_urls,
+    n_distinct_paths).
+
+    100 TB shape: template derivation is pure codegen regex on the
+    scan; the rollup is ONE groupBy on the (domain, template) key with
+    map-side partials — a trap's 10^9 URLs collapse to partial counts
+    before the exchange; distinct-path counting rewrites to the same
+    partial-aggregate shape. No joins, no Python."""
+    c = F.col(url_col)
+    host = url_host(c)
+    path = F.regexp_extract(c, URL_PATH_RE, 1)
+    template = F.regexp_replace(path, r"[0-9]+", "N")
+    return (
+        df.select(
+            registered_domain(host).alias("registered_domain"),
+            template.alias("path_template"),
+            path.alias("_p"),
+        )
+        .groupBy("registered_domain", "path_template")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.count_distinct("_p").alias("n_distinct_paths"),
+        )
+    )

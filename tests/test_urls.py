@@ -267,3 +267,27 @@ def test_apply_blocklist_ignores_blank_entries(spark):
     )
     out = {r["doc_id"] for r in apply_blocklist(pages, blocked).collect()}
     assert out == {1, 2}
+
+
+def test_url_template_stats_trap_collapse(spark):
+    """A calendar trap's unbounded URL space collapses onto ONE
+    template with n_urls tracking multiplicity and n_distinct_paths
+    tracking the URL space; digitless paths are their own template."""
+    from mindocr_spark.functions.urls import url_template_stats
+
+    urls = [
+        "https://t.example/cal/2024/1/5/event",
+        "https://t.example/cal/2024/2/6/event",
+        "https://t.example/cal/2023/12/31/event",
+        "https://t.example/blog/7",
+        "https://t.example/blog/7",          # revisit: same path twice
+        "https://t.example/about/team",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = {r["path_template"]: r for r in url_template_stats(df).collect()}
+    assert out["/cal/N/N/N/event"]["n_urls"] == 3
+    assert out["/cal/N/N/N/event"]["n_distinct_paths"] == 3
+    assert out["/blog/N"]["n_urls"] == 2
+    assert out["/blog/N"]["n_distinct_paths"] == 1
+    assert out["/about/team"]["n_urls"] == 1
+    assert all(r["registered_domain"] == "t.example" for r in out.values())
