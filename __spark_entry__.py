@@ -919,6 +919,29 @@ def _chain_case(src, pairs):
     return expr
 
 
+def q_token_fertility(spark, sf_dir):
+    """Per-language tokenizer-fertility dataset-card table: digit
+    chatter is planted on %6 docs (digits price per char — fertility
+    rises) and a long agglutinative token on %11 docs (ceil(len/4)
+    pricing) so the per-stratum ratios take distinct non-trivial
+    values the oracle reproduces from exact integer sums."""
+    from mindocr_spark.functions.text import token_fertility
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    did = F.col("doc_id")
+    built = d.select(
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.when(did % 6 == 0, F.lit(" 12345 987")).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0, F.lit(" declarativepipelinesupremacy")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return token_fertility(built).orderBy("lang")
+
+
 def q_url_templates(spark, sf_dir):
     """Crawl-trap detection by URL path template: a calendar trap
     family (%5 docs, two digit segments), a static page (%7), and a
@@ -3188,6 +3211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q(q_lang_id),
         "lang_verify": _q(q_lang_verify),
         "url_templates": _q(q_url_templates),
+        "token_fertility": _q(q_token_fertility),
         "unigram_drift": _q(q_unigram_drift),
         "lm_kn_logppl": _q(q_lm_kn_logppl),
         "rec_metrics_pairs": _q(q_rec_metrics_pairs),
@@ -4266,6 +4290,54 @@ def oracle_sql() -> dict[str, str]:
                              ELSE 1 END), 'sum'), 0) AS BIGINT)
                      AS n_bpe_tokens
             FROM u ORDER BY doc_id
+        """.replace("__BPE_RE__", _BPE_PRETOKEN_RE.replace("'", "''")),
+        # token_fertility: same planted corpus + BPE pricing fold +
+        # per-lang integer sums and IEEE ratios in SQL
+        "token_fertility": r"""
+            WITH built AS (
+              SELECT coalesce(lang, 'und') AS lang,
+                     text
+                     || CASE WHEN doc_id % 6 = 0 THEN ' 12345 987'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                             THEN ' declarativepipelinesupremacy'
+                             ELSE '' END AS text
+              FROM documents),
+            u AS (
+              SELECT lang,
+                     CAST(length(trim(regexp_replace(text,
+                       '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS BIGINT) AS nc,
+                     regexp_extract_all(text, '__BPE_RE__') AS units
+              FROM built),
+            per AS (
+              SELECT lang, nc,
+                     CAST(len(list_filter(units,
+                          x -> regexp_matches(x, '^[A-Za-z]')))
+                       AS BIGINT) AS n_words,
+                     CAST(COALESCE(list_aggregate(list_transform(units,
+                          x -> CASE
+                               WHEN regexp_matches(x, '^[A-Za-z]')
+                                 THEN CAST(ceil(length(x) / 4) AS BIGINT)
+                               WHEN regexp_matches(x, '^[0-9]')
+                                 THEN CAST(length(x) AS BIGINT)
+                               ELSE 1 END), 'sum'), 0) AS BIGINT)
+                       AS n_bpe
+              FROM u),
+            agg AS (
+              SELECT lang,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_words) AS BIGINT) AS n_words,
+                     CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+                     CAST(sum(nc) AS BIGINT) AS n_chars
+              FROM per GROUP BY lang)
+            SELECT lang, n_docs, n_words, n_bpe_tokens, n_chars,
+                   round(CAST(n_bpe_tokens AS DOUBLE)
+                         / CAST(nullif(n_words, 0) AS DOUBLE), 6)
+                     AS fertility,
+                   round(CAST(n_chars AS DOUBLE)
+                         / CAST(nullif(n_bpe_tokens, 0) AS DOUBLE), 6)
+                     AS chars_per_token
+            FROM agg ORDER BY lang
         """.replace("__BPE_RE__", _BPE_PRETOKEN_RE.replace("'", "''")),
         "tfidf_keywords": r"""
             WITH t AS (

@@ -492,7 +492,8 @@ BPE_CHARS_PER_TOKEN = 4
 
 
 def bpe_token_cols(df: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   keep: tuple[str, ...] = ()) -> DataFrame:
     """Tokenizer-free training-token estimate: pretokenize with the
     disjoint-class regex, then price each unit the way a BPE vocab
     does — alpha runs at ceil(len/4) subtokens, digit runs per char
@@ -521,6 +522,7 @@ def bpe_token_cols(df: DataFrame, text_col: str = "text",
     )
     return df.select(
         id_col,
+        *keep,
         F.size(F.filter(units, is_alpha)).cast("bigint").alias("n_words"),
         F.size(F.filter(units, is_digit)).cast("bigint")
         .alias("n_digit_runs"),
@@ -530,6 +532,57 @@ def bpe_token_cols(df: DataFrame, text_col: str = "text",
         F.aggregate(
             units, F.lit(0).cast("bigint"), lambda acc, u: acc + price(u)
         ).alias("n_bpe_tokens"),
+    )
+
+
+def token_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer-fertility audit per language stratum (the standard
+    dataset-card table): fertility = estimated BPE tokens per word,
+    compression = normalized chars per BPE token. Latin-alphabet
+    languages sit near fertility ≈ 1.3; a stratum whose fertility
+    spikes is one the tokenizer will shred into bytes (wrong script,
+    mojibake, non-language junk) and whose token BUDGET is silently
+    mis-priced by word-count accounting. NULL langs bucket as 'und'
+    (the engine convention). Returns (lang, n_docs, n_words,
+    n_bpe_tokens, n_chars, fertility, chars_per_token).
+
+    100 TB shape: the per-doc estimator is the shared
+    :func:`bpe_token_cols` codegen fold (no Python, no shuffle); the
+    rollup is ONE groupBy on the bounded language key with map-side
+    partial sums. Ratios are single IEEE divisions of exact integer
+    sums, rounded at 6."""
+    d = df.select(
+        F.coalesce(F.col(lang_col), F.lit("und")).alias("_lang"),
+        F.length(normalize_col(text_col)).cast("bigint").alias("_nc"),
+        F.col(text_col),
+    )
+    per = bpe_token_cols(d, text_col=text_col, id_col="_lang",
+                         keep=("_nc",))
+    agg = per.groupBy("_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+        F.sum("_nc").alias("n_chars"),
+    )
+    return agg.select(
+        F.col("_lang").alias("lang"),
+        "n_docs", "n_words", "n_bpe_tokens", "n_chars",
+        F.round(
+            F.try_divide(
+                F.col("n_bpe_tokens").cast("double"),
+                F.col("n_words").cast("double"),
+            ), 6
+        ).alias("fertility"),
+        F.round(
+            F.try_divide(
+                F.col("n_chars").cast("double"),
+                F.col("n_bpe_tokens").cast("double"),
+            ), 6
+        ).alias("chars_per_token"),
     )
 
 

@@ -1283,3 +1283,27 @@ def test_unigram_drift_null_stratum_monitored_as_und(spark):
     assert "und" in out
     assert out["und"]["kl_drift"] > 0.0
     assert out["en"]["kl_drift"] == 0.0
+
+
+def test_token_fertility_exact_ratios_and_und_bucket(spark):
+    from mindocr_spark.functions.text import token_fertility
+
+    df = spark.createDataFrame(
+        [
+            # en: words "abcd"(1 tok) + "abcdefgh"(2 toks) = 2 words,
+            # 3 bpe tokens; chars norm = 13
+            (1, "abcd abcdefgh", "en"),
+            # NULL lang -> 'und'; digits price per char: 3 tokens
+            (2, "abc 123", None),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    out = {r["lang"]: r for r in token_fertility(df).collect()}
+    en = out["en"]
+    assert en["n_words"] == 2 and en["n_bpe_tokens"] == 3
+    assert en["n_chars"] == 13
+    assert en["fertility"] == 1.5
+    und = out["und"]
+    assert und["n_words"] == 1
+    assert und["n_bpe_tokens"] == 1 + 3  # ceil(3/4)=1 word tok + 3 digits
+    assert und["fertility"] == 4.0
