@@ -2968,6 +2968,53 @@ def q_gate_attribution(spark, sf_dir):
     return gate_attribution(d, gates).orderBy("doc_id")
 
 
+def q_selection_bias(spark, sf_dir):
+    """Selection-bias audit — the composition the two new operators
+    exist for: run the gate_attribution funnel, then measure
+    KL(kept‖all) per language with unigram_drift. Quality gates that
+    systematically shift the surviving token distribution (dropping
+    short docs shifts vocabulary; blockword gates remove whole topics)
+    show up as per-stratum divergence BEFORE training does. The
+    oracle recomputes gates, survivor set, and drift in one SQL."""
+    from mindocr_spark.curate import gate_attribution
+    from mindocr_spark.functions.text import (
+        blockword_pattern,
+        quality_cols,
+        unigram_drift,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    built = docs.select(
+        "doc_id", "lang",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.col("text"), F.lit(" badword")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    q = quality_cols(built).select("doc_id", "stop_ratio")
+    d = built.join(q, "doc_id")
+    gates = [
+        ("lang_keep", F.col("lang").isin("en", "de", "es", "fr")),
+        ("min_chars", F.length("text") >= F.lit(200)),
+        ("stop_ratio", F.col("stop_ratio") >= F.lit(0.04)),
+        ("blockwords", ~F.lower(F.col("text")).rlike(
+            blockword_pattern(("badword",)))),
+    ]
+    verdicts = gate_attribution(d, gates).select("doc_id", "passed")
+    kept = built.join(verdicts, "doc_id").where(F.col("passed") == 1)
+    return (
+        unigram_drift(built, kept, group_col="lang")
+        .select(
+            F.col("grp").alias("lang"),
+            F.col("n_tokens_old").alias("n_tokens_all"),
+            F.col("n_tokens_new").alias("n_tokens_kept"),
+            "vocab_size",
+            F.col("kl_drift").alias("kl_shift"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_curate_pipeline(spark, sf_dir):
     """The full curation composite (extract → lang/quality gates → exact
     dedup) end-to-end, oracle-checked. MinHash near-dup removal is
@@ -3253,6 +3300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "direction_norm": _q(q_direction_norm),
         "template_cluster": _q(q_template_cluster),
         "gate_attribution": _q(q_gate_attribution),
+        "selection_bias": _q(q_selection_bias),
         "curate_pipeline": _q(q_curate_pipeline),
         "attn_tokens": _q(q_attn_tokens),
         "approx_distinct": _q(q_approx_distinct),
@@ -6498,6 +6546,83 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN g1 AND g2 AND g3 AND g4
                              THEN 1 ELSE 0 END AS BIGINT) AS passed
             FROM g ORDER BY doc_id
+        """,
+        # selection_bias: gate chain + survivor set + drift tail in
+        # one SQL (the gate_attribution and unigram_drift devices
+        # composed exactly as the Spark query composes the operators)
+        "selection_bias": r"""
+            WITH built AS (
+              SELECT doc_id, lang,
+                     CASE WHEN doc_id % 13 = 0 THEN text || ' badword'
+                          ELSE text END AS text
+              FROM documents),
+            q AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text,
+                       '\b(the|a|an|and|of|to|in|is|it|for|on|with)\b'))
+                       AS sh,
+                     CASE WHEN trim(regexp_replace(text,
+                            '[ \t\n\r\f\x0B]+', ' ', 'g')) = '' THEN 0
+                          ELSE len(string_split(trim(regexp_replace(text,
+                            '[ \t\n\r\f\x0B]+', ' ', 'g')), ' '))
+                     END AS nt
+              FROM built),
+            g AS (
+              SELECT b.doc_id,
+                     coalesce(b.lang IN ('en', 'de', 'es', 'fr'),
+                              FALSE) AS g1,
+                     coalesce(length(b.text) >= 200, FALSE) AS g2,
+                     coalesce(round(CAST(q.sh AS DOUBLE)
+                       / CAST(nullif(q.nt, 0) AS DOUBLE), 6)
+                       >= CAST(0.04 AS DOUBLE), FALSE) AS g3,
+                     coalesce(NOT regexp_matches(lower(b.text),
+                       '(\bbadword\b)'), FALSE) AS g4
+              FROM built b JOIN q USING (doc_id)),
+            kept AS (
+              SELECT b.doc_id, b.lang, b.text
+              FROM built b JOIN g USING (doc_id)
+              WHERE g1 AND g2 AND g3 AND g4),
+            old_t AS (
+              SELECT coalesce(lang, 'und') AS grp,
+                     unnest(string_split(trim(regexp_replace(text,
+                       '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ')) AS token,
+                     0 AS side
+              FROM built),
+            new_t AS (
+              SELECT coalesce(lang, 'und') AS grp,
+                     unnest(string_split(trim(regexp_replace(text,
+                       '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ')) AS token,
+                     1 AS side
+              FROM kept),
+            allt AS (
+              SELECT * FROM old_t UNION ALL SELECT * FROM new_t),
+            counts AS (
+              SELECT grp, token,
+                     count(*) FILTER (WHERE side = 0) AS c_old,
+                     count(*) FILTER (WHERE side = 1) AS c_new
+              FROM allt GROUP BY grp, token),
+            tot AS (
+              SELECT grp, sum(c_old) AS n_old, sum(c_new) AS n_new,
+                     count(*) AS v
+              FROM counts GROUP BY grp),
+            terms AS (
+              SELECT c.grp, t.n_old, t.n_new, t.v,
+                     CAST(round(
+                       (CAST(c.c_new + 1 AS DOUBLE)
+                          / CAST(t.n_new + t.v AS DOUBLE))
+                       * round(ln(
+                           (CAST(c.c_new + 1 AS DOUBLE)
+                              / CAST(t.n_new + t.v AS DOUBLE))
+                           / (CAST(c.c_old + 1 AS DOUBLE)
+                              / CAST(t.n_old + t.v AS DOUBLE))), 9),
+                       12) AS DECIMAL(28,12)) AS term
+              FROM counts c JOIN tot t USING (grp))
+            SELECT grp AS lang,
+                   CAST(any_value(n_old) AS BIGINT) AS n_tokens_all,
+                   CAST(any_value(n_new) AS BIGINT) AS n_tokens_kept,
+                   CAST(any_value(v) AS BIGINT) AS vocab_size,
+                   CAST(sum(term) AS DOUBLE) AS kl_shift
+            FROM terms GROUP BY grp ORDER BY lang
         """,
         "curate_pipeline": f"""
             WITH x AS (
