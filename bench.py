@@ -178,6 +178,10 @@ def main() -> None:
         "lm_kn_logppl",         # Kneser-Ney bigram LM gate
         "template_cluster",     # page-structure signature clustering
         "heaps_fit",            # vocabulary-growth corpus health
+        "reciprocal_links",     # link-exchange (nepotism) signal
+        "url_templates",        # crawl-trap path-template mining
+        "token_fertility",      # per-lang tokenizer pricing audit
+        "selection_bias",       # gate-funnel distribution-shift audit
     ]
     qs = E.queries()
     for name in headline:
