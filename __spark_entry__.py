@@ -3194,6 +3194,28 @@ def q_multimodal_real_codec(spark, sf_dir):
     )
 
 
+def q_image_phash_pairs(spark, sf_dir):
+    """Perceptual-hash near-dup IMAGE pairs over REAL BMP payloads:
+    decode → exact channel-mean grayscale → 8×8 mean-pool → aHash as
+    four 16-bit bands → banded equi-join candidates (pigeonhole recall
+    guarantee for Hamming ≤ 3) → exact bit_count(xor) verify. The
+    corpus plants near-dup triples (base / one-cell flip / three-cell
+    flip) as a pure function of id, so the oracle recomputes the full
+    signature and the exact all-pairs Hamming set from the pixel
+    formula while Spark decodes real file bytes — the multimodal twin
+    of simhash_neardup."""
+    from mindocr_spark.functions.media_fp import (
+        ahash_signatures,
+        phash_near_dup_pairs,
+        synth_phash_corpus,
+    )
+
+    sigs = ahash_signatures(synth_phash_corpus(spark, n=96))
+    return phash_near_dup_pairs(sigs, max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
 # ==========================================================================
 # Contract surface
 # ==========================================================================
@@ -3352,6 +3374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q(q_multimodal_features),
         "multimodal_real_codec": _q(q_multimodal_real_codec),
         "multimodal_video": _q(q_multimodal_video),
+        "image_phash_pairs": _q(q_image_phash_pairs),
     }
 
 
@@ -6784,6 +6807,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(side * side * 3 AS BIGINT) AS frame_bytes,
                    TRUE AS bytes_match, FALSE AS failed
             FROM fr ORDER BY id, frame_idx
+        """,
+        "image_phash_pairs": """
+            WITH ids AS (SELECT range AS id FROM range(96)),
+            pix AS (
+              SELECT i.id, i.id // 3 AS b, i.id % 3 AS t,
+                     y.range AS y, x.range AS x
+              FROM ids i, range(8) y, range(8) x),
+            gray0 AS (
+              SELECT id, t, y, x,
+                     (b*97 + x*(13 + b%11) + y*(31 + b%7)
+                      + x*y*(3 + b%5)) % 256 AS g
+              FROM pix),
+            gray AS (
+              SELECT id, y, x,
+                     CASE WHEN (t = 1 AND x = 0 AND y = 0)
+                            OR (t = 2 AND x = y AND x < 3)
+                          THEN (g + 128) % 256 ELSE g END AS g
+              FROM gray0),
+            m AS (
+              SELECT id, CAST(sum(g) AS DOUBLE) / 64.0 AS mean
+              FROM gray GROUP BY id),
+            bits AS (
+              SELECT g.id, (y*8 + x) // 16 AS band, (y*8 + x) % 16 AS pos,
+                     CASE WHEN CAST(g.g AS DOUBLE) > m.mean
+                          THEN 1 ELSE 0 END AS bit
+              FROM gray g JOIN m ON m.id = g.id),
+            sig AS (
+              SELECT id, band,
+                     CAST(sum(bit * (1::BIGINT << pos)) AS INT) AS v
+              FROM bits GROUP BY id, band),
+            sigw AS (
+              SELECT id,
+                max(CASE WHEN band=0 THEN v END) AS h0,
+                max(CASE WHEN band=1 THEN v END) AS h1,
+                max(CASE WHEN band=2 THEN v END) AS h2,
+                max(CASE WHEN band=3 THEN v END) AS h3
+              FROM sig GROUP BY id)
+            SELECT a.id AS id_a, c.id AS id_b,
+                   CAST(bit_count(xor(a.h0, c.h0))
+                      + bit_count(xor(a.h1, c.h1))
+                      + bit_count(xor(a.h2, c.h2))
+                      + bit_count(xor(a.h3, c.h3)) AS INT) AS hamming
+            FROM sigw a JOIN sigw c ON a.id < c.id
+            WHERE bit_count(xor(a.h0, c.h0)) + bit_count(xor(a.h1, c.h1))
+                + bit_count(xor(a.h2, c.h2)) + bit_count(xor(a.h3, c.h3))
+                <= 3
+            ORDER BY id_a, id_b
         """,
         "direction_norm": r"""
             WITH src AS (
