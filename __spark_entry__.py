@@ -2337,6 +2337,27 @@ def q_domain_pagerank(spark, sf_dir):
     return domain_pagerank(edges, iters=3, damping=0.85).orderBy("domain")
 
 
+def q_trustrank(spark, sf_dir):
+    """TrustRank (seeded personalized PageRank — the link-spam
+    gate): teleport mass lands only on the 7-domain mirror whitelist,
+    3 power iterations propagate trust outward; domains no seed
+    endorses decay to 0. Same sorted-fold bit-exact discipline as
+    domain_pagerank."""
+    from mindocr_spark.functions.links import (
+        domain_trustrank,
+        extract_links,
+    )
+    from mindocr_spark.sources.pages import pages_from_documents_linked
+
+    edges = extract_links(pages_from_documents_linked(spark, sf_dir))
+    seeds = spark.createDataFrame(
+        [(f"mirror{k}.example",) for k in range(7)], "domain string"
+    )
+    return domain_trustrank(
+        edges, seeds, iters=3, damping=0.85
+    ).orderBy("domain")
+
+
 def q_hits_scores(spark, sf_dir):
     """HITS hubs/authorities over the extracted domain graph: 3
     alternating L1-normalized half-steps; every reduction is an exact
@@ -3346,6 +3367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": _q(q_crawl_delta),
         "revisit_policy": _q(q_revisit_policy),
         "domain_pagerank": _q(q_domain_pagerank),
+        "trustrank": _q(q_trustrank),
         "hits_scores": _q(q_hits_scores),
         "concordance": _q(q_concordance),
         "blockword_filter": _q(q_blockword_filter),
@@ -3497,6 +3519,58 @@ def _pagerank_oracle(iters: int = 3, damping: str = "0.85") -> str:
               LEFT JOIN it{k}c c ON c.dst_dom = n.dom)""")
     parts.append(f"""
             SELECT dom AS domain, rank FROM it{iters} ORDER BY domain""")
+    return "".join(parts)
+
+
+def _trustrank_oracle(iters: int = 3, damping: str = "0.85",
+                      n_seed: int = 7) -> str:
+    """Unrolled twin of `links.domain_trustrank`: the PageRank fold
+    with a seed-concentrated teleport vector. Every literal passes
+    through CAST(... AS DOUBLE) BEFORE arithmetic so the constant
+    folding is IEEE (DuckDB decimal 1.0-0.85 is exact 0.15, which is
+    one ulp away from IEEE 1.0-0.85 — the signed-zero lesson's
+    cousin)."""
+    t0 = f"(CAST(1 AS DOUBLE) / CAST({n_seed} AS DOUBLE))"
+    base = (f"((CAST(1.0 AS DOUBLE) - CAST({damping} AS DOUBLE)) "
+            f"* {t0})")
+    parts = [
+        "WITH " + _LINKED_EDGE_CTES,
+        f""",
+            g AS (
+              SELECT src_dom, dst_dom, count(*) AS w
+              FROM e GROUP BY src_dom, dst_dom),
+            nodes AS (
+              SELECT src_dom AS dom FROM e
+              UNION SELECT dst_dom FROM e),
+            out_w AS (SELECT src_dom, sum(w) AS ow FROM g GROUP BY src_dom),
+            it0 AS (
+              SELECT dom,
+                     CASE WHEN dom LIKE 'mirror%.example'
+                          THEN {t0} ELSE CAST(0 AS DOUBLE) END AS rank
+              FROM nodes)""",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+            it{k}c AS (
+              SELECT g.dst_dom,
+                     list(r.rank * (CAST(g.w AS DOUBLE)
+                                    / CAST(o.ow AS DOUBLE))
+                          ORDER BY g.src_dom) AS cs
+              FROM g JOIN out_w o USING (src_dom)
+              JOIN it{k - 1} r ON r.dom = g.src_dom
+              GROUP BY g.dst_dom),
+            it{k} AS (
+              SELECT n.dom,
+                     CASE WHEN n.dom LIKE 'mirror%.example'
+                          THEN {base} ELSE CAST(0 AS DOUBLE) END
+                       + CAST({damping} AS DOUBLE) * COALESCE(
+                           list_reduce(c.cs, (a, b) -> a + b),
+                           CAST(0 AS DOUBLE)) AS rank
+              FROM nodes n
+              LEFT JOIN it{k}c c ON c.dst_dom = n.dom)""")
+    parts.append(f"""
+            SELECT dom AS domain, rank AS trust
+            FROM it{iters} ORDER BY domain""")
     return "".join(parts)
 
 
@@ -4336,6 +4410,7 @@ def oracle_sql() -> dict[str, str]:
             FROM r ORDER BY section
         """,
         "domain_pagerank": _pagerank_oracle(iters=3, damping="0.85"),
+        "trustrank": _trustrank_oracle(iters=3, damping="0.85", n_seed=7),
         "hits_scores": _hits_oracle(iters=3),
         "bpe_token_stats": r"""
             WITH u AS (

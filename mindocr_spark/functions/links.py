@@ -373,6 +373,106 @@ def domain_pagerank(
     return ranks
 
 
+def domain_trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Seeded (personalized) PageRank over the domain graph — the
+    TrustRank spam-mass signal (Gyöngyi et al., VLDB'04): teleport
+    lands ONLY on a curated whitelist of seed domains, so trust flows
+    outward along real links and link-farm neighborhoods that no seed
+    endorses starve to zero. A corpus pipeline gates on low
+    trust × high pagerank (the "spam mass" quotient); here we emit
+    the raw per-domain trust.
+
+    ``r0 = t``, ``r' = (1−d)·t + d·Σ_in r·w/out`` where the teleport
+    vector ``t`` is 1/|seeds| on seed domains and 0 elsewhere.
+    Dangling domains leak their mass, exactly like
+    :func:`domain_pagerank`.
+
+    `seeds` is a one-column (`domain`) relation; seed domains missing
+    from the graph still receive teleport mass (they are real
+    whitelist entries — their outlinks may appear in a later crawl),
+    via the nodes∪seeds union below.
+
+    100 TB shape: identical to PageRank — the page→domain collapse is
+    the only corpus-sized shuffle; iterations run at domain
+    cardinality; the seed relation is tiny (a human-curated list) and
+    broadcast into the teleport join. Determinism: the same
+    sorted-fold discipline as PageRank (F.aggregate left fold over the
+    src-sorted contribution list ↔ the oracle's list_reduce), teleport
+    terms are single exact divisions — bit-identical cross-engine.
+    Reference lineage: broadcast dictionary keyed lookup
+    (reference: mindocr/utils/dict_utils.py) + the PageRank iterate."""
+    from mindocr_spark.cache import tracked_persist
+
+    g = tracked_persist(
+        edges.groupBy("src_domain", "dst_domain").agg(
+            F.count("*").alias("w")
+        )
+    )
+    nodes = tracked_persist(
+        edges.select(F.col("src_domain").alias("domain"))
+        .union(edges.select(F.col("dst_domain").alias("domain")))
+        .union(seeds.select(F.col("domain")))
+        .distinct()
+    )
+    out_w = g.groupBy("src_domain").agg(F.sum("w").alias("out_w"))
+    gw = g.join(out_w, "src_domain")
+    # bookkeeping-sized action (seed count — a curated whitelist)
+    n_seed = seeds.select("domain").distinct().count()
+    if n_seed == 0:
+        raise ValueError("domain_trustrank: empty seed relation")
+    t0 = 1.0 / n_seed
+    base = (1.0 - damping) * t0
+    seed_flag = F.broadcast(
+        seeds.select("domain").distinct().withColumn("__seed", F.lit(True))
+    )
+    teleported = nodes.join(seed_flag, "domain", "left")
+    ranks = teleported.select(
+        "domain",
+        F.when(F.col("__seed"), F.lit(t0)).otherwise(F.lit(0.0))
+        .alias("rank"),
+    )
+    for _ in range(iters):
+        contrib = gw.join(
+            ranks, gw["src_domain"] == ranks["domain"]
+        ).select(
+            "dst_domain",
+            "src_domain",
+            (
+                F.col("rank")
+                * (F.col("w").cast("double") / F.col("out_w").cast("double"))
+            ).alias("c"),
+        )
+        sums = contrib.groupBy("dst_domain").agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("src_domain").alias("s"),
+                            F.col("c").alias("c"),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ).alias("s")
+        )
+        ranks = teleported.join(
+            sums, teleported["domain"] == sums["dst_domain"], "left"
+        ).select(
+            "domain",
+            (
+                F.when(F.col("__seed"), F.lit(base)).otherwise(F.lit(0.0))
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("trust"),
+        ).withColumnRenamed("trust", "rank")
+    return ranks.select("domain", F.col("rank").alias("trust"))
+
+
 def _hits_half(
     g: DataFrame, nodes: DataFrame, ranks: DataFrame,
     group_key: str, rank_key: str,

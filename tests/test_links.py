@@ -278,3 +278,49 @@ def test_reciprocal_link_stats_ratio_and_self_exclusion(spark):
     assert out["b.com"]["n_out_domains"] == 1
     assert out["b.com"]["reciprocity"] == 1.0
     assert "c.com" not in out  # only a self-edge: no external out-links
+
+
+def test_trustrank_seed_propagation_closed_form(spark):
+    """seed→good, spam→spam self-farm: one iteration by hand. Trust
+    reaches `good` only through the seed; the farm gets zero."""
+    from mindocr_spark.functions.links import domain_trustrank
+
+    edges = spark.createDataFrame(
+        [("seed", "good"), ("spam1", "spam2"), ("spam2", "spam1")],
+        "src_domain string, dst_domain string",
+    )
+    seeds = spark.createDataFrame([("seed",)], "domain string")
+    t = {r["domain"]: r["trust"]
+         for r in domain_trustrank(edges, seeds, iters=1).collect()}
+    # t0 = 1 on seed; base = 0.15 on seed only
+    assert t["seed"] == pytest.approx(0.15, rel=0)
+    assert t["good"] == pytest.approx(0.85 * 1.0, rel=0)
+    assert t["spam1"] == 0.0 and t["spam2"] == 0.0
+
+
+def test_trustrank_unlinked_seed_keeps_teleport_mass(spark):
+    """A whitelist entry absent from the crawl still holds its
+    teleport share (nodes∪seeds union)."""
+    from mindocr_spark.functions.links import domain_trustrank
+
+    edges = spark.createDataFrame(
+        [("a", "b")], "src_domain string, dst_domain string",
+    )
+    seeds = spark.createDataFrame(
+        [("a",), ("offline",)], "domain string",
+    )
+    t = {r["domain"]: r["trust"]
+         for r in domain_trustrank(edges, seeds, iters=2).collect()}
+    assert t["offline"] == pytest.approx((1 - 0.85) * 0.5, rel=0)
+    assert t["b"] > 0.0
+
+
+def test_trustrank_empty_seeds_raise(spark):
+    from mindocr_spark.functions.links import domain_trustrank
+
+    edges = spark.createDataFrame(
+        [("a", "b")], "src_domain string, dst_domain string",
+    )
+    seeds = spark.createDataFrame([], "domain string")
+    with pytest.raises(ValueError):
+        domain_trustrank(edges, seeds)
