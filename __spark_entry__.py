@@ -1914,6 +1914,19 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars").orderBy("doc_id")
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weight-proportional sample (A-ES): top-500 by
+    round(ln(u)/n_chars, 9) with content-addressed u — longer docs
+    proportionally likelier, identical draw on every run/engine.
+    TakeOrderedAndProject physical top-k (no global sort)."""
+    from mindocr_spark.functions.text import weighted_sample
+
+    return weighted_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars"),
+        k=500, weight_col="n_chars", seed=0,
+    ).orderBy("doc_id")
+
+
 def q_quantile_gate(spark, sf_dir):
     """Dynamic-threshold curation: keep the top 60% of docs by
     classifier score, cutoff = the corpus's own 0.4 quantile computed
@@ -3349,6 +3362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": _q(q_approx_distinct),
         "deterministic_sample": _q(q_deterministic_sample),
         "stratified_sample": _q(q_stratified_sample),
+        "weighted_sample": _q(q_weighted_sample),
         "token_budget_sample": _q(q_token_budget_sample),
         "bm25_topk": _q(q_bm25_topk),
         "phrase_search": _q(q_phrase_search),
@@ -6780,6 +6794,28 @@ def oracle_sql() -> dict[str, str]:
         # the "doc_id IS NULL OR" guard mirrors the engine's NULL-id
         # exemption (the shipped corpora have no NULL ids; the guard
         # keeps the two contracts aligned anyway)
+        "weighted_sample": """
+            WITH h AS (
+              SELECT doc_id, lang, n_chars,
+                     ('0x' || substr(
+                        md5('0:' || CAST(doc_id AS VARCHAR)), 1, 13)
+                     )::BIGINT AS hv
+              FROM documents
+              WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+                AND CAST(n_chars AS DOUBLE) > 0),
+            keyed AS (
+              SELECT doc_id, lang, n_chars,
+                     round(ln(CAST(hv + 1 AS DOUBLE)
+                              / CAST(4503599627370496 AS DOUBLE))
+                           / CAST(n_chars AS DOUBLE), 9)
+                       + CAST(0 AS DOUBLE) AS sample_key
+              FROM h),
+            top AS (
+              SELECT * FROM keyed
+              ORDER BY sample_key DESC, doc_id LIMIT 500)
+            SELECT doc_id, lang, n_chars, sample_key
+            FROM top ORDER BY doc_id
+        """,
         "stratified_sample": f"""
             SELECT doc_id, lang, n_chars FROM documents
             WHERE doc_id IS NULL OR CASE

@@ -1390,6 +1390,66 @@ def stratified_sample(
     return df.where(F.col(id_col).isNull() | sampled)
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic WEIGHTED sampling without replacement — the
+    Efraimidis–Spirakis A-ES scheme made RNG-free: each row draws a
+    content-addressed uniform ``u = (hexint(md5(seed ':' id)[:13]) +
+    1) / 2^52 ∈ (0, 1]`` and a key ``ln(u) / w``; the global top-`k`
+    by key are exactly a weight-proportional sample without
+    replacement (Efraimidis & Spirakis 2006 — ranking by ``u^(1/w)``
+    equals ranking by ``ln(u)/w``). "Sample 500 docs proportional to
+    token count" is the quality-inspection / eval-slice draw a
+    curation pipeline runs constantly; hashing (seed, id) instead of
+    an RNG keeps the drawn set identical across runs, engines and
+    partitionings — the resume property every sampler here shares
+    (`stratified_sample`, `epoch_shuffle`).
+
+    Rows with NULL id, NULL weight, or weight ≤ 0 are dropped — a
+    weightless row has no defined inclusion probability (unlike the
+    keep-all gates, a SAMPLE has no safe "exempt" semantics: exempt
+    rows would exceed k).
+
+    Keys are quantized ``round(·, 9)`` so both engines rank identical
+    values (the pmi_collocations ln-parity discipline), with the id as
+    the total tie-break; ``+ 0.0`` normalizes the signed zero a tiny
+    negative key rounds to. The 13-hex-digit prefix is 52 bits — the
+    widest that stays exact in a double.
+
+    100 TB plan: one scan computes the key in whole-stage codegen; the
+    global top-k is TakeOrderedAndProject (per-partition heaps + one
+    k-row driver merge) — no global sort, no shuffle of the corpus.
+    Reference analog: the weighted per-dataset sample_ratio mix
+    (reference: mindocr/data/builder.py:42-78)."""
+    if k <= 0:
+        raise ValueError(f"weighted_sample needs k > 0, got {k}")
+    cid = F.col(id_col)
+    w = F.col(weight_col).cast("double")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(f"{int(seed)}:"), cid.cast("string"))
+                .cast("binary")
+            ),
+            1, 13,
+        ),
+        16, 10,
+    ).cast("bigint")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 52))
+    key = F.round(F.log(u) / w, 9) + F.lit(0.0)
+    return (
+        df.where(cid.isNotNull() & w.isNotNull() & (w > 0))
+        .withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), cid.asc())
+        .limit(int(k))
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     budgets: dict[str, int],

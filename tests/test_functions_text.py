@@ -1307,3 +1307,47 @@ def test_token_fertility_exact_ratios_and_und_bucket(spark):
     assert und["n_words"] == 1
     assert und["n_bpe_tokens"] == 1 + 3  # ceil(3/4)=1 word tok + 3 digits
     assert und["fertility"] == 4.0
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    """Same (seed, ids) → identical draw; across many seeds, a row
+    with 9× the weight is drawn ~proportionally more often."""
+    from mindocr_spark.functions.text import weighted_sample
+
+    rows = [(i, 900 if i < 10 else 100) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_chars bigint")
+    a = [r.doc_id for r in weighted_sample(df, k=20, seed=3).collect()]
+    b = [r.doc_id for r in weighted_sample(df, k=20, seed=3).collect()]
+    assert sorted(a) == sorted(b)
+    heavy_hits = 0
+    for seed in range(12):
+        got = {r.doc_id
+               for r in weighted_sample(df, k=20, seed=seed).collect()}
+        heavy_hits += sum(1 for d in got if d < 10)
+    # heavy rows are 10% of the corpus but 50% of the total weight;
+    # with k=20 of 100 they saturate toward ~always-in
+    assert heavy_hits / (12 * 10) > 0.5
+
+
+def test_weighted_sample_drops_weightless_rows(spark):
+    from mindocr_spark.functions.text import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, -5), (4, None), (None, 10)],
+        "doc_id bigint, n_chars bigint",
+    )
+    got = {r.doc_id for r in weighted_sample(df, k=10).collect()}
+    assert got == {1}
+
+
+def test_weighted_sample_k_guardrail_and_topk_plan(spark):
+    import pytest as _pytest
+
+    from mindocr_spark.functions.text import weighted_sample
+
+    df = spark.createDataFrame([(1, 10)], "doc_id bigint, n_chars bigint")
+    with _pytest.raises(ValueError):
+        weighted_sample(df, k=0)
+    plan = (weighted_sample(df, k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
