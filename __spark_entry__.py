@@ -3250,6 +3250,28 @@ def q_image_phash_pairs(spark, sf_dir):
     )
 
 
+def q_audio_fp_pairs(spark, sf_dir):
+    """Acoustic-fingerprint near-dup AUDIO pairs over REAL WAV bytes:
+    decode PCM → 16-frame loudness-envelope bits (frame mean
+    |amplitude| vs clip mean — Haitsma–Kalker reduced to the envelope
+    bit) → two 8-bit bands → banded join (pigeonhole recall for
+    Hamming ≤ 1) → exact bit_count(xor) verify. The corpus plants
+    variant triples (base / one-frame toggle / two-frame toggle) as a
+    pure function of id, so the oracle recomputes the exact all-pairs
+    set from the envelope formula while Spark decodes real file
+    bytes."""
+    from mindocr_spark.functions.media_fp import (
+        audio_fp_near_dup_pairs,
+        audio_fp_signatures,
+        synth_audio_fp_corpus,
+    )
+
+    sigs = audio_fp_signatures(synth_audio_fp_corpus(spark, n=96))
+    return audio_fp_near_dup_pairs(sigs, max_hamming=1).orderBy(
+        "id_a", "id_b"
+    )
+
+
 # ==========================================================================
 # Contract surface
 # ==========================================================================
@@ -3411,6 +3433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_real_codec": _q(q_multimodal_real_codec),
         "multimodal_video": _q(q_multimodal_video),
         "image_phash_pairs": _q(q_image_phash_pairs),
+        "audio_fp_pairs": _q(q_audio_fp_pairs),
     }
 
 
@@ -6918,6 +6941,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(side * side * 3 AS BIGINT) AS frame_bytes,
                    TRUE AS bytes_match, FALSE AS failed
             FROM fr ORDER BY id, frame_idx
+        """,
+        "audio_fp_pairs": """
+            WITH ids AS (SELECT range AS id FROM range(96)),
+            base AS (SELECT id, id // 3 AS b, id % 3 AS t FROM ids),
+            h0 AS (
+              SELECT id, b, t,
+                     (((b * 48271 + 11) % 65536) | 1) & 32767 AS h
+              FROM base),
+            hv AS (
+              SELECT id,
+                     CASE WHEN t = 1
+                          THEN xor(h, 1 << CAST(b % 14 + 1 AS INT))
+                          WHEN t = 2
+                          THEN xor(h, (1 << CAST(b % 7 + 1 AS INT))
+                                      | (1 << CAST(b % 5 + 8 AS INT)))
+                          ELSE h END AS h
+              FROM h0),
+            fr AS (
+              SELECT hv.id, f.range AS f,
+                     CASE WHEN (hv.h >> CAST(f.range AS INT)) & 1 = 1
+                          THEN 1000 ELSE 10 END AS lvl
+              FROM hv, range(16) f),
+            gm AS (
+              SELECT id,
+                     CAST(sum(lvl) * 8 AS DOUBLE)
+                       / CAST(128 AS DOUBLE) AS gmean
+              FROM fr GROUP BY id),
+            bits AS (
+              SELECT fr.id, fr.f,
+                     CASE WHEN CAST(fr.lvl AS DOUBLE) > gm.gmean
+                          THEN 1 ELSE 0 END AS bit
+              FROM fr JOIN gm ON gm.id = fr.id),
+            sig AS (
+              SELECT id,
+                CAST(sum(CASE WHEN f < 8
+                     THEN bit * (1::BIGINT << CAST(f AS INT))
+                     ELSE 0 END) AS INT) AS f0,
+                CAST(sum(CASE WHEN f >= 8
+                     THEN bit * (1::BIGINT << CAST(f - 8 AS INT))
+                     ELSE 0 END) AS INT) AS f1
+              FROM bits GROUP BY id)
+            SELECT a.id AS id_a, c.id AS id_b,
+                   CAST(bit_count(xor(a.f0, c.f0))
+                      + bit_count(xor(a.f1, c.f1)) AS INT) AS hamming
+            FROM sig a JOIN sig c ON a.id < c.id
+            WHERE bit_count(xor(a.f0, c.f0))
+                + bit_count(xor(a.f1, c.f1)) <= 1
+            ORDER BY id_a, id_b
         """,
         "image_phash_pairs": """
             WITH ids AS (SELECT range AS id FROM range(96)),

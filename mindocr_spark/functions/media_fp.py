@@ -43,7 +43,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mindocr_spark.multimodal import MEDIA_META_DDL, encode_bmp, real_decode
+from mindocr_spark.multimodal import (
+    MEDIA_META_DDL,
+    encode_bmp,
+    encode_wav,
+    real_decode,
+)
 
 AHASH_SCHEMA = "id bigint, h0 int, h1 int, h2 int, h3 int, failed boolean"
 
@@ -170,6 +175,156 @@ def phash_near_dup_pairs(
         .select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+AUDIO_FP_SCHEMA = "id bigint, f0 int, f1 int, failed boolean"
+
+#: audio fingerprint frame count — 16 bits = 2 bands × 8 bits
+_FRAMES = 16
+
+
+def audio_fp_signatures(
+    media: DataFrame,
+    decode: Callable[[bytes, str], np.ndarray] = real_decode,
+) -> DataFrame:
+    """(id, payload, media_meta) → 16-bit loudness-profile fingerprint
+    per audio clip, as two 8-bit bands (f0, f1).
+
+    The audio twin of :func:`ahash_signatures` — the standard cheap
+    acoustic signature (Haitsma–Kalker family, reduced to the
+    energy-envelope bit): split the clip into 16 equal frames, one bit
+    per frame — is its mean |amplitude| STRICTLY above the clip's
+    global mean |amplitude|? Re-encoded, resampled-by-integer or
+    re-hosted copies keep the envelope, so near-dups differ in ≤ 1
+    bit. Every step is exact cross-engine: |int16| sums are exact
+    integers and each mean is ONE correctly-rounded IEEE division.
+
+    Clips whose sample count isn't divisible by 16, non-audio payloads
+    and decode failures flag ``failed=true`` and flow through."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rid, payload, meta in zip(
+                pdf["id"], pdf["payload"], pdf["media_meta"]
+            ):
+                kind = (meta or {}).get("kind", "unknown")
+                row = dict(id=rid, f0=0, f1=0, failed=True)
+                try:
+                    if kind != "audio":
+                        raise ValueError("not an audio payload")
+                    s = decode(bytes(payload or b""), kind)
+                    s = np.asarray(s, dtype=np.int64).ravel()
+                    if s.size == 0 or s.size % _FRAMES:
+                        raise ValueError(f"{s.size} samples not framable")
+                    a = np.abs(s)
+                    fl = s.size // _FRAMES
+                    gm = float(a.sum()) / float(s.size)
+                    bits = 0
+                    for f in range(_FRAMES):
+                        fm = float(a[f * fl:(f + 1) * fl].sum()) / float(fl)
+                        if fm > gm:
+                            bits |= 1 << f
+                    row.update(
+                        f0=bits & 0xFF, f1=(bits >> 8) & 0xFF,
+                        failed=False,
+                    )
+                except Exception:
+                    pass
+                out.append(row)
+            if out:
+                yield pd.DataFrame(out)
+
+    return media.select("id", "payload", "media_meta").mapInPandas(
+        fn, schema=AUDIO_FP_SCHEMA
+    )
+
+
+def audio_fp_near_dup_pairs(
+    sigs: DataFrame, max_hamming: int = 1
+) -> DataFrame:
+    """Fingerprints → near-dup clip pairs (id_a < id_b, hamming ≤
+    `max_hamming`). Two 8-bit bands: pigeonhole guarantees full recall
+    for Hamming ≤ 1; the band equi-join is bucket-bounded (≤ 2^8 keys
+    per band), the exact bit_count(xor) verify drops false
+    candidates."""
+    if not 0 <= max_hamming <= 1:
+        raise ValueError(
+            "banding over 2 bands guarantees recall only for "
+            f"max_hamming ≤ 1, got {max_hamming}"
+        )
+    ok = sigs.where(~F.col("failed"))
+    keyed = ok.select(
+        "id", "f0", "f1",
+        F.posexplode(F.array("f0", "f1")).alias("band_idx", "band_val"),
+    )
+    a = keyed.select(
+        F.col("id").alias("id_a"),
+        F.col("f0").alias("a0"), F.col("f1").alias("a1"),
+        "band_idx", "band_val",
+    )
+    b = keyed.select(
+        F.col("id").alias("id_b"),
+        F.col("f0").alias("b0"), F.col("f1").alias("b1"),
+        "band_idx", "band_val",
+    )
+    ham = (
+        F.bit_count(F.col("a0").bitwiseXOR(F.col("b0")))
+        + F.bit_count(F.col("a1").bitwiseXOR(F.col("b1")))
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def synth_audio_fp_corpus(spark, n: int = 96) -> DataFrame:
+    """Deterministic near-dup-planted REAL-WAV corpus for the audio
+    fingerprint family. Ids come in triples sharing a base ``b =
+    id//3``: the 16-frame loudness pattern is the bit field ``h =
+    ((b·48271 + 11) mod 65536) | 1, bit 15 cleared`` (an LCG step —
+    patterns are near-uniform over the 15-bit space, so 32 bases
+    don't alias); frame f plays at amplitude 1000 when bit f is set,
+    else 10, as an alternating ±amplitude square wave of 8 samples
+    (so |amplitude| is exactly the level). Variant 1 toggles ONE frame
+    (Hamming 1 from base — always recalled at the default threshold);
+    variant 2 toggles two frames (Hamming 2 — stays out, the negative
+    control). Payloads are REAL 16-bit PCM WAV bytes (encode_wav →
+    the stdlib wave decoder)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                b, t = i // 3, i % 3
+                h = (b * 48271 + 11) % 65536
+                h |= 1
+                h &= ~(1 << 15)
+                if t == 1:
+                    h ^= 1 << (b % 14 + 1)
+                elif t == 2:
+                    h ^= (1 << (b % 7 + 1)) | (1 << (b % 5 + 8))
+                s = np.zeros(_FRAMES * 8, dtype=np.int16)
+                for f in range(_FRAMES):
+                    lvl = 1000 if (h >> f) & 1 else 10
+                    for j in range(8):
+                        s[f * 8 + j] = lvl if j % 2 == 0 else -lvl
+                rows.append(dict(
+                    id=i, payload=encode_wav(s),
+                    media_meta=dict(kind="audio", width=0, height=0,
+                                    n_frames=int(s.size),
+                                    sample_rate=16000, codec="pcm16"),
+                ))
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(
+        gen, schema=f"id bigint, payload binary, {MEDIA_META_DDL}"
     )
 
 

@@ -114,3 +114,78 @@ def test_pair_plan_is_band_join_not_cartesian(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# -- audio fingerprint ------------------------------------------------------
+
+
+def _audio_bits(b: int, t: int) -> int:
+    h = (b * 48271 + 11) % 65536
+    h |= 1
+    h &= ~(1 << 15)
+    if t == 1:
+        h ^= 1 << (b % 14 + 1)
+    elif t == 2:
+        h ^= (1 << (b % 7 + 1)) | (1 << (b % 5 + 8))
+    return h
+
+
+def test_audio_fp_signature_matches_envelope_pattern(spark):
+    """Decoded real-WAV fingerprints must equal the generator's bit
+    field: a frame plays loud (1000) exactly when its pattern bit is
+    set, and loud > clip mean > quiet always holds for mixed
+    patterns."""
+    from mindocr_spark.functions.media_fp import (
+        audio_fp_signatures,
+        synth_audio_fp_corpus,
+    )
+
+    sigs = audio_fp_signatures(synth_audio_fp_corpus(spark, 24))
+    for r in sigs.collect():
+        assert not r.failed
+        want = _audio_bits(r.id // 3, r.id % 3)
+        assert r.f0 | (r.f1 << 8) == want
+
+
+def test_audio_fp_planted_one_frame_variants_found(spark):
+    """(3b, 3b+1) differs by one toggled frame — Hamming 1, always
+    recalled; (3b, 3b+2) differs by two — excluded at threshold 1."""
+    from mindocr_spark.functions.media_fp import (
+        audio_fp_near_dup_pairs,
+        audio_fp_signatures,
+        synth_audio_fp_corpus,
+    )
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in audio_fp_near_dup_pairs(
+            audio_fp_signatures(synth_audio_fp_corpus(spark, 96))
+        ).collect()
+    }
+    for b in range(32):
+        assert pairs[(3 * b, 3 * b + 1)] == 1
+        assert (3 * b, 3 * b + 2) not in pairs
+
+
+def test_audio_fp_guardrails(spark):
+    import pandas as pd
+
+    from mindocr_spark.functions.media_fp import (
+        audio_fp_near_dup_pairs,
+        audio_fp_signatures,
+    )
+    from mindocr_spark.multimodal import MEDIA_META_DDL, encode_wav
+
+    with pytest.raises(ValueError):
+        audio_fp_near_dup_pairs(None, max_hamming=2)
+    # 20 samples: not divisible by 16 frames → failed
+    s = np.arange(20, dtype=np.int16)
+    pdf = pd.DataFrame([
+        dict(id=0, payload=encode_wav(s),
+             media_meta=dict(kind="audio", width=0, height=0, n_frames=20,
+                             sample_rate=16000, codec="pcm16")),
+    ])
+    df = spark.createDataFrame(
+        pdf, schema=f"id bigint, payload binary, {MEDIA_META_DDL}"
+    )
+    assert audio_fp_signatures(df).collect()[0].failed
