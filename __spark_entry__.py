@@ -2371,6 +2371,28 @@ def q_trustrank(spark, sf_dir):
     ).orderBy("domain")
 
 
+def q_spam_mass(spark, sf_dir):
+    """Relative spam mass per domain: (p̂ − t̂)/p̂ over L1-normalized
+    PageRank and TrustRank (mirror-seed whitelist) — the fraction of a
+    domain's authority that no trusted seed endorses. DECIMAL-window
+    normalizers, round(·,9), signed zero normalized — bit-exact."""
+    from mindocr_spark.functions.links import (
+        domain_pagerank,
+        domain_trustrank,
+        extract_links,
+        spam_mass,
+    )
+    from mindocr_spark.sources.pages import pages_from_documents_linked
+
+    edges = extract_links(pages_from_documents_linked(spark, sf_dir))
+    seeds = spark.createDataFrame(
+        [(f"mirror{k}.example",) for k in range(7)], "domain string"
+    )
+    ranks = domain_pagerank(edges, iters=3, damping=0.85)
+    trust = domain_trustrank(edges, seeds, iters=3, damping=0.85)
+    return spam_mass(ranks, trust).orderBy("domain")
+
+
 def q_hits_scores(spark, sf_dir):
     """HITS hubs/authorities over the extracted domain graph: 3
     alternating L1-normalized half-steps; every reduction is an exact
@@ -3404,6 +3426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revisit_policy": _q(q_revisit_policy),
         "domain_pagerank": _q(q_domain_pagerank),
         "trustrank": _q(q_trustrank),
+        "spam_mass": _q(q_spam_mass),
         "hits_scores": _q(q_hits_scores),
         "concordance": _q(q_concordance),
         "blockword_filter": _q(q_blockword_filter),
@@ -3608,6 +3631,99 @@ def _trustrank_oracle(iters: int = 3, damping: str = "0.85",
     parts.append(f"""
             SELECT dom AS domain, rank AS trust
             FROM it{iters} ORDER BY domain""")
+    return "".join(parts)
+
+
+def _spam_mass_oracle(iters: int = 3, damping: str = "0.85",
+                      n_seed: int = 7) -> str:
+    """Composite twin of `links.spam_mass` over the two unrolled
+    chains: PageRank iterates (pr*) and TrustRank iterates (tr*) share
+    one set of graph CTEs, then both vectors L1-normalize through
+    DECIMAL(38,9) sums of 9-dp quantized values and the relative mass
+    is one rounded IEEE expression."""
+    t0 = f"(CAST(1 AS DOUBLE) / CAST({n_seed} AS DOUBLE))"
+    tbase = (f"((CAST(1.0 AS DOUBLE) - CAST({damping} AS DOUBLE)) "
+             f"* {t0})")
+    parts = [
+        "WITH " + _LINKED_EDGE_CTES,
+        f""",
+            g AS (
+              SELECT src_dom, dst_dom, count(*) AS w
+              FROM e GROUP BY src_dom, dst_dom),
+            nodes AS (
+              SELECT src_dom AS dom FROM e
+              UNION SELECT dst_dom FROM e),
+            params AS (SELECT count(*) AS n FROM nodes),
+            out_w AS (SELECT src_dom, sum(w) AS ow FROM g GROUP BY src_dom),
+            pr0 AS (
+              SELECT dom, 1.0 / p.n AS rank
+              FROM nodes CROSS JOIN params p),
+            tr0 AS (
+              SELECT dom,
+                     CASE WHEN dom LIKE 'mirror%.example'
+                          THEN {t0} ELSE CAST(0 AS DOUBLE) END AS rank
+              FROM nodes)""",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+            pr{k}c AS (
+              SELECT g.dst_dom,
+                     list(r.rank * (CAST(g.w AS DOUBLE)
+                                    / CAST(o.ow AS DOUBLE))
+                          ORDER BY g.src_dom) AS cs
+              FROM g JOIN out_w o USING (src_dom)
+              JOIN pr{k - 1} r ON r.dom = g.src_dom
+              GROUP BY g.dst_dom),
+            pr{k} AS (
+              SELECT n.dom,
+                     (1.0 - {damping}) / p.n
+                       + {damping} * COALESCE(
+                           list_reduce(c.cs, (a, b) -> a + b), 0.0) AS rank
+              FROM nodes n CROSS JOIN params p
+              LEFT JOIN pr{k}c c ON c.dst_dom = n.dom),
+            tr{k}c AS (
+              SELECT g.dst_dom,
+                     list(r.rank * (CAST(g.w AS DOUBLE)
+                                    / CAST(o.ow AS DOUBLE))
+                          ORDER BY g.src_dom) AS cs
+              FROM g JOIN out_w o USING (src_dom)
+              JOIN tr{k - 1} r ON r.dom = g.src_dom
+              GROUP BY g.dst_dom),
+            tr{k} AS (
+              SELECT n.dom,
+                     CASE WHEN n.dom LIKE 'mirror%.example'
+                          THEN {tbase} ELSE CAST(0 AS DOUBLE) END
+                       + CAST({damping} AS DOUBLE) * COALESCE(
+                           list_reduce(c.cs, (a, b) -> a + b),
+                           CAST(0 AS DOUBLE)) AS rank
+              FROM nodes n
+              LEFT JOIN tr{k}c c ON c.dst_dom = n.dom)""")
+    parts.append(f""",
+            prq AS (
+              SELECT dom,
+                     CAST(round(rank, 9) AS DECIMAL(38,9)) AS v
+              FROM pr{iters}),
+            trq AS (
+              SELECT dom,
+                     CAST(round(rank, 9) AS DECIMAL(38,9)) AS v
+              FROM tr{iters}),
+            pnorm AS (
+              SELECT dom,
+                     CAST(v AS DOUBLE)
+                       / CAST(sum(v) OVER () AS DOUBLE) AS p_hat
+              FROM prq),
+            tnorm AS (
+              SELECT dom,
+                     CAST(v AS DOUBLE)
+                       / CAST(sum(v) OVER () AS DOUBLE) AS t_hat
+              FROM trq)
+            SELECT p.dom AS domain,
+                   CASE WHEN p.p_hat > 0
+                        THEN round((p.p_hat - t.t_hat) / p.p_hat, 9)
+                               + CAST(0 AS DOUBLE)
+                        ELSE NULL END AS spam_mass
+            FROM pnorm p JOIN tnorm t ON t.dom = p.dom
+            ORDER BY domain""")
     return "".join(parts)
 
 
@@ -4448,6 +4564,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "domain_pagerank": _pagerank_oracle(iters=3, damping="0.85"),
         "trustrank": _trustrank_oracle(iters=3, damping="0.85", n_seed=7),
+        "spam_mass": _spam_mass_oracle(iters=3, damping="0.85", n_seed=7),
         "hits_scores": _hits_oracle(iters=3),
         "bpe_token_stats": r"""
             WITH u AS (

@@ -473,6 +473,53 @@ def domain_trustrank(
     return ranks.select("domain", F.col("rank").alias("trust"))
 
 
+def spam_mass(ranks: DataFrame, trust: DataFrame) -> DataFrame:
+    """RELATIVE SPAM MASS (Gyöngyi et al.): the fraction of a domain's
+    PageRank that arrives WITHOUT trusted endorsement —
+    ``(p̂ − t̂) / p̂`` over the L1-normalized rank and trust vectors.
+    High pagerank + low trust ⇒ mass → 1 (link-farm signature);
+    seed-adjacent domains can go negative (more trust than raw rank).
+    This is the gate a corpus pipeline thresholds to drop
+    spam-boosted domains while keeping genuinely popular ones.
+
+    Inner join on domain: both vectors come from the same extracted
+    graph (trustrank's extra offline-seed rows carry no pagerank and
+    are whitelist bookkeeping, not corpus domains).
+
+    Determinism: each vector is already bit-exact cross-engine; the
+    normalizers quantize at 9 dp and sum as DECIMAL(38,9) — exact and
+    order-independent (the hits_scores discipline) — via an
+    UNPARTITIONED window, so each chain's plan is referenced once and
+    growth stays linear (the hits plan-growth lesson). The final mass
+    is round(·, 9) with signed zero normalized."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    p9 = F.round(F.col("rank"), 9).cast("decimal(38,9)")
+    t9 = F.round(F.col("trust"), 9).cast("decimal(38,9)")
+    p = ranks.select(
+        "domain",
+        (p9.cast("double") / F.sum(p9).over(w).cast("double"))
+        .alias("p_hat"),
+    )
+    t = trust.select(
+        "domain",
+        (t9.cast("double") / F.sum(t9).over(w).cast("double"))
+        .alias("t_hat"),
+    )
+    return p.join(t, "domain").select(
+        "domain",
+        (
+            F.when(
+                F.col("p_hat") > 0,
+                F.round(
+                    (F.col("p_hat") - F.col("t_hat")) / F.col("p_hat"), 9
+                ) + F.lit(0.0),
+            )
+        ).alias("spam_mass"),
+    )
+
+
 def _hits_half(
     g: DataFrame, nodes: DataFrame, ranks: DataFrame,
     group_key: str, rank_key: str,

@@ -324,3 +324,29 @@ def test_trustrank_empty_seeds_raise(spark):
     seeds = spark.createDataFrame([], "domain string")
     with pytest.raises(ValueError):
         domain_trustrank(edges, seeds)
+
+
+def test_spam_mass_separates_farm_from_endorsed(spark):
+    """A seed-endorsed domain keeps low/negative mass; a link farm
+    boosted only by its own ring shows mass near 1."""
+    from mindocr_spark.functions.links import (
+        domain_pagerank,
+        domain_trustrank,
+        spam_mass,
+    )
+
+    edges = spark.createDataFrame(
+        [("seed", "good"), ("good", "seed")]
+        + [(f"farm{i}", f"farm{(i + 1) % 4}") for i in range(4)]
+        + [(f"farm{i}", "spamtarget") for i in range(4)],
+        "src_domain string, dst_domain string",
+    )
+    seeds = spark.createDataFrame([("seed",)], "domain string")
+    ranks = domain_pagerank(edges, iters=3)
+    trust = domain_trustrank(edges, seeds, iters=3)
+    m = {r["domain"]: r["spam_mass"]
+         for r in spam_mass(ranks, trust).collect()}
+    assert m["spamtarget"] == pytest.approx(1.0, abs=1e-9)
+    assert all(m[f"farm{i}"] == pytest.approx(1.0, abs=1e-9)
+               for i in range(4))
+    assert m["good"] < 0.5  # endorsed: most of its rank is trusted
