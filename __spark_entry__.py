@@ -2764,6 +2764,29 @@ def q_lang_pivot(spark, sf_dir):
 _LM_LAMBDA = 0.7
 
 
+def q_lm_backoff_logscore(spark, sf_dir):
+    """Trigram stupid-backoff fluency score (Brants et al. — the
+    web-scale LM recipe: no discounting, fixed α=0.4 per backoff
+    level, counts straight from the English reference slice). Five
+    broadcast LM joins; bigram_logppl's determinism discipline."""
+    from mindocr_spark.functions.lm import (
+        bigram_counts,
+        stupid_backoff_logscore,
+        trigram_counts,
+        unigram_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("lang") == "en")
+    return stupid_backoff_logscore(
+        docs.select("doc_id", "text"),
+        unigram_counts(ref),
+        bigram_counts(ref),
+        trigram_counts(ref),
+        alpha=0.4,
+    ).orderBy("doc_id")
+
+
 def q_lm_bigram_logppl(spark, sf_dir):
     """Interpolated-bigram LM gate (the CCNet-faithful scorer):
     p = λ·p_bi + (1−λ)·p_uni per token, unigram-only at document
@@ -3413,6 +3436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": _q(q_sequence_pack),
         "lm_logppl": _q(q_lm_logppl),
         "lm_bigram_logppl": _q(q_lm_bigram_logppl),
+        "lm_backoff_logscore": _q(q_lm_backoff_logscore),
         "link_graph": _q(q_link_graph),
         "reciprocal_links": _q(q_reciprocal_links),
         "link_density": _q(q_link_density),
@@ -5160,6 +5184,108 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, ppl, CAST(NULL AS DOUBLE), 'unknown'
             FROM scored WHERE ppl IS NULL
             ORDER BY doc_id
+        """,
+        "lm_backoff_logscore": r"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')) AS norm
+              FROM documents),
+            reft AS (
+              SELECT doc_id,
+                     unnest(string_split(norm,' ')) AS word,
+                     generate_subscripts(string_split(norm,' '), 1) AS pos
+              FROM t WHERE lang = 'en' AND norm <> ''),
+            uni AS (
+              SELECT word AS token, count(*) AS cnt
+              FROM reft GROUP BY word),
+            refb AS (
+              SELECT word AS w2,
+                     lag(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+              FROM reft),
+            bi AS (
+              SELECT w1, w2, count(*) AS cnt
+              FROM refb WHERE w1 IS NOT NULL GROUP BY w1, w2),
+            reftr AS (
+              SELECT word AS w3,
+                     lag(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+                     lag(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+              FROM reft),
+            tri AS (
+              SELECT w1, w2, w3, count(*) AS cnt
+              FROM reftr WHERE w1 IS NOT NULL GROUP BY w1, w2, w3),
+            stats AS (
+              SELECT COALESCE(sum(cnt), 0) AS lm_total,
+                     count(*) + 1 AS lm_v
+              FROM uni),
+            toks AS (
+              SELECT doc_id,
+                     unnest(string_split(norm,' ')) AS word,
+                     generate_subscripts(string_split(norm,' '), 1) AS pos
+              FROM t WHERE norm <> ''),
+            seq AS (
+              SELECT doc_id, word AS w3,
+                     lag(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+                     lag(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+              FROM toks),
+            j AS (
+              SELECT s.doc_id, s.w1, s.w2, s.w3,
+                     u3.cnt AS cw3, u2.cnt AS cw2,
+                     b23.cnt AS c23, b12.cnt AS c12, tr.cnt AS c123,
+                     lm_total, lm_v
+              FROM seq s
+              LEFT JOIN uni u3 ON u3.token = s.w3
+              LEFT JOIN uni u2 ON u2.token = s.w2
+              LEFT JOIN bi b23 ON b23.w1 = s.w2 AND b23.w2 = s.w3
+              LEFT JOIN bi b12 ON b12.w1 = s.w1 AND b12.w2 = s.w2
+              LEFT JOIN tri tr ON tr.w1 = s.w1 AND tr.w2 = s.w2
+                               AND tr.w3 = s.w3
+              CROSS JOIN stats),
+            lvl0 AS (
+              SELECT *,
+                     CAST(COALESCE(cw3, 0) + 1 AS DOUBLE)
+                       / CAST(lm_total + lm_v AS DOUBLE) AS p_uni
+              FROM j),
+            lvl1 AS (
+              SELECT *,
+                     CASE WHEN c23 IS NOT NULL AND cw2 > 0
+                          THEN CAST(c23 AS DOUBLE) / CAST(cw2 AS DOUBLE)
+                          ELSE CAST(0.4 AS DOUBLE) * p_uni END AS bi_level
+              FROM lvl0),
+            lvl2 AS (
+              SELECT *,
+                     CASE WHEN c123 IS NOT NULL AND c12 > 0
+                          THEN CAST(c123 AS DOUBLE) / CAST(c12 AS DOUBLE)
+                          ELSE CAST(0.4 AS DOUBLE) * bi_level END
+                       AS tri_level
+              FROM lvl1),
+            sc AS (
+              SELECT doc_id,
+                     CASE WHEN c123 IS NOT NULL THEN 1 ELSE 0 END AS is_tri,
+                     CAST(round(-ln(
+                       CASE WHEN w2 IS NULL THEN p_uni
+                            WHEN w1 IS NULL THEN bi_level
+                            ELSE tri_level END), 9)
+                       AS DECIMAL(28,9)) AS nls
+              FROM lvl2),
+            agg AS (
+              SELECT doc_id, SUM(is_tri) AS hits, SUM(nls) AS s
+              FROM sc GROUP BY doc_id),
+            base AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN norm = '' THEN 0
+                          ELSE len(string_split(norm,' ')) END AS INT)
+                       AS n_tokens
+              FROM t)
+            SELECT b.doc_id, b.n_tokens,
+                   CAST(COALESCE(a.hits, 0) AS BIGINT) AS n_trigram_hits,
+                   CAST(COALESCE(a.s, CAST(0 AS DECIMAL(28,9)))
+                        AS DOUBLE) AS neg_logscore_sum,
+                   CASE WHEN b.n_tokens > 0
+                        THEN CAST(a.s AS DOUBLE)
+                             / CAST(b.n_tokens AS DOUBLE)
+                   END AS logscore
+            FROM base b LEFT JOIN agg a USING (doc_id)
+            ORDER BY b.doc_id
         """,
         "lm_bigram_logppl": r"""
             WITH t AS (

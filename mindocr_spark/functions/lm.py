@@ -166,6 +166,141 @@ def bigram_logppl(
     )
 
 
+def trigram_counts(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Train side: (w1, w2, w3, cnt) adjacent-triple counts — one
+    posexplode, two per-doc lag windows sharing a single sort, one
+    groupBy on the uniform trigram key."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(tokens_col(text_col)).alias("pos", "w3"),
+    )
+    w = Window.partitionBy("__doc").orderBy("pos")
+    return (
+        toks.withColumn("w2", F.lag("w3", 1).over(w))
+        .withColumn("w1", F.lag("w3", 2).over(w))
+        .where(F.col("w1").isNotNull())
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def stupid_backoff_logscore(
+    docs: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    tri: DataFrame,
+    alpha: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Trigram STUPID BACKOFF scoring (Brants et al., EMNLP'07 — the
+    web-scale LM recipe: no discounting, a fixed ``α`` penalty per
+    backoff level, counts straight from the corpus):
+
+        S(w3|w1,w2) = c123/c12            [trigram seen]
+                    = α·S(w3|w2)          [backoff to bigram]
+        S(w3|w2)    = c23/c(w2)           [bigram seen, context > 0]
+                    = α·P_uni(w3)         [backoff to unigram]
+        P_uni(w3)   = (c(w3)+1)/(total+V) [add-one, always finite]
+
+    First token scores at the unigram level, second at the bigram
+    level. Returns (id, n_tokens, n_trigram_hits, neg_logscore_sum,
+    logscore = mean −ln S); S is a score, not a probability (stupid
+    backoff doesn't normalize) — exactly why it composes into a CHEAP
+    fluency gate next to the CCNet perplexity tier.
+
+    Scale shape: the two lag windows share one per-doc sort (bounded
+    partitions); then five reference-table joins — uni(w3), uni(w2),
+    bi(w2,w3), bi-as-context(w1,w2), tri(w1,w2,w3) — all BROADCAST
+    when the reference LM fits (the common case), shuffle joins on
+    uniform token keys otherwise. Determinism: the bigram_logppl
+    discipline — correctly-rounded IEEE divisions in pinned CASE
+    association, round(−ln, 9), DECIMAL(28,9) sums, un-rounded final
+    mean."""
+    from pyspark.sql import Window
+
+    stats = uni.select(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("lm_total"),
+        (F.count("*") + F.lit(1)).alias("lm_v"),
+    )
+    mb = F.broadcast if broadcast_lm else (lambda d: d)
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokens_col(text_col)).alias("pos", "w3"),
+    )
+    w = Window.partitionBy("__id").orderBy("pos")
+    seq = (
+        toks.withColumn("w2", F.lag("w3", 1).over(w))
+        .withColumn("w1", F.lag("w3", 2).over(w))
+    )
+    uni_3 = uni.select(F.col("token").alias("w3"), F.col("cnt").alias("cw3"))
+    uni_2 = uni.select(F.col("token").alias("w2"), F.col("cnt").alias("cw2"))
+    bi_23 = bi.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+        F.col("cnt").alias("c23"),
+    )
+    bi_12 = bi.select(
+        F.col("w1"), F.col("w2"), F.col("cnt").alias("c12")
+    )
+    tri_c = tri.select("w1", "w2", "w3", F.col("cnt").alias("c123"))
+    joined = (
+        seq.join(mb(uni_3), "w3", "left")
+        .join(mb(uni_2), "w2", "left")
+        .join(mb(bi_23), ["w2", "w3"], "left")
+        .join(mb(bi_12), ["w1", "w2"], "left")
+        .join(mb(tri_c), ["w1", "w2", "w3"], "left")
+        .join(F.broadcast(stats))
+    )
+    denom = (F.col("lm_total") + F.col("lm_v")).cast("double")
+    p_uni = (
+        (F.coalesce(F.col("cw3"), F.lit(0)) + F.lit(1)).cast("double")
+        / denom
+    )
+    bi_level = F.when(
+        F.col("c23").isNotNull() & (F.col("cw2") > 0),
+        F.col("c23").cast("double") / F.col("cw2").cast("double"),
+    ).otherwise(F.lit(alpha) * p_uni)
+    tri_level = F.when(
+        F.col("c123").isNotNull() & (F.col("c12") > 0),
+        F.col("c123").cast("double") / F.col("c12").cast("double"),
+    ).otherwise(F.lit(alpha) * bi_level)
+    s = (
+        F.when(F.col("w2").isNull(), p_uni)
+        .when(F.col("w1").isNull(), bi_level)
+        .otherwise(tri_level)
+    )
+    scored = joined.select(
+        "__id",
+        F.col("c123").isNotNull().cast("int").alias("is_tri"),
+        F.round(-F.log(s), 9).cast("decimal(28,9)").alias("nls"),
+    ).groupBy("__id").agg(
+        F.sum("is_tri").alias("n_trigram_hits"),
+        F.sum("nls").alias("neg_logscore_sum"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("__id"),
+        F.size(tokens_col(text_col)).alias("n_tokens"),
+    )
+    return base.join(scored, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        F.coalesce(F.col("n_trigram_hits"), F.lit(0)).cast("bigint")
+        .alias("n_trigram_hits"),
+        F.coalesce(
+            F.col("neg_logscore_sum"), F.lit(0).cast("decimal(28,9)")
+        ).cast("double").alias("neg_logscore_sum"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("neg_logscore_sum").cast("double")
+            / F.col("n_tokens").cast("double"),
+        ).alias("logscore"),
+    )
+
+
 def kn_bigram_logppl(
     docs: DataFrame,
     uni: DataFrame,

@@ -442,3 +442,49 @@ def test_heaps_fit_invariant_under_id_offset(spark):
     assert rb["n_points"] == rs["n_points"] == 8
     assert rb["heaps_beta"] == rs["heaps_beta"]
     assert rb["ln_k"] == rs["ln_k"]
+
+
+def test_stupid_backoff_levels_hand_computed(spark):
+    """One reference doc 'a b c a b d'; score 'a b c' token-by-token:
+    pos0 unigram, pos1 bigram level, pos2 trigram hit — each level
+    hand-derivable."""
+    import math
+
+    from mindocr_spark.functions.lm import (
+        bigram_counts,
+        stupid_backoff_logscore,
+        trigram_counts,
+        unigram_counts,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "a b c a b d")], "doc_id bigint, text string"
+    )
+    target = spark.createDataFrame(
+        [(10, "a b c"), (11, "z z z"), (12, "")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in stupid_backoff_logscore(
+        target, unigram_counts(ref), bigram_counts(ref),
+        trigram_counts(ref), alpha=0.4,
+    ).collect()}
+    # counts: uni a=2 b=2 c=1 d=1 (total 6, V=4+1=5)
+    # 'a': p_uni = (2+1)/11
+    # 'b'|a: c(ab)=2, c(a)=2 → 1.0
+    # 'c'|ab: c(abc)=1, c(ab)=2 → 0.5
+    want = (round(-math.log(3 / 11), 9)
+            + round(-math.log(1.0), 9)
+            + round(-math.log(0.5), 9))
+    r = out[10]
+    assert r.n_trigram_hits == 1
+    assert r.neg_logscore_sum == pytest.approx(want, abs=1e-9)
+    # unseen everywhere: pos2 backs off twice → α²·p_uni
+    z = out[11]
+    p_zuni = 1 / 11
+    want_z = (round(-math.log(p_zuni), 9)
+              + round(-math.log(0.4 * p_zuni), 9)
+              + round(-math.log(0.4 * (0.4 * p_zuni)), 9))
+    assert z.n_trigram_hits == 0
+    assert z.neg_logscore_sum == pytest.approx(want_z, abs=1e-9)
+    # empty doc: rows preserved, NULL score
+    assert out[12].n_tokens == 0 and out[12].logscore is None
