@@ -3295,6 +3295,40 @@ def q_image_phash_pairs(spark, sf_dir):
     )
 
 
+def q_media_dup_clusters(spark, sf_dir):
+    """End-to-end multimodal dedup: perceptual-hash pairs → connected
+    components (min-label propagation, the dup_components closure) →
+    per-cluster size and survivor flag (min id keeps). The image twin
+    of the text pipeline's pairs→components→survivor chain; oracle =
+    the full signature derivation + a recursive min-reachability CTE.
+    EAGER: label propagation iterates one Spark job per pass."""
+    from mindocr_spark.functions.dedup import connected_components
+    from mindocr_spark.functions.media_fp import (
+        ahash_signatures,
+        phash_near_dup_pairs,
+        synth_phash_corpus,
+    )
+
+    sigs = ahash_signatures(synth_phash_corpus(spark, n=96))
+    pairs = phash_near_dup_pairs(sigs, max_hamming=3)
+    comp = connected_components(
+        pairs.select("id_a", "id_b"),
+        vertices=sigs.where(~F.col("failed")).select("id"),
+        id_col="id",
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        comp.join(sizes, "component")
+        .select(
+            "id", "component", "cluster_size",
+            (F.col("id") == F.col("component")).alias("is_survivor"),
+        )
+        .orderBy("id")
+    )
+
+
 def q_audio_fp_pairs(spark, sf_dir):
     """Acoustic-fingerprint near-dup AUDIO pairs over REAL WAV bytes:
     decode PCM → 16-frame loudness-envelope bits (frame mean
@@ -3481,6 +3515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video": _q(q_multimodal_video),
         "image_phash_pairs": _q(q_image_phash_pairs),
         "audio_fp_pairs": _q(q_audio_fp_pairs),
+        "media_dup_clusters": _q(q_media_dup_clusters),
     }
 
 
@@ -7184,6 +7219,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(side * side * 3 AS BIGINT) AS frame_bytes,
                    TRUE AS bytes_match, FALSE AS failed
             FROM fr ORDER BY id, frame_idx
+        """,
+        "media_dup_clusters": """
+            WITH RECURSIVE ids AS (SELECT range AS id FROM range(96)),
+            pix AS (
+              SELECT i.id, i.id // 3 AS b, i.id % 3 AS t,
+                     y.range AS y, x.range AS x
+              FROM ids i, range(8) y, range(8) x),
+            gray0 AS (
+              SELECT id, t, y, x,
+                     (b*97 + x*(13 + b%11) + y*(31 + b%7)
+                      + x*y*(3 + b%5)) % 256 AS g
+              FROM pix),
+            gray AS (
+              SELECT id, y, x,
+                     CASE WHEN (t = 1 AND x = 0 AND y = 0)
+                            OR (t = 2 AND x = y AND x < 3)
+                          THEN (g + 128) % 256 ELSE g END AS g
+              FROM gray0),
+            m AS (
+              SELECT id, CAST(sum(g) AS DOUBLE) / 64.0 AS mean
+              FROM gray GROUP BY id),
+            bits AS (
+              SELECT g.id, (y*8 + x) // 16 AS band, (y*8 + x) % 16 AS pos,
+                     CASE WHEN CAST(g.g AS DOUBLE) > m.mean
+                          THEN 1 ELSE 0 END AS bit
+              FROM gray g JOIN m ON m.id = g.id),
+            sig AS (
+              SELECT id, band,
+                     CAST(sum(bit * (1::BIGINT << pos)) AS INT) AS v
+              FROM bits GROUP BY id, band),
+            sigw AS (
+              SELECT id,
+                max(CASE WHEN band=0 THEN v END) AS h0,
+                max(CASE WHEN band=1 THEN v END) AS h1,
+                max(CASE WHEN band=2 THEN v END) AS h2,
+                max(CASE WHEN band=3 THEN v END) AS h3
+              FROM sig GROUP BY id),
+            pairs AS (
+              SELECT a.id AS id_a, c.id AS id_b
+              FROM sigw a JOIN sigw c ON a.id < c.id
+              WHERE bit_count(xor(a.h0, c.h0)) + bit_count(xor(a.h1, c.h1))
+                  + bit_count(xor(a.h2, c.h2)) + bit_count(xor(a.h3, c.h3))
+                  <= 3),
+            sym AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            cc(id, comp) AS (
+              SELECT id, id FROM ids
+              UNION
+              SELECT s.dst, c.comp FROM cc c JOIN sym s ON s.src = c.id
+              WHERE c.comp < s.dst),
+            lab AS (SELECT id, min(comp) AS component FROM cc GROUP BY id),
+            szc AS (
+              SELECT component, COUNT(*) AS cluster_size
+              FROM lab GROUP BY component)
+            SELECT id, component, cluster_size,
+                   id = component AS is_survivor
+            FROM lab JOIN szc USING (component)
+            ORDER BY id
         """,
         "audio_fp_pairs": """
             WITH ids AS (SELECT range AS id FROM range(96)),
