@@ -124,7 +124,9 @@ def ahash_signatures(
 
 
 def phash_near_dup_pairs(
-    sigs: DataFrame, max_hamming: int = 3
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Signatures → near-dup image pairs (id_a < id_b, hamming ≤
     `max_hamming`).
@@ -138,7 +140,16 @@ def phash_near_dup_pairs(
     contains every true pair. The exact Hamming verify
     (``bit_count(xor)`` per band, summed — whole-stage codegen) then
     drops false candidates. Join cost is Σ bucket², bounded by band
-    cardinality (2^16 per band) — never all-pairs."""
+    cardinality (2^16 per band) — never all-pairs.
+
+    `max_bucket_size` is the hot-bucket cap for web-scale corpora
+    (the simhash_near_dup_pairs discipline): solid fills, blank scans
+    and letterboxed thumbnails all hash to a handful of degenerate
+    signatures whose buckets grow with corpus size, turning Σ bucket²
+    quadratic. Capping drops those buckets whole — an explicit recall
+    trade documented to the caller, OFF by default so the
+    oracle-verified configuration is the production default (the
+    ngram df-cap lesson)."""
     if not 0 <= max_hamming <= 3:
         raise ValueError(
             "banding over 4 bands guarantees recall only for "
@@ -151,6 +162,7 @@ def phash_near_dup_pairs(
             "band_idx", "band_val"
         ),
     )
+    keyed = _cap_buckets(keyed, max_bucket_size)
     a = keyed.select(
         F.col("id").alias("id_a"),
         F.col("h0").alias("a0"), F.col("h1").alias("a1"),
@@ -175,6 +187,29 @@ def phash_near_dup_pairs(
         .select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def _cap_buckets(
+    keyed: DataFrame, max_bucket_size: int | None
+) -> DataFrame:
+    """Drop (band_idx, band_val) buckets larger than the cap — one
+    map-side-combinable count agg joined back on the bucket key. A
+    dropped bucket loses ONLY the recall that band contributed; pairs
+    still colliding in another (un-hot) band survive."""
+    if max_bucket_size is None:
+        return keyed
+    if max_bucket_size < 2:
+        raise ValueError(
+            f"max_bucket_size must allow pairs (≥ 2), got {max_bucket_size}"
+        )
+    counts = keyed.groupBy("band_idx", "band_val").agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
+    return (
+        keyed.join(counts, ["band_idx", "band_val"])
+        .where(F.col("__bn") <= max_bucket_size)
+        .drop("__bn")
     )
 
 
@@ -242,13 +277,17 @@ def audio_fp_signatures(
 
 
 def audio_fp_near_dup_pairs(
-    sigs: DataFrame, max_hamming: int = 1
+    sigs: DataFrame,
+    max_hamming: int = 1,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Fingerprints → near-dup clip pairs (id_a < id_b, hamming ≤
     `max_hamming`). Two 8-bit bands: pigeonhole guarantees full recall
     for Hamming ≤ 1; the band equi-join is bucket-bounded (≤ 2^8 keys
-    per band), the exact bit_count(xor) verify drops false
-    candidates."""
+    per band), the exact bit_count(xor) verify drops false candidates.
+    `max_bucket_size` drops degenerate hot buckets (silence hashes to
+    0 everywhere) — see :func:`phash_near_dup_pairs`; OFF by default
+    so the verified configuration is the production default."""
     if not 0 <= max_hamming <= 1:
         raise ValueError(
             "banding over 2 bands guarantees recall only for "
@@ -259,6 +298,7 @@ def audio_fp_near_dup_pairs(
         "id", "f0", "f1",
         F.posexplode(F.array("f0", "f1")).alias("band_idx", "band_val"),
     )
+    keyed = _cap_buckets(keyed, max_bucket_size)
     a = keyed.select(
         F.col("id").alias("id_a"),
         F.col("f0").alias("a0"), F.col("f1").alias("a1"),

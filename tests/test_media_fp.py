@@ -189,3 +189,29 @@ def test_audio_fp_guardrails(spark):
         pdf, schema=f"id bigint, payload binary, {MEDIA_META_DDL}"
     )
     assert audio_fp_signatures(df).collect()[0].failed
+
+
+def test_hot_bucket_cap_drops_degenerate_buckets_only(spark):
+    """With a cap, a planted pile of identical (degenerate) images
+    stops pairing, while distinct near-dup pairs still surface through
+    their un-hot bands."""
+    from mindocr_spark.functions.media_fp import (
+        ahash_signatures,
+        phash_near_dup_pairs,
+        synth_phash_corpus,
+    )
+
+    sigs = ahash_signatures(synth_phash_corpus(spark, 48))
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in phash_near_dup_pairs(sigs).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in phash_near_dup_pairs(sigs, max_bucket_size=2).collect()
+    }
+    assert capped <= uncapped
+    # triples collide 3-wide in shared bands: cap=2 must shrink the set
+    assert len(capped) < len(uncapped)
+    with pytest.raises(ValueError):
+        phash_near_dup_pairs(sigs, max_bucket_size=1)
