@@ -182,6 +182,14 @@ def main() -> None:
         "url_templates",        # crawl-trap path-template mining
         "token_fertility",      # per-lang tokenizer pricing audit
         "selection_bias",       # gate-funnel distribution-shift audit
+        # round-3 session-F additions (appended for the same reason)
+        "image_phash_pairs",    # perceptual-hash image near-dup (real BMP)
+        "audio_fp_pairs",       # loudness-envelope audio near-dup (real WAV)
+        "media_dup_clusters",   # phash pairs -> components -> survivors
+        "trustrank",            # seeded trust propagation (3 iters)
+        "spam_mass",            # PageRank vs TrustRank spam quotient
+        "weighted_sample",      # A-ES weight-proportional draw (top-k)
+        "lm_backoff_logscore",  # trigram stupid-backoff fluency gate
     ]
     qs = E.queries()
     for name in headline:
