@@ -419,6 +419,23 @@ class TestConnectedComponents:
         with pytest.raises(RuntimeError, match="converge"):
             connected_components(edges, max_iter=1)
 
+    def test_pointer_doubling_log_passes(self, spark):
+        """A path graph of diameter 40 converges in O(log d) passes
+        (pointer doubling), not 40 — max_iter=8 suffices where plain
+        min-propagation needs the full diameter. Also pins that long
+        chains collapse to the global min, the case where pairwise
+        rules fail worst."""
+        from mindocr_spark.functions.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(40)], "id_a bigint, id_b bigint"
+        )
+        out = {
+            r["id"]: r["component"]
+            for r in connected_components(edges, max_iter=8).collect()
+        }
+        assert out == {i: 0 for i in range(41)}
+
     def test_empty_edges(self, spark):
         from mindocr_spark.functions.dedup import connected_components
 
