@@ -2382,9 +2382,14 @@ def q_spam_mass(spark, sf_dir):
         extract_links,
         spam_mass,
     )
+    from mindocr_spark.cache import tracked_persist
     from mindocr_spark.sources.pages import pages_from_documents_linked
 
-    edges = extract_links(pages_from_documents_linked(spark, sf_dir))
+    # both rank chains collapse this same relation — persist it or the
+    # HTML link extraction (the corpus-sized scan) runs twice
+    edges = tracked_persist(
+        extract_links(pages_from_documents_linked(spark, sf_dir))
+    )
     seeds = spark.createDataFrame(
         [(f"mirror{k}.example",) for k in range(7)], "domain string"
     )
@@ -3309,7 +3314,11 @@ def q_media_dup_clusters(spark, sf_dir):
         synth_phash_corpus,
     )
 
-    sigs = ahash_signatures(synth_phash_corpus(spark, n=96))
+    from mindocr_spark.cache import tracked_persist
+
+    # sigs feeds the pair join AND the vertices anchor — persist or
+    # the codec-decode mapInPandas runs once per consumer
+    sigs = tracked_persist(ahash_signatures(synth_phash_corpus(spark, n=96)))
     pairs = phash_near_dup_pairs(sigs, max_hamming=3)
     comp = connected_components(
         pairs.select("id_a", "id_b"),
@@ -3641,14 +3650,33 @@ def _pagerank_oracle(iters: int = 3, damping: str = "0.85") -> str:
     return "".join(parts)
 
 
+#: the exact whitelist q_trustrank/q_spam_mass pass to the engine —
+#: the oracle must share the LITERAL list, not a pattern: a LIKE test
+#: would silently diverge the moment a corpus domain matches the
+#: pattern without being a seed (or a seed drops out of the graph)
+_TRUST_SEEDS = tuple(f"mirror{k}.example" for k in range(7))
+
+
+def _seed_sql_parts(seeds: tuple[str, ...]) -> tuple[str, str]:
+    """(IN-list predicate operand, VALUES rows) for the seed list."""
+    in_list = ", ".join(f"'{s}'" for s in seeds)
+    values = ", ".join(f"('{s}')" for s in seeds)
+    return in_list, values
+
+
 def _trustrank_oracle(iters: int = 3, damping: str = "0.85",
-                      n_seed: int = 7) -> str:
+                      seeds: tuple[str, ...] = _TRUST_SEEDS) -> str:
     """Unrolled twin of `links.domain_trustrank`: the PageRank fold
-    with a seed-concentrated teleport vector. Every literal passes
+    with a seed-concentrated teleport vector. Seed membership is the
+    exact literal whitelist (IN list) and the node set unions the
+    seeds — mirroring the engine's nodes∪seeds, so offline whitelist
+    entries keep teleport mass in BOTH engines. Every literal passes
     through CAST(... AS DOUBLE) BEFORE arithmetic so the constant
     folding is IEEE (DuckDB decimal 1.0-0.85 is exact 0.15, which is
     one ulp away from IEEE 1.0-0.85 — the signed-zero lesson's
     cousin)."""
+    n_seed = len(seeds)
+    in_list, seed_values = _seed_sql_parts(seeds)
     t0 = f"(CAST(1 AS DOUBLE) / CAST({n_seed} AS DOUBLE))"
     base = (f"((CAST(1.0 AS DOUBLE) - CAST({damping} AS DOUBLE)) "
             f"* {t0})")
@@ -3658,13 +3686,15 @@ def _trustrank_oracle(iters: int = 3, damping: str = "0.85",
             g AS (
               SELECT src_dom, dst_dom, count(*) AS w
               FROM e GROUP BY src_dom, dst_dom),
+            seeds(dom) AS (VALUES {seed_values}),
             nodes AS (
               SELECT src_dom AS dom FROM e
-              UNION SELECT dst_dom FROM e),
+              UNION SELECT dst_dom FROM e
+              UNION SELECT dom FROM seeds),
             out_w AS (SELECT src_dom, sum(w) AS ow FROM g GROUP BY src_dom),
             it0 AS (
               SELECT dom,
-                     CASE WHEN dom LIKE 'mirror%.example'
+                     CASE WHEN dom IN ({in_list})
                           THEN {t0} ELSE CAST(0 AS DOUBLE) END AS rank
               FROM nodes)""",
     ]
@@ -3680,7 +3710,7 @@ def _trustrank_oracle(iters: int = 3, damping: str = "0.85",
               GROUP BY g.dst_dom),
             it{k} AS (
               SELECT n.dom,
-                     CASE WHEN n.dom LIKE 'mirror%.example'
+                     CASE WHEN n.dom IN ({in_list})
                           THEN {base} ELSE CAST(0 AS DOUBLE) END
                        + CAST({damping} AS DOUBLE) * COALESCE(
                            list_reduce(c.cs, (a, b) -> a + b),
@@ -3694,12 +3724,18 @@ def _trustrank_oracle(iters: int = 3, damping: str = "0.85",
 
 
 def _spam_mass_oracle(iters: int = 3, damping: str = "0.85",
-                      n_seed: int = 7) -> str:
+                      seeds: tuple[str, ...] = _TRUST_SEEDS) -> str:
     """Composite twin of `links.spam_mass` over the two unrolled
     chains: PageRank iterates (pr*) and TrustRank iterates (tr*) share
     one set of graph CTEs, then both vectors L1-normalize through
     DECIMAL(38,9) sums of 9-dp quantized values and the relative mass
-    is one rounded IEEE expression."""
+    is one rounded IEEE expression. The chains use the engine's OWN
+    node sets — PageRank over graph nodes, TrustRank over
+    graph ∪ literal seed whitelist — so offline seeds keep teleport
+    mass in the t̂ normalizer and drop out only at the final inner
+    join, exactly like `spam_mass(ranks, trust)`."""
+    n_seed = len(seeds)
+    in_list, seed_values = _seed_sql_parts(seeds)
     t0 = f"(CAST(1 AS DOUBLE) / CAST({n_seed} AS DOUBLE))"
     tbase = (f"((CAST(1.0 AS DOUBLE) - CAST({damping} AS DOUBLE)) "
              f"* {t0})")
@@ -3709,9 +3745,13 @@ def _spam_mass_oracle(iters: int = 3, damping: str = "0.85",
             g AS (
               SELECT src_dom, dst_dom, count(*) AS w
               FROM e GROUP BY src_dom, dst_dom),
+            seeds(dom) AS (VALUES {seed_values}),
             nodes AS (
               SELECT src_dom AS dom FROM e
               UNION SELECT dst_dom FROM e),
+            tnodes AS (
+              SELECT dom FROM nodes
+              UNION SELECT dom FROM seeds),
             params AS (SELECT count(*) AS n FROM nodes),
             out_w AS (SELECT src_dom, sum(w) AS ow FROM g GROUP BY src_dom),
             pr0 AS (
@@ -3719,9 +3759,9 @@ def _spam_mass_oracle(iters: int = 3, damping: str = "0.85",
               FROM nodes CROSS JOIN params p),
             tr0 AS (
               SELECT dom,
-                     CASE WHEN dom LIKE 'mirror%.example'
+                     CASE WHEN dom IN ({in_list})
                           THEN {t0} ELSE CAST(0 AS DOUBLE) END AS rank
-              FROM nodes)""",
+              FROM tnodes)""",
     ]
     for k in range(1, iters + 1):
         parts.append(f""",
@@ -3750,12 +3790,12 @@ def _spam_mass_oracle(iters: int = 3, damping: str = "0.85",
               GROUP BY g.dst_dom),
             tr{k} AS (
               SELECT n.dom,
-                     CASE WHEN n.dom LIKE 'mirror%.example'
+                     CASE WHEN n.dom IN ({in_list})
                           THEN {tbase} ELSE CAST(0 AS DOUBLE) END
                        + CAST({damping} AS DOUBLE) * COALESCE(
                            list_reduce(c.cs, (a, b) -> a + b),
                            CAST(0 AS DOUBLE)) AS rank
-              FROM nodes n
+              FROM tnodes n
               LEFT JOIN tr{k}c c ON c.dst_dom = n.dom)""")
     parts.append(f""",
             prq AS (
@@ -4622,8 +4662,8 @@ def oracle_sql() -> dict[str, str]:
             FROM r ORDER BY section
         """,
         "domain_pagerank": _pagerank_oracle(iters=3, damping="0.85"),
-        "trustrank": _trustrank_oracle(iters=3, damping="0.85", n_seed=7),
-        "spam_mass": _spam_mass_oracle(iters=3, damping="0.85", n_seed=7),
+        "trustrank": _trustrank_oracle(iters=3, damping="0.85"),
+        "spam_mass": _spam_mass_oracle(iters=3, damping="0.85"),
         "hits_scores": _hits_oracle(iters=3),
         "bpe_token_stats": r"""
             WITH u AS (
@@ -7090,11 +7130,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
             ORDER BY doc_id
         """,
-        # thresholds come from the SAME hash_sample_threshold helper
-        # the Spark expression compiles — byte-identical constants
-        # the "doc_id IS NULL OR" guard mirrors the engine's NULL-id
-        # exemption (the shipped corpora have no NULL ids; the guard
-        # keeps the two contracts aligned anyway)
+        # NOTE: weighted_sample DROPS NULL-id/weightless rows (a draw
+        # has no safe exempt semantics) — deliberately the OPPOSITE of
+        # stratified_sample's NULL exemption two entries below
         "weighted_sample": """
             WITH h AS (
               SELECT doc_id, lang, n_chars,
@@ -7117,6 +7155,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars, sample_key
             FROM top ORDER BY doc_id
         """,
+        # thresholds come from the SAME hash_sample_threshold helper
+        # the Spark expression compiles — byte-identical constants;
+        # the "doc_id IS NULL OR" guard mirrors the engine's NULL-id
+        # exemption (the shipped corpora have no NULL ids; the guard
+        # keeps the two contracts aligned anyway)
         "stratified_sample": f"""
             SELECT doc_id, lang, n_chars FROM documents
             WHERE doc_id IS NULL OR CASE

@@ -52,6 +52,46 @@ def persist_scope():
             df.unpersist()
 
 
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Free the executor RDD blocks behind a ``localCheckpoint()``-ed
+    DataFrame NOW instead of waiting for the JVM ContextCleaner.
+    localCheckpoint blocks live outside the SQL CacheManager, so
+    neither ``unpersist()`` nor ``spark.catalog.clearCache()`` touches
+    them. The frame is UNUSABLE afterwards — lineage was truncated, the
+    blocks are the only copy — so only release frames that nothing
+    downstream will read again. Idempotent; swallows API drift (worst
+    case the blocks wait for garbage collection, the old behavior)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+class _CheckpointRelease:
+    """Adapter so a localCheckpoint frame can sit in a persist_scope
+    track list (scope exit calls .unpersist())."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def unpersist(self) -> None:
+        release_local_checkpoint(self._df)
+
+
+def tracked_local_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint()`` + register the blocks for release when the
+    ambient :func:`persist_scope` exits. ONLY for frames consumed
+    strictly inside the scope (release destroys the data — see
+    :func:`release_local_checkpoint`); a frame returned to the caller
+    must use a bare ``localCheckpoint()`` and rely on the
+    ContextCleaner."""
+    out = df.localCheckpoint()
+    lst = _TRACK.get()
+    if lst is not None:
+        lst.append(_CheckpointRelease(out))
+    return out
+
+
 @contextmanager
 def _collect_into(track: list):
     """Internal: route tracked_persists into a caller-owned list without

@@ -1120,11 +1120,20 @@ def connected_components(
     # The raw edge projection feeds sym (both directions) AND the node
     # set — persist it so the (possibly expensive) pair-generation
     # subtree upstream evaluates exactly once.
+    from mindocr_spark.cache import (
+        release_local_checkpoint,
+        tracked_local_checkpoint,
+    )
+
     raw = tracked_persist(edges.select(a.alias("src"), b.alias("dst")))
     # localCheckpoint (not persist): sym is re-embedded in EVERY pass's
     # plan — truncating its lineage here keeps the per-pass plan free
-    # of the (possibly huge) pair-generation subtree.
-    sym = (
+    # of the (possibly huge) pair-generation subtree. Checkpoint blocks
+    # live outside the CacheManager, so superseded per-pass tables are
+    # released EXPLICITLY below and sym/intermediates register with the
+    # ambient persist_scope; only the returned label table waits for
+    # the ContextCleaner (it must outlive this function).
+    sym = tracked_local_checkpoint(
         raw.where(F.col("src") != F.col("dst"))
         .union(
             raw.select(F.col("dst").alias("src"),
@@ -1132,7 +1141,6 @@ def connected_components(
             .where(F.col("src") != F.col("dst"))
         )
         .distinct()
-        .localCheckpoint()
     )
     # Propagation runs over EDGE-ENDPOINT nodes only: a doc with no
     # near-dup pair can never change its label, so shuffling all 10^12
@@ -1175,6 +1183,7 @@ def connected_components(
             labels.select("id", F.col("component").alias("prev")), "id"
         ).where(F.col("component") != F.col("prev"))
         done = changed.isEmpty()
+        release_local_checkpoint(labels)  # superseded; blocks freed now
         labels = new
         if done:
             break
@@ -1184,6 +1193,7 @@ def connected_components(
             f"passes (graph diameter exceeds max_iter; raise it or "
             f"use a star-contraction variant)"
         )
+    release_local_checkpoint(sym)  # the loop was its only consumer
     if vertices is None:
         return labels
     verts = vertices.select(F.col(id_col).alias("id")).distinct()

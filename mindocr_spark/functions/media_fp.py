@@ -40,7 +40,7 @@ from typing import Callable, Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mindocr_spark.multimodal import (
@@ -155,61 +155,68 @@ def phash_near_dup_pairs(
             "banding over 4 bands guarantees recall only for "
             f"max_hamming ≤ 3, got {max_hamming}"
         )
+    return _banded_hamming_pairs(
+        sigs, ["h0", "h1", "h2", "h3"], max_hamming, max_bucket_size
+    )
+
+
+def _banded_hamming_pairs(
+    sigs: DataFrame,
+    band_cols: list[str],
+    max_hamming: int,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Shared banded-Hamming join behind both media pair families
+    (image 4×16-bit, audio 2×8-bit): explode signatures into
+    (band_idx, band_val) keys, cap hot buckets with a count window ON
+    THE JOIN KEY (exchange reuse — the `dedup._bucket_capped`
+    discipline; a dropped bucket loses only the recall that band
+    contributed), self-join on the key, exact `bit_count(xor)` verify.
+
+    The keyed relation is PERSISTED: it feeds both join sides, so an
+    unpersisted plan would re-run the upstream codec-decode
+    mapInPandas — the dominant cost — once per side (the
+    simhash/minhash persist discipline, dedup.py)."""
+    from mindocr_spark.cache import tracked_persist
+
+    if max_bucket_size is not None and max_bucket_size < 2:
+        raise ValueError(
+            f"max_bucket_size must allow pairs (≥ 2), got {max_bucket_size}"
+        )
     ok = sigs.where(~F.col("failed"))
     keyed = ok.select(
-        "id", "h0", "h1", "h2", "h3",
-        F.posexplode(F.array("h0", "h1", "h2", "h3")).alias(
-            "band_idx", "band_val"
-        ),
+        "id", *band_cols,
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_val"),
     )
-    keyed = _cap_buckets(keyed, max_bucket_size)
+    if max_bucket_size is not None:
+        bw = Window.partitionBy("band_idx", "band_val")
+        keyed = (
+            keyed.withColumn("_bn", F.count(F.lit(1)).over(bw))
+            .where(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+    keyed = tracked_persist(keyed)
     a = keyed.select(
         F.col("id").alias("id_a"),
-        F.col("h0").alias("a0"), F.col("h1").alias("a1"),
-        F.col("h2").alias("a2"), F.col("h3").alias("a3"),
+        *[F.col(c).alias(f"a{i}") for i, c in enumerate(band_cols)],
         "band_idx", "band_val",
     )
     b = keyed.select(
         F.col("id").alias("id_b"),
-        F.col("h0").alias("b0"), F.col("h1").alias("b1"),
-        F.col("h2").alias("b2"), F.col("h3").alias("b3"),
+        *[F.col(c).alias(f"b{i}") for i, c in enumerate(band_cols)],
         "band_idx", "band_val",
     )
-    ham = (
-        F.bit_count(F.col("a0").bitwiseXOR(F.col("b0")))
-        + F.bit_count(F.col("a1").bitwiseXOR(F.col("b1")))
-        + F.bit_count(F.col("a2").bitwiseXOR(F.col("b2")))
-        + F.bit_count(F.col("a3").bitwiseXOR(F.col("b3")))
-    )
+    ham = F.lit(0)
+    for i in range(len(band_cols)):
+        ham = ham + F.bit_count(
+            F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}"))
+        )
     return (
         a.join(b, ["band_idx", "band_val"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
         .distinct()
-    )
-
-
-def _cap_buckets(
-    keyed: DataFrame, max_bucket_size: int | None
-) -> DataFrame:
-    """Drop (band_idx, band_val) buckets larger than the cap — one
-    map-side-combinable count agg joined back on the bucket key. A
-    dropped bucket loses ONLY the recall that band contributed; pairs
-    still colliding in another (un-hot) band survive."""
-    if max_bucket_size is None:
-        return keyed
-    if max_bucket_size < 2:
-        raise ValueError(
-            f"max_bucket_size must allow pairs (≥ 2), got {max_bucket_size}"
-        )
-    counts = keyed.groupBy("band_idx", "band_val").agg(
-        F.count(F.lit(1)).alias("__bn")
-    )
-    return (
-        keyed.join(counts, ["band_idx", "band_val"])
-        .where(F.col("__bn") <= max_bucket_size)
-        .drop("__bn")
     )
 
 
@@ -293,32 +300,8 @@ def audio_fp_near_dup_pairs(
             "banding over 2 bands guarantees recall only for "
             f"max_hamming ≤ 1, got {max_hamming}"
         )
-    ok = sigs.where(~F.col("failed"))
-    keyed = ok.select(
-        "id", "f0", "f1",
-        F.posexplode(F.array("f0", "f1")).alias("band_idx", "band_val"),
-    )
-    keyed = _cap_buckets(keyed, max_bucket_size)
-    a = keyed.select(
-        F.col("id").alias("id_a"),
-        F.col("f0").alias("a0"), F.col("f1").alias("a1"),
-        "band_idx", "band_val",
-    )
-    b = keyed.select(
-        F.col("id").alias("id_b"),
-        F.col("f0").alias("b0"), F.col("f1").alias("b1"),
-        "band_idx", "band_val",
-    )
-    ham = (
-        F.bit_count(F.col("a0").bitwiseXOR(F.col("b0")))
-        + F.bit_count(F.col("a1").bitwiseXOR(F.col("b1")))
-    )
-    return (
-        a.join(b, ["band_idx", "band_val"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", ham.alias("hamming"))
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
+    return _banded_hamming_pairs(
+        sigs, ["f0", "f1"], max_hamming, max_bucket_size
     )
 
 
