@@ -1876,6 +1876,20 @@ def q_semdedup(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q_cluster_mix(spark, sf_dir):
+    """Cluster-balanced mixture allocation (D4-style topic
+    rebalancing): k-means-cluster the embeddings with the shared IVF
+    build (id-grid seeds + one Lloyd pass — the same index the
+    ann_ivf_topk/semdedup oracles replay), then split a 100k-doc
+    epoch budget across clusters with the α=0.5 temperature rule.
+    EAGER: the IVF build runs jobs at plan time."""
+    from mindocr_spark.functions.similarity import cluster_mix_allocation
+
+    return cluster_mix_allocation(
+        _t(spark, sf_dir, "embeddings"), budget=100_000
+    ).orderBy("cid")
+
+
 def q_deterministic_sample(spark, sf_dir):
     """Content-hash sampling (the sample_ratio scan option, reference:
     det_dataset.py:112-158) made reproducible across engines: md5-bucket
@@ -3519,6 +3533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q(q_ann_ivf_topk),
         "embedding_neardup": _q(q_embedding_neardup),
         "semdedup": _q(q_semdedup),
+        "cluster_mix": _q(q_cluster_mix),
         "multimodal_features": _q(q_multimodal_features),
         "multimodal_real_codec": _q(q_multimodal_real_codec),
         "multimodal_video": _q(q_multimodal_video),
@@ -7902,6 +7917,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.neighbor_id AS vec_id, a.cid,
                    a.neighbor_id IN (SELECT id_b FROM pairs) AS is_dup
             FROM assign a ORDER BY vec_id
+        """,
+        "cluster_mix": "WITH " + _IVF_INDEX_CTES + """,
+            l AS (
+              SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs
+              FROM assign GROUP BY cid),
+            w AS (
+              SELECT cid, n_vecs,
+                     round(sqrt(CAST(n_vecs AS DOUBLE)), 6) AS wq,
+                     CAST(sum(n_vecs) OVER () AS DOUBLE) AS tot,
+                     CAST(sum(CAST(round(sqrt(CAST(n_vecs AS DOUBLE)), 6)
+                                   AS DECIMAL(38,6))) OVER ()
+                          AS DOUBLE) AS s
+              FROM l)
+            SELECT cid, n_vecs,
+                   round(CAST(n_vecs AS DOUBLE) / tot, 6) AS raw_share,
+                   round(wq / s, 6) AS temp_share,
+                   round((wq / s)
+                         / (CAST(n_vecs AS DOUBLE) / tot), 6) AS boost,
+                   CAST(floor(CAST(100000 AS DOUBLE) * (wq / s))
+                        AS BIGINT) AS alloc_docs
+            FROM w ORDER BY cid
         """,
         "ann_ivf_topk": "WITH " + _IVF_INDEX_CTES + """,
             q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),

@@ -190,6 +190,8 @@ def main() -> None:
         "spam_mass",            # PageRank vs TrustRank spam quotient
         "weighted_sample",      # A-ES weight-proportional draw (top-k)
         "lm_backoff_logscore",  # trigram stupid-backoff fluency gate
+        # round-3 session-G additions
+        "cluster_mix",          # k-means topic-rebalanced epoch budget
     ]
     qs = E.queries()
     for name in headline:

@@ -331,6 +331,71 @@ def build_ivf_index(
     return c, cent, assign_fn
 
 
+def cluster_mix_allocation(
+    embeddings: DataFrame,
+    budget: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_centroids: int = 65_536,
+    lloyd_iters: int = 1,
+    n: int | None = None,
+) -> DataFrame:
+    """Cluster-balanced mixture allocation — the topic-rebalancing
+    step (D4 / cluster-then-balance curation, Tirumala et al. 2023):
+    k-means-cluster the embedding corpus with the shared IVF build,
+    then split a per-epoch sampling budget across CLUSTERS with the
+    α = 0.5 temperature rule (``w_c ∝ √n_c``), so over-represented
+    topics (boilerplate-heavy crawl neighborhoods) are down-sampled
+    and tail topics up-sampled. The cluster twin of
+    `text.temperature_mix` (same fixed α: ``sqrt`` is IEEE
+    correctly-rounded, bit-identical cross-engine; general ``pow``
+    is not).
+
+    Returns one row per cluster: exact ``n_vecs``, ``raw_share``,
+    ``temp_share``, ``boost`` (temp/raw), ``alloc_docs`` (floored
+    slice of `budget`).
+
+    Cross-engine exactness: counts are exact BIGINTs; weights are
+    round(sqrt(n),6); normalizers are order-independent DECIMAL(38,6)
+    sums via UNPARTITIONED windows (each chain referenced once — the
+    hits plan-growth lesson); every share is one IEEE division,
+    rounded at 6.
+
+    100 TB shape: assignment is the IVF broadcast-centroid scan (no
+    shuffle beyond the build); the per-cluster count is ONE map-side-
+    combinable groupBy at cluster cardinality k ≈ √n; the normalizer
+    windows run over that tiny table. Reference lineage: per-dataset
+    sample_ratio mixing (reference: mindocr/data/builder.py:42-78),
+    ratios derived from the corpus."""
+    c, cent, assign_fn = build_ivf_index(
+        embeddings, n=n, max_centroids=max_centroids,
+        lloyd_iters=lloyd_iters, id_col=id_col, vec_col=vec_col,
+    )
+    assign = assign_fn(c, cent)
+    per = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
+    w = Window.partitionBy()
+    wq = F.round(F.sqrt(F.col("n_vecs").cast("double")), 6)
+    per = per.select(
+        "cid", "n_vecs", wq.alias("_wq"),
+        F.sum(F.col("n_vecs")).over(w).alias("_tot"),
+    )
+    per = per.withColumn(
+        "_s",
+        F.sum(F.col("_wq").cast("decimal(38,6)")).over(w).cast("double"),
+    )
+    raw = F.col("n_vecs").cast("double") / F.col("_tot").cast("double")
+    temp = F.col("_wq") / F.col("_s")
+    return per.select(
+        "cid",
+        "n_vecs",
+        F.round(raw, 6).alias("raw_share"),
+        F.round(temp, 6).alias("temp_share"),
+        F.round(temp / raw, 6).alias("boost"),
+        F.floor(F.lit(float(budget)) * temp).cast("bigint")
+        .alias("alloc_docs"),
+    )
+
+
 def semdedup_flags(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -268,3 +268,50 @@ class TestBitextMine:
         )
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestClusterMix:
+    def test_budget_conservation_and_boost_direction(self, spark):
+        """Floored allocations never exceed the budget; a small
+        cluster's boost > 1 > a big cluster's boost (α=0.5 up-weights
+        tails); shares are complete (every cluster has one row)."""
+        from mindocr_spark.functions.similarity import (
+            cluster_mix_allocation,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        rows = cluster_mix_allocation(emb, budget=10_000).collect()
+        assert rows
+        assert sum(r["alloc_docs"] for r in rows) <= 10_000
+        assert sum(r["n_vecs"] for r in rows) == emb.count()
+        big = max(rows, key=lambda r: r["n_vecs"])
+        small = min(rows, key=lambda r: r["n_vecs"])
+        if big["n_vecs"] > small["n_vecs"]:
+            assert small["boost"] > big["boost"]
+            assert small["boost"] > 1.0 > big["boost"]
+
+    def test_uniform_clusters_allocate_evenly(self, spark):
+        """Equal-size clusters get equal temperature shares."""
+        from mindocr_spark.functions.similarity import (
+            cluster_mix_allocation,
+        )
+
+        # 4 well-separated direction groups × 4 vectors, ids laid out
+        # so the id-grid seeds (stride 4) pick one seed per group
+        dirs = [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0],
+                [0, 0, 0, 1.0]]
+        data = []
+        for i in range(16):
+            base = dirs[i // 4]
+            v = [x * (1.0 + 0.01 * (i % 4)) for x in base]
+            data.append((i, v))
+        emb = spark.createDataFrame(
+            data, "vec_id bigint, embedding array<double>"
+        )
+        rows = cluster_mix_allocation(emb, budget=8_000).collect()
+        assert len(rows) == 4
+        assert {r["n_vecs"] for r in rows} == {4}
+        assert len({r["temp_share"] for r in rows}) == 1
+        assert all(r["alloc_docs"] == 2_000 for r in rows)
