@@ -2412,6 +2412,20 @@ def q_spam_mass(spark, sf_dir):
     return spam_mass(ranks, trust).orderBy("domain")
 
 
+def q_kcore(spark, sf_dir):
+    """Iterated k-peel (k=7, 4 rounds) over the undirected simple
+    domain graph — the dense-core spam/hub signal: thin long-tail
+    source domains (fewer than 7 distinct mirror neighbors) peel out,
+    the mirror hubs and well-connected sources stay. Flag-style: one
+    row per graph node with (in_core, core_degree). EAGER: each peel
+    round runs as a checkpointed Spark job."""
+    from mindocr_spark.functions.links import domain_kcore, extract_links
+    from mindocr_spark.sources.pages import pages_from_documents_linked
+
+    edges = extract_links(pages_from_documents_linked(spark, sf_dir))
+    return domain_kcore(edges, k=7, rounds=4).orderBy("domain")
+
+
 def q_hits_scores(spark, sf_dir):
     """HITS hubs/authorities over the extracted domain graph: 3
     alternating L1-normalized half-steps; every reduction is an exact
@@ -3509,6 +3523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": _q(q_trustrank),
         "spam_mass": _q(q_spam_mass),
         "hits_scores": _q(q_hits_scores),
+        "kcore": _q(q_kcore),
         "concordance": _q(q_concordance),
         "blockword_filter": _q(q_blockword_filter),
         "robots_flags": _q(q_robots_flags),
@@ -3662,6 +3677,43 @@ def _pagerank_oracle(iters: int = 3, damping: str = "0.85") -> str:
               LEFT JOIN it{k}c c ON c.dst_dom = n.dom)""")
     parts.append(f"""
             SELECT dom AS domain, rank FROM it{iters} ORDER BY domain""")
+    return "".join(parts)
+
+
+def _kcore_oracle(k: int = 7, rounds: int = 4) -> str:
+    """Unrolled twin of `links.domain_kcore`: `rounds` peel passes,
+    each one degree count over the alive-filtered symmetric simple
+    graph, then the final-core degree. All-integer — no float
+    discipline needed."""
+    parts = [
+        "WITH " + _LINKED_EDGE_CTES,
+        """,
+            sp AS (
+              SELECT DISTINCT src_dom AS a, dst_dom AS b
+              FROM e WHERE src_dom != dst_dom),
+            sym AS (SELECT a, b FROM sp UNION SELECT b, a FROM sp),
+            a0 AS (SELECT DISTINCT a AS dom FROM sym)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+            d{r} AS (
+              SELECT a AS dom, count(*) AS c FROM sym
+              WHERE a IN (SELECT dom FROM a{r - 1})
+                AND b IN (SELECT dom FROM a{r - 1})
+              GROUP BY a),
+            a{r} AS (SELECT dom FROM d{r} WHERE c >= {k})""")
+    parts.append(f"""
+            , cd AS (
+              SELECT a AS dom, CAST(count(*) AS BIGINT) AS core_degree
+              FROM sym
+              WHERE a IN (SELECT dom FROM a{rounds})
+                AND b IN (SELECT dom FROM a{rounds})
+              GROUP BY a)
+            SELECT n.dom AS domain,
+                   n.dom IN (SELECT dom FROM a{rounds}) AS in_core,
+                   cd.core_degree
+            FROM a0 n LEFT JOIN cd ON cd.dom = n.dom
+            ORDER BY domain""")
     return "".join(parts)
 
 
@@ -4680,6 +4732,7 @@ def oracle_sql() -> dict[str, str]:
         "trustrank": _trustrank_oracle(iters=3, damping="0.85"),
         "spam_mass": _spam_mass_oracle(iters=3, damping="0.85"),
         "hits_scores": _hits_oracle(iters=3),
+        "kcore": _kcore_oracle(k=7, rounds=4),
         "bpe_token_stats": r"""
             WITH u AS (
               SELECT doc_id,

@@ -691,6 +691,93 @@ def reciprocal_link_stats(edges: DataFrame) -> DataFrame:
     )
 
 
+def domain_kcore(
+    edges: DataFrame, k: int = 3, rounds: int = 4
+) -> DataFrame:
+    """Iterated k-peel over the UNDIRECTED simple domain graph — the
+    k-core family signal (Kumar et al. dense-subgraph spam detection;
+    link farms live in unusually deep cores, organic long-tail domains
+    peel out immediately). Each round removes every domain whose
+    degree over the SURVIVING graph is < `k`; peeling cascades
+    (removing a hub drops its neighbors' degrees).
+
+    `rounds` is FIXED, not run-to-fixpoint: a fixed unrolled pass
+    count is the contract an exact cross-engine oracle can state (the
+    dedup max_iter lesson), and after enough rounds the result IS the
+    k-core — callers wanting the fixpoint raise `rounds` (peel depth
+    is bounded by graph diameter in practice). Returns one row per
+    graph node, flag-style (no row vanishes): (domain, in_core,
+    core_degree) where core_degree is the degree over the final
+    surviving node set (NULL for peeled domains — the failure-flow
+    NULL discipline).
+
+    100 TB shape: the edge multiset collapses ONCE to distinct
+    undirected neighbor pairs (map-side combinable on the pair key —
+    a 10^9-edge farm collapses to its few pairs first); each round is
+    one alive-semijoin + one degree groupBy at domain cardinality;
+    per-round lineage is truncated (localCheckpoint) so the plan stays
+    constant-size — the connected_components discipline.
+
+    Reference analog: iterative candidate pruning in PSE's progressive
+    expansion (keep a region only while its support stays above the
+    threshold, reference: mindocr/postprocess/det_pse_postprocess.py),
+    lifted to graph degree."""
+    from mindocr_spark.cache import (
+        release_local_checkpoint,
+        tracked_persist,
+    )
+
+    if k < 1 or rounds < 1:
+        raise ValueError(f"need k ≥ 1 and rounds ≥ 1, got {k}/{rounds}")
+    raw = edges.where(
+        F.col("src_domain") != F.col("dst_domain")
+    ).select("src_domain", "dst_domain")
+    # bare localCheckpoint (NOT scope-tracked): sym is referenced by
+    # the RETURNED lazy plan, and released checkpoint blocks cannot
+    # recompute — lifetime is the ContextCleaner's (blocks are
+    # domain-pair-cardinality, tiny next to the corpus)
+    sym = (
+        raw.select(F.col("src_domain").alias("a"),
+                   F.col("dst_domain").alias("b"))
+        .union(raw.select(F.col("dst_domain").alias("a"),
+                          F.col("src_domain").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = tracked_persist(sym.select(F.col("a").alias("domain")).distinct())
+    alive = nodes
+    for _ in range(rounds):
+        deg = (
+            sym.join(alive.select(F.col("domain").alias("a")), "a")
+            .join(alive.select(F.col("domain").alias("b")), "b")
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+        )
+        nxt = deg.where(F.col("_deg") >= k).select(
+            F.col("a").alias("domain")
+        ).localCheckpoint()
+        if alive is not nodes:
+            release_local_checkpoint(alive)
+        alive = nxt
+    core_deg = (
+        sym.join(alive.select(F.col("domain").alias("a")), "a")
+        .join(alive.select(F.col("domain").alias("b")), "b")
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+    )
+    return (
+        nodes.join(alive.select("domain", F.lit(True).alias("in_core")),
+                   "domain", "left")
+        .join(core_deg.select(F.col("a").alias("domain"), "core_degree"),
+              "domain", "left")
+        .select(
+            "domain",
+            F.coalesce("in_core", F.lit(False)).alias("in_core"),
+            "core_degree",
+        )
+    )
+
+
 def link_density_cols(
     pages: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:

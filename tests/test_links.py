@@ -350,3 +350,49 @@ def test_spam_mass_separates_farm_from_endorsed(spark):
     assert all(m[f"farm{i}"] == pytest.approx(1.0, abs=1e-9)
                for i in range(4))
     assert m["good"] < 0.5  # endorsed: most of its rank is trusted
+
+
+def test_kcore_peel_cascade(spark):
+    """A triangle+tail graph at k=2: the tail node peels in round 1,
+    which drops its triangle neighbor's degree — but the triangle
+    itself survives (every member keeps degree 2). Peeled nodes stay
+    present flag-style with NULL core_degree."""
+    from mindocr_spark.functions.links import domain_kcore
+
+    edges = spark.createDataFrame(
+        # triangle a-b-c plus pendant chain c->d->e
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")],
+        "src_domain string, dst_domain string",
+    )
+    out = {r["domain"]: r for r in domain_kcore(edges, k=2, rounds=3).collect()}
+    assert set(out) == {"a", "b", "c", "d", "e"}  # no row vanishes
+    assert all(out[n]["in_core"] for n in ("a", "b", "c"))
+    assert not out["d"]["in_core"] and not out["e"]["in_core"]
+    # e peels round 1 (deg 1); d's degree then drops to 1, peels round 2
+    assert out["d"]["core_degree"] is None
+    assert out["c"]["core_degree"] == 2  # d no longer counted
+
+
+def test_kcore_multiplicity_and_direction_collapse(spark):
+    """Degree is over DISTINCT undirected neighbors: a 10^6-edge farm
+    between two domains is ONE pair; direction never matters."""
+    from mindocr_spark.functions.links import domain_kcore
+
+    edges = spark.createDataFrame(
+        [("a", "b")] * 5 + [("b", "a")] * 5 + [("a", "a")],
+        "src_domain string, dst_domain string",
+    )
+    out = {r["domain"]: r for r in domain_kcore(edges, k=1, rounds=2).collect()}
+    assert out["a"]["core_degree"] == 1 and out["b"]["core_degree"] == 1
+
+
+def test_kcore_rejects_bad_params(spark):
+    from mindocr_spark.functions.links import domain_kcore
+
+    edges = spark.createDataFrame(
+        [("a", "b")], "src_domain string, dst_domain string",
+    )
+    with pytest.raises(ValueError):
+        domain_kcore(edges, k=0)
+    with pytest.raises(ValueError):
+        domain_kcore(edges, k=2, rounds=0)
