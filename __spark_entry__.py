@@ -2559,6 +2559,35 @@ def q_crawl_delta(spark, sf_dir):
     return crawl_delta(old, new).orderBy("url")
 
 
+def q_bloom_gate(spark, sf_dir):
+    """Bloom seen-set frontier gate: build the filter over the OLD
+    crawl snapshot's urls (1024 packed 32-bit words, k=4 md5 slices),
+    then gate the NEW snapshot's urls through it. Output per candidate
+    url: maybe_seen (the Bloom's answer), seen (exact membership, via
+    one broadcast flag join — the ground truth the Bloom approximates),
+    false_pos (= maybe_seen ∧ ¬seen: the deterministic FP set the
+    oracle reproduces bit-for-bit). The no-false-negative invariant
+    (seen → maybe_seen) is structural; tests assert it at every tier."""
+    from mindocr_spark.functions.crawl import bloom_build, bloom_gate
+    from mindocr_spark.sources.pages import pages_snapshots
+
+    old, new = pages_snapshots(spark, sf_dir)
+    committed = old.select("url")
+    gated = bloom_gate(new.select("url"), bloom_build(committed))
+    exact = committed.distinct().withColumn("__seen", F.lit(True))
+    return (
+        gated.join(F.broadcast(exact), "url", "left")
+        .select(
+            "url",
+            "maybe_seen",
+            F.coalesce("__seen", F.lit(False)).alias("seen"),
+            (F.col("maybe_seen")
+             & ~F.coalesce("__seen", F.lit(False))).alias("false_pos"),
+        )
+        .orderBy("url")
+    )
+
+
 def q_revisit_policy(spark, sf_dir):
     """Adaptive recrawl scheduling COMPOSED over the snapshot delta:
     per site section (the url's source segment), change statistics and
@@ -3518,6 +3547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": _q(q_substring_dedup),
         "dup_survivor": _q(q_dup_survivor),
         "crawl_delta": _q(q_crawl_delta),
+        "bloom_gate": _q(q_bloom_gate),
         "revisit_policy": _q(q_revisit_policy),
         "domain_pagerank": _q(q_domain_pagerank),
         "trustrank": _q(q_trustrank),
@@ -4673,6 +4703,44 @@ def oracle_sql() -> dict[str, str]:
                         WHEN upd THEN 'changed'
                         ELSE 'same' END AS status
             FROM s WHERE in_old OR in_new ORDER BY url
+        """,
+        # the Bloom is rebuilt bit-for-bit in SQL: same md5 slices,
+        # same 32-bit words, same packed bit_or — so maybe_seen AND
+        # the deterministic false-positive set are exact cross-engine
+        "bloom_gate": f"""
+            WITH oldu AS (
+              SELECT {url} AS url FROM documents WHERE doc_id % 11 <> 0),
+            newu AS (
+              SELECT {url} AS url FROM documents WHERE doc_id % 7 <> 0),
+            bpos AS (
+              SELECT ('0x' || substr(md5(url),
+                        1 + 8 * CAST(r.range AS INT), 8))::BIGINT
+                       % 32768 AS p
+              FROM oldu, range(4) r),
+            bloom AS (
+              SELECT p >> 5 AS word,
+                     bit_or(1::BIGINT << CAST(p & 31 AS INT)) AS bits
+              FROM bpos GROUP BY p >> 5),
+            cpos AS (
+              SELECT url,
+                     ('0x' || substr(md5(url),
+                        1 + 8 * CAST(r.range AS INT), 8))::BIGINT
+                       % 32768 AS p
+              FROM newu, range(4) r),
+            hit AS (
+              SELECT c.url,
+                     SUM(CASE WHEN b.bits IS NOT NULL
+                               AND ((b.bits >> CAST(c.p & 31 AS INT))
+                                    & 1) = 1
+                          THEN 1 ELSE 0 END) AS nhit
+              FROM cpos c LEFT JOIN bloom b ON b.word = (c.p >> 5)
+              GROUP BY c.url)
+            SELECT h.url,
+                   nhit = 4 AS maybe_seen,
+                   o.url IS NOT NULL AS seen,
+                   (nhit = 4) AND o.url IS NULL AS false_pos
+            FROM hit h LEFT JOIN oldu o ON o.url = h.url
+            ORDER BY h.url
         """,
         "page_metadata": r"""
             SELECT 'https://docs.example/d/' || CAST(doc_id AS VARCHAR)

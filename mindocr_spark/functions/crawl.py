@@ -86,6 +86,128 @@ def crawl_delta(
 
 
 # ---------------------------------------------------------------------------
+# Bloom seen-set — the frontier's constant-space membership gate
+# ---------------------------------------------------------------------------
+
+#: Default Bloom geometry for the oracle-checked query surface: 1024
+#: 32-bit words = 32,768 bits. Deliberately small so the test tiers
+#: exercise real load factors (sf0.01 ≈ 0.06 → zero false positives,
+#: sf0.1 ≈ 0.55 → a deterministic handful); production sizes m_words
+#: to the committed-set cardinality (~10 bits/key for 1% FP).
+BLOOM_WORDS = 1024
+BLOOM_K = 4
+
+
+def _bloom_positions(url_col, m_words: int, k: int) -> list[Column]:
+    """The k bit positions of one key: independent 32-bit slices of
+    md5(url), each taken mod the filter width. md5 yields 32 hex chars
+    = four 8-char slices, capping k at 4; the conv() hex-to-int is the
+    weighted_sample idiom, bit-identical to DuckDB's
+    ``('0x' || substr(md5(url), …))::BIGINT``."""
+    if not 1 <= k <= 4:
+        raise ValueError(f"bloom k must be 1..4 (md5 has 4 slices), got {k}")
+    if m_words < 1:
+        raise ValueError(f"bloom m_words must be >= 1, got {m_words}")
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    h = F.md5(u.cast("binary"))
+    m_bits = m_words * 32
+    return [
+        F.pmod(
+            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("bigint"),
+            F.lit(m_bits),
+        )
+        for i in range(k)
+    ]
+
+
+def bloom_build(
+    committed: DataFrame,
+    url_col: str = "url",
+    m_words: int = BLOOM_WORDS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Build a Bloom filter over the committed URL set as a relation of
+    packed words: (word, bits) with ``word = position >> 5`` and bit
+    ``position & 31`` set — at most `m_words` rows no matter how many
+    keys went in. This is the crawl frontier's seen-set: membership in
+    constant space, no false negatives, a bounded false-positive rate
+    the caller prices in. Bits stay in 0..31 (32-bit words in a BIGINT)
+    so no engine's shift can touch the sign bit.
+
+    100 TB shape: the alternative — an exact anti-join of every
+    frontier candidate against 10^12 committed urls — shuffles the
+    committed corpus every crawl round. The Bloom build is ONE narrow
+    explode (k positions per url, map-side) + ONE ``bit_or`` groupBy at
+    filter-word cardinality (≤ m_words rows out, map-side combinable:
+    a billion urls reach the reducer as one partial word-vector per
+    task); the artifact is megabytes and broadcasts. NULL urls carry no
+    positions and are dropped.
+
+    Reference lineage: the reference's resume discipline skips
+    already-processed inputs by consulting committed state
+    (reference: tools/train.py:111-122); the Bloom is that membership
+    test made constant-space for frontier scale.
+    """
+    pos = _bloom_positions(url_col, m_words, k)
+    return (
+        committed.where(F.col(url_col).isNotNull())
+        .select(F.explode(F.array(*pos)).alias("p"))
+        .groupBy(F.shiftright("p", 5).alias("word"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(1L, cast(p & 31 as int))")
+            ).alias("bits")
+        )
+    )
+
+
+def bloom_gate(
+    candidates: DataFrame,
+    bloom: DataFrame,
+    url_col: str = "url",
+    m_words: int = BLOOM_WORDS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Gate frontier candidates through a built Bloom filter:
+    (url, maybe_seen) with ``maybe_seen`` true iff ALL k of the
+    candidate's bits are set. No false negatives by construction —
+    every committed url tests true; a false positive skips a fetch
+    (re-discovered next round via links), which is the cheap error
+    direction for a crawler.
+
+    100 TB shape: the filter is ≤ m_words rows, so the gate is k
+    BROADCAST left joins on the word key — the 10^12-candidate side is
+    touched once, map-only, ZERO shuffles (vs the exact anti-join's
+    full shuffle of both sides). The bit test is codegen arithmetic;
+    the k probes fuse into one whole-stage span."""
+    pos = _bloom_positions(url_col, m_words, k)
+    out = candidates.select(
+        F.col(url_col).alias("url"),
+        *[F.shiftright(p, 5).alias(f"__w{i}") for i, p in enumerate(pos)],
+        *[p.bitwiseAND(F.lit(31)).alias(f"__t{i}")
+          for i, p in enumerate(pos)],
+    )
+    checks = []
+    for i in range(k):
+        side = bloom.select(
+            F.col("word").alias(f"__w{i}"), F.col("bits").alias(f"__b{i}")
+        )
+        out = out.join(F.broadcast(side), f"__w{i}", "left")
+        checks.append(
+            F.coalesce(
+                F.expr(
+                    f"(shiftright(__b{i}, cast(__t{i} as int)) & 1) = 1"
+                ),
+                F.lit(False),
+            )
+        )
+    seen = checks[0]
+    for c in checks[1:]:
+        seen = seen & c
+    return out.select("url", seen.alias("maybe_seen"))
+
+
+# ---------------------------------------------------------------------------
 # robots.txt — fetch-side politeness (the crawl-layer gate, as opposed to
 # the page-side <meta name="robots"> flags in functions/links.py)
 # ---------------------------------------------------------------------------

@@ -403,3 +403,73 @@ def test_soft404_two_signal_heuristic(spark):
         soft404_flags(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bloom_no_false_negatives_and_packing(spark):
+    """Every committed url MUST test maybe_seen=true (structural — a
+    Bloom has no false negatives); the packed relation never exceeds
+    m_words rows and bits stay inside 32-bit words."""
+    from mindocr_spark.functions.crawl import bloom_build, bloom_gate
+
+    urls = spark.createDataFrame(
+        [(f"https://s.example/{i}",) for i in range(200)] + [(None,)],
+        "url string",
+    )
+    filt = bloom_build(urls, m_words=8).collect()
+    assert len(filt) <= 8
+    for r in filt:
+        assert 0 <= r["word"] < 8
+        assert 0 <= r["bits"] < (1 << 32)  # no sign-bit excursions
+    bloom = bloom_build(urls, m_words=8)
+    out = {r["url"]: r["maybe_seen"]
+           for r in bloom_gate(urls.where("url is not null"),
+                               bloom, m_words=8).collect()}
+    assert len(out) == 200 and all(out.values())
+
+
+def test_bloom_false_positives_are_possible_not_universal(spark):
+    """At a sane load factor unseen keys mostly test false — but the
+    filter is a Bloom, so a saturated filter says true for anything
+    (the documented error direction)."""
+    from mindocr_spark.functions.crawl import bloom_build, bloom_gate
+
+    committed = spark.createDataFrame(
+        [(f"https://s.example/{i}",) for i in range(50)], "url string",
+    )
+    fresh = spark.createDataFrame(
+        [(f"https://other.example/{i}",) for i in range(50)], "url string",
+    )
+    # 64 words = 2048 bits, load ~0.1: fresh keys overwhelmingly miss
+    roomy = bloom_build(committed, m_words=64)
+    miss = bloom_gate(fresh, roomy, m_words=64)
+    assert miss.where("maybe_seen").count() < 10
+    # 1 word = 32 bits, 50 keys × 4 slices: saturated, everything hits
+    tight = bloom_build(committed, m_words=1)
+    assert bloom_gate(fresh, tight, m_words=1).where(
+        "NOT maybe_seen").count() == 0
+
+
+def test_bloom_gate_candidate_side_never_shuffles(spark):
+    """The gate is k BROADCAST probes — the 10^12-candidate side must
+    never hit a sort-merge join or an exchange of its own."""
+    from mindocr_spark.functions.crawl import bloom_build, bloom_gate
+
+    committed = spark.createDataFrame(
+        [(f"https://s.example/{i}",) for i in range(100)], "url string",
+    )
+    out = bloom_gate(committed, bloom_build(committed))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_param_guards(spark):
+    from mindocr_spark.functions.crawl import bloom_build
+
+    urls = spark.createDataFrame([("u",)], "url string")
+    with pytest.raises(ValueError):
+        bloom_build(urls, k=5)  # md5 only has 4 independent slices
+    with pytest.raises(ValueError):
+        bloom_build(urls, k=0)
+    with pytest.raises(ValueError):
+        bloom_build(urls, m_words=0)
