@@ -2109,6 +2109,8 @@ from mindocr_spark.functions.text import (  # noqa: E402
     STOPWORD_PROFILES as _STOPWORD_PROFILES,
     INDENT_LINE_RE as _INDENT_LINE_RE,
     LATEX_RE as _LATEX_RE,
+    LICENSE_CLASSES as _LICENSE_CLASSES,
+    PERMISSIVE_LICENSES as _PERMISSIVE_LICENSES,
     blockword_pattern as _blockword_pattern,
 )
 
@@ -2141,6 +2143,74 @@ def q_tfidf_keywords(spark, sf_dir):
 #: absent from the corpus vocabulary — the zero-hit word must simply
 #: not fire).
 _BLOCKWORDS = ("slow", "batch", "spill")
+
+
+#: Planted license footers, one per doc_id % 9 slot (slot 8 = no
+#: marker). Shared verbatim by q_license_detect's in-query corpus and
+#: the SQL oracle's CASE — the two engines compose identical text.
+_LICENSE_FOOTERS = (
+    " Licensed under a Creative Commons Attribution 4.0 International"
+    " License.",
+    " This work is dedicated to the public domain (CC0 1.0).",
+    " Distributed as CC BY-SA 4.0.",
+    " Usage restricted to noncommercial purposes: CC BY-NC.",
+    " Released under the MIT License.",
+    " Licensed under the Apache License, Version 2.0.",
+    " Covered by the GNU General Public License v3.",
+    " Copyright 2024. All rights reserved.",
+    "",
+)
+
+
+def _license_oracle() -> str:
+    """SQL twin of q_license_detect: compose the SAME footer text
+    (shared _LICENSE_FOOTERS literals) and run the LITERAL same
+    priority CASE over the same patterns — rendered from
+    LICENSE_CLASSES so the two engines cannot drift."""
+    arms = "\n                   ".join(
+        f"WHEN regexp_matches(low, '{pat}') THEN '{name}'"
+        for name, pat in _LICENSE_CLASSES
+    )
+    cls = f"CASE {arms}\n                   ELSE 'none' END"
+    perm = ", ".join(f"'{c}'" for c in sorted(_PERMISSIVE_LICENSES))
+    slots = "\n                     ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_LICENSE_FOOTERS[:-1])
+    )
+    return f"""
+        WITH built AS (
+          SELECT doc_id,
+                 text || CASE doc_id % 9
+                     {slots}
+                     ELSE '' END AS t
+          FROM documents),
+        c AS (SELECT doc_id, lower(t) AS low FROM built)
+        SELECT doc_id,
+               {cls} AS license,
+               {cls} IN ({perm}) AS permissive
+        FROM c ORDER BY doc_id
+    """
+
+
+def q_license_detect(spark, sf_dir):
+    """Rights-aware curation gate: the word-soup documents carry no
+    rights markers, so the corpus is built IN-QUERY — every doc gains
+    a doc_id-slotted license footer (8 license families + a bare
+    slot). license_flags resolves the priority CASE (most-specific
+    marker wins: a CC BY-SA footer literally contains 'cc by') and the
+    permissive policy set; the oracle rebuilds the same text and runs
+    the LITERAL same patterns in RE2, pinning the dialect agreement
+    the blockword gate established."""
+    from mindocr_spark.functions.text import license_flags
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    footer = F.element_at(
+        F.array(*[F.lit(s) for s in _LICENSE_FOOTERS]),
+        (F.pmod(F.col("doc_id"), F.lit(9)) + 1).cast("int"),
+    )
+    built = docs.select(
+        "doc_id", F.concat(F.col("text"), footer).alias("text")
+    )
+    return license_flags(built).orderBy("doc_id")
 
 
 def q_blockword_filter(spark, sf_dir):
@@ -3556,6 +3626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": _q(q_kcore),
         "concordance": _q(q_concordance),
         "blockword_filter": _q(q_blockword_filter),
+        "license_detect": _q(q_license_detect),
         "robots_flags": _q(q_robots_flags),
         "robots_gate": _q(q_robots_gate),
         "sitemap_parse": _q(q_sitemap_parse),
@@ -5089,6 +5160,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """.replace("__PAT__", _blockword_pattern(_BLOCKWORDS)
                     .replace("'", "''")),
+        "license_detect": _license_oracle(),
         "quality_classifier": r"""
             WITH w(bucket, w) AS (VALUES __W__),
             t AS (

@@ -643,6 +643,64 @@ def blockword_flags(df: DataFrame, words: tuple[str, ...] | list[str],
 
 
 # --------------------------------------------------------------------------
+# License detection (rights-aware curation gate)
+# --------------------------------------------------------------------------
+
+#: License-marker patterns matched against lower(text), priority order:
+#: most-specific first, so a CC BY-SA footer (which literally contains
+#: "cc by") resolves to cc_by_sa, not cc_by. Plain alternations + \b
+#: only — Java regex (Spark codegen) and RE2 (DuckDB) agree; rendered
+#: verbatim into the SQL oracle (the blockword dialect discipline).
+LICENSE_CLASSES: tuple[tuple[str, str], ...] = (
+    ("cc0", r"(creative commons zero|\bcc0\b|public domain)"),
+    ("cc_by_sa", r"(\bcc[ -]by[ -]sa\b|attribution[- ]sharealike)"),
+    ("cc_by_nc", r"(\bcc[ -]by[ -]nc\b|attribution[- ]noncommercial)"),
+    ("cc_by", r"(\bcc[ -]by\b|creative commons attribution)"),
+    ("mit", r"\bmit license\b"),
+    ("apache", r"apache license"),
+    ("gpl", r"(gnu general public license|\bgplv?[23]?\b)"),
+    ("arr", r"all rights reserved"),
+)
+
+#: Classes a rights-clean training corpus may keep (The Stack's
+#: permissive-license gate, FineWeb's terms-of-use posture): public
+#: domain and attribution-style grants. NC (no commercial use) and
+#: all-rights-reserved are out; GPL is out under the conservative
+#: reading that model weights cannot honor share-alike.
+PERMISSIVE_LICENSES = frozenset({"cc0", "cc_by", "cc_by_sa", "mit",
+                                 "apache"})
+
+
+def license_flags(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Rights-aware curation gate: (id, license, permissive) where
+    ``license`` is the FIRST :data:`LICENSE_CLASSES` marker present in
+    lower(text) (priority = specificity, ``none`` when no marker) and
+    ``permissive`` applies :data:`PERMISSIVE_LICENSES`. Flag-style —
+    no row vanishes; dropping is the funnel's policy decision.
+
+    100 TB shape: one whole-stage-codegen CASE chain of rlikes fused
+    into the scan — zero joins, zero shuffles, no Python. Detection is
+    textual (footers/boilerplate), the standard crawl-side signal when
+    no structured rights metadata survives extraction; pages carrying
+    rel="license" markup should prefer the structured tap
+    (`links.page_metadata`'s discipline) and fall back here.
+
+    Reference analog: the charset membership filter deciding keep/drop
+    per sample (reference: mindocr/data/rec_lmdb_dataset.py:106-119),
+    lifted to rights class."""
+    low = F.lower(F.col(text_col))
+    cls: Column = F.lit("none")
+    for name, pat in reversed(LICENSE_CLASSES):
+        cls = F.when(low.rlike(pat), F.lit(name)).otherwise(cls)
+    return df.select(
+        id_col,
+        cls.alias("license"),
+        cls.isin(*sorted(PERMISSIVE_LICENSES)).alias("permissive"),
+    )
+
+
+# --------------------------------------------------------------------------
 # PII redaction (curation-stage scrubbing)
 # --------------------------------------------------------------------------
 

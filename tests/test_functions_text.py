@@ -1351,3 +1351,51 @@ def test_weighted_sample_k_guardrail_and_topk_plan(spark):
     plan = (weighted_sample(df, k=5)
             ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in plan
+
+
+class TestLicenseFlags:
+    def test_priority_most_specific_wins(self, spark):
+        """A CC BY-SA footer literally contains 'cc by' — the priority
+        chain must resolve the SPECIFIC class, and each family maps to
+        its slot."""
+        from mindocr_spark.functions.text import license_flags
+
+        rows = [
+            (0, "x Creative Commons Attribution 4.0"),
+            (1, "x released into the public domain"),
+            (2, "x CC BY-SA 4.0"),
+            (3, "x CC BY-NC"),
+            (4, "x under the MIT License"),
+            (5, "x Apache License 2.0"),
+            (6, "x GNU General Public License"),
+            (7, "x All Rights Reserved"),
+            (8, "x no markers here"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in license_flags(df).collect()}
+        want = ["cc_by", "cc0", "cc_by_sa", "cc_by_nc", "mit",
+                "apache", "gpl", "arr", "none"]
+        assert [out[i]["license"] for i in range(9)] == want
+        assert [out[i]["permissive"] for i in range(9)] == [
+            True, True, True, False, True, True, False, False, False]
+
+    def test_case_insensitive_and_flag_style(self, spark):
+        """Detection folds case via lower(); rows without markers stay
+        (flag-style, no row vanishes)."""
+        from mindocr_spark.functions.text import license_flags
+
+        df = spark.createDataFrame(
+            [(1, "PUBLIC DOMAIN text"), (2, None)],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in license_flags(df).collect()}
+        assert out[1]["license"] == "cc0"
+        assert out[2]["license"] == "none" and not out[2]["permissive"]
+
+    def test_plan_is_scan_only(self, spark):
+        from mindocr_spark.functions.text import license_flags
+
+        df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+        plan = license_flags(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan and "BatchEvalPython" not in plan
