@@ -3331,6 +3331,24 @@ def q_layout_assemble(spark, sf_dir):
     )
 
 
+def q_extract_markdown(spark, sf_dir):
+    """Layout → MARKDOWN corpus export: the rich block family (h1/h2/
+    para/li/code/quote + chrome) through the kind-decorating assembler.
+    Same one-shuffle plan as plain assembly; the oracle restates each
+    doc's markdown arithmetically (every block window is integral)."""
+    from mindocr_spark.operators.layout import (
+        assemble_markdown,
+        synth_rich_layout_blocks,
+    )
+
+    return (
+        assemble_markdown(synth_rich_layout_blocks(spark, sf_dir))
+        .select("doc_id", "md_text",
+                F.col("n_blocks").cast("bigint").alias("n_blocks"))
+        .orderBy("doc_id")
+    )
+
+
 def q_layout_from_bytes(spark, sf_dir):
     """End-to-end bytes→regions→text over the REAL second-payload codec:
     PDF 1.4 bytes (written distributed from documents) → xref walk +
@@ -3642,6 +3660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ctc_collapse": _q(q_ctc_collapse),
         "layout_reading_order": _q(q_layout_reading_order),
         "layout_assemble": _q(q_layout_assemble),
+        "extract_markdown": _q(q_extract_markdown),
         "layout_from_bytes": _q(q_layout_from_bytes),
         "ann_cosine_topk": _q(q_ann_cosine_topk),
         "ann_lsh_topk": _q(q_ann_lsh_topk),
@@ -7432,6 +7451,38 @@ def oracle_sql() -> dict[str, str]:
                    || substr(text, 2 * q + 1, q) || chr(10) || chr(10)
                    || substr(text, 3 * q + 1, L - 3 * q) AS doc_text,
                    CAST(4 AS BIGINT) AS n_blocks
+            FROM ch ORDER BY doc_id
+        """,
+        # every block window integral; nl = chr(10); optional arms as
+        # empty-string CASEs so one concat states the whole document
+        "extract_markdown": """
+            WITH ch AS (
+              SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds,
+                     length(text) AS L, length(text) // 4 AS q, text
+              FROM documents)
+            SELECT doc_id,
+                   '# Report ' || ds
+                   || CASE WHEN doc_id % 3 = 0
+                        THEN chr(10) || chr(10) || '## Section ' || ds
+                        ELSE '' END
+                   || chr(10) || chr(10) || substr(text, 1, q)
+                   || chr(10) || chr(10) || '- ' || substr(text, q + 1, 20)
+                   || chr(10) || chr(10) || '- ' || substr(text, q + 21, 20)
+                   || CASE WHEN doc_id % 4 = 1
+                        THEN chr(10) || chr(10) || '```' || chr(10)
+                             || substr(text, 2 * q + 1, 30)
+                             || chr(10) || '```'
+                        ELSE '' END
+                   || CASE WHEN doc_id % 5 = 2
+                        THEN chr(10) || chr(10) || '> '
+                             || substr(text, 2 * q + 31, 25)
+                        ELSE '' END
+                   || chr(10) || chr(10) || substr(text, 3 * q + 1, L - 3 * q)
+                     AS md_text,
+                   CAST(5 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                          + CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END
+                          + CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END
+                        AS BIGINT) AS n_blocks
             FROM ch ORDER BY doc_id
         """,
         "layout_from_bytes": """

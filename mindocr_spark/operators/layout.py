@@ -117,6 +117,57 @@ def assemble_document(blocks: DataFrame, sep: str = "\n\n") -> DataFrame:
     )
 
 
+#: Markdown decoration per block kind — the training-corpus export
+#: format (extracted layout → one markdown document). Kinds outside the
+#: map (para and anything unknown) pass through undecorated.
+MD_PREFIX_KINDS = {"h1": "# ", "h2": "## ", "h3": "### ",
+                   "li": "- ", "quote": "> "}
+
+
+def assemble_markdown(blocks: DataFrame, sep: str = "\n\n") -> DataFrame:
+    """Layout blocks → one MARKDOWN document per doc: the same
+    chrome-filter → NMS → reading-order → groupBy-assembly chain as
+    :func:`assemble_document`, with each block decorated by kind before
+    concatenation — headings to ``#``/``##``/``###``, list items to
+    ``- ``, quotes to ``> ``, code to fenced blocks, paragraphs plain.
+    Markdown is the lingua-franca export for LLM training corpora
+    (structure survives as plain text); decoration is one codegen CASE
+    on the block relation, so the markdown path costs exactly what the
+    plain-text path costs: ONE shuffle (the per-doc groupBy).
+
+    Reference lineage: the reference's result sink serializes assembled
+    per-image predictions into its downstream format (reference:
+    deploy/py_infer/src/parallel/module/common/collect_node.py:67-110,
+    tools/infer/text/predict_system.py:77-109); markdown is that
+    serialization re-targeted at corpus export."""
+    content = suppress_contained(
+        blocks.where(~F.col("kind").isin(*CHROME_KINDS))
+    )
+    k = F.col("kind")
+    md = F.when(
+        k == "code", F.concat(F.lit("```\n"), F.col("text"), F.lit("\n```"))
+    )
+    for kind, prefix in sorted(MD_PREFIX_KINDS.items()):
+        md = md.when(k == kind, F.concat(F.lit(prefix), F.col("text")))
+    md = md.otherwise(F.col("text"))
+    ordered = reading_order(content).withColumn("__md", md)
+    return (
+        ordered.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("rn"), F.col("__md")))
+                    ),
+                    lambda s: s.getField("__md"),
+                ),
+                sep,
+            ).alias("md_text"),
+            F.count("*").alias("n_blocks"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Deterministic synthetic layout corpus (pure JVM expressions)
 # --------------------------------------------------------------------------
@@ -170,5 +221,53 @@ def synth_layout_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.explode(blocks).alias("b")
     ).select(
+        "doc_id", "b.page", "b.x0", "b.y0", "b.x1", "b.y1", "b.kind", "b.text"
+    )
+
+
+def synth_rich_layout_blocks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """documents → a single-page RICH block table exercising every
+    markdown kind: h1 title, optional h2 (doc_id %3==0), body para,
+    two list items, optional code block (%4==1), optional quote
+    (%5==2), closing para, plus header/footer chrome the assembler
+    must drop. Disjoint y-ranges (no containment — NMS is exercised by
+    `synth_layout_blocks`); all substring windows integral so the SQL
+    oracle restates every block arithmetically."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", F.length("text").alias("L")
+    )
+    q = (F.col("L") / 4).cast("int")
+    ds = F.col("doc_id").cast("string")
+
+    def blk(y0: float, kind: str, text_col, when=None):
+        s = F.struct(
+            F.lit(1).alias("page"), F.lit(36.0).alias("x0"),
+            F.lit(y0).alias("y0"), F.lit(576.0).alias("x1"),
+            F.lit(y0 + 40.0).alias("y1"), F.lit(kind).alias("kind"),
+            text_col.alias("text"),
+        )
+        return s if when is None else F.when(when, s)
+
+    did = F.col("doc_id")
+    blocks = F.array(
+        blk(0.0, "header", F.concat(F.lit("draft "), ds)),
+        blk(50.0, "h1", F.concat(F.lit("Report "), ds)),
+        blk(100.0, "h2", F.concat(F.lit("Section "), ds),
+            when=F.pmod(did, F.lit(3)) == 0),
+        blk(150.0, "para", F.col("text").substr(F.lit(1), q)),
+        blk(300.0, "li", F.col("text").substr(q + 1, F.lit(20))),
+        blk(340.0, "li", F.col("text").substr(q + 21, F.lit(20))),
+        blk(400.0, "code", F.col("text").substr(q * 2 + 1, F.lit(30)),
+            when=F.pmod(did, F.lit(4)) == 1),
+        blk(500.0, "quote", F.col("text").substr(q * 2 + 31, F.lit(25)),
+            when=F.pmod(did, F.lit(5)) == 2),
+        blk(600.0, "para", F.col("text").substr(q * 3 + 1, F.col("L") - q * 3)),
+        blk(760.0, "footer", F.lit("page 1")),
+    )
+    return docs.select(
+        "doc_id", F.explode(blocks).alias("b")
+    ).where(F.col("b").isNotNull()).select(
         "doc_id", "b.page", "b.x0", "b.y0", "b.x1", "b.y1", "b.kind", "b.text"
     )

@@ -90,3 +90,59 @@ def test_synth_blocks_roundtrip(spark, sf_dir):
              r["text"][3 * q:]]
         )
         assert out[r["doc_id"]] == expect
+
+
+def test_assemble_markdown_decorates_by_kind(spark):
+    """Each kind gets its markdown form, chrome drops, contained
+    blocks suppress, and reading order holds — one golden doc."""
+    from mindocr_spark.operators.layout import assemble_markdown
+
+    rows = [
+        (1, 1, 36.0, 0.0, 576.0, 40.0, "header", "CHROME"),
+        (1, 1, 36.0, 50.0, 576.0, 90.0, "h1", "Title"),
+        (1, 1, 36.0, 100.0, 576.0, 140.0, "h2", "Sec"),
+        (1, 1, 36.0, 150.0, 576.0, 190.0, "para", "body"),
+        (1, 1, 40.0, 155.0, 200.0, 180.0, "para", "CONTAINED"),
+        (1, 1, 36.0, 200.0, 576.0, 240.0, "li", "item"),
+        (1, 1, 36.0, 250.0, 576.0, 290.0, "code", "x = 1"),
+        (1, 1, 36.0, 300.0, 576.0, 340.0, "quote", "said"),
+        (1, 1, 36.0, 760.0, 576.0, 792.0, "footer", "CHROME"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id bigint, page int, x0 double, y0 double, x1 double, "
+        "y1 double, kind string, text string",
+    )
+    out = assemble_markdown(df).collect()
+    assert len(out) == 1
+    assert out[0]["n_blocks"] == 6
+    assert out[0]["md_text"] == (
+        "# Title\n\n## Sec\n\nbody\n\n- item\n\n```\nx = 1\n```\n\n> said"
+    )
+
+
+def test_assemble_markdown_unknown_kind_passes_through(spark):
+    from mindocr_spark.operators.layout import assemble_markdown
+
+    df = spark.createDataFrame(
+        [(1, 1, 36.0, 50.0, 576.0, 90.0, "figure-caption", "cap")],
+        "doc_id bigint, page int, x0 double, y0 double, x1 double, "
+        "y1 double, kind string, text string",
+    )
+    assert assemble_markdown(df).collect()[0]["md_text"] == "cap"
+
+
+def test_synth_rich_blocks_kinds_and_optional_arms(spark, sf_dir):
+    """Optional arms appear exactly on their doc_id quotas; no NULL
+    block rows leak through the conditional array."""
+    from pyspark.sql import functions as F
+    from mindocr_spark.operators.layout import synth_rich_layout_blocks
+
+    b = synth_rich_layout_blocks(spark, sf_dir)
+    counts = {r["kind"]: r["n"] for r in
+              b.groupBy("kind").agg(F.count("*").alias("n")).collect()}
+    n_docs = b.select("doc_id").distinct().count()
+    assert counts["h1"] == n_docs and counts["para"] == 2 * n_docs
+    assert counts["li"] == 2 * n_docs
+    assert 0 < counts["h2"] < n_docs  # the %3 quota
+    assert b.where("text IS NULL OR kind IS NULL").count() == 0
