@@ -2270,6 +2270,20 @@ def q_robots_gate(spark, sf_dir):
     return robots_gate(pages, robots, ua="*").orderBy("url")
 
 
+def q_sitemap_discovery(spark, sf_dir):
+    """Sitemap discovery from robots.txt: the RFC 9309 cross-group
+    ``Sitemap:`` field, planted BEFORE any User-agent group (group
+    attribution must ignore it; the rule parser must keep dropping
+    it — both gates' oracles stay green over the same bodies). Sites
+    ≡0 (mod 3) declare one sitemap, site 1 declares two with mixed
+    field-name case, site 5's empty body declares none."""
+    from mindocr_spark.functions.crawl import robots_sitemaps
+    from mindocr_spark.sources.pages import robots_corpus
+
+    _, robots = robots_corpus(spark, sf_dir)
+    return robots_sitemaps(robots).orderBy("domain", "sitemap_url")
+
+
 def q_sitemap_parse(spark, sf_dir):
     """Sitemap-protocol parsing: per-domain sitemap.xml bodies →
     declared-URL relation (domain, loc, lastmod, changefreq), optional
@@ -3647,6 +3661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "license_detect": _q(q_license_detect),
         "robots_flags": _q(q_robots_flags),
         "robots_gate": _q(q_robots_gate),
+        "sitemap_discovery": _q(q_sitemap_discovery),
         "sitemap_parse": _q(q_sitemap_parse),
         "sitemap_coverage": _q(q_sitemap_coverage),
         "fetch_schedule": _q(q_fetch_schedule),
@@ -5038,6 +5053,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the parsed sitemap relation in closed form: page entries for
         # doc_id % 3 != 2, draft entries for doc_id % 10 = 7
+        # closed form of the planted Sitemap: declarations — sites
+        # ≡0 (mod 3) one entry, site 1 two (mixed case), empty site 5
+        # none; the parser's comment-strip and (?i) field match are
+        # what the arithmetic pins
+        "sitemap_discovery": """
+            WITH s AS (SELECT CAST(range AS BIGINT) AS site FROM range(7))
+            SELECT 'site' || CAST(site AS VARCHAR) || '.example' AS domain,
+                   'https://site' || CAST(site AS VARCHAR)
+                     || '.example/sitemap.xml' AS sitemap_url
+            FROM s WHERE site % 3 = 0 AND site <> 5
+            UNION ALL
+            SELECT 'site1.example', 'https://site1.example/sitemap.xml'
+            UNION ALL
+            SELECT 'site1.example', 'https://site1.example/sitemap-news.xml'
+            ORDER BY domain, sitemap_url
+        """,
         "sitemap_parse": r"""
             WITH d AS (
               SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS s

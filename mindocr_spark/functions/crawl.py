@@ -312,6 +312,35 @@ def parse_robots(
     return rules, delays
 
 
+def robots_sitemaps(
+    robots: DataFrame,
+    domain_col: str = "domain",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """Extract ``Sitemap:`` declarations from robots.txt bodies:
+    (domain, sitemap_url), one row per declaration. Per RFC 9309 §2.3
+    the field is CROSS-GROUP — independent of any User-agent group, so
+    this is a plain line tap, deliberately outside
+    :func:`parse_robots`'s group-attribution machinery (which must
+    keep ignoring these lines). Field name case-insensitive, comments
+    stripped, duplicates preserved (a site may declare an index AND a
+    news sitemap). This is the discovery hook that feeds
+    :func:`parse_sitemaps`: robots.txt → sitemap urls → declared-URL
+    inventory → coverage.
+
+    100 TB shape: one narrow explode over protocol-capped bodies +
+    codegen regex — no shuffle, no Python."""
+    lines = robots.select(
+        F.col(domain_col).alias("domain"),
+        F.explode(F.split(F.col(txt_col), "\n")).alias("raw"),
+    )
+    clean = F.trim(F.regexp_replace(F.col("raw"), "#.*", ""))
+    url = F.regexp_extract(clean, r"(?i)^sitemap:\s*(\S+)", 1)
+    return lines.select(
+        "domain", url.alias("sitemap_url")
+    ).where(F.col("sitemap_url") != "")
+
+
 def robots_gate(
     pages: DataFrame,
     robots: DataFrame,

@@ -442,6 +442,26 @@ def robots_corpus(spark: SparkSession, sf_dir: str):
                 F.concat(
                     F.lit("# robots for site "), s.cast("string"),
                     F.lit("\n"),
+                    # Sitemap: is CROSS-GROUP (RFC 9309 §2.3) — planted
+                    # BEFORE any User-agent line so group attribution
+                    # must ignore it: sites ≡0 (mod 3) declare one,
+                    # site 1 declares two (index + news)
+                    F.when(
+                        F.pmod(s, F.lit(3)) == 0,
+                        F.concat(
+                            F.lit("Sitemap: https://site"),
+                            s.cast("string"),
+                            F.lit(".example/sitemap.xml\n"),
+                        ),
+                    ).otherwise(F.lit("")),
+                    F.when(
+                        s == 1,
+                        F.lit(
+                            "Sitemap: https://site1.example/sitemap.xml\n"
+                            "sitemap: https://site1.example/"
+                            "sitemap-news.xml\n"
+                        ),
+                    ).otherwise(F.lit("")),
                     F.when(
                         s == 3,
                         F.lit("User-agent: specialbot\nDisallow: /\n\n"),

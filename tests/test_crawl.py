@@ -473,3 +473,33 @@ def test_bloom_param_guards(spark):
         bloom_build(urls, k=0)
     with pytest.raises(ValueError):
         bloom_build(urls, m_words=0)
+
+
+def test_robots_sitemaps_cross_group_and_case(spark):
+    """Sitemap: is cross-group (RFC 9309 §2.3): declarations inside a
+    foreign UA group still count, field name is case-insensitive,
+    comments strip, duplicates (index + news) both survive — and the
+    rule parser keeps IGNORING the lines."""
+    from mindocr_spark.functions.crawl import parse_robots, robots_sitemaps
+
+    robots = spark.createDataFrame(
+        [("a.example",
+          "Sitemap: https://a.example/s1.xml\n"
+          "User-agent: otherbot\n"
+          "Disallow: /\n"
+          "SITEMAP: https://a.example/s2.xml  # trailing comment\n"
+          "User-agent: *\n"
+          "Allow: /\n"),
+         ("b.example", "User-agent: *\nDisallow: /tmp/\n")],
+        "domain string, robots_txt string",
+    )
+    got = sorted(
+        (r["domain"], r["sitemap_url"])
+        for r in robots_sitemaps(robots).collect()
+    )
+    assert got == [
+        ("a.example", "https://a.example/s1.xml"),
+        ("a.example", "https://a.example/s2.xml"),
+    ]
+    rules, _ = parse_robots(robots, ua="*")
+    assert rules.where("path_prefix LIKE '%xml%'").count() == 0
