@@ -192,6 +192,12 @@ def main() -> None:
         "lm_backoff_logscore",  # trigram stupid-backoff fluency gate
         # round-3 session-G additions
         "cluster_mix",          # k-means topic-rebalanced epoch budget
+        # round-3 session-H additions (appended for the same reason)
+        "kcore",                # k-core link-farm peeling (4 rounds)
+        "bloom_gate",           # Bloom seen-set frontier gate
+        "license_detect",       # rights-aware license gate
+        "extract_markdown",     # layout -> markdown corpus export
+        "sitemap_discovery",    # robots.txt Sitemap: declarations
     ]
     qs = E.queries()
     for name in headline:
