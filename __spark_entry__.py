@@ -1502,6 +1502,203 @@ def q_quality_repetition(spark, sf_dir):
     return rep.join(top, "doc_id").orderBy("doc_id")
 
 
+def q_gopher_gate(spark, sf_dir):
+    """The complete Gopher rule filter (Rae et al. 2021, A1.1) over a
+    deterministically mutated corpus: doc_id%6 slots plant one rule
+    violation each — 1 truncates below the word floor, 2 buries the doc
+    under 19 bullet lines, 3 ends half its lines in '...', 4 doubles
+    the doc with non-alphabetic '0' words, 5 appends '#' chatter past
+    the symbol-ratio cap, and even untouched docs gain the required
+    words 'of that have with' (the soup vocabulary lacks them) — so
+    every flag takes both values and the composite `keep` is
+    non-trivial. All measures are exact ints + one
+    rounded IEEE division each; the oracle rebuilds the same corpus
+    and thresholds (rendered from the engine's own signature defaults,
+    so the two sides cannot drift)."""
+    from mindocr_spark.functions.text import gopher_rules_cols, tokens_col
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("q", F.expr("length(text) div 6"))
+        .withColumn("n0", F.size(tokens_col("text")))
+    )
+    slot = F.pmod(F.col("doc_id"), F.lit(6))
+    built = (
+        F.when(slot == 1, F.expr("substr(text, 1, 20)"))
+        .when(
+            slot == 2,
+            F.concat(
+                F.expr("substr(text, 1, q)"),
+                F.repeat(F.lit("\n• item entry"), 19),
+            ),
+        )
+        .when(
+            slot == 3,
+            F.concat(
+                F.expr("substr(text, 1, q)"),
+                F.lit("\n"),
+                F.expr("substr(text, q + 1, q)"),
+                F.lit("..."),
+            ),
+        )
+        .when(
+            slot == 4,
+            F.concat(
+                F.col("text"), F.lit(" "),
+                F.expr("repeat('0 ', n0)"),
+            ),
+        )
+        .when(
+            slot == 5,
+            F.concat(
+                F.col("text"),
+                F.expr("repeat(' #', greatest(1, n0 div 8))"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+                    F.lit(" of that have with"),
+                ).otherwise(F.lit("")),
+            )
+        )
+    )
+    return gopher_rules_cols(
+        d.select("doc_id", built.alias("text"))
+    ).orderBy("doc_id")
+
+
+def _gopher_oracle() -> str:
+    """SQL twin of q_gopher_gate: rebuild the slot-mutated corpus and
+    every measure/flag with thresholds pulled from
+    gopher_rules_cols's OWN signature defaults (inspect) and the
+    required-word list rendered from GOPHER_REQUIRED_WORDS — the two
+    engines share one set of constants by construction."""
+    import inspect
+
+    from mindocr_spark.functions.text import (
+        GOPHER_REQUIRED_WORDS,
+        gopher_rules_cols,
+    )
+
+    th = {
+        k: v.default
+        for k, v in inspect.signature(gopher_rules_cols).parameters.items()
+        if v.default is not inspect.Parameter.empty
+        and not isinstance(v.default, str)
+    }
+    hits = " + ".join(
+        f"CAST(list_contains(ltoks, '{w}') AS INT)"
+        for w in GOPHER_REQUIRED_WORDS
+    )
+    norm = r"trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g'))"
+    return f"""
+        WITH base AS (
+          SELECT doc_id, text, length(text) // 6 AS q,
+                 CASE WHEN {norm} = '' THEN 0
+                      ELSE len(string_split({norm}, ' ')) END AS n0
+          FROM documents),
+        built AS (
+          SELECT doc_id,
+                 CASE doc_id % 6
+                   WHEN 1 THEN substr(text, 1, 20)
+                   WHEN 2 THEN substr(text, 1, q)
+                        || repeat(chr(10) || '• item entry', 19)
+                   WHEN 3 THEN substr(text, 1, q) || chr(10)
+                        || substr(text, q + 1, q) || '...'
+                   WHEN 4 THEN text || ' ' || repeat('0 ', CAST(n0 AS INT))
+                   WHEN 5 THEN text
+                        || repeat(' #', CAST(greatest(1, n0 // 8) AS INT))
+                   ELSE text || CASE WHEN doc_id % 2 = 0
+                                     THEN ' of that have with'
+                                     ELSE '' END
+                 END AS text
+          FROM base),
+        t AS (
+          SELECT doc_id, text, {norm} AS norm FROM built),
+        tok AS (
+          SELECT doc_id, text,
+                 CASE WHEN norm = '' THEN []::VARCHAR[]
+                      ELSE string_split(norm, ' ') END AS toks,
+                 length(replace(norm, ' ', '')) AS n_chars
+          FROM t),
+        m AS (
+          SELECT doc_id,
+                 len(toks) AS n_words,
+                 n_chars,
+                 len(regexp_extract_all(text, '[#…]')) AS n_sym,
+                 list_filter(
+                   list_transform(string_split(text, chr(10)),
+                                  l -> trim(l)),
+                   l -> l != '') AS lines,
+                 len(list_filter(toks,
+                     t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
+                 list_transform(toks, t -> lower(t)) AS ltoks
+          FROM tok),
+        meas AS (
+          SELECT doc_id,
+                 CAST(n_words AS BIGINT) AS n_words,
+                 CASE WHEN n_words = 0 THEN NULL
+                      ELSE round(CAST(n_chars AS DOUBLE)
+                                 / CAST(n_words AS DOUBLE), 6)
+                 END AS mean_word_len,
+                 CASE WHEN n_words = 0 THEN NULL
+                      ELSE round(CAST(n_sym AS DOUBLE)
+                                 / CAST(n_words AS DOUBLE), 6)
+                 END AS symbol_ratio,
+                 CASE WHEN len(lines) = 0 THEN NULL
+                      ELSE round(CAST(len(list_filter(lines,
+                               l -> starts_with(l, '•')
+                                 OR starts_with(l, '- '))) AS DOUBLE)
+                                 / CAST(len(lines) AS DOUBLE), 6)
+                 END AS bullet_frac,
+                 CASE WHEN len(lines) = 0 THEN NULL
+                      ELSE round(CAST(len(list_filter(lines,
+                               l -> ends_with(l, '...')
+                                 OR ends_with(l, '…'))) AS DOUBLE)
+                                 / CAST(len(lines) AS DOUBLE), 6)
+                 END AS ellipsis_frac,
+                 CASE WHEN n_words = 0 THEN NULL
+                      ELSE round(CAST(n_alpha AS DOUBLE)
+                                 / CAST(n_words AS DOUBLE), 6)
+                 END AS alpha_frac,
+                 CAST({hits} AS BIGINT) AS required_hits
+          FROM m),
+        fl AS (
+          SELECT *,
+                 (n_words >= {th["min_words"]}
+                  AND n_words <= {th["max_words"]}) AS pass_word_count,
+                 coalesce(mean_word_len
+                            >= CAST({th["min_mean_word_len"]} AS DOUBLE)
+                          AND mean_word_len
+                            <= CAST({th["max_mean_word_len"]} AS DOUBLE),
+                          FALSE) AS pass_mean_word_len,
+                 coalesce(symbol_ratio
+                            <= CAST({th["max_symbol_ratio"]} AS DOUBLE),
+                          FALSE) AS pass_symbol_ratio,
+                 coalesce(bullet_frac
+                            <= CAST({th["max_bullet_frac"]} AS DOUBLE),
+                          TRUE) AS pass_bullet,
+                 coalesce(ellipsis_frac
+                            <= CAST({th["max_ellipsis_frac"]} AS DOUBLE),
+                          TRUE) AS pass_ellipsis,
+                 coalesce(alpha_frac
+                            >= CAST({th["min_alpha_frac"]} AS DOUBLE),
+                          FALSE) AS pass_alpha,
+                 (required_hits >= {th["min_required_hits"]})
+                   AS pass_required
+          FROM meas)
+        SELECT *,
+               (pass_word_count AND pass_mean_word_len
+                AND pass_symbol_ratio AND pass_bullet AND pass_ellipsis
+                AND pass_alpha AND pass_required) AS keep
+        FROM fl ORDER BY doc_id
+    """
+
+
 def q_code_math(spark, sf_dir):
     """Code/math content-type routing signals (StarCoder/RedPajama
     family): fenced blocks, indented-line fraction, C-family symbol
@@ -3606,6 +3803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": _q(q_simhash_neardup),
         "incremental_dedup": _q(q_incremental_dedup),
         "quality_repetition": _q(q_quality_repetition),
+        "gopher_gate": _q(q_gopher_gate),
         "code_math_detect": _q(q_code_math),
         "token_entropy": _q(q_token_entropy),
         "feed_parse": _q(q_feed_parse),
@@ -7729,6 +7927,7 @@ def oracle_sql() -> dict[str, str]:
                    ELSE text END AS text_dir
             FROM c ORDER BY doc_id
         """,
+        "gopher_gate": _gopher_oracle(),
         "quality_repetition": r"""
             WITH base AS (
               SELECT doc_id, text, length(text) // 4 AS q FROM documents),

@@ -198,6 +198,8 @@ def main() -> None:
         "license_detect",       # rights-aware license gate
         "extract_markdown",     # layout -> markdown corpus export
         "sitemap_discovery",    # robots.txt Sitemap: declarations
+        # round-3 session-I additions (appended for the same reason)
+        "gopher_gate",          # full Gopher rule filter (A1.1)
     ]
     qs = E.queries()
     for name in headline:

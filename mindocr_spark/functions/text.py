@@ -477,6 +477,176 @@ def top_2gram_cols(df: DataFrame, text_col: str = "text",
 
 
 # --------------------------------------------------------------------------
+# Gopher rule filter (Rae et al. 2021, Appendix A1.1 — the full set)
+# --------------------------------------------------------------------------
+
+#: Gopher's "required words" — a document must contain at least
+#: ``min_required_hits`` DISTINCT members (case-folded) to pass the
+#: stop-word rule. The published list, verbatim.
+GOPHER_REQUIRED_WORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with")
+
+#: Gopher's symbol rule counts hash marks and the one-char ellipsis
+#: (U+2026). Literal class — Java regex and RE2 agree.
+GOPHER_SYMBOL_RE = r"[#…]"
+
+
+def gopher_rules_cols(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_required_hits: int = 2,
+) -> DataFrame:
+    """The complete Gopher rule filter (Rae et al. 2021, A1.1), flag
+    style: every measure, one boolean per rule, and the composite
+    ``keep`` — no row vanishes (dropping is the funnel's policy call,
+    the `blockword_flags` contract).
+
+    Rules (published defaults):
+
+    - word count in [50, 100 000];
+    - mean word length in [3, 10] chars;
+    - symbol-to-word ratio (``#``/``…``) ≤ 0.1;
+    - bullet-started line fraction ≤ 0.9;
+    - "..."-ended line fraction ≤ 0.3;
+    - ≥ 80 % of words contain an alphabetic char;
+    - ≥ 2 distinct :data:`GOPHER_REQUIRED_WORDS` present.
+
+    NULL discipline: token-denominated ratios are NULL on empty docs
+    and their rules FAIL (no evidence never passes — the
+    `gate_attribution` rule); the two line rules vacuously PASS on
+    zero lines (they detect badness; an empty doc already fails the
+    word-count rule, so ``keep`` cannot leak).
+
+    100 TB shape: pure row-local expressions fused into the scan —
+    the line/token arrays never leave the row, zero joins, zero
+    shuffles, no Python. The repetition half of Gopher's filter
+    (dup-line / top-n-gram share) lives in `repetition_line_cols` /
+    `top_2gram_cols`, whose per-doc shuffles this gate deliberately
+    avoids.
+
+    Reference analog: the per-sample validity gates that drop
+    unusable records before the pipeline proper (reference:
+    mindocr/data/det_dataset.py:137-138,
+    mindocr/data/rec_lmdb_dataset.py:106-119), lifted to the
+    published corpus-quality rule set."""
+    toks = tokens_col(text_col)
+    n_words = F.size(toks)
+    mean_len = F.round(
+        F.try_divide(
+            F.length(F.array_join(toks, "")).cast("double"),
+            n_words.cast("double"),
+        ),
+        6,
+    )
+    sym_ratio = F.round(
+        F.try_divide(
+            F.regexp_count(F.col(text_col), F.lit(GOPHER_SYMBOL_RE))
+            .cast("double"),
+            n_words.cast("double"),
+        ),
+        6,
+    )
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n_lines = F.size(lines)
+    bullet_frac = F.round(
+        F.try_divide(
+            F.size(
+                F.filter(
+                    lines,
+                    lambda l: l.startswith("•") | l.startswith("- "),
+                )
+            ).cast("double"),
+            n_lines.cast("double"),
+        ),
+        6,
+    )
+    ellipsis_frac = F.round(
+        F.try_divide(
+            F.size(
+                F.filter(
+                    lines, lambda l: l.endswith("...") | l.endswith("…")
+                )
+            ).cast("double"),
+            n_lines.cast("double"),
+        ),
+        6,
+    )
+    alpha_frac = F.round(
+        F.try_divide(
+            F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+            .cast("double"),
+            n_words.cast("double"),
+        ),
+        6,
+    )
+    low_toks = F.transform(toks, lambda t: F.lower(t))
+    required_hits: Column = F.lit(0)
+    for w in GOPHER_REQUIRED_WORDS:
+        required_hits = required_hits + F.array_contains(
+            low_toks, F.lit(w)
+        ).cast("int")
+
+    def _fail_null(cond: Column) -> Column:
+        return F.coalesce(cond, F.lit(False))
+
+    def _pass_null(cond: Column) -> Column:
+        return F.coalesce(cond, F.lit(True))
+
+    out = df.select(
+        id_col,
+        n_words.cast("bigint").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_frac"),
+        required_hits.cast("bigint").alias("required_hits"),
+    )
+    flags = out.select(
+        *out.columns,
+        ((F.col("n_words") >= min_words) & (F.col("n_words") <= max_words))
+        .alias("pass_word_count"),
+        _fail_null(
+            (F.col("mean_word_len") >= min_mean_word_len)
+            & (F.col("mean_word_len") <= max_mean_word_len)
+        ).alias("pass_mean_word_len"),
+        _fail_null(F.col("symbol_ratio") <= max_symbol_ratio)
+        .alias("pass_symbol_ratio"),
+        _pass_null(F.col("bullet_frac") <= max_bullet_frac)
+        .alias("pass_bullet"),
+        _pass_null(F.col("ellipsis_frac") <= max_ellipsis_frac)
+        .alias("pass_ellipsis"),
+        _fail_null(F.col("alpha_frac") >= min_alpha_frac)
+        .alias("pass_alpha"),
+        (F.col("required_hits") >= min_required_hits)
+        .alias("pass_required"),
+    )
+    keep = (
+        F.col("pass_word_count")
+        & F.col("pass_mean_word_len")
+        & F.col("pass_symbol_ratio")
+        & F.col("pass_bullet")
+        & F.col("pass_ellipsis")
+        & F.col("pass_alpha")
+        & F.col("pass_required")
+    )
+    return flags.select(*flags.columns, keep.alias("keep"))
+
+
+# --------------------------------------------------------------------------
 # BPE-ish token estimation (training-budget accounting)
 # --------------------------------------------------------------------------
 

@@ -1399,3 +1399,96 @@ class TestLicenseFlags:
         plan = license_flags(df)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+class TestGopherRules:
+    """The full Gopher rule filter (Rae et al. 2021, A1.1): one planted
+    violation per rule, boundary checks, NULL discipline, and the
+    scan-only plan guarantee."""
+
+    def _run(self, spark, rows, **kw):
+        from mindocr_spark.functions.text import gopher_rules_cols
+
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        return {r["doc_id"]: r for r in gopher_rules_cols(df, **kw).collect()}
+
+    def test_clean_doc_keeps(self, spark):
+        # 60 words, mean len 16/5=3.2, 2 required words, all alphabetic.
+        text = ("the cat sat with dog " * 12).strip()
+        r = self._run(spark, [(1, text)])[1]
+        assert r["n_words"] == 60
+        assert r["mean_word_len"] == 3.2
+        assert r["required_hits"] == 2
+        for c in ("pass_word_count", "pass_mean_word_len",
+                  "pass_symbol_ratio", "pass_bullet", "pass_ellipsis",
+                  "pass_alpha", "pass_required", "keep"):
+            assert r[c] is True, c
+
+    def test_each_rule_fails_in_isolation(self, spark):
+        base = ("the cat sat with dog " * 12).strip()
+        rows = [
+            (1, "too short"),                              # word floor
+            (2, base + " " + "#" * 1),                     # 1/61 ok
+            (3, base + (" #" * 7)),                        # 7/67 > 0.1
+            (4, base + "\n• one\n• two\n• three\n• four\n• five\n• six"
+                + "\n• seven\n• eight\n• nine\n• ten"),    # 10/11 bullets
+            (5, base + "\nfading line..."),                # 1/2 ellipsis
+            (6, base + " " + "42 " * 20),                  # alpha 60/80
+            (7, ("cat sat dog fox hen " * 12).strip()),    # 0 required
+        ]
+        out = self._run(spark, rows)
+        assert out[1]["pass_word_count"] is False
+        assert out[2]["pass_symbol_ratio"] is True
+        assert out[3]["pass_symbol_ratio"] is False
+        assert out[3]["pass_word_count"] is True
+        assert out[4]["pass_bullet"] is False
+        assert out[4]["pass_ellipsis"] is True
+        assert out[5]["pass_ellipsis"] is False
+        assert out[5]["pass_bullet"] is True
+        assert out[6]["pass_alpha"] is False
+        assert out[6]["alpha_frac"] == 0.75
+        assert out[7]["pass_required"] is False
+        assert out[7]["pass_alpha"] is True
+        for i in (1, 3, 4, 5, 6, 7):
+            assert out[i]["keep"] is False, i
+
+    def test_word_count_boundaries(self, spark):
+        out = self._run(
+            spark,
+            [(1, ("the of cat " * 17).strip()),   # 51 words > floor
+             (2, ("the of cat " * 16).strip())],  # 48 words < floor
+            min_words=50,
+        )
+        assert out[1]["pass_word_count"] is True
+        assert out[2]["pass_word_count"] is False
+
+    def test_required_words_case_folded_and_distinct(self, spark):
+        text = ("cat sat dog fox hen " * 12).strip()
+        out = self._run(
+            spark,
+            [(1, text + " The THE the"),      # one DISTINCT required word
+             (2, text + " The WITH")])        # two
+        assert out[1]["required_hits"] == 1
+        assert out[1]["pass_required"] is False
+        assert out[2]["required_hits"] == 2
+        assert out[2]["pass_required"] is True
+
+    def test_empty_doc_null_discipline(self, spark):
+        r = self._run(spark, [(1, "")])[1]
+        assert r["n_words"] == 0
+        assert r["mean_word_len"] is None
+        # token rules fail (no evidence never passes) ...
+        assert r["pass_mean_word_len"] is False
+        assert r["pass_alpha"] is False
+        # ... line rules vacuously pass (they detect badness).
+        assert r["pass_bullet"] is True
+        assert r["pass_ellipsis"] is True
+        assert r["keep"] is False
+
+    def test_scan_only_plan(self, spark):
+        from mindocr_spark.functions.text import gopher_rules_cols
+
+        df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+        plan = gopher_rules_cols(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan and "BatchEvalPython" not in plan
