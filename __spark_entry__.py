@@ -2437,6 +2437,162 @@ def q_quality_classifier(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+#: Naive-Bayes demo classes and their planted marker phrases — words
+#: chosen OUTSIDE the word-soup vocabulary so the trained model's
+#: signal is the planted class. Shared verbatim with the SQL oracle.
+_NB_CLASSES = ("ads", "news", "wiki")
+_NB_MARKERS = (
+    "buy cheap offer click",
+    "report said officials yesterday",
+    "study method results citation",
+)
+
+
+def q_nb_classifier(spark, sf_dir):
+    """In-corpus trained Naive Bayes: doc_id%3 plants one marker
+    phrase (×3) per class, doc_id%7<3 docs are the labeled training
+    slice, everything is scored. The oracle re-derives the ENTIRE
+    model — Laplace token likelihoods, OOV defaults, smoothed priors —
+    from the same corpus in SQL, so training and scoring are both
+    exact-checked (the one trainable-model path in the engine)."""
+    from mindocr_spark.functions.classifier import nb_train_score
+
+    marker = F.element_at(
+        F.array(*[F.lit(" " + (" ".join([m] * 3))) for m in _NB_MARKERS]),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
+    cls = F.element_at(
+        F.array(*[F.lit(c) for c in _NB_CLASSES]),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
+    built = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.concat(F.col("text"), marker).alias("text"),
+            F.when(F.pmod(F.col("doc_id"), F.lit(7)) < 3, cls)
+            .alias("lbl"),
+        )
+    )
+    return nb_train_score(
+        built, F.col("lbl"), _NB_CLASSES
+    ).orderBy("doc_id")
+
+
+def _nb_oracle() -> str:
+    """SQL twin of q_nb_classifier: rebuild the slot corpus, retrain
+    the whole NB model (counts → Laplace lp → OOV defaults → smoothed
+    priors) and rescore, rendered from the same
+    _NB_CLASSES/_NB_MARKERS constants."""
+    k = len(_NB_CLASSES)
+    norm = r"trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g'))"
+    marker_arms = "\n                   ".join(
+        f"WHEN {i} THEN ' {' '.join([m] * 3)}'"
+        for i, m in enumerate(_NB_MARKERS)
+    )
+    cls_arms = "\n                     ".join(
+        f"WHEN {i} THEN '{c}'" for i, c in enumerate(_NB_CLASSES)
+    )
+    in_list = ", ".join(f"'{c}'" for c in _NB_CLASSES)
+    cnt_cols = ",\n                 ".join(
+        f"sum(CASE WHEN lbl = '{c}' THEN 1 ELSE 0 END) AS cnt_{i}"
+        for i, c in enumerate(_NB_CLASSES)
+    )
+    tot_cols = ",\n                 ".join(
+        f"sum(cnt_{i}) AS tot_{i}" for i in range(k)
+    )
+    nd_cols = ",\n                 ".join(
+        f"sum(CASE WHEN lbl = '{c}' THEN 1 ELSE 0 END) AS nd_{i}"
+        for i, c in enumerate(_NB_CLASSES)
+    )
+    lp_cols = ",\n                 ".join(
+        f"round(ln(CAST(cnt_{i} + 1 AS DOUBLE)"
+        f" / CAST(tot_{i} + v AS DOUBLE)), 9) AS lp_{i}"
+        for i in range(k)
+    )
+    def_cols = ",\n                 ".join(
+        f"round(ln(CAST(1 AS DOUBLE)"
+        f" / CAST(tot_{i} + v AS DOUBLE)), 9) AS def_{i}"
+        for i in range(k)
+    )
+    prior_cols = ",\n                 ".join(
+        f"round(ln(CAST(nd_{i} + 1 AS DOUBLE)"
+        f" / CAST(nd + {k} AS DOUBLE)), 9) AS prior_{i}"
+        for i in range(k)
+    )
+    s_cols = ",\n                 ".join(
+        f"sum(CAST(coalesce(lp_{i}, def_{i}) AS DECIMAL(28,9))) AS s_{i}"
+        for i in range(k)
+    )
+    sc_defs = ",\n               ".join(
+        f"CAST(m.prior_{i} AS DECIMAL(28,9))"
+        f" + coalesce(s.s_{i}, CAST(0 AS DECIMAL(28,9))) AS sc_{i}"
+        for i in range(k)
+    )
+    score_out = ",\n               ".join(
+        f"CAST(sc_{i} AS DOUBLE) AS score_{c}"
+        for i, c in enumerate(_NB_CLASSES)
+    )
+    pred_arms = []
+    for i in range(k - 1):
+        conds = " AND ".join(
+            f"sc_{i} >= sc_{j}" for j in range(i + 1, k)
+        )
+        pred_arms.append(f"WHEN {conds} THEN '{_NB_CLASSES[i]}'")
+    pred = (
+        "CASE " + " ".join(pred_arms) + f" ELSE '{_NB_CLASSES[-1]}' END"
+    )
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+                 text || CASE doc_id % 3
+                   {marker_arms}
+                 END AS text,
+                 CASE WHEN doc_id % 7 < 3 THEN CASE doc_id % 3
+                     {cls_arms}
+                   END END AS lbl
+          FROM documents),
+        tok AS (
+          SELECT doc_id, lbl, unnest(string_split({norm}, ' ')) AS t
+          FROM base WHERE {norm} != ''),
+        counts AS (
+          SELECT t,
+                 {cnt_cols}
+          FROM tok WHERE lbl IN ({in_list}) GROUP BY t),
+        docs AS (
+          SELECT {nd_cols},
+                 count(*) AS nd
+          FROM base WHERE lbl IN ({in_list})),
+        totals AS (
+          SELECT count(*) AS v,
+                 {tot_cols}
+          FROM counts),
+        lp AS (
+          SELECT t,
+                 {lp_cols}
+          FROM counts, totals),
+        model AS (
+          SELECT {def_cols},
+                 {prior_cols}
+          FROM totals, docs),
+        scored AS (
+          SELECT doc_id, count(*) AS n_tokens,
+                 {s_cols}
+          FROM tok LEFT JOIN lp USING (t), model
+          GROUP BY doc_id),
+        fin AS (
+          SELECT b.doc_id, b.lbl,
+               coalesce(s.n_tokens, 0) AS n_tokens,
+               {sc_defs}
+          FROM base b LEFT JOIN scored s ON b.doc_id = s.doc_id, model m)
+        SELECT doc_id, lbl AS train_label,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               {score_out},
+               {pred} AS pred
+        FROM fin ORDER BY doc_id
+    """
+
+
 def q_robots_flags(spark, sf_dir):
     """Politeness gate: parse <meta name="robots"> directives out of
     raw HTML and flag noindex/nofollow pages, whole-token semantics
@@ -3804,6 +3960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _q(q_incremental_dedup),
         "quality_repetition": _q(q_quality_repetition),
         "gopher_gate": _q(q_gopher_gate),
+        "nb_classifier": _q(q_nb_classifier),
         "code_math_detect": _q(q_code_math),
         "token_entropy": _q(q_token_entropy),
         "feed_parse": _q(q_feed_parse),
@@ -7928,6 +8085,7 @@ def oracle_sql() -> dict[str, str]:
             FROM c ORDER BY doc_id
         """,
         "gopher_gate": _gopher_oracle(),
+        "nb_classifier": _nb_oracle(),
         "quality_repetition": r"""
             WITH base AS (
               SELECT doc_id, text, length(text) // 4 AS q FROM documents),

@@ -200,6 +200,7 @@ def main() -> None:
         "sitemap_discovery",    # robots.txt Sitemap: declarations
         # round-3 session-I additions (appended for the same reason)
         "gopher_gate",          # full Gopher rule filter (A1.1)
+        "nb_classifier",        # in-corpus trained NB classifier
     ]
     qs = E.queries()
     for name in headline:

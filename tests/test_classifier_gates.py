@@ -253,3 +253,97 @@ class TestQuantileGate:
             quantile_gate(df, keep_frac=0.0)
         with _pytest.raises(ValueError):
             quantile_gate(df, keep_frac=1.5)
+
+
+class TestNaiveBayes:
+    """In-corpus trained NB: hand-computed model recovery, OOV
+    defaults, tie rule, guards."""
+
+    def _score(self, spark, rows, classes=("a", "b")):
+        from pyspark.sql import functions as F
+
+        from mindocr_spark.functions.classifier import nb_train_score
+
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, text string, lbl string"
+        )
+        out = nb_train_score(df, F.col("lbl"), classes)
+        return {r["doc_id"]: r for r in out.collect()}
+
+    def test_hand_computed_model(self, spark):
+        import math
+
+        out = self._score(
+            spark,
+            [(1, "x x y", "a"), (2, "y z", "b"), (3, "x y", None)],
+        )
+        # V=3, tot_a=3, tot_b=2, priors ln((1+1)/(2+2)) both.
+        q = lambda v: round(v, 9)
+        prior = q(math.log(2 / 4))
+        sa = prior + q(math.log(3 / 6)) + q(math.log(2 / 6))
+        sb = prior + q(math.log(1 / 5)) + q(math.log(2 / 5))
+        r = out[3]
+        assert r["train_label"] is None
+        assert abs(r["score_a"] - sa) < 1e-12
+        assert abs(r["score_b"] - sb) < 1e-12
+        assert r["pred"] == ("a" if sa >= sb else "b")
+
+    def test_planted_class_recovery(self, spark):
+        rows = []
+        for i in range(40):
+            marker = "spam spam offer" if i % 2 == 0 else "study cite data"
+            lbl = ("a" if i % 2 == 0 else "b") if i < 20 else None
+            rows.append((i, f"common words here {marker}", lbl))
+        out = self._score(spark, rows)
+        for i in range(20, 40):
+            assert out[i]["pred"] == ("a" if i % 2 == 0 else "b"), i
+
+    def test_oov_uses_default_not_null(self, spark):
+        import math
+
+        out = self._score(
+            spark,
+            [(1, "x", "a"), (2, "y", "b"), (3, "zz", None)],
+        )
+        # zz unseen: score = prior + ln(1/(tot_c + V)); V=2, tots 1,1.
+        q = lambda v: round(v, 9)
+        want = q(math.log(2 / 4)) + q(math.log(1 / 3))
+        assert abs(out[3]["score_a"] - want) < 1e-12
+        assert abs(out[3]["score_b"] - want) < 1e-12
+        assert out[3]["pred"] == "a"  # tie -> first class wins
+
+    def test_empty_doc_scores_priors(self, spark):
+        out = self._score(
+            spark,
+            [(1, "x", "a"), (2, "y", "b"), (3, "y", "b"), (4, "", None)],
+        )
+        r = out[4]
+        assert r["n_tokens"] == 0
+        # priors: a=(1+1)/(3+2), b=(2+1)/(3+2) -> b more probable
+        assert r["pred"] == "b"
+        assert r["score_b"] > r["score_a"]
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from pyspark.sql import functions as F
+
+        from mindocr_spark.functions.classifier import nb_train_score
+
+        df = spark.createDataFrame([(1, "x", "a")],
+                                   "doc_id bigint, text string, lbl string")
+        with _pytest.raises(ValueError):
+            nb_train_score(df, F.col("lbl"), ("only",))
+        with _pytest.raises(ValueError):
+            nb_train_score(df, F.col("lbl"), ("a", "a"))
+
+    def test_no_python_udfs(self, spark):
+        from pyspark.sql import functions as F
+
+        from mindocr_spark.functions.classifier import nb_train_score
+
+        df = spark.createDataFrame([(1, "x", "a"), (2, "y", "b")],
+                                   "doc_id bigint, text string, lbl string")
+        plan = nb_train_score(df, F.col("lbl"), ("a", "b")) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
