@@ -2863,6 +2863,79 @@ def q_kcore(spark, sf_dir):
     return domain_kcore(edges, k=7, rounds=4).orderBy("domain")
 
 
+#: crawl-depth seeds: the src0 ring-0 host (reaches its source's whole
+#: 13-cycle one hop per round) plus an OFFLINE seed absent from the
+#: graph (must still report depth 0 — crawlers fetch seeds
+#: unconditionally, the trustrank nodes∪seeds discipline).
+_BFS_SEEDS = ("src00.example", "newseed.example")
+
+
+def q_crawl_depth(spark, sf_dir):
+    """Crawl depth from seeds: directed BFS (4 unrolled hops) over the
+    CHAINED corpus family — per-source 13-cycles with mirror spokes —
+    so depths 0..4, unreachable NULLs, and the offline-seed case all
+    occur. All-integer levels; the oracle unrolls the same hops over
+    edges rebuilt from doc_id arithmetic without parsing HTML."""
+    from mindocr_spark.functions.links import extract_links, seed_bfs_depth
+    from mindocr_spark.sources.pages import pages_from_documents_chain
+
+    edges = extract_links(pages_from_documents_chain(spark, sf_dir))
+    return seed_bfs_depth(edges, _BFS_SEEDS, max_hops=4).orderBy("domain")
+
+
+def _crawl_depth_oracle(
+    seeds: tuple[str, ...] = _BFS_SEEDS, max_hops: int = 4
+) -> str:
+    """Unrolled twin of `links.seed_bfs_depth` over the chain corpus:
+    one level CTE per hop, each a frontier join + NOT-IN against all
+    previous levels. All-integer — no float discipline needed."""
+    in_list, seed_values = _seed_sql_parts(seeds)
+    parts = [f"""
+        WITH d AS (
+          SELECT doc_id, source,
+                 source || CAST(doc_id % 13 AS VARCHAR) || '.example'
+                   AS src_dom
+          FROM documents),
+        e0 AS (
+          SELECT src_dom,
+                 source || CAST((doc_id + 1) % 13 AS VARCHAR)
+                   || '.example' AS dst_dom
+          FROM d
+          UNION ALL
+          SELECT src_dom,
+                 'mirror' || CAST(doc_id % 7 AS VARCHAR) || '.example'
+          FROM d),
+        g AS (
+          SELECT DISTINCT src_dom, dst_dom FROM e0
+          WHERE src_dom != dst_dom),
+        seeds(dom) AS (VALUES {seed_values}),
+        nodes AS (
+          SELECT src_dom AS dom FROM g
+          UNION SELECT dst_dom FROM g
+          UNION SELECT dom FROM seeds),
+        l0 AS (SELECT dom, 0 AS depth FROM seeds)"""]
+    for h in range(1, max_hops + 1):
+        seen = " UNION ".join(
+            f"SELECT dom FROM l{j}" for j in range(h)
+        )
+        parts.append(f""",
+        l{h} AS (
+          SELECT DISTINCT g.dst_dom AS dom, {h} AS depth
+          FROM g JOIN l{h - 1} f ON g.src_dom = f.dom
+          WHERE g.dst_dom NOT IN ({seen}))""")
+    union_all = " UNION ALL ".join(
+        f"SELECT * FROM l{j}" for j in range(max_hops + 1)
+    )
+    parts.append(f""",
+        depths AS ({union_all})
+        SELECT n.dom AS domain,
+               CAST(p.depth AS BIGINT) AS depth,
+               p.depth IS NOT NULL AS reachable
+        FROM nodes n LEFT JOIN depths p ON n.dom = p.dom
+        ORDER BY domain""")
+    return "".join(parts)
+
+
 def q_hits_scores(spark, sf_dir):
     """HITS hubs/authorities over the extracted domain graph: 3
     alternating L1-normalized half-steps; every reduction is an exact
@@ -4011,6 +4084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spam_mass": _q(q_spam_mass),
         "hits_scores": _q(q_hits_scores),
         "kcore": _q(q_kcore),
+        "crawl_depth": _q(q_crawl_depth),
         "concordance": _q(q_concordance),
         "blockword_filter": _q(q_blockword_filter),
         "license_detect": _q(q_license_detect),
@@ -5261,6 +5335,7 @@ def oracle_sql() -> dict[str, str]:
         "spam_mass": _spam_mass_oracle(iters=3, damping="0.85"),
         "hits_scores": _hits_oracle(iters=3),
         "kcore": _kcore_oracle(k=7, rounds=4),
+        "crawl_depth": _crawl_depth_oracle(),
         "bpe_token_stats": r"""
             WITH u AS (
               SELECT doc_id,

@@ -201,6 +201,7 @@ def main() -> None:
         # round-3 session-I additions (appended for the same reason)
         "gopher_gate",          # full Gopher rule filter (A1.1)
         "nb_classifier",        # in-corpus trained NB classifier
+        "crawl_depth",          # BFS hop distance from seed domains
     ]
     qs = E.queries()
     for name in headline:

@@ -859,3 +859,87 @@ def publication_date_cols(
         .when(t3.isNotNull(), F.lit("url_path"))
         .alias("date_source"),
     )
+
+
+def seed_bfs_depth(
+    edges: DataFrame,
+    seeds: tuple[str, ...] | list[str],
+    max_hops: int = 4,
+) -> DataFrame:
+    """Crawl depth from a seed whitelist: directed BFS over the simple
+    domain graph — hop distance, the frontier-scheduling / crawl-
+    budget signal (how many politeness rounds separate a domain from
+    the seed list; FineWeb-style URL-depth gating lifted to the graph).
+    Complements `domain_trustrank` (mass propagation): distance, not
+    endorsement.
+
+    `max_hops` is FIXED, not run-to-fixpoint (the `domain_kcore`
+    contract — an exact cross-engine oracle states unrolled rounds).
+    Returns one row per node of nodes ∪ seeds, flag-style: (domain,
+    depth, reachable) with depth NULL beyond `max_hops` or for
+    disconnected domains — the failure-flow NULL discipline. Offline
+    seeds (absent from the graph) still report depth 0: the crawler
+    fetches seeds unconditionally, mirroring trustrank's nodes∪seeds.
+
+    100 TB shape: the edge multiset collapses ONCE to distinct
+    directed pairs (map-side combinable); each hop is one
+    frontier-semijoin on the uniform src key + one distinct + one
+    anti-join against the assigned set, all at domain cardinality;
+    every level is localCheckpoint-ed so the logical plan stays
+    constant-size per hop (the connected_components plan-growth
+    discipline) and the final plan is a flat union of bounded levels.
+
+    Reference analog: staged det→rec fan-out where each stage's
+    frontier is the previous stage's output
+    (reference: deploy/py_infer/src/parallel/module/common/
+    collect_node.py:72-99 — completeness bookkeeping over a staged
+    walk), lifted to graph hops."""
+    from functools import reduce
+
+    from mindocr_spark.cache import tracked_persist
+
+    seeds = tuple(dict.fromkeys(seeds))
+    if not seeds:
+        raise ValueError("empty seed list")
+    if max_hops < 1:
+        raise ValueError(f"need max_hops ≥ 1, got {max_hops}")
+    spark = edges.sparkSession
+    g = (
+        edges.where(F.col("src_domain") != F.col("dst_domain"))
+        .select("src_domain", "dst_domain")
+        .distinct()
+        .localCheckpoint()
+    )
+    seed_df = spark.createDataFrame([(s,) for s in seeds],
+                                    "domain string")
+    nodes = tracked_persist(
+        g.select(F.col("src_domain").alias("domain"))
+        .union(g.select(F.col("dst_domain").alias("domain")))
+        .union(seed_df)
+        .distinct()
+    )
+    levels = [
+        seed_df.select("domain", F.lit(0).alias("depth"))
+        .localCheckpoint()
+    ]
+    for h in range(1, max_hops + 1):
+        seen = reduce(DataFrame.union,
+                      [l.select("domain") for l in levels])
+        frontier = levels[-1].select(
+            F.col("domain").alias("src_domain")
+        )
+        nxt = (
+            g.join(frontier, "src_domain")
+            .select(F.col("dst_domain").alias("domain"))
+            .distinct()
+            .join(seen, "domain", "left_anti")
+            .select("domain", F.lit(h).alias("depth"))
+            .localCheckpoint()
+        )
+        levels.append(nxt)
+    depths = reduce(DataFrame.union, levels)
+    return nodes.join(depths, "domain", "left").select(
+        "domain",
+        F.col("depth").cast("bigint").alias("depth"),
+        F.col("depth").isNotNull().alias("reachable"),
+    )

@@ -233,6 +233,47 @@ def pages_from_documents_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pages_from_documents_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chained link-graph corpus family: each page lives on the
+    13-way host ring ``{source}{doc_id%13}.example`` (the linked
+    family's URL scheme) and links to the NEXT ring host
+    ``{source}{(doc_id+1)%13}.example`` plus the 7-way mirror ring —
+    a graph with real multi-hop structure (per-source directed
+    13-cycles with mirror spokes), so BFS-depth operators have
+    non-trivial levels. Pure doc_id/source arithmetic: the SQL oracle
+    reproduces every edge from the untouched documents table without
+    parsing HTML."""
+    did = F.col("doc_id")
+    refs = F.concat(
+        F.lit('<p class="chain">Next <a href="https://'),
+        F.col("source"),
+        F.pmod(did + 1, F.lit(13)).cast("string"),
+        F.lit(".example/d/"),
+        did.cast("string"),
+        F.lit('">next</a> via <a href="https://mirror'),
+        F.pmod(did, F.lit(7)).cast("string"),
+        F.lit(".example/p/"),
+        F.floor(did / 2).cast("string"),
+        F.lit('">mirror</a>.</p>'),
+    )
+    pages = _pages_from_documents_template(
+        spark, sf_dir, extra_nodes_col=refs
+    )
+    src = F.regexp_extract(
+        F.col("url"), r"^https://docs\.example/([^/]+)/", 1
+    )
+    return pages.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            src,
+            F.pmod(F.col("doc_id"), F.lit(13)).cast("string"),
+            F.lit(".example/d/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+
+
 #: Pinned anchor-text vocabulary for the anchored corpus family — the
 #: word an inbound link *calls* its target, drawn by doc_id arithmetic
 #: so the SQL oracle reproduces the full (domain, anchor) joint

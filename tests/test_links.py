@@ -396,3 +396,68 @@ def test_kcore_rejects_bad_params(spark):
         domain_kcore(edges, k=0)
     with pytest.raises(ValueError):
         domain_kcore(edges, k=2, rounds=0)
+
+
+class TestSeedBfsDepth:
+    """Crawl depth from seeds: exact levels, shortest-path rule,
+    offline seeds, guards."""
+
+    def _run(self, spark, edges, seeds, max_hops=3):
+        from mindocr_spark.functions.links import seed_bfs_depth
+
+        df = spark.createDataFrame(
+            edges, "src_domain string, dst_domain string"
+        )
+        out = seed_bfs_depth(df, seeds, max_hops=max_hops)
+        return {r["domain"]: (r["depth"], r["reachable"])
+                for r in out.collect()}
+
+    def test_chain_levels_and_horizon(self, spark):
+        out = self._run(
+            spark,
+            [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+            ("a",), max_hops=3,
+        )
+        assert out["a"] == (0, True)
+        assert out["b"] == (1, True)
+        assert out["c"] == (2, True)
+        assert out["d"] == (3, True)
+        # beyond the hop horizon: present, NULL depth, unreachable
+        assert out["e"] == (None, False)
+
+    def test_shortest_path_wins(self, spark):
+        # diamond: a->b->c and a->c; c must be depth 1, not 2
+        out = self._run(
+            spark, [("a", "b"), ("b", "c"), ("a", "c")], ("a",)
+        )
+        assert out["c"] == (1, True)
+
+    def test_offline_seed_and_disconnected(self, spark):
+        out = self._run(
+            spark, [("a", "b"), ("x", "y")], ("a", "ghost.example")
+        )
+        assert out["ghost.example"] == (0, True)
+        assert out["x"] == (None, False)
+        assert out["y"] == (None, False)
+
+    def test_self_loops_ignored_and_directedness(self, spark):
+        out = self._run(
+            spark, [("a", "a"), ("a", "b"), ("c", "a")], ("a",)
+        )
+        assert out["a"] == (0, True)
+        assert out["b"] == (1, True)
+        # edges are directed: c points AT the seed, is not reached
+        assert out["c"] == (None, False)
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from mindocr_spark.functions.links import seed_bfs_depth
+
+        df = spark.createDataFrame(
+            [("a", "b")], "src_domain string, dst_domain string"
+        )
+        with _pytest.raises(ValueError):
+            seed_bfs_depth(df, ())
+        with _pytest.raises(ValueError):
+            seed_bfs_depth(df, ("a",), max_hops=0)
