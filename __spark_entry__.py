@@ -2177,6 +2177,71 @@ def q_bpe_merge_pairs(spark, sf_dir):
     ).orderBy("rank")
 
 
+def q_bpe_vocab(spark, sf_dir):
+    """Iterative BPE vocabulary induction: 6 full Sennrich merge
+    rounds over the corpus vocabulary — count symbol pairs, pick the
+    winner, re-segment, repeat — returning the learned merge table
+    (step, a, b, merged, n). EAGER: each round runs as checkpointed
+    Spark jobs; the oracle unrolls the same 6 rounds in SQL over the
+    sentinel-wrapped segmentation strings (replace() is the exact
+    left-to-right non-overlapping merge in both engines)."""
+    from mindocr_spark.functions.text import bpe_learn_merges
+
+    return bpe_learn_merges(
+        _t(spark, sf_dir, "documents").select("text"), n_merges=6
+    ).orderBy("step")
+
+
+def _bpe_vocab_oracle(n_merges: int = 6) -> str:
+    """Unrolled twin of `text.bpe_learn_merges`: per round one
+    lead-window pair count over the split segmentation strings, a
+    LIMIT-1 winner (n DESC, a ASC, b ASC), and a replace()
+    re-segmentation. All-integer."""
+    norm = r"trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g'))"
+    parts = [f"""
+        WITH toks AS (
+          SELECT unnest(string_split({norm}, ' ')) AS word
+          FROM documents WHERE {norm} != ''),
+        v0 AS (
+          SELECT regexp_replace(word, '(.)',
+                                chr(1) || '\\1' || chr(2), 'g') AS w,
+                 count(*) AS freq
+          FROM toks GROUP BY word)"""]
+    for r in range(1, n_merges + 1):
+        parts.append(f""",
+        s{r} AS (
+          SELECT w, freq,
+                 unnest(string_split(substr(w, 2, length(w) - 2),
+                                     chr(2) || chr(1))) AS sym,
+                 generate_subscripts(
+                   string_split(substr(w, 2, length(w) - 2),
+                                chr(2) || chr(1)), 1) AS pos
+          FROM v{r - 1}),
+        p{r} AS (
+          SELECT w, freq, sym AS a,
+                 lead(sym) OVER (PARTITION BY w ORDER BY pos) AS b
+          FROM s{r}),
+        w{r} AS (
+          SELECT a, b, CAST(sum(freq) AS BIGINT) AS n
+          FROM p{r} WHERE b IS NOT NULL GROUP BY a, b
+          ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+        v{r} AS (
+          SELECT replace(v.w,
+                         chr(1) || x.a || chr(2) || chr(1) || x.b
+                           || chr(2),
+                         chr(1) || x.a || x.b || chr(2)) AS w,
+                 v.freq
+          FROM v{r - 1} v, w{r} x)""")
+    union_all = " UNION ALL ".join(
+        f"SELECT {r} AS step, a, b, a || b AS merged, n FROM w{r}"
+        for r in range(1, n_merges + 1)
+    )
+    parts.append(f"""
+        SELECT CAST(step AS INT) AS step, a, b, merged, n
+        FROM ({union_all}) ORDER BY step""")
+    return "".join(parts)
+
+
 def q_length_quantiles(spark, sf_dir):
     """Per-language exact length-distribution report: min / p50 / p90
     / p99 / max of n_chars — Spark percentile and DuckDB quantile_cont
@@ -3996,6 +4061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q(q_dsir_weights),
         "length_quantiles": _q(q_length_quantiles),
         "bpe_merge_pairs": _q(q_bpe_merge_pairs),
+        "bpe_vocab": _q(q_bpe_vocab),
         "pmi_collocations": _q(q_pmi_collocations),
         "quantile_gate": _q(q_quantile_gate),
         "zipf_fit": _q(q_zipf_fit),
@@ -6812,6 +6878,7 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY pmi DESC, w1 ASC, w2 ASC) AS INT) AS rank
             FROM top ORDER BY rank
         """,
+        "bpe_vocab": _bpe_vocab_oracle(n_merges=6),
         "bpe_merge_pairs": r"""
             WITH t AS (
               SELECT trim(regexp_replace(coalesce(text, ''),

@@ -202,6 +202,7 @@ def main() -> None:
         "gopher_gate",          # full Gopher rule filter (A1.1)
         "nb_classifier",        # in-corpus trained NB classifier
         "crawl_depth",          # BFS hop distance from seed domains
+        "bpe_vocab",            # 6-round Sennrich BPE induction
     ]
     qs = E.queries()
     for name in headline:

@@ -2210,3 +2210,113 @@ def bpe_merge_pairs(
     return top.select(
         "pair", "n", F.row_number().over(rw).cast("int").alias("rank")
     )
+
+
+#: Symbol-wrapping sentinels for iterative BPE: every symbol is stored
+#: as  \x01 sym \x02  inside the word's segmentation string, so ONE
+#: plain-string replace() of '\x01a\x02\x01b\x02' → '\x01ab\x02' IS the
+#: exact BPE merge rule — left-to-right, non-overlapping, consecutive
+#: runs merged pairwise ('aaaa' → 'aa','aa') — identically in Spark and
+#: DuckDB (both replace left-to-right). Control chars cannot occur in
+#: whitespace-tokenized words.
+BPE_S = "\x01"
+BPE_E = "\x02"
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+) -> DataFrame:
+    """Iterative BPE vocabulary induction (Sennrich et al. 2016): run
+    `n_merges` full merge-learning rounds over the corpus and return
+    the learned merge table — (step, a, b, merged, n), the artifact a
+    tokenizer trainer ships. Extends `bpe_merge_pairs` (ONE candidate
+    ranking) to the real training loop: each round counts adjacent
+    SYMBOL pairs (freq-weighted, position multiplicity), picks the
+    winner (max n, tie (a, b) ascending), and re-segments every word
+    by merging the winner's non-overlapping occurrences left-to-right.
+
+    100 TB shape: the corpus collapses to the VOCABULARY once (one
+    map-side-combinable groupBy on the word key) — every subsequent
+    round runs at vocab × word-length cardinality, orders of magnitude
+    below the token stream (the `bpe_merge_pairs` discipline). Per
+    round: one narrow pair-explode + one groupBy on the bounded
+    symbol-pair key + a 1-row TakeOrderedAndProject winner; the
+    re-segmentation is one broadcast crossJoin + replace() (narrow).
+    Both the winner and the re-segmented vocabulary are
+    localCheckpoint-ed, so plan growth per round is constant (the
+    connected_components discipline) and the output is a flat union
+    of n_merges 1-row frames.
+
+    Reference lineage: character-dictionary construction for the
+    recognition head (reference: mindocr/utils/dict/ +
+    mindocr/data/transforms/rec_transforms.py:222-246 str2idx),
+    generalized to the learned-merge loop."""
+    if n_merges < 1:
+        raise ValueError(f"need n_merges ≥ 1, got {n_merges}")
+    vocab = (
+        df.select(F.explode(tokens_col(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.regexp_replace(
+                F.col("word"), "(.)", BPE_S + "$1" + BPE_E
+            ).alias("w"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    steps = []
+    for step in range(1, n_merges + 1):
+        syms = F.split(
+            F.substring(F.col("w"), 2, F.length("w") - 2),
+            BPE_E + BPE_S,
+        )
+        pairs_arr = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("a"),
+                    F.element_at(syms, i + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<a:string,b:string>>")
+        )
+        winner = (
+            vocab.select(F.explode(pairs_arr).alias("p"), "freq")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").cast("bigint").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("a").asc(),
+                     F.col("b").asc())
+            .limit(1)
+            .localCheckpoint()
+        )
+        steps.append(
+            winner.select(
+                F.lit(step).cast("int").alias("step"),
+                "a", "b",
+                F.concat("a", "b").alias("merged"),
+                "n",
+            )
+        )
+        if step < n_merges:
+            vocab = (
+                vocab.crossJoin(F.broadcast(winner))
+                .select(
+                    F.replace(
+                        F.col("w"),
+                        F.concat(F.lit(BPE_S), F.col("a"), F.lit(BPE_E),
+                                 F.lit(BPE_S), F.col("b"), F.lit(BPE_E)),
+                        F.concat(F.lit(BPE_S), F.col("a"), F.col("b"),
+                                 F.lit(BPE_E)),
+                    ).alias("w"),
+                    "freq",
+                )
+                .localCheckpoint()
+            )
+    from functools import reduce
+
+    return reduce(DataFrame.union, steps)

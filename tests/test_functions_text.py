@@ -1492,3 +1492,75 @@ class TestGopherRules:
         plan = gopher_rules_cols(df)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+class TestBpeLearnMerges:
+    """Iterative BPE induction vs an independent pure-python Sennrich
+    reference, plus the consecutive-run and tie rules."""
+
+    @staticmethod
+    def _reference(words: dict[str, int], n_merges: int):
+        """Sennrich get_stats/merge loop, list-of-symbols form."""
+        vocab = {tuple(w): f for w, f in words.items()}
+        out = []
+        for step in range(1, n_merges + 1):
+            stats: dict[tuple[str, str], int] = {}
+            for syms, f in vocab.items():
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    stats[p] = stats.get(p, 0) + f
+            if not stats:
+                break
+            best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+            (a, b), n = best
+            out.append((step, a, b, a + b, n))
+            new_vocab = {}
+            for syms, f in vocab.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == a
+                            and syms[i + 1] == b):
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                new_vocab[tuple(merged)] = f
+            vocab = new_vocab
+        return out
+
+    def _run(self, spark, text, n_merges):
+        from mindocr_spark.functions.text import bpe_learn_merges
+
+        df = spark.createDataFrame([(1, text)],
+                                   "doc_id bigint, text string")
+        out = bpe_learn_merges(df, n_merges=n_merges)
+        return [(r["step"], r["a"], r["b"], r["merged"], r["n"])
+                for r in out.orderBy("step").collect()]
+
+    def test_matches_sennrich_reference(self, spark):
+        words = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+        text = " ".join(w for w, f in words.items() for _ in range(f))
+        got = self._run(spark, text, 6)
+        assert got == self._reference(words, 6)
+
+    def test_consecutive_runs_merge_pairwise(self, spark):
+        got = self._run(spark, "aaaa", 2)
+        # step 1: (a,a) counted at all 3 positions, 'aaaa' -> aa|aa
+        assert got[0] == (1, "a", "a", "aa", 3)
+        assert got[1] == (2, "aa", "aa", "aaaa", 1)
+
+    def test_tie_breaks_lexicographically(self, spark):
+        # 'ba' and 'ab' pairs both appear once; (a,b) sorts first
+        got = self._run(spark, "ba ab", 1)
+        assert got[0][1:3] == ("a", "b")
+
+    def test_guard(self, spark):
+        import pytest as _pytest
+
+        from mindocr_spark.functions.text import bpe_learn_merges
+
+        df = spark.createDataFrame([(1, "x")],
+                                   "doc_id bigint, text string")
+        with _pytest.raises(ValueError):
+            bpe_learn_merges(df, n_merges=0)
