@@ -3928,6 +3928,29 @@ def q_multimodal_real_codec(spark, sf_dir):
     )
 
 
+def q_multimodal_png(spark, sf_dir):
+    """The COMPRESSED real-codec path: deterministic PNG payloads
+    (genuine zlib DEFLATE, per-row rotating RFC 2083 filters) decoded
+    by multimodal._decode_png — chunk walk with CRC verification,
+    inflate, full five-filter reconstruction. The decoded mean is
+    oracle-checked from the pixel formula: the only way Spark's value
+    can match is a correct decompression + un-filtering, so the oracle
+    verifies the codec itself. n_bytes is deliberately NOT in the
+    contract (compressed size is a zlib implementation detail)."""
+    from mindocr_spark.multimodal import (
+        extract_media_features,
+        real_decode,
+        synth_real_png_table,
+    )
+
+    media = synth_real_png_table(spark, n=64)
+    return (
+        extract_media_features(media, decode=real_decode)
+        .select("id", "kind", "mean_intensity", "failed")
+        .orderBy("id")
+    )
+
+
 def q_image_phash_pairs(spark, sf_dir):
     """Perceptual-hash near-dup IMAGE pairs over REAL BMP payloads:
     decode → exact channel-mean grayscale → 8×8 mean-pool → aHash as
@@ -4181,6 +4204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_mix": _q(q_cluster_mix),
         "multimodal_features": _q(q_multimodal_features),
         "multimodal_real_codec": _q(q_multimodal_real_codec),
+        "multimodal_png": _q(q_multimodal_png),
         "multimodal_video": _q(q_multimodal_video),
         "image_phash_pairs": _q(q_image_phash_pairs),
         "audio_fp_pairs": _q(q_audio_fp_pairs),
@@ -8806,6 +8830,24 @@ def oracle_sql() -> dict[str, str]:
                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
                         4) >= 0.4
             ORDER BY id_a, id_b
+        """,
+        # compressed PNG codec path: the mean is only reachable via a
+        # working inflate + five-filter reconstruction — the formula
+        # below is the PIXEL source, not the byte stream
+        "multimodal_png": """
+            WITH ids AS (SELECT range AS id FROM range(64)),
+            img AS (SELECT id, id % 5 + 3 AS side FROM ids),
+            pix AS (
+              SELECT i.id, x.range AS x, y.range AS y, c.range AS c
+              FROM img i, range(7) x, range(7) y, range(3) c
+              WHERE x.range < i.side AND y.range < i.side),
+            imean AS (
+              SELECT id,
+                     round_even(avg(CAST((id*5 + x*7 + y*13 + c*31) % 256
+                                    AS DOUBLE)), 6) AS mean_intensity
+              FROM pix GROUP BY id)
+            SELECT id, 'image' AS kind, mean_intensity, false AS failed
+            FROM imean ORDER BY id
         """,
         "multimodal_real_codec": """
             WITH ids AS (SELECT range AS id FROM range(64)),

@@ -203,6 +203,7 @@ def main() -> None:
         "nb_classifier",        # in-corpus trained NB classifier
         "crawl_depth",          # BFS hop distance from seed domains
         "bpe_vocab",            # 6-round Sennrich BPE induction
+        "multimodal_png",       # real DEFLATE PNG decode (CRC + filters)
     ]
     qs = E.queries()
     for name in headline:

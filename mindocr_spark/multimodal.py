@@ -92,6 +92,126 @@ def _decode_bmp(data: bytes) -> np.ndarray:
     return img
 
 
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PNG Paeth predictor (RFC 2083 §6.6), vectorized; ties resolve
+    left → up → upper-left, the spec order."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 8-bit/color truecolor PNG bytes — a REAL
+    compressed codec (stdlib zlib DEFLATE), with the scanline filter
+    type ROTATING per row (y % 5: None/Sub/Up/Average/Paeth) so any
+    decoder of these payloads must implement the full RFC 2083 filter
+    suite, not just the trivial one."""
+    import struct
+    import zlib
+
+    h, w, _ = pixels.shape
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    prev = np.zeros((w, 3), np.int32)
+    zero = np.zeros((1, 3), np.int32)
+    for y in range(h):
+        row = pixels[y].astype(np.int32)
+        left = np.vstack([zero, row[:-1]])
+        ul = np.vstack([zero, prev[:-1]])
+        ft = y % 5
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = row - left
+        elif ft == 2:
+            filt = row - prev
+        elif ft == 3:
+            filt = row - (left + prev) // 2
+        else:
+            filt = row - _paeth(left, prev, ul)
+        raw.append(ft)
+        raw += (filt % 256).astype(np.uint8).tobytes()
+        prev = row
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def _decode_png(data: bytes) -> np.ndarray:
+    """STRUCTURAL PNG parse → (h, w, 3) uint8 RGB: chunk walk with CRC
+    verification, zlib inflate, and full five-filter scanline
+    reconstruction (RFC 2083 §6) — the honest-subset policy of the
+    other stdlib codecs (8-bit truecolor, non-interlaced; other color
+    types need external libs and raise)."""
+    import struct
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat, dims = 8, b"", None
+    while pos + 12 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln:pos + 12 + ln])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            w, h, bitd, ct, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", body)
+            if (bitd, ct, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "only 8-bit truecolor non-interlaced PNG supported")
+            dims = (h, w)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if dims is None:
+        raise ValueError("PNG without IHDR")
+    h, w = dims
+    raw = zlib.decompress(idat)
+    stride = w * 3 + 1
+    if len(raw) != h * stride:
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.zeros((h, w, 3), np.uint8)
+    prev = np.zeros((w, 3), np.int32)
+    for y in range(h):
+        ft = raw[y * stride]
+        line = np.frombuffer(
+            raw, np.uint8, w * 3, y * stride + 1
+        ).astype(np.int32).reshape(w, 3)
+        if ft == 0:
+            row = line
+        elif ft == 2:
+            row = (line + prev) % 256
+        elif ft in (1, 3, 4):
+            row = np.zeros((w, 3), np.int32)
+            for x in range(w):
+                left = row[x - 1] if x else np.zeros(3, np.int32)
+                up = prev[x]
+                ul = prev[x - 1] if x else np.zeros(3, np.int32)
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth(left, up, ul)
+                row[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = row
+        prev = row
+    return out
+
+
 def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
     """(n, h, w, 3) uint8 RGB → RIFF AVI bytes with uncompressed 24-bit
     DIB ('00db') frames — the canonical hdrl(avih, strl(strh,strf)) +
@@ -239,15 +359,19 @@ def _decode_wav(data: bytes) -> np.ndarray:
 
 def real_decode(payload: bytes, kind: str) -> np.ndarray:
     """The codec boundary, REAL for every kind this engine claims:
-    BMP (24-bit BI_RGB → (h, w, 3) uint8 RGB) for images, WAV (16-bit
-    PCM → int16 samples) for audio, RIFF/AVI (uncompressed 24-bit DIB
-    frames → (n, h, w, 3) uint8 RGB) for video — exercising the exact
-    batch/schema plumbing with genuine byte parsing (the reference's
-    DecodeImage does cv2.imdecode, reference:
-    mindocr/data/transforms/general_transforms.py:25-64). Compressed
-    codecs (JPEG/H.264/…) still need external libs — inject a decoder
-    through the ``decode=`` hook on a cluster that has them."""
+    BMP (24-bit BI_RGB → (h, w, 3) uint8 RGB) and PNG (8-bit truecolor,
+    zlib DEFLATE + full five-filter reconstruction, magic-dispatched)
+    for images, WAV (16-bit PCM → int16 samples) for audio, RIFF/AVI
+    (uncompressed 24-bit DIB frames → (n, h, w, 3) uint8 RGB) for
+    video — exercising the exact batch/schema plumbing with genuine
+    byte parsing (the reference's DecodeImage does cv2.imdecode,
+    reference: mindocr/data/transforms/general_transforms.py:25-64).
+    Other compressed codecs (JPEG/H.264/…) still need external libs —
+    inject a decoder through the ``decode=`` hook on a cluster that
+    has them."""
     if kind == "image":
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return _decode_png(payload)
         return _decode_bmp(payload)
     if kind == "audio":
         return _decode_wav(payload)
@@ -455,6 +579,42 @@ def synth_real_media_table(spark, n: int = 64) -> DataFrame:
                     meta = dict(kind=kind, width=0, height=0, n_frames=ns,
                                 sample_rate=16000, codec="pcm16")
                 rows.append(dict(id=i, payload=payload, media_meta=meta))
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(
+        gen, schema=f"id bigint, payload binary, {MEDIA_META_DDL}"
+    )
+
+
+def synth_real_png_table(spark, n: int = 64) -> DataFrame:
+    """Deterministic REAL-PNG corpus: side = id%5+3 (sides ≥ 5 exercise
+    all five scanline filters via encode_png's per-row rotation),
+    pixel[y,x,c] = (id·5 + x·7 + y·13 + c·31) mod 256. The payloads are
+    genuinely DEFLATE-compressed; the pixel formula is integer
+    arithmetic a SQL oracle reproduces exactly, so a correct decoded
+    mean is only reachable through a working inflate + un-filter."""
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                side = i % 5 + 3
+                y, x, c = np.meshgrid(
+                    np.arange(side), np.arange(side), np.arange(3),
+                    indexing="ij",
+                )
+                pix = ((i * 5 + x * 7 + y * 13 + c * 31) % 256).astype(
+                    np.uint8
+                )
+                rows.append(dict(
+                    id=i, payload=encode_png(pix),
+                    media_meta=dict(kind="image", width=side, height=side,
+                                    n_frames=1, sample_rate=0,
+                                    codec="png"),
+                ))
             if rows:
                 yield pd.DataFrame(rows)
 

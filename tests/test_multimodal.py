@@ -251,3 +251,99 @@ def test_sample_frames_real_avi(spark):
             assert r["frame_bytes"] == side * side * 3
             assert r["checksum"] == hashlib.md5(pix.tobytes()).hexdigest()
     assert len(rows) == sum(len(range(0, i % 4 + 2, 2)) for i in range(12))
+
+
+class TestPngCodec:
+    """Real compressed PNG path: full-filter roundtrip, CRC and
+    structure validation, magic dispatch, failure flow."""
+
+    def test_roundtrip_exercises_all_filters(self):
+        import numpy as np
+
+        from mindocr_spark.multimodal import _decode_png, encode_png
+
+        rng = np.random.default_rng(11)
+        for h, w in [(1, 1), (5, 3), (7, 7), (6, 2)]:
+            pix = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+            assert np.array_equal(_decode_png(encode_png(pix)), pix)
+
+    def test_crc_corruption_raises(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from mindocr_spark.multimodal import _decode_png, encode_png
+
+        b = bytearray(encode_png(
+            np.zeros((4, 4, 3), np.uint8)))
+        b[20] ^= 0xFF
+        with _pytest.raises(ValueError, match="CRC"):
+            _decode_png(bytes(b))
+
+    def test_unsupported_and_malformed_raise(self):
+        import struct
+        import zlib
+
+        import pytest as _pytest
+
+        from mindocr_spark.multimodal import _decode_png
+
+        with _pytest.raises(ValueError, match="not a PNG"):
+            _decode_png(b"BM notapng")
+
+        def chunk(tag, body):
+            return (struct.pack(">I", len(body)) + tag + body
+                    + struct.pack(">I", zlib.crc32(tag + body)))
+
+        # grayscale (color type 0) is outside the honest subset
+        gray = (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR",
+                        struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)))
+        with _pytest.raises(ValueError, match="truecolor"):
+            _decode_png(gray)
+        # valid header, IDAT inflates to the wrong scanline size
+        bad = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR",
+                       struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(b"\x00abc"))
+               + chunk(b"IEND", b""))
+        with _pytest.raises(ValueError, match="size mismatch"):
+            _decode_png(bad)
+
+    def test_real_decode_magic_dispatch(self):
+        import numpy as np
+
+        from mindocr_spark.multimodal import (
+            encode_bmp,
+            encode_png,
+            real_decode,
+        )
+
+        pix = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
+        assert np.array_equal(real_decode(encode_png(pix), "image"), pix)
+        assert np.array_equal(real_decode(encode_bmp(pix), "image"), pix)
+
+    def test_corrupt_png_flows_as_failed_row(self, spark):
+        import numpy as np
+
+        from mindocr_spark.multimodal import (
+            encode_png,
+            extract_media_features,
+            real_decode,
+        )
+
+        good = encode_png(np.zeros((3, 3, 3), np.uint8))
+        bad = good[:30]  # truncated mid-chunk
+        df = spark.createDataFrame(
+            [(1, bytearray(good),
+              dict(kind="image", width=3, height=3, n_frames=1,
+                   sample_rate=0, codec="png")),
+             (2, bytearray(bad),
+              dict(kind="image", width=3, height=3, n_frames=1,
+                   sample_rate=0, codec="png"))],
+            "id bigint, payload binary, media_meta map<string,string>",
+        )
+        out = {r["id"]: r for r in
+               extract_media_features(df, decode=real_decode).collect()}
+        assert out[1]["failed"] is False
+        assert out[1]["mean_intensity"] == 0.0
+        assert out[2]["failed"] is True  # row survives, flagged
