@@ -2242,6 +2242,28 @@ def _bpe_vocab_oracle(n_merges: int = 6) -> str:
     return "".join(parts)
 
 
+def q_tfidf_cosine(spark, sf_dir):
+    """Sparse tf·idf cosine top-k neighbours over a constructed
+    family corpus: doc i carries 'fam{i//5}a' ×(i%3+1), 'fam{i//5}b'
+    and a unique token — vocabulary scales with N, terms are shared
+    only within the 5-doc family (pair-join fan-out bounded by df²=25
+    per term at ANY scale), and the weighted-cosine ladder inside a
+    family is non-trivial. The oracle rebuilds corpus, weights, norms,
+    dots, and the per-doc top-3 window in SQL."""
+    from mindocr_spark.functions.search import tfidf_cosine_topk
+
+    built = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "concat(repeat(concat('fam', cast(doc_id div 5 as string),"
+            " 'a '), cast(doc_id % 3 + 1 as int)),"
+            " 'fam', cast(doc_id div 5 as string), 'b uniq',"
+            " cast(doc_id as string))"
+        ).alias("text"),
+    )
+    return tfidf_cosine_topk(built, k=3).orderBy("doc_id", "rank")
+
+
 def q_length_quantiles(spark, sf_dir):
     """Per-language exact length-distribution report: min / p50 / p90
     / p99 / max of n_chars — Spark percentile and DuckDB quantile_cont
@@ -4187,6 +4209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_extract": _q(q_table_extract),
         "bpe_token_stats": _q(q_bpe_token_stats),
         "tfidf_keywords": _q(q_tfidf_keywords),
+        "tfidf_cosine": _q(q_tfidf_cosine),
         "quality_classifier": _q(q_quality_classifier),
         "char_dict_encode": _q(q_char_dict_encode),
         "argmax_cls": _q(q_argmax_cls),
@@ -5499,6 +5522,66 @@ def oracle_sql() -> dict[str, str]:
                      AS chars_per_token
             FROM agg ORDER BY lang
         """.replace("__BPE_RE__", _BPE_PRETOKEN_RE.replace("'", "''")),
+        # sparse tf-idf cosine: weights/norms/dots/top-k rebuilt in
+        # SQL over the same constructed family corpus; every float op
+        # is 9-dp-quantized into DECIMAL sums, cosine pinned as
+        # dot / (sqrt(n2_a) * sqrt(n2_b)) with DOUBLE casts
+        "tfidf_cosine": r"""
+            WITH built AS (
+              SELECT doc_id,
+                     repeat('fam' || CAST(doc_id // 5 AS VARCHAR) || 'a ',
+                            CAST(doc_id % 3 + 1 AS INT))
+                     || 'fam' || CAST(doc_id // 5 AS VARCHAR) || 'b uniq'
+                     || CAST(doc_id AS VARCHAR) AS text
+              FROM documents),
+            tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM built),
+            p AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM tok GROUP BY doc_id, term),
+            dfq AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+            nd AS (SELECT count(*) AS n FROM built),
+            wgt AS (
+              SELECT doc_id, term,
+                     round(CAST(tf AS DOUBLE)
+                           * round(ln(CAST(n AS DOUBLE)
+                                      / CAST(df AS DOUBLE)), 9), 9) AS w
+              FROM p JOIN dfq USING (term), nd),
+            nrm AS (
+              SELECT doc_id,
+                     sum(CAST(round(w * w, 9) AS DECIMAL(28,9))) AS n2
+              FROM wgt GROUP BY doc_id),
+            dots AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     sum(CAST(round(a.w * b.w, 9) AS DECIMAL(28,9)))
+                       AS dot
+              FROM wgt a JOIN wgt b
+                ON a.term = b.term AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            cosp AS (
+              SELECT id_a, id_b,
+                     round(CAST(dot AS DOUBLE)
+                           / (sqrt(CAST(na.n2 AS DOUBLE))
+                              * sqrt(CAST(nb.n2 AS DOUBLE))), 6)
+                       AS cosine
+              FROM dots
+              JOIN nrm na ON na.doc_id = id_a
+              JOIN nrm nb ON nb.doc_id = id_b),
+            sym AS (
+              SELECT id_a AS doc_id, id_b AS nbr, cosine FROM cosp
+              UNION ALL
+              SELECT id_b, id_a, cosine FROM cosp),
+            ranked AS (
+              SELECT doc_id, nbr, cosine,
+                     CAST(row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY cosine DESC, nbr ASC) AS BIGINT) AS rank
+              FROM sym)
+            SELECT doc_id, nbr, cosine, rank
+            FROM ranked WHERE rank <= 3
+            ORDER BY doc_id, rank
+        """,
         "tfidf_keywords": r"""
             WITH t AS (
               SELECT doc_id,

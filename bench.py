@@ -204,6 +204,7 @@ def main() -> None:
         "crawl_depth",          # BFS hop distance from seed domains
         "bpe_vocab",            # 6-round Sennrich BPE induction
         "multimodal_png",       # real DEFLATE PNG decode (CRC + filters)
+        "tfidf_cosine",         # sparse weighted-cosine neighbour join
     ]
     qs = E.queries()
     for name in headline:

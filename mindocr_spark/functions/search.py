@@ -386,3 +386,123 @@ def concordance(docs: DataFrame, phrases: dict[int, list[str]],
             F.array_join(F.slice("_toks", pos + m, len_r), " "),
         ).otherwise(empty).alias("right_ctx"),
     )
+
+
+def tfidf_cosine_topk(
+    docs: DataFrame,
+    k: int = 3,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sparse tf·idf cosine similarity join: each document's top-`k`
+    nearest neighbours in the weighted bag-of-words space —
+    (doc_id, nbr, cosine, rank). The classic lexical near-duplicate /
+    related-document signal complementing the hash families (minhash
+    estimates SET overlap; this measures WEIGHTED term-distribution
+    similarity, sensitive to tf and rarity).
+
+    Weights w = round(tf · round(ln(N/df), 9), 9) (the
+    `tfidf_topk_terms` score); norms and dot products are DECIMAL(28,9)
+    sums of 9-dp-quantized products (order-independent, exact);
+    cosine = round(dot / (√n2_a · √n2_b), 6) with every operand cast
+    to DOUBLE before arithmetic — sqrt is correctly rounded in IEEE
+    754, so the whole expression is engine-identical.
+
+    100 TB shape: postings collapse map-side on the (term, doc) key;
+    the pair join runs on the TERM key, so its cost is Σ_t df(t)² —
+    `max_df` is the hot-term cap bounding that sum (the
+    `ngram_jaccard_pairs` df-cap posture: ubiquitous terms carry
+    ~zero idf weight anyway; when set, MIRROR it in any oracle). The
+    weighted relation is persisted (feeds norms AND both join sides);
+    pair fan-out to per-doc lists uses ONE exploded 2-struct array,
+    not a self-union (the containment_pairs exchange lesson); top-k is
+    a per-doc window on the uniform id key.
+
+    Reference analog: candidate scoring + per-image top-k cap
+    (`max_candidates`, reference:
+    mindocr/postprocess/det_db_postprocess.py:73-127), lifted to
+    corpus-wide weighted lexical similarity."""
+    from mindocr_spark.cache import tracked_persist
+
+    if k < 1:
+        raise ValueError(f"need k ≥ 1, got {k}")
+    p = postings(docs, id_col=id_col, text_col=text_col)
+    dfq = p.groupBy("term").agg(F.count("*").alias("df"))
+    if max_df is not None:
+        dfq = dfq.where(F.col("df") <= max_df)
+    nd = docs.select(F.count("*").alias("n_docs"))
+    idf = F.round(
+        F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        9,
+    )
+    wgt = tracked_persist(
+        p.join(dfq, "term")
+        .join(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf").cast("double") * idf, 9).alias("w"),
+        )
+    )
+    nrm = wgt.groupBy("doc_id").agg(
+        F.sum(
+            F.round(F.col("w") * F.col("w"), 9).cast("decimal(28,9)")
+        ).alias("n2")
+    )
+    a = wgt.select(
+        F.col("term").alias("__t"),
+        F.col("doc_id").alias("id_a"),
+        F.col("w").alias("w_a"),
+    )
+    b = wgt.select(
+        F.col("term").alias("__t"),
+        F.col("doc_id").alias("id_b"),
+        F.col("w").alias("w_b"),
+    )
+    dots = (
+        a.join(b, "__t")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(
+                F.round(F.col("w_a") * F.col("w_b"), 9)
+                .cast("decimal(28,9)")
+            ).alias("dot")
+        )
+    )
+    cosp = (
+        dots.join(nrm.select(F.col("doc_id").alias("id_a"),
+                             F.col("n2").alias("n2_a")), "id_a")
+        .join(nrm.select(F.col("doc_id").alias("id_b"),
+                         F.col("n2").alias("n2_b")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("n2_a").cast("double"))
+                   * F.sqrt(F.col("n2_b").cast("double"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    sym = cosp.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("doc_id"),
+                         F.col("id_b").alias("nbr"),
+                         F.col("cosine")),
+                F.struct(F.col("id_b").alias("doc_id"),
+                         F.col("id_a").alias("nbr"),
+                         F.col("cosine")),
+            )
+        ).alias("e")
+    ).select("e.doc_id", "e.nbr", "e.cosine")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr").asc()
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "nbr", "cosine", "rank")
+    )

@@ -302,3 +302,68 @@ class TestConcordance:
         from collections import Counter
         kc = Counter((r["query_id"], r["doc_id"]) for r in kwic)
         assert dict(kc) == counts  # one KWIC row per counted occurrence
+
+
+class TestTfidfCosine:
+    """Sparse tf-idf cosine top-k: hand-computed values, identity,
+    disjoint vocab, df-cap, guard."""
+
+    def _run(self, spark, rows, **kw):
+        from mindocr_spark.functions.search import tfidf_cosine_topk
+
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        return tfidf_cosine_topk(df, **kw).collect()
+
+    @staticmethod
+    def _ref_cosine(d1, d2, corpus):
+        import math
+        from collections import Counter
+
+        n = len(corpus)
+        dfs = Counter(t for d in corpus for t in set(d.split()))
+        q = lambda v: round(v, 9)
+
+        def vec(d):
+            tf = Counter(d.split())
+            return {t: q(c * q(math.log(n / dfs[t]))) for t, c in tf.items()}
+
+        v1, v2 = vec(d1), vec(d2)
+        dot = sum(q(v1[t] * v2[t]) for t in v1 if t in v2)
+        n1 = math.sqrt(sum(q(w * w) for w in v1.values()))
+        n2 = math.sqrt(sum(q(w * w) for w in v2.values()))
+        return round(dot / (n1 * n2), 6)
+
+    def test_hand_computed(self, spark):
+        corpus = ["x x y", "x y z", "z w"]
+        out = self._run(
+            spark, list(enumerate(corpus)), k=2
+        )
+        got = {(r["doc_id"], r["nbr"]): r["cosine"] for r in out}
+        assert got[(0, 1)] == self._ref_cosine(corpus[0], corpus[1], corpus)
+        assert got[(1, 2)] == self._ref_cosine(corpus[1], corpus[2], corpus)
+        # x appears in docs 0,1 only; w only in 2: no (0,2) pair? They
+        # share no term -> no candidate row at all
+        assert (0, 2) not in got and (2, 0) not in got
+
+    def test_identical_docs_cosine_one(self, spark):
+        out = self._run(
+            spark, [(1, "a b c"), (2, "a b c"), (3, "q r")], k=1
+        )
+        got = {(r["doc_id"], r["nbr"]): r["cosine"] for r in out}
+        assert got[(1, 2)] == 1.0 and got[(2, 1)] == 1.0
+
+    def test_max_df_cap_drops_hot_term(self, spark):
+        # 'hot' is in every doc; with max_df=2 only 'rare' pairs remain
+        rows = [(1, "hot rare"), (2, "hot rare"), (3, "hot")]
+        capped = self._run(spark, rows, k=2, max_df=2)
+        pairs = {(r["doc_id"], r["nbr"]) for r in capped}
+        assert (1, 2) in pairs and (1, 3) not in pairs
+
+    def test_guard(self, spark):
+        import pytest as _pytest
+
+        from mindocr_spark.functions.search import tfidf_cosine_topk
+
+        df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+        with _pytest.raises(ValueError):
+            tfidf_cosine_topk(df, k=0)
