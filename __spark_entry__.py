@@ -2192,11 +2192,10 @@ def q_bpe_vocab(spark, sf_dir):
     ).orderBy("step")
 
 
-def _bpe_vocab_oracle(n_merges: int = 6) -> str:
-    """Unrolled twin of `text.bpe_learn_merges`: per round one
-    lead-window pair count over the split segmentation strings, a
-    LIMIT-1 winner (n DESC, a ASC, b ASC), and a replace()
-    re-segmentation. All-integer."""
+def _bpe_chain_parts(n_merges: int) -> list[str]:
+    """The shared learn-loop CTE chain (v0 → w1/v1 → … → wN/vN) used
+    by both the bpe_vocab (merge table) and bpe_apply (segmentation)
+    oracles — one source of truth for the replay semantics."""
     norm = r"trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g'))"
     parts = [f"""
         WITH toks AS (
@@ -2232,6 +2231,15 @@ def _bpe_vocab_oracle(n_merges: int = 6) -> str:
                          chr(1) || x.a || x.b || chr(2)) AS w,
                  v.freq
           FROM v{r - 1} v, w{r} x)""")
+    return parts
+
+
+def _bpe_vocab_oracle(n_merges: int = 6) -> str:
+    """Unrolled twin of `text.bpe_learn_merges`: per round one
+    lead-window pair count over the split segmentation strings, a
+    LIMIT-1 winner (n DESC, a ASC, b ASC), and a replace()
+    re-segmentation. All-integer."""
+    parts = _bpe_chain_parts(n_merges)
     union_all = " UNION ALL ".join(
         f"SELECT {r} AS step, a, b, a || b AS merged, n FROM w{r}"
         for r in range(1, n_merges + 1)
@@ -2239,6 +2247,39 @@ def _bpe_vocab_oracle(n_merges: int = 6) -> str:
     parts.append(f"""
         SELECT CAST(step AS INT) AS step, a, b, merged, n
         FROM ({union_all}) ORDER BY step""")
+    return "".join(parts)
+
+
+def _bpe_apply_oracle(n_merges: int = 6) -> str:
+    """Twin of learn→apply: replaying the merge list in order over raw
+    words equals the learn chain's final vocabulary state v{N} (each
+    replay step IS the learn-side re-segmentation step, by induction),
+    so the oracle reads segment counts straight off v{N} and joins
+    them back to the document token stream."""
+    norm = r"trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g'))"
+    parts = _bpe_chain_parts(n_merges)
+    parts.append(f""",
+        wordseg AS (
+          SELECT replace(replace(w, chr(1), ''), chr(2), '') AS word,
+                 len(string_split(substr(w, 2, length(w) - 2),
+                                  chr(2) || chr(1))) AS n_sym
+          FROM v{n_merges}),
+        dtok AS (
+          SELECT doc_id, unnest(string_split({norm}, ' ')) AS word
+          FROM documents WHERE {norm} != ''),
+        per AS (
+          SELECT doc_id, count(*) AS n_words, sum(n_sym) AS n_bpe
+          FROM dtok JOIN wordseg USING (word) GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(per.n_words, 0) AS BIGINT) AS n_words,
+               CAST(coalesce(per.n_bpe, 0) AS BIGINT) AS n_bpe_tokens,
+               CASE WHEN per.n_words > 0
+                    THEN round(CAST(per.n_bpe AS DOUBLE)
+                               / CAST(per.n_words AS DOUBLE), 6)
+               END AS bpe_per_word
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN per ON d.doc_id = per.doc_id
+        ORDER BY d.doc_id""")
     return "".join(parts)
 
 
@@ -2262,6 +2303,27 @@ def q_tfidf_cosine(spark, sf_dir):
         ).alias("text"),
     )
     return tfidf_cosine_topk(built, k=3).orderBy("doc_id", "rank")
+
+
+def q_bpe_apply(spark, sf_dir):
+    """Learn → apply: train the 6-merge BPE table on the corpus
+    (`bpe_learn_merges`), COLLECT it (6 rows — the bookkeeping-sized
+    relation rule), then replay it as a tokenizer over the same corpus
+    with `bpe_segment_counts` — per-doc learned-vocab pricing
+    (n_words, n_bpe_tokens, bpe_per_word). The oracle proves replay ≡
+    the learn chain's final vocabulary state."""
+    from mindocr_spark.functions.text import (
+        bpe_learn_merges,
+        bpe_segment_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = [
+        (r["a"], r["b"])
+        for r in bpe_learn_merges(docs, n_merges=6)
+        .orderBy("step").collect()
+    ]
+    return bpe_segment_counts(docs, merges).orderBy("doc_id")
 
 
 def q_length_quantiles(spark, sf_dir):
@@ -4107,6 +4169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": _q(q_length_quantiles),
         "bpe_merge_pairs": _q(q_bpe_merge_pairs),
         "bpe_vocab": _q(q_bpe_vocab),
+        "bpe_apply": _q(q_bpe_apply),
         "pmi_collocations": _q(q_pmi_collocations),
         "quantile_gate": _q(q_quantile_gate),
         "zipf_fit": _q(q_zipf_fit),
@@ -6986,6 +7049,7 @@ def oracle_sql() -> dict[str, str]:
             FROM top ORDER BY rank
         """,
         "bpe_vocab": _bpe_vocab_oracle(n_merges=6),
+        "bpe_apply": _bpe_apply_oracle(n_merges=6),
         "bpe_merge_pairs": r"""
             WITH t AS (
               SELECT trim(regexp_replace(coalesce(text, ''),

@@ -205,6 +205,7 @@ def main() -> None:
         "bpe_vocab",            # 6-round Sennrich BPE induction
         "multimodal_png",       # real DEFLATE PNG decode (CRC + filters)
         "tfidf_cosine",         # sparse weighted-cosine neighbour join
+        "bpe_apply",            # learned-merge tokenizer replay pricing
     ]
     qs = E.queries()
     for name in headline:

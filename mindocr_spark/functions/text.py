@@ -2320,3 +2320,87 @@ def bpe_learn_merges(
     from functools import reduce
 
     return reduce(DataFrame.union, steps)
+
+
+def bpe_segment_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """APPLY a learned BPE merge table (ordered, as produced by
+    `bpe_learn_merges` or exported from any tokenizer trainer): segment
+    every word by replaying the merges in order and report per-doc
+    tokenizer pricing — (id, n_words, n_bpe_tokens, bpe_per_word).
+    The learned-vocabulary counterpart of `bpe_token_cols`' fixed
+    estimator: this is the number a trained tokenizer actually charges.
+
+    Merge replay uses the `bpe_learn_merges` sentinel representation:
+    each merge is ONE plain-string replace() on the wrapped
+    segmentation — exact left-to-right non-overlapping application,
+    chained in merge order inside a single narrow projection.
+
+    100 TB shape: the corpus collapses to the VOCABULARY once (one
+    map-side-combinable groupBy), the merge chain runs at vocab
+    cardinality (len(merges) chained replaces, all codegen), and the
+    per-doc counts come from ONE token-keyed join + one doc-key
+    groupBy — the corpus-sized work is exactly one explode and two
+    uniform-key shuffles regardless of merge-table size.
+
+    Reference analog: str2idx applying the FIXED character dictionary
+    per sample (reference:
+    mindocr/data/transforms/rec_transforms.py:222-246), with the
+    dictionary replaced by a learned merge list."""
+    if not merges:
+        raise ValueError("empty merge table")
+    for a, b in merges:
+        if not a or not b:
+            raise ValueError(f"empty merge side in {(a, b)!r}")
+    toks = (
+        df.select(F.col(id_col).alias("__id"),
+                  F.explode(tokens_col(text_col)).alias("word"))
+    )
+    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("__n"))
+    seg: Column = F.regexp_replace(
+        F.col("word"), "(.)", BPE_S + "$1" + BPE_E
+    )
+    for a, b in merges:
+        seg = F.replace(
+            seg,
+            F.lit(BPE_S + a + BPE_E + BPE_S + b + BPE_E),
+            F.lit(BPE_S + a + b + BPE_E),
+        )
+    segmented = vocab.select(
+        "word",
+        F.size(
+            F.split(F.substring(seg, 2, F.length(seg) - 2),
+                    BPE_E + BPE_S)
+        ).alias("n_sym"),
+    )
+    per_doc = (
+        toks.join(segmented, "word")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_bpe"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_words", F.lit(0)).cast("bigint")
+            .alias("n_words"),
+            F.coalesce("n_bpe", F.lit(0)).cast("bigint")
+            .alias("n_bpe_tokens"),
+            F.when(
+                F.col("n_words") > 0,
+                F.round(
+                    F.col("n_bpe").cast("double")
+                    / F.col("n_words").cast("double"),
+                    6,
+                ),
+            ).alias("bpe_per_word"),
+        )
+    )

@@ -1564,3 +1564,65 @@ class TestBpeLearnMerges:
                                    "doc_id bigint, text string")
         with _pytest.raises(ValueError):
             bpe_learn_merges(df, n_merges=0)
+
+
+class TestBpeSegmentCounts:
+    """Replaying a merge table as a tokenizer: exact segmentation
+    counts, replay≡learn equivalence, empty-doc rows, guards."""
+
+    def test_exact_counts(self, spark):
+        from mindocr_spark.functions.text import bpe_segment_counts
+
+        df = spark.createDataFrame(
+            [(1, "low lower ab"), (2, ""), (3, "xyz")],
+            "doc_id bigint, text string",
+        )
+        out = {r["doc_id"]: r for r in
+               bpe_segment_counts(df, [("l", "o"), ("lo", "w")]).collect()}
+        # low -> 'low' (1), lower -> low,e,r (3), ab -> a,b (2)
+        assert out[1]["n_words"] == 3
+        assert out[1]["n_bpe_tokens"] == 6
+        assert out[1]["bpe_per_word"] == 2.0
+        assert out[2]["n_words"] == 0 and out[2]["bpe_per_word"] is None
+        assert out[3]["n_bpe_tokens"] == 3  # no merge applies
+
+    def test_replay_equals_learn_state(self, spark):
+        from mindocr_spark.functions.text import (
+            bpe_learn_merges,
+            bpe_segment_counts,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "low low low lower lowest newest newest widest")],
+            "doc_id bigint, text string",
+        )
+        merges = [(r["a"], r["b"]) for r in
+                  bpe_learn_merges(df, n_merges=5).orderBy("step").collect()]
+        got = bpe_segment_counts(df, merges).collect()[0]
+        # independent replay in python over the final state
+        vocab = {"low": 3, "lower": 1, "lowest": 1, "newest": 2,
+                 "widest": 1}
+        def apply(word):
+            syms = list(word)
+            for a, b in merges:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i+1] == b:
+                        out.append(a + b); i += 2
+                    else:
+                        out.append(syms[i]); i += 1
+                syms = out
+            return len(syms)
+        want = sum(apply(w) * f for w, f in vocab.items())
+        assert got["n_bpe_tokens"] == want
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from mindocr_spark.functions.text import bpe_segment_counts
+
+        df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+        with _pytest.raises(ValueError):
+            bpe_segment_counts(df, [])
+        with _pytest.raises(ValueError):
+            bpe_segment_counts(df, [("a", "")])
