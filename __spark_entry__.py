@@ -2772,6 +2772,61 @@ def q_robots_gate(spark, sf_dir):
     return robots_gate(pages, robots, ua="*").orderBy("url")
 
 
+def q_robots_wildcards(spark, sf_dir):
+    """RFC 9309 §2.2.3 pattern semantics: ``*`` runs and the ``$``
+    end-anchor, longest-RAW-pattern specificity, Allow on ties. The
+    six path sections exercise plain prefix, anchored-$ win,
+    anchored-$ non-match (.pdfx), inner-*, mid-pattern-*, and a
+    wildcard Allow outranking a shorter Disallow — the oracle states
+    every verdict in closed form from doc_id arithmetic."""
+    from mindocr_spark.functions.crawl import robots_gate_wildcard
+    from mindocr_spark.sources.pages import robots_wildcard_corpus
+
+    pages, robots = robots_wildcard_corpus(spark, sf_dir)
+    return robots_gate_wildcard(pages, robots, ua="*").orderBy("url")
+
+
+def _robots_wildcards_oracle() -> str:
+    """Closed-form twin: verdict, rule_type and matched pattern per
+    doc_id%6 section — no robots parsing, no regex in the oracle."""
+    return """
+        WITH p AS (
+          SELECT doc_id,
+                 doc_id % 3 AS site, doc_id % 6 AS sec,
+                 CASE doc_id % 6
+                   WHEN 0 THEN 'docs/page-' || CAST(doc_id AS VARCHAR)
+                               || '.html'
+                   WHEN 1 THEN 'docs/page-' || CAST(doc_id AS VARCHAR)
+                               || '.pdf'
+                   WHEN 2 THEN 'docs/page-' || CAST(doc_id AS VARCHAR)
+                               || '.pdfx'
+                   WHEN 3 THEN 'notes/entry-' || CAST(doc_id AS VARCHAR)
+                               || '.html'
+                   WHEN 4 THEN 'tmp/a-' || CAST(doc_id AS VARCHAR)
+                               || '/deep.html'
+                   ELSE 'media/img-' || CAST(doc_id AS VARCHAR)
+                        || '.png'
+                 END AS tail
+          FROM documents)
+        SELECT 'https://wild' || CAST(site AS VARCHAR) || '.example/'
+                 || tail AS url,
+               'wild' || CAST(site AS VARCHAR) || '.example' AS host,
+               '/' || tail AS path,
+               sec IN (0, 2, 5) AS allowed,
+               CASE sec
+                 WHEN 0 THEN 'allow' WHEN 2 THEN 'allow'
+                 WHEN 5 THEN 'allow' ELSE 'disallow' END AS rule_type,
+               CASE sec
+                 WHEN 0 THEN '/docs/' WHEN 2 THEN '/docs/'
+                 WHEN 1 THEN '/*.pdf$'
+                 WHEN 3 THEN '/*notes*'
+                 WHEN 4 THEN '/tmp/*/deep.html'
+                 ELSE '/media/*.png' END AS matched_pattern,
+               CAST(NULL AS DOUBLE) AS crawl_delay
+        FROM p ORDER BY url
+    """
+
+
 def q_sitemap_discovery(spark, sf_dir):
     """Sitemap discovery from robots.txt: the RFC 9309 cross-group
     ``Sitemap:`` field, planted BEFORE any User-agent group (group
@@ -4264,6 +4319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "license_detect": _q(q_license_detect),
         "robots_flags": _q(q_robots_flags),
         "robots_gate": _q(q_robots_gate),
+        "robots_wildcards": _q(q_robots_wildcards),
         "sitemap_discovery": _q(q_sitemap_discovery),
         "sitemap_parse": _q(q_sitemap_parse),
         "sitemap_coverage": _q(q_sitemap_coverage),
@@ -5686,6 +5742,7 @@ def oracle_sql() -> dict[str, str]:
                    doc_id % 17 IN (0, 5) AS nofollow
             FROM documents ORDER BY url
         """,
+        "robots_wildcards": _robots_wildcards_oracle(),
         "robots_gate": r"""
             WITH d AS (
               SELECT doc_id, doc_id % 7 AS site,

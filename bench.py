@@ -206,6 +206,7 @@ def main() -> None:
         "multimodal_png",       # real DEFLATE PNG decode (CRC + filters)
         "tfidf_cosine",         # sparse weighted-cosine neighbour join
         "bpe_apply",            # learned-merge tokenizer replay pricing
+        "robots_wildcards",     # RFC 9309 */$ pattern fetch gate
     ]
     qs = E.queries()
     for name in headline:

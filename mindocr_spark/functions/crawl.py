@@ -404,6 +404,91 @@ def robots_gate(
     )
 
 
+def robots_gate_wildcard(
+    pages: DataFrame,
+    robots: DataFrame,
+    ua: str = "*",
+    url_col: str = "url",
+) -> DataFrame:
+    """`robots_gate` with full RFC 9309 §2.2.3 pattern semantics:
+    ``*`` matches any character run and a trailing ``$`` anchors the
+    pattern at end-of-path. (url, host, path, allowed, rule_type,
+    matched_pattern, crawl_delay). Most-specific = longest RAW pattern
+    (octets, the Google/RFC rule — '$' and '*' count); Allow wins
+    length ties; no matching rule ⇒ allowed.
+
+    Pattern → regex happens IN-PLAN (codegen string ops, identical
+    transformation in the SQL oracle): strip a trailing ``$`` (anchor
+    flag), escape every regex metachar except ``*``, swap ``*`` for
+    ``.*``, wrap in ``^…(…$)``. Matching is `regexp_like` with a
+    per-row pattern — a real per-row regex compile, which is exactly
+    the price wildcard robots rules cost anywhere; bounded because
+    the candidate set is (page × its domain's rules) and real robots
+    files hold a handful of rules (protocol cap 500 KiB). The
+    longest-match argmax stays ONE map-side-combinable max(struct)
+    per url — a hot domain's pages never amplify.
+
+    Reference analog: regex-driven label filtering per sample
+    (reference: mindocr/data/rec_lmdb_dataset.py:106-119), lifted to
+    the fetch-permission protocol."""
+    rules, delays = parse_robots(robots, ua=ua)
+    anchored = F.col("path_prefix").endswith("$")
+    core = F.when(
+        anchored,
+        F.substring(F.col("path_prefix"), 1,
+                    F.length("path_prefix") - 1),
+    ).otherwise(F.col("path_prefix"))
+    esc = F.regexp_replace(
+        core, r"([\\^$.|?+()\[\]{}])", r"\\$1"
+    )
+    rx = F.concat(
+        F.lit("^"),
+        F.regexp_replace(esc, r"\*", ".*"),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+    rules = rules.select(
+        "domain", "rule_type", "path_prefix", "prefix_len",
+        rx.alias("__rx"),
+    )
+    raw_path = F.regexp_extract(
+        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)?", 1
+    )
+    p = pages.select(
+        F.col(url_col).alias("url"),
+        url_host(url_col).alias("host"),
+        F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+        .alias("path"),
+    )
+    best = (
+        p.join(rules, p["host"] == rules["domain"])
+        .where(F.regexp_like(F.col("path"), F.col("__rx")))
+        .groupBy("url")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("prefix_len").alias("l"),
+                    (F.col("rule_type") == "allow").cast("int").alias("a"),
+                    F.col("rule_type").alias("t"),
+                    F.col("path_prefix").alias("p"),
+                )
+            ).alias("b")
+        )
+    )
+    return (
+        p.join(best, "url", "left")
+        .join(delays, p["host"] == delays["domain"], "left")
+        .select(
+            "url",
+            "host",
+            "path",
+            F.coalesce(F.col("b.a") == 1, F.lit(True)).alias("allowed"),
+            F.col("b.t").alias("rule_type"),
+            F.col("b.p").alias("matched_pattern"),
+            "crawl_delay",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # sitemap.xml — declared-URL inventory and crawl-coverage accounting
 # ---------------------------------------------------------------------------

@@ -233,6 +233,67 @@ def pages_from_documents_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def robots_wildcard_corpus(spark: SparkSession, sf_dir: str):
+    """The RFC 9309 §2.2.3 wildcard-pattern corpus family:
+    (pages, robots). Pages spread over 3 sites × 6 path sections
+    (doc_id arithmetic); every site ships the same rule group::
+
+        User-agent: *
+        Allow: /docs/
+        Disallow: /*.pdf$
+        Disallow: /*notes*
+        Disallow: /tmp/*/deep.html
+        Disallow: /media/
+        Allow: /media/*.png
+
+    Section outcomes (closed form for the oracle): 0 /docs/…html →
+    allowed (plain prefix); 1 /docs/…pdf → DISALLOWED (the anchored
+    ``/*.pdf$`` at length 7 beats Allow /docs/ at 6); 2 /docs/…pdfx →
+    allowed (the ``$`` anchor must NOT match); 3 /notes/… →
+    disallowed (inner ``*notes*``); 4 /tmp/…/deep.html → disallowed
+    (mid-pattern ``*``); 5 /media/…png → ALLOWED (the longer
+    wildcard Allow beats Disallow /media/)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    site = F.pmod(F.col("doc_id"), F.lit(3))
+    n = F.col("doc_id").cast("string")
+    sec = F.element_at(
+        F.array(
+            F.concat(F.lit("docs/page-"), n, F.lit(".html")),
+            F.concat(F.lit("docs/page-"), n, F.lit(".pdf")),
+            F.concat(F.lit("docs/page-"), n, F.lit(".pdfx")),
+            F.concat(F.lit("notes/entry-"), n, F.lit(".html")),
+            F.concat(F.lit("tmp/a-"), n, F.lit("/deep.html")),
+            F.concat(F.lit("media/img-"), n, F.lit(".png")),
+        ),
+        (F.pmod(F.col("doc_id"), F.lit(6)) + 1).cast("int"),
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://wild"), site.cast("string"),
+            F.lit(".example/"), sec,
+        ).alias("url"),
+    )
+    robots = (
+        spark.range(3)
+        .select(
+            F.concat(F.lit("wild"), F.col("id").cast("string"),
+                     F.lit(".example")).alias("domain"),
+            F.lit(
+                "# wildcard rules\n"
+                "User-agent: *\n"
+                "Allow: /docs/\n"
+                "Disallow: /*.pdf$\n"
+                "Disallow: /*notes*\n"
+                "Disallow: /tmp/*/deep.html\n"
+                "Disallow: /media/\n"
+                "Allow: /media/*.png\n"
+            ).alias("robots_txt"),
+        )
+    )
+    return pages, robots
+
+
 def pages_from_documents_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The chained link-graph corpus family: each page lives on the
     13-way host ring ``{source}{doc_id%13}.example`` (the linked

@@ -503,3 +503,65 @@ def test_robots_sitemaps_cross_group_and_case(spark):
     ]
     rules, _ = parse_robots(robots, ua="*")
     assert rules.where("path_prefix LIKE '%xml%'").count() == 0
+
+
+class TestRobotsWildcards:
+    """RFC 9309 §2.2.3 pattern edges the corpus family can't hold."""
+
+    def _gate(self, spark, body, urls):
+        from mindocr_spark.functions.crawl import robots_gate_wildcard
+
+        pages = spark.createDataFrame([(u,) for u in urls], "url string")
+        robots = spark.createDataFrame(
+            [("w.example", body)], "domain string, robots_txt string"
+        )
+        out = robots_gate_wildcard(pages, robots, ua="*")
+        return {r["url"]: r for r in out.collect()}
+
+    def test_dollar_anchors_exact_end(self, spark):
+        body = "User-agent: *\nDisallow: /p$\n"
+        out = self._gate(
+            spark, body,
+            ["https://w.example/p", "https://w.example/pq"],
+        )
+        assert out["https://w.example/p"]["allowed"] is False
+        assert out["https://w.example/pq"]["allowed"] is True
+
+    def test_star_matches_empty_and_multiple(self, spark):
+        body = "User-agent: *\nDisallow: /a*b*c\n"
+        out = self._gate(
+            spark, body,
+            ["https://w.example/abc",           # both stars empty
+             "https://w.example/aXXbYYc",       # both non-empty
+             "https://w.example/acb"],          # order matters
+        )
+        assert out["https://w.example/abc"]["allowed"] is False
+        assert out["https://w.example/aXXbYYc"]["allowed"] is False
+        assert out["https://w.example/acb"]["allowed"] is True
+
+    def test_metachars_in_pattern_are_literal(self, spark):
+        # '.' and '+' in robots patterns are literal characters
+        body = "User-agent: *\nDisallow: /a.b\nDisallow: /c+d\n"
+        out = self._gate(
+            spark, body,
+            ["https://w.example/a.b", "https://w.example/axb",
+             "https://w.example/c+d", "https://w.example/cccd"],
+        )
+        assert out["https://w.example/a.b"]["allowed"] is False
+        assert out["https://w.example/axb"]["allowed"] is True
+        assert out["https://w.example/c+d"]["allowed"] is False
+        assert out["https://w.example/cccd"]["allowed"] is True
+
+    def test_raw_length_specificity_and_tie(self, spark):
+        # same raw length (6): Allow wins the tie
+        body = "User-agent: *\nDisallow: /x/ab*\nAllow: /x/a*b\n"
+        out = self._gate(spark, body, ["https://w.example/x/ab"])
+        r = out["https://w.example/x/ab"]
+        assert r["allowed"] is True
+        assert r["matched_pattern"] == "/x/a*b"
+
+    def test_no_rule_allows(self, spark):
+        body = "User-agent: *\nDisallow: /zzz*\n"
+        out = self._gate(spark, body, ["https://w.example/free"])
+        r = out["https://w.example/free"]
+        assert r["allowed"] is True and r["rule_type"] is None
