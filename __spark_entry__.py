@@ -1353,6 +1353,66 @@ def q_minhash_lsh_md5(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_lsh_quality(spark, sf_dir):
+    """LSH tuning audit — the recall S-curve: exact shingle-Jaccard
+    ground truth (threshold 0: every sharing pair) left-joined against
+    the banded MinHash candidate set, bucketed by Jaccard quintile →
+    (bucket, n_pairs, n_caught, recall). Low buckets' caught-rate IS
+    the banding false-positive burden; high buckets' recall is the
+    guarantee being paid for — the standard way to pick (n_perm,
+    bands) before a 100 TB run. At production scale the exact side
+    runs on a corpus SAMPLE (it is the verification-stage cost); the
+    composition and arithmetic are identical."""
+    from mindocr_spark.functions.dedup import (
+        minhash_lsh_pairs_md5,
+        ngram_jaccard_pairs,
+    )
+    from mindocr_spark.functions.text import tokens_col
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # graded-overlap variants (%3 docs, prefix fraction 2/6..5/6) so
+    # the curve's MIDDLE buckets are populated, not just the extremes
+    tk = base.where(F.pmod(F.col("doc_id"), F.lit(3)) == 0).select(
+        "doc_id", tokens_col("text").alias("toks")
+    )
+    variants = tk.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                F.col("toks"),
+                F.lit(1),
+                F.expr(
+                    "greatest(5, (size(toks) * (doc_id % 4 + 2)) div 6)"
+                ).cast("int"),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    docs = base.unionByName(variants)
+    exact = ngram_jaccard_pairs(docs, threshold=0.0)
+    cand = minhash_lsh_pairs_md5(docs, threshold=0.0).select(
+        "id_a", "id_b", F.lit(True).alias("hit")
+    )
+    j = exact.join(cand, ["id_a", "id_b"], "left").select(
+        F.floor(F.col("jaccard") * 5).cast("int").alias("bucket"),
+        F.coalesce("hit", F.lit(False)).alias("hit"),
+    )
+    return (
+        j.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("hit").cast("int")).cast("bigint")
+            .alias("n_caught"),
+            F.round(
+                F.sum(F.col("hit").cast("int")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def q_simhash_md5(spark, sf_dir):
     """Engine-portable simhash signatures (md5 token hashes, hex output)
     — the oracle-checked twin of the xxhash64 scale path."""
@@ -4257,6 +4317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q(q_decontaminate),
         "minhash_lsh": _q(q_minhash_lsh),
         "minhash_lsh_md5": _q(q_minhash_lsh_md5),
+        "lsh_quality": _q(q_lsh_quality),
         "simhash_md5": _q(q_simhash_md5),
         "simhash_neardup": _q(q_simhash_neardup),
         "incremental_dedup": _q(q_incremental_dedup),
@@ -8266,6 +8327,60 @@ def oracle_sql() -> dict[str, str]:
             FROM est
             WHERE round(CAST(n_match AS DOUBLE) / 32.0, 6) >= 0.35
             ORDER BY id_a, id_b
+        """,
+        # LSH recall S-curve: the md5 banding CTEs (shared constant)
+        # composed with the exact shingle-Jaccard chain at threshold 0,
+        # bucketed by quintile — the df-cap mirrored as in ngram_jaccard
+        "lsh_quality": f"""
+            WITH lbase AS (SELECT doc_id, text FROM documents),
+            ltk AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(text,'[ \\t\\n\\r\\f\\x0B]+',' ','g')),' ') AS toks
+              FROM documents WHERE doc_id % 3 = 0),
+            lvar AS (
+              SELECT doc_id + 1000000 AS doc_id,
+                     array_to_string(
+                       toks[1:greatest(5,
+                         (len(toks) * (doc_id % 4 + 2)) // 6)], ' ')
+                       AS text
+              FROM ltk),
+            lcorpus AS (SELECT * FROM lbase UNION ALL SELECT * FROM lvar),
+            perms AS (SELECT CAST(range AS INT) AS perm FROM range(32)),
+            {_md5_sig_ctes("lcorpus")},
+            cand AS (
+              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+              FROM banded x JOIN banded y USING (band, bucket)
+              WHERE x.doc_id < y.doc_id),
+            jsz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            joinable AS (
+              SELECT doc_id, shingle FROM sh
+              WHERE shingle IN (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING COUNT(*) <= 10000)),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM joinable a JOIN joinable b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+            exact AS (
+              SELECT id_a, id_b,
+                     round(CAST(n_inter AS DOUBLE)
+                           / CAST(x.n + y.n - n_inter AS DOUBLE), 6)
+                       AS jaccard
+              FROM inter JOIN jsz x ON id_a = x.doc_id
+                         JOIN jsz y ON id_b = y.doc_id),
+            j AS (
+              SELECT CAST(floor(e.jaccard * 5) AS INT) AS bucket,
+                     (c.id_a IS NOT NULL) AS hit
+              FROM exact e LEFT JOIN cand c
+                ON e.id_a = c.id_a AND e.id_b = c.id_b)
+            SELECT bucket,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_caught,
+                   round(CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END)
+                              AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS recall
+            FROM j GROUP BY bucket ORDER BY bucket
         """,
         "multimodal_video": """
             WITH ids AS (SELECT range AS id FROM range(64)),

@@ -207,6 +207,7 @@ def main() -> None:
         "tfidf_cosine",         # sparse weighted-cosine neighbour join
         "bpe_apply",            # learned-merge tokenizer replay pricing
         "robots_wildcards",     # RFC 9309 */$ pattern fetch gate
+        "lsh_quality",          # MinHash banding recall S-curve audit
     ]
     qs = E.queries()
     for name in headline:
