@@ -1413,6 +1413,126 @@ def q_lsh_quality(spark, sf_dir):
     )
 
 
+def q_leakage_audit(spark, sf_dir):
+    """Eval-hygiene audit: count near-duplicate pairs CROSSING the
+    train/val/test boundary — the contamination a page-grain split
+    would bake into every benchmark number. The corpus plants the
+    classic syndication leak (%3 docs republished at 5/6-prefix
+    length under a DIFFERENT source, so domain-grouped splitting
+    cannot co-locate them); near-dup pairs come from the banded
+    md5-MinHash family at threshold 0.35; output is one row per
+    unordered split pair (splits, n_pairs, crossing). A non-zero
+    crossing row is the audit firing."""
+    from mindocr_spark.functions.dedup import minhash_lsh_pairs_md5
+    from mindocr_spark.functions.text import grouped_split, tokens_col
+
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    tk = base.where(F.pmod(F.col("doc_id"), F.lit(3)) == 0).select(
+        "doc_id", tokens_col("text").alias("toks"), "source"
+    )
+    variants = tk.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                F.col("toks"), F.lit(1),
+                F.expr("greatest(5, (size(toks) * 5) div 6)")
+                .cast("int"),
+            ),
+            " ",
+        ).alias("text"),
+        F.concat(F.lit("mir-"), F.col("source")).alias("source"),
+    )
+    docs = base.unionByName(variants)
+    splits = (("train", 0.5), ("val", 0.25), ("test", 0.25))
+    tagged = grouped_split(docs, "source", splits=splits).select(
+        "doc_id", "split"
+    )
+    pairs = minhash_lsh_pairs_md5(docs, threshold=0.35).select(
+        "id_a", "id_b"
+    )
+    lab = (
+        pairs.join(tagged.select(F.col("doc_id").alias("id_a"),
+                                 F.col("split").alias("split_a")), "id_a")
+        .join(tagged.select(F.col("doc_id").alias("id_b"),
+                            F.col("split").alias("split_b")), "id_b")
+        .select(
+            F.concat_ws(
+                "|",
+                F.least("split_a", "split_b"),
+                F.greatest("split_a", "split_b"),
+            ).alias("splits"),
+            (F.col("split_a") != F.col("split_b")).alias("crossing"),
+        )
+    )
+    return (
+        lab.groupBy("splits", "crossing")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select("splits", "n_pairs", "crossing")
+        .orderBy("splits")
+    )
+
+
+def _leakage_audit_oracle() -> str:
+    """Twin: the variant corpus, the md5-banding chain, the md5-prefix
+    split thresholds (rendered by the SAME hash_sample_threshold the
+    engine uses), and the pair-label rollup."""
+    from mindocr_spark.functions.text import hash_sample_threshold
+
+    t1 = hash_sample_threshold(0.5)
+    t2 = hash_sample_threshold(0.75)
+    return f"""
+        WITH lbase AS (SELECT doc_id, text, source FROM documents),
+        ltk AS (
+          SELECT doc_id, source,
+                 string_split(trim(regexp_replace(text,'[ \\t\\n\\r\\f\\x0B]+',' ','g')),' ') AS toks
+          FROM documents WHERE doc_id % 3 = 0),
+        lvar AS (
+          SELECT doc_id + 1000000 AS doc_id,
+                 array_to_string(
+                   toks[1:greatest(5, (len(toks) * 5) // 6)], ' ')
+                   AS text,
+                 'mir-' || source AS source
+          FROM ltk),
+        lcorpus AS (SELECT * FROM lbase UNION ALL SELECT * FROM lvar),
+        tagged AS (
+          SELECT doc_id,
+                 CASE WHEN substr(md5(source), 1, 8) < '{t1}'
+                      THEN 'train'
+                      WHEN substr(md5(source), 1, 8) < '{t2}'
+                      THEN 'val'
+                      ELSE 'test' END AS split
+          FROM lcorpus),
+        perms AS (SELECT CAST(range AS INT) AS perm FROM range(32)),
+        {_md5_sig_ctes("lcorpus")},
+        cand AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM banded x JOIN banded y USING (band, bucket)
+          WHERE x.doc_id < y.doc_id),
+        est AS (
+          SELECT id_a, id_b,
+                 SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END)
+                   AS n_match
+          FROM cand
+          JOIN sig a ON a.doc_id = id_a
+          JOIN sig b ON b.doc_id = id_b AND b.perm = a.perm
+          GROUP BY id_a, id_b),
+        pairs AS (
+          SELECT id_a, id_b FROM est
+          WHERE round(CAST(n_match AS DOUBLE) / 32.0, 6) >= 0.35),
+        lab AS (
+          SELECT least(ta.split, tb.split) || '|'
+                   || greatest(ta.split, tb.split) AS splits,
+                 ta.split != tb.split AS crossing
+          FROM pairs
+          JOIN tagged ta ON ta.doc_id = id_a
+          JOIN tagged tb ON tb.doc_id = id_b)
+        SELECT splits, CAST(count(*) AS BIGINT) AS n_pairs, crossing
+        FROM lab GROUP BY splits, crossing ORDER BY splits
+    """
+
+
 def q_simhash_md5(spark, sf_dir):
     """Engine-portable simhash signatures (md5 token hashes, hex output)
     — the oracle-checked twin of the xxhash64 scale path."""
@@ -4318,6 +4438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q(q_minhash_lsh),
         "minhash_lsh_md5": _q(q_minhash_lsh_md5),
         "lsh_quality": _q(q_lsh_quality),
+        "leakage_audit": _q(q_leakage_audit),
         "simhash_md5": _q(q_simhash_md5),
         "simhash_neardup": _q(q_simhash_neardup),
         "incremental_dedup": _q(q_incremental_dedup),
@@ -8331,6 +8452,7 @@ def oracle_sql() -> dict[str, str]:
         # LSH recall S-curve: the md5 banding CTEs (shared constant)
         # composed with the exact shingle-Jaccard chain at threshold 0,
         # bucketed by quintile — the df-cap mirrored as in ngram_jaccard
+        "leakage_audit": _leakage_audit_oracle(),
         "lsh_quality": f"""
             WITH lbase AS (SELECT doc_id, text FROM documents),
             ltk AS (

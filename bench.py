@@ -208,6 +208,7 @@ def main() -> None:
         "bpe_apply",            # learned-merge tokenizer replay pricing
         "robots_wildcards",     # RFC 9309 */$ pattern fetch gate
         "lsh_quality",          # MinHash banding recall S-curve audit
+        "leakage_audit",        # cross-split near-dup contamination
     ]
     qs = E.queries()
     for name in headline:
