@@ -3021,6 +3021,57 @@ def q_sitemap_discovery(spark, sf_dir):
     return robots_sitemaps(robots).orderBy("domain", "sitemap_url")
 
 
+def q_sitemap_index(spark, sf_dir):
+    """Sitemap-protocol nesting: per-domain <sitemapindex> files →
+    child references → resolve against the fetched-body table → parse
+    children into the source-annotated declared-URL relation; children
+    the index names but the crawler never pulled survive as
+    fetched=false rows. Every field is doc_id arithmetic in the
+    oracle."""
+    from mindocr_spark.functions.crawl import resolve_sitemap_index
+    from mindocr_spark.sources.pages import sitemap_index_corpus
+
+    indexes, fetched = sitemap_index_corpus(spark, sf_dir)
+    return resolve_sitemap_index(indexes, fetched).orderBy(
+        "domain", "sitemap_url", "loc"
+    )
+
+
+def _sitemap_index_oracle() -> str:
+    """Closed-form twin: fetched-child rows straight from doc_id
+    arithmetic, missing-child rows from the odd-site rule."""
+    return """
+        WITH d AS (
+          SELECT doc_id, doc_id % 5 AS site FROM documents),
+        rows_f AS (
+          SELECT 'smi' || CAST(site AS VARCHAR) || '.example' AS domain,
+                 'https://smi' || CAST(site AS VARCHAR) || '.example/'
+                   || CASE WHEN doc_id % 2 = 0 THEN 'part-a.xml'
+                           ELSE 'part-b.xml' END AS sitemap_url,
+                 'https://smi' || CAST(site AS VARCHAR)
+                   || '.example/p-' || CAST(doc_id AS VARCHAR)
+                   || '.html' AS loc,
+                 '2024-03-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR),
+                                    2, '0') AS lastmod,
+                 CASE WHEN doc_id % 4 < 2 THEN 'daily'
+                      ELSE 'weekly' END AS changefreq,
+                 true AS fetched
+          FROM d),
+        rows_m AS (
+          SELECT 'smi' || CAST(s AS VARCHAR) || '.example' AS domain,
+                 'https://smi' || CAST(s AS VARCHAR)
+                   || '.example/news.xml' AS sitemap_url,
+                 CAST(NULL AS VARCHAR) AS loc,
+                 CAST(NULL AS VARCHAR) AS lastmod,
+                 CAST(NULL AS VARCHAR) AS changefreq,
+                 false AS fetched
+          FROM (SELECT range AS s FROM range(5)) WHERE s % 2 = 1)
+        SELECT * FROM (
+          SELECT * FROM rows_f UNION ALL SELECT * FROM rows_m)
+        ORDER BY domain, sitemap_url, loc
+    """
+
+
 def q_sitemap_parse(spark, sf_dir):
     """Sitemap-protocol parsing: per-domain sitemap.xml bodies →
     declared-URL relation (domain, loc, lastmod, changefreq), optional
@@ -4504,6 +4555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_wildcards": _q(q_robots_wildcards),
         "sitemap_discovery": _q(q_sitemap_discovery),
         "sitemap_parse": _q(q_sitemap_parse),
+        "sitemap_index": _q(q_sitemap_index),
         "sitemap_coverage": _q(q_sitemap_coverage),
         "fetch_schedule": _q(q_fetch_schedule),
         "jsonld_extract": _q(q_jsonld_extract),
@@ -8453,6 +8505,7 @@ def oracle_sql() -> dict[str, str]:
         # composed with the exact shingle-Jaccard chain at threshold 0,
         # bucketed by quintile — the df-cap mirrored as in ngram_jaccard
         "leakage_audit": _leakage_audit_oracle(),
+        "sitemap_index": _sitemap_index_oracle(),
         "lsh_quality": f"""
             WITH lbase AS (SELECT doc_id, text FROM documents),
             ltk AS (

@@ -209,6 +209,7 @@ def main() -> None:
         "robots_wildcards",     # RFC 9309 */$ pattern fetch gate
         "lsh_quality",          # MinHash banding recall S-curve audit
         "leakage_audit",        # cross-split near-dup contamination
+        "sitemap_index",        # sitemapindex nesting resolution
     ]
     qs = E.queries()
     for name in headline:

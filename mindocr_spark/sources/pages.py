@@ -765,6 +765,77 @@ def sitemap_corpus(spark: SparkSession, sf_dir: str):
     return pages, sitemaps
 
 
+def sitemap_index_corpus(spark: SparkSession, sf_dir: str):
+    """The sitemapindex (nesting) corpus family: (indexes, fetched).
+
+    5 sites (doc_id mod 5). Every site's index declares ``part-a.xml``
+    and ``part-b.xml`` (both present in the fetched table); ODD sites
+    also declare ``news.xml`` which was never fetched (the
+    missing-child arm). Child urlset bodies split the site's docs by
+    parity — part-a holds even doc_ids, part-b odd — one entry per
+    doc: loc ``p-{doc_id}.html``, lastmod 2024-03-{doc_id%28+1},
+    changefreq daily/weekly by doc_id mod 4 < 2. All doc_id
+    arithmetic: the SQL oracle states the resolved relation without
+    touching XML."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    site = F.pmod(did, F.lit(5))
+    part = F.when(F.pmod(did, F.lit(2)) == 0, F.lit("part-a.xml")) \
+        .otherwise(F.lit("part-b.xml"))
+    day = F.lpad((F.pmod(did, F.lit(28)) + 1).cast("string"), 2, "0")
+    entry = F.concat(
+        F.lit("<url><loc>https://smi"), site.cast("string"),
+        F.lit(".example/p-"), did.cast("string"),
+        F.lit(".html</loc><lastmod>2024-03-"), day,
+        F.lit("</lastmod><changefreq>"),
+        F.when(F.pmod(did, F.lit(4)) < 2, F.lit("daily"))
+        .otherwise(F.lit("weekly")),
+        F.lit("</changefreq></url>"),
+    )
+    child_url = F.concat(
+        F.lit("https://smi"), site.cast("string"), F.lit(".example/"),
+        part,
+    )
+    fetched = (
+        docs.select(child_url.alias("sitemap_url"), entry.alias("entry"))
+        .groupBy("sitemap_url")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.concat_ws("", F.sort_array(F.collect_list("entry"))),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml")
+        )
+    )
+    s = F.col("id")
+    indexes = (
+        spark.range(5)
+        .select(
+            F.concat(F.lit("smi"), s.cast("string"), F.lit(".example"))
+            .alias("domain"),
+            F.concat(
+                F.lit('<?xml version="1.0"?><sitemapindex>'
+                      "<sitemap><loc>https://smi"),
+                s.cast("string"),
+                F.lit(".example/part-a.xml</loc></sitemap>"
+                      "<sitemap><loc>https://smi"),
+                s.cast("string"),
+                F.lit(".example/part-b.xml</loc></sitemap>"),
+                F.when(
+                    F.pmod(s, F.lit(2)) == 1,
+                    F.concat(
+                        F.lit("<sitemap><loc>https://smi"),
+                        s.cast("string"),
+                        F.lit(".example/news.xml</loc></sitemap>"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.lit("</sitemapindex>"),
+            ).alias("sitemap_xml"),
+        )
+    )
+    return indexes, fetched
+
+
 def feed_corpus(spark: SparkSession, sf_dir: str):
     """The RSS/Atom feed (discovery) corpus family: (pages, feeds).
 

@@ -565,3 +565,45 @@ class TestRobotsWildcards:
         out = self._gate(spark, body, ["https://w.example/free"])
         r = out["https://w.example/free"]
         assert r["allowed"] is True and r["rule_type"] is None
+
+
+class TestSitemapIndex:
+    """Nesting-layer edges: missing children, empty index, dedup of
+    repeated references."""
+
+    def _run(self, spark, idx_rows, fetched_rows):
+        from mindocr_spark.functions.crawl import resolve_sitemap_index
+
+        idx = spark.createDataFrame(
+            idx_rows, "domain string, sitemap_xml string")
+        fetched = spark.createDataFrame(
+            fetched_rows, "sitemap_url string, sitemap_xml string")
+        return resolve_sitemap_index(idx, fetched).collect()
+
+    def test_resolution_and_missing(self, spark):
+        idx = [("d.example",
+                "<sitemapindex>"
+                "<sitemap><loc>https://d.example/a.xml</loc></sitemap>"
+                "<sitemap><loc>https://d.example/b.xml</loc></sitemap>"
+                "</sitemapindex>")]
+        fetched = [("https://d.example/a.xml",
+                    "<urlset><url><loc>https://d.example/1.html</loc>"
+                    "<lastmod>2024-01-02</lastmod></url>"
+                    "<url><loc>https://d.example/2.html</loc></url>"
+                    "</urlset>")]
+        rows = self._run(spark, idx, fetched)
+        by_loc = {r["loc"]: r for r in rows}
+        assert by_loc["https://d.example/1.html"]["lastmod"] == "2024-01-02"
+        assert by_loc["https://d.example/2.html"]["lastmod"] is None
+        missing = [r for r in rows if not r["fetched"]]
+        assert len(missing) == 1
+        assert missing[0]["sitemap_url"] == "https://d.example/b.xml"
+        assert missing[0]["loc"] is None
+
+    def test_empty_index_yields_nothing(self, spark):
+        rows = self._run(
+            spark,
+            [("d.example", "<sitemapindex></sitemapindex>")],
+            [("https://d.example/a.xml", "<urlset></urlset>")],
+        )
+        assert rows == []
