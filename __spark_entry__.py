@@ -1369,7 +1369,20 @@ def q_lsh_quality(spark, sf_dir):
     )
     from mindocr_spark.functions.text import tokens_col
 
-    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # the audit runs on a DETERMINISTIC md5 SAMPLE (3/16 of docs) —
+    # the exact side's pair join is quadratic in corpus size, and the
+    # production posture (docstring) is sample-then-audit; sampling
+    # by content hash keeps the oracle exact
+    base = (
+        _t(spark, sf_dir, "documents")
+        .where(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")),
+                1, 1,
+            ).isin("0", "1", "2")
+        )
+        .select("doc_id", "text")
+    )
     # graded-overlap variants (%3 docs, prefix fraction 2/6..5/6) so
     # the curve's MIDDLE buckets are populated, not just the extremes
     tk = base.where(F.pmod(F.col("doc_id"), F.lit(3)) == 0).select(
@@ -8507,11 +8520,15 @@ def oracle_sql() -> dict[str, str]:
         "leakage_audit": _leakage_audit_oracle(),
         "sitemap_index": _sitemap_index_oracle(),
         "lsh_quality": f"""
-            WITH lbase AS (SELECT doc_id, text FROM documents),
+            WITH lsamp AS (
+              SELECT doc_id, text FROM documents
+              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                    IN ('0','1','2')),
+            lbase AS (SELECT doc_id, text FROM lsamp),
             ltk AS (
               SELECT doc_id,
                      string_split(trim(regexp_replace(text,'[ \\t\\n\\r\\f\\x0B]+',' ','g')),' ') AS toks
-              FROM documents WHERE doc_id % 3 = 0),
+              FROM lsamp WHERE doc_id % 3 = 0),
             lvar AS (
               SELECT doc_id + 1000000 AS doc_id,
                      array_to_string(
