@@ -3085,6 +3085,52 @@ def _sitemap_index_oracle() -> str:
     """
 
 
+def q_hreflang_clusters(spark, sf_dir):
+    """Language-edition clustering from rel=alternate hreflang
+    declarations: extract each page's alternate set, key clusters by
+    the min declared member (no CC iteration needed — conformant
+    members declare identical sets), and grade each edition set
+    ok / broken_reciprocity / lang_conflict. The corpus plants
+    3-member editions (grp = doc_id div 3) with ≡0 (mod 7) members
+    omitting their block; every verdict is doc_id/lang arithmetic in
+    the oracle."""
+    from mindocr_spark.functions.links import hreflang_clusters
+    from mindocr_spark.sources.pages import hreflang_corpus
+
+    return hreflang_clusters(hreflang_corpus(spark, sf_dir)).orderBy(
+        "cluster_id"
+    )
+
+
+def _hreflang_clusters_oracle() -> str:
+    """Closed-form twin: the cluster verdicts restated from the
+    documents table (grp = doc_id div 3, declarers = doc_id ≢ 0 mod 7,
+    langs straight off the lang column)."""
+    return """
+        WITH g AS (
+          SELECT doc_id, lang, doc_id // 3 AS grp FROM documents),
+        m AS (
+          SELECT grp,
+                 MIN(doc_id) AS cluster_id,
+                 COUNT(*) AS n_members,
+                 COUNT(*) FILTER (WHERE doc_id % 7 <> 0) AS n_declaring,
+                 COUNT(DISTINCT lang) AS n_langs
+          FROM g GROUP BY grp)
+        SELECT cluster_id,
+               n_members,
+               n_declaring,
+               n_langs,
+               'https://docs.example/d/' || CAST(cluster_id AS VARCHAR)
+                 AS default_url,
+               CASE WHEN n_declaring < n_members THEN 'broken_reciprocity'
+                    WHEN n_langs < n_members THEN 'lang_conflict'
+                    ELSE 'ok' END AS status
+        FROM m
+        WHERE n_declaring >= 1
+        ORDER BY cluster_id
+    """
+
+
 def q_sitemap_parse(spark, sf_dir):
     """Sitemap-protocol parsing: per-domain sitemap.xml bodies →
     declared-URL relation (domain, loc, lastmod, changefreq), optional
@@ -3490,6 +3536,87 @@ def q_dup_survivor(spark, sf_dir):
     return prefix_dup_survivors(
         docs.unionAll(spam), prefix_chars=200
     ).orderBy("doc_id")
+
+
+#: editdist_verify's planted tails (shared constants — the oracle
+#: appends the identical bytes). NEAR (27 chars) flips is_dup at
+#: len ≥ 243 (mixed verdicts over this corpus's 48–553 range); FAR
+#: (86 chars) needs len ≥ 774, so every FAR pair is a REJECTED
+#: candidate — the case a verify stage exists for.
+_EDV_NEAR_TAIL = " near duplicate copy marker"
+_EDV_FAR_TAIL = (
+    " unrelated appended promotional boilerplate block"
+    " entirely different trailing content"
+)
+
+
+def q_editdist_verify(spark, sf_dir):
+    """Exact edit-distance verification of prefix-blocked near-dup
+    candidates: variants share a 64-char prefix with their source
+    (tails appended at the end), so blocking recovers them; the
+    Levenshtein stage then accepts/rejects by integer-exact
+    normalized similarity ≥ 0.9. The oracle recomputes blocking,
+    pairing, and levenshtein() itself in SQL."""
+    from mindocr_spark.functions.dedup import editdist_verify
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.where(
+        (F.pmod("doc_id", F.lit(6)) == 1) & (F.length("text") >= 100)
+    ).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat("text", F.lit(_EDV_NEAR_TAIL)).alias("text"),
+    )
+    far = docs.where(
+        (F.pmod("doc_id", F.lit(6)) == 3) & (F.length("text") >= 100)
+    ).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat("text", F.lit(_EDV_FAR_TAIL)).alias("text"),
+    )
+    corpus = docs.unionAll(near).unionAll(far)
+    return editdist_verify(
+        corpus, prefix_chars=64, max_block=8
+    ).orderBy("doc_a", "doc_b")
+
+
+def _editdist_verify_oracle() -> str:
+    """Full-mirror twin: identical variant planting, identical md5
+    prefix blocking + size cap, and DuckDB's own levenshtein() over
+    the same pair texts — the verdict inequality is pure integers."""
+    return f"""
+        WITH base AS (SELECT doc_id, text FROM documents),
+        near AS (
+          SELECT doc_id + 2000000 AS doc_id,
+                 text || '{_EDV_NEAR_TAIL}' AS text
+          FROM base WHERE doc_id % 6 = 1 AND length(text) >= 100),
+        far AS (
+          SELECT doc_id + 3000000 AS doc_id,
+                 text || '{_EDV_FAR_TAIL}' AS text
+          FROM base WHERE doc_id % 6 = 3 AND length(text) >= 100),
+        corpus AS (
+          SELECT * FROM base
+          UNION ALL SELECT * FROM near
+          UNION ALL SELECT * FROM far),
+        keyed AS (
+          SELECT doc_id, text, md5(substr(text, 1, 64)) AS k
+          FROM corpus),
+        small AS (
+          SELECT k FROM keyed GROUP BY k HAVING COUNT(*) <= 8),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.text AS ta, b.text AS tb
+          FROM keyed a
+          JOIN small s ON a.k = s.k
+          JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(levenshtein(ta, tb) AS BIGINT) AS lev,
+               CAST(greatest(length(ta), length(tb)) AS BIGINT)
+                 AS max_len,
+               10 * (greatest(length(ta), length(tb))
+                     - levenshtein(ta, tb))
+                 >= 9 * greatest(length(ta), length(tb)) AS is_dup
+        FROM pairs
+        ORDER BY doc_a, doc_b
+    """
 
 
 def q_cdx_index(spark, sf_dir):
@@ -4569,6 +4696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_discovery": _q(q_sitemap_discovery),
         "sitemap_parse": _q(q_sitemap_parse),
         "sitemap_index": _q(q_sitemap_index),
+        "hreflang_clusters": _q(q_hreflang_clusters),
+        "editdist_verify": _q(q_editdist_verify),
         "sitemap_coverage": _q(q_sitemap_coverage),
         "fetch_schedule": _q(q_fetch_schedule),
         "jsonld_extract": _q(q_jsonld_extract),
@@ -8519,6 +8648,8 @@ def oracle_sql() -> dict[str, str]:
         # bucketed by quintile — the df-cap mirrored as in ngram_jaccard
         "leakage_audit": _leakage_audit_oracle(),
         "sitemap_index": _sitemap_index_oracle(),
+        "hreflang_clusters": _hreflang_clusters_oracle(),
+        "editdist_verify": _editdist_verify_oracle(),
         "lsh_quality": f"""
             WITH lsamp AS (
               SELECT doc_id, text FROM documents

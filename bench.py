@@ -210,11 +210,21 @@ def main() -> None:
         "lsh_quality",          # MinHash banding recall S-curve audit
         "leakage_audit",        # cross-split near-dup contamination
         "sitemap_index",        # sitemapindex nesting resolution
+        # round-3 session-J additions (appended for the same reason)
+        "hreflang_clusters",    # language-edition set validation
+        "editdist_verify",      # exact verify stage for blocked pairs
     ]
+    # Headline queries run ONCE each by default (override with
+    # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2
+    # policy doubled suite wall past the per-round bench budget, and
+    # per-query noise is bounded once the JVM is warm — the flagship
+    # extraction metric above keeps its best-of-N discipline.
+    q_repeats = max(1, int(
+        os.environ.get("SPARK_GRAFT_BENCH_QUERY_REPEATS", "1")))
     qs = E.queries()
     for name in headline:
         best = None
-        for _ in range(repeats):
+        for _ in range(q_repeats):
             spark.catalog.clearCache()  # drop persisted intermediates
             t0 = time.perf_counter()
             _force(qs[name](spark, sf_dir))
@@ -232,6 +242,8 @@ def main() -> None:
         "docs_per_sec": docs_per_sec,
         "corpus_rows": n_docs,
         "cpus": cpus,
+        "extract_repeats": repeats,
+        "query_repeats": q_repeats,
     }
     # attach the latest scaling-gate evidence (tools/scaling_bench.py):
     # extraction at N→4N, plus the dedup plan family's gate

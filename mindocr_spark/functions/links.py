@@ -943,3 +943,96 @@ def seed_bfs_depth(
         F.col("depth").cast("bigint").alias("depth"),
         F.col("depth").isNotNull().alias("reachable"),
     )
+
+
+#: hreflang alternate-link pattern (double-quoted canonical attribute
+#: order, as the corpus writes it). Shared constant: the full tag is
+#: extracted in ONE regexp_extract_all pass (group 0) and the two
+#: attributes re-read per exploded row, the extract_anchors idiom.
+HREFLANG_RE = (
+    r'<link rel="alternate" hreflang="([^"]*)" href="([^"]*)">'
+)
+
+
+def hreflang_clusters(pages: DataFrame) -> DataFrame:
+    """Language-edition clustering from ``rel=alternate hreflang``
+    declarations — the signal that groups a page's translations into
+    one edition set so a corpus keeps per-language representatives
+    instead of N near-identical editions (a first-order dedup concern
+    on multilingual web crawls).
+
+    Per declaring page: extract its (hreflang, href) set; the page's
+    cluster key is the MIN declared member id (every spec-conformant
+    member declares the same full set, so all members agree on the
+    key with no connected-components iteration). Per cluster:
+
+    * ``n_members``  — distinct declared member pages (lang edges),
+    * ``n_declaring`` — pages that actually published a block;
+      ``< n_members`` ⇒ broken reciprocity (the declarations are
+      one-sided, a spec violation search engines ignore),
+    * ``n_langs`` — distinct hreflang values; ``< n_members`` ⇒ two
+      editions claim the same language (conflicting hreflang),
+    * ``default_url`` — the ``x-default`` target,
+    * ``status`` — broken_reciprocity | lang_conflict | ok (broken
+      wins when both hold).
+
+    100 TB shape: one codegen regexp_extract_all + narrow explode;
+    one window on src page id (same-key, partial-friendly) to derive
+    the cluster key, then ONE shuffle on cluster key whose groups are
+    bounded by edition-set size (≤ tens) — no skew, no iteration.
+
+    Reference lineage: CollectNode groups per-region results back to
+    their source image before assembly
+    (reference: deploy/py_infer/src/parallel/module/common/collect_node.py:72-99);
+    here the grouping key is the edition set's min member.
+    """
+    from pyspark.sql import Window
+
+    html_s = F.col("html").cast("string")
+    e = pages.select(
+        F.col("doc_id").alias("src_doc"),
+        F.explode(
+            F.regexp_extract_all(html_s, F.lit(HREFLANG_RE), F.lit(0))
+        ).alias("tag"),
+    )
+    edges = e.select(
+        "src_doc",
+        F.regexp_extract("tag", HREFLANG_RE, 1).alias("hreflang"),
+        F.regexp_extract(
+            F.regexp_extract("tag", HREFLANG_RE, 2), r"/d/([0-9]+)$", 1
+        ).cast("bigint").alias("dst_doc"),
+    )
+    keyed = edges.withColumn(
+        "cluster_id",
+        F.min("dst_doc").over(Window.partitionBy("src_doc")),
+    )
+    is_lang = F.col("hreflang") != "x-default"
+    agg = keyed.groupBy("cluster_id").agg(
+        F.count_distinct("src_doc").cast("bigint").alias("n_declaring"),
+        F.size(
+            F.collect_set(F.when(is_lang, F.col("dst_doc")))
+        ).cast("bigint").alias("n_members"),
+        F.size(
+            F.collect_set(F.when(is_lang, F.col("hreflang")))
+        ).cast("bigint").alias("n_langs"),
+        F.min(
+            F.when(F.col("hreflang") == "x-default", F.col("dst_doc"))
+        ).alias("xdef_doc"),
+    )
+    return agg.select(
+        "cluster_id",
+        "n_members",
+        "n_declaring",
+        "n_langs",
+        F.concat(
+            F.lit("https://docs.example/d/"),
+            F.col("xdef_doc").cast("string"),
+        ).alias("default_url"),
+        F.when(
+            F.col("n_declaring") < F.col("n_members"),
+            F.lit("broken_reciprocity"),
+        )
+        .when(F.col("n_langs") < F.col("n_members"), F.lit("lang_conflict"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+    )

@@ -974,3 +974,75 @@ def pages_from_documents_variants(
         .otherwise(F.lit(TEMPLATE_VARIANTS[0]))
     )
     return _pages_from_documents_template(spark, sf_dir, extra_nodes_col=extra)
+
+
+def hreflang_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hreflang (language-edition) corpus family: documents are
+    grouped into editions of 3 consecutive doc_ids (grp = doc_id div 3;
+    the final group may be ragged). Every DECLARING member (doc_id ≢ 0
+    mod 7 — ≡ 0 pages omit their <link> block entirely, the classic
+    broken-reciprocity error) emits in <head>, in member order, one
+    ``<link rel="alternate" hreflang="{lang_m}" href=".../d/{m}">`` per
+    group member m (self included — the spec's self-referencing link)
+    plus one ``x-default`` link to the group head (min doc_id). Because
+    documents.lang has few values, some groups repeat a lang across
+    members — the real-world "conflicting hreflang" error the operator
+    must surface. All planting is doc_id/lang arithmetic, so the SQL
+    oracle restates the cluster verdicts from the documents table
+    without parsing HTML.
+
+    Corpus construction (not the operator under test) is one groupBy
+    on grp + a sorted HOF fold; the join back to documents broadcasts
+    nothing and shuffles once on grp.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    grp = docs.select(
+        "doc_id", "lang", "text", F.expr("doc_id div 3").alias("grp")
+    )
+    members = grp.groupBy("grp").agg(
+        F.sort_array(
+            F.collect_list(F.struct("doc_id", "lang"))
+        ).alias("mem"),
+        F.min("doc_id").alias("head_doc"),
+    )
+    link_block = F.concat(
+        F.aggregate(
+            F.col("mem"),
+            F.lit(""),
+            lambda acc, x: F.concat(
+                acc,
+                F.lit('<link rel="alternate" hreflang="'),
+                x["lang"],
+                F.lit('" href="https://docs.example/d/'),
+                x["doc_id"].cast("string"),
+                F.lit('">'),
+            ),
+        ),
+        F.lit('<link rel="alternate" hreflang="x-default"'
+              ' href="https://docs.example/d/'),
+        F.col("head_doc").cast("string"),
+        F.lit('">'),
+    )
+    joined = grp.join(
+        members.select("grp", link_block.alias("links")), "grp"
+    )
+    head_links = F.when(
+        F.pmod(did, F.lit(7)) == 0, F.lit("")
+    ).otherwise(F.col("links"))
+    html_str = F.concat(
+        F.lit('<!DOCTYPE html><html><head><meta charset="utf-8">'),
+        head_links,
+        F.lit("<title>Doc "),
+        did.cast("string"),
+        F.lit("</title></head><body><p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    return joined.select(
+        F.concat(
+            F.lit("https://docs.example/d/"), did.cast("string")
+        ).alias("url"),
+        html_str.cast("binary").alias("html"),
+        "doc_id",
+    )
