@@ -3619,6 +3619,67 @@ def _editdist_verify_oracle() -> str:
     """
 
 
+def q_domain_prior_gate(spark, sf_dir):
+    """Two-level domain-prior gating: odd-numbered sources play spam
+    farms (the _SPAM_SUFFIX junk tail lands on their even doc_ids, so
+    half their docs carry ≥4 junk symbols), the domain verdict is the
+    all-integer 'spammy fraction < 1/5' rule, and keep = domain_pass ∧
+    ¬doc_spammy — a clean doc on a spam farm is dropped by
+    association, the semantics a per-doc gate can't express."""
+    from mindocr_spark.curate import domain_prior_gate
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    bad_src = (
+        F.regexp_extract("source", r"([0-9]+)$", 1).cast("int")
+        % 2 == 1
+    )
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            bad_src & (F.pmod("doc_id", F.lit(2)) == 0),
+            F.concat("text", F.lit(_SPAM_SUFFIX)),
+        ).otherwise(F.col("text")),
+    )
+    return domain_prior_gate(planted).orderBy("doc_id")
+
+
+def _domain_prior_gate_oracle() -> str:
+    """Full-mirror twin: identical planting arithmetic, junk counts
+    via the shared [$#] class, and the integer prior rule restated."""
+    return f"""
+        WITH planted AS (
+          SELECT doc_id, source,
+                 CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1)
+                             AS INT) % 2 = 1
+                       AND doc_id % 2 = 0
+                      THEN text || '{_SPAM_SUFFIX}' ELSE text END AS text
+          FROM documents),
+        feat AS (
+          SELECT doc_id, source AS domain,
+                 CAST(len(regexp_extract_all(text, '[$#]')) AS BIGINT)
+                   AS n_junk
+          FROM planted),
+        f2 AS (
+          SELECT doc_id, domain, n_junk, n_junk >= 4 AS doc_spammy
+          FROM feat),
+        dom AS (
+          SELECT domain,
+                 COUNT(*) AS dom_docs,
+                 CAST(SUM(CASE WHEN doc_spammy THEN 1 ELSE 0 END)
+                      AS BIGINT) AS dom_spammy
+          FROM f2 GROUP BY domain)
+        SELECT f2.doc_id, f2.domain, f2.n_junk, f2.doc_spammy,
+               dom.dom_docs, dom.dom_spammy,
+               5 * dom.dom_spammy < dom.dom_docs AS domain_pass,
+               (5 * dom.dom_spammy < dom.dom_docs)
+                 AND NOT f2.doc_spammy AS keep
+        FROM f2 JOIN dom ON f2.domain = dom.domain
+        ORDER BY f2.doc_id
+    """
+
+
 def q_cdx_index(spark, sf_dir):
     """Capture-index (CDX) build: SURT sort key + md5 content digest +
     payload byte length per fetched page, zero shuffles. The oracle
@@ -4698,6 +4759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_index": _q(q_sitemap_index),
         "hreflang_clusters": _q(q_hreflang_clusters),
         "editdist_verify": _q(q_editdist_verify),
+        "domain_prior_gate": _q(q_domain_prior_gate),
         "sitemap_coverage": _q(q_sitemap_coverage),
         "fetch_schedule": _q(q_fetch_schedule),
         "jsonld_extract": _q(q_jsonld_extract),
@@ -8650,6 +8712,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_index": _sitemap_index_oracle(),
         "hreflang_clusters": _hreflang_clusters_oracle(),
         "editdist_verify": _editdist_verify_oracle(),
+        "domain_prior_gate": _domain_prior_gate_oracle(),
         "lsh_quality": f"""
             WITH lsamp AS (
               SELECT doc_id, text FROM documents

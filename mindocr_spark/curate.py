@@ -559,3 +559,74 @@ def curate_scoped(
     finally:
         for df in track:
             df.unpersist()
+
+
+#: Junk-symbol pattern for the domain-prior gate (shared constant —
+#: the SQL oracle counts the identical class). Distinct from text.py's
+#: _PUNCT_RE: these are the monetization/SEO symbols normal prose
+#: doesn't carry.
+DOMAIN_JUNK_RE = r"[$#]"
+
+
+def domain_prior_gate(
+    docs: DataFrame,
+    domain_col: str = "source",
+    doc_junk_min: int = 4,
+    prior_num: int = 1,
+    prior_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Two-level (domain-prior) quality gating — the FineWeb-style
+    filter a per-document gate can't express: aggregate a spam signal
+    to the REGISTERED-DOMAIN grain, derive a domain verdict, and gate
+    every document by its domain's verdict AND its own. A clean page
+    on a spam farm is dropped by association; the identical page on a
+    clean domain survives.
+
+    Per doc: ``n_junk`` = junk-symbol count, ``doc_spammy`` =
+    ``n_junk ≥ doc_junk_min``. Per domain: ``domain_pass`` ⟺
+    ``prior_den·n_spammy < prior_num·n_docs`` (spammy-doc fraction
+    strictly under ``prior_num/prior_den`` — all-integer, both
+    engines decide boundaries identically). ``keep = domain_pass ∧
+    ¬doc_spammy``.
+
+    100 TB shape: the doc features are codegen on the scan; the
+    domain aggregate is ONE map-side-combinable groupBy on the domain
+    key (heavy-tailed, but partials collapse per task); the verdict
+    joins back on the same key — at web scale the domain relation is
+    ~10⁷ rows, so AQE picks broadcast vs shuffle; nothing iterates.
+
+    Reference lineage: per-dataset eval summaries gate whole splits
+    before per-sample metrics are trusted
+    (reference: tools/eval.py:61-83) — aggregate first, then judge
+    members by the aggregate.
+    """
+    n_junk = F.regexp_count(F.col(text_col), F.lit(DOMAIN_JUNK_RE))
+    feat = docs.select(
+        F.col(id_col),
+        F.col(domain_col).alias("domain"),
+        n_junk.cast("bigint").alias("n_junk"),
+        (n_junk >= doc_junk_min).alias("doc_spammy"),
+    )
+    dom = feat.groupBy("domain").agg(
+        F.count("*").cast("bigint").alias("dom_docs"),
+        F.sum(F.col("doc_spammy").cast("int"))
+        .cast("bigint")
+        .alias("dom_spammy"),
+    )
+    dom = dom.withColumn(
+        "domain_pass",
+        F.lit(prior_den) * F.col("dom_spammy")
+        < F.lit(prior_num) * F.col("dom_docs"),
+    )
+    return feat.join(dom, "domain").select(
+        id_col,
+        "domain",
+        "n_junk",
+        "doc_spammy",
+        "dom_docs",
+        "dom_spammy",
+        "domain_pass",
+        (F.col("domain_pass") & ~F.col("doc_spammy")).alias("keep"),
+    )

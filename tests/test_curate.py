@@ -693,3 +693,51 @@ def test_gate_attribution_empty_gate_list_raises(spark):
     df = spark.createDataFrame([(1,)], "doc_id bigint")
     with _pytest.raises(ValueError, match="empty gate list"):
         gate_attribution(df, [])
+
+
+# ----------------------------------------------------------------------
+# domain_prior_gate
+# ----------------------------------------------------------------------
+
+def _dpg_docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+
+
+def test_domain_prior_guilt_by_association(spark):
+    from mindocr_spark.curate import domain_prior_gate
+
+    clean = "plain words only"
+    spam = "$$$$ buy now"
+    rows = (
+        # spamfarm: 2/4 spammy (>= 1/5) -> domain fails, ALL dropped
+        [(1, "farm", spam), (2, "farm", spam),
+         (3, "farm", clean), (4, "farm", clean)]
+        # goodsite: 0 spammy -> identical clean text survives
+        + [(5, "good", clean)]
+    )
+    got = {r["doc_id"]: (r["domain_pass"], r["keep"])
+           for r in domain_prior_gate(_dpg_docs(spark, rows)).collect()}
+    assert got[3] == (False, False)   # clean doc, spam domain: dropped
+    assert got[5] == (True, True)     # same text, clean domain: kept
+    assert got[1] == (False, False)
+
+
+def test_domain_prior_boundary_is_strict(spark):
+    from mindocr_spark.curate import domain_prior_gate
+
+    clean = "plain words only"
+    spam = "$$$$ buy now"
+    # exactly 1/5 spammy: 5*1 < 1*5 is FALSE -> domain fails
+    rows = [(i, "edge", clean) for i in range(4)] + [(9, "edge", spam)]
+    got = domain_prior_gate(_dpg_docs(spark, rows)).collect()
+    assert all(not r["domain_pass"] for r in got)
+
+
+def test_domain_prior_junk_threshold(spark):
+    from mindocr_spark.curate import domain_prior_gate
+
+    rows = [(1, "s", "$$$ three only"), (2, "s", "$$$$ four here")]
+    got = {r["doc_id"]: r["doc_spammy"]
+           for r in domain_prior_gate(_dpg_docs(spark, rows)).collect()}
+    assert got == {1: False, 2: True}  # >= 4 junk symbols flips it
