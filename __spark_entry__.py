@@ -3680,6 +3680,83 @@ def _domain_prior_gate_oracle() -> str:
     """
 
 
+#: para_lang_segments' planted minority-language paragraphs (shared
+#: constants — the oracle appends the identical bytes). Pure-script
+#: bodies so each paragraph's argmax class is unambiguous.
+_PLS_CYR = "привет мир данные по-русски текст абзац"
+_PLS_CJK = "中文段落内容测试数据流"
+
+
+def q_para_lang_segments(spark, sf_dir):
+    """Paragraph-grain script segmentation (the CCNet grain): docs
+    ≡0 (mod 3) carry a Cyrillic paragraph, ≡0 (mod 5) a CJK one (15ths
+    carry both), appended after blank lines — a page-level classifier
+    would label the whole doc latin and mislabel every minority
+    paragraph. The oracle re-runs split + per-class counts + argmax
+    in SQL over the identically planted text."""
+    from mindocr_spark.functions.text import para_lang_segments
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.pmod("doc_id", F.lit(3)) == 0,
+                F.lit("\n\n" + _PLS_CYR),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.pmod("doc_id", F.lit(5)) == 0,
+                F.lit("\n\n" + _PLS_CJK),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return para_lang_segments(planted).orderBy("doc_id", "para_idx")
+
+
+def _para_lang_segments_oracle() -> str:
+    """Full-mirror twin: identical planting, split on blank lines,
+    per-SCRIPT_CLASSES counts, first-class-wins argmax."""
+    from mindocr_spark.functions.text import SCRIPT_CLASSES
+
+    cnt = {
+        name: f"len(regexp_extract_all(para, '{cls}'))"
+        for name, cls in SCRIPT_CLASSES
+    }
+    mx = "greatest({})".format(", ".join(cnt.values()))
+    case = " ".join(
+        f"WHEN {cnt[name]} = {mx} THEN '{name}'"
+        for name, _ in SCRIPT_CLASSES
+    )
+    return f"""
+        WITH planted AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN chr(10) || chr(10) || '{_PLS_CYR}'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0
+                         THEN chr(10) || chr(10) || '{_PLS_CJK}'
+                         ELSE '' END AS text
+          FROM documents),
+        paras AS (
+          SELECT doc_id,
+                 unnest(string_split(text, chr(10) || chr(10)))
+                   AS para,
+                 generate_subscripts(
+                   string_split(text, chr(10) || chr(10)), 1) - 1
+                   AS para_idx
+          FROM planted)
+        SELECT doc_id,
+               CAST(para_idx AS BIGINT) AS para_idx,
+               CAST(length(para) AS BIGINT) AS n_chars,
+               CASE WHEN {mx} = 0 THEN 'none' {case} END
+                 AS main_script
+        FROM paras
+        ORDER BY doc_id, para_idx
+    """
+
+
 def q_cdx_index(spark, sf_dir):
     """Capture-index (CDX) build: SURT sort key + md5 content digest +
     payload byte length per fetched page, zero shuffles. The oracle
@@ -4760,6 +4837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang_clusters": _q(q_hreflang_clusters),
         "editdist_verify": _q(q_editdist_verify),
         "domain_prior_gate": _q(q_domain_prior_gate),
+        "para_lang_segments": _q(q_para_lang_segments),
         "sitemap_coverage": _q(q_sitemap_coverage),
         "fetch_schedule": _q(q_fetch_schedule),
         "jsonld_extract": _q(q_jsonld_extract),
@@ -8713,6 +8791,7 @@ def oracle_sql() -> dict[str, str]:
         "hreflang_clusters": _hreflang_clusters_oracle(),
         "editdist_verify": _editdist_verify_oracle(),
         "domain_prior_gate": _domain_prior_gate_oracle(),
+        "para_lang_segments": _para_lang_segments_oracle(),
         "lsh_quality": f"""
             WITH lsamp AS (
               SELECT doc_id, text FROM documents

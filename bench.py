@@ -213,6 +213,8 @@ def main() -> None:
         # round-3 session-J additions (appended for the same reason)
         "hreflang_clusters",    # language-edition set validation
         "editdist_verify",      # exact verify stage for blocked pairs
+        "domain_prior_gate",    # two-level guilt-by-association gate
+        "para_lang_segments",   # CCNet paragraph-grain script ID
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

@@ -1626,3 +1626,46 @@ class TestBpeSegmentCounts:
             bpe_segment_counts(df, [])
         with _pytest.raises(ValueError):
             bpe_segment_counts(df, [("a", "")])
+
+
+# ----------------------------------------------------------------------
+# para_lang_segments
+# ----------------------------------------------------------------------
+
+def test_para_segments_grain_and_scripts(spark):
+    from mindocr_spark.functions.text import para_lang_segments
+
+    docs = spark.createDataFrame(
+        [(1, "latin words here\n\nпривет мир\n\n12345 !!!")],
+        "doc_id long, text string",
+    )
+    got = [(r["para_idx"], r["n_chars"], r["main_script"])
+           for r in para_lang_segments(docs)
+           .orderBy("para_idx").collect()]
+    assert got == [
+        (0, 16, "latin"),
+        (1, 10, "cyrillic"),
+        (2, 9, "none"),      # digits/punct: unscripted
+    ]
+
+
+def test_para_segments_tie_breaks_by_class_order(spark):
+    from mindocr_spark.functions.text import para_lang_segments
+
+    # 2 latin chars vs 2 cyrillic chars: latin wins (class order)
+    docs = spark.createDataFrame(
+        [(1, "abпр")], "doc_id long, text string")
+    assert para_lang_segments(docs).collect()[0]["main_script"] == "latin"
+
+
+def test_para_segments_single_and_null(spark):
+    from mindocr_spark.functions.text import para_lang_segments
+
+    docs = spark.createDataFrame(
+        [(1, "just one paragraph"), (2, None)],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_id"], r["para_idx"]): r["main_script"]
+           for r in para_lang_segments(docs).collect()}
+    assert got[(1, 0)] == "latin"
+    assert got[(2, 0)] == "none"   # NULL text → one empty paragraph
