@@ -3757,6 +3757,65 @@ def _para_lang_segments_oracle() -> str:
     """
 
 
+def q_meta_divergence(spark, sf_dir):
+    """Cloaking / SEO-stuffing signal: distinct-token overlap between
+    the declared meta description and the served body — honest pages
+    (desc = body's first 5 tokens) pass, ≡4 (mod 6) stuffed pages
+    flag divergent, ≡5 (mod 6) undeclared pages report 'no_desc'.
+    All-integer divergence rule; the oracle replants the
+    descriptions and recomputes both token sets in SQL."""
+    from mindocr_spark.functions.links import meta_divergence
+    from mindocr_spark.sources.pages import pages_from_documents_cloak
+
+    return meta_divergence(
+        pages_from_documents_cloak(spark, sf_dir)
+    ).orderBy("doc_id")
+
+
+def _meta_divergence_oracle() -> str:
+    """Full-mirror twin: identical description planting, the shared
+    whitespace tokenization, list_distinct/list_intersect counts."""
+    from mindocr_spark.functions.text import WS_CLASS
+    from mindocr_spark.sources.pages import CLOAK_SPAM_DESC
+
+    return f"""
+        WITH norm AS (
+          SELECT doc_id,
+                 list_distinct(string_split(trim(regexp_replace(
+                   text, '{WS_CLASS}', ' ', 'g')), ' ')) AS btoks,
+                 string_split(trim(regexp_replace(
+                   text, '{WS_CLASS}', ' ', 'g')), ' ') AS raw_toks
+          FROM documents),
+        d2 AS (
+          SELECT doc_id, btoks,
+                 CASE WHEN doc_id % 6 = 4
+                        THEN string_split('{CLOAK_SPAM_DESC}', ' ')
+                      WHEN doc_id % 6 = 5 THEN NULL
+                      ELSE list_slice(raw_toks, 1, 5) END AS dt
+          FROM norm),
+        d3 AS (
+          SELECT doc_id,
+                 list_distinct(dt) AS dtoks,
+                 btoks,
+                 dt IS NULL AS missing
+          FROM d2)
+        SELECT doc_id,
+               CAST(CASE WHEN missing THEN 0
+                         ELSE len(dtoks) END AS BIGINT) AS n_desc,
+               CAST(CASE WHEN missing THEN 0
+                         ELSE len(list_distinct(
+                                list_intersect(dtoks, btoks)))
+                    END AS BIGINT) AS n_overlap,
+               CASE WHEN missing THEN 'no_desc'
+                    WHEN 2 * len(list_distinct(
+                           list_intersect(dtoks, btoks)))
+                         < len(dtoks) THEN 'divergent'
+                    ELSE 'aligned' END AS verdict
+        FROM d3
+        ORDER BY doc_id
+    """
+
+
 def q_cdx_index(spark, sf_dir):
     """Capture-index (CDX) build: SURT sort key + md5 content digest +
     payload byte length per fetched page, zero shuffles. The oracle
@@ -4838,6 +4897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "editdist_verify": _q(q_editdist_verify),
         "domain_prior_gate": _q(q_domain_prior_gate),
         "para_lang_segments": _q(q_para_lang_segments),
+        "meta_divergence": _q(q_meta_divergence),
         "sitemap_coverage": _q(q_sitemap_coverage),
         "fetch_schedule": _q(q_fetch_schedule),
         "jsonld_extract": _q(q_jsonld_extract),
@@ -8792,6 +8852,7 @@ def oracle_sql() -> dict[str, str]:
         "editdist_verify": _editdist_verify_oracle(),
         "domain_prior_gate": _domain_prior_gate_oracle(),
         "para_lang_segments": _para_lang_segments_oracle(),
+        "meta_divergence": _meta_divergence_oracle(),
         "lsh_quality": f"""
             WITH lsamp AS (
               SELECT doc_id, text FROM documents

@@ -215,6 +215,7 @@ def main() -> None:
         "editdist_verify",      # exact verify stage for blocked pairs
         "domain_prior_gate",    # two-level guilt-by-association gate
         "para_lang_segments",   # CCNet paragraph-grain script ID
+        "meta_divergence",      # cloaking / SEO-stuffing signal
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

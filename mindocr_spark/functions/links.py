@@ -1036,3 +1036,46 @@ def hreflang_clusters(pages: DataFrame) -> DataFrame:
         .otherwise(F.lit("ok"))
         .alias("status"),
     )
+
+
+def meta_divergence(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """Meta-description divergence — the cloaking / SEO-stuffing
+    signal: a page whose declared description shares (almost) no
+    vocabulary with its served body is describing content it does not
+    carry, the classic bait pattern quality gates want flagged before
+    the description is trusted as a summary field.
+
+    Per page: ``n_desc`` = distinct description tokens, ``n_overlap``
+    = distinct tokens shared with the body, ``verdict`` = 'divergent'
+    when ``2·n_overlap < n_desc`` (overlap under half — all-integer,
+    no float division), 'aligned' otherwise, 'no_desc' when the page
+    declares no description (no evidence, not honesty; a 3-state
+    string, not a nullable bool — NULL booleans round-trip
+    differently through the two engines' pandas bridges).
+
+    100 TB shape: one codegen regexp_extract + two tokenizations +
+    array_intersect, all row-local on the scan — zero shuffles, zero
+    Python.
+
+    Reference lineage: eval compares the DECLARED label transcript
+    against the recognized text per key before trusting either
+    (reference: mindocr/metrics/rec_metrics.py:24-56); here the
+    declared description is compared against the served body.
+    """
+    from .text import tokens_col
+
+    html_s = F.col("html").cast("string")
+    desc = F.regexp_extract(html_s, DESC_META_RE, 1)
+    dtoks = F.array_distinct(tokens_col(desc))
+    btoks = F.array_distinct(tokens_col(F.col(text_col)))
+    n_desc = F.size(dtoks)
+    n_overlap = F.size(F.array_intersect(dtoks, btoks))
+    return pages.select(
+        "doc_id",
+        n_desc.cast("bigint").alias("n_desc"),
+        n_overlap.cast("bigint").alias("n_overlap"),
+        F.when(desc == "", F.lit("no_desc"))
+        .when(F.lit(2) * n_overlap < n_desc, F.lit("divergent"))
+        .otherwise(F.lit("aligned"))
+        .alias("verdict"),
+    )

@@ -1046,3 +1046,44 @@ def hreflang_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         html_str.cast("binary").alias("html"),
         "doc_id",
     )
+
+
+#: The cloaking family's stuffed description (shared constant — the
+#: oracle splits the identical bytes). All words outside the corpus
+#: vocabulary so a cloaked page's overlap is genuinely zero.
+CLOAK_SPAM_DESC = "casino pills crack keygen torrent warez"
+
+
+def pages_from_documents_cloak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The meta-divergence (cloaking / SEO-stuffing) corpus family:
+    honest pages (the default) declare a ``<meta name="description">``
+    equal to their body's first 5 normalized tokens; doc_id ≡ 4
+    (mod 6) pages declare the stuffed CLOAK_SPAM_DESC instead (what
+    they show crawlers ≠ what they serve); ≡ 5 (mod 6) pages declare
+    no description at all (the no-evidence path). Pure row-local
+    arithmetic over the row's own text — the SQL oracle replants it
+    verbatim."""
+    from mindocr_spark.functions.text import WS_CLASS
+
+    did = F.col("doc_id")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.col("text"), WS_CLASS, " ")), " "
+    )
+    honest = F.array_join(F.slice(toks, 1, 5), " ")
+    desc = (
+        F.when(F.pmod(did, F.lit(6)) == 4, F.lit(CLOAK_SPAM_DESC))
+        .when(F.pmod(did, F.lit(6)) == 5, F.lit(None).cast("string"))
+        .otherwise(honest)
+    )
+    head_extra = F.when(
+        desc.isNull(), F.lit("")
+    ).otherwise(
+        F.concat(
+            F.lit('<meta name="description" content="'),
+            desc,
+            F.lit('">'),
+        )
+    )
+    return _pages_from_documents_template(
+        spark, sf_dir, head_extra_col=head_extra
+    )

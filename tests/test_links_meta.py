@@ -186,3 +186,47 @@ class TestPublicationDate:
         ])
         assert got["u1"] == (None, None)
         assert got["https://x.example/2022/1/5/u2"] == (None, None)
+
+
+# ----------------------------------------------------------------------
+# meta_divergence
+# ----------------------------------------------------------------------
+
+def _cloak_pages(spark, rows):
+    return spark.createDataFrame(
+        [(d, bytearray(h.encode()), t) for d, h, t in rows],
+        "doc_id long, html binary, text string",
+    )
+
+
+def test_meta_divergence_verdicts(spark):
+    from mindocr_spark.functions.links import meta_divergence
+
+    def page(desc):
+        return ('<head><meta name="description" content="%s">'
+                '</head>' % desc) if desc is not None else "<head></head>"
+
+    rows = [
+        (1, page("alpha beta"), "alpha beta gamma"),        # aligned
+        (2, page("zzz yyy xxx www"), "alpha beta gamma"),   # divergent
+        (3, page(None), "alpha beta"),                      # no tag
+        (4, page("alpha zzz"), "alpha beta"),               # exactly half
+    ]
+    got = {r["doc_id"]: (r["n_desc"], r["n_overlap"], r["verdict"])
+           for r in meta_divergence(_cloak_pages(spark, rows)).collect()}
+    assert got[1] == (2, 2, "aligned")
+    assert got[2] == (4, 0, "divergent")
+    assert got[3] == (0, 0, "no_desc")
+    # 2*1 < 2 is false: half-overlap counts as aligned (strict rule)
+    assert got[4] == (2, 1, "aligned")
+
+
+def test_meta_divergence_dedups_tokens(spark):
+    from mindocr_spark.functions.links import meta_divergence
+
+    rows = [(1,
+             '<meta name="description" content="spam spam spam ham">',
+             "ham words only here")]
+    r = meta_divergence(_cloak_pages(spark, rows)).collect()[0]
+    assert (r["n_desc"], r["n_overlap"], r["verdict"]) == (
+        2, 1, "aligned")  # 2*1 < 2 false
