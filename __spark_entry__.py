@@ -3816,6 +3816,96 @@ def _meta_divergence_oracle() -> str:
     """
 
 
+def q_luhn_cc_detect(spark, sf_dir):
+    """Luhn-validated credit-card detection: the word-soup docs gain a
+    doc_id-derived 16-digit number (last digit = doc_id mod 10, so
+    ~10% pass the mod-10 check and ~90% are the lookalikes the
+    validation exists to cut), '-'-separated on ≡0 (mod 3), ' '-
+    separated on ≡1, absent on ≡2. Spark validates with the JVM
+    luhn_check builtin; the oracle hand-rolls Luhn as list arithmetic
+    — the check itself is cross-verified, not assumed."""
+    from mindocr_spark.functions.text import luhn_cc_cols
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    d16 = F.concat(
+        F.lpad(
+            ((did * 7919 + 12345) % F.lit(10 ** 15)).cast("string"),
+            15, "0",
+        ),
+        F.pmod(did, F.lit(10)).cast("string"),
+    )
+    sep = F.when(F.pmod(did, F.lit(3)) == 0, F.lit("-")).otherwise(
+        F.lit(" ")
+    )
+    card = F.concat_ws(
+        "",
+        F.substring(d16, 1, 4), sep,
+        F.substring(d16, 5, 4), sep,
+        F.substring(d16, 9, 4), sep,
+        F.substring(d16, 13, 4),
+    )
+    built = docs.select(
+        "doc_id",
+        F.when(
+            F.pmod(did, F.lit(3)) == 2, F.col("text")
+        ).otherwise(
+            F.concat(F.col("text"), F.lit(" pay "), card, F.lit(" now"))
+        ).alias("text"),
+    )
+    return luhn_cc_cols(built).orderBy("doc_id")
+
+
+def _luhn_cc_detect_oracle() -> str:
+    """Full-mirror twin: identical card planting, the same candidate
+    regex, and an independent hand-rolled Luhn (nested list lambdas)."""
+    from mindocr_spark.functions.text import CC_CAND_RE
+
+    luhn = (
+        "list_sum(list_transform(range(1, len(ds)+1), i -> "
+        "CASE WHEN (len(ds) - i) % 2 = 1 "
+        "THEN CASE WHEN 2*CAST(ds[i] AS INT) > 9 "
+        "THEN 2*CAST(ds[i] AS INT)-9 ELSE 2*CAST(ds[i] AS INT) END "
+        "ELSE CAST(ds[i] AS INT) END)) % 10 = 0"
+    )
+    return f"""
+        WITH d16 AS (
+          SELECT doc_id, text,
+                 lpad(CAST((doc_id * 7919 + 12345) % 1000000000000000
+                           AS VARCHAR), 15, '0')
+                   || CAST(doc_id % 10 AS VARCHAR) AS ds16,
+                 CASE WHEN doc_id % 3 = 0 THEN '-' ELSE ' ' END AS sep
+          FROM documents),
+        built AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 2 THEN text
+                      ELSE text || ' pay '
+                           || substr(ds16, 1, 4) || sep
+                           || substr(ds16, 5, 4) || sep
+                           || substr(ds16, 9, 4) || sep
+                           || substr(ds16, 13, 4) || ' now'
+                 END AS text
+          FROM d16),
+        cands AS (
+          SELECT doc_id,
+                 regexp_extract_all(text, '{CC_CAND_RE}') AS cs
+          FROM built),
+        v AS (
+          SELECT doc_id, cs,
+                 list_filter(
+                   list_transform(cs,
+                     c -> regexp_replace(c, '[^0-9]', '', 'g')),
+                   ds -> {luhn}) AS ok
+          FROM cands)
+        SELECT doc_id,
+               CAST(len(cs) AS BIGINT) AS n_candidates,
+               CAST(len(ok) AS BIGINT) AS n_valid,
+               len(ok) > 0 AS has_cc_pii
+        FROM v
+        ORDER BY doc_id
+    """
+
+
 def q_cdx_index(spark, sf_dir):
     """Capture-index (CDX) build: SURT sort key + md5 content digest +
     payload byte length per fetched page, zero shuffles. The oracle
@@ -4898,6 +4988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_prior_gate": _q(q_domain_prior_gate),
         "para_lang_segments": _q(q_para_lang_segments),
         "meta_divergence": _q(q_meta_divergence),
+        "luhn_cc_detect": _q(q_luhn_cc_detect),
         "sitemap_coverage": _q(q_sitemap_coverage),
         "fetch_schedule": _q(q_fetch_schedule),
         "jsonld_extract": _q(q_jsonld_extract),
@@ -8853,6 +8944,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_prior_gate": _domain_prior_gate_oracle(),
         "para_lang_segments": _para_lang_segments_oracle(),
         "meta_divergence": _meta_divergence_oracle(),
+        "luhn_cc_detect": _luhn_cc_detect_oracle(),
         "lsh_quality": f"""
             WITH lsamp AS (
               SELECT doc_id, text FROM documents

@@ -1669,3 +1669,33 @@ def test_para_segments_single_and_null(spark):
            for r in para_lang_segments(docs).collect()}
     assert got[(1, 0)] == "latin"
     assert got[(2, 0)] == "none"   # NULL text → one empty paragraph
+
+
+# ----------------------------------------------------------------------
+# luhn_cc_cols
+# ----------------------------------------------------------------------
+
+def test_luhn_validation_cuts_lookalikes(spark):
+    from mindocr_spark.functions.text import luhn_cc_cols
+
+    docs = spark.createDataFrame(
+        [(1, "pay 4111-1111-1111-1111 now"),       # classic valid visa
+         (2, "order 4111 1111 1111 1112 ref"),     # off-by-one: invalid
+         (3, "no digits at all"),
+         (4, "two: 4111111111111111 and 1234 5678 9012 3452")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_candidates"], r["n_valid"], r["has_cc_pii"])
+           for r in luhn_cc_cols(docs).collect()}
+    assert got[1] == (1, 1, True)
+    assert got[2] == (1, 0, False)   # regex hit, Luhn cut it
+    assert got[3] == (0, 0, False)
+    assert got[4] == (2, 2, True)    # 1234...3452 is Luhn-valid too
+
+
+def test_luhn_null_text(spark):
+    from mindocr_spark.functions.text import luhn_cc_cols
+
+    docs = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    r = luhn_cc_cols(docs).collect()[0]
+    assert (r["n_candidates"], r["has_cc_pii"]) == (0, False)
