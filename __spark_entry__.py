@@ -421,6 +421,54 @@ def q_interval_overlap(spark, sf_dir):
     )
 
 
+def q_funnel_stages(spark, sf_dir):
+    """Ordered-sequence (funnel) analytics: per user, the deepest
+    view → click → purchase stage reached with STRICT temporal order
+    (a click before the first view doesn't count — the property a
+    naive per-type EXISTS gets wrong). Three chained same-key window
+    minima — consecutive windows on one partition key reuse a single
+    exchange, then the same-key groupBy collapses to user grain: ONE
+    shuffle end-to-end at any corpus size. Timestamps stay internal
+    (comparisons only — no tz-sensitive output columns)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w)
+    d1 = e.select("user_id", "event_type", "ts", t1.alias("t1"))
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    d2 = d1.select("user_id", "event_type", "ts", "t1", t2.alias("t2"))
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    d3 = d2.select("user_id", "t1", "t2", t3.alias("t3"))
+    agg = d3.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.min("t1").alias("_t1"),
+        F.min("t2").alias("_t2"),
+        F.min("t3").alias("_t3"),
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        F.when(F.col("_t3").isNotNull(), F.lit(3))
+        .when(F.col("_t2").isNotNull(), F.lit(2))
+        .when(F.col("_t1").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("funnel_stage"),
+    ).orderBy("user_id")
+
+
 def q_sessionize(spark, sf_dir):
     """Stateful sessionization (gap > 30 min) — the batch twin of
     streaming session windows (SURVEY §2.11)."""
@@ -4989,6 +5037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "para_lang_segments": _q(q_para_lang_segments),
         "meta_divergence": _q(q_meta_divergence),
         "luhn_cc_detect": _q(q_luhn_cc_detect),
+        "funnel_stages": _q(q_funnel_stages),
         "sitemap_coverage": _q(q_sitemap_coverage),
         "fetch_schedule": _q(q_fetch_schedule),
         "jsonld_extract": _q(q_jsonld_extract),
@@ -8945,6 +8994,34 @@ def oracle_sql() -> dict[str, str]:
         "para_lang_segments": _para_lang_segments_oracle(),
         "meta_divergence": _meta_divergence_oracle(),
         "luhn_cc_detect": _luhn_cc_detect_oracle(),
+        "funnel_stages": """
+            WITH t1 AS (
+              SELECT user_id,
+                     min(ts) FILTER (WHERE event_type = 'view') AS t1,
+                     COUNT(*) AS n_events
+              FROM events GROUP BY user_id),
+            t2 AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN t1 ON e.user_id = t1.user_id
+              WHERE e.event_type = 'click'
+                AND t1.t1 IS NOT NULL AND e.ts > t1.t1
+              GROUP BY e.user_id),
+            t3 AS (
+              SELECT e.user_id, min(e.ts) AS t3
+              FROM events e JOIN t2 ON e.user_id = t2.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+              GROUP BY e.user_id)
+            SELECT t1.user_id,
+                   CAST(t1.n_events AS BIGINT) AS n_events,
+                   CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3
+                             WHEN t2.t2 IS NOT NULL THEN 2
+                             WHEN t1.t1 IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS funnel_stage
+            FROM t1
+            LEFT JOIN t2 ON t1.user_id = t2.user_id
+            LEFT JOIN t3 ON t1.user_id = t3.user_id
+            ORDER BY t1.user_id
+        """,
         "lsh_quality": f"""
             WITH lsamp AS (
               SELECT doc_id, text FROM documents

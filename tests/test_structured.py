@@ -217,3 +217,37 @@ def test_template_signature_whitespace_split_attributes(spark):
     assert out["u1"]["template_id"] == out["u2"]["template_id"]
     assert out["u1"]["template_id"] == out["u3"]["template_id"]
     assert out["u1"]["template_pages"] == 3
+
+
+# ----------------------------------------------------------------------
+# funnel_stages (strict temporal ordering)
+# ----------------------------------------------------------------------
+
+def test_funnel_requires_order(spark, tmp_path):
+    import datetime as dt
+    import __spark_entry__ as E
+
+    base = dt.datetime(2024, 1, 1)
+    def ts(m):
+        return base + dt.timedelta(minutes=m)
+    rows = [
+        # u1: full ordered funnel
+        (1, ts(0), 1, "view", 0.0, "{}"),
+        (2, ts(1), 1, "click", 0.0, "{}"),
+        (3, ts(2), 1, "purchase", 0.0, "{}"),
+        # u2: click BEFORE first view -> stage stops at 1
+        (4, ts(0), 2, "click", 0.0, "{}"),
+        (5, ts(1), 2, "view", 0.0, "{}"),
+        (6, ts(2), 2, "purchase", 0.0, "{}"),  # purchase needs click>view
+        # u3: never views
+        (7, ts(0), 3, "purchase", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r["user_id"]: r["funnel_stage"]
+           for r in E.q_funnel_stages(spark, str(tmp_path)).collect()}
+    assert got == {1: 3, 2: 1, 3: 0}
