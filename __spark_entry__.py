@@ -3954,6 +3954,70 @@ def _luhn_cc_detect_oracle() -> str:
     """
 
 
+#: homoglyph_spoof's planted tokens (shared constants). SPOOF mixes
+#: latin + one Cyrillic а (U+0430) — the classic confusable; PURE is
+#: all-Cyrillic and must NOT flag (foreign ≠ spoofed).
+_HG_SPOOF = "pаypal"
+_HG_PURE = "привет"
+
+
+def q_homoglyph_spoof(spark, sf_dir):
+    """Token-grain homoglyph detection: ≡1 (mod 4) docs gain one
+    mixed-script 'pаypal' token (flags), ≡6 (mod 8) docs gain a pure
+    Cyrillic token (must NOT flag — foreign text isn't spoofing),
+    everything else is clean latin. The oracle re-runs tokenization
+    and the 2-of-3 confusable-class probe per token in SQL."""
+    from mindocr_spark.functions.text import homoglyph_cols
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.pmod("doc_id", F.lit(4)) == 1, F.lit(" " + _HG_SPOOF)
+            ).otherwise(F.lit("")),
+            F.when(
+                F.pmod("doc_id", F.lit(8)) == 6, F.lit(" " + _HG_PURE)
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return homoglyph_cols(planted).orderBy("doc_id")
+
+
+def _homoglyph_spoof_oracle() -> str:
+    """Full-mirror twin: identical planting, shared tokenization, the
+    same three confusable-class probes per token."""
+    from mindocr_spark.functions.text import CONFUSABLE_CLASSES, WS_CLASS
+
+    probe = " + ".join(
+        f"CASE WHEN regexp_matches(t, '{cls}') THEN 1 ELSE 0 END"
+        for cls in CONFUSABLE_CLASSES
+    )
+    return f"""
+        WITH planted AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 4 = 1
+                         THEN ' {_HG_SPOOF}' ELSE '' END
+                 || CASE WHEN doc_id % 8 = 6
+                         THEN ' {_HG_PURE}' ELSE '' END AS text
+          FROM documents),
+        toks AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(
+                   text, '{WS_CLASS}', ' ', 'g')), ' ') AS ts
+          FROM planted)
+        SELECT doc_id,
+               CAST(len(ts) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(ts, t -> ({probe}) >= 2))
+                    AS BIGINT) AS n_mixed,
+               len(list_filter(ts, t -> ({probe}) >= 2)) > 0 AS spoof
+        FROM toks
+        ORDER BY doc_id
+    """
+
+
 def q_cdx_index(spark, sf_dir):
     """Capture-index (CDX) build: SURT sort key + md5 content digest +
     payload byte length per fetched page, zero shuffles. The oracle
@@ -5038,6 +5102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_divergence": _q(q_meta_divergence),
         "luhn_cc_detect": _q(q_luhn_cc_detect),
         "funnel_stages": _q(q_funnel_stages),
+        "homoglyph_spoof": _q(q_homoglyph_spoof),
         "sitemap_coverage": _q(q_sitemap_coverage),
         "fetch_schedule": _q(q_fetch_schedule),
         "jsonld_extract": _q(q_jsonld_extract),
@@ -8994,6 +9059,7 @@ def oracle_sql() -> dict[str, str]:
         "para_lang_segments": _para_lang_segments_oracle(),
         "meta_divergence": _meta_divergence_oracle(),
         "luhn_cc_detect": _luhn_cc_detect_oracle(),
+        "homoglyph_spoof": _homoglyph_spoof_oracle(),
         "funnel_stages": """
             WITH t1 AS (
               SELECT user_id,

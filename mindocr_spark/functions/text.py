@@ -2491,3 +2491,45 @@ def luhn_cc_cols(df: DataFrame, text_col: str = "text",
         n_valid.cast("bigint").alias("n_valid"),
         (n_valid > 0).alias("has_cc_pii"),
     )
+
+
+#: The confusable trio — scripts whose glyphs render near-identically
+#: in most fonts (latin/cyrillic/greek), so a single token mixing them
+#: is the homoglyph-spoofing signature. CJK/arabic mixing with latin is
+#: NORMAL text (loanwords, units) and must not flag.
+CONFUSABLE_CLASSES: tuple[str, ...] = (
+    SCRIPT_CLASSES[0][1],   # latin
+    SCRIPT_CLASSES[1][1],   # cyrillic
+    SCRIPT_CLASSES[2][1],   # greek
+)
+
+
+def homoglyph_cols(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Token-grain homoglyph (mixed-confusable-script) detection — the
+    phishing/SEO-spoof signal doc-grain script composition can't see:
+    a page that is 99% latin with one 'pаypal' (cyrillic а) token has
+    an innocent doc-level histogram, but that single mixed token is
+    the attack. A token counts as mixed when it contains characters
+    from ≥ 2 of the confusable trio (latin/cyrillic/greek); PURE
+    foreign tokens are normal multilingual text and do not flag.
+
+    Per doc: n_tokens, n_mixed, spoof = n_mixed > 0.
+
+    100 TB shape: one tokenization + a row-local higher-order filter
+    of three `rlike` probes per token — zero shuffles, zero Python,
+    no explode (the token array never leaves the row).
+    """
+    toks = tokens_col(text_col)
+    def _mixed(t):
+        hits = sum(
+            t.rlike(cls).cast("int") for cls in CONFUSABLE_CLASSES
+        )
+        return hits >= 2
+    n_mixed = F.size(F.filter(toks, _mixed))
+    return df.select(
+        id_col,
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        n_mixed.cast("bigint").alias("n_mixed"),
+        (n_mixed > 0).alias("spoof"),
+    )

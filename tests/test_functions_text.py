@@ -1699,3 +1699,26 @@ def test_luhn_null_text(spark):
     docs = spark.createDataFrame([(1, None)], "doc_id long, text string")
     r = luhn_cc_cols(docs).collect()[0]
     assert (r["n_candidates"], r["has_cc_pii"]) == (0, False)
+
+
+# ----------------------------------------------------------------------
+# homoglyph_cols
+# ----------------------------------------------------------------------
+
+def test_homoglyph_flags_mixed_not_foreign(spark):
+    from mindocr_spark.functions.text import homoglyph_cols
+
+    docs = spark.createDataFrame(
+        [(1, "login to pаypal now"),   # latin+cyrillic а: spoof
+         (2, "привет мир plain words"),     # pure foreign tokens: clean
+         (3, "all latin words here"),
+         (4, "greek αlpha mix"),       # latin l-p-h-a + greek α
+         ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_mixed"], r["spoof"])
+           for r in homoglyph_cols(docs).collect()}
+    assert got[1] == (1, True)
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
+    assert got[4] == (1, True)
