@@ -4018,6 +4018,113 @@ def _homoglyph_spoof_oracle() -> str:
     """
 
 
+#: dup_alignment's planted excerpt geometry (shared constants): the
+#: variant copies source tokens 10..40 (31 tokens → a 29-shingle
+#: aligned run at offset 9) and appends a distinct tail.
+_DA_TAIL = " zzz ending marker unique"
+
+
+def q_dup_alignment(spark, sf_dir):
+    """Explainable near-dup evidence: ≡2 (mod 5) docs with ≥45 tokens
+    spawn an excerpt variant (source tokens 10..40 + a distinct
+    tail); for each (source, variant) candidate pair the operator
+    reports shared-shingle count and the longest aligned verbatim
+    run with its offset — the WHERE a similarity score can't give.
+    The oracle re-runs positional shingling, the pair join, and the
+    gaps-and-islands run detection in SQL."""
+    from mindocr_spark.functions.dedup import dup_alignment
+    from mindocr_spark.functions.text import tokens_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    with_toks = docs.select(
+        "doc_id", "text", tokens_col("text").alias("_toks")
+    )
+    eligible = with_toks.where(
+        (F.pmod("doc_id", F.lit(5)) == 2) & (F.size("_toks") >= 45)
+    )
+    variants = eligible.select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice("_toks", 10, 31), " "), F.lit(_DA_TAIL)
+        ).alias("text"),
+    )
+    pairs = eligible.select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 5_000_000).alias("doc_b"),
+    )
+    corpus = docs.unionAll(variants)
+    return dup_alignment(corpus, pairs, k=3).orderBy("doc_a")
+
+
+def _dup_alignment_oracle() -> str:
+    """Full-mirror twin: positional shingles via lateral range unnest,
+    the same pair joins, distinct offsets, pa − row_number() islands,
+    and the run-desc/offset-asc/start-asc tie rule."""
+    from mindocr_spark.functions.text import WS_CLASS
+
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(
+                   text, '{WS_CLASS}', ' ', 'g')), ' ') AS ts
+          FROM documents),
+        elig AS (
+          SELECT * FROM base WHERE doc_id % 5 = 2 AND len(ts) >= 45),
+        variants AS (
+          SELECT doc_id + 5000000 AS doc_id,
+                 string_split(
+                   array_to_string(list_slice(ts, 10, 40), ' ')
+                   || '{_DA_TAIL}', ' ') AS ts
+          FROM elig),
+        corpus AS (
+          SELECT doc_id, ts FROM base
+          UNION ALL SELECT doc_id, ts FROM variants),
+        pairs AS (
+          SELECT doc_id AS doc_a, doc_id + 5000000 AS doc_b FROM elig),
+        sh AS (
+          SELECT doc_id, i AS pos,
+                 array_to_string(list_slice(ts, i, i + 2), ' ') AS sh
+          FROM corpus,
+               UNNEST(range(1, CASE WHEN len(ts) >= 3
+                                    THEN len(ts) - 1 ELSE 1 END))
+                 AS u(i)),
+        m AS (
+          SELECT p.doc_a, p.doc_b, a.sh, a.pos AS pa, b.pos AS pb
+          FROM pairs p
+          JOIN sh a ON a.doc_id = p.doc_a
+          JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh),
+        shared AS (
+          SELECT doc_a, doc_b, COUNT(DISTINCT sh) AS n_shared
+          FROM m GROUP BY doc_a, doc_b),
+        offs AS (
+          SELECT DISTINCT doc_a, doc_b, pa - pb AS off, pa FROM m),
+        runs AS (
+          SELECT doc_a, doc_b, off, pa,
+                 pa - row_number() OVER (
+                   PARTITION BY doc_a, doc_b, off ORDER BY pa) AS grp
+          FROM offs),
+        rl AS (
+          SELECT doc_a, doc_b, off, grp,
+                 COUNT(*) AS run_len, MIN(pa) AS start_a
+          FROM runs GROUP BY doc_a, doc_b, off, grp),
+        best AS (
+          SELECT *,
+                 row_number() OVER (
+                   PARTITION BY doc_a, doc_b
+                   ORDER BY run_len DESC, off ASC, start_a ASC) AS rk
+          FROM rl)
+        SELECT b.doc_a, b.doc_b,
+               CAST(s.n_shared AS BIGINT) AS n_shared,
+               CAST(b.run_len AS BIGINT) AS run_len,
+               CAST(b.off AS BIGINT) AS align_offset,
+               CAST(b.start_a AS BIGINT) AS run_start_a
+        FROM best b
+        JOIN shared s ON s.doc_a = b.doc_a AND s.doc_b = b.doc_b
+        WHERE b.rk = 1
+        ORDER BY b.doc_a
+    """
+
+
 def q_cdx_index(spark, sf_dir):
     """Capture-index (CDX) build: SURT sort key + md5 content digest +
     payload byte length per fetched page, zero shuffles. The oracle
@@ -5103,6 +5210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "luhn_cc_detect": _q(q_luhn_cc_detect),
         "funnel_stages": _q(q_funnel_stages),
         "homoglyph_spoof": _q(q_homoglyph_spoof),
+        "dup_alignment": _q(q_dup_alignment),
         "sitemap_coverage": _q(q_sitemap_coverage),
         "fetch_schedule": _q(q_fetch_schedule),
         "jsonld_extract": _q(q_jsonld_extract),
@@ -9060,6 +9168,7 @@ def oracle_sql() -> dict[str, str]:
         "meta_divergence": _meta_divergence_oracle(),
         "luhn_cc_detect": _luhn_cc_detect_oracle(),
         "homoglyph_spoof": _homoglyph_spoof_oracle(),
+        "dup_alignment": _dup_alignment_oracle(),
         "funnel_stages": """
             WITH t1 AS (
               SELECT user_id,

@@ -219,6 +219,7 @@ def main() -> None:
         "luhn_cc_detect",       # mod-10-validated CC PII detection
         "funnel_stages",        # strict-order sequence analytics
         "homoglyph_spoof",      # confusable-script token spoofing
+        "dup_alignment",        # explainable dup run evidence
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

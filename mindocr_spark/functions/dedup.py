@@ -1372,3 +1372,106 @@ def editdist_verify(
             F.lit(sim_den) * (mx - lev) >= F.lit(sim_num) * mx
         ).alias("is_dup"),
     )
+
+
+def dup_alignment(
+    docs: DataFrame,
+    pairs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Explainable near-dup EVIDENCE for candidate pairs — what a
+    reviewer (or an automated survivor policy) needs beyond a
+    similarity score: how much is shared and WHERE. Per (doc_a,
+    doc_b) pair: ``n_shared`` distinct common word-k-shingles,
+    and the longest ALIGNED run — the maximal streak of consecutive
+    shingle positions matching at one constant offset (``run_len``,
+    ``align_offset`` = pa − pb, ``run_start_a``), i.e. the longest
+    verbatim copied block measured in shingles. Ties break
+    deterministically: longest run, then smallest offset, then
+    smallest start. Pairs sharing no shingle produce no row.
+
+    The run detection is the relational gaps-and-islands idiom:
+    distinct (pair, offset, pa) → ``pa − row_number()`` groups each
+    consecutive streak → one count per streak.
+
+    100 TB shape: positional shingle generation is the same NARROW
+    array-expression pattern as :func:`~mindocr_spark.functions.text.
+    word_shingles` (no window); the shingle relation is SEMI-bounded
+    by joining the (small) candidate-pair relation FIRST, so corpus-
+    wide shingles never self-join — cost is Σ per-pair shingle
+    counts, linear in the candidate set. Two windows ride the same
+    (pair, offset) key.
+
+    Reference lineage: eval doesn't just score a detection, it
+    reports WHICH GT box matched which prediction via the IoU match
+    matrix (reference: mindocr/metrics/det_metrics.py:31-77) — same
+    match-evidence contract for dedup.
+    """
+    from mindocr_spark.functions.text import tokens_col
+
+    with_toks = docs.select(id_col, tokens_col(text_col).alias("_toks"))
+    toks = F.col("_toks")
+    sh_arr = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.array_join(F.slice(toks, i, k), " ").alias("sh"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<pos:int,sh:string>>")
+    )
+    shp = with_toks.select(
+        id_col, F.explode(sh_arr).alias("s")
+    ).select(
+        F.col(id_col).alias("sdoc"),
+        F.col("s.pos").alias("pos"),
+        F.col("s.sh").alias("sh"),
+    )
+    a = pairs.join(
+        shp.select(
+            F.col("sdoc").alias("doc_a"),
+            F.col("pos").alias("pa"),
+            "sh",
+        ),
+        "doc_a",
+    )
+    m = a.join(
+        shp.select(
+            F.col("sdoc").alias("bdoc"),
+            F.col("pos").alias("pb"),
+            F.col("sh").alias("sh_b"),
+        ),
+        (F.col("doc_b") == F.col("bdoc")) & (F.col("sh") == F.col("sh_b")),
+    ).select("doc_a", "doc_b", "sh", "pa", "pb")
+    shared = m.groupBy("doc_a", "doc_b").agg(
+        F.count_distinct("sh").cast("bigint").alias("n_shared")
+    )
+    offs = m.select(
+        "doc_a", "doc_b", (F.col("pa") - F.col("pb")).alias("off"), "pa"
+    ).distinct()
+    w_rn = Window.partitionBy("doc_a", "doc_b", "off").orderBy("pa")
+    runs = offs.withColumn(
+        "grp", F.col("pa") - F.row_number().over(w_rn)
+    ).groupBy("doc_a", "doc_b", "off", "grp").agg(
+        F.count("*").cast("bigint").alias("run_len"),
+        F.min("pa").cast("bigint").alias("run_start_a"),
+    )
+    w_best = Window.partitionBy("doc_a", "doc_b").orderBy(
+        F.desc("run_len"), F.asc("off"), F.asc("run_start_a")
+    )
+    best = runs.withColumn(
+        "rk", F.row_number().over(w_best)
+    ).where(F.col("rk") == 1)
+    return best.join(shared, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        "run_len",
+        F.col("off").cast("bigint").alias("align_offset"),
+        "run_start_a",
+    )

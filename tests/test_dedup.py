@@ -641,3 +641,43 @@ class TestNgramNovelty:
         assert "BatchEvalPython" not in plan
         assert plan.count("SortMergeJoin") + plan.count(
             "BroadcastHashJoin") <= 1
+
+
+# ----------------------------------------------------------------------
+# dup_alignment (explainable near-dup evidence)
+# ----------------------------------------------------------------------
+
+def test_dup_alignment_finds_copied_block(spark):
+    from mindocr_spark.functions.dedup import dup_alignment
+
+    # b copies a's tokens 3..7 (w3..w7) at its positions 1..5
+    docs = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6 w7 w8"),
+         (2, "w3 w4 w5 w6 w7 zz yy")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    r = dup_alignment(docs, pairs, k=3).collect()[0]
+    # shared 3-shingles: 'w3 w4 w5','w4 w5 w6','w5 w6 w7' at offsets
+    # pa-pb = 3-1 = 2 throughout -> one run of 3
+    assert (r["n_shared"], r["run_len"], r["align_offset"],
+            r["run_start_a"]) == (3, 3, 2, 3)
+
+
+def test_dup_alignment_tie_and_no_overlap(spark):
+    from mindocr_spark.functions.dedup import dup_alignment
+
+    docs = spark.createDataFrame(
+        [(1, "a b c x y z a b c"),
+         (2, "a b c q q q"),          # matches twice at two offsets
+         (3, "totally different words")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_a long, doc_b long")
+    rows = dup_alignment(docs, pairs, k=3).collect()
+    assert len(rows) == 1              # pair (1,3): no shared shingle
+    r = rows[0]
+    # 'a b c' matches at pa=1 (off 0) and pa=7 (off 6): equal run_len 1,
+    # tie breaks to the SMALLER offset
+    assert (r["doc_b"], r["run_len"], r["align_offset"]) == (2, 1, 0)
