@@ -3405,6 +3405,45 @@ def q_kcore(spark, sf_dir):
     return domain_kcore(edges, k=7, rounds=4).orderBy("domain")
 
 
+def q_triangle_count(spark, sf_dir):
+    """Triad-density (clustering coefficient) spam signal: exact
+    triangle counts over the undirected simple domain graph via
+    degree orientation. The linked family's REAL extracted edges
+    (self-ring + mirror + archive spokes) supply degree without
+    closure; a deterministic 'blogroll ring' family — every doc's host
+    links its source's next and next-next ring neighbors — plants
+    chorded 13-cycles whose consecutive triples are genuine triangles,
+    so coefficients take non-trivial values the oracle reproduces from
+    doc_id arithmetic alone."""
+    from mindocr_spark.functions.links import (
+        extract_links,
+        triangle_counts,
+    )
+    from mindocr_spark.sources.pages import pages_from_documents_linked
+
+    edges = extract_links(
+        pages_from_documents_linked(spark, sf_dir)
+    ).select("src_domain", "dst_domain")
+    docs = _t(spark, sf_dir, "documents")
+
+    def ring(off):
+        return docs.select(
+            F.concat(
+                F.col("source"),
+                F.pmod("doc_id", F.lit(13)).cast("string"),
+                F.lit(".example"),
+            ).alias("src_domain"),
+            F.concat(
+                F.col("source"),
+                F.pmod(F.col("doc_id") + off, F.lit(13)).cast("string"),
+                F.lit(".example"),
+            ).alias("dst_domain"),
+        )
+
+    chords = ring(1).unionByName(ring(2))
+    return triangle_counts(edges.unionByName(chords)).orderBy("domain")
+
+
 #: crawl-depth seeds: the src0 ring-0 host (reaches its source's whole
 #: 13-cycle one hop per round) plus an OFFLINE seed absent from the
 #: graph (must still report depth 0 — crawlers fetch seeds
@@ -5192,6 +5231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spam_mass": _q(q_spam_mass),
         "hits_scores": _q(q_hits_scores),
         "kcore": _q(q_kcore),
+        "triangle_count": _q(q_triangle_count),
         "crawl_depth": _q(q_crawl_depth),
         "concordance": _q(q_concordance),
         "blockword_filter": _q(q_blockword_filter),
@@ -6456,6 +6496,63 @@ def oracle_sql() -> dict[str, str]:
         "spam_mass": _spam_mass_oracle(iters=3, damping="0.85"),
         "hits_scores": _hits_oracle(iters=3),
         "kcore": _kcore_oracle(k=7, rounds=4),
+        "triangle_count": "WITH " + _LINKED_EDGE_CTES + r""",
+            chord AS (
+              SELECT source || CAST(doc_id % 13 AS VARCHAR) || '.example'
+                       AS src_dom,
+                     source || CAST((doc_id + 1) % 13 AS VARCHAR)
+                       || '.example' AS dst_dom
+              FROM documents
+              UNION ALL
+              SELECT source || CAST(doc_id % 13 AS VARCHAR) || '.example',
+                     source || CAST((doc_id + 2) % 13 AS VARCHAR)
+                       || '.example'
+              FROM documents),
+            alle AS (
+              SELECT src_dom, dst_dom FROM e
+              UNION ALL SELECT src_dom, dst_dom FROM chord),
+            sp AS (
+              SELECT DISTINCT least(src_dom, dst_dom) AS a,
+                              greatest(src_dom, dst_dom) AS b
+              FROM alle WHERE src_dom != dst_dom),
+            deg AS (
+              SELECT dom, CAST(count(*) AS BIGINT) AS degree
+              FROM (SELECT a AS dom FROM sp
+                    UNION ALL SELECT b FROM sp)
+              GROUP BY dom),
+            o AS (
+              SELECT CASE WHEN (da.degree, s.a) < (db.degree, s.b)
+                          THEN s.a ELSE s.b END AS u,
+                     CASE WHEN (da.degree, s.a) < (db.degree, s.b)
+                          THEN s.b ELSE s.a END AS v,
+                     CASE WHEN (da.degree, s.a) < (db.degree, s.b)
+                          THEN db.degree ELSE da.degree END AS dv
+              FROM sp s
+              JOIN deg da ON da.dom = s.a
+              JOIN deg db ON db.dom = s.b),
+            tri AS (
+              SELECT w1.u AS t1, w1.v AS t2, w2.v AS t3
+              FROM o w1
+              JOIN o w2 ON w1.u = w2.u
+                       AND (w1.dv, w1.v) < (w2.dv, w2.v)
+              JOIN o c ON c.u = w1.v AND c.v = w2.v),
+            pern AS (
+              SELECT dom, count(*) AS t
+              FROM (SELECT t1 AS dom FROM tri
+                    UNION ALL SELECT t2 FROM tri
+                    UNION ALL SELECT t3 FROM tri)
+              GROUP BY dom)
+            SELECT deg.dom AS domain, deg.degree,
+                   CAST(COALESCE(p.t, 0) AS BIGINT) AS n_triangles,
+                   CASE WHEN deg.degree >= 2 THEN
+                     round(CAST(2.0 AS DOUBLE)
+                           * CAST(COALESCE(p.t, 0) AS DOUBLE)
+                           / (CAST(deg.degree AS DOUBLE)
+                              * (CAST(deg.degree AS DOUBLE)
+                                 - CAST(1.0 AS DOUBLE))), 6)
+                   END AS clustering
+            FROM deg LEFT JOIN pern p ON p.dom = deg.dom
+            ORDER BY domain""",
         "crawl_depth": _crawl_depth_oracle(),
         "bpe_token_stats": r"""
             WITH u AS (

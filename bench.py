@@ -220,6 +220,8 @@ def main() -> None:
         "funnel_stages",        # strict-order sequence analytics
         "homoglyph_spoof",      # confusable-script token spoofing
         "dup_alignment",        # explainable dup run evidence
+        # round-3 session-K additions (appended for the same reason)
+        "triangle_count",       # triad-density (clustering) spam signal
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

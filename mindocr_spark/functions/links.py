@@ -778,6 +778,102 @@ def domain_kcore(
     )
 
 
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Exact per-domain triangle counts + local clustering coefficient
+    over the UNDIRECTED simple domain graph — the triad-density spam
+    signal k-core's degree test can't see: a link farm whose members
+    cross-link saturates in triangles (coefficient → 1) while an
+    organic hub of the same degree shows almost none (its neighbors
+    don't know each other). Returns one row per graph node:
+    (domain, degree, n_triangles, clustering) where clustering =
+    2T / (d·(d−1)), NULL for degree-<2 nodes (the failure-flow NULL
+    discipline — an undefined coefficient is not 0.0).
+
+    100 TB shape (degree orientation, Chiba–Nishizeki / Cohen's
+    MapReduce form): the edge multiset collapses ONCE to distinct
+    canonical pairs (map-side combinable), then every edge is oriented
+    from its lower-(degree, name) endpoint to the higher — so a
+    10^9-in-link hub (docs.example at corpus scale) has ZERO out-edges
+    and the wedge self-join never fans out on a hub key; per-node
+    out-degree is bounded by O(√m) on any graph (arboricity bound),
+    which bounds wedge count at Σ outdeg² instead of Σ deg². Each
+    triangle is generated exactly once (at its orientation-minimum
+    vertex) and closed by one equi-join back to the oriented edge set.
+    The pair relation is persisted — it feeds the degree count, both
+    wedge sides, and the closing join.
+
+    Reference analog: the box-adjacency triad test inside lanms-style
+    polygon merge (reference: mindocr/postprocess/east_postprocess.py
+    merges mutually-overlapping proposal pairs; the graph form lifts
+    "mutual overlap" to "mutual linking")."""
+    from mindocr_spark.cache import tracked_persist
+
+    raw = edges.where(F.col("src_domain") != F.col("dst_domain"))
+    pairs = tracked_persist(
+        raw.select(
+            F.least("src_domain", "dst_domain").alias("a"),
+            F.greatest("src_domain", "dst_domain").alias("b"),
+        ).distinct()
+    )
+    deg = tracked_persist(
+        pairs.select(F.col("a").alias("domain"))
+        .unionAll(pairs.select(F.col("b").alias("domain")))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    keyed = pairs.join(
+        deg.select(F.col("domain").alias("a"), F.col("degree").alias("da")),
+        "a",
+    ).join(
+        deg.select(F.col("domain").alias("b"), F.col("degree").alias("db")),
+        "b",
+    )
+    # orient low-(degree, name) → high; ties impossible beyond the name
+    # (names are distinct), so the order is total and each triangle has
+    # exactly one minimum vertex
+    a_first = F.struct(F.col("da"), F.col("a")) < F.struct(
+        F.col("db"), F.col("b")
+    )
+    oriented = tracked_persist(
+        keyed.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        )
+    )
+    w1 = oriented.select(
+        "u", F.col("v").alias("x"), F.col("dv").alias("dx")
+    )
+    w2 = oriented.select(
+        "u", F.col("v").alias("y"), F.col("dv").alias("dy")
+    )
+    wedges = w1.join(w2, "u").where(
+        F.struct(F.col("dx"), F.col("x")) < F.struct(F.col("dy"), F.col("y"))
+    )
+    closing = oriented.select(
+        F.col("u").alias("x"), F.col("v").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"])
+    per_node = (
+        tri.select(F.explode(F.array("u", "x", "y")).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    nt = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint")
+    d = F.col("degree").cast("double")
+    return deg.join(per_node, "domain", "left").select(
+        "domain",
+        "degree",
+        nt.alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                F.lit(2.0) * nt.cast("double") / (d * (d - F.lit(1.0))), 6
+            ),
+        ).alias("clustering"),
+    )
+
+
 def link_density_cols(
     pages: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:

@@ -461,3 +461,52 @@ class TestSeedBfsDepth:
             seed_bfs_depth(df, ())
         with _pytest.raises(ValueError):
             seed_bfs_depth(df, ("a",), max_hops=0)
+
+
+class TestTriangleCounts:
+    def _run(self, spark, pairs):
+        from mindocr_spark.functions.links import triangle_counts
+
+        df = spark.createDataFrame(
+            pairs, "src_domain string, dst_domain string"
+        )
+        return {
+            r["domain"]: (r["degree"], r["n_triangles"], r["clustering"])
+            for r in triangle_counts(df).collect()
+        }
+
+    def test_triangle_plus_pendant(self, spark):
+        out = self._run(
+            spark, [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")]
+        )
+        assert out["a"] == (3, 1, round(2 / 6, 6))
+        assert out["b"] == (2, 1, 1.0)
+        assert out["c"] == (2, 1, 1.0)
+        # degree-1 coefficient is undefined, not 0.0
+        assert out["d"] == (1, 0, None)
+
+    def test_multiplicity_direction_and_self_loops_collapse(self, spark):
+        out = self._run(
+            spark,
+            [("a", "b"), ("a", "b"), ("b", "a"), ("b", "c"),
+             ("c", "a"), ("a", "a")],
+        )
+        assert out["a"] == (2, 1, 1.0)
+        assert out["b"] == (2, 1, 1.0)
+        assert out["c"] == (2, 1, 1.0)
+
+    def test_star_hub_has_zero_coefficient(self, spark):
+        out = self._run(
+            spark, [("hub", f"leaf{i}") for i in range(5)]
+        )
+        assert out["hub"] == (5, 0, 0.0)
+        for i in range(5):
+            assert out[f"leaf{i}"] == (1, 0, None)
+
+    def test_k4_every_triangle_counted_exactly_once(self, spark):
+        nodes = ["a", "b", "c", "d"]
+        pairs = [(x, y) for x in nodes for y in nodes if x < y]
+        out = self._run(spark, pairs)
+        # K4 has 4 triangles; each node sits in C(3,2)=3 of them
+        for n in nodes:
+            assert out[n] == (3, 3, 1.0)
