@@ -3444,6 +3444,24 @@ def q_triangle_count(spark, sf_dir):
     return triangle_counts(edges.unionByName(chords)).orderBy("domain")
 
 
+def q_cooccur_itemsets(spark, sf_dir):
+    """A-priori market-basket mining over the events table: items =
+    the props $.k payloads, baskets = (user_id, calendar-day) distinct
+    item sets. Two-stage support pruning (items ≥ 2% of baskets before
+    any pairing, pairs ≥ 0.05%), per-basket fan-out capped at 8
+    distinct items (oversized baskets leave the whole analysis — one
+    consistent population, mirrored in SQL), lift from exact integer
+    counts."""
+    from mindocr_spark.functions.baskets import frequent_pairs
+
+    return frequent_pairs(
+        _t(spark, sf_dir, "events"),
+        min_item=(2, 100),
+        min_pair=(1, 2000),
+        max_basket_items=8,
+    ).orderBy("item_a", "item_b")
+
+
 #: crawl-depth seeds: the src0 ring-0 host (reaches its source's whole
 #: 13-cycle one hop per round) plus an OFFLINE seed absent from the
 #: graph (must still report depth 0 — crawlers fetch seeds
@@ -5232,6 +5250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": _q(q_hits_scores),
         "kcore": _q(q_kcore),
         "triangle_count": _q(q_triangle_count),
+        "cooccur_itemsets": _q(q_cooccur_itemsets),
         "crawl_depth": _q(q_crawl_depth),
         "concordance": _q(q_concordance),
         "blockword_filter": _q(q_blockword_filter),
@@ -6496,6 +6515,47 @@ def oracle_sql() -> dict[str, str]:
         "spam_mass": _spam_mass_oracle(iters=3, damping="0.85"),
         "hits_scores": _hits_oracle(iters=3),
         "kcore": _kcore_oracle(k=7, rounds=4),
+        "cooccur_itemsets": r"""
+            WITH b AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+                     CAST(json_extract(props, '$.k') AS INT) AS item
+              FROM events
+              WHERE json_extract(props, '$.k') IS NOT NULL),
+            bsz AS (
+              SELECT user_id, day, count(*) AS n
+              FROM b GROUP BY user_id, day),
+            keptk AS (
+              SELECT user_id, day FROM bsz WHERE n <= 8),
+            kept AS (
+              SELECT b.* FROM b JOIN keptk USING (user_id, day)),
+            tot AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_baskets FROM keptk),
+            isup AS (
+              SELECT item, CAST(count(*) AS BIGINT) AS n_item
+              FROM kept GROUP BY item),
+            fi AS (
+              SELECT item, n_item FROM isup CROSS JOIN tot
+              WHERE n_item * 100 >= 2 * n_baskets),
+            fb AS (
+              SELECT kept.* FROM kept JOIN fi USING (item)),
+            p AS (
+              SELECT l.item AS item_a, r.item AS item_b,
+                     CAST(count(*) AS BIGINT) AS n_pair
+              FROM fb l
+              JOIN fb r ON l.user_id = r.user_id AND l.day = r.day
+                       AND l.item < r.item
+              GROUP BY l.item, r.item)
+            SELECT p.item_a, p.item_b, p.n_pair,
+                   fa.n_item AS n_a, fbn.n_item AS n_b, t.n_baskets,
+                   round(CAST(p.n_pair AS DOUBLE)
+                         * CAST(t.n_baskets AS DOUBLE)
+                         / (CAST(fa.n_item AS DOUBLE)
+                            * CAST(fbn.n_item AS DOUBLE)), 6) AS lift
+            FROM p CROSS JOIN tot t
+            JOIN fi fa ON fa.item = p.item_a
+            JOIN fi fbn ON fbn.item = p.item_b
+            WHERE p.n_pair * 2000 >= 1 * t.n_baskets
+            ORDER BY item_a, item_b""",
         "triangle_count": "WITH " + _LINKED_EDGE_CTES + r""",
             chord AS (
               SELECT source || CAST(doc_id % 13 AS VARCHAR) || '.example'
