@@ -1594,6 +1594,68 @@ def _leakage_audit_oracle() -> str:
     """
 
 
+def _mirror_detect_oracle() -> str:
+    """Twin of q_mirror_detect: the leakage variant corpus, the
+    md5-banding pair chain, then the source-pair rollup with the
+    integer mirror rule."""
+    return f"""
+        WITH lbase AS (SELECT doc_id, text, source FROM documents),
+        ltk AS (
+          SELECT doc_id, source,
+                 string_split(trim(regexp_replace(text,'[ \\t\\n\\r\\f\\x0B]+',' ','g')),' ') AS toks
+          FROM documents WHERE doc_id % 3 = 0),
+        lvar AS (
+          SELECT doc_id + 1000000 AS doc_id,
+                 array_to_string(
+                   toks[1:greatest(5, (len(toks) * 5) // 6)], ' ')
+                   AS text,
+                 'mir-' || source AS source
+          FROM ltk),
+        lcorpus AS (SELECT * FROM lbase UNION ALL SELECT * FROM lvar),
+        perms AS (SELECT CAST(range AS INT) AS perm FROM range(32)),
+        {_md5_sig_ctes("lcorpus")},
+        cand AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM banded x JOIN banded y USING (band, bucket)
+          WHERE x.doc_id < y.doc_id),
+        est AS (
+          SELECT id_a, id_b,
+                 SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END)
+                   AS n_match
+          FROM cand
+          JOIN sig a ON a.doc_id = id_a
+          JOIN sig b ON b.doc_id = id_b AND b.perm = a.perm
+          GROUP BY id_a, id_b),
+        dpairs AS (
+          SELECT id_a, id_b FROM est
+          WHERE round(CAST(n_match AS DOUBLE) / 32.0, 6) >= 0.35),
+        member AS (SELECT doc_id, source AS grp FROM lcorpus),
+        sizes AS (
+          SELECT grp, CAST(count(*) AS BIGINT) AS n_docs
+          FROM member GROUP BY grp),
+        lab AS (
+          SELECT least(ma.grp, mb.grp) AS group_a,
+                 greatest(ma.grp, mb.grp) AS group_b,
+                 CAST(count(*) AS BIGINT) AS n_dup_pairs
+          FROM dpairs
+          JOIN member ma ON ma.doc_id = id_a
+          JOIN member mb ON mb.doc_id = id_b
+          WHERE ma.grp != mb.grp
+          GROUP BY least(ma.grp, mb.grp), greatest(ma.grp, mb.grp))
+        SELECT group_a, group_b, n_dup_pairs,
+               sa.n_docs AS n_a, sb.n_docs AS n_b,
+               round(CAST(n_dup_pairs AS DOUBLE)
+                     / CAST(least(sa.n_docs, sb.n_docs) AS DOUBLE), 6)
+                 AS pair_share,
+               n_dup_pairs * 4 >= 1 * least(sa.n_docs, sb.n_docs)
+                 AS is_mirror
+        FROM lab
+        JOIN sizes sa ON sa.grp = group_a
+        JOIN sizes sb ON sb.grp = group_b
+        ORDER BY group_a, group_b
+    """
+
+
 def q_simhash_md5(spark, sf_dir):
     """Engine-portable simhash signatures (md5 token hashes, hex output)
     — the oracle-checked twin of the xxhash64 scale path."""
@@ -3444,6 +3506,48 @@ def q_triangle_count(spark, sf_dir):
     return triangle_counts(edges.unionByName(chords)).orderBy("domain")
 
 
+def q_mirror_detect(spark, sf_dir):
+    """Host-level mirror detection: the leakage corpus's planted
+    syndication family (every %3 doc republished at 5/6-prefix under
+    'mir-'+source) runs through the banded md5-MinHash pair family,
+    then the pair relation lifts to the unordered SOURCE-pair grain —
+    n_dup_pairs, both side sizes, pair_share vs the smaller side, and
+    the integer mirror rule (≥ 1/4 of the smaller side). The planted
+    (srcX, mir-srcX) pairs fire; organic cross-source pairs don't."""
+    from mindocr_spark.functions.dedup import (
+        minhash_lsh_pairs_md5,
+        mirror_stats,
+    )
+    from mindocr_spark.functions.text import tokens_col
+
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    tk = base.where(F.pmod(F.col("doc_id"), F.lit(3)) == 0).select(
+        "doc_id", tokens_col("text").alias("toks"), "source"
+    )
+    variants = tk.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                F.col("toks"), F.lit(1),
+                F.expr("greatest(5, (size(toks) * 5) div 6)")
+                .cast("int"),
+            ),
+            " ",
+        ).alias("text"),
+        F.concat(F.lit("mir-"), F.col("source")).alias("source"),
+    )
+    docs = base.unionByName(variants)
+    pairs = minhash_lsh_pairs_md5(docs, threshold=0.35).select(
+        "id_a", "id_b"
+    )
+    membership = docs.select("doc_id", F.col("source").alias("group"))
+    return mirror_stats(pairs, membership, min_share=(1, 4)).orderBy(
+        "group_a", "group_b"
+    )
+
+
 def q_cooccur_itemsets(spark, sf_dir):
     """A-priori market-basket mining over the events table: items =
     the props $.k payloads, baskets = (user_id, calendar-day) distinct
@@ -5251,6 +5355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": _q(q_kcore),
         "triangle_count": _q(q_triangle_count),
         "cooccur_itemsets": _q(q_cooccur_itemsets),
+        "mirror_detect": _q(q_mirror_detect),
         "crawl_depth": _q(q_crawl_depth),
         "concordance": _q(q_concordance),
         "blockword_filter": _q(q_blockword_filter),
@@ -9317,6 +9422,7 @@ def oracle_sql() -> dict[str, str]:
         # composed with the exact shingle-Jaccard chain at threshold 0,
         # bucketed by quintile — the df-cap mirrored as in ngram_jaccard
         "leakage_audit": _leakage_audit_oracle(),
+        "mirror_detect": _mirror_detect_oracle(),
         "sitemap_index": _sitemap_index_oracle(),
         "hreflang_clusters": _hreflang_clusters_oracle(),
         "editdist_verify": _editdist_verify_oracle(),

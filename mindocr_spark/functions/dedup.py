@@ -1475,3 +1475,101 @@ def dup_alignment(
         F.col("off").cast("bigint").alias("align_offset"),
         "run_start_a",
     )
+
+
+def mirror_stats(
+    pairs: DataFrame,
+    membership: DataFrame,
+    min_share: tuple[int, int] = (1, 4),
+) -> DataFrame:
+    """Site-mirror detection: lift a doc-grain near-dup pair relation
+    to the GROUP grain (group = source/domain) and flag group pairs
+    whose duplication density says "same site served twice" — the
+    host-level signal Common-Crawl-style pipelines use to drop whole
+    mirrors instead of re-deciding per page.
+
+    ``pairs``: (id_a, id_b) candidate near-dup doc pairs (any of the
+    engine's pair families). ``membership``: (doc_id, group). Returns
+    one row per unordered CROSS-group pair: (group_a, group_b,
+    n_dup_pairs, n_a, n_b, pair_share, is_mirror) where pair_share =
+    n_dup_pairs / min(n_a, n_b) (pairs grain — a doc with two partners
+    counts twice; shares can exceed 1.0 on heavily-templated sites)
+    and is_mirror is the INTEGER rule n_dup_pairs·den ≥ num·min(n_a,
+    n_b) — both engines decide every boundary identically.
+
+    100 TB shape: two uniform broadcast-able joins to label pair
+    endpoints (membership is group-cardinality bookkeeping next to the
+    corpus), one map-side-combinable groupBy on the unordered group
+    pair, one group-size agg joined back at group-pair cardinality.
+    The quadratic work happened upstream in the banded pair family —
+    this stage is linear in the candidate set.
+
+    Reference analog: CollectNode aggregates per-image results to the
+    batch grain before deciding completeness (reference:
+    deploy/py_infer/src/parallel/module/common/collect_node.py:72-99);
+    this is the same lift-to-container-grain shape."""
+    num, den = min_share
+    if num < 0 or den < 1:
+        raise ValueError(f"min_share must be (num ≥ 0, den ≥ 1)")
+
+    sizes = tracked_persist(
+        membership.groupBy("group").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs")
+        )
+    )
+    lab = (
+        pairs.join(
+            membership.select(
+                F.col("doc_id").alias("id_a"), F.col("group").alias("ga")
+            ),
+            "id_a",
+        )
+        .join(
+            membership.select(
+                F.col("doc_id").alias("id_b"), F.col("group").alias("gb")
+            ),
+            "id_b",
+        )
+        .where(F.col("ga") != F.col("gb"))
+        .groupBy(
+            F.least("ga", "gb").alias("group_a"),
+            F.greatest("ga", "gb").alias("group_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
+    )
+    mn = F.least("n_a", "n_b")
+    return (
+        lab.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("group").alias("group_a"),
+                    F.col("n_docs").alias("n_a"),
+                )
+            ),
+            "group_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("group").alias("group_b"),
+                    F.col("n_docs").alias("n_b"),
+                )
+            ),
+            "group_b",
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "n_dup_pairs",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_dup_pairs").cast("double")
+                / mn.cast("double"),
+                6,
+            ).alias("pair_share"),
+            (
+                F.col("n_dup_pairs") * F.lit(den) >= F.lit(num) * mn
+            ).alias("is_mirror"),
+        )
+    )

@@ -681,3 +681,52 @@ def test_dup_alignment_tie_and_no_overlap(spark):
     # 'a b c' matches at pa=1 (off 0) and pa=7 (off 6): equal run_len 1,
     # tie breaks to the SMALLER offset
     assert (r["doc_b"], r["run_len"], r["align_offset"]) == (2, 1, 0)
+
+
+class TestMirrorStats:
+    def _run(self, spark, pairs, member, **kw):
+        from mindocr_spark.functions.dedup import mirror_stats
+
+        p = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+        m = spark.createDataFrame(member, "doc_id bigint, group string")
+        out = mirror_stats(p, m, **kw).collect()
+        return {(r["group_a"], r["group_b"]): r for r in out}
+
+    def test_planted_mirror_fires_and_organic_does_not(self, spark):
+        # site A: docs 0-3, its mirror M: docs 10-13 (all 4 duplicated);
+        # site B: docs 20-23 with ONE stray dup into A
+        member = (
+            [(i, "a") for i in range(4)]
+            + [(10 + i, "m") for i in range(4)]
+            + [(20 + i, "b") for i in range(4)]
+        )
+        pairs = [(i, 10 + i) for i in range(4)] + [(0, 20)]
+        out = self._run(spark, pairs, member, min_share=(1, 2))
+        am = out[("a", "m")]
+        assert (am["n_dup_pairs"], am["n_a"], am["n_b"]) == (4, 4, 4)
+        assert am["pair_share"] == 1.0 and am["is_mirror"]
+        ab = out[("a", "b")]
+        assert ab["n_dup_pairs"] == 1 and not ab["is_mirror"]
+        assert ab["pair_share"] == 0.25
+
+    def test_within_group_pairs_excluded(self, spark):
+        member = [(0, "a"), (1, "a"), (2, "b")]
+        out = self._run(spark, [(0, 1)], member)
+        assert out == {}
+
+    def test_integer_boundary_exact(self, spark):
+        # min side 4 docs, rule 1/4: exactly 1 pair sits ON the boundary
+        member = [(i, "a") for i in range(4)] + [(10, "m"), (11, "m"),
+                                                 (12, "m"), (13, "m")]
+        out = self._run(spark, [(0, 10)], member, min_share=(1, 4))
+        assert out[("a", "m")]["is_mirror"] is True
+
+    def test_guard(self, spark):
+        import pytest as _pytest
+
+        from mindocr_spark.functions.dedup import mirror_stats
+
+        p = spark.createDataFrame([(0, 1)], "id_a bigint, id_b bigint")
+        m = spark.createDataFrame([(0, "a")], "doc_id bigint, group string")
+        with _pytest.raises(ValueError):
+            mirror_stats(p, m, min_share=(1, 0))
