@@ -3506,6 +3506,41 @@ def q_triangle_count(spark, sf_dir):
     return triangle_counts(edges.unionByName(chords)).orderBy("domain")
 
 
+def q_bot_detect(spark, sf_dir):
+    """Request-log bot scrubbing: per-user cadence statistics (span,
+    min/max/distinct inter-arrival gaps, peak 60-second burst) with
+    two integer verdict rules — metronome (≥ 20 events, exactly one
+    distinct gap) and burst (≥ 30 events in 60 s). Two planted
+    automation users (a 5-second-timer scraper and a 90-event burst)
+    fire; the organic population's exact statistics are oracle-checked
+    alongside."""
+    from mindocr_spark.functions.traffic import bot_session_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    metro = spark.range(120).select(
+        F.lit(900001).cast("bigint").alias("user_id"),
+        (F.col("id") + 10_000_000).alias("event_id"),
+        F.expr(
+            "timestampadd(SECOND, id * 5,"
+            " TIMESTAMP_NTZ'2024-01-05 00:00:00')"
+        ).alias("ts"),
+    )
+    burst = spark.range(90).select(
+        F.lit(900002).cast("bigint").alias("user_id"),
+        (F.col("id") + 11_000_000).alias("event_id"),
+        F.expr(
+            "timestampadd(SECOND, id div 2,"
+            " TIMESTAMP_NTZ'2024-01-06 00:00:00')"
+        ).alias("ts"),
+    )
+    all_ev = ev.unionByName(metro).unionByName(burst)
+    return bot_session_stats(
+        all_ev, min_metronome_events=20, burst_events_60s=30
+    ).orderBy("user_id")
+
+
 def q_mirror_detect(spark, sf_dir):
     """Host-level mirror detection: the leakage corpus's planted
     syndication family (every %3 doc republished at 5/6-prefix under
@@ -5356,6 +5391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q(q_triangle_count),
         "cooccur_itemsets": _q(q_cooccur_itemsets),
         "mirror_detect": _q(q_mirror_detect),
+        "bot_detect": _q(q_bot_detect),
         "crawl_depth": _q(q_crawl_depth),
         "concordance": _q(q_concordance),
         "blockword_filter": _q(q_blockword_filter),
@@ -9423,6 +9459,54 @@ def oracle_sql() -> dict[str, str]:
         # bucketed by quintile — the df-cap mirrored as in ngram_jaccard
         "leakage_audit": _leakage_audit_oracle(),
         "mirror_detect": _mirror_detect_oracle(),
+        "bot_detect": r"""
+            WITH metro AS (
+              SELECT CAST(900001 AS BIGINT) AS user_id,
+                     CAST(10000000 + i AS BIGINT) AS event_id,
+                     TIMESTAMP '2024-01-05 00:00:00'
+                       + INTERVAL (i * 5) SECOND AS ts
+              FROM (SELECT CAST(range AS BIGINT) AS i FROM range(120))),
+            brst AS (
+              SELECT CAST(900002 AS BIGINT) AS user_id,
+                     CAST(11000000 + i AS BIGINT) AS event_id,
+                     TIMESTAMP '2024-01-06 00:00:00'
+                       + INTERVAL (i // 2) SECOND AS ts
+              FROM (SELECT CAST(range AS BIGINT) AS i FROM range(90))),
+            ev AS (
+              SELECT user_id, event_id, ts FROM events
+              UNION ALL SELECT * FROM metro
+              UNION ALL SELECT * FROM brst),
+            es AS (
+              SELECT user_id, event_id,
+                     date_diff('second',
+                               TIMESTAMP '1970-01-01 00:00:00', ts) AS es
+              FROM ev),
+            g AS (
+              SELECT user_id, es,
+                     es - lag(es) OVER (PARTITION BY user_id
+                                        ORDER BY es, event_id) AS gap_s,
+                     count(*) OVER (PARTITION BY user_id ORDER BY es
+                                    RANGE BETWEEN 59 PRECEDING
+                                    AND CURRENT ROW) AS burst
+              FROM es),
+            agg AS (
+              SELECT user_id,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(max(es) - min(es) AS BIGINT) AS span_s,
+                     CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+                     CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+                     CAST(count(DISTINCT gap_s) AS BIGINT)
+                       AS n_distinct_gaps,
+                     CAST(max(burst) AS BIGINT) AS max_burst_60s
+              FROM g GROUP BY user_id)
+            SELECT user_id, n_events, span_s, min_gap_s, max_gap_s,
+                   n_distinct_gaps, max_burst_60s,
+                   (n_events >= 20 AND n_distinct_gaps = 1)
+                     AS is_metronome,
+                   (max_burst_60s >= 30) AS is_burst,
+                   ((n_events >= 20 AND n_distinct_gaps = 1)
+                    OR max_burst_60s >= 30) AS is_bot
+            FROM agg ORDER BY user_id""",
         "sitemap_index": _sitemap_index_oracle(),
         "hreflang_clusters": _hreflang_clusters_oracle(),
         "editdist_verify": _editdist_verify_oracle(),

@@ -224,6 +224,7 @@ def main() -> None:
         "triangle_count",       # triad-density (clustering) spam signal
         "cooccur_itemsets",     # A-priori basket co-occurrence + lift
         "mirror_detect",        # host-level mirror (dup-density) rollup
+        "bot_detect",           # request-cadence bot scrubbing
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

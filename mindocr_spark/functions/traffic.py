@@ -1,0 +1,96 @@
+"""traffic — request-log bot detection for crawl/serving hygiene.
+
+A web-scale corpus pipeline sits downstream of request logs twice: its
+OWN crawler must not be fooled by bot-generated engagement signals, and
+click/view streams used for quality priors must be scrubbed of
+automation first. The two cheapest high-precision signals, both pure
+integer arithmetic over per-user inter-arrival times:
+
+1. **Metronome cadence** — scripted clients fire on a timer; a user
+   with ≥ N events and exactly ONE distinct inter-arrival gap is a
+   machine (humans never tick).
+2. **Burst rate** — more events inside one 60-second window than a
+   human can produce.
+
+100 TB shape: one shuffle on the user key carries everything — the two
+lag/window passes and the final per-user aggregate all ride the SAME
+(user, time) sort, so Spark plans ONE Exchange + ONE Sort; the burst
+count is a RANGE frame (peers included by value, not row order — ties
+are deterministic in both engines). Timestamps convert to epoch
+seconds ONCE via the NTZ-anchored timestampdiff (the tz-proof
+discipline every timestamp query in this repo uses) and every
+downstream comparison is BIGINT.
+
+Reference lineage: the reference's profiler aggregates per-step
+latencies to flag outlier stages (reference:
+deploy/py_infer/src/framework/module_base.py send/recv timing); this
+is the same cadence-statistics shape applied to request streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+#: epoch-seconds conversion that is identical in Spark (TIMESTAMP_NTZ)
+#: and DuckDB (naive TIMESTAMP): whole seconds since a zero-microsecond
+#: anchor — elapsed-unit and boundary-crossing semantics coincide.
+_ES = "timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+
+
+def bot_session_stats(
+    events: DataFrame,
+    min_metronome_events: int = 20,
+    burst_events_60s: int = 30,
+) -> DataFrame:
+    """Per-user traffic-cadence statistics + bot verdicts.
+
+    Returns (user_id, n_events, span_s, min_gap_s, max_gap_s,
+    n_distinct_gaps, max_burst_60s, is_metronome, is_burst, is_bot).
+    Gap columns are NULL for single-event users (undefined, not 0 —
+    the failure-flow NULL discipline); verdicts are total booleans.
+    Events are ordered by (ts, event_id) so identical timestamps break
+    ties identically in both engines."""
+    if min_metronome_events < 2 or burst_events_60s < 2:
+        raise ValueError(
+            "thresholds must be ≥ 2, got "
+            f"{min_metronome_events}/{burst_events_60s}"
+        )
+    es = events.select(
+        "user_id",
+        "event_id",
+        F.expr(_ES).cast("bigint").alias("es"),
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("es", "event_id")
+    w_burst = (
+        Window.partitionBy("user_id").orderBy("es").rangeBetween(-59, 0)
+    )
+    g = es.select(
+        "user_id",
+        "es",
+        (F.col("es") - F.lag("es").over(w_seq)).alias("gap_s"),
+        F.count(F.lit(1)).over(w_burst).alias("burst"),
+    )
+    agg = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.max("es") - F.min("es")).cast("bigint").alias("span_s"),
+        F.min("gap_s").cast("bigint").alias("min_gap_s"),
+        F.max("gap_s").cast("bigint").alias("max_gap_s"),
+        F.count_distinct("gap_s").cast("bigint").alias("n_distinct_gaps"),
+        F.max("burst").cast("bigint").alias("max_burst_60s"),
+    )
+    is_metro = (F.col("n_events") >= min_metronome_events) & (
+        F.col("n_distinct_gaps") == 1
+    )
+    is_burst = F.col("max_burst_60s") >= burst_events_60s
+    return agg.select(
+        "user_id",
+        "n_events",
+        "span_s",
+        "min_gap_s",
+        "max_gap_s",
+        "n_distinct_gaps",
+        "max_burst_60s",
+        is_metro.alias("is_metronome"),
+        is_burst.alias("is_burst"),
+        (is_metro | is_burst).alias("is_bot"),
+    )

@@ -1,0 +1,78 @@
+"""Bot-cadence detection — planted metronome/burst goldens + guards."""
+
+import datetime as dt
+
+import pytest
+
+
+def _events(spark, rows):
+    """rows: (user_id, event_id, epoch_offset_s) anchored at 2024-01-01."""
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (u, e, base + dt.timedelta(seconds=s)) for (u, e, s) in rows
+    ]
+    return spark.createDataFrame(
+        data, "user_id bigint, event_id bigint, ts timestamp_ntz"
+    )
+
+
+def _run(spark, rows, **kw):
+    from mindocr_spark.functions.traffic import bot_session_stats
+
+    out = bot_session_stats(_events(spark, rows), **kw).collect()
+    return {r["user_id"]: r for r in out}
+
+
+class TestBotSessionStats:
+    def test_metronome_fires(self, spark):
+        rows = [(1, i, i * 7) for i in range(20)]
+        r = _run(spark, rows)[1]
+        assert (r["n_events"], r["span_s"]) == (20, 133)
+        assert (r["min_gap_s"], r["max_gap_s"], r["n_distinct_gaps"]) == (
+            7, 7, 1)
+        assert r["is_metronome"] and not r["is_burst"] and r["is_bot"]
+
+    def test_metronome_needs_event_floor(self, spark):
+        # perfect cadence but only 5 events — not enough evidence
+        rows = [(1, i, i * 7) for i in range(5)]
+        r = _run(spark, rows)[1]
+        assert r["n_distinct_gaps"] == 1 and not r["is_metronome"]
+
+    def test_burst_fires(self, spark):
+        # 30 events inside 10 seconds, then nothing
+        rows = [(2, i, i // 3) for i in range(30)]
+        r = _run(spark, rows, burst_events_60s=30)[2]
+        assert r["max_burst_60s"] == 30
+        assert r["is_burst"] and r["is_bot"]
+        # gaps alternate 0/1 → two distinct values, no metronome
+        assert r["n_distinct_gaps"] == 2 and not r["is_metronome"]
+
+    def test_burst_window_is_sliding_not_fixed(self, spark):
+        # two 20-event runs, each under the 30 floor alone; the sliding
+        # [5..64] window catches the first run's tail (t=5..19, 15
+        # events) plus the whole second run (t=45..64, 20) = 35
+        rows = [(3, i, i) for i in range(20)] + [
+            (3, 100 + i, 45 + i) for i in range(20)
+        ]
+        r = _run(spark, rows, burst_events_60s=30)[3]
+        assert r["max_burst_60s"] == 35
+        assert r["is_burst"]
+
+    def test_human_and_single_event(self, spark):
+        rows = [(4, 0, 0), (4, 1, 13), (4, 2, 1000), (5, 9, 42)]
+        out = _run(spark, rows)
+        h = out[4]
+        assert h["n_distinct_gaps"] == 2 and not h["is_bot"]
+        s = out[5]
+        assert s["n_events"] == 1 and s["span_s"] == 0
+        assert s["min_gap_s"] is None and s["max_gap_s"] is None
+        assert s["n_distinct_gaps"] == 0 and not s["is_bot"]
+
+    def test_guards(self, spark):
+        from mindocr_spark.functions.traffic import bot_session_stats
+
+        df = _events(spark, [(1, 0, 0)])
+        with pytest.raises(ValueError):
+            bot_session_stats(df, min_metronome_events=1)
+        with pytest.raises(ValueError):
+            bot_session_stats(df, burst_events_60s=0)
