@@ -1594,6 +1594,31 @@ def _leakage_audit_oracle() -> str:
     """
 
 
+def _stem_collapse_oracle() -> str:
+    """Twin of q_stem_collapse: the tokenize-explode + the S-stemmer
+    CASE chain RENDERED from the same S_STEM_RULES constant."""
+    from mindocr_spark.functions.text import s_stem_sql
+
+    return f"""
+        WITH tk AS (
+          SELECT coalesce(lang, 'und') AS lang, lower(t.tok) AS tok
+          FROM documents,
+               UNNEST(string_split(trim(regexp_replace(text,
+                 '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ')) AS t(tok)
+          WHERE t.tok != ''),
+        st AS (SELECT lang, tok, {s_stem_sql("tok")} AS stem FROM tk)
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT tok) AS BIGINT) AS n_types,
+               CAST(count(DISTINCT stem) AS BIGINT) AS n_stems,
+               round(CAST(count(DISTINCT tok) - count(DISTINCT stem)
+                          AS DOUBLE)
+                     / CAST(count(DISTINCT tok) AS DOUBLE), 6)
+                 AS reduction
+        FROM st GROUP BY lang ORDER BY lang
+    """
+
+
 def _mirror_detect_oracle() -> str:
     """Twin of q_mirror_detect: the leakage variant corpus, the
     md5-banding pair chain, then the source-pair rollup with the
@@ -3506,6 +3531,16 @@ def q_triangle_count(spark, sf_dir):
     return triangle_counts(edges.unionByName(chords)).orderBy("domain")
 
 
+def q_stem_collapse(spark, sf_dir):
+    """Per-language S-stemmer (Harman 1991) vocabulary-collapse audit:
+    token count, surface-type count, stem count, and the reduction
+    fraction the three suffix rules buy. The CASE chain is shared with
+    the oracle by construction (both rendered from S_STEM_RULES)."""
+    from mindocr_spark.functions.text import stem_stats
+
+    return stem_stats(_t(spark, sf_dir, "documents")).orderBy("lang")
+
+
 def q_bot_detect(spark, sf_dir):
     """Request-log bot scrubbing: per-user cadence statistics (span,
     min/max/distinct inter-arrival gaps, peak 60-second burst) with
@@ -5392,6 +5427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccur_itemsets": _q(q_cooccur_itemsets),
         "mirror_detect": _q(q_mirror_detect),
         "bot_detect": _q(q_bot_detect),
+        "stem_collapse": _q(q_stem_collapse),
         "crawl_depth": _q(q_crawl_depth),
         "concordance": _q(q_concordance),
         "blockword_filter": _q(q_blockword_filter),
@@ -9459,6 +9495,7 @@ def oracle_sql() -> dict[str, str]:
         # bucketed by quintile — the df-cap mirrored as in ngram_jaccard
         "leakage_audit": _leakage_audit_oracle(),
         "mirror_detect": _mirror_detect_oracle(),
+        "stem_collapse": _stem_collapse_oracle(),
         "bot_detect": r"""
             WITH metro AS (
               SELECT CAST(900001 AS BIGINT) AS user_id,

@@ -225,6 +225,7 @@ def main() -> None:
         "cooccur_itemsets",     # A-priori basket co-occurrence + lift
         "mirror_detect",        # host-level mirror (dup-density) rollup
         "bot_detect",           # request-cadence bot scrubbing
+        "stem_collapse",        # S-stemmer vocabulary-collapse audit
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

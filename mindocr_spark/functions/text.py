@@ -2533,3 +2533,92 @@ def homoglyph_cols(df: DataFrame, text_col: str = "text",
         n_mixed.cast("bigint").alias("n_mixed"),
         (n_mixed > 0).alias("spoof"),
     )
+
+
+# --------------------------------------------------------------------------
+# S-stemmer (Harman 1991) — suffix-rule vocabulary collapse
+# --------------------------------------------------------------------------
+
+#: Harman's S-stemmer: three ordered suffix rules, FIRST match wins,
+#: at most one rule fires per word. (suffix, exception-suffixes,
+#: replacement). The classic low-risk IR stemmer — unlike Porter it
+#: never touches derivational morphology, so it is safely expressible
+#: as a pure CASE chain shared verbatim by both engines (the SQL twin
+#: is RENDERED from this constant — zero drift possible).
+S_STEM_RULES = (
+    ("ies", ("eies", "aies"), "y"),
+    ("es", ("aes", "ees", "oes"), "e"),
+    ("s", ("us", "ss"), ""),
+)
+
+
+def s_stem_col(c: Column | str) -> Column:
+    """Apply the S-stemmer to one (already lower-cased) token column.
+    Row-local CASE chain — whole-stage codegen, zero shuffles."""
+    w = F.col(c) if isinstance(c, str) else c
+    result = None
+    for suf, exceptions, rep in S_STEM_RULES:
+        cond = w.endswith(suf)
+        for exc in exceptions:
+            cond = cond & ~w.endswith(exc)
+        stemmed = F.concat(
+            w.substr(F.lit(1), F.length(w) - F.lit(len(suf))),
+            F.lit(rep),
+        )
+        result = (
+            result.when(cond, stemmed)
+            if result is not None
+            else F.when(cond, stemmed)
+        )
+    return result.otherwise(w)
+
+
+def s_stem_sql(expr: str) -> str:
+    """DuckDB CASE-chain twin of `s_stem_col`, rendered from the SAME
+    `S_STEM_RULES` constant."""
+    parts = ["CASE"]
+    for suf, exceptions, rep in S_STEM_RULES:
+        conds = [f"ends_with({expr}, '{suf}')"] + [
+            f"NOT ends_with({expr}, '{exc}')" for exc in exceptions
+        ]
+        parts.append(
+            " WHEN " + " AND ".join(conds)
+            + f" THEN substr({expr}, 1, length({expr}) - {len(suf)})"
+            + f" || '{rep}'"
+        )
+    parts.append(f" ELSE {expr} END")
+    return "".join(parts)
+
+
+def stem_stats(
+    df: DataFrame, text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """Per-language vocabulary-collapse audit for the S-stemmer:
+    (lang, n_tokens, n_types, n_stems, reduction) where reduction =
+    (n_types − n_stems) / n_types — how much of the surface vocabulary
+    the three suffix rules fold together. The dataset-card number that
+    says whether stemming is worth a pipeline stage for a language
+    (English collapses hard; isolating languages barely move).
+
+    100 TB shape: one narrow tokenize-explode (no window, no Python),
+    stemming is a row-local codegen CASE, then ONE groupBy at language
+    cardinality — Spark rewrites the two DISTINCT aggregates into
+    expand + two-phase partial aggregation, so the (lang, token) grain
+    collapses map-side before the wire. NULL langs bucket 'und' (the
+    token_fertility discipline)."""
+    toks = df.select(
+        F.coalesce(F.col(lang_col), F.lit("und")).alias("lang"),
+        F.explode(tokens_col(text_col)).alias("raw"),
+    ).select("lang", F.lower("raw").alias("tok"))
+    t = toks.select("lang", "tok", s_stem_col("tok").alias("stem"))
+    n_types = F.count_distinct("tok")
+    n_stems = F.count_distinct("stem")
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        n_types.cast("bigint").alias("n_types"),
+        n_stems.cast("bigint").alias("n_stems"),
+        F.round(
+            (n_types - n_stems).cast("double") / n_types.cast("double"),
+            6,
+        ).alias("reduction"),
+    )

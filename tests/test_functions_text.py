@@ -1722,3 +1722,55 @@ def test_homoglyph_flags_mixed_not_foreign(spark):
     assert got[2] == (0, False)
     assert got[3] == (0, False)
     assert got[4] == (1, True)
+
+
+class TestSStemmer:
+    def test_rule_goldens(self, spark):
+        from mindocr_spark.functions.text import s_stem_col
+
+        words = ["ponies", "cities", "wishes", "goes", "bus", "class",
+                 "cats", "tree", "eies", "aies"]
+        df = spark.createDataFrame([(w,) for w in words], "w string")
+        out = {r["w"]: r["s"]
+               for r in df.select("w", s_stem_col("w").alias("s")).collect()}
+        assert out["ponies"] == "pony"
+        assert out["cities"] == "city"
+        # rule 2 drops only the s (Harman keeps the e)
+        assert out["wishes"] == "wishe"
+        # 'oes' blocks rule 2; the literal else-if chain falls through
+        # to rule 3 (documented behavior, identical in the SQL twin)
+        assert out["goes"] == "goe"
+        assert out["bus"] == "bus" and out["class"] == "class"
+        assert out["cats"] == "cat"
+        assert out["tree"] == "tree"
+        # rule-1 exceptions fall through to rule 2 (ends 'es', no
+        # exception matches) — they are shielded from ies→y only
+        assert out["eies"] == "eie" and out["aies"] == "aie"
+
+    def test_sql_twin_renders_from_same_rules(self):
+        import duckdb
+
+        from mindocr_spark.functions.text import s_stem_sql
+
+        rows = duckdb.sql(
+            "SELECT w, " + s_stem_sql("w") + " AS s FROM (VALUES "
+            "('ponies'), ('wishes'), ('goes'), ('bus'), ('cats')) t(w)"
+        ).fetchall()
+        assert dict(rows) == {"ponies": "pony", "wishes": "wishe",
+                              "goes": "goe", "bus": "bus", "cats": "cat"}
+
+    def test_stem_stats_golden_and_und_bucket(self, spark):
+        from mindocr_spark.functions.text import stem_stats
+
+        df = spark.createDataFrame(
+            [("cats cat Cats", "en"), ("ponies pony", "en"),
+             ("xyz", None)],
+            "text string, lang string",
+        )
+        out = {r["lang"]: r for r in stem_stats(df).collect()}
+        en = out["en"]
+        # tokens: cats cat cats ponies pony (lowered); types {cats,
+        # cat, ponies, pony}; stems {cat, pony}
+        assert (en["n_tokens"], en["n_types"], en["n_stems"]) == (5, 4, 2)
+        assert en["reduction"] == 0.5
+        assert out["und"]["n_tokens"] == 1
