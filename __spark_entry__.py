@@ -3531,6 +3531,27 @@ def q_triangle_count(spark, sf_dir):
     return triangle_counts(edges.unionByName(chords)).orderBy("domain")
 
 
+def q_mad_outliers(spark, sf_dir):
+    """Robust (median/MAD) value-outlier scrubbing per event type:
+    seven planted 'purchase' events at 50–56× the organic scale
+    contaminate the stream; the median/MAD fence barely moves and
+    flags exactly them (a mean/stddev gate's own threshold would have
+    chased the contamination). Integer-cents quantization makes every
+    number in the chain a dyadic rational — bit-exact cross-engine."""
+    from mindocr_spark.functions.traffic import mad_outlier_stats
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    planted = spark.range(7).select(
+        F.lit("purchase").alias("event_type"),
+        (F.lit(5000) + F.col("id") * F.lit(100)).cast("double").alias(
+            "value"
+        ),
+    )
+    return mad_outlier_stats(
+        ev.unionByName(planted), k=5
+    ).orderBy("event_type")
+
+
 def q_stem_collapse(spark, sf_dir):
     """Per-language S-stemmer (Harman 1991) vocabulary-collapse audit:
     token count, surface-type count, stem count, and the reduction
@@ -5428,6 +5449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_detect": _q(q_mirror_detect),
         "bot_detect": _q(q_bot_detect),
         "stem_collapse": _q(q_stem_collapse),
+        "mad_outliers": _q(q_mad_outliers),
         "crawl_depth": _q(q_crawl_depth),
         "concordance": _q(q_concordance),
         "blockword_filter": _q(q_blockword_filter),
@@ -9496,6 +9518,37 @@ def oracle_sql() -> dict[str, str]:
         "leakage_audit": _leakage_audit_oracle(),
         "mirror_detect": _mirror_detect_oracle(),
         "stem_collapse": _stem_collapse_oracle(),
+        "mad_outliers": r"""
+            WITH pl AS (
+              SELECT 'purchase' AS event_type,
+                     CAST(5000 + i * 100 AS DOUBLE) AS value
+              FROM (SELECT CAST(range AS BIGINT) AS i FROM range(7))),
+            ev AS (
+              SELECT event_type, value FROM events
+              UNION ALL SELECT * FROM pl),
+            base AS (
+              SELECT event_type AS grp,
+                     CAST(round(value * 100.0, 0) AS BIGINT) AS c
+              FROM ev WHERE value IS NOT NULL),
+            med AS (
+              SELECT grp, quantile_cont(c, 0.5) AS med_c
+              FROM base GROUP BY grp),
+            dev AS (
+              SELECT b.grp, med_c,
+                     abs(CAST(c AS DOUBLE) - med_c) AS adev
+              FROM base b JOIN med USING (grp)),
+            mad AS (
+              SELECT grp, quantile_cont(adev, 0.5) AS mad_c
+              FROM dev GROUP BY grp)
+            SELECT d.grp AS event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(med_c) / CAST(100.0 AS DOUBLE) AS med_value,
+                   min(mad_c) / CAST(100.0 AS DOUBLE) AS mad_value,
+                   CAST(sum(CASE WHEN adev > CAST(5 AS DOUBLE) * mad_c
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_outliers
+            FROM dev d JOIN mad USING (grp)
+            GROUP BY d.grp ORDER BY event_type""",
         "bot_detect": r"""
             WITH metro AS (
               SELECT CAST(900001 AS BIGINT) AS user_id,

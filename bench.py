@@ -226,6 +226,7 @@ def main() -> None:
         "mirror_detect",        # host-level mirror (dup-density) rollup
         "bot_detect",           # request-cadence bot scrubbing
         "stem_collapse",        # S-stemmer vocabulary-collapse audit
+        "mad_outliers",         # median/MAD robust value fence
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

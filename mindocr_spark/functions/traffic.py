@@ -94,3 +94,78 @@ def bot_session_stats(
         is_burst.alias("is_burst"),
         (is_metro | is_burst).alias("is_bot"),
     )
+
+
+def mad_outlier_stats(
+    events: DataFrame,
+    k: int = 5,
+    value_col: str = "value",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Median/MAD robust outlier scrubbing per group — the
+    contamination-resistant alternative to mean/stddev gating (a bot
+    pumping 10^4× values MOVES a mean gate's own threshold; the median
+    and MAD barely notice, which is exactly why robust statistics are
+    the right fence for adversarial value streams).
+
+    Returns (event_type, n_events, med_value, mad_value, n_outliers)
+    where an outlier is |v − median| > k·MAD.
+
+    Cross-engine exactness: values quantize to integer CENTS first
+    (round half-away, identical both engines), so the median is
+    .5-quantized, absolute deviations are .5-quantized doubles, and
+    the MAD is .25-quantized — every number in the chain is a dyadic
+    rational far inside 2^53, making the whole computation bit-exact
+    in IEEE regardless of interpolation-formula ulp differences.
+
+    100 TB shape: two shuffles on the group key (median, then MAD —
+    irreducible for exact MAD), deviation relation persisted (it feeds
+    the MAD aggregate AND the final flag pass). Exact `percentile`
+    buffers each group on its reducer: at 10^12-row groups swap in
+    `approx_percentile` (t-digest, map-side combinable) — one function
+    name, same schema (the length_quantiles discipline)."""
+    from mindocr_spark.cache import tracked_persist
+
+    if k < 1:
+        raise ValueError(f"k must be ≥ 1, got {k}")
+    cents = F.round(F.col(value_col) * F.lit(100.0), 0).cast("bigint")
+    base = events.select(
+        F.col(group_col).alias("grp"), cents.alias("c")
+    ).where(F.col("c").isNotNull())
+    med = base.groupBy("grp").agg(
+        F.percentile("c", F.lit(0.5)).alias("med_c")
+    )
+    dev = tracked_persist(
+        base.join(med, "grp").select(
+            "grp",
+            "med_c",
+            F.abs(F.col("c").cast("double") - F.col("med_c")).alias(
+                "adev"
+            ),
+        )
+    )
+    mad = dev.groupBy("grp").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad_c")
+    )
+    return (
+        dev.join(mad, "grp")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (F.min("med_c") / F.lit(100.0)).alias("med_value"),
+            (F.min("mad_c") / F.lit(100.0)).alias("mad_value"),
+            F.sum(
+                (
+                    F.col("adev")
+                    > F.lit(float(k)) * F.col("mad_c")
+                ).cast("bigint")
+            ).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_events",
+            "med_value",
+            "mad_value",
+            "n_outliers",
+        )
+    )

@@ -76,3 +76,49 @@ class TestBotSessionStats:
             bot_session_stats(df, min_metronome_events=1)
         with pytest.raises(ValueError):
             bot_session_stats(df, burst_events_60s=0)
+
+
+class TestMadOutliers:
+    def _run(self, spark, rows, **kw):
+        from mindocr_spark.functions.traffic import mad_outlier_stats
+
+        df = spark.createDataFrame(rows, "event_type string, value double")
+        out = mad_outlier_stats(df, **kw).collect()
+        return {r["event_type"]: r for r in out}
+
+    def test_hand_computed_golden(self, spark):
+        # values 1..7 plus a 1000.0 contaminant: median 4.5 (8 values),
+        # adevs {3.5,2.5,1.5,0.5,0.5,1.5,2.5,995.5} → MAD 2.0; fence
+        # 5·2.0 = 10 → exactly the contaminant is out
+        rows = [("a", float(v)) for v in range(1, 8)] + [("a", 1000.0)]
+        r = self._run(spark, rows, k=5)["a"]
+        assert r["n_events"] == 8
+        assert r["med_value"] == 4.5
+        assert r["mad_value"] == 2.0
+        assert r["n_outliers"] == 1
+
+    def test_median_resists_contamination(self, spark):
+        # mean-based gate would move by ~125 here; the median moves by
+        # half a step and the same single row is flagged
+        rows = [("a", float(v)) for v in range(1, 8)] + [("a", 1e6)]
+        r = self._run(spark, rows, k=5)["a"]
+        assert r["med_value"] == 4.5 and r["n_outliers"] == 1
+
+    def test_all_equal_values_zero_mad_no_outliers(self, spark):
+        rows = [("b", 7.0)] * 5
+        r = self._run(spark, rows)["b"]
+        assert r["mad_value"] == 0.0 and r["n_outliers"] == 0
+
+    def test_cents_quantization(self, spark):
+        # 0.005 rounds half-away to 1 cent in both engines
+        rows = [("c", 0.005), ("c", 0.01), ("c", 0.01)]
+        r = self._run(spark, rows)["c"]
+        assert r["med_value"] == 0.01
+
+    def test_guard(self, spark):
+        from mindocr_spark.functions.traffic import mad_outlier_stats
+
+        df = spark.createDataFrame([("a", 1.0)],
+                                   "event_type string, value double")
+        with pytest.raises(ValueError):
+            mad_outlier_stats(df, k=0)
