@@ -1594,6 +1594,64 @@ def _leakage_audit_oracle() -> str:
     """
 
 
+def _rank_stability_oracle(k: int = 10, p: float = 0.9) -> str:
+    """Twin of q_rank_stability: same tokenization, same (count DESC,
+    token ASC) rank tie-break, same depth weights RENDERED from
+    rbo_weights (string-cast literals — shortest-roundtrip parse gives
+    the identical double), same depth-ordered fold."""
+    from mindocr_spark.functions.search import rbo_weights
+
+    w_rows = ", ".join(
+        f"({d}, CAST('{w!r}' AS DOUBLE))" for d, w in rbo_weights(k, p)
+    )
+    return f"""
+        WITH tk AS (
+          SELECT coalesce(lang, 'und') AS lang, doc_id % 2 AS half,
+                 lower(t.tok) AS tok
+          FROM documents,
+               UNNEST(string_split(trim(regexp_replace(text,
+                 '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ')) AS t(tok)
+          WHERE t.tok != ''),
+        counts AS (
+          SELECT lang, half, tok, count(*) AS n
+          FROM tk GROUP BY lang, half, tok),
+        ranked AS (
+          SELECT lang, half, tok,
+                 row_number() OVER (PARTITION BY lang, half
+                                    ORDER BY n DESC, tok ASC) AS rk
+          FROM counts QUALIFY rk <= {k}),
+        pairs AS (
+          SELECT a.lang, a.tok, a.rk AS ra, b.rk AS rb
+          FROM ranked a
+          JOIN ranked b ON a.lang = b.lang AND a.tok = b.tok
+          WHERE a.half = 0 AND b.half = 1),
+        depths(d, w) AS (VALUES {w_rows}),
+        contrib AS (
+          SELECT lang, d,
+                 (CAST(count(*) AS DOUBLE) / CAST(d AS DOUBLE)) * w AS c
+          FROM pairs CROSS JOIN depths
+          WHERE greatest(ra, rb) <= d
+          GROUP BY lang, d, w),
+        folded AS (
+          SELECT lang,
+                 COALESCE(list_reduce(list(c ORDER BY d),
+                                      (x, y) -> x + y), 0.0) AS r
+          FROM contrib GROUP BY lang),
+        common AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_common
+          FROM pairs GROUP BY lang),
+        langs AS (SELECT DISTINCT lang FROM counts)
+        SELECT l.lang,
+               CAST(COALESCE(cm.n_common, 0) AS BIGINT)
+                 AS n_common_topk,
+               round(COALESCE(f.r, CAST(0.0 AS DOUBLE)), 6) AS rbo
+        FROM langs l
+        LEFT JOIN common cm USING (lang)
+        LEFT JOIN folded f USING (lang)
+        ORDER BY lang
+    """
+
+
 def _stem_collapse_oracle() -> str:
     """Twin of q_stem_collapse: the tokenize-explode + the S-stemmer
     CASE chain RENDERED from the same S_STEM_RULES constant."""
@@ -3531,6 +3589,21 @@ def q_triangle_count(spark, sf_dir):
     return triangle_counts(edges.unionByName(chords)).orderBy("domain")
 
 
+def q_rank_stability(spark, sf_dir):
+    """Rank-biased overlap (Webber et al. 2010, truncated, normalized
+    weights) of each language's top-10 token ranking between the two
+    doc_id-parity halves of the corpus — the rank-grain stability
+    audit next to unigram_drift's distribution-grain KL. Depth weights
+    are computed once in Python and embedded as literals in BOTH
+    engines; the depth-ordered sorted fold makes the IEEE sum
+    bit-exact."""
+    from mindocr_spark.functions.search import rbo_rank_stability
+
+    return rbo_rank_stability(
+        _t(spark, sf_dir, "documents"), k=10, p=0.9
+    ).orderBy("lang")
+
+
 def q_mad_outliers(spark, sf_dir):
     """Robust (median/MAD) value-outlier scrubbing per event type:
     seven planted 'purchase' events at 50–56× the organic scale
@@ -5450,6 +5523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bot_detect": _q(q_bot_detect),
         "stem_collapse": _q(q_stem_collapse),
         "mad_outliers": _q(q_mad_outliers),
+        "rank_stability": _q(q_rank_stability),
         "crawl_depth": _q(q_crawl_depth),
         "concordance": _q(q_concordance),
         "blockword_filter": _q(q_blockword_filter),
@@ -9518,6 +9592,7 @@ def oracle_sql() -> dict[str, str]:
         "leakage_audit": _leakage_audit_oracle(),
         "mirror_detect": _mirror_detect_oracle(),
         "stem_collapse": _stem_collapse_oracle(),
+        "rank_stability": _rank_stability_oracle(k=10, p=0.9),
         "mad_outliers": r"""
             WITH pl AS (
               SELECT 'purchase' AS event_type,

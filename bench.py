@@ -227,6 +227,7 @@ def main() -> None:
         "bot_detect",           # request-cadence bot scrubbing
         "stem_collapse",        # S-stemmer vocabulary-collapse audit
         "mad_outliers",         # median/MAD robust value fence
+        "rank_stability",       # RBO top-k corpus-stability audit
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

@@ -506,3 +506,105 @@ def tfidf_cosine_topk(
         .where(F.col("rank") <= k)
         .select("doc_id", "nbr", "cosine", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Rank-biased overlap (Webber et al. 2010) — top-k rank stability
+# --------------------------------------------------------------------------
+
+def rbo_weights(k: int, p: float) -> list[tuple[int, float]]:
+    """Truncated-RBO depth weights: w_d = (1−p)·p^(d−1) / (1−p^k),
+    normalized to sum to 1 over d = 1..k. Computed ONCE in Python and
+    embedded as literals in BOTH engines (the shared-constant
+    discipline) — the doubles are identical by construction."""
+    if k < 1 or not (0.0 < p < 1.0):
+        raise ValueError(f"need k ≥ 1 and 0 < p < 1, got {k}/{p}")
+    norm = 1.0 - p ** k
+    return [(d, (1.0 - p) * p ** (d - 1) / norm) for d in range(1, k + 1)]
+
+
+def rbo_rank_stability(
+    docs: DataFrame,
+    k: int = 10,
+    p: float = 0.9,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language rank-biased overlap of the top-k token rankings
+    between the two doc_id-parity halves of the corpus — the
+    RANK-grain corpus-stability metric complementing unigram_drift's
+    distribution-grain KL: RBO weights agreement at the top (where
+    retrieval and LM head effects live) and discounts the tail
+    geometrically. 1.0 = identical top-k rankings, 0.0 = disjoint.
+
+    Returns (lang, n_common_topk, rbo). Tie-break inside a ranking is
+    (count DESC, token ASC) — total order, both engines agree.
+
+    100 TB shape: one tokenize-explode, ONE map-side-combinable count
+    groupBy at (lang, half, token) grain, one top-k window per (lang,
+    half), then everything downstream lives at k·languages
+    cardinality: the half-to-half join, the broadcast depth table, and
+    the sorted-fold sum (the domain_pagerank list_reduce discipline —
+    contribution order pinned by depth, so the IEEE sum is bit-exact
+    cross-engine)."""
+    weights = rbo_weights(k, p)
+    toks = docs.select(
+        F.coalesce(F.col(lang_col), F.lit("und")).alias("lang"),
+        F.pmod("doc_id", F.lit(2)).alias("half"),
+        F.explode(tokens_col(text_col)).alias("raw"),
+    ).select("lang", "half", F.lower("raw").alias("tok"))
+    counts = toks.groupBy("lang", "half", "tok").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_rank = Window.partitionBy("lang", "half").orderBy(
+        F.desc("n"), F.asc("tok")
+    )
+    ranked = counts.withColumn(
+        "rk", F.row_number().over(w_rank)
+    ).where(F.col("rk") <= k)
+    a = ranked.where(F.col("half") == 0).select(
+        "lang", "tok", F.col("rk").alias("ra")
+    )
+    b = ranked.where(F.col("half") == 1).select(
+        "lang", "tok", F.col("rk").alias("rb")
+    )
+    pairs = a.join(b, ["lang", "tok"])
+    depths = F.broadcast(
+        docs.sparkSession.createDataFrame(weights, "d int, w double")
+    )
+    contrib = (
+        pairs.crossJoin(depths)
+        .where(F.greatest("ra", "rb") <= F.col("d"))
+        .groupBy("lang", "d", "w")
+        .agg(F.count(F.lit(1)).alias("a_d"))
+        .select(
+            "lang",
+            "d",
+            (
+                (F.col("a_d").cast("double") / F.col("d").cast("double"))
+                * F.col("w")
+            ).alias("c"),
+        )
+    )
+    folded = contrib.groupBy("lang").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("d", "c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"],
+        ).alias("rbo_raw")
+    )
+    common = pairs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common_topk")
+    )
+    langs = counts.select("lang").distinct()
+    return (
+        langs.join(common, "lang", "left")
+        .join(folded, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("n_common_topk", F.lit(0).cast("bigint")).alias(
+                "n_common_topk"
+            ),
+            F.round(F.coalesce("rbo_raw", F.lit(0.0)), 6).alias("rbo"),
+        )
+    )

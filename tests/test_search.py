@@ -367,3 +367,64 @@ class TestTfidfCosine:
         df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
         with _pytest.raises(ValueError):
             tfidf_cosine_topk(df, k=0)
+
+
+class TestRboRankStability:
+    def _docs(self, spark, half0, half1, lang="en"):
+        """half0/half1: token lists; doc_ids 0 (even) and 1 (odd)."""
+        return spark.createDataFrame(
+            [(0, " ".join(half0), lang), (1, " ".join(half1), lang)],
+            "doc_id bigint, text string, lang string",
+        )
+
+    def test_identical_rankings_score_one(self, spark):
+        from mindocr_spark.functions.search import rbo_rank_stability
+
+        toks = [w * (5 - i) for i, w in enumerate("abcd") for _ in
+                range(5 - i)]
+        # same multiset in both halves → identical rankings
+        df = self._docs(spark, toks, toks)
+        r = rbo_rank_stability(df, k=4, p=0.9).collect()[0]
+        assert r["n_common_topk"] == 4
+        assert r["rbo"] == 1.0
+
+    def test_disjoint_rankings_score_zero(self, spark):
+        from mindocr_spark.functions.search import rbo_rank_stability
+
+        df = self._docs(spark, ["aa", "bb"], ["cc", "dd"])
+        r = rbo_rank_stability(df, k=4, p=0.9).collect()[0]
+        assert r["n_common_topk"] == 0
+        assert r["rbo"] == 0.0
+
+    def test_hand_computed_partial_overlap(self, spark):
+        from mindocr_spark.functions.search import (
+            rbo_rank_stability, rbo_weights,
+        )
+
+        # half0 ranking: a(3) b(2); half1 ranking: b(3) a(2)
+        df = self._docs(spark, ["a"] * 3 + ["b"] * 2,
+                        ["b"] * 3 + ["a"] * 2)
+        r = rbo_rank_stability(df, k=2, p=0.9).collect()[0]
+        # A_1 = 0 (tops differ), A_2 = 2 → rbo = (2/2)·w_2
+        w = dict(rbo_weights(2, 0.9))
+        assert r["n_common_topk"] == 2
+        assert r["rbo"] == round(w[2], 6)
+
+    def test_tie_break_is_token_asc(self, spark):
+        from mindocr_spark.functions.search import rbo_rank_stability
+
+        # equal counts everywhere: ranking = alphabetical in BOTH
+        # halves → rbo 1.0 despite no frequency signal
+        df = self._docs(spark, ["x", "y", "z"], ["z", "y", "x"])
+        r = rbo_rank_stability(df, k=3, p=0.9).collect()[0]
+        assert r["rbo"] == 1.0
+
+    def test_weight_guards(self):
+        from mindocr_spark.functions.search import rbo_weights
+
+        with pytest.raises(ValueError):
+            rbo_weights(0, 0.9)
+        with pytest.raises(ValueError):
+            rbo_weights(5, 1.0)
+        ws = rbo_weights(10, 0.9)
+        assert abs(sum(w for _, w in ws) - 1.0) < 1e-12
