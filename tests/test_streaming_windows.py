@@ -132,3 +132,33 @@ def test_stream_matches_batch_counts(spark, tmp_path):
     assert streamed  # at least the fully-passed windows were finalized
     for key, n in streamed.items():
         assert batch[key] == n
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from mindocr_spark.streaming.windows import (
+        dedup_events_stream,
+        read_events_stream,
+        run_stream_to_parquet,
+    )
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("sd", "od", "cd"))
+    # batch 1: e0, e1
+    _events(spark, [(0, 1, "a", 1), (10, 2, "a", 1)]).write.mode(
+        "append"
+    ).parquet(src)
+    q = dedup_events_stream(read_events_stream(spark, src),
+                            watermark="30 minutes")
+    run_stream_to_parquet(q, out, ckpt, output_mode="append")
+
+    # batch 2: e0 re-delivered (same event_id, within the watermark) —
+    # must be dropped even though it arrives in a LATER micro-batch —
+    # plus a genuinely new e100
+    _events(spark, [(0, 1, "a", 1)]).write.mode("append").parquet(src)
+    _events(spark, [(60, 3, "b", 1)], start_id=100).write.mode(
+        "append"
+    ).parquet(src)
+    run_stream_to_parquet(q, out, ckpt, output_mode="append")
+
+    rows = spark.read.parquet(out).collect()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == [0, 1, 100]  # exactly-once: the replay vanished
