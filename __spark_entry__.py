@@ -1594,6 +1594,75 @@ def _leakage_audit_oracle() -> str:
     """
 
 
+def _retrieval_eval_oracle(k: int = 5) -> str:
+    """Twin of q_retrieval_eval: the SHARED _bm25_oracle_ctes chain +
+    the conjunctive relevance label + literal-weight DCG fold and
+    literal prefix-sum IDCG (rendered from the same ndcg_weights)."""
+    from mindocr_spark.functions.search import ndcg_weights
+
+    w, cum = ndcg_weights(k)
+    w_rows = ", ".join(
+        f"({d}, CAST('{x!r}' AS DOUBLE))" for d, x in w
+    )
+    cum_case = " ".join(
+        f"WHEN {i + 1} THEN CAST('{c!r}' AS DOUBLE)"
+        for i, c in enumerate(cum)
+    )
+    return "WITH " + _bm25_oracle_ctes() + f""",
+        topk AS (
+          SELECT query_id, doc_id, rank FROM rk WHERE rank <= {k}),
+        nterms AS (
+          SELECT query_id, count(DISTINCT term) AS nt
+          FROM qt GROUP BY query_id),
+        m AS (
+          SELECT DISTINCT doc_id, term FROM base
+          JOIN (SELECT DISTINCT term FROM qt) USING (term)),
+        rel AS (
+          SELECT q.query_id, m.doc_id
+          FROM m
+          JOIN qt q USING (term)
+          JOIN nterms n ON n.query_id = q.query_id
+          GROUP BY q.query_id, m.doc_id, n.nt
+          HAVING count(DISTINCT term) = n.nt),
+        relq AS (
+          SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+          FROM rel GROUP BY query_id),
+        depths(rnk, w) AS (VALUES {w_rows}),
+        hq AS (
+          SELECT t.query_id,
+                 CAST(count(*) AS BIGINT) AS hits_k,
+                 CAST(min(t.rank) AS BIGINT) AS first_rank,
+                 COALESCE(list_reduce(list(d.w ORDER BY t.rank),
+                                      (a, b) -> a + b),
+                          CAST(0.0 AS DOUBLE)) AS dcg
+          FROM topk t
+          JOIN rel r ON r.query_id = t.query_id
+                    AND r.doc_id = t.doc_id
+          JOIN depths d ON d.rnk = t.rank
+          GROUP BY t.query_id),
+        qids AS (SELECT DISTINCT query_id FROM qt)
+        SELECT q.query_id,
+               CAST(COALESCE(rq.n_rel, 0) AS BIGINT) AS n_rel,
+               CAST(COALESCE(h.hits_k, 0) AS BIGINT) AS hits_k,
+               round(CAST(COALESCE(h.hits_k, 0) AS DOUBLE)
+                     / CAST({k} AS DOUBLE), 6) AS precision_k,
+               CASE WHEN COALESCE(rq.n_rel, 0) > 0 THEN
+                 round(CAST(COALESCE(h.hits_k, 0) AS DOUBLE)
+                       / CAST(rq.n_rel AS DOUBLE), 6) END AS recall_k,
+               COALESCE(round(CAST(1.0 AS DOUBLE)
+                              / CAST(h.first_rank AS DOUBLE), 6),
+                        CAST(0.0 AS DOUBLE)) AS mrr,
+               CASE WHEN rq.n_rel IS NOT NULL AND rq.n_rel > 0 THEN
+                 round(COALESCE(h.dcg, CAST(0.0 AS DOUBLE))
+                       / (CASE least(rq.n_rel, {k}) {cum_case} END), 6)
+               END AS ndcg
+        FROM qids q
+        LEFT JOIN relq rq USING (query_id)
+        LEFT JOIN hq h USING (query_id)
+        ORDER BY query_id
+    """
+
+
 def _rank_stability_oracle(k: int = 10, p: float = 0.9) -> str:
     """Twin of q_rank_stability: same tokenization, same (count DESC,
     token ASC) rank tie-break, same depth weights RENDERED from
@@ -3589,6 +3658,23 @@ def q_triangle_count(spark, sf_dir):
     return triangle_counts(edges.unionByName(chords)).orderBy("domain")
 
 
+def q_retrieval_eval(spark, sf_dir):
+    """Offline IR evaluation of the BM25 stack: P@5, recall@5, MRR and
+    nDCG@5 per pinned query against the deterministic conjunctive-
+    containment relevance label (a doc is relevant iff it contains ALL
+    the query's terms). Query 2 carries a zero-df term — conjunctive
+    relevance is empty there, exercising the NULL discipline
+    (recall/ndcg NULL, precision/mrr 0). DCG weights and IDCG prefix
+    sums are Python-computed literals shared by both engines."""
+    from mindocr_spark.functions.search import retrieval_eval
+
+    return retrieval_eval(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        _BM25_QUERIES,
+        k=_BM25_K,
+    ).orderBy("query_id")
+
+
 def q_rank_stability(spark, sf_dir):
     """Rank-biased overlap (Webber et al. 2010, truncated, normalized
     weights) of each language's top-10 token ranking between the two
@@ -5524,6 +5610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stem_collapse": _q(q_stem_collapse),
         "mad_outliers": _q(q_mad_outliers),
         "rank_stability": _q(q_rank_stability),
+        "retrieval_eval": _q(q_retrieval_eval),
         "crawl_depth": _q(q_crawl_depth),
         "concordance": _q(q_concordance),
         "blockword_filter": _q(q_blockword_filter),
@@ -6247,6 +6334,68 @@ def _strata_sql_cases(t8) -> str:
     )
     return f"{whens} ELSE {arm(_STRATA_DEFAULT)}"
 
+
+
+#: Shared BM25 oracle chain (qt → … → rk with rank over the full
+#: candidate set) — rendered ONCE so `bm25_topk` and `retrieval_eval`
+#: verify against the IDENTICAL scoring SQL (zero drift possible).
+def _bm25_oracle_ctes() -> str:
+    s = r"""qt(query_id, term) AS (VALUES __QT__),
+            t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')) AS norm
+              FROM documents),
+            dls AS (
+              SELECT doc_id, norm,
+                     CASE WHEN norm = '' THEN 0
+                          ELSE len(string_split(norm,' ')) END AS dl
+              FROM t),
+            stats AS (
+              SELECT count(*) AS n_docs,
+                     round(CAST(sum(dl) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE), 9) AS avgdl
+              FROM dls),
+            base AS (
+              SELECT doc_id, dl, unnest(string_split(norm,' ')) AS term
+              FROM dls WHERE norm <> ''),
+            tf AS (
+              SELECT term, doc_id, count(*) AS tf, max(dl) AS dl
+              FROM base JOIN (SELECT DISTINCT term FROM qt) USING (term)
+              GROUP BY term, doc_id),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            scored AS (
+              SELECT q.query_id, tf.doc_id,
+                     CAST(round(
+                       round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                                / (CAST(df AS DOUBLE) + 0.5) + 1.0), 9)
+                       * round((CAST(tf AS DOUBLE) * __K1P1__)
+                               / (CAST(tf AS DOUBLE)
+                                  + __K1__ * (__OMB__ + __B__
+                                      * (CAST(dl AS DOUBLE) / avgdl))), 9)
+                     , 9) AS DECIMAL(28,9)) AS tscore
+              FROM tf JOIN dft USING (term) CROSS JOIN stats
+              JOIN qt q USING (term)),
+            pd AS (
+              SELECT query_id, doc_id, count(*) AS n_terms_hit,
+                     SUM(tscore) AS score
+              FROM scored GROUP BY query_id, doc_id),
+            rk AS (
+              SELECT query_id, doc_id, n_terms_hit, score,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC) AS rank
+              FROM pd)"""
+    return (
+        s.replace("__QT__", ", ".join(
+            "(%d, '%s')" % (qid, t.replace("'", "''"))
+            for qid, t in sorted(
+                {(int(q), t) for q, ts in _BM25_QUERIES.items() for t in ts}
+            )
+        ))
+        .replace("__K1P1__", repr(_BM25_K1 + 1.0))
+        .replace("__K1__", repr(_BM25_K1))
+        .replace("__OMB__", repr(1.0 - _BM25_B))
+        .replace("__B__", repr(_BM25_B))
+    )
 
 def oracle_sql() -> dict[str, str]:
     from mindocr_spark.functions import text as _text_pii
@@ -7925,67 +8074,13 @@ def oracle_sql() -> dict[str, str]:
                    END AS n_seqs
             FROM p ORDER BY doc_id
         """.replace("__L__", str(int(_PACK_SEQ_LEN))),
-        "bm25_topk": r"""
-            WITH qt(query_id, term) AS (VALUES __QT__),
-            t AS (
-              SELECT doc_id,
-                     trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')) AS norm
-              FROM documents),
-            dls AS (
-              SELECT doc_id, norm,
-                     CASE WHEN norm = '' THEN 0
-                          ELSE len(string_split(norm,' ')) END AS dl
-              FROM t),
-            stats AS (
-              SELECT count(*) AS n_docs,
-                     round(CAST(sum(dl) AS DOUBLE)
-                           / CAST(count(*) AS DOUBLE), 9) AS avgdl
-              FROM dls),
-            base AS (
-              SELECT doc_id, dl, unnest(string_split(norm,' ')) AS term
-              FROM dls WHERE norm <> ''),
-            tf AS (
-              SELECT term, doc_id, count(*) AS tf, max(dl) AS dl
-              FROM base JOIN (SELECT DISTINCT term FROM qt) USING (term)
-              GROUP BY term, doc_id),
-            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-            scored AS (
-              SELECT q.query_id, tf.doc_id,
-                     CAST(round(
-                       round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-                                / (CAST(df AS DOUBLE) + 0.5) + 1.0), 9)
-                       * round((CAST(tf AS DOUBLE) * __K1P1__)
-                               / (CAST(tf AS DOUBLE)
-                                  + __K1__ * (__OMB__ + __B__
-                                      * (CAST(dl AS DOUBLE) / avgdl))), 9)
-                     , 9) AS DECIMAL(28,9)) AS tscore
-              FROM tf JOIN dft USING (term) CROSS JOIN stats
-              JOIN qt q USING (term)),
-            pd AS (
-              SELECT query_id, doc_id, count(*) AS n_terms_hit,
-                     SUM(tscore) AS score
-              FROM scored GROUP BY query_id, doc_id),
-            rk AS (
-              SELECT query_id, doc_id, n_terms_hit, score,
-                     row_number() OVER (PARTITION BY query_id
-                       ORDER BY score DESC, doc_id ASC) AS rank
-              FROM pd)
+        "bm25_topk": "WITH " + _bm25_oracle_ctes() + f"""
             SELECT query_id, doc_id,
                    CAST(n_terms_hit AS BIGINT) AS n_terms_hit,
                    CAST(score AS DOUBLE) AS score,
                    CAST(rank AS BIGINT) AS rank
-            FROM rk WHERE rank <= __K__
-            ORDER BY query_id, rank
-        """.replace("__QT__", ", ".join(
-            "(%d, '%s')" % (qid, t.replace("'", "''"))
-            for qid, t in sorted(
-                {(int(q), t) for q, ts in _BM25_QUERIES.items() for t in ts}
-            )
-        )).replace("__K1P1__", repr(_BM25_K1 + 1.0))
-         .replace("__K1__", repr(_BM25_K1))
-         .replace("__OMB__", repr(1.0 - _BM25_B))
-         .replace("__B__", repr(_BM25_B))
-         .replace("__K__", str(_BM25_K)),
+            FROM rk WHERE rank <= {_BM25_K}
+            ORDER BY query_id, rank""",
         "token_stats": r"""
             WITH t AS (
               SELECT doc_id,
@@ -9593,6 +9688,7 @@ def oracle_sql() -> dict[str, str]:
         "mirror_detect": _mirror_detect_oracle(),
         "stem_collapse": _stem_collapse_oracle(),
         "rank_stability": _rank_stability_oracle(k=10, p=0.9),
+        "retrieval_eval": _retrieval_eval_oracle(k=_BM25_K),
         "mad_outliers": r"""
             WITH pl AS (
               SELECT 'purchase' AS event_type,

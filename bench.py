@@ -228,6 +228,7 @@ def main() -> None:
         "stem_collapse",        # S-stemmer vocabulary-collapse audit
         "mad_outliers",         # median/MAD robust value fence
         "rank_stability",       # RBO top-k corpus-stability audit
+        "retrieval_eval",       # P@k/recall/MRR/nDCG IR eval harness
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

@@ -608,3 +608,134 @@ def rbo_rank_stability(
             F.round(F.coalesce("rbo_raw", F.lit(0.0)), 6).alias("rbo"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Retrieval evaluation (P@k / recall@k / MRR / nDCG@k)
+# --------------------------------------------------------------------------
+
+def ndcg_weights(k: int) -> tuple[list[tuple[int, float]], list[float]]:
+    """((rank, 1/log2(rank+1)) …, cumulative-prefix list). Computed
+    ONCE in Python and embedded as literals in BOTH engines, so DCG's
+    per-rank weights and IDCG's prefix sums are identical doubles by
+    construction (the rbo_weights discipline) — no in-engine
+    transcendentals to reconcile."""
+    import math
+
+    if k < 1:
+        raise ValueError(f"k must be ≥ 1, got {k}")
+    w = [(i, 1.0 / math.log2(i + 1)) for i in range(1, k + 1)]
+    cum, acc = [], 0.0
+    for _, wi in w:
+        acc = acc + wi
+        cum.append(acc)
+    return w, cum
+
+
+def retrieval_eval(
+    docs: DataFrame,
+    queries: dict[int, list[str]],
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Offline IR evaluation of the BM25 stack against a DETERMINISTIC
+    relevance label — a doc is relevant to a query iff it contains ALL
+    the query's terms (conjunctive containment; no human judgments in
+    a synthetic corpus, but the label is engine-independent and the
+    harness is exactly the one you'd point at real qrels). Returns one
+    row per query: (query_id, n_rel, hits_k, precision_k, recall_k,
+    mrr, ndcg) — recall/ndcg are NULL when n_rel = 0 (undefined, not
+    0.0; a zero-df query term makes conjunctive relevance empty).
+
+    100 TB shape: ranks come from bm25_topk (its broadcast-vocabulary
+    semi-join does the heavy lifting); the relevance side reuses the
+    same broadcast filter, so the corpus-side cost is ONE extra
+    distinct on matched (doc, term) rows; everything downstream lives
+    at queries×k cardinality. DCG is a rank-ordered literal-weight
+    fold; IDCG is a Python-prefix-summed literal indexed at
+    min(n_rel, k) — both bit-exact cross-engine."""
+    from mindocr_spark.cache import tracked_persist
+
+    spark = docs.sparkSession
+    w, cum = ndcg_weights(k)
+    ranked = bm25_topk(docs, queries, k, id_col, text_col).select(
+        "query_id", "doc_id", F.col("rank").cast("int").alias("rank")
+    )
+    qt = query_terms_df(spark, queries)
+    nterms = qt.groupBy("query_id").agg(
+        F.count_distinct("term").alias("nt")
+    )
+    vocab = qt.select("term").distinct()
+    matched = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens_col(text_col)).alias("term"),
+        )
+        .join(F.broadcast(vocab), "term")
+        .distinct()
+    )
+    rel = tracked_persist(
+        matched.join(qt, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count_distinct("term").alias("cnt"))
+        .join(F.broadcast(nterms), "query_id")
+        .where(F.col("cnt") == F.col("nt"))
+        .select("query_id", "doc_id")
+    )
+    relq = rel.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rel")
+    )
+    depths = F.broadcast(
+        spark.createDataFrame(w, "rank int, w double")
+    )
+    hq = (
+        ranked.join(rel, ["query_id", "doc_id"])
+        .join(depths, "rank")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("hits_k"),
+            F.min("rank").cast("bigint").alias("first_rank"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("rank", "w"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["w"],
+            ).alias("dcg"),
+        )
+    )
+    qids = qt.select("query_id").distinct()
+    zero = F.lit(0).cast("bigint")
+    n_rel = F.coalesce("n_rel", zero)
+    hits = F.coalesce("hits_k", zero)
+    idcg = F.element_at(
+        F.array(*[F.lit(c) for c in cum]),
+        F.least(F.col("n_rel"), F.lit(k)).cast("int"),
+    )
+    return (
+        qids.join(relq, "query_id", "left")
+        .join(hq, "query_id", "left")
+        .select(
+            "query_id",
+            n_rel.alias("n_rel"),
+            hits.alias("hits_k"),
+            F.round(
+                hits.cast("double") / F.lit(float(k)), 6
+            ).alias("precision_k"),
+            F.when(
+                n_rel > 0,
+                F.round(hits.cast("double") / n_rel.cast("double"), 6),
+            ).alias("recall_k"),
+            F.coalesce(
+                F.round(
+                    F.lit(1.0) / F.col("first_rank").cast("double"), 6
+                ),
+                F.lit(0.0),
+            ).alias("mrr"),
+            F.when(
+                F.col("n_rel").isNotNull() & (F.col("n_rel") > 0),
+                F.round(
+                    F.coalesce("dcg", F.lit(0.0)) / idcg, 6
+                ),
+            ).alias("ndcg"),
+        )
+    )

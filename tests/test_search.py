@@ -428,3 +428,51 @@ class TestRboRankStability:
             rbo_weights(5, 1.0)
         ws = rbo_weights(10, 0.9)
         assert abs(sum(w for _, w in ws) - 1.0) < 1e-12
+
+
+class TestRetrievalEval:
+    def _run(self, spark, docs, queries, k):
+        from mindocr_spark.functions.search import retrieval_eval
+
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        out = retrieval_eval(df, queries, k=k).collect()
+        return {r["query_id"]: r for r in out}
+
+    def test_full_recall_perfect_ndcg(self, spark):
+        docs = [(1, "cat dog x"), (2, "cat cat dog"), (3, "cat only"),
+                (4, "nothing here")]
+        r = self._run(spark, docs, {0: ["cat", "dog"]}, k=3)[0]
+        # both conjunctive-relevant docs exist and outrank the
+        # single-term doc; hits fill ranks 1-2
+        assert (r["n_rel"], r["hits_k"]) == (2, 2)
+        assert r["precision_k"] == round(2 / 3, 6)
+        assert r["recall_k"] == 1.0
+        assert r["mrr"] == 1.0
+        assert r["ndcg"] == 1.0
+
+    def test_zero_relevance_null_discipline(self, spark):
+        docs = [(1, "cat dog"), (2, "cat")]
+        r = self._run(spark, docs, {0: ["cat", "unicorn"]}, k=3)[0]
+        assert (r["n_rel"], r["hits_k"]) == (0, 0)
+        assert r["precision_k"] == 0.0
+        assert r["recall_k"] is None and r["ndcg"] is None
+        assert r["mrr"] == 0.0
+
+    def test_k_truncation_uses_least_in_idcg(self, spark):
+        from mindocr_spark.functions.search import ndcg_weights
+
+        docs = [(1, "cat dog"), (2, "dog cat extra")]
+        r = self._run(spark, docs, {0: ["cat", "dog"]}, k=1)[0]
+        # 2 relevant, only 1 slot: recall 0.5 but nDCG@1 is perfect
+        # because IDCG truncates at min(n_rel, k) = 1
+        assert (r["n_rel"], r["hits_k"]) == (2, 1)
+        assert r["recall_k"] == 0.5
+        assert r["precision_k"] == 1.0 and r["ndcg"] == 1.0
+        _, cum = ndcg_weights(1)
+        assert cum == [1.0]
+
+    def test_weight_guard(self):
+        from mindocr_spark.functions.search import ndcg_weights
+
+        with pytest.raises(ValueError):
+            ndcg_weights(0)
