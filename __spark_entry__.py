@@ -59,13 +59,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _epoch_sec(ts_col: str):
-    """Seconds since epoch for a TIMESTAMP_NTZ column, independent of the
-    session timezone (plain casts are tz-sensitive and NTZ→long is
-    disallowed in Spark 4; timestampdiff between two NTZ values is
-    tz-free, matching DuckDB's epoch() on naive timestamps)."""
-    return F.expr(
-        f"timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {ts_col})"
-    )
+    """Seconds since epoch for a TIMESTAMP_NTZ column — delegates to
+    the library's single source of truth (tz-free in Spark 4, matching
+    DuckDB's boundary-count date_diff from a midnight anchor)."""
+    from mindocr_spark.functions.traffic import epoch_sec
+
+    return epoch_sec(ts_col)
 
 
 _extract_cache: dict = {}
@@ -1474,18 +1473,13 @@ def q_lsh_quality(spark, sf_dir):
     )
 
 
-def q_leakage_audit(spark, sf_dir):
-    """Eval-hygiene audit: count near-duplicate pairs CROSSING the
-    train/val/test boundary — the contamination a page-grain split
-    would bake into every benchmark number. The corpus plants the
-    classic syndication leak (%3 docs republished at 5/6-prefix
-    length under a DIFFERENT source, so domain-grouped splitting
-    cannot co-locate them); near-dup pairs come from the banded
-    md5-MinHash family at threshold 0.35; output is one row per
-    unordered split pair (splits, n_pairs, crossing). A non-zero
-    crossing row is the audit firing."""
-    from mindocr_spark.functions.dedup import minhash_lsh_pairs_md5
-    from mindocr_spark.functions.text import grouped_split, tokens_col
+def _leakage_variant_docs(spark, sf_dir):
+    """SHARED syndication-leak corpus family: the base documents plus
+    every %3 doc republished at 5/6-prefix length under a DIFFERENT
+    source ('mir-'+source) — one construction feeding both audits
+    built on it (q_leakage_audit, q_mirror_detect), so a future tuning
+    of the prefix rule can never drift between them."""
+    from mindocr_spark.functions.text import tokens_col
 
     base = _t(spark, sf_dir, "documents").select(
         "doc_id", "text", "source"
@@ -1505,7 +1499,23 @@ def q_leakage_audit(spark, sf_dir):
         ).alias("text"),
         F.concat(F.lit("mir-"), F.col("source")).alias("source"),
     )
-    docs = base.unionByName(variants)
+    return base.unionByName(variants)
+
+
+def q_leakage_audit(spark, sf_dir):
+    """Eval-hygiene audit: count near-duplicate pairs CROSSING the
+    train/val/test boundary — the contamination a page-grain split
+    would bake into every benchmark number. The corpus plants the
+    classic syndication leak (%3 docs republished at 5/6-prefix
+    length under a DIFFERENT source, so domain-grouped splitting
+    cannot co-locate them); near-dup pairs come from the banded
+    md5-MinHash family at threshold 0.35; output is one row per
+    unordered split pair (splits, n_pairs, crossing). A non-zero
+    crossing row is the audit firing."""
+    from mindocr_spark.functions.dedup import minhash_lsh_pairs_md5
+    from mindocr_spark.functions.text import grouped_split
+
+    docs = _leakage_variant_docs(spark, sf_dir)
     splits = (("train", 0.5), ("val", 0.25), ("test", 0.25))
     tagged = grouped_split(docs, "source", splits=splits).select(
         "doc_id", "split"
@@ -1535,19 +1545,13 @@ def q_leakage_audit(spark, sf_dir):
     )
 
 
-def _leakage_audit_oracle() -> str:
-    """Twin: the variant corpus, the md5-banding chain, the md5-prefix
-    split thresholds (rendered by the SAME hash_sample_threshold the
-    engine uses), and the pair-label rollup."""
-    from mindocr_spark.functions.text import hash_sample_threshold
-
-    t1 = hash_sample_threshold(0.5)
-    t2 = hash_sample_threshold(0.75)
-    return f"""
-        WITH lbase AS (SELECT doc_id, text, source FROM documents),
+#: SHARED twin of `_leakage_variant_docs` (the syndication-leak corpus
+#: family) — one rendering feeds both audits built on it
+#: (leakage_audit, mirror_detect), mirroring the Spark-side sharing.
+_LEAKAGE_CORPUS_CTES = r"""lbase AS (SELECT doc_id, text, source FROM documents),
         ltk AS (
           SELECT doc_id, source,
-                 string_split(trim(regexp_replace(text,'[ \\t\\n\\r\\f\\x0B]+',' ','g')),' ') AS toks
+                 string_split(trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')),' ') AS toks
           FROM documents WHERE doc_id % 3 = 0),
         lvar AS (
           SELECT doc_id + 1000000 AS doc_id,
@@ -1556,16 +1560,14 @@ def _leakage_audit_oracle() -> str:
                    AS text,
                  'mir-' || source AS source
           FROM ltk),
-        lcorpus AS (SELECT * FROM lbase UNION ALL SELECT * FROM lvar),
-        tagged AS (
-          SELECT doc_id,
-                 CASE WHEN substr(md5(source), 1, 8) < '{t1}'
-                      THEN 'train'
-                      WHEN substr(md5(source), 1, 8) < '{t2}'
-                      THEN 'val'
-                      ELSE 'test' END AS split
-          FROM lcorpus),
-        perms AS (SELECT CAST(range AS INT) AS perm FROM range(32)),
+        lcorpus AS (SELECT * FROM lbase UNION ALL SELECT * FROM lvar)"""
+
+
+def _leakage_pairs_ctes(threshold: str = "0.35") -> str:
+    """SHARED banded md5-MinHash pair chain over `lcorpus` (perms →
+    signatures → band buckets → estimate → thresholded `dpairs`) —
+    the same rendering for every audit that consumes the pair set."""
+    return f"""perms AS (SELECT CAST(range AS INT) AS perm FROM range(32)),
         {_md5_sig_ctes("lcorpus")},
         cand AS (
           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
@@ -1579,14 +1581,37 @@ def _leakage_audit_oracle() -> str:
           JOIN sig a ON a.doc_id = id_a
           JOIN sig b ON b.doc_id = id_b AND b.perm = a.perm
           GROUP BY id_a, id_b),
-        pairs AS (
+        dpairs AS (
           SELECT id_a, id_b FROM est
-          WHERE round(CAST(n_match AS DOUBLE) / 32.0, 6) >= 0.35),
+          WHERE round(CAST(n_match AS DOUBLE) / 32.0, 6)
+                  >= {threshold})"""
+
+
+def _leakage_audit_oracle() -> str:
+    """Twin: the SHARED variant corpus + md5-banding chain, the
+    md5-prefix split thresholds (rendered by the SAME
+    hash_sample_threshold the engine uses), and the pair-label
+    rollup."""
+    from mindocr_spark.functions.text import hash_sample_threshold
+
+    t1 = hash_sample_threshold(0.5)
+    t2 = hash_sample_threshold(0.75)
+    return f"""
+        WITH {_LEAKAGE_CORPUS_CTES},
+        tagged AS (
+          SELECT doc_id,
+                 CASE WHEN substr(md5(source), 1, 8) < '{t1}'
+                      THEN 'train'
+                      WHEN substr(md5(source), 1, 8) < '{t2}'
+                      THEN 'val'
+                      ELSE 'test' END AS split
+          FROM lcorpus),
+        {_leakage_pairs_ctes()},
         lab AS (
           SELECT least(ta.split, tb.split) || '|'
                    || greatest(ta.split, tb.split) AS splits,
                  ta.split != tb.split AS crossing
-          FROM pairs
+          FROM dpairs
           JOIN tagged ta ON ta.doc_id = id_a
           JOIN tagged tb ON tb.doc_id = id_b)
         SELECT splits, CAST(count(*) AS BIGINT) AS n_pairs, crossing
@@ -1747,40 +1772,12 @@ def _stem_collapse_oracle() -> str:
 
 
 def _mirror_detect_oracle() -> str:
-    """Twin of q_mirror_detect: the leakage variant corpus, the
+    """Twin of q_mirror_detect: the SHARED leakage variant corpus +
     md5-banding pair chain, then the source-pair rollup with the
     integer mirror rule."""
     return f"""
-        WITH lbase AS (SELECT doc_id, text, source FROM documents),
-        ltk AS (
-          SELECT doc_id, source,
-                 string_split(trim(regexp_replace(text,'[ \\t\\n\\r\\f\\x0B]+',' ','g')),' ') AS toks
-          FROM documents WHERE doc_id % 3 = 0),
-        lvar AS (
-          SELECT doc_id + 1000000 AS doc_id,
-                 array_to_string(
-                   toks[1:greatest(5, (len(toks) * 5) // 6)], ' ')
-                   AS text,
-                 'mir-' || source AS source
-          FROM ltk),
-        lcorpus AS (SELECT * FROM lbase UNION ALL SELECT * FROM lvar),
-        perms AS (SELECT CAST(range AS INT) AS perm FROM range(32)),
-        {_md5_sig_ctes("lcorpus")},
-        cand AS (
-          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-          FROM banded x JOIN banded y USING (band, bucket)
-          WHERE x.doc_id < y.doc_id),
-        est AS (
-          SELECT id_a, id_b,
-                 SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END)
-                   AS n_match
-          FROM cand
-          JOIN sig a ON a.doc_id = id_a
-          JOIN sig b ON b.doc_id = id_b AND b.perm = a.perm
-          GROUP BY id_a, id_b),
-        dpairs AS (
-          SELECT id_a, id_b FROM est
-          WHERE round(CAST(n_match AS DOUBLE) / 32.0, 6) >= 0.35),
+        WITH {_LEAKAGE_CORPUS_CTES},
+        {_leakage_pairs_ctes()},
         member AS (SELECT doc_id, source AS grp FROM lcorpus),
         sizes AS (
           SELECT grp, CAST(count(*) AS BIGINT) AS n_docs
@@ -3768,27 +3765,8 @@ def q_mirror_detect(spark, sf_dir):
         minhash_lsh_pairs_md5,
         mirror_stats,
     )
-    from mindocr_spark.functions.text import tokens_col
 
-    base = _t(spark, sf_dir, "documents").select(
-        "doc_id", "text", "source"
-    )
-    tk = base.where(F.pmod(F.col("doc_id"), F.lit(3)) == 0).select(
-        "doc_id", tokens_col("text").alias("toks"), "source"
-    )
-    variants = tk.select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.array_join(
-            F.slice(
-                F.col("toks"), F.lit(1),
-                F.expr("greatest(5, (size(toks) * 5) div 6)")
-                .cast("int"),
-            ),
-            " ",
-        ).alias("text"),
-        F.concat(F.lit("mir-"), F.col("source")).alias("source"),
-    )
-    docs = base.unionByName(variants)
+    docs = _leakage_variant_docs(spark, sf_dir)
     pairs = minhash_lsh_pairs_md5(docs, threshold=0.35).select(
         "id_a", "id_b"
     )
@@ -6940,9 +6918,12 @@ def oracle_sql() -> dict[str, str]:
         "cooccur_itemsets": r"""
             WITH b AS (
               SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
-                     CAST(json_extract(props, '$.k') AS INT) AS item
+                     CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS item
               FROM events
-              WHERE json_extract(props, '$.k') IS NOT NULL),
+              WHERE regexp_matches(
+                      json_extract_string(props, '$.k'),
+                      '^-?[0-9]{1,18}$')),
             bsz AS (
               SELECT user_id, day, count(*) AS n
               FROM b GROUP BY user_id, day),

@@ -70,11 +70,18 @@ def frequent_pairs(
         if num < 0 or den < 1:
             raise ValueError(f"{name} must be (num ≥ 0, den ≥ 1)")
 
+    # integer items only, decided on the RAW JSON string (regex guard)
+    # so both engines drop a non-integer or overflowing payload the
+    # same way — a bare cast would NULL in Spark but round in DuckDB
+    raw_item = F.get_json_object("props", "$.k")
     b = tracked_persist(
         events.select(
             "user_id",
             F.to_date("ts").alias("day"),
-            F.get_json_object("props", "$.k").cast("int").alias("item"),
+            F.when(
+                raw_item.rlike(r"^-?[0-9]{1,18}$"),
+                raw_item.cast("bigint"),
+            ).alias("item"),
         )
         .where(F.col("item").isNotNull())
         .distinct()
@@ -82,11 +89,14 @@ def frequent_pairs(
     bsz = b.groupBy("user_id", "day").agg(
         F.count(F.lit(1)).alias("bsz")
     )
-    kept_keys = bsz.where(F.col("bsz") <= max_basket_items).select(
-        "user_id", "day"
+    kept_keys = tracked_persist(
+        bsz.where(F.col("bsz") <= max_basket_items).select(
+            "user_id", "day"
+        )
     )
     kept = tracked_persist(b.join(kept_keys, ["user_id", "day"]))
-    tot = kept.select("user_id", "day").distinct().agg(
+    # kept_keys IS the distinct kept-basket set — count it directly
+    tot = kept_keys.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_baskets")
     )
     isup = kept.groupBy("item").agg(

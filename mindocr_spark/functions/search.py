@@ -547,14 +547,20 @@ def rbo_rank_stability(
     the sorted-fold sum (the domain_pagerank list_reduce discipline —
     contribution order pinned by depth, so the IEEE sum is bit-exact
     cross-engine)."""
+    from mindocr_spark.cache import tracked_persist
+
     weights = rbo_weights(k, p)
     toks = docs.select(
         F.coalesce(F.col(lang_col), F.lit("und")).alias("lang"),
         F.pmod("doc_id", F.lit(2)).alias("half"),
         F.explode(tokens_col(text_col)).alias("raw"),
     ).select("lang", "half", F.lower("raw").alias("tok"))
-    counts = toks.groupBy("lang", "half", "tok").agg(
-        F.count(F.lit(1)).alias("n")
+    # counts feeds the ranking AND the lang universe; pairs feeds the
+    # fold AND the common count — persist both (multi-consumer rule)
+    counts = tracked_persist(
+        toks.groupBy("lang", "half", "tok").agg(
+            F.count(F.lit(1)).alias("n")
+        )
     )
     w_rank = Window.partitionBy("lang", "half").orderBy(
         F.desc("n"), F.asc("tok")
@@ -568,7 +574,7 @@ def rbo_rank_stability(
     b = ranked.where(F.col("half") == 1).select(
         "lang", "tok", F.col("rk").alias("rb")
     )
-    pairs = a.join(b, ["lang", "tok"])
+    pairs = tracked_persist(a.join(b, ["lang", "tok"]))
     depths = F.broadcast(
         docs.sparkSession.createDataFrame(weights, "d int, w double")
     )

@@ -2558,7 +2558,9 @@ def s_stem_col(c: Column | str) -> Column:
     w = F.col(c) if isinstance(c, str) else c
     result = None
     for suf, exceptions, rep in S_STEM_RULES:
-        cond = w.endswith(suf)
+        # a rule only fires on words LONGER than its suffix — a bare
+        # 's'/'es'/'ies' token must never stem to the empty string
+        cond = w.endswith(suf) & (F.length(w) > len(suf))
         for exc in exceptions:
             cond = cond & ~w.endswith(exc)
         stemmed = F.concat(
@@ -2578,7 +2580,10 @@ def s_stem_sql(expr: str) -> str:
     `S_STEM_RULES` constant."""
     parts = ["CASE"]
     for suf, exceptions, rep in S_STEM_RULES:
-        conds = [f"ends_with({expr}, '{suf}')"] + [
+        conds = [
+            f"ends_with({expr}, '{suf}')",
+            f"length({expr}) > {len(suf)}",
+        ] + [
             f"NOT ends_with({expr}, '{exc}')" for exc in exceptions
         ]
         parts.append(

@@ -31,10 +31,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-#: epoch-seconds conversion that is identical in Spark (TIMESTAMP_NTZ)
-#: and DuckDB (naive TIMESTAMP): whole seconds since a zero-microsecond
-#: anchor — elapsed-unit and boundary-crossing semantics coincide.
-_ES = "timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+def epoch_sec(ts_col: str = "ts"):
+    """Seconds since epoch for a TIMESTAMP_NTZ column, independent of
+    the session timezone: whole seconds since a zero-microsecond
+    anchor, where elapsed-unit (Spark timestampdiff) and
+    boundary-crossing (DuckDB date_diff) semantics coincide. Plain
+    casts are tz-sensitive and NTZ→long is disallowed in Spark 4.
+    The SINGLE source of truth for the idiom — the driver contract
+    (__spark_entry__._epoch_sec) delegates here."""
+    return F.expr(
+        "timestampdiff(SECOND,"
+        f" TIMESTAMP_NTZ'1970-01-01 00:00:00', {ts_col})"
+    )
 
 
 def bot_session_stats(
@@ -58,7 +66,7 @@ def bot_session_stats(
     es = events.select(
         "user_id",
         "event_id",
-        F.expr(_ES).cast("bigint").alias("es"),
+        epoch_sec("ts").cast("bigint").alias("es"),
     )
     w_seq = Window.partitionBy("user_id").orderBy("es", "event_id")
     w_burst = (
@@ -129,9 +137,12 @@ def mad_outlier_stats(
     if k < 1:
         raise ValueError(f"k must be ≥ 1, got {k}")
     cents = F.round(F.col(value_col) * F.lit(100.0), 0).cast("bigint")
-    base = events.select(
-        F.col(group_col).alias("grp"), cents.alias("c")
-    ).where(F.col("c").isNotNull())
+    # base feeds the median aggregate AND the deviation join
+    base = tracked_persist(
+        events.select(
+            F.col(group_col).alias("grp"), cents.alias("c")
+        ).where(F.col("c").isNotNull())
+    )
     med = base.groupBy("grp").agg(
         F.percentile("c", F.lit(0.5)).alias("med_c")
     )

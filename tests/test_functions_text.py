@@ -1774,3 +1774,25 @@ class TestSStemmer:
         assert (en["n_tokens"], en["n_types"], en["n_stems"]) == (5, 4, 2)
         assert en["reduction"] == 0.5
         assert out["und"]["n_tokens"] == 1
+
+    def test_bare_suffix_tokens_never_stem_to_empty(self, spark):
+        import duckdb
+
+        from mindocr_spark.functions.text import s_stem_col, s_stem_sql
+
+        words = ["s", "es", "ies", "as"]
+        df = spark.createDataFrame([(w,) for w in words], "w string")
+        out = {r["w"]: r["s"]
+               for r in df.select("w", s_stem_col("w").alias("s")).collect()}
+        # a rule requires the word to be LONGER than its suffix, so a
+        # shorter rule may still fire on the fall-through — but NO
+        # token can ever stem to the empty string
+        assert out["s"] == "s"          # no rule fires
+        assert out["es"] == "e"         # rule 2 blocked, rule 3 fires
+        assert out["ies"] == "ie"       # rule 1 blocked, rule 2 fires
+        assert out["as"] == "a"
+        assert all(v != "" for v in out.values())
+        rows = duckdb.sql(
+            "SELECT w, " + s_stem_sql("w") + " AS s FROM (VALUES "
+            "('s'), ('es'), ('ies'), ('as')) t(w)").fetchall()
+        assert dict(rows) == out
