@@ -3655,6 +3655,42 @@ def q_triangle_count(spark, sf_dir):
     return triangle_counts(edges.unionByName(chords)).orderBy("domain")
 
 
+def q_scd2_history(spark, sf_dir):
+    """SCD-2 capture-history compaction: three synthetic recrawls per
+    doc (day 0/1/2) where the digest flips once — at day 2 for even
+    docs, day 1 for odd — so every URL compacts to exactly two
+    versions with one collapsed no-op revisit each, at a different
+    boundary per parity. Validity intervals in epoch seconds, open
+    current version, version numbering and is_current all
+    oracle-checked."""
+    from mindocr_spark.functions.crawl import scd2_history
+
+    docs = _t(spark, sf_dir, "documents")
+    caps = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/d"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "doc_id",
+        "text",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k"),
+    ).select(
+        "url",
+        F.expr(
+            "timestampadd(DAY, k, TIMESTAMP_NTZ'2024-02-01 00:00:00')"
+        ).alias("ts"),
+        F.md5(
+            F.concat(
+                F.col("text"),
+                F.expr(
+                    "CAST((k + pmod(doc_id, 2)) div 2 AS STRING)"
+                ),
+            )
+        ).alias("digest"),
+    )
+    return scd2_history(caps).orderBy("url", "version_n")
+
+
 def q_retrieval_eval(spark, sf_dir):
     """Offline IR evaluation of the BM25 stack: P@5, recall@5, MRR and
     nDCG@5 per pinned query against the deterministic conjunctive-
@@ -5589,6 +5625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": _q(q_mad_outliers),
         "rank_stability": _q(q_rank_stability),
         "retrieval_eval": _q(q_retrieval_eval),
+        "scd2_history": _q(q_scd2_history),
         "crawl_depth": _q(q_crawl_depth),
         "concordance": _q(q_concordance),
         "blockword_filter": _q(q_blockword_filter),
@@ -9670,6 +9707,44 @@ def oracle_sql() -> dict[str, str]:
         "stem_collapse": _stem_collapse_oracle(),
         "rank_stability": _rank_stability_oracle(k=10, p=0.9),
         "retrieval_eval": _retrieval_eval_oracle(k=_BM25_K),
+        "scd2_history": r"""
+            WITH caps AS (
+              SELECT 'https://' || source || '.example/d'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                     TIMESTAMP '2024-02-01 00:00:00'
+                       + INTERVAL (k) DAY AS ts,
+                     md5(text || CAST((k + doc_id % 2) // 2
+                                      AS VARCHAR)) AS digest
+              FROM documents,
+                   (SELECT CAST(range AS BIGINT) AS k
+                    FROM range(3))),
+            base AS (
+              SELECT url, digest,
+                     date_diff('second',
+                               TIMESTAMP '1970-01-01 00:00:00', ts)
+                       AS cap_sec
+              FROM caps),
+            marked AS (
+              SELECT url, digest, cap_sec,
+                     lag(digest) OVER (PARTITION BY url
+                                       ORDER BY cap_sec, digest)
+                       AS prev_digest
+              FROM base),
+            changed AS (
+              SELECT url, digest, cap_sec FROM marked
+              WHERE prev_digest IS NULL OR digest != prev_digest)
+            SELECT url, digest,
+                   CAST(cap_sec AS BIGINT) AS valid_from_s,
+                   CAST(lead(cap_sec) OVER (PARTITION BY url
+                                            ORDER BY cap_sec, digest)
+                        AS BIGINT) AS valid_to_s,
+                   CAST(row_number() OVER (PARTITION BY url
+                                           ORDER BY cap_sec, digest)
+                        AS BIGINT) AS version_n,
+                   lead(cap_sec) OVER (PARTITION BY url
+                                       ORDER BY cap_sec, digest)
+                     IS NULL AS is_current
+            FROM changed ORDER BY url, version_n""",
         "mad_outliers": r"""
             WITH pl AS (
               SELECT 'purchase' AS event_type,

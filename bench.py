@@ -229,6 +229,7 @@ def main() -> None:
         "mad_outliers",         # median/MAD robust value fence
         "rank_stability",       # RBO top-k corpus-stability audit
         "retrieval_eval",       # P@k/recall/MRR/nDCG IR eval harness
+        "scd2_history",         # SCD-2 capture-history compaction
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

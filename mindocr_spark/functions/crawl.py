@@ -1004,3 +1004,52 @@ def soft404_body_predicate(
     body_hit = F.lower(F.substring(body, 1, head_chars)).rlike(SOFT404_RE)
     thin = F.size(tokens_col(body)) < min_tokens
     return body_hit & thin
+
+
+def scd2_history(
+    captures: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "ts",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) compaction of a capture
+    stream: per URL, collapse consecutive same-digest recrawls (a
+    no-op revisit is not a new version) and emit one row per CONTENT
+    version with its validity interval — the history table a recrawl
+    scheduler, a diff service, and a point-in-time corpus snapshot all
+    read. Returns (url, digest, valid_from_s, valid_to_s, version_n,
+    is_current): epoch-second bounds (tz-proof — the epoch_sec
+    discipline), valid_to_s NULL on the open current version.
+
+    100 TB shape: everything rides ONE (url, time) sort — the
+    change-detection lag, the validity lead, and the version
+    row_number share the same window key, so Spark plans one Exchange;
+    per-url state is the capture count, never the corpus. Same-second
+    captures tie-break on digest (total order, both engines).
+
+    Reference analog: checkpoint rotation keeps only
+    checkpoints whose metric IMPROVED (reference: tools/train.py
+    save-best logic) — the same collapse-no-op-transitions shape."""
+    from mindocr_spark.functions.traffic import epoch_sec
+
+    base = captures.select(
+        F.col(key_col).alias("url"),
+        F.col(digest_col).alias("digest"),
+        epoch_sec(ts_col).cast("bigint").alias("cap_sec"),
+    )
+    marked = base.withColumn("prev_digest", F.lag("digest").over(
+        Window.partitionBy("url").orderBy("cap_sec", "digest")
+    ))
+    changed = marked.where(
+        F.col("prev_digest").isNull()
+        | (F.col("digest") != F.col("prev_digest"))
+    )
+    w2 = Window.partitionBy("url").orderBy("cap_sec", "digest")
+    return changed.select(
+        "url",
+        "digest",
+        F.col("cap_sec").alias("valid_from_s"),
+        F.lead("cap_sec").over(w2).alias("valid_to_s"),
+        F.row_number().over(w2).cast("bigint").alias("version_n"),
+        F.lead("cap_sec").over(w2).isNull().alias("is_current"),
+    )

@@ -607,3 +607,47 @@ class TestSitemapIndex:
             [("https://d.example/a.xml", "<urlset></urlset>")],
         )
         assert rows == []
+
+
+class TestScd2History:
+    def _run(self, spark, rows):
+        import datetime as dt
+
+        from mindocr_spark.functions.crawl import scd2_history
+
+        base = dt.datetime(2024, 1, 1)
+        data = [(u, base + dt.timedelta(days=d), dg) for (u, d, dg) in rows]
+        df = spark.createDataFrame(
+            data, "url string, ts timestamp_ntz, digest string"
+        )
+        return [r.asDict() for r in
+                scd2_history(df).orderBy("url", "version_n").collect()]
+
+    def test_noop_revisit_collapses(self, spark):
+        out = self._run(spark, [("u", 0, "A"), ("u", 1, "A"),
+                                ("u", 2, "B")])
+        assert len(out) == 2
+        v1, v2 = out
+        assert (v1["digest"], v1["version_n"], v1["is_current"]) == (
+            "A", 1, False)
+        # v1 closes when the CONTENT changes (day 2), not at the no-op
+        assert v2["valid_from_s"] - v1["valid_from_s"] == 2 * 86400
+        assert v1["valid_to_s"] == v2["valid_from_s"]
+        assert v2["is_current"] and v2["valid_to_s"] is None
+
+    def test_recurring_digest_is_a_new_version(self, spark):
+        out = self._run(spark, [("u", 0, "A"), ("u", 1, "B"),
+                                ("u", 2, "A")])
+        assert [r["digest"] for r in out] == ["A", "B", "A"]
+        assert [r["version_n"] for r in out] == [1, 2, 3]
+        assert [r["is_current"] for r in out] == [False, False, True]
+
+    def test_single_capture_open_version(self, spark):
+        out = self._run(spark, [("u", 0, "A")])
+        assert len(out) == 1
+        assert out[0]["is_current"] and out[0]["valid_to_s"] is None
+
+    def test_same_second_ties_break_on_digest(self, spark):
+        out = self._run(spark, [("u", 0, "B"), ("u", 0, "A")])
+        # deterministic: A sorts first, B becomes version 2
+        assert [r["digest"] for r in out] == ["A", "B"]
