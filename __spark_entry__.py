@@ -3626,33 +3626,11 @@ def q_triangle_count(spark, sf_dir):
     chorded 13-cycles whose consecutive triples are genuine triangles,
     so coefficients take non-trivial values the oracle reproduces from
     doc_id arithmetic alone."""
-    from mindocr_spark.functions.links import (
-        extract_links,
-        triangle_counts,
-    )
-    from mindocr_spark.sources.pages import pages_from_documents_linked
+    from mindocr_spark.functions.links import triangle_counts
 
-    edges = extract_links(
-        pages_from_documents_linked(spark, sf_dir)
-    ).select("src_domain", "dst_domain")
-    docs = _t(spark, sf_dir, "documents")
-
-    def ring(off):
-        return docs.select(
-            F.concat(
-                F.col("source"),
-                F.pmod("doc_id", F.lit(13)).cast("string"),
-                F.lit(".example"),
-            ).alias("src_domain"),
-            F.concat(
-                F.col("source"),
-                F.pmod(F.col("doc_id") + off, F.lit(13)).cast("string"),
-                F.lit(".example"),
-            ).alias("dst_domain"),
-        )
-
-    chords = ring(1).unionByName(ring(2))
-    return triangle_counts(edges.unionByName(chords)).orderBy("domain")
+    return triangle_counts(
+        _chorded_link_edges(spark, sf_dir)
+    ).orderBy("domain")
 
 
 def q_scd2_history(spark, sf_dir):
@@ -3828,6 +3806,48 @@ def q_cooccur_itemsets(spark, sf_dir):
         min_pair=(1, 2000),
         max_basket_items=8,
     ).orderBy("item_a", "item_b")
+
+
+def _chorded_link_edges(spark, sf_dir):
+    """SHARED graph family for the triad/assortativity audits: the
+    linked corpus's REAL extracted edges (self-ring + mirror + archive
+    spokes) plus the deterministic 'blogroll ring' chord family (every
+    doc's host links its source ring's next and next-next neighbors) —
+    chorded 13-cycles with genuine triangles and same-degree wiring."""
+    from mindocr_spark.functions.links import extract_links
+    from mindocr_spark.sources.pages import pages_from_documents_linked
+
+    edges = extract_links(
+        pages_from_documents_linked(spark, sf_dir)
+    ).select("src_domain", "dst_domain")
+    docs = _t(spark, sf_dir, "documents")
+
+    def ring(off):
+        return docs.select(
+            F.concat(
+                F.col("source"),
+                F.pmod("doc_id", F.lit(13)).cast("string"),
+                F.lit(".example"),
+            ).alias("src_domain"),
+            F.concat(
+                F.col("source"),
+                F.pmod(F.col("doc_id") + off, F.lit(13)).cast("string"),
+                F.lit(".example"),
+            ).alias("dst_domain"),
+        )
+
+    return edges.unionByName(ring(1)).unionByName(ring(2))
+
+
+def q_degree_assortativity(spark, sf_dir):
+    """Newman degree-assortativity coefficient over the chorded link
+    family: the same-degree blogroll rings pull r positive while the
+    hub spokes (every host → docs.example / mirror hubs) pull it
+    negative — the one-number farm-vs-organic graph health signal.
+    Five exact BIGINT sums feed a pinned-order IEEE Pearson formula."""
+    from mindocr_spark.functions.links import degree_assortativity
+
+    return degree_assortativity(_chorded_link_edges(spark, sf_dir))
 
 
 #: crawl-depth seeds: the src0 ring-0 host (reaches its source's whole
@@ -5626,6 +5646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_stability": _q(q_rank_stability),
         "retrieval_eval": _q(q_retrieval_eval),
         "scd2_history": _q(q_scd2_history),
+        "degree_assortativity": _q(q_degree_assortativity),
         "crawl_depth": _q(q_crawl_depth),
         "concordance": _q(q_concordance),
         "blockword_filter": _q(q_blockword_filter),
@@ -5797,6 +5818,26 @@ def _pagerank_oracle(iters: int = 3, damping: str = "0.85") -> str:
     parts.append(f"""
             SELECT dom AS domain, rank FROM it{iters} ORDER BY domain""")
     return "".join(parts)
+
+
+#: SHARED twin of `_chorded_link_edges`: the linked family's extracted
+#: edges plus the blogroll chord family, as one edge relation `alle`
+#: (used by the triangle_count and degree_assortativity oracles).
+_CHORDED_EDGE_CTES = _LINKED_EDGE_CTES + r""",
+            chord AS (
+              SELECT source || CAST(doc_id % 13 AS VARCHAR) || '.example'
+                       AS src_dom,
+                     source || CAST((doc_id + 1) % 13 AS VARCHAR)
+                       || '.example' AS dst_dom
+              FROM documents
+              UNION ALL
+              SELECT source || CAST(doc_id % 13 AS VARCHAR) || '.example',
+                     source || CAST((doc_id + 2) % 13 AS VARCHAR)
+                       || '.example'
+              FROM documents),
+            alle AS (
+              SELECT src_dom, dst_dom FROM e
+              UNION ALL SELECT src_dom, dst_dom FROM chord)"""
 
 
 def _kcore_oracle(k: int = 7, rounds: int = 4) -> str:
@@ -6996,21 +7037,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN fi fbn ON fbn.item = p.item_b
             WHERE p.n_pair * 2000 >= 1 * t.n_baskets
             ORDER BY item_a, item_b""",
-        "triangle_count": "WITH " + _LINKED_EDGE_CTES + r""",
-            chord AS (
-              SELECT source || CAST(doc_id % 13 AS VARCHAR) || '.example'
-                       AS src_dom,
-                     source || CAST((doc_id + 1) % 13 AS VARCHAR)
-                       || '.example' AS dst_dom
-              FROM documents
-              UNION ALL
-              SELECT source || CAST(doc_id % 13 AS VARCHAR) || '.example',
-                     source || CAST((doc_id + 2) % 13 AS VARCHAR)
-                       || '.example'
-              FROM documents),
-            alle AS (
-              SELECT src_dom, dst_dom FROM e
-              UNION ALL SELECT src_dom, dst_dom FROM chord),
+        "triangle_count": "WITH " + _CHORDED_EDGE_CTES + r""",
             sp AS (
               SELECT DISTINCT least(src_dom, dst_dom) AS a,
                               greatest(src_dom, dst_dom) AS b
@@ -9707,6 +9734,50 @@ def oracle_sql() -> dict[str, str]:
         "stem_collapse": _stem_collapse_oracle(),
         "rank_stability": _rank_stability_oracle(k=10, p=0.9),
         "retrieval_eval": _retrieval_eval_oracle(k=_BM25_K),
+        "degree_assortativity": "WITH " + _CHORDED_EDGE_CTES + r""",
+            sp AS (
+              SELECT DISTINCT least(src_dom, dst_dom) AS a,
+                              greatest(src_dom, dst_dom) AS b
+              FROM alle WHERE src_dom != dst_dom),
+            deg AS (
+              SELECT dom, CAST(count(*) AS BIGINT) AS d
+              FROM (SELECT a AS dom FROM sp
+                    UNION ALL SELECT b FROM sp)
+              GROUP BY dom),
+            sym AS (
+              SELECT a, b FROM sp
+              UNION ALL SELECT b AS a, a AS b FROM sp),
+            lab AS (
+              SELECT da.d AS x, db.d AS y
+              FROM sym
+              JOIN deg da ON da.dom = sym.a
+              JOIN deg db ON db.dom = sym.b),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy
+              FROM lab)
+            SELECT n AS n_endpoints,
+                   CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             > 0
+                         AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                             > 0
+                   THEN round(
+                     (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE)
+                                 * CAST(sy AS DOUBLE))), 6)
+                        + CAST(0.0 AS DOUBLE)
+                   END AS r
+            FROM agg""",
         "scd2_history": r"""
             WITH caps AS (
               SELECT 'https://' || source || '.example/d'

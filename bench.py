@@ -230,6 +230,7 @@ def main() -> None:
         "rank_stability",       # RBO top-k corpus-stability audit
         "retrieval_eval",       # P@k/recall/MRR/nDCG IR eval harness
         "scd2_history",         # SCD-2 capture-history compaction
+        "degree_assortativity", # Newman graph-health coefficient
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

@@ -1175,3 +1175,67 @@ def meta_divergence(pages: DataFrame, text_col: str = "text") -> DataFrame:
         .otherwise(F.lit("aligned"))
         .alias("verdict"),
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree-assortativity coefficient (Newman 2002) of the
+    undirected simple domain graph — the one-number web-graph health
+    signal: organic webs are DISassortative (hubs link leaves, r < 0);
+    link farms wire similar-degree members together and push r
+    positive. Pearson correlation of endpoint degrees over both
+    orientations of every edge.
+
+    Returns ONE row: (n_endpoints, r) with r = round 6, NULL when the
+    variance is zero (regular graphs — undefined, not 0.0).
+
+    100 TB shape: the edge multiset collapses once to canonical
+    distinct pairs, degrees come from one map-side-combinable groupBy,
+    and the coefficient is ONE aggregate over the degree-labeled
+    symmetric edge list — five BIGINT sums (exact; at 10^12 edges lift
+    to DECIMAL(38,0), same plan) feeding a pinned-order IEEE formula.
+    No quadratic anything."""
+    from mindocr_spark.cache import tracked_persist
+
+    raw = edges.where(F.col("src_domain") != F.col("dst_domain"))
+    pairs = tracked_persist(
+        raw.select(
+            F.least("src_domain", "dst_domain").alias("a"),
+            F.greatest("src_domain", "dst_domain").alias("b"),
+        ).distinct()
+    )
+    deg = pairs.select(F.col("a").alias("domain")).unionAll(
+        pairs.select(F.col("b").alias("domain"))
+    ).groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    sym = pairs.unionAll(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labeled = sym.join(
+        deg.select(F.col("domain").alias("a"), F.col("d").alias("x")),
+        "a",
+    ).join(
+        deg.select(F.col("domain").alias("b"), F.col("d").alias("y")),
+        "b",
+    )
+    agg = labeled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = nd * F.col("sxy").cast("double") - sx * sy
+    vx = nd * F.col("sxx").cast("double") - sx * sx
+    vy = nd * F.col("syy").cast("double") - sy * sy
+    return agg.select(
+        F.col("n").alias("n_endpoints"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(num / F.sqrt(vx * vy), 6) + F.lit(0.0),
+        ).alias("r"),
+    )

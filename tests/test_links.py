@@ -510,3 +510,51 @@ class TestTriangleCounts:
         # K4 has 4 triangles; each node sits in C(3,2)=3 of them
         for n in nodes:
             assert out[n] == (3, 3, 1.0)
+
+
+class TestDegreeAssortativity:
+    def _run(self, spark, pairs):
+        from mindocr_spark.functions.links import degree_assortativity
+
+        df = spark.createDataFrame(
+            pairs, "src_domain string, dst_domain string"
+        )
+        return degree_assortativity(df).collect()[0]
+
+    def test_star_is_perfectly_disassortative(self, spark):
+        r = self._run(spark, [("hub", f"leaf{i}") for i in range(3)])
+        assert r["n_endpoints"] == 6  # 3 edges × both orientations
+        assert r["r"] == -1.0
+
+    def test_regular_graph_undefined(self, spark):
+        # 4-cycle: every degree 2 → zero variance → NULL, not 0.0
+        r = self._run(spark, [("a", "b"), ("b", "c"), ("c", "d"),
+                              ("d", "a")])
+        assert r["r"] is None
+
+    def test_mixed_graph_matches_formula(self, spark):
+        import math
+
+        import pytest as _pytest
+
+        # triangle a-b-c with pendant d on a
+        pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")]
+        deg = {"a": 3, "b": 2, "c": 2, "d": 1}
+        xs, ys = [], []
+        for u, v in pairs:
+            xs += [deg[u], deg[v]]
+            ys += [deg[v], deg[u]]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+        exp = (n * sxy - sx * sy) / math.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy))
+        r = self._run(spark, pairs)
+        assert r["r"] == _pytest.approx(exp, abs=1e-6)
+
+    def test_multiplicity_collapses_before_degrees(self, spark):
+        r1 = self._run(spark, [("hub", "leaf0"), ("hub", "leaf0"),
+                               ("leaf0", "hub"), ("hub", "leaf1"),
+                               ("hub", "leaf2")])
+        assert r1["n_endpoints"] == 6 and r1["r"] == -1.0
