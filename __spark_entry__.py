@@ -3633,6 +3633,18 @@ def q_triangle_count(spark, sf_dir):
     ).orderBy("domain")
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    streams: (prev_type, event_type, n, p) with row-normalized
+    probabilities — the behavioral fingerprint bots degenerate on.
+    One user-key lag, one pair-key count, one tiny-key window."""
+    from mindocr_spark.functions.traffic import event_transitions
+
+    return event_transitions(
+        _t(spark, sf_dir, "events")
+    ).orderBy("prev_type", "event_type")
+
+
 def q_scd2_history(spark, sf_dir):
     """SCD-2 capture-history compaction: three synthetic recrawls per
     doc (day 0/1/2) where the digest flips once — at day 2 for even
@@ -5647,6 +5659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval": _q(q_retrieval_eval),
         "scd2_history": _q(q_scd2_history),
         "degree_assortativity": _q(q_degree_assortativity),
+        "event_transitions": _q(q_event_transitions),
         "crawl_depth": _q(q_crawl_depth),
         "concordance": _q(q_concordance),
         "blockword_filter": _q(q_blockword_filter),
@@ -9734,6 +9747,29 @@ def oracle_sql() -> dict[str, str]:
         "stem_collapse": _stem_collapse_oracle(),
         "rank_stability": _rank_stability_oracle(k=10, p=0.9),
         "retrieval_eval": _retrieval_eval_oracle(k=_BM25_K),
+        "event_transitions": r"""
+            WITH es AS (
+              SELECT user_id, event_id, event_type,
+                     date_diff('second',
+                               TIMESTAMP '1970-01-01 00:00:00', ts)
+                       AS es
+              FROM events),
+            seq AS (
+              SELECT event_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY es, event_id)
+                       AS prev_type
+              FROM es),
+            c AS (
+              SELECT prev_type, event_type,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM seq WHERE prev_type IS NOT NULL
+              GROUP BY prev_type, event_type)
+            SELECT prev_type, event_type, n,
+                   round(CAST(n AS DOUBLE)
+                         / CAST(sum(n) OVER (PARTITION BY prev_type)
+                                AS DOUBLE), 6) AS p
+            FROM c ORDER BY prev_type, event_type""",
         "degree_assortativity": "WITH " + _CHORDED_EDGE_CTES + r""",
             sp AS (
               SELECT DISTINCT least(src_dom, dst_dom) AS a,

@@ -231,6 +231,7 @@ def main() -> None:
         "retrieval_eval",       # P@k/recall/MRR/nDCG IR eval harness
         "scd2_history",         # SCD-2 capture-history compaction
         "degree_assortativity", # Newman graph-health coefficient
+        "event_transitions",    # first-order Markov behavior matrix
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+
 def epoch_sec(ts_col: str = "ts"):
     """Seconds since epoch for a TIMESTAMP_NTZ column, independent of
     the session timezone: whole seconds since a zero-microsecond
@@ -179,4 +180,46 @@ def mad_outlier_stats(
             "mad_value",
             "n_outliers",
         )
+    )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix of event types over
+    per-user streams — the behavioral fingerprint recommendation and
+    anomaly systems consume (bots have degenerate rows: one outgoing
+    transition at p≈1.0; organic users spread mass). Returns
+    (prev_type, event_type, n, p) where p is the row-normalized
+    transition probability.
+
+    100 TB shape: one shuffle on the user key for the (ts, event_id)
+    lag, one map-side-combinable groupBy on the (prev, cur) pair key
+    (event-type² cardinality), and the row normalizer is a window on
+    the prev key at that same tiny grain — referenced once (the
+    hits_scores plan-growth lesson). p = n/row_total is one IEEE
+    division, round 6."""
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    seq = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        epoch_sec("ts").cast("bigint").alias("es"),
+    ).select(
+        F.col("event_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    counts = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w_row = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(w_row).cast("double"),
+            6,
+        ).alias("p"),
     )

@@ -122,3 +122,48 @@ class TestMadOutliers:
                                    "event_type string, value double")
         with pytest.raises(ValueError):
             mad_outlier_stats(df, k=0)
+
+
+class TestEventTransitions:
+    def test_hand_computed_matrix(self, spark):
+        import datetime as dt
+
+        from mindocr_spark.functions.traffic import event_transitions
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            # user 1: a → b → a → b ; user 2: a → a
+            (1, 0, base, "a"), (1, 1, base + dt.timedelta(seconds=1), "b"),
+            (1, 2, base + dt.timedelta(seconds=2), "a"),
+            (1, 3, base + dt.timedelta(seconds=3), "b"),
+            (2, 4, base, "a"), (2, 5, base + dt.timedelta(seconds=9), "a"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "user_id bigint, event_id bigint, ts timestamp_ntz,"
+            " event_type string",
+        )
+        out = {(r["prev_type"], r["event_type"]): (r["n"], r["p"])
+               for r in event_transitions(df).collect()}
+        # from 'a': a→b twice (user 1), a→a once (user 2)
+        assert out[("a", "b")] == (2, round(2 / 3, 6))
+        assert out[("a", "a")] == (1, round(1 / 3, 6))
+        # from 'b': only b→a (user 1's middle hop)
+        assert out[("b", "a")] == (1, 1.0)
+        # streams never cross users: no ('b','a') inflation from user 2
+        assert set(out) == {("a", "b"), ("a", "a"), ("b", "a")}
+
+    def test_same_ts_ties_break_on_event_id(self, spark):
+        import datetime as dt
+
+        from mindocr_spark.functions.traffic import event_transitions
+
+        t = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, 10, t, "x"), (1, 11, t, "y")],
+            "user_id bigint, event_id bigint, ts timestamp_ntz,"
+            " event_type string",
+        )
+        out = {(r["prev_type"], r["event_type"])
+               for r in event_transitions(df).collect()}
+        assert out == {("x", "y")}
