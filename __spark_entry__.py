@@ -3633,6 +3633,26 @@ def q_triangle_count(spark, sf_dir):
     ).orderBy("domain")
 
 
+def q_crawl_budget(spark, sf_dir):
+    """Max-min-fair (water-filling) recrawl-budget allocation: demand
+    = total bytes per ring host (source ring domains, 13 per source —
+    genuinely varied integer demands), budget = ⌊40% of total⌋. Small
+    hosts are fully satisfied below the water level θ; big hosts cap
+    at θ with the integer remainder handed deterministically to the
+    first capped hosts — Σ allocation spends the budget exactly."""
+    from mindocr_spark.functions.crawl import water_fill_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    demand = docs.groupBy(
+        F.concat(
+            F.col("source"),
+            F.pmod("doc_id", F.lit(13)).cast("string"),
+            F.lit(".example"),
+        ).alias("domain")
+    ).agg(F.sum("n_chars").cast("bigint").alias("demand"))
+    return water_fill_budget(demand, budget=(2, 5)).orderBy("domain")
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order Markov transition matrix over per-user event
     streams: (prev_type, event_type, n, p) with row-normalized
@@ -5660,6 +5680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": _q(q_scd2_history),
         "degree_assortativity": _q(q_degree_assortativity),
         "event_transitions": _q(q_event_transitions),
+        "crawl_budget": _q(q_crawl_budget),
         "crawl_depth": _q(q_crawl_depth),
         "concordance": _q(q_concordance),
         "blockword_filter": _q(q_blockword_filter),
@@ -9747,6 +9768,52 @@ def oracle_sql() -> dict[str, str]:
         "stem_collapse": _stem_collapse_oracle(),
         "rank_stability": _rank_stability_oracle(k=10, p=0.9),
         "retrieval_eval": _retrieval_eval_oracle(k=_BM25_K),
+        "crawl_budget": r"""
+            WITH dem AS (
+              SELECT source || CAST(doc_id % 13 AS VARCHAR)
+                       || '.example' AS domain,
+                     CAST(sum(n_chars) AS BIGINT) AS demand
+              FROM documents
+              GROUP BY source || CAST(doc_id % 13 AS VARCHAR)
+                         || '.example'),
+            t AS (
+              SELECT domain, demand,
+                     CAST(row_number() OVER (ORDER BY demand, domain)
+                          AS BIGINT) AS rn,
+                     CAST(sum(demand) OVER (ORDER BY demand, domain)
+                          AS BIGINT) AS s,
+                     CAST(count(*) OVER () AS BIGINT) AS n,
+                     CAST(sum(demand) OVER () AS BIGINT) AS total
+              FROM dem),
+            b AS (
+              SELECT *,
+                     CAST((total * 2) // 5 AS BIGINT) AS budget,
+                     demand * (n - rn + 1)
+                       <= (total * 2) // 5 - (s - demand) AS ok
+              FROM t),
+            k AS (
+              SELECT *,
+                     CAST(max(CASE WHEN ok THEN rn ELSE 0 END) OVER ()
+                          AS BIGINT) AS kstar,
+                     CAST(max(CASE WHEN ok THEN s ELSE 0 END) OVER ()
+                          AS BIGINT) AS s_kstar
+              FROM b),
+            a AS (
+              SELECT domain, demand,
+                     CASE WHEN rn <= kstar THEN demand
+                          ELSE (budget - s_kstar) // (n - kstar)
+                               + CASE WHEN rn - kstar
+                                        <= budget - s_kstar
+                                           - ((budget - s_kstar)
+                                              // (n - kstar))
+                                             * (n - kstar)
+                                      THEN 1 ELSE 0 END
+                     END AS allocation
+              FROM k)
+            SELECT domain, demand,
+                   CAST(allocation AS BIGINT) AS allocation,
+                   allocation = demand AS fully_satisfied
+            FROM a ORDER BY domain""",
         "event_transitions": r"""
             WITH es AS (
               SELECT user_id, event_id, event_type,

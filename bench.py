@@ -232,6 +232,7 @@ def main() -> None:
         "scd2_history",         # SCD-2 capture-history compaction
         "degree_assortativity", # Newman graph-health coefficient
         "event_transitions",    # first-order Markov behavior matrix
+        "crawl_budget",         # max-min fair water-filling allocator
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

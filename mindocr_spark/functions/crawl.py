@@ -1053,3 +1053,77 @@ def scd2_history(
         F.row_number().over(w2).cast("bigint").alias("version_n"),
         F.lead("cap_sec").over(w2).isNull().alias("is_current"),
     )
+
+
+def water_fill_budget(
+    demand: DataFrame, budget: tuple[int, int] = (2, 5)
+) -> DataFrame:
+    """Water-filling (max-min fair) crawl-budget allocation: given
+    per-domain recrawl demand and a round budget = ⌊total·num/den⌋
+    pages, fully satisfy every demand below the water level θ and cap
+    everyone else at θ — the allocation that maximizes the minimum
+    service, the standard fairness rule for shared crawl capacity
+    (no domain can gain without a smaller domain losing). Integer
+    remainder pages go to the lexicographically-first capped domains,
+    so the budget is spent EXACTLY and deterministically.
+
+    Returns (domain, demand, allocation, fully_satisfied) with
+    Σ allocation = min(budget, Σ demand) — all-integer arithmetic,
+    every boundary decided identically in both engines.
+
+    100 TB shape: this operator runs at the ALLOCATION grain — the
+    corpus-sized work (counting demand) happened upstream; the
+    relation here is domain-cardinality bookkeeping. The windows are
+    one global sort by (demand, domain) plus unpartitioned totals; at
+    10^8+ domains switch the prefix sum to the range-partitioned
+    two-pass form (the token_budget_sample pattern), same algebra.
+
+    Reference analog: gear batching divides a fixed device budget
+    across variable-size inputs (reference: mindocr/data/layout_
+    dataset.py bucketing); water-filling is that division made
+    max-min fair."""
+    num, den = budget
+    if num < 0 or den < 1:
+        raise ValueError(f"budget must be (num ≥ 0, den ≥ 1)")
+    w = Window.orderBy("demand", "domain")
+    wall = Window.partitionBy()
+    t = demand.select(
+        "domain", F.col("demand").cast("bigint").alias("demand")
+    ).select(
+        "domain",
+        "demand",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.sum("demand").over(w).cast("bigint").alias("s"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+        F.sum("demand").over(wall).cast("bigint").alias("total"),
+    )
+    b = t.withColumn(
+        "budget",
+        F.expr(f"(total * {int(num)}) div {int(den)}").cast("bigint"),
+    ).withColumn(
+        "ok",
+        F.col("demand") * (F.col("n") - F.col("rn") + 1)
+        <= F.col("budget") - (F.col("s") - F.col("demand")),
+    )
+    k = b.select(
+        "*",
+        F.max(F.when(F.col("ok"), F.col("rn")).otherwise(0))
+        .over(wall).alias("kstar"),
+        F.max(F.when(F.col("ok"), F.col("s")).otherwise(0))
+        .over(wall).alias("s_kstar"),
+    )
+    n_capped = F.col("n") - F.col("kstar")
+    # integer div (not floor-of-double): exact, and only evaluated on
+    # capped rows where kstar < n (when-branch laziness guards ANSI)
+    theta = F.expr("(budget - s_kstar) div (n - kstar)").cast("bigint")
+    rem = F.col("budget") - F.col("s_kstar") - theta * n_capped
+    alloc = F.when(F.col("rn") <= F.col("kstar"), F.col("demand")).otherwise(
+        theta
+        + ((F.col("rn") - F.col("kstar")) <= rem).cast("bigint")
+    )
+    return k.select(
+        "domain",
+        "demand",
+        alloc.alias("allocation"),
+        (alloc == F.col("demand")).alias("fully_satisfied"),
+    )

@@ -651,3 +651,52 @@ class TestScd2History:
         out = self._run(spark, [("u", 0, "B"), ("u", 0, "A")])
         # deterministic: A sorts first, B becomes version 2
         assert [r["digest"] for r in out] == ["A", "B"]
+
+
+class TestWaterFillBudget:
+    def _run(self, spark, rows, budget):
+        from mindocr_spark.functions.crawl import water_fill_budget
+
+        df = spark.createDataFrame(rows, "domain string, demand bigint")
+        out = water_fill_budget(df, budget=budget).collect()
+        return {r["domain"]: r for r in out}
+
+    def test_hand_computed_water_level(self, spark):
+        # demands 1,2,10,10 (total 23); budget = floor(23·1/2) = 11.
+        # satisfy 1 and 2 (3 pages), split 8 across the two big ones:
+        # θ = 4, remainder 0 → allocations 1,2,4,4
+        rows = [("a", 1), ("b", 2), ("c", 10), ("d", 10)]
+        out = self._run(spark, rows, (1, 2))
+        assert out["a"]["allocation"] == 1 and out["a"]["fully_satisfied"]
+        assert out["b"]["allocation"] == 2
+        assert out["c"]["allocation"] == 4 and not out["c"]["fully_satisfied"]
+        assert out["d"]["allocation"] == 4
+        assert sum(r["allocation"] for r in out.values()) == 11
+
+    def test_remainder_is_deterministic_and_budget_exact(self, spark):
+        # demands 10,10,10; budget = floor(30·1/2) = 15 → θ = 5, rem 0?
+        # use 2/3: budget 20 → θ = 6 rem 2: first two capped domains
+        # (demand-then-domain order) get the extra page
+        rows = [("x", 10), ("y", 10), ("z", 10)]
+        out = self._run(spark, rows, (2, 3))
+        assert [out[d]["allocation"] for d in ("x", "y", "z")] == [7, 7, 6]
+        assert sum(r["allocation"] for r in out.values()) == 20
+
+    def test_budget_covers_everything(self, spark):
+        rows = [("a", 3), ("b", 4)]
+        out = self._run(spark, rows, (1, 1))
+        assert all(r["fully_satisfied"] for r in out.values())
+        assert sum(r["allocation"] for r in out.values()) == 7
+
+    def test_zero_budget(self, spark):
+        rows = [("a", 3), ("b", 4)]
+        out = self._run(spark, rows, (0, 1))
+        assert sum(r["allocation"] for r in out.values()) == 0
+
+    def test_guard(self, spark):
+        from mindocr_spark.functions.crawl import water_fill_budget
+
+        df = spark.createDataFrame([("a", 1)], "domain string, demand bigint")
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            water_fill_budget(df, budget=(1, 0))
