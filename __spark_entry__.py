@@ -1688,6 +1688,59 @@ def _retrieval_eval_oracle(k: int = 5) -> str:
     """
 
 
+def _skew_arm(relation: str, key: str, from_sql: str) -> str:
+    """One UNION-ALL arm of the skew-audit oracle: per-key counts →
+    rank → exact integer sums → pinned IEEE Gini (the rank formula) —
+    mirroring tuning.key_skew_stats. Σi·c is tie-invariant (equal
+    counts permute only within their tie group), so collation can't
+    matter."""
+    return f"""
+        SELECT '{relation}' AS relation, '{key}' AS key,
+               n_rows, n_keys,
+               round(CAST(max_c AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+                 AS max_share,
+               round(CAST(2.0 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                     / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE))
+                     - (CAST(n_keys AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                       / CAST(n_keys AS DOUBLE)
+                     + CAST(0.0 AS DOUBLE), 6) AS gini,
+               max_c * 20 > 1 * n_rows AS needs_salting
+        FROM (
+          SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(sum(c) AS BIGINT) AS n_rows,
+                 CAST(max(c) AS BIGINT) AS max_c,
+                 CAST(sum(i * c) AS BIGINT) AS s1
+          FROM (
+            SELECT c, CAST(row_number() OVER (ORDER BY c, kk)
+                           AS BIGINT) AS i
+            FROM (
+              SELECT coalesce(CAST({key} AS VARCHAR),
+                              chr(0) || 'NULL') AS kk,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM {from_sql}
+              GROUP BY coalesce(CAST({key} AS VARCHAR),
+                                chr(0) || 'NULL'))))"""
+
+
+def _skew_audit_oracle() -> str:
+    arms = [
+        _skew_arm("documents", "source", "documents"),
+        _skew_arm("documents", "lang", "documents"),
+        _skew_arm("events", "event_type", "events"),
+        _skew_arm("events", "user_id", "events"),
+        _skew_arm(
+            "link_edges", "dst_domain",
+            "(SELECT dst_dom AS dst_domain FROM e)",
+        ),
+    ]
+    return (
+        "WITH " + _LINKED_EDGE_CTES
+        + " SELECT * FROM ("
+        + " UNION ALL ".join(arms)
+        + ") ORDER BY relation, key"
+    )
+
+
 def _rank_stability_oracle(k: int = 10, p: float = 0.9) -> str:
     """Twin of q_rank_stability: same tokenization, same (count DESC,
     token ASC) rank tie-break, same depth weights RENDERED from
@@ -3631,6 +3684,34 @@ def q_triangle_count(spark, sf_dir):
     return triangle_counts(
         _chorded_link_edges(spark, sf_dir)
     ).orderBy("domain")
+
+
+def q_skew_audit(spark, sf_dir):
+    """Shuffle-key skew audit over five prospective groupBy/join keys
+    (documents.source/lang, events.event_type/user_id, and the link
+    graph's dst_domain): per key one row of (n_rows, n_keys,
+    max_share, gini, needs_salting). The link-graph arm fires the
+    salting verdict — docs.example receives an in-link from EVERY page
+    (a >5% hot key), exactly the reducer hotspot the salted two-phase
+    plans exist for; the uniform keys report gini ≈ 0."""
+    from mindocr_spark.functions.links import extract_links
+    from mindocr_spark.sources.pages import pages_from_documents_linked
+    from mindocr_spark.tuning import key_skew_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = _t(spark, sf_dir, "events")
+    edges = extract_links(pages_from_documents_linked(spark, sf_dir))
+    parts = [
+        key_skew_stats(docs, "source", "documents"),
+        key_skew_stats(docs, "lang", "documents"),
+        key_skew_stats(ev, "event_type", "events"),
+        key_skew_stats(ev, "user_id", "events"),
+        key_skew_stats(edges, "dst_domain", "link_edges"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("relation", "key")
 
 
 def q_crawl_budget(spark, sf_dir):
@@ -5681,6 +5762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": _q(q_degree_assortativity),
         "event_transitions": _q(q_event_transitions),
         "crawl_budget": _q(q_crawl_budget),
+        "skew_audit": _q(q_skew_audit),
         "crawl_depth": _q(q_crawl_depth),
         "concordance": _q(q_concordance),
         "blockword_filter": _q(q_blockword_filter),
@@ -9768,6 +9850,7 @@ def oracle_sql() -> dict[str, str]:
         "stem_collapse": _stem_collapse_oracle(),
         "rank_stability": _rank_stability_oracle(k=10, p=0.9),
         "retrieval_eval": _retrieval_eval_oracle(k=_BM25_K),
+        "skew_audit": _skew_audit_oracle(),
         "crawl_budget": r"""
             WITH dem AS (
               SELECT source || CAST(doc_id % 13 AS VARCHAR)

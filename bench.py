@@ -233,6 +233,7 @@ def main() -> None:
         "degree_assortativity", # Newman graph-health coefficient
         "event_transitions",    # first-order Markov behavior matrix
         "crawl_budget",         # max-min fair water-filling allocator
+        "skew_audit",           # shuffle-key hotspot / Gini diagnostics
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

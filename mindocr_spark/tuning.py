@@ -67,3 +67,70 @@ def suggest_partitioning(
         arrow_batch_rows=int(batch_rows), salt_buckets=int(salt_buckets),
         size_ordered=heavy_tail,
     )
+
+
+def key_skew_stats(
+    df: DataFrame, key_col: str, relation: str,
+    max_share=(1, 20),
+) -> DataFrame:
+    """ONE-row shuffle-key skew audit for a prospective groupBy/join
+    key: (relation, key, n_rows, n_keys, max_share, gini,
+    needs_salting) — the dataset-card diagnostic that decides whether
+    a key needs the salted two-phase plan (domain_cap) or AQE skew
+    handling BEFORE a 100 TB job discovers it the hard way. max_share
+    is the heaviest key's row fraction; gini the usual inequality
+    coefficient over per-key counts (0 = uniform, → 1 = one key owns
+    everything); needs_salting is the INTEGER rule
+    ``max_count·den > num·n_rows`` (default: one key holding > 5 % of
+    rows overwhelms a single reducer at scale).
+
+    100 TB shape: one map-side-combinable count groupBy on the audited
+    key, then everything lives at KEY cardinality — the Gini's sorted
+    prefix sum is a window over per-key counts, never rows. Gini uses
+    the rank formula G = 2·Σ(i·cᵢ)/(n·Σc) − (n+1)/n over counts sorted
+    (count, key): exact integer sums feeding a pinned-order IEEE
+    formula, round 6. NULL keys are counted as a real key (NULL-key
+    skew is the most common production skew of all).
+
+    Reference analog: auto_scaling profiles the batch-dim distribution
+    before picking gears (reference:
+    deploy/models_utils/auto_scaling/src/auto_scaling.py); this is the
+    same profile applied to shuffle keys."""
+    from pyspark.sql import Window
+
+    num, den = max_share
+    if num < 0 or den < 1:
+        raise ValueError(f"max_share must be (num ≥ 0, den ≥ 1)")
+    counts = df.groupBy(
+        F.coalesce(F.col(key_col).cast("string"), F.lit("\x00NULL"))
+        .alias("k")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w = Window.orderBy("c", "k")
+    ranked = counts.select(
+        "c", F.row_number().over(w).cast("bigint").alias("i")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").cast("bigint").alias("max_c"),
+        F.sum(F.col("i") * F.col("c")).cast("bigint").alias("s1"),
+    )
+    nk = F.col("n_keys").cast("double")
+    tot = F.col("n_rows").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("s1").cast("double") / (nk * tot)
+        - (nk + F.lit(1.0)) / nk
+    )
+    return agg.select(
+        F.lit(relation).alias("relation"),
+        F.lit(key_col).alias("key"),
+        "n_rows",
+        "n_keys",
+        F.round(F.col("max_c").cast("double") / tot, 6).alias(
+            "max_share"
+        ),
+        F.round(gini + F.lit(0.0), 6).alias("gini"),
+        (
+            F.col("max_c") * F.lit(den) > F.lit(num) * F.col("n_rows")
+        ).alias("needs_salting"),
+    )

@@ -35,3 +35,45 @@ def test_salting_redistributes_partitions(spark):
     )
     assert len(counts) >= 6            # occupied most of the 8 buckets
     assert max(c["count"] for c in counts) < 200  # no single straggler
+
+
+class TestKeySkewStats:
+    def _run(self, spark, rows, **kw):
+        from mindocr_spark.tuning import key_skew_stats
+
+        df = spark.createDataFrame(rows, "k string, v bigint")
+        return key_skew_stats(df, "k", "t", **kw).collect()[0]
+
+    def test_uniform_keys_gini_zero(self, spark):
+        r = self._run(spark, [(f"k{i}", 0) for i in range(40)])
+        assert (r["n_rows"], r["n_keys"]) == (40, 40)
+        assert r["gini"] == 0.0 and r["max_share"] == 0.025
+        assert not r["needs_salting"]
+
+    def test_hot_key_fires_salting_verdict(self, spark):
+        rows = [("hot", 0)] * 9 + [("a", 0)]
+        r = self._run(spark, rows)
+        assert r["max_share"] == 0.9
+        assert r["needs_salting"]
+        # hand Gini: counts sorted [1, 9] → 2·(1·1+2·9)/(2·10) − 3/2
+        assert r["gini"] == round(2 * 19 / 20 - 1.5, 6)
+
+    def test_null_is_a_real_key(self, spark):
+        rows = [("a", 0), (None, 0), (None, 0)]
+        r = self._run(spark, rows)
+        assert r["n_keys"] == 2 and r["n_rows"] == 3
+
+    def test_boundary_is_strict(self, spark):
+        # exactly 1/20 of rows must NOT fire (strict >)
+        rows = [("hot", 0)] + [(f"k{i}", 0) for i in range(19)]
+        r = self._run(spark, rows, max_share=(1, 20))
+        assert not r["needs_salting"]
+
+    def test_guard(self, spark):
+        import pytest as _pytest
+
+        from mindocr_spark.tuning import key_skew_stats
+
+        df = spark.createDataFrame([("a", 0)], "k string, v bigint")
+        with _pytest.raises(ValueError):
+            key_skew_stats(df, "k", "t", max_share=(1, 0))
