@@ -1722,6 +1722,53 @@ def _skew_arm(relation: str, key: str, from_sql: str) -> str:
                                 chr(0) || 'NULL'))))"""
 
 
+def _fk_arm(child_name: str, fk: str, parent_name: str, pk: str,
+            child_sql: str | None = None) -> str:
+    """One UNION-ALL arm of the FK-integrity oracle, mirroring
+    operators.joins.fk_integrity_stats."""
+    child_rel = child_sql or child_name
+    return f"""
+        SELECT '{child_name}' AS child_table, '{fk}' AS fk,
+               '{parent_name}' AS parent_table,
+               n_child_rows, n_null_fk, n_orphan_rows,
+               round(CAST(n_orphan_rows AS DOUBLE)
+                     / CAST(n_child_rows AS DOUBLE), 6) AS orphan_share,
+               n_parent_rows, n_parent_dup_keys
+        FROM (
+          SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM {child_rel})
+              AS n_child_rows,
+            (SELECT CAST(count(*) AS BIGINT) FROM {child_rel}
+             WHERE {fk} IS NULL) AS n_null_fk,
+            (SELECT CAST(count(*) AS BIGINT) FROM {child_rel} c
+             WHERE c.{fk} IS NOT NULL AND NOT EXISTS (
+               SELECT 1 FROM {parent_name} p
+               WHERE p.{pk} = c.{fk})) AS n_orphan_rows,
+            (SELECT CAST(count(*) AS BIGINT) FROM {parent_name})
+              AS n_parent_rows,
+            (SELECT CAST(count(*) - count(DISTINCT {pk}) AS BIGINT)
+             FROM {parent_name}) AS n_parent_dup_keys)"""
+
+
+def _fk_integrity_oracle() -> str:
+    returns_sql = ("(SELECT CASE WHEN l_linenumber % 7 = 0 "
+                   "THEN l_orderkey + 1000000 ELSE l_orderkey END "
+                   "AS r_orderkey FROM lineitem)")
+    arms = [
+        _fk_arm("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        _fk_arm("lineitem", "l_partkey", "part", "p_partkey"),
+        _fk_arm("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        _fk_arm("orders", "o_custkey", "customer", "c_custkey"),
+        _fk_arm("customer", "c_nationkey", "nation", "n_nationkey"),
+        _fk_arm("supplier", "s_nationkey", "nation", "n_nationkey"),
+        _fk_arm("nation", "n_regionkey", "region", "r_regionkey"),
+        _fk_arm("returns_feed", "r_orderkey", "orders", "o_orderkey",
+                child_sql=returns_sql),
+    ]
+    return ("SELECT * FROM (" + " UNION ALL ".join(arms)
+            + ") ORDER BY child_table, fk")
+
+
 def _skew_audit_oracle() -> str:
     arms = [
         _skew_arm("documents", "source", "documents"),
@@ -3684,6 +3731,50 @@ def q_triangle_count(spark, sf_dir):
     return triangle_counts(
         _chorded_link_edges(spark, sf_dir)
     ).orderBy("domain")
+
+
+def q_fk_integrity(spark, sf_dir):
+    """Warehouse referential-integrity audit over the eight FK
+    relationships of the TPC-H-ish star schema plus one PLANTED dirty
+    feed: a derived `returns` relation corrupts every 7th line's order
+    key (+10^6), so its arm reports non-zero orphans and a non-trivial
+    orphan_share while the clean relationships report exact zeros —
+    the audit both fires and stays quiet where it should."""
+    from mindocr_spark.operators.joins import fk_integrity_stats
+
+    t = lambda n: _t(spark, sf_dir, n)  # noqa: E731
+    rels = [
+        (t("lineitem"), "l_orderkey", t("orders"), "o_orderkey",
+         "lineitem", "orders"),
+        (t("lineitem"), "l_partkey", t("part"), "p_partkey",
+         "lineitem", "part"),
+        (t("lineitem"), "l_suppkey", t("supplier"), "s_suppkey",
+         "lineitem", "supplier"),
+        (t("orders"), "o_custkey", t("customer"), "c_custkey",
+         "orders", "customer"),
+        (t("customer"), "c_nationkey", t("nation"), "n_nationkey",
+         "customer", "nation"),
+        (t("supplier"), "s_nationkey", t("nation"), "n_nationkey",
+         "supplier", "nation"),
+        (t("nation"), "n_regionkey", t("region"), "r_regionkey",
+         "nation", "region"),
+    ]
+    returns = t("lineitem").select(
+        F.when(
+            F.pmod("l_linenumber", F.lit(7)) == 0,
+            F.col("l_orderkey") + F.lit(1000000),
+        ).otherwise(F.col("l_orderkey")).alias("r_orderkey")
+    )
+    parts = [fk_integrity_stats(*r) for r in rels] + [
+        fk_integrity_stats(
+            returns, "r_orderkey", t("orders"), "o_orderkey",
+            "returns_feed", "orders",
+        )
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("child_table", "fk")
 
 
 def q_skew_audit(spark, sf_dir):
@@ -5763,6 +5854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _q(q_event_transitions),
         "crawl_budget": _q(q_crawl_budget),
         "skew_audit": _q(q_skew_audit),
+        "fk_integrity": _q(q_fk_integrity),
         "crawl_depth": _q(q_crawl_depth),
         "concordance": _q(q_concordance),
         "blockword_filter": _q(q_blockword_filter),
@@ -9851,6 +9943,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_stability": _rank_stability_oracle(k=10, p=0.9),
         "retrieval_eval": _retrieval_eval_oracle(k=_BM25_K),
         "skew_audit": _skew_audit_oracle(),
+        "fk_integrity": _fk_integrity_oracle(),
         "crawl_budget": r"""
             WITH dem AS (
               SELECT source || CAST(doc_id % 13 AS VARCHAR)

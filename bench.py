@@ -234,6 +234,7 @@ def main() -> None:
         "event_transitions",    # first-order Markov behavior matrix
         "crawl_budget",         # max-min fair water-filling allocator
         "skew_audit",           # shuffle-key hotspot / Gini diagnostics
+        "fk_integrity",         # referential-integrity warehouse audit
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

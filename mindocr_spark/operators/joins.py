@@ -137,3 +137,67 @@ def upsert_latest(
         keys = F.broadcast(keys)
     survivors = target.join(keys, key, "left_anti")
     return survivors.unionByName(updates.select(*target.columns))
+
+
+def fk_integrity_stats(
+    child: DataFrame,
+    fk_col: str,
+    parent: DataFrame,
+    pk_col: str,
+    child_name: str,
+    parent_name: str,
+) -> DataFrame:
+    """ONE-row referential-integrity audit of a foreign-key
+    relationship — the data-quality gate a warehouse runs before
+    trusting a join: (child_table, fk, parent_table, n_child_rows,
+    n_null_fk, n_orphan_rows, orphan_share, n_parent_rows,
+    n_parent_dup_keys). Orphans are non-NULL child keys with no parent
+    row; dup parent keys break join cardinality (a "1:N" silently
+    becoming M:N multiplies facts).
+
+    100 TB shape: the orphan check is ONE anti-join on the key (AQE
+    broadcasts dimension-sized parents); every other statistic is a
+    map-side-combinable aggregate; no payload column is ever carried —
+    both sides project to the key first.
+
+    Reference analog: eval re-aligns predictions to ground truth by
+    key and counts the unmatched (reference:
+    mindocr/metrics/det_metrics.py full-outer alignment); this is that
+    alignment audit at warehouse grain."""
+    ck = child.select(F.col(fk_col).alias("fk"))
+    pk = parent.select(F.col(pk_col).alias("fk"))
+    cstats = ck.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_child_rows"),
+        F.sum(F.col("fk").isNull().cast("bigint"))
+        .cast("bigint").alias("n_null_fk"),
+    )
+    orphans = (
+        ck.where(F.col("fk").isNotNull())
+        .join(pk.distinct(), "fk", "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphan_rows"))
+    )
+    pstats = pk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parent_rows"),
+        (
+            F.count(F.lit(1)) - F.count_distinct("fk")
+        ).cast("bigint").alias("n_parent_dup_keys"),
+    )
+    return (
+        cstats.crossJoin(orphans)
+        .crossJoin(pstats)
+        .select(
+            F.lit(child_name).alias("child_table"),
+            F.lit(fk_col).alias("fk"),
+            F.lit(parent_name).alias("parent_table"),
+            "n_child_rows",
+            "n_null_fk",
+            "n_orphan_rows",
+            F.round(
+                F.col("n_orphan_rows").cast("double")
+                / F.col("n_child_rows").cast("double"),
+                6,
+            ).alias("orphan_share"),
+            "n_parent_rows",
+            "n_parent_dup_keys",
+        )
+    )

@@ -155,3 +155,32 @@ class TestUpsertLatest:
             target, updates, key="url", broadcast_keys=False
         )
         assert got.count() == 4
+
+
+class TestFkIntegrity:
+    def _run(self, spark, child, parent):
+        from mindocr_spark.operators.joins import fk_integrity_stats
+
+        c = spark.createDataFrame(child, "fk_val bigint")
+        p = spark.createDataFrame(parent, "pk_val bigint")
+        return fk_integrity_stats(
+            c, "fk_val", p, "pk_val", "c", "p"
+        ).collect()[0]
+
+    def test_orphans_nulls_and_dups_counted(self, spark):
+        child = [(1,), (1,), (2,), (99,), (None,)]
+        parent = [(1,), (2,), (2,), (3,)]
+        r = self._run(spark, child, parent)
+        assert r["n_child_rows"] == 5
+        assert r["n_null_fk"] == 1
+        # NULL fk is not an orphan; 99 is
+        assert r["n_orphan_rows"] == 1
+        assert r["orphan_share"] == 0.2
+        assert r["n_parent_rows"] == 4
+        assert r["n_parent_dup_keys"] == 1
+
+    def test_clean_relationship_all_zero(self, spark):
+        r = self._run(spark, [(1,), (2,)], [(1,), (2,), (3,)])
+        assert (r["n_null_fk"], r["n_orphan_rows"],
+                r["n_parent_dup_keys"]) == (0, 0, 0)
+        assert r["orphan_share"] == 0.0
