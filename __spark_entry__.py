@@ -3733,6 +3733,38 @@ def q_triangle_count(spark, sf_dir):
     ).orderBy("domain")
 
 
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort-retention matrix over the events stream: users bucketed
+    by first-seen day, each cohort's later active-user counts as a
+    fraction of cohort size. Day numbers are integer days-since-epoch
+    (no DATE objects cross the engine boundary)."""
+    from mindocr_spark.functions.traffic import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events")).orderBy(
+        "cohort_day_n", "day_offset"
+    )
+
+
+def q_traffic_anomaly(spark, sf_dir):
+    """Robust day-grain traffic monitor: daily per-type counts fenced
+    by median/MAD (k=6). A planted flash crowd — 3,000 extra 'view'
+    events on 2024-01-15 — fires the anomaly flag on exactly that day
+    while the fences, being robust, barely move."""
+    from mindocr_spark.functions.traffic import daily_anomaly_stats
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    burst = spark.range(3000).select(
+        F.lit("view").alias("event_type"),
+        F.expr(
+            "timestampadd(SECOND, id * 7,"
+            " TIMESTAMP_NTZ'2024-01-15 06:00:00')"
+        ).alias("ts"),
+    )
+    return daily_anomaly_stats(
+        ev.unionByName(burst), k=6
+    ).orderBy("event_type", "day_n")
+
+
 def q_fk_integrity(spark, sf_dir):
     """Warehouse referential-integrity audit over the eight FK
     relationships of the TPC-H-ish star schema plus one PLANTED dirty
@@ -5855,6 +5887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget": _q(q_crawl_budget),
         "skew_audit": _q(q_skew_audit),
         "fk_integrity": _q(q_fk_integrity),
+        "retention_cohorts": _q(q_retention_cohorts),
+        "traffic_anomaly": _q(q_traffic_anomaly),
         "crawl_depth": _q(q_crawl_depth),
         "concordance": _q(q_concordance),
         "blockword_filter": _q(q_blockword_filter),
@@ -9944,6 +9978,66 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_eval": _retrieval_eval_oracle(k=_BM25_K),
         "skew_audit": _skew_audit_oracle(),
         "fk_integrity": _fk_integrity_oracle(),
+        "retention_cohorts": r"""
+            WITH ud AS (
+              SELECT DISTINCT user_id,
+                     CAST(date_diff('day', DATE '1970-01-01',
+                                    CAST(ts AS DATE)) AS BIGINT)
+                       AS day_n
+              FROM events),
+            tagged AS (
+              SELECT user_id, day_n,
+                     min(day_n) OVER (PARTITION BY user_id)
+                       AS cohort_day_n
+              FROM ud),
+            mat AS (
+              SELECT cohort_day_n,
+                     day_n - cohort_day_n AS day_offset,
+                     CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+              FROM tagged GROUP BY cohort_day_n, day_n - cohort_day_n)
+            SELECT cohort_day_n, day_offset, n_active,
+                   CAST(max(CASE WHEN day_offset = 0 THEN n_active END)
+                        OVER (PARTITION BY cohort_day_n) AS BIGINT)
+                     AS cohort_size,
+                   round(CAST(n_active AS DOUBLE)
+                         / CAST(max(CASE WHEN day_offset = 0
+                                         THEN n_active END)
+                                OVER (PARTITION BY cohort_day_n)
+                                AS DOUBLE), 6) AS retention
+            FROM mat ORDER BY cohort_day_n, day_offset""",
+        "traffic_anomaly": r"""
+            WITH burst AS (
+              SELECT 'view' AS event_type,
+                     TIMESTAMP '2024-01-15 06:00:00'
+                       + INTERVAL (i * 7) SECOND AS ts
+              FROM (SELECT CAST(range AS BIGINT) AS i
+                    FROM range(3000))),
+            ev AS (
+              SELECT event_type, ts FROM events
+              UNION ALL SELECT * FROM burst),
+            daily AS (
+              SELECT event_type,
+                     CAST(date_diff('day', DATE '1970-01-01',
+                                    CAST(ts AS DATE)) AS BIGINT)
+                       AS day_n,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM ev GROUP BY event_type,
+                     CAST(date_diff('day', DATE '1970-01-01',
+                                    CAST(ts AS DATE)) AS BIGINT)),
+            med AS (
+              SELECT event_type, quantile_cont(n, 0.5) AS med_n
+              FROM daily GROUP BY event_type),
+            dev AS (
+              SELECT d.event_type, day_n, n, med_n,
+                     abs(CAST(n AS DOUBLE) - med_n) AS adev
+              FROM daily d JOIN med USING (event_type)),
+            mad AS (
+              SELECT event_type, quantile_cont(adev, 0.5) AS mad_n
+              FROM dev GROUP BY event_type)
+            SELECT d.event_type, day_n, n, med_n, mad_n,
+                   adev > CAST(6 AS DOUBLE) * mad_n AS is_anomaly
+            FROM dev d JOIN mad USING (event_type)
+            ORDER BY event_type, day_n""",
         "crawl_budget": r"""
             WITH dem AS (
               SELECT source || CAST(doc_id % 13 AS VARCHAR)

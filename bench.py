@@ -235,6 +235,8 @@ def main() -> None:
         "crawl_budget",         # max-min fair water-filling allocator
         "skew_audit",           # shuffle-key hotspot / Gini diagnostics
         "fk_integrity",         # referential-integrity warehouse audit
+        "retention_cohorts",    # first-seen cohort retention matrix
+        "traffic_anomaly",      # median/MAD day-grain flash-crowd fence
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

@@ -223,3 +223,99 @@ def event_transitions(events: DataFrame) -> DataFrame:
             6,
         ).alias("p"),
     )
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Classic cohort-retention matrix: users grouped by FIRST-seen
+    day, each cohort's later activity expressed as a fraction of its
+    size — the standard product/crawl-freshness table (for a crawler:
+    how much of a discovery cohort is still being revisited N days
+    on). Returns (cohort_day_n, day_offset, n_active, cohort_size,
+    retention) with day numbers as integer days-since-epoch (tz-proof;
+    no DATE objects cross the engine boundary).
+
+    100 TB shape: distinct (user, day) first (one map-side-combinable
+    collapse), the first-seen day is a min over the same user key
+    (exchange reuse), offsets are row-local, and the matrix is ONE
+    groupBy at cohort×offset cardinality; cohort_size rides a window
+    on the cohort key at that same tiny grain."""
+    day_n = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    ud = events.select(
+        "user_id", day_n.cast("bigint").alias("day_n")
+    ).distinct()
+    w_first = Window.partitionBy("user_id")
+    tagged = ud.select(
+        "user_id",
+        "day_n",
+        F.min("day_n").over(w_first).alias("cohort_day_n"),
+    )
+    mat = tagged.groupBy(
+        "cohort_day_n",
+        (F.col("day_n") - F.col("cohort_day_n")).alias("day_offset"),
+    ).agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
+    w_cohort = Window.partitionBy("cohort_day_n")
+    size = F.max(
+        F.when(F.col("day_offset") == 0, F.col("n_active"))
+    ).over(w_cohort)
+    return mat.select(
+        "cohort_day_n",
+        "day_offset",
+        "n_active",
+        size.cast("bigint").alias("cohort_size"),
+        F.round(
+            F.col("n_active").cast("double") / size.cast("double"), 6
+        ).alias("retention"),
+    )
+
+
+def daily_anomaly_stats(events: DataFrame, k: int = 6) -> DataFrame:
+    """Robust day-grain traffic anomaly detection per event type:
+    daily counts fenced by the median/MAD rule (|n − med| > k·MAD) —
+    the flash-crowd / outage / bot-wave monitor whose thresholds the
+    anomaly itself cannot drag (the mad_outlier_stats argument, at the
+    time-series grain). Returns (event_type, day_n, n, med_n, mad_n,
+    is_anomaly); med/MAD are exact interpolated percentiles over
+    INTEGER daily counts (bit-identical cross-engine), .5/.25-quantized
+    dyadics.
+
+    100 TB shape: one (type, day) count groupBy collapses the stream;
+    everything after lives at types×days cardinality."""
+    from mindocr_spark.cache import tracked_persist
+
+    if k < 1:
+        raise ValueError(f"k must be ≥ 1, got {k}")
+    day_n = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    daily = tracked_persist(
+        events.select(
+            "event_type", day_n.cast("bigint").alias("day_n")
+        )
+        .groupBy("event_type", "day_n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    med = daily.groupBy("event_type").agg(
+        F.percentile("n", F.lit(0.5)).alias("med_n")
+    )
+    dev = tracked_persist(
+        daily.join(med, "event_type").select(
+            "event_type",
+            "day_n",
+            "n",
+            "med_n",
+            F.abs(F.col("n").cast("double") - F.col("med_n")).alias(
+                "adev"
+            ),
+        )
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad_n")
+    )
+    return dev.join(mad, "event_type").select(
+        "event_type",
+        "day_n",
+        "n",
+        "med_n",
+        "mad_n",
+        (F.col("adev") > F.lit(float(k)) * F.col("mad_n")).alias(
+            "is_anomaly"
+        ),
+    )

@@ -4,6 +4,8 @@ import datetime as dt
 
 import pytest
 
+from pyspark.sql import functions as F
+
 
 def _events(spark, rows):
     """rows: (user_id, event_id, epoch_offset_s) anchored at 2024-01-01."""
@@ -167,3 +169,84 @@ class TestEventTransitions:
         out = {(r["prev_type"], r["event_type"])
                for r in event_transitions(df).collect()}
         assert out == {("x", "y")}
+
+
+class TestRetentionCohorts:
+    def test_hand_computed_matrix(self, spark):
+        import datetime as dt
+
+        from mindocr_spark.functions.traffic import retention_cohorts
+
+        d0 = dt.datetime(2024, 1, 1, 10)
+        day = dt.timedelta(days=1)
+        rows = [
+            # cohort day 0: users 1,2; user 1 returns day 1 and 2,
+            # user 2 returns day 2 only
+            (1, d0), (2, d0), (1, d0 + day), (1, d0 + 2 * day),
+            (2, d0 + 2 * day),
+            # cohort day 1: user 3, never returns
+            (3, d0 + day),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id bigint, ts timestamp_ntz"
+        )
+        out = {(r["cohort_day_n"], r["day_offset"]): r
+               for r in retention_cohorts(df).collect()}
+        e0 = 19723  # 2024-01-01 in days since epoch
+        assert out[(e0, 0)]["n_active"] == 2
+        assert out[(e0, 0)]["retention"] == 1.0
+        assert out[(e0, 1)]["n_active"] == 1
+        assert out[(e0, 1)]["retention"] == 0.5
+        assert out[(e0, 2)]["n_active"] == 2
+        assert out[(e0 + 1, 0)]["cohort_size"] == 1
+        assert (e0 + 1, 1) not in out
+
+    def test_multiple_events_one_day_count_once(self, spark):
+        import datetime as dt
+
+        from mindocr_spark.functions.traffic import retention_cohorts
+
+        d0 = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, d0), (1, d0 + dt.timedelta(hours=5))],
+            "user_id bigint, ts timestamp_ntz",
+        )
+        out = retention_cohorts(df).collect()
+        assert len(out) == 1 and out[0]["n_active"] == 1
+
+
+class TestDailyAnomaly:
+    def test_flash_crowd_fires_only_on_its_day(self, spark):
+        import datetime as dt
+
+        from mindocr_spark.functions.traffic import daily_anomaly_stats
+
+        rows = []
+        for d in range(11):
+            # 10/11/12 cycling baseline: MAD = 1, a non-degenerate
+            # fence (a constant baseline gives MAD 0 → fence '> 0'
+            # flags every ordinary wiggle — robust stats need spread)
+            for i in range(10 + (d % 3)):
+                rows.append(
+                    ("view", dt.datetime(2024, 1, 1 + d, 1, i))
+                )
+        for i in range(500):  # 2024-01-06 flash crowd
+            rows.append(("view", dt.datetime(2024, 1, 6, 2, i % 60, i % 60)))
+        df = spark.createDataFrame(
+            rows, "event_type string, ts timestamp_ntz"
+        )
+        out = {r["day_n"]: r for r in
+               daily_anomaly_stats(df, k=6).collect()}
+        flagged = [d for d, r in out.items() if r["is_anomaly"]]
+        assert flagged == [19728]  # 2024-01-06
+        assert out[19728]["n"] == 512
+        assert out[19728]["mad_n"] == 1.0
+
+    def test_guard(self, spark):
+        from mindocr_spark.functions.traffic import daily_anomaly_stats
+
+        df = spark.createDataFrame(
+            [("a",)], "event_type string"
+        ).withColumn("ts", F.lit(None).cast("timestamp_ntz"))
+        with pytest.raises(ValueError):
+            daily_anomaly_stats(df, k=0)
