@@ -1750,6 +1750,87 @@ def _fk_arm(child_name: str, fk: str, parent_name: str, pk: str,
              FROM {parent_name}) AS n_parent_dup_keys)"""
 
 
+def _zorder_audit_oracle(bits: int = 8, n_files: int = 64) -> str:
+    """Twin of q_zorder_audit: scaling, Morton interleave, and probe
+    rectangles all rendered from the SAME tuning.py definitions the
+    engine uses (dialect='duckdb' spells shifts <</>>, integer div //)."""
+    from mindocr_spark.tuning import (
+        ZORDER_PROBES_PCT, zorder_interleave_sql, zorder_scale_sql)
+
+    d = "duckdb"
+    probes = ", ".join(f"({p}, {al}, {ah}, {bl}, {bh})"
+                       for p, al, ah, bl, bh in ZORDER_PROBES_PCT)
+    span, zspan = 1 << bits, 1 << (2 * bits)
+    return f"""
+        WITH s AS (
+          SELECT CAST(min(l_partkey) AS BIGINT) amin,
+                 CAST(max(l_partkey) AS BIGINT) amax,
+                 CAST(min(l_suppkey) AS BIGINT) bmin,
+                 CAST(max(l_suppkey) AS BIGINT) bmax,
+                 CAST(min(l_orderkey) AS BIGINT) imin,
+                 CAST(max(l_orderkey) AS BIGINT) imax
+          FROM lineitem),
+        sc AS (
+          SELECT CAST(l_partkey AS BIGINT) AS a,
+                 CAST(l_suppkey AS BIGINT) AS b,
+                 {zorder_scale_sql('l_partkey', 'amin', 'amax', bits, d)}
+                   AS sa,
+                 {zorder_scale_sql('l_suppkey', 'bmin', 'bmax', bits, d)}
+                   AS sb,
+                 {zorder_scale_sql('l_orderkey', 'imin', 'imax', bits, d)}
+                   AS si
+          FROM lineitem, s),
+        z AS (SELECT a, b, sa, sb, si,
+                     {zorder_interleave_sql('sa', 'sb', bits, d)} AS zv
+              FROM sc),
+        asg AS (
+          SELECT 'ingest' AS layout, (si * {n_files}) // {span} AS file_id,
+                 a, b FROM z
+          UNION ALL
+          SELECT 'linear_a', (sa * {n_files}) // {span}, a, b FROM z
+          UNION ALL
+          SELECT 'zorder', (zv * {n_files}) // {zspan}, a, b FROM z),
+        fs AS (
+          SELECT layout, file_id, CAST(count(*) AS BIGINT) AS n_rows,
+                 min(a) AS fa_min, max(a) AS fa_max,
+                 min(b) AS fb_min, max(b) AS fb_max
+          FROM asg GROUP BY layout, file_id),
+        pr AS (
+          SELECT probe_id,
+                 amin + ((amax - amin) * alo) // 100 AS a_lo,
+                 amin + ((amax - amin) * ahi) // 100 AS a_hi,
+                 bmin + ((bmax - bmin) * blo) // 100 AS b_lo,
+                 bmin + ((bmax - bmin) * bhi) // 100 AS b_hi
+          FROM (VALUES {probes}) AS p(probe_id, alo, ahi, blo, bhi), s),
+        fsp AS (
+          SELECT layout, probe_id, n_rows,
+                 CASE WHEN NOT (fa_max < a_lo OR fa_min > a_hi
+                                OR fb_max < b_lo OR fb_min > b_hi)
+                      THEN 1 ELSE 0 END AS hit
+          FROM fs, pr),
+        hits AS (
+          SELECT layout, probe_id,
+                 CAST(count(*) AS BIGINT) AS files_total,
+                 CAST(sum(hit) AS BIGINT) AS files_hit,
+                 CAST(sum(hit * n_rows) AS BIGINT) AS rows_scanned
+          FROM fsp GROUP BY layout, probe_id),
+        m AS (
+          SELECT probe_id, CAST(count(*) AS BIGINT) AS rows_match
+          FROM z, pr
+          WHERE a BETWEEN a_lo AND a_hi AND b BETWEEN b_lo AND b_hi
+          GROUP BY probe_id)
+        SELECT layout, probe_id, files_total, files_hit, rows_scanned,
+               coalesce(rows_match, CAST(0 AS BIGINT)) AS rows_match,
+               round(CAST(1 AS DOUBLE)
+                     - CAST(files_hit AS DOUBLE)
+                       / CAST(files_total AS DOUBLE), 6) AS skip_share,
+               round(CAST(rows_scanned AS DOUBLE)
+                     / CAST(nullif(rows_match, 0) AS DOUBLE), 6)
+                 AS scan_amp
+        FROM hits LEFT JOIN m USING (probe_id)
+        ORDER BY layout, probe_id"""
+
+
 def _fk_integrity_oracle() -> str:
     returns_sql = ("(SELECT CASE WHEN l_linenumber % 7 = 0 "
                    "THEN l_orderkey + 1000000 ELSE l_orderkey END "
@@ -3837,6 +3918,23 @@ def q_skew_audit(spark, sf_dir):
     return out.orderBy("relation", "key")
 
 
+def q_zorder_audit(spark, sf_dir):
+    """Data-layout (OPTIMIZE ZORDER) audit over lineitem: would
+    re-clustering by a Morton curve on (l_partkey, l_suppkey) let
+    min/max file stats skip more files than ingest order or a
+    single-column sort? 12 rows = 3 layouts × 4 scale-free probe
+    rectangles, each with files_hit / rows_scanned / skip_share /
+    scan_amp. File ids are VALUE-range z buckets (zero-shuffle
+    assignment); the z curve and integer scaling are rendered from
+    ONE definition for both engines (tuning.zorder_interleave_sql)."""
+    from mindocr_spark.tuning import layout_skipping_audit
+
+    return layout_skipping_audit(
+        _t(spark, sf_dir, "lineitem"), "l_partkey", "l_suppkey",
+        "l_orderkey",
+    ).orderBy("layout", "probe_id")
+
+
 def q_crawl_budget(spark, sf_dir):
     """Max-min-fair (water-filling) recrawl-budget allocation: demand
     = total bytes per ring host (source ring domains, 13 per source —
@@ -5887,6 +5985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget": _q(q_crawl_budget),
         "skew_audit": _q(q_skew_audit),
         "fk_integrity": _q(q_fk_integrity),
+        "zorder_audit": _q(q_zorder_audit),
         "retention_cohorts": _q(q_retention_cohorts),
         "traffic_anomaly": _q(q_traffic_anomaly),
         "crawl_depth": _q(q_crawl_depth),
@@ -9978,6 +10077,7 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_eval": _retrieval_eval_oracle(k=_BM25_K),
         "skew_audit": _skew_audit_oracle(),
         "fk_integrity": _fk_integrity_oracle(),
+        "zorder_audit": _zorder_audit_oracle(),
         "retention_cohorts": r"""
             WITH ud AS (
               SELECT DISTINCT user_id,

@@ -237,6 +237,7 @@ def main() -> None:
         "fk_integrity",         # referential-integrity warehouse audit
         "retention_cohorts",    # first-seen cohort retention matrix
         "traffic_anomaly",      # median/MAD day-grain flash-crowd fence
+        "zorder_audit",         # Morton-curve file-skipping layout audit
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

@@ -69,6 +69,159 @@ def suggest_partitioning(
     )
 
 
+# Rectangle probes for the layout-skipping audit, as integer PERCENT
+# bounds of each column's [min, max] span — scale-free, so the same
+# probe set is meaningful at every SF. (probe_id, alo, ahi, blo, bhi).
+ZORDER_PROBES_PCT: tuple[tuple[int, int, int, int, int], ...] = (
+    (1, 10, 15, 10, 15),    # small 2-D rectangle: z-order shines
+    (2, 0, 3, 0, 100),      # prefix on a only: linear-a layout shines
+    (3, 0, 100, 50, 55),    # slice on b only: only z-order can skip
+    (4, 40, 60, 40, 60),    # broad 2-D rectangle
+)
+
+
+def zorder_interleave_sql(sa: str, sb: str, bits: int,
+                          dialect: str = "spark") -> str:
+    """Render the Morton bit-interleave of two pre-scaled non-negative
+    ints (each < 2**bits) as a SQL expression — ONE definition serving
+    both engines so they cannot drift. Spark spells shifts
+    shiftleft/shiftright; DuckDB uses <</>>. Pure int64 ops, exact."""
+    terms = []
+    for i in range(bits):
+        if dialect == "spark":
+            terms.append(f"shiftleft(shiftright({sa}, {i}) & 1, {2 * i})")
+            terms.append(
+                f"shiftleft(shiftright({sb}, {i}) & 1, {2 * i + 1})")
+        else:
+            terms.append(f"((({sa} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({sb} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def zorder_scale_sql(col: str, cmin: str, cmax: str, bits: int,
+                     dialect: str = "spark") -> str:
+    """Render min-max scaling of an integer column onto the
+    [0, 2**bits) grid using INTEGER division only (Spark ``div`` ≡
+    DuckDB ``//`` on BIGINT — exact cross-engine, no IEEE floor)."""
+    op = "div" if dialect == "spark" else "//"
+    grid = (1 << bits) - 1
+    return (f"((({col} - {cmin}) * {grid}) {op} "
+            f"greatest(1, {cmax} - {cmin}))")
+
+
+def layout_skipping_audit(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    ingest_col: str,
+    probes_pct=ZORDER_PROBES_PCT,
+    bits: int = 8,
+    n_files: int = 64,
+) -> DataFrame:
+    """Data-layout optimizer audit: would re-clustering this table by
+    a Morton (Z-order) curve over (col_a, col_b) let min/max file
+    statistics skip more files than ingest order or a single-column
+    sort? One row per (layout, probe): files_total, files_hit,
+    rows_scanned, rows_match, skip_share, scan_amp — the evidence a
+    ``OPTIMIZE ZORDER BY`` decision needs before rewriting 100 TB.
+
+    100 TB shape: file ids come from VALUE-range bucketing of the
+    scaled/interleaved key (fixed-width z ranges), NOT from a global
+    sort rank — the assignment is embarrassingly parallel (zero
+    shuffle), and the only shuffles are map-side-combinable groupBys
+    at file cardinality (≤ 3·n_files rows) and probe cardinality.
+    The 1-row min/max stats frame is broadcast, never a window.
+
+    Reference analog: the auto-scaling profiler picks batching gears
+    from data statistics before committing to a plan (reference:
+    deploy/models_utils/auto_scaling/src/auto_scaling.py:1-60); this
+    applies the same measure-first discipline to file clustering."""
+    if not (1 <= bits <= 16) or n_files < 1 or n_files > (1 << bits):
+        raise ValueError("need 1 <= bits <= 16, 1 <= n_files <= 2^bits")
+    from pyspark.sql.functions import broadcast
+
+    spark = df.sparkSession
+    stats = df.agg(
+        F.min(col_a).cast("bigint").alias("amin"),
+        F.max(col_a).cast("bigint").alias("amax"),
+        F.min(col_b).cast("bigint").alias("bmin"),
+        F.max(col_b).cast("bigint").alias("bmax"),
+        F.min(ingest_col).cast("bigint").alias("imin"),
+        F.max(ingest_col).cast("bigint").alias("imax"),
+    )
+    base = df.select(
+        F.col(col_a).cast("bigint").alias("a"),
+        F.col(col_b).cast("bigint").alias("b"),
+        F.col(ingest_col).cast("bigint").alias("ing"),
+    ).crossJoin(broadcast(stats))
+    scaled = base.select(
+        "a", "b",
+        F.expr(zorder_scale_sql("a", "amin", "amax", bits)).alias("sa"),
+        F.expr(zorder_scale_sql("b", "bmin", "bmax", bits)).alias("sb"),
+        F.expr(zorder_scale_sql("ing", "imin", "imax", bits)).alias("si"),
+    ).select(
+        "a", "b", "sa", "sb", "si",
+        F.expr(zorder_interleave_sql("sa", "sb", bits)).alias("zv"),
+    )
+    span, zspan = 1 << bits, 1 << (2 * bits)
+    assigned = scaled.select(
+        "a", "b",
+        F.explode(F.array(
+            F.struct(F.lit("ingest").alias("layout"),
+                     F.expr(f"(si * {n_files}) div {span}")
+                     .alias("file_id")),
+            F.struct(F.lit("linear_a").alias("layout"),
+                     F.expr(f"(sa * {n_files}) div {span}")
+                     .alias("file_id")),
+            F.struct(F.lit("zorder").alias("layout"),
+                     F.expr(f"(zv * {n_files}) div {zspan}")
+                     .alias("file_id")),
+        )).alias("lf"),
+    ).select("a", "b", "lf.layout", "lf.file_id")
+    file_stats = assigned.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("a").alias("fa_min"), F.max("a").alias("fa_max"),
+        F.min("b").alias("fb_min"), F.max("b").alias("fb_max"),
+    )
+    probes = spark.createDataFrame(
+        list(probes_pct), "probe_id int, alo int, ahi int, blo int, bhi int"
+    ).crossJoin(broadcast(stats)).select(
+        "probe_id",
+        F.expr("amin + ((amax - amin) * alo) div 100").alias("a_lo"),
+        F.expr("amin + ((amax - amin) * ahi) div 100").alias("a_hi"),
+        F.expr("bmin + ((bmax - bmin) * blo) div 100").alias("b_lo"),
+        F.expr("bmin + ((bmax - bmin) * bhi) div 100").alias("b_hi"),
+    )
+    hit = (~((F.col("fa_max") < F.col("a_lo"))
+             | (F.col("fa_min") > F.col("a_hi"))
+             | (F.col("fb_max") < F.col("b_lo"))
+             | (F.col("fb_min") > F.col("b_hi")))).cast("bigint")
+    per_probe = file_stats.crossJoin(broadcast(probes)).select(
+        "layout", "probe_id", "n_rows", hit.alias("hit"),
+    ).groupBy("layout", "probe_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("files_total"),
+        F.sum("hit").cast("bigint").alias("files_hit"),
+        F.sum(F.col("hit") * F.col("n_rows")).cast("bigint")
+        .alias("rows_scanned"),
+    )
+    matches = scaled.crossJoin(broadcast(probes)).where(
+        F.col("a").between(F.col("a_lo"), F.col("a_hi"))
+        & F.col("b").between(F.col("b_lo"), F.col("b_hi"))
+    ).groupBy("probe_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_match"))
+    return per_probe.join(broadcast(matches), "probe_id", "left").select(
+        "layout", "probe_id", "files_total", "files_hit", "rows_scanned",
+        F.coalesce("rows_match", F.lit(0)).cast("bigint")
+        .alias("rows_match"),
+        F.round(F.lit(1.0) - F.col("files_hit").cast("double")
+                / F.col("files_total").cast("double"), 6)
+        .alias("skip_share"),
+        F.round(F.col("rows_scanned").cast("double")
+                / F.nullif(F.col("rows_match"), F.lit(0)).cast("double"),
+                6).alias("scan_amp"),
+    )
+
+
 def key_skew_stats(
     df: DataFrame, key_col: str, relation: str,
     max_share=(1, 20),

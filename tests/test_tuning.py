@@ -26,3 +26,70 @@ def test_partition_plan_scales_with_target(spark):
     big = suggest_partitioning(pages, target_partition_bytes=1 << 30,
                                min_parallelism=1)
     assert small.n_partitions > big.n_partitions
+
+
+def test_zorder_interleave_renderers_agree():
+    """The one shared Morton definition must compute the true
+    interleave in BOTH dialects (DuckDB evaluated for real; the Spark
+    spelling checked structurally against the same bit set)."""
+    import duckdb
+
+    from mindocr_spark.tuning import zorder_interleave_sql
+
+    def morton(a, b, bits):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    con = duckdb.connect()
+    for a, b in [(0, 0), (5, 3), (255, 0), (0, 255), (170, 85)]:
+        got = con.execute(
+            f"SELECT {zorder_interleave_sql(str(a), str(b), 8, 'duckdb')}"
+        ).fetchone()[0]
+        assert got == morton(a, b, 8), (a, b)
+    # spark dialect renders the same bit positions
+    s = zorder_interleave_sql("sa", "sb", 8, "spark")
+    assert s.count("shiftleft") == 16 and "shiftright(sa, 7)" in s
+
+
+def test_layout_skipping_audit_semantics(spark):
+    """Planted 2-D grid: z-order must (a) beat ingest order on every
+    2-D probe, (b) skip files on the b-only slice where a linear-a
+    sort cannot skip anything, and (c) never miss a matching row
+    (rows_scanned >= rows_match always — min/max pruning is sound)."""
+    from pyspark.sql import functions as F
+
+    from mindocr_spark.tuning import layout_skipping_audit
+
+    df = spark.range(4096).select(
+        F.col("id").alias("ing"),
+        ((F.col("id") * 37) % 4096).alias("a"),
+        ((F.col("id") * 101) % 4096).alias("b"),
+    )
+    rows = {(r["layout"], r["probe_id"]): r
+            for r in layout_skipping_audit(
+                df, "a", "b", "ing", bits=8, n_files=64).collect()}
+    for p in (1, 4):
+        assert (rows[("zorder", p)]["files_hit"]
+                < rows[("ingest", p)]["files_hit"])
+    assert rows[("linear_a", 3)]["files_hit"] == \
+        rows[("linear_a", 3)]["files_total"]
+    assert (rows[("zorder", 3)]["files_hit"]
+            < rows[("linear_a", 3)]["files_hit"])
+    for r in rows.values():
+        assert r["rows_scanned"] >= r["rows_match"]
+        assert 0 <= r["files_hit"] <= r["files_total"]
+
+
+def test_layout_skipping_audit_validates_params(spark):
+    import pytest
+
+    from mindocr_spark.tuning import layout_skipping_audit
+
+    df = spark.range(10).selectExpr("id a", "id b", "id ing")
+    with pytest.raises(ValueError):
+        layout_skipping_audit(df, "a", "b", "ing", bits=0)
+    with pytest.raises(ValueError):
+        layout_skipping_audit(df, "a", "b", "ing", bits=4, n_files=100)
