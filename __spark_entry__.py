@@ -1750,6 +1750,38 @@ def _fk_arm(child_name: str, fk: str, parent_name: str, pk: str,
              FROM {parent_name}) AS n_parent_dup_keys)"""
 
 
+def _hrw_sharding_oracle() -> str:
+    """Twin of q_hrw_sharding: the HRW choice expression is rendered
+    by the SAME sources.shards.hrw_choice_sql the engine executes —
+    the SQL text is dialect-common (md5/concat/greatest/substring),
+    so the two engines literally run the same formula."""
+    from mindocr_spark.sources.shards import hrw_choice_sql
+
+    k = "CAST(doc_id AS STRING)"
+    sb = hrw_choice_sql(k, list(_HRW_BEFORE))
+    sa = hrw_choice_sql(k, list(_HRW_BEFORE) + list(_HRW_ADDED))
+    new_list = ", ".join(f"'{s}'" for s in _HRW_ADDED)
+    return f"""
+        WITH a AS (
+          SELECT {sb} AS sb, {sa} AS sa FROM documents),
+        e AS (
+          SELECT sb, sa, (sb <> sa) AS moved,
+                 CASE WHEN r.i = 1 THEN 'before' ELSE 'after' END AS role,
+                 CASE WHEN r.i = 1 THEN sb ELSE sa END AS s
+          FROM a CROSS JOIN (VALUES (1), (2)) r(i))
+        SELECT s AS shard,
+               CAST(sum(CASE WHEN role = 'before' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_before,
+               CAST(sum(CASE WHEN role = 'after' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_after,
+               CAST(sum(CASE WHEN role = 'after' AND moved
+                             THEN 1 ELSE 0 END) AS BIGINT) AS gained,
+               CAST(sum(CASE WHEN role = 'before' AND moved
+                             THEN 1 ELSE 0 END) AS BIGINT) AS lost,
+               s IN ({new_list}) AS is_new
+        FROM e GROUP BY s ORDER BY shard"""
+
+
 def _zorder_audit_oracle(bits: int = 8, n_files: int = 64) -> str:
     """Twin of q_zorder_audit: scaling, Morton interleave, and probe
     rectangles all rendered from the SAME tuning.py definitions the
@@ -3935,6 +3967,26 @@ def q_zorder_audit(spark, sf_dir):
     ).orderBy("layout", "probe_id")
 
 
+_HRW_BEFORE = tuple(f"shard-{i}" for i in range(8))
+_HRW_ADDED = ("shard-8", "shard-9")
+
+
+def q_hrw_sharding(spark, sf_dir):
+    """Rendezvous-hash shard routing audit: assign every document
+    under 8 shards and under 8+2, one row per shard with
+    n_before/n_after/gained/lost. The minimal-movement guarantee is
+    IN the data: every pre-existing shard shows gained = 0 (keys only
+    move to the new shards), each new shard drains ≈ 1/10 of the
+    keyspace. Both assignments are row-local md5/greatest expressions
+    (zero shuffle); one groupBy at shard cardinality."""
+    from mindocr_spark.sources.shards import hrw_resize_audit
+
+    return hrw_resize_audit(
+        _t(spark, sf_dir, "documents"), "doc_id",
+        _HRW_BEFORE, _HRW_ADDED,
+    ).orderBy("shard")
+
+
 def q_crawl_budget(spark, sf_dir):
     """Max-min-fair (water-filling) recrawl-budget allocation: demand
     = total bytes per ring host (source ring domains, 13 per source —
@@ -5986,6 +6038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_audit": _q(q_skew_audit),
         "fk_integrity": _q(q_fk_integrity),
         "zorder_audit": _q(q_zorder_audit),
+        "hrw_sharding": _q(q_hrw_sharding),
         "retention_cohorts": _q(q_retention_cohorts),
         "traffic_anomaly": _q(q_traffic_anomaly),
         "crawl_depth": _q(q_crawl_depth),
@@ -10078,6 +10131,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_audit": _skew_audit_oracle(),
         "fk_integrity": _fk_integrity_oracle(),
         "zorder_audit": _zorder_audit_oracle(),
+        "hrw_sharding": _hrw_sharding_oracle(),
         "retention_cohorts": r"""
             WITH ud AS (
               SELECT DISTINCT user_id,

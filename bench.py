@@ -238,6 +238,7 @@ def main() -> None:
         "retention_cohorts",    # first-seen cohort retention matrix
         "traffic_anomaly",      # median/MAD day-grain flash-crowd fence
         "zorder_audit",         # Morton-curve file-skipping layout audit
+        "hrw_sharding",         # rendezvous-hash resize-stability audit
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

@@ -52,6 +52,88 @@ def shard_key(id_col, prefix_len: int = 1):
     return F.substring(F.md5(c.cast("string")), 1, prefix_len)
 
 
+def hrw_choice_sql(key_expr: str, shards) -> str:
+    """Rendezvous (highest-random-weight) shard choice as ONE portable
+    SQL expression (identical text runs in Spark and DuckDB — md5 /
+    concat / greatest / substring are common dialect): each shard's
+    weight is md5(key ∥ '|' ∥ shard), the winner the lexicographic max;
+    appending '|shard' after the fixed-width 32-char digest makes
+    greatest() carry the winner's name along (and break the
+    cryptographically-impossible digest tie deterministically), and
+    substring(…, 34) peels it back off.
+
+    HRW is the stable-assignment primitive for shard/worker routing:
+    unlike mod-N, resizing from S to S∪T moves ONLY keys whose new
+    winner is in T (≈ |T|/|S∪T| of them) — no global reshuffle of the
+    other 100 TB. Cost is O(|shards|) row-local work: right for
+    dozens-to-hundreds of targets (executor pools, sink buckets); for
+    100k+ virtual nodes use a ring instead.
+
+    Reference lineage: the reference routes work to parallel infer
+    processes by static device_id round-robin
+    (reference: deploy/py_infer/src/parallel/framework/module_manager.py);
+    HRW is that routing made resize-stable."""
+    for s in shards:
+        if "|" in s or "'" in s:
+            raise ValueError(f"shard name must not contain | or ': {s}")
+    if len(set(shards)) != len(shards):
+        raise ValueError("duplicate shard names")
+    terms = ", ".join(
+        f"concat(md5(concat({key_expr}, '|{s}')), '|{s}')" for s in shards
+    )
+    if len(shards) == 1:
+        return f"substring({terms}, 34)"
+    return f"substring(greatest({terms}), 34)"
+
+
+def hrw_resize_audit(
+    df: DataFrame,
+    key_col: str,
+    shards_before,
+    shards_added,
+) -> DataFrame:
+    """Minimal-movement evidence for an HRW resize: assign every key
+    under the BEFORE shard set and under BEFORE ∪ ADDED, then report
+    one row per shard — n_before, n_after, gained (arrivals that moved
+    in), lost (departures), is_new. The rendezvous guarantee made
+    checkable: every pre-existing shard must show gained = 0 (keys
+    only ever move TO new shards), and each new shard drains ≈
+    1/|after| of every old shard.
+
+    100 TB shape: both assignments are row-local expressions on the
+    scan (zero shuffle, no join between the two epochs — the key
+    carries its own placement); the only shuffle is the final
+    map-side-combinable groupBy at SHARD cardinality, reached through
+    a 2-struct explode (role=before/after) so the scan runs once."""
+    before = list(shards_before)
+    after = before + list(shards_added)
+    k = f"CAST({key_col} AS STRING)"
+    assigned = df.select(
+        F.expr(hrw_choice_sql(k, before)).alias("sb"),
+        F.expr(hrw_choice_sql(k, after)).alias("sa"),
+    ).select(
+        "sb", "sa", (F.col("sb") != F.col("sa")).alias("moved"),
+        F.explode(F.array(
+            F.struct(F.lit("before").alias("role"), F.col("sb").alias("s")),
+            F.struct(F.lit("after").alias("role"), F.col("sa").alias("s")),
+        )).alias("rs"),
+    )
+    new_set = set(shards_added)
+    return assigned.groupBy(F.col("rs.s").alias("shard")).agg(
+        F.sum(F.when(F.col("rs.role") == "before", 1).otherwise(0))
+        .cast("bigint").alias("n_before"),
+        F.sum(F.when(F.col("rs.role") == "after", 1).otherwise(0))
+        .cast("bigint").alias("n_after"),
+        F.sum(F.when((F.col("rs.role") == "after") & F.col("moved"), 1)
+              .otherwise(0)).cast("bigint").alias("gained"),
+        F.sum(F.when((F.col("rs.role") == "before") & F.col("moved"), 1)
+              .otherwise(0)).cast("bigint").alias("lost"),
+    ).select(
+        "shard", "n_before", "n_after", "gained", "lost",
+        F.col("shard").isin(list(new_set)).alias("is_new"),
+    )
+
+
 def write_jsonl_shards(
     docs: DataFrame,
     out_dir: str,

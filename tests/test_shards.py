@@ -127,3 +127,66 @@ class TestEpochShuffle:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1  # one shuffle on the shard key
         assert "BatchEvalPython" not in plan
+
+
+class TestHRWSharding:
+    def test_resize_moves_only_to_new_shards(self, spark):
+        from mindocr_spark.sources.shards import hrw_resize_audit
+
+        rows = hrw_resize_audit(
+            spark.range(4000), "id",
+            [f"s{i}" for i in range(8)], ["s8", "s9"],
+        ).collect()
+        by = {r["shard"]: r for r in rows}
+        assert len(by) == 10
+        for i in range(8):
+            r = by[f"s{i}"]
+            assert r["gained"] == 0 and not r["is_new"]
+            assert r["n_after"] == r["n_before"] - r["lost"]
+        for s in ("s8", "s9"):
+            r = by[s]
+            assert r["n_before"] == 0 and r["is_new"]
+            assert r["gained"] == r["n_after"] > 0
+        moved = sum(r["gained"] for r in rows)
+        # expectation: 2/10 of keys move; allow wide slack
+        assert 0.1 * 4000 < moved < 0.3 * 4000
+
+    def test_balance(self, spark):
+        from mindocr_spark.sources.shards import hrw_resize_audit
+
+        rows = hrw_resize_audit(
+            spark.range(4000), "id",
+            [f"s{i}" for i in range(8)], [],
+        ).collect()
+        counts = [r["n_after"] for r in rows]
+        assert sum(counts) == 4000
+        assert max(counts) < 2 * min(counts)
+
+    def test_removal_only_moves_victims(self, spark):
+        """Dual of the grow case: shrinking the shard set relocates
+        ONLY the removed shard's keys (everyone else's winner among
+        the survivors is unchanged)."""
+        from pyspark.sql import functions as F
+
+        from mindocr_spark.sources.shards import hrw_choice_sql
+
+        full = [f"s{i}" for i in range(6)]
+        kept = full[:-1]
+        both = spark.range(2000).select(
+            F.expr(hrw_choice_sql("CAST(id AS STRING)", full)).alias("a"),
+            F.expr(hrw_choice_sql("CAST(id AS STRING)", kept)).alias("b"),
+        )
+        assert both.where((F.col("a") != "s5")
+                          & (F.col("a") != F.col("b"))).count() == 0
+        assert both.where(F.col("a") == "s5").count() > 0
+
+    def test_choice_sql_validates(self):
+        import pytest
+
+        from mindocr_spark.sources.shards import hrw_choice_sql
+
+        with pytest.raises(ValueError):
+            hrw_choice_sql("k", ["a|b"])
+        with pytest.raises(ValueError):
+            hrw_choice_sql("k", ["a", "a"])
+        assert "greatest" not in hrw_choice_sql("k", ["only"])
