@@ -3967,6 +3967,52 @@ def q_zorder_audit(spark, sf_dir):
     ).orderBy("layout", "probe_id")
 
 
+def q_vsm_topk(spark, sf_dir):
+    """Vector-space-model retrieval arm: tf·idf cosine between the
+    binary query vector and the full document vector — the document
+    norm pays the honest full-index df cost, every sum a DECIMAL sum
+    of 9dp-quantized terms, so the DuckDB twin is value-exact."""
+    from mindocr_spark.functions.search import vsm_topk
+
+    return (
+        vsm_topk(
+            _t(spark, sf_dir, "documents").select("doc_id", "text"),
+            _BM25_QUERIES,
+            k=_BM25_K,
+        )
+        .select(
+            "query_id", "doc_id", "n_terms_hit", "score",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """Hybrid-retrieval rank fusion: the BM25 and VSM arms' top-5
+    rankings combined by reciprocal-rank fusion (Cormack 2009,
+    c=60) — no score calibration, only ranks enter; weights join as
+    an exact 12-dp DECIMAL literal table so fused scores are
+    bit-identical across engines and partitionings. Per-arm ranks
+    stay visible (NULL where an arm missed the doc)."""
+    from mindocr_spark.functions.search import bm25_topk, rrf_fuse, vsm_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fused = rrf_fuse(
+        {
+            "bm25": bm25_topk(docs, _BM25_QUERIES, k=_BM25_K),
+            "vsm": vsm_topk(docs, _BM25_QUERIES, k=_BM25_K),
+        },
+        c=60,
+        k=_BM25_K,
+    )
+    return fused.select(
+        "query_id", "doc_id", "n_arms", "bm25_rank", "vsm_rank",
+        F.col("rrf_score").cast("double").alias("rrf_score"),
+        "fused_rank",
+    ).orderBy("query_id", "fused_rank")
+
+
 _HRW_BEFORE = tuple(f"shard-{i}" for i in range(8))
 _HRW_ADDED = ("shard-8", "shard-9")
 
@@ -6039,6 +6085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_integrity": _q(q_fk_integrity),
         "zorder_audit": _q(q_zorder_audit),
         "hrw_sharding": _q(q_hrw_sharding),
+        "vsm_topk": _q(q_vsm_topk),
+        "rrf_fusion": _q(q_rrf_fusion),
         "retention_cohorts": _q(q_retention_cohorts),
         "traffic_anomaly": _q(q_traffic_anomaly),
         "crawl_depth": _q(q_crawl_depth),
@@ -6846,6 +6894,88 @@ def _bm25_oracle_ctes() -> str:
         .replace("__OMB__", repr(1.0 - _BM25_B))
         .replace("__B__", repr(_BM25_B))
     )
+
+def _vsm_oracle_ctes() -> str:
+    """VSM arm CTEs, composed AFTER _bm25_oracle_ctes (reuses its
+    t/dls/stats/base/qt): full postings → full df → 9dp-quantized
+    DECIMAL contribs → doc norms → query dot → cosine → rank."""
+    return r"""pfull AS (
+              SELECT term, doc_id, count(*) AS tf
+              FROM base GROUP BY term, doc_id),
+            dffull AS (
+              SELECT term, count(*) AS df FROM pfull GROUP BY term),
+            contrib AS (
+              SELECT term, doc_id,
+                     CAST(round(CAST(tf AS DOUBLE)
+                                * round(ln(CAST(n_docs AS DOUBLE)
+                                           / CAST(df AS DOUBLE)), 9),
+                                9) AS DECIMAL(28,9)) AS c
+              FROM pfull JOIN dffull USING (term) CROSS JOIN stats),
+            vnorms AS (
+              SELECT * FROM (
+                SELECT doc_id,
+                       SUM(CAST(round(CAST(c AS DOUBLE)
+                                      * CAST(c AS DOUBLE), 9)
+                                AS DECIMAL(28,9))) AS n2
+                FROM contrib GROUP BY doc_id)
+              WHERE n2 > 0),
+            vdot AS (
+              SELECT query_id, doc_id, count(*) AS n_terms_hit,
+                     SUM(c) AS dot
+              FROM contrib JOIN qt USING (term)
+              GROUP BY query_id, doc_id),
+            vnq AS (
+              SELECT query_id, count(*) AS nq FROM qt GROUP BY query_id),
+            vscored AS (
+              SELECT query_id, doc_id, n_terms_hit,
+                     round(CAST(dot AS DOUBLE)
+                           / (sqrt(CAST(n2 AS DOUBLE))
+                              * sqrt(CAST(nq AS DOUBLE))), 9) AS score
+              FROM vdot JOIN vnorms USING (doc_id)
+              JOIN vnq USING (query_id)),
+            vrk AS (
+              SELECT query_id, doc_id, n_terms_hit, score,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC) AS rank
+              FROM vscored)"""
+
+
+def _rrf_fusion_oracle(c: int = 60) -> str:
+    """Twin of q_rrf_fusion: both arm chains re-rendered, weights from
+    the SAME search.rrf_weights exact-decimal rendering."""
+    from mindocr_spark.functions.search import rrf_weights
+
+    wts = ", ".join(
+        f"({r}, CAST('{s}' AS DECIMAL(20,12)))"
+        for r, s in rrf_weights(c, _BM25_K)
+    )
+    return f"""
+        WITH {_bm25_oracle_ctes()},
+        {_vsm_oracle_ctes()},
+        arms AS (
+          SELECT 'bm25' AS arm, query_id, doc_id, rank
+          FROM rk WHERE rank <= {_BM25_K}
+          UNION ALL
+          SELECT 'vsm', query_id, doc_id, rank
+          FROM vrk WHERE rank <= {_BM25_K}),
+        wts(rank, w) AS (VALUES {wts}),
+        f AS (
+          SELECT query_id, doc_id,
+                 CAST(count(*) AS BIGINT) AS n_arms,
+                 SUM(w) AS rrf_score,
+                 CAST(max(CASE WHEN arm = 'bm25' THEN rank END)
+                      AS BIGINT) AS bm25_rank,
+                 CAST(max(CASE WHEN arm = 'vsm' THEN rank END)
+                      AS BIGINT) AS vsm_rank
+          FROM arms JOIN wts USING (rank)
+          GROUP BY query_id, doc_id)
+        SELECT query_id, doc_id, n_arms, bm25_rank, vsm_rank,
+               CAST(rrf_score AS DOUBLE) AS rrf_score,
+               CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY rrf_score DESC, doc_id ASC)
+                    AS BIGINT) AS fused_rank
+        FROM f ORDER BY query_id, fused_rank"""
+
 
 def oracle_sql() -> dict[str, str]:
     from mindocr_spark.functions import text as _text_pii
@@ -10132,6 +10262,14 @@ def oracle_sql() -> dict[str, str]:
         "fk_integrity": _fk_integrity_oracle(),
         "zorder_audit": _zorder_audit_oracle(),
         "hrw_sharding": _hrw_sharding_oracle(),
+        "vsm_topk": f"""
+            WITH {_bm25_oracle_ctes()},
+            {_vsm_oracle_ctes()}
+            SELECT query_id, doc_id, n_terms_hit, score,
+                   CAST(rank AS BIGINT) AS rank
+            FROM vrk WHERE rank <= {_BM25_K}
+            ORDER BY query_id, rank""",
+        "rrf_fusion": _rrf_fusion_oracle(),
         "retention_cohorts": r"""
             WITH ud AS (
               SELECT DISTINCT user_id,

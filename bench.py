@@ -239,6 +239,8 @@ def main() -> None:
         "traffic_anomaly",      # median/MAD day-grain flash-crowd fence
         "zorder_audit",         # Morton-curve file-skipping layout audit
         "hrw_sharding",         # rendezvous-hash resize-stability audit
+        "vsm_topk",             # tf-idf cosine retrieval arm
+        "rrf_fusion",           # reciprocal-rank hybrid fusion
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

@@ -210,6 +210,144 @@ def bm25_topk(docs: DataFrame, queries: dict[int, list[str]], k: int = 5,
     )
 
 
+def vsm_topk(docs: DataFrame, queries: dict[int, list[str]], k: int = 5,
+             id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Vector-space-model retrieval (the classic second arm of a
+    hybrid stack): cosine between the binary query vector and the
+    tf·idf document vector, idf = round(ln(N/df), 9) — a genuinely
+    different ranking function from BM25 (no saturation, no length
+    prior beyond the norm), which is exactly what rank fusion wants.
+
+    score(q, d) = Σ_{t∈q} c(t,d) / (‖d‖·‖q‖), c = round(tf·idf, 9),
+    ‖d‖² = Σ_t round(c², 9) — every sum is a DECIMAL(28,9) sum of
+    9dp-quantized terms (order-free, engine-exact), the final
+    division/sqrt one pinned IEEE expression rounded at 9.
+
+    100 TB shape: unlike bm25_topk, the document NORM needs the full
+    document-frequency relation, so this pays the honest full-index
+    cost (two map-side-combinable shuffles on uniform term/doc keys —
+    the tfidf_topk_terms plan); the query-side dot still sheds
+    non-matching postings against the broadcast vocabulary before
+    grouping. Docs with a zero vector (every term at df = N) are
+    excluded — cosine is undefined there."""
+    spark = docs.sparkSession
+    qt = query_terms_df(spark, queries)
+    p = postings(docs, id_col=id_col, text_col=text_col)
+    dfq = p.groupBy("term").agg(F.count("*").alias("df"))
+    nd = docs.select(F.count("*").alias("n_docs"))
+    idf = F.round(
+        F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        9,
+    )
+    contrib = (
+        p.join(dfq, "term")
+        .join(F.broadcast(nd))
+        .select(
+            "term", "doc_id",
+            F.round(F.col("tf").cast("double") * idf, 9)
+            .cast("decimal(28,9)").alias("c"),
+        )
+    )
+    from mindocr_spark.cache import tracked_persist
+
+    contrib = tracked_persist(contrib)  # feeds norms AND dot
+    norms = contrib.groupBy("doc_id").agg(
+        F.sum(
+            F.round(F.col("c").cast("double") * F.col("c").cast("double"), 9)
+            .cast("decimal(28,9)")
+        ).alias("n2")
+    ).where(F.col("n2") > 0)
+    dot = contrib.join(F.broadcast(qt), "term").groupBy(
+        "query_id", "doc_id"
+    ).agg(
+        F.count("*").alias("n_terms_hit"),
+        F.sum("c").alias("dot"),
+    )
+    nq = qt.groupBy("query_id").agg(F.count("*").alias("nq"))
+    scored = dot.join(norms, "doc_id").join(F.broadcast(nq), "query_id")
+    score = F.round(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("n2").cast("double"))
+           * F.sqrt(F.col("nq").cast("double"))),
+        9,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.select("query_id", "doc_id", "n_terms_hit",
+                      score.alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "n_terms_hit", "score", "rank")
+    )
+
+
+def rrf_weights(c: int, k: int) -> list[tuple[int, str]]:
+    """Reciprocal-rank-fusion weights 1/(c+rank) for rank = 1..k as
+    EXACT 12-dp decimal strings (floor division over integers — no
+    float, no engine rounding): one rendering feeds both engines."""
+    if c < 0 or k < 1:
+        raise ValueError(f"need c ≥ 0 and k ≥ 1, got {c}/{k}")
+    out = []
+    for r in range(1, k + 1):
+        scaled = 10 ** 12 // (c + r)
+        out.append((r, f"0.{scaled:012d}"))
+    return out
+
+
+def rrf_fuse(rankings: dict[str, DataFrame], c: int = 60,
+             k: int = 10) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of named retriever
+    rankings — the standard hybrid-search combiner (lexical + vector
+    arms fused WITHOUT score calibration, since only ranks enter):
+    rrf(q, d) = Σ_arms 1/(c + rank_arm(d)). Returns one row per fused
+    candidate with per-arm ranks (NULL where an arm missed the doc),
+    n_arms, rrf_score, and the fused rank.
+
+    Each input needs (query_id, doc_id, rank); ranks beyond `k` are
+    ignored. Weights join as a broadcast 12-dp DECIMAL literal table
+    (exact integer rendering — no float summation order anywhere), so
+    the fused scores are bit-identical across engines and partition
+    counts. 100 TB shape: arms arrive already top-k (tiny relations);
+    fusion is one union + one groupBy at candidate cardinality."""
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    from decimal import Decimal
+
+    arms = None
+    for name, df in sorted(rankings.items()):
+        part = df.select(
+            F.lit(name).alias("arm"),
+            F.col("query_id"), F.col("doc_id"),
+            F.col("rank").cast("int").alias("rank"),
+        ).where(F.col("rank") <= k)
+        arms = part if arms is None else arms.unionByName(part)
+    spark = arms.sparkSession
+    wdf = spark.createDataFrame(
+        [(r, Decimal(s)) for r, s in rrf_weights(c, k)],
+        "rank int, w decimal(20,12)",
+    )
+    rank_cols = [
+        F.max(F.when(F.col("arm") == name, F.col("rank")))
+        .cast("bigint").alias(f"{name}_rank")
+        for name in sorted(rankings)
+    ]
+    fused = arms.join(F.broadcast(wdf), "rank").groupBy(
+        "query_id", "doc_id"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_arms"),
+        F.sum("w").alias("rrf_score"),
+        *rank_cols,
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return fused.withColumn(
+        "fused_rank", F.row_number().over(wf).cast("bigint")
+    )
+
+
 # --------------------------------------------------------------------------
 # Positional postings + exact phrase search
 # --------------------------------------------------------------------------

@@ -476,3 +476,78 @@ class TestRetrievalEval:
 
         with pytest.raises(ValueError):
             ndcg_weights(0)
+
+
+class TestVSMAndRRF:
+    def test_vsm_topk_hand_computed(self, spark):
+        import math
+
+        from mindocr_spark.functions.search import vsm_topk
+
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "a a b"), (3, "c")],
+            "doc_id bigint, text string",
+        )
+        rows = vsm_topk(docs, {0: ["a"]}, k=3).orderBy("rank").collect()
+
+        def contrib(tf, df, n=3):
+            return round(tf * round(math.log(n / df), 9), 9)
+
+        def score(tfs_q, tfs_all, dfs_all):
+            dot = sum(contrib(tf, df) for tf, df in tfs_q)
+            n2 = sum(round(contrib(tf, df) ** 2, 9)
+                     for tf, df in tfs_all)
+            return round(dot / (math.sqrt(n2) * math.sqrt(1)), 9)
+
+        # d2 has tf(a)=2 → higher dot but longer vector; hand-verify
+        exp1 = score([(1, 2)], [(1, 2), (1, 2)], None)   # d1: a,b
+        exp2 = score([(2, 2)], [(2, 2), (1, 2)], None)   # d2: 2a,b
+        got = {r["doc_id"]: r["score"] for r in rows}
+        assert abs(got[1] - exp1) < 1e-9
+        assert abs(got[2] - exp2) < 1e-9
+        assert 3 not in got  # no query term → no dot row
+
+    def test_rrf_weights_exact_floor_rendering(self):
+        from mindocr_spark.functions.search import rrf_weights
+
+        w = dict(rrf_weights(60, 3))
+        assert w[1] == "0.016393442622"   # 10^12 // 61
+        assert w[2] == "0.016129032258"
+        import pytest
+
+        with pytest.raises(ValueError):
+            rrf_weights(-1, 3)
+        with pytest.raises(ValueError):
+            rrf_weights(60, 0)
+
+    def test_rrf_fuse_hand_computed(self, spark):
+        from decimal import Decimal
+
+        from mindocr_spark.functions.search import rrf_fuse, rrf_weights
+
+        a = spark.createDataFrame(
+            [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+            "query_id int, doc_id bigint, rank int")
+        b = spark.createDataFrame(
+            [(0, 11, 1), (0, 10, 2), (0, 99, 7)],
+            "query_id int, doc_id bigint, rank int")
+        rows = {r["doc_id"]: r for r in rrf_fuse(
+            {"lex": a, "vec": b}, c=60, k=5).collect()}
+        w = {r: Decimal(s) for r, s in rrf_weights(60, 5)}
+        # docs in both arms beat the single-arm doc; rank 7 > k dropped
+        assert rows[10]["rrf_score"] == w[1] + w[2]
+        assert rows[11]["rrf_score"] == w[1] + w[2]
+        assert rows[12]["rrf_score"] == w[3]
+        assert 99 not in rows
+        assert rows[10]["n_arms"] == 2 and rows[12]["n_arms"] == 1
+        assert rows[12]["lex_rank"] == 3 and rows[12]["vec_rank"] is None
+        # tie between 10 and 11 breaks on doc_id
+        assert rows[10]["fused_rank"] == 1 and rows[11]["fused_rank"] == 2
+
+    def test_rrf_fuse_validates(self, spark):
+        import pytest
+
+        from mindocr_spark.functions.search import rrf_fuse
+
+        with pytest.raises(ValueError):
+            rrf_fuse({})
