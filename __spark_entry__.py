@@ -4013,6 +4013,27 @@ def q_rrf_fusion(spark, sf_dir):
     ).orderBy("query_id", "fused_rank")
 
 
+def q_forget_propagation(spark, sf_dir):
+    """Right-to-be-forgotten audit: a deterministic deletion batch
+    (every doc_id ≡ 0 mod 5) propagated through the exact-dup
+    clusters of a corpus where every ≡0 mod 3 doc also exists as an
+    exact copy under id+1000001 (the syndication reality RTBF must
+    handle). The offset is coprime to both moduli, so all three
+    outcomes provably fire: a deleted 15-multiple rep re-elects its
+    surviving copy, a deleted copy leaves the rep unchanged, and
+    deleted singletons vanish. Requests broadcast; one groupBy on
+    the uniform md5 key."""
+    from mindocr_spark.functions.dedup import forget_propagation
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = base.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + F.lit(1000001)).alias("doc_id"), "text"
+    )
+    docs = base.unionByName(copies)
+    requests = docs.where(F.col("doc_id") % 5 == 0).select("doc_id")
+    return forget_propagation(docs, requests).orderBy("fingerprint")
+
+
 _HRW_BEFORE = tuple(f"shard-{i}" for i in range(8))
 _HRW_ADDED = ("shard-8", "shard-9")
 
@@ -6086,6 +6107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_audit": _q(q_zorder_audit),
         "hrw_sharding": _q(q_hrw_sharding),
         "vsm_topk": _q(q_vsm_topk),
+        "forget_propagation": _q(q_forget_propagation),
         "rrf_fusion": _q(q_rrf_fusion),
         "retention_cohorts": _q(q_retention_cohorts),
         "traffic_anomaly": _q(q_traffic_anomaly),
@@ -10270,6 +10292,33 @@ def oracle_sql() -> dict[str, str]:
             FROM vrk WHERE rank <= {_BM25_K}
             ORDER BY query_id, rank""",
         "rrf_fusion": _rrf_fusion_oracle(),
+        "forget_propagation": r"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000001, text FROM documents
+              WHERE doc_id % 3 = 0),
+            f AS (
+              SELECT doc_id,
+                     md5(lower(trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')))) AS fingerprint,
+                     (doc_id % 5 = 0) AS del_req
+              FROM corpus),
+            g AS (
+              SELECT fingerprint,
+                     CAST(count(*) AS BIGINT) AS n_before,
+                     CAST(sum(CASE WHEN del_req THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_deleted,
+                     CAST(min(doc_id) AS BIGINT) AS rep_before,
+                     CAST(min(CASE WHEN NOT del_req THEN doc_id END)
+                          AS BIGINT) AS rep_after
+              FROM f GROUP BY fingerprint)
+            SELECT fingerprint, n_before, n_deleted,
+                   n_before - n_deleted AS n_after,
+                   rep_before, rep_after,
+                   CASE WHEN n_before = n_deleted THEN 'cluster_gone'
+                        WHEN rep_after <> rep_before THEN 'reelect'
+                        ELSE 'rep_unchanged' END AS action
+            FROM g WHERE n_deleted > 0 ORDER BY fingerprint""",
         "retention_cohorts": r"""
             WITH ud AS (
               SELECT DISTINCT user_id,

@@ -56,6 +56,66 @@ def exact_dup_clusters(df: DataFrame, text_col: str = "text",
     )
 
 
+def forget_propagation(
+    docs: DataFrame,
+    requests: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Right-to-be-forgotten propagation through the exact-dup layer:
+    a deletion request names document IDs, but the curated corpus
+    serves one REPRESENTATIVE per content cluster — so deleting a doc
+    must also answer "was it the serving copy, and who serves now?".
+    One row per AFFECTED cluster: (fingerprint, n_before, n_deleted,
+    n_after, rep_before, rep_after, action) with action ∈
+    cluster_gone (content disappears from the corpus) / reelect (the
+    representative was deleted, a surviving duplicate takes over —
+    the curated output swaps a copy in rather than losing content) /
+    rep_unchanged (only non-serving copies purged). Untouched
+    clusters never appear; requests for unknown ids are no-ops.
+
+    100 TB shape: requests are tiny vs the corpus → broadcast left
+    join onto the fingerprint relation, then ONE map-side-combinable
+    groupBy on the uniform md5 key. rep_after = conditional min in
+    the same aggregate — no second pass, no window.
+
+    Reference analog: the reference's collect node re-elects which
+    shard finalizes a result when a member drops out
+    (reference: deploy/py_infer/src/parallel/module/common/
+    collect_node.py:72-99); this is that completeness bookkeeping
+    applied to content governance."""
+    fp = docs.select(
+        F.col(id_col).alias("doc_id"),
+        fingerprint_md5(text_col).alias("fingerprint"),
+    )
+    req = requests.select(
+        F.col(requests.columns[0]).alias("doc_id"),
+        F.lit(True).alias("del_req"),
+    ).distinct()
+    tagged = fp.join(F.broadcast(req), "doc_id", "left").select(
+        "doc_id", "fingerprint",
+        F.coalesce("del_req", F.lit(False)).alias("del_req"),
+    )
+    g = tagged.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before"),
+        F.sum(F.when(F.col("del_req"), 1).otherwise(0)).cast("bigint")
+        .alias("n_deleted"),
+        F.min("doc_id").cast("bigint").alias("rep_before"),
+        F.min(F.when(~F.col("del_req"), F.col("doc_id"))).cast("bigint")
+        .alias("rep_after"),
+    )
+    return g.where(F.col("n_deleted") > 0).select(
+        "fingerprint", "n_before", "n_deleted",
+        (F.col("n_before") - F.col("n_deleted")).alias("n_after"),
+        "rep_before", "rep_after",
+        F.when(F.col("n_before") == F.col("n_deleted"),
+               F.lit("cluster_gone"))
+        .when(F.col("rep_after") != F.col("rep_before"),
+              F.lit("reelect"))
+        .otherwise(F.lit("rep_unchanged")).alias("action"),
+    )
+
+
 def substring_dup_flags(
     docs: DataFrame,
     k: int = 40,

@@ -730,3 +730,36 @@ class TestMirrorStats:
         m = spark.createDataFrame([(0, "a")], "doc_id bigint, group string")
         with _pytest.raises(ValueError):
             mirror_stats(p, m, min_share=(1, 0))
+
+
+class TestForgetPropagation:
+    def _docs(self, spark):
+        rows = [
+            (1, "shared alpha"), (2, "shared alpha"), (3, "shared alpha"),
+            (4, "solo beta"),
+            (5, "pair gamma"), (6, "pair gamma"),
+            (7, "untouched delta"),
+        ]
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_all_three_actions(self, spark):
+        from mindocr_spark.functions.dedup import forget_propagation
+
+        reqs = spark.createDataFrame(
+            [(1,), (4,), (6,), (999,), (1,)], "doc_id bigint")
+        out = {r["action"]: r for r in forget_propagation(
+            self._docs(spark), reqs).collect()}
+        assert set(out) == {"cluster_gone", "reelect", "rep_unchanged"}
+        re_ = out["reelect"]   # cluster {1,2,3}: rep 1 deleted → 2
+        assert (re_["rep_before"], re_["rep_after"]) == (1, 2)
+        assert (re_["n_before"], re_["n_deleted"], re_["n_after"]) == (3, 1, 2)
+        gone = out["cluster_gone"]  # singleton 4
+        assert gone["rep_after"] is None and gone["n_after"] == 0
+        ru = out["rep_unchanged"]   # cluster {5,6}: non-rep 6 deleted
+        assert ru["rep_before"] == ru["rep_after"] == 5
+
+    def test_untouched_clusters_absent_and_unknown_ids_noop(self, spark):
+        from mindocr_spark.functions.dedup import forget_propagation
+
+        reqs = spark.createDataFrame([(999,)], "doc_id bigint")
+        assert forget_propagation(self._docs(spark), reqs).count() == 0
