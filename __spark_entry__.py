@@ -4303,6 +4303,20 @@ def q_degree_assortativity(spark, sf_dir):
     return degree_assortativity(_chorded_link_edges(spark, sf_dir))
 
 
+def q_label_propagation(spark, sf_dir):
+    """Deterministic synchronous label propagation (3 supersteps,
+    min-label tie break) over the chorded link family — the cheap
+    community sketch: each blogroll ring pulls toward its minimum
+    host label while the hub spokes (docs.example, mirrors) adopt
+    whatever dominates their neighborhood. One persisted symmetric
+    edge relation, one shuffle per superstep, linear plan growth."""
+    from mindocr_spark.functions.links import label_propagation
+
+    return label_propagation(
+        _chorded_link_edges(spark, sf_dir), iters=3
+    ).orderBy("domain")
+
+
 #: crawl-depth seeds: the src0 ring-0 host (reaches its source's whole
 #: 13-cycle one hop per round) plus an OFFLINE seed absent from the
 #: graph (must still report depth 0 — crawlers fetch seeds
@@ -6108,6 +6122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hrw_sharding": _q(q_hrw_sharding),
         "vsm_topk": _q(q_vsm_topk),
         "forget_propagation": _q(q_forget_propagation),
+        "label_propagation": _q(q_label_propagation),
         "rrf_fusion": _q(q_rrf_fusion),
         "retention_cohorts": _q(q_retention_cohorts),
         "traffic_anomaly": _q(q_traffic_anomaly),
@@ -6302,6 +6317,39 @@ _CHORDED_EDGE_CTES = _LINKED_EDGE_CTES + r""",
             alle AS (
               SELECT src_dom, dst_dom FROM e
               UNION ALL SELECT src_dom, dst_dom FROM chord)"""
+
+
+def _label_propagation_oracle(iters: int = 3) -> str:
+    """Unrolled twin of `links.label_propagation`: `iters` supersteps,
+    each one neighbor-label count + min-tie top-1 over the symmetric
+    simple graph. All-integer votes — no float discipline needed."""
+    parts = [
+        "WITH " + _CHORDED_EDGE_CTES,
+        """,
+            sp AS (
+              SELECT DISTINCT least(src_dom, dst_dom) AS a,
+                     greatest(src_dom, dst_dom) AS b
+              FROM alle WHERE src_dom <> dst_dom),
+            sym AS (SELECT a, b FROM sp UNION ALL SELECT b, a FROM sp),
+            l0 AS (SELECT DISTINCT a AS v, a AS lbl FROM sym)""",
+    ]
+    for r in range(1, iters + 1):
+        parts.append(f""",
+            v{r} AS (
+              SELECT s.a AS v, l.lbl, count(*) AS c
+              FROM sym s JOIN l{r - 1} l ON s.b = l.v
+              GROUP BY s.a, l.lbl),
+            l{r} AS (
+              SELECT v, lbl FROM (
+                SELECT v, lbl, row_number() OVER (
+                  PARTITION BY v ORDER BY c DESC, lbl ASC) AS rn
+                FROM v{r}) WHERE rn = 1)""")
+    parts.append(f"""
+            SELECT v AS domain, lbl AS label,
+                   CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT)
+                     AS community_size
+            FROM l{iters} ORDER BY domain""")
+    return "".join(parts)
 
 
 def _kcore_oracle(k: int = 7, rounds: int = 4) -> str:
@@ -10448,6 +10496,7 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(sum(n) OVER (PARTITION BY prev_type)
                                 AS DOUBLE), 6) AS p
             FROM c ORDER BY prev_type, event_type""",
+        "label_propagation": _label_propagation_oracle(iters=3),
         "degree_assortativity": "WITH " + _CHORDED_EDGE_CTES + r""",
             sp AS (
               SELECT DISTINCT least(src_dom, dst_dom) AS a,

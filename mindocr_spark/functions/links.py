@@ -26,7 +26,7 @@ then aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .urls import registered_domain, url_host
 
@@ -1174,6 +1174,66 @@ def meta_divergence(pages: DataFrame, text_col: str = "text") -> DataFrame:
         .when(F.lit(2) * n_overlap < n_desc, F.lit("divergent"))
         .otherwise(F.lit("aligned"))
         .alias("verdict"),
+    )
+
+
+def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, made deterministic) over the undirected simple domain
+    graph: every vertex starts as its own label; each superstep it
+    adopts the label most frequent among its neighbors, ties broken
+    by MIN label; a FIXED superstep count (no convergence test) keeps
+    the result a pure function of the graph — the cheap community
+    sketch for mirror-farm / link-ring triage before anything as
+    heavy as modularity optimization. Returns one row per vertex:
+    (domain, label, community_size).
+
+    100 TB shape: the symmetric pair relation is persisted ONCE and
+    feeds every superstep; a superstep is one shuffle — the
+    neighbor-label join on the uniform vertex key, then a map-side-
+    combinable (vertex, label) count and a vertex-grain top-1 window.
+    Each superstep references the previous labels exactly once, so
+    the logical plan grows LINEARLY in iters (the kcore/hits
+    discipline — no 2^steps Catalyst blowup).
+
+    Reference analog: PSE post-processing grows regions by adopting
+    the strongest adjacent kernel label progressively
+    (reference: mindocr/postprocess/det_pse_postprocess.py); this is
+    that expansion on the link graph."""
+    if iters < 1:
+        raise ValueError(f"need iters >= 1, got {iters}")
+    from mindocr_spark.cache import tracked_persist
+
+    raw = edges.where(F.col("src_domain") != F.col("dst_domain"))
+    pairs = raw.select(
+        F.least("src_domain", "dst_domain").alias("a"),
+        F.greatest("src_domain", "dst_domain").alias("b"),
+    ).distinct()
+    sym = tracked_persist(
+        pairs.unionAll(
+            pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+    )
+    labels = sym.select("a").distinct().select(
+        F.col("a").alias("v"), F.col("a").alias("lbl")
+    )
+    w = Window.partitionBy("a").orderBy(
+        F.col("c").desc(), F.col("lbl").asc()
+    )
+    for _ in range(iters):
+        votes = sym.join(
+            labels.select(F.col("v").alias("b"), "lbl"), "b"
+        ).groupBy("a", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("a").alias("v"), "lbl")
+        )
+    ws = Window.partitionBy("lbl")
+    return labels.select(
+        F.col("v").alias("domain"),
+        F.col("lbl").alias("label"),
+        F.count(F.lit(1)).over(ws).cast("bigint").alias("community_size"),
     )
 
 

@@ -558,3 +558,70 @@ class TestDegreeAssortativity:
                                ("leaf0", "hub"), ("hub", "leaf1"),
                                ("hub", "leaf2")])
         assert r1["n_endpoints"] == 6 and r1["r"] == -1.0
+
+
+class TestLabelPropagation:
+    def _run(self, spark, pairs, iters=3):
+        from mindocr_spark.functions.links import label_propagation
+
+        df = spark.createDataFrame(
+            pairs, "src_domain string, dst_domain string"
+        )
+        rows = label_propagation(df, iters=iters).collect()
+        return {r["domain"]: (r["label"], r["community_size"])
+                for r in rows}
+
+    def test_two_cliques_bridge_keeps_min_labels(self, spark):
+        # two triangles joined by one bridge edge: after 3 rounds each
+        # triangle converges to its own min label; the bridge endpoints
+        # keep their side's label (min tie-break favors own cluster)
+        pairs = [("a", "b"), ("b", "c"), ("c", "a"),
+                 ("x", "y"), ("y", "z"), ("z", "x"), ("c", "x")]
+        out = self._run(spark, pairs)
+        assert out["a"][0] == "a" and out["b"][0] == "a"
+        # every member of a community reports the same size
+        from collections import Counter
+
+        sizes = Counter(lbl for lbl, _ in out.values())
+        for lbl, size in out.values():
+            assert size == sizes[lbl]
+
+    def test_star_converges_to_hub_min_label(self, spark):
+        # star with hub name ordered after leaves: leaves vote for the
+        # hub, the hub takes the MIN leaf label; round 2+ all agree
+        out = self._run(spark, [("zhub", f"leaf{i}") for i in range(4)],
+                        iters=2)
+        # hub's neighbors all became leaf labels at r1 with hub's label;
+        # determinism: rerun gives identical assignment
+        again = self._run(spark,
+                          [("zhub", f"leaf{i}") for i in range(4)],
+                          iters=2)
+        assert out == again
+
+    def test_one_iteration_adopts_min_neighbor(self, spark):
+        out = self._run(spark, [("b", "a"), ("b", "c")], iters=1)
+        # a<->b<->c path: after 1 round b adopts min neighbor 'a',
+        # a and c adopt their only neighbor 'b'
+        assert out["b"][0] == "a"
+        assert out["a"][0] == "b" and out["c"][0] == "b"
+
+    def test_self_loops_and_duplicates_ignored(self, spark):
+        out = self._run(
+            spark,
+            [("a", "a"), ("a", "b"), ("b", "a"), ("a", "b")],
+            iters=2,
+        )
+        # collapses to single a-b edge; 2 rounds of mutual swap return
+        # each vertex to its own label
+        assert out["a"][0] == "a" and out["b"][0] == "b"
+
+    def test_iters_validation(self, spark):
+        import pytest as _pytest
+
+        from mindocr_spark.functions.links import label_propagation
+
+        df = spark.createDataFrame(
+            [("a", "b")], "src_domain string, dst_domain string"
+        )
+        with _pytest.raises(ValueError):
+            label_propagation(df, iters=0)
