@@ -4317,6 +4317,35 @@ def q_label_propagation(spark, sf_dir):
     ).orderBy("domain")
 
 
+#: hub-strip threshold for community detection: chorded-ring hosts
+#: have degree ~6; the shared mirror hosts and the docs.example
+#: archive hub (degree 10-100×+ that) glue every source's ring into
+#: one blob. 32 strips exactly the glue.
+_MODULARITY_MAX_DEGREE = 32
+
+
+def q_community_modularity(spark, sf_dir):
+    """Newman modularity of the 3-superstep LPA partition over the
+    HUB-STRIPPED chorded link family (strip_hubs removes the
+    docs.example archive and shared mirror hosts — the glue that
+    collapses any community algorithm to one blob). Per-community
+    exact BIGINT size/degree/intra counts plus the single-division Q
+    contribution: the surviving per-source chorded rings are sealed
+    communities, so Q is high — the acceptance check on the
+    label_propagation sketch."""
+    from mindocr_spark.functions.links import (
+        community_modularity,
+        strip_hubs,
+    )
+
+    return community_modularity(
+        strip_hubs(
+            _chorded_link_edges(spark, sf_dir), _MODULARITY_MAX_DEGREE
+        ),
+        iters=3,
+    ).orderBy("label")
+
+
 #: crawl-depth seeds: the src0 ring-0 host (reaches its source's whole
 #: 13-cycle one hop per round) plus an OFFLINE seed absent from the
 #: graph (must still report depth 0 — crawlers fetch seeds
@@ -6123,6 +6152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vsm_topk": _q(q_vsm_topk),
         "forget_propagation": _q(q_forget_propagation),
         "label_propagation": _q(q_label_propagation),
+        "community_modularity": _q(q_community_modularity),
         "rrf_fusion": _q(q_rrf_fusion),
         "retention_cohorts": _q(q_retention_cohorts),
         "traffic_anomaly": _q(q_traffic_anomaly),
@@ -6319,17 +6349,35 @@ _CHORDED_EDGE_CTES = _LINKED_EDGE_CTES + r""",
               UNION ALL SELECT src_dom, dst_dom FROM chord)"""
 
 
-def _label_propagation_oracle(iters: int = 3) -> str:
-    """Unrolled twin of `links.label_propagation`: `iters` supersteps,
-    each one neighbor-label count + min-tie top-1 over the symmetric
-    simple graph. All-integer votes — no float discipline needed."""
+def _lpa_cte_chain(iters: int, strip_max_degree: int | None = None) -> str:
+    """Shared unrolled LPA superstep chain (twin of
+    `links._lpa_labels`): WITH-clause body ending at `l{iters}` —
+    `iters` supersteps, each one neighbor-label count + min-tie top-1
+    over the symmetric simple graph. All-integer votes — no float
+    discipline needed. With `strip_max_degree`, super-hub vertices
+    are removed first (twin of `links.strip_hubs`). Both the
+    label_propagation and the modularity oracles append their own
+    final SELECT."""
+    strip = ""
+    sp_src = "sp0"
+    if strip_max_degree is not None:
+        strip = f""",
+            deg0 AS (
+              SELECT v, count(*) AS d FROM (
+                SELECT a AS v FROM sp0
+                UNION ALL SELECT b FROM sp0) GROUP BY v),
+            keep AS (SELECT v FROM deg0 WHERE d <= {strip_max_degree})"""
+        sp_src = """(SELECT sp0.a, sp0.b FROM sp0
+                     JOIN keep ka ON sp0.a = ka.v
+                     JOIN keep kb ON sp0.b = kb.v)"""
     parts = [
         "WITH " + _CHORDED_EDGE_CTES,
-        """,
-            sp AS (
+        f""",
+            sp0 AS (
               SELECT DISTINCT least(src_dom, dst_dom) AS a,
                      greatest(src_dom, dst_dom) AS b
-              FROM alle WHERE src_dom <> dst_dom),
+              FROM alle WHERE src_dom <> dst_dom){strip},
+            sp AS (SELECT a, b FROM {sp_src}),
             sym AS (SELECT a, b FROM sp UNION ALL SELECT b, a FROM sp),
             l0 AS (SELECT DISTINCT a AS v, a AS lbl FROM sym)""",
     ]
@@ -6344,12 +6392,54 @@ def _label_propagation_oracle(iters: int = 3) -> str:
                 SELECT v, lbl, row_number() OVER (
                   PARTITION BY v ORDER BY c DESC, lbl ASC) AS rn
                 FROM v{r}) WHERE rn = 1)""")
-    parts.append(f"""
+    return "".join(parts)
+
+
+def _label_propagation_oracle(iters: int = 3) -> str:
+    """Final vertex-grain select over the shared LPA chain."""
+    return _lpa_cte_chain(iters) + f"""
             SELECT v AS domain, lbl AS label,
                    CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT)
                      AS community_size
-            FROM l{iters} ORDER BY domain""")
-    return "".join(parts)
+            FROM l{iters} ORDER BY domain"""
+
+
+def _modularity_oracle(
+    iters: int = 3, strip_max_degree: int | None = None
+) -> str:
+    """Unrolled twin of `links.community_modularity` (over the
+    hub-stripped graph when `strip_max_degree` is set): the shared LPA
+    chain, then exact BIGINT degree / size / intra-edge aggregates and
+    ONE IEEE division (4·m·L_c − D_c²) / (4·m²) per community row —
+    bit-identical, no rounding."""
+    return _lpa_cte_chain(iters, strip_max_degree) + f""",
+            deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS d
+                    FROM sym GROUP BY a),
+            pc AS (
+              SELECT l.lbl, CAST(count(*) AS BIGINT) AS size,
+                     CAST(sum(deg.d) AS BIGINT) AS degree_sum
+              FROM deg JOIN l{iters} l ON deg.v = l.v
+              GROUP BY l.lbl),
+            intra AS (
+              SELECT la.lbl,
+                     CAST(count(*) AS BIGINT) AS intra_edges
+              FROM sp
+              JOIN l{iters} la ON sp.a = la.v
+              JOIN l{iters} lb ON sp.b = lb.v
+              WHERE la.lbl = lb.lbl
+              GROUP BY la.lbl),
+            comm AS (
+              SELECT pc.lbl, pc.size, pc.degree_sum,
+                     COALESCE(intra.intra_edges,
+                              CAST(0 AS BIGINT)) AS intra_edges,
+                     CAST(sum(pc.degree_sum) OVER () // 2 AS BIGINT)
+                       AS m
+              FROM pc LEFT JOIN intra ON pc.lbl = intra.lbl)
+            SELECT lbl AS label, size, degree_sum, intra_edges,
+                   CAST(4 * m * intra_edges
+                        - degree_sum * degree_sum AS DOUBLE)
+                     / CAST(4 * m * m AS DOUBLE) AS q_contrib
+            FROM comm ORDER BY label"""
 
 
 def _kcore_oracle(k: int = 7, rounds: int = 4) -> str:
@@ -10497,6 +10587,9 @@ def oracle_sql() -> dict[str, str]:
                                 AS DOUBLE), 6) AS p
             FROM c ORDER BY prev_type, event_type""",
         "label_propagation": _label_propagation_oracle(iters=3),
+        "community_modularity": _modularity_oracle(
+            iters=3, strip_max_degree=_MODULARITY_MAX_DEGREE
+        ),
         "degree_assortativity": "WITH " + _CHORDED_EDGE_CTES + r""",
             sp AS (
               SELECT DISTINCT least(src_dom, dst_dom) AS a,

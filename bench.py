@@ -243,6 +243,7 @@ def main() -> None:
         "rrf_fusion",           # reciprocal-rank hybrid fusion
         "forget_propagation",   # RTBF dedup-cluster re-election audit
         "label_propagation",    # deterministic LPA community sketch
+        "community_modularity", # Newman Q acceptance check on LPA
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

@@ -1200,15 +1200,34 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
     the strongest adjacent kernel label progressively
     (reference: mindocr/postprocess/det_pse_postprocess.py); this is
     that expansion on the link graph."""
+    sym, labels = _lpa_labels(edges, iters)
+    ws = Window.partitionBy("lbl")
+    return labels.select(
+        F.col("v").alias("domain"),
+        F.col("lbl").alias("label"),
+        F.count(F.lit(1)).over(ws).cast("bigint").alias("community_size"),
+    )
+
+
+def _canonical_pairs(edges: DataFrame) -> DataFrame:
+    """Edge multiset → canonical distinct undirected simple pairs
+    (a < b, self-loops dropped). NOT persisted — callers decide."""
+    raw = edges.where(F.col("src_domain") != F.col("dst_domain"))
+    return raw.select(
+        F.least("src_domain", "dst_domain").alias("a"),
+        F.greatest("src_domain", "dst_domain").alias("b"),
+    ).distinct()
+
+
+def _lpa_labels(edges: DataFrame, iters: int):
+    """Shared LPA superstep core: returns (persisted symmetric edge
+    relation, final (v, lbl) label frame). Each superstep references
+    the previous labels exactly once — linear plan growth."""
     if iters < 1:
         raise ValueError(f"need iters >= 1, got {iters}")
     from mindocr_spark.cache import tracked_persist
 
-    raw = edges.where(F.col("src_domain") != F.col("dst_domain"))
-    pairs = raw.select(
-        F.least("src_domain", "dst_domain").alias("a"),
-        F.greatest("src_domain", "dst_domain").alias("b"),
-    ).distinct()
+    pairs = _canonical_pairs(edges)
     sym = tracked_persist(
         pairs.unionAll(
             pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -1229,11 +1248,118 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
             .where(F.col("rn") == 1)
             .select(F.col("a").alias("v"), "lbl")
         )
-    ws = Window.partitionBy("lbl")
-    return labels.select(
-        F.col("v").alias("domain"),
+    return sym, labels
+
+
+def strip_hubs(edges: DataFrame, max_degree: int) -> DataFrame:
+    """Drop super-hub vertices (degree > max_degree in the undirected
+    simple graph) and every edge touching them — the standard
+    pre-pass before community detection on web graphs, where global
+    utility hosts (archives, mirrors, CDNs) glue otherwise-separate
+    neighborhoods into one blob and make any label/community algorithm
+    collapse. Returns the surviving edge set, canonicalized
+    (src_domain < dst_domain, self-loops and duplicates gone).
+
+    100 TB shape: one degree groupBy on the uniform vertex key, then
+    two keep-set joins (AQE broadcasts the keep set when small; at
+    web scale it stays a shuffle join on the same uniform key). Hub
+    stripping is also the SKEW remover: the stripped keys are exactly
+    the keys that made downstream neighbor joins skewed."""
+    if max_degree < 1:
+        raise ValueError(f"need max_degree >= 1, got {max_degree}")
+    from mindocr_spark.cache import tracked_persist
+
+    pairs = tracked_persist(_canonical_pairs(edges))
+    deg = (
+        pairs.select(F.col("a").alias("v"))
+        .unionAll(pairs.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    keep = deg.where(F.col("d") <= max_degree).select("v")
+    return (
+        pairs.join(keep.select(F.col("v").alias("a")), "a")
+        .join(keep.select(F.col("v").alias("b")), "b")
+        .select(
+            F.col("a").alias("src_domain"), F.col("b").alias("dst_domain")
+        )
+    )
+
+
+def community_modularity(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Newman modularity audit of the LPA partition — the 'did the
+    cheap community sketch find real structure?' number. Per community
+    c: Q_c = L_c/m − (D_c/2m)², with L_c intra-community edges, D_c
+    the community degree sum, m total edges; Σ Q_c is the partition's
+    modularity (≈0 for random wiring, high for sealed link rings).
+    Returns one row per community, ordered by label:
+    (label, size, degree_sum, intra_edges, q_contrib).
+
+    Exactness discipline: every aggregate is an exact BIGINT (edge
+    counts, degree sums); q_contrib is ONE IEEE division of integer
+    numerator (4·m·L_c − D_c²) by integer denominator (4·m²) — bit-
+    identical across engines and partitionings, no rounding needed.
+
+    100 TB shape: the symmetric relation is persisted once and feeds
+    the supersteps AND the degree count; labels are persisted once and
+    feed the community rollup AND both endpoint joins of the intra
+    count (vertex-key shuffles, uniform); everything after that runs
+    at COMMUNITY cardinality, with m an unpartitioned window over the
+    community-grain rows (referenced once — no plan doubling). At
+    10^12 edges lift the q_contrib integers to DECIMAL(38,0); the
+    plan is unchanged.
+
+    Reference analog: PSE post-processing validates grown regions by
+    score thresholds over the assembled kernels
+    (reference: mindocr/postprocess/det_pse_postprocess.py); this is
+    that acceptance check on link-graph communities."""
+    from mindocr_spark.cache import tracked_persist
+
+    sym, raw_labels = _lpa_labels(edges, iters)
+    labels = tracked_persist(raw_labels)
+    deg = sym.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    per_comm = deg.join(labels, "v").groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("size"),
+        F.sum("d").cast("bigint").alias("degree_sum"),
+    )
+    pairs = sym.where(F.col("a") < F.col("b"))
+    intra = (
+        pairs.join(
+            labels.select(F.col("v").alias("a"), F.col("lbl").alias("la")),
+            "a",
+        )
+        .join(
+            labels.select(F.col("v").alias("b"), F.col("lbl").alias("lb")),
+            "b",
+        )
+        .where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("lbl"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("intra_edges"))
+    )
+    comm = (
+        per_comm.join(intra, "lbl", "left")
+        .select(
+            "lbl",
+            "size",
+            "degree_sum",
+            F.coalesce(F.col("intra_edges"), F.lit(0).cast("bigint"))
+            .alias("intra_edges"),
+        )
+        .withColumn("m", F.expr("(sum(degree_sum) OVER ()) div 2"))
+    )
+    num = (
+        F.lit(4) * F.col("m") * F.col("intra_edges")
+        - F.col("degree_sum") * F.col("degree_sum")
+    )
+    den = F.lit(4) * F.col("m") * F.col("m")
+    return comm.select(
         F.col("lbl").alias("label"),
-        F.count(F.lit(1)).over(ws).cast("bigint").alias("community_size"),
+        "size",
+        "degree_sum",
+        "intra_edges",
+        (num.cast("double") / den.cast("double")).alias("q_contrib"),
     )
 
 

@@ -625,3 +625,73 @@ class TestLabelPropagation:
         )
         with _pytest.raises(ValueError):
             label_propagation(df, iters=0)
+
+
+class TestStripHubs:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(
+            pairs, "src_domain string, dst_domain string"
+        )
+
+    def test_hub_and_its_edges_removed(self, spark):
+        from mindocr_spark.functions.links import strip_hubs
+
+        # hub of degree 4 glued to a triangle
+        pairs = [("hub", f"n{i}") for i in range(4)] + [
+            ("n0", "n1"), ("n1", "n2"), ("n2", "n0")]
+        out = strip_hubs(self._edges(spark, pairs), max_degree=3)
+        got = {(r["src_domain"], r["dst_domain"]) for r in out.collect()}
+        assert got == {("n0", "n1"), ("n1", "n2"), ("n0", "n2")}
+
+    def test_threshold_is_inclusive(self, spark):
+        from mindocr_spark.functions.links import strip_hubs
+
+        pairs = [("a", "b"), ("b", "c")]  # b has degree exactly 2
+        out = strip_hubs(self._edges(spark, pairs), max_degree=2)
+        assert out.count() == 2
+
+    def test_guard(self, spark):
+        import pytest as _pytest
+
+        from mindocr_spark.functions.links import strip_hubs
+
+        with _pytest.raises(ValueError):
+            strip_hubs(self._edges(spark, [("a", "b")]), max_degree=0)
+
+
+class TestCommunityModularity:
+    def _run(self, spark, pairs, iters=3):
+        from mindocr_spark.functions.links import community_modularity
+
+        df = spark.createDataFrame(
+            pairs, "src_domain string, dst_domain string"
+        )
+        return {r["label"]: r for r in
+                community_modularity(df, iters=iters).collect()}
+
+    def test_two_triangles_hand_computed(self, spark):
+        # two disjoint triangles: LPA gives 2 communities of 3;
+        # m=6, each L_c=3, D_c=6 → Q_c = 3/6 - (6/12)^2 = 0.25
+        pairs = [("a", "b"), ("b", "c"), ("c", "a"),
+                 ("x", "y"), ("y", "z"), ("z", "x")]
+        out = self._run(spark, pairs)
+        assert set(out) == {"a", "x"}
+        for lbl in ("a", "x"):
+            r = out[lbl]
+            assert (r["size"], r["degree_sum"], r["intra_edges"]) == (3, 6, 3)
+            assert r["q_contrib"] == 0.25
+
+    def test_single_community_scores_zero(self, spark):
+        # one triangle, one community: Q = 3/3 - 1^2 = 0
+        out = self._run(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+        (r,) = out.values()
+        assert r["q_contrib"] == 0.0 and r["intra_edges"] == 3
+
+    def test_cross_edges_count_in_degree_not_intra(self, spark):
+        # two triangles + 1 bridge: m=7; communities keep 3 intra each;
+        # bridge endpoints gain degree but no intra edge
+        pairs = [("a", "b"), ("b", "c"), ("c", "a"),
+                 ("x", "y"), ("y", "z"), ("z", "x"), ("c", "x")]
+        out = self._run(spark, pairs)
+        assert sum(r["intra_edges"] for r in out.values()) == 6
+        assert sum(r["degree_sum"] for r in out.values()) == 14
