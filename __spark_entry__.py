@@ -4317,6 +4317,25 @@ def q_label_propagation(spark, sf_dir):
     ).orderBy("domain")
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch per event type, two arms: user_id
+    (small cardinality — exercises the saturated exact path at low SF)
+    and event_id (row cardinality — exercises the (k−1)·2³²/h_(k)
+    estimator). Unlike HLL, every column including the estimate is a
+    pure function of the input, so the WHOLE sketch is oracle-checked,
+    error included."""
+    from mindocr_spark.functions.sketches import kmv_distinct
+
+    e = _t(spark, sf_dir, "events")
+    arms = [
+        kmv_distinct(e, "event_type", col, k=64).select(
+            F.lit(col).alias("arm"), "*"
+        )
+        for col in ("user_id", "event_id")
+    ]
+    return arms[0].unionByName(arms[1]).orderBy("arm", "event_type")
+
+
 #: hub-strip threshold for community detection: chorded-ring hosts
 #: have degree ~6; the shared mirror hosts and the docs.example
 #: archive hub (degree 10-100×+ that) glue every source's ring into
@@ -6153,6 +6172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forget_propagation": _q(q_forget_propagation),
         "label_propagation": _q(q_label_propagation),
         "community_modularity": _q(q_community_modularity),
+        "kmv_distinct": _q(q_kmv_distinct),
         "rrf_fusion": _q(q_rrf_fusion),
         "retention_cohorts": _q(q_retention_cohorts),
         "traffic_anomaly": _q(q_traffic_anomaly),
@@ -10590,6 +10610,44 @@ def oracle_sql() -> dict[str, str]:
         "community_modularity": _modularity_oracle(
             iters=3, strip_max_degree=_MODULARITY_MAX_DEGREE
         ),
+        # twin of functions/sketches.kmv_distinct (k=64, 32-bit md5
+        # prefix): per arm, distinct (group, hash) collapse → k
+        # smallest → (k-1)*2^32/h_k, exact when saturated; the error
+        # column divides two exact operands (bit-identical)
+        "kmv_distinct": " UNION ALL ".join(
+            f"""
+            SELECT * FROM (
+              WITH dh AS (
+                SELECT DISTINCT event_type AS g,
+                       ('0x' || substr(md5(CAST({col} AS VARCHAR)),
+                                       1, 8))::BIGINT AS h
+                FROM events WHERE {col} IS NOT NULL),
+              kept AS (
+                SELECT g, h, row_number() OVER (
+                  PARTITION BY g ORDER BY h ASC) AS rn FROM dh),
+              sk AS (
+                SELECT g, max(h) AS kth_hash,
+                       CAST(count(*) AS BIGINT) AS n_kept
+                FROM kept WHERE rn <= 64 GROUP BY g),
+              ex AS (
+                SELECT g, CAST(count(*) AS BIGINT) AS distinct_hashes
+                FROM dh GROUP BY g),
+              est AS (
+                SELECT sk.g, ex.distinct_hashes, sk.n_kept, sk.kth_hash,
+                       CASE WHEN sk.n_kept < 64
+                            THEN CAST(ex.distinct_hashes AS DOUBLE)
+                            ELSE CAST(63.0 * 4294967296 AS DOUBLE)
+                                 / CAST(sk.kth_hash AS DOUBLE)
+                       END AS kmv_estimate
+                FROM sk JOIN ex ON sk.g = ex.g)
+              SELECT '{col}' AS arm, g AS event_type, distinct_hashes,
+                     n_kept, kth_hash, kmv_estimate,
+                     abs(kmv_estimate - CAST(distinct_hashes AS DOUBLE))
+                       / CAST(distinct_hashes AS DOUBLE) AS abs_rel_err
+              FROM est)"""
+            for col in ("user_id", "event_id")
+        )
+        + " ORDER BY arm, event_type",
         "degree_assortativity": "WITH " + _CHORDED_EDGE_CTES + r""",
             sp AS (
               SELECT DISTINCT least(src_dom, dst_dom) AS a,

@@ -1,0 +1,99 @@
+"""Mergeable distinct-count sketches with exact cross-engine twins.
+
+Spark ships HLL++ (`approx_count_distinct`), but its sketch VALUE is
+engine-private — it can only ever be tolerance-checked. The KMV
+(k-minimum-values) sketch here is the oracle-friendly counterpart:
+built on a public hash (md5), its state (the k smallest distinct hash
+values per group) and its estimate are pure functions of the input,
+reproducible bit-for-bit by any engine. That also makes it the right
+sketch to PERSIST: a KMV column written next to a corpus snapshot can
+be re-verified and merged (union the hash sets, re-take the k
+smallest) by readers that share nothing with Spark.
+
+Reference analog: the reference's evaluation utilities compute corpus
+cardinality/frequency statistics exactly per shard and merge them
+(reference: mindocr/metrics/det_metrics.py aggregation discipline);
+KMV is that merge made sublinear in distinct values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+#: 2^32 — the hash domain size for the 8-hex-char (32-bit) prefix of
+#: md5 used across the repo's cross-engine hash idioms.
+HASH_DOMAIN = 4294967296
+
+
+def kmv_distinct(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002)
+    per group: hash every value to 32 bits (md5 prefix — the repo's
+    shared cross-engine idiom), keep the k smallest DISTINCT hashes,
+    estimate D ≈ (k−1)·2³²/h_(k). When a group has fewer than k
+    distinct hashes the sketch is the exact set, so the estimate is
+    the exact count. Returns one row per group, every column a pure
+    function of the input:
+    (group, distinct_hashes, n_kept, kth_hash, kmv_estimate,
+    abs_rel_err).
+
+    `distinct_hashes` is the exact distinct-hash count carried
+    alongside so the estimator's error is part of the checked surface
+    (abs_rel_err = |est − exact|/exact, both operands exact → the
+    division is bit-identical cross-engine).
+
+    100 TB shape: the (group, hash) distinct collapse is map-side
+    combinable and dominates the cost; it feeds BOTH the top-k window
+    and the exact count (persisted once). The top-k window sorts only
+    distinct hashes within each group. At true web scale you'd fold
+    the per-partition k-min merge into an aggregator
+    (applyInPandas at group grain) — the ESTIMATE is identical
+    because KMV merge (union → k smallest) is exactly what the
+    distinct+window computes; this formulation keeps every byte
+    JVM-side.
+    """
+    if k < 2:
+        raise ValueError(f"need k >= 2, got {k}")
+    from mindocr_spark.cache import tracked_persist
+
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    dh = tracked_persist(
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("g"), h.alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("g").orderBy(F.col("h").asc())
+    sk = (
+        dh.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .groupBy("g")
+        .agg(
+            F.max("h").alias("kth_hash"),
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        )
+    )
+    ex = dh.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("distinct_hashes")
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("distinct_hashes").cast("double")
+    ).otherwise(
+        F.lit(float((k - 1) * HASH_DOMAIN)) / F.col("kth_hash").cast("double")
+    )
+    out = sk.join(ex, "g").withColumn("kmv_estimate", est)
+    return out.select(
+        F.col("g").alias(group_col),
+        "distinct_hashes",
+        "n_kept",
+        "kth_hash",
+        "kmv_estimate",
+        (
+            F.abs(
+                F.col("kmv_estimate") - F.col("distinct_hashes").cast("double")
+            )
+            / F.col("distinct_hashes").cast("double")
+        ).alias("abs_rel_err"),
+    )

@@ -33,3 +33,62 @@ def test_approx_distinct_within_error(spark, sf_dir):
     rows = E.q_approx_distinct(spark, sf_dir).collect()
     assert {r["event_type"]: r["exact_users"] for r in rows} == exact
     assert all(r["within_tol"] for r in rows)
+
+
+class TestKmvDistinct:
+    def _df(self, spark, vals):
+        return spark.createDataFrame(
+            [("g", v) for v in vals], "grp string, v long"
+        )
+
+    def test_saturated_group_is_exact(self, spark):
+        from mindocr_spark.functions.sketches import kmv_distinct
+
+        out = kmv_distinct(
+            self._df(spark, list(range(10)) * 3), "grp", "v", k=64
+        ).collect()
+        (r,) = out
+        assert r["distinct_hashes"] == 10 and r["n_kept"] == 10
+        assert r["kmv_estimate"] == 10.0 and r["abs_rel_err"] == 0.0
+
+    def test_estimator_within_five_rsd(self, spark):
+        from mindocr_spark.functions.sketches import kmv_distinct
+
+        n, k = 5000, 64
+        (r,) = kmv_distinct(
+            self._df(spark, range(n)), "grp", "v", k=k
+        ).collect()
+        assert r["n_kept"] == k
+        rsd = 1.0 / (k - 2) ** 0.5
+        assert abs(r["kmv_estimate"] - n) <= 5 * rsd * n
+
+    def test_split_union_merge_identical(self, spark):
+        # KMV is mergeable: sketching the union of two halves must be
+        # bit-identical to sketching the whole (determinism + the
+        # union→k-smallest merge rule)
+        from mindocr_spark.functions.sketches import kmv_distinct
+
+        whole = self._df(spark, range(1000))
+        halves = self._df(spark, range(500)).unionAll(
+            self._df(spark, range(500, 1000))
+        )
+        a = kmv_distinct(whole, "grp", "v", k=16).collect()
+        b = kmv_distinct(halves, "grp", "v", k=16).collect()
+        assert a == b
+
+    def test_nulls_ignored(self, spark):
+        from mindocr_spark.functions.sketches import kmv_distinct
+
+        df = spark.createDataFrame(
+            [("g", 1), ("g", None), ("g", 2)], "grp string, v long"
+        )
+        (r,) = kmv_distinct(df, "grp", "v", k=8).collect()
+        assert r["distinct_hashes"] == 2
+
+    def test_k_guard(self, spark):
+        import pytest as _pytest
+
+        from mindocr_spark.functions.sketches import kmv_distinct
+
+        with _pytest.raises(ValueError):
+            kmv_distinct(self._df(spark, [1]), "grp", "v", k=1)
