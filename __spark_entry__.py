@@ -4317,6 +4317,27 @@ def q_label_propagation(spark, sf_dir):
     ).orderBy("domain")
 
 
+def q_gate_agreement(spark, sf_dir):
+    """Cohen's-kappa redundancy audit between two real curation gates
+    (the min-chars floor vs the stopword-ratio floor), per language:
+    exact confusion counts, chance-corrected agreement, kappa NULL on
+    degenerate marginals. Answers 'is the second gate earning its
+    keep?' with a number instead of a hunch."""
+    from mindocr_spark.functions.classifier import gate_agreement
+    from mindocr_spark.functions.text import quality_cols
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    q = quality_cols(docs).select("doc_id", "stop_ratio")
+    d = docs.join(q, "doc_id").select(
+        "lang",
+        (F.length("text") >= F.lit(200)).alias("g_len"),
+        (F.col("stop_ratio") >= F.lit(0.04)).alias("g_stop"),
+    )
+    return gate_agreement(d, "g_len", "g_stop", group_cols=("lang",)).orderBy(
+        "lang"
+    )
+
+
 def q_kmv_distinct(spark, sf_dir):
     """KMV distinct-count sketch per event type, two arms: user_id
     (small cardinality — exercises the saturated exact path at low SF)
@@ -6173,6 +6194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": _q(q_label_propagation),
         "community_modularity": _q(q_community_modularity),
         "kmv_distinct": _q(q_kmv_distinct),
+        "gate_agreement": _q(q_gate_agreement),
         "rrf_fusion": _q(q_rrf_fusion),
         "retention_cohorts": _q(q_retention_cohorts),
         "traffic_anomaly": _q(q_traffic_anomaly),
@@ -10610,6 +10632,56 @@ def oracle_sql() -> dict[str, str]:
         "community_modularity": _modularity_oracle(
             iters=3, strip_max_degree=_MODULARITY_MAX_DEGREE
         ),
+        # twin of classifier.gate_agreement over the min-chars and
+        # stop-ratio gates: exact BIGINT confusion counts; p_o and p_e
+        # divide exact integers; kappa operates on those two doubles
+        "gate_agreement": r"""
+            WITH q AS (
+              SELECT doc_id, lang, text,
+                     len(regexp_extract_all(text,
+                       '\b(the|a|an|and|of|to|in|is|it|for|on|with)\b'))
+                       AS sh,
+                     CASE WHEN trim(regexp_replace(text,
+                            '[ \t\n\r\f\x0B]+', ' ', 'g')) = '' THEN 0
+                          ELSE len(string_split(trim(regexp_replace(text,
+                            '[ \t\n\r\f\x0B]+', ' ', 'g')), ' '))
+                     END AS nt
+              FROM documents),
+            g AS (
+              SELECT lang,
+                     length(text) >= 200 AS ga,
+                     round(CAST(sh AS DOUBLE)
+                           / CAST(nullif(nt, 0) AS DOUBLE), 6)
+                       >= CAST(0.04 AS DOUBLE) AS gb
+              FROM q),
+            c AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN ga AND gb THEN 1 ELSE 0 END)
+                          AS BIGINT) AS both_keep,
+                     CAST(sum(CASE WHEN NOT ga AND NOT gb THEN 1 ELSE 0
+                          END) AS BIGINT) AS both_drop,
+                     CAST(sum(CASE WHEN ga AND NOT gb THEN 1 ELSE 0 END)
+                          AS BIGINT) AS only_a,
+                     CAST(sum(CASE WHEN NOT ga AND gb THEN 1 ELSE 0 END)
+                          AS BIGINT) AS only_b
+              FROM g WHERE ga IS NOT NULL AND gb IS NOT NULL
+              GROUP BY lang),
+            p AS (
+              SELECT *,
+                     CAST(both_keep + both_drop AS DOUBLE)
+                       / CAST(n AS DOUBLE) AS p_o,
+                     CAST((both_keep + only_a) * (both_keep + only_b)
+                          + (n - (both_keep + only_a))
+                            * (n - (both_keep + only_b)) AS DOUBLE)
+                       / CAST(n * n AS DOUBLE) AS p_e
+              FROM c)
+            SELECT lang, n, both_keep, both_drop, only_a, only_b,
+                   p_o, p_e,
+                   CASE WHEN p_e <> CAST(1.0 AS DOUBLE)
+                        THEN (p_o - p_e)
+                             / (CAST(1.0 AS DOUBLE) - p_e)
+                   END AS kappa
+            FROM p ORDER BY lang""",
         # twin of functions/sketches.kmv_distinct (k=64, 32-bit md5
         # prefix): per arm, distinct (group, hash) collapse → k
         # smallest → (k-1)*2^32/h_k, exact when saturated; the error

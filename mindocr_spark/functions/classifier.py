@@ -463,3 +463,64 @@ def nb_train_score(
         ],
         pred.alias("pred"),
     )
+
+
+def gate_agreement(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    group_cols: tuple = ("lang",),
+) -> DataFrame:
+    """Cohen's kappa agreement audit between two boolean curation
+    gates — the gate-redundancy question: does the expensive gate
+    actually disagree with the cheap one, or are you paying twice for
+    the same verdict? Kappa corrects raw agreement for chance
+    (two gates that each keep 95% agree 90.5% by luck alone), so
+    kappa ≈ 0 means the gates are independent and BOTH earn their
+    place; kappa → 1 means one is redundant. Rows with a NULL verdict
+    on either side are excluded (they were never comparable).
+
+    Returns one row per group: (group..., n, both_keep, both_drop,
+    only_a, only_b, p_o, p_e, kappa). Exactness: the five counts are
+    exact BIGINTs; p_o = (both_keep+both_drop)/n and
+    p_e = (keep_a·keep_b + drop_a·drop_b)/n² each divide exact
+    integers (bit-identical); kappa = (p_o−p_e)/(1−p_e) operates on
+    those two identical doubles — NULL when p_e = 1 (degenerate
+    marginals: chance explains everything, kappa undefined).
+
+    100 TB shape: ONE map-side-combinable groupBy at group
+    cardinality; the gate columns were computed row-local upstream.
+    Everything after the aggregate runs at group grain.
+
+    Reference analog: the reference evaluates recognition variants by
+    pairwise metric comparison across eval runs
+    (reference: mindocr/metrics/rec_metrics.py); this is that
+    comparison for curation gates."""
+    a, b = F.col(col_a), F.col(col_b)
+    g = (
+        df.where(a.isNotNull() & b.isNotNull())
+        .groupBy(*[F.col(c) for c in group_cols])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum((a & b).cast("bigint")).cast("bigint").alias("both_keep"),
+            F.sum((~a & ~b).cast("bigint")).cast("bigint").alias("both_drop"),
+            F.sum((a & ~b).cast("bigint")).cast("bigint").alias("only_a"),
+            F.sum((~a & b).cast("bigint")).cast("bigint").alias("only_b"),
+        )
+    )
+    ka = F.col("both_keep") + F.col("only_a")
+    kb = F.col("both_keep") + F.col("only_b")
+    da = F.col("n") - ka
+    db = F.col("n") - kb
+    p_o = (F.col("both_keep") + F.col("both_drop")).cast("double") / F.col(
+        "n"
+    ).cast("double")
+    p_e = (ka * kb + da * db).cast("double") / (
+        F.col("n") * F.col("n")
+    ).cast("double")
+    out = g.withColumn("p_o", p_o).withColumn("p_e", p_e)
+    kappa = F.when(
+        F.col("p_e") != 1.0,
+        (F.col("p_o") - F.col("p_e")) / (F.lit(1.0) - F.col("p_e")),
+    )
+    return out.withColumn("kappa", kappa)

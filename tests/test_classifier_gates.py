@@ -347,3 +347,48 @@ class TestNaiveBayes:
         plan = nb_train_score(df, F.col("lbl"), ("a", "b")) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
+
+
+class TestGateAgreement:
+    def _run(self, spark, rows):
+        from mindocr_spark.functions.classifier import gate_agreement
+
+        df = spark.createDataFrame(
+            rows, "lang string, a boolean, b boolean"
+        )
+        return {r["lang"]: r for r in
+                gate_agreement(df, "a", "b").collect()}
+
+    def test_hand_computed_kappa(self, spark):
+        # confusion: bk=4 bd=3 oa=2 ob=1, n=10
+        rows = ([("en", True, True)] * 4 + [("en", False, False)] * 3
+                + [("en", True, False)] * 2 + [("en", False, True)])
+        r = self._run(spark, rows)["en"]
+        assert (r["both_keep"], r["both_drop"], r["only_a"], r["only_b"]) \
+            == (4, 3, 2, 1)
+        p_o = 7 / 10
+        p_e = (6 * 5 + 4 * 5) / 100
+        assert r["p_o"] == p_o and r["p_e"] == p_e
+        assert r["kappa"] == (p_o - p_e) / (1 - p_e)
+
+    def test_perfect_agreement_is_one(self, spark):
+        rows = [("en", True, True)] * 3 + [("en", False, False)] * 2
+        assert self._run(spark, rows)["en"]["kappa"] == 1.0
+
+    def test_degenerate_marginals_null(self, spark):
+        # both gates constant-keep: p_e = 1, kappa undefined
+        r = self._run(spark, [("en", True, True)] * 5)["en"]
+        assert r["p_e"] == 1.0 and r["kappa"] is None
+
+    def test_null_verdicts_excluded(self, spark):
+        rows = [("en", True, True), ("en", None, True),
+                ("en", True, None), ("en", False, False)]
+        r = self._run(spark, rows)["en"]
+        assert r["n"] == 2 and r["kappa"] == 1.0
+
+    def test_independent_gates_near_zero(self, spark):
+        # a and b statistically independent by construction:
+        # every (a,b) cell equally filled → kappa exactly 0
+        rows = [("en", x, y) for x in (True, False)
+                for y in (True, False) for _ in range(5)]
+        assert self._run(spark, rows)["en"]["kappa"] == 0.0
