@@ -4317,6 +4317,39 @@ def q_label_propagation(spark, sf_dir):
     ).orderBy("domain")
 
 
+def q_calibration_ece(spark, sf_dir):
+    """Reliability diagram + ECE of the hashed-linear quality
+    classifier, squashed to a probability by the rational sigmoid
+    p = 0.5 + 0.5·s/(1+|s|) (IEEE-exact — no libm exp crosses the
+    engine boundary), audited against the stop-ratio quality label.
+    The stub classifier is honestly uncalibrated; the audit is the
+    point — it MEASURES that, per confidence bin, oracle-checked to
+    the last bit."""
+    from mindocr_spark.functions.classifier import (
+        calibration_ece,
+        quality_classifier_score,
+    )
+    from mindocr_spark.functions.text import quality_cols
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_classifier_score(docs, threshold=0.0).select(
+        "doc_id", "score"
+    )
+    q = quality_cols(docs).select("doc_id", "stop_ratio")
+    # gain 8 spreads the small mean-weight scores across the
+    # reliability bins; pure *,/,abs — IEEE-exact on both engines
+    s = F.col("score") * F.lit(8.0)
+    d = scored.join(q, "doc_id").where(
+        s.isNotNull() & F.col("stop_ratio").isNotNull()
+    ).select(
+        (
+            F.lit(0.5) + F.lit(0.5) * s / (F.lit(1.0) + F.abs(s))
+        ).alias("prob"),
+        (F.col("stop_ratio") >= F.lit(0.04)).alias("y"),
+    )
+    return calibration_ece(d, "prob", "y", bins=10).orderBy("bin")
+
+
 def q_gate_agreement(spark, sf_dir):
     """Cohen's-kappa redundancy audit between two real curation gates
     (the min-chars floor vs the stopword-ratio floor), per language:
@@ -6195,6 +6228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_modularity": _q(q_community_modularity),
         "kmv_distinct": _q(q_kmv_distinct),
         "gate_agreement": _q(q_gate_agreement),
+        "calibration_ece": _q(q_calibration_ece),
         "rrf_fusion": _q(q_rrf_fusion),
         "retention_cohorts": _q(q_retention_cohorts),
         "traffic_anomaly": _q(q_traffic_anomaly),
@@ -6444,6 +6478,52 @@ def _label_propagation_oracle(iters: int = 3) -> str:
                    CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT)
                      AS community_size
             FROM l{iters} ORDER BY domain"""
+
+
+def _qc_base_ctes() -> str:
+    """SHARED hashed-linear classifier scoring chain (twin of
+    `classifier.quality_classifier_score`), weights rendered from the
+    engine's own `hashed_weights()` so the two sides cannot drift:
+    WITH-clause body ending at `sums` + `base`. Used by the
+    quality_classifier, quantile_gate, and calibration_ece oracles."""
+    return r"""w(bucket, w) AS (VALUES __W__),
+            t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g'))
+                       AS norm
+              FROM documents),
+            tok0 AS (
+              SELECT doc_id, unnest(string_split(norm,' ')) AS tok
+              FROM t WHERE norm <> ''),
+            toks AS (
+              SELECT doc_id, substr(md5(tok), 1, 2) AS bucket FROM tok0),
+            sums AS (
+              SELECT doc_id, SUM(CAST(w AS DECIMAL(28,9))) AS logit
+              FROM toks JOIN w USING (bucket) GROUP BY doc_id),
+            base AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN norm = '' THEN 0
+                          ELSE len(string_split(norm,' ')) END AS INT)
+                       AS n_tokens
+              FROM t)""".replace(
+        "__W__",
+        ", ".join(
+            "('%s', CAST('%s' AS DECIMAL(10,3)))" % (b, wt)
+            for b, wt in _hashed_weights()
+        ),
+    )
+
+
+def _qc_scored_ctes() -> str:
+    """`_qc_base_ctes` extended with the per-doc `scored` relation."""
+    return _qc_base_ctes() + r""",
+            scored AS (
+              SELECT b.doc_id,
+                     CASE WHEN b.n_tokens > 0
+                          THEN CAST(s.logit AS DOUBLE)
+                               / CAST(b.n_tokens AS DOUBLE)
+                     END AS score
+              FROM base b LEFT JOIN sums s USING (doc_id))"""
 
 
 def _modularity_oracle(
@@ -8173,26 +8253,7 @@ def oracle_sql() -> dict[str, str]:
         """.replace("__PAT__", _blockword_pattern(_BLOCKWORDS)
                     .replace("'", "''")),
         "license_detect": _license_oracle(),
-        "quality_classifier": r"""
-            WITH w(bucket, w) AS (VALUES __W__),
-            t AS (
-              SELECT doc_id,
-                     trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')) AS norm
-              FROM documents),
-            tok0 AS (
-              SELECT doc_id, unnest(string_split(norm,' ')) AS tok
-              FROM t WHERE norm <> ''),
-            toks AS (
-              SELECT doc_id, substr(md5(tok), 1, 2) AS bucket FROM tok0),
-            sums AS (
-              SELECT doc_id, SUM(CAST(w AS DECIMAL(28,9))) AS logit
-              FROM toks JOIN w USING (bucket) GROUP BY doc_id),
-            base AS (
-              SELECT doc_id,
-                     CAST(CASE WHEN norm = '' THEN 0
-                          ELSE len(string_split(norm,' ')) END AS INT)
-                       AS n_tokens
-              FROM t)
+        "quality_classifier": "WITH " + _qc_base_ctes() + r"""
             SELECT b.doc_id, b.n_tokens,
                    CAST(COALESCE(s.logit, CAST(0 AS DECIMAL(28,9)))
                         AS DOUBLE) AS logit_sum,
@@ -8206,38 +8267,8 @@ def oracle_sql() -> dict[str, str]:
                         ELSE FALSE END AS keep
             FROM base b LEFT JOIN sums s USING (doc_id)
             ORDER BY b.doc_id
-        """.replace("__W__", ", ".join(
-            "('%s', CAST('%s' AS DECIMAL(10,3)))" % (b, wt)
-            for b, wt in _hashed_weights()
-        )),
-        "quantile_gate": r"""
-            WITH w(bucket, w) AS (VALUES __W__),
-            t AS (
-              SELECT doc_id,
-                     trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g'))
-                       AS norm
-              FROM documents),
-            tok0 AS (
-              SELECT doc_id, unnest(string_split(norm,' ')) AS tok
-              FROM t WHERE norm <> ''),
-            toks AS (
-              SELECT doc_id, substr(md5(tok), 1, 2) AS bucket FROM tok0),
-            sums AS (
-              SELECT doc_id, SUM(CAST(w AS DECIMAL(28,9))) AS logit
-              FROM toks JOIN w USING (bucket) GROUP BY doc_id),
-            base AS (
-              SELECT doc_id,
-                     CAST(CASE WHEN norm = '' THEN 0
-                          ELSE len(string_split(norm,' ')) END AS INT)
-                       AS n_tokens
-              FROM t),
-            scored AS (
-              SELECT b.doc_id,
-                     CASE WHEN b.n_tokens > 0
-                          THEN CAST(s.logit AS DOUBLE)
-                               / CAST(b.n_tokens AS DOUBLE)
-                     END AS score
-              FROM base b LEFT JOIN sums s USING (doc_id)),
+        """,
+        "quantile_gate": "WITH " + _qc_scored_ctes() + r""",
             g AS (
               SELECT doc_id, score,
                      quantile_cont(score, 0.4) OVER () AS threshold
@@ -8245,10 +8276,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, score, threshold,
                    coalesce(score >= threshold, FALSE) AS keep
             FROM g ORDER BY doc_id
-        """.replace("__W__", ", ".join(
-            "('%s', CAST('%s' AS DECIMAL(10,3)))" % (b, wt)
-            for b, wt in _hashed_weights()
-        )),
+        """,
+        # twin of classifier.calibration_ece over the rational-squash
+        # probability p = 0.5 + 0.5·s/(1+|s|) of the hashed-linear
+        # score vs the stop-ratio label: per-bin confidences 9dp-
+        # quantized then DECIMAL-summed (order-free), accuracy divides
+        # exact integers, ECE re-quantizes the n-weighted gaps
+        "calibration_ece": "WITH " + _qc_scored_ctes() + r""",
+            q AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text,
+                       '\b(the|a|an|and|of|to|in|is|it|for|on|with)\b'))
+                       AS sh,
+                     CASE WHEN trim(regexp_replace(text,
+                            '[ \t\n\r\f\x0B]+', ' ', 'g')) = '' THEN 0
+                          ELSE len(string_split(trim(regexp_replace(text,
+                            '[ \t\n\r\f\x0B]+', ' ', 'g')), ' '))
+                     END AS nt
+              FROM documents),
+            pl AS (
+              SELECT CAST(0.5 AS DOUBLE)
+                       + CAST(0.5 AS DOUBLE)
+                         * (s.score * CAST(8.0 AS DOUBLE))
+                         / (CAST(1.0 AS DOUBLE)
+                            + abs(s.score * CAST(8.0 AS DOUBLE))) AS p,
+                     round(CAST(q.sh AS DOUBLE)
+                           / CAST(nullif(q.nt, 0) AS DOUBLE), 6)
+                       >= CAST(0.04 AS DOUBLE) AS y
+              FROM scored s JOIN q USING (doc_id)
+              WHERE s.score IS NOT NULL AND q.nt > 0),
+            b AS (
+              SELECT least(9, CAST(floor(p * 10) AS INT)) AS bin,
+                     CAST(count(*) AS BIGINT) AS n_bin,
+                     CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_pos,
+                     sum(CAST(round(p, 9) AS DECIMAL(28,9))) AS sum_p
+              FROM pl GROUP BY 1),
+            m AS (
+              SELECT bin, n_bin, n_pos,
+                     CAST(sum_p AS DOUBLE) / CAST(n_bin AS DOUBLE)
+                       AS mean_conf,
+                     CAST(n_pos AS DOUBLE) / CAST(n_bin AS DOUBLE)
+                       AS accuracy
+              FROM b),
+            g AS (
+              SELECT *, abs(accuracy - mean_conf) AS abs_gap FROM m)
+            SELECT bin, n_bin, n_pos, mean_conf, accuracy, abs_gap,
+                   CAST(sum(CAST(round(abs_gap * CAST(n_bin AS DOUBLE),
+                                       9) AS DECIMAL(28,9))) OVER ()
+                        AS DOUBLE)
+                     / CAST(sum(n_bin) OVER () AS DOUBLE) AS ece
+            FROM g ORDER BY bin
+        """,
         "lm_logppl": r"""
             WITH t AS (
               SELECT doc_id, lang,

@@ -524,3 +524,62 @@ def gate_agreement(
         (F.col("p_o") - F.col("p_e")) / (F.lit(1.0) - F.col("p_e")),
     )
     return out.withColumn("kappa", kappa)
+
+
+def calibration_ece(
+    df: DataFrame, prob_col: str, label_col: str, bins: int = 10
+) -> DataFrame:
+    """Reliability-diagram binning + expected calibration error (ECE,
+    Naeini et al. 2015) of a probabilistic gate against ground truth —
+    the audit that decides whether a classifier's scores can be used
+    as THRESHOLDS (calibrated: predicted 0.8 ≈ observed 80% positive)
+    or only as a RANKING. Rows with NULL prob or label are excluded.
+
+    Returns one row per non-empty confidence bin, ordered by bin:
+    (bin, n_bin, n_pos, mean_conf, accuracy, abs_gap, ece) — ece is
+    the n-weighted Σ|accuracy − mean_conf| repeated on every row.
+
+    Exactness discipline: bin = least(bins−1, floor(p·bins)) on the
+    raw double; per-bin confidences are 9-dp-quantized then
+    DECIMAL(28,9)-summed (order-free — partitioning cannot change the
+    sum); accuracy divides exact integers; the cross-bin ECE sum is
+    again a quantized DECIMAL sum, so every output bit is a pure
+    function of the input.
+
+    100 TB shape: ONE map-side-combinable groupBy at bin cardinality
+    (≤ bins rows survive); the two unpartitioned windows share one
+    window spec over those ≤ bins rows. The probability and label
+    columns were computed row-local upstream."""
+    if bins < 2:
+        raise ValueError(f"need bins >= 2, got {bins}")
+    from pyspark.sql import Window
+
+    p, y = F.col(prob_col), F.col(label_col)
+    pl = df.where(p.isNotNull() & y.isNotNull())
+    b = pl.groupBy(
+        F.least(F.lit(bins - 1), F.floor(p * bins).cast("int")).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bin"),
+        F.sum(y.cast("bigint")).cast("bigint").alias("n_pos"),
+        F.sum(F.round(p, 9).cast("decimal(28,9)")).alias("sum_p"),
+    )
+    m = b.select(
+        "bin",
+        "n_bin",
+        "n_pos",
+        (F.col("sum_p").cast("double") / F.col("n_bin").cast("double"))
+        .alias("mean_conf"),
+        (F.col("n_pos").cast("double") / F.col("n_bin").cast("double"))
+        .alias("accuracy"),
+    ).withColumn("abs_gap", F.abs(F.col("accuracy") - F.col("mean_conf")))
+    w = Window.partitionBy()
+    ece = (
+        F.sum(
+            F.round(F.col("abs_gap") * F.col("n_bin").cast("double"), 9)
+            .cast("decimal(28,9)")
+        )
+        .over(w)
+        .cast("double")
+        / F.sum("n_bin").over(w).cast("double")
+    )
+    return m.withColumn("ece", ece)

@@ -392,3 +392,48 @@ class TestGateAgreement:
         rows = [("en", x, y) for x in (True, False)
                 for y in (True, False) for _ in range(5)]
         assert self._run(spark, rows)["en"]["kappa"] == 0.0
+
+
+class TestCalibrationEce:
+    def _run(self, spark, rows, bins=10):
+        from mindocr_spark.functions.classifier import calibration_ece
+
+        df = spark.createDataFrame(rows, "p double, y boolean")
+        out = calibration_ece(df, "p", "y", bins=bins).collect()
+        return {r["bin"]: r for r in out}
+
+    def test_perfectly_calibrated_bin(self, spark):
+        # bin 7: 4 preds at 0.75, 3 positive → conf 0.75, acc 0.75
+        rows = [(0.75, True)] * 3 + [(0.75, False)]
+        out = self._run(spark, rows)
+        r = out[7]
+        assert r["n_bin"] == 4 and r["n_pos"] == 3
+        assert r["mean_conf"] == 0.75 and r["accuracy"] == 0.75
+        assert r["abs_gap"] == 0.0 and r["ece"] == 0.0
+
+    def test_ece_weighted_by_bin_size(self, spark):
+        # bin 0: 1 pred at 0.0 actually positive (gap 1.0)
+        # bin 9: 3 preds at 1.0 all positive (gap 0.0)
+        rows = [(0.0, True)] + [(1.0, True)] * 3
+        out = self._run(spark, rows)
+        assert out[0]["abs_gap"] == 1.0
+        assert out[9]["abs_gap"] == 0.0
+        assert out[0]["ece"] == 0.25  # 1*1.0/4
+
+    def test_prob_one_lands_in_last_bin(self, spark):
+        out = self._run(spark, [(1.0, True)])
+        assert list(out) == [9]
+
+    def test_nulls_excluded(self, spark):
+        rows = [(0.5, True), (None, True), (0.5, None)]
+        out = self._run(spark, rows)
+        assert out[5]["n_bin"] == 1
+
+    def test_bins_guard(self, spark):
+        import pytest as _pytest
+
+        from mindocr_spark.functions.classifier import calibration_ece
+
+        df = spark.createDataFrame([(0.5, True)], "p double, y boolean")
+        with _pytest.raises(ValueError):
+            calibration_ece(df, "p", "y", bins=1)
