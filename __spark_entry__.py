@@ -4317,6 +4317,41 @@ def q_label_propagation(spark, sf_dir):
     ).orderBy("domain")
 
 
+#: profile_drift fixture columns — shared with the SQL oracle renderer
+_PROFILE_STRING_COLS = ("text", "lang", "source")
+_PROFILE_NUMERIC_COLS = ("doc_id", "n_chars")
+
+
+def q_profile_drift(spark, sf_dir):
+    """Snapshot column-profile drift gate: the committed corpus (the
+    doc_id%11 slice) vs an incoming increment where every 5th doc
+    gained 600 chars of boilerplate padding (text avg_len drifts ~40%
+    — while the stale n_chars metadata column stays quiet, the classic
+    'payload changed, metadata didn't' smell) and every 17th doc lost
+    its lang tag (null_rate 0 → ~6%, firing the old=0 rule). source
+    and the numeric profiles stay under the 10% fence — the gate must
+    stay quiet where nothing moved."""
+    from mindocr_spark.tuning import profile_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 11 != 0)
+    new = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.repeat(F.lit(" pad"), 150)),
+        ).otherwise(F.col("text")).alias("text"),
+        F.when(F.col("doc_id") % 17 != 0, F.col("lang")).alias("lang"),
+        "source",
+        "n_chars",
+    )
+    return profile_drift(
+        old, new,
+        string_cols=_PROFILE_STRING_COLS,
+        numeric_cols=_PROFILE_NUMERIC_COLS,
+    ).orderBy("column", "metric")
+
+
 def q_calibration_ece(spark, sf_dir):
     """Reliability diagram + ECE of the hashed-linear quality
     classifier, squashed to a probability by the rational sigmoid
@@ -6229,6 +6264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": _q(q_kmv_distinct),
         "gate_agreement": _q(q_gate_agreement),
         "calibration_ece": _q(q_calibration_ece),
+        "profile_drift": _q(q_profile_drift),
         "rrf_fusion": _q(q_rrf_fusion),
         "retention_cohorts": _q(q_retention_cohorts),
         "traffic_anomaly": _q(q_traffic_anomaly),
@@ -6478,6 +6514,95 @@ def _label_propagation_oracle(iters: int = 3) -> str:
                    CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT)
                      AS community_size
             FROM l{iters} ORDER BY domain"""
+
+
+def _profile_drift_oracle() -> str:
+    """Twin of `tuning.profile_drift` over the q_profile_drift
+    fixture, arms rendered from the SAME `_PROFILE_STRING_COLS` /
+    `_PROFILE_NUMERIC_COLS` constants: one aggregate row per snapshot,
+    unpivoted to (column, metric, value) long form, full-joined at
+    metric grain, each metric ONE IEEE division of exact BIGINTs."""
+    scols, ncols = _PROFILE_STRING_COLS, _PROFILE_NUMERIC_COLS
+
+    def aggs() -> str:
+        parts = ["CAST(count(*) AS BIGINT) AS n"]
+        for c in scols + ncols:
+            parts.append(
+                f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"
+                f" AS BIGINT) AS null_{c}"
+            )
+            parts.append(f"CAST(count(DISTINCT {c}) AS BIGINT) AS d_{c}")
+        for c in scols:
+            parts.append(
+                f"CAST(sum(CAST(length({c}) AS BIGINT)) AS BIGINT)"
+                f" AS len_{c}"
+            )
+        for c in ncols:
+            parts.append(f"CAST(min({c}) AS BIGINT) AS min_{c}")
+            parts.append(f"CAST(max({c}) AS BIGINT) AS max_{c}")
+            parts.append(f"CAST(sum({c}) AS BIGINT) AS sum_{c}")
+        return ",\n                     ".join(parts)
+
+    def arms(alias: str) -> str:
+        out = []
+        for c in scols + ncols:
+            out.append(
+                f"SELECT '{c}' AS col, 'null_rate' AS metric,"
+                f" CAST(null_{c} AS DOUBLE) / CAST(n AS DOUBLE)"
+                f" AS value FROM {alias}"
+            )
+            out.append(
+                f"SELECT '{c}', 'distinct_count',"
+                f" CAST(d_{c} AS DOUBLE) FROM {alias}"
+            )
+        for c in scols:
+            out.append(
+                f"SELECT '{c}', 'avg_len', CASE WHEN n - null_{c} <> 0"
+                f" THEN CAST(len_{c} AS DOUBLE)"
+                f" / CAST(n - null_{c} AS DOUBLE) END FROM {alias}"
+            )
+        for c in ncols:
+            out.append(f"SELECT '{c}', 'min', CAST(min_{c} AS DOUBLE)"
+                       f" FROM {alias}")
+            out.append(f"SELECT '{c}', 'max', CAST(max_{c} AS DOUBLE)"
+                       f" FROM {alias}")
+            out.append(
+                f"SELECT '{c}', 'mean', CASE WHEN n - null_{c} <> 0"
+                f" THEN CAST(sum_{c} AS DOUBLE)"
+                f" / CAST(n - null_{c} AS DOUBLE) END FROM {alias}"
+            )
+        return "\n              UNION ALL ".join(out)
+
+    return f"""
+            WITH oldt AS (
+              SELECT * FROM documents WHERE doc_id % 11 <> 0),
+            newt AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN text || repeat(' pad', 150)
+                          ELSE text END AS text,
+                     CASE WHEN doc_id % 17 <> 0 THEN lang END AS lang,
+                     source, n_chars
+              FROM documents),
+            po AS (SELECT {aggs()} FROM oldt),
+            pn AS (SELECT {aggs()} FROM newt),
+            lo AS ({arms("po")}),
+            ln AS ({arms("pn")}),
+            j AS (
+              SELECT col, metric,
+                     lo.value AS old_value, ln.value AS new_value
+              FROM lo FULL JOIN ln USING (col, metric))
+            SELECT col AS "column", metric, old_value, new_value,
+                   abs(new_value - old_value) AS abs_delta,
+                   CASE WHEN old_value IS NULL OR new_value IS NULL
+                        THEN (old_value IS NOT NULL
+                              OR new_value IS NOT NULL)
+                        WHEN old_value = CAST(0.0 AS DOUBLE)
+                        THEN new_value <> CAST(0.0 AS DOUBLE)
+                        ELSE abs(new_value - old_value)
+                             / abs(old_value) > CAST(0.10 AS DOUBLE)
+                   END AS drifted
+            FROM j ORDER BY "column", metric"""
 
 
 def _qc_base_ctes() -> str:
@@ -10711,6 +10836,7 @@ def oracle_sql() -> dict[str, str]:
         "community_modularity": _modularity_oracle(
             iters=3, strip_max_degree=_MODULARITY_MAX_DEGREE
         ),
+        "profile_drift": _profile_drift_oracle(),
         # twin of classifier.gate_agreement over the min-chars and
         # stop-ratio gates: exact BIGINT confusion counts; p_o and p_e
         # divide exact integers; kappa operates on those two doubles

@@ -247,6 +247,7 @@ def main() -> None:
         "kmv_distinct",         # mergeable oracle-exact distinct sketch
         "gate_agreement",       # Cohen-kappa gate-redundancy audit
         "calibration_ece",      # reliability-diagram ECE audit
+        "profile_drift",        # snapshot column-profile drift gate
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

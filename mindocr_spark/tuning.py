@@ -287,3 +287,136 @@ def key_skew_stats(
             F.col("max_c") * F.lit(den) > F.lit(num) * F.col("n_rows")
         ).alias("needs_salting"),
     )
+
+
+#: metrics emitted per profiled column, by kind. Shared with the SQL
+#: oracle renderer in __spark_entry__ so the two sides cannot drift.
+PROFILE_STRING_METRICS = ("null_rate", "distinct_count", "avg_len")
+PROFILE_NUMERIC_METRICS = (
+    "null_rate", "distinct_count", "min", "max", "mean",
+)
+
+
+def column_profile(
+    df: DataFrame,
+    string_cols: tuple = (),
+    numeric_cols: tuple = (),
+) -> DataFrame:
+    """Long-format column profile of one snapshot: per column,
+    (column, metric, value) with value DOUBLE. String columns get
+    null_rate / distinct_count / avg_len; integer-numeric columns add
+    min / max / mean. Every value is exact: counts and length/value
+    sums are BIGINT aggregates, each metric ONE IEEE division (or an
+    exact cast) — bit-identical across engines and partitionings.
+    Callers with DOUBLE measure columns should quantize to a DECIMAL
+    grain first (the repo's cents rule) before treating mean as exact.
+
+    100 TB shape: ONE aggregate pass over the table (the multi-
+    count-distinct expands rows map-side but stays one shuffle);
+    the unpivot to long format happens on the single result row."""
+    cols = list(string_cols) + list(numeric_cols)
+    if not cols:
+        raise ValueError("no columns to profile")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("bigint"))
+            .cast("bigint").alias(f"__null_{c}")
+        )
+        aggs.append(F.countDistinct(c).cast("bigint").alias(f"__d_{c}"))
+    for c in string_cols:
+        aggs.append(
+            F.sum(F.length(c).cast("bigint"))
+            .cast("bigint").alias(f"__len_{c}")
+        )
+    for c in numeric_cols:
+        aggs.append(F.min(c).cast("bigint").alias(f"__min_{c}"))
+        aggs.append(F.max(c).cast("bigint").alias(f"__max_{c}"))
+        aggs.append(
+            F.sum(F.col(c).cast("bigint")).cast("bigint").alias(f"__sum_{c}")
+        )
+    one = df.agg(*aggs)
+    n = F.col("__n").cast("double")
+
+    def _arm(c, metric, expr):
+        return F.struct(
+            F.lit(c).alias("column"),
+            F.lit(metric).alias("metric"),
+            expr.cast("double").alias("value"),
+        )
+
+    arms = []
+    for c in cols:
+        arms.append(
+            _arm(c, "null_rate", F.col(f"__null_{c}").cast("double") / n)
+        )
+        arms.append(_arm(c, "distinct_count", F.col(f"__d_{c}")))
+    for c in string_cols:
+        nn = (F.col("__n") - F.col(f"__null_{c}")).cast("double")
+        arms.append(
+            _arm(
+                c, "avg_len",
+                F.when(nn != 0.0, F.col(f"__len_{c}").cast("double") / nn),
+            )
+        )
+    for c in numeric_cols:
+        nn = (F.col("__n") - F.col(f"__null_{c}")).cast("double")
+        arms.append(_arm(c, "min", F.col(f"__min_{c}")))
+        arms.append(_arm(c, "max", F.col(f"__max_{c}")))
+        arms.append(
+            _arm(
+                c, "mean",
+                F.when(nn != 0.0, F.col(f"__sum_{c}").cast("double") / nn),
+            )
+        )
+    return one.select(
+        F.explode(F.array(*arms)).alias("s")
+    ).select("s.column", "s.metric", "s.value")
+
+
+def profile_drift(
+    old: DataFrame,
+    new: DataFrame,
+    string_cols: tuple = (),
+    numeric_cols: tuple = (),
+    rel_threshold: float = 0.10,
+) -> DataFrame:
+    """Schema-drift / data-quality diff between two corpus snapshots —
+    the pre-publish gate that catches 'the new crawl increment has 4×
+    the NULL langs' or 'avg document length silently halved' BEFORE a
+    bad batch is committed. Profiles both snapshots with
+    :func:`column_profile` and joins at (column, metric) grain:
+    (column, metric, old_value, new_value, abs_delta, drifted).
+    drifted = relative change > rel_threshold (new≠old when old is 0
+    or NULL-vs-value transitions). A metric NULL on both sides is not
+    drift.
+
+    Exactness: old/new values are bit-identical pure functions of
+    their snapshots; abs_delta, the relative ratio, and the verdict
+    are single IEEE ops on those — deterministic end to end.
+
+    100 TB shape: two single-pass aggregates (one per snapshot) that
+    never co-shuffle the big tables; the join runs on the metric-grain
+    rows (≤ columns × metrics)."""
+    po = column_profile(old, string_cols, numeric_cols).select(
+        "column", "metric", F.col("value").alias("old_value")
+    )
+    pn = column_profile(new, string_cols, numeric_cols).select(
+        "column", "metric", F.col("value").alias("new_value")
+    )
+    j = po.join(pn, ["column", "metric"], "full")
+    delta = F.abs(F.col("new_value") - F.col("old_value"))
+    drift = (
+        F.when(
+            F.col("old_value").isNull() | F.col("new_value").isNull(),
+            F.col("old_value").isNotNull() | F.col("new_value").isNotNull(),
+        )
+        .when(F.col("old_value") == 0.0, F.col("new_value") != 0.0)
+        .otherwise(
+            delta / F.abs(F.col("old_value")) > F.lit(rel_threshold)
+        )
+    )
+    return j.select(
+        "column", "metric", "old_value", "new_value",
+        delta.alias("abs_delta"), drift.alias("drifted"),
+    )

@@ -93,3 +93,73 @@ def test_layout_skipping_audit_validates_params(spark):
         layout_skipping_audit(df, "a", "b", "ing", bits=0)
     with pytest.raises(ValueError):
         layout_skipping_audit(df, "a", "b", "ing", bits=4, n_files=100)
+
+
+class TestColumnProfile:
+    def test_metrics_exact(self, spark):
+        from mindocr_spark.tuning import column_profile
+
+        df = spark.createDataFrame(
+            [("ab", 10), ("abcd", 20), (None, None), ("ab", 30)],
+            "s string, v long",
+        )
+        out = {(r["column"], r["metric"]): r["value"]
+               for r in column_profile(
+                   df, string_cols=("s",), numeric_cols=("v",)).collect()}
+        assert out[("s", "null_rate")] == 0.25
+        assert out[("s", "distinct_count")] == 2.0
+        assert out[("s", "avg_len")] == (2 + 4 + 2) / 3
+        assert out[("v", "min")] == 10.0 and out[("v", "max")] == 30.0
+        assert out[("v", "mean")] == 20.0
+
+    def test_all_null_column_has_null_avg(self, spark):
+        from mindocr_spark.tuning import column_profile
+
+        df = spark.createDataFrame([(None,), (None,)], "s string")
+        out = {r["metric"]: r["value"]
+               for r in column_profile(df, string_cols=("s",)).collect()}
+        assert out["null_rate"] == 1.0 and out["avg_len"] is None
+
+    def test_no_columns_guard(self, spark):
+        import pytest as _pytest
+
+        from mindocr_spark.tuning import column_profile
+
+        with _pytest.raises(ValueError):
+            column_profile(spark.range(1))
+
+
+class TestProfileDrift:
+    def _drift(self, spark, old_rows, new_rows):
+        from mindocr_spark.tuning import profile_drift
+
+        old = spark.createDataFrame(old_rows, "s string")
+        new = spark.createDataFrame(new_rows, "s string")
+        return {(r["column"], r["metric"]): r
+                for r in profile_drift(
+                    old, new, string_cols=("s",)).collect()}
+
+    def test_relative_fence_fires_and_stays_quiet(self, spark):
+        out = self._drift(
+            spark,
+            [("aaaa",), ("bbbb",)],           # avg_len 4
+            [("aaaa",), ("bbbbbbbb",)],       # avg_len 6: +50%
+        )
+        assert out[("s", "avg_len")]["drifted"] is True
+        assert out[("s", "null_rate")]["drifted"] is False  # 0 → 0
+
+    def test_zero_to_nonzero_fires(self, spark):
+        out = self._drift(spark, [("a",), ("b",)], [("a",), (None,)])
+        r = out[("s", "null_rate")]
+        assert r["old_value"] == 0.0 and r["drifted"] is True
+
+    def test_under_threshold_quiet(self, spark):
+        # avg_len 100 -> 105: 5% < 10% fence
+        out = self._drift(spark, [("a" * 100,)], [("a" * 105,)])
+        assert out[("s", "avg_len")]["drifted"] is False
+
+    def test_null_vs_value_is_drift(self, spark):
+        # old all-NULL → avg_len NULL; new has a value → drift
+        out = self._drift(spark, [(None,)], [("abc",)])
+        r = out[("s", "avg_len")]
+        assert r["old_value"] is None and r["drifted"] is True
