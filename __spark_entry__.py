@@ -4317,6 +4317,19 @@ def q_label_propagation(spark, sf_dir):
     ).orderBy("domain")
 
 
+def q_vocab_richness(spark, sf_dir):
+    """Chao1 + Good-Turing vocabulary-richness estimators per
+    language — the crawl-planning complement of zipf/heaps: is more
+    crawl still buying new vocabulary (unseen_mass), and how much
+    vocabulary does the hapax/dis-legomena ratio say is still out
+    there (Chao1 lower bound)?"""
+    from mindocr_spark.functions.lm import vocab_richness
+
+    return vocab_richness(
+        _t(spark, sf_dir, "documents").select("lang", "text")
+    ).orderBy("lang")
+
+
 #: profile_drift fixture columns — shared with the SQL oracle renderer
 _PROFILE_STRING_COLS = ("text", "lang", "source")
 _PROFILE_NUMERIC_COLS = ("doc_id", "n_chars")
@@ -6265,6 +6278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gate_agreement": _q(q_gate_agreement),
         "calibration_ece": _q(q_calibration_ece),
         "profile_drift": _q(q_profile_drift),
+        "vocab_richness": _q(q_vocab_richness),
         "rrf_fusion": _q(q_rrf_fusion),
         "retention_cohorts": _q(q_retention_cohorts),
         "traffic_anomaly": _q(q_traffic_anomaly),
@@ -10837,6 +10851,38 @@ def oracle_sql() -> dict[str, str]:
             iters=3, strip_max_degree=_MODULARITY_MAX_DEGREE
         ),
         "profile_drift": _profile_drift_oracle(),
+        # twin of lm.vocab_richness: exact BIGINT V/N/f1/f2, each
+        # estimator one IEEE division (bias-corrected Chao1 is total)
+        "vocab_richness": r"""
+            WITH t AS (
+              SELECT lang,
+                     trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g'))
+                       AS norm
+              FROM documents),
+            tok AS (
+              SELECT lang, unnest(string_split(norm, ' ')) AS token
+              FROM t WHERE norm <> ''),
+            c AS (
+              SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+              FROM tok GROUP BY lang, token),
+            s AS (
+              SELECT lang,
+                     CAST(count(*) AS BIGINT) AS vocab,
+                     CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                     CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS f1,
+                     CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS f2
+              FROM c GROUP BY lang)
+            SELECT lang, n_tokens, vocab, f1, f2,
+                   CAST(vocab AS DOUBLE)
+                     + CAST(f1 * (f1 - 1) AS DOUBLE)
+                       / CAST(2 * (f2 + 1) AS DOUBLE) AS chao1,
+                   CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                     AS unseen_mass,
+                   CAST(f1 AS DOUBLE) / CAST(vocab AS DOUBLE)
+                     AS hapax_ratio
+            FROM s ORDER BY lang""",
         # twin of classifier.gate_agreement over the min-chars and
         # stop-ratio gates: exact BIGINT confusion counts; p_o and p_e
         # divide exact integers; kappa operates on those two doubles

@@ -248,6 +248,7 @@ def main() -> None:
         "gate_agreement",       # Cohen-kappa gate-redundancy audit
         "calibration_ece",      # reliability-diagram ECE audit
         "profile_drift",        # snapshot column-profile drift gate
+        "vocab_richness",       # Chao1 + Good-Turing crawl-planning
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

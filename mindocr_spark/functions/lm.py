@@ -763,3 +763,61 @@ def pmi_collocations(
         "w1", "w2", "n_pair", "n_w1", "n_w2", "pmi",
         F.row_number().over(rw).cast("int").alias("rank"),
     )
+
+
+def vocab_richness(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Species-richness estimators over the corpus vocabulary, per
+    group — the 'how much vocabulary have we NOT crawled yet' numbers
+    that complement zipf_fit/heaps_fit: bias-corrected Chao1
+    (Chao 1984/1987: V + f1(f1−1)/(2(f2+1)), a lower bound on the
+    true type count from the hapax/dis-legomena ratio), the
+    Good-Turing unseen-probability mass P₀ = f1/N (the chance the
+    NEXT crawled token is a new type — when it stops falling, more
+    crawl stops buying vocabulary), and the hapax ratio f1/V
+    (template/spam corpora crater it; OCR noise inflates it).
+
+    Returns one row per group:
+    (group, n_tokens, vocab, f1, f2, chao1, unseen_mass, hapax_ratio).
+
+    Exactness: V, N, f1, f2 are exact BIGINTs; each estimator is one
+    IEEE division of integer-exact operands (plus one add for Chao1)
+    — bit-identical cross-engine. The bias-corrected Chao1 form is
+    total (defined at f2 = 0 where the classic f1²/2f2 blows up).
+
+    100 TB shape: two shuffles, both map-side combinable — the
+    (group, token) count collapse (the same relation zipf/heaps
+    build) and the group-grain conditional rollup. Nothing after
+    runs above group cardinality."""
+    toks = docs.select(
+        F.col(group_col).alias("g"),
+        F.explode(tokens_col(text_col)).alias("token"),
+    )
+    c = toks.groupBy("g", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    s = c.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.sum((F.col("cnt") == 1).cast("bigint")).cast("bigint").alias("f1"),
+        F.sum((F.col("cnt") == 2).cast("bigint")).cast("bigint").alias("f2"),
+    )
+    return s.select(
+        F.col("g").alias(group_col),
+        "n_tokens",
+        "vocab",
+        "f1",
+        "f2",
+        (
+            F.col("vocab").cast("double")
+            + (F.col("f1") * (F.col("f1") - F.lit(1))).cast("double")
+            / (F.lit(2) * (F.col("f2") + F.lit(1))).cast("double")
+        ).alias("chao1"),
+        (F.col("f1").cast("double") / F.col("n_tokens").cast("double"))
+        .alias("unseen_mass"),
+        (F.col("f1").cast("double") / F.col("vocab").cast("double"))
+        .alias("hapax_ratio"),
+    )

@@ -488,3 +488,44 @@ def test_stupid_backoff_levels_hand_computed(spark):
     assert z.neg_logscore_sum == pytest.approx(want_z, abs=1e-9)
     # empty doc: rows preserved, NULL score
     assert out[12].n_tokens == 0 and out[12].logscore is None
+
+
+class TestVocabRichness:
+    def _run(self, spark, texts):
+        from mindocr_spark.functions.lm import vocab_richness
+
+        df = spark.createDataFrame(
+            [("en", t) for t in texts], "lang string, text string"
+        )
+        (r,) = vocab_richness(df).collect()
+        return r
+
+    def test_hand_computed(self, spark):
+        # tokens: a a a b b c d → V=4, N=7, f1=2 (c,d), f2=1 (b)
+        r = self._run(spark, ["a a a b", "b c d"])
+        assert (r["vocab"], r["n_tokens"], r["f1"], r["f2"]) == (4, 7, 2, 1)
+        assert r["chao1"] == 4.0 + (2 * 1) / (2 * 2)
+        assert r["unseen_mass"] == 2 / 7
+        assert r["hapax_ratio"] == 2 / 4
+
+    def test_no_dis_legomena_still_defined(self, spark):
+        # all hapaxes: f2=0 — bias-corrected form stays finite
+        r = self._run(spark, ["a b c"])
+        assert r["f2"] == 0
+        assert r["chao1"] == 3.0 + (3 * 2) / 2
+
+    def test_saturated_vocab_no_unseen(self, spark):
+        # every type seen 3×: f1=0 → chao1=V, unseen_mass=0
+        r = self._run(spark, ["a b a b a b"])
+        assert r["f1"] == 0 and r["chao1"] == 2.0
+        assert r["unseen_mass"] == 0.0 and r["hapax_ratio"] == 0.0
+
+    def test_groups_independent(self, spark):
+        from mindocr_spark.functions.lm import vocab_richness
+
+        df = spark.createDataFrame(
+            [("en", "a a b"), ("de", "x")], "lang string, text string"
+        )
+        out = {r["lang"]: r for r in vocab_richness(df).collect()}
+        assert out["en"]["vocab"] == 2 and out["de"]["vocab"] == 1
+        assert out["de"]["unseen_mass"] == 1.0
