@@ -4317,6 +4317,33 @@ def q_label_propagation(spark, sf_dir):
     ).orderBy("domain")
 
 
+def q_k_anonymity(spark, sf_dir):
+    """K-anonymity + l-diversity release audit on the events stream
+    published as a usage report with quasi-identifiers (event_type,
+    hour-of-day, value-hundred bucket) and user_id as the sensitive
+    attribute — the pre-publication answer to 'can someone link a
+    row back to a user from the buckets alone?'. Hour comes from the
+    shared tz-free epoch-seconds idiom; the value bucket floors
+    BEFORE casting (DuckDB casts round)."""
+    from mindocr_spark.functions.traffic import k_anonymity_stats
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        ((_epoch_sec("ts") / F.lit(3600)).cast("bigint") % 24)
+        .alias("hour_of_day"),
+        F.floor(F.col("value") / F.lit(100.0)).cast("bigint")
+        .alias("value_bucket"),
+        "user_id",
+    )
+    return k_anonymity_stats(
+        e,
+        qi_cols=("event_type", "hour_of_day", "value_bucket"),
+        sensitive_col="user_id",
+        k=5,
+        l_div=2,
+    )
+
+
 def q_vocab_richness(spark, sf_dir):
     """Chao1 + Good-Turing vocabulary-richness estimators per
     language — the crawl-planning complement of zipf/heaps: is more
@@ -6279,6 +6306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_ece": _q(q_calibration_ece),
         "profile_drift": _q(q_profile_drift),
         "vocab_richness": _q(q_vocab_richness),
+        "k_anonymity": _q(q_k_anonymity),
         "rrf_fusion": _q(q_rrf_fusion),
         "retention_cohorts": _q(q_retention_cohorts),
         "traffic_anomaly": _q(q_traffic_anomaly),
@@ -10851,6 +10879,39 @@ def oracle_sql() -> dict[str, str]:
             iters=3, strip_max_degree=_MODULARITY_MAX_DEGREE
         ),
         "profile_drift": _profile_drift_oracle(),
+        # twin of traffic.k_anonymity_stats (k=5, l=2): QI bucketing
+        # row-local (floor-before-cast; tz-free epoch hours), one
+        # class-grain aggregate, single-row rollup; shares divide
+        # exact integers
+        "k_anonymity": r"""
+            WITH e AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24
+                       AS hour_of_day,
+                     CAST(floor(value / CAST(100.0 AS DOUBLE))
+                          AS BIGINT) AS value_bucket,
+                     user_id
+              FROM events),
+            c AS (
+              SELECT event_type, hour_of_day, value_bucket,
+                     CAST(count(*) AS BIGINT) AS sz,
+                     CAST(count(DISTINCT user_id) AS BIGINT) AS sdiv
+              FROM e GROUP BY 1, 2, 3)
+            SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_classes,
+                   CAST(min(sz) AS BIGINT) AS min_class_size,
+                   CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)
+                        AS BIGINT) AS rows_below_k,
+                   CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)
+                        AS DOUBLE) / CAST(sum(sz) AS DOUBLE)
+                     AS share_below_k,
+                   CAST(sum(CASE WHEN sdiv < 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS classes_below_l,
+                   CAST(sum(CASE WHEN sdiv < 2 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     AS share_classes_below_l,
+                   CAST(5 AS BIGINT) AS k, CAST(2 AS BIGINT) AS l
+            FROM c""",
         # twin of lm.vocab_richness: exact BIGINT V/N/f1/f2, each
         # estimator one IEEE division (bias-corrected Chao1 is total)
         "vocab_richness": r"""

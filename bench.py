@@ -249,6 +249,7 @@ def main() -> None:
         "calibration_ece",      # reliability-diagram ECE audit
         "profile_drift",        # snapshot column-profile drift gate
         "vocab_richness",       # Chao1 + Good-Turing crawl-planning
+        "k_anonymity",          # k-anon / l-diversity release audit
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

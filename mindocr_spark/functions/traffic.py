@@ -319,3 +319,66 @@ def daily_anomaly_stats(events: DataFrame, k: int = 6) -> DataFrame:
             "is_anomaly"
         ),
     )
+
+
+def k_anonymity_stats(
+    df: DataFrame,
+    qi_cols: tuple,
+    sensitive_col: str,
+    k: int = 5,
+    l_div: int = 2,
+) -> DataFrame:
+    """K-anonymity + l-diversity release audit (Sweeney 2002 /
+    Machanavajjhala 2007) — the pre-publication gate on any derived
+    dataset: group rows into equivalence classes on the quasi-
+    identifier columns (the attributes an attacker can link from
+    outside) and measure (a) how many rows sit in classes smaller
+    than k (re-identifiable by class size alone) and (b) how many
+    classes carry fewer than l distinct sensitive values (identifiable
+    BY the sensitive attribute even when the class is big — the
+    homogeneity attack k-anonymity misses). NULL quasi-identifier
+    values form real classes (NULL is linkable too).
+
+    Returns ONE row:
+    (n_rows, n_classes, min_class_size, rows_below_k, share_below_k,
+    classes_below_l, share_classes_below_l, k, l).
+
+    Exactness: every count is an exact BIGINT; the two shares are
+    single IEEE divisions of exact integers.
+
+    100 TB shape: one groupBy on the QI key (count + count distinct
+    sensitive in the same aggregate — one shuffle, map-side
+    combinable), then a global single-row rollup over class-grain
+    rows. The QI bucketing (generalization) happens row-local
+    upstream — coarser buckets are the REMEDY when this audit fails,
+    and they only change the projection, not this plan."""
+    if k < 2 or l_div < 1:
+        raise ValueError(f"need k >= 2 and l >= 1, got k={k}, l={l_div}")
+    classes = df.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz"),
+        F.countDistinct(sensitive_col).cast("bigint").alias("sdiv"),
+    )
+    out = classes.agg(
+        F.sum("sz").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("sz").cast("bigint").alias("min_class_size"),
+        F.sum(F.when(F.col("sz") < k, F.col("sz")).otherwise(F.lit(0)))
+        .cast("bigint").alias("rows_below_k"),
+        F.sum((F.col("sdiv") < l_div).cast("bigint"))
+        .cast("bigint").alias("classes_below_l"),
+    )
+    return out.select(
+        "n_rows",
+        "n_classes",
+        "min_class_size",
+        "rows_below_k",
+        (F.col("rows_below_k").cast("double") / F.col("n_rows").cast("double"))
+        .alias("share_below_k"),
+        "classes_below_l",
+        (
+            F.col("classes_below_l").cast("double")
+            / F.col("n_classes").cast("double")
+        ).alias("share_classes_below_l"),
+        F.lit(k).cast("bigint").alias("k"),
+        F.lit(l_div).cast("bigint").alias("l"),
+    )

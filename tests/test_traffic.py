@@ -250,3 +250,52 @@ class TestDailyAnomaly:
         ).withColumn("ts", F.lit(None).cast("timestamp_ntz"))
         with pytest.raises(ValueError):
             daily_anomaly_stats(df, k=0)
+
+
+class TestKAnonymity:
+    def _run(self, spark, rows, k=3, l_div=2):
+        from mindocr_spark.functions.traffic import k_anonymity_stats
+
+        df = spark.createDataFrame(rows, "qi string, s long")
+        (r,) = k_anonymity_stats(
+            df, qi_cols=("qi",), sensitive_col="s", k=k, l_div=l_div
+        ).collect()
+        return r
+
+    def test_hand_computed(self, spark):
+        # class A: 4 rows, 2 distinct s; class B: 2 rows, 1 distinct
+        rows = [("A", 1), ("A", 1), ("A", 2), ("A", 2),
+                ("B", 7), ("B", 7)]
+        r = self._run(spark, rows)
+        assert (r["n_rows"], r["n_classes"], r["min_class_size"]) == (6, 2, 2)
+        assert r["rows_below_k"] == 2 and r["share_below_k"] == 2 / 6
+        assert r["classes_below_l"] == 1
+        assert r["share_classes_below_l"] == 0.5
+
+    def test_fully_anonymous_release_clean(self, spark):
+        rows = [("A", i) for i in range(5)] + [("B", i) for i in range(5)]
+        r = self._run(spark, rows, k=3, l_div=2)
+        assert r["rows_below_k"] == 0 and r["classes_below_l"] == 0
+
+    def test_null_qi_is_a_real_class(self, spark):
+        rows = [(None, 1), (None, 2), ("A", 3), ("A", 4), ("A", 5)]
+        r = self._run(spark, rows, k=3)
+        # NULL class has 2 rows < k → those rows are at risk
+        assert r["n_classes"] == 2 and r["rows_below_k"] == 2
+
+    def test_homogeneity_attack_detected(self, spark):
+        # big class (size 5 ≥ k) but every row the same user: l fails
+        rows = [("A", 9)] * 5
+        r = self._run(spark, rows, k=3, l_div=2)
+        assert r["rows_below_k"] == 0 and r["classes_below_l"] == 1
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from mindocr_spark.functions.traffic import k_anonymity_stats
+
+        df = spark.createDataFrame([("A", 1)], "qi string, s long")
+        with _pytest.raises(ValueError):
+            k_anonymity_stats(df, ("qi",), "s", k=1)
+        with _pytest.raises(ValueError):
+            k_anonymity_stats(df, ("qi",), "s", k=5, l_div=0)
