@@ -4317,6 +4317,29 @@ def q_label_propagation(spark, sf_dir):
     ).orderBy("domain")
 
 
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction plan over a synthetic file inventory
+    derived from documents (partition = source, file = doc_id%37
+    slot, bytes = the slot's summed n_chars — many sub-kilobyte
+    files per partition, the classic streaming-ingest smell):
+    next-fit-decreasing cumulative-fill at 1000-byte target, per-bin
+    fill ratio and overflow verdicts."""
+    from mindocr_spark.tuning import compaction_plan
+
+    inv = (
+        _t(spark, sf_dir, "documents")
+        .groupBy(
+            F.col("source").alias("partition"),
+            F.concat(F.lit("part-"), (F.col("doc_id") % 37).cast("string"))
+            .alias("file"),
+        )
+        .agg(F.sum("n_chars").cast("bigint").alias("bytes"))
+    )
+    return compaction_plan(inv, target_bytes=1000).orderBy(
+        "partition", "bin"
+    )
+
+
 def q_k_anonymity(spark, sf_dir):
     """K-anonymity + l-diversity release audit on the events stream
     published as a usage report with quasi-identifiers (event_type,
@@ -6307,6 +6330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_drift": _q(q_profile_drift),
         "vocab_richness": _q(q_vocab_richness),
         "k_anonymity": _q(q_k_anonymity),
+        "compaction_plan": _q(q_compaction_plan),
         "rrf_fusion": _q(q_rrf_fusion),
         "retention_cohorts": _q(q_retention_cohorts),
         "traffic_anomaly": _q(q_traffic_anomaly),
@@ -10879,6 +10903,35 @@ def oracle_sql() -> dict[str, str]:
             iters=3, strip_max_degree=_MODULARITY_MAX_DEGREE
         ),
         "profile_drift": _profile_drift_oracle(),
+        # twin of tuning.compaction_plan (target 1000): next-fit-
+        # decreasing cumulative fill — bin = integer-div of the exact
+        # running START offset; explicit ROWS frame (file name makes
+        # the order total, but the frames must match by construction)
+        "compaction_plan": r"""
+            WITH inv AS (
+              SELECT source AS partition,
+                     'part-' || CAST(doc_id % 37 AS VARCHAR) AS file,
+                     CAST(sum(n_chars) AS BIGINT) AS bytes
+              FROM documents GROUP BY 1, 2),
+            c AS (
+              SELECT partition, file, bytes,
+                     sum(bytes) OVER (
+                       PARTITION BY partition
+                       ORDER BY bytes DESC, file ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+              FROM inv),
+            b AS (
+              SELECT partition,
+                     CAST((cum - bytes) // 1000 AS BIGINT) AS bin,
+                     CAST(count(*) AS BIGINT) AS n_files,
+                     CAST(sum(bytes) AS BIGINT) AS total_bytes
+              FROM c GROUP BY 1, 2)
+            SELECT partition, bin, n_files, total_bytes,
+                   CAST(total_bytes AS DOUBLE)
+                     / CAST(1000 AS DOUBLE) AS fill_ratio,
+                   total_bytes > 1000 AS overflow
+            FROM b ORDER BY partition, bin""",
         # twin of traffic.k_anonymity_stats (k=5, l=2): QI bucketing
         # row-local (floor-before-cast; tz-free epoch hours), one
         # class-grain aggregate, single-row rollup; shares divide

@@ -420,3 +420,72 @@ def profile_drift(
         "column", "metric", "old_value", "new_value",
         delta.alias("abs_delta"), drift.alias("drifted"),
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    partition_col: str = "partition",
+    file_col: str = "file",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Small-file compaction planner (the OPTIMIZE/binPack decision):
+    within each partition, order files size-descending (next-fit-
+    decreasing — big files first so they don't straddle late bins,
+    file name as the total-order tie break) and assign each file to
+    the bin its cumulative START offset falls in — the same
+    cumulative-fill rule Spark's own coalesced-read planning and
+    Iceberg's binPack use. Oversized files (> target) blow their bin
+    (overflow = true) and the next file automatically starts a fresh
+    bin; undersized TRAILING bins are the expected remainder, but a
+    partition made of many low-fill bins is the small-file smell this
+    audit exists to quantify.
+
+    Returns one row per (partition, bin):
+    (partition, bin, n_files, total_bytes, fill_ratio, overflow).
+
+    Exactness: byte sums are exact BIGINTs; bin assignment is integer
+    division of the exact running sum; fill_ratio is ONE IEEE
+    division.
+
+    100 TB shape: this runs at FILE-INVENTORY grain (metadata, not
+    data — ~10^6 rows for a 100 TB table of 100 MB files): one
+    Exchange on the partition key for the prefix-sum window, then a
+    map-side-combinable groupBy at bin grain. The actual data rewrite
+    consumes this plan; it never shuffles through it."""
+    if target_bytes < 1:
+        raise ValueError(f"need target_bytes >= 1, got {target_bytes}")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(F.col(bytes_col).desc(), F.col(file_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = files.withColumn(
+        "__cum", F.sum(F.col(bytes_col).cast("bigint")).over(w)
+    ).withColumn(
+        "bin",
+        F.expr(f"(__cum - {bytes_col}) div {int(target_bytes)}")
+        .cast("bigint"),
+    )
+    return (
+        d.groupBy(partition_col, "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum(F.col(bytes_col).cast("bigint"))
+            .cast("bigint").alias("total_bytes"),
+        )
+        .select(
+            partition_col,
+            "bin",
+            "n_files",
+            "total_bytes",
+            (
+                F.col("total_bytes").cast("double")
+                / F.lit(float(target_bytes))
+            ).alias("fill_ratio"),
+            (F.col("total_bytes") > F.lit(int(target_bytes)))
+            .alias("overflow"),
+        )
+    )

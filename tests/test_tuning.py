@@ -163,3 +163,58 @@ class TestProfileDrift:
         out = self._drift(spark, [(None,)], [("abc",)])
         r = out[("s", "avg_len")]
         assert r["old_value"] is None and r["drifted"] is True
+
+
+class TestCompactionPlan:
+    def _run(self, spark, rows, target):
+        from mindocr_spark.tuning import compaction_plan
+
+        df = spark.createDataFrame(
+            rows, "partition string, file string, bytes long"
+        )
+        out = compaction_plan(df, target_bytes=target).collect()
+        return {(r["partition"], r["bin"]): r for r in out}
+
+    def test_cumulative_fill_hand_computed(self, spark):
+        # desc order: 600,500,300,200 target 1000
+        # starts: 0,600,1100,1400 → bins 0,0,1,1
+        rows = [("p", "a", 600), ("p", "b", 500),
+                ("p", "c", 300), ("p", "d", 200)]
+        out = self._run(spark, rows, 1000)
+        assert out[("p", 0)]["n_files"] == 2
+        assert out[("p", 0)]["total_bytes"] == 1100
+        assert out[("p", 0)]["overflow"] is True
+        assert out[("p", 1)]["total_bytes"] == 500
+        assert out[("p", 1)]["fill_ratio"] == 0.5
+
+    def test_oversized_file_blows_its_bin_alone(self, spark):
+        # 2500-byte file starts bin 0; next file starts at 2500 → bin 2
+        rows = [("p", "big", 2500), ("p", "small", 100)]
+        out = self._run(spark, rows, 1000)
+        assert out[("p", 0)]["n_files"] == 1
+        assert out[("p", 0)]["overflow"] is True
+        assert out[("p", 2)]["n_files"] == 1
+
+    def test_partitions_pack_independently(self, spark):
+        rows = [("p1", "a", 700), ("p2", "b", 700)]
+        out = self._run(spark, rows, 1000)
+        assert out[("p1", 0)]["n_files"] == 1
+        assert out[("p2", 0)]["n_files"] == 1
+
+    def test_size_tie_breaks_on_file_name(self, spark):
+        # equal sizes: deterministic name order → same plan every run
+        rows = [("p", f"f{i}", 400) for i in range(5)]
+        a = self._run(spark, rows, 1000)
+        b = self._run(spark, list(reversed(rows)), 1000)
+        assert a == b
+
+    def test_target_guard(self, spark):
+        import pytest as _pytest
+
+        from mindocr_spark.tuning import compaction_plan
+
+        df = spark.createDataFrame(
+            [("p", "a", 1)], "partition string, file string, bytes long"
+        )
+        with _pytest.raises(ValueError):
+            compaction_plan(df, target_bytes=0)
