@@ -4317,6 +4317,19 @@ def q_label_propagation(spark, sf_dir):
     ).orderBy("domain")
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """True winnowing (MOSS) fingerprints over the corpus: every
+    16-gram window of 8-char shingles contributes its rightmost-min
+    gram, guaranteeing any ≥23-char shared run between documents is
+    detected — the provable-coverage upgrade over the engine's
+    0-mod-p rolling fingerprints."""
+    from mindocr_spark.functions.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=8, w=16
+    ).orderBy("doc_id", "pos")
+
+
 def q_compaction_plan(spark, sf_dir):
     """Small-file compaction plan over a synthetic file inventory
     derived from documents (partition = source, file = doc_id%37
@@ -6331,6 +6344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_richness": _q(q_vocab_richness),
         "k_anonymity": _q(q_k_anonymity),
         "compaction_plan": _q(q_compaction_plan),
+        "winnow_fingerprints": _q(q_winnow_fingerprints),
         "rrf_fusion": _q(q_rrf_fusion),
         "retention_cohorts": _q(q_retention_cohorts),
         "traffic_anomaly": _q(q_traffic_anomaly),
@@ -10903,6 +10917,34 @@ def oracle_sql() -> dict[str, str]:
             iters=3, strip_max_degree=_MODULARITY_MAX_DEGREE
         ),
         "profile_drift": _profile_drift_oracle(),
+        # twin of dedup.winnow_fingerprints (k=8, w=16): 32-bit
+        # md5-prefix gram hashes packed with inverted position
+        # (min == (hash ASC, pos DESC)), trailing ROWS window min,
+        # complete windows only, distinct selections
+        "winnow_fingerprints": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     lower(trim(regexp_replace(text,
+                       '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS t
+              FROM documents),
+            g AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS i,
+                     ('0x' || substr(md5(substr(t, CAST(i AS INT), 8)),
+                                     1, 8))::BIGINT AS h
+              FROM d, unnest(range(1, length(t) - 6)) AS u(i)
+              WHERE length(t) >= 23 AND i < 1048576),
+            m AS (
+              SELECT doc_id, i,
+                     min(h * 1048576 + (1048575 - i)) OVER (
+                       PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+                       AS mn
+              FROM g)
+            SELECT DISTINCT doc_id,
+                   CAST(1048575 - (mn % 1048576) AS BIGINT) AS pos,
+                   CAST(mn // 1048576 AS BIGINT) AS gram_hash
+            FROM m WHERE i >= 16
+            ORDER BY doc_id, pos""",
         # twin of tuning.compaction_plan (target 1000): next-fit-
         # decreasing cumulative fill — bin = integer-div of the exact
         # running START offset; explicit ROWS frame (file name makes

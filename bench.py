@@ -251,6 +251,7 @@ def main() -> None:
         "vocab_richness",       # Chao1 + Good-Turing crawl-planning
         "k_anonymity",          # k-anon / l-diversity release audit
         "compaction_plan",      # next-fit-decreasing binPack planner
+        "winnow_fingerprints",  # MOSS guaranteed-coverage fingerprints
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

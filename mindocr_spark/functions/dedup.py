@@ -1633,3 +1633,103 @@ def mirror_stats(
             ).alias("is_mirror"),
         )
     )
+
+
+#: winnowing position packing: pack = hash·2^20 + (2^20−1 − pos), so
+#: BIGINT min == lexicographic min by (hash ASC, pos DESC) — the
+#: ROBUST winnowing tie rule (rightmost minimal gram). Bounds per-doc
+#: gram positions at 2^20; raise the shift for longer documents.
+_WINNOW_POS_BITS = 20
+_WINNOW_POS_CAP = 1 << _WINNOW_POS_BITS
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TRUE winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm) — the upgrade over 0-mod-p sampling
+    (:func:`mindocr_spark.functions.text.rolling_fingerprints`) that
+    adds the GUARANTEE: every window of w consecutive k-grams
+    contributes at least one fingerprint, so any shared substring of
+    length ≥ w+k−1 between two documents is provably detected. Mod-p
+    sampling has no such bound (a long match can fall entirely
+    between kept grams); winnowing is what plagiarism/clone detection
+    actually ships.
+
+    Per document: hash all k-char grams of the lowercased
+    whitespace-normalized text (32-bit md5 prefix — the shared
+    cross-engine idiom), then for every window of w consecutive grams
+    select its minimal gram by (hash ASC, position DESC) — the robust
+    rightmost tie rule — and emit the distinct selections:
+    (id, pos, gram_hash). Documents shorter than k+w−1 chars have no
+    complete window and yield no rows (callers gate short docs
+    elsewhere). The (hash, pos) pair is packed into ONE BIGINT so the
+    argmin is a plain integer MIN (bit-identical everywhere);
+    positions are capped at 2^20 per document.
+
+    100 TB shape: gram explosion is row-local (explode + substring,
+    no shuffle); the trailing-window min is ONE Exchange on the doc
+    key (and docs are length-bounded, so no skew); the distinct
+    collapse is map-side combinable. Expected density 2/(w+1) keeps
+    the fingerprint index ~12% of gram volume at w=16.
+
+    Reference analog: DBNet postprocessing selects one representative
+    per local score window when assembling kernels
+    (reference: mindocr/postprocess/det_db_postprocess.py); this is
+    that local-extremum selection over text grams."""
+    if k < 2 or w < 2:
+        raise ValueError(f"need k >= 2 and w >= 2, got k={k}, w={w}")
+    from mindocr_spark.functions.text import normalize_col
+
+    norm = F.lower(normalize_col(text_col))
+    grams = (
+        df.select(F.col(id_col).alias("__id"), norm.alias("_t"))
+        .where(F.length("_t") >= k + w - 1)
+        .select(
+            "__id",
+            "_t",
+            F.explode(
+                F.sequence(F.lit(1), F.length("_t") - (k - 1))
+            ).alias("i"),
+        )
+        .where(F.col("i") < _WINNOW_POS_CAP)
+        .select(
+            "__id",
+            "i",
+            F.conv(
+                F.substring(
+                    F.md5(F.substring("_t", F.col("i"), k).cast("binary")),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint").alias("h"),
+        )
+    )
+    pack = (
+        F.col("h") * F.lit(_WINNOW_POS_CAP)
+        + (F.lit(_WINNOW_POS_CAP - 1) - F.col("i"))
+    )
+    win = (
+        Window.partitionBy("__id")
+        .orderBy("i")
+        .rowsBetween(-(w - 1), Window.currentRow)
+    )
+    sel = (
+        grams.withColumn("mn", F.min(pack).over(win))
+        .where(F.col("i") >= w)
+    )
+    return sel.select(
+        F.col("__id").alias(id_col),
+        (
+            F.lit(_WINNOW_POS_CAP - 1)
+            - F.pmod("mn", F.lit(_WINNOW_POS_CAP))
+        ).cast("bigint").alias("pos"),
+        F.expr(f"mn div {_WINNOW_POS_CAP}").cast("bigint")
+        .alias("gram_hash"),
+    ).distinct()

@@ -763,3 +763,68 @@ class TestForgetPropagation:
 
         reqs = spark.createDataFrame([(999,)], "doc_id bigint")
         assert forget_propagation(self._docs(spark), reqs).count() == 0
+
+
+class TestWinnowFingerprints:
+    def _run(self, spark, texts, k=4, w=4):
+        from mindocr_spark.functions.dedup import winnow_fingerprints
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        out = winnow_fingerprints(df, k=k, w=w).collect()
+        byid = {}
+        for r in out:
+            byid.setdefault(r["doc_id"], set()).add(
+                (r["pos"], r["gram_hash"])
+            )
+        return byid
+
+    def test_guarantee_shared_run_always_detected(self, spark):
+        # the MOSS guarantee: docs sharing a substring of length
+        # >= w+k-1 share at least one (hash) fingerprint, wherever
+        # the run sits inside otherwise-different documents
+        shared = "zqxjkwvfyp"  # k=4, w=4 → guarantee at len >= 7
+        a = "aaaaaaaaaa" + shared + "bbbbbbbbbb"
+        b = "cccc" + shared + "dddddddddddddddd"
+        out = self._run(spark, [a, b])
+        ha = {h for _, h in out[0]}
+        hb = {h for _, h in out[1]}
+        assert ha & hb, "shared run missed — guarantee violated"
+
+    def test_every_window_covered(self, spark):
+        # positions selected must leave no gap of w or more grams
+        text = "the quick brown fox jumps over the lazy dog again"
+        out = self._run(spark, [text], k=4, w=5)
+        pos = sorted(p for p, _ in out[0])
+        assert pos, "no fingerprints"
+        gaps = [b - a for a, b in zip(pos, pos[1:])]
+        assert all(g <= 5 for g in gaps), gaps
+
+    def test_short_doc_yields_nothing(self, spark):
+        # len < k+w-1: no complete window
+        out = self._run(spark, ["abcdef"], k=4, w=4)
+        assert out == {}
+
+    def test_identical_docs_identical_fingerprints(self, spark):
+        t = "some reasonably long text for fingerprint determinism"
+        out = self._run(spark, [t, t])
+        assert out[0] == out[1]
+
+    def test_normalization_collapses_whitespace(self, spark):
+        a = "hello   world\t\tfingerprint test case here"
+        b = "hello world fingerprint test case here"
+        out = self._run(spark, [a, b])
+        assert out[0] == out[1]
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from mindocr_spark.functions.dedup import winnow_fingerprints
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            winnow_fingerprints(df, k=1)
+        with _pytest.raises(ValueError):
+            winnow_fingerprints(df, w=1)
