@@ -4317,6 +4317,30 @@ def q_label_propagation(spark, sf_dir):
     ).orderBy("domain")
 
 
+#: count-min probe terms — common stopwords, mid-frequency content
+#: words, and one guaranteed-absent term (its estimate is pure
+#: collision mass). Shared with the SQL oracle renderer.
+_CMS_PROBES = ("the", "of", "data", "study", "zzznever")
+
+
+def q_cms_counts(spark, sf_dir):
+    """Count-min sketch over the corpus token stream (depth 4, width
+    8 — deliberately tight against the 31-word soup vocabulary so collision mass is visible): probe a
+    fixed term set and report exact count, sketch
+    estimate, and the one-sided overestimate — the bounded-memory
+    counter whose whole state is oracle-reproducible, including the
+    collision mass on a guaranteed-absent probe."""
+    from mindocr_spark.functions.sketches import cms_counts
+    from mindocr_spark.functions.text import tokens_col
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(tokens_col("text")).alias("token")
+    )
+    return cms_counts(
+        toks, "token", _CMS_PROBES, depth=4, width=8
+    ).orderBy("probe")
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """True winnowing (MOSS) fingerprints over the corpus: every
     16-gram window of 8-char shingles contributes its rightmost-min
@@ -6345,6 +6369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": _q(q_k_anonymity),
         "compaction_plan": _q(q_compaction_plan),
         "winnow_fingerprints": _q(q_winnow_fingerprints),
+        "cms_counts": _q(q_cms_counts),
         "rrf_fusion": _q(q_rrf_fusion),
         "retention_cohorts": _q(q_retention_cohorts),
         "traffic_anomaly": _q(q_traffic_anomaly),
@@ -6683,6 +6708,61 @@ def _profile_drift_oracle() -> str:
                              / abs(old_value) > CAST(0.10 AS DOUBLE)
                    END AS drifted
             FROM j ORDER BY "column", metric"""
+
+
+def _cms_oracle(depth: int = 4, width: int = 1024) -> str:
+    """Twin of `sketches.cms_counts` over the corpus token stream,
+    probe list and hash arms rendered from the same `_CMS_PROBES`
+    constant and the shared `r:`-salted 32-bit md5-prefix idiom."""
+    probes_values = ", ".join(f"('{p}')" for p in _CMS_PROBES)
+    probes_in = ", ".join(f"'{p}'" for p in _CMS_PROBES)
+
+    def h(r, expr):
+        return (
+            f"('0x' || substr(md5('{r}:' || {expr}), 1, 8))::BIGINT"
+            f" % {width}"
+        )
+
+    pos_arms = "\n              UNION ALL ".join(
+        f"SELECT {r} AS r, {h(r, 'v')} AS pos FROM tok"
+        for r in range(depth)
+    )
+    ppos_arms = "\n              UNION ALL ".join(
+        f"SELECT v, {r} AS r, {h(r, 'v')} AS pos FROM probes"
+        for r in range(depth)
+    )
+    return f"""
+            WITH t AS (
+              SELECT trim(regexp_replace(text,
+                       '[ \t\n\r\f\x0B]+', ' ', 'g')) AS norm
+              FROM documents),
+            tok AS (
+              SELECT unnest(string_split(norm, ' ')) AS v
+              FROM t WHERE norm <> ''),
+            pos AS ({pos_arms}),
+            counters AS (
+              SELECT r, pos, CAST(count(*) AS BIGINT) AS c
+              FROM pos GROUP BY r, pos),
+            probes(v) AS (VALUES {probes_values}),
+            ppos AS ({ppos_arms}),
+            est AS (
+              SELECT p.v,
+                     CAST(min(COALESCE(c.c, 0)) AS BIGINT)
+                       AS cms_estimate
+              FROM ppos p LEFT JOIN counters c USING (r, pos)
+              GROUP BY p.v),
+            ex AS (
+              SELECT v, CAST(count(*) AS BIGINT) AS exact_count
+              FROM tok WHERE v IN ({probes_in}) GROUP BY v)
+            SELECT est.v AS probe,
+                   COALESCE(ex.exact_count, CAST(0 AS BIGINT))
+                     AS exact_count,
+                   est.cms_estimate,
+                   est.cms_estimate
+                     - COALESCE(ex.exact_count, CAST(0 AS BIGINT))
+                     AS overestimate
+            FROM est LEFT JOIN ex ON est.v = ex.v
+            ORDER BY probe"""
 
 
 def _qc_base_ctes() -> str:
@@ -10917,6 +10997,7 @@ def oracle_sql() -> dict[str, str]:
             iters=3, strip_max_degree=_MODULARITY_MAX_DEGREE
         ),
         "profile_drift": _profile_drift_oracle(),
+        "cms_counts": _cms_oracle(depth=4, width=8),
         # twin of dedup.winnow_fingerprints (k=8, w=16): 32-bit
         # md5-prefix gram hashes packed with inverted position
         # (min == (hash ASC, pos DESC)), trailing ROWS window min,

@@ -97,3 +97,100 @@ def kmv_distinct(
             / F.col("distinct_hashes").cast("double")
         ).alias("abs_rel_err"),
     )
+
+
+def cms_counts(
+    df: DataFrame,
+    value_col: str,
+    probes: tuple,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min sketch (Cormode/Muthukrishnan 2005) — bounded-memory
+    frequency counting, the counting sibling of :func:`kmv_distinct`:
+    d×w integer counters replace an unbounded (value → count) map;
+    a value's estimate is the MIN over its d cells, always ≥ the true
+    count (one-sided error ≤ εN with ε = e/w at the chosen depth).
+    Like KMV (and unlike HLL), the sketch here is built on public md5
+    row-hashes, so counters, estimates, and the overestimate are pure
+    functions of the input — persistable next to a corpus snapshot,
+    mergeable by cell-wise addition, re-verifiable by any engine.
+
+    Returns one row per probe value:
+    (probe, exact_count, cms_estimate, overestimate) — the exact
+    count rides along so the sketch's error is part of the checked
+    surface; `overestimate ≥ 0` is the CMS invariant.
+
+    100 TB shape: the build is ONE map-side-combinable groupBy at
+    (depth × width) cell cardinality — the d-way explode is row-local
+    and collapses immediately; probes are a broadcast-size relation;
+    the exact side is a pre-filtered count on only the probed values.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(
+            f"need depth >= 1 and width >= 2, got {depth}, {width}"
+        )
+    if not probes:
+        raise ValueError("no probe values")
+
+    def cell(r, col):
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(f"{r}:"), col).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(width),
+        )
+
+    vals = df.select(F.col(value_col).alias("v")).where(
+        F.col(value_col).isNotNull()
+    )
+    arms = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("r"),
+                cell(r, F.col("v")).alias("pos"),
+            )
+            for r in range(depth)
+        ]
+    )
+    counters = (
+        vals.select(F.explode(arms).alias("s"))
+        .select("s.r", "s.pos")
+        .groupBy("r", "pos")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    probe_df = df.sparkSession.createDataFrame(
+        [(p,) for p in probes], "v string"
+    )
+    ppos = probe_df.select(F.col("v"), F.explode(arms).alias("s")).select(
+        "v", "s.r", "s.pos"
+    )
+    est = (
+        ppos.join(counters, ["r", "pos"], "left")
+        .groupBy("v")
+        .agg(
+            F.min(F.coalesce(F.col("c"), F.lit(0).cast("bigint")))
+            .cast("bigint").alias("cms_estimate")
+        )
+    )
+    exact = vals.where(F.col("v").isin(*probes)).groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    return est.join(exact, "v", "left").select(
+        F.col("v").alias("probe"),
+        F.coalesce(F.col("exact_count"), F.lit(0).cast("bigint"))
+        .alias("exact_count"),
+        "cms_estimate",
+        (
+            F.col("cms_estimate")
+            - F.coalesce(F.col("exact_count"), F.lit(0).cast("bigint"))
+        ).alias("overestimate"),
+    )

@@ -92,3 +92,49 @@ class TestKmvDistinct:
 
         with _pytest.raises(ValueError):
             kmv_distinct(self._df(spark, [1]), "grp", "v", k=1)
+
+
+class TestCmsCounts:
+    def _run(self, spark, vals, probes, depth=4, width=1024):
+        from mindocr_spark.functions.sketches import cms_counts
+
+        df = spark.createDataFrame([(v,) for v in vals], "tok string")
+        out = cms_counts(df, "tok", probes, depth=depth, width=width)
+        return {r["probe"]: r for r in out.collect()}
+
+    def test_wide_sketch_is_exact(self, spark):
+        vals = ["a"] * 5 + ["b"] * 3 + ["c"]
+        out = self._run(spark, vals, ("a", "b", "c", "absent"))
+        assert out["a"]["cms_estimate"] == 5
+        assert out["b"]["cms_estimate"] == 3
+        assert out["absent"]["exact_count"] == 0
+        for r in out.values():
+            assert r["overestimate"] == 0
+
+    def test_one_sided_error_invariant(self, spark):
+        # width 2: heavy collisions — estimate must NEVER undercount
+        vals = [f"v{i}" for i in range(40)] * 2 + ["hot"] * 10
+        out = self._run(spark, vals, ("hot", "v0", "nope"),
+                        depth=2, width=2)
+        for r in out.values():
+            assert r["cms_estimate"] >= r["exact_count"]
+        assert out["hot"]["exact_count"] == 10
+
+    def test_merge_by_union_identical(self, spark):
+        # cell-wise mergeability: sketch(whole) == sketch(half ∪ half)
+        whole = [f"w{i % 7}" for i in range(100)]
+        a = self._run(spark, whole, ("w0", "w3"), width=8)
+        b = self._run(spark, whole[:50] + whole[50:], ("w0", "w3"),
+                      width=8)
+        assert a == b
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from mindocr_spark.functions.sketches import cms_counts
+
+        df = spark.createDataFrame([("x",)], "tok string")
+        with _pytest.raises(ValueError):
+            cms_counts(df, "tok", ("x",), depth=0)
+        with _pytest.raises(ValueError):
+            cms_counts(df, "tok", ())
