@@ -4417,6 +4417,19 @@ def q_vocab_richness(spark, sf_dir):
     ).orderBy("lang")
 
 
+def q_mix_entropy(spark, sf_dir):
+    """Training-mix balance audit: per language, the Shannon entropy
+    (nats) and Pielou evenness of the SOURCE distribution — 'is my
+    German slice a balanced mix or a single-domain monoculture?'
+    answered as one number per slice (evenness 1 = perfectly
+    balanced, → 0 = monoculture, NULL when only one source exists)."""
+    from mindocr_spark.tuning import mix_entropy
+
+    return mix_entropy(
+        _t(spark, sf_dir, "documents"), "lang", "source"
+    ).orderBy("lang")
+
+
 #: profile_drift fixture columns — shared with the SQL oracle renderer
 _PROFILE_STRING_COLS = ("text", "lang", "source")
 _PROFILE_NUMERIC_COLS = ("doc_id", "n_chars")
@@ -6366,6 +6379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_ece": _q(q_calibration_ece),
         "profile_drift": _q(q_profile_drift),
         "vocab_richness": _q(q_vocab_richness),
+        "mix_entropy": _q(q_mix_entropy),
         "k_anonymity": _q(q_k_anonymity),
         "compaction_plan": _q(q_compaction_plan),
         "winnow_fingerprints": _q(q_winnow_fingerprints),
@@ -11120,6 +11134,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(f1 AS DOUBLE) / CAST(vocab AS DOUBLE)
                      AS hapax_ratio
             FROM s ORDER BY lang""",
+        # twin of tuning.mix_entropy over (lang, source): exact BIGINT
+        # counts; p one IEEE division; each p·ln(p) term 9dp-quantized
+        # then DECIMAL(28,9)-summed (order-free, the repo's ln idiom);
+        # evenness divides by the quantized ln(k), NULL at k=1
+        "mix_entropy": r"""
+            WITH c AS (
+              SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+              FROM documents GROUP BY lang, source),
+            t AS (
+              SELECT lang, n,
+                     CAST(round(
+                       (CAST(n AS DOUBLE)
+                        / CAST(sum(n) OVER (PARTITION BY lang)
+                               AS DOUBLE))
+                       * ln(CAST(n AS DOUBLE)
+                            / CAST(sum(n) OVER (PARTITION BY lang)
+                                   AS DOUBLE)), 9)
+                       AS DECIMAL(28,9)) AS term
+              FROM c),
+            h AS (
+              SELECT lang, CAST(sum(n) AS BIGINT) AS n_rows,
+                     CAST(count(*) AS BIGINT) AS n_categories,
+                     CAST(-sum(term) AS DOUBLE) AS entropy_nats
+              FROM t GROUP BY lang)
+            SELECT lang, n_rows, n_categories, entropy_nats,
+                   CASE WHEN n_categories > 1
+                        THEN entropy_nats
+                             / round(ln(CAST(n_categories AS DOUBLE)),
+                                     9)
+                   END AS evenness
+            FROM h ORDER BY lang""",
         # twin of classifier.gate_agreement over the min-chars and
         # stop-ratio gates: exact BIGINT confusion counts; p_o and p_e
         # divide exact integers; kappa operates on those two doubles

@@ -489,3 +489,56 @@ def compaction_plan(
             .alias("overflow"),
         )
     )
+
+
+def mix_entropy(
+    df: DataFrame, group_col: str, category_col: str
+) -> DataFrame:
+    """Shannon-entropy balance audit of a categorical mix per group —
+    the training-mix diagnostic ('is my German slice 90% one domain?')
+    that one number answers: entropy in nats over the category
+    distribution plus Pielou evenness H/ln(k) (1 = perfectly balanced
+    mix, → 0 = single-source monoculture; NULL when only one category
+    exists — evenness of a point is undefined). NULL categories count
+    as a real category (an unlabeled source is still a source).
+
+    Returns one row per group:
+    (group, n_rows, n_categories, entropy_nats, evenness).
+
+    Exactness discipline: counts are exact BIGINTs; p = n_cat/n_total
+    is one IEEE division of exact integers; each term p·ln(p) is
+    9dp-quantized then DECIMAL(28,9)-summed (order-free — the repo's
+    ln idiom, cross-engine at the quantized grain); evenness divides
+    the quantized H by the quantized ln(k).
+
+    100 TB shape: one map-side-combinable groupBy at (group,
+    category) grain; the group total is a window over those rows
+    (referenced once); the rollup runs at group grain."""
+    c = df.groupBy(
+        F.col(group_col).alias("g"), F.col(category_col).alias("cat")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g")
+    p = F.col("n").cast("double") / F.sum("n").over(w).cast("double")
+    terms = c.select(
+        "g",
+        "n",
+        F.round(p * F.log(p), 9).cast("decimal(28,9)").alias("term"),
+    )
+    h = terms.groupBy("g").agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+        (-F.sum("term")).cast("double").alias("entropy_nats"),
+    )
+    return h.select(
+        F.col("g").alias(group_col),
+        "n_rows",
+        "n_categories",
+        "entropy_nats",
+        F.when(
+            F.col("n_categories") > 1,
+            F.col("entropy_nats")
+            / F.round(F.log(F.col("n_categories").cast("double")), 9),
+        ).alias("evenness"),
+    )

@@ -218,3 +218,51 @@ class TestCompactionPlan:
         )
         with _pytest.raises(ValueError):
             compaction_plan(df, target_bytes=0)
+
+
+class TestMixEntropy:
+    def _run(self, spark, rows):
+        from mindocr_spark.tuning import mix_entropy
+
+        df = spark.createDataFrame(rows, "g string, cat string")
+        return {
+            r["g"]: r.asDict()
+            for r in mix_entropy(df, "g", "cat").collect()
+        }
+
+    def test_hand_computed_entropy(self, spark):
+        import math
+
+        # group A: 3×x, 1×y → H = -(0.75 ln 0.75 + 0.25 ln 0.25)
+        rows = [("A", "x")] * 3 + [("A", "y")]
+        out = self._run(spark, rows)["A"]
+        p = [0.75, 0.25]
+        h = -sum(round(q * math.log(q), 9) for q in p)
+        assert out["n_rows"] == 4
+        assert out["n_categories"] == 2
+        assert abs(out["entropy_nats"] - h) < 1e-9
+        assert abs(out["evenness"] - h / round(math.log(2), 9)) < 1e-9
+
+    def test_balanced_mix_evenness_one(self, spark):
+        rows = [("A", c) for c in "wxyz" for _ in range(5)]
+        out = self._run(spark, rows)["A"]
+        assert abs(out["evenness"] - 1.0) < 1e-8
+
+    def test_single_category_zero_entropy_null_evenness(self, spark):
+        out = self._run(spark, [("A", "only")] * 7)["A"]
+        assert out["entropy_nats"] == 0.0
+        assert out["n_categories"] == 1
+        assert out["evenness"] is None
+
+    def test_null_category_is_a_real_source(self, spark):
+        # an unlabeled source still counts toward the mix
+        out = self._run(spark, [("A", "x"), ("A", None)])["A"]
+        assert out["n_categories"] == 2
+        assert abs(out["evenness"] - 1.0) < 1e-8
+
+    def test_groups_independent(self, spark):
+        rows = [("A", "x"), ("A", "y"), ("B", "x")]
+        out = self._run(spark, rows)
+        assert out["A"]["n_categories"] == 2
+        assert out["B"]["n_categories"] == 1
+        assert out["B"]["evenness"] is None
