@@ -4417,6 +4417,36 @@ def q_vocab_richness(spark, sf_dir):
     ).orderBy("lang")
 
 
+def q_symspell_correct(spark, sf_dir):
+    """SymSpell OCR-noise correction over the corpus vocabulary with a
+    planted typo feed: every doc_id%13==5 doc contributes ONE corrupted
+    copy of its first ≥5-char token (2nd char substituted with 'x'), so
+    rare distance-1 forms provably exist next to their frequent
+    sources; corrections map them back via the deletion-key blocking +
+    exact levenshtein verify + 10× frequency-dominance rule."""
+    from mindocr_spark.functions.text import symspell_corrections, tokens_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(F.explode(tokens_col("text")).alias("token"))
+    typos = (
+        docs.where(F.pmod("doc_id", F.lit(13)) == 5)
+        .select(F.get(tokens_col("text"), 0).alias("t"))
+        .where(F.length("t") >= 5)
+        .select(
+            F.expr(
+                "concat(substr(t, 1, 1), 'x', substr(t, 3, length(t)))"
+            ).alias("token")
+        )
+    )
+    return symspell_corrections(
+        toks.unionAll(typos),
+        min_len=4,
+        max_len=24,
+        freq_ratio=10,
+        max_bucket=1_000,
+    ).orderBy("token")
+
+
 def q_mix_entropy(spark, sf_dir):
     """Training-mix balance audit: per language, the Shannon entropy
     (nats) and Pielou evenness of the SOURCE distribution — 'is my
@@ -6380,6 +6410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_drift": _q(q_profile_drift),
         "vocab_richness": _q(q_vocab_richness),
         "mix_entropy": _q(q_mix_entropy),
+        "symspell_correct": _q(q_symspell_correct),
         "k_anonymity": _q(q_k_anonymity),
         "compaction_plan": _q(q_compaction_plan),
         "winnow_fingerprints": _q(q_winnow_fingerprints),
@@ -11134,6 +11165,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(f1 AS DOUBLE) / CAST(vocab AS DOUBLE)
                      AS hapax_ratio
             FROM s ORDER BY lang""",
+        # twin of text.symspell_corrections + the typo-planting feed:
+        # identical deletion-key blocking (list_prepend mirror of the
+        # array concat), identical hot-bucket cap, DuckDB's own exact
+        # levenshtein verify, identical dominance + best-candidate rule
+        "symspell_correct": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g'))
+                       AS norm
+              FROM documents),
+            tok AS (
+              SELECT unnest(string_split(norm, ' ')) AS token
+              FROM t WHERE norm <> ''),
+            typo AS (
+              SELECT substr(ft, 1, 1) || 'x'
+                       || substr(ft, 3, length(ft)) AS token
+              FROM (SELECT string_split(norm, ' ')[1] AS ft
+                    FROM t WHERE doc_id % 13 = 5 AND norm <> '')
+              WHERE length(ft) >= 5),
+            stream AS (
+              SELECT token FROM tok UNION ALL SELECT token FROM typo),
+            v AS (
+              SELECT token AS tok, CAST(count(*) AS BIGINT) AS cnt
+              FROM stream
+              WHERE token IS NOT NULL
+                AND length(token) BETWEEN 4 AND 24
+              GROUP BY token),
+            k0 AS (
+              SELECT tok, cnt,
+                     unnest(list_distinct(list_prepend(tok,
+                       list_transform(generate_series(1, length(tok)),
+                         i -> substr(tok, 1, i - 1)
+                              || substr(tok, i + 1, length(tok))))))
+                       AS key
+              FROM v),
+            kb AS (
+              SELECT tok, cnt, key FROM (
+                SELECT tok, cnt, key,
+                       count(*) OVER (PARTITION BY key) AS b
+                FROM k0)
+              WHERE b <= 1000),
+            p AS (
+              SELECT DISTINCT r.tok AS token, r.cnt AS cnt,
+                              d.tok AS cand, d.cnt AS cand_cnt
+              FROM kb r JOIN kb d USING (key)
+              WHERE d.tok <> r.tok AND d.cnt >= 10 * r.cnt),
+            q AS (
+              SELECT * FROM p WHERE levenshtein(token, cand) <= 1),
+            b AS (
+              SELECT *, row_number() OVER (PARTITION BY token
+                       ORDER BY cand_cnt DESC, cand ASC) AS rn
+              FROM q)
+            SELECT token, cnt, cand AS correction,
+                   cand_cnt AS correction_cnt
+            FROM b WHERE rn = 1 ORDER BY token""",
         # twin of tuning.mix_entropy over (lang, source): exact BIGINT
         # counts; p one IEEE division; each p·ln(p) term 9dp-quantized
         # then DECIMAL(28,9)-summed (order-free, the repo's ln idiom);

@@ -2627,3 +2627,109 @@ def stem_stats(
             6,
         ).alias("reduction"),
     )
+
+
+def symspell_corrections(
+    df: DataFrame,
+    token_col: str = "token",
+    min_len: int = 4,
+    max_len: int = 24,
+    freq_ratio: int = 10,
+    max_bucket: int = 1_000,
+) -> DataFrame:
+    """SymSpell-style vocabulary correction (Garbe's deletion-
+    neighborhood blocking): map each rare token to the dominant
+    vocabulary token within Levenshtein distance 1 — the classic OCR /
+    crawl-noise post-correction pass (the distributed analog of the
+    reference's dictionary-constrained decode,
+    reference: mindocr/postprocess/rec_postprocess.py:13-27, which
+    snaps recognized sequences onto a character dictionary; here the
+    dictionary is the corpus's own frequency mass).
+
+    Candidate generation is the SymSpell identity: two tokens are
+    within edit distance 1 only if they share a member of
+    {token} ∪ deletions1(token), so the all-pairs comparison collapses
+    to a self-join on deletion keys. Correction rule: candidate count
+    must dominate by ``freq_ratio``× (a typo is RARE next to its
+    source), verified by exact ``levenshtein() <= 1``; best candidate
+    per token by (count desc, token asc) — deterministic.
+
+    Returns (token, cnt, correction, correction_cnt), one row per
+    corrected token.
+
+    100 TB shape: everything after the first count groupBy runs at
+    VOCABULARY grain (≪ corpus; Heaps' law caps V at tens of millions
+    for 10^12 docs). The deletion explode is row-local and bounded by
+    ``max_len+1`` keys/token; the self-join shuffles on the deletion
+    key whose hot buckets (short tokens' shared neighborhoods) are
+    dropped by the mirrored ``max_bucket`` cap; the length window
+    [min_len, max_len] bounds both the explode factor and the
+    neighborhood density. No Python anywhere."""
+    if not 2 <= min_len <= max_len:
+        raise ValueError("need 2 <= min_len <= max_len")
+    if freq_ratio < 1:
+        raise ValueError("freq_ratio must be >= 1")
+    if max_bucket < 2:
+        raise ValueError("max_bucket must be >= 2 (a pair needs room)")
+    vocab = (
+        df.where(F.col(token_col).isNotNull())
+        .where(F.length(token_col).between(min_len, max_len))
+        .groupBy(F.col(token_col).alias("tok"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    keys = vocab.select(
+        "tok",
+        "cnt",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col("tok")),
+                    F.expr(
+                        "transform(sequence(1, length(tok)), i -> "
+                        "concat(substr(tok, 1, i - 1), "
+                        "substr(tok, i + 1, length(tok))))"
+                    ),
+                )
+            )
+        ).alias("key"),
+    )
+    kb = (
+        keys.withColumn(
+            "_b", F.count(F.lit(1)).over(Window.partitionBy("key"))
+        )
+        .where(F.col("_b") <= max_bucket)
+        .drop("_b")
+    )
+    cand = kb.select(
+        F.col("tok").alias("cand"),
+        F.col("cnt").alias("cand_cnt"),
+        "key",
+    )
+    pairs = (
+        kb.join(cand, "key")
+        .where(
+            (F.col("cand") != F.col("tok"))
+            & (F.col("cand_cnt") >= F.lit(freq_ratio) * F.col("cnt"))
+        )
+        .select(
+            F.col("tok").alias("token"),
+            "cnt",
+            "cand",
+            "cand_cnt",
+        )
+        .distinct()
+        .where(F.levenshtein("token", "cand") <= 1)
+    )
+    best = Window.partitionBy("token").orderBy(
+        F.col("cand_cnt").desc(), F.col("cand").asc()
+    )
+    return (
+        pairs.withColumn("_rn", F.row_number().over(best))
+        .where(F.col("_rn") == 1)
+        .select(
+            "token",
+            "cnt",
+            F.col("cand").alias("correction"),
+            F.col("cand_cnt").alias("correction_cnt"),
+        )
+    )

@@ -1796,3 +1796,72 @@ class TestSStemmer:
             "SELECT w, " + s_stem_sql("w") + " AS s FROM (VALUES "
             "('s'), ('es'), ('ies'), ('as')) t(w)").fetchall()
         assert dict(rows) == out
+
+
+class TestSymspellCorrections:
+    def _run(self, spark, toks, **kw):
+        from mindocr_spark.functions.text import symspell_corrections
+
+        df = spark.createDataFrame([(t,) for t in toks], "token string")
+        return {
+            r["token"]: (r["correction"], r["correction_cnt"])
+            for r in symspell_corrections(df, **kw).collect()
+        }
+
+    def test_all_three_edit_kinds_correct(self, spark):
+        toks = ["hello"] * 50 + ["helo"] * 2       # deletion
+        toks += ["world"] * 30 + ["worlds"] * 1    # insertion
+        toks += ["crawl"] * 40 + ["crawk"] * 3     # substitution
+        out = self._run(spark, toks)
+        assert out == {
+            "helo": ("hello", 50),
+            "worlds": ("world", 30),
+            "crawk": ("crawl", 40),
+        }
+
+    def test_dominance_ratio_gates(self, spark):
+        # 9x is not 10x: no correction
+        out = self._run(spark, ["hello"] * 18 + ["helo"] * 2)
+        assert out == {}
+        out = self._run(spark, ["hello"] * 20 + ["helo"] * 2)
+        assert out == {"helo": ("hello", 20)}
+
+    def test_distance_two_neighbors_share_key_but_rejected(self, spark):
+        # abcd/acbd share deletion key 'abd' yet levenshtein == 2
+        out = self._run(spark, ["abcd"] * 50 + ["acbd"] * 1)
+        assert out == {}
+
+    def test_best_candidate_by_count_then_name(self, spark):
+        toks = ["tost"] * 1 + ["test"] * 40 + ["toast"] * 40
+        out = self._run(spark, toks)
+        # tie on count -> lexicographically smaller candidate wins
+        assert out["tost"] == ("test", 40)
+
+    def test_hot_bucket_cap_drops_neighborhood(self, spark):
+        # key 'hello' is shared by 3 tokens (identity + 2 deletions)
+        toks = ["hello"] * 50 + ["hellos"] * 1 + ["xhello"] * 1
+        assert self._run(spark, toks) == {
+            "hellos": ("hello", 50),
+            "xhello": ("hello", 50),
+        }
+        assert self._run(spark, toks, max_bucket=2) == {}
+
+    def test_length_window_excludes_tokens(self, spark):
+        # 'cat'/'cot' are below min_len=4: never considered
+        out = self._run(spark, ["cat"] * 50 + ["cot"] * 1)
+        assert out == {}
+
+    def test_param_guards(self, spark):
+        import pytest as _pytest
+
+        from mindocr_spark.functions.text import symspell_corrections
+
+        df = spark.createDataFrame([("abcd",)], "token string")
+        for kw in (
+            {"min_len": 1},
+            {"min_len": 9, "max_len": 4},
+            {"freq_ratio": 0},
+            {"max_bucket": 1},
+        ):
+            with _pytest.raises(ValueError):
+                symspell_corrections(df, **kw)
