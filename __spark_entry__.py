@@ -4417,6 +4417,31 @@ def q_vocab_richness(spark, sf_dir):
     ).orderBy("lang")
 
 
+def q_bleu_eval(spark, sf_dir):
+    """Corpus BLEU of a degraded extraction against the reference
+    text: the hypothesis replaces every 5th token with 'UNK' (a
+    deterministic OCR-noise stand-in), so clipped n-gram precisions
+    fall with n, the brevity penalty stays 1 (equal lengths), and the
+    whole score chain (clipping, geometric mean, BP) is exercised."""
+    from mindocr_spark.functions.text import bleu_corpus, tokens_col
+
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", tokens_col("text").alias("tks")
+    )
+    docs = base.select(
+        "doc_id",
+        F.col("text").alias("ref"),
+        F.array_join(
+            F.expr(
+                "transform(tks, (t, i) -> "
+                "CASE WHEN (i + 1) % 5 = 0 THEN 'UNK' ELSE t END)"
+            ),
+            " ",
+        ).alias("hyp"),
+    )
+    return bleu_corpus(docs, "ref", "hyp", "doc_id", max_n=4)
+
+
 def q_symspell_correct(spark, sf_dir):
     """SymSpell OCR-noise correction over the corpus vocabulary with a
     planted typo feed: every doc_id%13==5 doc contributes ONE corrupted
@@ -6411,6 +6436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_richness": _q(q_vocab_richness),
         "mix_entropy": _q(q_mix_entropy),
         "symspell_correct": _q(q_symspell_correct),
+        "bleu_eval": _q(q_bleu_eval),
         "k_anonymity": _q(q_k_anonymity),
         "compaction_plan": _q(q_compaction_plan),
         "winnow_fingerprints": _q(q_winnow_fingerprints),
@@ -11165,6 +11191,126 @@ def oracle_sql() -> dict[str, str]:
                    CAST(f1 AS DOUBLE) / CAST(vocab AS DOUBLE)
                      AS hapax_ratio
             FROM s ORDER BY lang""",
+        # twin of text.bleu_corpus + the every-5th-token-UNK fixture:
+        # clipped matches/totals exact BIGINTs at (doc, n, gram)
+        # grain; p_n one IEEE division; ln(p_n) 9dp-quantized →
+        # DECIMAL-summed → /4; exp and the brevity exponent 9dp-
+        # quantized (the ln idiom applied to the transcendental pair)
+        "bleu_eval": r"""
+            WITH t0 AS (
+              SELECT doc_id,
+                     trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g'))
+                       AS norm
+              FROM documents),
+            t AS (
+              SELECT doc_id AS doc,
+                     CASE WHEN norm = '' THEN CAST([] AS VARCHAR[])
+                          ELSE string_split(norm, ' ') END AS r
+              FROM t0),
+            th AS (
+              SELECT doc,
+                     list_transform(generate_series(1, len(r)),
+                       i -> CASE WHEN i % 5 = 0 THEN 'UNK'
+                                 ELSE r[i] END) AS h,
+                     r
+              FROM t),
+            hg AS (
+              SELECT doc, unnest(flatten(list_transform(
+                       generate_series(1, 4), n ->
+                       CASE WHEN len(h) >= n THEN
+                         list_transform(
+                           generate_series(1, len(h) - n + 1),
+                           i -> {'n': n, 'gram': array_to_string(
+                                  list_slice(h, i, i + n - 1), ' ')})
+                       ELSE CAST([] AS STRUCT(n BIGINT,
+                                              gram VARCHAR)[]) END)))
+                       AS g
+              FROM th),
+            rg AS (
+              SELECT doc, unnest(flatten(list_transform(
+                       generate_series(1, 4), n ->
+                       CASE WHEN len(r) >= n THEN
+                         list_transform(
+                           generate_series(1, len(r) - n + 1),
+                           i -> {'n': n, 'gram': array_to_string(
+                                  list_slice(r, i, i + n - 1), ' ')})
+                       ELSE CAST([] AS STRUCT(n BIGINT,
+                                              gram VARCHAR)[]) END)))
+                       AS g
+              FROM th),
+            ch AS (
+              SELECT doc, g.n AS n, g.gram AS gram,
+                     CAST(count(*) AS BIGINT) AS ch
+              FROM hg GROUP BY doc, g.n, g.gram),
+            cr AS (
+              SELECT doc, g.n AS n, g.gram AS gram,
+                     CAST(count(*) AS BIGINT) AS cr
+              FROM rg GROUP BY doc, g.n, g.gram),
+            j AS (
+              SELECT ch.n, ch.ch,
+                     least(ch.ch, coalesce(cr.cr, 0)) AS m
+              FROM ch LEFT JOIN cr
+                ON ch.doc = cr.doc AND ch.n = cr.n
+               AND ch.gram = cr.gram),
+            per_n AS (
+              SELECT n, CAST(sum(m) AS BIGINT) AS matches,
+                     CAST(sum(ch) AS BIGINT) AS total
+              FROM j GROUP BY n),
+            wide AS (
+              SELECT
+                CAST(coalesce(sum(CASE WHEN n=1 THEN matches END),0)
+                     AS BIGINT) AS m1,
+                CAST(coalesce(sum(CASE WHEN n=1 THEN total END),0)
+                     AS BIGINT) AS t1,
+                CAST(coalesce(sum(CASE WHEN n=2 THEN matches END),0)
+                     AS BIGINT) AS m2,
+                CAST(coalesce(sum(CASE WHEN n=2 THEN total END),0)
+                     AS BIGINT) AS t2,
+                CAST(coalesce(sum(CASE WHEN n=3 THEN matches END),0)
+                     AS BIGINT) AS m3,
+                CAST(coalesce(sum(CASE WHEN n=3 THEN total END),0)
+                     AS BIGINT) AS t3,
+                CAST(coalesce(sum(CASE WHEN n=4 THEN matches END),0)
+                     AS BIGINT) AS m4,
+                CAST(coalesce(sum(CASE WHEN n=4 THEN total END),0)
+                     AS BIGINT) AS t4
+              FROM per_n),
+            lens AS (
+              SELECT CAST(coalesce(sum(len(r)), 0) AS BIGINT)
+                       AS ref_len,
+                     CAST(coalesce(sum(len(h)), 0) AS BIGINT)
+                       AS hyp_len
+              FROM th),
+            base AS (SELECT * FROM lens, wide),
+            scored AS (
+              SELECT *,
+                CASE WHEN t1 > 0 THEN CAST(m1 AS DOUBLE)
+                     / CAST(t1 AS DOUBLE) END AS p1,
+                CASE WHEN t2 > 0 THEN CAST(m2 AS DOUBLE)
+                     / CAST(t2 AS DOUBLE) END AS p2,
+                CASE WHEN t3 > 0 THEN CAST(m3 AS DOUBLE)
+                     / CAST(t3 AS DOUBLE) END AS p3,
+                CASE WHEN t4 > 0 THEN CAST(m4 AS DOUBLE)
+                     / CAST(t4 AS DOUBLE) END AS p4,
+                CASE WHEN hyp_len = 0 THEN NULL
+                     WHEN hyp_len >= ref_len THEN CAST(1.0 AS DOUBLE)
+                     ELSE round(exp(1.0 - CAST(ref_len AS DOUBLE)
+                                    / CAST(hyp_len AS DOUBLE)), 9)
+                END AS brevity_penalty
+              FROM base)
+            SELECT ref_len, hyp_len, m1, t1, p1, m2, t2, p2,
+                   m3, t3, p3, m4, t4, p4, brevity_penalty,
+                   CASE WHEN hyp_len > 0 AND m1 > 0 AND m2 > 0
+                             AND m3 > 0 AND m4 > 0
+                        THEN brevity_penalty * round(exp(CAST(
+                          CAST(round(ln(p1), 9) AS DECIMAL(28,9))
+                          + CAST(round(ln(p2), 9) AS DECIMAL(28,9))
+                          + CAST(round(ln(p3), 9) AS DECIMAL(28,9))
+                          + CAST(round(ln(p4), 9) AS DECIMAL(28,9))
+                          AS DOUBLE) / 4.0), 9)
+                        ELSE CAST(0.0 AS DOUBLE)
+                   END AS bleu
+            FROM scored""",
         # twin of text.symspell_corrections + the typo-planting feed:
         # identical deletion-key blocking (list_prepend mirror of the
         # array concat), identical hot-bucket cap, DuckDB's own exact

@@ -255,6 +255,7 @@ def main() -> None:
         "cms_counts",           # count-min sketch + one-sided error
         "mix_entropy",          # training-mix entropy/evenness audit
         "symspell_correct",     # deletion-key OCR-noise correction
+        "bleu_eval",            # corpus BLEU extraction-quality score
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

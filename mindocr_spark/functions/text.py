@@ -2733,3 +2733,155 @@ def symspell_corrections(
             F.col("cand_cnt").alias("correction_cnt"),
         )
     )
+
+
+def bleu_corpus(
+    df: DataFrame,
+    ref_col: str = "ref",
+    hyp_col: str = "hyp",
+    id_col: str = "doc_id",
+    max_n: int = 4,
+) -> DataFrame:
+    """Corpus-level BLEU (Papineni 2002) between a reference and a
+    hypothesis text column — the standard extraction-quality /
+    translation-quality score (the corpus-grain sibling of the
+    reference's per-sample rec metrics,
+    reference: mindocr/metrics/rec_metrics.py:11-152): clipped n-gram
+    precision p_n for n = 1..max_n, brevity penalty, and the geometric
+    mean. Returns ONE row: (ref_len, hyp_len, m{n}, t{n}, p{n} per n,
+    brevity_penalty, bleu). bleu is 0.0 when any order has zero
+    matches (the standard convention) or the hypothesis is empty; p_n
+    is NULL where that order has no hypothesis n-grams.
+
+    Exactness discipline: clipped matches and totals are exact BIGINTs
+    (per-doc min(count_hyp, count_ref) summed); each p_n is one IEEE
+    division; each ln(p_n) is 9dp-quantized → DECIMAL-summed
+    (order-free ln idiom) → /max_n; exp and the brevity exponent are
+    9dp-quantized so the final product multiplies two cross-engine-
+    identical doubles.
+
+    100 TB shape: n-gram generation is ONE row-local expression
+    (array-of-struct flatten, no join, no Python); hyp and ref counts
+    are two map-side-combinable groupBys at (doc, n, gram) grain
+    joined on their own co-partitioned key; everything after is at
+    n-grain (≤ max_n rows)."""
+    if not 1 <= max_n <= 8:
+        raise ValueError("max_n must be in [1, 8]")
+    t = df.select(
+        F.col(id_col).alias("doc"),
+        tokens_col(ref_col).alias("r"),
+        tokens_col(hyp_col).alias("h"),
+    )
+
+    def grams(col: str) -> Column:
+        empty = "CAST(array() AS ARRAY<STRUCT<n: INT, gram: STRING>>)"
+        return F.expr(
+            f"flatten(transform(sequence(1, {max_n}), n -> "
+            f"CASE WHEN size({col}) >= n THEN "
+            f"transform(sequence(1, size({col}) - n + 1), i -> "
+            f"named_struct('n', n, 'gram', "
+            f"concat_ws(' ', slice({col}, i, n)))) "
+            f"ELSE {empty} END))"
+        )
+
+    def counts(col: str, out: str) -> DataFrame:
+        return (
+            t.select("doc", F.explode(grams(col)).alias("g"))
+            .select("doc", "g.n", "g.gram")
+            .groupBy("doc", "n", "gram")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(out))
+        )
+
+    j = counts("h", "ch").join(
+        counts("r", "cr"), ["doc", "n", "gram"], "left"
+    )
+    per_n = (
+        j.select(
+            "n",
+            "ch",
+            F.least("ch", F.coalesce("cr", F.lit(0))).alias("m"),
+        )
+        .groupBy("n")
+        .agg(
+            F.sum("m").cast("bigint").alias("matches"),
+            F.sum("ch").cast("bigint").alias("total"),
+        )
+    )
+    wide = per_n.agg(
+        *[
+            c
+            for n in range(1, max_n + 1)
+            for c in (
+                F.coalesce(
+                    F.sum(F.when(F.col("n") == n, F.col("matches"))),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias(f"m{n}"),
+                F.coalesce(
+                    F.sum(F.when(F.col("n") == n, F.col("total"))),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias(f"t{n}"),
+            )
+        ]
+    )
+    lens = t.agg(
+        F.coalesce(F.sum(F.size("r")), F.lit(0))
+        .cast("bigint")
+        .alias("ref_len"),
+        F.coalesce(F.sum(F.size("h")), F.lit(0))
+        .cast("bigint")
+        .alias("hyp_len"),
+    )
+    base = lens.crossJoin(wide)
+
+    def p(n: int) -> Column:
+        return F.when(
+            F.col(f"t{n}") > 0,
+            F.col(f"m{n}").cast("double") / F.col(f"t{n}").cast("double"),
+        )
+
+    valid = F.col("hyp_len") > 0
+    for n in range(1, max_n + 1):
+        valid = valid & (F.col(f"m{n}") > 0)
+    log_terms = [
+        F.round(F.log(p(n)), 9).cast("decimal(28,9)")
+        for n in range(1, max_n + 1)
+    ]
+    log_sum = log_terms[0]
+    for term in log_terms[1:]:
+        log_sum = log_sum + term
+    gm = F.round(
+        F.exp(log_sum.cast("double") / F.lit(float(max_n))), 9
+    )
+    bp = (
+        F.when(F.col("hyp_len") == 0, F.lit(None).cast("double"))
+        .when(F.col("hyp_len") >= F.col("ref_len"), F.lit(1.0))
+        .otherwise(
+            F.round(
+                F.exp(
+                    F.lit(1.0)
+                    - F.col("ref_len").cast("double")
+                    / F.col("hyp_len").cast("double")
+                ),
+                9,
+            )
+        )
+    )
+    return base.select(
+        "ref_len",
+        "hyp_len",
+        *[
+            c
+            for n in range(1, max_n + 1)
+            for c in (
+                F.col(f"m{n}"),
+                F.col(f"t{n}"),
+                p(n).alias(f"p{n}"),
+            )
+        ],
+        bp.alias("brevity_penalty"),
+        F.when(valid, bp * gm).otherwise(F.lit(0.0)).alias("bleu"),
+    )

@@ -1865,3 +1865,75 @@ class TestSymspellCorrections:
         ):
             with _pytest.raises(ValueError):
                 symspell_corrections(df, **kw)
+
+
+class TestBleuCorpus:
+    def _run(self, spark, rows, **kw):
+        from mindocr_spark.functions.text import bleu_corpus
+
+        df = spark.createDataFrame(
+            rows, "doc_id long, ref string, hyp string"
+        )
+        return bleu_corpus(df, "ref", "hyp", **kw).collect()[0].asDict()
+
+    def test_identical_corpus_scores_one(self, spark):
+        out = self._run(spark, [(1, "a b c d e", "a b c d e")])
+        assert out["bleu"] == 1.0
+        assert out["brevity_penalty"] == 1.0
+        for n in range(1, 5):
+            assert out[f"p{n}"] == 1.0
+
+    def test_hand_computed_clipping_and_bp(self, spark):
+        import math
+
+        # ref 6 toks, hyp drops one 'the' -> hyp_len 5 < ref_len 6
+        out = self._run(
+            spark, [(1, "the cat sat on the mat", "the cat sat on mat")]
+        )
+        assert (out["m1"], out["t1"]) == (5, 5)
+        assert (out["m2"], out["t2"]) == (3, 4)  # 'on mat' not in ref
+        assert (out["m3"], out["t3"]) == (2, 3)
+        assert (out["m4"], out["t4"]) == (1, 2)
+        bp = round(math.exp(1 - 6 / 5), 9)
+        assert out["brevity_penalty"] == bp
+        logs = sum(
+            round(math.log(m / t), 9)
+            for m, t in [(5, 5), (3, 4), (2, 3), (1, 2)]
+        )
+        assert abs(out["bleu"] - bp * round(math.exp(logs / 4), 9)) < 1e-12
+
+    def test_clipping_caps_repeated_hyp_tokens(self, spark):
+        # hyp repeats 'the' 4x but ref has it twice -> clipped to 2
+        out = self._run(
+            spark, [(1, "the cat the mat", "the the the the")]
+        )
+        assert (out["m1"], out["t1"]) == (2, 4)
+
+    def test_zero_match_order_zeroes_bleu(self, spark):
+        out = self._run(spark, [(1, "a b", "a c")])  # no 2-gram match
+        assert out["bleu"] == 0.0
+        assert out["m2"] == 0
+
+    def test_empty_hypothesis(self, spark):
+        out = self._run(spark, [(1, "a b c", "")])
+        assert out["hyp_len"] == 0
+        assert out["bleu"] == 0.0
+        assert out["brevity_penalty"] is None
+
+    def test_corpus_level_not_average_of_docs(self, spark):
+        # matches/totals pool across docs before dividing
+        rows = [(1, "a b c d", "a b c d"), (2, "e f g h", "x y z w")]
+        out = self._run(spark, rows)
+        assert (out["m1"], out["t1"]) == (4, 8)
+        assert out["p1"] == 0.5
+
+    def test_max_n_guard(self, spark):
+        import pytest as _pytest
+
+        from mindocr_spark.functions.text import bleu_corpus
+
+        df = spark.createDataFrame([(1, "a", "a")], "doc_id long, ref string, hyp string")
+        with _pytest.raises(ValueError):
+            bleu_corpus(df, "ref", "hyp", max_n=0)
+        with _pytest.raises(ValueError):
+            bleu_corpus(df, "ref", "hyp", max_n=9)
