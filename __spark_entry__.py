@@ -4417,6 +4417,49 @@ def q_vocab_richness(spark, sf_dir):
     ).orderBy("lang")
 
 
+def q_ab_test(spark, sf_dir):
+    """Two-proportion A/B readout over events: variant = user_id
+    parity, conversion on metric m = '≥14 events of type m' (the
+    Poisson mean sits near 13.4, so rates land mid-range), PLUS a
+    planted treatment effect — every user_id%3==0 B-unit converts on
+    'purchase' — so exactly that metric's z fires; users with
+    user_id%50==7 are planted into BOTH variants and must be excluded
+    by the contamination rule."""
+    from mindocr_spark.functions.traffic import ab_test_proportions
+
+    e = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    base = e.select("user_id").distinct()
+    pick = lambda a, b: F.when(  # noqa: E731
+        F.pmod("user_id", F.lit(2)) == 0, F.lit(a)
+    ).otherwise(F.lit(b))
+    units = base.select(
+        F.col("user_id").alias("unit"), pick("A", "B").alias("variant")
+    ).unionAll(
+        base.where(F.pmod("user_id", F.lit(50)) == 7).select(
+            F.col("user_id").alias("unit"),
+            pick("B", "A").alias("variant"),
+        )
+    )
+    heavy = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 14)
+        .select(
+            F.col("user_id").alias("unit"),
+            F.col("event_type").alias("metric"),
+        )
+    )
+    planted = base.where(
+        (F.pmod("user_id", F.lit(2)) == 1)
+        & (F.pmod("user_id", F.lit(3)) == 0)
+    ).select(
+        F.col("user_id").alias("unit"), F.lit("purchase").alias("metric")
+    )
+    return ab_test_proportions(
+        units, heavy.unionAll(planted)
+    ).orderBy("metric")
+
+
 def q_bleu_eval(spark, sf_dir):
     """Corpus BLEU of a degraded extraction against the reference
     text: the hypothesis replaces every 5th token with 'UNK' (a
@@ -6437,6 +6480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_entropy": _q(q_mix_entropy),
         "symspell_correct": _q(q_symspell_correct),
         "bleu_eval": _q(q_bleu_eval),
+        "ab_test": _q(q_ab_test),
         "k_anonymity": _q(q_k_anonymity),
         "compaction_plan": _q(q_compaction_plan),
         "winnow_fingerprints": _q(q_winnow_fingerprints),
@@ -11191,6 +11235,80 @@ def oracle_sql() -> dict[str, str]:
                    CAST(f1 AS DOUBLE) / CAST(vocab AS DOUBLE)
                      AS hapax_ratio
             FROM s ORDER BY lang""",
+        # twin of traffic.ab_test_proportions + the parity-split /
+        # ≥14-events conversion / planted-purchase-effect fixture:
+        # counts exact BIGINTs, rates one IEEE division each, z's
+        # pinned formula over sqrt (IEEE-exact) — bit-identical with
+        # NO quantization; degeneracy gated on integer predicates
+        "ab_test": r"""
+            WITH e AS (
+              SELECT user_id, event_type FROM events
+              WHERE user_id IS NOT NULL),
+            base AS (SELECT DISTINCT user_id FROM e),
+            u AS (
+              SELECT user_id AS unit,
+                     CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+                       AS variant
+              FROM base
+              UNION ALL
+              SELECT user_id,
+                     CASE WHEN user_id % 2 = 0 THEN 'B' ELSE 'A' END
+              FROM base WHERE user_id % 50 = 7),
+            assign AS (
+              SELECT unit, min(v) AS v
+              FROM (SELECT DISTINCT unit, variant AS v FROM u
+                    WHERE variant IN ('A', 'B') AND unit IS NOT NULL)
+              GROUP BY unit HAVING count(*) = 1),
+            tot AS (
+              SELECT CAST(coalesce(sum(CASE WHEN v = 'A' THEN 1 END),
+                          0) AS BIGINT) AS n_a,
+                     CAST(coalesce(sum(CASE WHEN v = 'B' THEN 1 END),
+                          0) AS BIGINT) AS n_b
+              FROM assign),
+            heavy AS (
+              SELECT user_id AS unit, event_type AS metric
+              FROM e GROUP BY user_id, event_type
+              HAVING count(*) >= 14),
+            planted AS (
+              SELECT user_id AS unit, 'purchase' AS metric
+              FROM base WHERE user_id % 2 = 1 AND user_id % 3 = 0),
+            convs AS (
+              SELECT DISTINCT unit, metric
+              FROM (SELECT * FROM heavy
+                    UNION ALL SELECT * FROM planted)
+              WHERE unit IS NOT NULL AND metric IS NOT NULL),
+            cj AS (
+              SELECT metric,
+                     CAST(sum(CASE WHEN v = 'A' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS conv_a,
+                     CAST(sum(CASE WHEN v = 'B' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS conv_b
+              FROM convs JOIN assign USING (unit) GROUP BY metric),
+            sc AS (
+              SELECT metric, n_a, n_b, conv_a, conv_b,
+                CASE WHEN n_a > 0 THEN CAST(conv_a AS DOUBLE)
+                     / CAST(n_a AS DOUBLE) END AS rate_a,
+                CASE WHEN n_b > 0 THEN CAST(conv_b AS DOUBLE)
+                     / CAST(n_b AS DOUBLE) END AS rate_b
+              FROM cj, tot),
+            zz AS (
+              SELECT *, rate_b - rate_a AS lift,
+                CASE WHEN n_a > 0 AND n_b > 0
+                          AND conv_a + conv_b > 0
+                          AND conv_a + conv_b < n_a + n_b
+                     THEN (rate_b - rate_a) / sqrt(
+                       (CAST(conv_a + conv_b AS DOUBLE)
+                        / CAST(n_a + n_b AS DOUBLE))
+                       * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                          / CAST(n_a + n_b AS DOUBLE))
+                       * (1.0 / CAST(n_a AS DOUBLE)
+                          + 1.0 / CAST(n_b AS DOUBLE)))
+                END AS z
+              FROM sc)
+            SELECT metric, n_a, n_b, conv_a, conv_b, rate_a, rate_b,
+                   lift, z,
+                   coalesce(abs(z) >= 1.96, false) AS significant
+            FROM zz ORDER BY metric""",
         # twin of text.bleu_corpus + the every-5th-token-UNK fixture:
         # clipped matches/totals exact BIGINTs at (doc, n, gram)
         # grain; p_n one IEEE division; ln(p_n) 9dp-quantized →

@@ -256,6 +256,7 @@ def main() -> None:
         "mix_entropy",          # training-mix entropy/evenness audit
         "symspell_correct",     # deletion-key OCR-noise correction
         "bleu_eval",            # corpus BLEU extraction-quality score
+        "ab_test",              # two-proportion z-test experiment readout
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

@@ -382,3 +382,126 @@ def k_anonymity_stats(
         F.lit(k).cast("bigint").alias("k"),
         F.lit(l_div).cast("bigint").alias("l"),
     )
+
+
+def ab_test_proportions(
+    units: DataFrame,
+    conversions: DataFrame,
+    unit_col: str = "unit",
+    variant_col: str = "variant",
+    metric_col: str = "metric",
+    variant_a: str = "A",
+    variant_b: str = "B",
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Two-proportion A/B readout per metric: conversion counts and
+    rates for control (``variant_a``) and treatment (``variant_b``),
+    the absolute lift, the pooled two-proportion z-statistic, and a
+    |z| ≥ z_crit significance verdict — the experiment-analysis
+    primitive behind 'did the new extraction config change user-facing
+    behavior?'. Units assigned to BOTH variants are excluded
+    (contaminated assignment — the standard SRM hygiene rule);
+    conversions deduplicate at (unit, metric) grain (a unit converts
+    once). z is NULL (and significant false) when a variant is empty
+    or the pooled rate is degenerate (0 or 1 — zero variance).
+
+    Exactness discipline: all counts exact BIGINTs; every rate ONE
+    IEEE division of exact integers; z's formula is pinned
+    (rb−ra) / sqrt(pooled·(1−pooled)·(1/n_a + 1/n_b)) — sqrt is
+    IEEE-exact (correctly rounded by definition), so z is
+    bit-identical cross-engine with NO quantization; degeneracy is
+    gated on integer predicates so no division can hit a zero under
+    ANSI.
+
+    100 TB shape: assignment hygiene is one groupBy on the unit key;
+    conversions collapse map-side at (unit, metric) then join
+    assignments on the same co-partitioned unit key; everything after
+    runs at metric×variant grain (tiny). The totals row is a 1-row
+    cross join (broadcast)."""
+    if variant_a == variant_b:
+        raise ValueError("variant_a and variant_b must differ")
+    if z_crit <= 0:
+        raise ValueError("z_crit must be positive")
+    assign = (
+        units.where(F.col(variant_col).isin(variant_a, variant_b))
+        .where(F.col(unit_col).isNotNull())
+        .select(
+            F.col(unit_col).alias("unit"), F.col(variant_col).alias("v")
+        )
+        .distinct()
+        .groupBy("unit")
+        .agg(F.count(F.lit(1)).alias("_nv"), F.min("v").alias("v"))
+        .where(F.col("_nv") == 1)
+        .select("unit", "v")
+    )
+    totals = assign.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("v") == variant_a, 1)), F.lit(0)
+        ).cast("bigint").alias("n_a"),
+        F.coalesce(
+            F.sum(F.when(F.col("v") == variant_b, 1)), F.lit(0)
+        ).cast("bigint").alias("n_b"),
+    )
+    conv = (
+        conversions.where(
+            F.col(unit_col).isNotNull() & F.col(metric_col).isNotNull()
+        )
+        .select(
+            F.col(unit_col).alias("unit"),
+            F.col(metric_col).alias("metric"),
+        )
+        .distinct()
+        .join(assign, "unit")
+        .groupBy("metric")
+        .agg(
+            F.sum(F.when(F.col("v") == variant_a, 1).otherwise(0))
+            .cast("bigint")
+            .alias("conv_a"),
+            F.sum(F.when(F.col("v") == variant_b, 1).otherwise(0))
+            .cast("bigint")
+            .alias("conv_b"),
+        )
+    )
+    s = conv.crossJoin(totals)
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ra = F.when(
+        F.col("n_a") > 0, F.col("conv_a").cast("double") / na
+    )
+    rb = F.when(
+        F.col("n_b") > 0, F.col("conv_b").cast("double") / nb
+    )
+    c_sum = F.col("conv_a") + F.col("conv_b")
+    n_sum = F.col("n_a") + F.col("n_b")
+    # integer-predicate gate: z exists iff both arms non-empty and the
+    # pooled rate is strictly inside (0, 1) — no division under a zero
+    zok = (
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (c_sum > 0)
+        & (c_sum < n_sum)
+    )
+    pooled = c_sum.cast("double") / n_sum.cast("double")
+    z = F.when(
+        zok,
+        (rb - ra)
+        / F.sqrt(
+            pooled
+            * (F.lit(1.0) - pooled)
+            * (F.lit(1.0) / na + F.lit(1.0) / nb)
+        ),
+    )
+    return s.select(
+        "metric",
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        ra.alias("rate_a"),
+        rb.alias("rate_b"),
+        (rb - ra).alias("lift"),
+        z.alias("z"),
+        F.coalesce(
+            F.abs(z) >= F.lit(float(z_crit)), F.lit(False)
+        ).alias("significant"),
+    )

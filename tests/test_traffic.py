@@ -299,3 +299,75 @@ class TestKAnonymity:
             k_anonymity_stats(df, ("qi",), "s", k=1)
         with _pytest.raises(ValueError):
             k_anonymity_stats(df, ("qi",), "s", k=5, l_div=0)
+
+
+class TestAbTestProportions:
+    def _run(self, spark, units, convs, **kw):
+        from mindocr_spark.functions.traffic import ab_test_proportions
+
+        u = spark.createDataFrame(units, "unit long, variant string")
+        c = spark.createDataFrame(convs, "unit long, metric string")
+        return {
+            r["metric"]: r.asDict()
+            for r in ab_test_proportions(u, c, **kw).collect()
+        }
+
+    def test_hand_computed_z(self, spark):
+        import math
+
+        units = [(i, "A" if i % 2 == 0 else "B") for i in range(200)]
+        convs = [(i, "m") for i in range(0, 200, 2) if i % 10 == 0]
+        convs += [(i, "m") for i in range(1, 200, 2) if i % 5 < 3]
+        out = self._run(spark, units, convs)["m"]
+        assert (out["n_a"], out["n_b"]) == (100, 100)
+        assert (out["conv_a"], out["conv_b"]) == (20, 60)
+        p = 80 / 200
+        se = math.sqrt(p * (1 - p) * (1 / 100 + 1 / 100))
+        assert abs(out["z"] - (0.6 - 0.2) / se) < 1e-12
+        assert out["significant"] is True
+
+    def test_contaminated_units_excluded(self, spark):
+        units = [(1, "A"), (2, "B"), (1, "B"), (3, "A"), (4, "A")]
+        out = self._run(spark, units, [(1, "m"), (2, "m")])["m"]
+        # unit 1 is in both arms: dropped from totals AND conversions
+        assert (out["n_a"], out["n_b"]) == (2, 1)
+        assert (out["conv_a"], out["conv_b"]) == (0, 1)
+
+    def test_conversion_dedup_per_unit_metric(self, spark):
+        units = [(1, "A"), (2, "B")]
+        convs = [(1, "m"), (1, "m"), (1, "m"), (2, "m")]
+        out = self._run(spark, units, convs)["m"]
+        assert (out["conv_a"], out["conv_b"]) == (1, 1)
+
+    def test_degenerate_pooled_rate_null_z(self, spark):
+        units = [(1, "A"), (2, "B")]
+        # everyone converts -> pooled = 1 -> zero variance
+        out = self._run(spark, units, [(1, "m"), (2, "m")])["m"]
+        assert out["z"] is None
+        assert out["significant"] is False
+
+    def test_empty_arm_null_rates(self, spark):
+        units = [(1, "A"), (2, "A")]
+        out = self._run(spark, units, [(1, "m")])["m"]
+        assert out["n_b"] == 0
+        assert out["rate_b"] is None
+        assert out["z"] is None
+        assert out["significant"] is False
+
+    def test_other_variant_values_ignored(self, spark):
+        units = [(1, "A"), (2, "B"), (3, "C"), (4, None)]
+        out = self._run(spark, units, [(3, "m"), (1, "m")])["m"]
+        assert (out["n_a"], out["n_b"]) == (1, 1)
+        assert (out["conv_a"], out["conv_b"]) == (1, 0)
+
+    def test_param_guards(self, spark):
+        import pytest as _pytest
+
+        from mindocr_spark.functions.traffic import ab_test_proportions
+
+        u = spark.createDataFrame([(1, "A")], "unit long, variant string")
+        c = spark.createDataFrame([(1, "m")], "unit long, metric string")
+        with _pytest.raises(ValueError):
+            ab_test_proportions(u, c, variant_a="X", variant_b="X")
+        with _pytest.raises(ValueError):
+            ab_test_proportions(u, c, z_crit=0)
