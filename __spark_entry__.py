@@ -1746,8 +1746,11 @@ def _fk_arm(child_name: str, fk: str, parent_name: str, pk: str,
                WHERE p.{pk} = c.{fk})) AS n_orphan_rows,
             (SELECT CAST(count(*) AS BIGINT) FROM {parent_name})
               AS n_parent_rows,
-            (SELECT CAST(count(*) - count(DISTINCT {pk}) AS BIGINT)
-             FROM {parent_name}) AS n_parent_dup_keys)"""
+            (SELECT CAST(count(*) AS BIGINT) FROM (
+               SELECT {pk} FROM {parent_name}
+               WHERE {pk} IS NOT NULL
+               GROUP BY {pk} HAVING count(*) > 1))
+              AS n_parent_dup_keys)"""
 
 
 def _hrw_sharding_oracle() -> str:
@@ -11015,7 +11018,7 @@ def oracle_sql() -> dict[str, str]:
             ev AS (
               SELECT event_type, ts FROM events
               UNION ALL SELECT * FROM burst),
-            daily AS (
+            counted AS (
               SELECT event_type,
                      CAST(date_diff('day', DATE '1970-01-01',
                                     CAST(ts AS DATE)) AS BIGINT)
@@ -11024,6 +11027,19 @@ def oracle_sql() -> dict[str, str]:
               FROM ev GROUP BY event_type,
                      CAST(date_diff('day', DATE '1970-01-01',
                                     CAST(ts AS DATE)) AS BIGINT)),
+            spine AS (
+              SELECT event_type,
+                     CAST(unnest(generate_series(d0, d1)) AS BIGINT)
+                       AS day_n
+              FROM (SELECT event_type, min(day_n) AS d0,
+                           max(day_n) AS d1
+                    FROM counted GROUP BY event_type)),
+            daily AS (
+              SELECT s.event_type, s.day_n,
+                     CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+              FROM spine s LEFT JOIN counted c
+                ON s.event_type = c.event_type
+               AND s.day_n = c.day_n),
             med AS (
               SELECT event_type, quantile_cont(n, 0.5) AS med_n
               FROM daily GROUP BY event_type),

@@ -1064,8 +1064,9 @@ def water_fill_budget(
     everyone else at θ — the allocation that maximizes the minimum
     service, the standard fairness rule for shared crawl capacity
     (no domain can gain without a smaller domain losing). Integer
-    remainder pages go to the lexicographically-first capped domains,
-    so the budget is spent EXACTLY and deterministically.
+    remainder pages go to the capped domains first in (demand ASC,
+    domain ASC) order — the same ranking the water level is computed
+    over — so the budget is spent EXACTLY and deterministically.
 
     Returns (domain, demand, allocation, fully_satisfied) with
     Σ allocation = min(budget, Σ demand) — all-integer arithmetic,

@@ -100,8 +100,10 @@ def forget_propagation(
         F.count(F.lit(1)).cast("bigint").alias("n_before"),
         F.sum(F.when(F.col("del_req"), 1).otherwise(0)).cast("bigint")
         .alias("n_deleted"),
-        F.min("doc_id").cast("bigint").alias("rep_before"),
-        F.min(F.when(~F.col("del_req"), F.col("doc_id"))).cast("bigint")
+        # no cast: ids keep their natural type so string ids (urls,
+        # content hashes) elect representatives instead of NULLing out
+        F.min("doc_id").alias("rep_before"),
+        F.min(F.when(~F.col("del_req"), F.col("doc_id")))
         .alias("rep_after"),
     )
     return g.where(F.col("n_deleted") > 0).select(

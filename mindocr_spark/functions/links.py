@@ -1382,13 +1382,7 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     No quadratic anything."""
     from mindocr_spark.cache import tracked_persist
 
-    raw = edges.where(F.col("src_domain") != F.col("dst_domain"))
-    pairs = tracked_persist(
-        raw.select(
-            F.least("src_domain", "dst_domain").alias("a"),
-            F.greatest("src_domain", "dst_domain").alias("b"),
-        ).distinct()
-    )
+    pairs = tracked_persist(_canonical_pairs(edges))
     deg = pairs.select(F.col("a").alias("domain")).unionAll(
         pairs.select(F.col("b").alias("domain"))
     ).groupBy("domain").agg(

@@ -77,6 +77,31 @@ def postings(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _tfidf_contribs(docs: DataFrame, id_col: str,
+                    text_col: str) -> DataFrame:
+    """The shared tf·idf contribution relation: (term, doc_id, tf, df,
+    contrib) with contrib = round(tf · round(ln(N/df), 9), 9). This is
+    the ONE quantization-sensitive definition both retrieval surfaces
+    (:func:`tfidf_topk_terms` keywords and :func:`vsm_topk` cosine)
+    and their DuckDB oracles depend on — kept single-sourced so a
+    rounding-grain change can never desynchronize the two arms."""
+    p = postings(docs, id_col=id_col, text_col=text_col)
+    dfq = p.groupBy("term").agg(F.count("*").alias("df"))
+    nd = docs.select(F.count("*").alias("n_docs"))
+    idf = F.round(
+        F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        9,
+    )
+    return (
+        p.join(dfq, "term")
+        .join(F.broadcast(nd))
+        .select(
+            "term", "doc_id", "tf", "df",
+            F.round(F.col("tf").cast("double") * idf, 9).alias("contrib"),
+        )
+    )
+
+
 def tfidf_topk_terms(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Per-document keyword extraction: the top-`k` terms by tf·idf
@@ -92,23 +117,8 @@ def tfidf_topk_terms(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
     vocabulary cardinality before the join back), then the per-doc
     top-k window on the uniform doc key. Both keys are uniform — no
     skew treatment needed."""
-    p = postings(docs, id_col=id_col, text_col=text_col)
-    dfq = p.groupBy("term").agg(F.count("*").alias("df"))
-    nd = docs.select(F.count("*").alias("n_docs"))
-    idf = F.round(
-        F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
-        9,
-    )
-    scored = (
-        p.join(dfq, "term")
-        .join(F.broadcast(nd))
-        .select(
-            "doc_id",
-            "term",
-            "tf",
-            "df",
-            F.round(F.col("tf").cast("double") * idf, 9).alias("score"),
-        )
+    scored = _tfidf_contribs(docs, id_col, text_col).select(
+        "doc_id", "term", "tf", "df", F.col("contrib").alias("score")
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("term").asc()
@@ -232,21 +242,9 @@ def vsm_topk(docs: DataFrame, queries: dict[int, list[str]], k: int = 5,
     excluded — cosine is undefined there."""
     spark = docs.sparkSession
     qt = query_terms_df(spark, queries)
-    p = postings(docs, id_col=id_col, text_col=text_col)
-    dfq = p.groupBy("term").agg(F.count("*").alias("df"))
-    nd = docs.select(F.count("*").alias("n_docs"))
-    idf = F.round(
-        F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
-        9,
-    )
-    contrib = (
-        p.join(dfq, "term")
-        .join(F.broadcast(nd))
-        .select(
-            "term", "doc_id",
-            F.round(F.col("tf").cast("double") * idf, 9)
-            .cast("decimal(28,9)").alias("c"),
-        )
+    contrib = _tfidf_contribs(docs, id_col, text_col).select(
+        "term", "doc_id",
+        F.col("contrib").cast("decimal(28,9)").alias("c"),
     )
     from mindocr_spark.cache import tracked_persist
 
@@ -292,7 +290,10 @@ def rrf_weights(c: int, k: int) -> list[tuple[int, str]]:
     out = []
     for r in range(1, k + 1):
         scaled = 10 ** 12 // (c + r)
-        out.append((r, f"0.{scaled:012d}"))
+        # split whole/fraction explicitly: c=0, r=1 gives scaled=10^12
+        # (13 digits) and a naive "0.{:012d}" render would emit 0.1
+        whole, frac = divmod(scaled, 10 ** 12)
+        out.append((r, f"{whole}.{frac:012d}"))
     return out
 
 

@@ -99,6 +99,60 @@ def kmv_distinct(
     )
 
 
+def _cms_cell(r: int, col, width: int):
+    """Row r's counter position for a value: first 8 hex chars of
+    md5('r:' || value) mod width — engine-portable (md5/conv/pmod all
+    have DuckDB twins) and public, so sketches are re-verifiable."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{r}:"), col).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(width),
+    )
+
+
+def _cms_arms(col, depth: int, width: int):
+    """The d-way (row, position) struct array for one value column."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("r"),
+                _cms_cell(r, col, width).alias("pos"),
+            )
+            for r in range(depth)
+        ]
+    )
+
+
+def cms_counters(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """The raw CMS counter relation (r, pos, c) for a stream — the
+    persistable/mergeable form: sketches of two streams merge by
+    cell-wise addition (full-outer join on (r, pos), sum the counts),
+    and sketch(A ∪ B) ≡ merge(sketch(A), sketch(B)) exactly. ONE
+    map-side-combinable groupBy at (depth × width) cell cardinality."""
+    vals = df.select(F.col(value_col).alias("v")).where(
+        F.col(value_col).isNotNull()
+    )
+    return (
+        vals.select(F.explode(_cms_arms(F.col("v"), depth, width))
+                    .alias("s"))
+        .select("s.r", "s.pos")
+        .groupBy("r", "pos")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
 def cms_counts(
     df: DataFrame,
     value_col: str,
@@ -132,41 +186,11 @@ def cms_counts(
         )
     if not probes:
         raise ValueError("no probe values")
-
-    def cell(r, col):
-        return F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(F.lit(f"{r}:"), col).cast("binary")
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint"),
-            F.lit(width),
-        )
-
+    arms = _cms_arms(F.col("v"), depth, width)
     vals = df.select(F.col(value_col).alias("v")).where(
         F.col(value_col).isNotNull()
     )
-    arms = F.array(
-        *[
-            F.struct(
-                F.lit(r).cast("int").alias("r"),
-                cell(r, F.col("v")).alias("pos"),
-            )
-            for r in range(depth)
-        ]
-    )
-    counters = (
-        vals.select(F.explode(arms).alias("s"))
-        .select("s.r", "s.pos")
-        .groupBy("r", "pos")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
+    counters = cms_counters(df, value_col, depth=depth, width=width)
     probe_df = df.sparkSession.createDataFrame(
         [(p,) for p in probes], "v string"
     )

@@ -278,6 +278,13 @@ def daily_anomaly_stats(events: DataFrame, k: int = 6) -> DataFrame:
     INTEGER daily counts (bit-identical cross-engine), .5/.25-quantized
     dyadics.
 
+    Days with ZERO events inside a type's observed [min, max] day span
+    are filled in as n=0 rows before the fence is computed — a total
+    outage produces no groupBy row at all, and without the spine fill
+    the one anomaly an outage monitor exists for would be structurally
+    invisible. The spine lives at types×days cardinality (a per-type
+    ``sequence`` explode), so the fill is free at any corpus size.
+
     100 TB shape: one (type, day) count groupBy collapses the stream;
     everything after lives at types×days cardinality."""
     from mindocr_spark.cache import tracked_persist
@@ -285,12 +292,23 @@ def daily_anomaly_stats(events: DataFrame, k: int = 6) -> DataFrame:
     if k < 1:
         raise ValueError(f"k must be ≥ 1, got {k}")
     day_n = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
-    daily = tracked_persist(
+    counted = tracked_persist(
         events.select(
             "event_type", day_n.cast("bigint").alias("day_n")
         )
         .groupBy("event_type", "day_n")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    spine = counted.groupBy("event_type").agg(
+        F.min("day_n").alias("d0"), F.max("day_n").alias("d1")
+    ).select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1")).alias("day_n"),
+    )
+    daily = spine.join(counted, ["event_type", "day_n"], "left").select(
+        "event_type",
+        "day_n",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
     )
     med = daily.groupBy("event_type").agg(
         F.percentile("n", F.lit(0.5)).alias("med_n")

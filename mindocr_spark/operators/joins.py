@@ -176,11 +176,21 @@ def fk_integrity_stats(
         .join(pk.distinct(), "fk", "left_anti")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphan_rows"))
     )
-    pstats = pk.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_parent_rows"),
-        (
-            F.count(F.lit(1)) - F.count_distinct("fk")
-        ).cast("bigint").alias("n_parent_dup_keys"),
+    # n_parent_dup_keys = distinct non-NULL keys appearing >1 time:
+    # count(*)-count_distinct would (a) count NULL pk rows, which never
+    # multiply a join, as "duplicates" and (b) report excess rows, not
+    # duplicated keys — both false alarms for the M:N verdict this
+    # column exists for. Key-grain groupBy, map-side combinable.
+    pstats = (
+        pk.groupBy("fk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum("c").cast("bigint").alias("n_parent_rows"),
+            F.sum(
+                ((F.col("c") > 1) & F.col("fk").isNotNull())
+                .cast("bigint")
+            ).cast("bigint").alias("n_parent_dup_keys"),
+        )
     )
     return (
         cstats.crossJoin(orphans)

@@ -73,6 +73,8 @@ def hrw_choice_sql(key_expr: str, shards) -> str:
     processes by static device_id round-robin
     (reference: deploy/py_infer/src/parallel/framework/module_manager.py);
     HRW is that routing made resize-stable."""
+    if not shards:
+        raise ValueError("need at least one shard name")
     for s in shards:
         if "|" in s or "'" in s:
             raise ValueError(f"shard name must not contain | or ': {s}")

@@ -764,6 +764,21 @@ class TestForgetPropagation:
         reqs = spark.createDataFrame([(999,)], "doc_id bigint")
         assert forget_propagation(self._docs(spark), reqs).count() == 0
 
+    def test_string_ids_elect_representatives(self, spark):
+        # ids keep their natural type: url/content-hash ids must elect
+        # reps instead of NULLing out through a bigint cast
+        from mindocr_spark.functions.dedup import forget_propagation
+
+        docs = spark.createDataFrame(
+            [("url-a", "same text"), ("url-b", "same text"),
+             ("url-c", "same text")],
+            "doc_id string, text string")
+        reqs = spark.createDataFrame([("url-a",)], "doc_id string")
+        r = forget_propagation(docs, reqs).collect()[0]
+        assert r["rep_before"] == "url-a"
+        assert r["rep_after"] == "url-b"
+        assert r["action"] == "reelect"
+
 
 class TestWinnowFingerprints:
     def _run(self, spark, texts, k=4, w=4):

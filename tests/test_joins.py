@@ -184,3 +184,11 @@ class TestFkIntegrity:
         assert (r["n_null_fk"], r["n_orphan_rows"],
                 r["n_parent_dup_keys"]) == (0, 0, 0)
         assert r["orphan_share"] == 0.0
+
+    def test_dup_keys_counts_keys_not_excess_rows_and_skips_nulls(
+            self, spark):
+        # pk [1,1,1,NULL,NULL]: exactly ONE duplicated key; NULL pk
+        # rows never multiply a join so they are not "duplicates"
+        r = self._run(spark, [(1,)], [(1,), (1,), (1,), (None,), (None,)])
+        assert r["n_parent_rows"] == 5
+        assert r["n_parent_dup_keys"] == 1

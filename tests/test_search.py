@@ -513,6 +513,11 @@ class TestVSMAndRRF:
         w = dict(rrf_weights(60, 3))
         assert w[1] == "0.016393442622"   # 10^12 // 61
         assert w[2] == "0.016129032258"
+        # c=0: rank 1 weighs exactly 1.0 (13-digit scaled value must
+        # split into whole.fraction, not collapse to 0.1)
+        w0 = dict(rrf_weights(0, 2))
+        assert w0[1] == "1.000000000000"
+        assert w0[2] == "0.500000000000"
         import pytest
 
         with pytest.raises(ValueError):

@@ -189,4 +189,6 @@ class TestHRWSharding:
             hrw_choice_sql("k", ["a|b"])
         with pytest.raises(ValueError):
             hrw_choice_sql("k", ["a", "a"])
+        with pytest.raises(ValueError):
+            hrw_choice_sql("k", [])  # not silent malformed SQL
         assert "greatest" not in hrw_choice_sql("k", ["only"])

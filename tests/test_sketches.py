@@ -120,13 +120,42 @@ class TestCmsCounts:
             assert r["cms_estimate"] >= r["exact_count"]
         assert out["hot"]["exact_count"] == 10
 
-    def test_merge_by_union_identical(self, spark):
-        # cell-wise mergeability: sketch(whole) == sketch(half ∪ half)
-        whole = [f"w{i % 7}" for i in range(100)]
-        a = self._run(spark, whole, ("w0", "w3"), width=8)
-        b = self._run(spark, whole[:50] + whole[50:], ("w0", "w3"),
-                      width=8)
-        assert a == b
+    def test_merge_by_cellwise_addition(self, spark):
+        # TRUE mergeability: counters(A ∪ B) == cell-wise sum of
+        # counters(A) + counters(B), for two genuinely different
+        # streams (a union-of-the-same-list comparison can never fail)
+        from pyspark.sql import functions as F
+
+        from mindocr_spark.functions.sketches import cms_counters
+
+        stream_a = [f"w{i % 7}" for i in range(60)]
+        stream_b = [f"x{i % 5}" for i in range(40)] + ["w0"] * 3
+
+        def mk(vals):
+            return spark.createDataFrame([(v,) for v in vals],
+                                         "tok string")
+
+        whole = cms_counters(mk(stream_a + stream_b), "tok", width=8)
+        ca = cms_counters(mk(stream_a), "tok", width=8)
+        cb = cms_counters(mk(stream_b), "tok", width=8)
+        merged = (
+            ca.withColumnRenamed("c", "ca")
+            .join(cb.withColumnRenamed("c", "cb"), ["r", "pos"],
+                  "full_outer")
+            .select(
+                "r", "pos",
+                (F.coalesce("ca", F.lit(0)) + F.coalesce("cb", F.lit(0)))
+                .cast("bigint").alias("c"),
+            )
+        )
+        as_map = lambda df: {  # noqa: E731
+            (r["r"], r["pos"]): r["c"] for r in df.collect()
+        }
+        w, m = as_map(whole), as_map(merged)
+        assert w == m
+        assert len(w) > 1
+        # and the streams really differ: A-only cells exist in ca
+        assert as_map(ca) != as_map(cb)
 
     def test_guards(self, spark):
         import pytest as _pytest

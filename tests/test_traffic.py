@@ -242,6 +242,36 @@ class TestDailyAnomaly:
         assert out[19728]["n"] == 512
         assert out[19728]["mad_n"] == 1.0
 
+    def test_total_outage_day_is_flagged(self, spark):
+        # a day with ZERO events produces no groupBy row; the day-spine
+        # fill must surface it as n=0 and the fence must flag it —
+        # the one anomaly an outage monitor exists for
+        import datetime as dt
+
+        from mindocr_spark.functions.traffic import daily_anomaly_stats
+
+        rows = []
+        for d in range(15):
+            if d == 7:
+                continue  # 2024-01-08: total silence
+            for i in range(100 + (d % 3)):
+                rows.append(
+                    ("view", dt.datetime(2024, 1, 1 + d, 1,
+                                         i % 60, i // 60))
+                )
+        df = spark.createDataFrame(
+            rows, "event_type string, ts timestamp_ntz"
+        )
+        out = {r["day_n"]: r for r in
+               daily_anomaly_stats(df, k=6).collect()}
+        outage_day = 19730  # 2024-01-08
+        assert out[outage_day]["n"] == 0
+        assert out[outage_day]["is_anomaly"] is True
+        assert len(out) == 15  # spine covers the gap day
+        others = [d for d, r in out.items()
+                  if r["is_anomaly"] and d != outage_day]
+        assert others == []
+
     def test_guard(self, spark):
         from mindocr_spark.functions.traffic import daily_anomaly_stats
 
