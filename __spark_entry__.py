@@ -4463,6 +4463,111 @@ def q_ab_test(spark, sf_dir):
     ).orderBy("metric")
 
 
+def q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift test per language over the
+    document-length distribution: snapshot = doc_id parity, with a
+    planted +350-char shift on the new-snapshot 'de' stratum — the
+    whole-distribution drift a mean fence misses. Every D numerator is
+    an exact BIGINT |i*m - j*n|; one division and one pinned sqrt at
+    the end (functions/stats.ks_2sample)."""
+    from mindocr_spark.functions.stats import ks_2sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("old"))
+        .otherwise(F.lit("new")).alias("snap"),
+        (
+            F.length("text")
+            + F.when(
+                (F.col("doc_id") % 2 == 1) & (F.col("lang") == "de"),
+                F.lit(350),
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("doc_len"),
+    )
+    return ks_2sample(
+        d, "snap", "doc_len", "old", "new", by=("lang",)
+    ).orderBy("lang")
+
+
+def q_rank_sum(spark, sf_dir):
+    """Mann-Whitney rank-sum location test per language: does the new
+    snapshot's n_chars distribution sit above the old one? Planted
+    +120 shift on the new-snapshot 'fr' stratum. 2x the tie-averaged
+    rank sum is an exact BIGINT; the tie-corrected z is one pinned
+    IEEE expression (functions/stats.rank_sum_test)."""
+    from mindocr_spark.functions.stats import rank_sum_test
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("old"))
+        .otherwise(F.lit("new")).alias("snap"),
+        (
+            F.col("n_chars")
+            + F.when(
+                (F.col("doc_id") % 2 == 1) & (F.col("lang") == "fr"),
+                F.lit(120),
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("v"),
+    )
+    return rank_sum_test(
+        d, "snap", "v", "old", "new", by=("lang",)
+    ).orderBy("lang")
+
+
+def q_trend_test(spark, sf_dir):
+    """Mann-Kendall monotone-trend test + Sen slope over the per-type
+    daily event-count series, with a planted +5/day ramp on 'view' —
+    the crawl-volume drift monitor. S and the tie term are exact
+    BIGINTs from the period-grain pair join; the Sen median is
+    selected by explicit middle ranks, no engine quantile
+    (functions/stats.mann_kendall_trend)."""
+    from mindocr_spark.functions.stats import mann_kendall_trend
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    day_n = F.datediff(
+        F.to_date("ts"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    daily = (
+        e.select("event_type", day_n.alias("day_n"))
+        .groupBy("event_type", "day_n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    d0 = F.min("day_n").over(W.partitionBy("event_type"))
+    series = daily.select(
+        "event_type",
+        "day_n",
+        (
+            F.col("n")
+            + F.when(
+                F.col("event_type") == "view",
+                (F.col("day_n") - d0) * 5,
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("x"),
+    )
+    return mann_kendall_trend(
+        series, "day_n", "x", by=("event_type",)
+    ).orderBy("event_type")
+
+
+def q_benford_audit(spark, sf_dir):
+    """Benford first-significant-digit audit of lineitem extended
+    prices per return flag — the fabricated-numbers screen. Leading
+    digits are string-derived from floor(price) (no float log);
+    expected shares are shared 17-digit literals; chi-square terms
+    9dp-quantized and DECIMAL-summed (functions/stats
+    .benford_first_digit)."""
+    from mindocr_spark.functions.stats import benford_first_digit
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor("l_extendedprice").cast("bigint").alias("price_int"),
+    )
+    return benford_first_digit(
+        li, "price_int", by=("l_returnflag",)
+    ).orderBy("l_returnflag", "digit")
+
+
 def q_bleu_eval(spark, sf_dir):
     """Corpus BLEU of a degraded extraction against the reference
     text: the hypothesis replaces every 5th token with 'UNK' (a
@@ -6484,6 +6589,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symspell_correct": _q(q_symspell_correct),
         "bleu_eval": _q(q_bleu_eval),
         "ab_test": _q(q_ab_test),
+        "ks_drift": _q(q_ks_drift),
+        "rank_sum": _q(q_rank_sum),
+        "trend_test": _q(q_trend_test),
+        "benford_audit": _q(q_benford_audit),
         "k_anonymity": _q(q_k_anonymity),
         "compaction_plan": _q(q_compaction_plan),
         "winnow_fingerprints": _q(q_winnow_fingerprints),
@@ -7710,6 +7819,16 @@ def oracle_sql() -> dict[str, str]:
     _script_label = " ".join(
         f"WHEN n_{name} = best THEN '{name}'"
         for name, _ in _SCRIPT_CLASSES
+    )
+    # benford: the SAME 17-digit p literals + χ² fence the Spark side
+    # compiles (single source in functions/stats.py)
+    from mindocr_spark.functions.stats import (
+        BENFORD_P as _BENF,
+        CHI2_CRIT_8DF as _chi2_crit,
+    )
+
+    _benford_arr = ", ".join(
+        f"CAST({_BENF[_d]!r} AS DOUBLE)" for _d in range(1, 10)
     )
     return {
         "extract_fulltext": f"""
@@ -11325,6 +11444,259 @@ def oracle_sql() -> dict[str, str]:
                    lift, z,
                    coalesce(abs(z) >= 1.96, false) AS significant
             FROM zz ORDER BY metric""",
+        # twin of stats.ks_2sample + the parity-snapshot / planted-'de'
+        # fixture: D's numerator |i·m − j·n| is an exact BIGINT over
+        # the merged value grid; d and d_crit are one division / one
+        # pinned sqrt each
+        "ks_drift": r"""
+            WITH d AS (
+              SELECT lang,
+                     CASE WHEN doc_id % 2 = 0 THEN 'old'
+                          ELSE 'new' END AS snap,
+                     CAST(length(text)
+                          + CASE WHEN doc_id % 2 = 1 AND lang = 'de'
+                                 THEN 350 ELSE 0 END AS BIGINT) AS v
+              FROM documents),
+            t AS (
+              SELECT lang, v, (snap = 'old') AS is_a
+              FROM d WHERE snap IN ('old', 'new') AND v IS NOT NULL),
+            grid AS (
+              SELECT lang, v,
+                     CAST(coalesce(sum(CASE WHEN is_a THEN 1 END), 0)
+                          AS BIGINT) AS ca,
+                     CAST(coalesce(sum(CASE WHEN NOT is_a THEN 1 END),
+                          0) AS BIGINT) AS cb
+              FROM t GROUP BY lang, v),
+            walked AS (
+              SELECT lang,
+                     sum(ca) OVER (PARTITION BY lang ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS i,
+                     sum(cb) OVER (PARTITION BY lang ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS j,
+                     sum(ca) OVER (PARTITION BY lang) AS n_a,
+                     sum(cb) OVER (PARTITION BY lang) AS n_b
+              FROM grid),
+            agg AS (
+              SELECT lang,
+                     CAST(max(abs(i * n_b - j * n_a)) AS BIGINT)
+                       AS d_num,
+                     CAST(max(n_a) AS BIGINT) AS n_a,
+                     CAST(max(n_b) AS BIGINT) AS n_b
+              FROM walked GROUP BY lang),
+            sc AS (
+              SELECT lang, n_a, n_b, d_num,
+                CASE WHEN n_a > 0 AND n_b > 0 THEN
+                  CAST(d_num AS DOUBLE)
+                  / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                END AS d,
+                CASE WHEN n_a > 0 AND n_b > 0 THEN
+                  CAST(1.358 AS DOUBLE) * sqrt(
+                    CAST(n_a + n_b AS DOUBLE)
+                    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+                END AS d_crit
+              FROM agg)
+            SELECT lang, n_a, n_b, d_num, d, d_crit,
+                   coalesce(d > d_crit, false) AS drifted
+            FROM sc ORDER BY lang""",
+        # twin of stats.rank_sum_test + the planted-'fr' fixture:
+        # 2·R_a = Σ t_a·(2p + t + 1) exact BIGINT at value grain;
+        # tie-corrected z one pinned IEEE expression
+        "rank_sum": r"""
+            WITH d AS (
+              SELECT lang,
+                     CASE WHEN doc_id % 2 = 0 THEN 'old'
+                          ELSE 'new' END AS snap,
+                     CAST(n_chars
+                          + CASE WHEN doc_id % 2 = 1 AND lang = 'fr'
+                                 THEN 120 ELSE 0 END AS BIGINT) AS v
+              FROM documents),
+            t AS (
+              SELECT lang, v, (snap = 'old') AS is_a
+              FROM d WHERE snap IN ('old', 'new') AND v IS NOT NULL),
+            grid AS (
+              SELECT lang, v,
+                     CAST(coalesce(sum(CASE WHEN is_a THEN 1 END), 0)
+                          AS BIGINT) AS ta,
+                     CAST(coalesce(sum(CASE WHEN NOT is_a THEN 1 END),
+                          0) AS BIGINT) AS tb
+              FROM t GROUP BY lang, v),
+            walked AS (
+              SELECT lang, ta, tb, ta + tb AS t,
+                     sum(ta + tb) OVER (PARTITION BY lang ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) - (ta + tb) AS p
+              FROM grid),
+            agg AS (
+              SELECT lang,
+                     CAST(sum(ta) AS BIGINT) AS n_a,
+                     CAST(sum(tb) AS BIGINT) AS n_b,
+                     CAST(sum(ta * (2 * p + t + 1)) AS BIGINT) AS r2_a,
+                     CAST(sum(t * t * t - t) AS BIGINT) AS tie_term
+              FROM walked GROUP BY lang),
+            sc AS (
+              SELECT lang, n_a, n_b, tie_term,
+                     CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2,
+                     n_a + n_b AS n
+              FROM agg),
+            zz AS (
+              SELECT *,
+                CASE WHEN n_a > 0 AND n_b > 0
+                          AND tie_term < n * n * n - n THEN
+                  CAST(u2 - n_a * n_b AS DOUBLE)
+                  / (CAST(2.0 AS DOUBLE) * sqrt(
+                      (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                       / 12.0)
+                      * ((CAST(n AS DOUBLE) + 1.0)
+                         - CAST(tie_term AS DOUBLE)
+                           / (CAST(n AS DOUBLE)
+                              * (CAST(n AS DOUBLE) - 1.0)))))
+                END AS z
+              FROM sc)
+            SELECT lang, n_a, n_b, u2,
+                   CAST(u2 AS DOUBLE) / 2.0 AS u, tie_term, z,
+                   coalesce(abs(z) >= 1.96, false) AS significant
+            FROM zz ORDER BY lang""",
+        # twin of stats.mann_kendall_trend + the +5/day 'view' ramp:
+        # S and the tie term exact BIGINTs at period grain; Sen median
+        # by explicit middle ranks (floor((m+1)/2), floor((m+2)/2))
+        "trend_test": r"""
+            WITH daily AS (
+              SELECT event_type,
+                     CAST(date_diff('day', DATE '1970-01-01',
+                          CAST(ts AS DATE)) AS BIGINT) AS day_n,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY event_type, day_n),
+            series AS (
+              SELECT event_type, day_n,
+                     CAST(n + CASE WHEN event_type = 'view'
+                       THEN (day_n - min(day_n) OVER
+                             (PARTITION BY event_type)) * 5
+                       ELSE 0 END AS BIGINT) AS x0
+              FROM daily),
+            s AS (
+              SELECT event_type, day_n AS p, CAST(x0 AS DOUBLE) AS x
+              FROM series
+              WHERE day_n IS NOT NULL AND x0 IS NOT NULL),
+            pairs AS (
+              SELECT a.event_type,
+                     a.p AS pi, a.x AS xi, b.p AS pj, b.x AS xj,
+                     CASE WHEN b.x > a.x THEN 1
+                          WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn,
+                     (b.x - a.x) / CAST(b.p - a.p AS DOUBLE) AS slope
+              FROM s a JOIN s b ON a.event_type = b.event_type
+              WHERE b.p > a.p),
+            ranked AS (
+              SELECT event_type, sgn, slope,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY slope, pi, pj) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS m
+              FROM pairs),
+            pair_agg AS (
+              SELECT event_type,
+                     CAST(sum(sgn) AS BIGINT) AS s_stat,
+                     avg(CASE WHEN rn = CAST(floor((m + 1) / 2)
+                                          AS BIGINT)
+                               OR rn = CAST(floor((m + 2) / 2)
+                                            AS BIGINT)
+                          THEN slope END) AS sen_slope
+              FROM ranked GROUP BY event_type),
+            tblk AS (
+              SELECT event_type, x, CAST(count(*) AS BIGINT) AS t
+              FROM s GROUP BY event_type, x),
+            ties AS (
+              SELECT event_type,
+                     CAST(sum(t) AS BIGINT) AS n_periods,
+                     CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                       AS tie_var_term
+              FROM tblk GROUP BY event_type),
+            fin AS (
+              SELECT ties.event_type, n_periods, s_stat, tie_var_term,
+                     sen_slope,
+                     CAST(n_periods * (n_periods - 1)
+                          * (2 * n_periods + 5) - tie_var_term
+                          AS DOUBLE) / 18.0 AS var_s0
+              FROM ties LEFT JOIN pair_agg USING (event_type)),
+            zz AS (
+              SELECT *,
+                CASE WHEN n_periods >= 2 AND var_s0 > 0.0
+                          AND s_stat > 0
+                       THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s0)
+                     WHEN n_periods >= 2 AND var_s0 > 0.0
+                          AND s_stat < 0
+                       THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s0)
+                     WHEN n_periods >= 2 AND var_s0 > 0.0
+                       THEN CAST(0.0 AS DOUBLE)
+                END AS z
+              FROM fin)
+            SELECT event_type, n_periods, s_stat,
+                   tie_var_term AS tie_term,
+                   CASE WHEN n_periods >= 2 THEN var_s0 END AS var_s,
+                   z,
+                   CASE WHEN z >= 1.96 THEN 'increasing'
+                        WHEN z <= -1.96 THEN 'decreasing'
+                        ELSE 'none' END AS trend,
+                   CASE WHEN n_periods >= 2 THEN sen_slope END
+                     AS sen_slope
+            FROM zz ORDER BY event_type""",
+        # twin of stats.benford_first_digit: string-derived leading
+        # digit, shared 17-digit p literals, χ² terms 9dp-quantized
+        # then DECIMAL-summed
+        "benford_audit": f"""
+            WITH vals AS (
+              SELECT l_returnflag,
+                     CAST(substring(CAST(CAST(floor(l_extendedprice)
+                       AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND CAST(floor(l_extendedprice) AS BIGINT) >= 1),
+            obs AS (
+              SELECT l_returnflag, digit,
+                     CAST(count(*) AS BIGINT) AS n_obs
+              FROM vals GROUP BY l_returnflag, digit),
+            strata AS (
+              SELECT l_returnflag,
+                     CAST(sum(n_obs) AS BIGINT) AS n_total
+              FROM obs GROUP BY l_returnflag),
+            spine AS (
+              SELECT l_returnflag, n_total,
+                     CAST(unnest(generate_series(1, 9)) AS INT)
+                       AS digit
+              FROM strata),
+            filled AS (
+              SELECT s.l_returnflag, s.digit,
+                     CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+                     s.n_total,
+                     ([{_benford_arr}])[s.digit] AS p_benford
+              FROM spine s LEFT JOIN obs o
+                ON s.l_returnflag = o.l_returnflag
+               AND s.digit = o.digit),
+            scored AS (
+              SELECT l_returnflag, digit, n_obs, n_total,
+                     CASE WHEN n_total > 0 THEN
+                       CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE)
+                     END AS share,
+                     p_benford,
+                     CASE WHEN n_total > 0 THEN round(
+                       (CAST(n_obs AS DOUBLE)
+                        - CAST(n_total AS DOUBLE) * p_benford)
+                       * (CAST(n_obs AS DOUBLE)
+                          - CAST(n_total AS DOUBLE) * p_benford)
+                       / (CAST(n_total AS DOUBLE) * p_benford), 9)
+                     END AS chi2_term
+              FROM filled),
+            withsum AS (
+              SELECT *,
+                     CAST(sum(CAST(chi2_term AS DECIMAL(28, 9)))
+                       OVER (PARTITION BY l_returnflag) AS DOUBLE)
+                       AS chi2
+              FROM scored)
+            SELECT l_returnflag, digit, n_obs, n_total, share,
+                   p_benford, chi2_term, chi2,
+                   coalesce(chi2 > CAST({_chi2_crit!r} AS DOUBLE),
+                            false) AS biased
+            FROM withsum ORDER BY l_returnflag, digit""",
         # twin of text.bleu_corpus + the every-5th-token-UNK fixture:
         # clipped matches/totals exact BIGINTs at (doc, n, gram)
         # grain; p_n one IEEE division; ln(p_n) 9dp-quantized →

@@ -1,0 +1,455 @@
+"""stats — distribution-level hypothesis tests for corpus monitoring.
+
+A continuously-refreshed training corpus needs distribution-grade
+change detection, not just mean/median fences: a recrawl that shifts
+the WHOLE document-length distribution (new boilerplate, new template,
+new extraction bug) can leave the mean untouched while every quantile
+moves. Three classical nonparametric tests, each expressed as exact
+integer statistics feeding one pinned IEEE formula (the
+``ab_test_proportions`` exactness discipline), plus a Benford
+first-digit audit for fabricated-numbers forensics:
+
+1. **Two-sample Kolmogorov–Smirnov** (:func:`ks_2sample`) — the
+   largest ECDF gap between two samples. D's NUMERATOR is an exact
+   BIGINT (``|i·m − j·n|`` over the merged value grid), divided once.
+2. **Mann–Whitney rank-sum** (:func:`rank_sum_test`) — location-shift
+   test robust to outliers. The doubled rank sum ``2·R`` is an exact
+   BIGINT (average tie-ranks are dyadic halves), tie-corrected normal
+   approximation for z.
+3. **Mann–Kendall trend + Sen slope** (:func:`mann_kendall_trend`) —
+   monotone-trend detection over a per-period series (S is an exact
+   pair-sign sum; the Sen slope median is selected by explicit middle
+   ranks, never an engine quantile function).
+4. **Benford first-digit audit** (:func:`benford_first_digit`) —
+   χ² of observed leading digits against Benford expectation, the
+   standard fabricated-metrics screen.
+
+100 TB shape: every test collapses the corpus FIRST — one map-side-
+combinable groupBy to (stratum, value) or (stratum, period) grain —
+and all window/self-join work happens at that collapsed grain,
+partitioned by stratum. Nothing here ever sorts or joins row-grain
+data.
+
+Reference lineage: the reference's eval loop reduces per-sample
+scores to corpus-level metrics and compares runs by those scalars
+(reference: mindocr/metrics/det_metrics.py:79-156, AllReduce
+partial+final); these tests are the same reduce shape where the
+compared object is the distribution itself.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def ks_2sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    by: tuple = (),
+    c_alpha: float = 1.358,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test per stratum: D = sup_x
+    |ECDF_a(x) − ECDF_b(x)| between the `group_a` and `group_b`
+    samples of `value_col`, with the large-sample rejection fence
+    D > c(α)·√((n_a+n_b)/(n_a·n_b)) (c = 1.358 ↔ α = 0.05).
+
+    Returns one row per stratum: (*by, n_a, n_b, d_num, d, d_crit,
+    drifted). Exactness: at every merged grid value the ECDF gap is
+    the INTEGER |i·n_b − j·n_a| (i, j = cumulative counts), so
+    ``d_num`` is an exact BIGINT and ``d = d_num/(n_a·n_b)`` is one
+    IEEE division; d_crit is one pinned sqrt of an integer ratio —
+    bit-identical cross-engine. Either sample empty → d/d_crit NULL,
+    drifted false.
+
+    100 TB shape: one groupBy collapses both samples to
+    (stratum, value) grain; the cumulative walk is a window
+    PARTITIONED BY stratum over that collapsed grid (distinct values,
+    not rows), then one max per stratum."""
+    keys = list(by)
+    tagged = df.where(
+        F.col(group_col).isin(group_a, group_b)
+        & F.col(value_col).isNotNull()
+    ).select(
+        *keys,
+        F.col(value_col).alias("v"),
+        (F.col(group_col) == group_a).alias("is_a"),
+    )
+    grid = tagged.groupBy(*keys, "v").agg(
+        F.sum(F.col("is_a").cast("bigint")).cast("bigint").alias("ca"),
+        F.sum((~F.col("is_a")).cast("bigint")).cast("bigint").alias("cb"),
+    )
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys)
+    walked = grid.select(
+        *keys,
+        F.sum("ca").over(w_cum).alias("i"),
+        F.sum("cb").over(w_cum).alias("j"),
+        F.sum("ca").over(w_all).alias("n_a"),
+        F.sum("cb").over(w_all).alias("n_b"),
+    )
+    agg = walked.groupBy(*keys).agg(
+        F.max(
+            F.abs(F.col("i") * F.col("n_b") - F.col("j") * F.col("n_a"))
+        ).cast("bigint").alias("d_num"),
+        F.max("n_a").cast("bigint").alias("n_a"),
+        F.max("n_b").cast("bigint").alias("n_b"),
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    nm = F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    d = F.when(ok, F.col("d_num").cast("double") / nm)
+    d_crit = F.when(
+        ok,
+        F.lit(float(c_alpha))
+        * F.sqrt(
+            (F.col("n_a") + F.col("n_b")).cast("double") / nm
+        ),
+    )
+    return agg.select(
+        *keys,
+        "n_a",
+        "n_b",
+        "d_num",
+        d.alias("d"),
+        d_crit.alias("d_crit"),
+        F.coalesce(d > d_crit, F.lit(False)).alias("drifted"),
+    )
+
+
+def rank_sum_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    by: tuple = (),
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test per stratum: does the
+    `group_b` sample of `value_col` sit systematically above/below
+    `group_a`? Robust to outliers and arbitrary distributions — the
+    standard 'did the refresh move the distribution's location?'
+    readout where a t-test would chase heavy tails.
+
+    Returns one row per stratum: (*by, n_a, n_b, u2, u, tie_term, z,
+    significant). Exactness: with ties at average ranks, TWICE the
+    rank sum of sample a is the exact BIGINT
+    ``Σ_values t_a·(2p + t + 1)`` (p = items strictly below, t = tie
+    block size), so ``u2 = 2·U_a = r2_a − n_a(n_a+1)`` is exact;
+    z = (u2 − n_a·n_b) / (2·σ) with the tie-corrected
+    σ² = (n_a·n_b/12)·((N+1) − Σ(t³−t)/(N(N−1))) — one pinned IEEE
+    expression over exact integers. z is NULL (significant false)
+    when either sample is empty or every value is tied (σ = 0).
+
+    100 TB shape: identical to :func:`ks_2sample` — collapse to
+    (stratum, value) grain, one stratum-partitioned window over the
+    value grid, one final groupBy."""
+    keys = list(by)
+    tagged = df.where(
+        F.col(group_col).isin(group_a, group_b)
+        & F.col(value_col).isNotNull()
+    ).select(
+        *keys,
+        F.col(value_col).alias("v"),
+        (F.col(group_col) == group_a).alias("is_a"),
+    )
+    grid = tagged.groupBy(*keys, "v").agg(
+        F.sum(F.col("is_a").cast("bigint")).cast("bigint").alias("ta"),
+        F.sum((~F.col("is_a")).cast("bigint")).cast("bigint").alias("tb"),
+    )
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = F.col("ta") + F.col("tb")
+    walked = grid.select(
+        *keys,
+        "ta",
+        "tb",
+        t.alias("t"),
+        (F.sum(t).over(w_cum) - t).alias("p"),
+    )
+    agg = walked.groupBy(*keys).agg(
+        F.sum("ta").cast("bigint").alias("n_a"),
+        F.sum("tb").cast("bigint").alias("n_b"),
+        F.sum(
+            F.col("ta") * (F.lit(2) * F.col("p") + F.col("t") + F.lit(1))
+        ).cast("bigint").alias("r2_a"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).cast("bigint").alias("tie_term"),
+    )
+    u2 = (
+        F.col("r2_a") - F.col("n_a") * (F.col("n_a") + F.lit(1))
+    ).cast("bigint")
+    n = F.col("n_a") + F.col("n_b")
+    nd = n.cast("double")
+    var = (
+        (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        / F.lit(12.0)
+    ) * (
+        (nd + F.lit(1.0))
+        - F.col("tie_term").cast("double") / (nd * (nd - F.lit(1.0)))
+    )
+    # z exists iff both samples non-empty and not everything is one
+    # tie block (integer predicate: tie_term < n^3 - n ⇔ σ² > 0)
+    zok = (
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (F.col("tie_term") < n * n * n - n)
+    )
+    z = F.when(
+        zok,
+        (u2 - F.col("n_a") * F.col("n_b")).cast("double")
+        / (F.lit(2.0) * F.sqrt(var)),
+    )
+    return agg.select(
+        *keys,
+        "n_a",
+        "n_b",
+        u2.alias("u2"),
+        (u2.cast("double") / F.lit(2.0)).alias("u"),
+        "tie_term",
+        z.alias("z"),
+        F.coalesce(F.abs(z) >= F.lit(float(z_crit)), F.lit(False))
+        .alias("significant"),
+    )
+
+
+def mann_kendall_trend(
+    series: DataFrame,
+    period_col: str,
+    x_col: str,
+    by: tuple = (),
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Mann–Kendall monotone-trend test + Sen's slope per stratum over
+    a (period, value) series — 'is corpus quality / volume drifting
+    up or down over crawl snapshots?' without assuming linearity or
+    normality. `series` must already be at one-row-per-(stratum,
+    period) grain (the caller's groupBy collapsed the corpus).
+
+    Returns (*by, n_periods, s_stat, tie_term, var_s, z, trend,
+    sen_slope): S = Σ_{i<j} sign(x_j − x_i) (exact BIGINT via the
+    stratum-local pair join), Var(S) = (n(n−1)(2n+5) − Σt(t−1)(2t+5))
+    /18 with the tie correction, z the standard ±1-continuity form,
+    trend ∈ increasing/decreasing/none at `z_crit`. Sen's slope is
+    the median pairwise slope (x_j − x_i)/(p_j − p_i), selected by
+    EXPLICIT middle ranks (floor((m+1)/2), floor((m+2)/2)) and
+    averaged — never an engine quantile function, so the value is two
+    exact-integer IEEE divisions and one pinned mean, bit-identical
+    cross-engine. n < 2 → NULL z/slope, trend none.
+
+    100 TB shape: the pair join is stratum-partitioned at PERIOD grain
+    (n_periods² pairs per stratum, thousands at most — snapshots, not
+    rows); one shuffle on the stratum key carries join, windows and
+    the final aggregate."""
+    keys = list(by)
+    s = series.select(
+        *keys,
+        F.col(period_col).cast("bigint").alias("p"),
+        F.col(x_col).cast("double").alias("x"),
+    ).where(F.col("p").isNotNull() & F.col("x").isNotNull())
+    left = s.select(
+        *keys, F.col("p").alias("pi"), F.col("x").alias("xi")
+    )
+    right = s.select(
+        *keys, F.col("p").alias("pj"), F.col("x").alias("xj")
+    )
+    pairs = left.join(right, keys) if keys else left.crossJoin(right)
+    pairs = pairs.where(F.col("pj") > F.col("pi"))
+    sgn = F.when(F.col("xj") > F.col("xi"), 1).when(
+        F.col("xj") < F.col("xi"), -1
+    ).otherwise(0)
+    slope = (F.col("xj") - F.col("xi")) / (
+        F.col("pj") - F.col("pi")
+    ).cast("double")
+    w_rank = Window.partitionBy(*keys).orderBy("slope", "pi", "pj")
+    w_all = Window.partitionBy(*keys)
+    ranked = pairs.select(
+        *keys,
+        "pi",
+        "pj",
+        sgn.alias("sgn"),
+        slope.alias("slope"),
+    ).select(
+        *keys,
+        "sgn",
+        "slope",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("m"),
+    )
+    lo = (F.col("m") + 1).cast("bigint") / F.lit(2)
+    hi = (F.col("m") + 2).cast("bigint") / F.lit(2)
+    pair_agg = ranked.groupBy(*keys).agg(
+        F.sum("sgn").cast("bigint").alias("s_stat"),
+        F.max("m").cast("bigint").alias("m"),
+        F.avg(
+            F.when(
+                (F.col("rn") == F.floor(lo))
+                | (F.col("rn") == F.floor(hi)),
+                F.col("slope"),
+            )
+        ).alias("sen_slope"),
+    )
+    ties = (
+        s.groupBy(*keys, "x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vals"),
+            F.sum("t").cast("bigint").alias("n_periods"),
+            F.sum(
+                F.col("t")
+                * (F.col("t") - 1)
+                * (F.lit(2) * F.col("t") + 5)
+            ).cast("bigint").alias("tie_var_term"),
+        )
+    )
+    # ties side drives: a single-period stratum has NO pairs (pair_agg
+    # row absent) but must still appear with NULL z / slope
+    j = (
+        ties.join(pair_agg, keys, "left")
+        if keys
+        else ties.crossJoin(pair_agg)
+    )
+    n = F.col("n_periods")
+    var_s = (
+        (
+            n * (n - 1) * (F.lit(2) * n + 5) - F.col("tie_var_term")
+        ).cast("double")
+        / F.lit(18.0)
+    )
+    zok = (n >= 2) & (var_s > F.lit(0.0))
+    z = F.when(
+        zok & (F.col("s_stat") > 0),
+        (F.col("s_stat") - 1).cast("double") / F.sqrt(var_s),
+    ).when(
+        zok & (F.col("s_stat") < 0),
+        (F.col("s_stat") + 1).cast("double") / F.sqrt(var_s),
+    ).when(zok, F.lit(0.0))
+    return j.select(
+        *keys,
+        "n_periods",
+        "s_stat",
+        F.col("tie_var_term").alias("tie_term"),
+        F.when(n >= 2, var_s).alias("var_s"),
+        z.alias("z"),
+        F.when(z >= F.lit(float(z_crit)), F.lit("increasing"))
+        .when(z <= F.lit(-float(z_crit)), F.lit("decreasing"))
+        .otherwise(F.lit("none")).alias("trend"),
+        F.when(n >= 2, F.col("sen_slope")).alias("sen_slope"),
+    )
+
+
+#: Benford expected first-digit shares log10(1 + 1/d), rendered ONCE
+#: in Python (17 significant digits — shortest-roundtrip exact for
+#: both engines' double parse) so neither engine's log10 is trusted.
+BENFORD_P = {d: float(f"{math.log10(1 + 1 / d):.17g}")
+             for d in range(1, 10)}
+
+#: χ² 0.95 quantile at 8 degrees of freedom (9 digits − 1).
+CHI2_CRIT_8DF = 15.50731305586545
+
+
+def benford_first_digit(
+    df: DataFrame,
+    value_col: str,
+    by: tuple = (),
+    chi2_crit: float = CHI2_CRIT_8DF,
+) -> DataFrame:
+    """Benford first-significant-digit audit per stratum — the
+    standard fabricated-numbers screen (engagement counts, traffic
+    numbers, invoice-style metadata): observed leading-digit counts of
+    positive integer `value_col` values vs Benford's log10(1+1/d),
+    with Pearson's χ² and a χ² > crit verdict (df = 8).
+
+    Returns NINE rows per stratum: (*by, digit, n_obs, n_total,
+    share, p_benford, chi2_term, chi2, biased) — zero-count digits
+    appear (their χ² term is N·p, not 0). Exactness: counts exact
+    BIGINTs; the leading digit is string-derived (no float log);
+    p_benford are shared 17-digit literals; each χ² term
+    (o − N·p)²/(N·p) is 9dp-quantized then DECIMAL-summed. n_total=0
+    → share/chi2 NULL, biased false.
+
+    100 TB shape: one map-side-combinable groupBy to (stratum, digit)
+    grain (≤ 9 live digits); the 1..9 spine join and χ² assembly run
+    at that grain."""
+    keys = list(by)
+    vals = df.where(
+        F.col(value_col).isNotNull() & (F.col(value_col) >= 1)
+    ).select(
+        *keys,
+        F.substring(
+            F.col(value_col).cast("bigint").cast("string"), 1, 1
+        ).cast("int").alias("digit"),
+    )
+    obs = vals.groupBy(*keys, "digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    strata = (
+        obs.groupBy(*keys).agg(
+            F.sum("n_obs").cast("bigint").alias("n_total")
+        )
+        if keys
+        else obs.agg(F.sum("n_obs").cast("bigint").alias("n_total"))
+    )
+    spine = strata.select(
+        *keys,
+        "n_total",
+        F.explode(
+            F.array(*[F.lit(d) for d in range(1, 10)])
+        ).alias("digit"),
+    )
+    filled = spine.join(obs, [*keys, "digit"], "left").select(
+        *keys,
+        "digit",
+        F.coalesce("n_obs", F.lit(0)).cast("bigint").alias("n_obs"),
+        "n_total",
+    )
+    p_lit = F.element_at(
+        F.array(*[F.lit(BENFORD_P[d]) for d in range(1, 10)]),
+        F.col("digit"),
+    )
+    nt = F.col("n_total").cast("double")
+    expected = nt * p_lit
+    dev = F.col("n_obs").cast("double") - expected
+    # dev*dev, not pow(dev, 2): pow is not guaranteed correctly
+    # rounded and can differ between engines in the last ulp
+    term = F.round(dev * dev / expected, 9)
+    w_all = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    scored = filled.select(
+        *keys,
+        "digit",
+        "n_obs",
+        "n_total",
+        F.when(
+            F.col("n_total") > 0, F.col("n_obs").cast("double") / nt
+        ).alias("share"),
+        p_lit.alias("p_benford"),
+        F.when(F.col("n_total") > 0, term).alias("chi2_term"),
+    )
+    chi2 = F.sum(
+        F.col("chi2_term").cast("decimal(28,9)")
+    ).over(w_all).cast("double")
+    return scored.select(
+        *keys,
+        "digit",
+        "n_obs",
+        "n_total",
+        "share",
+        "p_benford",
+        "chi2_term",
+        chi2.alias("chi2"),
+        F.coalesce(chi2 > F.lit(float(chi2_crit)), F.lit(False))
+        .alias("biased"),
+    )

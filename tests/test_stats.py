@@ -1,0 +1,191 @@
+"""Hand-computed goldens for the nonparametric test family
+(functions/stats.py): KS, Mann-Whitney, Mann-Kendall, Benford."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestKS2Sample:
+    def _run(self, spark, a_vals, b_vals, **kw):
+        from mindocr_spark.functions.stats import ks_2sample
+
+        rows = [("a", v) for v in a_vals] + [("b", v) for v in b_vals]
+        df = spark.createDataFrame(rows, "g string, v bigint")
+        return ks_2sample(df, "g", "v", "a", "b", **kw).collect()
+
+    def test_hand_computed_partial_overlap(self, spark):
+        # A=[1,2,3,4] B=[3,4,5,6]: sup gap at v=2..4 → d_num=8, d=0.5
+        (r,) = self._run(spark, [1, 2, 3, 4], [3, 4, 5, 6])
+        assert (r["n_a"], r["n_b"], r["d_num"]) == (4, 4, 8)
+        assert r["d"] == 0.5
+        assert abs(r["d_crit"] - 1.358 * math.sqrt(8 / 16)) < 1e-12
+        assert r["drifted"] is False  # 0.5 < 0.96
+
+    def test_disjoint_samples_drift(self, spark):
+        (r,) = self._run(spark, [1, 1, 1, 1], [10, 10, 10, 10])
+        assert r["d"] == 1.0
+        assert r["drifted"] is True
+
+    def test_identical_samples_zero(self, spark):
+        (r,) = self._run(spark, [1, 2, 3], [1, 2, 3])
+        assert r["d_num"] == 0 and r["d"] == 0.0
+        assert r["drifted"] is False
+
+    def test_empty_side_null_not_crash(self, spark):
+        from mindocr_spark.functions.stats import ks_2sample
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 2)], "g string, v bigint"
+        )
+        (r,) = ks_2sample(df, "g", "v", "a", "b").collect()
+        assert r["n_b"] == 0 and r["d"] is None
+        assert r["drifted"] is False
+
+    def test_stratified(self, spark):
+        from mindocr_spark.functions.stats import ks_2sample
+
+        rows = (
+            [("x", "a", v) for v in [1, 2, 3, 4]]
+            + [("x", "b", v) for v in [30, 40, 50, 60]]  # drifts
+            + [("y", "a", v) for v in [1, 2, 3, 4]]
+            + [("y", "b", v) for v in [1, 2, 3, 4]]      # identical
+        )
+        df = spark.createDataFrame(rows, "s string, g string, v bigint")
+        out = {r["s"]: r for r in
+               ks_2sample(df, "g", "v", "a", "b", by=("s",)).collect()}
+        assert out["x"]["drifted"] is True
+        assert out["y"]["drifted"] is False
+
+
+class TestRankSum:
+    def _run(self, spark, a_vals, b_vals, **kw):
+        from mindocr_spark.functions.stats import rank_sum_test
+
+        rows = [("a", v) for v in a_vals] + [("b", v) for v in b_vals]
+        df = spark.createDataFrame(rows, "g string, v bigint")
+        return rank_sum_test(df, "g", "v", "a", "b", **kw).collect()
+
+    def test_hand_computed_separated(self, spark):
+        # A=[1,2,3] B=[4,5,6]: R_a=6 → U_a=0; var=5.25; z≈-1.9640
+        (r,) = self._run(spark, [1, 2, 3], [4, 5, 6])
+        assert (r["n_a"], r["n_b"], r["u2"]) == (3, 3, 0)
+        assert r["u"] == 0.0
+        assert r["tie_term"] == 0
+        exp_z = (0 - 9) / (2 * math.sqrt(5.25))
+        assert abs(r["z"] - exp_z) < 1e-12
+        assert r["significant"] is True
+
+    def test_tied_block_average_ranks(self, spark):
+        # A=[1,2] B=[2,3]: ranks 1,(2.5,2.5),4 → R_a=3.5 → r2_a=7,
+        # u2 = 7 - 2·3 = 1 → U=0.5; tie_term for block of 2 = 6
+        (r,) = self._run(spark, [1, 2], [2, 3])
+        assert r["u2"] == 1 and r["u"] == 0.5
+        assert r["tie_term"] == 6
+
+    def test_all_tied_null_z(self, spark):
+        (r,) = self._run(spark, [7, 7], [7, 7])
+        assert r["tie_term"] == 60  # 4^3-4
+        assert r["z"] is None and r["significant"] is False
+
+    def test_symmetric_samples_z_zero(self, spark):
+        (r,) = self._run(spark, [1, 4], [2, 3])
+        # U_a = 2 = n_a·n_b/2 exactly → z = 0
+        assert r["u2"] == 4 and r["z"] == 0.0
+        assert r["significant"] is False
+
+
+class TestMannKendall:
+    def _run(self, spark, xs, **kw):
+        from mindocr_spark.functions.stats import mann_kendall_trend
+
+        df = spark.createDataFrame(
+            [(i + 1, float(x)) for i, x in enumerate(xs)],
+            "p bigint, x double",
+        )
+        return mann_kendall_trend(df, "p", "x", **kw).collect()
+
+    def test_strictly_increasing(self, spark):
+        (r,) = self._run(spark, [1, 2, 3, 4, 5])
+        assert r["s_stat"] == 10 and r["tie_term"] == 0
+        assert abs(r["var_s"] - 300 / 18) < 1e-12
+        assert abs(r["z"] - 9 / math.sqrt(300 / 18)) < 1e-12
+        assert r["trend"] == "increasing"
+        assert r["sen_slope"] == 1.0
+
+    def test_strictly_decreasing(self, spark):
+        (r,) = self._run(spark, [5, 4, 3, 2, 1])
+        assert r["s_stat"] == -10
+        assert r["trend"] == "decreasing"
+        assert r["sen_slope"] == -1.0
+
+    def test_constant_series_no_trend(self, spark):
+        (r,) = self._run(spark, [2, 2, 2])
+        assert r["s_stat"] == 0
+        assert r["var_s"] == 0.0
+        assert r["z"] is None and r["trend"] == "none"
+        assert r["sen_slope"] == 0.0
+
+    def test_sen_slope_even_pair_median(self, spark):
+        # x=[0,1,3] over p=1,2,3: slopes 1, 1.5, 2 → median 1.5
+        (r,) = self._run(spark, [0, 1, 3])
+        assert r["sen_slope"] == 1.5
+        assert r["s_stat"] == 3
+
+    def test_single_period_nulls(self, spark):
+        (r,) = self._run(spark, [42])
+        assert r["n_periods"] == 1
+        assert r["z"] is None and r["sen_slope"] is None
+        assert r["trend"] == "none"
+
+
+class TestBenford:
+    def _run(self, spark, vals, **kw):
+        from mindocr_spark.functions.stats import benford_first_digit
+
+        df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+        return benford_first_digit(df, "v", **kw).collect()
+
+    def test_uniform_digits_flagged(self, spark):
+        # 100 of each leading digit: grossly non-Benford
+        vals = [d * 100 + k for d in range(1, 10) for k in range(100)]
+        rows = {r["digit"]: r for r in self._run(spark, vals)}
+        assert len(rows) == 9
+        assert all(r["n_obs"] == 100 for r in rows.values())
+        assert rows[1]["chi2"] > 15.507
+        assert rows[1]["biased"] is True
+
+    def test_benford_conformant_passes(self, spark):
+        # counts proportional to log10(1+1/d) (N=1000, rounded):
+        # chi2 from rounding error only — far below the fence
+        import math as m
+
+        vals = []
+        for d in range(1, 10):
+            n_d = round(1000 * m.log10(1 + 1 / d))
+            vals += [d] * n_d
+        rows = self._run(spark, vals)
+        assert rows[0]["chi2"] < 1.0
+        assert rows[0]["biased"] is False
+
+    def test_zero_count_digit_appears_with_term(self, spark):
+        rows = {r["digit"]: r for r in self._run(spark, [1, 1, 1, 2])}
+        assert len(rows) == 9
+        assert rows[9]["n_obs"] == 0
+        # (0 - N·p)²/(N·p) = N·p
+        from mindocr_spark.functions.stats import BENFORD_P
+
+        assert abs(rows[9]["chi2_term"] - 4 * BENFORD_P[9]) < 1e-9
+
+    def test_multidigit_leading_digit(self, spark):
+        rows = {r["digit"]: r for r in
+                self._run(spark, [905, 87, 7, 12345])}
+        assert rows[9]["n_obs"] == 1
+        assert rows[8]["n_obs"] == 1
+        assert rows[7]["n_obs"] == 1
+        assert rows[1]["n_obs"] == 1
+
+    def test_nonpositive_excluded(self, spark):
+        rows = self._run(spark, [5, 0, -3])
+        assert rows[0]["n_total"] == 1
