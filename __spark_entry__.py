@@ -4568,6 +4568,65 @@ def q_benford_audit(spark, sf_dir):
     ).orderBy("l_returnflag", "digit")
 
 
+def q_roc_auc(spark, sf_dir):
+    """ROC-AUC of a synthetic quality score against a planted label
+    per language: positives (doc_id % 3 == 0) get a +15 bump on a
+    ties-heavy n_chars%50 base score, so the scorer separates but
+    imperfectly and the tie-averaging path is exercised. 2·U is an
+    exact BIGINT from the score-grid walk; auc is one IEEE division
+    (functions/stats.roc_auc)."""
+    from mindocr_spark.functions.stats import roc_auc
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        (F.col("doc_id") % 3 == 0).alias("is_good"),
+        (
+            (F.col("n_chars") % 50)
+            + F.when(F.col("doc_id") % 3 == 0, F.lit(15))
+            .otherwise(F.lit(0))
+        ).cast("bigint").alias("score"),
+    )
+    return roc_auc(d, "is_good", "score", by=("lang",)).orderBy("lang")
+
+
+def q_kendall_tau(spark, sf_dir):
+    """Kendall tau-b between quantity and a bucketed extended-price
+    signal per return flag — the gate-redundancy audit (price tracks
+    quantity, so tau is strongly positive). Concordant/discordant
+    pair counts are exact DECIMAL sums over the (qty, price-bucket)
+    cell grid — quadratic only in distinct cells, never rows
+    (functions/stats.kendall_tau)."""
+    from mindocr_spark.functions.stats import kendall_tau
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("qty_b"),
+        F.floor(F.col("l_extendedprice") / F.lit(2000.0))
+        .cast("bigint").alias("price_b"),
+    )
+    return kendall_tau(
+        li, "qty_b", "price_b", by=("l_returnflag",)
+    ).orderBy("l_returnflag")
+
+
+def q_spearman_rho(spark, sf_dir):
+    """Spearman rho between two bucketed document signals per
+    language: y = x + a doc_id%13 jitter, so the association is
+    strongly monotone but tied and noisy. Doubled average ranks are
+    exact integers from the marginal grid walks; five exact decimal
+    moment sums feed one IEEE expression
+    (functions/stats.spearman_rho)."""
+    from mindocr_spark.functions.stats import spearman_rho
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        (F.col("n_chars") % 97).cast("bigint").alias("x_b"),
+        ((F.col("n_chars") % 97) + (F.col("doc_id") % 13))
+        .cast("bigint").alias("y_b"),
+    )
+    return spearman_rho(d, "x_b", "y_b", by=("lang",)).orderBy("lang")
+
+
 def q_bleu_eval(spark, sf_dir):
     """Corpus BLEU of a degraded extraction against the reference
     text: the hypothesis replaces every 5th token with 'UNK' (a
@@ -6593,6 +6652,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_sum": _q(q_rank_sum),
         "trend_test": _q(q_trend_test),
         "benford_audit": _q(q_benford_audit),
+        "roc_auc": _q(q_roc_auc),
+        "kendall_tau": _q(q_kendall_tau),
+        "spearman_rho": _q(q_spearman_rho),
         "k_anonymity": _q(q_k_anonymity),
         "compaction_plan": _q(q_compaction_plan),
         "winnow_fingerprints": _q(q_winnow_fingerprints),
@@ -11697,6 +11759,174 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(chi2 > CAST({_chi2_crit!r} AS DOUBLE),
                             false) AS biased
             FROM withsum ORDER BY l_returnflag, digit""",
+        # twin of stats.roc_auc + the +15-bump fixture: 2·U⁺ =
+        # Σ t⁺·(2p + t + 1) − n⁺(n⁺+1) exact BIGINT at score grain;
+        # auc one IEEE division, gini one fused literal expression
+        "roc_auc": r"""
+            WITH d AS (
+              SELECT lang,
+                     (doc_id % 3 = 0) AS is_pos,
+                     CAST(n_chars % 50
+                          + CASE WHEN doc_id % 3 = 0 THEN 15
+                            ELSE 0 END AS BIGINT) AS v
+              FROM documents),
+            t AS (
+              SELECT lang, v, is_pos FROM d
+              WHERE v IS NOT NULL AND is_pos IS NOT NULL),
+            grid AS (
+              SELECT lang, v,
+                     CAST(coalesce(sum(CASE WHEN is_pos THEN 1 END),
+                          0) AS BIGINT) AS tp,
+                     CAST(coalesce(sum(CASE WHEN NOT is_pos THEN 1
+                          END), 0) AS BIGINT) AS tn
+              FROM t GROUP BY lang, v),
+            walked AS (
+              SELECT lang, tp, tn, tp + tn AS t,
+                     sum(tp + tn) OVER (PARTITION BY lang ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) - (tp + tn) AS p
+              FROM grid),
+            agg AS (
+              SELECT lang,
+                     CAST(sum(tp) AS BIGINT) AS n_pos,
+                     CAST(sum(tn) AS BIGINT) AS n_neg,
+                     CAST(sum(tp * (2 * p + t + 1)) AS BIGINT)
+                       AS r2_pos
+              FROM walked GROUP BY lang),
+            sc AS (
+              SELECT lang, n_pos, n_neg,
+                     CAST(r2_pos - n_pos * (n_pos + 1) AS BIGINT)
+                       AS u2
+              FROM agg),
+            fin AS (
+              SELECT lang, n_pos, n_neg, u2,
+                CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                  CAST(u2 AS DOUBLE)
+                  / (CAST(2.0 AS DOUBLE) * CAST(n_pos AS DOUBLE)
+                     * CAST(n_neg AS DOUBLE))
+                END AS auc
+              FROM sc)
+            SELECT lang, n_pos, n_neg, u2, auc,
+                   CAST(2.0 AS DOUBLE) * auc - CAST(1.0 AS DOUBLE)
+                     AS gini
+            FROM fin ORDER BY lang""",
+        # twin of stats.kendall_tau + the qty/price-bucket fixture:
+        # C/D are Σ c_i·c_j over strictly-ordered cell pairs (exact
+        # integer sums); tau = 2(C−D)/sqrt((n(n−1)−Tx)(n(n−1)−Ty))
+        # one pinned IEEE expression over exact integers
+        "kendall_tau": r"""
+            WITH d AS (
+              SELECT l_returnflag AS rf,
+                     CAST(l_quantity AS BIGINT) AS x,
+                     CAST(floor(l_extendedprice / 2000.0) AS BIGINT)
+                       AS y
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL),
+            cells AS (
+              SELECT rf, x, y, CAST(count(*) AS BIGINT) AS c
+              FROM d GROUP BY rf, x, y),
+            pair_agg AS (
+              SELECT a.rf,
+                     CAST(coalesce(sum(CASE WHEN b.y > a.y
+                       THEN a.c * b.c END), 0) AS HUGEINT) AS conc,
+                     CAST(coalesce(sum(CASE WHEN b.y < a.y
+                       THEN a.c * b.c END), 0) AS HUGEINT) AS disc
+              FROM cells a JOIN cells b
+                ON a.rf = b.rf AND b.x > a.x
+              GROUP BY a.rf),
+            mx AS (
+              SELECT rf, CAST(sum(t) AS BIGINT) AS n,
+                     CAST(sum(t * (t - 1)) AS HUGEINT) AS tie2_x
+              FROM (SELECT rf, x, CAST(sum(c) AS BIGINT) AS t
+                    FROM cells GROUP BY rf, x) GROUP BY rf),
+            my AS (
+              SELECT rf, CAST(sum(t * (t - 1)) AS HUGEINT) AS tie2_y
+              FROM (SELECT rf, y, CAST(sum(c) AS BIGINT) AS t
+                    FROM cells GROUP BY rf, y) GROUP BY rf),
+            j AS (
+              SELECT mx.rf, n,
+                     coalesce(conc, CAST(0 AS HUGEINT)) AS conc,
+                     coalesce(disc, CAST(0 AS HUGEINT)) AS disc,
+                     CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) - 1)
+                       AS pairs2,
+                     tie2_x, tie2_y
+              FROM mx JOIN my ON mx.rf = my.rf
+              LEFT JOIN pair_agg ON mx.rf = pair_agg.rf),
+            sc AS (
+              SELECT rf, n, conc, disc, pairs2, tie2_x, tie2_y,
+                     CAST(pairs2 - tie2_x AS DOUBLE) AS aa,
+                     CAST(pairs2 - tie2_y AS DOUBLE) AS bb
+              FROM j)
+            SELECT rf AS l_returnflag, n,
+                   CAST(conc AS BIGINT) AS n_conc,
+                   CAST(disc AS BIGINT) AS n_disc,
+                   CAST(pairs2 AS BIGINT) AS pairs2,
+                   CAST(tie2_x AS BIGINT) AS tie2_x,
+                   CAST(tie2_y AS BIGINT) AS tie2_y,
+                   CASE WHEN aa > 0.0 AND bb > 0.0 THEN
+                     CAST(2.0 AS DOUBLE) * CAST(conc - disc AS DOUBLE)
+                     / sqrt(aa * bb)
+                   END AS tau
+            FROM sc ORDER BY l_returnflag""",
+        # twin of stats.spearman_rho + the x+jitter fixture: doubled
+        # average ranks 2r = 2p + t + 1 exact integers from the
+        # marginal grid walks; five exact integer moment sums cast
+        # once to double, then the textbook Pearson-over-ranks form
+        "spearman_rho": r"""
+            WITH d AS (
+              SELECT lang,
+                     CAST(n_chars % 97 AS BIGINT) AS x,
+                     CAST(n_chars % 97 + doc_id % 13 AS BIGINT) AS y
+              FROM documents
+              WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
+            cells AS (
+              SELECT lang, x, y, CAST(count(*) AS BIGINT) AS c
+              FROM d GROUP BY lang, x, y),
+            gx AS (
+              SELECT lang, x,
+                     2 * (sum(t) OVER (PARTITION BY lang ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) - t) + t + 1 AS rx2
+              FROM (SELECT lang, x, CAST(sum(c) AS BIGINT) AS t
+                    FROM cells GROUP BY lang, x)),
+            gy AS (
+              SELECT lang, y,
+                     2 * (sum(t) OVER (PARTITION BY lang ORDER BY y
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) - t) + t + 1 AS ry2
+              FROM (SELECT lang, y, CAST(sum(c) AS BIGINT) AS t
+                    FROM cells GROUP BY lang, y)),
+            joined AS (
+              SELECT cells.lang, c,
+                     CAST(rx2 AS HUGEINT) AS rx2,
+                     CAST(ry2 AS HUGEINT) AS ry2
+              FROM cells
+              JOIN gx ON cells.lang = gx.lang AND cells.x = gx.x
+              JOIN gy ON cells.lang = gy.lang AND cells.y = gy.y),
+            agg AS (
+              SELECT lang,
+                     CAST(sum(c) AS BIGINT) AS n,
+                     sum(CAST(c AS HUGEINT) * rx2) AS sx,
+                     sum(CAST(c AS HUGEINT) * ry2) AS sy,
+                     sum(CAST(c AS HUGEINT) * rx2 * ry2) AS sxy,
+                     sum(CAST(c AS HUGEINT) * rx2 * rx2) AS sxx,
+                     sum(CAST(c AS HUGEINT) * ry2 * ry2) AS syy
+              FROM joined GROUP BY lang),
+            sc AS (
+              SELECT lang, n,
+                CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+                CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+                CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
+              FROM agg)
+            SELECT lang, n,
+                   CASE WHEN denx > 0.0 AND deny > 0.0 THEN
+                     num / sqrt(denx * deny)
+                   END AS rho
+            FROM sc ORDER BY lang""",
         # twin of text.bleu_corpus + the every-5th-token-UNK fixture:
         # clipped matches/totals exact BIGINTs at (doc, n, gram)
         # grain; p_n one IEEE division; ln(p_n) 9dp-quantized →

@@ -24,6 +24,17 @@ first-digit audit for fabricated-numbers forensics:
    χ² of observed leading digits against Benford expectation, the
    standard fabricated-metrics screen.
 
+Plus the rank-statistics family over the same collapsed-grid machinery:
+
+5. **ROC-AUC** (:func:`roc_auc`) — threshold-free scorer evaluation
+   via the exact Mann–Whitney identity (2·U an exact BIGINT).
+6. **Kendall τ-b** (:func:`kendall_tau`) — gate-redundancy audit;
+   concordant/discordant pair counts exact DECIMAL(38,0) sums over
+   the (x, y) cell grid.
+7. **Spearman ρ** (:func:`spearman_rho`) — monotone association from
+   doubled average ranks; five exact decimal moment sums, one IEEE
+   expression.
+
 100 TB shape: every test collapses the corpus FIRST — one map-side-
 combinable groupBy to (stratum, value) or (stratum, period) grain —
 and all window/self-join work happens at that collapsed grain,
@@ -349,6 +360,283 @@ def mann_kendall_trend(
         .otherwise(F.lit("none")).alias("trend"),
         F.when(n >= 2, F.col("sen_slope")).alias("sen_slope"),
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    by: tuple = (),
+) -> DataFrame:
+    """ROC-AUC of a score against a boolean label per stratum — the
+    threshold-free readout for any quality/spam/bot scorer the curate
+    funnel gates on. AUC here is the exact Mann–Whitney identity
+    P(score⁺ > score⁻) + ½P(tie), not a trapezoid over sampled
+    thresholds.
+
+    Returns (*by, n_pos, n_neg, u2, auc, gini). Exactness: with ties
+    at average ranks, ``u2 = 2·U⁺ = Σ t⁺·(2p + t + 1) − n⁺(n⁺+1)`` is
+    an exact BIGINT (same grid walk as :func:`rank_sum_test`), so
+    ``auc = u2 / (2·n⁺·n⁻)`` is one IEEE division (the 2·n⁺·n⁻
+    denominator is formed in doubles — no BIGINT overflow at any n)
+    and ``gini = 2·auc − 1`` one fused literal expression. Either
+    class empty → auc/gini NULL.
+
+    100 TB shape: one map-side-combinable groupBy collapses the corpus
+    to (stratum, score) grain; one stratum-partitioned window walks
+    the score grid; one final groupBy. Nothing row-grain shuffles."""
+    keys = list(by)
+    tagged = df.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        *keys,
+        F.col(score_col).alias("v"),
+        F.col(label_col).cast("boolean").alias("is_pos"),
+    )
+    grid = tagged.groupBy(*keys, "v").agg(
+        F.sum(F.col("is_pos").cast("bigint")).cast("bigint").alias("tp"),
+        F.sum((~F.col("is_pos")).cast("bigint")).cast("bigint")
+        .alias("tn"),
+    )
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = F.col("tp") + F.col("tn")
+    walked = grid.select(
+        *keys,
+        "tp",
+        "tn",
+        t.alias("t"),
+        (F.sum(t).over(w_cum) - t).alias("p"),
+    )
+    agg = walked.groupBy(*keys).agg(
+        F.sum("tp").cast("bigint").alias("n_pos"),
+        F.sum("tn").cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("tp") * (F.lit(2) * F.col("p") + F.col("t") + F.lit(1))
+        ).cast("bigint").alias("r2_pos"),
+    )
+    u2 = (
+        F.col("r2_pos") - F.col("n_pos") * (F.col("n_pos") + F.lit(1))
+    ).cast("bigint")
+    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    auc = F.when(
+        ok,
+        u2.cast("double")
+        / (
+            F.lit(2.0)
+            * F.col("n_pos").cast("double")
+            * F.col("n_neg").cast("double")
+        ),
+    )
+    return agg.select(
+        *keys,
+        "n_pos",
+        "n_neg",
+        u2.alias("u2"),
+        auc.alias("auc"),
+        (F.lit(2.0) * auc - F.lit(1.0)).alias("gini"),
+    )
+
+
+def kendall_tau(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: tuple = (),
+) -> DataFrame:
+    """Kendall τ-b rank correlation between two (bucketed) signals per
+    stratum — 'do these two quality gates rank documents the same
+    way?' The redundancy audit for a gate stack: τ near 1 means a gate
+    adds nothing; near 0, independent evidence.
+
+    Returns (*by, n, n_conc, n_disc, pairs2, tie2_x, tie2_y, tau).
+    Exactness: the corpus is collapsed to (x, y) CELL grain with exact
+    BIGINT counts; concordant/discordant pair counts are
+    Σ c_i·c_j over strictly-ordered cell pairs, accumulated as
+    DECIMAL(38,0) (overflow-safe at any corpus size) and exposed as
+    BIGINT. With A = 2(n0−n1) = n(n−1) − Σt_x(t_x−1) and
+    B = 2(n0−n2) both exact integers,
+    ``tau = 2·(C − D) / sqrt(A·B)`` is one pinned IEEE expression.
+    A·B = 0 (a constant column) → tau NULL.
+
+    100 TB shape: REQUIRES bucketed/quantized inputs (deciles, integer
+    scores) so the cell grid is small — the cell self-join is
+    stratum-partitioned and quadratic only in DISTINCT CELLS, never in
+    rows. Feed it raw floats and the grid degenerates to row grain;
+    bucket first."""
+    keys = list(by)
+    cells = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).groupBy(
+        *keys,
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a = cells.select(
+        *keys,
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.col("c").alias("ca"),
+    )
+    b = cells.select(
+        *keys,
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("c").alias("cb"),
+    )
+    pairs = (a.join(b, keys) if keys else a.crossJoin(b)).where(
+        F.col("xb") > F.col("xa")
+    )
+    prod = (
+        F.col("ca").cast("decimal(19,0)")
+        * F.col("cb").cast("decimal(19,0)")
+    )
+    pair_agg = pairs.groupBy(*keys).agg(
+        F.sum(F.when(F.col("yb") > F.col("ya"), prod)).alias("conc_d"),
+        F.sum(F.when(F.col("yb") < F.col("ya"), prod)).alias("disc_d"),
+    )
+    tie = F.col("t").cast("decimal(19,0)")
+
+    def margins(col):
+        return (
+            cells.groupBy(*keys, col)
+            .agg(F.sum("c").cast("bigint").alias("t"))
+            .groupBy(*keys)
+            .agg(
+                F.sum("t").cast("bigint").alias("n"),
+                F.sum(tie * (tie - 1)).alias("tie2"),
+            )
+        )
+    mx = margins("x").select(
+        *keys, "n", F.col("tie2").alias("tie2_x")
+    )
+    my = margins("y").select(
+        *keys, F.col("tie2").alias("tie2_y")
+    )
+    j = mx.join(my, keys) if keys else mx.crossJoin(my)
+    j = (
+        j.join(pair_agg, keys, "left")
+        if keys
+        else j.crossJoin(pair_agg)
+    )
+    nd = F.col("n").cast("decimal(19,0)")
+    pairs2 = nd * (nd - 1)
+    conc = F.coalesce(F.col("conc_d"), F.lit(0).cast("decimal(38,0)"))
+    disc = F.coalesce(F.col("disc_d"), F.lit(0).cast("decimal(38,0)"))
+    aa = (pairs2 - F.col("tie2_x")).cast("double")
+    bb = (pairs2 - F.col("tie2_y")).cast("double")
+    tau = F.when(
+        (aa > F.lit(0.0)) & (bb > F.lit(0.0)),
+        F.lit(2.0)
+        * (conc - disc).cast("double")
+        / F.sqrt(aa * bb),
+    )
+    return j.select(
+        *keys,
+        "n",
+        conc.cast("bigint").alias("n_conc"),
+        disc.cast("bigint").alias("n_disc"),
+        pairs2.cast("bigint").alias("pairs2"),
+        F.col("tie2_x").cast("bigint").alias("tie2_x"),
+        F.col("tie2_y").cast("bigint").alias("tie2_y"),
+        tau.alias("tau"),
+    )
+
+
+def spearman_rho(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: tuple = (),
+) -> DataFrame:
+    """Spearman ρ rank correlation per stratum — Pearson over average
+    ranks, the monotone-association readout that tolerates ties and
+    outliers. Complement to :func:`kendall_tau` (ρ weights by rank
+    distance; τ counts inversions).
+
+    Returns (*by, n, rho). Exactness: doubled average ranks
+    ``2r = 2p + t + 1`` are exact integers from the marginal grid
+    walks; the five moment sums (Σc·2rx, Σc·2ry, Σc·2rx·2ry,
+    Σc·(2rx)², Σc·(2ry)²) accumulate as DECIMAL(38,0) — exact at any
+    corpus size — and the textbook
+    ``rho = (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²)·(n·Syy − Sy²))``
+    is evaluated in doubles AFTER each exact decimal sum is cast once
+    (both engines round the identical exact integer, then run the
+    identical IEEE expression). Zero variance on either side → NULL.
+
+    100 TB shape: same contract as :func:`kendall_tau` — bucket the
+    inputs; everything runs at (stratum, cell) grain with two marginal
+    window walks, one join-back, one final groupBy."""
+    keys = list(by)
+    cells = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).groupBy(
+        *keys,
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+
+    def _rank_grid(col, rank_name):
+        g = cells.groupBy(*keys, col).agg(
+            F.sum("c").cast("bigint").alias("t")
+        )
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return g.select(
+            *keys,
+            col,
+            (
+                F.lit(2) * (F.sum("t").over(w) - F.col("t"))
+                + F.col("t")
+                + F.lit(1)
+            ).cast("bigint").alias(rank_name),
+        )
+
+    gx = _rank_grid("x", "rx2")
+    gy = _rank_grid("y", "ry2")
+    joined = cells.join(gx, [*keys, "x"]).join(gy, [*keys, "y"])
+
+    def d19(c):
+        return F.col(c).cast("decimal(19,0)")
+
+    agg = joined.groupBy(*keys).agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(d19("c") * d19("rx2")).alias("sx"),
+        F.sum(d19("c") * d19("ry2")).alias("sy"),
+        F.sum(
+            (d19("c") * d19("rx2")).cast("decimal(38,0)")
+            * d19("ry2")
+        ).alias("sxy"),
+        F.sum(
+            (d19("c") * d19("rx2")).cast("decimal(38,0)")
+            * d19("rx2")
+        ).alias("sxx"),
+        F.sum(
+            (d19("c") * d19("ry2")).cast("decimal(38,0)")
+            * d19("ry2")
+        ).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    denx = nd * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    deny = nd * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    rho = F.when(
+        (denx > F.lit(0.0)) & (deny > F.lit(0.0)),
+        num / F.sqrt(denx * deny),
+    )
+    return agg.select(*keys, "n", rho.alias("rho"))
 
 
 #: Benford expected first-digit shares log10(1 + 1/d), rendered ONCE

@@ -189,3 +189,137 @@ class TestBenford:
     def test_nonpositive_excluded(self, spark):
         rows = self._run(spark, [5, 0, -3])
         assert rows[0]["n_total"] == 1
+
+
+class TestRocAuc:
+    def _run(self, spark, pos, neg, **kw):
+        from mindocr_spark.functions.stats import roc_auc
+
+        rows = [(True, v) for v in pos] + [(False, v) for v in neg]
+        df = spark.createDataFrame(rows, "y boolean, s bigint")
+        return roc_auc(df, "y", "s", **kw).collect()
+
+    def test_perfect_separation(self, spark):
+        (r,) = self._run(spark, [3, 4], [1, 2])
+        assert (r["n_pos"], r["n_neg"], r["u2"]) == (2, 2, 8)
+        assert r["auc"] == 1.0 and r["gini"] == 1.0
+
+    def test_symmetric_ties_half(self, spark):
+        # pos=[1,2] neg=[1,2]: U+ = 2 ties·0.5 + 1 win = 2 → auc 0.5
+        (r,) = self._run(spark, [1, 2], [1, 2])
+        assert r["u2"] == 4
+        assert r["auc"] == 0.5 and r["gini"] == 0.0
+
+    def test_inverted_scorer_zero(self, spark):
+        (r,) = self._run(spark, [1], [2])
+        assert r["u2"] == 0
+        assert r["auc"] == 0.0 and r["gini"] == -1.0
+
+    def test_empty_class_null(self, spark):
+        (r,) = self._run(spark, [1, 2], [])
+        assert r["n_neg"] == 0
+        assert r["auc"] is None and r["gini"] is None
+
+    def test_hand_computed_overlap(self, spark):
+        # pos=[2,3,5] neg=[1,2,4]: wins 2·3-(1+2+3 losses/ties)…
+        # pairwise: (2>1)+(2=2:½)+(2<4:0)+(3>1,3>2)+(3<4:0)
+        # +(5>1,5>2,5>4) = 6.5 → auc = 6.5/9
+        (r,) = self._run(spark, [2, 3, 5], [1, 2, 4])
+        assert r["u2"] == 13
+        assert abs(r["auc"] - 6.5 / 9) < 1e-15
+
+    def test_stratified(self, spark):
+        from mindocr_spark.functions.stats import roc_auc
+
+        rows = [("a", True, 3), ("a", False, 1),
+                ("b", True, 1), ("b", False, 3)]
+        df = spark.createDataFrame(rows, "g string, y boolean, s bigint")
+        out = {r["g"]: r for r in
+               roc_auc(df, "y", "s", by=("g",)).collect()}
+        assert out["a"]["auc"] == 1.0
+        assert out["b"]["auc"] == 0.0
+
+
+class TestKendallTau:
+    def _run(self, spark, xy, **kw):
+        from mindocr_spark.functions.stats import kendall_tau
+
+        df = spark.createDataFrame(
+            [(int(x), int(y)) for x, y in xy], "x bigint, y bigint"
+        )
+        return kendall_tau(df, "x", "y", **kw).collect()
+
+    def test_perfect_concordance(self, spark):
+        (r,) = self._run(spark, [(1, 1), (2, 2), (3, 3)])
+        assert (r["n"], r["n_conc"], r["n_disc"]) == (3, 3, 0)
+        assert (r["pairs2"], r["tie2_x"], r["tie2_y"]) == (6, 0, 0)
+        assert r["tau"] == 1.0
+
+    def test_perfect_discordance(self, spark):
+        (r,) = self._run(spark, [(1, 3), (2, 2), (3, 1)])
+        assert r["n_disc"] == 3 and r["tau"] == -1.0
+
+    def test_tied_grid_tau_zero(self, spark):
+        # 2x2 balanced grid: C=1, D=1, Tx=Ty=4 → tau = 0 exactly
+        (r,) = self._run(spark, [(1, 1), (1, 2), (2, 1), (2, 2)])
+        assert (r["n_conc"], r["n_disc"]) == (1, 1)
+        assert (r["tie2_x"], r["tie2_y"]) == (4, 4)
+        assert r["tau"] == 0.0
+
+    def test_constant_column_null(self, spark):
+        (r,) = self._run(spark, [(1, 1), (1, 2), (1, 3)])
+        assert r["n_conc"] == 0 and r["n_disc"] == 0
+        assert r["tau"] is None
+
+    def test_hand_computed_tau_b(self, spark):
+        import math
+
+        # x=[1,1,2,3] y=[1,2,2,3]: C: (1,1)-(2,2) (1,1)-(3,3)
+        # (1,2)-(3,3) (2,2)-(3,3) = 4; D = 0; Tx = 2, Ty = 2;
+        # tau = 2·4 / sqrt((12-2)(12-2)) = 8/10
+        (r,) = self._run(spark, [(1, 1), (1, 2), (2, 2), (3, 3)])
+        assert (r["n_conc"], r["n_disc"]) == (4, 0)
+        exp = 2.0 * 4 / math.sqrt(10.0 * 10.0)
+        assert abs(r["tau"] - exp) < 1e-15
+
+    def test_weighted_cells_multiplicity(self, spark):
+        # duplicates multiply: 2 copies of (1,1), 3 of (2,2) → C = 6
+        (r,) = self._run(
+            spark, [(1, 1)] * 2 + [(2, 2)] * 3
+        )
+        assert r["n_conc"] == 6 and r["n_disc"] == 0
+
+
+class TestSpearmanRho:
+    def _run(self, spark, xy, **kw):
+        from mindocr_spark.functions.stats import spearman_rho
+
+        df = spark.createDataFrame(
+            [(int(x), int(y)) for x, y in xy], "x bigint, y bigint"
+        )
+        return spearman_rho(df, "x", "y", **kw).collect()
+
+    def test_perfect_monotone(self, spark):
+        (r,) = self._run(spark, [(1, 10), (2, 20), (3, 35)])
+        assert r["n"] == 3 and r["rho"] == 1.0
+
+    def test_perfect_inverse(self, spark):
+        (r,) = self._run(spark, [(1, 3), (2, 2), (3, 1)])
+        assert r["rho"] == -1.0
+
+    def test_tied_ranks_hand_computed(self, spark):
+        import math
+
+        # x=[1,1,2] avg ranks (1.5,1.5,3); y=[1,2,3] ranks (1,2,3)
+        # Pearson over ranks = sqrt(3)/2
+        (r,) = self._run(spark, [(1, 1), (1, 2), (2, 3)])
+        assert abs(r["rho"] - math.sqrt(3) / 2) < 1e-12
+
+    def test_constant_side_null(self, spark):
+        (r,) = self._run(spark, [(1, 5), (2, 5), (3, 5)])
+        assert r["rho"] is None
+
+    def test_independent_zero(self, spark):
+        # balanced 2x2 grid: rank covariance exactly 0
+        (r,) = self._run(spark, [(1, 1), (1, 2), (2, 1), (2, 2)])
+        assert r["rho"] == 0.0
