@@ -4627,6 +4627,98 @@ def q_spearman_rho(spark, sf_dir):
     return spearman_rho(d, "x_b", "y_b", by=("lang",)).orderBy("lang")
 
 
+def q_chi2_independence(spark, sf_dir):
+    """Pearson chi-square independence of lang x a planted gate
+    verdict, per snapshot: the 'de' stratum gets an extra pass rule
+    (doc_id % 5 < 2), so verdict depends on lang and chi2 is large in
+    both snapshots. Full r x c grid with observed-zero cells; each
+    (o-e)^2/e 9dp-quantized then DECIMAL-summed
+    (functions/stats.chi2_independence)."""
+    from mindocr_spark.functions.stats import chi2_independence
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("old"))
+        .otherwise(F.lit("new")).alias("snap"),
+        "lang",
+        F.when(
+            (F.col("doc_id") % 3 == 0)
+            | ((F.col("lang") == "de") & (F.col("doc_id") % 5 < 2)),
+            F.lit("pass"),
+        ).otherwise(F.lit("fail")).alias("verdict"),
+    )
+    return chi2_independence(
+        d, "lang", "verdict", by=("snap",)
+    ).orderBy("snap")
+
+
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index between the parity snapshots over
+    100-char doc-length deciles per language, with a planted +150
+    shift on the new-snapshot 'fr' stratum — the scorecard drift
+    monitor. Bucket counts exact BIGINTs over the union spine;
+    Laplace-smoothed shares; terms 9dp-quantized then DECIMAL-summed
+    (functions/stats.psi_drift)."""
+    from mindocr_spark.functions.stats import psi_drift
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("old"))
+        .otherwise(F.lit("new")).alias("snap"),
+        F.floor(
+            (
+                F.col("n_chars")
+                + F.when(
+                    (F.col("doc_id") % 2 == 1)
+                    & (F.col("lang") == "fr"),
+                    F.lit(150),
+                ).otherwise(F.lit(0))
+            )
+            / F.lit(100)
+        ).cast("bigint").alias("len_bucket"),
+    )
+    return psi_drift(
+        d, "snap", "len_bucket", "old", "new", by=("lang",)
+    ).orderBy("lang")
+
+
+def q_cusum_changepoint(spark, sf_dir):
+    """CUSUM mean-shift localization over the per-type daily event
+    series, with a planted +40/day level shift on 'view' in the back
+    half of its date range — WHERE did the crawl volume jump? The
+    n-scaled centered cumulative sum is an exact BIGINT; argmax
+    selection compares exact integers, earliest period on ties
+    (functions/stats.cusum_changepoint)."""
+    from mindocr_spark.functions.stats import cusum_changepoint
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    day_n = F.datediff(
+        F.to_date("ts"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    daily = (
+        e.select("event_type", day_n.alias("day_n"))
+        .groupBy("event_type", "day_n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    lo = F.min("day_n").over(W.partitionBy("event_type"))
+    hi = F.max("day_n").over(W.partitionBy("event_type"))
+    series = daily.select(
+        "event_type",
+        "day_n",
+        (
+            F.col("n")
+            + F.when(
+                (F.col("event_type") == "view")
+                & (F.lit(2) * F.col("day_n") > lo + hi),
+                F.lit(40),
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("x"),
+    )
+    return cusum_changepoint(
+        series, "day_n", "x", by=("event_type",), min_abs_delta=10.0
+    ).orderBy("event_type")
+
+
 def q_bleu_eval(spark, sf_dir):
     """Corpus BLEU of a degraded extraction against the reference
     text: the hypothesis replaces every 5th token with 'UNK' (a
@@ -6655,6 +6747,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_auc": _q(q_roc_auc),
         "kendall_tau": _q(q_kendall_tau),
         "spearman_rho": _q(q_spearman_rho),
+        "chi2_independence": _q(q_chi2_independence),
+        "psi_drift": _q(q_psi_drift),
+        "cusum_changepoint": _q(q_cusum_changepoint),
         "k_anonymity": _q(q_k_anonymity),
         "compaction_plan": _q(q_compaction_plan),
         "winnow_fingerprints": _q(q_winnow_fingerprints),
@@ -11927,6 +12022,209 @@ def oracle_sql() -> dict[str, str]:
                      num / sqrt(denx * deny)
                    END AS rho
             FROM sc ORDER BY lang""",
+        # twin of stats.chi2_independence + the planted-'de' pass
+        # rule: full r x c spine (observed-zero cells included),
+        # exact BIGINT margins, (o-e)^2/e 9dp-quantized then
+        # DECIMAL-summed
+        "chi2_independence": r"""
+            WITH d AS (
+              SELECT CASE WHEN doc_id % 2 = 0 THEN 'old'
+                          ELSE 'new' END AS snap,
+                     lang,
+                     CASE WHEN doc_id % 3 = 0
+                            OR (lang = 'de' AND doc_id % 5 < 2)
+                          THEN 'pass' ELSE 'fail' END AS verdict
+              FROM documents),
+            cells AS (
+              SELECT snap, lang AS x, verdict AS y,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM d WHERE lang IS NOT NULL AND verdict IS NOT NULL
+              GROUP BY snap, x, y),
+            rt AS (SELECT snap, x, CAST(sum(c) AS BIGINT) AS row_t
+                   FROM cells GROUP BY snap, x),
+            ct AS (SELECT snap, y, CAST(sum(c) AS BIGINT) AS col_t
+                   FROM cells GROUP BY snap, y),
+            spine AS (
+              SELECT rt.snap, rt.x, ct.y, rt.row_t, ct.col_t
+              FROM rt JOIN ct USING (snap)),
+            filled AS (
+              SELECT s.snap, s.x, s.y, s.row_t, s.col_t,
+                     CAST(coalesce(cells.c, 0) AS BIGINT) AS o
+              FROM spine s LEFT JOIN cells
+                ON cells.snap = s.snap AND cells.x = s.x
+               AND cells.y = s.y),
+            win AS (
+              SELECT snap, row_t, col_t, o,
+                     CAST(sum(o) OVER (PARTITION BY snap) AS BIGINT)
+                       AS n,
+                     CAST(count(DISTINCT x) OVER (PARTITION BY snap)
+                       AS BIGINT) AS r_levels,
+                     CAST(count(DISTINCT y) OVER (PARTITION BY snap)
+                       AS BIGINT) AS c_levels
+              FROM filled),
+            ee AS (
+              SELECT snap, n, r_levels, c_levels,
+                     CAST(o AS DOUBLE) AS od,
+                     CAST(row_t AS DOUBLE) * CAST(col_t AS DOUBLE)
+                       / CAST(n AS DOUBLE) AS e
+              FROM win),
+            sc AS (
+              SELECT snap, n, r_levels, c_levels,
+                     round((od - e) * (od - e) / e, 9) AS term
+              FROM ee),
+            agg AS (
+              SELECT snap, n, r_levels, c_levels,
+                     CAST(sum(CAST(term AS DECIMAL(28, 9)))
+                          AS DOUBLE) AS chi2
+              FROM sc GROUP BY snap, n, r_levels, c_levels)
+            SELECT snap, n, r_levels, c_levels,
+                   CAST((r_levels - 1) * (c_levels - 1) AS BIGINT)
+                     AS dof,
+                   chi2,
+                   CASE WHEN (r_levels - 1) * (c_levels - 1) > 0 THEN
+                     sqrt(chi2 / (CAST(n AS DOUBLE)
+                       * CAST(least(r_levels - 1, c_levels - 1)
+                              AS DOUBLE)))
+                   END AS cramers_v
+            FROM agg ORDER BY snap""",
+        # twin of stats.psi_drift + the planted-'fr' +150 shift:
+        # exact BIGINT bucket counts over the union spine, Laplace
+        # 0.5 smoothing, (pa-pb)*ln(pa/pb) 9dp-quantized then
+        # DECIMAL-summed
+        "psi_drift": r"""
+            WITH d AS (
+              SELECT lang,
+                     CASE WHEN doc_id % 2 = 0 THEN 'old'
+                          ELSE 'new' END AS snap,
+                     CAST(floor((n_chars
+                          + CASE WHEN doc_id % 2 = 1 AND lang = 'fr'
+                                 THEN 150 ELSE 0 END) / 100)
+                          AS BIGINT) AS b
+              FROM documents),
+            t AS (
+              SELECT lang, b, (snap = 'old') AS is_a
+              FROM d WHERE snap IN ('old', 'new') AND b IS NOT NULL),
+            grid AS (
+              SELECT lang, b,
+                     CAST(coalesce(sum(CASE WHEN is_a THEN 1 END), 0)
+                          AS BIGINT) AS ca,
+                     CAST(coalesce(sum(CASE WHEN NOT is_a THEN 1 END),
+                          0) AS BIGINT) AS cb
+              FROM t GROUP BY lang, b),
+            win AS (
+              SELECT lang, ca, cb,
+                     CAST(sum(ca) OVER (PARTITION BY lang) AS BIGINT)
+                       AS n_a,
+                     CAST(sum(cb) OVER (PARTITION BY lang) AS BIGINT)
+                       AS n_b,
+                     CAST(count(*) OVER (PARTITION BY lang) AS BIGINT)
+                       AS k
+              FROM grid),
+            pp AS (
+              SELECT lang, n_a, n_b, k,
+                     (CAST(ca AS DOUBLE) + 0.5)
+                       / (CAST(n_a AS DOUBLE)
+                          + 0.5 * CAST(k AS DOUBLE)) AS pa,
+                     (CAST(cb AS DOUBLE) + 0.5)
+                       / (CAST(n_b AS DOUBLE)
+                          + 0.5 * CAST(k AS DOUBLE)) AS pb
+              FROM win),
+            sc AS (
+              SELECT lang, n_a, n_b, k AS n_buckets,
+                     CASE WHEN n_a > 0 AND n_b > 0 THEN
+                       round((pa - pb) * ln(pa / pb), 9)
+                     END AS term
+              FROM pp),
+            agg AS (
+              SELECT lang, n_a, n_b, n_buckets,
+                     CAST(sum(CAST(term AS DECIMAL(28, 9)))
+                          AS DOUBLE) AS psi_raw
+              FROM sc GROUP BY lang, n_a, n_b, n_buckets)
+            SELECT lang, n_a, n_b, n_buckets,
+                   CASE WHEN n_a > 0 AND n_b > 0 THEN psi_raw END
+                     AS psi,
+                   coalesce(CASE WHEN n_a > 0 AND n_b > 0
+                                 THEN psi_raw END > 0.25, false)
+                     AS drifted
+            FROM agg ORDER BY lang""",
+        # twin of stats.cusum_changepoint + the back-half +40 'view'
+        # shift: S'_t = n*cum - t*tot exact BIGINT, argmax by exact
+        # integer compare, earliest period on ties
+        "cusum_changepoint": r"""
+            WITH daily AS (
+              SELECT event_type,
+                     CAST(date_diff('day', DATE '1970-01-01',
+                          CAST(ts AS DATE)) AS BIGINT) AS day_n,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY event_type, day_n),
+            series AS (
+              SELECT event_type, day_n AS p,
+                     CAST(n + CASE WHEN event_type = 'view'
+                       AND 2 * day_n >
+                         min(day_n) OVER (PARTITION BY event_type)
+                         + max(day_n) OVER (PARTITION BY event_type)
+                       THEN 40 ELSE 0 END AS BIGINT) AS x
+              FROM daily
+              WHERE day_n IS NOT NULL AND n IS NOT NULL),
+            walked AS (
+              SELECT event_type, p,
+                     CAST(row_number() OVER (PARTITION BY event_type
+                       ORDER BY p) AS BIGINT) AS t_idx,
+                     CAST(sum(x) OVER (PARTITION BY event_type
+                       ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS cum,
+                     CAST(count(*) OVER (PARTITION BY event_type)
+                       AS BIGINT) AS n,
+                     CAST(sum(x) OVER (PARTITION BY event_type)
+                       AS BIGINT) AS tot
+              FROM series),
+            scored AS (
+              SELECT *,
+                     CAST(abs(n * cum - t_idx * tot) AS BIGINT)
+                       AS abs_s
+              FROM walked),
+            mx AS (
+              SELECT *, max(abs_s) OVER (PARTITION BY event_type)
+                       AS max_abs
+              FROM scored),
+            agg AS (
+              SELECT event_type,
+                     CAST(max(n) AS BIGINT) AS n_periods,
+                     CAST(max(tot) AS BIGINT) AS total,
+                     CAST(max(max_abs) AS BIGINT) AS s_abs_max
+              FROM mx GROUP BY event_type),
+            cand AS (
+              SELECT event_type, p, t_idx, cum,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY p) AS rk
+              FROM mx WHERE abs_s = max_abs),
+            best AS (
+              SELECT event_type, p AS cp_p, t_idx AS cp_t,
+                     cum AS cp_cum
+              FROM cand WHERE rk = 1),
+            fin AS (
+              SELECT agg.event_type, n_periods, total, s_abs_max,
+                     cp_p, cp_t, cp_cum,
+                     CASE WHEN s_abs_max > 0 THEN
+                       CAST(cp_cum AS DOUBLE) / CAST(cp_t AS DOUBLE)
+                     END AS mean_before,
+                     CASE WHEN s_abs_max > 0 THEN
+                       (CAST(total AS DOUBLE) - CAST(cp_cum AS DOUBLE))
+                       / (CAST(n_periods AS DOUBLE)
+                          - CAST(cp_t AS DOUBLE))
+                     END AS mean_after
+              FROM agg JOIN best USING (event_type))
+            SELECT event_type, n_periods, total,
+                   CASE WHEN s_abs_max > 0 THEN cp_p END AS cp_period,
+                   CASE WHEN s_abs_max > 0 THEN cp_t END AS t_before,
+                   s_abs_max,
+                   CAST(s_abs_max AS DOUBLE)
+                     / CAST(n_periods AS DOUBLE) AS cusum_stat,
+                   mean_before, mean_after,
+                   mean_after - mean_before AS delta,
+                   coalesce(abs(mean_after - mean_before) > 10.0,
+                            false) AS shifted
+            FROM fin ORDER BY event_type""",
         # twin of text.bleu_corpus + the every-5th-token-UNK fixture:
         # clipped matches/totals exact BIGINTs at (doc, n, gram)
         # grain; p_n one IEEE division; ln(p_n) 9dp-quantized →

@@ -34,6 +34,18 @@ Plus the rank-statistics family over the same collapsed-grid machinery:
 7. **Spearman ρ** (:func:`spearman_rho`) — monotone association from
    doubled average ranks; five exact decimal moment sums, one IEEE
    expression.
+8. **χ² independence** (:func:`chi2_independence`) — categorical
+   association over the full r×c contingency grid (observed-zero
+   cells included); each (o−e)²/e term 9dp-quantized then
+   DECIMAL-summed, Cramér's V as the effect size.
+9. **PSI drift** (:func:`psi_drift`) — population stability index
+   between two snapshots over a bucketed signal, Laplace-smoothed so
+   one-sided buckets stay finite; each (pₐ−p_b)·ln(pₐ/p_b) term
+   9dp-quantized then DECIMAL-summed.
+10. **CUSUM changepoint** (:func:`cusum_changepoint`) — single
+    mean-shift localization over a per-period series via the
+    n-scaled cumulative sum ``S'_t = n·Σ_{i≤t}x − t·Σx`` (an exact
+    BIGINT — no x̄ division until the final readout).
 
 100 TB shape: every test collapses the corpus FIRST — one map-side-
 combinable groupBy to (stratum, value) or (stratum, period) grain —
@@ -740,4 +752,285 @@ def benford_first_digit(
         chi2.alias("chi2"),
         F.coalesce(chi2 > F.lit(float(chi2_crit)), F.lit(False))
         .alias("biased"),
+    )
+
+
+#: χ² 0.95 quantile at 2 degrees of freedom (the 3×2 fixture grid).
+CHI2_CRIT_2DF = 5.991464547107979
+
+
+def chi2_independence(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: tuple = (),
+) -> DataFrame:
+    """Pearson χ² test of independence between two categorical
+    columns per stratum — 'is the quality-gate verdict independent of
+    the source?' The association audit for any pair of low-cardinality
+    labels (lang × source, gate × template, flag × status).
+
+    Returns (*by, n, r_levels, c_levels, dof, chi2, cramers_v).
+    Exactness: the corpus collapses to the (x, y) contingency grid
+    with exact BIGINT counts; the FULL r×c grid is materialized
+    (observed-zero cells contribute their expected count, as the
+    statistic requires); each term (o − e)²/e with
+    e = (row·col)/n — exact BIGINT margin product, one IEEE division —
+    is 9dp-quantized then DECIMAL-summed, so the sum is
+    order-independent across engines. Cramér's V =
+    sqrt(χ² / (n·min(r−1, c−1))) is one IEEE chain on top; dof = 0
+    (a single-level side) → chi2 0.0, cramers_v NULL.
+
+    100 TB shape: one map-side-combinable groupBy to cell grain; the
+    margin spine join is r×c-bounded. REQUIRES low-cardinality
+    categoricals — bucket first if needed."""
+    keys = list(by)
+    cells = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).groupBy(
+        *keys,
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    rows = cells.groupBy(*keys, "x").agg(
+        F.sum("c").cast("bigint").alias("row_t")
+    )
+    cols = cells.groupBy(*keys, "y").agg(
+        F.sum("c").cast("bigint").alias("col_t")
+    )
+    spine = rows.join(cols, keys) if keys else rows.crossJoin(cols)
+    filled = spine.join(cells, [*keys, "x", "y"], "left").select(
+        *keys,
+        "x",
+        "y",
+        "row_t",
+        "col_t",
+        F.coalesce("c", F.lit(0)).cast("bigint").alias("o"),
+    )
+    w_all = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    n = F.sum("o").over(w_all).cast("bigint")
+    e = (
+        F.col("row_t").cast("double")
+        * F.col("col_t").cast("double")
+        / n.cast("double")
+    )
+    dev = F.col("o").cast("double") - e
+    # dev*dev, not pow: pow is not correctly-rounded cross-engine
+    term = F.round(dev * dev / e, 9)
+    scored = filled.select(
+        *keys,
+        n.alias("n"),
+        F.size(F.collect_set("x").over(w_all)).cast("bigint")
+        .alias("r_levels"),
+        F.size(F.collect_set("y").over(w_all)).cast("bigint")
+        .alias("c_levels"),
+        term.alias("term"),
+    )
+    agg = scored.groupBy(*keys, "n", "r_levels", "c_levels").agg(
+        F.sum(F.col("term").cast("decimal(28,9)"))
+        .cast("double").alias("chi2"),
+    )
+    dof = (
+        (F.col("r_levels") - 1) * (F.col("c_levels") - 1)
+    ).cast("bigint")
+    mindim = F.least(
+        F.col("r_levels") - 1, F.col("c_levels") - 1
+    ).cast("double")
+    v = F.when(
+        dof > 0,
+        F.sqrt(
+            F.col("chi2") / (F.col("n").cast("double") * mindim)
+        ),
+    )
+    return agg.select(
+        *keys,
+        "n",
+        "r_levels",
+        "c_levels",
+        dof.alias("dof"),
+        "chi2",
+        v.alias("cramers_v"),
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    group_col: str,
+    bucket_col: str,
+    a_label,
+    b_label,
+    by: tuple = (),
+    psi_crit: float = 0.25,
+) -> DataFrame:
+    """Population Stability Index between two snapshots over a
+    bucketed signal per stratum — the scorecard-monitoring drift
+    readout (PSI < 0.1 stable, 0.1–0.25 minor, > 0.25 major shift).
+
+    Returns (*by, n_a, n_b, n_buckets, psi, drifted). Exactness:
+    bucket counts are exact BIGINTs over the union bucket spine (a
+    bucket seen in either snapshot appears in both terms); shares are
+    Laplace-smoothed — p = (c + 0.5) / (n + 0.5·k) with k the spine
+    size — so one-sided buckets stay finite without an arbitrary
+    epsilon; each (pₐ − p_b)·ln(pₐ/p_b) term (provably ≥ 0) is
+    9dp-quantized then DECIMAL-summed. Either snapshot empty → psi
+    NULL, drifted false.
+
+    100 TB shape: one map-side-combinable groupBy to (stratum,
+    bucket, snapshot) grain; everything after runs on the bucket
+    spine. REQUIRES a bucketed signal (deciles, integer bins)."""
+    keys = list(by)
+    tagged = df.where(
+        F.col(group_col).isin([a_label, b_label])
+        & F.col(bucket_col).isNotNull()
+    ).select(
+        *keys,
+        F.col(bucket_col).alias("b"),
+        (F.col(group_col) == F.lit(a_label)).alias("is_a"),
+    )
+    grid = tagged.groupBy(*keys, "b").agg(
+        F.sum(F.col("is_a").cast("bigint")).cast("bigint").alias("ca"),
+        F.sum((~F.col("is_a")).cast("bigint")).cast("bigint")
+        .alias("cb"),
+    )
+    w_all = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    n_a = F.sum("ca").over(w_all).cast("bigint")
+    n_b = F.sum("cb").over(w_all).cast("bigint")
+    k = F.count(F.lit(1)).over(w_all).cast("bigint")
+    p_a = (F.col("ca").cast("double") + F.lit(0.5)) / (
+        n_a.cast("double") + F.lit(0.5) * k.cast("double")
+    )
+    p_b = (F.col("cb").cast("double") + F.lit(0.5)) / (
+        n_b.cast("double") + F.lit(0.5) * k.cast("double")
+    )
+    term = F.round((p_a - p_b) * F.log(p_a / p_b), 9)
+    scored = grid.select(
+        *keys,
+        n_a.alias("n_a"),
+        n_b.alias("n_b"),
+        k.alias("n_buckets"),
+        F.when((n_a > 0) & (n_b > 0), term).alias("term"),
+    )
+    agg = scored.groupBy(*keys, "n_a", "n_b", "n_buckets").agg(
+        F.sum(F.col("term").cast("decimal(28,9)"))
+        .cast("double").alias("psi_raw"),
+    )
+    psi = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0), F.col("psi_raw")
+    )
+    return agg.select(
+        *keys,
+        "n_a",
+        "n_b",
+        "n_buckets",
+        psi.alias("psi"),
+        F.coalesce(psi > F.lit(float(psi_crit)), F.lit(False))
+        .alias("drifted"),
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    period_col: str,
+    value_col: str,
+    by: tuple = (),
+    min_abs_delta: float = 0.0,
+) -> DataFrame:
+    """Offline CUSUM single mean-shift localization over a per-period
+    series per stratum — WHERE did the daily volume/quality series
+    jump? (Mann-Kendall answers 'is there a monotone trend'; this
+    answers 'at which period did the level shift'.) Input must
+    already be at (stratum, period) grain, like
+    :func:`mann_kendall_trend`.
+
+    Returns (*by, n_periods, total, cp_period, t_before, s_abs_max,
+    cusum_stat, mean_before, mean_after, delta, shifted). The
+    changepoint is argmax_t |S'_t| with S'_t = n·Σ_{i≤t}x − t·Σx (the
+    n-scaled centered cumulative sum — an exact BIGINT, no x̄
+    division inside the scan), earliest period on ties; the last
+    period has S'_n = 0 so it never wins unless the series is
+    constant. Exactness: cp selection compares exact integers;
+    cusum_stat = s_abs_max/n, mean_before = Σ_{i≤cp}x / cp and
+    mean_after are one IEEE division each; delta one subtraction.
+    Constant series (s_abs_max = 0) → cp and the means NULL, shifted
+    false.
+
+    100 TB shape: the caller pre-aggregates to period grain (one
+    map-side-combinable groupBy); the scan is one stratum-partitioned
+    window walk over periods, one groupBy to pick the argmax."""
+    keys = list(by)
+    s = df.where(
+        F.col(period_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        *keys,
+        F.col(period_col).alias("p"),
+        F.col(value_col).cast("bigint").alias("x"),
+    )
+    w_ord = (
+        Window.partitionBy(*keys)
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_seq = Window.partitionBy(*keys).orderBy("p")
+    w_all = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    walked = s.select(
+        *keys,
+        "p",
+        F.row_number().over(w_seq).cast("bigint").alias("t_idx"),
+        F.sum("x").over(w_ord).cast("bigint").alias("cum"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+        F.sum("x").over(w_all).cast("bigint").alias("tot"),
+    )
+    s_scaled = (
+        F.col("n") * F.col("cum") - F.col("t_idx") * F.col("tot")
+    ).cast("bigint")
+    scored = walked.select(
+        *keys,
+        "p",
+        "t_idx",
+        "cum",
+        "n",
+        "tot",
+        F.abs(s_scaled).alias("abs_s"),
+    )
+    max_abs = F.max("abs_s").over(w_all)
+    cand = scored.select(
+        *keys,
+        "n",
+        "tot",
+        "abs_s",
+        F.when(
+            F.col("abs_s") == max_abs,
+            F.struct("p", "t_idx", "cum"),
+        ).alias("cp"),
+    )
+    agg = cand.groupBy(*keys).agg(
+        F.max("n").alias("n_periods"),
+        F.max("tot").alias("total"),
+        F.max("abs_s").alias("s_abs_max"),
+        F.min("cp").alias("cp"),
+    )
+    found = F.col("s_abs_max") > 0
+    tb = F.col("cp.t_idx").cast("double")
+    cum = F.col("cp.cum").cast("double")
+    nd = F.col("n_periods").cast("double")
+    totd = F.col("total").cast("double")
+    mean_before = F.when(found, cum / tb)
+    mean_after = F.when(
+        found, (totd - cum) / (nd - tb)
+    )
+    delta = mean_after - mean_before
+    return agg.select(
+        *keys,
+        "n_periods",
+        "total",
+        F.when(found, F.col("cp.p")).alias("cp_period"),
+        F.when(found, F.col("cp.t_idx")).alias("t_before"),
+        "s_abs_max",
+        (F.col("s_abs_max").cast("double") / nd).alias("cusum_stat"),
+        mean_before.alias("mean_before"),
+        mean_after.alias("mean_after"),
+        delta.alias("delta"),
+        F.coalesce(
+            F.abs(delta) > F.lit(float(min_abs_delta)), F.lit(False)
+        ).alias("shifted"),
     )

@@ -323,3 +323,203 @@ class TestSpearmanRho:
         # balanced 2x2 grid: rank covariance exactly 0
         (r,) = self._run(spark, [(1, 1), (1, 2), (2, 1), (2, 2)])
         assert r["rho"] == 0.0
+
+
+class TestChi2Independence:
+    def _run(self, spark, cells, **kw):
+        from mindocr_spark.functions.stats import chi2_independence
+
+        rows = []
+        for x, y, c in cells:
+            rows += [(x, y)] * c
+        df = spark.createDataFrame(rows, "x string, y string")
+        return chi2_independence(df, "x", "y", **kw).collect()
+
+    def test_independent_grid_zero(self, spark):
+        (r,) = self._run(
+            spark,
+            [("a", "p", 10), ("a", "q", 10),
+             ("b", "p", 10), ("b", "q", 10)],
+        )
+        assert (r["n"], r["r_levels"], r["c_levels"]) == (40, 2, 2)
+        assert r["dof"] == 1
+        assert r["chi2"] == 0.0
+        assert r["cramers_v"] == 0.0
+
+    def test_perfect_association(self, spark):
+        # diagonal 2x2: every e=5, every term (|o-e|=5) -> 4*5 = 20
+        (r,) = self._run(
+            spark, [("a", "p", 10), ("b", "q", 10)]
+        )
+        assert r["chi2"] == 20.0
+        assert r["cramers_v"] == 1.0
+
+    def test_observed_zero_cell_counted(self, spark):
+        # (b,q) never observed: its expected 4*4/12 still contributes
+        # terms: 1/3 + 2/3 + 2/3 + 4/3 = 3 (each 9dp-quantized)
+        (r,) = self._run(
+            spark, [("a", "p", 4), ("a", "q", 4), ("b", "p", 4)]
+        )
+        assert r["n"] == 12
+        assert abs(r["chi2"] - 3.0) < 2e-9
+        assert r["dof"] == 1
+
+    def test_single_level_side_dof_zero(self, spark):
+        (r,) = self._run(spark, [("a", "p", 5), ("a", "q", 7)])
+        assert r["dof"] == 0
+        assert r["chi2"] == 0.0
+        assert r["cramers_v"] is None
+
+    def test_stratified(self, spark):
+        from mindocr_spark.functions.stats import chi2_independence
+
+        rows = (
+            [("s1", "a", "p")] * 10 + [("s1", "b", "q")] * 10
+            + [("s2", "a", "p")] * 5 + [("s2", "a", "q")] * 5
+            + [("s2", "b", "p")] * 5 + [("s2", "b", "q")] * 5
+        )
+        df = spark.createDataFrame(rows, "s string, x string, y string")
+        out = {
+            r["s"]: r
+            for r in chi2_independence(
+                df, "x", "y", by=("s",)
+            ).collect()
+        }
+        assert out["s1"]["cramers_v"] == 1.0
+        assert out["s2"]["chi2"] == 0.0
+
+
+class TestPsiDrift:
+    def _run(self, spark, a_buckets, b_buckets, **kw):
+        from mindocr_spark.functions.stats import psi_drift
+
+        rows = [("a", b) for b in a_buckets] + [
+            ("b", b) for b in b_buckets
+        ]
+        df = spark.createDataFrame(rows, "g string, b bigint")
+        return psi_drift(df, "g", "b", "a", "b", **kw).collect()
+
+    def test_identical_distributions_zero(self, spark):
+        (r,) = self._run(
+            spark, [1] * 8 + [2] * 2, [1] * 8 + [2] * 2
+        )
+        assert (r["n_a"], r["n_b"], r["n_buckets"]) == (10, 10, 2)
+        assert r["psi"] == 0.0
+        assert r["drifted"] is False
+
+    def test_hand_computed_swap(self, spark):
+        import math
+
+        # a: 8/2, b: 2/8 over two buckets; Laplace 0.5 smoothing,
+        # k=2: p=(c+0.5)/11 -> both terms (6/11)*ln(8.5/2.5)
+        (r,) = self._run(
+            spark, [1] * 8 + [2] * 2, [1] * 2 + [2] * 8
+        )
+        term = round((6.0 / 11.0) * math.log(8.5 / 2.5), 9)
+        assert abs(r["psi"] - 2 * term) < 1e-12
+        assert r["drifted"] is True
+
+    def test_one_sided_bucket_finite(self, spark):
+        (r,) = self._run(spark, [1] * 5 + [3] * 5, [1] * 10)
+        assert r["n_buckets"] == 2
+        assert r["psi"] is not None and math_isfinite(r["psi"])
+
+    def test_empty_side_null(self, spark):
+        from mindocr_spark.functions.stats import psi_drift
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 2)], "g string, b bigint"
+        )
+        (r,) = psi_drift(df, "g", "b", "a", "b").collect()
+        assert r["psi"] is None
+        assert r["drifted"] is False
+
+    def test_stratified_planted(self, spark):
+        from mindocr_spark.functions.stats import psi_drift
+
+        rows = (
+            [("x", "a", 1)] * 9 + [("x", "a", 2)] * 1
+            + [("x", "b", 1)] * 1 + [("x", "b", 2)] * 9
+            + [("y", "a", 1)] * 5 + [("y", "a", 2)] * 5
+            + [("y", "b", 1)] * 5 + [("y", "b", 2)] * 5
+        )
+        df = spark.createDataFrame(
+            rows, "s string, g string, b bigint"
+        )
+        out = {
+            r["s"]: r
+            for r in psi_drift(
+                df, "g", "b", "a", "b", by=("s",)
+            ).collect()
+        }
+        assert out["x"]["drifted"] is True
+        assert out["y"]["drifted"] is False
+
+
+def math_isfinite(v):
+    import math
+
+    return math.isfinite(v)
+
+
+class TestCusumChangepoint:
+    def _run(self, spark, xs, **kw):
+        from mindocr_spark.functions.stats import cusum_changepoint
+
+        rows = [(i + 1, int(x)) for i, x in enumerate(xs)]
+        df = spark.createDataFrame(rows, "p bigint, x bigint")
+        return cusum_changepoint(df, "p", "x", **kw).collect()
+
+    def test_hand_computed_step(self, spark):
+        # [0,0,0,10,10,10]: S'_t = 6*cum - 30t peaks |.|=90 at t=3
+        (r,) = self._run(spark, [0, 0, 0, 10, 10, 10])
+        assert (r["n_periods"], r["total"]) == (6, 30)
+        assert r["cp_period"] == 3 and r["t_before"] == 3
+        assert r["s_abs_max"] == 90
+        assert r["cusum_stat"] == 15.0
+        assert r["mean_before"] == 0.0
+        assert r["mean_after"] == 10.0
+        assert r["delta"] == 10.0
+        assert r["shifted"] is True
+
+    def test_constant_series_no_shift(self, spark):
+        (r,) = self._run(spark, [7, 7, 7, 7])
+        assert r["s_abs_max"] == 0
+        assert r["cp_period"] is None
+        assert r["mean_before"] is None
+        assert r["shifted"] is False
+
+    def test_tie_earliest_period(self, spark):
+        # [0,5,10]: |S'| = 15 at t=1 AND t=2; earliest wins
+        (r,) = self._run(spark, [0, 5, 10])
+        assert r["cp_period"] == 1
+        assert r["mean_before"] == 0.0
+        assert r["mean_after"] == 7.5
+
+    def test_min_abs_delta_gate(self, spark):
+        (r,) = self._run(spark, [0, 0, 1, 1], min_abs_delta=5.0)
+        assert r["cp_period"] == 2
+        assert r["delta"] == 1.0
+        assert r["shifted"] is False
+
+    def test_last_period_never_wins(self, spark):
+        # rising last value alone: S'_n is identically 0
+        (r,) = self._run(spark, [5, 5, 5, 20])
+        assert r["t_before"] == 3
+
+    def test_stratified(self, spark):
+        from mindocr_spark.functions.stats import cusum_changepoint
+
+        rows = [("u", i + 1, v) for i, v in enumerate([1, 1, 9, 9])]
+        rows += [("v", i + 1, 4) for i in range(4)]
+        df = spark.createDataFrame(
+            rows, "s string, p bigint, x bigint"
+        )
+        out = {
+            r["s"]: r
+            for r in cusum_changepoint(
+                df, "p", "x", by=("s",), min_abs_delta=2.0
+            ).collect()
+        }
+        assert out["u"]["cp_period"] == 2 and out["u"]["shifted"]
+        assert out["v"]["shifted"] is False
