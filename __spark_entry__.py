@@ -4420,6 +4420,29 @@ def q_vocab_richness(spark, sf_dir):
     ).orderBy("lang")
 
 
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered signup→view→click→purchase funnel per user-parity
+    cohort with a 1-day conversion window — the classic product
+    analytics readout. Greedy-earliest matching at exact microsecond
+    epoch integers; ONE Exchange on (cohort, user) carries all four
+    step minima; rates are single IEEE divisions of exact BIGINTs
+    (functions/traffic.funnel_conversion)."""
+    from mindocr_spark.functions.traffic import funnel_conversion
+
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).cast("bigint").alias("cohort"),
+        "user_id",
+        "event_type",
+        "ts",
+    )
+    return funnel_conversion(
+        e,
+        ["signup", "view", "click", "purchase"],
+        by=("cohort",),
+        window_s=86400,
+    ).orderBy("cohort", "step_idx")
+
+
 def q_ab_test(spark, sf_dir):
     """Two-proportion A/B readout over events: variant = user_id
     parity, conversion on metric m = '≥14 events of type m' (the
@@ -6739,6 +6762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_entropy": _q(q_mix_entropy),
         "symspell_correct": _q(q_symspell_correct),
         "bleu_eval": _q(q_bleu_eval),
+        "funnel_conversion": _q(q_funnel_conversion),
         "ab_test": _q(q_ab_test),
         "ks_drift": _q(q_ks_drift),
         "rank_sum": _q(q_rank_sum),
@@ -11527,6 +11551,87 @@ def oracle_sql() -> dict[str, str]:
                    CAST(f1 AS DOUBLE) / CAST(vocab AS DOUBLE)
                      AS hapax_ratio
             FROM s ORDER BY lang""",
+        # twin of traffic.funnel_conversion + the 1-day-window
+        # signup→view→click→purchase fixture: greedy-earliest step
+        # times as chained conditional window minima at exact
+        # microsecond epoch integers; counts exact BIGINTs, rates one
+        # IEEE division each
+        "funnel_conversion": r"""
+            WITH base AS (
+              SELECT CAST(user_id % 2 AS BIGINT) AS cohort,
+                     user_id AS u, event_type AS et,
+                     CAST(epoch_us(ts) AS BIGINT) AS ev_us
+              FROM events
+              WHERE event_type IN ('signup', 'view', 'click',
+                                   'purchase')
+                AND ts IS NOT NULL AND user_id IS NOT NULL),
+            w1 AS (
+              SELECT *, min(CASE WHEN et = 'signup' THEN ev_us END)
+                OVER (PARTITION BY cohort, u) AS t_1
+              FROM base),
+            w2 AS (
+              SELECT *, min(CASE WHEN et = 'view' AND ev_us > t_1
+                              AND ev_us - t_1 <= 86400000000
+                            THEN ev_us END)
+                OVER (PARTITION BY cohort, u) AS t_2
+              FROM w1),
+            w3 AS (
+              SELECT *, min(CASE WHEN et = 'click' AND ev_us > t_2
+                              AND ev_us - t_1 <= 86400000000
+                            THEN ev_us END)
+                OVER (PARTITION BY cohort, u) AS t_3
+              FROM w2),
+            w4 AS (
+              SELECT *, min(CASE WHEN et = 'purchase' AND ev_us > t_3
+                              AND ev_us - t_1 <= 86400000000
+                            THEN ev_us END)
+                OVER (PARTITION BY cohort, u) AS t_4
+              FROM w3),
+            users AS (
+              SELECT cohort, u, max(t_1) AS t_1, max(t_2) AS t_2,
+                     max(t_3) AS t_3, max(t_4) AS t_4
+              FROM w4 GROUP BY cohort, u),
+            wide AS (
+              SELECT cohort,
+                CAST(sum(CASE WHEN t_1 IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_1,
+                CAST(sum(CASE WHEN t_2 IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_2,
+                CAST(sum(CASE WHEN t_3 IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_3,
+                CAST(sum(CASE WHEN t_4 IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_4
+              FROM users GROUP BY cohort),
+            longf AS (
+              SELECT cohort, CAST(1 AS BIGINT) AS step_idx,
+                     'signup' AS step, n_1 AS n_users,
+                     CASE WHEN n_1 > 0 THEN CAST(n_1 AS DOUBLE)
+                       / CAST(n_1 AS DOUBLE) END AS conv_from_first,
+                     CASE WHEN n_1 > 0 THEN CAST(n_1 AS DOUBLE)
+                       / CAST(n_1 AS DOUBLE) END AS conv_from_prev
+              FROM wide
+              UNION ALL
+              SELECT cohort, CAST(2 AS BIGINT), 'view', n_2,
+                     CASE WHEN n_1 > 0 THEN CAST(n_2 AS DOUBLE)
+                       / CAST(n_1 AS DOUBLE) END,
+                     CASE WHEN n_1 > 0 THEN CAST(n_2 AS DOUBLE)
+                       / CAST(n_1 AS DOUBLE) END
+              FROM wide
+              UNION ALL
+              SELECT cohort, CAST(3 AS BIGINT), 'click', n_3,
+                     CASE WHEN n_1 > 0 THEN CAST(n_3 AS DOUBLE)
+                       / CAST(n_1 AS DOUBLE) END,
+                     CASE WHEN n_2 > 0 THEN CAST(n_3 AS DOUBLE)
+                       / CAST(n_2 AS DOUBLE) END
+              FROM wide
+              UNION ALL
+              SELECT cohort, CAST(4 AS BIGINT), 'purchase', n_4,
+                     CASE WHEN n_1 > 0 THEN CAST(n_4 AS DOUBLE)
+                       / CAST(n_1 AS DOUBLE) END,
+                     CASE WHEN n_3 > 0 THEN CAST(n_4 AS DOUBLE)
+                       / CAST(n_3 AS DOUBLE) END
+              FROM wide)
+            SELECT * FROM longf ORDER BY cohort, step_idx""",
         # twin of traffic.ab_test_proportions + the parity-split /
         # ≥14-events conversion / planted-purchase-effect fixture:
         # counts exact BIGINTs, rates one IEEE division each, z's

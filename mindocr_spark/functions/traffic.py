@@ -523,3 +523,109 @@ def ab_test_proportions(
             F.abs(z) >= F.lit(float(z_crit)), F.lit(False)
         ).alias("significant"),
     )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    by: tuple = (),
+    window_s: int | None = None,
+) -> DataFrame:
+    """Ordered-funnel conversion analysis per stratum: of the users
+    who performed steps[0], how many went on to perform steps[1]
+    AFTER it, then steps[2] after that, ... (the classic
+    signup→view→click→purchase readout). Greedy-earliest matching:
+    t_1 = the user's first steps[0] event, t_k = the first steps[k]
+    event strictly after t_{k-1}; with `window_s`, every later step
+    must also land within window_s seconds of t_1 (the conversion
+    window). A user's funnel depth is a pure function of their
+    (type, ts) multiset — no partitioning or order dependence.
+
+    Returns (*by, step_idx, step, n_users, conv_from_first,
+    conv_from_prev) — long format, one row per step per stratum
+    (zero-user steps included). Exactness: timestamps compare at
+    exact MICROSECOND epoch integers (the NTZ-anchored timestampdiff
+    idiom — see :func:`epoch_sec` — at microsecond grain, so
+    strictly-after means true event order, and the window bound is
+    an exact BIGINT comparison); n_users are exact BIGINTs;
+    each conversion rate is ONE IEEE division (NULL when the
+    denominator step had no users).
+
+    100 TB shape: ONE Exchange on the (stratum, user) key carries
+    the whole match — the K step times are K chained whole-partition
+    window minima over that one partitioning (no join per step, no
+    re-shuffle; Spark plans Window nodes back-to-back), the user
+    collapse groups on the SAME key (no new Exchange), and only the
+    stratum rollup reshuffles (stratum cardinality). Hot users
+    (bot streams) buffer one partition like every per-user window in
+    this module — cap with an upstream per-user event limit if the
+    log is unscrubbed."""
+    if len(steps) < 2:
+        raise ValueError("funnel needs >= 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct")
+    keys = list(by)
+    anchor = "TIMESTAMP_NTZ'1970-01-01 00:00:00'"
+    ev_us = F.expr(
+        f"timestampdiff(MICROSECOND, {anchor}, {ts_col})"
+    ).cast("bigint")
+    base = events.where(
+        F.col(type_col).isin(list(steps))
+        & F.col(ts_col).isNotNull()
+        & F.col(user_col).isNotNull()
+    ).select(
+        *keys,
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("et"),
+        ev_us.alias("ev_us"),
+    )
+    w = Window.partitionBy(*keys, "u")
+    cur = base.withColumn(
+        "t_1",
+        F.min(F.when(F.col("et") == steps[0], F.col("ev_us"))).over(w),
+    )
+    for k in range(2, len(steps) + 1):
+        cond = (F.col("et") == steps[k - 1]) & (
+            F.col("ev_us") > F.col(f"t_{k - 1}")
+        )
+        if window_s is not None:
+            cond = cond & (
+                F.col("ev_us") - F.col("t_1")
+                <= F.lit(int(window_s) * 1_000_000)
+            )
+        cur = cur.withColumn(
+            f"t_{k}", F.min(F.when(cond, F.col("ev_us"))).over(w)
+        )
+    t_cols = [f"t_{k}" for k in range(1, len(steps) + 1)]
+    users = cur.groupBy(*keys, "u").agg(
+        *[F.max(c).alias(c) for c in t_cols]
+    )
+    wide = users.groupBy(*keys).agg(
+        *[
+            F.sum(F.col(c).isNotNull().cast("bigint"))
+            .cast("bigint").alias(f"n_{k + 1}")
+            for k, c in enumerate(t_cols)
+        ]
+    )
+    n1 = F.col("n_1").cast("double")
+    rows = []
+    for i, s in enumerate(steps):
+        nk = F.col(f"n_{i + 1}")
+        prev = F.col(f"n_{i}") if i > 0 else nk
+        rows.append(
+            F.struct(
+                F.lit(i + 1).cast("bigint").alias("step_idx"),
+                F.lit(s).alias("step"),
+                nk.alias("n_users"),
+                F.when(F.col("n_1") > 0, nk.cast("double") / n1)
+                .alias("conv_from_first"),
+                F.when(prev > 0, nk.cast("double") / prev.cast("double"))
+                .alias("conv_from_prev"),
+            )
+        )
+    return wide.select(
+        *keys, F.explode(F.array(*rows)).alias("f")
+    ).select(*keys, "f.*")

@@ -401,3 +401,128 @@ class TestAbTestProportions:
             ab_test_proportions(u, c, variant_a="X", variant_b="X")
         with _pytest.raises(ValueError):
             ab_test_proportions(u, c, z_crit=0)
+
+
+class TestFunnelConversion:
+    def _run(self, spark, rows, steps=("a", "b", "c"), **kw):
+        """rows: (user_id, event_type, epoch_offset_s)."""
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        data = [
+            (u, t, base + dt.timedelta(seconds=s)) for (u, t, s) in rows
+        ]
+        from mindocr_spark.functions.traffic import funnel_conversion
+
+        df = spark.createDataFrame(
+            data, "user_id bigint, event_type string, ts timestamp_ntz"
+        )
+        out = funnel_conversion(df, list(steps), **kw).collect()
+        return {r["step"]: r for r in out}
+
+    def test_full_funnel_single_user(self, spark):
+        out = self._run(spark, [(1, "a", 0), (1, "b", 5), (1, "c", 9)])
+        assert [out[s]["n_users"] for s in "abc"] == [1, 1, 1]
+        assert out["c"]["conv_from_first"] == 1.0
+        assert out["a"]["conv_from_prev"] == 1.0
+
+    def test_order_matters(self, spark):
+        # c before b: user reaches b but never c-after-b
+        out = self._run(spark, [(1, "a", 0), (1, "c", 3), (1, "b", 5)])
+        assert [out[s]["n_users"] for s in "abc"] == [1, 1, 0]
+        assert out["c"]["conv_from_prev"] == 0.0
+
+    def test_greedy_anchors_on_first_step1(self, spark):
+        # b sits between the two a's: greedy t1 = first a, so b counts
+        out = self._run(spark, [(1, "a", 0), (1, "b", 2), (1, "a", 4)])
+        assert out["b"]["n_users"] == 1
+
+    def test_simultaneous_not_after(self, spark):
+        # b at exactly t1 (same microsecond) is not strictly after
+        out = self._run(spark, [(1, "a", 7), (1, "b", 7)])
+        assert out["b"]["n_users"] == 0
+
+    def test_conversion_window_bites(self, spark):
+        rows = [(1, "a", 0), (1, "b", 5), (1, "c", 100),
+                (2, "a", 0), (2, "b", 5), (2, "c", 20)]
+        out = self._run(spark, rows, window_s=30)
+        assert out["b"]["n_users"] == 2
+        assert out["c"]["n_users"] == 1
+        assert out["c"]["conv_from_first"] == 0.5
+        assert out["c"]["conv_from_prev"] == 0.5
+
+    def test_window_anchors_on_first_step_not_prev(self, spark):
+        # b at 25, c at 45: within 30s of b but not of a -> dropped
+        out = self._run(
+            spark, [(1, "a", 0), (1, "b", 25), (1, "c", 45)],
+            window_s=30,
+        )
+        assert out["b"]["n_users"] == 1
+        assert out["c"]["n_users"] == 0
+
+    def test_never_entered_stratum_all_zero(self, spark):
+        # user only does b/c: no a anchor, nothing counts
+        out = self._run(spark, [(1, "b", 0), (1, "c", 5)])
+        assert [out[s]["n_users"] for s in "abc"] == [0, 0, 0]
+        assert out["a"]["conv_from_first"] is None
+
+    def test_stratified(self, spark):
+        import datetime as dt
+
+        from mindocr_spark.functions.traffic import funnel_conversion
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            ("x", 1, "a", 0), ("x", 1, "b", 5),
+            ("x", 2, "a", 0),
+            ("y", 3, "a", 0), ("y", 3, "b", 2), ("y", 3, "c", 4),
+        ]
+        df = spark.createDataFrame(
+            [
+                (s, u, t, base + dt.timedelta(seconds=o))
+                for (s, u, t, o) in rows
+            ],
+            "s string, user_id bigint, event_type string,"
+            " ts timestamp_ntz",
+        )
+        out = {
+            (r["s"], r["step"]): r
+            for r in funnel_conversion(
+                df, ["a", "b", "c"], by=("s",)
+            ).collect()
+        }
+        assert out[("x", "a")]["n_users"] == 2
+        assert out[("x", "b")]["n_users"] == 1
+        assert out[("x", "b")]["conv_from_first"] == 0.5
+        assert out[("x", "c")]["n_users"] == 0
+        assert out[("y", "c")]["n_users"] == 1
+
+    def test_guards(self, spark):
+        import pytest
+
+        from mindocr_spark.functions.traffic import funnel_conversion
+
+        df = spark.createDataFrame(
+            [], "user_id bigint, event_type string, ts timestamp_ntz"
+        )
+        with pytest.raises(ValueError):
+            funnel_conversion(df, ["a"])
+        with pytest.raises(ValueError):
+            funnel_conversion(df, ["a", "a"])
+
+    def test_plan_one_exchange_for_all_step_windows(self, spark):
+        """The K chained step minima must share ONE Exchange+Sort on
+        the (stratum, user) key; only the stratum rollup adds one."""
+        import datetime as dt
+
+        from mindocr_spark.functions.traffic import funnel_conversion
+
+        base = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, "a", base), (1, "b", base)],
+            "user_id bigint, event_type string, ts timestamp_ntz",
+        )
+        out = funnel_conversion(df, ["a", "b", "c", "d"], window_s=60)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 2
+        assert plan.count("Sort") == 1
