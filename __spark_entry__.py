@@ -1280,6 +1280,20 @@ def q_ngram_jaccard(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_prefix_filter(spark, sf_dir):
+    """Exact all-pairs Jaccard via PPJoin prefix filtering — NO
+    df-cap: each doc joins only on its (1-tau)|d|+1 rarest shingles
+    (integer-exact prefix length and length filter), then exact
+    verification. The oracle is the NAIVE uncapped brute-force
+    self-join, so equality proves the filter drops nothing
+    (functions/dedup.prefix_filter_pairs)."""
+    from mindocr_spark.functions.dedup import prefix_filter_pairs
+
+    return prefix_filter_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.35
+    ).orderBy("id_a", "id_b")
+
+
 def q_containment(spark, sf_dir):
     """Directional containment near-dup pairs (Broder containment, the
     excerpt/quote-page complement of Jaccard): every 7th document gets a
@@ -6668,6 +6682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": _q(q_span_dedup),
         "boilerplate_purge": _q(q_boilerplate_purge),
         "ngram_jaccard": _q(q_ngram_jaccard),
+        "prefix_filter": _q(q_prefix_filter),
         "dehyphenate": _q(q_dehyphenate),
         "script_mix": _q(q_script_mix),
         "context_windows": _q(q_context_windows),
@@ -10730,6 +10745,33 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[CAST(i * 48 + 1 AS BIGINT):CAST(i * 48 + 64 AS BIGINT)], ' ')
                      AS window_text
             FROM w ORDER BY doc_id, win_idx
+        """,
+        # twin of dedup.prefix_filter_pairs — deliberately the NAIVE
+        # uncapped brute-force shingle self-join: equality proves the
+        # prefix filter is lossless (a provable candidate superset)
+        "prefix_filter": r"""
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')),' ')) AS word,
+                     generate_subscripts(string_split(trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')),' '), 1) AS pos
+              FROM documents),
+            sh0 AS (
+              SELECT doc_id,
+                     word || ' ' || lead(word,1) OVER (PARTITION BY doc_id ORDER BY pos)
+                          || ' ' || lead(word,2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle,
+                     lead(word,2) OVER (PARTITION BY doc_id ORDER BY pos) AS l2
+              FROM w),
+            sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE l2 IS NOT NULL),
+            sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT id_a, id_b, n_inter, x.n AS n_a, y.n AS n_b,
+                   round(CAST(n_inter AS DOUBLE) / CAST(x.n + y.n - n_inter AS DOUBLE), 6) AS jaccard
+            FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+            WHERE round(CAST(n_inter AS DOUBLE) / CAST(x.n + y.n - n_inter AS DOUBLE), 6) >= 0.35
+            ORDER BY id_a, id_b
         """,
         "ngram_jaccard": r"""
             WITH w AS (

@@ -1735,3 +1735,105 @@ def winnow_fingerprints(
         F.expr(f"mn div {_WINNOW_POS_CAP}").cast("bigint")
         .alias("gram_hash"),
     ).distinct()
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs with word-k-shingle Jaccard ≥ threshold — EXACT with
+    NO document-frequency cap: PPJoin-style prefix filtering
+    (Chaudhuri 2006 / Xiao 2008). Each doc joins on only its
+    p = ⌊(1−τ)·|d|⌋ + 1 globally-RAREST shingles (ascending document
+    frequency, shingle-lexicographic tie-break); the prefix theorem
+    guarantees any pair with J ≥ τ shares at least one prefix
+    shingle, so the candidate set is a provable superset and exact
+    verification loses nothing. This is the principled exact
+    complement to :func:`ngram_jaccard_pairs`'s df-cap: a viral
+    boilerplate shingle shared by 10^9 docs never enters the join
+    unless it is among a doc's rarest — join width is
+    Σ_shingle prefix_freq², self-bounding because prefixes select
+    rare keys by construction.
+
+    Exactness discipline: τ is quantized DOWN to τ' = T/10⁶ with
+    T = ⌊τ·10⁶⌋−1, so the prefix length p = n − ⌈T·n/10⁶⌉ + 1 and
+    the length filter 10⁶·n_a ≥ T·n_b are pure BIGINT arithmetic
+    (no IEEE boundary can drop a true pair; τ' < τ−5e-7 covers the
+    6dp-rounded verification compare). Verification is the same
+    exact intersection count + one IEEE division + round-6 compare
+    as ngram_jaccard_pairs.
+
+    Returns (id_a, id_b, n_inter, n_a, n_b, jaccard), id_a < id_b.
+
+    100 TB shape: shingle relation persisted once and reused by the
+    frequency count, the per-doc ranking (one Exchange on the doc
+    key), the prefix self-join (shuffle on the rare-shingle key),
+    and the verification join (doc-key equi-joins). Every shuffle is
+    on a key whose heavy hitters are structurally excluded."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    t_scaled = max(1, int(threshold * 1_000_000) - 1)
+    sh = tracked_persist(
+        word_shingles(df, k=k, text_col=text_col, id_col=id_col)
+    )
+    freq = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df_")
+    )
+    sized = sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
+    ranked = sh.join(freq, "shingle").join(sized, id_col)
+    rn = F.row_number().over(
+        Window.partitionBy(id_col).orderBy("df_", "shingle")
+    )
+    # p = n − ⌈T·n/10⁶⌉ + 1, all-BIGINT (DIV floors; +999999 = ceil)
+    p = (
+        F.col("n_sh")
+        - F.expr(f"({t_scaled} * n_sh + 999999) DIV 1000000")
+        + F.lit(1)
+    ).cast("bigint")
+    prefix = tracked_persist(
+        ranked.withColumn("rn", rn)
+        .where(F.col("rn") <= p)
+        .select(id_col, "shingle", "n_sh")
+    )
+    pa = prefix.select(
+        F.col(id_col).alias("id_a"), "shingle",
+        F.col("n_sh").alias("n_a"),
+    )
+    pb = prefix.select(
+        F.col(id_col).alias("id_b"), "shingle",
+        F.col("n_sh").alias("n_b"),
+    )
+    cand = (
+        pa.join(pb, "shingle")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("n_a") * F.lit(1_000_000)
+               >= F.col("n_b") * F.lit(t_scaled))
+            & (F.col("n_b") * F.lit(1_000_000)
+               >= F.col("n_a") * F.lit(t_scaled))
+        )
+        .select("id_a", "id_b", "n_a", "n_b")
+        .distinct()
+    )
+    sha = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    shb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(sha, "id_a")
+        .join(shb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return inter.select(
+        "id_a", "id_b", "n_inter", "n_a", "n_b",
+        F.round(jac, 6).alias("jaccard"),
+    ).where(F.round(jac, 6) >= threshold)

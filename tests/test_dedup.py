@@ -843,3 +843,105 @@ class TestWinnowFingerprints:
             winnow_fingerprints(df, k=1)
         with _pytest.raises(ValueError):
             winnow_fingerprints(df, w=1)
+
+
+class TestPrefixFilterPairs:
+    def _corpus(self, spark):
+        # varied doc lengths, one viral closing sentence on most docs,
+        # several planted near-dup families at different similarities
+        viral = " all rights reserved contact us for more information"
+        rows = []
+        words = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                 "kappa lam mu nu xi omicron pi rho sigma tau "
+                 "upsilon phi chi psi omega").split()
+        for i in range(12):
+            body = " ".join(
+                words[(i + j) % len(words)] for j in range(10 + i)
+            )
+            rows.append((i, body + viral))
+        # exact near-dup pair: one-word edit
+        rows.append((100, " ".join(words[:15]) + viral))
+        rows.append((101, " ".join(words[:14] + ["EDITED"]) + viral))
+        # identical pair
+        rows.append((200, "unique sentence about catalyst " + viral))
+        rows.append((201, "unique sentence about catalyst " + viral))
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    @pytest.mark.parametrize("tau", [0.3, 0.5, 0.7])
+    def test_equals_uncapped_bruteforce(self, spark, tau):
+        from mindocr_spark.functions.dedup import (
+            ngram_jaccard_pairs, prefix_filter_pairs,
+        )
+
+        docs = self._corpus(spark)
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in prefix_filter_pairs(
+                docs, k=3, threshold=tau
+            ).collect()
+        }
+        want = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                docs, k=3, threshold=tau,
+                max_shingle_freq=10**9,
+            ).collect()
+        }
+        assert got == want and len(want) > 0
+
+    def test_finds_pair_the_df_cap_drops(self, spark):
+        from mindocr_spark.functions.dedup import (
+            ngram_jaccard_pairs, prefix_filter_pairs,
+        )
+
+        # two docs similar ONLY through a phrase every doc shares:
+        # a df-cap of 2 excises it; prefix filtering needs no cap
+        shared = "one two three four five six seven eight"
+        rows = [(i, f"filler{i} pad{i} junk{i} " + shared)
+                for i in range(10)]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        pf = prefix_filter_pairs(docs, k=3, threshold=0.5).collect()
+        assert len(pf) == len(rows) * (len(rows) - 1) // 2
+        capped = ngram_jaccard_pairs(
+            docs, k=3, threshold=0.5, max_shingle_freq=2
+        ).collect()
+        assert len(capped) == 0
+
+    def test_exact_threshold_boundary_kept(self, spark):
+        from mindocr_spark.functions.dedup import prefix_filter_pairs
+
+        # doc a: shingles of 9 words (7); doc b: a's first 8 words +
+        # 6 new → intersection 6 of sizes 7/12... build J = 0.5
+        # directly: a has 6 shingles, b has 6, sharing 4 → J = 4/8
+        a = "w1 w2 w3 w4 w5 w6 w7 w8"          # 6 shingles
+        b = "w3 w4 w5 w6 w7 w8 x1 x2"          # shares w3w4w5..w6w7w8
+        docs = spark.createDataFrame(
+            [(1, a), (2, b)], "doc_id bigint, text string"
+        )
+        out = prefix_filter_pairs(docs, k=3, threshold=0.5).collect()
+        (r,) = out
+        assert (r["n_a"], r["n_b"], r["n_inter"]) == (6, 6, 4)
+        assert r["jaccard"] == 0.5
+
+    def test_identical_docs(self, spark):
+        from mindocr_spark.functions.dedup import prefix_filter_pairs
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d e")],
+            "doc_id bigint, text string",
+        )
+        (r,) = prefix_filter_pairs(docs, threshold=0.9).collect()
+        assert r["jaccard"] == 1.0
+
+    def test_guards(self, spark):
+        from mindocr_spark.functions.dedup import prefix_filter_pairs
+
+        docs = spark.createDataFrame(
+            [(1, "a b c")], "doc_id bigint, text string"
+        )
+        with pytest.raises(ValueError):
+            prefix_filter_pairs(docs, threshold=0.0)
+        with pytest.raises(ValueError):
+            prefix_filter_pairs(docs, threshold=1.0)
+        with pytest.raises(ValueError):
+            prefix_filter_pairs(docs, k=0)
