@@ -4457,6 +4457,22 @@ def q_funnel_conversion(spark, sf_dir):
     ).orderBy("cohort", "step_idx")
 
 
+def q_km_survival(spark, sf_dir):
+    """Kaplan-Meier retention curve per event type over user activity
+    lifetimes (last day − first day), right-censoring users whose
+    last activity sits within 5 days of the stratum's observation
+    end. Grid counts exact BIGINTs; each ln(1 − d/n) factor
+    9dp-quantized then DECIMAL-summed, survival = exp re-quantized
+    (functions/traffic.km_survival)."""
+    from mindocr_spark.functions.traffic import km_survival
+
+    return km_survival(
+        _t(spark, sf_dir, "events"),
+        by=("event_type",),
+        censor_gap_days=5,
+    ).orderBy("event_type", "t")
+
+
 def q_ab_test(spark, sf_dir):
     """Two-proportion A/B readout over events: variant = user_id
     parity, conversion on metric m = '≥14 events of type m' (the
@@ -6778,6 +6794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symspell_correct": _q(q_symspell_correct),
         "bleu_eval": _q(q_bleu_eval),
         "funnel_conversion": _q(q_funnel_conversion),
+        "km_survival": _q(q_km_survival),
         "ab_test": _q(q_ab_test),
         "ks_drift": _q(q_ks_drift),
         "rank_sum": _q(q_rank_sum),
@@ -11674,6 +11691,64 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(n_3 AS DOUBLE) END
               FROM wide)
             SELECT * FROM longf ORDER BY cohort, step_idx""",
+        # twin of traffic.km_survival + the 5-day censor gap: grid
+        # counts / at-risk reverse cumsum exact BIGINTs; ln(1-d/n)
+        # 9dp-quantized → DECIMAL-summed → exp re-quantized; d=n
+        # pins survival to exact 0.0 (no ln(0) enters the sum)
+        "km_survival": r"""
+            WITH u AS (
+              SELECT event_type, user_id AS u,
+                     CAST(date_diff('day', DATE '1970-01-01',
+                          CAST(ts AS DATE)) AS BIGINT) AS d
+              FROM events
+              WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            per AS (
+              SELECT event_type, u, min(d) AS first_d,
+                     max(d) AS last_d
+              FROM u GROUP BY event_type, u),
+            lt AS (
+              SELECT event_type,
+                     CAST(last_d - first_d AS BIGINT) AS t,
+                     (last_d > max(last_d) OVER
+                        (PARTITION BY event_type) - 5) AS censored
+              FROM per),
+            grid AS (
+              SELECT event_type, t,
+                     CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0
+                              END) AS BIGINT) AS d_churned,
+                     CAST(sum(CASE WHEN censored THEN 1 ELSE 0
+                              END) AS BIGINT) AS n_censored
+              FROM lt GROUP BY event_type, t),
+            risked AS (
+              SELECT *, CAST(sum(d_churned + n_censored) OVER
+                       (PARTITION BY event_type ORDER BY t DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS n_at_risk
+              FROM grid),
+            terms AS (
+              SELECT *,
+                CASE WHEN d_churned > 0 AND d_churned < n_at_risk
+                     THEN round(ln((CAST(n_at_risk AS DOUBLE)
+                                    - CAST(d_churned AS DOUBLE))
+                                   / CAST(n_at_risk AS DOUBLE)), 9)
+                     ELSE CAST(0.0 AS DOUBLE) END AS term
+              FROM risked),
+            walked AS (
+              SELECT event_type, t, n_at_risk, d_churned, n_censored,
+                     CAST(sum(CAST(term AS DECIMAL(28, 9))) OVER
+                       (PARTITION BY event_type ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS DOUBLE) AS ln_s,
+                     max(CASE WHEN d_churned = n_at_risk THEN 1
+                              ELSE 0 END) OVER
+                       (PARTITION BY event_type ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS hit_zero
+              FROM terms)
+            SELECT event_type, t, n_at_risk, d_churned, n_censored,
+                   CASE WHEN hit_zero = 1 THEN CAST(0.0 AS DOUBLE)
+                        ELSE round(exp(ln_s), 9) END AS survival
+            FROM walked ORDER BY event_type, t""",
         # twin of traffic.ab_test_proportions + the parity-split /
         # ≥14-events conversion / planted-purchase-effect fixture:
         # counts exact BIGINTs, rates one IEEE division each, z's

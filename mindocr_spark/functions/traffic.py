@@ -629,3 +629,108 @@ def funnel_conversion(
     return wide.select(
         *keys, F.explode(F.array(*rows)).alias("f")
     ).select(*keys, "f.*")
+
+
+def km_survival(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    by: tuple = (),
+    censor_gap_days: int = 7,
+) -> DataFrame:
+    """Kaplan-Meier retention/survival curve per stratum over user
+    activity lifetimes — the right-censoring-correct answer to "how
+    long do users stay active?" (naive retention curves understate
+    the tail because still-active users haven't churned YET). A
+    user's lifetime is last_day − first_day; users whose last
+    activity lands within `censor_gap_days` of the stratum's
+    observation end are right-CENSORED (they may still be active),
+    everyone else churned at their lifetime. S(t) =
+    Π_{s ≤ t, d_s > 0} (1 − d_s/n_s) with n_s the at-risk count
+    (lifetime ≥ s, churned or censored — the standard convention
+    that censoring at s happens after s's events).
+
+    Returns (*by, t, n_at_risk, d_churned, n_censored, survival) —
+    one row per distinct lifetime. Exactness: day numbers, lifetime
+    grid, d/c/n_at_risk all exact BIGINTs (datediff + reverse
+    cumulative sum); each ln(1 − d/n) factor is 9dp-quantized then
+    DECIMAL-summed along the ordered walk (order-free across
+    engines), survival = exp of that sum re-quantized at 9dp (the
+    ln idiom's transcendental pair); a time where d = n drives
+    survival to EXACT 0.0 from there on (no ln(0) enters the sum).
+
+    100 TB shape: one map-side-combinable groupBy to (stratum,
+    user) grain, then everything runs on the lifetime GRID (≤ span
+    days per stratum) — two window walks and a groupBy at grid
+    cardinality."""
+    keys = list(by)
+    day = F.datediff(
+        F.to_date(ts_col), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    u = events.where(
+        F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+    ).select(*keys, F.col(user_col).alias("u"), day.alias("d"))
+    per = u.groupBy(*keys, "u").agg(
+        F.min("d").alias("first_d"), F.max("d").alias("last_d")
+    )
+    w_all = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    end = F.max("last_d").over(w_all)
+    lt = per.select(
+        *keys,
+        (F.col("last_d") - F.col("first_d")).cast("bigint").alias("t"),
+        (F.col("last_d") > end - F.lit(int(censor_gap_days)))
+        .alias("censored"),
+    )
+    grid = lt.groupBy(*keys, "t").agg(
+        F.sum((~F.col("censored")).cast("bigint")).cast("bigint")
+        .alias("d_churned"),
+        F.sum(F.col("censored").cast("bigint")).cast("bigint")
+        .alias("n_censored"),
+    )
+    w_desc = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risked = grid.select(
+        *keys,
+        "t",
+        "d_churned",
+        "n_censored",
+        F.sum(F.col("d_churned") + F.col("n_censored")).over(w_desc)
+        .cast("bigint").alias("n_at_risk"),
+    )
+    nr = F.col("n_at_risk").cast("double")
+    dd = F.col("d_churned").cast("double")
+    term = F.when(
+        (F.col("d_churned") > 0)
+        & (F.col("d_churned") < F.col("n_at_risk")),
+        F.round(F.log((nr - dd) / nr), 9),
+    ).otherwise(F.lit(0.0))
+    w_asc = (
+        Window.partitionBy(*keys)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walked = risked.select(
+        *keys,
+        "t",
+        "n_at_risk",
+        "d_churned",
+        "n_censored",
+        F.sum(term.cast("decimal(28,9)")).over(w_asc)
+        .cast("double").alias("ln_s"),
+        F.max(
+            (F.col("d_churned") == F.col("n_at_risk")).cast("int")
+        ).over(w_asc).alias("hit_zero"),
+    )
+    return walked.select(
+        *keys,
+        "t",
+        "n_at_risk",
+        "d_churned",
+        "n_censored",
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("ln_s")), 9))
+        .alias("survival"),
+    )

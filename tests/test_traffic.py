@@ -526,3 +526,91 @@ class TestFunnelConversion:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 2
         assert plan.count("Sort") == 1
+
+
+class TestKMSurvival:
+    def _run(self, spark, spans, **kw):
+        """spans: (user_id, first_day, last_day) -> two events each."""
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        data = []
+        for (u, f, l) in spans:
+            data.append((u, base + dt.timedelta(days=f)))
+            data.append((u, base + dt.timedelta(days=l)))
+        from mindocr_spark.functions.traffic import km_survival
+
+        df = spark.createDataFrame(
+            data, "user_id bigint, ts timestamp_ntz"
+        )
+        out = km_survival(df, **kw).collect()
+        return {r["t"]: r for r in out}
+
+    def test_textbook_curve(self, spark):
+        # A churn t=1, B churn t=2, C churn t=3, D censored t=10
+        out = self._run(
+            spark,
+            [(1, 0, 1), (2, 0, 2), (3, 0, 3), (4, 0, 10)],
+            censor_gap_days=3,
+        )
+        assert out[1]["n_at_risk"] == 4 and out[1]["d_churned"] == 1
+        assert abs(out[1]["survival"] - 0.75) < 2e-9
+        assert abs(out[2]["survival"] - 0.5) < 2e-9
+        assert abs(out[3]["survival"] - 0.25) < 2e-9
+        assert out[10]["n_censored"] == 1
+        assert out[10]["d_churned"] == 0
+        assert abs(out[10]["survival"] - 0.25) < 2e-9
+
+    def test_last_churn_hits_exact_zero(self, spark):
+        # both users churn; final time has d == n_at_risk -> S = 0.0
+        out = self._run(
+            spark, [(1, 0, 1), (2, 0, 2)], censor_gap_days=0
+        )
+        assert out[2]["survival"] == 0.0
+        assert abs(out[1]["survival"] - 0.5) < 2e-9
+
+    def test_all_censored_flat_one(self, spark):
+        out = self._run(
+            spark, [(1, 0, 9), (2, 0, 10)], censor_gap_days=5
+        )
+        assert all(r["survival"] == 1.0 for r in out.values())
+        assert all(r["d_churned"] == 0 for r in out.values())
+
+    def test_tied_lifetimes_single_grid_row(self, spark):
+        out = self._run(
+            spark,
+            [(1, 0, 2), (2, 5, 7), (3, 0, 20)],
+            censor_gap_days=2,
+        )
+        # users 1,2 share t=2 -> one row, d=2, n=3 -> S = 1/3
+        assert out[2]["d_churned"] == 2 and out[2]["n_at_risk"] == 3
+        assert abs(out[2]["survival"] - 1.0 / 3.0) < 2e-9
+
+    def test_stratified_independent_ends(self, spark):
+        import datetime as dt
+
+        from mindocr_spark.functions.traffic import km_survival
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        # stratum x ends day 10; stratum y ends day 30 — censoring
+        # is judged against each stratum's own end
+        for (s, u, f, l) in [
+            ("x", 1, 0, 2), ("x", 2, 0, 10),
+            ("y", 3, 0, 2), ("y", 4, 0, 30),
+        ]:
+            rows.append((s, u, base + dt.timedelta(days=f)))
+            rows.append((s, u, base + dt.timedelta(days=l)))
+        df = spark.createDataFrame(
+            rows, "s string, user_id bigint, ts timestamp_ntz"
+        )
+        out = {
+            (r["s"], r["t"]): r
+            for r in km_survival(
+                df, by=("s",), censor_gap_days=3
+            ).collect()
+        }
+        assert out[("x", 2)]["d_churned"] == 1   # 2 <= 10-3
+        assert out[("x", 10)]["n_censored"] == 1
+        assert out[("y", 2)]["d_churned"] == 1   # 2 <= 30-3
+        assert out[("y", 30)]["n_censored"] == 1
