@@ -4457,6 +4457,25 @@ def q_funnel_conversion(spark, sf_dir):
     ).orderBy("cohort", "step_idx")
 
 
+def q_seasonal_anomaly(spark, sf_dir):
+    """Day-of-week-aware anomaly fence over per-type daily counts
+    with a PLANTED weekly pattern (dow==3 traffic doubled by
+    self-union): the robust median-based DOW index absorbs the
+    pattern a season-blind fence would flag. All four medians are
+    explicit-middle-rank selections — no engine percentile crosses
+    the boundary (functions/traffic.seasonal_anomaly_stats)."""
+    from mindocr_spark.functions.traffic import seasonal_anomaly_stats
+
+    e = _t(spark, sf_dir, "events").select("event_type", "ts")
+    day_n = F.datediff(
+        F.to_date("ts"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    doubled = e.union(e.where(day_n % 7 == 3))
+    return seasonal_anomaly_stats(doubled, k=6).orderBy(
+        "event_type", "day_n"
+    )
+
+
 def q_km_survival(spark, sf_dir):
     """Kaplan-Meier retention curve per event type over user activity
     lifetimes (last day − first day), right-censoring users whose
@@ -6795,6 +6814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bleu_eval": _q(q_bleu_eval),
         "funnel_conversion": _q(q_funnel_conversion),
         "km_survival": _q(q_km_survival),
+        "seasonal_anomaly": _q(q_seasonal_anomaly),
         "ab_test": _q(q_ab_test),
         "ks_drift": _q(q_ks_drift),
         "rank_sum": _q(q_rank_sum),
@@ -11691,6 +11711,113 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(n_3 AS DOUBLE) END
               FROM wide)
             SELECT * FROM longf ORDER BY cohort, step_idx""",
+        # twin of traffic.seasonal_anomaly_stats + the dow==3
+        # self-union doubling: zero-filled day spine, four explicit-
+        # middle-rank medians (integer dyadics / pinned IEEE), robust
+        # median-based DOW index, MAD fence on the deseasonalized
+        "seasonal_anomaly": r"""
+            WITH e0 AS (
+              SELECT event_type, ts,
+                     CAST(date_diff('day', DATE '1970-01-01',
+                          CAST(ts AS DATE)) AS BIGINT) AS dn
+              FROM events),
+            e AS (
+              SELECT event_type, ts FROM e0
+              UNION ALL
+              SELECT event_type, ts FROM e0 WHERE dn % 7 = 3),
+            counted AS (
+              SELECT event_type,
+                     CAST(date_diff('day', DATE '1970-01-01',
+                          CAST(ts AS DATE)) AS BIGINT) AS day_n,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM e GROUP BY event_type, day_n),
+            spine AS (
+              SELECT event_type, unnest(generate_series(d0, d1))
+                       AS day_n
+              FROM (SELECT event_type, min(day_n) AS d0,
+                           max(day_n) AS d1
+                    FROM counted GROUP BY event_type)),
+            daily AS (
+              SELECT s.event_type, s.day_n,
+                     CAST(s.day_n % 7 AS BIGINT) AS dow,
+                     CAST(coalesce(c.n, 0) AS BIGINT) AS n
+              FROM spine s LEFT JOIN counted c
+                ON s.event_type = c.event_type
+               AND s.day_n = c.day_n),
+            r1 AS (
+              SELECT *,
+                     count(*) OVER (PARTITION BY event_type, dow)
+                       AS m1,
+                     row_number() OVER (PARTITION BY event_type, dow
+                       ORDER BY n, day_n) AS rn1
+              FROM daily),
+            d1 AS (
+              SELECT event_type, day_n, dow, n,
+                     avg(CASE WHEN rn1 = (m1 + 1) // 2
+                               OR rn1 = (m1 + 2) // 2
+                          THEN n END)
+                       OVER (PARTITION BY event_type, dow) AS med_dow
+              FROM r1),
+            r2 AS (
+              SELECT *,
+                     count(*) OVER (PARTITION BY event_type) AS m2,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY n, day_n) AS rn2
+              FROM d1),
+            d2 AS (
+              SELECT event_type, day_n, dow, n, med_dow,
+                     avg(CASE WHEN rn2 = (m2 + 1) // 2
+                               OR rn2 = (m2 + 2) // 2
+                          THEN n END)
+                       OVER (PARTITION BY event_type) AS med_all
+              FROM r2),
+            ds AS (
+              SELECT event_type, day_n, dow, n,
+                     CASE WHEN med_all > 0.0 THEN med_dow / med_all
+                          ELSE CAST(1.0 AS DOUBLE) END AS dow_index,
+                     CASE WHEN (CASE WHEN med_all > 0.0
+                                     THEN med_dow / med_all
+                                     ELSE CAST(1.0 AS DOUBLE) END)
+                               > 0.0
+                          THEN CAST(n AS DOUBLE)
+                               / (CASE WHEN med_all > 0.0
+                                       THEN med_dow / med_all
+                                       ELSE CAST(1.0 AS DOUBLE) END)
+                          ELSE CAST(n AS DOUBLE) END AS x
+              FROM d2),
+            r3 AS (
+              SELECT *,
+                     count(*) OVER (PARTITION BY event_type) AS m3,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY x, day_n) AS rn3
+              FROM ds),
+            m1t AS (
+              SELECT event_type, day_n, dow, n, dow_index, x,
+                     avg(CASE WHEN rn3 = (m3 + 1) // 2
+                               OR rn3 = (m3 + 2) // 2
+                          THEN x END)
+                       OVER (PARTITION BY event_type) AS med_ds
+              FROM r3),
+            dev AS (
+              SELECT *, abs(x - med_ds) AS adev FROM m1t),
+            r4 AS (
+              SELECT *,
+                     count(*) OVER (PARTITION BY event_type) AS m4,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY adev, day_n) AS rn4
+              FROM dev),
+            fin AS (
+              SELECT event_type, day_n, dow, n, dow_index, x, med_ds,
+                     adev,
+                     avg(CASE WHEN rn4 = (m4 + 1) // 2
+                               OR rn4 = (m4 + 2) // 2
+                          THEN adev END)
+                       OVER (PARTITION BY event_type) AS mad_ds
+              FROM r4)
+            SELECT event_type, day_n, dow, n, dow_index,
+                   x AS deseasonalized, med_ds, mad_ds,
+                   (adev > 6.0 * mad_ds) AS is_anomaly
+            FROM fin ORDER BY event_type, day_n""",
         # twin of traffic.km_survival + the 5-day censor gap: grid
         # counts / at-risk reverse cumsum exact BIGINTs; ln(1-d/n)
         # 9dp-quantized → DECIMAL-summed → exp re-quantized; d=n

@@ -734,3 +734,107 @@ def km_survival(
         .otherwise(F.round(F.exp(F.col("ln_s")), 9))
         .alias("survival"),
     )
+
+
+def seasonal_anomaly_stats(events: DataFrame, k: int = 6) -> DataFrame:
+    """Day-of-week-aware traffic anomaly detection per event type:
+    ROBUST multiplicative DOW decomposition (index_d = that
+    weekday's MEDIAN daily count / the overall median — medians, so
+    a spike cannot drag its own weekday's index and then hide inside
+    it), then the median/MAD fence on the DESEASONALIZED series —
+    flags a spike even when it lands on a naturally-busy weekday,
+    and never flags an ordinary weekend dip (which
+    :func:`daily_anomaly_stats`, season-blind, would).
+
+    Returns (event_type, day_n, dow, n, dow_index, deseasonalized,
+    med_ds, mad_ds, is_anomaly). dow = day_n % 7 anchored at the
+    1970-01-01 epoch (0 = Thursday) — a pure integer, no locale.
+    Exactness: daily counts and the zero-filled day spine are exact
+    BIGINTs (outage days are real rows, the daily_anomaly_stats
+    argument); ALL four medians (per-dow, overall, deseasonalized,
+    MAD) are EXPLICIT-middle-rank selections — avg of the two middle
+    values, day_n tie-break — so no engine percentile interpolation
+    formula crosses the boundary; integer medians are exact dyadics,
+    dow_index and deseasonalized one pinned IEEE division each.
+    Degenerate guards: overall median 0 (mostly-outage stratum) or a
+    dead weekday (index 0) fall back to the RAW count, never NaN.
+
+    100 TB shape: one (type, day) count groupBy collapses the
+    stream; spine fill, decomposition, rank walks and fences all
+    live at types×days cardinality."""
+    from mindocr_spark.cache import tracked_persist
+
+    if k < 1:
+        raise ValueError(f"k must be ≥ 1, got {k}")
+    day_n = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    counted = events.select(
+        "event_type", day_n.cast("bigint").alias("day_n")
+    ).groupBy("event_type", "day_n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    spine = counted.groupBy("event_type").agg(
+        F.min("day_n").alias("d0"), F.max("day_n").alias("d1")
+    ).select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1")).alias("day_n"),
+    )
+    daily = spine.join(counted, ["event_type", "day_n"], "left").select(
+        "event_type",
+        "day_n",
+        (F.col("day_n") % 7).cast("bigint").alias("dow"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+    )
+
+    def _median_over(df, val, part_cols, out_name):
+        """Explicit-middle-rank median of `val` within `part_cols`,
+        appended as a whole-partition column `out_name`."""
+        w_p = Window.partitionBy(*part_cols)
+        w_r = Window.partitionBy(*part_cols).orderBy(val, "day_n")
+        mc, rc = f"_m_{out_name}", f"_rn_{out_name}"
+        ranked = df.withColumn(
+            mc, F.count(F.lit(1)).over(w_p)
+        ).withColumn(rc, F.row_number().over(w_r))
+        is_mid = (F.col(rc) == F.expr(f"({mc} + 1) DIV 2")) | (
+            F.col(rc) == F.expr(f"({mc} + 2) DIV 2")
+        )
+        return ranked.withColumn(
+            out_name,
+            F.avg(F.when(is_mid, F.col(val))).over(w_p),
+        ).drop(mc, rc)
+
+    d1 = _median_over(daily, "n", ["event_type", "dow"], "med_dow")
+    d2 = _median_over(d1, "n", ["event_type"], "med_all")
+    idx = F.when(
+        F.col("med_all") > 0.0, F.col("med_dow") / F.col("med_all")
+    ).otherwise(F.lit(1.0))
+    ds = tracked_persist(
+        d2.select(
+            "event_type",
+            "day_n",
+            "dow",
+            "n",
+            idx.alias("dow_index"),
+            F.when(
+                idx > 0.0, F.col("n").cast("double") / idx
+            ).otherwise(F.col("n").cast("double")).alias("x"),
+        )
+    )
+    m1 = _median_over(ds, "x", ["event_type"], "med_ds")
+    dev = tracked_persist(
+        m1.select(
+            "*", F.abs(F.col("x") - F.col("med_ds")).alias("adev")
+        )
+    )
+    out = _median_over(dev, "adev", ["event_type"], "mad_ds")
+    return out.select(
+        "event_type",
+        "day_n",
+        "dow",
+        "n",
+        "dow_index",
+        F.col("x").alias("deseasonalized"),
+        "med_ds",
+        "mad_ds",
+        (F.col("adev") > F.lit(float(k)) * F.col("mad_ds"))
+        .alias("is_anomaly"),
+    )

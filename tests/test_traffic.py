@@ -614,3 +614,71 @@ class TestKMSurvival:
         assert out[("x", 10)]["n_censored"] == 1
         assert out[("y", 2)]["d_churned"] == 1   # 2 <= 30-3
         assert out[("y", 30)]["n_censored"] == 1
+
+
+class TestSeasonalAnomaly:
+    def _run(self, spark, day_counts, k=6):
+        """day_counts: {day_offset: n_events} for one event type."""
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        for d, c in day_counts.items():
+            for i in range(c):
+                rows.append(
+                    ("view", base + dt.timedelta(days=d, seconds=i))
+                )
+        from mindocr_spark.functions.traffic import (
+            seasonal_anomaly_stats,
+        )
+
+        df = spark.createDataFrame(
+            rows, "event_type string, ts timestamp_ntz"
+        )
+        out = seasonal_anomaly_stats(df, k=k).collect()
+        base_day = (base.date() - dt.date(1970, 1, 1)).days
+        return {r["day_n"] - base_day: r for r in out}
+
+    def test_flat_series_quiet(self, spark):
+        out = self._run(spark, {d: 10 for d in range(14)})
+        assert all(r["dow_index"] == 1.0 for r in out.values())
+        assert not any(r["is_anomaly"] for r in out.values())
+
+    def test_clean_weekly_pattern_quiet(self, spark):
+        # every 7th day doubled: a season-blind fence would flag it;
+        # the DOW index absorbs it exactly (all deseasonalized equal)
+        counts = {d: (20 if d % 7 == 3 else 10) for d in range(14)}
+        out = self._run(spark, counts)
+        assert out[3]["dow_index"] == 2.0
+        assert out[0]["dow_index"] == 1.0
+        assert not any(r["is_anomaly"] for r in out.values())
+        vals = {round(r["deseasonalized"], 9) for r in out.values()}
+        assert len(vals) == 1
+
+    def test_weekday_spike_flagged_alone(self, spark):
+        counts = {d: (20 if d % 7 == 3 else 10) for d in range(28)}
+        counts[8] = 100  # spike on an ordinary weekday
+        out = self._run(spark, counts)
+        flagged = [d for d, r in out.items() if r["is_anomaly"]]
+        assert flagged == [8]
+
+    def test_outage_day_spine_filled_and_flagged(self, spark):
+        counts = {d: 10 for d in range(21)}
+        del counts[9]  # total outage: no rows at all that day
+        out = self._run(spark, counts)
+        assert out[9]["n"] == 0
+        assert out[9]["is_anomaly"] is True
+        assert [d for d, r in out.items() if r["is_anomaly"]] == [9]
+
+    def test_guard(self, spark):
+        import pytest as _pt
+
+        from mindocr_spark.functions.traffic import (
+            seasonal_anomaly_stats,
+        )
+
+        df = spark.createDataFrame(
+            [], "event_type string, ts timestamp_ntz"
+        )
+        with _pt.raises(ValueError):
+            seasonal_anomaly_stats(df, k=0)
