@@ -2732,6 +2732,22 @@ def q_ann_ivf_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (m=4 subspaces × 16 codes over
+    the 64-dim embeddings, one Lloyd pass): id-grid seeds, pinned
+    rounded-L2 assignment, DECIMAL Lloyd means, per-query LUT of
+    9dp-rounded sub-dots DECIMAL-summed — the whole compressed-domain
+    scan is a pure function of the corpus, reproduced code-for-code
+    by the SQL oracle (functions/similarity.pq_adc_topk)."""
+    from mindocr_spark.functions.similarity import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        emb, emb.where(F.col("vec_id") < 10), dim=64, m=4,
+        k_sub=16, k=5, lloyd_iters=1,
+    ).orderBy("query_id", "rank")
+
+
 def q_embedding_neardup(spark, sf_dir):
     from mindocr_spark.functions.similarity import embedding_neardup_pairs
 
@@ -6871,6 +6887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q(q_ann_lsh_topk),
         "bitext_mine": _q(q_bitext_mine),
         "ann_ivf_topk": _q(q_ann_ivf_topk),
+        "ann_pq_topk": _q(q_ann_pq_topk),
         "embedding_neardup": _q(q_embedding_neardup),
         "semdedup": _q(q_semdedup),
         "cluster_mix": _q(q_cluster_mix),
@@ -13820,6 +13837,92 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
               FROM scored)
             SELECT * FROM r WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        # twin of similarity.pq_adc_topk (m=4, k_sub=16, 1 Lloyd
+        # pass): id-grid seeds ranked by id, pinned rounded-L2
+        # assignment (dd − 2·dc + cc at 9dp, code tie-break),
+        # DECIMAL Lloyd means rounded at 6, per-query LUT of
+        # 9dp-rounded sub-dots DECIMAL-summed
+        "ann_pq_topk": r"""
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            par AS (SELECT greatest(1, COUNT(*) // 16) AS stride FROM e),
+            grid AS (
+              SELECT vec_id, v,
+                     row_number() OVER (ORDER BY vec_id) AS rk
+              FROM e, par WHERE vec_id % stride = 0),
+            jj AS (SELECT unnest(range(4)) AS j),
+            cent0 AS (
+              SELECT CAST(j AS BIGINT) AS sub,
+                     CAST(rk - 1 AS BIGINT) AS code,
+                     v[j*16 + 1 : j*16 + 16] AS cent
+              FROM grid CROSS JOIN jj WHERE rk <= 16),
+            subs AS (
+              SELECT vec_id AS nid, CAST(j AS BIGINT) AS sub,
+                     v[j*16 + 1 : j*16 + 16] AS sv
+              FROM e CROSS JOIN jj),
+            a0 AS (
+              SELECT nid, sub, sv, code FROM (
+                SELECT subs.nid, subs.sub, subs.sv, c.code,
+                       row_number() OVER (
+                         PARTITION BY subs.nid, subs.sub ORDER BY
+                         round(list_dot_product(subs.sv, subs.sv)
+                               - 2.0 * list_dot_product(subs.sv,
+                                                        c.cent)
+                               + list_dot_product(c.cent, c.cent), 9)
+                           ASC,
+                         c.code ASC) AS arank
+                FROM subs JOIN cent0 c ON subs.sub = c.sub)
+              WHERE arank = 1),
+            comp AS (
+              SELECT sub, code, unnest(sv) AS comp,
+                     generate_subscripts(sv, 1) AS pos
+              FROM a0),
+            mm AS (
+              SELECT sub, code, pos,
+                     round(CAST(SUM(CAST(comp AS DECIMAL(28, 9)))
+                                AS DOUBLE)
+                           / CAST(COUNT(*) AS DOUBLE), 6) AS mv
+              FROM comp GROUP BY sub, code, pos),
+            cent AS (
+              SELECT sub, code, list(mv ORDER BY pos) AS cent
+              FROM mm GROUP BY sub, code),
+            codes AS (
+              SELECT nid, sub, code FROM (
+                SELECT subs.nid, subs.sub, c.code,
+                       row_number() OVER (
+                         PARTITION BY subs.nid, subs.sub ORDER BY
+                         round(list_dot_product(subs.sv, subs.sv)
+                               - 2.0 * list_dot_product(subs.sv,
+                                                        c.cent)
+                               + list_dot_product(c.cent, c.cent), 9)
+                           ASC,
+                         c.code ASC) AS arank
+                FROM subs JOIN cent c ON subs.sub = c.sub)
+              WHERE arank = 1),
+            qsubs AS (
+              SELECT vec_id AS query_id, CAST(j AS BIGINT) AS sub,
+                     v[j*16 + 1 : j*16 + 16] AS sv
+              FROM e CROSS JOIN jj WHERE vec_id < 10),
+            lut AS (
+              SELECT query_id, c.sub, c.code,
+                     round(list_dot_product(q.sv, c.cent), 9)
+                       AS contrib
+              FROM qsubs q JOIN cent c ON q.sub = c.sub),
+            scored AS (
+              SELECT query_id, nid AS neighbor_id,
+                     CAST(SUM(CAST(contrib AS DECIMAL(28, 9)))
+                          AS DOUBLE) AS adc_score
+              FROM codes JOIN lut USING (sub, code)
+              WHERE query_id != nid
+              GROUP BY query_id, nid),
+            ranked AS (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc_score DESC, neighbor_id ASC)
+                       AS BIGINT) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, adc_score, rank
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
         """,
         "bitext_mine": """
             WITH a AS (

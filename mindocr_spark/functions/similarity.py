@@ -729,3 +729,215 @@ def bitext_mine(
         .where(margin >= F.lit(min_margin))
         .select("src_id", "tgt_id", "cos_fwd", margin.alias("margin"))
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN scan
+# --------------------------------------------------------------------------
+
+
+def _sub_split(vecs: DataFrame, id_name: str, dim: int, m: int) -> DataFrame:
+    """(id, cv) → (id, sub, sv): row-local subspace slicing, one
+    explode of an m-element struct array (no shuffle)."""
+    dsub = dim // m
+    arms = F.array(*[
+        F.struct(
+            F.lit(j).cast("bigint").alias("sub"),
+            F.slice("cv", j * dsub + 1, dsub).alias("sv"),
+        )
+        for j in range(m)
+    ])
+    return vecs.select(id_name, F.explode(arms).alias("s")).select(
+        id_name, "s.sub", "s.sv"
+    )
+
+
+def _l2_key(sv, cent) -> "Column":
+    """Rounded squared-L2 assignment key, pinned association:
+    dot(sv,sv) − 2·dot(sv,c) + dot(c,c) — the three dots are the
+    shared sequential fold, so the expression is bit-identical to a
+    DuckDB list_dot_product twin."""
+    return F.round(
+        dot(sv, sv) - F.lit(2.0) * dot(sv, cent) + dot(cent, cent), 9
+    )
+
+
+def build_pq_codebook(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 4,
+    k_sub: int = 16,
+    lloyd_iters: int = 1,
+    n: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebook (Jégou 2011): split each vector
+    into `m` subspaces of dim/m components and learn `k_sub`
+    sub-centroids per subspace by deterministic seeded k-means —
+    id-grid seeds (the IVF discipline: vec_id % stride == 0, first
+    k_sub by id, code = seed rank) + `lloyd_iters` refinement passes
+    as Spark jobs. Assignment minimizes squared L2 via the rounded
+    pinned key of :func:`_l2_key` (code tie-break), Lloyd means are
+    exact DECIMAL(28,9) sums / count, rounded at 6 — the whole build
+    is a pure function of the corpus, so the SQL oracle reproduces
+    it code-for-code.
+
+    Returns the codebook pinned as a LOCAL relation
+    (sub, code, cent) — m·k_sub rows, broadcastable at any corpus
+    size (the PQ contract: the codebook is tiny; the corpus never
+    re-materializes as floats once encoded)."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if k_sub < 2:
+        raise ValueError("k_sub must be >= 2")
+    if n is None:
+        n = embeddings.count()
+    stride = max(1, n // k_sub)
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        vec_double(vec_col).alias("cv"),
+    )
+    subs = _sub_split(c, "neighbor_id", dim, m)
+    grid = c.where(F.pmod(F.col("neighbor_id"), F.lit(stride)) == 0)
+    seed_rank = F.row_number().over(
+        Window.partitionBy().orderBy("neighbor_id")
+    )
+    seeds = grid.select(
+        "neighbor_id", "cv", seed_rank.alias("_rk")
+    ).where(F.col("_rk") <= k_sub)
+    cent = _sub_split(seeds, "_rk", dim, m).select(
+        "sub", (F.col("_rk") - 1).cast("bigint").alias("code"),
+        F.col("sv").alias("cent"),
+    )
+    for _ in range(lloyd_iters):
+        akey = F.struct(
+            (-_l2_key(F.col("sv"), F.col("cent"))).alias("negd"),
+            (-F.col("code")).alias("negc"),
+        )
+        assign = (
+            subs.join(F.broadcast(cent), "sub")
+            .groupBy("neighbor_id", "sub")
+            .agg(
+                F.max_by("code", akey).alias("code"),
+                F.first("sv").alias("sv"),
+            )
+        )
+        comp = assign.select(
+            "sub", "code", F.posexplode("sv").alias("pos", "comp")
+        )
+        means = comp.groupBy("sub", "code", "pos").agg(
+            F.round(
+                F.sum(F.col("comp").cast("decimal(28,9)"))
+                .cast("double") / F.count("*").cast("double"),
+                6,
+            ).alias("mv")
+        )
+        cent = means.groupBy("sub", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                lambda s: s.getField("mv"),
+            ).alias("cent")
+        )
+    return embeddings.sparkSession.createDataFrame(
+        cent.collect(), schema="sub bigint, code bigint, cent array<double>"
+    )
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    codebook: DataFrame,
+    dim: int,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode the corpus against a built codebook: (id, sub, code),
+    m rows per vector — the 100 TB representation (a 64-dim float
+    vector compresses to m single-byte codes). One broadcast join +
+    one map-side-combinable groupBy on the uniform (id, sub) key;
+    assignment is the same pinned rounded-L2 key as the build."""
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        vec_double(vec_col).alias("cv"),
+    )
+    subs = _sub_split(c, "neighbor_id", dim, m)
+    akey = F.struct(
+        (-_l2_key(F.col("sv"), F.col("cent"))).alias("negd"),
+        (-F.col("code")).alias("negc"),
+    )
+    return (
+        subs.join(F.broadcast(codebook), "sub")
+        .groupBy("neighbor_id", "sub")
+        .agg(F.max_by("code", akey).alias("code"))
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 4,
+    k_sub: int = 16,
+    k: int = 5,
+    lloyd_iters: int = 1,
+    n: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (the compressed-domain ANN scan):
+    each query builds an m×k_sub lookup table of sub-centroid dot
+    products, and a neighbor's score is the sum of m LUT entries
+    selected by its codes — approximate inner product with NO float
+    vector access at query time. Completes the ANN family
+    (brute-force / LSH / IVF / PQ).
+
+    Returns (query_id, neighbor_id, adc_score, rank), rank ≤ k,
+    self-matches excluded, ordering (adc desc, neighbor_id) fully
+    deterministic. Exactness: every LUT entry is the pinned
+    sequential-fold dot rounded at 9, the per-neighbor sum is a
+    DECIMAL(28,9) sum of those terms (order-free), the final rank
+    compares exact decimals — bit-identical to the SQL oracle.
+
+    100 TB shape: the codebook is m·k_sub rows (broadcast); codes
+    are m small-int rows per corpus vector; the scan joins codes to
+    the broadcast LUT on (sub, code) — O(n·m) row-local work per
+    query batch, one map-side-combinable (query, neighbor) groupBy,
+    one per-query top-k window. Compose behind an IVF probe to cut
+    the scan to candidate lists when q is large."""
+    codebook = build_pq_codebook(
+        embeddings, dim=dim, m=m, k_sub=k_sub,
+        lloyd_iters=lloyd_iters, n=n, id_col=id_col, vec_col=vec_col,
+    )
+    codes = pq_codes(
+        embeddings, codebook, dim=dim, m=m,
+        id_col=id_col, vec_col=vec_col,
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), vec_double(vec_col).alias("cv")
+    )
+    qsubs = _sub_split(q, "query_id", dim, m)
+    lut = qsubs.join(F.broadcast(codebook), "sub").select(
+        "query_id", "sub", "code",
+        F.round(dot(F.col("sv"), F.col("cent")), 9).alias("contrib"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(F.col("contrib").cast("decimal(28,9)"))
+            .cast("double").alias("adc_score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "adc_score",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -315,3 +315,106 @@ class TestClusterMix:
         assert {r["n_vecs"] for r in rows} == {4}
         assert len({r["temp_share"] for r in rows}) == 1
         assert all(r["alloc_docs"] == 2_000 for r in rows)
+
+
+class TestProductQuantization:
+    def _corpus(self, spark, n=64, dim=8, spread=4):
+        # four well-separated direction clusters in each subspace
+        import math
+
+        rows = []
+        for i in range(n):
+            base = [0.0] * dim
+            g = i % spread
+            for d in range(dim):
+                base[d] = (
+                    10.0 if d % spread == g else float((i * 7 + d) % 3)
+                )
+            rows.append((i, [float(x) for x in base]))
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>"
+        )
+
+    def test_codebook_shape_and_determinism(self, spark):
+        from mindocr_spark.functions.similarity import build_pq_codebook
+
+        emb = self._corpus(spark)
+        cb1 = build_pq_codebook(emb, dim=8, m=2, k_sub=4)
+        cb2 = build_pq_codebook(emb, dim=8, m=2, k_sub=4)
+        r1 = sorted(
+            (r["sub"], r["code"], tuple(r["cent"])) for r in cb1.collect()
+        )
+        r2 = sorted(
+            (r["sub"], r["code"], tuple(r["cent"])) for r in cb2.collect()
+        )
+        assert r1 == r2
+        assert len(r1) <= 8 and len(r1) >= 2
+        assert all(len(c) == 4 for (_, _, c) in r1)
+
+    def test_identical_vectors_same_codes(self, spark):
+        from mindocr_spark.functions.similarity import (
+            build_pq_codebook, pq_codes,
+        )
+
+        emb = self._corpus(spark)
+        v = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+        two = spark.createDataFrame(
+            [(900, v), (901, v)],
+            "vec_id bigint, embedding array<float>",
+        )
+        cb = build_pq_codebook(emb, dim=8, m=2, k_sub=4)
+        codes = {
+            (r["neighbor_id"], r["sub"]): r["code"]
+            for r in pq_codes(two, cb, dim=8, m=2).collect()
+        }
+        assert codes[(900, 0)] == codes[(901, 0)]
+        assert codes[(900, 1)] == codes[(901, 1)]
+
+    def test_adc_finds_cluster_mates(self, spark):
+        from pyspark.sql import functions as F
+
+        from mindocr_spark.functions.similarity import pq_adc_topk
+
+        emb = self._corpus(spark, n=64)
+        out = pq_adc_topk(
+            emb, emb.where(F.col("vec_id") < 4), dim=8, m=2,
+            k_sub=4, k=5,
+        ).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        # the quantized scan must surface same-direction-cluster
+        # vectors (i % 4 == q % 4) as top neighbours
+        for q, neigh in by_q.items():
+            assert len(neigh) == 5
+            same = sum(1 for nb in neigh if nb % 4 == q % 4)
+            assert same >= 4, (q, neigh)
+
+    def test_adc_rank_deterministic_and_self_excluded(self, spark):
+        from pyspark.sql import functions as F
+
+        from mindocr_spark.functions.similarity import pq_adc_topk
+
+        emb = self._corpus(spark)
+        a = pq_adc_topk(
+            emb, emb.where(F.col("vec_id") < 3), dim=8, m=2,
+            k_sub=4, k=4,
+        ).collect()
+        b = pq_adc_topk(
+            emb, emb.where(F.col("vec_id") < 3), dim=8, m=2,
+            k_sub=4, k=4,
+        ).collect()
+        key = lambda r: (r["query_id"], r["rank"])
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert all(r["neighbor_id"] != r["query_id"] for r in a)
+
+    def test_guards(self, spark):
+        import pytest as _pt
+
+        from mindocr_spark.functions.similarity import build_pq_codebook
+
+        emb = self._corpus(spark)
+        with _pt.raises(ValueError):
+            build_pq_codebook(emb, dim=8, m=3)
+        with _pt.raises(ValueError):
+            build_pq_codebook(emb, dim=8, m=2, k_sub=1)
