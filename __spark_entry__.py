@@ -2748,6 +2748,23 @@ def q_ann_pq_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_ann_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ composed ANN (the FAISS-IVFPQ architecture): coarse
+    IVF cells gate the scan, a residual product quantizer scores
+    candidates as round9(dot(q, centroid)) + DECIMAL-summed LUT
+    entries. Every stage (IVF build, residual codebook, encode,
+    probe, ADC) is the deterministic pinned-arithmetic path,
+    reproduced code-for-code by the SQL oracle
+    (functions/similarity.ivf_pq_topk)."""
+    from mindocr_spark.functions.similarity import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        emb, emb.where(F.col("vec_id") < 10), dim=64, m=4,
+        k_sub=16, k=5, n_probe=3,
+    ).orderBy("query_id", "rank")
+
+
 def q_embedding_neardup(spark, sf_dir):
     from mindocr_spark.functions.similarity import embedding_neardup_pairs
 
@@ -6888,6 +6905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_mine": _q(q_bitext_mine),
         "ann_ivf_topk": _q(q_ann_ivf_topk),
         "ann_pq_topk": _q(q_ann_pq_topk),
+        "ann_ivf_pq_topk": _q(q_ann_ivf_pq_topk),
         "embedding_neardup": _q(q_embedding_neardup),
         "semdedup": _q(q_semdedup),
         "cluster_mix": _q(q_cluster_mix),
@@ -13923,6 +13941,121 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, neighbor_id, adc_score, rank
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        # twin of similarity.ivf_pq_topk: _IVF_INDEX_CTES gives the
+        # coarse quantizer (cent + assign after one Lloyd pass);
+        # residuals v − cent feed the SAME seeded PQ build as
+        # ann_pq_topk; score = round9(dot(q, cent)) + DECIMAL-summed
+        # residual LUT entries, probed cells crank <= 3
+        "ann_ivf_pq_topk": "WITH " + _IVF_INDEX_CTES + """,
+            resid AS (
+              SELECT a.neighbor_id, a.cid,
+                     list_transform(generate_series(1, len(a.cv)),
+                       i -> a.cv[i] - c.cent[i]) AS v
+              FROM assign a JOIN cent c USING (cid)),
+            par2 AS (
+              SELECT greatest(1, COUNT(*) // 16) AS stride FROM e),
+            jj AS (SELECT unnest(range(4)) AS j),
+            grid2 AS (
+              SELECT neighbor_id, v,
+                     row_number() OVER (ORDER BY neighbor_id) AS rk
+              FROM resid, par2 WHERE neighbor_id % stride = 0),
+            cent0p AS (
+              SELECT CAST(j AS BIGINT) AS sub,
+                     CAST(rk - 1 AS BIGINT) AS code,
+                     v[j*16 + 1 : j*16 + 16] AS cent
+              FROM grid2 CROSS JOIN jj WHERE rk <= 16),
+            subsp AS (
+              SELECT neighbor_id AS nid, CAST(j AS BIGINT) AS sub,
+                     v[j*16 + 1 : j*16 + 16] AS sv
+              FROM resid CROSS JOIN jj),
+            a0p AS (
+              SELECT nid, sub, sv, code FROM (
+                SELECT subsp.nid, subsp.sub, subsp.sv, c.code,
+                       row_number() OVER (
+                         PARTITION BY subsp.nid, subsp.sub ORDER BY
+                         round(list_dot_product(subsp.sv, subsp.sv)
+                               - 2.0 * list_dot_product(subsp.sv,
+                                                        c.cent)
+                               + list_dot_product(c.cent, c.cent), 9)
+                           ASC,
+                         c.code ASC) AS arank
+                FROM subsp JOIN cent0p c ON subsp.sub = c.sub)
+              WHERE arank = 1),
+            compp AS (
+              SELECT sub, code, unnest(sv) AS comp,
+                     generate_subscripts(sv, 1) AS pos
+              FROM a0p),
+            mmp AS (
+              SELECT sub, code, pos,
+                     round(CAST(SUM(CAST(comp AS DECIMAL(28, 9)))
+                                AS DOUBLE)
+                           / CAST(COUNT(*) AS DOUBLE), 6) AS mv
+              FROM compp GROUP BY sub, code, pos),
+            centp AS (
+              SELECT sub, code, list(mv ORDER BY pos) AS cent
+              FROM mmp GROUP BY sub, code),
+            codesp AS (
+              SELECT nid, sub, code FROM (
+                SELECT subsp.nid, subsp.sub, c.code,
+                       row_number() OVER (
+                         PARTITION BY subsp.nid, subsp.sub ORDER BY
+                         round(list_dot_product(subsp.sv, subsp.sv)
+                               - 2.0 * list_dot_product(subsp.sv,
+                                                        c.cent)
+                               + list_dot_product(c.cent, c.cent), 9)
+                           ASC,
+                         c.code ASC) AS arank
+                FROM subsp JOIN centp c ON subsp.sub = c.sub)
+              WHERE arank = 1),
+            q AS (
+              SELECT vec_id AS query_id, v AS qv
+              FROM e WHERE vec_id < 10),
+            probed AS (
+              SELECT query_id, cid, cent_dot FROM (
+                SELECT qq.query_id, c.cid,
+                       round(list_dot_product(qq.qv, c.cent), 9)
+                         AS cent_dot,
+                       row_number() OVER (PARTITION BY qq.query_id
+                         ORDER BY
+                         round(list_dot_product(qq.qv, c.cent)
+                               / (sqrt(list_dot_product(qq.qv, qq.qv))
+                                  * sqrt(list_dot_product(c.cent,
+                                                          c.cent))),
+                               9) DESC,
+                         c.cid ASC) AS crank
+                FROM q qq CROSS JOIN cent c)
+              WHERE crank <= 3),
+            qsubsp AS (
+              SELECT vec_id AS query_id, CAST(j AS BIGINT) AS sub,
+                     v[j*16 + 1 : j*16 + 16] AS sv
+              FROM e CROSS JOIN jj WHERE vec_id < 10),
+            lutp AS (
+              SELECT query_id, c.sub, c.code,
+                     round(list_dot_product(qs.sv, c.cent), 9)
+                       AS contrib
+              FROM qsubsp qs JOIN centp c ON qs.sub = c.sub),
+            candp AS (
+              SELECT codesp.nid, codesp.sub, codesp.code, r.cid,
+                     p.query_id, p.cent_dot
+              FROM codesp JOIN resid r ON codesp.nid = r.neighbor_id
+              JOIN probed p ON r.cid = p.cid
+              WHERE p.query_id != codesp.nid),
+            scoredp AS (
+              SELECT query_id, nid AS neighbor_id, cid,
+                     cent_dot
+                     + CAST(SUM(CAST(contrib AS DECIMAL(28, 9)))
+                            AS DOUBLE) AS adc_score
+              FROM candp JOIN lutp USING (query_id, sub, code)
+              GROUP BY query_id, nid, cid, cent_dot),
+            rankedp AS (
+              SELECT *, CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY adc_score DESC, neighbor_id ASC)
+                       AS BIGINT) AS rank
+              FROM scoredp)
+            SELECT query_id, neighbor_id, cid, adc_score, rank
+            FROM rankedp WHERE rank <= 5 ORDER BY query_id, rank
         """,
         "bitext_mine": """
             WITH a AS (

@@ -941,3 +941,130 @@ def pq_adc_topk(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 4,
+    k_sub: int = 16,
+    k: int = 5,
+    n_probe: int = 3,
+    lloyd_iters: int = 1,
+    pq_lloyd_iters: int = 1,
+    max_centroids: int = 65_536,
+    n: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the production large-scale ANN architecture (FAISS
+    IVFPQ, Jégou 2011): the IVF coarse quantizer partitions the
+    corpus into inverted lists, and a product quantizer encodes each
+    vector's RESIDUAL (v − its centroid) as m codes; a query probes
+    its `n_probe` nearest cells and scores candidates as
+    dot(q, centroid) + Σ_j LUT[j, code_j] — approximate inner
+    product with no float vector access inside the scan.
+
+    Returns (query_id, neighbor_id, cid, adc_score, rank), rank ≤ k,
+    self excluded, (score desc, neighbor_id) deterministic ordering.
+    Exactness: coarse assignment/probing reuse the IVF pinned
+    rounded-cosine keys; the residual codebook is the deterministic
+    seeded build of :func:`build_pq_codebook` over the residual
+    relation; the cell term is round9(dot(q, cent)); residual LUT
+    entries are round9 sub-dots, DECIMAL-summed; the final score is
+    ONE IEEE addition of those two exacts — the SQL oracle
+    reproduces the whole composition code-for-code.
+
+    100 TB shape: centroids ≤ max_centroids (bounded broadcast),
+    codebook m·k_sub rows (broadcast), per-query scan limited to
+    n_probe inverted lists of ≈ n/k_cells codes each; the corpus
+    float vectors are read exactly twice (assignment + residual
+    encode) and never again."""
+    c, cent, assign_fn = build_ivf_index(
+        embeddings, n=n, max_centroids=max_centroids,
+        lloyd_iters=lloyd_iters, id_col=id_col, vec_col=vec_col,
+    )
+    assign = assign_fn(c, cent)
+    resid = tracked_persist(
+        assign.join(F.broadcast(cent), "cid").select(
+            "neighbor_id",
+            "cid",
+            F.zip_with("cv", "cent", lambda x, y: x - y).alias("cv"),
+        )
+    )
+    if n is None:
+        n = embeddings.count()
+    codebook = build_pq_codebook(
+        resid, dim=dim, m=m, k_sub=k_sub,
+        lloyd_iters=pq_lloyd_iters, n=n,
+        id_col="neighbor_id", vec_col="cv",
+    )
+    codes = pq_codes(
+        resid, codebook, dim=dim, m=m,
+        id_col="neighbor_id", vec_col="cv",
+    )
+    cellmap = resid.select("neighbor_id", "cid")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), vec_double(vec_col).alias("qv")
+    )
+    probed = (
+        q.join(F.broadcast(cent))
+        .withColumn(
+            "ccos", F.round(cosine(F.col("qv"), F.col("cent")), 9)
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("ccos").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .where(F.col("crank") <= n_probe)
+        .select(
+            "query_id", "qv", "cid",
+            F.round(dot(F.col("qv"), F.col("cent")), 9)
+            .alias("cent_dot"),
+        )
+    )
+    qsubs = _sub_split(
+        q.select("query_id", F.col("qv").alias("cv")),
+        "query_id", dim, m,
+    )
+    lut = qsubs.join(F.broadcast(codebook), "sub").select(
+        "query_id", "sub", "code",
+        F.round(dot(F.col("sv"), F.col("cent")), 9).alias("contrib"),
+    )
+    cand = (
+        codes.join(cellmap, "neighbor_id")
+        .join(
+            F.broadcast(probed.select("query_id", "cid", "cent_dot")),
+            "cid",
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    scored = (
+        cand.join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id", "cid", "cent_dot")
+        .agg(
+            F.sum(F.col("contrib").cast("decimal(28,9)"))
+            .cast("double").alias("resid_dot")
+        )
+        .select(
+            "query_id", "neighbor_id", "cid",
+            (F.col("cent_dot") + F.col("resid_dot"))
+            .alias("adc_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cid", "adc_score",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -418,3 +418,40 @@ class TestProductQuantization:
             build_pq_codebook(emb, dim=8, m=3)
         with _pt.raises(ValueError):
             build_pq_codebook(emb, dim=8, m=2, k_sub=1)
+
+
+class TestIvfPq:
+    def test_finds_cluster_mates_and_deterministic(self, spark):
+        from pyspark.sql import functions as F
+
+        from mindocr_spark.functions.similarity import ivf_pq_topk
+
+        emb = TestProductQuantization()._corpus(spark, n=64)
+        run = lambda: ivf_pq_topk(
+            emb, emb.where(F.col("vec_id") < 4), dim=8, m=2,
+            k_sub=4, k=5, n_probe=8,
+        ).collect()
+        a, b = run(), run()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        by_q = {}
+        for r in a:
+            assert r["neighbor_id"] != r["query_id"]
+            by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        for q, neigh in by_q.items():
+            same = sum(1 for nb in neigh if nb % 4 == q % 4)
+            assert same >= 4, (q, neigh)
+
+    def test_probe_gating_limits_candidates(self, spark):
+        from pyspark.sql import functions as F
+
+        from mindocr_spark.functions.similarity import ivf_pq_topk
+
+        emb = TestProductQuantization()._corpus(spark, n=64)
+        out = ivf_pq_topk(
+            emb, emb.where(F.col("vec_id") < 2), dim=8, m=2,
+            k_sub=4, k=64, n_probe=1,
+        ).collect()
+        # with a single probed cell, every neighbour carries that cell
+        for q in (0, 1):
+            cids = {r["cid"] for r in out if r["query_id"] == q}
+            assert len(cids) == 1
