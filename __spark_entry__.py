@@ -2588,6 +2588,47 @@ def q_sentence_split(spark, sf_dir):
     return sentence_split(built).orderBy("doc_id", "sent_idx")
 
 
+def q_textrank_summary(spark, sf_dir):
+    """TextRank extractive top-2 summary over quarter-tiled sentences
+    (the span_dedup tiling — 4 'sentences' per doc by substring
+    arithmetic, trivially re-buildable in SQL): sentence-similarity
+    graph |A∩B|/(n_A + n_B) (ln-free), 3 power iterations with the full
+    9dp-quantize + DECIMAL-sum discipline at every step
+    (functions/search.textrank_sentences)."""
+    from mindocr_spark.functions.search import textrank_sentences
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("q", F.expr("length(text) div 4"))
+    )
+    arms = F.array(
+        F.struct(
+            F.lit(0).cast("bigint").alias("sent_idx"),
+            F.expr("substr(text, 1, q)").alias("sentence"),
+        ),
+        F.struct(
+            F.lit(1).cast("bigint").alias("sent_idx"),
+            F.expr("substr(text, q + 1, q)").alias("sentence"),
+        ),
+        F.struct(
+            F.lit(2).cast("bigint").alias("sent_idx"),
+            F.expr("substr(text, 2 * q + 1, q)").alias("sentence"),
+        ),
+        F.struct(
+            F.lit(3).cast("bigint").alias("sent_idx"),
+            F.expr("substr(text, 3 * q + 1, length(text) - 3 * q)")
+            .alias("sentence"),
+        ),
+    )
+    sents = d.select("doc_id", F.explode(arms).alias("s")).select(
+        "doc_id", "s.sent_idx", "s.sentence"
+    )
+    return textrank_sentences(
+        sents, top_k=2, iters=3
+    ).orderBy("doc_id", "rank")
+
+
 def q_unigram_drift(spark, sf_dir):
     """Snapshot-to-snapshot distribution drift: KL(new‖old) per
     language over add-one-smoothed unigram distributions. The 'new'
@@ -6776,6 +6817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404_detect": _q(q_soft404),
         "shard_export": _q(q_shard_export),
         "sentence_split": _q(q_sentence_split),
+        "textrank_summary": _q(q_textrank_summary),
         "ppl_buckets": _q(q_ppl_buckets),
         "corpus_rollup": _q(q_corpus_rollup),
         "lang_pivot": _q(q_lang_pivot),
@@ -13532,6 +13574,121 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY link
         """,
         # sentence tiling: same regex + window arithmetic in DuckDB
+        # twin of search.textrank_sentences + the quarter-tiled
+        # fixture: similarity graph |A∩B|/(nA + nB) (ln-free — no
+        # libm crosses the engine boundary), out-weight
+        # normalization and THREE unrolled power iterations all on
+        # the 9dp-quantize → DECIMAL-sum discipline; isolated
+        # sentences land on the (1.0 − 0.85) floor
+        "textrank_summary": r"""
+            WITH t AS (
+              SELECT doc_id, text, length(text) // 4 AS q
+              FROM documents),
+            sents AS (
+              SELECT doc_id AS doc, CAST(0 AS BIGINT) AS sid,
+                     substr(text, 1, q) AS sentence FROM t
+              UNION ALL SELECT doc_id, CAST(1 AS BIGINT),
+                     substr(text, q + 1, q) FROM t
+              UNION ALL SELECT doc_id, CAST(2 AS BIGINT),
+                     substr(text, 2*q + 1, q) FROM t
+              UNION ALL SELECT doc_id, CAST(3 AS BIGINT),
+                     substr(text, 3*q + 1, length(text) - 3*q)
+                     FROM t),
+            tk AS (
+              SELECT doc, sid, sentence,
+                     list_distinct(CASE
+                       WHEN trim(regexp_replace(sentence,
+                            '[ \t\n\r\f\x0B]+',' ','g')) = ''
+                       THEN CAST([] AS VARCHAR[])
+                       ELSE string_split(trim(regexp_replace(sentence,
+                            '[ \t\n\r\f\x0B]+',' ','g')),' ')
+                       END) AS toks
+              FROM sents),
+            spine AS (
+              SELECT doc, sid, sentence,
+                     CAST(len(toks) AS BIGINT) AS n_tok
+              FROM tk WHERE len(toks) >= 1),
+            tok AS (
+              SELECT doc, sid, unnest(toks) AS token
+              FROM tk WHERE len(toks) >= 1),
+            ov AS (
+              SELECT a.doc, b.sid AS src, a.sid AS dst,
+                     CAST(count(*) AS BIGINT) AS ov
+              FROM tok a JOIN tok b
+                ON a.doc = b.doc AND a.token = b.token
+               AND a.sid != b.sid
+              GROUP BY a.doc, b.sid, a.sid),
+            wei AS (
+              SELECT ov.doc, src, dst,
+                     round(CAST(ov AS DOUBLE)
+                           / CAST(x.n_tok + y.n_tok AS DOUBLE), 9)
+                       AS w
+              FROM ov
+              JOIN spine x ON ov.doc = x.doc AND ov.src = x.sid
+              JOIN spine y ON ov.doc = y.doc AND ov.dst = y.sid),
+            edges AS (
+              SELECT doc, src, dst,
+                     round(w / CAST(SUM(CAST(w AS DECIMAL(28, 9)))
+                           OVER (PARTITION BY doc, src) AS DOUBLE),
+                           9) AS wn
+              FROM wei),
+            s1 AS (
+              SELECT e.doc, e.dst AS sid,
+                     SUM(CAST(round(e.wn * CAST(1.0 AS DOUBLE),
+                          9) AS DECIMAL(28, 9))) AS s
+              FROM edges e GROUP BY e.doc, e.dst),
+            r1 AS (
+              SELECT sp.doc, sp.sid,
+                     CAST(CAST(0.15 AS DECIMAL(28,11))
+                          + CAST(0.85 AS DECIMAL(4,2))
+                            * coalesce(CAST(s AS DECIMAL(28,9)),
+                                       CAST(0 AS DECIMAL(28,9)))
+                          AS DECIMAL(28,11)) AS r
+              FROM spine sp LEFT JOIN s1
+                ON sp.doc = s1.doc AND sp.sid = s1.sid),
+            s2 AS (
+              SELECT e.doc, e.dst AS sid,
+                     SUM(CAST(round(e.wn * CAST(r1.r AS DOUBLE),
+                          9) AS DECIMAL(28, 9))) AS s
+              FROM edges e JOIN r1
+                ON e.doc = r1.doc AND e.src = r1.sid
+              GROUP BY e.doc, e.dst),
+            r2 AS (
+              SELECT sp.doc, sp.sid,
+                     CAST(CAST(0.15 AS DECIMAL(28,11))
+                          + CAST(0.85 AS DECIMAL(4,2))
+                            * coalesce(CAST(s AS DECIMAL(28,9)),
+                                       CAST(0 AS DECIMAL(28,9)))
+                          AS DECIMAL(28,11)) AS r
+              FROM spine sp LEFT JOIN s2
+                ON sp.doc = s2.doc AND sp.sid = s2.sid),
+            s3 AS (
+              SELECT e.doc, e.dst AS sid,
+                     SUM(CAST(round(e.wn * CAST(r2.r AS DOUBLE),
+                          9) AS DECIMAL(28, 9))) AS s
+              FROM edges e JOIN r2
+                ON e.doc = r2.doc AND e.src = r2.sid
+              GROUP BY e.doc, e.dst),
+            r3 AS (
+              SELECT sp.doc, sp.sid,
+                     CAST(CAST(0.15 AS DECIMAL(28,11))
+                          + CAST(0.85 AS DECIMAL(4,2))
+                            * coalesce(CAST(s AS DECIMAL(28,9)),
+                                       CAST(0 AS DECIMAL(28,9)))
+                          AS DECIMAL(28,11)) AS r
+              FROM spine sp LEFT JOIN s3
+                ON sp.doc = s3.doc AND sp.sid = s3.sid),
+            ranked AS (
+              SELECT sp.doc, sp.sid, sp.sentence,
+                     CAST(r3.r AS DOUBLE) AS score,
+                     CAST(row_number() OVER (PARTITION BY sp.doc
+                          ORDER BY r3.r DESC, sp.sid ASC) AS BIGINT)
+                       AS rank
+              FROM spine sp JOIN r3
+                ON sp.doc = r3.doc AND sp.sid = r3.sid)
+            SELECT doc AS doc_id, sid AS sent_idx, sentence, score,
+                   rank
+            FROM ranked WHERE rank <= 2 ORDER BY doc_id, rank""",
         "sentence_split": r"""
             WITH base AS (
               SELECT doc_id, text, length(text) // 4 AS q

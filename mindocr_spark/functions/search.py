@@ -884,3 +884,174 @@ def retrieval_eval(
             ).alias("ndcg"),
         )
     )
+
+
+def textrank_sentences(
+    sents: DataFrame,
+    id_col: str = "doc_id",
+    idx_col: str = "sent_idx",
+    sent_col: str = "sentence",
+    damping: float = 0.85,
+    iters: int = 3,
+    top_k: int = 3,
+    max_sentences: int = 128,
+) -> DataFrame:
+    """TextRank extractive summarization (Mihalcea 2004): rank a
+    document's sentences by PageRank over the sentence-similarity
+    graph w_ij = |tokens_i ∩ tokens_j| / (n_i + n_j) — the ln-free
+    normalized-overlap variant: the classic ln n_i + ln n_j
+    denominator would put engine libm (Java Math.log vs DuckDB's,
+    1-ulp apart) inside the quantization boundary, while the integer
+    denominator keeps every weight ONE IEEE division of exact
+    BIGINTs. Returns each doc's `top_k` sentences. Input is a
+    (id, sent_idx, sentence) relation — compose with
+    :func:`mindocr_spark.functions.text.sentence_split`.
+
+    Returns (id, sent_idx, sentence, score, rank), rank ≤ top_k,
+    ordered (score desc, sent_idx asc). Exactness: overlaps and
+    sentence sizes are exact BIGINTs; w, the out-weight-normalized
+    w_norm and every per-step contribution are 9dp-quantized with
+    DECIMAL(28,9) sums between; the damping update itself runs in
+    EXACT DECIMAL (d·s + (1−d) has exactly 11 decimal places with d
+    at 2dp — re-rounding it in doubles would sit ON the half
+    boundary for ~5% of values, the one spot the engines'
+    double-round algorithms disagree); isolated sentences (no
+    qualifying edges) converge to the exact 1−d floor.
+
+    100 TB shape: per-doc work is quadratic ONLY in that doc's
+    sentence count, capped at `max_sentences` (first by sent_idx);
+    the token self-join keys on (doc, token) — no cross-doc pairs
+    ever form; the edge relation is persisted once and each
+    iteration is ONE co-partitioned join + ONE map-side-combinable
+    groupBy referencing the previous ranks once (linear plan
+    growth, the power-iteration discipline)."""
+    from mindocr_spark.cache import tracked_persist
+
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    if iters < 1 or top_k < 1 or max_sentences < 2:
+        raise ValueError("iters/top_k >= 1, max_sentences >= 2")
+    base = sents.select(
+        F.col(id_col).alias("doc"),
+        F.col(idx_col).cast("bigint").alias("sid"),
+        F.col(sent_col).alias("sentence"),
+    )
+    w_cap = Window.partitionBy("doc").orderBy("sid")
+    capped = base.withColumn(
+        "_rn", F.row_number().over(w_cap)
+    ).where(F.col("_rn") <= max_sentences).drop("_rn")
+    toked = capped.select(
+        "doc", "sid", "sentence",
+        F.array_distinct(tokens_col("sentence")).alias("_toks"),
+    ).where(F.size("_toks") >= 1)
+    spine = tracked_persist(
+        toked.select(
+            "doc", "sid", "sentence",
+            F.size("_toks").cast("bigint").alias("n_tok"),
+        )
+    )
+    tok = toked.select(
+        "doc", "sid", F.explode("_toks").alias("token")
+    )
+    ov = (
+        tok.alias("a")
+        .join(
+            tok.alias("b"),
+            (F.col("a.doc") == F.col("b.doc"))
+            & (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.sid") != F.col("b.sid")),
+        )
+        .groupBy(
+            F.col("a.doc").alias("doc"),
+            F.col("b.sid").alias("src"),
+            F.col("a.sid").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ov"))
+    )
+    na = spine.select(
+        "doc", F.col("sid").alias("src"),
+        F.col("n_tok").alias("n_src"),
+    )
+    nb = spine.select(
+        "doc", F.col("sid").alias("dst"),
+        F.col("n_tok").alias("n_dst"),
+    )
+    denom = (F.col("n_src") + F.col("n_dst")).cast("double")
+    weighted = (
+        ov.join(na, ["doc", "src"]).join(nb, ["doc", "dst"])
+        .select(
+            "doc", "src", "dst",
+            F.round(F.col("ov").cast("double") / denom, 9).alias("w"),
+        )
+    )
+    w_out = Window.partitionBy("doc", "src")
+    edges = tracked_persist(
+        weighted.select(
+            "doc", "src", "dst",
+            F.round(
+                F.col("w")
+                / F.sum(F.col("w").cast("decimal(28,9)")).over(w_out)
+                .cast("double"),
+                9,
+            ).alias("wn"),
+        )
+    )
+    # the damping update runs in EXACT DECIMAL: 0.85·(9dp) + 0.15 has
+    # exactly 11 decimal places, and rounding that to 9dp in doubles
+    # lands ON the half-boundary for ~5% of values — the one place
+    # the engines' double-round algorithms (BigDecimal HALF_UP vs
+    # multiply-round-divide) would coin-flip. Damping is quantized to
+    # 2dp so the decimal arithmetic stays exact.
+    from decimal import Decimal
+
+    dd = Decimal(str(damping)).quantize(Decimal("0.01"))
+    one_minus = Decimal(1) - dd
+    ranks = spine.select(
+        "doc", "sid", F.expr("CAST(1.0 AS DECIMAL(28,11))").alias("r")
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(
+                ranks.select(
+                    "doc", F.col("sid").alias("src"),
+                    F.col("r").cast("double").alias("rd"),
+                ),
+                ["doc", "src"],
+            )
+            .select(
+                "doc", F.col("dst").alias("sid"),
+                F.round(F.col("wn") * F.col("rd"), 9).alias("c"),
+            )
+            .groupBy("doc", "sid")
+            .agg(
+                F.sum(F.col("c").cast("decimal(28,9)")).alias("s")
+            )
+        )
+        ranks = spine.select("doc", "sid").join(
+            contrib, ["doc", "sid"], "left"
+        ).select(
+            "doc", "sid",
+            (
+                F.expr(f"CAST({one_minus} AS DECIMAL(28,11))")
+                + F.expr(f"CAST({dd} AS DECIMAL(4,2))")
+                * F.coalesce(
+                    F.col("s").cast("decimal(28,9)"),
+                    F.expr("CAST(0 AS DECIMAL(28,9))"),
+                )
+            ).cast("decimal(28,11)").alias("r"),
+        )
+    w_rank = Window.partitionBy("doc").orderBy(
+        F.col("r").desc(), F.col("sid").asc()
+    )
+    return (
+        spine.join(ranks, ["doc", "sid"])
+        .withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= top_k)
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("sid").alias(idx_col),
+            "sentence",
+            F.col("r").cast("double").alias("score"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

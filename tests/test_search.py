@@ -556,3 +556,75 @@ class TestVSMAndRRF:
 
         with pytest.raises(ValueError):
             rrf_fuse({})
+
+
+class TestTextrank:
+    def _run(self, spark, sents, **kw):
+        from mindocr_spark.functions.search import textrank_sentences
+
+        df = spark.createDataFrame(
+            sents, "doc_id bigint, sent_idx bigint, sentence string"
+        )
+        return textrank_sentences(df, **kw).collect()
+
+    def test_hub_sentence_wins(self, spark):
+        # s0 overlaps both others; s1/s2 share nothing with each other
+        rows = [
+            (1, 0, "spark engine shuffles data across the cluster"),
+            (1, 1, "the spark engine compiles plans"),
+            (1, 2, "shuffles move data between cluster nodes"),
+        ]
+        out = self._run(spark, rows, top_k=3)
+        assert out and out[0]["sent_idx"] == 0 and out[0]["rank"] == 1
+        assert len(out) == 3
+
+    def test_isolated_sentence_floor(self, spark):
+        rows = [
+            (1, 0, "alpha beta gamma"),
+            (1, 1, "delta epsilon zeta"),
+        ]
+        out = self._run(spark, rows, top_k=2)
+        for r in out:
+            assert abs(r["score"] - 0.15) < 1e-8
+
+    def test_symmetric_tie_breaks_by_index(self, spark):
+        rows = [
+            (1, 0, "same words here"),
+            (1, 1, "same words here"),
+        ]
+        out = self._run(spark, rows, top_k=2)
+        assert [r["sent_idx"] for r in out] == [0, 1]
+        assert out[0]["score"] == out[1]["score"]
+
+    def test_single_token_pair_connected(self, spark):
+        # two identical one-token sentences: w = 1/2 each way, both
+        # converge identically above the floor
+        rows = [(1, 0, "word"), (1, 1, "word")]
+        out = self._run(spark, rows, top_k=2)
+        assert out[0]["score"] == out[1]["score"]
+        assert out[0]["score"] > 0.16
+
+    def test_docs_independent_and_cap(self, spark):
+        rows = [(1, i, f"tok{i} shared common words") for i in range(6)]
+        rows += [(2, 0, "zzz yyy xxx")]
+        out = self._run(spark, rows, top_k=10, max_sentences=4)
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r["sent_idx"])
+        assert sorted(by_doc[1]) == [0, 1, 2, 3]  # capped at 4
+        assert by_doc[2] == [0]
+
+    def test_guards(self, spark):
+        import pytest as _pt
+
+        from mindocr_spark.functions.search import textrank_sentences
+
+        df = spark.createDataFrame(
+            [], "doc_id bigint, sent_idx bigint, sentence string"
+        )
+        with _pt.raises(ValueError):
+            textrank_sentences(df, damping=1.0)
+        with _pt.raises(ValueError):
+            textrank_sentences(df, iters=0)
+        with _pt.raises(ValueError):
+            textrank_sentences(df, max_sentences=1)
