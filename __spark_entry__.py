@@ -2588,6 +2588,20 @@ def q_sentence_split(spark, sf_dir):
     return sentence_split(built).orderBy("doc_id", "sent_idx")
 
 
+def q_llr_keywords(spark, sf_dir):
+    """Dunning G² distinctive vocabulary per language — top-10
+    over-represented terms against the rest of the corpus (the
+    robust-at-low-counts complement of tf-idf/PMI). Margins exact
+    BIGINTs, over-representation an exact integer test, each cell
+    term the ln-chain form 9dp-quantized, four cells summed in
+    exact DECIMAL (functions/lm.llr_keywords)."""
+    from mindocr_spark.functions.lm import llr_keywords
+
+    return llr_keywords(
+        _t(spark, sf_dir, "documents"), "lang", top_k=10, min_count=5
+    ).orderBy("group", "rank")
+
+
 def q_textrank_summary(spark, sf_dir):
     """TextRank extractive top-2 summary over quarter-tiled sentences
     (the span_dedup tiling — 4 'sentences' per doc by substring
@@ -6818,6 +6832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_export": _q(q_shard_export),
         "sentence_split": _q(q_sentence_split),
         "textrank_summary": _q(q_textrank_summary),
+        "llr_keywords": _q(q_llr_keywords),
         "ppl_buckets": _q(q_ppl_buckets),
         "corpus_rollup": _q(q_corpus_rollup),
         "lang_pivot": _q(q_lang_pivot),
@@ -13574,6 +13589,84 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY link
         """,
         # sentence tiling: same regex + window arithmetic in DuckDB
+        # twin of lm.llr_keywords: exact BIGINT margins from the
+        # (lang, term) grid, integer over-representation test,
+        # ln-chain cell terms 9dp-quantized, 4-cell exact DECIMAL sum
+        "llr_keywords": r"""
+            WITH t AS (
+              SELECT lang,
+                     trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g'))
+                       AS norm
+              FROM documents WHERE lang IS NOT NULL),
+            tok AS (
+              SELECT lang AS grp, unnest(string_split(norm, ' '))
+                       AS term
+              FROM t WHERE norm <> ''),
+            cells AS (
+              SELECT grp, term, CAST(count(*) AS BIGINT) AS k11
+              FROM tok GROUP BY grp, term),
+            sized AS (
+              SELECT grp, term, k11,
+                     CAST(sum(k11) OVER (PARTITION BY term) AS BIGINT)
+                       AS term_total,
+                     CAST(sum(k11) OVER (PARTITION BY grp) AS BIGINT)
+                       AS group_total,
+                     CAST(sum(k11) OVER () AS BIGINT) AS n_total
+              FROM cells),
+            cand AS (
+              SELECT * FROM sized
+              WHERE k11 >= 5
+                AND k11 * n_total > group_total * term_total),
+            scored AS (
+              SELECT grp AS "group", term, k11, term_total,
+                     group_total, n_total,
+                     2.0 * CAST(
+                       CAST(CASE WHEN k11 > 0 THEN round(
+                         CAST(k11 AS DOUBLE)
+                         * (ln(CAST(k11 AS DOUBLE))
+                            + ln(CAST(n_total AS DOUBLE))
+                            - ln(CAST(group_total AS DOUBLE))
+                            - ln(CAST(term_total AS DOUBLE))), 9)
+                         ELSE CAST(0.0 AS DOUBLE) END
+                         AS DECIMAL(28,9))
+                       + CAST(CASE WHEN term_total - k11 > 0 THEN round(
+                         CAST(term_total - k11 AS DOUBLE)
+                         * (ln(CAST(term_total - k11 AS DOUBLE))
+                            + ln(CAST(n_total AS DOUBLE))
+                            - ln(CAST(n_total - group_total AS DOUBLE))
+                            - ln(CAST(term_total AS DOUBLE))), 9)
+                         ELSE CAST(0.0 AS DOUBLE) END
+                         AS DECIMAL(28,9))
+                       + CAST(CASE WHEN group_total - k11 > 0 THEN round(
+                         CAST(group_total - k11 AS DOUBLE)
+                         * (ln(CAST(group_total - k11 AS DOUBLE))
+                            + ln(CAST(n_total AS DOUBLE))
+                            - ln(CAST(group_total AS DOUBLE))
+                            - ln(CAST(n_total - term_total AS DOUBLE))),
+                         9)
+                         ELSE CAST(0.0 AS DOUBLE) END
+                         AS DECIMAL(28,9))
+                       + CAST(CASE WHEN n_total - term_total
+                                   - (group_total - k11) > 0 THEN round(
+                         CAST(n_total - term_total
+                              - (group_total - k11) AS DOUBLE)
+                         * (ln(CAST(n_total - term_total
+                                    - (group_total - k11) AS DOUBLE))
+                            + ln(CAST(n_total AS DOUBLE))
+                            - ln(CAST(n_total - group_total AS DOUBLE))
+                            - ln(CAST(n_total - term_total AS DOUBLE))),
+                         9)
+                         ELSE CAST(0.0 AS DOUBLE) END
+                         AS DECIMAL(28,9))
+                       AS DOUBLE) AS llr
+              FROM cand),
+            ranked AS (
+              SELECT *, CAST(row_number() OVER (PARTITION BY "group"
+                       ORDER BY llr DESC, term ASC) AS BIGINT) AS rank
+              FROM scored)
+            SELECT "group", term, k11, term_total, group_total,
+                   n_total, llr, rank
+            FROM ranked WHERE rank <= 10 ORDER BY "group", rank""",
         # twin of search.textrank_sentences + the quarter-tiled
         # fixture: similarity graph |A∩B|/(nA + nB) (ln-free — no
         # libm crosses the engine boundary), out-weight

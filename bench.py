@@ -257,6 +257,24 @@ def main() -> None:
         "symspell_correct",     # deletion-key OCR-noise correction
         "bleu_eval",            # corpus BLEU extraction-quality score
         "ab_test",              # two-proportion z-test experiment readout
+        # round-3 session-N additions (appended for the same reason)
+        "ks_drift",             # KS two-sample snapshot drift test
+        "rank_sum",             # Mann-Whitney location drift test
+        "trend_test",           # Mann-Kendall + Sen slope trend
+        "benford_audit",        # first-digit fabricated-numbers screen
+        "roc_auc",              # scorer separability (tie-correct U)
+        "kendall_tau",          # cell-grid tau-b association
+        "spearman_rho",         # rank-correlation association
+        "chi2_independence",    # r x c categorical association
+        "psi_drift",            # population-stability scorecard drift
+        "cusum_changepoint",    # mean-shift localization
+        "funnel_conversion",    # ordered-funnel product analytics
+        "km_survival",          # Kaplan-Meier censored retention
+        "seasonal_anomaly",     # DOW-decomposed robust anomaly fence
+        "prefix_filter",        # exact all-pairs Jaccard (PPJoin)
+        "ann_pq_topk",          # product-quantization ADC scan
+        "ann_ivf_pq_topk",      # IVF-PQ composed residual ANN
+        "textrank_summary",     # sentence-PageRank extractive summary
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

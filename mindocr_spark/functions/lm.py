@@ -821,3 +821,110 @@ def vocab_richness(
         (F.col("f1").cast("double") / F.col("vocab").cast("double"))
         .alias("hapax_ratio"),
     )
+
+
+def llr_keywords(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    top_k: int = 10,
+    min_count: int = 5,
+) -> DataFrame:
+    """Dunning log-likelihood (G², "Accurate Methods for the
+    Statistics of Surprise and Coincidence", 1993) distinctive
+    keywords per group — WHAT vocabulary characterizes this
+    language/source/cluster against the rest of the corpus? The
+    robust-at-low-counts complement of tf-idf and PMI (both already
+    in this module's family): G² = 2·Σ_cells k·ln(k·N/(row·col))
+    over the 2×2 (in-group vs rest) × (term vs other-terms) grid.
+
+    Returns (group, term, k11, term_total, group_total, n_total,
+    llr, rank) — each group's `top_k` OVER-represented terms
+    (k11·N > group_total·term_total, an exact integer test), rank ≤
+    top_k by (llr desc, term asc). Exactness: all four margins are
+    exact BIGINTs; each cell term is k·(ln k + ln N − ln row −
+    ln col) — the ln-chain form, so no k·N product can leave the
+    exact-integer double range — 9dp-quantized; the four cell terms
+    sum in exact DECIMAL and the final ×2 is exact. Zero cells
+    contribute zero (the G² convention).
+
+    100 TB shape: ONE map-side-combinable groupBy to (group, term)
+    grain; margins are two windows at that grain plus one
+    unpartitioned scalar (each referenced once); candidate filter
+    (min_count + over-representation) cuts the relation BEFORE the
+    per-group top-k window."""
+    from .text import tokens_col
+
+    if top_k < 1 or min_count < 1:
+        raise ValueError("top_k/min_count must be >= 1")
+    tok = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens_col(text_col)).alias("term"),
+    ).where(F.col("grp").isNotNull())
+    cells = tok.groupBy("grp", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k11")
+    )
+    w_term = Window.partitionBy("term")
+    w_grp = Window.partitionBy("grp")
+    w_all = Window.partitionBy()
+    sized = cells.select(
+        "grp",
+        "term",
+        "k11",
+        F.sum("k11").over(w_term).cast("bigint").alias("term_total"),
+        F.sum("k11").over(w_grp).cast("bigint").alias("group_total"),
+        F.sum("k11").over(w_all).cast("bigint").alias("n_total"),
+    )
+    cand = sized.where(
+        (F.col("k11") >= min_count)
+        & (F.col("k11") * F.col("n_total")
+           > F.col("group_total") * F.col("term_total"))
+    )
+
+    def cell(k, row, col):
+        kd = k.cast("double")
+        term = kd * (
+            F.log(kd)
+            + F.log(F.col("n_total").cast("double"))
+            - F.log(row.cast("double"))
+            - F.log(col.cast("double"))
+        )
+        return F.when(k > 0, F.round(term, 9)).otherwise(F.lit(0.0))
+
+    k11 = F.col("k11")
+    tt = F.col("term_total")
+    gt = F.col("group_total")
+    n = F.col("n_total")
+    k12 = tt - k11
+    k21 = gt - k11
+    k22 = n - tt - k21
+    llr = (
+        F.lit(2.0)
+        * (
+            cell(k11, gt, tt).cast("decimal(28,9)")
+            + cell(k12, n - gt, tt).cast("decimal(28,9)")
+            + cell(k21, gt, n - tt).cast("decimal(28,9)")
+            + cell(k22, n - gt, n - tt).cast("decimal(28,9)")
+        ).cast("double")
+    )
+    scored = cand.select(
+        F.col("grp").alias("group"),
+        "term",
+        "k11",
+        "term_total",
+        "group_total",
+        "n_total",
+        llr.alias("llr"),
+    )
+    w_rank = Window.partitionBy("group").orderBy(
+        F.col("llr").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= top_k)
+        .select(
+            "group", "term", "k11", "term_total", "group_total",
+            "n_total", "llr",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

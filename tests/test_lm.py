@@ -529,3 +529,78 @@ class TestVocabRichness:
         out = {r["lang"]: r for r in vocab_richness(df).collect()}
         assert out["en"]["vocab"] == 2 and out["de"]["vocab"] == 1
         assert out["de"]["unseen_mass"] == 1.0
+
+
+class TestLlrKeywords:
+    def _run(self, spark, rows, **kw):
+        from mindocr_spark.functions.lm import llr_keywords
+
+        df = spark.createDataFrame(rows, "grp string, text string")
+        return llr_keywords(df, "grp", **kw).collect()
+
+    @staticmethod
+    def _llr(cells):
+        """cells: [(k, row, col)]; N inferred from the full grid."""
+        import math
+
+        n = sum(k for k, _, _ in cells)
+        s = 0.0
+        for k, row, col in cells:
+            if k > 0:
+                s += round(
+                    k * (math.log(k) + math.log(n)
+                         - math.log(row) - math.log(col)), 9)
+        return 2.0 * s
+
+    def test_hand_computed(self, spark):
+        rows = [("A", "apple apple banana"),
+                ("B", "banana banana cherry banana")]
+        out = {(r["group"], r["term"]): r
+               for r in self._run(spark, rows, min_count=1, top_k=5)}
+        r = out[("A", "apple")]
+        assert (r["k11"], r["term_total"], r["group_total"],
+                r["n_total"]) == (2, 2, 3, 7)
+        want = self._llr([(2, 3, 2), (0, 4, 2), (1, 3, 5), (4, 4, 5)])
+        assert abs(r["llr"] - want) < 1e-8
+
+    def test_exclusive_term_zero_cell(self, spark):
+        # cherry appears only in B: k12 = 0 contributes nothing
+        rows = [("A", "apple apple banana"),
+                ("B", "banana banana cherry banana")]
+        out = {(r["group"], r["term"])
+               for r in self._run(spark, rows, min_count=1)}
+        assert ("B", "cherry") in out
+        assert ("A", "cherry") not in out
+
+    def test_uniform_term_not_distinctive(self, spark):
+        # 'x' has identical share in both groups -> not over-repr
+        rows = [("A", "x x y"), ("B", "x x z")]
+        out = {(r["group"], r["term"])
+               for r in self._run(spark, rows, min_count=1)}
+        assert ("A", "x") not in out and ("B", "x") not in out
+        assert ("A", "y") in out and ("B", "z") in out
+
+    def test_top_k_and_rank_order(self, spark):
+        rows = [("A", "a a a a b b c " + "filler " * 5),
+                ("B", "filler " * 20)]
+        out = [r for r in self._run(spark, rows, min_count=1, top_k=2)
+               if r["group"] == "A"]
+        assert [r["rank"] for r in out] == [1, 2]
+        assert out[0]["term"] == "a"
+        assert out[0]["llr"] > out[1]["llr"]
+
+    def test_min_count_floor(self, spark):
+        rows = [("A", "rare common common"), ("B", "common common")]
+        out = {r["term"] for r in self._run(spark, rows, min_count=2)}
+        assert "rare" not in out
+
+    def test_guards(self, spark):
+        import pytest as _pt
+
+        from mindocr_spark.functions.lm import llr_keywords
+
+        df = spark.createDataFrame([], "grp string, text string")
+        with _pt.raises(ValueError):
+            llr_keywords(df, "grp", top_k=0)
+        with _pt.raises(ValueError):
+            llr_keywords(df, "grp", min_count=0)
