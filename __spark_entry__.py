@@ -12600,29 +12600,30 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY event_type, day_n),
             series AS (
               SELECT event_type, day_n AS p,
-                     CAST(n + CASE WHEN event_type = 'view'
+                     CAST(round(CAST(n + CASE WHEN event_type = 'view'
                        AND 2 * day_n >
                          min(day_n) OVER (PARTITION BY event_type)
                          + max(day_n) OVER (PARTITION BY event_type)
-                       THEN 40 ELSE 0 END AS BIGINT) AS x
+                       THEN 40 ELSE 0 END AS DOUBLE), 6)
+                       AS DECIMAL(18, 6)) AS x
               FROM daily
               WHERE day_n IS NOT NULL AND n IS NOT NULL),
             walked AS (
               SELECT event_type, p,
                      CAST(row_number() OVER (PARTITION BY event_type
-                       ORDER BY p) AS BIGINT) AS t_idx,
+                       ORDER BY p) AS DECIMAL(12, 0)) AS t_idx,
                      CAST(sum(x) OVER (PARTITION BY event_type
                        ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
-                       AND CURRENT ROW) AS BIGINT) AS cum,
+                       AND CURRENT ROW) AS DECIMAL(24, 6)) AS cum,
                      CAST(count(*) OVER (PARTITION BY event_type)
-                       AS BIGINT) AS n,
+                       AS DECIMAL(12, 0)) AS n,
                      CAST(sum(x) OVER (PARTITION BY event_type)
-                       AS BIGINT) AS tot
+                       AS DECIMAL(24, 6)) AS tot
               FROM series),
             scored AS (
               SELECT *,
-                     CAST(abs(n * cum - t_idx * tot) AS BIGINT)
-                       AS abs_s
+                     abs(CAST(n * cum - t_idx * tot
+                              AS DECIMAL(38, 6))) AS abs_s
               FROM walked),
             mx AS (
               SELECT *, max(abs_s) OVER (PARTITION BY event_type)
@@ -12630,9 +12631,9 @@ def oracle_sql() -> dict[str, str]:
               FROM scored),
             agg AS (
               SELECT event_type,
-                     CAST(max(n) AS BIGINT) AS n_periods,
-                     CAST(max(tot) AS BIGINT) AS total,
-                     CAST(max(max_abs) AS BIGINT) AS s_abs_max
+                     max(n) AS n_periods_d,
+                     max(tot) AS total_d,
+                     max(max_abs) AS s_abs_max_d
               FROM mx GROUP BY event_type),
             cand AS (
               SELECT event_type, p, t_idx, cum,
@@ -12644,23 +12645,28 @@ def oracle_sql() -> dict[str, str]:
                      cum AS cp_cum
               FROM cand WHERE rk = 1),
             fin AS (
-              SELECT agg.event_type, n_periods, total, s_abs_max,
-                     cp_p, cp_t, cp_cum,
-                     CASE WHEN s_abs_max > 0 THEN
+              SELECT agg.event_type, n_periods_d, total_d,
+                     s_abs_max_d, cp_p, cp_t, cp_cum,
+                     CASE WHEN s_abs_max_d > 0 THEN
                        CAST(cp_cum AS DOUBLE) / CAST(cp_t AS DOUBLE)
                      END AS mean_before,
-                     CASE WHEN s_abs_max > 0 THEN
-                       (CAST(total AS DOUBLE) - CAST(cp_cum AS DOUBLE))
-                       / (CAST(n_periods AS DOUBLE)
+                     CASE WHEN s_abs_max_d > 0 THEN
+                       (CAST(total_d AS DOUBLE)
+                        - CAST(cp_cum AS DOUBLE))
+                       / (CAST(n_periods_d AS DOUBLE)
                           - CAST(cp_t AS DOUBLE))
                      END AS mean_after
               FROM agg JOIN best USING (event_type))
-            SELECT event_type, n_periods, total,
-                   CASE WHEN s_abs_max > 0 THEN cp_p END AS cp_period,
-                   CASE WHEN s_abs_max > 0 THEN cp_t END AS t_before,
-                   s_abs_max,
-                   CAST(s_abs_max AS DOUBLE)
-                     / CAST(n_periods AS DOUBLE) AS cusum_stat,
+            SELECT event_type,
+                   CAST(n_periods_d AS BIGINT) AS n_periods,
+                   CAST(total_d AS DOUBLE) AS total,
+                   CASE WHEN s_abs_max_d > 0 THEN cp_p END
+                     AS cp_period,
+                   CASE WHEN s_abs_max_d > 0 THEN
+                     CAST(cp_t AS BIGINT) END AS t_before,
+                   CAST(s_abs_max_d AS DOUBLE) AS s_abs_max,
+                   CAST(s_abs_max_d AS DOUBLE)
+                     / CAST(n_periods_d AS DOUBLE) AS cusum_stat,
                    mean_before, mean_after,
                    mean_after - mean_before AS delta,
                    coalesce(abs(mean_after - mean_before) > 10.0,
@@ -13605,18 +13611,23 @@ def oracle_sql() -> dict[str, str]:
             cells AS (
               SELECT grp, term, CAST(count(*) AS BIGINT) AS k11
               FROM tok GROUP BY grp, term),
+            ntot AS (
+              SELECT CAST(sum(k11) AS BIGINT) AS n_total FROM cells),
             sized AS (
               SELECT grp, term, k11,
                      CAST(sum(k11) OVER (PARTITION BY term) AS BIGINT)
                        AS term_total,
                      CAST(sum(k11) OVER (PARTITION BY grp) AS BIGINT)
                        AS group_total,
-                     CAST(sum(k11) OVER () AS BIGINT) AS n_total
-              FROM cells),
+                     n_total
+              FROM cells CROSS JOIN ntot),
             cand AS (
               SELECT * FROM sized
               WHERE k11 >= 5
-                AND k11 * n_total > group_total * term_total),
+                AND CAST(k11 AS DECIMAL(15,0))
+                    * CAST(n_total AS DECIMAL(15,0))
+                    > CAST(group_total AS DECIMAL(15,0))
+                      * CAST(term_total AS DECIMAL(15,0))),
             scored AS (
               SELECT grp AS "group", term, k11, term_total,
                      group_total, n_total,

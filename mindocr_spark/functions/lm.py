@@ -861,24 +861,36 @@ def llr_keywords(
         F.col(group_col).alias("grp"),
         F.explode(tokens_col(text_col)).alias("term"),
     ).where(F.col("grp").isNotNull())
-    cells = tok.groupBy("grp", "term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("k11")
+    from mindocr_spark.cache import tracked_persist
+
+    cells = tracked_persist(
+        tok.groupBy("grp", "term").agg(
+            F.count(F.lit(1)).cast("bigint").alias("k11")
+        )
     )
     w_term = Window.partitionBy("term")
     w_grp = Window.partitionBy("grp")
-    w_all = Window.partitionBy()
+    # the grand total is a map-side-combinable aggregate + broadcast
+    # cross join — NOT an unpartitioned window, which would funnel
+    # the whole vocabulary-grain relation through one task
+    n_tot = cells.groupBy().agg(
+        F.sum("k11").cast("bigint").alias("n_total")
+    )
     sized = cells.select(
         "grp",
         "term",
         "k11",
         F.sum("k11").over(w_term).cast("bigint").alias("term_total"),
         F.sum("k11").over(w_grp).cast("bigint").alias("group_total"),
-        F.sum("k11").over(w_all).cast("bigint").alias("n_total"),
-    )
+    ).crossJoin(F.broadcast(n_tot))
+    # over-representation compared in DECIMAL(15,0) products: BIGINT
+    # k11·N overflows int64 once N reaches web-corpus token counts
+    # (~2e13); DECIMAL(31,0) is exact to 10^15 tokens
+    d15 = lambda c: F.col(c).cast("decimal(15,0)")
     cand = sized.where(
         (F.col("k11") >= min_count)
-        & (F.col("k11") * F.col("n_total")
-           > F.col("group_total") * F.col("term_total"))
+        & (d15("k11") * d15("n_total")
+           > d15("group_total") * d15("term_total"))
     )
 
     def cell(k, row, col):

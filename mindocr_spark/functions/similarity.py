@@ -981,6 +981,8 @@ def ivf_pq_topk(
     n_probe inverted lists of ≈ n/k_cells codes each; the corpus
     float vectors are read exactly twice (assignment + residual
     encode) and never again."""
+    if n is None:
+        n = embeddings.count()  # one stats pass shared by IVF and PQ
     c, cent, assign_fn = build_ivf_index(
         embeddings, n=n, max_centroids=max_centroids,
         lloyd_iters=lloyd_iters, id_col=id_col, vec_col=vec_col,
@@ -993,8 +995,6 @@ def ivf_pq_topk(
             F.zip_with("cv", "cent", lambda x, y: x - y).alias("cv"),
         )
     )
-    if n is None:
-        n = embeddings.count()
     codebook = build_pq_codebook(
         resid, dim=dim, m=m, k_sub=k_sub,
         lloyd_iters=pq_lloyd_iters, n=n,

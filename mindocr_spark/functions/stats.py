@@ -755,10 +755,6 @@ def benford_first_digit(
     )
 
 
-#: χ² 0.95 quantile at 2 degrees of freedom (the 3×2 fixture grid).
-CHI2_CRIT_2DF = 5.991464547107979
-
-
 def chi2_independence(
     df: DataFrame,
     x_col: str,
@@ -940,30 +936,38 @@ def cusum_changepoint(
     jump? (Mann-Kendall answers 'is there a monotone trend'; this
     answers 'at which period did the level shift'.) Input must
     already be at (stratum, period) grain, like
-    :func:`mann_kendall_trend`.
+    :func:`mann_kendall_trend`. Values may be fractional (rates,
+    scores): they are 6dp-quantized into exact DECIMAL, never
+    silently truncated.
 
     Returns (*by, n_periods, total, cp_period, t_before, s_abs_max,
     cusum_stat, mean_before, mean_after, delta, shifted). The
-    changepoint is argmax_t |S'_t| with S'_t = n·Σ_{i≤t}x − t·Σx (the
-    n-scaled centered cumulative sum — an exact BIGINT, no x̄
-    division inside the scan), earliest period on ties; the last
-    period has S'_n = 0 so it never wins unless the series is
-    constant. Exactness: cp selection compares exact integers;
-    cusum_stat = s_abs_max/n, mean_before = Σ_{i≤cp}x / cp and
-    mean_after are one IEEE division each; delta one subtraction.
-    Constant series (s_abs_max = 0) → cp and the means NULL, shifted
-    false.
+    changepoint is argmax_t |S'_t| with S'_t = n·Σ_{i≤t}x − t·Σx
+    (the n-scaled centered cumulative sum), earliest period on ties;
+    the last period has S'_n = 0 so it never wins unless the series
+    is constant. Exactness: x is round(·,6) → DECIMAL(18,6); the
+    cumulative and total sums are exact DECIMAL window sums
+    (order-free — no float window accumulation crosses the engine
+    boundary), n/t enter as DECIMAL(12,0) so every n·cum − t·tot is
+    exact DECIMAL(38,6); cp selection compares those exact decimals;
+    total and s_abs_max are cast to double only at output;
+    cusum_stat / means / delta are one IEEE division or subtraction
+    each. Constant series (s_abs_max = 0) → cp and the means NULL,
+    shifted false; empty stratum → no row (even ungrouped).
 
     100 TB shape: the caller pre-aggregates to period grain (one
     map-side-combinable groupBy); the scan is one stratum-partitioned
-    window walk over periods, one groupBy to pick the argmax."""
+    window walk over periods, one groupBy to pick the argmax.
+    Bounds: |x| < 10^12 and n_periods < 10^12 keep every product
+    inside DECIMAL(38,6)."""
     keys = list(by)
     s = df.where(
         F.col(period_col).isNotNull() & F.col(value_col).isNotNull()
     ).select(
         *keys,
         F.col(period_col).alias("p"),
-        F.col(value_col).cast("bigint").alias("x"),
+        F.round(F.col(value_col).cast("double"), 6)
+        .cast("decimal(18,6)").alias("x"),
     )
     w_ord = (
         Window.partitionBy(*keys)
@@ -975,14 +979,15 @@ def cusum_changepoint(
     walked = s.select(
         *keys,
         "p",
-        F.row_number().over(w_seq).cast("bigint").alias("t_idx"),
-        F.sum("x").over(w_ord).cast("bigint").alias("cum"),
-        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
-        F.sum("x").over(w_all).cast("bigint").alias("tot"),
+        F.row_number().over(w_seq).cast("decimal(12,0)")
+        .alias("t_idx"),
+        F.sum("x").over(w_ord).cast("decimal(24,6)").alias("cum"),
+        F.count(F.lit(1)).over(w_all).cast("decimal(12,0)").alias("n"),
+        F.sum("x").over(w_all).cast("decimal(24,6)").alias("tot"),
     )
     s_scaled = (
         F.col("n") * F.col("cum") - F.col("t_idx") * F.col("tot")
-    ).cast("bigint")
+    ).cast("decimal(38,6)")
     scored = walked.select(
         *keys,
         "p",
@@ -1004,16 +1009,16 @@ def cusum_changepoint(
         ).alias("cp"),
     )
     agg = cand.groupBy(*keys).agg(
-        F.max("n").alias("n_periods"),
-        F.max("tot").alias("total"),
-        F.max("abs_s").alias("s_abs_max"),
+        F.max("n").alias("n_periods_d"),
+        F.max("tot").alias("total_d"),
+        F.max("abs_s").alias("s_abs_max_d"),
         F.min("cp").alias("cp"),
-    )
-    found = F.col("s_abs_max") > 0
+    ).where(F.col("n_periods_d").isNotNull())
+    found = F.col("s_abs_max_d") > 0
     tb = F.col("cp.t_idx").cast("double")
     cum = F.col("cp.cum").cast("double")
-    nd = F.col("n_periods").cast("double")
-    totd = F.col("total").cast("double")
+    nd = F.col("n_periods_d").cast("double")
+    totd = F.col("total_d").cast("double")
     mean_before = F.when(found, cum / tb)
     mean_after = F.when(
         found, (totd - cum) / (nd - tb)
@@ -1021,12 +1026,13 @@ def cusum_changepoint(
     delta = mean_after - mean_before
     return agg.select(
         *keys,
-        "n_periods",
-        "total",
+        F.col("n_periods_d").cast("bigint").alias("n_periods"),
+        totd.alias("total"),
         F.when(found, F.col("cp.p")).alias("cp_period"),
-        F.when(found, F.col("cp.t_idx")).alias("t_before"),
-        "s_abs_max",
-        (F.col("s_abs_max").cast("double") / nd).alias("cusum_stat"),
+        F.when(found, F.col("cp.t_idx").cast("bigint"))
+        .alias("t_before"),
+        F.col("s_abs_max_d").cast("double").alias("s_abs_max"),
+        (F.col("s_abs_max_d").cast("double") / nd).alias("cusum_stat"),
         mean_before.alias("mean_before"),
         mean_after.alias("mean_after"),
         delta.alias("delta"),

@@ -268,6 +268,37 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
     )
 
 
+def _daily_count_spine(events: DataFrame) -> DataFrame:
+    """Shared (event_type, day_n, n) day-grain relation with the
+    ZERO-FILLED day spine: days with no events inside a type's
+    observed [min, max] span appear as n=0 rows, so a total outage
+    is a real row, not a structurally invisible gap (the invariant
+    both anomaly fences depend on — keep it in ONE place). The
+    counted relation is persisted (it feeds the spine bounds AND the
+    fill join); the spine lives at types×days cardinality."""
+    from mindocr_spark.cache import tracked_persist
+
+    day_n = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    counted = tracked_persist(
+        events.select(
+            "event_type", day_n.cast("bigint").alias("day_n")
+        )
+        .groupBy("event_type", "day_n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    spine = counted.groupBy("event_type").agg(
+        F.min("day_n").alias("d0"), F.max("day_n").alias("d1")
+    ).select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1")).alias("day_n"),
+    )
+    return spine.join(counted, ["event_type", "day_n"], "left").select(
+        "event_type",
+        "day_n",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+    )
+
+
 def daily_anomaly_stats(events: DataFrame, k: int = 6) -> DataFrame:
     """Robust day-grain traffic anomaly detection per event type:
     daily counts fenced by the median/MAD rule (|n − med| > k·MAD) —
@@ -291,25 +322,7 @@ def daily_anomaly_stats(events: DataFrame, k: int = 6) -> DataFrame:
 
     if k < 1:
         raise ValueError(f"k must be ≥ 1, got {k}")
-    day_n = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
-    counted = tracked_persist(
-        events.select(
-            "event_type", day_n.cast("bigint").alias("day_n")
-        )
-        .groupBy("event_type", "day_n")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    )
-    spine = counted.groupBy("event_type").agg(
-        F.min("day_n").alias("d0"), F.max("day_n").alias("d1")
-    ).select(
-        "event_type",
-        F.explode(F.sequence("d0", "d1")).alias("day_n"),
-    )
-    daily = spine.join(counted, ["event_type", "day_n"], "left").select(
-        "event_type",
-        "day_n",
-        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
-    )
+    daily = _daily_count_spine(events)
     med = daily.groupBy("event_type").agg(
         F.percentile("n", F.lit(0.5)).alias("med_n")
     )
@@ -766,23 +779,11 @@ def seasonal_anomaly_stats(events: DataFrame, k: int = 6) -> DataFrame:
 
     if k < 1:
         raise ValueError(f"k must be ≥ 1, got {k}")
-    day_n = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
-    counted = events.select(
-        "event_type", day_n.cast("bigint").alias("day_n")
-    ).groupBy("event_type", "day_n").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
-    spine = counted.groupBy("event_type").agg(
-        F.min("day_n").alias("d0"), F.max("day_n").alias("d1")
-    ).select(
-        "event_type",
-        F.explode(F.sequence("d0", "d1")).alias("day_n"),
-    )
-    daily = spine.join(counted, ["event_type", "day_n"], "left").select(
+    daily = _daily_count_spine(events).select(
         "event_type",
         "day_n",
         (F.col("day_n") % 7).cast("bigint").alias("dow"),
-        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        "n",
     )
 
     def _median_over(df, val, part_cols, out_name):

@@ -523,3 +523,25 @@ class TestCusumChangepoint:
         }
         assert out["u"]["cp_period"] == 2 and out["u"]["shifted"]
         assert out["v"]["shifted"] is False
+
+    def test_fractional_series_not_truncated(self, spark):
+        # a 0.1 -> 0.9 quality-rate shift must be found, not silently
+        # truncated to zeros (values are 6dp-quantized DECIMAL)
+        from mindocr_spark.functions.stats import cusum_changepoint
+
+        rows = [(i + 1, v) for i, v in
+                enumerate([0.1, 0.1, 0.1, 0.9, 0.9, 0.9])]
+        df = spark.createDataFrame(rows, "p bigint, x double")
+        (r,) = cusum_changepoint(
+            df, "p", "x", min_abs_delta=0.5
+        ).collect()
+        assert r["cp_period"] == 3
+        assert abs(r["mean_before"] - 0.1) < 1e-9
+        assert abs(r["mean_after"] - 0.9) < 1e-9
+        assert r["shifted"] is True
+
+    def test_empty_input_no_phantom_row(self, spark):
+        from mindocr_spark.functions.stats import cusum_changepoint
+
+        df = spark.createDataFrame([], "p bigint, x bigint")
+        assert cusum_changepoint(df, "p", "x").count() == 0
