@@ -6218,6 +6218,32 @@ _BM25_QUERIES = {
 _BM25_K = 5
 
 
+def q_bm25_prf_topk(spark, sf_dir):
+    """Two-pass RM3-style pseudo-relevance feedback over the pinned
+    BM25 query set: first pass retrieves 3 feedback docs per query,
+    a score-weighted relevance model picks 8 expansion terms,
+    lambda=0.6 interpolation (in EXACT DECIMAL) re-weights the
+    expanded query, and a second weighted-BM25 pass ranks. The
+    classic vocabulary-mismatch fix, whole chain exact
+    (functions/search.bm25_prf_topk)."""
+    from mindocr_spark.functions.search import bm25_prf_topk
+
+    return bm25_prf_topk(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        _BM25_QUERIES,
+        k=_BM25_K,
+        fb_docs=3,
+        fb_terms=8,
+        orig_weight=0.6,
+    ).select(
+        "query_id",
+        "doc_id",
+        "n_terms_hit",
+        F.col("score").cast("double").alias("score"),
+        F.col("rank").cast("bigint").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
 def q_bm25_topk(spark, sf_dir):
     """Inverted-index keyword retrieval: BM25-score a pinned query set
     against the corpus and keep the top-5 docs per query. The corpus
@@ -6852,6 +6878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q(q_weighted_sample),
         "token_budget_sample": _q(q_token_budget_sample),
         "bm25_topk": _q(q_bm25_topk),
+        "bm25_prf": _q(q_bm25_prf_topk),
         "phrase_search": _q(q_phrase_search),
         "sequence_pack": _q(q_sequence_pack),
         "lm_logppl": _q(q_lm_logppl),
@@ -8013,6 +8040,112 @@ def _bm25_oracle_ctes() -> str:
         .replace("__OMB__", repr(1.0 - _BM25_B))
         .replace("__B__", repr(_BM25_B))
     )
+
+def _bm25_prf_oracle() -> str:
+    """Twin of q_bm25_prf_topk: the SHARED _bm25_oracle_ctes first
+    pass (rk), then the RM3 chain — score-weighted feedback model,
+    top-8 expansion, exact-DECIMAL lambda=0.6 interpolation, and the
+    weighted second-pass rescore with the same idf/tfn quantization
+    and constant substitution discipline."""
+    s = r""",
+            fbd AS (
+              SELECT query_id, doc_id, CAST(score AS DOUBLE) AS dscore
+              FROM rk WHERE rank <= 3),
+            fbpost AS (
+              SELECT b.doc_id, b.term, count(*) AS tf, max(b.dl) AS dl
+              FROM base b
+              JOIN (SELECT DISTINCT doc_id FROM fbd) USING (doc_id)
+              GROUP BY b.doc_id, b.term),
+            fcontrib AS (
+              SELECT f.query_id, p.term,
+                     round(f.dscore * (CAST(p.tf AS DOUBLE)
+                           / CAST(p.dl AS DOUBLE)), 9) AS c
+              FROM fbpost p JOIN fbd f USING (doc_id)),
+            wfb AS (
+              SELECT query_id, term,
+                     SUM(CAST(c AS DECIMAL(28,9))) AS w_fb_d
+              FROM fcontrib GROUP BY query_id, term),
+            expq AS (
+              SELECT query_id, term, w_fb_d FROM (
+                SELECT query_id, term, w_fb_d,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY w_fb_d DESC, term ASC) AS erank
+                FROM wfb) WHERE erank <= 8),
+            expn AS (
+              SELECT query_id, term,
+                     CAST(round(CAST(w_fb_d AS DOUBLE)
+                          / CAST(SUM(w_fb_d) OVER
+                                 (PARTITION BY query_id) AS DOUBLE),
+                          9) AS DECIMAL(28,9)) AS p_fb
+              FROM expq),
+            nqr AS (
+              SELECT query_id, count(*) AS nq FROM qt
+              GROUP BY query_id),
+            origp AS (
+              SELECT qt.query_id, qt.term,
+                     CAST(round(CAST(1.0 AS DOUBLE)
+                          / CAST(nq AS DOUBLE), 9)
+                          AS DECIMAL(28,9)) AS p_orig
+              FROM qt JOIN nqr USING (query_id)),
+            joint AS (
+              SELECT coalesce(o.query_id, e.query_id) AS query_id,
+                     coalesce(o.term, e.term) AS term,
+                     CAST(CAST(0.60 AS DECIMAL(3,2))
+                            * coalesce(o.p_orig,
+                                       CAST(0 AS DECIMAL(28,9)))
+                          + CAST(0.40 AS DECIMAL(3,2))
+                            * coalesce(e.p_fb,
+                                       CAST(0 AS DECIMAL(28,9)))
+                          AS DECIMAL(28,11)) AS weight
+              FROM origp o FULL JOIN expn e
+                ON o.query_id = e.query_id AND o.term = e.term),
+            tf2 AS (
+              SELECT term, doc_id, count(*) AS tf, max(dl) AS dl
+              FROM base
+              JOIN (SELECT DISTINCT term FROM joint) USING (term)
+              GROUP BY term, doc_id),
+            df2 AS (
+              SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+            scored2 AS (
+              SELECT j.query_id, tf2.doc_id,
+                     CAST(round(CAST(j.weight AS DOUBLE)
+                       * round(
+                         round(ln((CAST(n_docs AS DOUBLE)
+                                   - CAST(df AS DOUBLE) + 0.5)
+                                  / (CAST(df AS DOUBLE) + 0.5)
+                                  + 1.0), 9)
+                         * round((CAST(tf AS DOUBLE) * __K1P1__)
+                                 / (CAST(tf AS DOUBLE)
+                                    + __K1__ * (__OMB__ + __B__
+                                        * (CAST(dl AS DOUBLE)
+                                           / avgdl))), 9)
+                       , 9), 9) AS DECIMAL(28,9)) AS ts
+              FROM tf2 JOIN df2 USING (term) CROSS JOIN stats
+              JOIN joint j USING (term)),
+            pd2 AS (
+              SELECT query_id, doc_id, count(*) AS n_terms_hit,
+                     SUM(ts) AS score
+              FROM scored2 GROUP BY query_id, doc_id),
+            rk2 AS (
+              SELECT query_id, doc_id, n_terms_hit, score,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC) AS rank
+              FROM pd2)
+            SELECT query_id, doc_id,
+                   CAST(n_terms_hit AS BIGINT) AS n_terms_hit,
+                   CAST(score AS DOUBLE) AS score,
+                   CAST(rank AS BIGINT) AS rank
+            FROM rk2 WHERE rank <= __K__
+            ORDER BY query_id, rank"""
+    s = (
+        s.replace("__K1P1__", repr(_BM25_K1 + 1.0))
+        .replace("__K1__", repr(_BM25_K1))
+        .replace("__OMB__", repr(1.0 - _BM25_B))
+        .replace("__B__", repr(_BM25_B))
+        .replace("__K__", str(_BM25_K))
+    )
+    return "WITH " + _bm25_oracle_ctes() + s
+
 
 def _vsm_oracle_ctes() -> str:
     """VSM arm CTEs, composed AFTER _bm25_oracle_ctes (reuses its
@@ -9771,6 +9904,7 @@ def oracle_sql() -> dict[str, str]:
                    END AS n_seqs
             FROM p ORDER BY doc_id
         """.replace("__L__", str(int(_PACK_SEQ_LEN))),
+        "bm25_prf": _bm25_prf_oracle(),
         "bm25_topk": "WITH " + _bm25_oracle_ctes() + f"""
             SELECT query_id, doc_id,
                    CAST(n_terms_hit AS BIGINT) AS n_terms_hit,

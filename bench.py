@@ -275,6 +275,8 @@ def main() -> None:
         "ann_pq_topk",          # product-quantization ADC scan
         "ann_ivf_pq_topk",      # IVF-PQ composed residual ANN
         "textrank_summary",     # sentence-PageRank extractive summary
+        "bm25_prf",             # RM3 pseudo-relevance-feedback 2-pass
+        "llr_keywords",         # Dunning G2 distinctive vocabulary
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

@@ -1055,3 +1055,164 @@ def textrank_sentences(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def bm25_prf_topk(
+    docs: DataFrame,
+    queries: dict[int, list[str]],
+    k: int = 5,
+    fb_docs: int = 5,
+    fb_terms: int = 10,
+    orig_weight: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Two-pass pseudo-relevance-feedback retrieval (RM3-style,
+    Lavrenko/Croft relevance models as deployed in Anserini/Indri):
+    a first BM25 pass retrieves `fb_docs` per query, a relevance
+    model is estimated from them — w(t) ∝ Σ_d score(d)·tf(t,d)/dl(d)
+    — the top `fb_terms` expansion terms are interpolated with the
+    uniform original-query distribution at `orig_weight` (λ), and a
+    second weighted-BM25 pass ranks with the expanded query. The
+    classic fix for vocabulary mismatch: a query's top documents
+    vote terms the user didn't type.
+
+    Returns (query_id, doc_id, n_terms_hit, score, rank), rank ≤ k,
+    (score desc, doc_id) deterministic. Exactness: feedback
+    contributions and the normalized model are 9dp-quantized with
+    DECIMAL sums between; the λ-interpolation runs in EXACT DECIMAL
+    (λ at 2dp × 9dp distributions is an 11dp decimal — the textrank
+    half-boundary lesson); second-pass term scores reuse the exact
+    BM25 idf/tfn quantization chain.
+
+    100 TB shape: pass 1 is :func:`bm25_topk` (broadcast-vocabulary
+    semi-join before any shuffle); the feedback model runs on the
+    fb_docs×queries-bounded posting subset (broadcast doc-id join);
+    pass 2 re-scans with the expanded vocabulary broadcast — the
+    corpus still sheds every non-matching token scan-side."""
+    from decimal import Decimal
+
+    if fb_docs < 1 or fb_terms < 1 or k < 1:
+        raise ValueError("k/fb_docs/fb_terms must be >= 1")
+    lam = Decimal(str(orig_weight)).quantize(Decimal("0.01"))
+    if not Decimal(0) <= lam <= Decimal(1):
+        raise ValueError("orig_weight must be in [0, 1]")
+    oml = Decimal(1) - lam
+    spark = docs.sparkSession
+    qt = query_terms_df(spark, queries)
+    first = bm25_topk(
+        docs, queries, k=fb_docs, id_col=id_col, text_col=text_col
+    )
+    toks = tokens_col(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+    fbd = first.select(
+        "query_id", "doc_id", F.col("score").cast("double").alias("dscore")
+    )
+    fb_post = base.join(
+        F.broadcast(fbd.select("doc_id").distinct()), "doc_id"
+    ).groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.max("dl").alias("dl")
+    )
+    contrib = fb_post.join(F.broadcast(fbd), "doc_id").select(
+        "query_id", "term",
+        F.round(
+            F.col("dscore")
+            * (F.col("tf").cast("double") / F.col("dl").cast("double")),
+            9,
+        ).alias("c"),
+    )
+    wfb = contrib.groupBy("query_id", "term").agg(
+        F.sum(F.col("c").cast("decimal(28,9)")).alias("w_fb_d")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("w_fb_d").desc(), F.col("term").asc()
+    )
+    exp = wfb.withColumn(
+        "erank", F.row_number().over(w_rank)
+    ).where(F.col("erank") <= fb_terms)
+    w_q = Window.partitionBy("query_id")
+    expn = exp.select(
+        "query_id", "term",
+        F.round(
+            F.col("w_fb_d").cast("double")
+            / F.sum("w_fb_d").over(w_q).cast("double"),
+            9,
+        ).cast("decimal(28,9)").alias("p_fb"),
+    )
+    nq = qt.groupBy("query_id").agg(F.count("*").alias("nq"))
+    origp = qt.join(F.broadcast(nq), "query_id").select(
+        "query_id", "term",
+        F.round(F.lit(1.0) / F.col("nq").cast("double"), 9)
+        .cast("decimal(28,9)").alias("p_orig"),
+    )
+    zero9 = F.expr("CAST(0 AS DECIMAL(28,9))")
+    weight = (
+        F.expr(f"CAST({lam} AS DECIMAL(3,2))")
+        * F.coalesce("p_orig", zero9)
+        + F.expr(f"CAST({oml} AS DECIMAL(3,2))")
+        * F.coalesce("p_fb", zero9)
+    ).cast("decimal(28,11)")
+    wq_rel = origp.join(expn, ["query_id", "term"], "full").select(
+        "query_id", "term", weight.alias("weight")
+    )
+    vocab2 = wq_rel.select("term").distinct()
+    matched = base.join(F.broadcast(vocab2), "term")
+    tf2 = matched.groupBy("term", "doc_id").agg(
+        F.count("*").alias("tf"), F.max("dl").alias("dl")
+    )
+    df2 = tf2.groupBy("term").agg(F.count("*").alias("df"))
+    stats = docs.select(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens_col(text_col))).alias("sum_dl"),
+    ).withColumn(
+        "avgdl",
+        F.round(
+            F.col("sum_dl").cast("double") / F.col("n_docs").cast("double"),
+            9,
+        ),
+    )
+    nd = F.col("n_docs").cast("double")
+    dfd = F.col("df").cast("double")
+    idf = F.round(
+        F.log((nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)) + F.lit(1.0)), 9
+    )
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    tfn = F.round(
+        tfd * F.lit(BM25_K1 + 1.0)
+        / (
+            tfd
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (dld / F.col("avgdl")))
+        ),
+        9,
+    )
+    scored = (
+        tf2.join(F.broadcast(df2), "term")
+        .join(F.broadcast(stats))
+        .join(F.broadcast(wq_rel), "term")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.col("weight").cast("double") * F.round(idf * tfn, 9),
+                9,
+            ).cast("decimal(28,9)").alias("ts"),
+        )
+    )
+    per_doc = scored.groupBy("query_id", "doc_id").agg(
+        F.count("*").alias("n_terms_hit"),
+        F.sum("ts").alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "n_terms_hit", "score", "rank")
+    )

@@ -628,3 +628,73 @@ class TestTextrank:
             textrank_sentences(df, iters=0)
         with _pt.raises(ValueError):
             textrank_sentences(df, max_sentences=1)
+
+
+class TestBm25Prf:
+    def _docs(self, spark):
+        rows = [
+            (1, "bridge river crossing project"),
+            (2, "bridge river steel span"),
+            (3, "river bank water flow"),
+            (4, "unrelated totally different topic entirely"),
+        ]
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_expansion_reaches_vocabulary_mismatch_doc(self, spark):
+        from mindocr_spark.functions.search import bm25_prf_topk, bm25_topk
+
+        docs = self._docs(spark)
+        q = {1: ["bridge"]}
+        plain = {r["doc_id"] for r in bm25_topk(docs, q, k=4).collect()}
+        assert 3 not in plain  # no 'bridge' in doc 3
+        prf = {
+            r["doc_id"]: r
+            for r in bm25_prf_topk(
+                docs, q, k=4, fb_docs=2, fb_terms=5
+            ).collect()
+        }
+        assert 3 in prf  # 'river' voted in by the feedback docs
+        assert float(prf[3]["score"]) > 0
+        assert 4 not in prf or float(prf[4]["score"]) == 0.0
+
+    def test_lambda_one_preserves_first_pass_winner(self, spark):
+        from mindocr_spark.functions.search import bm25_prf_topk, bm25_topk
+
+        docs = self._docs(spark)
+        q = {1: ["bridge", "crossing"]}
+        top_plain = bm25_topk(docs, q, k=1).collect()[0]["doc_id"]
+        top_prf = [
+            r for r in bm25_prf_topk(
+                docs, q, k=4, fb_docs=2, fb_terms=3, orig_weight=1.0
+            ).collect() if r["rank"] == 1
+        ][0]["doc_id"]
+        assert top_prf == top_plain
+
+    def test_deterministic(self, spark):
+        from mindocr_spark.functions.search import bm25_prf_topk
+
+        docs = self._docs(spark)
+        q = {1: ["bridge"], 2: ["water"]}
+        a = bm25_prf_topk(docs, q, k=3, fb_docs=2, fb_terms=4).collect()
+        b = bm25_prf_topk(docs, q, k=3, fb_docs=2, fb_terms=4).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_no_hit_query_degrades_gracefully(self, spark):
+        from mindocr_spark.functions.search import bm25_prf_topk
+
+        docs = self._docs(spark)
+        out = bm25_prf_topk(
+            docs, {9: ["zzzmissing"]}, k=3, fb_docs=2, fb_terms=4
+        ).collect()
+        assert out == []
+
+    def test_guards(self, spark):
+        import pytest as _pt
+
+        from mindocr_spark.functions.search import bm25_prf_topk
+
+        docs = self._docs(spark)
+        with _pt.raises(ValueError):
+            bm25_prf_topk(docs, {1: ["a"]}, fb_docs=0)
+        with _pt.raises(ValueError):
+            bm25_prf_topk(docs, {1: ["a"]}, orig_weight=1.5)
