@@ -13858,62 +13858,66 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY a.doc, b.sid, a.sid),
             wei AS (
               SELECT ov.doc, src, dst,
-                     round(CAST(ov AS DOUBLE)
-                           / CAST(x.n_tok + y.n_tok AS DOUBLE), 9)
-                       AS w
+                     CAST((2 * ov * 1000000000
+                           + (x.n_tok + y.n_tok))
+                          // (2 * (x.n_tok + y.n_tok)) AS BIGINT)
+                       AS w_int
               FROM ov
               JOIN spine x ON ov.doc = x.doc AND ov.src = x.sid
               JOIN spine y ON ov.doc = y.doc AND ov.dst = y.sid),
             edges AS (
               SELECT doc, src, dst,
-                     round(w / CAST(SUM(CAST(w AS DECIMAL(28, 9)))
-                           OVER (PARTITION BY doc, src) AS DOUBLE),
-                           9) AS wn
-              FROM wei),
+                     -- width 19 forces DuckDB's int128 multiply path
+                     -- (int64*int64 decimal multiply overflows at 1e18)
+                     CAST((2 * w_int * 1000000000 + out_w)
+                          // (2 * out_w) AS DECIMAL(19, 0)) AS wn_nano
+              FROM (SELECT *, SUM(w_int) OVER
+                      (PARTITION BY doc, src) AS out_w
+                    FROM wei)),
             s1 AS (
               SELECT e.doc, e.dst AS sid,
-                     SUM(CAST(round(e.wn * CAST(1.0 AS DOUBLE),
-                          9) AS DECIMAL(28, 9))) AS s
+                     SUM(e.wn_nano * CAST(1.0 AS DECIMAL(15, 9))) AS s
               FROM edges e GROUP BY e.doc, e.dst),
             r1 AS (
               SELECT sp.doc, sp.sid,
-                     CAST(CAST(0.15 AS DECIMAL(28,11))
-                          + CAST(0.85 AS DECIMAL(4,2))
-                            * coalesce(CAST(s AS DECIMAL(28,9)),
-                                       CAST(0 AS DECIMAL(28,9)))
-                          AS DECIMAL(28,11)) AS r
+                     CAST(round(CAST(0.15 AS DECIMAL(28,20))
+                          + CAST(0.85 AS DECIMAL(3,2))
+                            * (coalesce(CAST(s AS DECIMAL(21,9)),
+                                        CAST(0 AS DECIMAL(21,9)))
+                               * CAST(0.000000001 AS DECIMAL(9,9))),
+                          9) AS DECIMAL(15,9)) AS r
               FROM spine sp LEFT JOIN s1
                 ON sp.doc = s1.doc AND sp.sid = s1.sid),
             s2 AS (
               SELECT e.doc, e.dst AS sid,
-                     SUM(CAST(round(e.wn * CAST(r1.r AS DOUBLE),
-                          9) AS DECIMAL(28, 9))) AS s
+                     SUM(e.wn_nano * r1.r) AS s
               FROM edges e JOIN r1
                 ON e.doc = r1.doc AND e.src = r1.sid
               GROUP BY e.doc, e.dst),
             r2 AS (
               SELECT sp.doc, sp.sid,
-                     CAST(CAST(0.15 AS DECIMAL(28,11))
-                          + CAST(0.85 AS DECIMAL(4,2))
-                            * coalesce(CAST(s AS DECIMAL(28,9)),
-                                       CAST(0 AS DECIMAL(28,9)))
-                          AS DECIMAL(28,11)) AS r
+                     CAST(round(CAST(0.15 AS DECIMAL(28,20))
+                          + CAST(0.85 AS DECIMAL(3,2))
+                            * (coalesce(CAST(s AS DECIMAL(21,9)),
+                                        CAST(0 AS DECIMAL(21,9)))
+                               * CAST(0.000000001 AS DECIMAL(9,9))),
+                          9) AS DECIMAL(15,9)) AS r
               FROM spine sp LEFT JOIN s2
                 ON sp.doc = s2.doc AND sp.sid = s2.sid),
             s3 AS (
               SELECT e.doc, e.dst AS sid,
-                     SUM(CAST(round(e.wn * CAST(r2.r AS DOUBLE),
-                          9) AS DECIMAL(28, 9))) AS s
+                     SUM(e.wn_nano * r2.r) AS s
               FROM edges e JOIN r2
                 ON e.doc = r2.doc AND e.src = r2.sid
               GROUP BY e.doc, e.dst),
             r3 AS (
               SELECT sp.doc, sp.sid,
-                     CAST(CAST(0.15 AS DECIMAL(28,11))
-                          + CAST(0.85 AS DECIMAL(4,2))
-                            * coalesce(CAST(s AS DECIMAL(28,9)),
-                                       CAST(0 AS DECIMAL(28,9)))
-                          AS DECIMAL(28,11)) AS r
+                     CAST(round(CAST(0.15 AS DECIMAL(28,20))
+                          + CAST(0.85 AS DECIMAL(3,2))
+                            * (coalesce(CAST(s AS DECIMAL(21,9)),
+                                        CAST(0 AS DECIMAL(21,9)))
+                               * CAST(0.000000001 AS DECIMAL(9,9))),
+                          9) AS DECIMAL(15,9)) AS r
               FROM spine sp LEFT JOIN s3
                 ON sp.doc = s3.doc AND sp.sid = s3.sid),
             ranked AS (

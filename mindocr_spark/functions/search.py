@@ -976,24 +976,32 @@ def textrank_sentences(
         "doc", F.col("sid").alias("dst"),
         F.col("n_tok").alias("n_dst"),
     )
-    denom = (F.col("n_src") + F.col("n_dst")).cast("double")
+    # both weight divisions run in EXACT INTEGER nano-arithmetic:
+    # round9(a/b) = (2a*10^9 + b) DIV (2b) — a double quotient of two
+    # decimals lands ON an exact decimal tie whenever the reduced
+    # denominator divides 10^10 (power-of-two sentence sums do), and
+    # the engines' double-round algorithms then coin-flip. ov <= d/2
+    # keeps w_int <= 5e8, so 2*w_int*10^9 stays inside int64.
     weighted = (
         ov.join(na, ["doc", "src"]).join(nb, ["doc", "dst"])
         .select(
             "doc", "src", "dst",
-            F.round(F.col("ov").cast("double") / denom, 9).alias("w"),
+            F.expr(
+                "CAST((2 * ov * 1000000000 + (n_src + n_dst))"
+                " DIV (2 * (n_src + n_dst)) AS BIGINT)"
+            ).alias("w_int"),
         )
     )
     w_out = Window.partitionBy("doc", "src")
     edges = tracked_persist(
-        weighted.select(
+        weighted.withColumn(
+            "out_w", F.sum("w_int").over(w_out)
+        ).select(
             "doc", "src", "dst",
-            F.round(
-                F.col("w")
-                / F.sum(F.col("w").cast("decimal(28,9)")).over(w_out)
-                .cast("double"),
-                9,
-            ).alias("wn"),
+            F.expr(
+                "CAST((2 * w_int * 1000000000 + out_w)"
+                " DIV (2 * out_w) AS DECIMAL(10,0))"
+            ).alias("wn_nano"),
         )
     )
     # the damping update runs in EXACT DECIMAL: 0.85·(9dp) + 0.15 has
@@ -1007,38 +1015,39 @@ def textrank_sentences(
     dd = Decimal(str(damping)).quantize(Decimal("0.01"))
     one_minus = Decimal(1) - dd
     ranks = spine.select(
-        "doc", "sid", F.expr("CAST(1.0 AS DECIMAL(28,11))").alias("r")
+        "doc", "sid", F.expr("CAST(1.0 AS DECIMAL(15,9))").alias("r")
     )
     for _ in range(iters):
         contrib = (
             edges.join(
                 ranks.select(
-                    "doc", F.col("sid").alias("src"),
-                    F.col("r").cast("double").alias("rd"),
+                    "doc", F.col("sid").alias("src"), "r"
                 ),
                 ["doc", "src"],
             )
             .select(
                 "doc", F.col("dst").alias("sid"),
-                F.round(F.col("wn") * F.col("rd"), 9).alias("c"),
+                (F.col("wn_nano") * F.col("r")).alias("c"),
             )
             .groupBy("doc", "sid")
-            .agg(
-                F.sum(F.col("c").cast("decimal(28,9)")).alias("s")
-            )
+            .agg(F.sum("c").alias("s"))
         )
         ranks = spine.select("doc", "sid").join(
             contrib, ["doc", "sid"], "left"
         ).select(
             "doc", "sid",
-            (
-                F.expr(f"CAST({one_minus} AS DECIMAL(28,11))")
-                + F.expr(f"CAST({dd} AS DECIMAL(4,2))")
-                * F.coalesce(
-                    F.col("s").cast("decimal(28,9)"),
-                    F.expr("CAST(0 AS DECIMAL(28,9))"),
-                )
-            ).cast("decimal(28,11)").alias("r"),
+            F.round(
+                F.expr(f"CAST({one_minus} AS DECIMAL(28,20))")
+                + F.expr(f"CAST({dd} AS DECIMAL(3,2))")
+                * (
+                    F.coalesce(
+                        F.col("s").cast("decimal(21,9)"),
+                        F.expr("CAST(0 AS DECIMAL(21,9))"),
+                    )
+                    * F.expr("CAST(0.000000001 AS DECIMAL(9,9))")
+                ),
+                9,
+            ).cast("decimal(15,9)").alias("r"),
         )
     w_rank = Window.partitionBy("doc").orderBy(
         F.col("r").desc(), F.col("sid").asc()
