@@ -3803,6 +3803,26 @@ def q_link_density(spark, sf_dir):
     ).orderBy("url")
 
 
+def q_cocitation(spark, sf_dir):
+    """Co-citation related-domain pairs over the linked corpus
+    family: destination domains endorsed by the same (non-hub)
+    source domains, with in-link-set Jaccard. The oracle re-derives
+    the edge multiset from pure doc_id/source arithmetic — the
+    engine must extract/resolve/normalize the SAME edges from raw
+    HTML before the pair algebra can agree
+    (functions/links.cocitation_pairs)."""
+    from mindocr_spark.functions.links import (
+        cocitation_pairs,
+        extract_links,
+    )
+    from mindocr_spark.sources.pages import pages_from_documents_linked
+
+    pages = pages_from_documents_linked(spark, sf_dir)
+    return cocitation_pairs(
+        extract_links(pages), min_common=2, max_out_degree=1000
+    ).orderBy("a", "b")
+
+
 def q_link_graph(spark, sf_dir):
     """Web-graph layer: extract every <a href> from the linked corpus
     family's raw HTML (one codegen regexp_extract_all), resolve
@@ -6885,6 +6905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram_logppl": _q(q_lm_bigram_logppl),
         "lm_backoff_logscore": _q(q_lm_backoff_logscore),
         "link_graph": _q(q_link_graph),
+        "cocitation": _q(q_cocitation),
         "reciprocal_links": _q(q_reciprocal_links),
         "link_density": _q(q_link_density),
         "anchor_text": _q(q_anchor_text),
@@ -8531,6 +8552,36 @@ def oracle_sql() -> dict[str, str]:
             "TRUE" if _TOKEN_BUDGET_DEFAULT is None
             else f"cum_tokens <= {int(_TOKEN_BUDGET_DEFAULT)}"
         )),
+        # twin of links.cocitation_pairs over the linked-edge
+        # derivation: distinct (src,dst), hub-capped sources, bounded
+        # self-join, in-link-set Jaccard rounded half-away at 6
+        "cocitation": "WITH " + _LINKED_EDGE_CTES + """,
+            de AS (
+              SELECT DISTINCT src_dom AS k, dst_dom AS v FROM e
+              WHERE src_dom IS NOT NULL AND dst_dom IS NOT NULL),
+            deg AS (
+              SELECT k, CAST(count(*) AS BIGINT) AS kd
+              FROM de GROUP BY k),
+            kept AS (
+              SELECT de.k, de.v FROM de JOIN deg USING (k)
+              WHERE kd <= 1000),
+            sizes AS (
+              SELECT v, CAST(count(*) AS BIGINT) AS n_sets
+              FROM kept GROUP BY v),
+            common AS (
+              SELECT x.v AS a, y.v AS b,
+                     CAST(count(*) AS BIGINT) AS n_common
+              FROM kept x JOIN kept y
+                ON x.k = y.k AND x.v < y.v
+              GROUP BY x.v, y.v HAVING count(*) >= 2)
+            SELECT a, b, n_common, sa.n_sets AS n_a,
+                   sb.n_sets AS n_b,
+                   round(CAST(n_common AS DOUBLE)
+                         / CAST(sa.n_sets + sb.n_sets - n_common
+                                AS DOUBLE), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON a = sa.v JOIN sizes sb ON b = sb.v
+            ORDER BY a, b""",
         "link_graph": "WITH " + _LINKED_EDGE_CTES + r"""
             SELECT dst_dom AS dst_domain,
                    CAST(count(*) AS BIGINT) AS n_inlinks,

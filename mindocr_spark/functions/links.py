@@ -1419,3 +1419,104 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
             F.round(num / F.sqrt(vx * vy), 6) + F.lit(0.0),
         ).alias("r"),
     )
+
+
+def _shared_endorser_pairs(
+    edges: DataFrame,
+    key_col: str,
+    val_col: str,
+    min_common: int,
+    max_key_degree: int,
+) -> DataFrame:
+    """Shared core of co-citation and bibliographic coupling: pairs
+    of `val_col` entities sharing a `key_col` endorser. Distinct
+    (key, val) edges; keys with degree > max_key_degree are DROPPED
+    before the self-join (the hub guard: one 10^6-out-degree
+    directory page would otherwise contribute 10^12 pairs — the same
+    skew-key argument as :func:`strip_hubs`, and a hub's endorsement
+    carries no similarity signal anyway); in-key pair work is then
+    bounded at degree². Returns (a, b, n_common, n_a, n_b, jaccard)
+    with a < b, n_common ≥ min_common; set sizes count only
+    surviving (non-hub) endorsers so jaccard =
+    |A∩B| / (|A|+|B|−|A∩B|) is consistent; one IEEE division,
+    rounded half-away at 6 (the ngram_jaccard discipline)."""
+    from mindocr_spark.cache import tracked_persist
+
+    if min_common < 1 or max_key_degree < 2:
+        raise ValueError("min_common >= 1, max_key_degree >= 2")
+    e = edges.select(
+        F.col(key_col).alias("k"), F.col(val_col).alias("v")
+    ).where(
+        F.col(key_col).isNotNull() & F.col(val_col).isNotNull()
+    ).distinct()
+    deg = e.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("kd")
+    )
+    kept = tracked_persist(
+        e.join(deg.where(F.col("kd") <= max_key_degree), "k")
+        .select("k", "v")
+    )
+    sizes = kept.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sets")
+    )
+    common = (
+        kept.alias("x")
+        .join(
+            kept.alias("y"),
+            (F.col("x.k") == F.col("y.k"))
+            & (F.col("x.v") < F.col("y.v")),
+        )
+        .groupBy(
+            F.col("x.v").alias("a"), F.col("y.v").alias("b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+    sa = sizes.select(F.col("v").alias("a"), F.col("n_sets").alias("n_a"))
+    sb = sizes.select(F.col("v").alias("b"), F.col("n_sets").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    return (
+        common.join(sa, "a").join(sb, "b")
+        .select(
+            "a", "b", "n_common", "n_a", "n_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+def cocitation_pairs(
+    edges: DataFrame,
+    min_common: int = 2,
+    max_out_degree: int = 1000,
+) -> DataFrame:
+    """Co-citation similarity (Small 1973) over the domain graph:
+    pairs of DESTINATION domains endorsed by the same source domains
+    — 'related sites' by shared inbound endorsement, the link-era
+    related-pages signal. Returns (a, b, n_common, n_a, n_b,
+    jaccard) over in-link source sets, a < b. Sources with
+    out-degree > max_out_degree are excluded (hub guard; their
+    endorsement is indiscriminate). One distinct collapse, one
+    key-bounded self-join, one map-side-combinable pair count."""
+    return _shared_endorser_pairs(
+        edges, "src_domain", "dst_domain", min_common, max_out_degree
+    )
+
+
+def coupling_pairs(
+    edges: DataFrame,
+    min_common: int = 2,
+    max_in_degree: int = 1000,
+) -> DataFrame:
+    """Bibliographic coupling (Kessler 1963) over the domain graph:
+    pairs of SOURCE domains that link to the same destinations —
+    'same editorial orientation' by shared outbound references (the
+    dual of :func:`cocitation_pairs`; coupling is known at publish
+    time, co-citation accrues afterwards). Returns (a, b, n_common,
+    n_a, n_b, jaccard) over out-link destination sets, a < b.
+    Destinations with in-degree > max_in_degree are excluded (every
+    site links to docs.example — sharing it says nothing)."""
+    return _shared_endorser_pairs(
+        edges, "dst_domain", "src_domain", min_common, max_in_degree
+    )

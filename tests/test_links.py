@@ -695,3 +695,82 @@ class TestCommunityModularity:
         out = self._run(spark, pairs)
         assert sum(r["intra_edges"] for r in out.values()) == 6
         assert sum(r["degree_sum"] for r in out.values()) == 14
+
+
+class TestCocitationCoupling:
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "src_domain string, dst_domain string"
+        )
+
+    def test_cocitation_hand_computed(self, spark):
+        # s1,s2 both cite a and b; s3 cites a only
+        rows = [("s1", "a"), ("s1", "b"), ("s2", "a"), ("s2", "b"),
+                ("s3", "a")]
+        from mindocr_spark.functions.links import cocitation_pairs
+
+        out = cocitation_pairs(
+            self._edges(spark, rows), min_common=2
+        ).collect()
+        (r,) = out
+        assert (r["a"], r["b"]) == ("a", "b")
+        assert (r["n_common"], r["n_a"], r["n_b"]) == (2, 3, 2)
+        assert r["jaccard"] == round(2 / 3, 6)
+
+    def test_min_common_gate(self, spark):
+        rows = [("s1", "a"), ("s1", "b")]
+        from mindocr_spark.functions.links import cocitation_pairs
+
+        assert cocitation_pairs(
+            self._edges(spark, rows), min_common=2
+        ).count() == 0
+        assert cocitation_pairs(
+            self._edges(spark, rows), min_common=1
+        ).count() == 1
+
+    def test_hub_source_excluded_everywhere(self, spark):
+        # s_hub cites 5 domains (over cap 4): contributes no pairs
+        # AND is excluded from the set sizes
+        rows = [("hub", d) for d in "abcde"]
+        rows += [("s1", "a"), ("s1", "b"), ("s2", "a"), ("s2", "b")]
+        from mindocr_spark.functions.links import cocitation_pairs
+
+        out = cocitation_pairs(
+            self._edges(spark, rows), min_common=2, max_out_degree=4
+        ).collect()
+        (r,) = out
+        assert (r["a"], r["b"], r["n_common"]) == ("a", "b", 2)
+        assert (r["n_a"], r["n_b"]) == (2, 2)  # hub not counted
+        assert r["jaccard"] == 1.0
+
+    def test_multi_edges_collapse(self, spark):
+        # duplicate (src, dst) edges count once
+        rows = [("s1", "a")] * 3 + [("s1", "b"), ("s2", "a"),
+                ("s2", "b")]
+        from mindocr_spark.functions.links import cocitation_pairs
+
+        (r,) = cocitation_pairs(
+            self._edges(spark, rows), min_common=2
+        ).collect()
+        assert r["n_common"] == 2 and r["n_a"] == 2
+
+    def test_coupling_is_the_dual(self, spark):
+        rows = [("x", "d1"), ("x", "d2"), ("y", "d1"), ("y", "d2"),
+                ("z", "d1")]
+        from mindocr_spark.functions.links import coupling_pairs
+
+        (r,) = coupling_pairs(
+            self._edges(spark, rows), min_common=2
+        ).collect()
+        assert (r["a"], r["b"], r["n_common"]) == ("x", "y", 2)
+
+    def test_guards(self, spark):
+        import pytest as _pt
+
+        from mindocr_spark.functions.links import cocitation_pairs
+
+        df = self._edges(spark, [])
+        with _pt.raises(ValueError):
+            cocitation_pairs(df, min_common=0)
+        with _pt.raises(ValueError):
+            cocitation_pairs(df, max_out_degree=1)
