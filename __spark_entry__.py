@@ -4584,6 +4584,18 @@ def q_seasonal_anomaly(spark, sf_dir):
     )
 
 
+def q_session_paths(spark, sf_dir):
+    """Top navigation paths over the event stream: 30-minute
+    inactivity sessionization, each session's first 6 event types in
+    exact-microsecond order (event_id tie-break) form its path,
+    ranked by frequency (functions/traffic.session_paths)."""
+    from mindocr_spark.functions.traffic import session_paths
+
+    return session_paths(
+        _t(spark, sf_dir, "events"), gap_s=1800, max_len=6, top_k=25
+    ).orderBy("rank")
+
+
 def q_km_survival(spark, sf_dir):
     """Kaplan-Meier retention curve per event type over user activity
     lifetimes (last day − first day), right-censoring users whose
@@ -6951,6 +6963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symspell_correct": _q(q_symspell_correct),
         "bleu_eval": _q(q_bleu_eval),
         "funnel_conversion": _q(q_funnel_conversion),
+        "session_paths": _q(q_session_paths),
         "km_survival": _q(q_km_survival),
         "seasonal_anomaly": _q(q_seasonal_anomaly),
         "ab_test": _q(q_ab_test),
@@ -12095,6 +12108,58 @@ def oracle_sql() -> dict[str, str]:
                    x AS deseasonalized, med_ds, mad_ds,
                    (adev > 6.0 * mad_ds) AS is_anomaly
             FROM fin ORDER BY event_type, day_n""",
+        # twin of traffic.session_paths: microsecond sessionization
+        # (event_id tie-break), ordered list slice path, exact counts,
+        # share one rounded IEEE division
+        "session_paths": r"""
+            WITH ev AS (
+              SELECT user_id AS u, event_id AS eid,
+                     CAST(epoch_us(ts) AS BIGINT) AS t,
+                     event_type AS et
+              FROM events
+              WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                AND event_type IS NOT NULL),
+            lagd AS (
+              SELECT *, lag(t) OVER (PARTITION BY u
+                       ORDER BY t, eid) AS pt
+              FROM ev),
+            flag AS (
+              SELECT *, CASE WHEN pt IS NULL
+                              OR t - pt > 1800000000
+                         THEN 1 ELSE 0 END AS ns
+              FROM lagd),
+            sess AS (
+              SELECT *, CAST(SUM(ns) OVER (PARTITION BY u
+                       ORDER BY t, eid ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+              FROM flag),
+            paths AS (
+              SELECT u, sid,
+                     array_to_string(
+                       list_slice(list(et ORDER BY t, eid), 1, 6),
+                       '>') AS path
+              FROM sess GROUP BY u, sid),
+            counts AS (
+              SELECT path,
+                     CAST(count(*) AS BIGINT) AS n_sessions,
+                     CAST(count(DISTINCT u) AS BIGINT) AS n_users
+              FROM paths GROUP BY path),
+            tot AS (
+              SELECT CAST(sum(n_sessions) AS BIGINT)
+                       AS total_sessions
+              FROM counts),
+            ranked AS (
+              SELECT path,
+                     CAST(len(string_split(path, '>')) AS BIGINT)
+                       AS path_len,
+                     n_sessions, n_users,
+                     round(CAST(n_sessions AS DOUBLE)
+                           / CAST(total_sessions AS DOUBLE), 6)
+                       AS share,
+                     CAST(row_number() OVER (ORDER BY n_sessions
+                          DESC, path ASC) AS BIGINT) AS rank
+              FROM counts CROSS JOIN tot)
+            SELECT * FROM ranked WHERE rank <= 25 ORDER BY rank""",
         # twin of traffic.km_survival + the 5-day censor gap: grid
         # counts / at-risk reverse cumsum exact BIGINTs; ln(1-d/n)
         # 9dp-quantized → DECIMAL-summed → exp re-quantized; d=n

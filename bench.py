@@ -278,6 +278,7 @@ def main() -> None:
         "bm25_prf",             # RM3 pseudo-relevance-feedback 2-pass
         "llr_keywords",         # Dunning G2 distinctive vocabulary
         "cocitation",           # shared-endorser related-domain pairs
+        "session_paths",        # sessionized navigation-path mining
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

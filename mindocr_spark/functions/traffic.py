@@ -839,3 +839,112 @@ def seasonal_anomaly_stats(events: DataFrame, k: int = 6) -> DataFrame:
         (F.col("adev") > F.lit(float(k)) * F.col("mad_ds"))
         .alias("is_anomaly"),
     )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_s: int = 1800,
+    max_len: int = 8,
+    top_k: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top navigation paths: sessionize each user's event stream by
+    inactivity gap, read each session's first `max_len` event types
+    in time order as its PATH, and rank paths by frequency — the
+    'how do users actually move through the product' readout
+    (:func:`event_transitions` gives the memoryless first-order
+    view; this keeps whole trajectories).
+
+    Returns (path, path_len, n_sessions, n_users, share, rank),
+    rank ≤ top_k by (n_sessions desc, path asc). Exactness:
+    timestamps compare at exact MICROSECOND epoch integers with
+    `id_col` tie-break, so session boundaries, event order inside a
+    session, and therefore every path string are pure functions of
+    the input; counts exact BIGINTs; share one IEEE division
+    rounded half-away at 6.
+
+    100 TB shape: ONE Exchange on the user key carries the lag, the
+    boundary cumulative sum, and the ordered per-session collect
+    (bounded at max_len after the slice — a bot's 10^6-event session
+    still truncates to max_len types); path-grain counts are
+    map-side combinable; the total is an aggregate + broadcast cross
+    join, never an unpartitioned window."""
+    if gap_s < 1 or max_len < 1 or top_k < 1:
+        raise ValueError("gap_s/max_len/top_k must be >= 1")
+    anchor = "TIMESTAMP_NTZ'1970-01-01 00:00:00'"
+    ev_us = F.expr(
+        f"timestampdiff(MICROSECOND, {anchor}, {ts_col})"
+    ).cast("bigint")
+    ev = events.where(
+        F.col(ts_col).isNotNull()
+        & F.col(user_col).isNotNull()
+        & F.col(type_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("u"),
+        F.col(id_col).alias("eid"),
+        ev_us.alias("t"),
+        F.col(type_col).alias("et"),
+    )
+    w_seq = Window.partitionBy("u").orderBy("t", "eid")
+    flagged = ev.withColumn(
+        "ns",
+        F.when(
+            F.lag("t").over(w_seq).isNull()
+            | (F.col("t") - F.lag("t").over(w_seq)
+               > F.lit(int(gap_s) * 1_000_000)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    w_cum = (
+        Window.partitionBy("u")
+        .orderBy("t", "eid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.withColumn(
+        "sid", F.sum("ns").over(w_cum).cast("bigint")
+    )
+    paths = sess.groupBy("u", "sid").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("t", "eid", "et"))
+                    ),
+                    lambda s: s.getField("et"),
+                ),
+                1,
+                max_len,
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.countDistinct("u").cast("bigint").alias("n_users"),
+    )
+    tot = counts.groupBy().agg(
+        F.sum("n_sessions").cast("bigint").alias("total_sessions")
+    )
+    w_rank = Window.partitionBy().orderBy(
+        F.col("n_sessions").desc(), F.col("path").asc()
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "path",
+            (F.size(F.split("path", ">")))
+            .cast("bigint").alias("path_len"),
+            "n_sessions",
+            "n_users",
+            F.round(
+                F.col("n_sessions").cast("double")
+                / F.col("total_sessions").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .where(F.col("rank") <= top_k)
+    )

@@ -682,3 +682,71 @@ class TestSeasonalAnomaly:
         )
         with _pt.raises(ValueError):
             seasonal_anomaly_stats(df, k=0)
+
+
+class TestSessionPaths:
+    def _run(self, spark, rows, **kw):
+        """rows: (user, event_id, offset_s, event_type)."""
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        data = [
+            (u, e, base + dt.timedelta(seconds=s), t)
+            for (u, e, s, t) in rows
+        ]
+        from mindocr_spark.functions.traffic import session_paths
+
+        df = spark.createDataFrame(
+            data,
+            "user_id bigint, event_id bigint, ts timestamp_ntz,"
+            " event_type string",
+        )
+        return session_paths(df, **kw).collect()
+
+    def test_gap_splits_sessions(self, spark):
+        rows = [(1, 1, 0, "a"), (1, 2, 10, "b"),
+                (1, 3, 5000, "a"), (1, 4, 5010, "b")]
+        out = self._run(spark, rows, gap_s=1800)
+        (r,) = out
+        assert r["path"] == "a>b"
+        assert r["n_sessions"] == 2 and r["n_users"] == 1
+        assert r["share"] == 1.0 and r["path_len"] == 2
+
+    def test_order_within_session_by_time(self, spark):
+        rows = [(1, 1, 20, "c"), (1, 2, 0, "a"), (1, 3, 10, "b")]
+        (r,) = self._run(spark, rows)
+        assert r["path"] == "a>b>c"
+
+    def test_tie_breaks_by_event_id(self, spark):
+        rows = [(1, 2, 0, "y"), (1, 1, 0, "x")]
+        (r,) = self._run(spark, rows)
+        assert r["path"] == "x>y"
+
+    def test_truncation_at_max_len(self, spark):
+        rows = [(1, i, i, "e") for i in range(6)]
+        (r,) = self._run(spark, rows, max_len=3)
+        assert r["path"] == "e>e>e" and r["path_len"] == 3
+
+    def test_topk_rank_order(self, spark):
+        rows = [(u, u * 10, 0, "a") for u in range(3)]          # a ×3
+        rows += [(u, u * 10 + 1, 9000, "b") for u in range(2)]  # b ×2
+        out = self._run(spark, rows, top_k=1)
+        (r,) = out
+        assert r["path"] == "a" and r["rank"] == 1
+        assert r["n_sessions"] == 3 and r["n_users"] == 3
+        assert r["share"] == 0.6
+
+    def test_guards(self, spark):
+        import pytest as _pt
+
+        from mindocr_spark.functions.traffic import session_paths
+
+        df = spark.createDataFrame(
+            [],
+            "user_id bigint, event_id bigint, ts timestamp_ntz,"
+            " event_type string",
+        )
+        with _pt.raises(ValueError):
+            session_paths(df, gap_s=0)
+        with _pt.raises(ValueError):
+            session_paths(df, max_len=0)
