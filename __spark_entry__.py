@@ -5189,6 +5189,90 @@ def _crawl_depth_oracle(
     return "".join(parts)
 
 
+def q_bowtie_structure(spark, sf_dir):
+    """Broder bow-tie decomposition over the BOWTIE corpus family: a
+    shared 5-node core SCC (cycle + chords) with per-source IN / OUT /
+    tendril / tube / disconnected periphery, every edge drawn by
+    doc_id%23 slot arithmetic. Deterministic max-min-degree pivot, four
+    checkpointed frontier closures, per-domain class — the oracle
+    replays the same pivot rule and closures as recursive CTEs."""
+    from mindocr_spark.functions.links import bowtie_classes, extract_links
+    from mindocr_spark.sources.pages import pages_from_documents_bowtie
+
+    edges = extract_links(pages_from_documents_bowtie(spark, sf_dir))
+    return bowtie_classes(edges).orderBy("domain")
+
+
+def _bowtie_oracle() -> str:
+    """Twin of `links.bowtie_classes` over the bow-tie corpus family:
+    edges rebuilt from doc_id%23 slot arithmetic (no HTML parsing),
+    the same max-min-degree pivot rule, and each reachability closure
+    as a recursive CTE (DuckDB recursive CTEs only allow UNION between
+    branches — intersections/differences are IN / NOT IN rewrites)."""
+    from mindocr_spark.sources.pages import BOWTIE_SLOTS
+
+    vals = ", ".join(
+        f"({i}, '{s}', '{d}')" for i, (s, d) in enumerate(BOWTIE_SLOTS)
+    )
+    return f"""
+        WITH RECURSIVE
+        slots(r, src_l, dst_l) AS (VALUES {vals}),
+        e0 AS (
+          SELECT
+            CASE WHEN src_l LIKE 'c%'
+                 THEN 'core' || substr(src_l, 2) || '.example'
+                 ELSE d.source || '-' || src_l || '.example'
+            END AS src,
+            CASE WHEN dst_l LIKE 'c%'
+                 THEN 'core' || substr(dst_l, 2) || '.example'
+                 ELSE d.source || '-' || dst_l || '.example'
+            END AS dst
+          FROM documents d
+          JOIN slots s ON (d.doc_id % 23) = s.r),
+        g AS (SELECT DISTINCT src, dst FROM e0 WHERE src != dst),
+        nodes AS (
+          SELECT DISTINCT dom FROM (
+            SELECT src AS dom FROM g UNION ALL SELECT dst FROM g)),
+        deg AS (
+          SELECT n.dom,
+                 (SELECT count(*) FROM g WHERE g.src = n.dom) AS outd,
+                 (SELECT count(*) FROM g WHERE g.dst = n.dom) AS ind
+          FROM nodes n),
+        piv AS (
+          SELECT dom FROM deg
+          ORDER BY LEAST(ind, outd) DESC, dom ASC LIMIT 1),
+        fwd(dom) AS (
+          SELECT dom FROM piv
+          UNION SELECT g.dst FROM g JOIN fwd ON g.src = fwd.dom),
+        bwd(dom) AS (
+          SELECT dom FROM piv
+          UNION SELECT g.src FROM g JOIN bwd ON g.dst = bwd.dom),
+        scc AS (
+          SELECT dom FROM fwd WHERE dom IN (SELECT dom FROM bwd)),
+        inn AS (
+          SELECT dom FROM bwd
+          WHERE dom NOT IN (SELECT dom FROM scc)),
+        outt AS (
+          SELECT dom FROM fwd
+          WHERE dom NOT IN (SELECT dom FROM scc)),
+        rin(dom) AS (
+          SELECT dom FROM inn
+          UNION SELECT g.dst FROM g JOIN rin ON g.src = rin.dom),
+        rout(dom) AS (
+          SELECT dom FROM outt
+          UNION SELECT g.src FROM g JOIN rout ON g.dst = rout.dom)
+        SELECT n.dom AS domain,
+          CASE WHEN n.dom IN (SELECT dom FROM scc) THEN 'core'
+               WHEN n.dom IN (SELECT dom FROM inn) THEN 'in'
+               WHEN n.dom IN (SELECT dom FROM outt) THEN 'out'
+               WHEN n.dom IN (SELECT dom FROM rin)
+                    AND n.dom IN (SELECT dom FROM rout) THEN 'tube'
+               WHEN n.dom IN (SELECT dom FROM rin)
+                    OR n.dom IN (SELECT dom FROM rout) THEN 'tendril'
+               ELSE 'disconnected' END AS cls
+        FROM nodes n ORDER BY domain"""
+
+
 def q_hits_scores(spark, sf_dir):
     """HITS hubs/authorities over the extracted domain graph: 3
     alternating L1-normalized half-steps; every reduction is an exact
@@ -6985,6 +7069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": _q(q_retention_cohorts),
         "traffic_anomaly": _q(q_traffic_anomaly),
         "crawl_depth": _q(q_crawl_depth),
+        "bowtie_structure": _q(q_bowtie_structure),
         "concordance": _q(q_concordance),
         "blockword_filter": _q(q_blockword_filter),
         "license_detect": _q(q_license_detect),
@@ -8931,6 +9016,7 @@ def oracle_sql() -> dict[str, str]:
             FROM deg LEFT JOIN pern p ON p.dom = deg.dom
             ORDER BY domain""",
         "crawl_depth": _crawl_depth_oracle(),
+        "bowtie_structure": _bowtie_oracle(),
         "bpe_token_stats": r"""
             WITH u AS (
               SELECT doc_id,

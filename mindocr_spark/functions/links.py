@@ -1041,6 +1041,145 @@ def seed_bfs_depth(
     )
 
 
+def _reach_closure(
+    g: DataFrame,
+    seeds: DataFrame,
+    src: str,
+    dst: str,
+    max_iters: int = 40,
+) -> DataFrame:
+    """Forward-reachable closure of ``seeds`` over the simple edge
+    relation ``g`` (seeds included), run to fixpoint: each round is one
+    frontier-semijoin on the src key + distinct + anti-join against the
+    reached set, every level localCheckpoint-ed so the plan stays
+    constant-size per round (the `seed_bfs_depth` discipline). The
+    round count is bounded by the graph diameter — ~20 on the real web
+    (Broder et al. 2000) — with `max_iters` as the runaway backstop."""
+    reached = seeds.select("domain").distinct().localCheckpoint()
+    frontier = reached
+    for _ in range(max_iters):
+        nxt = (
+            g.join(frontier.select(F.col("domain").alias(src)), src)
+            .select(F.col(dst).alias("domain"))
+            .distinct()
+            .join(reached, "domain", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        reached = reached.union(nxt).distinct().localCheckpoint()
+        frontier = nxt
+    return reached
+
+
+def bowtie_classes(edges: DataFrame, max_iters: int = 40) -> DataFrame:
+    """Broder bow-tie decomposition of the directed domain graph — the
+    canonical macro-structure analysis of a web crawl (Broder et al.,
+    "Graph structure in the web", WWW 2000): every domain lands in one
+    of six classes relative to the giant strongly-connected core:
+
+    - ``core``  — the giant SCC;
+    - ``in``    — reaches the core, unreachable from it;
+    - ``out``   — reachable from the core, cannot return;
+    - ``tube``  — on an IN→OUT path that bypasses the core;
+    - ``tendril`` — hangs off IN or feeds OUT, touching neither core
+      nor the other side;
+    - ``disconnected`` — none of the above.
+
+    The core is located by a deterministic pivot rule instead of
+    Broder's random-sample pivots (which need many trials to be
+    confident): the node maximizing min(in-degree, out-degree), ties
+    broken by smallest name, is taken as the core representative — on
+    web-shaped graphs the max-min-degree node is inside the giant SCC.
+    Then SCC = forward(pivot) ∩ backward(pivot), IN = backward \\ SCC,
+    OUT = forward \\ SCC, and the tendril/tube split comes from two
+    more closures: reachable-from-IN and can-reach-OUT.
+
+    100 TB shape: the page-level edge multiset collapses ONCE to
+    distinct domain pairs (map-side combinable); degrees are two
+    groupBys at domain cardinality; each of the four closures is a
+    diameter-bounded loop of frontier-semijoins with constant-size
+    checkpointed plans. The one driver-side datum is the single pivot
+    row. At true web scale you would confirm the pivot with 2-3
+    alternates (re-run forward/backward from the runner-up and check
+    the SCC agrees) — the closure machinery is unchanged.
+
+    Reference analog: staged fan-out where each stage's frontier is the
+    previous stage's output (reference: deploy/py_infer/src/parallel/
+    module/common/collect_node.py:72-99), lifted to graph closures."""
+    from mindocr_spark.cache import tracked_persist
+
+    g = (
+        edges.where(F.col("src_domain") != F.col("dst_domain"))
+        .select("src_domain", "dst_domain")
+        .distinct()
+        .localCheckpoint()
+    )
+    spark = edges.sparkSession
+    nodes = tracked_persist(
+        g.select(F.col("src_domain").alias("domain"))
+        .union(g.select(F.col("dst_domain").alias("domain")))
+        .distinct()
+    )
+    outd = g.groupBy(F.col("src_domain").alias("domain")).agg(
+        F.count("*").alias("outd"))
+    ind = g.groupBy(F.col("dst_domain").alias("domain")).agg(
+        F.count("*").alias("ind"))
+    deg = (
+        nodes.join(outd, "domain", "left")
+        .join(ind, "domain", "left")
+        .select(
+            "domain",
+            F.least(
+                F.coalesce("ind", F.lit(0)),
+                F.coalesce("outd", F.lit(0)),
+            ).alias("min_deg"),
+        )
+    )
+    top = deg.orderBy(F.desc("min_deg"), F.asc("domain")).limit(1).collect()
+    if not top:  # empty graph
+        return spark.createDataFrame([], "domain string, cls string")
+    pivot = spark.createDataFrame([(top[0]["domain"],)], "domain string")
+
+    fwd = _reach_closure(g, pivot, "src_domain", "dst_domain", max_iters)
+    bwd = _reach_closure(g, pivot, "dst_domain", "src_domain", max_iters)
+    scc = fwd.join(bwd, "domain", "left_semi").localCheckpoint()
+    inn = bwd.join(scc, "domain", "left_anti").localCheckpoint()
+    outt = fwd.join(scc, "domain", "left_anti").localCheckpoint()
+    rin = _reach_closure(g, inn, "src_domain", "dst_domain", max_iters)
+    rout = _reach_closure(g, outt, "dst_domain", "src_domain", max_iters)
+
+    def flag(df: DataFrame, name: str) -> DataFrame:
+        return df.select("domain", F.lit(True).alias(name))
+
+    res = (
+        nodes.join(flag(scc, "f_core"), "domain", "left")
+        .join(flag(inn, "f_in"), "domain", "left")
+        .join(flag(outt, "f_out"), "domain", "left")
+        .join(flag(rin, "f_rin"), "domain", "left")
+        .join(flag(rout, "f_rout"), "domain", "left")
+    )
+    t = F.coalesce
+    return res.select(
+        "domain",
+        F.when(t(F.col("f_core"), F.lit(False)), "core")
+        .when(t(F.col("f_in"), F.lit(False)), "in")
+        .when(t(F.col("f_out"), F.lit(False)), "out")
+        .when(
+            t(F.col("f_rin"), F.lit(False))
+            & t(F.col("f_rout"), F.lit(False)),
+            "tube",
+        )
+        .when(
+            t(F.col("f_rin"), F.lit(False))
+            | t(F.col("f_rout"), F.lit(False)),
+            "tendril",
+        )
+        .otherwise("disconnected")
+        .alias("cls"),
+    )
+
+
 #: hreflang alternate-link pattern (double-quoted canonical attribute
 #: order, as the corpus writes it). Shared constant: the full tag is
 #: extracted in ONE regexp_extract_all pass (group 0) and the two

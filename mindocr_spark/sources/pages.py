@@ -335,6 +335,68 @@ def pages_from_documents_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Bow-tie corpus family edge slots: doc_id % 23 picks one directed
+#: edge per page (23 is coprime to the 20-way source ring, so every
+#: source covers every slot once ≥23 docs exist). Labels starting with
+#: ``c`` are the GLOBAL core (``core{k}.example`` — one giant SCC all
+#: sources share, the Broder bow-tie shape of the real web); all other
+#: labels are per-source periphery (``{source}-{label}.example``):
+#: i* = IN (reach the core, unreachable from it), o* = OUT, t*/u* =
+#: tendrils (hang off IN / feed OUT without touching the core),
+#: b0 = the IN→OUT tube, d0/d1 = a disconnected 2-cycle.
+BOWTIE_SLOTS = (
+    ("c0", "c1"), ("c1", "c2"), ("c2", "c3"), ("c3", "c4"),
+    ("c4", "c0"),
+    ("c0", "c2"), ("c1", "c3"), ("c2", "c4"), ("c3", "c0"),
+    ("c4", "c1"),
+    ("i0", "c0"), ("i1", "c1"), ("i2", "i0"),
+    ("c2", "o0"), ("c3", "o1"), ("o1", "o2"),
+    ("i0", "t0"), ("i1", "b0"), ("b0", "o0"),
+    ("u0", "o0"), ("d0", "d1"), ("d1", "d0"), ("t0", "t1"),
+)
+
+
+def _bowtie_domain(label: Column, source: Column) -> Column:
+    """Slot label → domain: core labels are global, periphery labels
+    are namespaced per source (the oracle mirrors this CASE)."""
+    return F.when(
+        label.startswith("c"),
+        F.concat(F.lit("core"), F.substring(label, 2, 8),
+                 F.lit(".example")),
+    ).otherwise(
+        F.concat(source, F.lit("-"), label, F.lit(".example"))
+    )
+
+
+def pages_from_documents_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bow-tie corpus family: each page contributes exactly one
+    directed edge of the Broder web bow-tie — a shared 5-node core SCC
+    (cycle + chords, so every core node has in- and out-degree ≥2 and
+    the deterministic pivot rule lands inside the core) with per-source
+    IN / OUT / tendril / tube / disconnected periphery, all drawn from
+    ``BOWTIE_SLOTS[doc_id % 23]``. Pure doc_id/source arithmetic in
+    JVM concat expressions, so the SQL oracle reproduces the full edge
+    relation from the untouched documents table without parsing HTML."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r = (F.pmod(F.col("doc_id"), F.lit(len(BOWTIE_SLOTS))) + 1).cast("int")
+    src_l = F.element_at(
+        F.array(*[F.lit(s) for s, _ in BOWTIE_SLOTS]), r)
+    dst_l = F.element_at(
+        F.array(*[F.lit(d) for _, d in BOWTIE_SLOTS]), r)
+    src_dom = _bowtie_domain(src_l, F.col("source"))
+    dst_dom = _bowtie_domain(dst_l, F.col("source"))
+    did = F.col("doc_id").cast("string")
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), src_dom, F.lit("/d/"), did)
+        .alias("url"),
+        F.concat(
+            F.lit('<html><body><p>Edge <a href="https://'),
+            dst_dom, F.lit("/d/"), did, F.lit('">ref</a>.</p></body></html>'),
+        ).cast("binary").alias("html"),
+    )
+
+
 #: Pinned anchor-text vocabulary for the anchored corpus family — the
 #: word an inbound link *calls* its target, drawn by doc_id arithmetic
 #: so the SQL oracle reproduces the full (domain, anchor) joint

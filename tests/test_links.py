@@ -774,3 +774,65 @@ class TestCocitationCoupling:
             cocitation_pairs(df, min_common=0)
         with _pt.raises(ValueError):
             cocitation_pairs(df, max_out_degree=1)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(s, d) for s, d in pairs],
+        "src_domain string, dst_domain string",
+    )
+
+
+def test_bowtie_classes_hand_graph(spark):
+    """Hand-built Broder bow-tie: 2-node core cycle (with a chord pair
+    to win the pivot rule), one IN, one OUT, a tendril off IN, a
+    tendril feeding OUT, the IN→OUT tube, and a disconnected pair."""
+    from mindocr_spark.functions.links import bowtie_classes
+
+    pairs = [
+        ("ca", "cb"), ("cb", "ca"),            # core 2-cycle
+        ("ca", "cb"),                          # dup edge (collapses)
+        ("in1", "ca"),                         # IN
+        ("cb", "out1"),                        # OUT
+        ("in1", "t1"),                         # tendril off IN
+        ("u1", "out1"),                        # tendril feeding OUT
+        ("in1", "tube1"), ("tube1", "out1"),   # the tube
+        ("d1", "d2"), ("d2", "d1"),            # disconnected 2-cycle
+    ]
+    got = {r["domain"]: r["cls"]
+           for r in bowtie_classes(_edges(spark, pairs)).collect()}
+    assert got == {
+        "ca": "core", "cb": "core",
+        "in1": "in", "out1": "out",
+        "t1": "tendril", "u1": "tendril", "tube1": "tube",
+        "d1": "disconnected", "d2": "disconnected",
+    }
+
+
+def test_bowtie_classes_empty_and_selfloop(spark):
+    from mindocr_spark.functions.links import bowtie_classes
+
+    empty = _edges(spark, [])
+    assert bowtie_classes(empty).count() == 0
+    only_self = _edges(spark, [("a.example", "a.example")])
+    assert bowtie_classes(only_self).count() == 0
+
+
+def test_bowtie_pivot_rule_prefers_max_min_degree(spark):
+    """The disconnected 2-cycle must NOT capture the pivot when a
+    denser SCC exists: core nodes have min-degree 2, the stray cycle
+    min-degree 1 — and on ties the lexicographically smallest name
+    wins (deterministic across engines)."""
+    from mindocr_spark.functions.links import bowtie_classes
+
+    pairs = [
+        # dense 3-cycle + reverse chords -> min degree 2
+        ("ka", "kb"), ("kb", "kc"), ("kc", "ka"),
+        ("kb", "ka"), ("kc", "kb"), ("ka", "kc"),
+        # stray 2-cycle, lexicographically EARLIER names
+        ("aa", "ab"), ("ab", "aa"),
+    ]
+    got = {r["domain"]: r["cls"]
+           for r in bowtie_classes(_edges(spark, pairs)).collect()}
+    assert got["ka"] == got["kb"] == got["kc"] == "core"
+    assert got["aa"] == got["ab"] == "disconnected"
