@@ -5189,6 +5189,78 @@ def _crawl_depth_oracle(
     return "".join(parts)
 
 
+def q_ddsketch_quantiles(spark, sf_dir):
+    """DDSketch mergeable relative-error quantiles (median / p90 / p99
+    of document length per language) with the exact-integer threshold
+    ladder — the sketch is the (lang, bucket) count table, quantiles
+    come off the cumulative sketch, and the exact order statistic rides
+    along as the checkable guarantee column."""
+    from mindocr_spark.functions.sketches import ddsketch_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return ddsketch_quantiles(docs, "lang", "n_chars").orderBy("lang", "q")
+
+
+def _ddsketch_oracle() -> str:
+    """Twin of `sketches.ddsketch_quantiles`: the same integer
+    threshold ladder inlined as VALUES, bucket = count of thresholds
+    ≤ value, exact rational ranks via integer division, and the same
+    bracketing-bucket selection — no libm anywhere."""
+    from mindocr_spark.functions.sketches import dd_thresholds
+
+    ts = dd_thresholds()
+    th_vals = ", ".join(f"({t})" for t in ts)
+    lo = [0] + ts[:-1]
+    hi = [t - 1 for t in ts]
+    tk_vals = ", ".join(
+        f"({k}, {lo[k]}, {hi[k]})" for k in range(len(ts))
+    )
+    return f"""
+        WITH th(t) AS (VALUES {th_vals}),
+        tk(k, lo, hi) AS (VALUES {tk_vals}),
+        qs(q_num, q_den) AS (VALUES (1, 2), (9, 10), (99, 100)),
+        b AS (
+          SELECT lang,
+                 (SELECT count(*) FROM th WHERE th.t <= d.n_chars)
+                   AS bucket
+          FROM documents d),
+        sk AS (
+          SELECT lang, bucket, count(*) AS cnt
+          FROM b GROUP BY lang, bucket),
+        cum AS (
+          SELECT lang, bucket,
+                 sum(cnt) OVER (PARTITION BY lang ORDER BY bucket)
+                   AS cum,
+                 sum(cnt) OVER (PARTITION BY lang) AS n
+          FROM sk),
+        rq AS (
+          SELECT g.lang, q.q_num, q.q_den,
+                 (q.q_num * g.n + q.q_den - 1) // q.q_den AS r
+          FROM (SELECT DISTINCT lang, n FROM cum) g CROSS JOIN qs q),
+        chosen AS (
+          SELECT rq.lang, rq.q_num, rq.q_den, rq.r,
+                 min(c.bucket) AS bucket
+          FROM rq JOIN cum c
+            ON c.lang = rq.lang AND c.cum >= rq.r
+          GROUP BY rq.lang, rq.q_num, rq.q_den, rq.r),
+        ordered AS (
+          SELECT lang, n_chars AS val,
+                 row_number() OVER (PARTITION BY lang ORDER BY n_chars)
+                   AS rn
+          FROM documents)
+        SELECT ch.lang AS lang,
+               CAST(ch.q_num AS DOUBLE) / ch.q_den AS q,
+               CAST(ch.bucket AS BIGINT) AS bucket,
+               CAST(tk.lo AS BIGINT) AS est_lo,
+               CAST(tk.hi AS BIGINT) AS est_hi,
+               CAST(o.val AS BIGINT) AS exact_val,
+               o.val BETWEEN tk.lo AND tk.hi AS in_bounds
+        FROM chosen ch
+        JOIN tk ON tk.k = ch.bucket
+        JOIN ordered o ON o.lang = ch.lang AND o.rn = ch.r
+        ORDER BY lang, q"""
+
+
 def q_bowtie_structure(spark, sf_dir):
     """Broder bow-tie decomposition over the BOWTIE corpus family: a
     shared 5-node core SCC (cycle + chords) with per-source IN / OUT /
@@ -7070,6 +7142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "traffic_anomaly": _q(q_traffic_anomaly),
         "crawl_depth": _q(q_crawl_depth),
         "bowtie_structure": _q(q_bowtie_structure),
+        "ddsketch_quantiles": _q(q_ddsketch_quantiles),
         "concordance": _q(q_concordance),
         "blockword_filter": _q(q_blockword_filter),
         "license_detect": _q(q_license_detect),
@@ -9017,6 +9090,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY domain""",
         "crawl_depth": _crawl_depth_oracle(),
         "bowtie_structure": _bowtie_oracle(),
+        "ddsketch_quantiles": _ddsketch_oracle(),
         "bpe_token_stats": r"""
             WITH u AS (
               SELECT doc_id,

@@ -167,3 +167,73 @@ class TestCmsCounts:
             cms_counts(df, "tok", ("x",), depth=0)
         with _pytest.raises(ValueError):
             cms_counts(df, "tok", ())
+
+
+class TestDDSketch:
+    def test_thresholds_exact_geometric_floor(self):
+        from mindocr_spark.functions.sketches import dd_thresholds
+
+        ts = dd_thresholds(max_value=1000)
+        assert ts[0] == 1
+        # strictly increasing, each step is max(+1, ·9//8)
+        for a, b in zip(ts, ts[1:]):
+            assert b == max(a + 1, a * 9 // 8)
+        assert ts[-1] > 1000
+
+    def test_known_quantiles_bracketed(self, spark):
+        from mindocr_spark.functions.sketches import ddsketch_quantiles
+
+        rows = [("g", v) for v in range(1, 101)]  # 1..100
+        df = spark.createDataFrame(rows, "grp string, v long")
+        got = {r["q"]: r for r in
+               ddsketch_quantiles(df, "grp", "v").collect()}
+        assert set(got) == {0.5, 0.9, 0.99}
+        assert got[0.5]["exact_val"] == 50   # ceil(0.5*100) = rank 50
+        assert got[0.9]["exact_val"] == 90
+        assert got[0.99]["exact_val"] == 99
+        for r in got.values():
+            assert r["in_bounds"]
+            assert r["est_lo"] <= r["exact_val"] <= r["est_hi"]
+            # relative-error guarantee: hi/lo ≤ γ = 9/8 (integer floor)
+            assert r["est_hi"] + 1 <= max(r["est_lo"] + 1,
+                                          r["est_lo"] * 9 // 8)
+
+    def test_sketch_is_mergeable(self, spark):
+        """The (grp, bucket) count table IS the sketch: building it on
+        two disjoint shards and summing counts equals building it on
+        the union — partial aggregation performs the merge."""
+        from pyspark.sql import functions as F
+
+        from mindocr_spark.functions.sketches import dd_thresholds
+
+        ts = dd_thresholds()
+        arr = F.array(*[F.lit(t) for t in ts])
+        bucket = F.size(F.filter(arr, lambda t: t <= F.col("v")))
+
+        def sketch(df):
+            return {
+                (r["grp"], r["b"]): r["c"]
+                for r in df.select("grp", bucket.alias("b"))
+                .groupBy("grp", "b").agg(F.count("*").alias("c"))
+                .collect()
+            }
+
+        rows = [("g", 7 * i % 997 + 1) for i in range(400)]
+        df = spark.createDataFrame(rows, "grp string, v long")
+        a, b2 = df.where(F.col("v") % 2 == 0), df.where(F.col("v") % 2 == 1)
+        sa, sb, whole = sketch(a), sketch(b2), sketch(df)
+        merged = dict(sa)
+        for k, v in sb.items():
+            merged[k] = merged.get(k, 0) + v
+        assert merged == whole
+
+    def test_exact_rational_rank_at_ieee_boundary(self, spark):
+        """n = 500, q = 9/10: IEEE 0.9*500 = 450.0000…01 would ceil to
+        451; the rational rank must be exactly 450."""
+        from mindocr_spark.functions.sketches import ddsketch_quantiles
+
+        rows = [("g", v) for v in range(1, 501)]
+        df = spark.createDataFrame(rows, "grp string, v long")
+        got = {r["q"]: r["exact_val"]
+               for r in ddsketch_quantiles(df, "grp", "v").collect()}
+        assert got[0.9] == 450
