@@ -5189,6 +5189,73 @@ def _crawl_depth_oracle(
     return "".join(parts)
 
 
+#: GSP support floor for the contract query — chosen to actually prune
+#: (≈ 2/5 of the sf0.01 user base), while the algorithm itself takes
+#: any floor ≥ 1.
+_GSP_MIN_SUPPORT = 60
+
+
+def q_gsp_patterns(spark, sf_dir):
+    """GSP frequent sequential patterns (length 2 + 3, non-contiguous,
+    user-grain support) over the events stream: rank-envelope support
+    semantics on the (ts, event_id) total order, antimonotone
+    candidate pruning, broadcast candidate verification."""
+    from mindocr_spark.functions.traffic import gsp_patterns
+
+    return gsp_patterns(
+        _t(spark, sf_dir, "events"), min_support=_GSP_MIN_SUPPORT
+    ).orderBy("k", "pattern")
+
+
+def _gsp_oracle(ms: int = _GSP_MIN_SUPPORT) -> str:
+    """Twin of `traffic.gsp_patterns`: same rank envelopes, same
+    witness rules (a▸b ⟺ min_r(a) < max_r(b); a▸b▸c ⟺ ∃ b-occurrence
+    strictly inside (min_r(a), max_r(c))), same three-way prune."""
+    return f"""
+        WITH ranked AS (
+          SELECT user_id, event_type,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS r
+          FROM events),
+        env AS (
+          SELECT user_id, event_type,
+                 min(r) AS min_r, max(r) AS max_r
+          FROM ranked GROUP BY user_id, event_type),
+        pairs AS (
+          SELECT a.event_type AS t1, b.event_type AS t2,
+                 count(DISTINCT a.user_id) AS support
+          FROM env a
+          JOIN env b ON a.user_id = b.user_id AND a.min_r < b.max_r
+          GROUP BY a.event_type, b.event_type
+          HAVING count(DISTINCT a.user_id) >= {ms}),
+        cand3 AS (
+          SELECT p1.t1 AS ca, p1.t2 AS cb, p2.t2 AS cc
+          FROM pairs p1 JOIN pairs p2 ON p1.t2 = p2.t1
+          WHERE EXISTS (SELECT 1 FROM pairs p3
+                        WHERE p3.t1 = p1.t1 AND p3.t2 = p2.t2)),
+        triples AS (
+          SELECT c.ca, c.cb, c.cc,
+                 count(DISTINCT m.user_id) AS support
+          FROM cand3 c
+          JOIN ranked m ON m.event_type = c.cb
+          JOIN env ea ON ea.user_id = m.user_id
+                     AND ea.event_type = c.ca
+          JOIN env ec ON ec.user_id = m.user_id
+                     AND ec.event_type = c.cc
+          WHERE m.r > ea.min_r AND m.r < ec.max_r
+          GROUP BY c.ca, c.cb, c.cc
+          HAVING count(DISTINCT m.user_id) >= {ms})
+        SELECT t1 || '>' || t2 AS pattern,
+               CAST(2 AS BIGINT) AS k,
+               CAST(support AS BIGINT) AS support
+        FROM pairs
+        UNION ALL
+        SELECT ca || '>' || cb || '>' || cc,
+               CAST(3 AS BIGINT), CAST(support AS BIGINT)
+        FROM triples
+        ORDER BY k, pattern"""
+
+
 def q_ddsketch_quantiles(spark, sf_dir):
     """DDSketch mergeable relative-error quantiles (median / p90 / p99
     of document length per language) with the exact-integer threshold
@@ -7143,6 +7210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_depth": _q(q_crawl_depth),
         "bowtie_structure": _q(q_bowtie_structure),
         "ddsketch_quantiles": _q(q_ddsketch_quantiles),
+        "gsp_patterns": _q(q_gsp_patterns),
         "concordance": _q(q_concordance),
         "blockword_filter": _q(q_blockword_filter),
         "license_detect": _q(q_license_detect),
@@ -9091,6 +9159,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_depth": _crawl_depth_oracle(),
         "bowtie_structure": _bowtie_oracle(),
         "ddsketch_quantiles": _ddsketch_oracle(),
+        "gsp_patterns": _gsp_oracle(),
         "bpe_token_stats": r"""
             WITH u AS (
               SELECT doc_id,

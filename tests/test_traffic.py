@@ -750,3 +750,75 @@ class TestSessionPaths:
             session_paths(df, gap_s=0)
         with _pt.raises(ValueError):
             session_paths(df, max_len=0)
+
+
+class TestGSPPatterns:
+    def _ev(self, spark, rows):
+        """rows: (user_id, event_id, offset_s, event_type)."""
+        base = dt.datetime(2024, 1, 1)
+        data = [(u, e, base + dt.timedelta(seconds=s), t)
+                for (u, e, s, t) in rows]
+        return spark.createDataFrame(
+            data,
+            "user_id bigint, event_id bigint, ts timestamp_ntz,"
+            " event_type string",
+        )
+
+    def _run(self, spark, rows, **kw):
+        from mindocr_spark.functions.traffic import gsp_patterns
+
+        out = gsp_patterns(self._ev(spark, rows), **kw).collect()
+        return {r["pattern"]: r["support"] for r in out}
+
+    def test_envelope_semantics_and_support_floor(self, spark):
+        rows = [
+            # u1: a b c  — supports a>b, b>c, a>c, a>b>c
+            (1, 1, 0, "a"), (1, 2, 10, "b"), (1, 3, 20, "c"),
+            # u2: c a b  — supports a>b, c>a, c>b, c>a>b; NOT a>b>c
+            (2, 4, 0, "c"), (2, 5, 10, "a"), (2, 6, 20, "b"),
+        ]
+        got = self._run(spark, rows, min_support=2)
+        assert got == {"a>b": 2}  # the only pattern both users share
+        got1 = self._run(spark, rows, min_support=1)
+        assert got1["a>b>c"] == 1 and got1["c>a>b"] == 1
+        assert "b>a" not in got1
+
+    def test_repeated_type_needs_two_occurrences(self, spark):
+        rows = [
+            (1, 1, 0, "a"), (1, 2, 5, "a"),   # a>a supported
+            (2, 3, 0, "a"),                    # single a: no a>a
+        ]
+        got = self._run(spark, rows, min_support=1)
+        assert got["a>a"] == 1
+        # triple a>a>a needs three occurrences
+        assert "a>a>a" not in got
+        rows3 = rows + [(1, 4, 9, "a")]
+        got3 = self._run(spark, rows3, min_support=1)
+        assert got3["a>a>a"] == 1
+
+    def test_ts_tie_broken_by_event_id(self, spark):
+        # same timestamp: event_id orders a before b for u1, b before a
+        # for u2 — supports differ accordingly (deterministic ordering)
+        rows = [
+            (1, 1, 0, "a"), (1, 2, 0, "b"),
+            (2, 9, 0, "a"), (2, 3, 0, "b"),
+        ]
+        got = self._run(spark, rows, min_support=1)
+        assert got == {"a>b": 1, "b>a": 1}
+
+    def test_nonwitness_middle_not_counted(self, spark):
+        # b exists but only BEFORE a and AFTER c's last: no a>b>c
+        rows = [
+            (1, 1, 0, "b"), (1, 2, 10, "a"),
+            (1, 3, 20, "c"), (1, 4, 30, "b"),
+        ]
+        got = self._run(spark, rows, min_support=1)
+        # a>b>c would need a b strictly inside (rank(a)=2, rank(c)=3)
+        assert "a>b>c" not in got
+        assert got["a>b"] == 1 and got["b>c"] == 1
+
+    def test_guard(self, spark):
+        from mindocr_spark.functions.traffic import gsp_patterns
+
+        with pytest.raises(ValueError):
+            gsp_patterns(self._ev(spark, []), min_support=0)
