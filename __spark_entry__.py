@@ -5189,6 +5189,60 @@ def _crawl_depth_oracle(
     return "".join(parts)
 
 
+def q_stream_session_windows(spark, sf_dir):
+    """Native STREAMING session windows run through the driver
+    contract: events replayed as a file stream (one file per
+    micro-batch), per-user `F.session_window` aggregation with a
+    30-minute gap, drained via availableNow into the memory sink and
+    returned as the batch result — proving Spark's session-window
+    state merging equals the batch lag/cumsum sessionization the
+    oracle computes. Complete output mode so the final open sessions
+    (still inside the watermark at end-of-input) are emitted too."""
+    import uuid
+
+    from mindocr_spark.streaming.windows import (
+        drain_to_memory,
+        read_events_stream,
+        session_windows_stream,
+    )
+
+    _ensure_worker_imports(spark)
+    # file streams need a DIRECTORY source; stage the single parquet
+    # file into a temp dir (the replay-from-landing-zone shape)
+    import shutil
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="stream_sess_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    stream = read_events_stream(spark, stage, max_files=1)
+    sessions = session_windows_stream(stream)
+    out = drain_to_memory(
+        sessions, f"sess_{uuid.uuid4().hex[:12]}", "complete"
+    )
+    return out.orderBy("user_id", "session_start")
+
+
+_STREAM_SESSION_ORACLE = """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts > lag(ts) OVER w + INTERVAL 1800 SECOND
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 1800 SECOND AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, session_start"""
+
+
 #: GSP support floor for the contract query — chosen to actually prune
 #: (≈ 2/5 of the sf0.01 user base), while the algorithm itself takes
 #: any floor ≥ 1.
@@ -7211,6 +7265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie_structure": _q(q_bowtie_structure),
         "ddsketch_quantiles": _q(q_ddsketch_quantiles),
         "gsp_patterns": _q(q_gsp_patterns),
+        "stream_session_windows": _q(q_stream_session_windows),
         "concordance": _q(q_concordance),
         "blockword_filter": _q(q_blockword_filter),
         "license_detect": _q(q_license_detect),
@@ -9160,6 +9215,7 @@ def oracle_sql() -> dict[str, str]:
         "bowtie_structure": _bowtie_oracle(),
         "ddsketch_quantiles": _ddsketch_oracle(),
         "gsp_patterns": _gsp_oracle(),
+        "stream_session_windows": _STREAM_SESSION_ORACLE,
         "bpe_token_stats": r"""
             WITH u AS (
               SELECT doc_id,

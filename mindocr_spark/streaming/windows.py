@@ -155,3 +155,53 @@ def run_stream_to_parquet(df: DataFrame, path: str, checkpoint: str,
         .start()
         .awaitTermination()
     )
+
+
+def session_windows_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Native streaming SESSION windows (`F.session_window`): per-user
+    sessions that merge any events whose [ts, ts+gap) windows overlap
+    — the dynamic-length counterpart of `windowed_counts_stream`'s
+    tumbling windows, and the streaming twin of the batch lag/cumsum
+    sessionize. A boundary event at exactly prev+gap DOES merge
+    (Spark treats the session extent as closed at the gap boundary —
+    verified by pytest, not assumed) — the batch oracle mirrors that
+    with ``diff > gap`` as the session break.
+
+    State is one open session per active user key, merged by Spark's
+    session-window state store; the watermark finalizes+evicts
+    sessions once event time passes session_end + watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+    )
+
+
+def drain_to_memory(
+    df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain a finite stream through the memory sink with an
+    availableNow trigger and hand back the materialized batch table —
+    the harness-facing bridge that lets a STREAMING operator answer a
+    batch oracle. Fixture-scale only by design (the memory sink
+    collects to the driver): production drains via
+    `run_stream_to_parquet`'s idempotent foreachBatch."""
+    (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return df.sparkSession.table(name)

@@ -162,3 +162,44 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     ids = sorted(r["event_id"] for r in rows)
     assert ids == [0, 1, 100]  # exactly-once: the replay vanished
+
+
+def test_session_windows_merge_across_micro_batches(spark, tmp_path):
+    """A session split across two files (one file per micro-batch) must
+    merge into ONE session via the session-window state store; a gap
+    > the 30-min session gap must split; a boundary event at exactly
+    prev+gap MERGES (Spark's session extent is closed at the gap
+    boundary — this test pins that semantic for the batch oracle)."""
+    from mindocr_spark.streaming.windows import (
+        drain_to_memory,
+        read_events_stream,
+        session_windows_stream,
+    )
+
+    src = str(tmp_path / "src")
+    # file 1: user 1 events at t=0 and t=600
+    _events(spark, [(0, 1, "click", 1), (600, 1, "view", 1)]
+            ).coalesce(1).write.mode("append").parquet(src)
+    # file 2: user 1 at t=1200 (merges: 600+1800 > 1200); at t=3001
+    # (> 1200+1800=3000 → new session); user 3 at t=0 and t=1800
+    # exactly → the closed-boundary MERGE case
+    _events(spark, [
+        (1200, 1, "click", 1), (3001, 1, "click", 1),
+        (0, 3, "view", 1), (1800, 3, "view", 1),
+    ], start_id=100).coalesce(1).write.mode("append").parquet(src)
+
+    out = drain_to_memory(
+        session_windows_stream(
+            read_events_stream(spark, src, max_files=1)),
+        "sess_merge_test", "complete",
+    ).collect()
+    by_user = {}
+    for r in sorted(out, key=lambda r: (r["user_id"], r["session_start"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    u1 = by_user[1]
+    assert [r["n_events"] for r in u1] == [3, 1]
+    assert u1[0]["session_start"] == T0
+    assert u1[0]["session_end"] == T0 + dt.timedelta(seconds=1200 + 1800)
+    u3 = by_user[3]
+    assert [r["n_events"] for r in u3] == [2]  # exact-gap boundary merges
+    assert u3[0]["session_end"] == T0 + dt.timedelta(seconds=1800 + 1800)
