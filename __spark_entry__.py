@@ -5189,6 +5189,104 @@ def _crawl_depth_oracle(
     return "".join(parts)
 
 
+def q_texttile_segments(spark, sf_dir):
+    """TextTiling valley-detection topic segmentation over 8
+    equal-character tiles per document (w=2 blocks): exact BIGINT
+    dot/norm evidence per gap, boundaries at strict local similarity
+    minima via pinned-association cross-multiplied comparisons."""
+    from mindocr_spark.functions.text import texttile_boundaries
+
+    docs = _t(spark, sf_dir, "documents")
+    return texttile_boundaries(docs, "text", "doc_id").orderBy(
+        "doc_id", "gap")
+
+
+_TEXTTILE_ORACLE = r"""
+    WITH t AS (
+      SELECT doc_id, text, length(text) // 8 AS q, length(text) AS n
+      FROM documents),
+    tiles AS (
+      SELECT doc_id AS doc, 0 AS tid, substr(text, 1, q) AS tile FROM t
+      UNION ALL SELECT doc_id, 1, substr(text, q + 1, q) FROM t
+      UNION ALL SELECT doc_id, 2, substr(text, 2*q + 1, q) FROM t
+      UNION ALL SELECT doc_id, 3, substr(text, 3*q + 1, q) FROM t
+      UNION ALL SELECT doc_id, 4, substr(text, 4*q + 1, q) FROM t
+      UNION ALL SELECT doc_id, 5, substr(text, 5*q + 1, q) FROM t
+      UNION ALL SELECT doc_id, 6, substr(text, 6*q + 1, q) FROM t
+      UNION ALL SELECT doc_id, 7, substr(text, 7*q + 1, n - 7*q)
+        FROM t),
+    tk AS (
+      SELECT doc, tid,
+             CASE WHEN trim(regexp_replace(tile,
+                    '[ \t\n\r\f\x0B]+', ' ', 'g')) = ''
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(trim(regexp_replace(tile,
+                    '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ')
+             END AS toks
+      FROM tiles),
+    tf AS (
+      SELECT doc, tid, unnest(toks) AS token FROM tk),
+    tfc AS (
+      SELECT doc, tid, token, count(*) AS tf
+      FROM tf GROUP BY doc, tid, token),
+    gsp AS (
+      SELECT d.doc_id AS doc, g.g
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      CROSS JOIN (SELECT unnest(generate_series(2, 6)) AS g) g),
+    tfa AS (
+      SELECT f.doc, s.g, f.token, sum(f.tf) AS tfa
+      FROM tfc f JOIN gsp s
+        ON s.doc = f.doc AND s.g - f.tid BETWEEN 1 AND 2
+      GROUP BY f.doc, s.g, f.token),
+    tfb AS (
+      SELECT f.doc, s.g, f.token, sum(f.tf) AS tfb
+      FROM tfc f JOIN gsp s
+        ON s.doc = f.doc AND f.tid - s.g BETWEEN 0 AND 1
+      GROUP BY f.doc, s.g, f.token),
+    dots AS (
+      SELECT a.doc, a.g, sum(a.tfa * b.tfb) AS dot
+      FROM tfa a JOIN tfb b
+        ON a.doc = b.doc AND a.g = b.g AND a.token = b.token
+      GROUP BY a.doc, a.g),
+    nna AS (
+      SELECT doc, g, sum(tfa * tfa) AS na FROM tfa GROUP BY doc, g),
+    nnb AS (
+      SELECT doc, g, sum(tfb * tfb) AS nb FROM tfb GROUP BY doc, g),
+    gaps AS (
+      SELECT s.doc, s.g,
+             coalesce(d.dot, 0) AS dot,
+             coalesce(a.na, 0) AS na,
+             coalesce(b.nb, 0) AS nb
+      FROM gsp s
+      LEFT JOIN dots d ON d.doc = s.doc AND d.g = s.g
+      LEFT JOIN nna a ON a.doc = s.doc AND a.g = s.g
+      LEFT JOIN nnb b ON b.doc = s.doc AND b.g = s.g),
+    lagged AS (
+      SELECT doc, g, dot, na, nb,
+             lag(dot) OVER w AS pd, lag(na) OVER w AS pa,
+             lag(nb) OVER w AS pb,
+             lead(dot) OVER w AS nd, lead(na) OVER w AS xa,
+             lead(nb) OVER w AS xb
+      FROM gaps WINDOW w AS (PARTITION BY doc ORDER BY g))
+    SELECT doc AS doc_id,
+           CAST(g AS BIGINT) AS gap,
+           CAST(dot AS BIGINT) AS dot,
+           CAST(na AS BIGINT) AS na,
+           CAST(nb AS BIGINT) AS nb,
+           pd IS NOT NULL AND nd IS NOT NULL
+           AND ((CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE))
+                * CAST(pa AS DOUBLE)) * CAST(pb AS DOUBLE)
+             < ((CAST(pd AS DOUBLE) * CAST(pd AS DOUBLE))
+                * CAST(na AS DOUBLE)) * CAST(nb AS DOUBLE)
+           AND ((CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE))
+                * CAST(xa AS DOUBLE)) * CAST(xb AS DOUBLE)
+             < ((CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE))
+                * CAST(na AS DOUBLE)) * CAST(nb AS DOUBLE)
+             AS is_boundary
+    FROM lagged
+    ORDER BY doc_id, gap"""
+
+
 def q_stream_session_windows(spark, sf_dir):
     """Native STREAMING session windows run through the driver
     contract: events replayed as a file stream (one file per
@@ -7266,6 +7364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_quantiles": _q(q_ddsketch_quantiles),
         "gsp_patterns": _q(q_gsp_patterns),
         "stream_session_windows": _q(q_stream_session_windows),
+        "texttile_segments": _q(q_texttile_segments),
         "concordance": _q(q_concordance),
         "blockword_filter": _q(q_blockword_filter),
         "license_detect": _q(q_license_detect),
@@ -9216,6 +9315,7 @@ def oracle_sql() -> dict[str, str]:
         "ddsketch_quantiles": _ddsketch_oracle(),
         "gsp_patterns": _gsp_oracle(),
         "stream_session_windows": _STREAM_SESSION_ORACLE,
+        "texttile_segments": _TEXTTILE_ORACLE,
         "bpe_token_stats": r"""
             WITH u AS (
               SELECT doc_id,

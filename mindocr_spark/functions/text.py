@@ -2885,3 +2885,144 @@ def bleu_corpus(
         bp.alias("brevity_penalty"),
         F.when(valid, bp * gm).otherwise(F.lit(0.0)).alias("bleu"),
     )
+
+
+def texttile_boundaries(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_tiles: int = 8,
+    w: int = 2,
+) -> DataFrame:
+    """TextTiling topic segmentation (Hearst, CL 1997), the
+    deterministic valley-detection variant: tile the document into
+    ``k_tiles`` equal character tiles (the textrank_summary oracle
+    discipline — fixed substr tiling keeps the cross-engine twin
+    tractable), build block term-frequency vectors of ``w`` tiles on
+    each side of every gap, and mark a gap as a topic BOUNDARY when
+    its block cosine similarity is a STRICT LOCAL MINIMUM — the core
+    of Hearst's depth-score rule without the corpus-level
+    mean−σ threshold (which would put engine stddev IEEE folds inside
+    a decision). The segmentation grain feeds RAG-style chunking:
+    split long pages at topic valleys instead of mid-argument.
+
+    Exactness: similarity NEVER materializes as a float. Each gap
+    carries exact BIGINT (dot, na, nb) — block dot product and
+    squared norms — and valley tests compare
+    dot_i²·na_j·nb_j vs dot_j²·na_i·nb_i. The products ride
+    pinned-association DOUBLE multiplies ((d·d)·na)·nb — IEEE
+    multiplication is correctly rounded, so both engines compute
+    bit-identical values even past 2^53 (document-scale blocks), and
+    the BIGINT evidence columns stay exact in the output.
+
+    100 TB shape: tiling + tokenization are row-local codegen; tf is
+    one groupBy at (doc, tile, token) grain; each token row fans out
+    to ≤ 2w gap-side pairs (a narrow explode, no window); dot/norms
+    are one aggregation at (doc, gap) grain; the valley test is ONE
+    lag/lead window per doc over ≤ k_tiles rows. No step's width
+    depends on document count — only on k_tiles.
+
+    Reference analog: region proposal → boundary refinement
+    (reference: mindocr/postprocess/det_db_postprocess.py — threshold
+    map valleys separate text regions); here the valley is lexical."""
+    if k_tiles < 2 * w + 1:
+        raise ValueError(f"need k_tiles ≥ {2 * w + 1}, got {k_tiles}")
+    n = F.length(text_col)
+    q = F.floor(n / k_tiles).cast("int")
+    tiles = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.array(*[
+                F.when(
+                    F.lit(i) < k_tiles - 1,
+                    F.substring(F.col(text_col), F.lit(1) + F.lit(i) * q,
+                                q),
+                ).otherwise(
+                    F.substring(F.col(text_col),
+                                F.lit(1) + F.lit(k_tiles - 1) * q,
+                                (n - (k_tiles - 1) * q).cast("int"))
+                )
+                for i in range(k_tiles)
+            ])
+        ).alias("tid", "tile"),
+    )
+    norm = F.trim(
+        F.regexp_replace("tile", r"[ \t\n\r\f\x0B]+", " "))
+    toks = tiles.select(
+        "doc", "tid",
+        F.explode(
+            F.when(norm == "", F.array().cast("array<string>"))
+            .otherwise(F.split(norm, " "))
+        ).alias("token"),
+    )
+    tf = toks.groupBy("doc", "tid", "token").agg(
+        F.count("*").alias("tf"))
+    # token at tile t feeds the A-block of gaps {t+1..t+w} and the
+    # B-block of gaps {t-w+1..t}, clipped to full-window gaps [w, k-w]
+    lo, hi = w, k_tiles - w
+    ga = tf.select(
+        "doc", "token", "tf",
+        F.explode(F.array(*[F.col("tid") + i
+                            for i in range(1, w + 1)])).alias("g"),
+    ).where((F.col("g") >= lo) & (F.col("g") <= hi))
+    gb = tf.select(
+        "doc", "token", "tf",
+        F.explode(F.array(*[F.col("tid") - i
+                            for i in range(0, w)])).alias("g"),
+    ).where((F.col("g") >= lo) & (F.col("g") <= hi))
+    tfa = ga.groupBy("doc", "g", "token").agg(F.sum("tf").alias("tfa"))
+    tfb = gb.groupBy("doc", "g", "token").agg(F.sum("tf").alias("tfb"))
+    dots = (
+        tfa.join(tfb, ["doc", "g", "token"])
+        .groupBy("doc", "g")
+        .agg(F.sum(F.col("tfa") * F.col("tfb")).alias("dot"))
+    )
+    na = tfa.groupBy("doc", "g").agg(
+        F.sum(F.col("tfa") * F.col("tfa")).alias("na"))
+    nb = tfb.groupBy("doc", "g").agg(
+        F.sum(F.col("tfb") * F.col("tfb")).alias("nb"))
+    spine = df.select(F.col(id_col).alias("doc")).distinct().crossJoin(
+        df.sparkSession.range(lo, hi + 1).select(
+            F.col("id").cast("int").alias("g"))
+    )
+    z = F.lit(0).cast("bigint")
+    gaps = (
+        spine.join(dots, ["doc", "g"], "left")
+        .join(na, ["doc", "g"], "left")
+        .join(nb, ["doc", "g"], "left")
+        .select(
+            "doc", "g",
+            F.coalesce("dot", z).alias("dot"),
+            F.coalesce("na", z).alias("na"),
+            F.coalesce("nb", z).alias("nb"),
+        )
+    )
+    wd = Window.partitionBy("doc").orderBy("g")
+
+    def dbl(c):
+        return F.col(c).cast("double")
+
+    def sim_lt(d1, a1, b1, d2, a2, b2):
+        """sim1 < sim2 via cross-multiplication, pinned association."""
+        return ((dbl(d1) * dbl(d1)) * dbl(a2)) * dbl(b2) < (
+            (dbl(d2) * dbl(d2)) * dbl(a1)) * dbl(b1)
+
+    out = (
+        gaps.withColumn("pd", F.lag("dot").over(wd))
+        .withColumn("pa", F.lag("na").over(wd))
+        .withColumn("pb", F.lag("nb").over(wd))
+        .withColumn("nd", F.lead("dot").over(wd))
+        .withColumn("xa", F.lead("na").over(wd))
+        .withColumn("xb", F.lead("nb").over(wd))
+    )
+    is_b = (
+        F.col("pd").isNotNull() & F.col("nd").isNotNull()
+        & sim_lt("dot", "na", "nb", "pd", "pa", "pb")
+        & sim_lt("dot", "na", "nb", "nd", "xa", "xb")
+    )
+    return out.select(
+        F.col("doc").alias(id_col),
+        F.col("g").cast("bigint").alias("gap"),
+        "dot", "na", "nb",
+        is_b.alias("is_boundary"),
+    )

@@ -1937,3 +1937,45 @@ class TestBleuCorpus:
             bleu_corpus(df, "ref", "hyp", max_n=0)
         with _pytest.raises(ValueError):
             bleu_corpus(df, "ref", "hyp", max_n=9)
+
+
+class TestTextTile:
+    def _run(self, spark, texts, **kw):
+        from mindocr_spark.functions.text import texttile_boundaries
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id bigint, text string",
+        )
+        return texttile_boundaries(df, **kw).collect()
+
+    def test_planted_topic_shift_is_the_valley(self, spark):
+        # 8 tiles of 8 chars: tiles 0..3 repeat "aa " vocab, tiles 4..7
+        # repeat "zz " — the only lexical valley is gap 4 (A-block
+        # {2,3} vs B-block {4,5} share NOTHING)
+        text = "aa aa a " * 4 + "zz zz z " * 4
+        rows = {r["gap"]: r for r in self._run(spark, [text])}
+        assert set(rows) == {2, 3, 4, 5, 6}
+        assert rows[4]["dot"] == 0 and rows[4]["is_boundary"]
+        for g in (2, 3, 5, 6):
+            assert not rows[g]["is_boundary"]
+        # evidence columns are exact: blocks of two "aa aa a " tiles
+        # have tf(aa)=4, tf(a)=2 -> na = 16 + 4 = 20
+        assert rows[2]["na"] == 20 and rows[2]["nb"] == 20
+        assert rows[2]["dot"] == 20
+
+    def test_uniform_doc_has_no_boundary(self, spark):
+        rows = self._run(spark, ["tok tok t " * 8])
+        assert not any(r["is_boundary"] for r in rows)
+
+    def test_empty_and_tiny_docs_dont_crash(self, spark):
+        rows = self._run(spark, ["", "ab", "one two three"])
+        # every doc still emits its 5 gap rows, all non-boundary
+        assert len(rows) == 15
+        assert not any(r["is_boundary"] for r in rows)
+
+    def test_guard(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            self._run(spark, ["x"], k_tiles=4, w=2)
