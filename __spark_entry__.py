@@ -5189,6 +5189,89 @@ def _crawl_depth_oracle(
     return "".join(parts)
 
 
+def q_extract_figures(spark, sf_dir):
+    """Image-text pair mining (LAION-style) over the figures corpus
+    family: <figure> img+figcaption pairs, inline img+alt pairs,
+    srcset largest-width selection, origin-resolved URLs, decorative
+    empty-alt images dropped."""
+    from mindocr_spark.functions.figures import extract_figures
+    from mindocr_spark.sources.pages import pages_from_documents_figures
+
+    pages = pages_from_documents_figures(spark, sf_dir)
+    return extract_figures(pages).orderBy("url", "kind")
+
+
+_FIGURES_BASE_CTES = """
+    d AS (
+      SELECT doc_id, text,
+             doc_id % 7 AS h, doc_id % 6 AS m6,
+             (doc_id + 1) % 6 AS m6b,
+             240 + (doc_id % 5) * 160 AS wv,
+             doc_id % 3 AS c3
+      FROM documents),
+    voc(i, v) AS (VALUES (0, 'diagram'), (1, 'chart'), (2, 'photo'),
+                         (3, 'map'), (4, 'screenshot'), (5, 'plot')),
+    base AS (
+      SELECT d.*,
+             'https://site' || h || '.example' AS org,
+             'https://site' || h || '.example/a/' || doc_id AS url,
+             va.v AS alt1, vb.v AS alt2
+      FROM d JOIN voc va ON va.i = d.m6
+             JOIN voc vb ON vb.i = d.m6b)"""
+
+
+_EXTRACT_FIGURES_ORACLE = f"""
+    WITH {_FIGURES_BASE_CTES}
+    SELECT url, 'figure' AS kind,
+           org || '/img/' || doc_id || '-' ||
+             CASE WHEN wv > 480 THEN CAST(wv AS VARCHAR)
+                  ELSE '480' END || '.jpg' AS img_url,
+           alt1 AS alt,
+           'Caption ' || alt1 || ' ' || doc_id AS caption
+    FROM base
+    UNION ALL
+    SELECT url, 'inline',
+           'https://cdn' || c3 || '.example/t/' || doc_id || '.png',
+           alt2, NULL
+    FROM base
+    ORDER BY url, kind"""
+
+
+def q_interleaved_media(spark, sf_dir):
+    """MMC4/OBELICS-style interleaved text+image sequences in document
+    order over the figures corpus family: paragraphs as raw text,
+    images as resolved best-source URLs, textless images dropped with
+    gap-free re-indexing."""
+    from mindocr_spark.functions.figures import interleaved_media
+    from mindocr_spark.sources.pages import pages_from_documents_figures
+
+    pages = pages_from_documents_figures(spark, sf_dir)
+    return interleaved_media(pages).orderBy("url", "seq_idx")
+
+
+_INTERLEAVED_ORACLE = f"""
+    WITH {_FIGURES_BASE_CTES}
+    SELECT url, CAST(0 AS BIGINT) AS seq_idx, 'text' AS kind,
+           substr(text, 1, length(text) // 2) AS content
+    FROM base
+    UNION ALL
+    SELECT url, 1, 'image',
+           org || '/img/' || doc_id || '-' ||
+             CASE WHEN wv > 480 THEN CAST(wv AS VARCHAR)
+                  ELSE '480' END || '.jpg'
+    FROM base
+    UNION ALL
+    SELECT url, 2, 'text',
+           substr(text, length(text) // 2 + 1,
+                  length(text) - length(text) // 2)
+    FROM base
+    UNION ALL
+    SELECT url, 3, 'image',
+           'https://cdn' || c3 || '.example/t/' || doc_id || '.png'
+    FROM base
+    ORDER BY url, seq_idx"""
+
+
 def q_texttile_segments(spark, sf_dir):
     """TextTiling valley-detection topic segmentation over 8
     equal-character tiles per document (w=2 blocks): exact BIGINT
@@ -7365,6 +7448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gsp_patterns": _q(q_gsp_patterns),
         "stream_session_windows": _q(q_stream_session_windows),
         "texttile_segments": _q(q_texttile_segments),
+        "extract_figures": _q(q_extract_figures),
+        "interleaved_media": _q(q_interleaved_media),
         "concordance": _q(q_concordance),
         "blockword_filter": _q(q_blockword_filter),
         "license_detect": _q(q_license_detect),
@@ -9316,6 +9401,8 @@ def oracle_sql() -> dict[str, str]:
         "gsp_patterns": _gsp_oracle(),
         "stream_session_windows": _STREAM_SESSION_ORACLE,
         "texttile_segments": _TEXTTILE_ORACLE,
+        "extract_figures": _EXTRACT_FIGURES_ORACLE,
+        "interleaved_media": _INTERLEAVED_ORACLE,
         "bpe_token_stats": r"""
             WITH u AS (
               SELECT doc_id,

@@ -397,6 +397,70 @@ def pages_from_documents_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Figure-caption vocabulary: the word drawn by doc_id arithmetic into
+#: alt text and captions so the SQL oracle reproduces every extracted
+#: image-text pair without parsing HTML.
+FIG_VOCAB = ("diagram", "chart", "photo", "map", "screenshot", "plot")
+
+
+def pages_from_documents_figures(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The figure/caption corpus family for image-text pair mining:
+    every page interleaves two text halves with (1) a ``<figure>``
+    block whose ``<img>`` carries a srcset (480w plus a variable
+    ``240+(doc_id%5)·160``w variant — sometimes smaller, sometimes
+    larger than 480, so largest-candidate selection is exercised both
+    ways), an alt, and a whitespace-padded ``<figcaption>``; (2) an
+    inline CDN ``<img>`` with alt only; (3) a decorative ``<img>``
+    with EMPTY alt (must be dropped by the pair miner). All attribute
+    values are doc_id/source arithmetic — the oracle rebuilds every
+    expected pair from the untouched documents table."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    host = F.concat(F.lit("site"), F.pmod(did, F.lit(7)).cast("string"),
+                    F.lit(".example"))
+    vocab = F.element_at(
+        F.array(*[F.lit(v) for v in FIG_VOCAB]),
+        (F.pmod(did, F.lit(6)) + 1).cast("int"))
+    vocab2 = F.element_at(
+        F.array(*[F.lit(v) for v in FIG_VOCAB]),
+        (F.pmod(did + 1, F.lit(6)) + 1).cast("int"))
+    w_var = (F.lit(240) + F.pmod(did, F.lit(5)) * 160).cast("string")
+    n = F.length("text")
+    q = F.floor(n / 2).cast("int")
+    t1 = F.substring(F.col("text"), F.lit(1), q)
+    t2 = F.substring(F.col("text"), q + 1, (n - q).cast("int"))
+    figure = F.concat(
+        F.lit('<figure><img src="/img/'), ds, F.lit('-full.jpg"'),
+        F.lit(' srcset="/img/'), ds, F.lit('-480.jpg 480w, /img/'),
+        ds, F.lit("-"), w_var, F.lit(".jpg "), w_var, F.lit('w"'),
+        F.lit(' alt="'), vocab, F.lit('">'),
+        F.lit("<figcaption>  Caption "), vocab, F.lit(" "), ds,
+        F.lit("  </figcaption></figure>"),
+    )
+    inline = F.concat(
+        F.lit('<img src="https://cdn'),
+        F.pmod(did, F.lit(3)).cast("string"),
+        F.lit(".example/t/"), ds, F.lit('.png" alt="'),
+        vocab2, F.lit('">'),
+    )
+    decor = F.concat(
+        F.lit('<img src="/decor/'), ds, F.lit('.gif" alt="">'))
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, F.lit("/a/"), ds).alias("url"),
+        F.concat(
+            F.lit("<html><body><p>"), t1, F.lit("</p>"),
+            figure,
+            F.lit("<p>"), t2, F.lit("</p>"),
+            inline, decor,
+            F.lit("</body></html>"),
+        ).cast("binary").alias("html"),
+    )
+
+
 #: Pinned anchor-text vocabulary for the anchored corpus family — the
 #: word an inbound link *calls* its target, drawn by doc_id arithmetic
 #: so the SQL oracle reproduces the full (domain, anchor) joint
