@@ -5189,6 +5189,46 @@ def _crawl_depth_oracle(
     return "".join(parts)
 
 
+def q_posting_stats(spark, sf_dir):
+    """Inverted-index storage accounting: per-term d-gap + VByte
+    posting-list sizes computed with exact integer arithmetic (first
+    entry absolute 1-based, gaps after; ⌈bitlen/7⌉ bytes via the
+    no-floating-log bin-length rule) vs the fixed 8-byte baseline."""
+    from mindocr_spark.functions.search import posting_gap_stats
+
+    return posting_gap_stats(_t(spark, sf_dir, "documents")).orderBy(
+        "term")
+
+
+_POSTING_STATS_ORACLE = r"""
+    WITH t AS (
+      SELECT doc_id,
+             trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g'))
+               AS norm
+      FROM documents),
+    p AS (
+      SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS term
+      FROM t WHERE norm <> ''),
+    g AS (
+      SELECT term,
+             coalesce(doc_id - lag(doc_id) OVER
+                        (PARTITION BY term ORDER BY doc_id),
+                      doc_id + 1) AS enc
+      FROM p),
+    vb AS (
+      SELECT term, enc, (length(bin(enc)) + 6) // 7 AS vbytes
+      FROM g)
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(vbytes) AS BIGINT) AS bytes_varint,
+           CAST(count(*) * 8 AS BIGINT) AS bytes_fixed,
+           CAST(max(enc) AS BIGINT) AS max_entry,
+           round(CAST(count(*) * 8 AS DOUBLE)
+                 / CAST(sum(vbytes) AS DOUBLE), 6) AS compression_x
+    FROM vb GROUP BY term
+    ORDER BY term"""
+
+
 def q_extract_figures(spark, sf_dir):
     """Image-text pair mining (LAION-style) over the figures corpus
     family: <figure> img+figcaption pairs, inline img+alt pairs,
@@ -7449,6 +7489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_windows": _q(q_stream_session_windows),
         "texttile_segments": _q(q_texttile_segments),
         "extract_figures": _q(q_extract_figures),
+        "posting_stats": _q(q_posting_stats),
         "interleaved_media": _q(q_interleaved_media),
         "concordance": _q(q_concordance),
         "blockword_filter": _q(q_blockword_filter),
@@ -9402,6 +9443,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_session_windows": _STREAM_SESSION_ORACLE,
         "texttile_segments": _TEXTTILE_ORACLE,
         "extract_figures": _EXTRACT_FIGURES_ORACLE,
+        "posting_stats": _POSTING_STATS_ORACLE,
         "interleaved_media": _INTERLEAVED_ORACLE,
         "bpe_token_stats": r"""
             WITH u AS (

@@ -698,3 +698,39 @@ class TestBm25Prf:
             bm25_prf_topk(docs, {1: ["a"]}, fb_docs=0)
         with _pt.raises(ValueError):
             bm25_prf_topk(docs, {1: ["a"]}, orig_weight=1.5)
+
+
+class TestPostingGapStats:
+    def _run(self, spark, rows):
+        from mindocr_spark.functions.search import posting_gap_stats
+
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        return {r["term"]: r for r in posting_gap_stats(df).collect()}
+
+    def test_dgap_encoding_golden(self, spark):
+        # "w" appears in docs 0, 2, 3 -> encoded [1, 2, 1]; all 1-byte
+        got = self._run(spark, [
+            (0, "w"), (1, "x"), (2, "w"), (3, "w x"),
+        ])
+        w = got["w"]
+        assert w["df"] == 3
+        assert w["bytes_varint"] == 3
+        assert w["bytes_fixed"] == 24
+        assert w["max_entry"] == 2
+        assert w["compression_x"] == 8.0
+        # "x" in docs 1, 3 -> encoded [2, 2]
+        assert got["x"]["bytes_varint"] == 2 and got["x"]["df"] == 2
+
+    def test_varint_boundary_at_128(self, spark):
+        # single-posting lists: enc = doc_id + 1; 127 fits 7 bits
+        # (1 byte), 128 needs 8 bits (2 bytes)
+        got = self._run(spark, [(126, "a"), (127, "b"), (16382, "c"),
+                                (16383, "d")])
+        assert got["a"]["bytes_varint"] == 1   # enc 127 = 2^7 - 1
+        assert got["b"]["bytes_varint"] == 2   # enc 128 = 2^7
+        assert got["c"]["bytes_varint"] == 2   # enc 16383 = 2^14 - 1
+        assert got["d"]["bytes_varint"] == 3   # enc 16384 = 2^14
+
+    def test_duplicate_tokens_one_posting(self, spark):
+        got = self._run(spark, [(0, "t t t")])
+        assert got["t"]["df"] == 1 and got["t"]["bytes_varint"] == 1
