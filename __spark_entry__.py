@@ -5189,6 +5189,60 @@ def _crawl_depth_oracle(
     return "".join(parts)
 
 
+def q_stream_static_join(spark, sf_dir):
+    """Stream-static enrichment join (§2.11): the events file stream
+    joins the STATIC customer dimension on user_id = c_custkey inside
+    the micro-batch plan (the broadcast-dimension pattern — the static
+    side is planned per batch, not snapshotted into state), then a
+    per-(mktsegment, event_type) streaming aggregation; availableNow
+    drain in complete mode, batch-join oracle."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from mindocr_spark.streaming.windows import (
+        drain_to_memory,
+        read_events_stream,
+    )
+
+    _ensure_worker_imports(spark)
+    stage = tempfile.mkdtemp(prefix="stream_join_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    stream = read_events_stream(spark, stage, max_files=1)
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream.join(F.broadcast(cust), "user_id")
+    # streaming aggs forbid count_distinct — count + an exact DECIMAL
+    # sum of 9dp-quantized values (the order-independent sum idiom)
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.round(F.col("value"), 9).cast("decimal(28,9)")
+        ).alias("sum_value"),
+    )
+    out = drain_to_memory(
+        agg, f"sj_{uuid.uuid4().hex[:12]}", "complete"
+    )
+    return out.select(
+        "c_mktsegment", "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        # exact DECIMAL accumulation, one final lowering to DOUBLE
+        # (both engines lower the same decimal to the same double)
+        F.col("sum_value").cast("double").alias("sum_value"),
+    ).orderBy("c_mktsegment", "event_type")
+
+
+_STREAM_STATIC_JOIN_ORACLE = """
+    SELECT c.c_mktsegment, e.event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(round(CAST(e.value AS DOUBLE), 9)
+                    AS DECIMAL(28,9))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+    ORDER BY c.c_mktsegment, e.event_type"""
+
+
 def q_posting_stats(spark, sf_dir):
     """Inverted-index storage accounting: per-term d-gap + VByte
     posting-list sizes computed with exact integer arithmetic (first
@@ -7490,6 +7544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "texttile_segments": _q(q_texttile_segments),
         "extract_figures": _q(q_extract_figures),
         "posting_stats": _q(q_posting_stats),
+        "stream_static_join": _q(q_stream_static_join),
         "interleaved_media": _q(q_interleaved_media),
         "concordance": _q(q_concordance),
         "blockword_filter": _q(q_blockword_filter),
@@ -9444,6 +9499,7 @@ def oracle_sql() -> dict[str, str]:
         "texttile_segments": _TEXTTILE_ORACLE,
         "extract_figures": _EXTRACT_FIGURES_ORACLE,
         "posting_stats": _POSTING_STATS_ORACLE,
+        "stream_static_join": _STREAM_STATIC_JOIN_ORACLE,
         "interleaved_media": _INTERLEAVED_ORACLE,
         "bpe_token_stats": r"""
             WITH u AS (
