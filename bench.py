@@ -279,6 +279,16 @@ def main() -> None:
         "llr_keywords",         # Dunning G2 distinctive vocabulary
         "cocitation",           # shared-endorser related-domain pairs
         "session_paths",        # sessionized navigation-path mining
+        # round-3 session-O additions (appended for the same reason)
+        "bowtie_structure",     # Broder bow-tie web macro-structure
+        "ddsketch_quantiles",   # mergeable relative-error quantiles
+        "gsp_patterns",         # frequent sequential patterns
+        "texttile_segments",    # TextTiling topic valleys
+        "extract_figures",      # LAION-style image-text pair mining
+        "interleaved_media",    # MMC4-style interleaved export
+        "posting_stats",        # d-gap VByte index sizing
+        "stream_session_windows",  # native streaming session windows
+        "stream_static_join",   # stream-static broadcast enrichment
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

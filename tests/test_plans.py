@@ -220,3 +220,61 @@ def test_no_per_row_python_across_entire_query_suite(spark):
         if "BatchEvalPython" in plan:
             offenders[name] = True
     assert not offenders, f"per-row Python UDFs in: {sorted(offenders)}"
+
+
+def test_extract_figures_is_narrow(spark, tmp_path):
+    """Image-text pair mining is regex scans + explodes — zero
+    Exchange (the extract_links discipline)."""
+    from mindocr_spark.functions.figures import extract_figures
+    from pyspark.sql import functions as F
+
+    pages = spark.createDataFrame(
+        [("https://h.example/", '<img src="/a.jpg" alt="x">')],
+        "url string, html string",
+    ).withColumn("html", F.col("html").cast("binary"))
+    assert "Exchange" not in _plan(extract_figures(pages))
+
+
+def test_interleaved_media_single_shuffle(spark):
+    """Interleaved export pays exactly ONE Exchange — the per-url
+    window that re-indexes after the textless-image filter."""
+    from mindocr_spark.functions.figures import interleaved_media
+    from pyspark.sql import functions as F
+
+    pages = spark.createDataFrame(
+        [("https://h.example/", "<p>t</p>")],
+        "url string, html string",
+    ).withColumn("html", F.col("html").cast("binary"))
+    import re
+
+    plan = _plan(interleaved_media(pages))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_gsp_candidate_join_broadcasts(spark):
+    """The L3 verification joins raw mid-events against the BROADCAST
+    candidate list — never a shuffled join on the tiny side."""
+    import datetime as dt
+
+    from mindocr_spark.functions.traffic import gsp_patterns
+
+    ev = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1), "a"),
+         (1, 2, dt.datetime(2024, 1, 1, 0, 10), "b")],
+        "user_id bigint, event_id bigint, ts timestamp_ntz,"
+        " event_type string",
+    )
+    assert "Broadcast" in _plan(gsp_patterns(ev, min_support=1))
+
+
+def test_ddsketch_bucket_assignment_has_no_join(spark):
+    """Bucket assignment is an inlined array filter — the only joins
+    in the plan are the broadcast quantile spine and the verification
+    order statistic; no shuffled join materializes the ladder."""
+    from mindocr_spark.functions.sketches import ddsketch_quantiles
+
+    df = spark.createDataFrame(
+        [("g", v) for v in range(1, 50)], "grp string, v long")
+    plan = _plan(ddsketch_quantiles(df, "grp", "v"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # tiny quantile spine
