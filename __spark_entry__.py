@@ -7256,6 +7256,45 @@ def q_multimodal_png(spark, sf_dir):
     )
 
 
+def q_multimodal_jpeg(spark, sf_dir):
+    """The ENTROPY-CODED real-codec path: deterministic baseline JPEG
+    payloads (genuine DCT → quantize → canonical-Huffman bitstream
+    with byte stuffing) decoded by multimodal._decode_jpeg — segment
+    walk, in-file DQT/DHT reconstruction, bit-level entropy decode,
+    dequant + inverse zigzag + IDCT. The corpus is constant even-valued
+    8×8 tiles (DC-only blocks, exact through the DC-16 quantizer), so
+    the decoded mean is oracle-checked from the tile formula: Spark's
+    value can only match through a working decode chain."""
+    from mindocr_spark.multimodal import (
+        extract_media_features,
+        real_decode,
+        synth_real_jpeg_table,
+    )
+
+    media = synth_real_jpeg_table(spark, n=64)
+    return (
+        extract_media_features(media, decode=real_decode)
+        .select("id", "kind", "mean_intensity", "failed")
+        .orderBy("id")
+    )
+
+
+_MULTIMODAL_JPEG_ORACLE = """
+    WITH ids AS (SELECT range AS id FROM range(64)),
+    img AS (SELECT id, id % 3 + 1 AS tps FROM ids),
+    tiles AS (
+      SELECT i.id, ty.range AS ty, tx.range AS tx
+      FROM img i, range(3) ty, range(3) tx
+      WHERE ty.range < i.tps AND tx.range < i.tps),
+    imean AS (
+      SELECT id,
+             round_even(avg(CAST(((id*11 + ty*23 + tx*37) % 128) * 2
+                            AS DOUBLE)), 6) AS mean_intensity
+      FROM tiles GROUP BY id)
+    SELECT id, 'image' AS kind, mean_intensity, false AS failed
+    FROM imean ORDER BY id"""
+
+
 def q_image_phash_pairs(spark, sf_dir):
     """Perceptual-hash near-dup IMAGE pairs over REAL BMP payloads:
     decode → exact channel-mean grayscale → 8×8 mean-pool → aHash as
@@ -7591,6 +7630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q(q_multimodal_features),
         "multimodal_real_codec": _q(q_multimodal_real_codec),
         "multimodal_png": _q(q_multimodal_png),
+        "multimodal_jpeg": _q(q_multimodal_jpeg),
         "multimodal_video": _q(q_multimodal_video),
         "image_phash_pairs": _q(q_image_phash_pairs),
         "audio_fp_pairs": _q(q_audio_fp_pairs),
@@ -15213,6 +15253,7 @@ def oracle_sql() -> dict[str, str]:
         # compressed PNG codec path: the mean is only reachable via a
         # working inflate + five-filter reconstruction — the formula
         # below is the PIXEL source, not the byte stream
+        "multimodal_jpeg": _MULTIMODAL_JPEG_ORACLE,
         "multimodal_png": """
             WITH ids AS (SELECT range AS id FROM range(64)),
             img AS (SELECT id, id % 5 + 3 AS side FROM ids),

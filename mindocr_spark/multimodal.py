@@ -343,6 +343,304 @@ def _decode_avi(data: bytes) -> np.ndarray:
     return out
 
 
+def _jpeg_zigzag() -> np.ndarray:
+    """The spec zigzag permutation, GENERATED rather than transcribed
+    (ITU-T T.81 Figure A.6): anti-diagonal s walks with u increasing on
+    odd diagonals — (0,0),(0,1),(1,0),(2,0),(1,1),(0,2),…"""
+    idx = []
+    for s in range(15):
+        rng = range(max(0, s - 7), min(s, 7) + 1)
+        for u in (rng if s % 2 else reversed(rng)):
+            idx.append(u * 8 + (s - u))
+    return np.array(idx)
+
+
+_JZZ = _jpeg_zigzag()
+
+#: Orthonormal 8-point DCT-II basis: A[u,x] = c(u)/2·cos((2x+1)uπ/16);
+#: forward F = A·f·Aᵀ, inverse f = Aᵀ·F·A. A constant block has ONLY a
+#: DC coefficient (= 8·value), which is what makes the exact-roundtrip
+#: corpus below possible.
+_JA = np.array([
+    [
+        (np.sqrt(0.5) if u == 0 else 1.0) / 2.0
+        * np.cos((2 * x + 1) * u * np.pi / 16.0)
+        for x in range(8)
+    ]
+    for u in range(8)
+])
+
+#: Luma quantization table (natural order): DC step 16 — 8·v' for even
+#: v' is a multiple of 16, so constant even-valued blocks survive
+#: quantization EXACTLY — with a mild JPEG-like AC ramp.
+_JQ = (16 + 2 * (np.arange(64).reshape(8, 8) // 8
+                 + np.arange(64).reshape(8, 8) % 8)).astype(np.int64)
+_JQ[0, 0] = 16
+
+#: Huffman tables, canonical and deliberately SIMPLE (the tables live
+#: in the file's DHT segments — any valid prefix code is spec-legal, so
+#: nothing depends on transcribing Annex K): DC categories 0..11 as
+#: twelve 4-bit codes; all 162 AC symbols as 8-bit codes.
+_JDC_BITS = [0, 0, 0, 12] + [0] * 12
+_JDC_VALS = list(range(12))
+_JAC_BITS = [0] * 7 + [162] + [0] * 8
+_JAC_VALS = (
+    [0x00]
+    + [r * 16 + s for r in range(16) for s in range(1, 11)]
+    + [0xF0]
+)
+_JAC_VALS.sort()
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict:
+    """(BITS, HUFFVAL) → {symbol: (code, length)} per T.81 Annex C."""
+    out, code = {}, 0
+    i = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[i]] = (code, ln)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:       # entropy-data byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+        return bytes(self.out)
+
+
+def _jmag(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value → (category, appended bits)."""
+    s = int(abs(v)).bit_length()
+    return (s, v if v >= 0 else v + (1 << s) - 1)
+
+
+def encode_jpeg(pixels: np.ndarray) -> bytes:
+    """(h, w) uint8 GRAYSCALE → baseline sequential JFIF bytes
+    (SOF0, one component, our canonical Huffman tables in DHT, the
+    `_JQ` quant table in DQT). Edge-replicated to 8-multiples; the
+    decoder crops back via the SOF dimensions. Independent twin of
+    `_decode_jpeg` — round-tripping REAL entropy-coded bytes is the
+    codec test, and constant even-valued 8×8 tiles round-trip
+    EXACTLY (DC-only blocks, DC step 16)."""
+    import struct
+
+    h, w = pixels.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    img = np.pad(pixels.astype(np.float64) - 128.0,
+                 ((0, ph - h), (0, pw - w)), mode="edge")
+    dc_codes = _canonical_codes(_JDC_BITS, _JDC_VALS)
+    ac_codes = _canonical_codes(_JAC_BITS, _JAC_VALS)
+    bw = _BitWriter()
+    pred = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            f = img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+            coef = np.rint((_JA @ f @ _JA.T) / _JQ).astype(np.int64)
+            zz = coef.ravel()[_JZZ]
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            s, extra = _jmag(diff)
+            bw.put(*dc_codes[s])
+            if s:
+                bw.put(extra, s)
+            run = 0
+            nz = np.nonzero(zz[1:])[0]
+            last = nz[-1] + 1 if nz.size else 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bw.put(*ac_codes[0xF0])     # ZRL
+                    run -= 16
+                s, extra = _jmag(v)
+                bw.put(*ac_codes[run * 16 + s])
+                bw.put(extra, s)
+                run = 0
+            if last < 63:
+                bw.put(*ac_codes[0x00])         # EOB
+    entropy = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, b"\x00" + bytes(
+        int(v) for v in _JQ.ravel()[_JZZ]))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, ph, pw, 1)
+              + struct.pack(">BBB", 1, 0x11, 0))
+    # SOF records the PADDED dims; the true crop rides in a COM segment
+    com = seg(0xFFFE, struct.pack(">HH", h, w))
+    dht = (seg(0xFFC4, b"\x00" + bytes(_JDC_BITS)
+               + bytes(_JDC_VALS))
+           + seg(0xFFC4, b"\x10" + bytes(_JAC_BITS)
+                 + bytes(_JAC_VALS)))
+    sos = seg(0xFFDA, b"\x01" + struct.pack(">BB", 1, 0x00)
+              + b"\x00\x3f\x00")
+    return (b"\xff\xd8" + com + dqt + sof + dht + sos
+            + entropy + b"\xff\xd9")
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if not self.n:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy data exhausted")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if (self.pos >= len(self.data)
+                        or self.data[self.pos] != 0x00):
+                    raise ValueError("unexpected marker in entropy data")
+                self.pos += 1      # drop the stuffed 0x00
+            self.acc, self.n = b, 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(br: _BitReader, table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.bit()
+        ln += 1
+        sym = table.get((code, ln))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline sequential grayscale JPEG decoder (the subset
+    `encode_jpeg` emits, validated not assumed): segment walk, DQT /
+    DHT tables FROM THE FILE (canonical reconstruction per Annex C),
+    entropy decode with byte-unstuffing, dequantize, inverse zigzag,
+    separable IDCT, level shift, crop to the true dimensions (COM
+    segment; SOF carries the padded grid). Progressive scans, chroma
+    components, and restart markers raise — a documented subset, the
+    BMP/PNG/WAV/AVI codec discipline."""
+    import struct
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    ph = pw = h = w = 0
+    entropy_start = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", data[pos:pos + 2])
+        body = data[pos + 2:pos + ln]
+        if marker == 0xDB:
+            while body:
+                tid = body[0] & 0x0F
+                if body[0] >> 4:
+                    raise ValueError("16-bit quant tables unsupported")
+                flat = np.zeros(64, np.int64)
+                flat[_JZZ] = np.frombuffer(body[1:65], np.uint8)
+                qt[tid] = flat.reshape(8, 8)
+                body = body[65:]
+        elif marker == 0xC0:
+            _, ph, pw, ncomp = struct.unpack(">BHHB", body[:6])
+            if ncomp != 1:
+                raise ValueError("only 1-component (grayscale) JPEG")
+            if h == 0:
+                h, w = ph, pw
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline sequential SOF0 supported")
+        elif marker == 0xC4:
+            while body:
+                cls, tid = body[0] >> 4, body[0] & 0x0F
+                bits = list(body[1:17])
+                n = sum(bits)
+                vals = list(body[17:17 + n])
+                codes = _canonical_codes(bits, vals)
+                huff[(cls, tid)] = {
+                    (c, l): sym for sym, (c, l) in codes.items()}
+                body = body[17 + n:]
+        elif marker == 0xFE and ln == 6:
+            h, w = struct.unpack(">HH", body)
+        elif marker == 0xDA:
+            entropy_start = pos + ln
+            break
+        pos += ln
+    if entropy_start is None or not qt or (0, 0) not in huff:
+        raise ValueError("missing SOS/DQT/DHT")
+    br = _BitReader(data[entropy_start:data.rindex(b"\xff\xd9")])
+    q = qt[0]
+    dc_t, ac_t = huff[(0, 0)], huff[(1, 0)]
+    img = np.zeros((ph, pw), np.float64)
+    pred = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            zz = np.zeros(64, np.int64)
+            s = _huff_decode(br, dc_t)
+            diff = 0
+            if s:
+                m = br.bits(s)
+                diff = m if m >= (1 << (s - 1)) else m - (1 << s) + 1
+            pred += diff
+            zz[0] = pred
+            k = 1
+            while k < 64:
+                sym = _huff_decode(br, ac_t)
+                if sym == 0x00:         # EOB
+                    break
+                if sym == 0xF0:         # ZRL
+                    k += 16
+                    continue
+                k += sym >> 4
+                size = sym & 0x0F
+                m = br.bits(size)
+                v = m if m >= (1 << (size - 1)) else m - (1 << size) + 1
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                zz[k] = v
+                k += 1
+            coef = np.zeros(64, np.int64)
+            coef[_JZZ] = zz
+            f = _JA.T @ (coef.reshape(8, 8) * q) @ _JA
+            img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = f
+    out = np.clip(np.rint(img + 128.0), 0, 255).astype(np.uint8)
+    return out[:h, :w]
+
+
 def _decode_wav(data: bytes) -> np.ndarray:
     import io
     import wave
@@ -372,6 +670,8 @@ def real_decode(payload: bytes, kind: str) -> np.ndarray:
     if kind == "image":
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             return _decode_png(payload)
+        if payload[:2] == b"\xff\xd8":
+            return _decode_jpeg(payload)
         return _decode_bmp(payload)
     if kind == "audio":
         return _decode_wav(payload)
@@ -614,6 +914,46 @@ def synth_real_png_table(spark, n: int = 64) -> DataFrame:
                     media_meta=dict(kind="image", width=side, height=side,
                                     n_frames=1, sample_rate=0,
                                     codec="png"),
+                ))
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(
+        gen, schema=f"id bigint, payload binary, {MEDIA_META_DDL}"
+    )
+
+
+def synth_real_jpeg_table(spark, n: int = 64) -> DataFrame:
+    """Deterministic REAL-JPEG corpus: side = 8·(id%3+1), the image is
+    8×8 tiles of CONSTANT EVEN values tile(ty,tx) = ((id·11 + ty·23 +
+    tx·37) % 128)·2. The payloads go through genuine baseline entropy
+    coding (DCT → quant → Huffman), but constant even-valued tiles are
+    DC-only blocks that survive the DC-16 quantizer exactly — so the
+    decoded image equals the tile formula bit-for-bit and the SQL
+    oracle can state the decoded mean from pure arithmetic. A correct
+    mean is only reachable through a working Huffman + dequant + IDCT
+    chain."""
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                tiles_per_side = i % 3 + 1
+                side = 8 * tiles_per_side
+                ty, tx = np.meshgrid(
+                    np.arange(tiles_per_side), np.arange(tiles_per_side),
+                    indexing="ij",
+                )
+                tiles = (((i * 11 + ty * 23 + tx * 37) % 128) * 2
+                         ).astype(np.uint8)
+                pix = np.kron(tiles, np.ones((8, 8), np.uint8))
+                rows.append(dict(
+                    id=i, payload=encode_jpeg(pix),
+                    media_meta=dict(kind="image", width=side, height=side,
+                                    n_frames=1, sample_rate=0,
+                                    codec="jpeg"),
                 ))
             if rows:
                 yield pd.DataFrame(rows)

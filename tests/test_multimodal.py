@@ -347,3 +347,71 @@ class TestPngCodec:
         assert out[1]["failed"] is False
         assert out[1]["mean_intensity"] == 0.0
         assert out[2]["failed"] is True  # row survives, flagged
+
+
+class TestJPEGCodec:
+    def test_zigzag_is_the_spec_permutation(self):
+        from mindocr_spark.multimodal import _JZZ
+
+        # ITU-T T.81 Figure A.6, first entries (row*8+col indices)
+        assert list(_JZZ[:10]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+        assert sorted(_JZZ) == list(range(64))
+
+    def test_constant_even_tiles_roundtrip_exactly(self):
+        import numpy as np
+
+        from mindocr_spark.multimodal import _decode_jpeg, encode_jpeg
+
+        rng = np.random.RandomState(3)
+        tiles = (rng.randint(0, 128, (2, 5)) * 2).astype(np.uint8)
+        img = np.kron(tiles, np.ones((8, 8), np.uint8))
+        assert np.array_equal(_decode_jpeg(encode_jpeg(img)), img)
+
+    def test_lossy_roundtrip_bounded_and_cropped(self):
+        import numpy as np
+
+        from mindocr_spark.multimodal import _decode_jpeg, encode_jpeg
+
+        rng = np.random.RandomState(11)
+        img = rng.randint(0, 256, (13, 21)).astype(np.uint8)
+        out = _decode_jpeg(encode_jpeg(img))
+        assert out.shape == (13, 21)
+        # error bounded by the quant-table step budget
+        assert int(np.abs(out.astype(int) - img.astype(int)).max()) < 60
+        # smooth content decodes near-losslessly
+        grad = np.tile(np.arange(32, dtype=np.uint8) * 4, (16, 1))
+        back = _decode_jpeg(encode_jpeg(grad))
+        assert int(np.abs(back.astype(int) - grad.astype(int)).max()) <= 2
+
+    def test_byte_stuffing_survives(self):
+        import numpy as np
+
+        from mindocr_spark.multimodal import _decode_jpeg, encode_jpeg
+
+        # scan many seeds so at least one entropy stream contains a
+        # stuffed 0xFF byte — then the roundtrip proves unstuffing
+        hit = False
+        for seed in range(20):
+            rng = np.random.RandomState(seed)
+            img = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+            enc = encode_jpeg(img)
+            body = enc[enc.index(b"\xff\xda") + 2:-2]
+            if b"\xff\x00" in body:
+                hit = True
+            _decode_jpeg(enc)  # must decode regardless
+        assert hit
+
+    def test_rejects_non_baseline_and_garbage(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from mindocr_spark.multimodal import _decode_jpeg, encode_jpeg
+
+        with _pytest.raises(ValueError):
+            _decode_jpeg(b"\x89PNG")
+        enc = bytearray(encode_jpeg(
+            np.zeros((8, 8), np.uint8)))
+        sof = bytes(enc).index(b"\xff\xc0")
+        enc[sof + 1] = 0xC2   # claim progressive
+        with _pytest.raises(ValueError):
+            _decode_jpeg(bytes(enc))
