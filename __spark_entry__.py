@@ -7295,6 +7295,40 @@ _MULTIMODAL_JPEG_ORACLE = """
     FROM imean ORDER BY id"""
 
 
+def q_wds_roundtrip(spark, sf_dir):
+    """WebDataset tar-shard round trip: the real-JPEG corpus exported
+    to deterministic tar shards (pinned tar metadata, 16 members each),
+    re-ingested by the stdlib loader side, re-decoded — the decoded
+    means can only match the tile formula if BOTH the tar round trip
+    and the JPEG codec are correct. Same oracle surface as
+    multimodal_jpeg, reached through the storage layer."""
+    from mindocr_spark.multimodal import (
+        export_webdataset,
+        extract_media_features,
+        ingest_webdataset,
+        real_decode,
+        synth_real_jpeg_table,
+    )
+
+    media = synth_real_jpeg_table(spark, n=64)
+    back = ingest_webdataset(export_webdataset(media, shard_size=16))
+    back = back.withColumn(
+        "media_meta",
+        F.named_struct(
+            F.lit("kind"), F.lit("image"),
+            F.lit("width"), F.lit(0), F.lit("height"), F.lit(0),
+            F.lit("n_frames"), F.lit(1),
+            F.lit("sample_rate"), F.lit(0),
+            F.lit("codec"), F.lit("jpeg"),
+        ),
+    )
+    return (
+        extract_media_features(back, decode=real_decode)
+        .select("id", "kind", "mean_intensity", "failed")
+        .orderBy("id")
+    )
+
+
 def q_image_phash_pairs(spark, sf_dir):
     """Perceptual-hash near-dup IMAGE pairs over REAL BMP payloads:
     decode → exact channel-mean grayscale → 8×8 mean-pool → aHash as
@@ -7631,6 +7665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_real_codec": _q(q_multimodal_real_codec),
         "multimodal_png": _q(q_multimodal_png),
         "multimodal_jpeg": _q(q_multimodal_jpeg),
+        "wds_roundtrip": _q(q_wds_roundtrip),
         "multimodal_video": _q(q_multimodal_video),
         "image_phash_pairs": _q(q_image_phash_pairs),
         "audio_fp_pairs": _q(q_audio_fp_pairs),
@@ -15254,6 +15289,7 @@ def oracle_sql() -> dict[str, str]:
         # working inflate + five-filter reconstruction — the formula
         # below is the PIXEL source, not the byte stream
         "multimodal_jpeg": _MULTIMODAL_JPEG_ORACLE,
+        "wds_roundtrip": _MULTIMODAL_JPEG_ORACLE,
         "multimodal_png": """
             WITH ids AS (SELECT range AS id FROM range(64)),
             img AS (SELECT id, id % 5 + 3 AS side FROM ids),

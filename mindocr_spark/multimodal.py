@@ -1018,3 +1018,94 @@ def synth_media_table(spark, n: int = 64, seed: int = 7) -> DataFrame:
             F.lit("fake").alias("codec"),
         ).alias("media_meta"),
     )
+
+
+WDS_SHARD_SCHEMA = "shard_id bigint, n_members int, tar_bytes binary"
+WDS_MEMBER_SCHEMA = "id bigint, payload binary"
+
+
+def export_webdataset(
+    media: DataFrame, shard_size: int = 16, ext: str = "jpg"
+) -> DataFrame:
+    """(id, payload, …) → WebDataset-style tar shards
+    (shard_id, n_members, tar_bytes): members named ``{id:08d}.{ext}``
+    in ascending id order, all tar metadata pinned (mtime 0, uid/gid 0,
+    mode 0644, USTAR format) so shard bytes are a pure function of the
+    data — the reproducible-artifact discipline every release pipeline
+    wants. This is the storage format multimodal training loaders
+    stream (tar sequential reads beat per-file object-store GETs by
+    orders of magnitude at 10^9-sample scale).
+
+    100 TB shape: ONE shuffle on the shard key (id div shard_size — a
+    uniform integer key, no skew), tar assembly per shard in an Arrow
+    batch; shard size bounds executor memory (members × payload), and
+    the output relation is ready for a binary sink or a foreachBatch
+    object-store upload. Production writes stream shards straight to
+    storage; the relation form here keeps the round trip testable.
+
+    Reference analog: `save_det_res`-style sharded result export
+    (reference: mindocr/utils/evaluator.py result sink), lifted to the
+    tar-shard layout."""
+    import io
+    import tarfile
+
+    import pandas as pd
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id")
+        buf = io.BytesIO()
+        with tarfile.open(
+            fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+        ) as tf:
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                body = bytes(payload)
+                info = tarfile.TarInfo(name=f"{int(rid):08d}.{ext}")
+                info.size = len(body)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.mode = 0o644
+                tf.addfile(info, io.BytesIO(body))
+        return pd.DataFrame([{
+            "shard_id": int(pdf["shard_id"].iloc[0]),
+            "n_members": len(pdf),
+            "tar_bytes": buf.getvalue(),
+        }])
+
+    shards = media.select(
+        "id", "payload",
+        F.expr(f"id div {int(shard_size)}").alias("shard_id"),
+    )
+    return shards.groupBy("shard_id").applyInPandas(
+        build, schema=WDS_SHARD_SCHEMA
+    )
+
+
+def ingest_webdataset(shards: DataFrame) -> DataFrame:
+    """tar shards → (id, payload): the loader side of the WebDataset
+    round trip, stdlib tarfile over in-memory shard bytes, member ids
+    parsed back from the ``{id:08d}.{ext}`` naming. One narrow
+    mapInPandas — shards stream through executors without ever landing
+    on the driver."""
+    import io
+    import tarfile
+
+    import pandas as pd
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob in pdf["tar_bytes"]:
+                with tarfile.open(
+                    fileobj=io.BytesIO(bytes(blob)), mode="r"
+                ) as tf:
+                    for m in tf.getmembers():
+                        rows.append(dict(
+                            id=int(m.name.split(".")[0]),
+                            payload=tf.extractfile(m).read(),
+                        ))
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return shards.select("tar_bytes").mapInPandas(
+        fn, schema=WDS_MEMBER_SCHEMA
+    )
