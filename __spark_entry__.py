@@ -5243,6 +5243,73 @@ _STREAM_STATIC_JOIN_ORACLE = """
     ORDER BY c.c_mktsegment, e.event_type"""
 
 
+def q_stream_stream_join(spark, sf_dir):
+    """STREAM-STREAM event-time interval join (§2.11): the view stream
+    joins the purchase stream per user where the purchase lands within
+    1 hour AFTER the view — both sides watermarked so Spark can evict
+    join state older than the interval + watermark (the unbounded-state
+    hazard of stream-stream joins, bounded). Inner-join matches emit as
+    both sides arrive; availableNow drain equals the batch interval
+    self-join the oracle computes."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from mindocr_spark.streaming.windows import (
+        drain_to_memory,
+        read_events_stream,
+    )
+
+    _ensure_worker_imports(spark)
+    stage = tempfile.mkdtemp(prefix="stream_ssj_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    views = (
+        read_events_stream(spark, stage, max_files=1)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    purchases = (
+        read_events_stream(spark, stage, max_files=1)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND "
+            "p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"
+        ),
+    )
+    out = drain_to_memory(
+        joined.select(
+            F.col("v_user").alias("user_id"), "view_id", "purchase_id"
+        ),
+        f"ssj_{uuid.uuid4().hex[:12]}",
+        "append",
+    )
+    return out.orderBy("user_id", "view_id", "purchase_id")
+
+
+_STREAM_STREAM_JOIN_ORACLE = """
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    ORDER BY v.user_id, view_id, purchase_id"""
+
+
 def q_posting_stats(spark, sf_dir):
     """Inverted-index storage accounting: per-term d-gap + VByte
     posting-list sizes computed with exact integer arithmetic (first
@@ -7618,6 +7685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_figures": _q(q_extract_figures),
         "posting_stats": _q(q_posting_stats),
         "stream_static_join": _q(q_stream_static_join),
+        "stream_stream_join": _q(q_stream_stream_join),
         "interleaved_media": _q(q_interleaved_media),
         "concordance": _q(q_concordance),
         "blockword_filter": _q(q_blockword_filter),
@@ -9575,6 +9643,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_figures": _EXTRACT_FIGURES_ORACLE,
         "posting_stats": _POSTING_STATS_ORACLE,
         "stream_static_join": _STREAM_STATIC_JOIN_ORACLE,
+        "stream_stream_join": _STREAM_STREAM_JOIN_ORACLE,
         "interleaved_media": _INTERLEAVED_ORACLE,
         "bpe_token_stats": r"""
             WITH u AS (

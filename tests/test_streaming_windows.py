@@ -203,3 +203,43 @@ def test_session_windows_merge_across_micro_batches(spark, tmp_path):
     u3 = by_user[3]
     assert [r["n_events"] for r in u3] == [2]  # exact-gap boundary merges
     assert u3[0]["session_end"] == T0 + dt.timedelta(seconds=1800 + 1800)
+
+
+def test_stream_stream_join_state_spans_micro_batches(spark, tmp_path):
+    """A view in micro-batch 1 must match a purchase arriving in
+    micro-batch 2 (join state carried across triggers); a purchase
+    outside the 1-hour interval must not match."""
+    import pyspark.sql.functions as F
+
+    from mindocr_spark.streaming.windows import (
+        drain_to_memory,
+        read_events_stream,
+    )
+
+    src = str(tmp_path / "src")
+    _events(spark, [(0, 1, "view", 1)]
+            ).coalesce(1).write.mode("append").parquet(src)
+    _events(spark, [
+        (1800, 1, "purchase", 1),   # inside the hour -> match
+        (7200, 1, "purchase", 1),   # 2h later -> no match
+    ], start_id=50).coalesce(1).write.mode("append").parquet(src)
+
+    views = (read_events_stream(spark, src, max_files=1)
+             .where(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("v_ts"))
+             .withWatermark("v_ts", "2 hours"))
+    purchases = (read_events_stream(spark, src, max_files=1)
+                 .where(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("p_ts"))
+                 .withWatermark("p_ts", "2 hours"))
+    joined = views.join(purchases, F.expr(
+        "v_user = p_user AND p_ts >= v_ts"
+        " AND p_ts <= v_ts + INTERVAL 1 HOUR"))
+    out = drain_to_memory(
+        joined.select("view_id", "purchase_id"),
+        "ssj_state_test", "append").collect()
+    assert [(r["view_id"], r["purchase_id"]) for r in out] == [(0, 50)]
