@@ -142,6 +142,59 @@ def q_warc_extract(spark, sf_dir):
     ).orderBy("url")
 
 
+def q_warc_revisit_roundtrip(spark, sf_dir):
+    """Archive-level dedup storage end-to-end: pages with planted
+    byte-identical mirrors (doc_id%4==3 carries doc_id−1's exact html)
+    serialized through the digest-deduplicated WARC writer — ONE
+    response record per distinct payload, WARC/1.0 `revisit` pointer
+    records for the mirrors — then ingested back with revisit
+    RESOLUTION (digest join to the canonical bodies) and run through
+    full extraction. The oracle states every page's extracted text from
+    the base document's text: only a correct dedup-write + resolve
+    round trip can reproduce it."""
+    import tempfile
+
+    from mindocr_spark.sources.pages import pages_from_documents
+    from mindocr_spark.sources.warc import (
+        read_warc_resolved,
+        write_warc_dir_deduped,
+    )
+
+    pages = pages_from_documents(spark, sf_dir)
+    base_id = F.col("doc_id") - F.when(
+        F.pmod(F.col("doc_id"), F.lit(4)) == 3, 1).otherwise(0)
+    own = pages.select("doc_id", "url", "warc_ts").withColumn(
+        "b_id", base_id)
+    content = pages.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("html").alias("html"),
+        F.col("lang").alias("lang"),
+    )
+    planted = own.join(content, "b_id").select(
+        "url", "warc_ts", "html", "lang")
+    out_dir = tempfile.mkdtemp(prefix="warc_dedup_")
+    write_warc_dir_deduped(planted, out_dir)
+    resolved = read_warc_resolved(spark, out_dir)
+    return run_extraction(resolved).select(
+        "url", "extracted_text"
+    ).orderBy("url")
+
+
+def _warc_revisit_oracle() -> str:
+    from mindocr_spark.sources.pages import PAGES_TEMPLATE_ANCHOR
+
+    return f"""
+        SELECT 'https://docs.example/' || d.source || '/'
+                 || CAST(d.doc_id AS VARCHAR) AS url,
+               '{PAGES_TEMPLATE_ANCHOR}' || chr(10) || b.text
+                 AS extracted_text
+        FROM documents d
+        JOIN documents b
+          ON b.doc_id = d.doc_id
+               - (CASE WHEN d.doc_id % 4 = 3 THEN 1 ELSE 0 END)
+        ORDER BY url"""
+
+
 def q_jsonl_extract(spark, sf_dir):
     """External-format ingestion #2: JSON-lines crawl dump (base64
     payloads, epoch-second timestamps, all-JVM to_json/from_json path —
@@ -7686,6 +7739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "posting_stats": _q(q_posting_stats),
         "stream_static_join": _q(q_stream_static_join),
         "stream_stream_join": _q(q_stream_stream_join),
+        "warc_revisit_roundtrip": _q(q_warc_revisit_roundtrip),
         "interleaved_media": _q(q_interleaved_media),
         "concordance": _q(q_concordance),
         "blockword_filter": _q(q_blockword_filter),
@@ -9644,6 +9698,7 @@ def oracle_sql() -> dict[str, str]:
         "posting_stats": _POSTING_STATS_ORACLE,
         "stream_static_join": _STREAM_STATIC_JOIN_ORACLE,
         "stream_stream_join": _STREAM_STREAM_JOIN_ORACLE,
+        "warc_revisit_roundtrip": _warc_revisit_oracle(),
         "interleaved_media": _INTERLEAVED_ORACLE,
         "bpe_token_stats": r"""
             WITH u AS (

@@ -449,3 +449,202 @@ def http_gate(pages: DataFrame, ok_statuses: tuple[int, ...] = (200,),
             F.col("mime").startswith(p), F.lit(False)
         )
     return pages.withColumn("fetch_ok", ok & mime_ok)
+
+
+# --------------------------------------------------------------------------
+# Revisit records — archive-level dedup storage (WARC/1.0 §6.7)
+# --------------------------------------------------------------------------
+
+REVISIT_PROFILE = (
+    "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+)
+
+
+def format_revisit_record(url: str, ts_sec: int, digest: str,
+                          refers_to_url: str) -> bytes:
+    """One WARC/1.0 ``revisit`` record under the identical-payload-
+    digest profile: the re-crawl matched an already-archived payload,
+    so the archive stores a POINTER (WARC-Payload-Digest +
+    WARC-Refers-To-Target-URI) instead of the body — how real web
+    archives (and Common Crawl's deduplicated segments) keep N
+    observations of one payload at ~zero marginal bytes."""
+    import hashlib
+
+    rec_id = hashlib.md5(f"revisit:{url}:{ts_sec}".encode()).hexdigest()
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: revisit\r\n"
+        + f"WARC-Target-URI: {url}\r\n".encode()
+        + f"WARC-Date: {_iso(ts_sec)}\r\n".encode()
+        + f"WARC-Record-ID: <urn:uuid:{rec_id}>\r\n".encode()
+        + f"WARC-Profile: {REVISIT_PROFILE}\r\n".encode()
+        + f"WARC-Payload-Digest: md5:{digest}\r\n".encode()
+        + f"WARC-Refers-To-Target-URI: {refers_to_url}\r\n".encode()
+        + b"Content-Length: 0\r\n"
+        + _CRLF
+    )
+    return head + _CRLF + _CRLF
+
+
+def write_warc_dir_deduped(pages: DataFrame, out_dir: str,
+                           n_files: int = 8) -> tuple[int, int]:
+    """Digest-deduplicated WARC writer: ONE ``response`` record per
+    distinct payload digest (the lexicographically-smallest URL is the
+    canonical copy — a deterministic, engine-reproducible election) and
+    a ``revisit`` record for every other observation. Returns
+    (n_responses, n_revisits).
+
+    100 TB shape: one md5 per page (codegen), ONE window over the
+    digest key to elect canonicals (digest keys are uniform — no
+    skew), then the same one-group-per-file applyInPandas sink as
+    `write_warc_dir`. Storage drops from Σ payload to Σ distinct
+    payload + ~300 bytes per revisit."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    os.makedirs(out_dir, exist_ok=True)
+    digest = F.md5(F.col("html"))
+    w = Window.partitionBy("digest")
+    src = (
+        pages.select(
+            "url", F.unix_timestamp("warc_ts").alias("ts_sec"),
+            "html", "lang", digest.alias("digest"),
+        )
+        .withColumn("canon_url", F.min("url").over(w))
+        .withColumn(
+            "file_id", F.pmod(F.xxhash64("url"), F.lit(n_files)))
+    )
+
+    def write_group(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        fid = int(key[0])
+        name = f"part-{fid:05d}.warc"
+        pdf = pdf.sort_values("url")
+        buf = bytearray(_warcinfo(name))
+        n_resp = n_rev = 0
+        for r in pdf.itertuples():
+            if r.url == r.canon_url:
+                buf += format_response_record(
+                    r.url, int(r.ts_sec), bytes(r.html), r.lang)
+                n_resp += 1
+            else:
+                buf += format_revisit_record(
+                    r.url, int(r.ts_sec), r.digest, r.canon_url)
+                n_rev += 1
+        tmp = os.path.join(out_dir, f".{name}.tmp{os.getpid()}")
+        with open(tmp, "wb") as fh:
+            fh.write(bytes(buf))
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pd.DataFrame(
+            {"file_id": [fid], "n_resp": [n_resp], "n_rev": [n_rev]})
+
+    agg = (
+        src.groupBy("file_id")
+        .applyInPandas(
+            write_group,
+            schema="file_id int, n_resp bigint, n_rev bigint")
+        .agg(F.sum("n_resp").alias("r"), F.sum("n_rev").alias("v"))
+        .collect()[0]
+    )
+    return int(agg["r"]), int(agg["v"])
+
+
+WARC_RECORDS_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, lang string, "
+    "digest string, is_revisit boolean"
+)
+
+
+def parse_warc_with_revisits(payload: bytes) -> list[dict]:
+    """The shared hardened walk, yielding BOTH response records
+    (html + computed digest) and revisit records (digest pointer, no
+    body). Responses reuse `parse_warc`'s envelope handling."""
+    import hashlib
+
+    out: list[dict] = []
+    for headers, body in walk_warc_records(payload):
+        wtype = headers.get("warc-type")
+        if wtype == "response":
+            http_head_end = body.index(_CRLF + _CRLF)
+            http_headers = _parse_headers(
+                body[:http_head_end].split(_CRLF, 1)[1])
+            html = body[http_head_end + 4:]
+            out.append(dict(
+                url=headers["warc-target-uri"],
+                ts_sec=_parse_iso(headers["warc-date"]),
+                html=html,
+                lang=http_headers.get("content-language", "unknown"),
+                digest=hashlib.md5(html).hexdigest(),
+                is_revisit=False,
+            ))
+        elif wtype == "revisit":
+            raw = headers.get("warc-payload-digest", "")
+            if not raw.startswith("md5:"):
+                raise ValueError(f"unsupported revisit digest {raw!r}")
+            out.append(dict(
+                url=headers["warc-target-uri"],
+                ts_sec=_parse_iso(headers["warc-date"]),
+                html=None,
+                lang=None,
+                digest=raw[4:],
+                is_revisit=True,
+            ))
+    return out
+
+
+def read_warc_resolved(spark: SparkSession, path: str) -> DataFrame:
+    """Ingest a digest-deduplicated WARC directory and RESOLVE revisit
+    records back to full pages: parse every file (binaryFile scan →
+    mapInPandas over the hardened walk), then join revisits to the
+    canonical responses on payload digest — one shuffle at digest
+    cardinality; the canonical side's digest is recomputed from the
+    actual bytes at parse time, so a corrupted body cannot satisfy a
+    revisit pointer. Returns (url, warc_ts, html, lang) for every
+    original observation — the loss-free inverse of
+    `write_warc_dir_deduped`."""
+    import pandas as pd
+
+    files_df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc").load(path)
+    )
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for rec in parse_warc_with_revisits(bytes(content)):
+                    rows.append(dict(
+                        url=rec["url"],
+                        warc_ts=pd.Timestamp(rec["ts_sec"], unit="s",
+                                             tz="UTC"),
+                        html=rec["html"],
+                        lang=rec["lang"],
+                        digest=rec["digest"],
+                        is_revisit=rec["is_revisit"],
+                    ))
+            if rows:
+                yield pd.DataFrame(rows)
+
+    recs = files_df.select("content").mapInPandas(
+        parse, schema=WARC_RECORDS_SCHEMA)
+    originals = recs.where(~F.col("is_revisit")).select(
+        "url", "warc_ts", "html", "lang", "digest")
+    bodies = originals.select(
+        F.col("digest").alias("b_digest"),
+        F.col("html").alias("b_html"),
+        F.col("lang").alias("b_lang"),
+    ).distinct()
+    revisits = (
+        recs.where(F.col("is_revisit"))
+        .select("url", "warc_ts", "digest")
+        .join(bodies, F.col("digest") == F.col("b_digest"))
+        .select(
+            "url", "warc_ts",
+            F.col("b_html").alias("html"),
+            F.col("b_lang").alias("lang"),
+            "digest",
+        )
+    )
+    return originals.unionByName(revisits).select(
+        "url", "warc_ts", "html", "lang")

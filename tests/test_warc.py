@@ -277,3 +277,73 @@ def test_http_gate_flags(spark):
     got = {r["url"]: r["fetch_ok"] for r in http_gate(pages).collect()}
     assert got == {"a": True, "b": False, "c": False,
                    "d": False, "e": False}
+
+
+class TestRevisitRecords:
+    def _pages(self, spark, rows):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        data = [
+            (u, dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc), h, "en")
+            for u, h in rows
+        ]
+        df = spark.createDataFrame(
+            data, "url string, warc_ts timestamp, html string, lang string")
+        return df.withColumn("html", F.col("html").cast("binary"))
+
+    def test_dedup_write_counts_and_resolution(self, spark, tmp_path):
+        from mindocr_spark.sources.warc import (
+            read_warc_resolved,
+            write_warc_dir_deduped,
+        )
+
+        pages = self._pages(spark, [
+            ("https://a.example/1", "<p>same</p>"),
+            ("https://b.example/2", "<p>same</p>"),   # mirror -> revisit
+            ("https://c.example/3", "<p>other</p>"),
+        ])
+        out = str(tmp_path / "w")
+        n_resp, n_rev = write_warc_dir_deduped(pages, out, n_files=2)
+        assert (n_resp, n_rev) == (2, 1)
+        back = {r["url"]: bytes(r["html"]).decode()
+                for r in read_warc_resolved(spark, out).collect()}
+        assert back == {
+            "https://a.example/1": "<p>same</p>",
+            "https://b.example/2": "<p>same</p>",
+            "https://c.example/3": "<p>other</p>",
+        }
+
+    def test_canonical_is_smallest_url(self, spark, tmp_path):
+        from mindocr_spark.sources.warc import (
+            parse_warc_with_revisits,
+            write_warc_dir_deduped,
+        )
+
+        pages = self._pages(spark, [
+            ("https://z.example/big", "<p>x</p>"),
+            ("https://a.example/small", "<p>x</p>"),
+        ])
+        out = str(tmp_path / "w")
+        write_warc_dir_deduped(pages, out, n_files=1)
+        import pathlib
+
+        recs = parse_warc_with_revisits(
+            (pathlib.Path(out) / "part-00000.warc").read_bytes())
+        roles = {r["url"]: r["is_revisit"] for r in recs}
+        assert roles == {"https://a.example/small": False,
+                         "https://z.example/big": True}
+
+    def test_revisit_record_bytes_walk_clean(self, spark, tmp_path):
+        """Revisit records (Content-Length 0) must pass the hardened
+        record walk and carry the md5 pointer."""
+        from mindocr_spark.sources.warc import (
+            format_revisit_record,
+            parse_warc_with_revisits,
+        )
+
+        rec = format_revisit_record(
+            "https://m.example/", 0, "d" * 32, "https://o.example/")
+        [parsed] = parse_warc_with_revisits(rec)
+        assert parsed["is_revisit"] and parsed["digest"] == "d" * 32
