@@ -209,6 +209,13 @@ class _FS:
             return []
         return [s.getPath().getName() for s in self.fs.listStatus(p)]
 
+    def list_sizes(self, path: str) -> list[tuple[str, int]]:
+        p = self._Path(path)
+        if not self.fs.exists(p):
+            return []
+        return [(s.getPath().getName(), int(s.getLen()))
+                for s in self.fs.listStatus(p)]
+
     def exists(self, path: str) -> bool:
         return self.fs.exists(self._Path(path))
 
@@ -418,4 +425,86 @@ def write_results_wap(
         s = _manifest_seq(name)
         if s is not None and s not in live_seqs:
             fs.delete(f"{mdir}/{name}")
+    return True
+
+
+def compact_published(
+    spark: "SparkSession",
+    path: str,
+    run_id: str,
+    target_bytes: int = 128 << 20,
+    keep_snapshots: int = 2,
+) -> bool:
+    """Execute the compaction the planner prescribes (OPTIMIZE/binPack
+    — SURVEY §4's small-file maintenance): inventory the CURRENT
+    committed snapshot's files from FS metadata, feed
+    `tuning.compaction_plan` (next-fit-decreasing bins at
+    `target_bytes`), rewrite the snapshot coalesced to the planned bin
+    count, and commit the rewrite as a NEW manifest seq through the
+    same manifest-pointer protocol as `write_results_wap` — readers
+    keep resolving the old snapshot until the new manifest appears,
+    and the previous snapshot stays time-travelable inside the GC
+    window (`keep_snapshots`).
+
+    Audit-before-commit: the rewritten data is re-read and its row
+    count compared against the source snapshot — a short write (lost
+    task, partial directory) writes NO manifest and leaves the
+    previous snapshot live. Returns True iff a compaction committed
+    (False when the table is already at or below the planned bin
+    count — an idempotent no-op, no seq burned).
+
+    100 TB shape: planning runs at file-metadata grain (~10^6 rows
+    for a 100 TB table); the rewrite is one coalesce (narrow — no
+    shuffle) sized by the plan; per-partition-column compaction would
+    pass the partition value through the planner's partition_col
+    instead of the single-table literal used here."""
+    from mindocr_spark.tuning import compaction_plan
+
+    fs = _FS(spark, path)
+    manifests = _load_manifests(fs, path)
+    if not manifests:
+        raise FileNotFoundError(f"no committed WAP snapshot under {path}")
+    cur = manifests[-1]
+    if any(m["run_id"] == run_id for m in manifests):
+        return True  # idempotent replay of a committed compaction
+    data = f"{path}/{_DATA_DIR}/{cur['data_dir']}"
+    inv = [
+        (n, sz) for n, sz in fs.list_sizes(data)
+        if n.endswith(".parquet")
+    ]
+    if not inv:
+        raise FileNotFoundError(f"snapshot {cur['seq']} has no data files")
+    files_df = spark.createDataFrame(
+        [("all", n, sz) for n, sz in inv],
+        "partition string, file string, bytes long",
+    )
+    plan = compaction_plan(files_df, target_bytes)
+    n_bins = plan.count()
+    if n_bins >= len(inv):
+        return False  # nothing to gain — already compact
+    src = spark.read.parquet(data)
+    n_before = src.count()
+    new_dir = f"{path}/{_DATA_DIR}/{run_id}"
+    src.coalesce(max(1, n_bins)).write.mode("overwrite").parquet(new_dir)
+    n_after = spark.read.parquet(new_dir).count()
+    if n_after != n_before:
+        fs.delete(new_dir)  # audit failed: no manifest, old snapshot live
+        raise RuntimeError(
+            f"compaction audit failed: {n_before} rows -> {n_after}")
+    _write_manifest(fs, path, run_id, {
+        "data_dir": run_id,
+        "compaction_of": cur["seq"],
+        "counters": {"rows": int(n_after), "files_before": len(inv),
+                     "files_after": int(n_bins)},
+    })
+    manifests = _load_manifests(fs, path)
+    live = {m["data_dir"] for m in manifests[-keep_snapshots:]}
+    for name in fs.list_names(f"{path}/{_DATA_DIR}"):
+        if name not in live:
+            fs.delete(f"{path}/{_DATA_DIR}/{name}")
+    live_seqs = {m["seq"] for m in manifests[-keep_snapshots:]}
+    for name in fs.list_names(f"{path}/{_MANIFEST_DIR}"):
+        s = _manifest_seq(name)
+        if s is not None and s not in live_seqs:
+            fs.delete(f"{path}/{_MANIFEST_DIR}/{name}")
     return True

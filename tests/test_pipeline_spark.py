@@ -346,3 +346,43 @@ def test_wap_crash_recovery_no_renames(spark, tmp_path, monkeypatch):
     # GC swept the orphan stage dir and the torn manifest
     assert not (tmp_path / "out" / "_data" / "rY").exists()
     assert not (mdir / "manifest-0000000099-rX.json").exists()
+
+
+def test_compaction_executes_plan_and_commits_new_snapshot(spark, tmp_path):
+    """compact_published: many small files -> planned bin count, same
+    rows, new manifest seq, previous snapshot still time-travelable,
+    idempotent replay, and a no-op when already compact."""
+    from mindocr_spark.corpus import pages_dataframe
+    from mindocr_spark.operators.pipeline import (
+        compact_published,
+        list_snapshots,
+        read_published,
+        run_extraction,
+        write_results_wap,
+    )
+
+    out, metrics = str(tmp_path / "out"), str(tmp_path / "metrics")
+    good = run_extraction(pages_dataframe(spark, 40, seed=5)).repartition(8)
+    assert write_results_wap(good, out, metrics, run_id="r1")
+    before = {r["url"] for r in read_published(spark, out).collect()}
+    snaps0 = list_snapshots(spark, out)
+
+    assert compact_published(spark, out, run_id="c1",
+                             target_bytes=1 << 30)
+    snaps = list_snapshots(spark, out)
+    assert len(snaps) == len(snaps0) + 1
+    assert snaps[-1]["compaction_of"] == snaps0[-1]["seq"]
+    assert snaps[-1]["counters"]["files_after"] < \
+        snaps[-1]["counters"]["files_before"]
+    after = {r["url"] for r in read_published(spark, out).collect()}
+    assert after == before
+    # previous snapshot still resolvable inside the GC window
+    old = read_published(spark, out, seq=snaps0[-1]["seq"])
+    assert {r["url"] for r in old.collect()} == before
+    # idempotent replay
+    assert compact_published(spark, out, run_id="c1",
+                             target_bytes=1 << 30)
+    # already compact -> no-op, no seq burned
+    assert not compact_published(spark, out, run_id="c2",
+                                 target_bytes=1 << 30)
+    assert len(list_snapshots(spark, out)) == len(snaps)
