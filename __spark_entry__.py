@@ -5363,6 +5363,80 @@ _STREAM_STREAM_JOIN_ORACLE = """
     ORDER BY v.user_id, view_id, purchase_id"""
 
 
+#: Proximity query set: unlike _BM25_QUERIES (whose third query
+#: deliberately contains an out-of-vocabulary term for partial-hit
+#: behavior), every term here exists in the corpus so the 3-way
+#: minimal-cover join path has real matches.
+_PROX_QUERIES = {
+    0: ["hash", "merge"],
+    1: ["table", "scan"],
+    2: ["window", "sort", "order"],
+}
+
+
+def q_proximity_topk(spark, sf_dir):
+    """Minimal-window proximity ranking (SpanNear): docs containing
+    ALL query terms ranked by the smallest token window covering one
+    occurrence of each — the positional signal between BM25 and exact
+    phrase match; broadcast-vocabulary scan shedding, deterministic
+    tie-break."""
+    from mindocr_spark.functions.search import proximity_topk
+
+    return proximity_topk(
+        _t(spark, sf_dir, "documents"), _PROX_QUERIES, k=5
+    ).orderBy("query_id", "rank")
+
+
+def _proximity_oracle(k: int = 5) -> str:
+    """Twin of `search.proximity_topk`: the same m-way position joins
+    per query (positions via generate_subscripts — 1-based where Spark
+    is 0-based, which cancels in the window DIFFERENCE), min cover,
+    (window, doc) rank."""
+    all_terms = sorted({t for ts in _PROX_QUERIES.values() for t in ts})
+    in_list = ", ".join(f"'{t}'" for t in all_terms)
+    per_q = []
+    for qid, terms in sorted(_PROX_QUERIES.items()):
+        terms = list(dict.fromkeys(terms))
+        joins = "\n".join(
+            f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id"
+            f" AND p{i}.term = '{t}'"
+            for i, t in enumerate(terms[1:], start=1)
+        )
+        ps = ", ".join(f"p{i}.pos" for i in range(len(terms)))
+        per_q.append(f"""
+          SELECT {qid} AS query_id, p0.doc_id,
+                 min(greatest({ps}) - least({ps}) + 1) AS min_window
+          FROM pos p0 {joins}
+          WHERE p0.term = '{terms[0]}'
+          GROUP BY p0.doc_id""")
+    union = " UNION ALL ".join(per_q)
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g'))
+                   AS norm
+          FROM documents),
+        base AS (
+          SELECT doc_id,
+                 unnest(string_split(norm,' ')) AS term,
+                 generate_subscripts(string_split(norm,' '), 1) AS pos
+          FROM t WHERE norm <> ''),
+        pos AS (
+          SELECT doc_id, term, pos FROM base
+          WHERE term IN ({in_list})),
+        mw AS ({union}),
+        rk AS (
+          SELECT query_id, doc_id, min_window,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY min_window ASC, doc_id ASC) AS rank
+          FROM mw)
+        SELECT query_id, doc_id,
+               CAST(min_window AS BIGINT) AS min_window,
+               CAST(rank AS BIGINT) AS rank
+        FROM rk WHERE rank <= {k}
+        ORDER BY query_id, rank"""
+
+
 def q_posting_stats(spark, sf_dir):
     """Inverted-index storage accounting: per-term d-gap + VByte
     posting-list sizes computed with exact integer arithmetic (first
@@ -7737,6 +7811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "texttile_segments": _q(q_texttile_segments),
         "extract_figures": _q(q_extract_figures),
         "posting_stats": _q(q_posting_stats),
+        "proximity_topk": _q(q_proximity_topk),
         "stream_static_join": _q(q_stream_static_join),
         "stream_stream_join": _q(q_stream_stream_join),
         "warc_revisit_roundtrip": _q(q_warc_revisit_roundtrip),
@@ -9696,6 +9771,7 @@ def oracle_sql() -> dict[str, str]:
         "texttile_segments": _TEXTTILE_ORACLE,
         "extract_figures": _EXTRACT_FIGURES_ORACLE,
         "posting_stats": _POSTING_STATS_ORACLE,
+        "proximity_topk": _proximity_oracle(),
         "stream_static_join": _STREAM_STATIC_JOIN_ORACLE,
         "stream_stream_join": _STREAM_STREAM_JOIN_ORACLE,
         "warc_revisit_roundtrip": _warc_revisit_oracle(),

@@ -289,6 +289,10 @@ def main() -> None:
         "posting_stats",        # d-gap VByte index sizing
         "stream_session_windows",  # native streaming session windows
         "stream_static_join",   # stream-static broadcast enrichment
+        "stream_stream_join",   # watermarked interval join
+        "multimodal_jpeg",      # from-scratch baseline JPEG decode
+        "wds_roundtrip",        # WebDataset tar-shard storage loop
+        "warc_revisit_roundtrip",  # archive-level dedup storage
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

@@ -1287,3 +1287,86 @@ def posting_gap_stats(
             / F.col("bytes_varint").cast("double"), 6
         ).alias("compression_x"),
     )
+
+
+def proximity_topk(
+    docs: DataFrame,
+    queries: dict[int, list[str]],
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Minimal-window proximity ranking (Lucene SpanNear / sloppy
+    phrase, exact edition): for each query, docs containing ALL query
+    terms ranked by the SMALLEST token window that covers one
+    occurrence of every term — the classic positional relevance signal
+    between bag-of-words BM25 and exact `phrase_search`.
+
+    The minimal cover is computed as the min over one-position-per-term
+    combinations of greatest(p…) − least(p…) + 1 — an m-way position
+    join per (query, doc) that both engines state identically. The
+    join is combinatorial in per-doc term frequency (fine at query
+    grain over bounded docs); a 100 TB deployment with stopword-grade
+    query terms swaps this stage for the linear sorted-event sweep
+    over the SAME positional postings — the relation feeding it (and
+    the answer) is unchanged, which is what the oracle pins.
+
+    100 TB shape: the corpus sheds every non-query token scan-side
+    against the BROADCAST vocabulary (the BM25 discipline) before the
+    postings groupBy; everything after runs at (query, matching-doc)
+    grain. Ties rank deterministically (window asc, doc_id asc).
+
+    Reference analog: det-box adjacency scoring before rec fusion
+    (reference: tools/infer/text/predict_system.py:72-90) — geometric
+    closeness as the relevance refinement."""
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    spark = docs.sparkSession
+    vocab = spark.createDataFrame(
+        [(t,) for ts in queries.values() for t in ts], "term string")
+    pp = positional_postings(
+        docs, id_col=id_col, text_col=text_col, vocab=vocab)
+    pos = pp.select(
+        "term", "doc_id", F.explode("positions").alias("pos"))
+    from mindocr_spark.cache import tracked_persist
+
+    pos = tracked_persist(pos)
+    per_query = []
+    for qid, terms in sorted(queries.items()):
+        terms = list(dict.fromkeys(terms))  # a cover needs distinct terms
+        if not terms:
+            raise ValueError(f"query {qid} is empty")
+        j = pos.where(F.col("term") == terms[0]).select(
+            "doc_id", F.col("pos").alias("p0"))
+        for i, t in enumerate(terms[1:], start=1):
+            j = j.join(
+                pos.where(F.col("term") == t).select(
+                    "doc_id", F.col("pos").alias(f"p{i}")),
+                "doc_id",
+            )
+        ps = [F.col(f"p{i}") for i in range(len(terms))]
+        window = (F.greatest(*ps) - F.least(*ps) + 1) if len(ps) > 1 \
+            else F.lit(1)
+        per_query.append(
+            j.select(
+                F.lit(qid).alias("query_id"),
+                "doc_id",
+                window.alias("w"),
+            )
+            .groupBy("query_id", "doc_id")
+            .agg(F.min("w").alias("min_window"))
+        )
+    from functools import reduce
+
+    allq = reduce(DataFrame.unionByName, per_query)
+    rw = Window.partitionBy("query_id").orderBy(
+        F.asc("min_window"), F.asc("doc_id"))
+    return (
+        allq.withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "doc_id",
+            F.col("min_window").cast("bigint").alias("min_window"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -734,3 +734,52 @@ class TestPostingGapStats:
     def test_duplicate_tokens_one_posting(self, spark):
         got = self._run(spark, [(0, "t t t")])
         assert got["t"]["df"] == 1 and got["t"]["bytes_varint"] == 1
+
+
+class TestProximityTopk:
+    def _run(self, spark, rows, queries, k=5):
+        from mindocr_spark.functions.search import proximity_topk
+
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        return {(r["query_id"], r["doc_id"]): (r["min_window"], r["rank"])
+                for r in proximity_topk(df, queries, k=k).collect()}
+
+    def test_minimal_cover_and_ranking(self, spark):
+        rows = [
+            (1, "a x x x b"),        # window 5
+            (2, "x a b x"),          # window 2
+            (3, "b x a"),            # order-free: window 3
+            (4, "a only here"),      # missing b -> excluded
+            (5, "a x b x x a"),      # best cover uses the SECOND a? a..b=3, b..a2? b at 2,a at 5 ->  window 4; min 3
+        ]
+        got = self._run(spark, rows, {0: ["a", "b"]})
+        assert got[(0, 2)][0] == 2 and got[(0, 2)][1] == 1
+        assert got[(0, 3)][0] == 3
+        assert got[(0, 5)][0] == 3
+        assert got[(0, 1)][0] == 5
+        assert (0, 4) not in got
+        # rank ties break on doc_id: docs 3 and 5 share window 3
+        assert got[(0, 3)][1] == 2 and got[(0, 5)][1] == 3
+
+    def test_three_term_cover(self, spark):
+        rows = [(1, "c x a x b"), (2, "a b c"), (3, "a b x")]
+        got = self._run(spark, rows, {7: ["a", "b", "c"]})
+        assert got[(7, 2)] == (3, 1)
+        assert got[(7, 1)] == (5, 2)
+        assert (7, 3) not in got
+
+    def test_duplicate_query_terms_collapse(self, spark):
+        rows = [(1, "a x b")]
+        got = self._run(spark, rows, {0: ["a", "a", "b"]})
+        assert got[(0, 1)][0] == 3
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from mindocr_spark.functions.search import proximity_topk
+
+        df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+        with _pytest.raises(ValueError):
+            proximity_topk(df, {0: ["a"]}, k=0)
+        with _pytest.raises(ValueError):
+            proximity_topk(df, {0: []})
