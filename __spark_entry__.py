@@ -5374,6 +5374,63 @@ _PROX_QUERIES = {
 }
 
 
+def q_wordpiece_apply(spark, sf_dir):
+    """WordPiece greedy longest-match tokenization at distinct-word
+    grain (the BERT-family tokenizer beside the BPE stack): pinned
+    initial/##continuation vocabulary, set-based greedy loop, piece
+    count + segmentation per surface form."""
+    from mindocr_spark.functions.text import wordpiece_apply
+
+    return wordpiece_apply(_t(spark, sf_dir, "documents")).orderBy("word")
+
+
+def _wordpiece_oracle() -> str:
+    """Twin of `text.wordpiece_apply`: the greedy cursor walk as a
+    recursive CTE; 'longest match' is stated aggregation-free via
+    NOT EXISTS (a longer matching piece) — legal inside a recursive
+    term where max() is not."""
+    from mindocr_spark.functions.text import (
+        WORDPIECE_CONT,
+        WORDPIECE_INITIAL,
+    )
+
+    voc = ", ".join(
+        [f"('{p}', false)" for p in dict.fromkeys(WORDPIECE_INITIAL)]
+        + [f"('{p}', true)" for p in dict.fromkeys(WORDPIECE_CONT)]
+    )
+    return f"""
+        WITH RECURSIVE
+        voc(piece, pcont) AS (VALUES {voc}),
+        words AS (
+          SELECT DISTINCT unnest(string_split(trim(regexp_replace(
+                   text,'[ \t\n\r\f\x0B]+',' ','g')),' ')) AS word
+          FROM documents WHERE trim(text) <> ''),
+        walk(word, pos, pieces, n) AS (
+          SELECT word, 1, '', 0 FROM words WHERE word <> ''
+          UNION ALL
+          SELECT s.word, s.pos + length(v.piece),
+                 s.pieces
+                   || CASE WHEN s.pos = 1 THEN v.piece
+                           ELSE '##' || v.piece END || ' ',
+                 s.n + 1
+          FROM walk s
+          JOIN voc v
+            ON v.pcont = (s.pos > 1)
+           AND substr(s.word, s.pos, length(v.piece)) = v.piece
+          WHERE s.pos <= length(s.word)
+            AND NOT EXISTS (
+              SELECT 1 FROM voc v2
+              WHERE v2.pcont = (s.pos > 1)
+                AND length(v2.piece) > length(v.piece)
+                AND substr(s.word, s.pos, length(v2.piece)) = v2.piece))
+        SELECT word,
+               CAST(n AS BIGINT) AS n_pieces,
+               rtrim(pieces) AS pieces
+        FROM walk
+        WHERE pos = length(word) + 1
+        ORDER BY word"""
+
+
 def q_proximity_topk(spark, sf_dir):
     """Minimal-window proximity ranking (SpanNear): docs containing
     ALL query terms ranked by the smallest token window covering one
@@ -5757,17 +5814,23 @@ def _gsp_oracle(ms: int = _GSP_MIN_SUPPORT) -> str:
           WHERE EXISTS (SELECT 1 FROM pairs p3
                         WHERE p3.t1 = p1.t1 AND p3.t2 = p2.t2)),
         triples AS (
-          SELECT c.ca, c.cb, c.cc,
-                 count(DISTINCT m.user_id) AS support
+          -- drive from candidates × per-user envelopes (bounded at
+          -- |cand3|·users) and probe the big ranked relation with an
+          -- EXISTS semi-join: stating this as plain 4-way joins lets
+          -- the planner defer the cross-CTE type-equality predicates
+          -- and materialize ranked × env (measured: 74 GB of DuckDB
+          -- spill at sf1)
+          SELECT c.ca, c.cb, c.cc, count(*) AS support
           FROM cand3 c
-          JOIN ranked m ON m.event_type = c.cb
-          JOIN env ea ON ea.user_id = m.user_id
-                     AND ea.event_type = c.ca
-          JOIN env ec ON ec.user_id = m.user_id
-                     AND ec.event_type = c.cc
-          WHERE m.r > ea.min_r AND m.r < ec.max_r
+          JOIN env ea ON ea.event_type = c.ca
+          JOIN env ec ON ec.event_type = c.cc
+                     AND ec.user_id = ea.user_id
+          WHERE EXISTS (
+            SELECT 1 FROM ranked m
+            WHERE m.user_id = ea.user_id AND m.event_type = c.cb
+              AND m.r > ea.min_r AND m.r < ec.max_r)
           GROUP BY c.ca, c.cb, c.cc
-          HAVING count(DISTINCT m.user_id) >= {ms})
+          HAVING count(*) >= {ms})
         SELECT t1 || '>' || t2 AS pattern,
                CAST(2 AS BIGINT) AS k,
                CAST(support AS BIGINT) AS support
@@ -7812,6 +7875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_figures": _q(q_extract_figures),
         "posting_stats": _q(q_posting_stats),
         "proximity_topk": _q(q_proximity_topk),
+        "wordpiece_apply": _q(q_wordpiece_apply),
         "stream_static_join": _q(q_stream_static_join),
         "stream_stream_join": _q(q_stream_stream_join),
         "warc_revisit_roundtrip": _q(q_warc_revisit_roundtrip),
@@ -9772,6 +9836,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_figures": _EXTRACT_FIGURES_ORACLE,
         "posting_stats": _POSTING_STATS_ORACLE,
         "proximity_topk": _proximity_oracle(),
+        "wordpiece_apply": _wordpiece_oracle(),
         "stream_static_join": _STREAM_STATIC_JOIN_ORACLE,
         "stream_stream_join": _STREAM_STREAM_JOIN_ORACLE,
         "warc_revisit_roundtrip": _warc_revisit_oracle(),

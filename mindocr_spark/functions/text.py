@@ -3026,3 +3026,113 @@ def texttile_boundaries(
         "dot", "na", "nb",
         is_b.alias("is_boundary"),
     )
+
+
+#: Pinned WordPiece vocabulary (initial pieces / ##continuations).
+#: Single letters appear in BOTH forms so every lowercase word is
+#: coverable (no [UNK] dead ends); the multi-character pieces make
+#: greedy longest-match non-trivial on the corpus vocabulary.
+WORDPIECE_INITIAL = tuple(
+    [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + ["ha", "me", "ta", "sc", "wi", "so", "cu", "st", "va", "ve",
+       "gr", "qu", "fi", "jo", "or", "ba", "sm", "sl", "fa", "bi",
+       "ke", "li", "ro", "co", "da", "du", "ag", "pa", "sp"]
+)
+WORDPIECE_CONT = tuple(
+    [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + ["sh", "rge", "ble", "an", "ndow", "rt", "ream", "lue", "ctor",
+       "oup", "ery", "lter", "in", "der", "tch", "all", "ow", "ta",
+       "lumn", "mer", "rk", "ue"]
+)
+
+
+def wordpiece_apply(
+    df: DataFrame,
+    text_col: str = "text",
+    initial: tuple[str, ...] = WORDPIECE_INITIAL,
+    cont: tuple[str, ...] = WORDPIECE_CONT,
+    max_iters: int = 64,
+) -> DataFrame:
+    """WordPiece greedy longest-match tokenization (the BERT-family
+    tokenizer, complementing the Sennrich BPE stack): each distinct
+    corpus word is segmented left-to-right, always taking the LONGEST
+    vocabulary piece at the cursor — initial pieces at position 1,
+    ``##``-continuation pieces after. Returns one row per distinct
+    word: (word, n_pieces, pieces) — the vocabulary-pricing relation
+    (how many subwords the tokenizer charges for each surface form).
+
+    Greedy selection is set-based, not per-row Python: one iteration
+    per consumed piece, each a BROADCAST substring-match join of the
+    active cursor states against the vocabulary + a max_by(piece,
+    length) pick (two pieces of equal length matching the same cursor
+    are the same string, so the pick is deterministic); states
+    localCheckpoint per round so the plan stays constant-size. A word
+    whose cursor strands (no piece matches) raises — with single
+    characters in both vocab halves that is unreachable, and the
+    guard keeps a vocabulary edit from silently dropping words.
+
+    100 TB shape: segmentation runs at DISTINCT-WORD grain (Heaps-law
+    sublinear in corpus size, the `bpe_vocab` discipline) — the
+    corpus-wide explode collapses to the word dictionary first;
+    iterations are bounded by the longest word, not by corpus size."""
+    spark = df.sparkSession
+    toks = tokens_col(text_col)
+    words = df.select(F.explode(toks).alias("word")).where(
+        F.col("word") != "").distinct().localCheckpoint()
+    n_words = words.count()
+    voc = spark.createDataFrame(
+        [(p, False) for p in dict.fromkeys(initial)]
+        + [(p, True) for p in dict.fromkeys(cont)],
+        "piece string, pcont boolean",
+    )
+    state = words.select(
+        "word",
+        F.lit(1).alias("pos"),
+        F.lit("").alias("pieces"),
+        F.lit(0).alias("n"),
+    )
+    finished = []
+    for _ in range(max_iters):
+        done = state.where(F.col("pos") > F.length("word"))
+        if not done.isEmpty():
+            finished.append(done.localCheckpoint())
+        active = state.where(
+            F.col("pos") <= F.length("word")).localCheckpoint()
+        if active.isEmpty():
+            break
+        cands = active.join(
+            F.broadcast(voc),
+            (F.col("pcont") == (F.col("pos") > 1))
+            & (F.expr("substring(word, pos, length(piece))")
+               == F.col("piece")),
+        )
+        state = (
+            cands.groupBy("word", "pos", "pieces", "n")
+            .agg(F.max_by("piece", F.length("piece")).alias("m"))
+            .select(
+                "word",
+                (F.col("pos") + F.length("m")).alias("pos"),
+                F.concat(
+                    "pieces",
+                    F.when(F.col("pos") == 1, F.col("m"))
+                    .otherwise(F.concat(F.lit("##"), F.col("m"))),
+                    F.lit(" "),
+                ).alias("pieces"),
+                (F.col("n") + 1).alias("n"),
+            )
+            .localCheckpoint()
+        )
+    else:
+        raise ValueError(f"word longer than {max_iters} pieces")
+    from functools import reduce
+
+    out = reduce(DataFrame.union, finished) if finished else state.limit(0)
+    out = out.select(
+        "word",
+        F.col("n").cast("bigint").alias("n_pieces"),
+        F.rtrim(F.col("pieces")).alias("pieces"),
+    )
+    if out.count() != n_words:
+        raise ValueError(
+            "vocabulary cannot cover every word (stranded cursor)")
+    return out

@@ -1979,3 +1979,39 @@ class TestTextTile:
 
         with _pytest.raises(ValueError):
             self._run(spark, ["x"], k_tiles=4, w=2)
+
+
+class TestWordPiece:
+    def _run(self, spark, texts, **kw):
+        from mindocr_spark.functions.text import wordpiece_apply
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id bigint, text string",
+        )
+        return {r["word"]: (r["n_pieces"], r["pieces"])
+                for r in wordpiece_apply(df, **kw).collect()}
+
+    def test_greedy_longest_match(self, spark):
+        got = self._run(
+            spark, ["window table hash"],
+            initial=("w", "wi", "wind", "t", "ta", "h", "ha", "a",
+                     "b", "l", "e", "n", "d", "o", "s"),
+            cont=("a", "b", "l", "e", "n", "d", "o", "w", "s", "h",
+                  "ow", "ble", "sh"),
+        )
+        assert got["window"] == (2, "wind ##ow")      # wind > wi > w
+        assert got["table"] == (2, "ta ##ble")
+        assert got["hash"] == (2, "ha ##sh")
+
+    def test_single_char_fallback_and_word_grain(self, spark):
+        got = self._run(spark, ["zq zq zq"],
+                        initial=("z", "q"), cont=("q",))
+        # distinct-word grain: one row despite three occurrences
+        assert got == {"zq": (2, "z ##q")}
+
+    def test_stranded_cursor_raises(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            self._run(spark, ["abc"], initial=("a",), cont=("b",))
