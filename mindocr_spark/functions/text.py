@@ -3034,12 +3034,14 @@ def texttile_boundaries(
 #: greedy longest-match non-trivial on the corpus vocabulary.
 WORDPIECE_INITIAL = tuple(
     [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + [str(d) for d in range(10)] + ["~"]
     + ["ha", "me", "ta", "sc", "wi", "so", "cu", "st", "va", "ve",
        "gr", "qu", "fi", "jo", "or", "ba", "sm", "sl", "fa", "bi",
        "ke", "li", "ro", "co", "da", "du", "ag", "pa", "sp"]
 )
 WORDPIECE_CONT = tuple(
     [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + [str(d) for d in range(10)] + ["~"]
     + ["sh", "rge", "ble", "an", "ndow", "rt", "ream", "lue", "ctor",
        "oup", "ery", "lter", "in", "der", "tch", "all", "ow", "ta",
        "lumn", "mer", "rk", "ue"]
