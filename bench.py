@@ -293,6 +293,8 @@ def main() -> None:
         "multimodal_jpeg",      # from-scratch baseline JPEG decode
         "wds_roundtrip",        # WebDataset tar-shard storage loop
         "warc_revisit_roundtrip",  # archive-level dedup storage
+        "proximity_topk",       # minimal-window SpanNear ranking
+        "wordpiece_apply",      # WordPiece greedy tokenizer
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2
