@@ -5750,15 +5750,18 @@ def q_stream_session_windows(spark, sf_dir):
 
 _STREAM_SESSION_ORACLE = """
     WITH o AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts > lag(ts) OVER w + INTERVAL 1800 SECOND
                   THEN 1 ELSE 0 END AS brk
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     s AS (
+      -- the cumsum window must use the SAME (ts, event_id) total
+      -- order as brk: ts-only peer order is unspecified and could
+      -- split a tied pair across a session boundary
       SELECT user_id, ts,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS UNBOUNDED PRECEDING) AS sid
       FROM o)
     SELECT user_id,

@@ -36,7 +36,9 @@ _ORIGIN_RE = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
 
 
 def _attr(tag: Column, name: str) -> Column:
-    return F.regexp_extract(tag, f'{name}="([^"]*)"', 1)
+    # leading whitespace anchor: without it, name="alt" would match
+    # INSIDE data-alt="…" (lazy-loader crawl HTML) and steal the value
+    return F.regexp_extract(tag, f'\\s{name}="([^"]*)"', 1)
 
 
 def _ws_norm(c: Column) -> Column:
@@ -60,8 +62,12 @@ def _best_src(tag: Column) -> Column:
             ),
         )
     )
-    return F.when(F.size(cands) > 0, best["u"]).otherwise(
+    raw = F.when(F.size(cands) > 0, best["u"]).otherwise(
         _attr(tag, "src"))
+    # NULL (not "") when the tag has no usable source — otherwise
+    # resolve_href('') would fabricate origin + "/" for a source-less
+    # or img-less figure and a phantom pair would survive the filters
+    return F.when(raw != "", raw)
 
 
 def extract_figures(

@@ -1067,7 +1067,11 @@ def _reach_closure(
         )
         if nxt.isEmpty():
             break
-        reached = reached.union(nxt).distinct().localCheckpoint()
+        # nxt is anti-joined against reached and internally distinct —
+        # plain union stays exact with O(frontier), not O(reached),
+        # work per round (a .distinct() here would re-shuffle the whole
+        # accumulated set every round for a no-op)
+        reached = reached.union(nxt).localCheckpoint()
         frontier = nxt
     return reached
 

@@ -3094,7 +3094,8 @@ def wordpiece_apply(
         F.lit(0).alias("n"),
     )
     finished = []
-    for _ in range(max_iters):
+    rounds = 0
+    while True:
         done = state.where(F.col("pos") > F.length("word"))
         if not done.isEmpty():
             finished.append(done.localCheckpoint())
@@ -3102,6 +3103,11 @@ def wordpiece_apply(
             F.col("pos") <= F.length("word")).localCheckpoint()
         if active.isEmpty():
             break
+        # bound check AFTER the done-collection: a word consuming its
+        # final piece in round max_iters must still be collected
+        if rounds >= max_iters:
+            raise ValueError(f"word longer than {max_iters} pieces")
+        rounds += 1
         cands = active.join(
             F.broadcast(voc),
             (F.col("pcont") == (F.col("pos") > 1))
@@ -3124,8 +3130,6 @@ def wordpiece_apply(
             )
             .localCheckpoint()
         )
-    else:
-        raise ValueError(f"word longer than {max_iters} pieces")
     from functools import reduce
 
     out = reduce(DataFrame.union, finished) if finished else state.limit(0)

@@ -1040,9 +1040,9 @@ def gsp_patterns(
         .where((F.col("r") > F.col("min_a"))
                & (F.col("r") < F.col("max_c")))
         .select("user_id", "ca", "cb", "cc")
-        .distinct()
+        .distinct()  # rows now unique per (pattern, user) …
         .groupBy("ca", "cb", "cc")
-        .agg(F.count_distinct("user_id").alias("support"))
+        .agg(F.count("*").alias("support"))  # … so count IS the support
         .where(F.col("support") >= min_support)
     )
     two = pairs.select(

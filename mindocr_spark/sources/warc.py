@@ -546,7 +546,8 @@ def write_warc_dir_deduped(pages: DataFrame, out_dir: str,
         .agg(F.sum("n_resp").alias("r"), F.sum("n_rev").alias("v"))
         .collect()[0]
     )
-    return int(agg["r"]), int(agg["v"])
+    # empty input → zero groups → NULL sums
+    return int(agg["r"] or 0), int(agg["v"] or 0)
 
 
 WARC_RECORDS_SCHEMA = (

@@ -84,3 +84,31 @@ def test_figure_img_never_double_counts(spark):
     out = interleaved_media(
         _pages(spark, [("https://h.example/", html)])).collect()
     assert len(out) == 1 and out[0]["kind"] == "image"
+
+
+def test_imgless_figure_and_sourceless_img_dropped(spark):
+    """Review regression: a figure with no <img> (or an img with no
+    src/srcset) must NOT fabricate origin+'/' as an image URL."""
+    from mindocr_spark.functions.figures import (
+        extract_figures,
+        interleaved_media,
+    )
+
+    html = ('<figure><figcaption>Table 1: results</figcaption></figure>'
+            '<img alt="floating alt, no src">')
+    pages = _pages(spark, [("https://h.example/p", html)])
+    assert extract_figures(pages).count() == 0
+    assert interleaved_media(pages).where("kind = 'image'").count() == 0
+
+
+def test_data_alt_attribute_not_stolen(spark):
+    """Review regression: data-alt / data-srcset must not satisfy the
+    alt / srcset attribute extraction."""
+    from mindocr_spark.functions.figures import extract_figures
+
+    html = ('<img data-alt="thumb" src="/a.jpg" alt="real caption">'
+            '<img data-srcset="tiny.jpg 10w" src="/full.jpg" alt="y">')
+    out = {r["alt"]: r["img_url"] for r in extract_figures(
+        _pages(spark, [("https://h.example/", html)])).collect()}
+    assert "real caption" in out
+    assert out["y"] == "https://h.example/full.jpg"

@@ -2015,3 +2015,23 @@ class TestWordPiece:
 
         with _pytest.raises(ValueError):
             self._run(spark, ["abc"], initial=("a",), cont=("b",))
+
+
+class TestWordPieceBound:
+    def test_word_of_exactly_max_iters_pieces_is_collected(self, spark):
+        """Review regression: a word consuming its final piece in round
+        max_iters must be collected, not rejected."""
+        from mindocr_spark.functions.text import wordpiece_apply
+
+        df = spark.createDataFrame([(1, "abcd")],
+                                   "doc_id bigint, text string")
+        got = {r["word"]: r["n_pieces"] for r in wordpiece_apply(
+            df, initial=("a", "b", "c", "d"),
+            cont=("a", "b", "c", "d"), max_iters=4).collect()}
+        assert got == {"abcd": 4}
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            wordpiece_apply(df, initial=("a", "b", "c", "d"),
+                            cont=("a", "b", "c", "d"),
+                            max_iters=3).collect()

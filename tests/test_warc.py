@@ -347,3 +347,10 @@ class TestRevisitRecords:
             "https://m.example/", 0, "d" * 32, "https://o.example/")
         [parsed] = parse_warc_with_revisits(rec)
         assert parsed["is_revisit"] and parsed["digest"] == "d" * 32
+
+    def test_empty_input_writes_nothing(self, spark, tmp_path):
+        from mindocr_spark.sources.warc import write_warc_dir_deduped
+
+        empty = self._pages(spark, [])
+        assert write_warc_dir_deduped(
+            empty, str(tmp_path / "w0"), n_files=2) == (0, 0)
