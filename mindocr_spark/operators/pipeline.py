@@ -334,6 +334,7 @@ def write_results_wap(
     run_id: str = "run-0",
     audit=None,
     keep_snapshots: int = 2,
+    partition_by: tuple[str, ...] = (),
 ) -> bool:
     """Write-audit-publish sink — the Iceberg WAP commit discipline
     (stage to a branch → validate → fast-forward main; SURVEY §1.4/§4)
@@ -393,7 +394,15 @@ def write_results_wap(
 
     data_dir = f"{path}/{_DATA_DIR}/{run_id}"
     observed, obs = _observe_metrics(result, run_id)
-    observed.write.mode("overwrite").parquet(data_dir)
+    w = observed.write.mode("overwrite")
+    if partition_by:
+        # Hive-layout partition dirs inside the immutable run dir: a
+        # reader resolving through the manifest gets partition PRUNING
+        # for free (the scan's PartitionFilters — plan-asserted in
+        # tests), the Iceberg partition-spec analog. The manifest
+        # records the spec so readers/compactors can see the layout.
+        w = w.partitionBy(*partition_by)
+    w.parquet(data_dir)
     g = _harvest(obs)
     if not audit(g):
         return False  # no manifest written; previous snapshot still live
@@ -407,6 +416,7 @@ def write_results_wap(
 
     _write_manifest(fs, path, run_id, {
         "data_dir": run_id,
+        "partition_by": list(partition_by),
         "counters": {k: (float(v) if k == "boilerplate_ratio" else int(v))
                      for k, v in g.items()},
     })

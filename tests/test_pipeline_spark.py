@@ -386,3 +386,34 @@ def test_compaction_executes_plan_and_commits_new_snapshot(spark, tmp_path):
     assert not compact_published(spark, out, run_id="c2",
                                  target_bytes=1 << 30)
     assert len(list_snapshots(spark, out)) == len(snaps)
+
+
+def test_partitioned_wap_snapshot_prunes_partitions(spark, tmp_path):
+    """write_results_wap(partition_by=('lang',)) lays the run dir out
+    Hive-style; a reader resolving through the manifest and filtering
+    on lang must show partition PRUNING in the scan (PartitionFilters),
+    and the manifest records the partition spec."""
+    from mindocr_spark.corpus import pages_dataframe
+    from mindocr_spark.operators.pipeline import (
+        list_snapshots,
+        read_published,
+        run_extraction,
+        write_results_wap,
+    )
+
+    out, metrics = str(tmp_path / "out"), str(tmp_path / "metrics")
+    good = run_extraction(pages_dataframe(spark, 30, seed=9))
+    assert write_results_wap(good, out, metrics, run_id="p1",
+                             partition_by=("lang",))
+    assert list_snapshots(spark, out)[-1]["partition_by"] == ["lang"]
+    df = read_published(spark, out)
+    langs = {r["lang"] for r in df.select("lang").distinct().collect()}
+    assert len(langs) >= 2  # corpus spans languages -> real partitions
+    some = sorted(langs)[0]
+    plan = (df.where(df["lang"] == some)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    # and the filtered read returns exactly that partition's rows
+    n_all = df.count()
+    n_part = df.where(df["lang"] == some).count()
+    assert 0 < n_part < n_all
