@@ -5772,6 +5772,36 @@ _STREAM_SESSION_ORACLE = """
     ORDER BY user_id, session_start"""
 
 
+def q_burst_windows(spark, sf_dir):
+    """Peak sliding 1-hour request rate per user (the anchored-window
+    burst metric the tumbling twin halves at boundaries): one RANGE
+    window over integer epoch seconds, deterministic earliest-peak
+    anchor via an exact integer priority."""
+    from mindocr_spark.functions.traffic import burst_windows
+
+    return burst_windows(_t(spark, sf_dir, "events")).orderBy("user_id")
+
+
+_BURST_WINDOWS_ORACLE = """
+    WITH e AS (
+      SELECT user_id, ts,
+             date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+               AS ep
+      FROM events),
+    c AS (
+      SELECT user_id, ts, ep,
+             count(*) OVER (PARTITION BY user_id ORDER BY ep
+                            RANGE BETWEEN CURRENT ROW
+                                  AND 3599 FOLLOWING) AS n
+      FROM e)
+    SELECT user_id,
+           CAST(max(n) AS BIGINT) AS peak,
+           max_by(ts, n * 4294967296 + (4294967296 - ep)) AS peak_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM c GROUP BY user_id
+    ORDER BY user_id"""
+
+
 #: GSP support floor for the contract query — chosen to actually prune
 #: (≈ 2/5 of the sf0.01 user base), while the algorithm itself takes
 #: any floor ≥ 1.
@@ -7873,6 +7903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie_structure": _q(q_bowtie_structure),
         "ddsketch_quantiles": _q(q_ddsketch_quantiles),
         "gsp_patterns": _q(q_gsp_patterns),
+        "burst_windows": _q(q_burst_windows),
         "stream_session_windows": _q(q_stream_session_windows),
         "texttile_segments": _q(q_texttile_segments),
         "extract_figures": _q(q_extract_figures),
@@ -9834,6 +9865,7 @@ def oracle_sql() -> dict[str, str]:
         "bowtie_structure": _bowtie_oracle(),
         "ddsketch_quantiles": _ddsketch_oracle(),
         "gsp_patterns": _gsp_oracle(),
+        "burst_windows": _BURST_WINDOWS_ORACLE,
         "stream_session_windows": _STREAM_SESSION_ORACLE,
         "texttile_segments": _TEXTTILE_ORACLE,
         "extract_figures": _EXTRACT_FIGURES_ORACLE,

@@ -295,6 +295,7 @@ def main() -> None:
         "warc_revisit_roundtrip",  # archive-level dedup storage
         "proximity_topk",       # minimal-window SpanNear ranking
         "wordpiece_apply",      # WordPiece greedy tokenizer
+        "burst_windows",        # anchored sliding burst metric
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

@@ -1056,3 +1056,43 @@ def gsp_patterns(
         F.col("support").cast("bigint").alias("support"),
     )
     return two.unionByName(three)
+
+
+def burst_windows(events: DataFrame, window_sec: int = 3600) -> DataFrame:
+    """Peak SLIDING-window request rate per user: the maximum number of
+    events inside any `window_sec` interval [t, t+window) anchored at
+    an event — the flash-crowd / burst-bot metric the tumbling
+    `windowed_counts` twin cannot see (a burst straddling a tumbling
+    boundary halves; an anchored sliding count does not miss it).
+
+    Exact: one RANGE window frame over integer epoch seconds
+    (rangeBetween(0, window−1) ⇔ ts' ∈ [t, t+window) at second grain),
+    then one groupBy with max + a deterministic argmax — the earliest
+    window start achieving the peak, carried through an exact integer
+    priority n·2³² + (2³² − epoch) so both engines pick the same
+    anchor without a composite max_by.
+
+    100 TB shape: ONE Exchange on the user key carries the range
+    window; the groupBy reduces at user grain with map-side partials.
+    Ties in ts are frame PEERS (range frame, not rows) — the count is
+    order-independent, no tie-break needed where it cannot matter."""
+    if window_sec < 1:
+        raise ValueError(f"need window_sec >= 1, got {window_sec}")
+    ep = epoch_sec("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ep)
+        .rangeBetween(0, window_sec - 1)
+    )
+    n = F.count("*").over(w)
+    pri = n * F.lit(4294967296) + (F.lit(4294967296) - ep)
+    per_event = events.select(
+        "user_id", "ts",
+        n.alias("n_in_window"),
+        pri.alias("pri"),
+    )
+    return per_event.groupBy("user_id").agg(
+        F.max("n_in_window").cast("bigint").alias("peak"),
+        F.max_by("ts", "pri").alias("peak_start"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )

@@ -822,3 +822,38 @@ class TestGSPPatterns:
 
         with pytest.raises(ValueError):
             gsp_patterns(self._ev(spark, []), min_support=0)
+
+
+class TestBurstWindows:
+    def _run(self, spark, rows, **kw):
+        from mindocr_spark.functions.traffic import burst_windows
+
+        base = dt.datetime(2024, 1, 1)
+        data = [(u, e, base + dt.timedelta(seconds=s), "t", 1.0, "{}")
+                for (u, e, s) in rows]
+        df = spark.createDataFrame(
+            data, "user_id bigint, event_id bigint, ts timestamp_ntz,"
+                  " event_type string, value double, props string")
+        return {r["user_id"]: r for r in burst_windows(df, **kw).collect()}
+
+    def test_straddling_burst_not_halved(self, spark):
+        # 4 events inside [3000, 3000+3600) straddle the [0,3600)/[3600,
+        # 7200) tumbling boundary; the anchored window sees all 4
+        rows = [(1, i, 3000 + i * 600) for i in range(4)]
+        got = self._run(spark, rows)
+        assert got[1]["peak"] == 4
+        assert got[1]["peak_start"] == dt.datetime(2024, 1, 1, 0, 50)
+
+    def test_window_is_half_open_and_anchor_earliest(self, spark):
+        # events at 0, 3599 are inside [0, 3600); 3600 is NOT
+        rows = [(1, 1, 0), (1, 2, 3599), (1, 3, 3600)]
+        got = self._run(spark, rows)
+        assert got[1]["peak"] == 2
+        # windows [0,·) and [3599,·) both hold 2 -> earliest anchors
+        assert got[1]["peak_start"] == dt.datetime(2024, 1, 1)
+
+    def test_guard(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            self._run(spark, [(1, 1, 0)], window_sec=0)
