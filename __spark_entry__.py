@@ -152,28 +152,33 @@ def q_warc_revisit_roundtrip(spark, sf_dir):
     full extraction. The oracle states every page's extracted text from
     the base document's text: only a correct dedup-write + resolve
     round trip can reproduce it."""
-    import tempfile
-
+    from mindocr_spark.sources import content_keyed_fixture_dir
+    from mindocr_spark.sources import pages as pages_mod
     from mindocr_spark.sources.pages import pages_from_documents
     from mindocr_spark.sources.warc import (
         read_warc_resolved,
         write_warc_dir_deduped,
     )
 
-    pages = pages_from_documents(spark, sf_dir)
-    base_id = F.col("doc_id") - F.when(
-        F.pmod(F.col("doc_id"), F.lit(4)) == 3, 1).otherwise(0)
-    own = pages.select("doc_id", "url", "warc_ts").withColumn(
-        "b_id", base_id)
-    content = pages.select(
-        F.col("doc_id").alias("b_id"),
-        F.col("html").alias("html"),
-        F.col("lang").alias("lang"),
+    def build(out_dir: str) -> None:
+        pages = pages_from_documents(spark, sf_dir)
+        base_id = F.col("doc_id") - F.when(
+            F.pmod(F.col("doc_id"), F.lit(4)) == 3, 1).otherwise(0)
+        own = pages.select("doc_id", "url", "warc_ts").withColumn(
+            "b_id", base_id)
+        content = pages.select(
+            F.col("doc_id").alias("b_id"),
+            F.col("html").alias("html"),
+            F.col("lang").alias("lang"),
+        )
+        planted = own.join(content, "b_id").select(
+            "url", "warc_ts", "html", "lang")
+        write_warc_dir_deduped(planted, out_dir)
+
+    out_dir = content_keyed_fixture_dir(
+        "mindocr_warc_dedup", sf_dir, (__file__, pages_mod.__file__),
+        build,
     )
-    planted = own.join(content, "b_id").select(
-        "url", "warc_ts", "html", "lang")
-    out_dir = tempfile.mkdtemp(prefix="warc_dedup_")
-    write_warc_dir_deduped(planted, out_dir)
     resolved = read_warc_resolved(spark, out_dir)
     return run_extraction(resolved).select(
         "url", "extracted_text"
@@ -5249,8 +5254,6 @@ def q_stream_static_join(spark, sf_dir):
     side is planned per batch, not snapshotted into state), then a
     per-(mktsegment, event_type) streaming aggregation; availableNow
     drain in complete mode, batch-join oracle."""
-    import shutil
-    import tempfile
     import uuid
 
     from mindocr_spark.streaming.windows import (
@@ -5259,9 +5262,8 @@ def q_stream_static_join(spark, sf_dir):
     )
 
     _ensure_worker_imports(spark)
-    stage = tempfile.mkdtemp(prefix="stream_join_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
-    stream = read_events_stream(spark, stage, max_files=1)
+    stream = read_events_stream(
+        spark, _staged_events_dir(sf_dir), max_files=1)
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
@@ -5304,8 +5306,6 @@ def q_stream_stream_join(spark, sf_dir):
     hazard of stream-stream joins, bounded). Inner-join matches emit as
     both sides arrive; availableNow drain equals the batch interval
     self-join the oracle computes."""
-    import shutil
-    import tempfile
     import uuid
 
     from mindocr_spark.streaming.windows import (
@@ -5314,8 +5314,7 @@ def q_stream_stream_join(spark, sf_dir):
     )
 
     _ensure_worker_imports(spark)
-    stage = tempfile.mkdtemp(prefix="stream_ssj_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    stage = _staged_events_dir(sf_dir)
     views = (
         read_events_stream(spark, stage, max_files=1)
         .where(F.col("event_type") == "view")
@@ -5715,6 +5714,29 @@ _TEXTTILE_ORACLE = r"""
     ORDER BY doc_id, gap"""
 
 
+def _staged_events_dir(sf_dir: str) -> str:
+    """Idempotent file-stream staging for the events table: file
+    sources need a DIRECTORY, so the single parquet file is copied once
+    into a content-keyed fixture dir (the synth_warc_dir discipline —
+    repeated driver/bench invocations reuse it instead of accumulating
+    mkdtemp copies). The parquet lives under data/ so the fixture
+    marker never enters the stream reader's glob."""
+    import shutil
+
+    from mindocr_spark.sources import content_keyed_fixture_dir
+
+    def build(out_dir: str) -> None:
+        import os
+
+        os.makedirs(f"{out_dir}/data", exist_ok=True)
+        shutil.copy(f"{sf_dir}/events.parquet",
+                    f"{out_dir}/data/events.parquet")
+
+    return content_keyed_fixture_dir(
+        "mindocr_events_stream", sf_dir, (__file__,), build
+    ) + "/data"
+
+
 def q_stream_session_windows(spark, sf_dir):
     """Native STREAMING session windows run through the driver
     contract: events replayed as a file stream (one file per
@@ -5733,14 +5755,8 @@ def q_stream_session_windows(spark, sf_dir):
     )
 
     _ensure_worker_imports(spark)
-    # file streams need a DIRECTORY source; stage the single parquet
-    # file into a temp dir (the replay-from-landing-zone shape)
-    import shutil
-    import tempfile
-
-    stage = tempfile.mkdtemp(prefix="stream_sess_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
-    stream = read_events_stream(spark, stage, max_files=1)
+    stream = read_events_stream(
+        spark, _staged_events_dir(sf_dir), max_files=1)
     sessions = session_windows_stream(stream)
     out = drain_to_memory(
         sessions, f"sess_{uuid.uuid4().hex[:12]}", "complete"
