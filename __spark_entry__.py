@@ -5788,6 +5788,76 @@ _STREAM_SESSION_ORACLE = """
     ORDER BY user_id, session_start"""
 
 
+def q_hll_distinct(spark, sf_dir):
+    """From-scratch HyperLogLog over distinct users per event type:
+    md5-prefix hash → 64 registers whose state (S, R, V) is
+    bit-checkable cross-engine; the estimate is one pinned division of
+    exact operands. The sketch that Spark's built-in HLL++ can never
+    oracle, rebuilt so it can."""
+    from mindocr_spark.functions.sketches import hll_distinct
+
+    return hll_distinct(
+        _t(spark, sf_dir, "events"), "event_type", "user_id"
+    ).orderBy("event_type")
+
+
+def _hll_oracle() -> str:
+    from mindocr_spark.functions.sketches import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_RANK_BITS,
+    )
+
+    rb = HLL_RANK_BITS
+    mask = (1 << rb) - 1
+    alpha_m2 = repr(HLL_ALPHA * HLL_M * HLL_M)
+    return f"""
+        WITH vals AS (
+          SELECT DISTINCT event_type AS g,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                 1, 8))::BIGINT AS h
+          FROM events WHERE user_id IS NOT NULL),
+        jr AS (
+          SELECT g, h // {1 << rb} AS j,
+                 CASE WHEN (h & {mask}) = 0 THEN {rb + 1}
+                      ELSE {rb} - length(bin(h & {mask})) + 1
+                 END AS rank
+          FROM vals),
+        regs AS (
+          SELECT g, j, max(rank) AS m_j FROM jr GROUP BY g, j),
+        per_g AS (
+          SELECT g, max(m_j) AS max_rank, count(*) AS n_regs
+          FROM regs GROUP BY g),
+        socc AS (
+          SELECT r.g,
+                 sum((CAST(1 AS BIGINT) << CAST(p.max_rank - r.m_j
+                                                AS INT))) AS s_occ
+          FROM regs r JOIN per_g p ON r.g = p.g
+          GROUP BY r.g),
+        ex AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS n_exact
+          FROM vals GROUP BY g),
+        fin AS (
+          SELECT p.g, ex.n_exact,
+                 CAST(s.s_occ + ({HLL_M} - p.n_regs)
+                      * (CAST(1 AS BIGINT) << CAST(p.max_rank AS INT))
+                      AS BIGINT) AS s_int,
+                 CAST(p.max_rank AS BIGINT) AS max_rank,
+                 CAST({HLL_M} - p.n_regs AS BIGINT) AS v_empty
+          FROM per_g p JOIN socc s ON p.g = s.g
+          JOIN ex ON ex.g = p.g)
+        SELECT g AS event_type, n_exact, s_int, max_rank, v_empty,
+               {alpha_m2} * pow(CAST(2.0 AS DOUBLE),
+                                CAST(max_rank AS DOUBLE))
+                 / CAST(s_int AS DOUBLE) AS hll_estimate,
+               abs({alpha_m2} * pow(CAST(2.0 AS DOUBLE),
+                                    CAST(max_rank AS DOUBLE))
+                   / CAST(s_int AS DOUBLE)
+                   - CAST(n_exact AS DOUBLE))
+                 / CAST(n_exact AS DOUBLE) AS abs_rel_err
+        FROM fin ORDER BY event_type"""
+
+
 def q_burst_windows(spark, sf_dir):
     """Peak sliding 1-hour request rate per user (the anchored-window
     burst metric the tumbling twin halves at boundaries): one RANGE
@@ -7920,6 +7990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_quantiles": _q(q_ddsketch_quantiles),
         "gsp_patterns": _q(q_gsp_patterns),
         "burst_windows": _q(q_burst_windows),
+        "hll_distinct": _q(q_hll_distinct),
         "stream_session_windows": _q(q_stream_session_windows),
         "texttile_segments": _q(q_texttile_segments),
         "extract_figures": _q(q_extract_figures),
@@ -9882,6 +9953,7 @@ def oracle_sql() -> dict[str, str]:
         "ddsketch_quantiles": _ddsketch_oracle(),
         "gsp_patterns": _gsp_oracle(),
         "burst_windows": _BURST_WINDOWS_ORACLE,
+        "hll_distinct": _hll_oracle(),
         "stream_session_windows": _STREAM_SESSION_ORACLE,
         "texttile_segments": _TEXTTILE_ORACLE,
         "extract_figures": _EXTRACT_FIGURES_ORACLE,

@@ -296,6 +296,7 @@ def main() -> None:
         "proximity_topk",       # minimal-window SpanNear ranking
         "wordpiece_apply",      # WordPiece greedy tokenizer
         "burst_windows",        # anchored sliding burst metric
+        "hll_distinct",         # from-scratch oracle-able HLL
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

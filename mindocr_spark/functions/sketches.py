@@ -340,3 +340,113 @@ def ddsketch_quantiles(
             & (F.col("val") <= F.col("est_hi"))
         ).alias("in_bounds"),
     )
+
+
+#: HLL geometry: m = 64 registers (b = 6 bucket bits), rank drawn from
+#: the remaining 26 hash bits. α_64 computed once from the standard
+#: formula and inlined as the same double literal in both engines.
+HLL_M = 64
+HLL_RANK_BITS = 26
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hll_distinct(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """HyperLogLog (Flajolet et al. 2007) built FROM SCRATCH on the
+    repo's shared md5-prefix hash so the sketch STATE is a pure
+    function of the input — unlike Spark's built-in
+    `approx_count_distinct`, whose HLL++ registers are engine-private
+    and can only ever be tolerance-checked (the `approx_distinct`
+    lesson). Completes the sketch family: KMV (distinct), CMS
+    (frequency), Bloom (membership), DDSketch (quantiles), HLL
+    (distinct at O(m) space with registers any engine can reproduce).
+
+    Per value: 32-bit hash → top 6 bits pick register j, the low 26
+    bits w give rank = 26 − bitlen(w) + 1 (27 when w = 0, the
+    all-zeros tail), register M_j = max rank. The harmonic mean is
+    EXACT RATIONAL arithmetic: with R = max_j M_j,
+    Σ_j 2^(−M_j) = S / 2^R where S = Σ_j 2^(R−M_j) is an exact BIGINT
+    (empty registers contribute 2^R — i.e. M_j = 0) — so the estimate
+    α·m²·2^R / S is ONE pinned IEEE division of exact operands, and
+    the register table itself (S, R, V) is oracle-checkable
+    bit-for-bit. Small-range linear counting is deliberately OMITTED
+    (it needs ln; V rides along so a consumer can apply it) — at
+    corpus cardinalities ≫ 2.5m the standard estimator is the active
+    branch, and the CHECKED surface stays libm-free.
+
+    Output per group: (group, n_exact, s_int, max_rank, v_empty,
+    hll_estimate, abs_rel_err) — estimator error is part of the
+    checked surface, the kmv_distinct discipline.
+
+    100 TB shape: ONE map-side-combinable groupBy at (group, register)
+    grain (≤ m rows per group survive the partial agg), then a
+    m-bounded reduction per group; the exact count rides the same
+    distinct relation KMV uses. The sketch merges by max(M_j) — the
+    partial aggregation IS the merge."""
+    from mindocr_spark.cache import tracked_persist
+
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    vals = tracked_persist(
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("g"), h.alias("h"))
+        .distinct()
+    )
+    j = F.shiftright("h", HLL_RANK_BITS)
+    w = F.col("h").bitwiseAND(F.lit((1 << HLL_RANK_BITS) - 1))
+    rank = F.when(
+        w == 0, F.lit(HLL_RANK_BITS + 1)
+    ).otherwise(F.lit(HLL_RANK_BITS) - F.length(F.bin(w)) + 1)
+    regs = (
+        vals.select("g", j.alias("j"), rank.alias("rank"))
+        .groupBy("g", "j")
+        .agg(F.max("rank").alias("m_j"))
+    )
+    per_g = regs.groupBy("g").agg(
+        F.max("m_j").alias("max_rank"),
+        F.count("*").alias("n_regs"),
+    )
+    # S = Σ_j 2^(R − M_j): occupied registers from the register table,
+    # empty registers contribute 2^R each
+    s_occ = (
+        regs.join(per_g.select("g", "max_rank"), "g")
+        .groupBy("g")
+        .agg(
+            F.sum(
+                # shiftleft needs a literal bit count in the Python
+                # API; the SQL form takes a column
+                F.expr("shiftleft(CAST(1 AS BIGINT),"
+                       " CAST(max_rank - m_j AS INT))")
+            ).alias("s_occ")
+        )
+    )
+    ex = vals.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("n_exact"))
+    alpha_m2 = HLL_ALPHA * HLL_M * HLL_M
+    out = (
+        per_g.join(s_occ, "g").join(ex, "g")
+        .select(
+            "g", "n_exact",
+            (F.col("s_occ")
+             + (F.lit(HLL_M) - F.col("n_regs"))
+             * F.expr("shiftleft(CAST(1 AS BIGINT),"
+                      " CAST(max_rank AS INT))")).alias("s_int"),
+            F.col("max_rank").cast("bigint").alias("max_rank"),
+            (F.lit(HLL_M) - F.col("n_regs")).cast("bigint")
+            .alias("v_empty"),
+        )
+    )
+    est = (
+        F.lit(alpha_m2)
+        * F.pow(F.lit(2.0), F.col("max_rank").cast("double"))
+        / F.col("s_int").cast("double")
+    )
+    return out.select(
+        F.col("g").alias(group_col),
+        "n_exact", "s_int", "max_rank", "v_empty",
+        est.alias("hll_estimate"),
+        (F.abs(est - F.col("n_exact").cast("double"))
+         / F.col("n_exact").cast("double")).alias("abs_rel_err"),
+    )

@@ -237,3 +237,40 @@ class TestDDSketch:
         got = {r["q"]: r["exact_val"]
                for r in ddsketch_quantiles(df, "grp", "v").collect()}
         assert got[0.9] == 450
+
+
+class TestHLL:
+    def _run(self, spark, rows):
+        from mindocr_spark.functions.sketches import hll_distinct
+
+        df = spark.createDataFrame(rows, "g string, v bigint")
+        return {r["g"]: r for r in hll_distinct(df, "g", "v").collect()}
+
+    def test_accuracy_within_sigma_band(self, spark):
+        # n = 5000 distinct >> 2.5m: the standard estimator branch;
+        # σ = 1.04/√64 ≈ 13% — assert a generous 3σ band
+        rows = [("g", v) for v in range(5000)]
+        got = self._run(spark, rows)["g"]
+        assert got["n_exact"] == 5000
+        assert got["abs_rel_err"] < 0.39
+        assert got["v_empty"] == 0
+
+    def test_duplicates_do_not_move_registers(self, spark):
+        a = self._run(spark, [("g", v) for v in range(300)])["g"]
+        b = self._run(spark, [("g", v % 300) for v in range(3000)])["g"]
+        assert (a["s_int"], a["max_rank"], a["hll_estimate"]) == \
+            (b["s_int"], b["max_rank"], b["hll_estimate"])
+
+    def test_merge_is_register_max(self, spark):
+        """Sketch state of A ∪ B equals register-wise max of the two
+        sketches — the partial-agg-is-the-merge property, checked via
+        the reduced (s_int, max_rank) state."""
+        from mindocr_spark.functions.sketches import hll_distinct
+
+        rows_a = [("g", v) for v in range(0, 400)]
+        rows_b = [("g", v) for v in range(200, 600)]
+        u = self._run(spark, rows_a + rows_b)["g"]
+        direct = self._run(
+            spark, list(dict.fromkeys(rows_a + rows_b)))["g"]
+        assert (u["s_int"], u["max_rank"]) == \
+            (direct["s_int"], direct["max_rank"])
