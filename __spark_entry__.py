@@ -5788,6 +5788,70 @@ _STREAM_SESSION_ORACLE = """
     ORDER BY user_id, session_start"""
 
 
+def q_sketch_ks_drift(spark, sf_dir):
+    """KS drift measured ON DDSketch states (doc_id-parity halves of
+    each language's length distribution): the scale-true monitoring
+    form — at 10^12 rows you KS the persisted mergeable sketches, not
+    the raw values. D's argmax and the drift verdict are exact integer
+    arithmetic; only the reported D is one pinned division."""
+    from mindocr_spark.functions.sketches import sketch_ks_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    return sketch_ks_drift(
+        docs, "lang", "n_chars", F.pmod(F.col("doc_id"), F.lit(2)) == 1
+    ).orderBy("lang")
+
+
+def _sketch_ks_oracle() -> str:
+    from mindocr_spark.functions.sketches import dd_thresholds
+
+    th_vals = ", ".join(f"({t})" for t in dd_thresholds())
+    return f"""
+        WITH th(t) AS (VALUES {th_vals}),
+        b AS (
+          SELECT lang,
+                 doc_id % 2 = 1 AS half,
+                 (SELECT count(*) FROM th WHERE th.t <= d.n_chars)
+                   AS bucket
+          FROM documents d),
+        sk AS (
+          SELECT lang, half, bucket, count(*) AS cnt
+          FROM b GROUP BY lang, half, bucket),
+        spine AS (SELECT DISTINCT lang, bucket FROM sk),
+        j AS (
+          SELECT s.lang, s.bucket,
+                 coalesce(a.cnt, 0) AS ca,
+                 coalesce(bb.cnt, 0) AS cb
+          FROM spine s
+          LEFT JOIN sk a ON a.lang = s.lang AND a.bucket = s.bucket
+                        AND NOT a.half
+          LEFT JOIN sk bb ON bb.lang = s.lang AND bb.bucket = s.bucket
+                         AND bb.half),
+        cum AS (
+          SELECT lang, bucket,
+                 sum(ca) OVER (PARTITION BY lang ORDER BY bucket
+                               ROWS UNBOUNDED PRECEDING) AS cuma,
+                 sum(cb) OVER (PARTITION BY lang ORDER BY bucket
+                               ROWS UNBOUNDED PRECEDING) AS cumb
+          FROM j),
+        tot AS (
+          SELECT lang, sum(ca) AS na, sum(cb) AS nb
+          FROM j GROUP BY lang),
+        d AS (
+          SELECT c.lang, t.na, t.nb,
+                 max(abs(c.cuma * t.nb - c.cumb * t.na)) AS d_num
+          FROM cum c JOIN tot t ON c.lang = t.lang
+          GROUP BY c.lang, t.na, t.nb)
+        SELECT lang,
+               CAST(na AS BIGINT) AS n_a,
+               CAST(nb AS BIGINT) AS n_b,
+               CAST(d_num AS BIGINT) AS d_num,
+               CAST(d_num AS DOUBLE)
+                 / CAST(na * nb AS DOUBLE) AS ks_d,
+               10 * d_num > na * nb AS drifted
+        FROM d ORDER BY lang"""
+
+
 def q_hll_distinct(spark, sf_dir):
     """From-scratch HyperLogLog over distinct users per event type:
     md5-prefix hash → 64 registers whose state (S, R, V) is
@@ -7991,6 +8055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gsp_patterns": _q(q_gsp_patterns),
         "burst_windows": _q(q_burst_windows),
         "hll_distinct": _q(q_hll_distinct),
+        "sketch_ks_drift": _q(q_sketch_ks_drift),
         "stream_session_windows": _q(q_stream_session_windows),
         "texttile_segments": _q(q_texttile_segments),
         "extract_figures": _q(q_extract_figures),
@@ -9954,6 +10019,7 @@ def oracle_sql() -> dict[str, str]:
         "gsp_patterns": _gsp_oracle(),
         "burst_windows": _BURST_WINDOWS_ORACLE,
         "hll_distinct": _hll_oracle(),
+        "sketch_ks_drift": _sketch_ks_oracle(),
         "stream_session_windows": _STREAM_SESSION_ORACLE,
         "texttile_segments": _TEXTTILE_ORACLE,
         "extract_figures": _EXTRACT_FIGURES_ORACLE,

@@ -297,6 +297,7 @@ def main() -> None:
         "wordpiece_apply",      # WordPiece greedy tokenizer
         "burst_windows",        # anchored sliding burst metric
         "hll_distinct",         # from-scratch oracle-able HLL
+        "sketch_ks_drift",      # KS drift on DDSketch states
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

@@ -450,3 +450,108 @@ def hll_distinct(
         (F.abs(est - F.col("n_exact").cast("double"))
          / F.col("n_exact").cast("double")).alias("abs_rel_err"),
     )
+
+
+def sketch_ks_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    split_col,
+    num: int = 9,
+    den: int = 8,
+) -> DataFrame:
+    """Kolmogorov-Smirnov drift measured ON DDSketch states — the
+    scale-true form of distribution monitoring: at 10^12 rows you
+    cannot KS the raw values (the exact `ks_drift` query sorts both
+    samples), but the (group, bucket) count tables are mergeable
+    sketches a snapshot already persists, and the KS statistic between
+    two sketches is exact integer arithmetic over their cumulative
+    counts. Resolution is the ladder's γ (=num/den): drift smaller
+    than one bucket is invisible — the documented sketch tradeoff.
+
+    ``split_col`` is a boolean Column partitioning rows into the two
+    populations (A = false, B = true — e.g. doc_id parity, or
+    old-vs-new snapshot). Per group: D = max_k |cfA(k) − cfB(k)| over
+    the shared bucket spine, computed EXACTLY — cfA − cfB at bucket k
+    equals (cumA·nB − cumB·nA)/(nA·nB) whose denominator is constant
+    per group, so the argmax runs on the BIGINT |cumA·nB − cumB·nA|
+    and only the final reported D is one pinned IEEE division. The
+    drift verdict (D > 1/10) is likewise the exact integer test
+    10·d_num > nA·nB — no float ever decides anything.
+
+    Output: (group, n_a, n_b, d_num, ks_d, drifted).
+
+    100 TB shape: identical to `ddsketch_quantiles`' build — one
+    map-side-combinable groupBy at (group, split, bucket) grain, then
+    all work at sketch cardinality (groups × ~235 buckets)."""
+    ts = dd_thresholds(num=num, den=den)
+    arr = F.array(*[F.lit(t) for t in ts])
+    v = F.col(value_col)
+    bucket = F.size(F.filter(arr, lambda t: t <= v))
+    sk = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            split_col.cast("boolean").alias("half"),
+            bucket.alias("bucket"),
+        )
+        .groupBy("grp", "half", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        # the sketch is re-used three ways (spine + both halves);
+        # checkpointing the sketch-sized relation truncates the
+        # HOF-bearing lineage (Spark 4 mis-resolves the array-filter
+        # lambda's capture through the self-join otherwise) and reads
+        # the input once instead of three times
+        .localCheckpoint()
+    )
+    spine = sk.select("grp", "bucket").distinct()
+    a = sk.where(~F.col("half")).select(
+        "grp", "bucket", F.col("cnt").alias("ca"))
+    b = sk.where(F.col("half")).select(
+        "grp", "bucket", F.col("cnt").alias("cb"))
+    z = F.lit(0).cast("bigint")
+    joined = (
+        spine.join(a, ["grp", "bucket"], "left")
+        .join(b, ["grp", "bucket"], "left")
+        .select(
+            "grp", "bucket",
+            F.coalesce("ca", z).alias("ca"),
+            F.coalesce("cb", z).alias("cb"),
+        )
+    )
+    wc = (
+        Window.partitionBy("grp").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = joined.select(
+        "grp", "bucket",
+        F.sum("ca").over(wc).alias("cuma"),
+        F.sum("cb").over(wc).alias("cumb"),
+    )
+    tot = joined.groupBy("grp").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    d = (
+        cum.join(tot, "grp")
+        .select(
+            "grp", "na", "nb",
+            F.abs(
+                F.col("cuma") * F.col("nb")
+                - F.col("cumb") * F.col("na")
+            ).alias("gap"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+            F.max("gap").alias("d_num"),
+        )
+    )
+    return d.select(
+        F.col("grp").alias(group_col),
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("d_num").cast("bigint").alias("d_num"),
+        (F.col("d_num").cast("double")
+         / (F.col("na") * F.col("nb")).cast("double")).alias("ks_d"),
+        (F.lit(10) * F.col("d_num")
+         > F.col("na") * F.col("nb")).alias("drifted"),
+    )

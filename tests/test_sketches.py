@@ -274,3 +274,40 @@ class TestHLL:
             spark, list(dict.fromkeys(rows_a + rows_b)))["g"]
         assert (u["s_int"], u["max_rank"]) == \
             (direct["s_int"], direct["max_rank"])
+
+
+class TestSketchKSDrift:
+    def _run(self, spark, rows):
+        from pyspark.sql import functions as F
+
+        from mindocr_spark.functions.sketches import sketch_ks_drift
+
+        df = spark.createDataFrame(rows, "g string, v bigint, h int")
+        return {r["g"]: r for r in sketch_ks_drift(
+            df, "g", "v", F.col("h") == 1).collect()}
+
+    def test_identical_halves_zero_drift(self, spark):
+        rows = [("g", v, h) for v in (10, 50, 200, 900) for h in (0, 1)]
+        got = self._run(spark, rows)["g"]
+        assert got["d_num"] == 0 and got["ks_d"] == 0.0
+        assert not got["drifted"]
+
+    def test_disjoint_ranges_full_drift(self, spark):
+        # half A all tiny, half B all huge: D = 1 exactly
+        rows = ([("g", 2, 0)] * 5) + ([("g", 10_000, 1)] * 7)
+        got = self._run(spark, rows)["g"]
+        assert got["ks_d"] == 1.0 and got["drifted"]
+        assert got["d_num"] == got["n_a"] * got["n_b"]
+
+    def test_sub_bucket_shift_invisible(self, spark):
+        """The documented resolution tradeoff: values moving WITHIN a
+        γ-bucket cannot register as drift."""
+        from mindocr_spark.functions.sketches import dd_thresholds
+
+        ts = dd_thresholds()
+        lo = ts[20]          # bucket [ts[20], ts[21]-1]
+        hi = ts[21] - 1
+        assert hi > lo
+        rows = ([("g", lo, 0)] * 4) + ([("g", hi, 1)] * 4)
+        got = self._run(spark, rows)["g"]
+        assert got["d_num"] == 0 and not got["drifted"]
