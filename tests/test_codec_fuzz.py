@@ -161,3 +161,55 @@ def test_avi_parse_total(data):
         _decode_avi(data)
     except (ValueError, struct_error, IndexError):
         pass
+
+
+class TestJPEGFuzz:
+    """The untrusted-input discipline applied to the JPEG walk: any
+    truncation/corruption must raise (never hang, never return
+    garbage silently)."""
+
+    def _enc(self):
+        import numpy as np
+
+        from mindocr_spark.multimodal import encode_jpeg
+
+        rng = np.random.RandomState(5)
+        return encode_jpeg(rng.randint(0, 256, (16, 16)).astype(np.uint8))
+
+    def test_truncations_raise_or_roundtrip(self):
+        from mindocr_spark.multimodal import _decode_jpeg
+
+        enc = self._enc()
+        for cut in range(2, len(enc), 37):
+            try:
+                _decode_jpeg(enc[:cut])
+            except (ValueError, IndexError):
+                pass  # rejected — the required outcome for truncation
+
+    def test_single_byte_corruptions_never_hang(self):
+        import numpy as np
+
+        from mindocr_spark.multimodal import _decode_jpeg
+
+        enc = bytearray(self._enc())
+        rng = np.random.RandomState(7)
+        for _ in range(60):
+            i = int(rng.randint(2, len(enc) - 2))
+            old = enc[i]
+            enc[i] ^= 0xFF
+            try:
+                out = _decode_jpeg(bytes(enc))
+                # a decode that survives must still be a sane image
+                assert out.dtype == np.uint8 and out.ndim == 2
+            except (ValueError, IndexError, KeyError):
+                pass
+            enc[i] = old
+
+    def test_zero_length_and_wrong_magic(self):
+        import pytest as _pytest
+
+        from mindocr_spark.multimodal import _decode_jpeg
+
+        for bad in (b"", b"\x00", b"BM\x00\x00", b"\xff\xd8"):
+            with _pytest.raises(ValueError):
+                _decode_jpeg(bad)
