@@ -5788,6 +5788,52 @@ _STREAM_SESSION_ORACLE = """
     ORDER BY user_id, session_start"""
 
 
+def q_rfm_segments(spark, sf_dir):
+    """RFM behavioral segmentation over the events stream: exact
+    integer rank-binning (never ntile — engine-defined tie placement),
+    DECIMAL-exact monetary sums, 5 = best on every axis."""
+    from mindocr_spark.functions.traffic import rfm_scores
+
+    return rfm_scores(_t(spark, sf_dir, "events")).orderBy("user_id")
+
+
+_RFM_ORACLE = """
+    WITH pu AS (
+      SELECT user_id,
+             max(date_diff('second',
+                 TIMESTAMP '1970-01-01 00:00:00', ts)) AS last_ep,
+             CAST(count(*) AS BIGINT) AS frequency,
+             SUM(CAST(round(CAST(value AS DOUBLE), 9)
+                      AS DECIMAL(28,9))) AS mon_dec
+      FROM events GROUP BY user_id),
+    base AS (
+      SELECT user_id,
+             (SELECT max(last_ep) FROM pu) - last_ep AS recency_s,
+             frequency, mon_dec
+      FROM pu),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY recency_s ASC, user_id ASC)
+               AS rr,
+             row_number() OVER (ORDER BY frequency DESC, user_id ASC)
+               AS rf,
+             row_number() OVER (ORDER BY mon_dec DESC, user_id ASC)
+               AS rm,
+             count(*) OVER () AS nu
+      FROM base)
+    SELECT user_id,
+           CAST(recency_s AS BIGINT) AS recency_s,
+           frequency,
+           CAST(mon_dec AS DOUBLE) AS monetary,
+           CAST(5 - ((rr - 1) * 5) // nu AS BIGINT) AS r_score,
+           CAST(5 - ((rf - 1) * 5) // nu AS BIGINT) AS f_score,
+           CAST(5 - ((rm - 1) * 5) // nu AS BIGINT) AS m_score,
+           (5 - ((rr - 1) * 5) // nu) || '-'
+             || (5 - ((rf - 1) * 5) // nu) || '-'
+             || (5 - ((rm - 1) * 5) // nu) AS segment
+    FROM ranked ORDER BY user_id"""
+
+
 def q_sketch_ks_drift(spark, sf_dir):
     """KS drift measured ON DDSketch states (doc_id-parity halves of
     each language's length distribution): the scale-true monitoring
@@ -8056,6 +8102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burst_windows": _q(q_burst_windows),
         "hll_distinct": _q(q_hll_distinct),
         "sketch_ks_drift": _q(q_sketch_ks_drift),
+        "rfm_segments": _q(q_rfm_segments),
         "stream_session_windows": _q(q_stream_session_windows),
         "texttile_segments": _q(q_texttile_segments),
         "extract_figures": _q(q_extract_figures),
@@ -10020,6 +10067,7 @@ def oracle_sql() -> dict[str, str]:
         "burst_windows": _BURST_WINDOWS_ORACLE,
         "hll_distinct": _hll_oracle(),
         "sketch_ks_drift": _sketch_ks_oracle(),
+        "rfm_segments": _RFM_ORACLE,
         "stream_session_windows": _STREAM_SESSION_ORACLE,
         "texttile_segments": _TEXTTILE_ORACLE,
         "extract_figures": _EXTRACT_FIGURES_ORACLE,

@@ -298,6 +298,7 @@ def main() -> None:
         "burst_windows",        # anchored sliding burst metric
         "hll_distinct",         # from-scratch oracle-able HLL
         "sketch_ks_drift",      # KS drift on DDSketch states
+        "rfm_segments",         # exact rank-binned RFM grid
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

@@ -1096,3 +1096,70 @@ def burst_windows(events: DataFrame, window_sec: int = 3600) -> DataFrame:
         F.max_by("ts", "pri").alias("peak_start"),
         F.count("*").cast("bigint").alias("n_events"),
     )
+
+
+def rfm_scores(events: DataFrame, n_bins: int = 5) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation — the classic
+    behavioral scoring grid: per user, days-grade recency against the
+    stream's newest event, event count, and exact-DECIMAL value sum,
+    each binned 1..n_bins with n_bins = best. Bins come from exact
+    integer rank arithmetic — score = nb − ((rank−1)·nb div n) over a
+    (metric, user_id)-tie-broken rank — NOT ntile (whose tie placement
+    is engine-defined); every boundary decision is an integer
+    comparison both engines state identically.
+
+    Output: (user_id, recency_s, frequency, monetary, r_score,
+    f_score, m_score, segment) with monetary lowered to DOUBLE once
+    at the end (the stream_static_join decimal-sum discipline).
+
+    100 TB shape: ONE groupBy to user grain (map-side combinable),
+    the global anchor is a broadcast one-row aggregate (never an
+    unpartitioned window over the user relation), and the three rank
+    windows run at USER cardinality — orders of magnitude below event
+    cardinality. Ranking 10^9 users pays three sorts of the user
+    relation; swap in approx percentile boundaries if even that is
+    too hot (same schema, the length_quantiles discipline)."""
+    if n_bins < 2:
+        raise ValueError(f"need n_bins >= 2, got {n_bins}")
+    ep = epoch_sec("ts")
+    per_user = events.groupBy("user_id").agg(
+        F.max(ep).alias("last_ep"),
+        F.count("*").cast("bigint").alias("frequency"),
+        F.sum(
+            F.round(F.col("value"), 9).cast("decimal(28,9)")
+        ).alias("mon_dec"),
+    )
+    anchor = per_user.agg(F.max("last_ep").alias("anchor_ep"))
+    base = per_user.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        (F.col("anchor_ep") - F.col("last_ep")).cast("bigint")
+        .alias("recency_s"),
+        "frequency", "mon_dec",
+    )
+    wr = Window.orderBy(F.asc("recency_s"), F.asc("user_id"))
+    wf = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    wm = Window.orderBy(F.desc("mon_dec"), F.asc("user_id"))
+    ranked = base.select(
+        "*",
+        F.row_number().over(wr).alias("rr"),
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wm).alias("rm"),
+        F.count("*").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("nu"),
+    )
+    def _s(rank):
+        return (F.lit(n_bins)
+                - F.expr(f"(({rank} - 1) * {n_bins}) div nu")
+                ).cast("bigint")
+
+    return ranked.select(
+        "user_id", "recency_s", "frequency",
+        F.col("mon_dec").cast("double").alias("monetary"),
+        _s("rr").alias("r_score"),
+        _s("rf").alias("f_score"),
+        _s("rm").alias("m_score"),
+        F.concat_ws(
+            "-", _s("rr"), _s("rf"), _s("rm")).alias("segment"),
+    )

@@ -857,3 +857,45 @@ class TestBurstWindows:
 
         with _pytest.raises(ValueError):
             self._run(spark, [(1, 1, 0)], window_sec=0)
+
+
+class TestRFM:
+    def _run(self, spark, rows, **kw):
+        from mindocr_spark.functions.traffic import rfm_scores
+
+        base = dt.datetime(2024, 1, 1)
+        data = [(u, e, base + dt.timedelta(seconds=s), "t", float(v),
+                 "{}") for (u, e, s, v) in rows]
+        df = spark.createDataFrame(
+            data, "user_id bigint, event_id bigint, ts timestamp_ntz,"
+                  " event_type string, value double, props string")
+        return {r["user_id"]: r for r in rfm_scores(df, **kw).collect()}
+
+    def test_axes_and_binning(self, spark):
+        # 5 users with strictly ordered recency/frequency/monetary
+        rows = []
+        for u in range(1, 6):
+            for i in range(u):                 # frequency = u
+                rows.append((u, u * 100 + i, u * 1000 + i, u * 10.0))
+        got = self._run(spark, rows)
+        # user 5: most events, newest last event, largest sum -> 5-5-5
+        assert got[5]["segment"] == "5-5-5"
+        assert got[1]["segment"] == "1-1-1"
+        assert got[3]["frequency"] == 3
+        assert got[5]["recency_s"] == 0
+        assert got[1]["monetary"] == 10.0
+
+    def test_ties_break_on_user_id(self, spark):
+        # two identical users: deterministic rank -> different scores
+        # when the bin boundary falls between them (n=2, nb=5)
+        rows = [(1, 1, 0, 1.0), (2, 2, 0, 1.0)]
+        got = self._run(spark, rows)
+        assert got[1]["r_score"] == 5 and got[2]["r_score"] == 3
+        # frequency identical too: same rule
+        assert got[1]["f_score"] == 5 and got[2]["f_score"] == 3
+
+    def test_guard(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            self._run(spark, [(1, 1, 0, 1.0)], n_bins=1)
