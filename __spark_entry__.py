@@ -154,6 +154,7 @@ def q_warc_revisit_roundtrip(spark, sf_dir):
     round trip can reproduce it."""
     from mindocr_spark.sources import content_keyed_fixture_dir
     from mindocr_spark.sources import pages as pages_mod
+    from mindocr_spark.sources import warc as warc_mod
     from mindocr_spark.sources.pages import pages_from_documents
     from mindocr_spark.sources.warc import (
         read_warc_resolved,
@@ -176,7 +177,10 @@ def q_warc_revisit_roundtrip(spark, sf_dir):
         write_warc_dir_deduped(planted, out_dir)
 
     out_dir = content_keyed_fixture_dir(
-        "mindocr_warc_dedup", sf_dir, (__file__, pages_mod.__file__),
+        "mindocr_warc_dedup", sf_dir,
+        # warc_mod carries the dedup writer + revisit formatter whose
+        # bytes ARE the fixture — editing them must invalidate the cache
+        (__file__, pages_mod.__file__, warc_mod.__file__),
         build,
     )
     resolved = read_warc_resolved(spark, out_dir)
@@ -5892,9 +5896,12 @@ def _sketch_ks_oracle() -> str:
                CAST(na AS BIGINT) AS n_a,
                CAST(nb AS BIGINT) AS n_b,
                CAST(d_num AS BIGINT) AS d_num,
-               CAST(d_num AS DOUBLE)
-                 / CAST(na * nb AS DOUBLE) AS ks_d,
-               10 * d_num > na * nb AS drifted
+               CASE WHEN na > 0 AND nb > 0 THEN
+                 CAST(d_num AS DOUBLE) / CAST(na * nb AS DOUBLE)
+               END AS ks_d,
+               CASE WHEN na > 0 AND nb > 0 THEN
+                 10 * d_num > na * nb
+               END AS drifted
         FROM d ORDER BY lang"""
 
 

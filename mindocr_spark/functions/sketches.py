@@ -545,13 +545,22 @@ def sketch_ks_drift(
             F.max("gap").alias("d_num"),
         )
     )
+    # one empty split half (na or nb = 0) means there is no second
+    # distribution to compare — NULL, never an ANSI divide-by-zero
+    # abort (same guard idiom as the NULL-share text metrics)
+    both = (F.col("na") > 0) & (F.col("nb") > 0)
     return d.select(
         F.col("grp").alias(group_col),
         F.col("na").cast("bigint").alias("n_a"),
         F.col("nb").cast("bigint").alias("n_b"),
         F.col("d_num").cast("bigint").alias("d_num"),
-        (F.col("d_num").cast("double")
-         / (F.col("na") * F.col("nb")).cast("double")).alias("ks_d"),
-        (F.lit(10) * F.col("d_num")
-         > F.col("na") * F.col("nb")).alias("drifted"),
+        F.when(
+            both,
+            F.col("d_num").cast("double")
+            / (F.col("na") * F.col("nb")).cast("double"),
+        ).alias("ks_d"),
+        F.when(
+            both,
+            F.lit(10) * F.col("d_num") > F.col("na") * F.col("nb"),
+        ).alias("drifted"),
     )

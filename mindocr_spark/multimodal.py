@@ -488,8 +488,11 @@ def encode_jpeg(pixels: np.ndarray) -> bytes:
         int(v) for v in _JQ.ravel()[_JZZ]))
     sof = seg(0xFFC0, struct.pack(">BHHB", 8, ph, pw, 1)
               + struct.pack(">BBB", 1, 0x11, 0))
-    # SOF records the PADDED dims; the true crop rides in a COM segment
-    com = seg(0xFFFE, struct.pack(">HH", h, w))
+    # SOF records the PADDED dims; the true crop rides in an APP9
+    # segment tagged with a magic prefix — unambiguous, so a genuine
+    # JPEG whose 6-byte COM comment happens to parse as dims can never
+    # trigger the crop (plain COM segments are ignored by the decoder)
+    com = seg(0xFFE9, b"MOCR" + struct.pack(">HH", h, w))
     dht = (seg(0xFFC4, b"\x00" + bytes(_JDC_BITS)
                + bytes(_JDC_VALS))
            + seg(0xFFC4, b"\x10" + bytes(_JAC_BITS)
@@ -545,8 +548,9 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     `encode_jpeg` emits, validated not assumed): segment walk, DQT /
     DHT tables FROM THE FILE (canonical reconstruction per Annex C),
     entropy decode with byte-unstuffing, dequantize, inverse zigzag,
-    separable IDCT, level shift, crop to the true dimensions (COM
-    segment; SOF carries the padded grid). Progressive scans, chroma
+    separable IDCT, level shift, crop to the true dimensions (magic-
+    tagged APP9 segment; SOF carries the padded grid; plain COM /
+    untagged APPn segments are skipped). Progressive scans, chroma
     components, and restart markers raise — a documented subset, the
     BMP/PNG/WAV/AVI codec discipline."""
     import struct
@@ -594,8 +598,10 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 huff[(cls, tid)] = {
                     (c, l): sym for sym, (c, l) in codes.items()}
                 body = body[17 + n:]
-        elif marker == 0xFE and ln == 6:
-            h, w = struct.unpack(">HH", body)
+        elif marker == 0xE9 and ln == 10 and body[:4] == b"MOCR":
+            # the writer's magic-tagged crop convention; untagged APPn
+            # and COM segments fall through and are skipped untouched
+            h, w = struct.unpack(">HH", body[4:8])
         elif marker == 0xDA:
             entropy_start = pos + ln
             break

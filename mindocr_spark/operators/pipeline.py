@@ -216,6 +216,24 @@ class _FS:
         return [(s.getPath().getName(), int(s.getLen()))
                 for s in self.fs.listStatus(p)]
 
+    def list_sizes_recursive(self, path: str) -> list[tuple[str, int]]:
+        """(path-relative-to-`path`, bytes) for every FILE under `path`,
+        any depth — the inventory primitive a Hive-partitioned snapshot
+        needs (its data files live under partition dirs). Object-store
+        native: one listFiles(recursive) call, a flat-keyed LIST."""
+        p = self._Path(path)
+        if not self.fs.exists(p):
+            return []
+        base = self.fs.makeQualified(p).toString().rstrip("/") + "/"
+        out = []
+        it = self.fs.listFiles(p, True)
+        while it.hasNext():
+            s = it.next()
+            full = s.getPath().toString()
+            rel = full[len(base):] if full.startswith(base) else full
+            out.append((rel, int(s.getLen())))
+        return out
+
     def exists(self, path: str) -> bool:
         return self.fs.exists(self._Path(path))
 
@@ -456,6 +474,14 @@ def compact_published(
     and the previous snapshot stays time-travelable inside the GC
     window (`keep_snapshots`).
 
+    Partitioned snapshots (manifest `partition_by` non-empty) are
+    compacted PER PARTITION DIRECTORY: the recursive file inventory
+    keys each data file by its Hive partition path, the planner bins
+    within each partition, and the rewrite coalesces each partition
+    dir independently into the same relative layout — so the pruning
+    contract survives compaction and the new manifest carries the
+    same `partition_by` spec forward.
+
     Audit-before-commit: the rewritten data is re-read and its row
     count compared against the source snapshot — a short write (lost
     task, partial directory) writes NO manifest and leaves the
@@ -464,10 +490,13 @@ def compact_published(
     count — an idempotent no-op, no seq burned).
 
     100 TB shape: planning runs at file-metadata grain (~10^6 rows
-    for a 100 TB table); the rewrite is one coalesce (narrow — no
-    shuffle) sized by the plan; per-partition-column compaction would
-    pass the partition value through the planner's partition_col
-    instead of the single-table literal used here."""
+    for a 100 TB table); each rewrite is one coalesce (narrow — no
+    shuffle) sized by that partition's plan. Partitions rewrite as
+    independent jobs here (driver loop); a real cluster submits them
+    concurrently or rewrites only the partitions whose plan shrank —
+    both fit the same per-partition-manifest protocol."""
+    import os as _os
+
     from mindocr_spark.tuning import compaction_plan
 
     fs = _FS(spark, path)
@@ -477,25 +506,43 @@ def compact_published(
     cur = manifests[-1]
     if any(m["run_id"] == run_id for m in manifests):
         return True  # idempotent replay of a committed compaction
+    partition_by = list(cur.get("partition_by") or [])
     data = f"{path}/{_DATA_DIR}/{cur['data_dir']}"
+    # recursive inventory keyed by Hive partition dir ("" = table root)
     inv = [
-        (n, sz) for n, sz in fs.list_sizes(data)
-        if n.endswith(".parquet")
+        (_os.path.dirname(rel), rel, sz)
+        for rel, sz in fs.list_sizes_recursive(data)
+        if rel.endswith(".parquet")
     ]
     if not inv:
         raise FileNotFoundError(f"snapshot {cur['seq']} has no data files")
     files_df = spark.createDataFrame(
-        [("all", n, sz) for n, sz in inv],
-        "partition string, file string, bytes long",
+        inv, "partition string, file string, bytes long",
     )
     plan = compaction_plan(files_df, target_bytes)
-    n_bins = plan.count()
-    if n_bins >= len(inv):
+    bins = {
+        r["partition"]: r["n_bins"]
+        for r in plan.groupBy("partition")
+        .agg(F.countDistinct("bin").alias("n_bins")).collect()
+    }
+    if sum(bins.values()) >= len(inv):
         return False  # nothing to gain — already compact
     src = spark.read.parquet(data)
     n_before = src.count()
     new_dir = f"{path}/{_DATA_DIR}/{run_id}"
-    src.coalesce(max(1, n_bins)).write.mode("overwrite").parquet(new_dir)
+    if partition_by:
+        # per-partition coalesce into the SAME relative Hive layout —
+        # readers' partition pruning keeps working on the new snapshot
+        for part_rel, n_b in sorted(bins.items()):
+            (
+                spark.read.parquet(f"{data}/{part_rel}")
+                .coalesce(max(1, int(n_b)))
+                .write.mode("overwrite")
+                .parquet(f"{new_dir}/{part_rel}")
+            )
+    else:
+        src.coalesce(max(1, sum(bins.values()))).write.mode(
+            "overwrite").parquet(new_dir)
     n_after = spark.read.parquet(new_dir).count()
     if n_after != n_before:
         fs.delete(new_dir)  # audit failed: no manifest, old snapshot live
@@ -503,9 +550,10 @@ def compact_published(
             f"compaction audit failed: {n_before} rows -> {n_after}")
     _write_manifest(fs, path, run_id, {
         "data_dir": run_id,
+        "partition_by": partition_by,
         "compaction_of": cur["seq"],
         "counters": {"rows": int(n_after), "files_before": len(inv),
-                     "files_after": int(n_bins)},
+                     "files_after": int(sum(bins.values()))},
     })
     manifests = _load_manifests(fs, path)
     live = {m["data_dir"] for m in manifests[-keep_snapshots:]}

@@ -489,10 +489,12 @@ def format_revisit_record(url: str, ts_sec: int, digest: str,
 def write_warc_dir_deduped(pages: DataFrame, out_dir: str,
                            n_files: int = 8) -> tuple[int, int]:
     """Digest-deduplicated WARC writer: ONE ``response`` record per
-    distinct payload digest (the lexicographically-smallest URL is the
-    canonical copy — a deterministic, engine-reproducible election) and
-    a ``revisit`` record for every other observation. Returns
-    (n_responses, n_revisits).
+    distinct payload digest — the canonical copy is elected on
+    ``(url, ts)`` ascending (deterministic, engine-reproducible), so
+    the MOST COMMON archive-dedup case — N re-crawls of the SAME url
+    with an identical payload — stores one response and N-1 ~300-byte
+    revisits rather than N full responses. Every other observation
+    becomes a ``revisit`` record. Returns (n_responses, n_revisits).
 
     100 TB shape: one md5 per page (codegen), ONE window over the
     digest key to elect canonicals (digest keys are uniform — no
@@ -505,13 +507,17 @@ def write_warc_dir_deduped(pages: DataFrame, out_dir: str,
 
     os.makedirs(out_dir, exist_ok=True)
     digest = F.md5(F.col("html"))
-    w = Window.partitionBy("digest")
+    w = Window.partitionBy("digest").orderBy("url", "ts_sec")
     src = (
         pages.select(
             "url", F.unix_timestamp("warc_ts").alias("ts_sec"),
             "html", "lang", digest.alias("digest"),
         )
-        .withColumn("canon_url", F.min("url").over(w))
+        # rank-1-on-(url, ts) election: same-url re-fetches of one
+        # payload yield exactly one response (the earliest), never N
+        .withColumn("is_canon", F.row_number().over(w) == 1)
+        .withColumn("canon_url", F.min("url").over(
+            Window.partitionBy("digest")))
         .withColumn(
             "file_id", F.pmod(F.xxhash64("url"), F.lit(n_files)))
     )
@@ -519,11 +525,11 @@ def write_warc_dir_deduped(pages: DataFrame, out_dir: str,
     def write_group(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
         fid = int(key[0])
         name = f"part-{fid:05d}.warc"
-        pdf = pdf.sort_values("url")
+        pdf = pdf.sort_values(["url", "ts_sec"])
         buf = bytearray(_warcinfo(name))
         n_resp = n_rev = 0
         for r in pdf.itertuples():
-            if r.url == r.canon_url:
+            if r.is_canon:
                 buf += format_response_record(
                     r.url, int(r.ts_sec), bytes(r.html), r.lang)
                 n_resp += 1

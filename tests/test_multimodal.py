@@ -401,6 +401,29 @@ class TestJPEGCodec:
             _decode_jpeg(enc)  # must decode regardless
         assert hit
 
+    def test_six_byte_com_comment_is_not_a_crop(self):
+        """A genuine COM segment whose body happens to be 6 bytes must
+        NOT be interpreted as the private crop convention — only the
+        magic-tagged APP9 segment carries crop dims."""
+        import struct
+
+        import numpy as np
+
+        from mindocr_spark.multimodal import _decode_jpeg, encode_jpeg
+
+        img = (np.arange(13 * 21, dtype=np.uint8) % 199).reshape(13, 21)
+        enc = encode_jpeg(img)
+        # splice a 6-byte COM comment right after SOI; if it were read
+        # as dims it would claim a 26738x27749 crop and garble decode
+        com = struct.pack(">HH", 0xFFFE, 8) + b"hi!\x68\x6c\x6c"
+        spliced = enc[:2] + com + enc[2:]
+        out = _decode_jpeg(spliced)
+        assert out.shape == (13, 21)
+        assert np.array_equal(out, _decode_jpeg(enc))
+        # an APP9 without the magic is also skipped, not a crop
+        app9 = struct.pack(">HH", 0xFFE9, 10) + b"XXXX" + b"\x00\x01\x00\x01"
+        assert _decode_jpeg(enc[:2] + app9 + enc[2:]).shape == (13, 21)
+
     def test_rejects_non_baseline_and_garbage(self):
         import numpy as np
         import pytest as _pytest

@@ -388,6 +388,57 @@ def test_compaction_executes_plan_and_commits_new_snapshot(spark, tmp_path):
     assert len(list_snapshots(spark, out)) == len(snaps)
 
 
+def test_compaction_preserves_partition_layout(spark, tmp_path):
+    """compact_published on a partition_by snapshot: the recursive
+    inventory finds the Hive-nested files, the rewrite compacts each
+    partition dir IN PLACE of its relative layout, the new manifest
+    carries partition_by forward, and the compacted snapshot still
+    partition-prunes."""
+    import os
+
+    from mindocr_spark.corpus import pages_dataframe
+    from mindocr_spark.operators.pipeline import (
+        compact_published,
+        list_snapshots,
+        read_published,
+        resolve_published,
+        run_extraction,
+        write_results_wap,
+    )
+
+    out, metrics = str(tmp_path / "out"), str(tmp_path / "metrics")
+    good = run_extraction(
+        pages_dataframe(spark, 40, seed=9)).repartition(6)
+    assert write_results_wap(good, out, metrics, run_id="p1",
+                             partition_by=("lang",))
+    before = {(r["url"], r["lang"])
+              for r in read_published(spark, out).collect()}
+
+    assert compact_published(spark, out, run_id="c1",
+                             target_bytes=1 << 30)
+    snaps = list_snapshots(spark, out)
+    assert snaps[-1]["partition_by"] == ["lang"]
+    assert snaps[-1]["counters"]["files_after"] < \
+        snaps[-1]["counters"]["files_before"]
+    data = resolve_published(spark, out)
+    # layout preserved: only lang=... dirs at the table root
+    part_dirs = [d for d in os.listdir(data)
+                 if os.path.isdir(os.path.join(data, d))]
+    assert part_dirs and all(d.startswith("lang=") for d in part_dirs)
+    # each partition compacted to its planned single bin
+    for d in part_dirs:
+        files = [f for f in os.listdir(os.path.join(data, d))
+                 if f.endswith(".parquet")]
+        assert len(files) == 1
+    df = read_published(spark, out)
+    assert {(r["url"], r["lang"]) for r in df.collect()} == before
+    some = sorted({r["lang"] for r in df.select(
+        "lang").distinct().collect()})[0]
+    plan = (df.where(df["lang"] == some)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters: [isnotnull(lang" in plan
+
+
 def test_partitioned_wap_snapshot_prunes_partitions(spark, tmp_path):
     """write_results_wap(partition_by=('lang',)) lays the run dir out
     Hive-style; a reader resolving through the manifest and filtering

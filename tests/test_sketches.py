@@ -299,6 +299,15 @@ class TestSketchKSDrift:
         assert got["ks_d"] == 1.0 and got["drifted"]
         assert got["d_num"] == got["n_a"] * got["n_b"]
 
+    def test_empty_half_yields_null_not_abort(self, spark):
+        """A group whose rows all land in ONE split half has no second
+        distribution to compare: ks_d/drifted are NULL — never an ANSI
+        divide-by-zero abort (the repo-wide guard idiom)."""
+        rows = [("g", v, 0) for v in (10, 50, 200)]
+        got = self._run(spark, rows)["g"]
+        assert (got["n_a"], got["n_b"]) == (3, 0)
+        assert got["ks_d"] is None and got["drifted"] is None
+
     def test_sub_bucket_shift_invisible(self, spark):
         """The documented resolution tradeoff: values moving WITHIN a
         γ-bucket cannot register as drift."""

@@ -335,6 +335,48 @@ class TestRevisitRecords:
         assert roles == {"https://a.example/small": False,
                          "https://z.example/big": True}
 
+    def test_same_url_refetch_becomes_revisit(self, spark, tmp_path):
+        """N re-crawls of the SAME url with identical payload — the
+        most common archive-dedup case — must store ONE response (the
+        earliest observation) and N-1 revisits, and resolve back to
+        all N observations."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from mindocr_spark.sources.warc import (
+            parse_warc_with_revisits,
+            read_warc_resolved,
+            write_warc_dir_deduped,
+        )
+
+        url = "https://r.example/page"
+        data = [
+            (url, dt.datetime(2024, 1, d, tzinfo=dt.timezone.utc),
+             "<p>stable</p>", "en")
+            for d in (3, 1, 2)
+        ]
+        pages = spark.createDataFrame(
+            data,
+            "url string, warc_ts timestamp, html string, lang string",
+        ).withColumn("html", F.col("html").cast("binary"))
+        out = str(tmp_path / "w")
+        n_resp, n_rev = write_warc_dir_deduped(pages, out, n_files=1)
+        assert (n_resp, n_rev) == (1, 2)
+        import pathlib
+
+        recs = parse_warc_with_revisits(
+            (pathlib.Path(out) / "part-00000.warc").read_bytes())
+        # the earliest (url, ts) observation is the canonical response
+        responses = [r for r in recs if not r["is_revisit"]]
+        assert len(responses) == 1
+        assert responses[0]["ts_sec"] == int(
+            dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+        back = read_warc_resolved(spark, out).collect()
+        assert len(back) == 3
+        assert {bytes(r["html"]).decode() for r in back} == {"<p>stable</p>"}
+        assert {int(r["warc_ts"].day) for r in back} == {1, 2, 3}
+
     def test_revisit_record_bytes_walk_clean(self, spark, tmp_path):
         """Revisit records (Content-Length 0) must pass the hardened
         record walk and carry the md5 pointer."""
