@@ -844,13 +844,15 @@ def q_readability(spark, sf_dir):
 
 def q_cdc_chunks(spark, sf_dir):
     """Content-defined chunking (long-doc training prep / retrieval
-    chunking): boundaries where a k-gram's md5 opens with a zero
-    nibble, chunks tiling each document exactly — all JVM higher-order
-    functions on the scan, zero shuffles. nibbles=1 here so the test
-    corpus yields multi-chunk docs (~16-char expected chunks; the
-    production default is 2 → ~256). The oracle runs the same md5
-    rule through DuckDB list comprehension — the boundary rule, the
-    tiling arithmetic, AND the per-chunk digests must all agree."""
+    chunking): boundaries where a k-gram's ROLLING polynomial hash
+    (Horner base 257 mod 2^31-1 — one vectorized Arrow fold, no
+    digest per position) is ≡ 0 mod 16^nibbles, chunks tiling each
+    document exactly; tiling + per-chunk md5 stay JVM-side, zero
+    shuffles. nibbles=1 here so the test corpus yields multi-chunk
+    docs (~16-char expected chunks; the production default is 2 →
+    ~256). The oracle runs the SAME Horner arithmetic through DuckDB
+    list_filter — the boundary rule, the tiling arithmetic, AND the
+    per-chunk digests must all agree."""
     from mindocr_spark.functions.text import cdc_chunks
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -9081,6 +9083,46 @@ def _simhash_hex_ctes() -> str:
     """
 
 
+def _cdc_oracle(k: int = 8, nibbles: int = 1) -> str:
+    """DuckDB twin of `cdc_chunks`: the SAME Horner rolling-hash
+    arithmetic (base/mod from the engine's own constants — the two
+    sides cannot drift), evaluated per candidate position through a
+    list_filter lambda; every intermediate fits int64 in both engines
+    so boundary sets are exactly equal. O(n·k) in the oracle is fine —
+    the ENGINE is the side that must be O(n) vectorized."""
+    from mindocr_spark.functions.text import CDC_BASE, CDC_MOD
+
+    h = "CAST(0 AS BIGINT)"  # BIGINT seed keeps every product 64-bit
+    for j in range(k):
+        h = (f"(({h}) * {CDC_BASE} "
+             f"+ ord(substr(text, CAST(i + {j} AS INT), 1))) % {CDC_MOD}")
+    mod = 16 ** nibbles
+    return f"""
+            WITH d AS (
+              SELECT doc_id, text, length(text) AS n
+              FROM documents WHERE text IS NOT NULL),
+            b AS (
+              SELECT doc_id, text, n,
+                     CASE WHEN n - {k - 1} >= 2 THEN list_filter(
+                            range(2, n - {k - 1} + 1),
+                            i -> ({h}) % {mod} = 0)
+                          ELSE CAST([] AS BIGINT[]) END AS bs
+              FROM d),
+            z AS (
+              SELECT doc_id, text,
+                     unnest(list_zip(list_concat([1], bs),
+                                     list_concat(bs, [n + 1]),
+                                     range(1, len(bs) + 2))) AS u
+              FROM b)
+            SELECT doc_id, CAST(u[3] - 1 AS INT) AS chunk_idx,
+                   CAST(u[1] AS INT) AS chunk_start,
+                   CAST(u[2] - u[1] AS INT) AS chunk_len,
+                   md5(substr(text, CAST(u[1] AS INT),
+                              CAST(u[2] - u[1] AS INT))) AS chunk_md5
+            FROM z ORDER BY doc_id, chunk_idx
+        """
+
+
 def _simhash_md5_oracle() -> str:
     return f"""
         WITH {_simhash_hex_ctes()}
@@ -11832,31 +11874,7 @@ def oracle_sql() -> dict[str, str]:
                        + 0.0 END AS ln_k
             FROM fit
         """,
-        "cdc_chunks": r"""
-            WITH d AS (
-              SELECT doc_id, text, length(text) AS n
-              FROM documents WHERE text IS NOT NULL),
-            b AS (
-              SELECT doc_id, text, n,
-                     CASE WHEN n - 7 >= 2 THEN list_filter(
-                            range(2, n - 7 + 1),
-                            i -> substr(md5(substr(text, CAST(i AS INT), 8)),
-                                        1, 1) = '0')
-                          ELSE CAST([] AS BIGINT[]) END AS bs
-              FROM d),
-            z AS (
-              SELECT doc_id, text,
-                     unnest(list_zip(list_concat([1], bs),
-                                     list_concat(bs, [n + 1]),
-                                     range(1, len(bs) + 2))) AS u
-              FROM b)
-            SELECT doc_id, CAST(u[3] - 1 AS INT) AS chunk_idx,
-                   CAST(u[1] AS INT) AS chunk_start,
-                   CAST(u[2] - u[1] AS INT) AS chunk_len,
-                   md5(substr(text, CAST(u[1] AS INT),
-                              CAST(u[2] - u[1] AS INT))) AS chunk_md5
-            FROM z ORDER BY doc_id, chunk_idx
-        """,
+        "cdc_chunks": _cdc_oracle(),
         # closed-form mojibake verdicts: the broken/fixed suffix pair
         # is injected from the SAME Python constants the Spark query
         # plants, so the corpora can never drift; m=0 repairs to the

@@ -1378,15 +1378,57 @@ def rolling_fingerprints(df: DataFrame, k: int = 8, text_col: str = "text",
     return grams.where(F.pmod("h", F.lit(keep_every)) == 0).distinct()
 
 
+#: Rolling-hash constants shared with the DuckDB oracle twin: Horner
+#: base and Mersenne modulus. All intermediates fit int64
+#: (M * B + max_codepoint < 2^63), so both engines compute the exact
+#: same integers.
+CDC_BASE = 257
+CDC_MOD = (1 << 31) - 1
+
+
+def _cdc_boundaries_fn(k: int, mod: int):
+    """Arrow fold: text → 1-based boundary positions where the k-char
+    gram's rolling polynomial hash ≡ 0 (mod `mod`). Vectorized Horner:
+    k fused multiply-add passes over the codepoint array — O(k·n) C
+    ops per doc, no per-position digest (the md5-per-position version
+    this replaced was ~100× more work per byte; see BENCH.md)."""
+
+    def fn(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for t in texts:
+            if t is None or len(t) < k + 1:
+                out.append([])
+                continue
+            c = np.frombuffer(
+                t.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            m = c.size - k + 1  # grams start at 0-based 0..n-k
+            h = np.zeros(m, dtype=np.int64)
+            for j in range(k):
+                h = (h * CDC_BASE + c[j:j + m]) % CDC_MOD
+            # candidates are 1-based starts 2..n-k+1 (a boundary at 1
+            # would open an empty zeroth chunk) = H indices 1..m-1
+            hits = np.nonzero((h[1:] % mod) == 0)[0] + 2
+            out.append(hits.astype(np.int32).tolist())
+        return pd.Series(out, dtype="object")
+
+    return fn
+
+
 def cdc_chunks(df: DataFrame, k: int = 8, nibbles: int = 2,
                text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """Content-defined chunking (the FastCDC/rsync family, re-expressed
     for a shuffle engine): split each document at positions whose
-    k-char gram's md5 starts with `nibbles` zero hex digits — an
-    expected chunk length of 16^nibbles chars (~256 at the default).
-    Returns one row per chunk: (id, chunk_idx, chunk_start, chunk_len,
-    chunk_md5), tiling the document exactly.
+    k-char gram's ROLLING polynomial hash (Horner base 257 mod 2^31-1,
+    the Rabin–Karp family) is ≡ 0 mod 16^`nibbles` — an expected chunk
+    length of 16^nibbles chars (~256 at the default), the same rate as
+    the md5-zero-prefix rule this replaced at ~1/100th the per-byte
+    cost (no digest per position; see BENCH.md). Returns one row per
+    chunk: (id, chunk_idx, chunk_start, chunk_len, chunk_md5), tiling
+    the document exactly.
 
     Content-defined is the load-bearing property: a boundary depends
     only on the local bytes, so an insertion early in a document shifts
@@ -1396,13 +1438,14 @@ def cdc_chunks(df: DataFrame, k: int = 8, nibbles: int = 2,
     sampled grams to a full tiling). The standard training-prep /
     retrieval-chunking step for long documents.
 
-    100 TB shape: the whole op is JVM higher-order functions on the
-    scan — ``filter(sequence(...))`` finds boundaries, one
-    ``arrays_zip`` + posexplode tiles them — zero shuffles, zero
-    Python, no groupBy anywhere; the per-doc work is linear in doc
-    length. Docs with NULL text contribute no rows (a chunk relation
-    has no use for NULL rows). Exact SQL twin via DuckDB list
-    comprehension over the same md5 rule.
+    100 TB shape: boundary detection is ONE Arrow-batched numpy fold
+    (k vectorized multiply-adds per doc — linear, no per-position
+    Python and no per-position digest); the tiling is JVM arrays_zip +
+    posexplode and the per-chunk md5 is codegen. Zero shuffles, no
+    groupBy anywhere. Docs with NULL text contribute no rows (a chunk
+    relation has no use for NULL rows). Exact SQL twin via DuckDB list
+    comprehension over the same Horner arithmetic — identical int64
+    values in both engines.
 
     Reference lineage: crop_text_region slices the payload into
     per-region sub-images keyed (image, region idx) for downstream
@@ -1414,26 +1457,21 @@ def cdc_chunks(df: DataFrame, k: int = 8, nibbles: int = 2,
         raise ValueError(f"k and nibbles must be positive, got {k}, {nibbles}")
     t = F.col(text_col)
     n = F.length(t)
-    prefix = "0" * nibbles
-    # boundary candidates start at 2: a boundary at 1 would open an
-    # empty zeroth chunk. sequence() is DESCENDING when end < start
-    # (phantom positions), so short docs get an explicit empty array.
-    bs = F.when(
-        n - (k - 1) >= 2,
-        F.filter(
-            F.sequence(F.lit(2), n - (k - 1)),
-            lambda i: F.md5(
-                F.substr(t, i, F.lit(k)).cast("binary")
-            ).startswith(prefix),
-        ),
-    ).otherwise(F.array().cast("array<int>"))
+    from pyspark.sql.functions import pandas_udf
+
+    bounds = pandas_udf(
+        _cdc_boundaries_fn(k, 16 ** nibbles), "array<int>")
+    base = df.where(t.isNotNull()).select(
+        id_col, t.alias("__t"), bounds(t).alias("__bs"))
+    n = F.length("__t")
+    bs = F.col("__bs")
     spans = F.arrays_zip(
         F.concat(F.array(F.lit(1)), bs).alias("s"),
         F.concat(bs, F.array((n + 1).cast("int"))).alias("e"),
     )
-    c = df.where(t.isNotNull()).select(
+    c = base.select(
         id_col,
-        t.alias("__t"),
+        "__t",
         F.posexplode(spans).alias("chunk_idx", "__span"),
     )
     start = F.col("__span.s")

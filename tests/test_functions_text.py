@@ -579,7 +579,10 @@ class TestCdcChunks:
         with pytest.raises(ValueError):
             self._run(spark, ["x"], nibbles=0)
 
-    def test_plan_is_scan_only(self, spark):
+    def test_plan_is_narrow_one_arrow_fold(self, spark):
+        """Zero shuffles; boundary detection is exactly ONE
+        Arrow-batched stage (the vectorized rolling hash), never a
+        per-row Python eval."""
         from mindocr_spark.functions.text import cdc_chunks
 
         df = spark.range(3).selectExpr(
@@ -587,7 +590,30 @@ class TestCdcChunks:
         )
         plan = cdc_chunks(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
-        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+        assert "BatchEvalPython" not in plan
+        assert plan.count("ArrowEvalPython") == 1
+
+    def test_boundary_rule_matches_scalar_horner(self, spark):
+        """The engine's vectorized fold equals a scalar Horner
+        reimplementation (the same arithmetic the DuckDB oracle runs),
+        including on non-ASCII codepoints."""
+        from mindocr_spark.functions.text import CDC_BASE, CDC_MOD
+
+        text = "héllo wörld γράμμα content defined chunking " * 4
+        k, mod = 8, 16
+
+        def horner(i):  # 1-based gram start
+            h = 0
+            for j in range(k):
+                h = (h * CDC_BASE + ord(text[i - 1 + j])) % CDC_MOD
+            return h
+
+        want = [i for i in range(2, len(text) - k + 2)
+                if horner(i) % mod == 0]
+        rows = sorted(self._run(spark, [text], nibbles=1),
+                      key=lambda r: r["chunk_idx"])
+        got = [r["chunk_start"] for r in rows[1:]]  # drop the 1-start
+        assert got == want and len(want) > 0
 
 
 def test_lexical_diversity_golden(spark):
