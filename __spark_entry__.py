@@ -2893,10 +2893,20 @@ def q_ann_ivf_pq_topk(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
+    """Embedding near-dup pairs on the PRODUCTION multi-table LSH path
+    (bucket join + single-bit-flip probes + exact cosine verify inside
+    buckets) — not the all-pairs device. The oracle replays the SAME
+    pinned hyperplanes and probe set in DuckDB, so candidates AND
+    verified pairs must both agree; this keeps the query triple-green
+    at EVERY tier (the old exact-all-pairs oracle was O(n²) and
+    infeasible at the sf1 rehearsal — BENCH.md r03). n_bits is pinned
+    here (the contract needs a static plane set for the SQL twin);
+    production keeps the adaptive `neardup_bits_plan` default."""
     from mindocr_spark.functions.similarity import embedding_neardup_pairs
 
     return embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4, exact=True
+        _t(spark, sf_dir, "embeddings"), threshold=0.4,
+        n_bits=8, n_tables=2,
     ).orderBy("id_a", "id_b")
 
 
@@ -9121,6 +9131,64 @@ def _cdc_oracle(k: int = 8, nibbles: int = 1) -> str:
                               CAST(u[2] - u[1] AS INT))) AS chunk_md5
             FROM z ORDER BY doc_id, chunk_idx
         """
+
+
+def _embedding_neardup_oracle(threshold: float = 0.4, n_bits: int = 8,
+                              n_tables: int = 2, dim: int = 64) -> str:
+    """BLOCKED exact oracle for q_embedding_neardup: replay the SAME
+    pinned-hyperplane bucketing and single-bit-flip probe set the
+    production plan uses (planes rendered as literals from
+    similarity._planes — the _lsh_ann_oracle discipline; sign margins
+    on this data ≫ float association noise), then exact round-4 cosine
+    verification INSIDE the candidate set. O(candidates), never O(n²),
+    so the oracle stays feasible at the sf1/sf10 rehearsal tiers."""
+    from mindocr_spark.functions.similarity import _planes
+
+    def plane_lit(p):
+        return "[" + ",".join(repr(x) for x in p) + "]::DOUBLE[]"
+
+    def bucket_expr(vcol, t):
+        terms = [
+            f"(CASE WHEN list_dot_product({vcol}, {plane_lit(p)}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(_planes(dim, n_bits, t))
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    corpus_parts = [
+        f"SELECT vec_id AS id, v, {t} AS tbl, "
+        f"{bucket_expr('v', t)} AS bucket FROM e"
+        for t in range(n_tables)
+    ]
+    probe_parts = []
+    for t in range(n_tables):
+        probes = ["bucket"] + [f"xor(bucket, {1 << i})"
+                               for i in range(n_bits)]
+        probe_parts.append(
+            f"SELECT id, v, tbl, unnest([{', '.join(probes)}]) AS pbucket "
+            f"FROM cb WHERE tbl = {t}"
+        )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cb AS ({' UNION ALL '.join(corpus_parts)}),
+        probes AS ({' UNION ALL '.join(probe_parts)}),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                 a.v AS va, b.v AS vb
+          FROM probes a JOIN cb b
+            ON a.tbl = b.tbl AND a.pbucket = b.bucket
+          WHERE a.id < b.id)
+        SELECT id_a, id_b,
+               round(list_dot_product(va, vb)
+                     / (sqrt(list_dot_product(va, va))
+                        * sqrt(list_dot_product(vb, vb))), 4) AS cos_sim
+        FROM cand
+        WHERE round(list_dot_product(va, vb)
+                    / (sqrt(list_dot_product(va, va))
+                       * sqrt(list_dot_product(vb, vb))), 4)
+              >= {threshold}
+        ORDER BY id_a, id_b
+    """
 
 
 def _simhash_md5_oracle() -> str:
@@ -15940,18 +16008,7 @@ def oracle_sql() -> dict[str, str]:
               FROM s)
             SELECT * FROM r WHERE rank <= 5 ORDER BY query_id, rank
         """,
-        "embedding_neardup": """
-            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_dot_product(a.v, b.v)
-                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-                         4) AS cos_sim
-            FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE round(list_dot_product(a.v, b.v)
-                        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-                        4) >= 0.4
-            ORDER BY id_a, id_b
-        """,
+        "embedding_neardup": _embedding_neardup_oracle(),
         # compressed PNG codec path: the mean is only reachable via a
         # working inflate + five-filter reconstruction — the formula
         # below is the PIXEL source, not the byte stream
