@@ -2968,6 +2968,63 @@ def q_extract_embed_semdedup(spark, sf_dir):
     return semdedup_flags(emb, threshold=0.95).orderBy("vec_id")
 
 
+def q_schema_evolution(spark, sf_dir):
+    """Schema evolution on the WAP manifest protocol, end to end: a
+    two-spec table (snapshot v1 = even docs under the original schema;
+    then rename extracted_text→content + add chars:bigint; snapshot
+    v2 = odd docs under the evolved schema), read back as the UNION of
+    a time-traveled v1 view and the current snapshot — both through
+    the CURRENT schema (field-ID name mapping: the rename resolves to
+    v1's old physical column, the added column surfaces as typed NULL
+    on v1 rows). The oracle states the merged view straight from the
+    documents table, so the mapping must be value-exact, not just
+    shape-correct. Iceberg analog: SURVEY §1.4/§4 scan semantics."""
+    from mindocr_spark.operators import pipeline as pipeline_mod
+    from mindocr_spark.operators.pipeline import (
+        current_schema,
+        evolve_schema,
+        list_snapshots,
+        read_published,
+        write_results_wap,
+    )
+    from mindocr_spark.sources import content_keyed_fixture_dir
+    from mindocr_spark.sources import pages as pages_mod
+
+    def build(out_dir: str) -> None:
+        table, metrics = f"{out_dir}/table", f"{out_dir}/metrics"
+        base = _extract(spark, sf_dir).select(
+            "doc_id", "extracted_text", "total_bytes",
+            "boilerplate_ratio", "failed", "n_blocks",
+        )
+        v1 = base.where(F.pmod("doc_id", F.lit(2)) == 0)
+        assert write_results_wap(v1, table, metrics, run_id="v1",
+                                 keep_snapshots=4)
+        ev = evolve_schema(
+            current_schema(spark, table),
+            rename={"extracted_text": "content"},
+            add=(("chars", "bigint"),),
+        )
+        v2 = (
+            base.where(F.pmod("doc_id", F.lit(2)) == 1)
+            .withColumnRenamed("extracted_text", "content")
+            .withColumn("chars", F.length("content").cast("bigint"))
+        )
+        assert write_results_wap(v2, table, metrics, run_id="v2",
+                                 schema_fields=ev, keep_snapshots=4)
+
+    root = content_keyed_fixture_dir(
+        "mindocr_schema_evo", sf_dir,
+        (__file__, pages_mod.__file__, pipeline_mod.__file__),
+        build,
+    )
+    table = f"{root}/table"
+    seq_v1 = list_snapshots(spark, table)[0]["seq"]
+    cols = ["doc_id", "content", "chars"]
+    old = read_published(spark, table, seq=seq_v1).select(*cols)
+    new = read_published(spark, table).select(*cols)
+    return old.unionByName(new).orderBy("doc_id")
+
+
 def q_cluster_mix(spark, sf_dir):
     """Cluster-balanced mixture allocation (D4-style topic
     rebalancing): k-means-cluster the embeddings with the shared IVF
@@ -8016,6 +8073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q(q_embedding_neardup),
         "text_embed": _q(q_text_embed),
         "extract_embed_semdedup": _q(q_extract_embed_semdedup),
+        "schema_evolution": _q(q_schema_evolution),
         "quality_scores": _q(q_quality_scores),
         "gopher_gate": _q(q_gopher_gate),
         "lang_id": _q(q_lang_id),
@@ -15669,6 +15727,14 @@ def oracle_sql() -> dict[str, str]:
         "simhash_md5": _simhash_md5_oracle(),
         "simhash_neardup": _simhash_pairs_oracle(max_hamming=8),
         "ann_lsh_topk": _lsh_ann_oracle(),
+        "schema_evolution": f"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   '{_A}' || chr(10) || text AS content,
+                   CASE WHEN doc_id % 2 = 1
+                        THEN CAST({_ANCHOR_LEN} + 1 + length(text) AS BIGINT)
+                   END AS chars
+            FROM documents ORDER BY doc_id
+        """,
         "text_embed": "WITH " + _embed_vec_ctes("text") + """
             SELECT CAST(vec_id AS BIGINT) AS doc_id,
                    CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS pos,

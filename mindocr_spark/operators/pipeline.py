@@ -126,18 +126,35 @@ def write_results(
 def _observe_metrics(result: DataFrame, run_id: str):
     """Attach the extraction-metrics observation (the single source of
     the audited counter list — write_results global mode and the WAP
-    sink share it so the two can never drift)."""
+    sink share it so the two can never drift). A relation WITHOUT the
+    extraction columns (a generic or schema-evolved table) gets the
+    count-only observation — docs is real, the extraction-specific
+    counters are zero — so the WAP protocol serves ANY table, not only
+    raw extraction output."""
     from pyspark.sql import Observation
 
     obs = Observation(f"extract_metrics_{run_id}")
+    needed = {"total_bytes", "extracted_text", "boilerplate_ratio",
+              "failed", "n_blocks"}
+    if needed <= set(result.columns):
+        return result.observe(
+            obs,
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("total_bytes").alias("bytes_in"),
+            F.sum(F.length("extracted_text")).alias("chars_out"),
+            F.avg("boilerplate_ratio").alias("boilerplate_ratio"),
+            F.sum(F.col("failed").cast("long")).alias("failures"),
+            F.sum("n_blocks").alias("blocks"),
+        ), obs
+    z = F.lit(0).cast("long")
     return result.observe(
         obs,
         F.count(F.lit(1)).alias("docs"),
-        F.sum("total_bytes").alias("bytes_in"),
-        F.sum(F.length("extracted_text")).alias("chars_out"),
-        F.avg("boilerplate_ratio").alias("boilerplate_ratio"),
-        F.sum(F.col("failed").cast("long")).alias("failures"),
-        F.sum("n_blocks").alias("blocks"),
+        F.max(z).alias("bytes_in"),
+        F.max(z).alias("chars_out"),
+        F.max(F.lit(0.0)).alias("boilerplate_ratio"),
+        F.max(z).alias("failures"),
+        F.max(z).alias("blocks"),
     ), obs
 
 
@@ -306,6 +323,90 @@ def _load_manifests(fs: _FS, path: str) -> list[dict]:
     return sorted(out, key=lambda d: d["seq"])
 
 
+def schema_fields_of(df: DataFrame) -> list[dict]:
+    """Initial field-ID assignment for a NEW table: sequential ids in
+    dataframe order. Ids — not names — are a column's durable identity
+    (the Iceberg rule), which is what makes rename/drop/add safe."""
+    return [
+        {"id": i + 1, "name": f.name, "type": f.dataType.simpleString()}
+        for i, f in enumerate(df.schema.fields)
+    ]
+
+
+def evolve_schema(
+    fields: list[dict],
+    add: tuple = (),
+    rename: dict | None = None,
+    drop: tuple = (),
+    retype: dict | None = None,
+) -> list[dict]:
+    """Iceberg-style schema evolution over the manifest's field list:
+
+    - ``rename={"old": "new"}`` keeps the field ID (readers of old
+      snapshots keep resolving the column by id, never by name);
+    - ``drop=("name", ...)`` removes the field (its id is never
+      reused — adds always allocate above the historical max);
+    - ``add=(("name", "type"), ...)`` appends fresh-id fields (old
+      snapshots surface them as NULL);
+    - ``retype={"name": "bigint"}`` widens a type in place (same id —
+      the promotion the read-side cast applies to old data).
+
+    Returns a NEW field list; the input is not mutated. Raises on a
+    rename/drop/retype of an unknown column or an add of an existing
+    name — evolution typos must fail at evolve time, not read time."""
+    rename = rename or {}
+    retype = retype or {}
+    names = {f["name"] for f in fields}
+    for src in (*rename, *drop, *retype):
+        if src not in names:
+            raise KeyError(f"no such column to evolve: {src!r}")
+    out = []
+    for f in fields:
+        if f["name"] in drop:
+            continue
+        g = dict(f)
+        if f["name"] in rename:
+            g["name"] = rename[f["name"]]
+        if f["name"] in retype:
+            g["type"] = retype[f["name"]]
+        out.append(g)
+    next_id = max((f["id"] for f in fields), default=0) + 1
+    for name, typ in add:
+        if name in names:
+            raise ValueError(f"column already exists: {name!r}")
+        out.append({"id": next_id, "name": name, "type": typ})
+        next_id += 1
+    seen = [f["name"] for f in out]
+    if len(seen) != len(set(seen)):
+        raise ValueError(f"evolution produced duplicate names: {seen}")
+    return out
+
+
+def current_schema(spark: "SparkSession", path: str) -> list[dict] | None:
+    """The CURRENT committed schema of a WAP table (None when the
+    table predates schema tracking or nothing is committed)."""
+    manifests = _load_manifests(_FS(spark, path), path)
+    return manifests[-1].get("schema") if manifests else None
+
+
+def _project_to_schema(df: DataFrame, snap_fields: list[dict],
+                       cur_fields: list[dict]) -> DataFrame:
+    """Read-time name mapping: view a snapshot written under
+    `snap_fields` through `cur_fields` — match by field ID, so renames
+    resolve to the old physical column, added columns surface as
+    typed NULLs, dropped columns vanish, and widened types cast. Pure
+    projection: no data is rewritten (the Iceberg read path)."""
+    by_id = {f["id"]: f for f in snap_fields}
+    cols = []
+    for f in cur_fields:
+        old = by_id.get(f["id"])
+        if old is None:
+            cols.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+        else:
+            cols.append(F.col(old["name"]).cast(f["type"]).alias(f["name"]))
+    return df.select(*cols)
+
+
 def list_snapshots(spark: "SparkSession", path: str) -> list[dict]:
     """Committed snapshots of a WAP table, ascending seq — each entry is
     the manifest body (seq, run_id, counters, …). Only snapshots whose
@@ -338,11 +439,34 @@ def resolve_published(spark: "SparkSession", path: str,
 
 
 def read_published(spark: "SparkSession", path: str,
-                   seq: int | None = None) -> DataFrame:
-    data = resolve_published(spark, path, seq)
-    if data is None:
+                   seq: int | None = None,
+                   as_written: bool = False) -> DataFrame:
+    """Read a committed snapshot. When the table tracks schemas (every
+    write_results_wap since schema fields landed), the read — current
+    OR time-traveled — is viewed through the CURRENT schema via
+    field-ID name mapping (the Iceberg read semantic): renamed columns
+    resolve to old physical names, added columns surface as typed
+    NULLs on pre-evolution snapshots, dropped columns vanish.
+    ``as_written=True`` bypasses the mapping (snapshot archaeology);
+    tables without recorded schemas read as-written always."""
+    manifests = _load_manifests(_FS(spark, path), path)
+    if not manifests:
         raise FileNotFoundError(f"no committed WAP snapshot under {path}")
-    return spark.read.parquet(data)
+    snap = manifests[-1]
+    if seq is not None:
+        by_seq = {m["seq"]: m for m in manifests}
+        if seq not in by_seq:
+            raise LookupError(
+                f"no committed snapshot seq={seq} under {path} "
+                f"(retained: {sorted(by_seq)})"
+            )
+        snap = by_seq[seq]
+    df = spark.read.parquet(f"{path}/{_DATA_DIR}/{snap['data_dir']}")
+    cur_fields = manifests[-1].get("schema")
+    snap_fields = snap.get("schema")
+    if as_written or not (cur_fields and snap_fields):
+        return df
+    return _project_to_schema(df, snap_fields, cur_fields)
 
 
 def write_results_wap(
@@ -353,6 +477,7 @@ def write_results_wap(
     audit=None,
     keep_snapshots: int = 2,
     partition_by: tuple[str, ...] = (),
+    schema_fields: list[dict] | None = None,
 ) -> bool:
     """Write-audit-publish sink — the Iceberg WAP commit discipline
     (stage to a branch → validate → fast-forward main; SURVEY §1.4/§4)
@@ -407,8 +532,35 @@ def write_results_wap(
     # idempotent replay: a run_id with a committed manifest is done —
     # its data dir may be the one readers currently resolve, so the
     # retry must not restage (mode("overwrite") would delete live data)
-    if any(m["run_id"] == run_id for m in _load_manifests(fs, path)):
+    committed = _load_manifests(fs, path)
+    if any(m["run_id"] == run_id for m in committed):
         return True
+
+    # schema tracking (Iceberg field-id discipline): a NEW table gets
+    # sequential ids from the result schema; an EXISTING table carries
+    # its current schema forward. A result whose column set silently
+    # diverges from the current schema is REJECTED — evolution must be
+    # explicit (pass schema_fields=evolve_schema(current, ...)), never
+    # an accident of a changed job.
+    df_names = sorted(f.name for f in result.schema.fields)
+    if schema_fields is None:
+        cur_f = committed[-1].get("schema") if committed else None
+        if cur_f is not None:
+            if sorted(f["name"] for f in cur_f) != df_names:
+                raise ValueError(
+                    "result schema diverges from the table's current "
+                    f"schema ({df_names} vs "
+                    f"{sorted(f['name'] for f in cur_f)}); pass "
+                    "schema_fields=evolve_schema(current_schema(...), ...)"
+                )
+            schema_fields = cur_f
+        else:
+            schema_fields = schema_fields_of(result)
+    elif sorted(f["name"] for f in schema_fields) != df_names:
+        raise ValueError(
+            f"schema_fields names {sorted(f['name'] for f in schema_fields)} "
+            f"do not match the result columns {df_names}"
+        )
 
     data_dir = f"{path}/{_DATA_DIR}/{run_id}"
     observed, obs = _observe_metrics(result, run_id)
@@ -435,6 +587,7 @@ def write_results_wap(
     _write_manifest(fs, path, run_id, {
         "data_dir": run_id,
         "partition_by": list(partition_by),
+        "schema": schema_fields,
         "counters": {k: (float(v) if k == "boilerplate_ratio" else int(v))
                      for k, v in g.items()},
     })
@@ -548,13 +701,16 @@ def compact_published(
         fs.delete(new_dir)  # audit failed: no manifest, old snapshot live
         raise RuntimeError(
             f"compaction audit failed: {n_before} rows -> {n_after}")
-    _write_manifest(fs, path, run_id, {
+    manifest_fields = {
         "data_dir": run_id,
         "partition_by": partition_by,
         "compaction_of": cur["seq"],
         "counters": {"rows": int(n_after), "files_before": len(inv),
                      "files_after": int(sum(bins.values()))},
-    })
+    }
+    if cur.get("schema") is not None:
+        manifest_fields["schema"] = cur["schema"]  # spec carries forward
+    _write_manifest(fs, path, run_id, manifest_fields)
     manifests = _load_manifests(fs, path)
     live = {m["data_dir"] for m in manifests[-keep_snapshots:]}
     for name in fs.list_names(f"{path}/{_DATA_DIR}"):

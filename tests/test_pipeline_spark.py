@@ -388,6 +388,171 @@ def test_compaction_executes_plan_and_commits_new_snapshot(spark, tmp_path):
     assert len(list_snapshots(spark, out)) == len(snaps)
 
 
+class TestSchemaEvolution:
+    """Iceberg-style schema evolution on the manifest protocol:
+    field IDs are a column's durable identity; reads — current or
+    time-traveled — view every snapshot through the CURRENT schema."""
+
+    def _table(self, spark, tmp_path):
+        from mindocr_spark.operators.pipeline import write_results_wap
+
+        out = str(tmp_path / "t")
+        metrics = str(tmp_path / "m")
+        v1 = spark.createDataFrame(
+            [(1, "alpha", 10), (2, "beta", 20)],
+            "doc_id bigint, body string, n_chars int",
+        )
+        assert write_results_wap(v1, out, metrics, run_id="v1",
+                                 keep_snapshots=4)
+        return out, metrics
+
+    def test_rename_add_drop_widen_roundtrip(self, spark, tmp_path):
+        from mindocr_spark.operators.pipeline import (
+            current_schema,
+            evolve_schema,
+            list_snapshots,
+            read_published,
+            write_results_wap,
+        )
+        from pyspark.sql import functions as F
+
+        out, metrics = self._table(spark, tmp_path)
+        seq1 = list_snapshots(spark, out)[-1]["seq"]
+        ev = evolve_schema(
+            current_schema(spark, out),
+            rename={"body": "content"},
+            retype={"n_chars": "bigint"},
+            add=(("quality", "double"),),
+        )
+        v2 = spark.createDataFrame(
+            [(3, "gamma", 30, 0.9)],
+            "doc_id bigint, content string, n_chars bigint, quality double",
+        )
+        assert write_results_wap(v2, out, metrics, run_id="v2",
+                                 schema_fields=ev, keep_snapshots=4)
+        cur = read_published(spark, out)
+        assert sorted(cur.columns) == ["content", "doc_id", "n_chars",
+                                       "quality"]
+        # time travel views the OLD snapshot through the NEW schema:
+        # rename resolves by field id, the added column is typed NULL,
+        # the int widens to bigint
+        old = read_published(spark, out, seq=seq1)
+        assert sorted(old.columns) == sorted(cur.columns)
+        rows = {r["doc_id"]: r for r in old.collect()}
+        assert rows[1]["content"] == "alpha"
+        assert rows[1]["quality"] is None
+        assert dict(old.dtypes)["n_chars"] == "bigint"
+        # as-written bypasses the mapping
+        raw = read_published(spark, out, seq=seq1, as_written=True)
+        assert sorted(raw.columns) == ["body", "doc_id", "n_chars"]
+
+    def test_drop_vanishes_everywhere(self, spark, tmp_path):
+        from mindocr_spark.operators.pipeline import (
+            current_schema,
+            evolve_schema,
+            list_snapshots,
+            read_published,
+            write_results_wap,
+        )
+
+        out, metrics = self._table(spark, tmp_path)
+        seq1 = list_snapshots(spark, out)[-1]["seq"]
+        ev = evolve_schema(current_schema(spark, out), drop=("n_chars",))
+        v2 = spark.createDataFrame(
+            [(9, "omega")], "doc_id bigint, body string")
+        assert write_results_wap(v2, out, metrics, run_id="v2",
+                                 schema_fields=ev, keep_snapshots=4)
+        assert sorted(read_published(spark, out).columns) == \
+            ["body", "doc_id"]
+        assert sorted(read_published(spark, out, seq=seq1).columns) == \
+            ["body", "doc_id"]
+
+    def test_silent_divergence_rejected(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from mindocr_spark.operators.pipeline import write_results_wap
+
+        out, metrics = self._table(spark, tmp_path)
+        drifted = spark.createDataFrame(
+            [(5, "x")], "doc_id bigint, renamed_by_accident string")
+        with _pytest.raises(ValueError, match="diverges"):
+            write_results_wap(drifted, out, metrics, run_id="v2")
+
+    def test_evolve_schema_validation(self):
+        from mindocr_spark.operators.pipeline import evolve_schema
+
+        import pytest as _pytest
+
+        fields = [{"id": 1, "name": "a", "type": "string"},
+                  {"id": 2, "name": "b", "type": "int"}]
+        with _pytest.raises(KeyError):
+            evolve_schema(fields, rename={"zz": "y"})
+        with _pytest.raises(ValueError):
+            evolve_schema(fields, add=(("a", "string"),))
+        with _pytest.raises(ValueError):
+            evolve_schema(fields, rename={"a": "b"})
+        # ids are durable and never reused
+        ev = evolve_schema(fields, drop=("b",), add=(("c", "double"),))
+        assert [f["id"] for f in ev] == [1, 3]
+
+    def test_partition_spec_change_between_snapshots(self, spark, tmp_path):
+        """Partition-spec evolution: each snapshot keeps ITS OWN
+        layout (the manifest records it), so a spec change is just a
+        new snapshot; the latest one prunes on the new spec and the
+        old one stays time-travelable."""
+        from mindocr_spark.corpus import pages_dataframe
+        from mindocr_spark.operators.pipeline import (
+            list_snapshots,
+            read_published,
+            run_extraction,
+            write_results_wap,
+        )
+
+        out, metrics = str(tmp_path / "t"), str(tmp_path / "m")
+        res = run_extraction(pages_dataframe(spark, 20, seed=3))
+        assert write_results_wap(res, out, metrics, run_id="flat",
+                                 keep_snapshots=4)
+        seq1 = list_snapshots(spark, out)[-1]["seq"]
+        assert write_results_wap(res, out, metrics, run_id="parted",
+                                 keep_snapshots=4,
+                                 partition_by=("lang",))
+        snaps = list_snapshots(spark, out)
+        assert snaps[-1]["partition_by"] == ["lang"]
+        assert snaps[-2]["partition_by"] == []
+        df = read_published(spark, out)
+        some = df.select("lang").distinct().collect()[0]["lang"]
+        plan = (df.where(df["lang"] == some)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "PartitionFilters: [isnotnull(lang" in plan
+        assert read_published(spark, out, seq=seq1).count() == df.count()
+
+    def test_compaction_carries_schema_forward(self, spark, tmp_path):
+        from mindocr_spark.operators.pipeline import (
+            compact_published,
+            current_schema,
+            evolve_schema,
+            list_snapshots,
+            read_published,
+            write_results_wap,
+        )
+
+        out, metrics = self._table(spark, tmp_path)
+        ev = evolve_schema(current_schema(spark, out),
+                           rename={"body": "content"})
+        v2 = spark.createDataFrame(
+            [(i, f"g{i}", 30 + i) for i in range(12)],
+            "doc_id bigint, content string, n_chars int",
+        ).repartition(6)
+        assert write_results_wap(v2, out, metrics, run_id="v2",
+                                 schema_fields=ev, keep_snapshots=4)
+        assert compact_published(spark, out, run_id="c1",
+                                 target_bytes=1 << 30, keep_snapshots=4)
+        assert [f["name"] for f in current_schema(spark, out)] == \
+            ["doc_id", "content", "n_chars"]
+        assert sorted(read_published(spark, out).columns) == \
+            ["content", "doc_id", "n_chars"]
+
+
 def test_compaction_preserves_partition_layout(spark, tmp_path):
     """compact_published on a partition_by snapshot: the recursive
     inventory finds the Hive-nested files, the rewrite compacts each

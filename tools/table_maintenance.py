@@ -8,6 +8,7 @@ Usage:
     spark-submit tools/table_maintenance.py read <table_path> [<seq>]
     spark-submit tools/table_maintenance.py compact <table_path> \
         <run_id> [<target_mb>]
+    spark-submit tools/table_maintenance.py schema <table_path>
 
 Exit code 0 on success; `compact` prints whether a new snapshot
 committed (False = already compact, an idempotent no-op).
@@ -39,6 +40,11 @@ def main() -> int:
     if cmd == "snapshots":
         for m in list_snapshots(spark, path):
             print(json.dumps(m))
+        return 0
+    if cmd == "schema":
+        from mindocr_spark.operators.pipeline import current_schema
+
+        print(json.dumps({"schema": current_schema(spark, path)}))
         return 0
     if cmd == "read":
         seq = int(sys.argv[3]) if len(sys.argv) > 3 else None
