@@ -3025,6 +3025,60 @@ def q_schema_evolution(spark, sf_dir):
     return old.unionByName(new).orderBy("doc_id")
 
 
+def q_hidden_partition_prune(spark, sf_dir):
+    """Hidden partitioning (Iceberg transform specs) end to end: the
+    extraction output is committed under ``bucket(8, url)`` — the
+    derived physical column is manifest-recorded and HIDDEN from
+    readers by the schema projection — then five urls are read back
+    through `read_published_pruned`, which applies the transform to
+    each reader literal so the scan prunes to one url-bucket dir per
+    probe (PartitionFilters plan-asserted in pytest). The oracle
+    states the five extracted rows straight from documents: pruning
+    must change the SCAN, never the rows."""
+    from mindocr_spark.operators import pipeline as pipeline_mod
+    from mindocr_spark.operators.pipeline import (
+        read_published_pruned,
+        write_results_wap,
+    )
+    from mindocr_spark.sources import content_keyed_fixture_dir
+    from mindocr_spark.sources import pages as pages_mod
+
+    def build(out_dir: str) -> None:
+        table, metrics = f"{out_dir}/table", f"{out_dir}/metrics"
+        res = _extract(spark, sf_dir).select(
+            "doc_id", "url", "extracted_text", "total_bytes",
+            "boilerplate_ratio", "failed", "n_blocks",
+        )
+        assert write_results_wap(res, table, metrics, run_id="h1",
+                                 partition_by=("bucket(8, url)",))
+
+    root = content_keyed_fixture_dir(
+        "mindocr_hidden_part", sf_dir,
+        (__file__, pages_mod.__file__, pipeline_mod.__file__),
+        build,
+    )
+    table = f"{root}/table"
+    probes = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 5)
+        .select(
+            F.concat(F.lit("https://docs.example/"), F.col("source"),
+                     F.lit("/"), F.col("doc_id").cast("string"))
+            .alias("url")
+        )
+        .collect()
+    )
+    parts = [
+        read_published_pruned(spark, table, {"url": r["url"]})
+        .select("doc_id", "url", "extracted_text")
+        for r in probes
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("doc_id")
+
+
 def q_cluster_mix(spark, sf_dir):
     """Cluster-balanced mixture allocation (D4-style topic
     rebalancing): k-means-cluster the embeddings with the shared IVF
@@ -8074,6 +8128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_embed": _q(q_text_embed),
         "extract_embed_semdedup": _q(q_extract_embed_semdedup),
         "schema_evolution": _q(q_schema_evolution),
+        "hidden_partition_prune": _q(q_hidden_partition_prune),
         "quality_scores": _q(q_quality_scores),
         "gopher_gate": _q(q_gopher_gate),
         "lang_id": _q(q_lang_id),
@@ -15727,6 +15782,13 @@ def oracle_sql() -> dict[str, str]:
         "simhash_md5": _simhash_md5_oracle(),
         "simhash_neardup": _simhash_pairs_oracle(max_hamming=8),
         "ann_lsh_topk": _lsh_ann_oracle(),
+        "hidden_partition_prune": f"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   'https://docs.example/' || source || '/'
+                     || CAST(doc_id AS VARCHAR) AS url,
+                   '{_A}' || chr(10) || text AS extracted_text
+            FROM documents WHERE doc_id < 5 ORDER BY doc_id
+        """,
         "schema_evolution": f"""
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    '{_A}' || chr(10) || text AS content,

@@ -323,6 +323,103 @@ def _load_manifests(fs: _FS, path: str) -> list[dict]:
     return sorted(out, key=lambda d: d["seq"])
 
 
+import re as _re
+
+#: Hidden-partitioning spec grammar (the Iceberg transform family):
+#: "col" (identity), "bucket(N, col)", "truncate(W, col)",
+#: "years(col)" / "months(col)" / "days(col)" / "hours(col)".
+_PART_FN_RE = _re.compile(
+    r"^\s*(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)\s*$")
+_PART_TIME_RE = _re.compile(
+    r"^\s*(years|months|days|hours)\s*\(\s*(\w+)\s*\)\s*$")
+_PART_ID_RE = _re.compile(r"^\s*(\w+)\s*$")
+
+_TIME_FMT = {"years": "yyyy", "months": "yyyy-MM",
+             "hours": "yyyy-MM-dd-HH"}
+
+
+def parse_partition_spec(spec: str) -> dict:
+    """One partition-spec entry → {kind, col, param, field}. `field`
+    is the PHYSICAL partition column (Iceberg's hidden column): the
+    source column itself for identity, a derived name otherwise."""
+    m = _PART_FN_RE.match(spec)
+    if m:
+        kind, param, col = m.group(1), int(m.group(2)), m.group(3)
+        if param < 1:
+            raise ValueError(f"{kind} needs a positive width: {spec!r}")
+        suffix = "bucket" if kind == "bucket" else "trunc"
+        return {"kind": kind, "col": col, "param": param,
+                "field": f"{col}_{suffix}"}
+    m = _PART_TIME_RE.match(spec)
+    if m:
+        kind, col = m.group(1), m.group(2)
+        return {"kind": kind, "col": col, "param": None,
+                "field": f"{col}_{kind[:-1]}"}
+    m = _PART_ID_RE.match(spec)
+    if m:
+        col = m.group(1)
+        return {"kind": "identity", "col": col, "param": None,
+                "field": col}
+    raise ValueError(f"unparseable partition spec: {spec!r}")
+
+
+def _transform_expr(sp: dict, src) -> "F.Column":
+    """The transform applied to `src` (a column OR a literal — the
+    same expression serves the write-side derived column and the
+    read-side pruning predicate, so the two can never disagree).
+    bucket() pins xxhash64 (Spark-native; Iceberg proper uses
+    murmur3 — the CONTRACT, one pinned hash both sides, is what
+    matters); truncate() is string-prefix; time transforms format in
+    UTC-naive calendar grain (days yields a DATE so partition-type
+    inference round-trips)."""
+    kind = sp["kind"]
+    if kind == "identity":
+        return src
+    if kind == "bucket":
+        return F.pmod(F.xxhash64(src), F.lit(sp["param"]))
+    if kind == "truncate":
+        return F.substring(src, 1, sp["param"])
+    if kind == "days":
+        return F.to_date(src)
+    return F.date_format(src, _TIME_FMT[kind])
+
+
+def read_published_pruned(spark: "SparkSession", path: str,
+                          prune: dict, seq: int | None = None
+                          ) -> DataFrame:
+    """Equality read with HIDDEN-PARTITION pruning: for each
+    (source_col: value), apply the recorded transform to the literal
+    (Catalyst constant-folds it) and filter the PHYSICAL partition
+    column — the scan prunes to the matching partition dirs — then
+    apply the exact source predicate after the schema projection.
+    Source columns without a spec entry just get the exact filter
+    (no pruning — same rows, more scan). This is the Iceberg read
+    semantic: callers predicate on DATA columns and never need to
+    know the partition layout."""
+    manifests = _load_manifests(_FS(spark, path), path)
+    if not manifests:
+        raise FileNotFoundError(f"no committed WAP snapshot under {path}")
+    snap = manifests[-1] if seq is None else next(
+        m for m in manifests if m["seq"] == seq)
+    specs = [parse_partition_spec(s)
+             for s in (snap.get("partition_by") or [])]
+    by_col = {sp["col"]: sp for sp in specs}
+    df = spark.read.parquet(f"{path}/{_DATA_DIR}/{snap['data_dir']}")
+    for col, val in prune.items():
+        sp = by_col.get(col)
+        if sp is not None:
+            df = df.where(
+                F.col(sp["field"]) == _transform_expr(sp, F.lit(val)))
+    cur_fields = manifests[-1].get("schema")
+    snap_fields = snap.get("schema")
+    if cur_fields and snap_fields:
+        df = _project_to_schema(df, snap_fields, cur_fields)
+    for col, val in prune.items():
+        if col in df.columns:
+            df = df.where(F.col(col) == F.lit(val))
+    return df
+
+
 def schema_fields_of(df: DataFrame) -> list[dict]:
     """Initial field-ID assignment for a NEW table: sequential ids in
     dataframe order. Ids — not names — are a column's durable identity
@@ -564,14 +661,26 @@ def write_results_wap(
 
     data_dir = f"{path}/{_DATA_DIR}/{run_id}"
     observed, obs = _observe_metrics(result, run_id)
-    w = observed.write.mode("overwrite")
+    staged = observed
     if partition_by:
         # Hive-layout partition dirs inside the immutable run dir: a
         # reader resolving through the manifest gets partition PRUNING
         # for free (the scan's PartitionFilters — plan-asserted in
-        # tests), the Iceberg partition-spec analog. The manifest
-        # records the spec so readers/compactors can see the layout.
-        w = w.partitionBy(*partition_by)
+        # tests), the Iceberg partition-spec analog. Transform specs
+        # ("bucket(16, url)", "days(warc_ts)", ...) are HIDDEN
+        # partitioning: the derived physical column is added here,
+        # recorded in the manifest spec, and dropped again by the
+        # schema projection on read — readers predicate on DATA
+        # columns via read_published_pruned and never see the layout.
+        specs = [parse_partition_spec(s) for s in partition_by]
+        for sp in specs:
+            if sp["kind"] != "identity":
+                staged = staged.withColumn(
+                    sp["field"], _transform_expr(sp, F.col(sp["col"])))
+        w = staged.write.mode("overwrite").partitionBy(
+            *[sp["field"] for sp in specs])
+    else:
+        w = staged.write.mode("overwrite")
     w.parquet(data_dir)
     g = _harvest(obs)
     if not audit(g):

@@ -553,6 +553,111 @@ class TestSchemaEvolution:
             ["content", "doc_id", "n_chars"]
 
 
+class TestHiddenPartitioning:
+    """Iceberg transform specs: the physical partition column is
+    derived at write, recorded in the manifest spec, hidden from
+    readers by the schema projection, and pruned through the
+    transform applied to the reader's DATA-column literal."""
+
+    def _write(self, spark, tmp_path, partition_by):
+        from mindocr_spark.corpus import pages_dataframe
+        from mindocr_spark.operators.pipeline import (
+            run_extraction,
+            write_results_wap,
+        )
+
+        out, metrics = str(tmp_path / "t"), str(tmp_path / "m")
+        res = run_extraction(pages_dataframe(spark, 30, seed=7))
+        assert write_results_wap(res, out, metrics, run_id="h1",
+                                 partition_by=partition_by)
+        return out, res
+
+    def test_bucket_spec_hidden_and_pruned(self, spark, tmp_path):
+        import os
+
+        from mindocr_spark.operators.pipeline import (
+            read_published,
+            read_published_pruned,
+            resolve_published,
+        )
+
+        out, _ = self._write(spark, tmp_path, ("bucket(8, url)",))
+        data = resolve_published(spark, out)
+        dirs = [d for d in os.listdir(data)
+                if os.path.isdir(os.path.join(data, d))]
+        assert dirs and all(d.startswith("url_bucket=") for d in dirs)
+        df = read_published(spark, out)
+        # the physical column is HIDDEN from readers
+        assert "url_bucket" not in df.columns
+        some_url = df.select("url").orderBy("url").first()["url"]
+        pruned = read_published_pruned(spark, out, {"url": some_url})
+        assert "url_bucket" not in pruned.columns
+        rows = pruned.collect()
+        assert len(rows) == 1 and rows[0]["url"] == some_url
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(url_bucket" in plan
+
+    def test_days_spec_prunes_timestamp_equality(self, spark, tmp_path):
+        import os
+
+        from mindocr_spark.operators.pipeline import (
+            read_published_pruned,
+            resolve_published,
+        )
+
+        out, res = self._write(spark, tmp_path, ("days(warc_ts)",))
+        data = resolve_published(spark, out)
+        assert any(d.startswith("warc_ts_day=")
+                   for d in os.listdir(data))
+        some_ts = res.select("warc_ts").first()["warc_ts"]
+        pruned = read_published_pruned(spark, out, {"warc_ts": some_ts})
+        got = pruned.collect()
+        assert got and all(r["warc_ts"] == some_ts for r in got)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(warc_ts_day" in plan
+
+    def test_identity_and_transform_compose(self, spark, tmp_path):
+        import os
+
+        from mindocr_spark.operators.pipeline import (
+            read_published,
+            read_published_pruned,
+            resolve_published,
+        )
+
+        out, _ = self._write(spark, tmp_path,
+                             ("lang", "bucket(4, url)"))
+        data = resolve_published(spark, out)
+        langs = [d for d in os.listdir(data) if d.startswith("lang=")]
+        assert langs
+        assert any(d.startswith("url_bucket=")
+                   for d in os.listdir(os.path.join(data, langs[0])))
+        df = read_published(spark, out)
+        assert "lang" in df.columns and "url_bucket" not in df.columns
+        some = sorted(r["lang"] for r in
+                      df.select("lang").distinct().collect())[0]
+        pruned = read_published_pruned(spark, out, {"lang": some})
+        assert {r["lang"] for r in pruned.collect()} == {some}
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(lang" in plan
+
+    def test_spec_parse_validation(self):
+        import pytest as _pytest
+
+        from mindocr_spark.operators.pipeline import parse_partition_spec
+
+        assert parse_partition_spec("bucket(16, url)") == {
+            "kind": "bucket", "col": "url", "param": 16,
+            "field": "url_bucket"}
+        assert parse_partition_spec("days(warc_ts)")["field"] == \
+            "warc_ts_day"
+        assert parse_partition_spec("lang")["kind"] == "identity"
+        with _pytest.raises(ValueError):
+            parse_partition_spec("bucket(0, url)")
+        with _pytest.raises(ValueError):
+            parse_partition_spec("no such(thing)")
+
+
 def test_compaction_preserves_partition_layout(spark, tmp_path):
     """compact_published on a partition_by snapshot: the recursive
     inventory finds the Hive-nested files, the rewrite compacts each
