@@ -199,16 +199,32 @@ def lsh_topk(
     )
 
 
-def ivf_centroid_plan(n: int, max_centroids: int = 65_536) -> tuple[int, int]:
+def ivf_centroid_plan(n: int, max_centroids: int = 65_536,
+                      target_cluster: int | None = None
+                      ) -> tuple[int, int]:
     """(k, stride) for the IVF seed grid from a corpus-count stats pass:
     k ≈ ceil(√n) CAPPED at `max_centroids` (broadcastable at any corpus
     size — 65k × 64-dim doubles ≈ 33 MB), stride = n // k. Exact integer
-    arithmetic so the SQL oracle reproduces it (`ceil(sqrt(n))` there)."""
+    arithmetic so the SQL oracle reproduces it (`ceil(sqrt(n))` there).
+
+    `target_cluster` switches to the LINEAR-WORK plan: k ≈ ceil(n /
+    target_cluster), i.e. cluster SIZE is bounded instead of cluster
+    count. k = √n is the published SemDeDup recipe and the contract
+    default, but it makes any within-cluster quadratic consumer cost
+    n·√n total (measured super-linear at the sf10 rehearsal — the two
+    hot-cluster stragglers); bounding the size keeps in-cluster pair
+    work at n·target — linear — at the price of more centroids (the
+    assignment pass is k·n either way, embarrassingly parallel)."""
     import math
 
-    k = math.isqrt(max(n, 1))
-    if k * k < n:
-        k += 1
+    if target_cluster is not None:
+        if target_cluster < 1:
+            raise ValueError(f"need target_cluster >= 1, got {target_cluster}")
+        k = -(-max(n, 1) // target_cluster)
+    else:
+        k = math.isqrt(max(n, 1))
+        if k * k < n:
+            k += 1
     k = min(max_centroids, max(1, k))
     return k, max(1, n // k)
 
@@ -300,6 +316,7 @@ def build_ivf_index(
     assign_mode: str = "exact",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cluster: int | None = None,
 ):
     """Shared IVF index build (behind :func:`ivf_topk` and
     :func:`semdedup_flags`): deterministic id-grid centroid seeds
@@ -313,7 +330,7 @@ def build_ivf_index(
     one bounded collect); plans composed on the RESULT stay lazy."""
     if n is None:
         n = embeddings.count()  # the tuning-pass action (stats, not data)
-    _k, stride = ivf_centroid_plan(n, max_centroids)
+    _k, stride = ivf_centroid_plan(n, max_centroids, target_cluster)
     assign_fn = _ivf_assign if assign_mode == "exact" else _ivf_assign_fast
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), vec_double(vec_col).alias("cv")
@@ -406,6 +423,7 @@ def semdedup_flags(
     lloyd_iters: int = 1,
     assign_mode: str = "exact",
     n: int | None = None,
+    target_cluster: int | None = None,
 ) -> DataFrame:
     """SemDeDup (semantic dedup over embeddings): k-means-cluster the
     corpus with the shared IVF index, compare pairs ONLY within a
@@ -417,17 +435,21 @@ def semdedup_flags(
     vanishes.
 
     100 TB shape: candidate generation is the cid equi-join — never
-    all-pairs; in-cluster work is bounded by cluster size ≈ n/k with
-    k ≈ √n from `ivf_centroid_plan` (the published SemDeDup recipe:
-    cluster first, pay quadratic cost only inside clusters). The
-    cosine is the shared pinned-fold HOF; rounding to `round_to`
-    before the threshold keeps the pair set engine-portable."""
+    all-pairs. The default k ≈ √n (the published SemDeDup recipe:
+    cluster first, pay quadratic cost only inside clusters) makes the
+    TOTAL in-cluster pair work n·√n — super-linear, and measurably so
+    at the sf10 rehearsal (hot-cluster stragglers). At scale pass
+    ``target_cluster`` (e.g. 128): cluster SIZE is bounded, in-cluster
+    work becomes n·target — linear — and the assignment pass stays
+    embarrassingly parallel. The cosine is the shared pinned-fold HOF;
+    rounding to `round_to` before the threshold keeps the pair set
+    engine-portable."""
     from mindocr_spark.cache import tracked_persist
 
     c, cent, assign_fn = build_ivf_index(
         embeddings, n=n, max_centroids=max_centroids,
         lloyd_iters=lloyd_iters, assign_mode=assign_mode,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, target_cluster=target_cluster,
     )
     # assign feeds lo, hi, AND the output left join — persist it
     # (tracked: an ambient persist_scope releases it) or the dominant
@@ -957,6 +979,7 @@ def ivf_pq_topk(
     n: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_mode: str = "exact",
 ) -> DataFrame:
     """IVF-PQ — the production large-scale ANN architecture (FAISS
     IVFPQ, Jégou 2011): the IVF coarse quantizer partitions the
@@ -986,6 +1009,7 @@ def ivf_pq_topk(
     c, cent, assign_fn = build_ivf_index(
         embeddings, n=n, max_centroids=max_centroids,
         lloyd_iters=lloyd_iters, id_col=id_col, vec_col=vec_col,
+        assign_mode=assign_mode,
     )
     assign = assign_fn(c, cent)
     resid = tracked_persist(

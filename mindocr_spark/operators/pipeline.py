@@ -399,8 +399,16 @@ def read_published_pruned(spark: "SparkSession", path: str,
     manifests = _load_manifests(_FS(spark, path), path)
     if not manifests:
         raise FileNotFoundError(f"no committed WAP snapshot under {path}")
-    snap = manifests[-1] if seq is None else next(
-        m for m in manifests if m["seq"] == seq)
+    if seq is None:
+        snap = manifests[-1]
+    else:
+        by_seq = {m["seq"]: m for m in manifests}
+        if seq not in by_seq:
+            raise LookupError(
+                f"no committed snapshot seq={seq} under {path} "
+                f"(retained: {sorted(by_seq)})"
+            )
+        snap = by_seq[seq]
     specs = [parse_partition_spec(s)
              for s in (snap.get("partition_by") or [])]
     by_col = {sp["col"]: sp for sp in specs}

@@ -160,6 +160,39 @@ def test_semdedup_flags_planted_neardup_min_id_survives(spark, emb):
     assert not out[3]["is_dup"] and out[7]["is_dup"]
 
 
+def test_ivf_centroid_plan_target_cluster_linear_mode(spark):
+    """target_cluster bounds cluster SIZE (k ≈ n/target) instead of
+    cluster count — the linear-total-work plan for within-cluster
+    quadratic consumers; still capped at the broadcastable 65k."""
+    import pytest
+
+    from mindocr_spark.functions.similarity import ivf_centroid_plan
+
+    k, stride = ivf_centroid_plan(10_000, target_cluster=128)
+    assert k == -(-10_000 // 128) and stride == 10_000 // k
+    # size bound: n/k ≤ target (up to seed-grid rounding)
+    assert 10_000 / k <= 128 + 1
+    k_big, _ = ivf_centroid_plan(10**9, target_cluster=128)
+    assert k_big == 65_536  # the broadcast cap still rules
+    with pytest.raises(ValueError):
+        ivf_centroid_plan(100, target_cluster=0)
+
+
+def test_semdedup_target_cluster_still_flags_exact_dups(spark, emb):
+    """The linear-k scale plan changes the clustering, never the
+    contract: a planted near-identical pair sharing a cluster still
+    flags the higher id, and every row is still reported."""
+    from mindocr_spark.functions.similarity import semdedup_flags
+
+    df, _ = emb
+    out = {r["vec_id"]: r for r in
+           semdedup_flags(df, threshold=0.97,
+                          target_cluster=8).collect()}
+    assert len(out) == 60  # flag-style: nothing vanishes
+    if out[3]["cid"] == out[7]["cid"]:  # pair still co-clustered
+        assert not out[3]["is_dup"] and out[7]["is_dup"]
+
+
 def test_semdedup_never_compares_across_clusters(spark):
     """Two identical vectors forced into different clusters must NOT
     flag each other — in-cluster pairing is the SemDeDup contract

