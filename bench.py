@@ -360,7 +360,8 @@ def main() -> None:
     # extraction at N→4N, plus the dedup plan family's gate
     here = os.path.dirname(os.path.abspath(__file__))
     for key, fname in (("scaling", "SCALING.json"),
-                       ("scaling_dedup", "SCALING_DEDUP.json")):
+                       ("scaling_dedup", "SCALING_DEDUP.json"),
+                       ("scaling_sf10", "SCALING_SF10.json")):
         path = os.path.join(here, fname)
         if os.path.exists(path):
             with open(path) as f:
