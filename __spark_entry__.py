@@ -8111,10 +8111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": _q(q_topk_per_group),
         "multi_join_revenue": _q(q_multi_join_revenue),
         "broadcast_dict_join": _q(q_broadcast_dict_join),
-        "interval_overlap": _q(q_interval_overlap),
         "skew_salted_agg": _q(q_skew_salted_agg),
         "sessionize": _q(q_sessionize),
-        "windowed_counts": _q(q_windowed_counts),
         "exact_dedup": _q(q_exact_dedup),
         "minhash_lsh": _q(q_minhash_lsh),
         "simhash_neardup": _q(q_simhash_neardup),
@@ -8155,6 +8153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_metrics_by_lang": _q(q_extract_metrics_by_lang),
         "http_gate": _q(q_http_gate),
         "fanout_regroup": _q(q_fanout_regroup),
+        "interval_overlap": _q(q_interval_overlap),
+        "windowed_counts": _q(q_windowed_counts),
         "reading_order": _q(q_reading_order),
         "union_sources": _q(q_union_sources),
         "except_keys": _q(q_except_keys),

@@ -331,6 +331,15 @@ def main() -> None:
                           shuffle_partitions=cpus)
         _force(qs[warmup](spark, sf_dir))  # absorb first-job setup
 
+    # segment 0 gets the same warm-up treatment as every recycled
+    # segment: one untimed pass of the first headline query absorbs
+    # its plan-analysis + Python-worker + fixture-staleness setup so
+    # the timed number is steady-state (the flagship extract_corpus
+    # above deliberately keeps its own cold + best-of-N discipline)
+    _force(qs[warmup](spark, sf_dir))
+    spark.catalog.clearCache()
+    _force(qs[headline[0]](spark, sf_dir))
+
     for i, name in enumerate(headline):
         if i and i % recycle == 0:
             fresh_session()

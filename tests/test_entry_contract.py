@@ -124,6 +124,7 @@ def test_first_fifty_queries_span_every_family(entrymod):
         "streaming": {"stream_session_windows", "stream_stream_join"},
         "multimodal": {"multimodal_jpeg", "multimodal_video"},
         "curation": {"curate_pipeline", "wds_roundtrip"},
+        "table_protocol": {"schema_evolution", "hidden_partition_prune"},
     }
     got = set(first50)
     for family, members in families.items():
