@@ -7721,6 +7721,32 @@ def q_curate_pipeline(spark, sf_dir):
     ).orderBy("url")
 
 
+def q_curate_semantic(spark, sf_dir):
+    """The curation composite with the SEMANTIC-dedup tail enabled:
+    extract → gates → exact dedup → in-engine embedding
+    (`text_embed_cols` — no external vectors anywhere) → SemDeDup at
+    the published 0.95 threshold, min-id survivor. The oracle replays
+    the whole chain — gates, exact-dedup election, the bit-identical
+    embedding, the IVF build, the pair set — so every stage must agree
+    for a single row to match. The contract passes the parsed doc_id
+    as the semantic id (production defaults to xxhash64(url) — same
+    seed-rule and survivor semantics over uniform ids)."""
+    from mindocr_spark.curate import CurateConfig, curate
+
+    pages = pages_from_documents(spark, sf_dir).drop("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    curated, _funnel = curate(
+        pages,
+        CurateConfig(min_chars=300, neardup_threshold=2.0,
+                     semdedup_threshold=0.95),
+        semdedup_id=F.element_at(F.split("url", "/"), -1).cast("bigint"),
+    )
+    return curated.select(
+        "url", F.col("n_chars").cast("bigint").alias("n_chars")
+    ).orderBy("url")
+
+
 def q_attn_tokens(spark, sf_dir):
     """GO/STOP sequence framing (RecAttnLabelEncode, reference:
     rec_transforms.py:135-219): wrap the token sequence in sentinels."""
@@ -8148,6 +8174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg": _q(q_multimodal_jpeg),
         "multimodal_video": _q(q_multimodal_video),
         "curate_pipeline": _q(q_curate_pipeline),
+        "curate_semantic": _q(q_curate_semantic),
         "wds_roundtrip": _q(q_wds_roundtrip),
         "extract_boilerplate": _q(q_extract_boilerplate),
         "extract_metrics_by_lang": _q(q_extract_metrics_by_lang),
@@ -12867,6 +12894,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(term) AS DOUBLE) AS kl_shift
             FROM terms GROUP BY grp ORDER BY lang
         """,
+        "curate_semantic": (
+            f"""
+            WITH x AS (
+              SELECT doc_id,
+                     'https://docs.example/' || source || '/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                     '{_A}' || chr(10) || text AS etext
+              FROM documents
+              WHERE {_ANCHOR_LEN} + 1 + length(text) >= 300),
+            d AS (
+              SELECT doc_id, url, etext,
+                     min(url) OVER (PARTITION BY
+                       md5(lower(trim(regexp_replace(etext,
+                           '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))))) AS rep
+              FROM x),
+            c AS (
+              SELECT doc_id, url, etext, length(etext) AS n_chars
+              FROM d WHERE url = rep),
+            """
+            + _embed_vec_ctes("etext", src="c") + """,
+            e AS (SELECT vec_id, v FROM embv),
+            """ + _IVF_TAIL_CTES + """,
+            pairs AS (
+              SELECT y.neighbor_id AS id_b
+              FROM assign xx JOIN assign y USING (cid)
+              WHERE xx.neighbor_id < y.neighbor_id
+                AND round(list_dot_product(xx.cv, y.cv)
+                          / (sqrt(list_dot_product(xx.cv, xx.cv))
+                             * sqrt(list_dot_product(y.cv, y.cv))), 4)
+                    >= 0.95)
+            SELECT c.url, CAST(c.n_chars AS BIGINT) AS n_chars
+            FROM c
+            WHERE c.doc_id NOT IN (SELECT id_b FROM pairs)
+            ORDER BY url
+        """),
         "curate_pipeline": f"""
             WITH x AS (
               SELECT 'https://docs.example/' || source || '/' || CAST(doc_id AS VARCHAR) AS url,

@@ -148,6 +148,21 @@ class CurateConfig:
     # gating belongs at the crawl layer where the raw html is on the
     # scan. Pure row predicate, no join.
     drop_soft404: bool = False
+    # SemDeDup semantic-dedup stage AFTER exact/near dedup (None
+    # disables): embed every surviving doc IN-ENGINE
+    # (functions.embed.text_embed_cols — hashed-BOW random projection,
+    # no external vectors), k-means-cluster with the shared IVF build,
+    # and drop every doc with a same-cluster neighbor at cosine ≥ this
+    # threshold and a smaller id (min-id survivor). 0.95 is the
+    # published SemDeDup operating point. Ids default to xxhash64(url)
+    # (uniform — the id-grid seed rule and min-survivor work
+    # unchanged); pass `semdedup_id=` to curate() for a caller-defined
+    # numeric id (the oracle-checked contract parses its doc_id).
+    # NOTE: like neardup_transitive, this pass is EAGER (the IVF build
+    # counts and collects centroids). At 10^12 docs set
+    # semdedup_target_cluster (e.g. 128) for the linear-work plan.
+    semdedup_threshold: float | None = None
+    semdedup_target_cluster: int | None = None
 
 
 def curate(
@@ -155,6 +170,7 @@ def curate(
     cfg: CurateConfig = CurateConfig(),
     params: core.ExtractParams = core.DEFAULT_PARAMS,
     _track: list[DataFrame] | None = None,
+    semdedup_id=None,
 ) -> tuple[DataFrame, DataFrame]:
     """pages → (curated, funnel) where curated has one row per kept doc
     (url, text, lang_pred, n_chars) and funnel records per-stage
@@ -174,12 +190,12 @@ def curate(
         # so `with persist_scope(): curate(...)` still collects every
         # nested persist — overriding it here would route them into a
         # throwaway list and leak them
-        return _curate_build(pages, cfg, params, _persist)
+        return _curate_build(pages, cfg, params, _persist, semdedup_id)
     with _collect_into(_track):
-        return _curate_build(pages, cfg, params, _persist)
+        return _curate_build(pages, cfg, params, _persist, semdedup_id)
 
 
-def _curate_build(pages, cfg, params, _persist):
+def _curate_build(pages, cfg, params, _persist, semdedup_id=None):
     if cfg.respect_robots_noindex:
         # politeness gate BEFORE extraction: excluded pages never pay
         # the parse cost; whole-token directive match, pure codegen
@@ -458,6 +474,33 @@ def _curate_build(pages, cfg, params, _persist):
         curated = exact_kept.join(victims, "url", "left_anti")
     else:
         curated = exact_kept
+
+    # semantic dedup (SemDeDup): embed the survivors IN-ENGINE and drop
+    # every doc with a same-cluster neighbor at cosine >= threshold and
+    # a smaller id. Closes the extract->embed->dedup loop inside the
+    # composite — no external embeddings table anywhere. EAGER (IVF
+    # build); one cid equi-join, quadratic only inside clusters
+    # (bounded by semdedup_target_cluster at scale).
+    sem_kept = None
+    if cfg.semdedup_threshold is not None:
+        from mindocr_spark.functions.embed import text_embed_cols
+        from mindocr_spark.functions.similarity import semdedup_flags
+
+        id_expr = (semdedup_id if semdedup_id is not None
+                   else F.xxhash64("url"))
+        with_id = _persist(curated.withColumn("__sid", id_expr))
+        emb = text_embed_cols(
+            with_id, text_col="text", id_col="__sid",
+            vec_col="embedding",
+        )
+        flags = semdedup_flags(
+            emb, threshold=cfg.semdedup_threshold, id_col="__sid",
+            vec_col="embedding",
+            target_cluster=cfg.semdedup_target_cluster,
+        )
+        keep = flags.where(~F.col("is_dup")).select("__sid")
+        sem_kept = with_id.join(keep, "__sid").drop("__sid")
+        pre_sem, curated = curated, sem_kept
     curated = curated.select(
         "url", "text", "lang_pred", F.length("text").alias("n_chars")
     )
@@ -478,8 +521,10 @@ def _curate_build(pages, cfg, params, _persist):
         stages.append(("paragraph_dedup", tagged))
     stages += [
         ("exact_dedup", exact_kept),
-        ("near_dedup", curated),
+        ("near_dedup", pre_sem if sem_kept is not None else curated),
     ]
+    if sem_kept is not None:
+        stages.append(("semantic_dedup", curated))
     funnel = _funnel(*stages)
     return curated, funnel
 

@@ -741,3 +741,43 @@ def test_domain_prior_junk_threshold(spark):
     got = {r["doc_id"]: r["doc_spammy"]
            for r in domain_prior_gate(_dpg_docs(spark, rows)).collect()}
     assert got == {1: False, 2: True}  # >= 4 junk symbols flips it
+
+
+def test_curate_semantic_dedup_stage(spark, raw_pages):
+    """semdedup_threshold wires the IN-ENGINE embedder + SemDeDup into
+    the composite: the planted near-dup pair (one word changed — its
+    hashed-BOW cosine is ~1) collapses to ONE survivor even with the
+    MinHash pass disabled, the funnel gains a semantic_dedup stage,
+    and the min-id (min-xxhash64(url) by default) survivor rule is
+    deterministic across runs."""
+    from mindocr_spark.curate import CurateConfig, curate
+
+    cfg = CurateConfig(min_chars=50, neardup_threshold=2.0,
+                       semdedup_threshold=0.95)
+    curated, funnel = curate(raw_pages, cfg)
+    stages = {r["stage"]: r["docs"] for r in funnel.collect()}
+    assert "semantic_dedup" in stages
+    assert stages["semantic_dedup"] < stages["near_dedup"]
+
+    urls = {r["url"] for r in curated.collect()}
+    near_pair = {u for u in urls
+                 if u == "https://dup.example/near" or u.endswith("/p/5")}
+    assert len(near_pair) == 1  # semantic pass collapsed the pair
+    # deterministic: the same build keeps the same survivor
+    curated2, _ = curate(raw_pages, cfg)
+    assert {r["url"] for r in curated2.collect()} == urls
+
+
+def test_curate_semantic_custom_id(spark, raw_pages):
+    """A caller-supplied numeric id drives seeding AND the survivor
+    election (the oracle-checked contract path)."""
+    from mindocr_spark.curate import CurateConfig, curate
+
+    cfg = CurateConfig(min_chars=50, neardup_threshold=2.0,
+                       semdedup_threshold=0.95)
+    curated, _ = curate(
+        raw_pages, cfg,
+        semdedup_id=F.xxhash64(F.reverse(F.col("url"))),
+    )
+    assert curated.count() > 0
+    assert set(curated.columns) == {"url", "text", "lang_pred", "n_chars"}
