@@ -13331,8 +13331,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "profile_drift": _profile_drift_oracle(),
         "cms_counts": _cms_oracle(depth=4, width=8),
-        # twin of dedup.winnow_fingerprints (k=8, w=16): 32-bit
-        # md5-prefix gram hashes packed with inverted position
+        # twin of dedup.winnow_fingerprints (k=8, w=16): the SAME
+        # Horner rolling gram hash as the engine's numpy fold (shared
+        # CDC_BASE/CDC_MOD constants) packed with inverted position
         # (min == (hash ASC, pos DESC)), trailing ROWS window min,
         # complete windows only, distinct selections
         "winnow_fingerprints": r"""
@@ -13343,8 +13344,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             g AS (
               SELECT doc_id, CAST(i AS BIGINT) AS i,
-                     ('0x' || substr(md5(substr(t, CAST(i AS INT), 8)),
-                                     1, 8))::BIGINT AS h
+                     ((((((((((((((((CAST(0 AS BIGINT)) * 257 + ord(substr(t, CAST(i + 0 AS INT), 1))) % 2147483647) * 257 + ord(substr(t, CAST(i + 1 AS INT), 1))) % 2147483647) * 257 + ord(substr(t, CAST(i + 2 AS INT), 1))) % 2147483647) * 257 + ord(substr(t, CAST(i + 3 AS INT), 1))) % 2147483647) * 257 + ord(substr(t, CAST(i + 4 AS INT), 1))) % 2147483647) * 257 + ord(substr(t, CAST(i + 5 AS INT), 1))) % 2147483647) * 257 + ord(substr(t, CAST(i + 6 AS INT), 1))) % 2147483647) * 257 + ord(substr(t, CAST(i + 7 AS INT), 1))) % 2147483647 AS h
               FROM d, unnest(range(1, length(t) - 6)) AS u(i)
               WHERE length(t) >= 23 AND i < 1048576),
             m AS (

@@ -1663,21 +1663,26 @@ def winnow_fingerprints(
     actually ships.
 
     Per document: hash all k-char grams of the lowercased
-    whitespace-normalized text (32-bit md5 prefix — the shared
-    cross-engine idiom), then for every window of w consecutive grams
-    select its minimal gram by (hash ASC, position DESC) — the robust
-    rightmost tie rule — and emit the distinct selections:
-    (id, pos, gram_hash). Documents shorter than k+w−1 chars have no
-    complete window and yield no rows (callers gate short docs
-    elsewhere). The (hash, pos) pair is packed into ONE BIGINT so the
-    argmin is a plain integer MIN (bit-identical everywhere);
-    positions are capped at 2^20 per document.
+    whitespace-normalized text with the ROLLING Horner polynomial
+    (base 257 mod 2^31−1 — the `cdc_chunks` constants, identical
+    int64 arithmetic in the DuckDB twin; this replaced a 32-bit
+    md5-prefix per position at ~1/10th the per-byte cost), then for
+    every window of w consecutive grams select its minimal gram by
+    (hash ASC, position DESC) — the robust rightmost tie rule — and
+    emit the distinct selections: (id, pos, gram_hash). Documents
+    shorter than k+w−1 chars have no complete window and yield no
+    rows (callers gate short docs elsewhere). The (hash, pos) pair is
+    packed into ONE int64 so the argmin is a plain integer MIN
+    (bit-identical everywhere); positions are capped at 2^20 per
+    document.
 
-    100 TB shape: gram explosion is row-local (explode + substring,
-    no shuffle); the trailing-window min is ONE Exchange on the doc
-    key (and docs are length-bounded, so no skew); the distinct
-    collapse is map-side combinable. Expected density 2/(w+1) keeps
-    the fingerprint index ~12% of gram volume at w=16.
+    100 TB shape: the WHOLE op is one narrow Arrow-batched pass —
+    vectorized Horner (k fused multiply-adds per doc), packed
+    sliding-window min (numpy stride view), per-doc unique — ZERO
+    shuffles (the previous plan exploded 1000× gram rows through a
+    per-doc window Exchange + distinct; now only the ~2/(w+1)-density
+    selections leave the stage). Expected density keeps the
+    fingerprint index ~12% of gram volume at w=16.
 
     Reference analog: DBNet postprocessing selects one representative
     per local score window when assembling kernels
@@ -1685,56 +1690,57 @@ def winnow_fingerprints(
     that local-extremum selection over text grams."""
     if k < 2 or w < 2:
         raise ValueError(f"need k >= 2 and w >= 2, got k={k}, w={w}")
-    from mindocr_spark.functions.text import normalize_col
+    from mindocr_spark.functions.text import (
+        CDC_BASE,
+        CDC_MOD,
+        normalize_col,
+    )
 
     norm = F.lower(normalize_col(text_col))
-    grams = (
-        df.select(F.col(id_col).alias("__id"), norm.alias("_t"))
-        .where(F.length("_t") >= k + w - 1)
-        .select(
-            "__id",
-            "_t",
-            F.explode(
-                F.sequence(F.lit(1), F.length("_t") - (k - 1))
-            ).alias("i"),
-        )
-        .where(F.col("i") < _WINNOW_POS_CAP)
-        .select(
-            "__id",
-            "i",
-            F.conv(
-                F.substring(
-                    F.md5(F.substring("_t", F.col("i"), k).cast("binary")),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint").alias("h"),
-        )
+    id_type = df.schema[id_col].dataType.simpleString()
+    src = df.select(F.col(id_col).alias("__id"), norm.alias("_t")).where(
+        F.length("_t") >= k + w - 1
     )
-    pack = (
-        F.col("h") * F.lit(_WINNOW_POS_CAP)
-        + (F.lit(_WINNOW_POS_CAP - 1) - F.col("i"))
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        cap = _WINNOW_POS_CAP
+        for pdf in batches:
+            ids, poss, hashes = [], [], []
+            for _id, t in zip(pdf["__id"], pdf["_t"]):
+                c = np.frombuffer(
+                    t.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                m = c.size - k + 1
+                h = np.zeros(m, dtype=np.int64)
+                for j in range(k):
+                    h = (h * CDC_BASE + c[j:j + m]) % CDC_MOD
+                m2 = min(m, cap - 1)  # 1-based positions < cap
+                i = np.arange(1, m2 + 1, dtype=np.int64)
+                pack = h[:m2] * cap + (cap - 1 - i)
+                if m2 < w:
+                    continue
+                mins = np.unique(
+                    sliding_window_view(pack, w).min(axis=1))
+                ids.append(np.full(mins.size, _id))
+                poss.append(cap - 1 - (mins % cap))
+                hashes.append(mins // cap)
+            if ids:
+                yield pd.DataFrame({
+                    "__id": np.concatenate(ids),
+                    "pos": np.concatenate(poss),
+                    "gram_hash": np.concatenate(hashes),
+                })
+
+    out = src.mapInPandas(
+        fn, schema=f"__id {id_type}, pos bigint, gram_hash bigint"
     )
-    win = (
-        Window.partitionBy("__id")
-        .orderBy("i")
-        .rowsBetween(-(w - 1), Window.currentRow)
-    )
-    sel = (
-        grams.withColumn("mn", F.min(pack).over(win))
-        .where(F.col("i") >= w)
-    )
-    return sel.select(
-        F.col("__id").alias(id_col),
-        (
-            F.lit(_WINNOW_POS_CAP - 1)
-            - F.pmod("mn", F.lit(_WINNOW_POS_CAP))
-        ).cast("bigint").alias("pos"),
-        F.expr(f"mn div {_WINNOW_POS_CAP}").cast("bigint")
-        .alias("gram_hash"),
-    ).distinct()
+    return out.select(
+        F.col("__id").alias(id_col), "pos", "gram_hash")
 
 
 def prefix_filter_pairs(
