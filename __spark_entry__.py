@@ -7747,6 +7747,22 @@ def q_curate_semantic(spark, sf_dir):
     ).orderBy("url")
 
 
+def q_dense_maxp_topk(spark, sf_dir):
+    """Dense MaxP long-document retrieval, fully engine-native:
+    content-defined passages (`cdc_chunks`, ~256-char expected) →
+    in-engine passage AND query embeddings (`text_embed_cols`) →
+    max-passage cosine per (query, doc) → top-5. The oracle replays
+    the Horner chunk boundaries, the bit-identical embeddings, the
+    round-4 cosines, the max-pool AND the rank tie-break — every
+    composed stage must agree for one row to match."""
+    from mindocr_spark.functions.search import dense_maxp_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dense_maxp_topk(
+        docs, docs.where(F.col("doc_id") < 3), k=5
+    ).orderBy("query_id", "rank")
+
+
 def q_attn_tokens(spark, sf_dir):
     """GO/STOP sequence framing (RecAttnLabelEncode, reference:
     rec_transforms.py:135-219): wrap the token sequence in sentinels."""
@@ -8175,6 +8191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video": _q(q_multimodal_video),
         "curate_pipeline": _q(q_curate_pipeline),
         "curate_semantic": _q(q_curate_semantic),
+        "dense_maxp_topk": _q(q_dense_maxp_topk),
         "wds_roundtrip": _q(q_wds_roundtrip),
         "extract_boilerplate": _q(q_extract_boilerplate),
         "extract_metrics_by_lang": _q(q_extract_metrics_by_lang),
@@ -8448,7 +8465,7 @@ _IVF_INDEX_CTES = (
 
 
 def _embed_vec_ctes(text_sql: str, dim: int = 64,
-                    src: str = "documents") -> str:
+                    src: str = "documents", prefix: str = "") -> str:
     """CTE chain ending in ``embv(vec_id, v DOUBLE[])`` — the DuckDB
     twin of :func:`mindocr_spark.functions.embed.text_embed_cols` over
     ``text_sql`` evaluated per `src` row: whitespace tokens → one md5
@@ -8476,24 +8493,25 @@ def _embed_vec_ctes(text_sql: str, dim: int = 64,
         for j in range(dim)
     )
     zeros = "[" + ", ".join("CAST(0.0 AS DOUBLE)" for _ in range(dim)) + "]"
+    p = prefix
     return f"""
-        ebase AS (SELECT doc_id, ({text_sql}) AS etext FROM {src}),
-        en AS (
+        {p}ebase AS (SELECT doc_id, ({text_sql}) AS etext FROM {src}),
+        {p}en AS (
           SELECT doc_id,
                  trim(regexp_replace(coalesce(etext, ''),
                       '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS norm
-          FROM ebase),
-        et AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS w
-               FROM en WHERE norm != ''),
-        em AS (SELECT doc_id, md5(w) AS h FROM et),
-        ev AS (SELECT doc_id, {votes} FROM em GROUP BY doc_id),
-        evs AS (SELECT *, {ssum} AS s FROM ev),
-        embv AS (
+          FROM {p}ebase),
+        {p}et AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS w
+               FROM {p}en WHERE norm != ''),
+        {p}em AS (SELECT doc_id, md5(w) AS h FROM {p}et),
+        {p}ev AS (SELECT doc_id, {votes} FROM {p}em GROUP BY doc_id),
+        {p}evs AS (SELECT *, {ssum} AS s FROM {p}ev),
+        {p}embv AS (
           SELECT doc_id AS vec_id,
                  CASE WHEN s = 0 THEN {zeros} ELSE [{comps}] END AS v
-          FROM evs
+          FROM {p}evs
           UNION ALL
-          SELECT doc_id, {zeros} FROM en WHERE norm = '')
+          SELECT doc_id, {zeros} FROM {p}en WHERE norm = '')
     """
 
 
@@ -9328,6 +9346,69 @@ def _embedding_neardup_oracle(threshold: float = 0.4, n_bits: int = 8,
                        * sqrt(list_dot_product(vb, vb))), 4)
               >= {threshold}
         ORDER BY id_a, id_b
+    """
+
+
+def _dense_maxp_oracle(k: int = 5, cdc_k: int = 8,
+                       cdc_nibbles: int = 2) -> str:
+    """DuckDB twin of q_dense_maxp_topk: Horner chunk boundaries (the
+    cdc_chunks arithmetic), passage slices, the bit-identical embed
+    chain for passages (synthetic doc*1e6+idx keys) AND queries,
+    zero-norm exclusion, round-4 max-passage cosine, rank tie-break."""
+    from mindocr_spark.functions.text import CDC_BASE, CDC_MOD
+
+    h = "CAST(0 AS BIGINT)"
+    for j in range(cdc_k):
+        h = (f"(({h}) * {CDC_BASE} "
+             f"+ ord(substr(text, CAST(i + {j} AS INT), 1))) % {CDC_MOD}")
+    mod = 16 ** cdc_nibbles
+    cos = ("round(list_dot_product(q.v, p.v) "
+           "/ (sqrt(list_dot_product(q.v, q.v)) "
+           "* sqrt(list_dot_product(p.v, p.v))), 4)")
+    return f"""
+        WITH src AS (
+          SELECT doc_id, text, length(text) AS n
+          FROM documents WHERE text IS NOT NULL),
+        b AS (
+          SELECT doc_id, text, n,
+                 CASE WHEN n - {cdc_k - 1} >= 2 THEN list_filter(
+                        range(2, n - {cdc_k - 1} + 1),
+                        i -> ({h}) % {mod} = 0)
+                      ELSE CAST([] AS BIGINT[]) END AS bs
+          FROM src),
+        z AS (
+          SELECT doc_id, text,
+                 unnest(list_zip(list_concat([1], bs),
+                                 list_concat(bs, [n + 1]),
+                                 range(1, len(bs) + 2))) AS u
+          FROM b),
+        ch AS (
+          SELECT doc_id * 1000000 + (u[3] - 1) AS doc_id,
+                 substr(text, CAST(u[1] AS INT),
+                        CAST(u[2] - u[1] AS INT)) AS ctext
+          FROM z),
+        {_embed_vec_ctes("ctext", src="ch", prefix="p")},
+        {_embed_vec_ctes("text",
+                         src="(SELECT doc_id, text FROM documents "
+                             "WHERE doc_id < 3)",
+                         prefix="q")},
+        pv AS (SELECT vec_id // 1000000 AS doc_id, v FROM pembv
+               WHERE list_dot_product(v, v) > 0),
+        qv AS (SELECT vec_id AS query_id, v FROM qembv
+               WHERE list_dot_product(v, v) > 0),
+        cells AS (
+          SELECT q.query_id, p.doc_id, max({cos}) AS max_sim
+          FROM qv q JOIN pv p ON q.query_id != p.doc_id
+          GROUP BY q.query_id, p.doc_id),
+        r AS (
+          SELECT query_id, doc_id, max_sim,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY max_sim DESC, doc_id ASC) AS BIGINT)
+                   AS rank
+          FROM cells)
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(doc_id AS BIGINT) AS doc_id, max_sim, rank
+        FROM r WHERE rank <= {k} ORDER BY query_id, rank
     """
 
 
@@ -15841,6 +15922,7 @@ def oracle_sql() -> dict[str, str]:
                     AND f.doc_id NOT IN (SELECT new_id FROM near)) AS kept
             FROM bflags f ORDER BY f.doc_id
         """,
+        "dense_maxp_topk": _dense_maxp_oracle(),
         "simhash_md5": _simhash_md5_oracle(),
         "simhash_neardup": _simhash_pairs_oracle(max_hamming=8),
         "ann_lsh_topk": _lsh_ann_oracle(),

@@ -1370,3 +1370,103 @@ def proximity_topk(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def dense_maxp_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    cdc_k: int = 8,
+    cdc_nibbles: int = 2,
+    round_to: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dense MaxP retrieval (Dai & Callan 2019's passage-level max
+    pooling, the standard long-document dense-retrieval shape): split
+    every document into CONTENT-DEFINED passages (`cdc_chunks` — an
+    edit early in a doc re-embeds one passage, not every downstream
+    one), embed each passage AND each query with the in-engine
+    deterministic featurizer (`text_embed_cols` — no external vectors),
+    score a (query, doc) pair as the MAX passage cosine, and return the
+    top-k docs per query (self-matches excluded). The whole retriever —
+    chunker, embedder, scorer — is engine-native and exactly
+    SQL-oracle-able.
+
+    Plan: chunking + both embeddings are NARROW (one Arrow fold each);
+    scoring is a broadcast of the small query side against the passage
+    relation; the max-pool is one map-side-combinable groupBy on
+    (query, doc) and the top-k one window. 100 TB shape: passage count
+    ≈ corpus chars / 16^nibbles; nothing quadratic, no all-pairs — the
+    broadcast bound is |queries|·dim, the shuffle carries (query, doc)
+    cells only. Swap the broadcast join for `lsh_topk` bucketing when
+    the query side stops being small (same discipline as cosine_topk
+    vs lsh_topk).
+
+    Ordering key is (max_sim DESC, doc ASC) — fully deterministic.
+    Returns (query_id, doc_id, max_sim, rank).
+
+    Reference lineage: det→rec fan-out scores per-region crops and
+    CollectNode folds them back to one per-image result
+    (reference: deploy/py_infer/src/framework/module_base.py,
+    collect_node.py:72-99); MaxP is that fold with max-cosine as the
+    collector."""
+    from mindocr_spark.functions.embed import embed_norm, text_embed_cols
+    from mindocr_spark.functions.similarity import cosine, vec_double
+    from mindocr_spark.functions.text import cdc_chunks
+
+    chunks = cdc_chunks(
+        docs, k=cdc_k, nibbles=cdc_nibbles,
+        text_col=text_col, id_col=id_col,
+    ).join(docs.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col).alias("__doc"),
+        F.col("chunk_idx").alias("__cidx"),
+        F.substring(
+            F.col(text_col), F.col("chunk_start"), F.col("chunk_len")
+        ).alias("__ctext"),
+    )
+    c_emb = text_embed_cols(
+        chunks.withColumn(
+            "__pid",
+            F.col("__doc") * F.lit(1_000_000) + F.col("__cidx")),
+        dim=dim, text_col="__ctext", id_col="__pid",
+        vec_col="__cv",
+    ).where(
+        # a tiny passage whose bit votes fully cancel embeds to the
+        # zero vector — no direction, no signal, and an ANSI
+        # divide-by-zero in the cosine. Drop it (same NULL-evidence
+        # rule as the quality gates).
+        embed_norm("__cv") > 0
+    ).select(
+        (F.col("__pid") / F.lit(1_000_000)).cast("bigint").alias("__doc"),
+        "__cv",
+    )
+    q_emb = text_embed_cols(
+        queries, dim=dim, text_col=text_col, id_col=id_col,
+        vec_col="__qv",
+    ).where(embed_norm("__qv") > 0).select(
+        F.col(id_col).alias("__q"), "__qv")
+    sim = F.round(
+        cosine(vec_double(F.col("__qv")), vec_double(F.col("__cv"))),
+        round_to,
+    )
+    scored = (
+        F.broadcast(q_emb)
+        .join(c_emb, F.col("__q") != F.col("__doc"))
+        .select("__q", "__doc", sim.alias("s"))
+        .groupBy("__q", "__doc")
+        .agg(F.max("s").alias("max_sim"))
+    )
+    w = Window.partitionBy("__q").orderBy(
+        F.col("max_sim").desc(), F.col("__doc").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__q").alias("query_id"),
+            F.col("__doc").alias("doc_id"),
+            "max_sim",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

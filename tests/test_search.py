@@ -783,3 +783,78 @@ class TestProximityTopk:
             proximity_topk(df, {0: ["a"]}, k=0)
         with _pytest.raises(ValueError):
             proximity_topk(df, {0: []})
+
+
+class TestDenseMaxP:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_twin_doc_is_rank_one(self, spark):
+        from mindocr_spark.functions.search import dense_maxp_topk
+
+        body = ("content defined passages make long document retrieval "
+                "stable under edits because a change re-embeds one "
+                "passage only " * 4)
+        docs = self._docs(spark, [
+            (0, body),
+            (1, body),                       # exact twin of the query
+            (2, "utterly unrelated short note about pottery glazes"),
+        ])
+        out = {(r["query_id"], r["rank"]): r
+               for r in dense_maxp_topk(
+                   docs, docs.where("doc_id = 0"), k=2,
+                   cdc_nibbles=1).collect()}
+        top = out[(0, 1)]
+        assert top["doc_id"] == 1
+        assert top["max_sim"] > out[(0, 2)]["max_sim"]
+        # self-match excluded everywhere
+        assert all(r["doc_id"] != q for (q, _), r in out.items())
+
+    def test_single_chunk_twin_scores_exactly_one(self, spark):
+        """A query short enough to be ONE passage (< k+1 chars spawns
+        no boundary) against its exact duplicate: the passage IS the
+        whole text on both sides, so max_sim is exactly 1.0."""
+        from mindocr_spark.functions.search import dense_maxp_topk
+
+        docs = self._docs(spark, [
+            (0, "tiny shared"),
+            (1, "tiny shared"),
+            (2, "different words"),
+        ])
+        out = {r["rank"]: r for r in dense_maxp_topk(
+            docs, docs.where("doc_id = 0"), k=2,
+            cdc_nibbles=1).collect()}
+        assert out[1]["doc_id"] == 1 and out[1]["max_sim"] == 1.0
+
+    def test_max_pool_is_passage_grain(self, spark):
+        """A doc sharing ONE passage with the query outranks a doc
+        that is uniformly mildly similar — the MaxP property."""
+        from mindocr_spark.functions.search import dense_maxp_topk
+
+        shared = ("a very distinctive shared passage about winnowing "
+                  "fingerprints and rolling polynomial hashes " * 3)
+        filler = ("completely different filler text with other words "
+                  "entirely " * 3)
+        docs = self._docs(spark, [
+            (0, shared),
+            (1, filler + shared + filler),   # shares one passage
+            (2, "generic words that overlap slightly with anything"),
+        ])
+        out = {r["rank"]: r for r in dense_maxp_topk(
+            docs, docs.where("doc_id = 0"), k=2,
+            cdc_nibbles=1).collect()}
+        assert out[1]["doc_id"] == 1
+        assert out[1]["max_sim"] > out[2]["max_sim"]
+
+    def test_plan_broadcast_and_bounded_shuffles(self, spark):
+        from mindocr_spark.functions.search import dense_maxp_topk
+
+        docs = self._docs(spark, [
+            (i, f"document body number {i} with some words") for i in
+            range(8)
+        ])
+        plan = dense_maxp_topk(
+            docs, docs.where("doc_id < 2"), k=3
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or \
+            "BroadcastNestedLoopJoin" in plan
