@@ -41,6 +41,13 @@ def main(argv: list[str] | None = None) -> int:
                         "(requires --metrics)")
     p.add_argument("--auto-tune", action="store_true")
     p.add_argument("--salt-partitions", type=int, default=None)
+    p.add_argument("--partition-by", default=None,
+                   help="comma-separated partition spec for the committed "
+                        "layout; transform specs supported (hidden "
+                        "partitioning) — e.g. the north-rule layout "
+                        "'days(warc_ts),bucket(16, url)'. WAP records the "
+                        "spec in the manifest; readers prune via "
+                        "read_published_pruned without knowing the layout")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -95,13 +102,26 @@ def main(argv: list[str] | None = None) -> int:
             write_results_wap,
         )
 
+        import re
+
+        # split on commas OUTSIDE parens: "days(warc_ts),bucket(16, url)"
+        # is two specs, the comma inside bucket() is an argument
+        partition_by = tuple(
+            s.strip()
+            for s in re.split(r",(?![^(]*\))", args.partition_by)
+        ) if args.partition_by else ()
         if not write_results_wap(result, args.out, args.metrics,
-                                 run_id=args.run_id):
+                                 run_id=args.run_id,
+                                 partition_by=partition_by):
             print("audit REJECTED the staged write; previous publication "
                   "left intact", file=sys.stderr)
             return 3
         n = read_published(spark, args.out).count()
     else:
+        if args.partition_by:
+            print("--partition-by requires --wap (the manifest records "
+                  "the spec)", file=sys.stderr)
+            return 2
         write_results(result, args.out, metrics_path=args.metrics,
                       run_id=args.run_id)
         n = spark.read.parquet(args.out).count()
