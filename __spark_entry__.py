@@ -7763,6 +7763,39 @@ def q_dense_maxp_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_bucketed_join(spark, sf_dir):
+    """Co-located bucketed join — the pay-the-shuffle-once discipline
+    for repeated large⋈large joins: documents and embeddings are
+    persisted as bucketed catalog tables (8 buckets on their join
+    keys, bucket-sorted), then joined with ZERO Exchange on either
+    side (plan-asserted in pytest; the same join over plain parquet
+    shows two). The oracle states the per-lang rollup of the plain
+    join — bucketing must change the PLAN, never the rows. Iceberg
+    analog: the write-side half of the bucket partition transform
+    (SURVEY §1.4), here through Spark's native bucketing."""
+    from mindocr_spark.operators.joins import bucketed_join, write_bucketed
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    write_bucketed(d, "mindocr_docs_bucketed", "doc_id", 8,
+                   path="/tmp/mindocr_bucketed/docs")
+    write_bucketed(e, "mindocr_emb_bucketed", "vec_id", 8,
+                   path="/tmp/mindocr_bucketed/emb")
+    j = bucketed_join(spark, "mindocr_docs_bucketed",
+                      "mindocr_emb_bucketed", "doc_id", "vec_id")
+    return (
+        j.groupBy("lang", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select("lang", "label",
+                F.col("n_pairs").cast("bigint").alias("n_pairs"),
+                F.col("sum_chars").cast("bigint").alias("sum_chars"))
+        .orderBy("lang", "label")
+    )
+
+
 def q_attn_tokens(spark, sf_dir):
     """GO/STOP sequence framing (RecAttnLabelEncode, reference:
     rec_transforms.py:135-219): wrap the token sequence in sentinels."""
@@ -8192,6 +8225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_pipeline": _q(q_curate_pipeline),
         "curate_semantic": _q(q_curate_semantic),
         "dense_maxp_topk": _q(q_dense_maxp_topk),
+        "bucketed_join": _q(q_bucketed_join),
         "wds_roundtrip": _q(q_wds_roundtrip),
         "extract_boilerplate": _q(q_extract_boilerplate),
         "extract_metrics_by_lang": _q(q_extract_metrics_by_lang),
@@ -15921,6 +15955,13 @@ def oracle_sql() -> dict[str, str]:
                     AND f.fp NOT IN (SELECT fp FROM acfp)
                     AND f.doc_id NOT IN (SELECT new_id FROM near)) AS kept
             FROM bflags f ORDER BY f.doc_id
+        """,
+        "bucketed_join": """
+            SELECT d.lang, e.label,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+            GROUP BY d.lang, e.label ORDER BY lang, label
         """,
         "dense_maxp_topk": _dense_maxp_oracle(),
         "simhash_md5": _simhash_md5_oracle(),

@@ -192,3 +192,55 @@ class TestFkIntegrity:
         r = self._run(spark, [(1,)], [(1,), (1,), (1,), (None,), (None,)])
         assert r["n_parent_rows"] == 5
         assert r["n_parent_dup_keys"] == 1
+
+
+class TestBucketedJoin:
+    def test_cobucketed_join_has_zero_exchanges(self, spark, tmp_path):
+        from mindocr_spark.operators.joins import (
+            bucketed_join,
+            write_bucketed,
+        )
+
+        a = spark.range(200).selectExpr("id AS k", "id * 2 AS va")
+        b = spark.range(200).selectExpr("id AS k2", "id * 3 AS vb")
+        write_bucketed(a, "tb_a", "k", 4, path=str(tmp_path / "a"))
+        write_bucketed(b, "tb_b", "k2", 4, path=str(tmp_path / "b"))
+        j = bucketed_join(spark, "tb_a", "tb_b", "k", "k2")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # co-located: NO shuffle on either side; bucket-sorted: the
+        # merge join needs no extra sort of the scan order
+        assert "Exchange" not in plan
+        assert j.count() == 200
+        # the same join over the plain (unbucketed) relations shuffles
+        # BOTH sides — the cost bucketing pre-pays
+        plain = a.hint("merge").join(b, a["k"] == b["k2"])
+        pplan = plain._jdf.queryExecution().executedPlan().toString()
+        assert pplan.count("Exchange") >= 2
+
+    def test_values_identical_to_plain_join(self, spark, tmp_path):
+        from mindocr_spark.operators.joins import (
+            bucketed_join,
+            write_bucketed,
+        )
+
+        a = spark.range(50).selectExpr("id AS k", "id % 7 AS g")
+        b = spark.range(0, 100, 2).selectExpr("id AS k2", "id % 5 AS h")
+        write_bucketed(a, "tb_c", "k", 4, path=str(tmp_path / "c"))
+        write_bucketed(b, "tb_d", "k2", 4, path=str(tmp_path / "d"))
+        got = sorted(
+            tuple(r) for r in bucketed_join(
+                spark, "tb_c", "tb_d", "k", "k2").collect()
+        )
+        want = sorted(
+            tuple(r) for r in a.join(b, a["k"] == b["k2"]).collect()
+        )
+        assert got == want
+
+    def test_write_bucketed_validates(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from mindocr_spark.operators.joins import write_bucketed
+
+        with _pytest.raises(ValueError):
+            write_bucketed(spark.range(3), "tb_x", "id", 0,
+                           path=str(tmp_path / "x"))
