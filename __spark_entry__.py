@@ -7763,6 +7763,24 @@ def q_dense_maxp_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_triplet_mining(spark, sf_dir):
+    """Contrastive triplet mining over the engine's OWN embeddings
+    (text_embed over raw document text): per anchor, the best top-10
+    candidate at cos ≥ 0.95 is the positive, the best strictly below
+    0.9 the hard negative — the DPR/Sentence-BERT hard-negative
+    recipe as one declarative plan. The oracle replays the embedding,
+    the candidate top-10 truncation, and both rank-1 selections."""
+    from mindocr_spark.functions.embed import text_embed_cols
+    from mindocr_spark.functions.similarity import triplet_mining
+
+    emb = text_embed_cols(
+        _t(spark, sf_dir, "documents")
+    ).withColumnRenamed("doc_id", "vec_id")
+    return triplet_mining(
+        emb, emb.where(F.col("vec_id") < 200)
+    ).orderBy("anchor_id")
+
+
 def q_bucketed_join(spark, sf_dir):
     """Co-located bucketed join — the pay-the-shuffle-once discipline
     for repeated large⋈large joins: documents and embeddings are
@@ -8226,6 +8244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_semantic": _q(q_curate_semantic),
         "dense_maxp_topk": _q(q_dense_maxp_topk),
         "bucketed_join": _q(q_bucketed_join),
+        "triplet_mining": _q(q_triplet_mining),
         "wds_roundtrip": _q(q_wds_roundtrip),
         "extract_boilerplate": _q(q_extract_boilerplate),
         "extract_metrics_by_lang": _q(q_extract_metrics_by_lang),
@@ -15956,6 +15975,41 @@ def oracle_sql() -> dict[str, str]:
                     AND f.doc_id NOT IN (SELECT new_id FROM near)) AS kept
             FROM bflags f ORDER BY f.doc_id
         """,
+        "triplet_mining": (
+            "WITH " + _embed_vec_ctes("text") + """,
+            ev2 AS (SELECT vec_id, v FROM embv),
+            cand AS (
+              SELECT a.vec_id AS anchor_id, b.vec_id AS nb,
+                     round(list_dot_product(a.v, b.v)
+                           / (sqrt(list_dot_product(a.v, a.v))
+                              * sqrt(list_dot_product(b.v, b.v))), 4)
+                       AS c,
+                     row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY round(list_dot_product(a.v, b.v)
+                           / (sqrt(list_dot_product(a.v, a.v))
+                              * sqrt(list_dot_product(b.v, b.v))), 4)
+                         DESC, b.vec_id ASC) AS rank
+              FROM ev2 a JOIN ev2 b ON a.vec_id != b.vec_id
+              WHERE a.vec_id < 200),
+            top AS (SELECT * FROM cand WHERE rank <= 10),
+            pos AS (
+              SELECT anchor_id, nb AS pos_id, c AS pos_sim
+              FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY rank) AS r
+                    FROM top WHERE c >= 0.95)
+              WHERE r = 1),
+            neg AS (
+              SELECT anchor_id, nb AS neg_id, c AS neg_sim
+              FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY rank) AS r
+                    FROM top WHERE c < 0.9)
+              WHERE r = 1)
+            SELECT CAST(p.anchor_id AS BIGINT) AS anchor_id,
+                   CAST(p.pos_id AS BIGINT) AS pos_id, p.pos_sim,
+                   CAST(n.neg_id AS BIGINT) AS neg_id, n.neg_sim
+            FROM pos p JOIN neg n USING (anchor_id)
+            ORDER BY anchor_id
+        """),
         "bucketed_join": """
             SELECT d.lang, e.label,
                    CAST(count(*) AS BIGINT) AS n_pairs,

@@ -1092,3 +1092,60 @@ def ivf_pq_topk(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def triplet_mining(
+    embeddings: DataFrame,
+    anchors: DataFrame,
+    pos_min: float = 0.95,
+    neg_max: float = 0.9,
+    n_cand: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Contrastive (anchor, positive, hard-negative) mining — the
+    training-data op behind every dense-retriever/embedder fine-tune
+    (DPR/Sentence-BERT hard-negative recipe): from each anchor's
+    top-`n_cand` cosine candidates take the best candidate at
+    cos ≥ `pos_min` as the positive and the best candidate BELOW
+    `neg_max` as the hard negative (the highest-scoring wrong answer —
+    exactly what contrastive losses need; the (neg_max, pos_min) gap
+    is the no-sample band that keeps label noise out of both sides).
+    Anchors lacking either side yield no triplet. All selections
+    ordered (cos DESC, id ASC) — fully deterministic.
+
+    Plan: candidate generation is :func:`cosine_topk` (broadcast
+    anchors — the contract bound; swap in :func:`lsh_topk` when the
+    anchor side stops being small, same discipline as everywhere), two
+    rank-1 windows, one join on the anchor key. Nothing quadratic
+    beyond the candidate stage.
+
+    Returns (anchor_id, pos_id, pos_sim, neg_id, neg_sim)."""
+    top = cosine_topk(
+        embeddings, anchors, k=n_cand,
+        id_col=id_col, vec_col=vec_col, round_to=round_to,
+    )
+    w = Window.partitionBy("query_id").orderBy("rank")
+    pos = (
+        top.where(F.col("cos_sim") >= pos_min)
+        .withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            F.col("neighbor_id").alias("pos_id"),
+            F.col("cos_sim").alias("pos_sim"),
+        )
+    )
+    neg = (
+        top.where(F.col("cos_sim") < neg_max)
+        .withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            F.col("neighbor_id").alias("neg_id"),
+            F.col("cos_sim").alias("neg_sim"),
+        )
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id", "pos_id", "pos_sim", "neg_id", "neg_sim")

@@ -488,3 +488,72 @@ class TestIvfPq:
         for q in (0, 1):
             cids = {r["cid"] for r in out if r["query_id"] == q}
             assert len(cids) == 1
+
+
+class TestTripletMining:
+    def _emb(self, spark, rows):
+        import numpy as np
+
+        def unit(v):
+            a = np.array(v, dtype=float)
+            return (a / np.linalg.norm(a)).tolist()
+
+        return spark.createDataFrame(
+            [(i, unit(v)) for i, v in enumerate(rows)],
+            "vec_id bigint, embedding array<double>",
+        )
+
+    def test_positive_and_hardest_negative_selected(self, spark):
+        from mindocr_spark.functions.similarity import triplet_mining
+
+        rows = [
+            [1.0, 0.0, 0.0],        # 0: anchor
+            [0.999, 0.04, 0.0],     # 1: near-dup -> positive
+            [0.8, 0.6, 0.0],        # 2: cos 0.8 -> hard negative
+            [0.5, 0.86, 0.0],       # 3: cos 0.5 -> softer negative
+            [0.0, 0.0, 1.0],        # 4: orthogonal
+        ]
+        emb = self._emb(spark, rows)
+        out = triplet_mining(
+            emb, emb.where("vec_id = 0"),
+            pos_min=0.95, neg_max=0.9,
+        ).collect()
+        assert len(out) == 1
+        t = out[0]
+        assert (t["anchor_id"], t["pos_id"], t["neg_id"]) == (0, 1, 2)
+        assert t["pos_sim"] >= 0.95
+        # HARDEST negative: the highest-cosine candidate below the band
+        assert t["neg_sim"] == pytest.approx(0.8, abs=1e-3)
+
+    def test_band_gap_yields_no_triplet_without_positive(self, spark):
+        from mindocr_spark.functions.similarity import triplet_mining
+
+        rows = [
+            [1.0, 0.0, 0.0],
+            [0.8, 0.6, 0.0],    # below pos_min -> no positive
+            [0.0, 1.0, 0.0],
+        ]
+        emb = self._emb(spark, rows)
+        assert triplet_mining(
+            emb, emb.where("vec_id = 0"),
+            pos_min=0.95, neg_max=0.9,
+        ).count() == 0
+
+    def test_in_band_candidates_are_neither(self, spark):
+        """cos in [neg_max, pos_min) is the no-sample band: a 0.92
+        candidate must not become the negative even when it is the
+        hardest available."""
+        from mindocr_spark.functions.similarity import triplet_mining
+
+        rows = [
+            [1.0, 0.0, 0.0],
+            [0.999, 0.04, 0.0],     # positive
+            [0.92, 0.39, 0.0],      # in-band: excluded from both sides
+            [0.6, 0.8, 0.0],        # the legitimate hard negative
+        ]
+        emb = self._emb(spark, rows)
+        [t] = triplet_mining(
+            emb, emb.where("vec_id = 0"),
+            pos_min=0.95, neg_max=0.9,
+        ).collect()
+        assert t["neg_id"] == 3
