@@ -5915,6 +5915,55 @@ def _staged_events_dir(sf_dir: str) -> str:
     ) + "/data"
 
 
+def _staged_docs_dir(sf_dir: str) -> str:
+    """File-stream staging for the documents table (the
+    _staged_events_dir discipline applied to the text corpus)."""
+    import shutil
+
+    from mindocr_spark.sources import content_keyed_fixture_dir
+
+    def build(out_dir: str) -> None:
+        import os
+
+        os.makedirs(f"{out_dir}/data", exist_ok=True)
+        shutil.copy(f"{sf_dir}/documents.parquet",
+                    f"{out_dir}/data/documents.parquet")
+
+    return content_keyed_fixture_dir(
+        "mindocr_docs_stream", sf_dir, (__file__,), build
+    ) + "/data"
+
+
+def q_stream_text_embed(spark, sf_dir):
+    """The in-engine embedder on the STREAMING path: documents
+    replayed as a file stream, `text_embed_cols` applied per
+    micro-batch (stateless narrow stages — append mode, no state
+    store), drained via availableNow into the memory sink. Answers
+    the IDENTICAL batch oracle as `text_embed`: the embedder is
+    bit-stable across the batch/streaming boundary, so incremental
+    ingestion can embed as it lands (the dedup-log / WAP composition
+    point for continuous curation)."""
+    import uuid
+
+    from mindocr_spark.functions.embed import text_embed_cols
+    from mindocr_spark.streaming.windows import drain_to_memory
+
+    _ensure_worker_imports(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_staged_docs_dir(sf_dir))
+    )
+    emb = text_embed_cols(stream)
+    tall = emb.select(
+        "doc_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "val")
+    out = drain_to_memory(
+        tall, f"semb_{uuid.uuid4().hex[:12]}", "append")
+    return out.orderBy("doc_id", "pos")
+
+
 def q_stream_session_windows(spark, sf_dir):
     """Native STREAMING session windows run through the driver
     contract: events replayed as a file stream (one file per
@@ -8245,6 +8294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dense_maxp_topk": _q(q_dense_maxp_topk),
         "bucketed_join": _q(q_bucketed_join),
         "triplet_mining": _q(q_triplet_mining),
+        "stream_text_embed": _q(q_stream_text_embed),
         "wds_roundtrip": _q(q_wds_roundtrip),
         "extract_boilerplate": _q(q_extract_boilerplate),
         "extract_metrics_by_lang": _q(q_extract_metrics_by_lang),
@@ -15974,6 +16024,12 @@ def oracle_sql() -> dict[str, str]:
                     AND f.fp NOT IN (SELECT fp FROM acfp)
                     AND f.doc_id NOT IN (SELECT new_id FROM near)) AS kept
             FROM bflags f ORDER BY f.doc_id
+        """,
+        "stream_text_embed": "WITH " + _embed_vec_ctes("text") + """
+            SELECT CAST(vec_id AS BIGINT) AS doc_id,
+                   CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS pos,
+                   unnest(v) AS val
+            FROM embv ORDER BY doc_id, pos
         """,
         "triplet_mining": (
             "WITH " + _embed_vec_ctes("text") + """,
