@@ -302,6 +302,13 @@ def main() -> None:
         # round-4 additions (appended for the same reason)
         "text_embed",           # in-engine deterministic text embedder
         "extract_embed_semdedup",  # extract -> embed -> SemDeDup loop
+        "schema_evolution",     # field-id evolution on the WAP protocol
+        "hidden_partition_prune",  # transform-spec pruned reads
+        "curate_semantic",      # curation composite + SemDeDup tail
+        "dense_maxp_topk",      # passage-max dense retrieval
+        "triplet_mining",       # contrastive hard-negative mining
+        "bucketed_join",        # co-located zero-shuffle join
+        "stream_text_embed",    # embedder on the streaming path
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2
