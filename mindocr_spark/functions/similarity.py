@@ -76,13 +76,21 @@ def cosine_topk(
     deterministic and engine-independent.
     Returns (query_id, neighbor_id, cos_sim, rank).
     """
+    # norms are computed ONCE PER VECTOR and carried into the pair
+    # (cosine() would re-fold two extra aggregates per PAIR — 2·|q|·|c|
+    # redundant norm folds; the division consumes the exact same float
+    # values, so results are bit-identical — the embedding_neardup
+    # exact-path discipline)
     q = queries.select(
         F.col(id_col).alias("query_id"), vec_double(vec_col).alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), vec_double(vec_col).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+    sim = F.round(
+        dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+        round_to,
     )
-    sim = F.round(cosine(F.col("qv"), F.col("cv")), round_to)
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
@@ -1122,10 +1130,13 @@ def triplet_mining(
     beyond the candidate stage.
 
     Returns (anchor_id, pos_id, pos_sim, neg_id, neg_sim)."""
-    top = cosine_topk(
+    # the candidate relation feeds BOTH rank-1 selections — persist it
+    # (tracked: an ambient persist_scope releases it) or the whole
+    # embed+score subtree executes once per selection branch
+    top = tracked_persist(cosine_topk(
         embeddings, anchors, k=n_cand,
         id_col=id_col, vec_col=vec_col, round_to=round_to,
-    )
+    ))
     w = Window.partitionBy("query_id").orderBy("rank")
     pos = (
         top.where(F.col("cos_sim") >= pos_min)
