@@ -127,9 +127,28 @@ def main() -> int:
             assign_mode="fast",
         )
 
+    def _triplet_production(spark_, sf_dir_):
+        # same repartition-to-parallelism story as IVF-PQ: the sf10
+        # parquet's ~13 splits strand cores under the broadcast
+        # candidate stage (100M HOF dot folds on 15 tasks). The exact
+        # candidate stage is LINEAR in the corpus; the rehearsal just
+        # needs it spread across the machine.
+        from pyspark.sql import functions as F_
+
+        from mindocr_spark.functions.embed import text_embed_cols
+        from mindocr_spark.functions.similarity import triplet_mining
+
+        docs = spark_.read.parquet(
+            f"{sf_dir_}/documents.parquet"
+        ).repartition(spark_.sparkContext.defaultParallelism)
+        emb = text_embed_cols(docs).withColumnRenamed(
+            "doc_id", "vec_id")
+        return triplet_mining(emb, emb.where(F_.col("vec_id") < 200))
+
     overrides = {"embedding_neardup": _embedding_neardup_production,
                  "semdedup": _semdedup_production,
-                 "ann_ivf_pq_topk": _ivf_pq_production}
+                 "ann_ivf_pq_topk": _ivf_pq_production,
+                 "triplet_mining": _triplet_production}
 
     def run(name: str, sf_dir: str) -> tuple[float, int]:
         spark.catalog.clearCache()
