@@ -2997,8 +2997,9 @@ def q_schema_evolution(spark, sf_dir):
             "boilerplate_ratio", "failed", "n_blocks",
         )
         v1 = base.where(F.pmod("doc_id", F.lit(2)) == 0)
-        assert write_results_wap(v1, table, metrics, run_id="v1",
-                                 keep_snapshots=4)
+        if not write_results_wap(v1, table, metrics, run_id="v1",
+                                 keep_snapshots=4):
+            raise RuntimeError("WAP publish v1 failed")
         ev = evolve_schema(
             current_schema(spark, table),
             rename={"extracted_text": "content"},
@@ -3009,8 +3010,9 @@ def q_schema_evolution(spark, sf_dir):
             .withColumnRenamed("extracted_text", "content")
             .withColumn("chars", F.length("content").cast("bigint"))
         )
-        assert write_results_wap(v2, table, metrics, run_id="v2",
-                                 schema_fields=ev, keep_snapshots=4)
+        if not write_results_wap(v2, table, metrics, run_id="v2",
+                                 schema_fields=ev, keep_snapshots=4):
+            raise RuntimeError("WAP publish v2 failed")
 
     root = content_keyed_fixture_dir(
         "mindocr_schema_evo", sf_dir,
@@ -3049,8 +3051,9 @@ def q_hidden_partition_prune(spark, sf_dir):
             "doc_id", "url", "extracted_text", "total_bytes",
             "boilerplate_ratio", "failed", "n_blocks",
         )
-        assert write_results_wap(res, table, metrics, run_id="h1",
-                                 partition_by=("bucket(8, url)",))
+        if not write_results_wap(res, table, metrics, run_id="h1",
+                                 partition_by=("bucket(8, url)",)):
+            raise RuntimeError("WAP publish h1 failed")
 
     root = content_keyed_fixture_dir(
         "mindocr_hidden_part", sf_dir,
@@ -7840,16 +7843,25 @@ def q_bucketed_join(spark, sf_dir):
     join — bucketing must change the PLAN, never the rows. Iceberg
     analog: the write-side half of the bucket partition transform
     (SURVEY §1.4), here through Spark's native bucketing."""
+    import hashlib
+    import os
+
     from mindocr_spark.operators.joins import bucketed_join, write_bucketed
 
+    # session- and tier-unique table names/path: two concurrent driver
+    # or bench sessions (or overlapping sf tiers) must never overwrite
+    # each other's bucketed tables mid-query — a clobber here yields
+    # silently WRONG join results, not a clean failure.
+    tag = hashlib.md5(
+        f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:10]
+    docs_tbl = f"mindocr_docs_bucketed_{tag}"
+    emb_tbl = f"mindocr_emb_bucketed_{tag}"
+    root = f"/tmp/mindocr_bucketed_{tag}"
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
-    write_bucketed(d, "mindocr_docs_bucketed", "doc_id", 8,
-                   path="/tmp/mindocr_bucketed/docs")
-    write_bucketed(e, "mindocr_emb_bucketed", "vec_id", 8,
-                   path="/tmp/mindocr_bucketed/emb")
-    j = bucketed_join(spark, "mindocr_docs_bucketed",
-                      "mindocr_emb_bucketed", "doc_id", "vec_id")
+    write_bucketed(d, docs_tbl, "doc_id", 8, path=f"{root}/docs")
+    write_bucketed(e, emb_tbl, "vec_id", 8, path=f"{root}/emb")
+    j = bucketed_join(spark, docs_tbl, emb_tbl, "doc_id", "vec_id")
     return (
         j.groupBy("lang", "label")
         .agg(

@@ -483,22 +483,34 @@ def _curate_build(pages, cfg, params, _persist, semdedup_id=None):
     # (bounded by semdedup_target_cluster at scale).
     sem_kept = None
     if cfg.semdedup_threshold is not None:
-        from mindocr_spark.functions.embed import text_embed_cols
+        from mindocr_spark.functions.embed import (
+            embed_norm, text_embed_cols)
         from mindocr_spark.functions.similarity import semdedup_flags
 
         id_expr = (semdedup_id if semdedup_id is not None
                    else F.xxhash64("url"))
         with_id = _persist(curated.withColumn("__sid", id_expr))
-        emb = text_embed_cols(
+        emb = _persist(text_embed_cols(
             with_id, text_col="text", id_col="__sid",
             vec_col="embedding",
-        )
+        ))
+        # zero-norm guard (the dense_maxp_topk rule): a doc whose
+        # normalized text is blank or whose votes fully cancel embeds
+        # to the zero vector; cosine against it is 0/0 — an ANSI
+        # DIVIDE_BY_ZERO inside the IVF assignment that would abort
+        # the whole curation job. Such docs have no semantic direction
+        # to be a duplicate OF, so they are trivially non-duplicates:
+        # keep them, route only norm>0 vectors into SemDeDup.
+        directed = emb.where(embed_norm("embedding") > 0)
+        undirected = emb.where(
+            ~(embed_norm("embedding") > 0)).select("__sid")
         flags = semdedup_flags(
-            emb, threshold=cfg.semdedup_threshold, id_col="__sid",
+            directed, threshold=cfg.semdedup_threshold, id_col="__sid",
             vec_col="embedding",
             target_cluster=cfg.semdedup_target_cluster,
         )
-        keep = flags.where(~F.col("is_dup")).select("__sid")
+        keep = flags.where(~F.col("is_dup")).select(
+            "__sid").unionByName(undirected)
         sem_kept = with_id.join(keep, "__sid").drop("__sid")
         pre_sem, curated = curated, sem_kept
     curated = curated.select(

@@ -1426,10 +1426,15 @@ def dense_maxp_topk(
             F.col(text_col), F.col("chunk_start"), F.col("chunk_len")
         ).alias("__ctext"),
     )
+    # passage identity rides a STRUCT (doc, chunk) — never packed into
+    # one integer, so full-range xxhash64 doc ids (negative, |id| up to
+    # 2^63) and any chunk count are exact; no overflow, no double
+    # rounding, no collision domain to document.
     c_emb = text_embed_cols(
         chunks.withColumn(
             "__pid",
-            F.col("__doc") * F.lit(1_000_000) + F.col("__cidx")),
+            F.struct(F.col("__doc").alias("d"),
+                     F.col("__cidx").alias("c"))),
         dim=dim, text_col="__ctext", id_col="__pid",
         vec_col="__cv",
     ).where(
@@ -1438,10 +1443,7 @@ def dense_maxp_topk(
         # divide-by-zero in the cosine. Drop it (same NULL-evidence
         # rule as the quality gates).
         embed_norm("__cv") > 0
-    ).select(
-        (F.col("__pid") / F.lit(1_000_000)).cast("bigint").alias("__doc"),
-        "__cv",
-    )
+    ).select(F.col("__pid.d").alias("__doc"), "__cv")
     q_emb = text_embed_cols(
         queries, dim=dim, text_col=text_col, id_col=id_col,
         vec_col="__qv",

@@ -412,19 +412,56 @@ def read_published_pruned(spark: "SparkSession", path: str,
     specs = [parse_partition_spec(s)
              for s in (snap.get("partition_by") or [])]
     by_col = {sp["col"]: sp for sp in specs}
+    cur_fields = manifests[-1].get("schema")
+    snap_fields = snap.get("schema")
+    # Field-ID rename resolution: a partition spec records its SOURCE
+    # column under the SNAPSHOT-TIME name, while callers predicate in
+    # the CURRENT schema. Map both directions by field id so a renamed
+    # source keeps BOTH the partition-level prune and the exact filter
+    # (previously a rename silently dropped one or the other).
+    snap_of_cur: dict[str, str] = {}
+    cur_of_snap: dict[str, str] = {}
+    if cur_fields and snap_fields:
+        by_id = {f["id"]: f["name"] for f in snap_fields}
+        for f in cur_fields:
+            old = by_id.get(f["id"])
+            if old is not None:
+                snap_of_cur[f["name"]] = old
+                cur_of_snap[old] = f["name"]
     df = spark.read.parquet(f"{path}/{_DATA_DIR}/{snap['data_dir']}")
+    resolved: dict[str, dict | None] = {}
     for col, val in prune.items():
-        sp = by_col.get(col)
+        # accept the current name (rename-aware) or the literal name
+        sp = by_col.get(snap_of_cur.get(col, col)) or by_col.get(col)
+        resolved[col] = sp
         if sp is not None:
             df = df.where(
                 F.col(sp["field"]) == _transform_expr(sp, F.lit(val)))
-    cur_fields = manifests[-1].get("schema")
-    snap_fields = snap.get("schema")
     if cur_fields and snap_fields:
         df = _project_to_schema(df, snap_fields, cur_fields)
     for col, val in prune.items():
-        if col in df.columns:
-            df = df.where(F.col(col) == F.lit(val))
+        cur_name = col if col in df.columns else cur_of_snap.get(col)
+        sp = resolved[col]
+        if cur_name is not None and cur_name in df.columns:
+            df = df.where(F.col(cur_name) == F.lit(val))
+        elif sp is None:
+            # neither a spec source nor a projected column: a typo'd
+            # or dropped key. Silently skipping would return the whole
+            # table (a superset with no error) — fail loudly instead.
+            raise KeyError(
+                f"prune key {col!r} matches no partition-spec source "
+                f"and no projected column of {path} (snapshot "
+                f"seq={snap['seq']})")
+        elif sp["kind"] != "identity":
+            # bucket/truncate/time pruning matched, but the exact
+            # source column is gone from the projection: the partition
+            # filter alone yields a BUCKET superset. Refuse rather
+            # than silently over-return.
+            raise KeyError(
+                f"prune key {col!r} resolves to {sp['kind']}() "
+                f"partition transform but its source column is not in "
+                f"the projected schema of {path} — exact row filter "
+                f"impossible")
     return df
 
 

@@ -781,3 +781,48 @@ def test_curate_semantic_custom_id(spark, raw_pages):
     )
     assert curated.count() > 0
     assert set(curated.columns) == {"url", "text", "lang_pred", "n_chars"}
+
+
+def test_curate_semantic_zero_norm_doc_survives_ansi(spark, monkeypatch):
+    """A doc whose text is whitespace-only past the raw-char min_chars
+    gate embeds to the ZERO vector; cosine against it is 0/0. Without
+    the norm>0 guard the IVF assignment raises DIVIDE_BY_ZERO under
+    ANSI and aborts the whole curation job. The guard keeps such docs
+    as trivially non-duplicates (no direction => nothing to be a
+    duplicate OF) and the job completes."""
+    from mindocr_spark.curate import CurateConfig, curate
+
+    texts = {
+        "https://a.example/1": "the quick brown fox jumps over a lazy "
+                               "dog and keeps on running far away",
+        "https://a.example/2": "an entirely different document about "
+                               "spark catalyst plans and shuffles",
+        # 60 raw chars, all whitespace: passes min_chars=50, embeds to 0
+        "https://a.example/blank": " " * 60,
+    }
+    rows = [(u, t, 0.1, False) for u, t in texts.items()]
+
+    def fake_extraction(pages, params=None):
+        return spark.createDataFrame(
+            rows,
+            "url string, extracted_text string, "
+            "boilerplate_ratio double, failed boolean",
+        )
+
+    monkeypatch.setattr(
+        "mindocr_spark.curate.run_extraction", fake_extraction)
+    pages = spark.createDataFrame(
+        [(u,) for u in texts], "url string")
+
+    prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        cfg = CurateConfig(min_chars=50, neardup_threshold=2.0,
+                           semdedup_threshold=0.95)
+        curated, funnel = curate(pages, cfg)
+        got = {r["url"] for r in curated.collect()}
+        stages = {r["stage"] for r in funnel.collect()}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert "semantic_dedup" in stages
+    assert got == set(texts)  # zero-norm doc kept, nothing aborted

@@ -738,3 +738,66 @@ def test_partitioned_wap_snapshot_prunes_partitions(spark, tmp_path):
     n_all = df.count()
     n_part = df.where(df["lang"] == some).count()
     assert 0 < n_part < n_all
+
+
+class TestPrunedReadStrictness:
+    """read_published_pruned must never silently return a superset:
+    unknown prune keys raise, and renamed spec sources keep BOTH the
+    partition-level prune and the exact row filter (field-ID
+    resolution)."""
+
+    def _publish(self, spark, tmp_path, partition_by=("bucket(8, url)",)):
+        from mindocr_spark.corpus import pages_dataframe
+        from mindocr_spark.operators.pipeline import (
+            run_extraction, write_results_wap)
+
+        out, metrics = str(tmp_path / "t"), str(tmp_path / "m")
+        res = run_extraction(pages_dataframe(spark, 30, seed=11))
+        assert write_results_wap(res, out, metrics, run_id="v1",
+                                 partition_by=partition_by)
+        return out
+
+    def test_unknown_prune_key_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from mindocr_spark.operators.pipeline import read_published_pruned
+
+        out = self._publish(spark, tmp_path)
+        with _pytest.raises(KeyError, match="no partition-spec source"):
+            read_published_pruned(spark, out, {"no_such_col": "x"})
+
+    def test_prune_survives_source_rename(self, spark, tmp_path):
+        from mindocr_spark.operators.pipeline import (
+            current_schema,
+            evolve_schema,
+            read_published,
+            read_published_pruned,
+            write_results_wap,
+        )
+
+        out = self._publish(spark, tmp_path)
+        # rename the spec's SOURCE column; commit an (empty-delta-free)
+        # second snapshot under the evolved schema
+        ev = evolve_schema(current_schema(spark, out),
+                           rename={"url": "page_url"})
+        v2 = read_published(spark, out).withColumnRenamed(
+            "url", "page_url")
+        metrics = str(tmp_path / "m2")
+        assert write_results_wap(v2, out, metrics, run_id="v2",
+                                 schema_fields=ev,
+                                 partition_by=("bucket(8, page_url)",))
+        df = read_published(spark, out)
+        assert "page_url" in df.columns
+        some = df.select("page_url").orderBy("page_url").first()[0]
+        # prune the NEW name against the OLD snapshot (seq of v1):
+        # field-ID resolution maps page_url -> url for both the
+        # partition filter and the exact filter
+        from mindocr_spark.operators.pipeline import list_snapshots
+
+        seq_v1 = list_snapshots(spark, out)[0]["seq"]
+        pruned = read_published_pruned(
+            spark, out, {"page_url": some}, seq=seq_v1)
+        rows = pruned.collect()
+        assert len(rows) == 1 and rows[0]["page_url"] == some
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(url_bucket" in plan

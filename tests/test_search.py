@@ -826,6 +826,32 @@ class TestDenseMaxP:
             cdc_nibbles=1).collect()}
         assert out[1]["doc_id"] == 1 and out[1]["max_sim"] == 1.0
 
+    def test_full_range_int64_doc_ids_exact(self, spark):
+        """Passage identity rides a (doc, chunk) STRUCT — never a
+        packed doc*1e6+idx integer. Negative and near-2^63 xxhash64
+        ids must round-trip EXACTLY (the packed form overflowed under
+        ANSI for |id| > ~9.2e12 and lost precision above ~9e9)."""
+        from mindocr_spark.functions.search import dense_maxp_topk
+
+        big = 9_007_199_254_740_993          # 2^53 + 1: breaks doubles
+        neg = -9_223_372_036_854_775_000     # near int64 min
+        body = ("content defined passages make long document retrieval "
+                "stable under edits " * 4)
+        docs = self._docs(spark, [
+            (big, body),
+            (neg, body),
+            (7, "utterly unrelated short note about pottery glazes"),
+        ])
+        out = dense_maxp_topk(
+            docs, docs.where(f"doc_id = {big}"), k=2,
+            cdc_nibbles=1).collect()
+        ids = {r["doc_id"] for r in out}
+        assert neg in ids            # exact, not rounded/overflowed
+        assert big not in ids        # self-match excluded
+        assert all(isinstance(r["doc_id"], int) for r in out)
+        top = {r["rank"]: r for r in out}
+        assert top[1]["doc_id"] == neg
+
     def test_max_pool_is_passage_grain(self, spark):
         """A doc sharing ONE passage with the query outranks a doc
         that is uniformly mildly similar — the MaxP property."""
