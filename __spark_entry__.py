@@ -3082,6 +3082,53 @@ def q_hidden_partition_prune(spark, sf_dir):
     return out.orderBy("doc_id")
 
 
+def q_stats_prune(spark, sf_dir):
+    """Per-file MIN/MAX data skipping (Iceberg manifest column stats)
+    end to end: the extraction output is committed UNPARTITIONED but
+    range-laid-out on doc_id across six files, and every commit
+    records per-file [min, max] ranges for the stats-eligible columns
+    in the WAP manifest. Five probes read back through
+    `read_published_pruned`, whose planner drops every file whose
+    recorded doc_id range excludes the probe BEFORE the scan
+    (files-read asserted smaller in pytest). The oracle states the
+    five rows straight from documents: skipping must change the SCAN,
+    never the rows. SURVEY §4 names min/max skipping as a table-format
+    built-in the engine inherits; this is that behavior on the
+    manifest-pointer protocol."""
+    from mindocr_spark.operators import pipeline as pipeline_mod
+    from mindocr_spark.operators.pipeline import (
+        read_published_pruned,
+        write_results_wap,
+    )
+    from mindocr_spark.sources import content_keyed_fixture_dir
+    from mindocr_spark.sources import pages as pages_mod
+
+    def build(out_dir: str) -> None:
+        table, metrics = f"{out_dir}/table", f"{out_dir}/metrics"
+        res = _extract(spark, sf_dir).select(
+            "doc_id", "url", "extracted_text", "total_bytes",
+            "boilerplate_ratio", "failed", "n_blocks",
+        ).repartitionByRange(6, "doc_id")
+        if not write_results_wap(res, table, metrics, run_id="fs1"):
+            raise RuntimeError("WAP publish fs1 failed")
+
+    root = content_keyed_fixture_dir(
+        "mindocr_stats_prune", sf_dir,
+        (__file__, pages_mod.__file__, pipeline_mod.__file__),
+        build,
+    )
+    table = f"{root}/table"
+    parts = [
+        read_published_pruned(spark, table, {"doc_id": i})
+        .select("doc_id", "url", "extracted_text")
+        for i in range(5)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("doc_id")
+
+
 def q_cluster_mix(spark, sf_dir):
     """Cluster-balanced mixture allocation (D4-style topic
     rebalancing): k-means-cluster the embeddings with the shared IVF
@@ -8244,15 +8291,171 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_extract_fulltext(spark, "/root/testdata/sf0.001")
 
 
+#: Operator families and their registry members — the coverage grid
+#: behind the driver-gate window: every family must keep at least one
+#: representative in the FIRST 50 registry entries (the slice the
+#: round driver hard-checks), and `_driver_gate_order` consults this
+#: table when it rotates never-checked queries into that window.
+_FAMILIES: dict[str, set[str]] = {
+    "extraction": {"extract_fulltext", "extract_spans", "extract_east",
+                   "extract_boilerplate", "sentence_split",
+                   "outline_extract", "extract_markdown"},
+    "formats": {"warc_extract", "jsonl_extract", "wet_export",
+                "wat_export", "warc_revisit_roundtrip", "http_gate",
+                "shard_export", "jsonld_extract", "table_extract",
+                "cdx_index"},
+    "joins_agg": {"agg_partial_final", "topk_per_group",
+                  "multi_join_revenue", "broadcast_dict_join",
+                  "skew_salted_agg", "sessionize", "bucketed_join",
+                  "asof_attribution", "snapshot_upsert",
+                  "interval_overlap", "union_sources", "except_keys",
+                  "fanout_regroup"},
+    "dedup": {"exact_dedup", "minhash_lsh", "simhash_neardup",
+              "prefix_filter", "incremental_dedup", "dup_components",
+              "paragraph_dedup", "substring_dedup", "span_dedup",
+              "within_doc_dedup", "decontaminate", "containment",
+              "winnow_fingerprints", "dup_alignment", "leakage_audit",
+              "ngram_jaccard", "minhash_lsh_md5", "simhash_md5",
+              "dup_survivor", "forget_propagation"},
+    "similarity": {"semdedup", "ann_cosine_topk", "ann_ivf_pq_topk",
+                   "ann_ivf_topk", "ann_pq_topk", "ann_lsh_topk",
+                   "embedding_neardup", "text_embed",
+                   "extract_embed_semdedup", "dense_maxp_topk",
+                   "triplet_mining", "cluster_mix", "tfidf_cosine",
+                   "bitext_mine", "lsh_quality"},
+    "text_quality": {"quality_scores", "gopher_gate", "lang_id",
+                     "direction_norm", "cdc_chunks",
+                     "quality_repetition", "lexical_diversity",
+                     "readability", "token_entropy", "script_mix",
+                     "lang_verify", "nb_classifier",
+                     "quality_classifier", "quantile_gate",
+                     "code_math_detect", "soft404_detect"},
+    "tokenizers": {"bpe_apply", "wordpiece_apply", "bpe_vocab",
+                   "bpe_merge_pairs", "bpe_token_stats",
+                   "token_fertility", "oov_rate", "stem_collapse",
+                   "sequence_pack", "context_windows",
+                   "char_dict_encode", "attn_tokens", "ctc_collapse"},
+    "sketches": {"hll_distinct", "ddsketch_quantiles", "cms_counts",
+                 "sketch_ks_drift", "kmv_distinct", "bloom_gate",
+                 "approx_distinct"},
+    "graph": {"domain_pagerank", "triangle_count", "bowtie_structure",
+              "hits_scores", "kcore", "trustrank", "spam_mass",
+              "label_propagation", "community_modularity",
+              "degree_assortativity", "cocitation",
+              "reciprocal_links", "mirror_detect", "crawl_depth",
+              "link_graph"},
+    "retrieval": {"bm25_topk", "bm25_prf", "vsm_topk", "rrf_fusion",
+                  "phrase_search", "proximity_topk", "concordance",
+                  "retrieval_eval", "textrank_summary",
+                  "posting_stats", "llr_keywords", "tfidf_keywords"},
+    "streaming": {"stream_session_windows", "stream_stream_join",
+                  "stream_static_join", "stream_text_embed",
+                  "windowed_counts"},
+    "multimodal": {"multimodal_jpeg", "multimodal_video",
+                   "multimodal_png", "multimodal_features",
+                   "multimodal_real_codec", "image_phash_pairs",
+                   "audio_fp_pairs", "media_dup_clusters",
+                   "extract_figures", "interleaved_media"},
+    "curation": {"curate_pipeline", "wds_roundtrip",
+                 "curate_semantic", "domain_cap", "blocklist_filter",
+                 "stratified_sample", "token_budget_sample",
+                 "temperature_mix", "global_shuffle", "mix_entropy",
+                 "gate_attribution", "selection_bias", "pii_redact",
+                 "deterministic_sample", "weighted_sample"},
+    "table_protocol": {"schema_evolution", "hidden_partition_prune",
+                       "scd2_history", "compaction_plan",
+                       "zorder_audit"},
+}
+
+#: Size of the driver's hard-checked head window.
+_GATE_WINDOW = 50
+
+
+def _driver_gate_order(
+    reg: dict[str, Callable[[SparkSession, str], DataFrame]],
+) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Reorder the registry so the FIRST `_GATE_WINDOW` entries rotate
+    driver-gate coverage across rounds: the round driver hard-checks
+    only the head window, so without rotation the tail rides the
+    self-run harness forever. Mechanics (all deterministic):
+
+    - queries already covered by ANY committed CORRECTNESS_r*.json
+      artifact form the `checked` set; the rest are the rotation POOL,
+      ordered by md5(name) — a fixed pseudo-random order that mixes
+      families and never changes between rounds;
+    - the round number = 1 + the highest committed artifact round, and
+      each round's window starts 40 entries further into the pool
+      (circular), so every registry entry earns a driver-checked row
+      within ~ceil(|pool|/40) rounds;
+    - after placing 40 pool entries, any family (`_FAMILIES`) not yet
+      represented in the head gets one already-checked anchor; slots
+      still free go to MORE pool entries. The head therefore always
+      spans every family AND maximizes never-checked coverage.
+
+    Falls back to the original order when no artifacts are present
+    (fresh checkout: the hand-curated head already spans families)."""
+    import glob
+    import hashlib
+    import json as _json
+    import os as _os
+    import re as _re
+
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    checked: set[str] = set()
+    rounds = []
+    for p in sorted(glob.glob(_os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(p) as f:
+                checked |= set(_json.load(f))
+            m = _re.search(r"r(\d+)", _os.path.basename(p))
+            if m:
+                rounds.append(int(m.group(1)))
+        except (OSError, ValueError):
+            continue
+    if not rounds or not checked:
+        return reg
+    rnd = max(rounds) + 1
+    pool = sorted(
+        (n for n in reg if n not in checked),
+        key=lambda n: hashlib.md5(n.encode()).hexdigest(),
+    )
+    rotated_target = 40
+    head: list[str] = []
+    if pool:
+        start = (rotated_target * (rnd - 5)) % len(pool)
+        take = min(rotated_target, len(pool))
+        head = [pool[(start + i) % len(pool)] for i in range(take)]
+    covered = set(head)
+    for fam, members in sorted(_FAMILIES.items()):
+        if covered & members:
+            continue
+        anchors = sorted(members & checked & set(reg))
+        if anchors:
+            head.append(anchors[0])
+            covered.add(anchors[0])
+    fill = [n for n in pool if n not in covered]
+    for n in fill:
+        if len(head) >= _GATE_WINDOW:
+            break
+        head.append(n)
+        covered.add(n)
+    ordered = {n: reg[n] for n in head[:_GATE_WINDOW]}
+    for n, f in reg.items():
+        if n not in ordered:
+            ordered[n] = f
+    return ordered
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return _driver_gate_order({
     # Registry order = driver-gate coverage: the driver's hard
-    # correctness signal checks the FIRST 50 entries, so the first 50
-    # are a cross-section of EVERY operator family (extraction,
-    # external formats, joins/agg, dedup, similarity/ANN+embed, text
-    # quality, tokenizers, sketches, web-graph, retrieval, streaming,
-    # multimodal, curation/shards); the remaining entries keep their
-    # build order. All 255 stay oracle-paired regardless of position.
+    # correctness signal checks the FIRST 50 entries, and
+    # `_driver_gate_order` rotates never-driver-checked queries into
+    # that window each round while `_FAMILIES` anchors keep every
+    # operator family represented. The literal order below is the
+    # fallback (fresh checkout, no artifacts): a hand-curated
+    # family-spanning cross-section, then build order. All entries
+    # stay oracle-paired regardless of position.
         "extract_fulltext": _q(q_extract_fulltext),
         "extract_spans": _q(q_extract_spans),
         "extract_east": _q(q_extract_east),
@@ -8281,6 +8484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_embed_semdedup": _q(q_extract_embed_semdedup),
         "schema_evolution": _q(q_schema_evolution),
         "hidden_partition_prune": _q(q_hidden_partition_prune),
+        "stats_prune": _q(q_stats_prune),
         "quality_scores": _q(q_quality_scores),
         "gopher_gate": _q(q_gopher_gate),
         "lang_id": _q(q_lang_id),
@@ -8515,7 +8719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_pairs": _q(q_image_phash_pairs),
         "audio_fp_pairs": _q(q_audio_fp_pairs),
         "media_dup_clusters": _q(q_media_dup_clusters),
-    }
+    })
 
 
 _A = PAGES_TEMPLATE_ANCHOR  # no quotes inside; safe to inline in SQL
@@ -16090,6 +16294,13 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup": _simhash_pairs_oracle(max_hamming=8),
         "ann_lsh_topk": _lsh_ann_oracle(),
         "hidden_partition_prune": f"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   'https://docs.example/' || source || '/'
+                     || CAST(doc_id AS VARCHAR) AS url,
+                   '{_A}' || chr(10) || text AS extracted_text
+            FROM documents WHERE doc_id < 5 ORDER BY doc_id
+        """,
+        "stats_prune": f"""
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    'https://docs.example/' || source || '/'
                      || CAST(doc_id AS VARCHAR) AS url,

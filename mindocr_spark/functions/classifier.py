@@ -257,29 +257,35 @@ def quantile_gate(
     contract: Spark `percentile` ↔ DuckDB `quantile_cont` are
     bit-identical at (n−1)·p linear interpolation).
 
-    The threshold is an UNPARTITIONED window aggregate — single pass,
-    no second branch over the (expensive, classifier-scored) input,
-    linear plan growth (the hits_scores lesson). 100 TB shape: the
-    exact window buffers all scores on one reducer — at 10^12 rows
-    swap `F.percentile` for `F.approx_percentile` (t-digest,
-    map-side combinable) exactly as in `length_quantiles`; schema and
-    consumers unchanged.
+    The threshold is a broadcast ONE-ROW aggregate over the narrow
+    (id, score) projection — `F.percentile` runs as a distributed
+    partial+final aggregate (per-partition buffers, one merge), never
+    as an unpartitioned window that would move every full-width row
+    to a single task. The projection is tracked_persist-ed so the
+    threshold branch and the output branch share one execution of the
+    upstream classifier scoring (the persisted-diamond discipline).
+    100 TB shape: the exact percentile still merges all score values
+    once — at 10^12 rows swap `F.percentile` for
+    `F.approx_percentile` (t-digest, map-side combinable) exactly as
+    in `length_quantiles`; schema and consumers unchanged.
 
     Reference lineage: `drop_score` filtering of recognition results
     (reference: tools/infer/text/predict_system.py:103-118) — the
     same score gate with the constant replaced by a corpus quantile."""
     if not (0.0 < keep_frac <= 1.0):
         raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
-    from pyspark.sql import Window
+    from mindocr_spark.cache import tracked_persist
 
     q = 1.0 - keep_frac
-    thr = F.percentile(score_col, F.lit(q)).over(Window.partitionBy())
-    return scored.select(
+    base = tracked_persist(scored.select(id_col, score_col))
+    thr_row = base.agg(
+        F.percentile(score_col, F.lit(q)).alias("threshold"))
+    return base.crossJoin(F.broadcast(thr_row)).select(
         id_col,
         score_col,
-        thr.alias("threshold"),
+        "threshold",
         F.coalesce(
-            F.col(score_col) >= thr, F.lit(False)
+            F.col(score_col) >= F.col("threshold"), F.lit(False)
         ).alias("keep"),
     )
 
@@ -547,12 +553,13 @@ def calibration_ece(
     function of the input.
 
     100 TB shape: ONE map-side-combinable groupBy at bin cardinality
-    (≤ bins rows survive); the two unpartitioned windows share one
-    window spec over those ≤ bins rows. The probability and label
-    columns were computed row-local upstream."""
+    (≤ bins rows survive); the cross-bin ECE totals are a broadcast
+    one-row aggregate over the tracked_persist-ed bin frame (never an
+    unpartitioned window). The probability and label columns were
+    computed row-local upstream."""
     if bins < 2:
         raise ValueError(f"need bins >= 2, got {bins}")
-    from pyspark.sql import Window
+    from mindocr_spark.cache import tracked_persist
 
     p, y = F.col(prob_col), F.col(label_col)
     pl = df.where(p.isNotNull() & y.isNotNull())
@@ -572,14 +579,19 @@ def calibration_ece(
         (F.col("n_pos").cast("double") / F.col("n_bin").cast("double"))
         .alias("accuracy"),
     ).withColumn("abs_gap", F.abs(F.col("accuracy") - F.col("mean_conf")))
-    w = Window.partitionBy()
-    ece = (
+    m = tracked_persist(m)
+    tot = m.agg(
         F.sum(
             F.round(F.col("abs_gap") * F.col("n_bin").cast("double"), 9)
             .cast("decimal(28,9)")
-        )
-        .over(w)
-        .cast("double")
-        / F.sum("n_bin").over(w).cast("double")
+        ).alias("_gap_sum"),
+        F.sum("n_bin").alias("_n_sum"),
     )
-    return m.withColumn("ece", ece)
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "ece",
+            F.col("_gap_sum").cast("double")
+            / F.col("_n_sum").cast("double"))
+        .drop("_gap_sum", "_n_sum")
+    )

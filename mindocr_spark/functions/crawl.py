@@ -1073,11 +1073,12 @@ def water_fill_budget(
     every boundary decided identically in both engines.
 
     100 TB shape: this operator runs at the ALLOCATION grain — the
-    corpus-sized work (counting demand) happened upstream; the
-    relation here is domain-cardinality bookkeeping. The windows are
-    one global sort by (demand, domain) plus unpartitioned totals; at
-    10^8+ domains switch the prefix sum to the range-partitioned
-    two-pass form (the token_budget_sample pattern), same algebra.
+    corpus-sized work (counting demand) happened upstream — but the
+    rank + prefix sum go through `ranked_global` anyway (distributed
+    range-partitioned sort, broadcast partition offsets), so the plan
+    holds unchanged from 10^5 to 10^9 domains: no unpartitioned window
+    over the domain relation anywhere; the water-level election is a
+    broadcast one-row aggregate.
 
     Reference analog: gear batching divides a fixed device budget
     across variable-size inputs (reference: mindocr/data/layout_
@@ -1086,17 +1087,18 @@ def water_fill_budget(
     num, den = budget
     if num < 0 or den < 1:
         raise ValueError(f"budget must be (num ≥ 0, den ≥ 1)")
-    w = Window.orderBy("demand", "domain")
-    wall = Window.partitionBy()
-    t = demand.select(
-        "domain", F.col("demand").cast("bigint").alias("demand")
+    from mindocr_spark.functions.ranking import ranked_global
+
+    t = ranked_global(
+        demand.select(
+            "domain", F.col("demand").cast("bigint").alias("demand")),
+        ["demand", "domain"], rank_col="rn", sum_cols=("demand",),
+        attach_totals=True, n_col="n", total_prefix="tot_",
     ).select(
-        "domain",
-        "demand",
-        F.row_number().over(w).cast("bigint").alias("rn"),
-        F.sum("demand").over(w).cast("bigint").alias("s"),
-        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
-        F.sum("demand").over(wall).cast("bigint").alias("total"),
+        "domain", "demand", "rn",
+        F.col("cum_demand").cast("bigint").alias("s"),
+        "n",
+        F.col("tot_demand").cast("bigint").alias("total"),
     )
     b = t.withColumn(
         "budget",
@@ -1106,13 +1108,13 @@ def water_fill_budget(
         F.col("demand") * (F.col("n") - F.col("rn") + 1)
         <= F.col("budget") - (F.col("s") - F.col("demand")),
     )
-    k = b.select(
-        "*",
+    star = b.agg(
         F.max(F.when(F.col("ok"), F.col("rn")).otherwise(0))
-        .over(wall).alias("kstar"),
+        .alias("kstar"),
         F.max(F.when(F.col("ok"), F.col("s")).otherwise(0))
-        .over(wall).alias("s_kstar"),
+        .alias("s_kstar"),
     )
+    k = b.crossJoin(F.broadcast(star))
     n_capped = F.col("n") - F.col("kstar")
     # integer div (not floor-of-double): exact, and only evaluated on
     # capped rows where kstar < n (when-branch laziness guards ANSI)

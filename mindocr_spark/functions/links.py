@@ -488,23 +488,30 @@ def spam_mass(ranks: DataFrame, trust: DataFrame) -> DataFrame:
 
     Determinism: each vector is already bit-exact cross-engine; the
     normalizers quantize at 9 dp and sum as DECIMAL(38,9) — exact and
-    order-independent (the hits_scores discipline) — via an
-    UNPARTITIONED window, so each chain's plan is referenced once and
-    growth stays linear (the hits plan-growth lesson). The final mass
-    is round(·, 9) with signed zero normalized."""
-    from pyspark.sql import Window
+    order-independent (the hits_scores discipline). Each quantized
+    vector is tracked_persist-ed and its total is a broadcast one-row
+    aggregate — the rank chain executes ONCE into the persisted
+    domain-grain frame, and no unpartitioned window ever moves the
+    domain relation to a single task. The final mass is round(·, 9)
+    with signed zero normalized."""
+    from mindocr_spark.cache import tracked_persist
 
-    w = Window.partitionBy()
     p9 = F.round(F.col("rank"), 9).cast("decimal(38,9)")
     t9 = F.round(F.col("trust"), 9).cast("decimal(38,9)")
-    p = ranks.select(
+    pq = tracked_persist(ranks.select("domain", p9.alias("p9")))
+    tq = tracked_persist(trust.select("domain", t9.alias("t9")))
+    p = pq.crossJoin(
+        F.broadcast(pq.agg(F.sum("p9").alias("_tp")))
+    ).select(
         "domain",
-        (p9.cast("double") / F.sum(p9).over(w).cast("double"))
+        (F.col("p9").cast("double") / F.col("_tp").cast("double"))
         .alias("p_hat"),
     )
-    t = trust.select(
+    t = tq.crossJoin(
+        F.broadcast(tq.agg(F.sum("t9").alias("_tt")))
+    ).select(
         "domain",
-        (t9.cast("double") / F.sum(t9).over(w).cast("double"))
+        (F.col("t9").cast("double") / F.col("_tt").cast("double"))
         .alias("t_hat"),
     )
     return p.join(t, "domain").select(
@@ -540,36 +547,40 @@ def _hits_half(
     precision and breaks cross-engine rounding in the last ulp. The
     consumer divides by N once at output for the L1 contract.
 
-    The normalizer is an UNPARTITIONED window sum over the same
-    relation — NOT a separate aggregate branch cross-joined back: a
-    second branch would reference the half-step's plan twice, and
-    across the alternation the LOGICAL plan doubles per half-step —
-    2^(2·iters) Catalyst analysis blowup, measured 33.9 s vs 2.6 s at
-    sf0.1 (caching doesn't help: the cost is plan analysis, not
-    execution). The single-partition window is domain-cardinality
-    rows — bookkeeping-sized, the IVF-centroid precedent."""
-    from pyspark.sql import Window
-
+    Plan discipline: the folded per-dom sums are localCheckpoint-ed
+    each half-step — lineage truncates to a LogicalRDD, so (a) the
+    normalizer can be a plain aggregate + broadcast cross join (the
+    checkpointed frame is referenced twice at zero recompute), and
+    (b) plan analysis stays CONSTANT per step instead of doubling
+    (2^(2·iters) blowup, measured 33.9 s vs 2.6 s at sf0.1, when a
+    second branch referenced the live plan; an unpartitioned window
+    avoided that but moved the whole domain relation to ONE task per
+    step — the single-partition scale-killer). Cost: the iteration is
+    EAGER (one small job per half-step, the neardup_transitive
+    precedent); total executed work is unchanged."""
     c = g.join(ranks, g[rank_key] == ranks["domain"]).select(
         F.col(group_key).alias("dom"),
         F.round(F.col("w").cast("double") * F.col("val"), 9)
         .cast("decimal(38,9)").alias("c"),
     )
-    un = c.groupBy("dom").agg(F.sum("c").alias("u"))
-    w_all = Window.partitionBy()
-    s = F.sum("u").over(w_all)
-    n = F.count(F.lit(1)).over(w_all)
+    un = c.groupBy("dom").agg(F.sum("c").alias("u")).localCheckpoint()
+    tot = un.agg(
+        F.sum("u").alias("_s"),
+    )
+    n_row = nodes.agg(F.count(F.lit(1)).alias("_n"))
     return (
         nodes.join(un, nodes["domain"] == un["dom"], "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n_row))
         .select(
             "domain",
             (
                 (
                     F.coalesce(F.col("u"), F.lit(0).cast("decimal(38,9)"))
                     .cast("double")
-                    / s.cast("double")
+                    / F.col("_s").cast("double")
                 )
-                * n.cast("double")
+                * F.col("_n").cast("double")
             ).alias("val"),
         )
     )
@@ -620,18 +631,22 @@ def domain_hits(edges: DataFrame, iters: int = 3) -> DataFrame:
         hub = _hits_half(g, nodes, auth, "src_domain", "dst_domain")
         auth = _hits_half(g, nodes, hub, "dst_domain", "src_domain")
     # internals iterate at mean 1 (scale-free — see _hits_half); one
-    # division by N at output restores the L1 contract (sums to 1)
-    n = F.count(F.lit(1)).over(Window.partitionBy())
+    # division by N at output restores the L1 contract (sums to 1).
+    # N is a broadcast one-row aggregate over the persisted node set —
+    # never an unpartitioned window over the domain relation.
+    n_row = nodes.agg(F.count(F.lit(1)).alias("_n"))
     return (
         hub.select(F.col("domain"), F.col("val").alias("hub"))
         .join(
             auth.select(F.col("domain"), F.col("val").alias("authority")),
             "domain",
         )
+        .crossJoin(F.broadcast(n_row))
         .select(
             "domain",
-            (F.col("hub") / n.cast("double")).alias("hub"),
-            (F.col("authority") / n.cast("double")).alias("authority"),
+            (F.col("hub") / F.col("_n").cast("double")).alias("hub"),
+            (F.col("authority") / F.col("_n").cast("double"))
+            .alias("authority"),
         )
     )
 
@@ -1447,8 +1462,10 @@ def community_modularity(edges: DataFrame, iters: int = 3) -> DataFrame:
     the supersteps AND the degree count; labels are persisted once and
     feed the community rollup AND both endpoint joins of the intra
     count (vertex-key shuffles, uniform); everything after that runs
-    at COMMUNITY cardinality, with m an unpartitioned window over the
-    community-grain rows (referenced once — no plan doubling). At
+    at COMMUNITY cardinality; m = Σ degree_sum / 2 comes from a
+    broadcast one-row aggregate over the tracked_persist-ed community
+    rollup (community count is unbounded — an unpartitioned window
+    there would funnel every community through one task). At
     10^12 edges lift the q_contrib integers to DECIMAL(38,0); the
     plan is unchanged.
 
@@ -1481,7 +1498,7 @@ def community_modularity(edges: DataFrame, iters: int = 3) -> DataFrame:
         .groupBy(F.col("la").alias("lbl"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("intra_edges"))
     )
-    comm = (
+    comm = tracked_persist(
         per_comm.join(intra, "lbl", "left")
         .select(
             "lbl",
@@ -1490,8 +1507,10 @@ def community_modularity(edges: DataFrame, iters: int = 3) -> DataFrame:
             F.coalesce(F.col("intra_edges"), F.lit(0).cast("bigint"))
             .alias("intra_edges"),
         )
-        .withColumn("m", F.expr("(sum(degree_sum) OVER ()) div 2"))
     )
+    m_row = comm.agg(
+        F.expr("sum(degree_sum) div 2").cast("bigint").alias("m"))
+    comm = comm.crossJoin(F.broadcast(m_row))
     num = (
         F.lit(4) * F.col("m") * F.col("intra_edges")
         - F.col("degree_sum") * F.col("degree_sum")

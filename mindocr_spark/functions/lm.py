@@ -652,22 +652,22 @@ def heaps_fit(
     toks = tracked_persist(docs.join(F.broadcast(mx)).select(
         F.expr(
             f"(({id_col} - _mn) * {n_checkpoints}) div (_mx - _mn + 1)"
-        ).alias("b"),
+        ).alias("__ckpt_b"),
         F.col(id_col).alias("_id"),
         tokens_col(text_col).alias("_t"),
     ))
-    per_doc = toks.select("b", F.explode("_t").alias("token"), "_id")
+    per_doc = toks.select("__ckpt_b", F.explode("_t").alias("token"), "_id")
     firsts = per_doc.groupBy("token").agg(
-        F.min(F.struct("_id", "b")).alias("f")
+        F.min(F.struct("_id", "__ckpt_b")).alias("f")
     )
-    new_b = firsts.groupBy(F.col("f.b").alias("b")).agg(
+    new_b = firsts.groupBy(F.col("f.__ckpt_b").alias("__ckpt_b")).agg(
         F.count(F.lit(1)).alias("new_types")
     )
-    tok_b = toks.groupBy("b").agg(F.sum(F.size("_t")).alias("nt"))
-    bk = tok_b.join(new_b, "b", "left").select(
-        "b", "nt", F.coalesce("new_types", F.lit(0)).alias("nv")
+    tok_b = toks.groupBy("__ckpt_b").agg(F.sum(F.size("_t")).alias("nt"))
+    bk = tok_b.join(new_b, "__ckpt_b", "left").select(
+        "__ckpt_b", "nt", F.coalesce("new_types", F.lit(0)).alias("nv")
     )
-    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.orderBy("__ckpt_b").rowsBetween(Window.unboundedPreceding, 0)
     cum = bk.select(
         F.sum("nt").over(w).alias("cn"), F.sum("nv").over(w).alias("cv")
     ).where((F.col("cn") > 0) & (F.col("cv") > 0))

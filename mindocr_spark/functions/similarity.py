@@ -396,18 +396,20 @@ def cluster_mix_allocation(
         embeddings, n=n, max_centroids=max_centroids,
         lloyd_iters=lloyd_iters, id_col=id_col, vec_col=vec_col,
     )
+    from mindocr_spark.cache import tracked_persist
+
     assign = assign_fn(c, cent)
-    per = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
-    w = Window.partitionBy()
     wq = F.round(F.sqrt(F.col("n_vecs").cast("double")), 6)
-    per = per.select(
-        "cid", "n_vecs", wq.alias("_wq"),
-        F.sum(F.col("n_vecs")).over(w).alias("_tot"),
+    per = tracked_persist(
+        assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
+        .select("cid", "n_vecs", wq.alias("_wq"))
     )
-    per = per.withColumn(
-        "_s",
-        F.sum(F.col("_wq").cast("decimal(38,6)")).over(w).cast("double"),
+    tot = per.agg(
+        F.sum("n_vecs").alias("_tot"),
+        F.sum(F.col("_wq").cast("decimal(38,6)")).cast("double")
+        .alias("_s"),
     )
+    per = per.crossJoin(F.broadcast(tot))
     raw = F.col("n_vecs").cast("double") / F.col("_tot").cast("double")
     temp = F.col("_wq") / F.col("_s")
     return per.select(
@@ -830,12 +832,15 @@ def build_pq_codebook(
     )
     subs = _sub_split(c, "neighbor_id", dim, m)
     grid = c.where(F.pmod(F.col("neighbor_id"), F.lit(stride)) == 0)
+    # first k_sub seeds by id: sort+limit executes as a distributed
+    # TakeOrdered (never an unpartitioned rank over the whole grid,
+    # which is corpus-sized when ids cluster on the stride); the rank
+    # window then runs over ≤ k_sub rows.
+    capped = grid.orderBy("neighbor_id").limit(k_sub)
     seed_rank = F.row_number().over(
         Window.partitionBy().orderBy("neighbor_id")
     )
-    seeds = grid.select(
-        "neighbor_id", "cv", seed_rank.alias("_rk")
-    ).where(F.col("_rk") <= k_sub)
+    seeds = capped.select("neighbor_id", "cv", seed_rank.alias("_rk"))
     cent = _sub_split(seeds, "_rk", dim, m).select(
         "sub", (F.col("_rk") - 1).cast("bigint").alias("code"),
         F.col("sv").alias("cent"),

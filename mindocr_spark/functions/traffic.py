@@ -921,18 +921,29 @@ def session_paths(
             ">",
         ).alias("path")
     )
-    counts = paths.groupBy("path").agg(
+    from mindocr_spark.cache import tracked_persist
+
+    counts = tracked_persist(paths.groupBy("path").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
         F.countDistinct("u").cast("bigint").alias("n_users"),
-    )
+    ))
     tot = counts.groupBy().agg(
         F.sum("n_sessions").cast("bigint").alias("total_sessions")
     )
+    # top_k first via sort+limit (distributed TakeOrdered over the
+    # unbounded path relation), THEN the rank window over ≤ top_k
+    # rows — never an unpartitioned rank at path grain. `tot` is
+    # computed from `counts` BEFORE the cap, so shares are of the
+    # whole stream. The two branches over `counts` are cheap
+    # re-aggregations of the persisted session frame upstream.
+    top = counts.orderBy(
+        F.col("n_sessions").desc(), F.col("path").asc()
+    ).limit(top_k)
     w_rank = Window.partitionBy().orderBy(
         F.col("n_sessions").desc(), F.col("path").asc()
     )
     return (
-        counts.crossJoin(F.broadcast(tot))
+        top.crossJoin(F.broadcast(tot))
         .select(
             "path",
             (F.size(F.split("path", ">")))
@@ -1113,10 +1124,11 @@ def rfm_scores(events: DataFrame, n_bins: int = 5) -> DataFrame:
     at the end (the stream_static_join decimal-sum discipline).
 
     100 TB shape: ONE groupBy to user grain (map-side combinable),
-    the global anchor is a broadcast one-row aggregate (never an
-    unpartitioned window over the user relation), and the three rank
-    windows run at USER cardinality — orders of magnitude below event
-    cardinality. Ranking 10^9 users pays three sorts of the user
+    the global anchor is a broadcast one-row aggregate, and the three
+    exact ranks run through `ranked_global` — range-partitioned
+    distributed sorts with broadcast partition offsets, NEVER an
+    unpartitioned window over the user relation (which would move all
+    10^9 users to one task). Three distributed sorts of the user
     relation; swap in approx percentile boundaries if even that is
     too hot (same schema, the length_quantiles discipline)."""
     if n_bins < 2:
@@ -1136,19 +1148,17 @@ def rfm_scores(events: DataFrame, n_bins: int = 5) -> DataFrame:
         .alias("recency_s"),
         "frequency", "mon_dec",
     )
-    wr = Window.orderBy(F.asc("recency_s"), F.asc("user_id"))
-    wf = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
-    wm = Window.orderBy(F.desc("mon_dec"), F.asc("user_id"))
-    ranked = base.select(
-        "*",
-        F.row_number().over(wr).alias("rr"),
-        F.row_number().over(wf).alias("rf"),
-        F.row_number().over(wm).alias("rm"),
-        F.count("*").over(
-            Window.partitionBy().rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing)
-        ).alias("nu"),
-    )
+    from mindocr_spark.functions.ranking import ranked_global
+
+    ranked = ranked_global(
+        ranked_global(
+            ranked_global(
+                base, [F.asc("recency_s"), F.asc("user_id")],
+                rank_col="rr"),
+            [F.desc("frequency"), F.asc("user_id")], rank_col="rf"),
+        [F.desc("mon_dec"), F.asc("user_id")], rank_col="rm",
+        attach_totals=True, n_col="nu")
+
     def _s(rank):
         return (F.lit(n_bins)
                 - F.expr(f"(({rank} - 1) * {n_bins}) div nu")

@@ -272,6 +272,72 @@ def _manifest_seq(name: str) -> int | None:
         return None
 
 
+#: Column types eligible for per-file min/max stats: orderable AND
+#: JSON-exact (round-tripping the manifest cannot change a boundary
+#: comparison). Floats/timestamps/dates are excluded on purpose —
+#: their JSON round-trip / tz semantics are not bit-safe, and the
+#: skipping contract must never be approximately right.
+_STATS_TYPES = frozenset(
+    {"string", "bigint", "int", "smallint", "tinyint", "boolean"})
+
+
+def _collect_file_stats(spark: "SparkSession", data_dir: str) -> dict:
+    """Per-data-file min/max column statistics for the committed
+    snapshot — the Iceberg manifest data-skipping payload, recorded at
+    commit time: {relative_file: {col: [min, max]}} for every
+    stats-eligible column (`_STATS_TYPES`). Files where a column is
+    all-NULL record [None, None] (an equality probe can then skip the
+    file outright — the probe value is never NULL).
+
+    Cost: one extra scan of the snapshot per publish, aggregated per
+    input file (map-side combinable — one row per (file) survives).
+    Iceberg reads the same numbers out of the parquet footers for
+    free; the pointer-manifest emulation pays the scan instead of a
+    footer parser. The manifest grows by O(files x stat columns) —
+    the same cardinality Iceberg's own manifests carry."""
+    df = spark.read.parquet(data_dir)
+    cols = [f.name for f in df.schema.fields
+            if f.dataType.simpleString() in _STATS_TYPES]
+    if not cols:
+        return {}
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"__lo_{c}"))
+        aggs.append(F.max(c).alias(f"__hi_{c}"))
+    rows = df.groupBy(
+        F.input_file_name().alias("__file")).agg(*aggs).collect()
+    prefix = data_dir.rstrip("/") + "/"
+    out: dict = {}
+    for r in rows:
+        f_uri = r["__file"]
+        # input_file_name yields a URI (file:///...); key by the path
+        # RELATIVE to the data dir so manifests survive a table move
+        idx = f_uri.find(prefix.lstrip("/"))
+        rel = f_uri[idx + len(prefix.lstrip("/")):] if idx >= 0 else f_uri
+        out[rel] = {c: [r[f"__lo_{c}"], r[f"__hi_{c}"]] for c in cols}
+    return out
+
+
+def _stats_keep_file(cols_stats: dict, probes: dict) -> bool:
+    """Can a file with these [min,max] ranges contain EVERY probe
+    value? Missing column stats keep the file (skipping must never
+    drop a row it cannot prove absent); a type-mismatched probe keeps
+    the file for the same reason."""
+    for c, v in probes.items():
+        rng = cols_stats.get(c)
+        if rng is None:
+            continue
+        lo, hi = rng
+        if lo is None:  # all-NULL column: cannot contain a non-NULL v
+            return False
+        try:
+            if not (lo <= v <= hi):
+                return False
+        except TypeError:
+            continue
+    return True
+
+
 def _write_manifest(fs: _FS, path: str, run_id: str, fields: dict) -> int:
     """The single WRITE-side implementation of the manifest protocol:
     seq allocated as max over ALL manifest file names (valid or torn —
@@ -392,10 +458,13 @@ def read_published_pruned(spark: "SparkSession", path: str,
     (Catalyst constant-folds it) and filter the PHYSICAL partition
     column — the scan prunes to the matching partition dirs — then
     apply the exact source predicate after the schema projection.
-    Source columns without a spec entry just get the exact filter
-    (no pruning — same rows, more scan). This is the Iceberg read
+    Source columns without a spec entry still benefit from per-file
+    MIN/MAX DATA SKIPPING (the manifest's `file_stats`, recorded at
+    commit) and then get the exact filter. This is the Iceberg read
     semantic: callers predicate on DATA columns and never need to
-    know the partition layout."""
+    know the partition layout — the reader composes partition-
+    transform pruning, file-stats skipping, and the exact residual
+    filter, in that order."""
     manifests = _load_manifests(_FS(spark, path), path)
     if not manifests:
         raise FileNotFoundError(f"no committed WAP snapshot under {path}")
@@ -428,7 +497,29 @@ def read_published_pruned(spark: "SparkSession", path: str,
             if old is not None:
                 snap_of_cur[f["name"]] = old
                 cur_of_snap[old] = f["name"]
-    df = spark.read.parquet(f"{path}/{_DATA_DIR}/{snap['data_dir']}")
+    data_root = f"{path}/{_DATA_DIR}/{snap['data_dir']}"
+    # DATA SKIPPING (Iceberg min/max file stats): before any scan,
+    # drop every data file whose recorded [min, max] range proves the
+    # probe value absent. Probes resolve to snapshot-time column names
+    # (the stats were recorded under them). File selection is
+    # driver-side over the manifest's stats map — the same
+    # metadata-grain work Iceberg's planner does; the scan then reads
+    # ONLY the surviving files (basePath keeps Hive partition columns
+    # resolvable).
+    stats = snap.get("file_stats") or {}
+    probes = {snap_of_cur.get(c, c): v for c, v in prune.items()}
+    if stats:
+        keep = [rel for rel, cols in stats.items()
+                if _stats_keep_file(cols, probes)]
+        if len(keep) == len(stats):
+            df = spark.read.parquet(data_root)
+        elif keep:
+            df = spark.read.option("basePath", data_root).parquet(
+                *[f"{data_root}/{rel}" for rel in keep])
+        else:
+            df = spark.read.parquet(data_root).limit(0)
+    else:
+        df = spark.read.parquet(data_root)
     resolved: dict[str, dict | None] = {}
     for col, val in prune.items():
         # accept the current name (rename-aware) or the literal name
@@ -620,6 +711,7 @@ def write_results_wap(
     keep_snapshots: int = 2,
     partition_by: tuple[str, ...] = (),
     schema_fields: list[dict] | None = None,
+    collect_stats: bool = True,
 ) -> bool:
     """Write-audit-publish sink — the Iceberg WAP commit discipline
     (stage to a branch → validate → fast-forward main; SURVEY §1.4/§4)
@@ -744,6 +836,10 @@ def write_results_wap(
         "schema": schema_fields,
         "counters": {k: (float(v) if k == "boilerplate_ratio" else int(v))
                      for k, v in g.items()},
+        # per-file min/max (Iceberg data-skipping stats): consulted by
+        # read_published_pruned to drop whole files before the scan
+        "file_stats": (_collect_file_stats(spark, data_dir)
+                       if collect_stats else {}),
     })
     mdir = f"{path}/{_MANIFEST_DIR}"
 
@@ -864,6 +960,10 @@ def compact_published(
     }
     if cur.get("schema") is not None:
         manifest_fields["schema"] = cur["schema"]  # spec carries forward
+    # data-skipping stats follow the DATA, not the manifest: the
+    # rewritten files get fresh min/max ranges (carrying the old map
+    # forward would reference deleted files and skip nothing)
+    manifest_fields["file_stats"] = _collect_file_stats(spark, new_dir)
     _write_manifest(fs, path, run_id, manifest_fields)
     manifests = _load_manifests(fs, path)
     live = {m["data_dir"] for m in manifests[-keep_snapshots:]}

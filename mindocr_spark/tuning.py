@@ -249,8 +249,6 @@ def key_skew_stats(
     before picking gears (reference:
     deploy/models_utils/auto_scaling/src/auto_scaling.py); this is the
     same profile applied to shuffle keys."""
-    from pyspark.sql import Window
-
     num, den = max_share
     if num < 0 or den < 1:
         raise ValueError(f"max_share must be (num ≥ 0, den ≥ 1)")
@@ -258,10 +256,13 @@ def key_skew_stats(
         F.coalesce(F.col(key_col).cast("string"), F.lit("\x00NULL"))
         .alias("k")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    w = Window.orderBy("c", "k")
-    ranked = counts.select(
-        "c", F.row_number().over(w).cast("bigint").alias("i")
-    )
+    # exact global rank over the (unbounded) key relation goes through
+    # the distributed range-partitioned form, never an unpartitioned
+    # window — 10^9 distinct keys must not funnel into one task
+    from mindocr_spark.functions.ranking import ranked_global
+
+    ranked = ranked_global(counts, ["c", "k"], rank_col="i").select(
+        "c", "i")
     agg = ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
         F.sum("c").cast("bigint").alias("n_rows"),

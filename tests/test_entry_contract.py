@@ -99,36 +99,38 @@ def test_first_fifty_queries_span_every_family(entrymod):
     entries — they must cover at least one query from every operator
     family so no family ever rides unverified."""
     first50 = list(entrymod.queries())[:50]
-    families = {
-        "extraction": {"extract_fulltext", "extract_spans",
-                       "extract_east"},
-        "formats": {"warc_extract", "jsonl_extract", "wet_export",
-                    "wat_export", "warc_revisit_roundtrip"},
-        "joins_agg": {"agg_partial_final", "topk_per_group",
-                      "multi_join_revenue", "broadcast_dict_join",
-                      "skew_salted_agg"},
-        "dedup": {"exact_dedup", "minhash_lsh", "simhash_neardup",
-                  "prefix_filter", "incremental_dedup",
-                  "dup_components"},
-        "similarity": {"semdedup", "ann_cosine_topk",
-                       "ann_ivf_pq_topk", "embedding_neardup",
-                       "text_embed", "extract_embed_semdedup"},
-        "text_quality": {"quality_scores", "gopher_gate", "lang_id",
-                         "direction_norm", "cdc_chunks"},
-        "tokenizers": {"bpe_apply", "wordpiece_apply"},
-        "sketches": {"hll_distinct", "ddsketch_quantiles",
-                     "cms_counts", "sketch_ks_drift"},
-        "graph": {"domain_pagerank", "triangle_count",
-                  "bowtie_structure"},
-        "retrieval": {"bm25_topk", "bm25_prf"},
-        "streaming": {"stream_session_windows", "stream_stream_join"},
-        "multimodal": {"multimodal_jpeg", "multimodal_video"},
-        "curation": {"curate_pipeline", "wds_roundtrip"},
-        "table_protocol": {"schema_evolution", "hidden_partition_prune"},
-    }
     got = set(first50)
-    for family, members in families.items():
+    for family, members in entrymod._FAMILIES.items():
         assert got & members, f"family {family} absent from first 50"
+    # every family member the table names must actually exist — a
+    # typo'd member would silently weaken the anchor guarantee
+    allq = set(entrymod.queries())
+    for family, members in entrymod._FAMILIES.items():
+        assert members <= allq, (family, sorted(members - allq))
+
+
+def test_gate_rotation_advances_coverage(entrymod):
+    """The rotation contract: the head window is dominated by queries
+    no committed CORRECTNESS_r*.json artifact has covered yet (>= 40
+    when the pool allows), so every registry entry earns a
+    driver-checked row within a few rounds."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(entrymod.__file__))
+    checked: set[str] = set()
+    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        with open(p) as f:
+            checked |= set(json.load(f))
+    if not checked:
+        import pytest as _pytest
+
+        _pytest.skip("fresh checkout: no artifacts, no rotation")
+    head = list(entrymod.queries())[:50]
+    pool_size = len(set(entrymod.queries()) - checked)
+    fresh = [n for n in head if n not in checked]
+    assert len(fresh) >= min(40, pool_size)
 
 
 def test_corpus_rollup_subtotals_are_consistent(spark):

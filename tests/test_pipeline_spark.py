@@ -801,3 +801,108 @@ class TestPrunedReadStrictness:
         assert len(rows) == 1 and rows[0]["page_url"] == some
         plan = pruned._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters: [isnotnull(url_bucket" in plan
+
+
+class TestFileStatsSkipping:
+    """Per-file min/max stats in the WAP manifest: reads prove files
+    absent BEFORE the scan (Iceberg data skipping), never change the
+    rows, and survive compaction (stats follow the data)."""
+
+    def _publish(self, spark, tmp_path, nparts=6):
+        from mindocr_spark.corpus import pages_dataframe
+        from mindocr_spark.operators.pipeline import (
+            run_extraction, write_results_wap)
+
+        out, metrics = str(tmp_path / "t"), str(tmp_path / "m")
+        res = run_extraction(
+            pages_dataframe(spark, 60, seed=13)
+        ).repartitionByRange(nparts, "lang", "url")
+        assert write_results_wap(res, out, metrics, run_id="s1")
+        return out
+
+    def test_skips_files_rows_identical(self, spark, tmp_path):
+        from mindocr_spark.operators.pipeline import (
+            list_snapshots, read_published, read_published_pruned)
+
+        out = self._publish(spark, tmp_path)
+        snap = list_snapshots(spark, out)[-1]
+        assert snap["file_stats"], "stats missing from manifest"
+        full = read_published(spark, out)
+        langs = sorted(r["lang"] for r in
+                       full.select("lang").distinct().collect())
+        some = langs[0]
+        pruned = read_published_pruned(spark, out, {"lang": some})
+        # range layout on lang => most files provably cannot hold it
+        assert len(pruned.inputFiles()) < len(full.inputFiles())
+        exp = {(r["url"], r["lang"]) for r in
+               full.where(full["lang"] == some).collect()}
+        assert {(r["url"], r["lang"])
+                for r in pruned.collect()} == exp
+
+    def test_probe_absent_everywhere_reads_nothing(self, spark,
+                                                   tmp_path):
+        from mindocr_spark.operators.pipeline import (
+            read_published_pruned)
+
+        out = self._publish(spark, tmp_path)
+        pruned = read_published_pruned(spark, out,
+                                       {"lang": "zz-not-a-lang"})
+        assert pruned.count() == 0
+
+    def test_stats_survive_compaction(self, spark, tmp_path):
+        from mindocr_spark.operators.pipeline import (
+            compact_published,
+            list_snapshots,
+            read_published,
+            read_published_pruned,
+        )
+
+        out = self._publish(spark, tmp_path, nparts=8)
+        full_before = {(r["url"], r["lang"]) for r in
+                       read_published(spark, out).collect()}
+        assert compact_published(spark, out, run_id="c1",
+                                 target_bytes=1 << 30)
+        snap = list_snapshots(spark, out)[-1]
+        assert "compaction_of" in snap
+        assert snap["file_stats"], "compaction dropped file stats"
+        # stats reference the NEW files only
+        import os
+
+        from mindocr_spark.operators.pipeline import resolve_published
+
+        data = resolve_published(spark, out)
+        on_disk = set()
+        for root, _dirs, files in os.walk(data):
+            for f in files:
+                if f.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(root, f), data)
+                    on_disk.add(rel)
+        assert set(snap["file_stats"]) == on_disk
+        some = sorted(l for _u, l in full_before)[0]
+        pruned = read_published_pruned(spark, out, {"lang": some})
+        assert {(r["url"], r["lang"]) for r in pruned.collect()} == {
+            (u, l) for u, l in full_before if l == some}
+
+    def test_hidden_partition_composes_with_stats(self, spark,
+                                                  tmp_path):
+        """bucket() pruning AND file stats work together: rows exact,
+        partition filter still in the plan."""
+        from mindocr_spark.corpus import pages_dataframe
+        from mindocr_spark.operators.pipeline import (
+            read_published,
+            read_published_pruned,
+            run_extraction,
+            write_results_wap,
+        )
+
+        out, metrics = str(tmp_path / "t"), str(tmp_path / "m")
+        res = run_extraction(pages_dataframe(spark, 30, seed=17))
+        assert write_results_wap(res, out, metrics, run_id="h1",
+                                 partition_by=("bucket(8, url)",))
+        df = read_published(spark, out)
+        some = df.select("url").orderBy("url").first()["url"]
+        pruned = read_published_pruned(spark, out, {"url": some})
+        rows = pruned.collect()
+        assert len(rows) == 1 and rows[0]["url"] == some
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(url_bucket" in plan

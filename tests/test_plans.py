@@ -278,3 +278,88 @@ def test_ddsketch_bucket_assignment_has_no_join(spark):
     plan = _plan(ddsketch_quantiles(df, "grp", "v"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # tiny quantile spine
+
+
+def test_no_single_partition_window_over_unbounded_relation(spark):
+    """Sweeping guarantee over ALL driver-contract queries: no
+    optimized plan may contain an UNPARTITIONED Window whose input is
+    an unbounded relation — Spark executes those by moving every row
+    to ONE task (`WindowExec: No Partition Defined`), the silent
+    scale-killer this suite exists to keep out. An empty-partitionSpec
+    Window is allowed only when its subtree PROVABLY bounds the input:
+
+    - a GlobalLimit (top-k was taken first — the lm.py/zipf pattern);
+    - an Aggregate with EMPTY grouping (one-row global aggregate);
+    - an Aggregate grouping ONLY on audited bounded-domain keys:
+      `__rg_pid` (range-partition id, ≤ spark.sql.shuffle.partitions —
+      the ranked_global offsets frame), `__ckpt_b` (heaps_fit id-range
+      checkpoint bucket, ≤ n_checkpoints).
+
+    Exact global ranks/prefix sums over unbounded relations must go
+    through `mindocr_spark.functions.ranking.ranked_global`."""
+    import re as _re
+
+    import __spark_entry__ as E
+
+    BOUNDED_GROUPING = {"__rg_pid", "__ckpt_b"}
+
+    def walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    def subtree_bounded(win) -> bool:
+        for sub in walk(win):
+            if sub is win:
+                continue
+            name = sub.getClass().getSimpleName()
+            if name == "GlobalLimit":
+                return True
+            if name == "Aggregate":
+                ge = sub.groupingExpressions()
+                if ge.size() == 0:
+                    return True
+                names = set()
+                for j in range(ge.size()):
+                    m = _re.match(
+                        r"^'?([A-Za-z_][A-Za-z0-9_]*)#\d+",
+                        ge.apply(j).toString())
+                    names.add(m.group(1) if m else "?")
+                if names <= BOUNDED_GROUPING:
+                    return True
+        return False
+
+    sf_dir = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, fn in E.queries().items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan()
+        for node in walk(plan):
+            if (node.getClass().getSimpleName() == "Window"
+                    and node.partitionSpec().size() == 0
+                    and not subtree_bounded(node)):
+                offenders.setdefault(name, 0)
+                offenders[name] += 1
+    assert not offenders, (
+        f"single-partition Window over unbounded relation in: "
+        f"{sorted(offenders)}")
+
+
+def test_stats_prune_reads_fewer_files(spark):
+    """q_stats_prune's probes must scan a strict subset of the
+    snapshot's data files — the min/max skipping happens at PLANNING
+    time (inputFiles), not as a post-scan filter."""
+    import __spark_entry__ as E
+    from mindocr_spark.operators.pipeline import read_published
+
+    sf_dir = "/root/testdata/sf0.001"
+    df = E.queries()["stats_prune"](spark, sf_dir)
+    # recover the fixture table path from the scan's input files
+    files = df.inputFiles()
+    assert files
+    import os
+
+    data_dir = os.path.dirname(files[0]).removeprefix("file:")
+    total = [f for f in os.listdir(data_dir) if f.endswith(".parquet")]
+    assert len(total) > 1
+    assert len({os.path.basename(f) for f in files}) < len(total)
