@@ -7862,6 +7862,94 @@ def q_dense_maxp_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def _maxp_quality_corpus(spark, sf_dir):
+    """Planted-relevance retrieval fixture (the lsh_quality device
+    applied to dense retrieval): an md5-sampled base slice of
+    documents plus THREE graded token-prefix variants per base doc
+    (fractions 3/6, 4/6, 5/6, floor 5 tokens) whose provenance is
+    pure id arithmetic — variant v of doc d is d + v·10^6, so the
+    relevant set of every query is KNOWN without labels. Returns
+    (base, corpus)."""
+    from mindocr_spark.functions.text import tokens_col
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .where(
+            (F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")),
+                1, 1) == "0")
+            & (F.length("text") >= 200)
+        )
+        .select("doc_id", "text")
+    )
+    tk = base.select("doc_id", tokens_col("text").alias("toks"))
+    v = F.col("v")
+    variants = tk.crossJoin(
+        spark.range(1, 4).select(F.col("id").cast("bigint").alias("v"))
+    ).select(
+        (F.col("doc_id") + v * F.lit(1_000_000)).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                F.col("toks"), F.lit(1),
+                F.greatest(
+                    F.lit(5),
+                    F.expr("(size(toks) * (v + 2)) div 6"),
+                ).cast("int"),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return base, base.unionByName(variants)
+
+
+def q_maxp_quality(spark, sf_dir):
+    """Retrieval-QUALITY audit of the in-engine embedder: recall@5 of
+    (a) dense MaxP passage retrieval and (b) whole-document
+    brute-force cosine against the planted graded-prefix relevance
+    fixture (`_maxp_quality_corpus` — 3 known-relevant variants per
+    query). `text_embed` is bit-exact by construction; this measures
+    whether its VECTORS RANK: each query's prefix variants must crowd
+    the top-5. One row per (query, method): n_caught of 3 + recall.
+    The oracle replays the full chain for BOTH arms — chunking,
+    embeddings, cosines, ranks, and the recall aggregation. A recall
+    floor is asserted in pytest (tests/test_search.py)."""
+    from mindocr_spark.functions.embed import embed_norm, text_embed_cols
+    from mindocr_spark.functions.search import dense_maxp_topk
+    from mindocr_spark.functions.similarity import cosine_topk
+
+    base, corpus = _maxp_quality_corpus(spark, sf_dir)
+    k = 5
+    maxp = dense_maxp_topk(corpus, base, k=k).select(
+        "query_id", "doc_id", F.lit("maxp").alias("method"))
+    emb = text_embed_cols(corpus).where(
+        embed_norm("embedding") > 0
+    ).withColumnRenamed("doc_id", "vec_id")
+    whole = cosine_topk(
+        emb, emb.where(F.col("vec_id") < 1_000_000), k=k
+    ).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"),
+        F.lit("whole_doc").alias("method"))
+    hits = maxp.unionByName(whole).where(
+        F.pmod(F.col("doc_id"), F.lit(1_000_000)) == F.col("query_id"))
+    grid = base.select(F.col("doc_id").alias("query_id")).crossJoin(
+        spark.createDataFrame(
+            [("maxp",), ("whole_doc",)], "method string"))
+    counts = hits.groupBy("query_id", "method").agg(
+        F.count(F.lit(1)).alias("n_caught"))
+    return (
+        grid.join(counts, ["query_id", "method"], "left")
+        .select(
+            "query_id", "method",
+            F.coalesce("n_caught", F.lit(0)).cast("bigint")
+            .alias("n_caught"),
+            F.round(
+                F.coalesce("n_caught", F.lit(0)).cast("double")
+                / F.lit(3.0), 6).alias("recall"),
+        )
+        .orderBy("query_id", "method")
+    )
+
+
 def q_triplet_mining(spark, sf_dir):
     """Contrastive triplet mining over the engine's OWN embeddings
     (text_embed over raw document text): per anchor, the best top-10
@@ -8485,6 +8573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution": _q(q_schema_evolution),
         "hidden_partition_prune": _q(q_hidden_partition_prune),
         "stats_prune": _q(q_stats_prune),
+        "maxp_quality": _q(q_maxp_quality),
         "quality_scores": _q(q_quality_scores),
         "gopher_gate": _q(q_gopher_gate),
         "lang_id": _q(q_lang_id),
@@ -9668,12 +9757,22 @@ def _embedding_neardup_oracle(threshold: float = 0.4, n_bits: int = 8,
     """
 
 
-def _dense_maxp_oracle(k: int = 5, cdc_k: int = 8,
-                       cdc_nibbles: int = 2) -> str:
-    """DuckDB twin of q_dense_maxp_topk: Horner chunk boundaries (the
-    cdc_chunks arithmetic), passage slices, the bit-identical embed
-    chain for passages (synthetic doc*1e6+idx keys) AND queries,
-    zero-norm exclusion, round-4 max-passage cosine, rank tie-break."""
+def _dense_maxp_rank_ctes(
+    k: int = 5, cdc_k: int = 8, cdc_nibbles: int = 2,
+    src_body: str = ("SELECT doc_id, text FROM documents "
+                     "WHERE text IS NOT NULL"),
+    queries_body: str = ("SELECT doc_id, text FROM documents "
+                         "WHERE doc_id < 3"),
+) -> str:
+    """CTE chain (no leading WITH) replaying the dense-MaxP retriever
+    over an arbitrary (doc_id, text) corpus/query pair, ending in
+    ``r(query_id, doc_id, max_sim, rank)``: Horner chunk boundaries
+    (the cdc_chunks arithmetic), passage slices, the bit-identical
+    embed chain for passages (synthetic doc*1e6+idx keys, valid at
+    oracle-tier id ranges) AND queries, zero-norm exclusion, round-4
+    max-passage cosine, rank tie-break. Shared by the contract oracle
+    and the maxp_quality recall oracle so the two replays can never
+    drift."""
     from mindocr_spark.functions.text import CDC_BASE, CDC_MOD
 
     h = "CAST(0 AS BIGINT)"
@@ -9684,10 +9783,9 @@ def _dense_maxp_oracle(k: int = 5, cdc_k: int = 8,
     cos = ("round(list_dot_product(q.v, p.v) "
            "/ (sqrt(list_dot_product(q.v, q.v)) "
            "* sqrt(list_dot_product(p.v, p.v))), 4)")
-    return f"""
-        WITH src AS (
+    return f"""src AS (
           SELECT doc_id, text, length(text) AS n
-          FROM documents WHERE text IS NOT NULL),
+          FROM ({src_body})),
         b AS (
           SELECT doc_id, text, n,
                  CASE WHEN n - {cdc_k - 1} >= 2 THEN list_filter(
@@ -9707,10 +9805,7 @@ def _dense_maxp_oracle(k: int = 5, cdc_k: int = 8,
                         CAST(u[2] - u[1] AS INT)) AS ctext
           FROM z),
         {_embed_vec_ctes("ctext", src="ch", prefix="p")},
-        {_embed_vec_ctes("text",
-                         src="(SELECT doc_id, text FROM documents "
-                             "WHERE doc_id < 3)",
-                         prefix="q")},
+        {_embed_vec_ctes("text", src=f"({queries_body})", prefix="q")},
         pv AS (SELECT vec_id // 1000000 AS doc_id, v FROM pembv
                WHERE list_dot_product(v, v) > 0),
         qv AS (SELECT vec_id AS query_id, v FROM qembv
@@ -9724,10 +9819,91 @@ def _dense_maxp_oracle(k: int = 5, cdc_k: int = 8,
                  CAST(row_number() OVER (PARTITION BY query_id
                       ORDER BY max_sim DESC, doc_id ASC) AS BIGINT)
                    AS rank
-          FROM cells)
+          FROM cells)"""
+
+
+def _dense_maxp_oracle(k: int = 5, cdc_k: int = 8,
+                       cdc_nibbles: int = 2) -> str:
+    """DuckDB twin of q_dense_maxp_topk (see _dense_maxp_rank_ctes)."""
+    return f"""
+        WITH {_dense_maxp_rank_ctes(k, cdc_k, cdc_nibbles)}
         SELECT CAST(query_id AS BIGINT) AS query_id,
                CAST(doc_id AS BIGINT) AS doc_id, max_sim, rank
         FROM r WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
+#: Planted graded-prefix fixture, shared by both maxp_quality arms:
+#: md5-sampled base docs >= 200 chars + 3 token-prefix variants per
+#: doc (fractions 3/6..5/6, floor 5 tokens), variant v of doc d keyed
+#: d + v*10^6 (the lsh_quality provenance-by-arithmetic device).
+_MAXP_QUALITY_CORPUS_CTES = """mqbase AS (
+          SELECT doc_id, text FROM documents
+          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+            AND length(text) >= 200),
+        mqtk AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(text,
+                   '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ') AS toks
+          FROM mqbase),
+        mqvar AS (
+          SELECT doc_id + v * 1000000 AS doc_id,
+                 array_to_string(
+                   toks[1:greatest(5, (len(toks) * (v + 2)) // 6)],
+                   ' ') AS text
+          FROM mqtk CROSS JOIN (VALUES (1), (2), (3)) AS vs(v)),
+        mqcorpus AS (
+          SELECT * FROM mqbase UNION ALL SELECT * FROM mqvar)"""
+
+
+def _maxp_quality_oracle(k: int = 5) -> str:
+    """DuckDB twin of q_maxp_quality: the planted corpus, the FULL
+    dense-MaxP rank replay over it, the whole-doc brute-force cosine
+    replay, and the recall@k aggregation against the arithmetic
+    relevance set."""
+    cos = ("round(list_dot_product(q.v, c.v) "
+           "/ (sqrt(list_dot_product(q.v, q.v)) "
+           "* sqrt(list_dot_product(c.v, c.v))), 4)")
+    return f"""
+        WITH {_MAXP_QUALITY_CORPUS_CTES},
+        {_dense_maxp_rank_ctes(
+            k,
+            src_body="SELECT doc_id, text FROM mqcorpus",
+            queries_body="SELECT doc_id, text FROM mqbase")},
+        {_embed_vec_ctes("text", src="mqcorpus", prefix="w")},
+        wv AS (SELECT vec_id, v FROM wembv
+               WHERE list_dot_product(v, v) > 0),
+        wq AS (SELECT vec_id AS query_id, v FROM wv
+               WHERE vec_id < 1000000),
+        wcells AS (
+          SELECT q.query_id, c.vec_id AS doc_id, {cos} AS cos_sim
+          FROM wq q JOIN wv c ON q.query_id != c.vec_id),
+        wr AS (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim DESC, doc_id ASC) AS rank
+          FROM wcells),
+        hits AS (
+          SELECT query_id, doc_id, 'maxp' AS method
+          FROM r WHERE rank <= {k} AND doc_id % 1000000 = query_id
+          UNION ALL
+          SELECT query_id, doc_id, 'whole_doc' AS method
+          FROM wr WHERE rank <= {k} AND doc_id % 1000000 = query_id),
+        grid AS (
+          SELECT doc_id AS query_id, method
+          FROM mqbase CROSS JOIN (VALUES ('maxp'), ('whole_doc'))
+            AS ms(method)),
+        counts AS (
+          SELECT query_id, method, COUNT(*) AS n_caught
+          FROM hits GROUP BY query_id, method)
+        SELECT CAST(g.query_id AS BIGINT) AS query_id,
+               g.method AS method,
+               CAST(coalesce(c.n_caught, 0) AS BIGINT) AS n_caught,
+               round(CAST(coalesce(c.n_caught, 0) AS DOUBLE) / 3.0, 6)
+                 AS recall
+        FROM grid g LEFT JOIN counts c
+          ON g.query_id = c.query_id AND g.method = c.method
+        ORDER BY 1, 2
     """
 
 
@@ -16290,6 +16466,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY d.lang, e.label ORDER BY lang, label
         """,
         "dense_maxp_topk": _dense_maxp_oracle(),
+        "maxp_quality": _maxp_quality_oracle(),
         "simhash_md5": _simhash_md5_oracle(),
         "simhash_neardup": _simhash_pairs_oracle(max_hamming=8),
         "ann_lsh_topk": _lsh_ann_oracle(),

@@ -311,6 +311,7 @@ def main() -> None:
         "stream_text_embed",    # embedder on the streaming path
         # round-5 additions (appended for the same reason)
         "stats_prune",          # per-file min/max data skipping
+        "maxp_quality",         # planted-relevance recall@5 audit
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

@@ -884,3 +884,29 @@ class TestDenseMaxP:
         )._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan or \
             "BroadcastNestedLoopJoin" in plan
+
+
+class TestMaxPQuality:
+    """Retrieval-quality floor for the in-engine embedder: on the
+    planted graded-prefix fixture, a query's three prefix variants
+    must crowd the top-5 for BOTH the passage-max and whole-doc
+    arms. Bit-exactness is the oracle's job; this guards RANKING
+    quality (a broken embedder could stay bit-exact while scoring
+    noise)."""
+
+    def test_recall_floor(self, spark):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __spark_entry__ as E
+
+        rows = E.queries()["maxp_quality"](
+            spark, "/root/testdata/sf0.001").collect()
+        by_method: dict = {}
+        for r in rows:
+            by_method.setdefault(r["method"], []).append(r["recall"])
+        assert set(by_method) == {"maxp", "whole_doc"}
+        for method, floor in (("maxp", 0.8), ("whole_doc", 0.9)):
+            vals = by_method[method]
+            mean = sum(vals) / len(vals)
+            assert mean >= floor, (method, mean)

@@ -43,11 +43,18 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-ROWS = int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", "48000"))
-#: fixed file layout: same micro-batch boundaries at every level
-N_FILES = int(os.environ.get("SPARK_GRAFT_STREAM_FILES", "32"))
+ROWS = int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", "192000"))
+#: Fixed file layout: same micro-batch boundaries at every level.
+#: SIZING RULE (measured, see BENCH.md round 5): a micro-batch's task
+#: parallelism is its FILE count — maxFilesPerTrigger=8 capped every
+#: batch at 8 tasks and the 16-core run idled half the machine
+#: (efficiency 0.48, plan-independent). Files per trigger must be
+#: >= the largest core count under test; the production analog is
+#: sizing maxFilesPerTrigger (or file splittability) to cluster
+#: cores, exactly like spark.sql.files.maxPartitionBytes for batch.
+N_FILES = int(os.environ.get("SPARK_GRAFT_STREAM_FILES", "128"))
 MAX_FILES_PER_TRIGGER = int(
-    os.environ.get("SPARK_GRAFT_STREAM_MFPT", "8"))
+    os.environ.get("SPARK_GRAFT_STREAM_MFPT", "32"))
 #: N and 4N cores — same regime note as scaling_bench (host memory
 #: wall above ~16 vCPUs, see BENCH.md)
 LEVELS = tuple(int(x) for x in os.environ.get(
