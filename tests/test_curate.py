@@ -814,7 +814,11 @@ def test_curate_semantic_zero_norm_doc_survives_ansi(spark, monkeypatch):
     pages = spark.createDataFrame(
         [(u,) for u in texts], "url string")
 
-    prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    # conf.get(key) RESOLVES the conf's built-in default; get(key,
+    # fallback) returns the fallback whenever the key was never
+    # explicitly set — restoring from the latter silently flips a
+    # default-true session to false for every later test
+    prev = spark.conf.get("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try:
         cfg = CurateConfig(min_chars=50, neardup_threshold=2.0,
