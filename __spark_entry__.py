@@ -3129,6 +3129,45 @@ def q_stats_prune(spark, sf_dir):
     return out.orderBy("doc_id")
 
 
+def q_stats_prune_range(spark, sf_dir):
+    """RANGE-predicate data skipping over the same committed snapshot
+    as `stats_prune`: one `ranges={"doc_id": (10, 24)}` read — the
+    file-stats planner keeps only files whose [min, max] doc_id range
+    OVERLAPS the probe interval (the warc_ts time-slice read shape of
+    the north rule, on a stats-eligible column), then the exact
+    BETWEEN residual applies. The oracle states the interval straight
+    from documents: skipping must change the SCAN, never the rows;
+    files-read asserted smaller in pytest."""
+    from mindocr_spark.operators import pipeline as pipeline_mod
+    from mindocr_spark.operators.pipeline import (
+        read_published_pruned,
+        write_results_wap,
+    )
+    from mindocr_spark.sources import content_keyed_fixture_dir
+    from mindocr_spark.sources import pages as pages_mod
+
+    def build(out_dir: str) -> None:
+        table, metrics = f"{out_dir}/table", f"{out_dir}/metrics"
+        res = _extract(spark, sf_dir).select(
+            "doc_id", "url", "extracted_text", "total_bytes",
+            "boilerplate_ratio", "failed", "n_blocks",
+        ).repartitionByRange(6, "doc_id")
+        if not write_results_wap(res, table, metrics, run_id="fs1"):
+            raise RuntimeError("WAP publish fs1 failed")
+
+    root = content_keyed_fixture_dir(
+        "mindocr_stats_prune", sf_dir,
+        (__file__, pages_mod.__file__, pipeline_mod.__file__),
+        build,
+    )
+    return (
+        read_published_pruned(spark, f"{root}/table",
+                              ranges={"doc_id": (10, 24)})
+        .select("doc_id", "url", "extracted_text")
+        .orderBy("doc_id")
+    )
+
+
 def q_cluster_mix(spark, sf_dir):
     """Cluster-balanced mixture allocation (D4-style topic
     rebalancing): k-means-cluster the embeddings with the shared IVF
@@ -8573,6 +8612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution": _q(q_schema_evolution),
         "hidden_partition_prune": _q(q_hidden_partition_prune),
         "stats_prune": _q(q_stats_prune),
+        "stats_prune_range": _q(q_stats_prune_range),
         "maxp_quality": _q(q_maxp_quality),
         "quality_scores": _q(q_quality_scores),
         "gopher_gate": _q(q_gopher_gate),
@@ -16483,6 +16523,14 @@ def oracle_sql() -> dict[str, str]:
                      || CAST(doc_id AS VARCHAR) AS url,
                    '{_A}' || chr(10) || text AS extracted_text
             FROM documents WHERE doc_id < 5 ORDER BY doc_id
+        """,
+        "stats_prune_range": f"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   'https://docs.example/' || source || '/'
+                     || CAST(doc_id AS VARCHAR) AS url,
+                   '{_A}' || chr(10) || text AS extracted_text
+            FROM documents WHERE doc_id BETWEEN 10 AND 24
+            ORDER BY doc_id
         """,
         "schema_evolution": f"""
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -312,6 +312,7 @@ def main() -> None:
         # round-5 additions (appended for the same reason)
         "stats_prune",          # per-file min/max data skipping
         "maxp_quality",         # planted-relevance recall@5 audit
+        "stats_prune_range",    # interval data skipping (overlap test)
     ]
     # Headline queries run ONCE each by default (override with
     # SPARK_GRAFT_BENCH_QUERY_REPEATS): at 125+ queries the best-of-2

@@ -318,11 +318,13 @@ def _collect_file_stats(spark: "SparkSession", data_dir: str) -> dict:
     return out
 
 
-def _stats_keep_file(cols_stats: dict, probes: dict) -> bool:
-    """Can a file with these [min,max] ranges contain EVERY probe
-    value? Missing column stats keep the file (skipping must never
-    drop a row it cannot prove absent); a type-mismatched probe keeps
-    the file for the same reason."""
+def _stats_keep_file(cols_stats: dict, probes: dict,
+                     range_probes: dict | None = None) -> bool:
+    """Can a file with these [min,max] ranges contain EVERY equality
+    probe value AND overlap every range probe? Missing column stats
+    keep the file (skipping must never drop a row it cannot prove
+    absent); a type-mismatched probe keeps the file for the same
+    reason."""
     for c, v in probes.items():
         rng = cols_stats.get(c)
         if rng is None:
@@ -332,6 +334,20 @@ def _stats_keep_file(cols_stats: dict, probes: dict) -> bool:
             return False
         try:
             if not (lo <= v <= hi):
+                return False
+        except TypeError:
+            continue
+    for c, (plo, phi) in (range_probes or {}).items():
+        rng = cols_stats.get(c)
+        if rng is None:
+            continue
+        lo, hi = rng
+        if lo is None:  # all-NULL column: disjoint from any interval
+            return False
+        try:
+            if plo is not None and hi < plo:
+                return False
+            if phi is not None and lo > phi:
                 return False
         except TypeError:
             continue
@@ -451,20 +467,37 @@ def _transform_expr(sp: dict, src) -> "F.Column":
 
 
 def read_published_pruned(spark: "SparkSession", path: str,
-                          prune: dict, seq: int | None = None
+                          prune: dict | None = None,
+                          seq: int | None = None,
+                          ranges: dict | None = None,
                           ) -> DataFrame:
-    """Equality read with HIDDEN-PARTITION pruning: for each
-    (source_col: value), apply the recorded transform to the literal
-    (Catalyst constant-folds it) and filter the PHYSICAL partition
-    column — the scan prunes to the matching partition dirs — then
-    apply the exact source predicate after the schema projection.
-    Source columns without a spec entry still benefit from per-file
-    MIN/MAX DATA SKIPPING (the manifest's `file_stats`, recorded at
-    commit) and then get the exact filter. This is the Iceberg read
-    semantic: callers predicate on DATA columns and never need to
-    know the partition layout — the reader composes partition-
-    transform pruning, file-stats skipping, and the exact residual
-    filter, in that order."""
+    """Predicated read with HIDDEN-PARTITION pruning and per-file
+    data skipping. ``prune`` maps DATA columns to EQUALITY values;
+    ``ranges`` maps DATA columns to inclusive ``(lo, hi)`` bounds
+    (either bound None = open) — the warc_ts time-slice read of the
+    north rule. For each probe the reader composes, in order:
+
+    1. partition-transform pruning — equality probes filter the
+       PHYSICAL partition column through the recorded transform
+       (Catalyst constant-folds the literal); range probes do the
+       same for MONOTONE transforms (identity, truncate, time
+       grains: lo <= x <= hi implies T(lo) <= T(x) <= T(hi)) and
+       correctly skip the non-monotone bucket() transform;
+    2. per-file MIN/MAX data skipping (the manifest's `file_stats`,
+       recorded at commit): equality probes drop files whose range
+       excludes the value, range probes drop files whose range does
+       not OVERLAP the bounds;
+    3. the exact residual predicate after the schema projection.
+
+    Unknown probe keys raise (a silent superset is never returned).
+    This is the Iceberg read semantic: callers predicate on DATA
+    columns and never need to know the partition layout."""
+    prune = dict(prune or {})
+    ranges = dict(ranges or {})
+    overlap = set(prune) & set(ranges)
+    if overlap:
+        raise ValueError(
+            f"columns in both prune and ranges: {sorted(overlap)}")
     manifests = _load_manifests(_FS(spark, path), path)
     if not manifests:
         raise FileNotFoundError(f"no committed WAP snapshot under {path}")
@@ -500,17 +533,18 @@ def read_published_pruned(spark: "SparkSession", path: str,
     data_root = f"{path}/{_DATA_DIR}/{snap['data_dir']}"
     # DATA SKIPPING (Iceberg min/max file stats): before any scan,
     # drop every data file whose recorded [min, max] range proves the
-    # probe value absent. Probes resolve to snapshot-time column names
-    # (the stats were recorded under them). File selection is
-    # driver-side over the manifest's stats map — the same
-    # metadata-grain work Iceberg's planner does; the scan then reads
-    # ONLY the surviving files (basePath keeps Hive partition columns
-    # resolvable).
+    # probe absent (equality) or disjoint (range). Probes resolve to
+    # snapshot-time column names (the stats were recorded under
+    # them). File selection is driver-side over the manifest's stats
+    # map — the same metadata-grain work Iceberg's planner does; the
+    # scan then reads ONLY the surviving files (basePath keeps Hive
+    # partition columns resolvable).
     stats = snap.get("file_stats") or {}
     probes = {snap_of_cur.get(c, c): v for c, v in prune.items()}
+    range_probes = {snap_of_cur.get(c, c): b for c, b in ranges.items()}
     if stats:
         keep = [rel for rel, cols in stats.items()
-                if _stats_keep_file(cols, probes)]
+                if _stats_keep_file(cols, probes, range_probes)]
         if len(keep) == len(stats):
             df = spark.read.parquet(data_root)
         elif keep:
@@ -528,28 +562,50 @@ def read_published_pruned(spark: "SparkSession", path: str,
         if sp is not None:
             df = df.where(
                 F.col(sp["field"]) == _transform_expr(sp, F.lit(val)))
+    for col, (lo, hi) in ranges.items():
+        sp = by_col.get(snap_of_cur.get(col, col)) or by_col.get(col)
+        resolved[col] = sp
+        # a monotone transform maps a source interval into a field
+        # interval; bucket() is the one NON-monotone transform — a
+        # range maps to (almost) all buckets, so no partition filter
+        if sp is not None and sp["kind"] != "bucket":
+            fld = F.col(sp["field"])
+            if lo is not None:
+                df = df.where(fld >= _transform_expr(sp, F.lit(lo)))
+            if hi is not None:
+                df = df.where(fld <= _transform_expr(sp, F.lit(hi)))
     if cur_fields and snap_fields:
         df = _project_to_schema(df, snap_fields, cur_fields)
-    for col, val in prune.items():
+    residuals = [(col, "eq", val) for col, val in prune.items()]
+    residuals += [(col, "range", b) for col, b in ranges.items()]
+    for col, kind, val in residuals:
         cur_name = col if col in df.columns else cur_of_snap.get(col)
         sp = resolved[col]
         if cur_name is not None and cur_name in df.columns:
-            df = df.where(F.col(cur_name) == F.lit(val))
+            c = F.col(cur_name)
+            if kind == "eq":
+                df = df.where(c == F.lit(val))
+            else:
+                lo, hi = val
+                if lo is not None:
+                    df = df.where(c >= F.lit(lo))
+                if hi is not None:
+                    df = df.where(c <= F.lit(hi))
         elif sp is None:
             # neither a spec source nor a projected column: a typo'd
             # or dropped key. Silently skipping would return the whole
             # table (a superset with no error) — fail loudly instead.
             raise KeyError(
-                f"prune key {col!r} matches no partition-spec source "
+                f"probe key {col!r} matches no partition-spec source "
                 f"and no projected column of {path} (snapshot "
                 f"seq={snap['seq']})")
         elif sp["kind"] != "identity":
-            # bucket/truncate/time pruning matched, but the exact
-            # source column is gone from the projection: the partition
-            # filter alone yields a BUCKET superset. Refuse rather
-            # than silently over-return.
+            # transform pruning matched, but the exact source column
+            # is gone from the projection: the partition filter alone
+            # yields a superset. Refuse rather than silently
+            # over-return.
             raise KeyError(
-                f"prune key {col!r} resolves to {sp['kind']}() "
+                f"probe key {col!r} resolves to {sp['kind']}() "
                 f"partition transform but its source column is not in "
                 f"the projected schema of {path} — exact row filter "
                 f"impossible")

@@ -906,3 +906,108 @@ class TestFileStatsSkipping:
         assert len(rows) == 1 and rows[0]["url"] == some
         plan = pruned._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters: [isnotnull(url_bucket" in plan
+
+
+class TestRangeSkipping:
+    """ranges= predicates: file-stats OVERLAP skipping, monotone
+    partition-transform pruning, bucket() correctly not range-pruned,
+    and strict unknown-key behavior."""
+
+    def test_range_reads_fewer_files_rows_exact(self, spark, tmp_path):
+        from mindocr_spark.corpus import pages_dataframe
+        from mindocr_spark.operators.pipeline import (
+            read_published,
+            read_published_pruned,
+            run_extraction,
+            write_results_wap,
+        )
+
+        out, metrics = str(tmp_path / "t"), str(tmp_path / "m")
+        res = run_extraction(pages_dataframe(spark, 60, seed=19))
+        res = res.withColumn(
+            "n_chars", F.length("extracted_text").cast("bigint")
+        ).repartitionByRange(6, "n_chars", "url")
+        assert write_results_wap(res, out, metrics, run_id="r1")
+        full = read_published(spark, out)
+        vals = sorted(r["n_chars"] for r in
+                      full.select("n_chars").collect())
+        lo, hi = vals[5], vals[15]
+        pruned = read_published_pruned(
+            spark, out, ranges={"n_chars": (lo, hi)})
+        assert len(pruned.inputFiles()) < len(full.inputFiles())
+        exp = {r["url"] for r in full.collect()
+               if lo <= r["n_chars"] <= hi}
+        assert {r["url"] for r in pruned.collect()} == exp
+        # open bounds
+        left = read_published_pruned(
+            spark, out, ranges={"n_chars": (None, lo)})
+        assert {r["url"] for r in left.collect()} == {
+            r["url"] for r in full.collect() if r["n_chars"] <= lo}
+
+    def test_days_transform_range_prunes_partitions(self, spark,
+                                                    tmp_path):
+        from mindocr_spark.corpus import pages_dataframe
+        from mindocr_spark.operators.pipeline import (
+            read_published,
+            read_published_pruned,
+            run_extraction,
+            write_results_wap,
+        )
+
+        out, metrics = str(tmp_path / "t"), str(tmp_path / "m")
+        res = run_extraction(pages_dataframe(spark, 40, seed=23))
+        assert write_results_wap(res, out, metrics, run_id="d1",
+                                 partition_by=("days(warc_ts)",))
+        full = read_published(spark, out)
+        ts = sorted(r["warc_ts"] for r in
+                    full.select("warc_ts").collect())
+        lo, hi = ts[5], ts[20]
+        pruned = read_published_pruned(
+            spark, out, ranges={"warc_ts": (lo, hi)})
+        got = {(r["url"], r["warc_ts"]) for r in pruned.collect()}
+        assert got == {(r["url"], r["warc_ts"]) for r in full.collect()
+                       if lo <= r["warc_ts"] <= hi}
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(warc_ts_day" in plan
+
+    def test_bucket_not_range_pruned_but_rows_exact(self, spark,
+                                                    tmp_path):
+        from mindocr_spark.corpus import pages_dataframe
+        from mindocr_spark.operators.pipeline import (
+            read_published,
+            read_published_pruned,
+            run_extraction,
+            write_results_wap,
+        )
+
+        out, metrics = str(tmp_path / "t"), str(tmp_path / "m")
+        res = run_extraction(pages_dataframe(spark, 30, seed=29))
+        assert write_results_wap(res, out, metrics, run_id="b1",
+                                 partition_by=("bucket(4, url)",))
+        full = read_published(spark, out)
+        urls = sorted(r["url"] for r in full.select("url").collect())
+        lo, hi = urls[5], urls[20]
+        pruned = read_published_pruned(
+            spark, out, ranges={"url": (lo, hi)})
+        assert {r["url"] for r in pruned.collect()} == {
+            u for u in urls if lo <= u <= hi}
+
+    def test_conflicting_and_unknown_keys_raise(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from mindocr_spark.corpus import pages_dataframe
+        from mindocr_spark.operators.pipeline import (
+            read_published_pruned,
+            run_extraction,
+            write_results_wap,
+        )
+
+        out, metrics = str(tmp_path / "t"), str(tmp_path / "m")
+        res = run_extraction(pages_dataframe(spark, 20, seed=31))
+        assert write_results_wap(res, out, metrics, run_id="c1")
+        with _pytest.raises(ValueError, match="both prune and ranges"):
+            read_published_pruned(spark, out, {"url": "x"},
+                                  ranges={"url": ("a", "b")})
+        with _pytest.raises(KeyError, match="no partition-spec source"):
+            read_published_pruned(spark, out,
+                                  ranges={"nope": (1, 2)})
