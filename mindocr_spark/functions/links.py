@@ -1462,10 +1462,11 @@ def community_modularity(edges: DataFrame, iters: int = 3) -> DataFrame:
     the supersteps AND the degree count; labels are persisted once and
     feed the community rollup AND both endpoint joins of the intra
     count (vertex-key shuffles, uniform); everything after that runs
-    at COMMUNITY cardinality; m = Σ degree_sum / 2 comes from a
-    broadcast one-row aggregate over the tracked_persist-ed community
-    rollup (community count is unbounded — an unpartitioned window
-    there would funnel every community through one task). At
+    at COMMUNITY cardinality; m = |sym|/2 (≡ Σ degree_sum / 2, every
+    symmetric edge row contributes one endpoint degree) comes from a
+    broadcast one-row count of the PERSISTED edge relation — no
+    second pass over the intra-join subtree and no unpartitioned
+    window over the unbounded community relation. At
     10^12 edges lift the q_contrib integers to DECIMAL(38,0); the
     plan is unchanged.
 
@@ -1498,7 +1499,7 @@ def community_modularity(edges: DataFrame, iters: int = 3) -> DataFrame:
         .groupBy(F.col("la").alias("lbl"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("intra_edges"))
     )
-    comm = tracked_persist(
+    comm = (
         per_comm.join(intra, "lbl", "left")
         .select(
             "lbl",
@@ -1508,8 +1509,13 @@ def community_modularity(edges: DataFrame, iters: int = 3) -> DataFrame:
             .alias("intra_edges"),
         )
     )
-    m_row = comm.agg(
-        F.expr("sum(degree_sum) div 2").cast("bigint").alias("m"))
+    # m = Σ_v d(v) / 2 = |sym| / 2 EXACTLY (every symmetric edge row
+    # contributes one endpoint degree) — so the global total reads the
+    # PERSISTED edge relation directly: one tiny broadcast aggregate,
+    # no second pass over the expensive intra-join subtree and no
+    # single-task window over the unbounded community relation
+    m_row = sym.agg(
+        F.expr("count(1) div 2").cast("bigint").alias("m"))
     comm = comm.crossJoin(F.broadcast(m_row))
     num = (
         F.lit(4) * F.col("m") * F.col("intra_edges")

@@ -545,13 +545,21 @@ def read_published_pruned(spark: "SparkSession", path: str,
     if stats:
         keep = [rel for rel, cols in stats.items()
                 if _stats_keep_file(cols, probes, range_probes)]
-        if len(keep) == len(stats):
-            df = spark.read.parquet(data_root)
-        elif keep:
+        # Engage the explicit file list only when it prunes a
+        # MEANINGFUL fraction: an N-path InMemoryFileIndex costs a
+        # per-path driver round where the directory scan is one
+        # listing, so "keep 250 of 256" is slower than not skipping
+        # at all (measured: +0.2 s per probe at 256 files). When the
+        # probe column doesn't correlate with file layout the stats
+        # legitimately keep ~everything — fall back to the dir scan
+        # and let partition pruning + the residual filter do the work.
+        if not keep:
+            df = spark.read.parquet(data_root).limit(0)
+        elif len(keep) <= 0.75 * len(stats):
             df = spark.read.option("basePath", data_root).parquet(
                 *[f"{data_root}/{rel}" for rel in keep])
         else:
-            df = spark.read.parquet(data_root).limit(0)
+            df = spark.read.parquet(data_root)
     else:
         df = spark.read.parquet(data_root)
     resolved: dict[str, dict | None] = {}
