@@ -7918,6 +7918,12 @@ def _maxp_quality_corpus(spark, sf_dir):
                 F.md5(F.col("doc_id").cast("string").cast("binary")),
                 1, 1) == "0")
             & (F.length("text") >= 200)
+            # the provenance arithmetic (variant = d + v*10^6) is
+            # valid ONLY for d < 10^6 — enforce the domain in the
+            # sample itself (both sides state the same filter), so a
+            # larger tier audits a bounded sample instead of silently
+            # colliding variant ids (the dense_maxp packing lesson)
+            & (F.col("doc_id") >= 0) & (F.col("doc_id") < 1_000_000)
         )
         .select("doc_id", "text")
     )
@@ -8028,6 +8034,24 @@ def q_bucketed_join(spark, sf_dir):
     # silently WRONG join results, not a clean failure.
     tag = hashlib.md5(
         f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:10]
+    # pid-unique names accumulate across processes: sweep STALE
+    # leftovers (mtime > 1 h, never this process's own tag) so
+    # repeated bench/driver/pytest runs don't grow /tmp and the
+    # warehouse without bound. Best-effort — a live concurrent
+    # session's directory is younger than the threshold.
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+
+    cutoff = _time.time() - 3600
+    for d in _glob.glob("/tmp/mindocr_bucketed_*"):
+        if d.endswith(tag):
+            continue
+        try:
+            if os.path.getmtime(d) < cutoff:
+                _shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            continue
     docs_tbl = f"mindocr_docs_bucketed_{tag}"
     emb_tbl = f"mindocr_emb_bucketed_{tag}"
     root = f"/tmp/mindocr_bucketed_{tag}"
@@ -8547,19 +8571,32 @@ def _driver_gate_order(
         key=lambda n: hashlib.md5(n.encode()).hexdigest(),
     )
     rotated_target = 40
-    head: list[str] = []
+    rotated: list[str] = []
     if pool:
         start = (rotated_target * (rnd - 5)) % len(pool)
         take = min(rotated_target, len(pool))
-        head = [pool[(start + i) % len(pool)] for i in range(take)]
+        rotated = [pool[(start + i) % len(pool)] for i in range(take)]
+    # Family anchors must FIT inside the window: if the rotated slice
+    # under-covers so many families that anchors would overflow slot
+    # 50 (where they would be silently truncated, voiding the
+    # every-family guarantee), shrink the rotated slice and recompute
+    # — each pass drops one rotated entry, so the loop terminates
+    # with anchors intact and >= 50 - |families| rotated entries.
+    while True:
+        covered = set(rotated)
+        anchors: list[str] = []
+        for fam, members in sorted(_FAMILIES.items()):
+            if covered & members:
+                continue
+            cands = sorted(members & checked & set(reg))
+            if cands:
+                anchors.append(cands[0])
+                covered.add(cands[0])
+        if len(rotated) + len(anchors) <= _GATE_WINDOW or not rotated:
+            break
+        rotated.pop()
+    head = rotated + anchors
     covered = set(head)
-    for fam, members in sorted(_FAMILIES.items()):
-        if covered & members:
-            continue
-        anchors = sorted(members & checked & set(reg))
-        if anchors:
-            head.append(anchors[0])
-            covered.add(anchors[0])
     fill = [n for n in pool if n not in covered]
     for n in fill:
         if len(head) >= _GATE_WINDOW:
@@ -9880,7 +9917,8 @@ def _dense_maxp_oracle(k: int = 5, cdc_k: int = 8,
 _MAXP_QUALITY_CORPUS_CTES = """mqbase AS (
           SELECT doc_id, text FROM documents
           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
-            AND length(text) >= 200),
+            AND length(text) >= 200
+            AND doc_id >= 0 AND doc_id < 1000000),
         mqtk AS (
           SELECT doc_id,
                  string_split(trim(regexp_replace(text,

@@ -657,10 +657,15 @@ def heaps_fit(
         tokens_col(text_col).alias("_t"),
     ))
     per_doc = toks.select("__ckpt_b", F.explode("_t").alias("token"), "_id")
+    # min_by: the checkpoint bucket of the token's FIRST doc. The
+    # bucket is a pure function of _id, so ties on the minimal _id all
+    # carry the same bucket — deterministic. Grouping on the plain
+    # column (not a struct field) also keeps the bucket attribute
+    # visible to the plan sweep's bounded-grain allowlist.
     firsts = per_doc.groupBy("token").agg(
-        F.min(F.struct("_id", "__ckpt_b")).alias("f")
+        F.min_by("__ckpt_b", "_id").alias("__ckpt_b")
     )
-    new_b = firsts.groupBy(F.col("f.__ckpt_b").alias("__ckpt_b")).agg(
+    new_b = firsts.groupBy("__ckpt_b").agg(
         F.count(F.lit(1)).alias("new_types")
     )
     tok_b = toks.groupBy("__ckpt_b").agg(F.sum(F.size("_t")).alias("nt"))

@@ -494,6 +494,15 @@ def read_published_pruned(spark: "SparkSession", path: str,
     columns and never need to know the partition layout."""
     prune = dict(prune or {})
     ranges = dict(ranges or {})
+    for c, b in ranges.items():
+        if not (isinstance(b, (tuple, list)) and len(b) == 2):
+            raise ValueError(
+                f"ranges[{c!r}] must be a (lo, hi) pair, got {b!r}")
+    # a fully-open (None, None) range constrains nothing — drop it
+    # BEFORE stats skipping (an all-NULL file is skippable only when
+    # some residual bound also excludes its NULL rows)
+    ranges = {c: tuple(b) for c, b in ranges.items()
+              if not (b[0] is None and b[1] is None)}
     overlap = set(prune) & set(ranges)
     if overlap:
         raise ValueError(
@@ -570,13 +579,28 @@ def read_published_pruned(spark: "SparkSession", path: str,
         if sp is not None:
             df = df.where(
                 F.col(sp["field"]) == _transform_expr(sp, F.lit(val)))
+    snap_types = {f["name"]: f["type"] for f in (snap_fields or [])}
     for col, (lo, hi) in ranges.items():
         sp = by_col.get(snap_of_cur.get(col, col)) or by_col.get(col)
         resolved[col] = sp
-        # a monotone transform maps a source interval into a field
-        # interval; bucket() is the one NON-monotone transform — a
-        # range maps to (almost) all buckets, so no partition filter
-        if sp is not None and sp["kind"] != "bucket":
+        # Only a MONOTONE transform maps a source interval into a
+        # field interval: identity and the calendar grains always
+        # are; truncate() is implemented as substring, which is
+        # monotone for STRING sources but compares '10' < '9' for a
+        # stringified numeric — so truncate prunes only when the
+        # snapshot schema says the source is a string. bucket()
+        # (hashing) never range-prunes. Skipped transforms still get
+        # stats skipping + the exact residual — correct, just less
+        # pruned.
+        if sp is None:
+            continue
+        kind = sp["kind"]
+        monotone = (
+            kind in ("identity", "days", "months", "hours", "years")
+            or (kind == "truncate"
+                and snap_types.get(sp["col"]) == "string")
+        )
+        if monotone:
             fld = F.col(sp["field"])
             if lo is not None:
                 df = df.where(fld >= _transform_expr(sp, F.lit(lo)))

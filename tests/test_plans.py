@@ -286,14 +286,23 @@ def test_no_single_partition_window_over_unbounded_relation(spark):
     an unbounded relation — Spark executes those by moving every row
     to ONE task (`WindowExec: No Partition Defined`), the silent
     scale-killer this suite exists to keep out. An empty-partitionSpec
-    Window is allowed only when its subtree PROVABLY bounds the input:
+    Window is allowed only when its INPUT provably has bounded row
+    count, decided by a RECURSIVE cardinality rule — NOT an
+    any-descendant scan: the broadcast one-row aggregates hanging off
+    nearly every frame via crossJoin must not whitelist the big side.
 
-    - a GlobalLimit (top-k was taken first — the lm.py/zipf pattern);
-    - an Aggregate with EMPTY grouping (one-row global aggregate);
-    - an Aggregate grouping ONLY on audited bounded-domain keys:
-      `__rg_pid` (range-partition id, ≤ spark.sql.shuffle.partitions —
-      the ranked_global offsets frame), `__ckpt_b` (heaps_fit id-range
-      checkpoint bucket, ≤ n_checkpoints).
+    - GlobalLimit / LocalLimit / LocalRelation / OneRowRelation →
+      bounded (the lm.py/zipf top-k-first pattern);
+    - Aggregate → bounded if grouping is EMPTY (one row) or only on
+      audited bounded-domain keys (`__rg_pid` ≤ shuffle partitions —
+      the ranked_global offsets frame; `__ckpt_b` ≤ n_checkpoints —
+      heaps_fit), else bounded iff its child is (|out| ≤ |in|);
+    - Join → bounded only if ALL inputs are (a broadcast one-row side
+      does NOT bound the other side);
+    - Generate (explode) → unbounded (data-dependent fan-out);
+    - leaves (scans, LogicalRDD, streaming sources) → unbounded;
+    - anything else → bounded iff ALL children are (unary operators
+      never grow row count; Union needs every branch bounded).
 
     Exact global ranks/prefix sums over unbounded relations must go
     through `mindocr_spark.functions.ranking.ranked_global`."""
@@ -309,26 +318,30 @@ def test_no_single_partition_window_over_unbounded_relation(spark):
         for i in range(ch.size()):
             yield from walk(ch.apply(i))
 
-    def subtree_bounded(win) -> bool:
-        for sub in walk(win):
-            if sub is win:
-                continue
-            name = sub.getClass().getSimpleName()
-            if name == "GlobalLimit":
+    def bounded(node) -> bool:
+        name = node.getClass().getSimpleName()
+        if name in ("GlobalLimit", "LocalLimit", "LocalRelation",
+                    "OneRowRelation"):
+            return True
+        if name == "Generate":
+            return False
+        ch = node.children()
+        if name == "Aggregate":
+            ge = node.groupingExpressions()
+            if ge.size() == 0:
                 return True
-            if name == "Aggregate":
-                ge = sub.groupingExpressions()
-                if ge.size() == 0:
-                    return True
-                names = set()
-                for j in range(ge.size()):
-                    m = _re.match(
-                        r"^'?([A-Za-z_][A-Za-z0-9_]*)#\d+",
-                        ge.apply(j).toString())
-                    names.add(m.group(1) if m else "?")
-                if names <= BOUNDED_GROUPING:
-                    return True
-        return False
+            names = set()
+            for j in range(ge.size()):
+                m = _re.match(
+                    r"^'?([A-Za-z_][A-Za-z0-9_]*)#\d+",
+                    ge.apply(j).toString())
+                names.add(m.group(1) if m else "?")
+            if names <= BOUNDED_GROUPING:
+                return True
+            return ch.size() > 0 and bounded(ch.apply(0))
+        if ch.size() == 0:
+            return False  # scans, LogicalRDD, streaming sources
+        return all(bounded(ch.apply(i)) for i in range(ch.size()))
 
     sf_dir = "/root/testdata/sf0.001"
     offenders = {}
@@ -337,7 +350,7 @@ def test_no_single_partition_window_over_unbounded_relation(spark):
         for node in walk(plan):
             if (node.getClass().getSimpleName() == "Window"
                     and node.partitionSpec().size() == 0
-                    and not subtree_bounded(node)):
+                    and not bounded(node.children().apply(0))):
                 offenders.setdefault(name, 0)
                 offenders[name] += 1
     assert not offenders, (

@@ -59,6 +59,10 @@ MAX_FILES_PER_TRIGGER = int(
 #: wall above ~16 vCPUs, see BENCH.md)
 LEVELS = tuple(int(x) for x in os.environ.get(
     "SPARK_GRAFT_STREAM_LEVELS", "4,16").split(","))
+if len(LEVELS) != 2:
+    raise SystemExit(
+        f"SPARK_GRAFT_STREAM_LEVELS must name exactly two core counts "
+        f"(N,4N), got {LEVELS!r} — failing BEFORE any measurement runs")
 ROUNDS = int(os.environ.get("SPARK_GRAFT_STREAM_ROUNDS", "2"))
 
 
