@@ -2739,6 +2739,10 @@ def q_unigram_drift(spark, sf_dir):
     return (
         unigram_drift(docs, new, group_col="lang")
         .withColumnRenamed("grp", "lang")
+        # round 6 (+0.0): absorb one-engine-ulp drift of the 9-dp log
+        # quantization boundary (the selection_bias sf0.001 lesson)
+        .withColumn("kl_drift",
+                    F.round(F.col("kl_drift"), 6) + F.lit(0.0))
         .orderBy("lang")
     )
 
@@ -7835,7 +7839,13 @@ def q_selection_bias(spark, sf_dir):
             F.col("n_tokens_old").alias("n_tokens_all"),
             F.col("n_tokens_new").alias("n_tokens_kept"),
             "vocab_size",
-            F.col("kl_drift").alias("kl_shift"),
+            # round 6 (+0.0 signed-zero rule): the per-term 9-dp log
+            # quantization can straddle a rounding boundary by one
+            # engine ulp (ln differs in the last ulp between libm and
+            # the JVM), leaving ~1e-12 sum drift — seen once at
+            # sf0.001; the 6-dp checked surface absorbs it
+            (F.round(F.col("kl_drift"), 6) + F.lit(0.0))
+            .alias("kl_shift"),
         )
         .orderBy("lang")
     )
@@ -12909,7 +12919,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(any_value(n_old) AS BIGINT) AS n_tokens_old,
                    CAST(any_value(n_new) AS BIGINT) AS n_tokens_new,
                    CAST(any_value(v) AS BIGINT) AS vocab_size,
-                   CAST(sum(term) AS DOUBLE) AS kl_drift
+                   round(CAST(sum(term) AS DOUBLE), 6) + 0.0
+                     AS kl_drift
             FROM terms GROUP BY grp ORDER BY lang
         """,
         "rec_metrics_pairs": """
@@ -13545,7 +13556,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(any_value(n_old) AS BIGINT) AS n_tokens_all,
                    CAST(any_value(n_new) AS BIGINT) AS n_tokens_kept,
                    CAST(any_value(v) AS BIGINT) AS vocab_size,
-                   CAST(sum(term) AS DOUBLE) AS kl_shift
+                   round(CAST(sum(term) AS DOUBLE), 6) + 0.0
+                     AS kl_shift
             FROM terms GROUP BY grp ORDER BY lang
         """,
         "curate_semantic": (
